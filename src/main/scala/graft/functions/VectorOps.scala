@@ -1,0 +1,34 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector math over `array<float>` columns (SURVEY.md §2.B
+  * Q-ARR1 / Q-SIM1/2), built from codegen'd higher-order functions — no
+  * UDFs, so the expressions stay inside whole-stage codegen and work on any
+  * column without serialization to JVM objects.
+  *
+  * Accumulation is an in-order left fold in DOUBLE (floats widened exactly),
+  * which is also what the DuckDB oracle computes — bitwise-identical results.
+  */
+object VectorOps {
+
+  /** Sequential left-fold sum of an array<double> expression. */
+  private def fsum(arr: Column): Column =
+    aggregate(arr, lit(0.0), (acc, x) => acc + x)
+
+  def dot(a: Column, b: Column): Column =
+    fsum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+
+  def norm2(a: Column): Column =
+    sqrt(fsum(transform(a, x => x.cast("double") * x.cast("double"))))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm2(a) * norm2(b))
+
+  /** L2 (Euclidean) distance. */
+  def l2(a: Column, b: Column): Column =
+    sqrt(fsum(zip_with(a, b, (x, y) => {
+      val d = x.cast("double") - y.cast("double"); d * d
+    })))
+}

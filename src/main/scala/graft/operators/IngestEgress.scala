@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Faithful-core ingest/egress (SURVEY.md §2.A R1/R10/R13, §2.B Q-SCAN3 /
+  * Q-SINK1): declared-schema CSV with dirty-typed casts, and the
+  * Hive-partitioned Snappy Parquet sink — without the reference's
+  * 26.5k-tiny-files anti-pattern (`README.md:66` flags it itself).
+  */
+object IngestEgress {
+
+  /** Schema-declared CSV scan (reference: inferred `pd.read_csv`,
+    * `stock_data_airflow_local_aws_s3.py:98-100`; we declare instead —
+    * inference at 100 TB means a second full pass over the data). */
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  /** Dirty-typed numeric parse for screener-export columns
+    * (`company_symbols.csv:2`: `$146.865`, `0.208%`, `1,234,567`):
+    * strip currency/percent/thousands markers, then ANSI-safe cast
+    * (try_cast semantics via regexp guard -> null, never a runtime error). */
+  def parseDirtyNumber(c: Column): Column = {
+    val cleaned = regexp_replace(trim(c), "[$,%\\s]", "")
+    when(cleaned.rlike("^-?[0-9]+(\\.[0-9]+)?$"), cleaned.cast("double"))
+  }
+
+  /** `"True"/"False"` string -> boolean (processed-CSV `Data_Exising` col). */
+  def parseDirtyBool(c: Column): Column =
+    when(lower(trim(c)) === "true", lit(true))
+      .when(lower(trim(c)) === "false", lit(false))
+
+  /** Hive-partitioned Snappy Parquet sink — the reference's physical design
+    * (`...py:53-63`, `README.md:9,63`) minus its per-(company,year)
+    * 250-row files: we repartition by the partition columns first so each
+    * partition directory gets one well-sized file, and rely on the commit
+    * protocol instead of the reference's manual temp-dir cleanup (R12). */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.repartition(partitionCols.map(col): _*)
+      .write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .option("compression", "snappy")
+      .parquet(path)
+
+  /** Relational shadow of the partitioned write: the per-partition manifest
+    * (Q-SINK1) — what the driver can hash-check without filesystem access. */
+  def partitionManifest(df: DataFrame, partitionCols: Seq[Column]): DataFrame =
+    df.groupBy(partitionCols: _*).agg(count(lit(1)).as("n_rows"))
+}

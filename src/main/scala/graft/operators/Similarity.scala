@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+
+/** Similarity search over embedding columns (north star, BASELINE.json;
+  * SURVEY.md §2.B Q-SIM1/2).
+  *
+  * Baseline: brute-force cosine top-k — a single scan, no shuffle until the
+  * final TakeOrderedAndProject. Scale path: random-hyperplane LSH bucketing
+  * — probe only matching buckets, turning top-k from O(n) scans per query
+  * into O(n/2^bits) with recall traded via `numPlanes`/multi-probe.
+  */
+object Similarity {
+
+  /** Brute-force cosine top-k against a 1-row query DataFrame (broadcast —
+    * never collected to the driver). Ties broken by id for determinism. */
+  def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
+                     query: DataFrame, queryVecCol: String, k: Int): DataFrame = {
+    val sim = VectorOps.cosine(col(vecCol), col("__qv"))
+    emb.crossJoin(broadcast(query.select(col(queryVecCol).as("__qv"))))
+      .select(col(idCol), round(sim, 6).as("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** All pairs with cosine >= minSim within a blocking column (self-join
+    * bounded by the block; for unblocked corpora use LSH first). */
+  def allPairsAboveThreshold(emb: DataFrame, idCol: String, vecCol: String,
+                             block: Column, minSim: Double): DataFrame = {
+    val a = emb.select(block.as("__blk"), col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val b = emb.select(block.as("__blk"), col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    a.join(b, Seq("__blk"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(VectorOps.cosine(col("__va"), col("__vb")), 6).as("sim"))
+      .where(col("sim") >= minSim)
+  }
+
+  /** Deterministic pseudo-random hyperplanes (fixed seed) as a literal
+    * array<array<double>> column — broadcast by constant folding. */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Column = {
+    val rnd = new scala.util.Random(seed)
+    array((0 until numPlanes).map { _ =>
+      array((0 until dim).map(_ => lit(rnd.nextGaussian())): _*)
+    }: _*)
+  }
+
+  /** Sign-bit LSH bucket id of a vector under the given hyperplanes. */
+  def lshBucket(vec: Column, planes: Column, numPlanes: Int): Column =
+    (0 until numPlanes).foldLeft(lit(0L)) { (acc, p) =>
+      acc.bitwiseOR(
+        when(VectorOps.dot(vec, element_at(planes, p + 1)) > 0,
+          lit(1L << p)).otherwise(lit(0L)))
+    }
+
+  /** LSH-bucketed ANN top-k: probe only the query's bucket. Recall < 1 by
+    * construction; the unit test measures it against brute force. */
+  def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
+              query: DataFrame, queryVecCol: String,
+              k: Int, numPlanes: Int, dim: Int): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
+    val bucketed = emb.withColumn("__bucket", lshBucket(col(vecCol), planes, numPlanes))
+    val q = query.select(col(queryVecCol).as("__qv"),
+      lshBucket(col(queryVecCol), planes, numPlanes).as("__qbucket"))
+    bucketed.join(broadcast(q), col("__bucket") === col("__qbucket"))
+      .select(col(idCol), round(VectorOps.cosine(col(vecCol), col("__qv")), 6).as("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Per-group top-k (SURVEY.md Q-TOP2 shape): row_number over a windowed
+    * sort, kept <= k — Spark 4 plans this as WindowGroupLimit (no full
+    * per-group materialization). */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String], orderCols: Seq[Column], k: Int): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .withColumn("rn", col("rn").cast("long"))
+  }
+}

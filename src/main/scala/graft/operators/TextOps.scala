@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines (north star,
+  * BASELINE.json): tokenization, language-ID heuristic, quality scoring,
+  * token-count estimators, rolling-hash fingerprints. All pure Column
+  * expressions (codegen'd, no UDFs) => they run at scan speed and pipeline
+  * into any downstream groupBy without extra stages.
+  */
+object TextOps {
+
+  /** Whitespace tokenization of normalized text. */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+
+  /** BPE-ish sub-token segmentation count: letter runs, digit runs, and
+    * single punctuation marks each count as one token (the classic
+    * pre-tokenizer regex shape). */
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long")
+
+  /** Crude chars/4 token estimate (the rule-of-thumb for English text). */
+  def estTokensByChars(text: Column): Column =
+    ceil(length(text) / lit(4.0)).cast("long")
+
+  /** Language-marker stopword sets for the n-gram-free language-ID
+    * heuristic. Deterministic, alphabetical tie-break on argmax. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "est"),
+    "zh" -> Seq("de", "le", "shi", "bu", "wo", "zai"))
+
+  def markerHits(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(markers))).cast("long")
+
+  /** Argmax over per-language marker scores, ties to the alphabetically
+    * first language (same CASE cascade as the SQL oracle twin). */
+  def predictedLang(scores: Seq[(String, Column)]): Column = {
+    val ordered = scores.sortBy(_._1)
+    ordered.foldLeft(lit(null).cast("string")) { case (acc, (lang, s)) =>
+      // first (alphabetical) language whose score >= all others wins
+      val isMax = ordered.map(_._2).map(o => s >= o).reduce(_ && _)
+      when(acc.isNotNull, acc).when(isMax, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Heuristic quality signals: length, mean word length, stopword ratio,
+    * digit/punctuation density. Per-row arithmetic only => deterministic. */
+  def wordCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  def meanWordLen(text: Column): Column =
+    length(regexp_replace(text, "\\s", "")).cast("double") /
+      nullif(wordCount(text).cast("double"), lit(0.0))
+
+  def stopwordRatio(text: Column): Column =
+    markerHits(tokens(text), langMarkers.toMap.apply("en")).cast("double") /
+      nullif(wordCount(text).cast("double"), lit(0.0))
+
+  def digitRatio(text: Column): Column =
+    regexp_count(text, lit("[0-9]")).cast("double") /
+      nullif(length(text).cast("double"), lit(0.0))
+
+  def punctRatio(text: Column): Column =
+    regexp_count(text, lit("[.!?,;:]")).cast("double") /
+      nullif(length(text).cast("double"), lit(0.0))
+
+  /** Rolling polynomial (Karp-Rabin) fingerprint over the token stream:
+    * fp = fold(tokens, 0, (acc, t) -> (acc*B + h(t)) mod M). Stays inside
+    * a 64-bit modulus so it is ANSI-overflow-safe; xxhash64 is Spark's
+    * codegen'd hash. Spark-only (no SQL oracle: DuckDB's hash() differs). */
+  def rollingFingerprint(toks: Column): Column = {
+    val M = lit(2147483647L) // 2^31 - 1
+    val B = lit(131L)
+    aggregate(toks, lit(0L), (acc, t) => pmod(acc * B + pmod(xxhash64(t), M), M))
+  }
+}

@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables}
+import graft.functions.GeoMean
+import graft.util.Det
+import graft.util.Det.{sqlFixedAvg, sqlFixedSum}
+
+/** Aggregations (SURVEY.md §2.B Q-AGG1–7). Hash aggregation with partial
+  * (map-side) combine on every query; double sums use the exact
+  * fixed-point formulation (Det) so results are order-independent —
+  * the property that makes them both oracle-stable and re-run-stable on a
+  * 1000-executor cluster.
+  */
+object AggQueries extends QueryModule {
+
+  /** The flagship (SURVEY.md §7.2): per (returnflag, ship year) row count,
+    * exact revenue sum, mean quantity — the canonical first analysis over
+    * the reference's partition grain (company,year) -> (flag,year). */
+  def flagship(s: SparkSession, d: String): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    Tables.load(s, d, "lineitem")
+      .groupBy(col("l_returnflag"), year(col("l_shipdate")).cast("long").as("ship_year"))
+      .agg(count(lit(1)).as("n_rows"),
+        Det.fixedSum(rev, 4).as("sum_revenue"),
+        Det.fixedAvg(col("l_quantity"), 2).as("avg_qty"))
+      .orderBy("l_returnflag", "ship_year")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg1" -> (flagship _),
+
+    // Q-AGG2: multi-key group at the reference's partition grain (R9/R10).
+    "q_agg2" -> ((s, d) =>
+      Tables.load(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_rows"),
+          Det.fixedSum(col("l_quantity"), 2).as("sum_qty"),
+          Det.fixedSum(col("l_extendedprice"), 2).as("sum_price"),
+          min(col("l_discount")).as("min_disc"),
+          max(col("l_discount")).as("max_disc"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // Q-AGG3: exact distinct count per group.
+    "q_agg3" -> ((s, d) =>
+      Tables.load(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(countDistinct(col("o_custkey")).as("n_cust"))
+        .orderBy("o_orderstatus")),
+
+    // Q-AGG4: approximate distinct (HLL) — no oracle (approximate), the
+    // scale path when exact distinct would shuffle every key.
+    "q_agg4" -> ((s, d) =>
+      Tables.load(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(approx_count_distinct(col("o_custkey")).as("approx_cust"))
+        .orderBy("o_orderstatus")),
+
+    // Q-AGG5: ROLLUP over the region->nation hierarchy.
+    "q_agg5" -> ((s, d) =>
+      Tables.load(s, d, "customer")
+        .join(broadcast(Tables.load(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.load(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), Det.fixedSum(col("c_acctbal"), 2).as("sum_bal"))
+        .select(coalesce(col("r_name"), lit("ALL")).as("r"),
+          coalesce(col("n_name"), lit("ALL")).as("n"),
+          col("n_cust"), col("sum_bal"))
+        .orderBy("r", "n")),
+
+    // Q-AGG6: custom typed UDAF — geometric mean.
+    "q_agg6" -> ((s, d) => {
+      val gm = udaf(GeoMean.agg)
+      Tables.load(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(gm(col("l_quantity")), 6).as("geomean_qty"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Q-AGG7: first/last per group. l_linenumber is not unique within an
+    // order in the fixture, so the ordering key folds in the value
+    // (cents <= 5000 < 10000 => collision-free composite): among equal
+    // (linenumber, qty) rows any survivor yields the same output.
+    "q_agg7" -> ((s, d) => {
+      val ord = col("l_linenumber") * 10000 + round(col("l_quantity") * 100).cast("long")
+      Tables.load(s, d, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(min_by(col("l_quantity"), ord).as("first_qty"),
+          max_by(col("l_quantity"), ord).as("last_qty"),
+          count(lit(1)).as("n_items"))
+        .orderBy("l_orderkey")
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_agg1" ->
+      s"""SELECT l_returnflag, CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+         |  COUNT(*) AS n_rows,
+         |  ${sqlFixedSum("l_extendedprice * (1.0 - l_discount)", 4)} AS sum_revenue,
+         |  ${sqlFixedAvg("l_quantity", 2)} AS avg_qty
+         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_agg2" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+         |  ${sqlFixedSum("l_quantity", 2)} AS sum_qty,
+         |  ${sqlFixedSum("l_extendedprice", 2)} AS sum_price,
+         |  min(l_discount) AS min_disc, max(l_discount) AS max_disc
+         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_agg3" ->
+      """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_agg5" ->
+      s"""SELECT COALESCE(r_name, 'ALL') AS r, COALESCE(n_name, 'ALL') AS n,
+         |  COUNT(*) AS n_cust, ${sqlFixedSum("c_acctbal", 2)} AS sum_bal
+         |FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY ROLLUP (r_name, n_name) ORDER BY r, n""".stripMargin,
+    "q_agg6" ->
+      """SELECT l_returnflag, round(exp(SUM(ln(l_quantity)) / COUNT(*)), 6) AS geomean_qty,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_agg7" ->
+      """SELECT l_orderkey,
+        |  arg_min(l_quantity, l_linenumber * 10000 + CAST(round(l_quantity * 100, 0) AS BIGINT)) AS first_qty,
+        |  arg_max(l_quantity, l_linenumber * 10000 + CAST(round(l_quantity * 100, 0) AS BIGINT)) AS last_qty,
+        |  COUNT(*) AS n_items
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
+}

@@ -1,0 +1,167 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables}
+import graft.operators.AsOfJoin
+
+/** Projection, filters, and the full join family (SURVEY.md §2.B Q-PROJ1,
+  * Q-FIL1–2, Q-JOIN1–7).
+  *
+  * Scale notes: the dimension sides (customer/nation/region) are small and
+  * broadcast — verified by plan-shape tests; the fact-fact as-of join uses
+  * the single-shuffle union+window operator, not a row-exploding range join.
+  * Events are calendar-shifted (-29y) into the orders date range so the
+  * temporal joins have matches on the fixtures.
+  */
+object RelationalQueries extends QueryModule {
+
+  private def shiftedEvents(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "events").select(
+      col("event_id"), col("user_id"), col("value"),
+      (col("ts") - expr("INTERVAL '29' YEAR")).as("ts2"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q-PROJ1: select/rename/derive (reference R7/R8 Year derivation).
+    "q_proj1" -> ((s, d) =>
+      Tables.load(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        year(col("l_shipdate")).cast("long").as("ship_year"))
+        .orderBy("l_orderkey", "l_linenumber", "revenue", "ship_year")),
+
+    // Q-FIL1: conjunctive/disjunctive predicates, BETWEEN/IN/LIKE/null-safe.
+    "q_fil1" -> ((s, d) =>
+      Tables.load(s, d, "lineitem")
+        .where(col("l_quantity").between(10, 20) &&
+               col("l_returnflag").isin("A", "R") &&
+               col("l_linestatus").like("O%") &&
+               col("l_tax").isNotNull &&
+               ((col("l_discount") <=> lit(0.05)) || col("l_discount") > lit(0.07)))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag")),
+
+    // Q-FIL2: history screening — keep keys whose row count == expected
+    // (the reference's 6,969 -> 1,062 symbol screen, R13).
+    "q_fil2" -> ((s, d) => {
+      val cnts = Tables.load(s, d, "orders").groupBy("o_custkey")
+        .agg(count(lit(1)).as("n")).where(col("n") === 10)
+      Tables.load(s, d, "customer")
+        .join(cnts, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    }),
+
+    // Q-JOIN1: inner equi-join fact<->dim.
+    "q_join1" -> ((s, d) =>
+      Tables.load(s, d, "orders")
+        .join(Tables.load(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "c_name", "c_mktsegment", "o_totalprice")
+        .orderBy("o_orderkey")),
+
+    // Q-JOIN2: explicit broadcast of the small dims (plan-shape-tested).
+    "q_join2" -> ((s, d) =>
+      Tables.load(s, d, "customer")
+        .join(broadcast(Tables.load(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.load(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .select("c_custkey", "n_name", "r_name")
+        .orderBy("c_custkey")),
+
+    // Q-JOIN3: left outer (customers with/without 'P' orders).
+    "q_join3" -> ((s, d) =>
+      Tables.load(s, d, "customer")
+        .join(Tables.load(s, d, "orders").where(col("o_orderstatus") === "P"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .select("c_custkey", "o_orderkey", "o_totalprice")
+        .orderBy(col("c_custkey").asc, col("o_orderkey").asc_nulls_first)),
+
+    // Q-JOIN4: left semi.
+    "q_join4" -> ((s, d) =>
+      Tables.load(s, d, "customer")
+        .join(Tables.load(s, d, "orders").where(col("o_orderstatus") === "O"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey")),
+
+    // Q-JOIN5: left anti (the reference's error-skip residue, R6/R13).
+    "q_join5" -> ((s, d) =>
+      Tables.load(s, d, "customer")
+        .join(Tables.load(s, d, "orders").where(col("o_orderstatus") === "P"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")),
+
+    // Q-JOIN6: range join — events within a 30-day window before each order
+    // (equi key + range residual => sort-merge, not a cartesian).
+    "q_join6" -> ((s, d) => {
+      val ev = shiftedEvents(s, d)
+      Tables.load(s, d, "orders")
+        .join(ev,
+          col("user_id") === col("o_custkey") &&
+          col("ts2") >= col("o_orderdate") - expr("INTERVAL '30' DAY") &&
+          col("ts2") <= col("o_orderdate"), "left_outer")
+        .groupBy("o_orderkey").agg(count(col("event_id")).as("n_ev"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Q-JOIN7: as-of join (latest event at-or-before each order date,
+    // per key) via the single-shuffle union+window operator.
+    "q_join7" -> ((s, d) => {
+      val orders = Tables.load(s, d, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+      AsOfJoin.lastAtOrBefore(orders, shiftedEvents(s, d),
+        leftKey = "o_custkey", leftTime = "o_orderdate",
+        rightKey = "user_id", rightTime = "ts2",
+        rightValueCols = Seq(), tieBreak = Seq("event_id"))
+        .select("o_orderkey", "asof_ts2")
+        .orderBy("o_orderkey")
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_proj1" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice * (1.0 - l_discount) AS revenue,
+        |  CAST(year(l_shipdate) AS BIGINT) AS ship_year
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, revenue, ship_year""".stripMargin,
+    "q_fil1" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
+        |FROM lineitem
+        |WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag IN ('A','R')
+        |  AND l_linestatus LIKE 'O%' AND l_tax IS NOT NULL
+        |  AND (l_discount IS NOT DISTINCT FROM 0.05 OR l_discount > 0.07)
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag""".stripMargin,
+    "q_fil2" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders GROUP BY o_custkey HAVING COUNT(*) = 10)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join1" ->
+      """SELECT o_orderkey, c_name, c_mktsegment, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey""".stripMargin,
+    "q_join2" ->
+      """SELECT c_custkey, n_name, r_name
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey ORDER BY c_custkey""".stripMargin,
+    "q_join3" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'P') o
+        |ON c_custkey = o_custkey
+        |ORDER BY c_custkey ASC, o_orderkey ASC NULLS FIRST""".stripMargin,
+    "q_join4" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join5" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join6" ->
+      """SELECT o_orderkey, COUNT(e.event_id) AS n_ev
+        |FROM orders o LEFT JOIN
+        |  (SELECT event_id, user_id, ts - INTERVAL 29 YEAR AS ts2 FROM events) e
+        |ON e.user_id = o.o_custkey
+        |  AND e.ts2 >= o.o_orderdate - INTERVAL 30 DAY AND e.ts2 <= o.o_orderdate
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+    "q_join7" ->
+      """SELECT o.o_orderkey,
+        |  (SELECT max(e.ts - INTERVAL 29 YEAR) FROM events e
+        |   WHERE e.user_id = o.o_custkey AND e.ts - INTERVAL 29 YEAR <= o.o_orderdate) AS asof_ts2
+        |FROM orders o ORDER BY o.o_orderkey""".stripMargin,
+  )
+}

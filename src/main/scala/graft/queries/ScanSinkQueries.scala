@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables}
+import graft.operators.{Batching, IngestEgress}
+
+/** Scans, sources, sinks (SURVEY.md §2.B Q-SCAN1–3, Q-SINK1–2). */
+object ScanSinkQueries extends QueryModule {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q-SCAN1: parquet scan + projection + total sort.
+    "q_scan1" -> ((s, d) =>
+      Tables.load(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+        // (l_orderkey, l_linenumber) is NOT unique in the fixture — order
+        // by every output column for a total, engine-independent order.
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")),
+
+    // Q-SCAN2: predicate-pruned scan (filter reaches the parquet reader as
+    // PushedFilters; the partitioned-layout variant is unit-tested).
+    "q_scan2" -> ((s, d) =>
+      Tables.load(s, d, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+               col("l_shipdate") <  lit("1997-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")),
+
+    // Q-SCAN3: dirty-typed parse/cast (reference screener CSV semantics,
+    // `company_symbols.csv:2` $/%/comma-laden numerics; R13 screen).
+    "q_scan3" -> ((s, d) =>
+      Tables.load(s, d, "customer").select(
+        col("c_custkey"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).cast("long").as("name_id"),
+        upper(split_part(col("c_name"), lit("#"), lit(1))).as("name_prefix"),
+        IngestEgress.parseDirtyNumber(
+          concat(lit(" $"), col("c_custkey").cast("string"), lit(",50 "))).as("parsed_money"))
+        .orderBy("c_custkey")),
+
+    // Q-SINK1: relational shadow of the Hive-partitioned write — the
+    // per-partition manifest (the write itself is unit-tested on a tmp dir).
+    "q_sink1" -> ((s, d) =>
+      IngestEgress.partitionManifest(Tables.load(s, d, "orders"),
+        Seq(col("o_orderstatus"), year(col("o_orderdate")).cast("long").as("o_year")))
+        .orderBy("o_orderstatus", "o_year")),
+
+    // Q-SINK2: stable batch ids of 100 over ordered keys (reference R3).
+    "q_sink2" -> ((s, d) =>
+      Batching.withBatchNum(Tables.load(s, d, "customer").select("c_custkey"), "c_custkey", 100)
+        .orderBy("c_custkey")),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_scan1" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity, l_shipdate""".stripMargin,
+    "q_scan2" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |ORDER BY l_orderkey, l_linenumber, l_returnflag, l_quantity""".stripMargin,
+    "q_scan3" ->
+      """SELECT c_custkey,
+        |  CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS name_id,
+        |  upper(split_part(c_name, '#', 1)) AS name_prefix,
+        |  CASE WHEN regexp_matches(regexp_replace(' $' || CAST(c_custkey AS VARCHAR) || ',50 ', '[$,%\s]', '', 'g'), '^-?[0-9]+(\.[0-9]+)?$')
+        |       THEN CAST(regexp_replace(' $' || CAST(c_custkey AS VARCHAR) || ',50 ', '[$,%\s]', '', 'g') AS DOUBLE) END AS parsed_money
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_sink1" ->
+      """SELECT o_orderstatus, CAST(year(o_orderdate) AS BIGINT) AS o_year, COUNT(*) AS n_rows
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_sink2" ->
+      """SELECT c_custkey,
+        |  CAST(floor((row_number() OVER (ORDER BY c_custkey) - 1) / 100.0) + 1 AS BIGINT) AS batch_num
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+  )
+}

@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables}
+import graft.operators.{Dedup, NearDup, TextOps}
+
+/** Text analysis + deduplication over `documents` (north star,
+  * BASELINE.json; SURVEY.md §2.B Q-TXT1–2, Q-DEDUP1–2 + extensions):
+  * tokenize/word-freq, per-language stats, language-ID heuristic, quality
+  * scoring, token counting, fingerprinting, exact + sketch dedup, exact
+  * n-gram Jaccard. Sketch queries (MinHash/SimHash/fingerprint) have no
+  * SQL twin (engine-specific hashes) and are property-tested instead.
+  */
+object TextDedupQueries extends QueryModule {
+
+  // SQL twin of TextOps.tokens — keep in lockstep.
+  private val tokSql =
+    """list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> length(x) > 0)"""
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ",", ")")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q-TXT1: tokenize + explode + word frequency.
+    "q_txt1" -> ((s, d) =>
+      Tables.load(s, d, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w").asc)),
+
+    // Q-TXT2: per-language corpus stats.
+    "q_txt2" -> ((s, d) =>
+      Tables.load(s, d, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(TextOps.wordCount(col("text"))).as("sum_words"))
+        .orderBy("lang")),
+
+    // Language-ID heuristic: marker-stopword hit counts per language,
+    // argmax with alphabetical tie-break.
+    "q_txt3" -> ((s, d) => {
+      val base = Tables.load(s, d, "documents")
+        .withColumn("toks", TextOps.tokens(col("text")))
+      val scored = TextOps.langMarkers.foldLeft(base) { case (df, (l, ms)) =>
+        df.withColumn(s"s_$l", TextOps.markerHits(col("toks"), ms))
+      }
+      val pred = TextOps.predictedLang(
+        TextOps.langMarkers.map { case (l, _) => l -> col(s"s_$l") })
+      scored.select(col("doc_id"), col("s_de"), col("s_en"), col("s_es"),
+          col("s_fr"), col("s_zh"), pred.as("pred_lang"),
+          (pred === col("lang")).as("is_match"))
+        .orderBy("doc_id")
+    }),
+
+    // Quality scoring: length / word-shape / stopword / digit signals.
+    "q_txt4" -> ((s, d) =>
+      Tables.load(s, d, "documents").select(
+        col("doc_id"), col("n_chars"),
+        TextOps.wordCount(col("text")).as("n_words"),
+        round(TextOps.meanWordLen(col("text")), 6).as("mean_wlen"),
+        round(TextOps.stopwordRatio(col("text")), 6).as("stop_ratio"),
+        round(TextOps.digitRatio(col("text")), 6).as("digit_ratio"))
+        .orderBy("doc_id")),
+
+    // Token counting: whitespace, BPE-ish regex segmentation, chars/4.
+    "q_txt5" -> ((s, d) =>
+      Tables.load(s, d, "documents").select(
+        col("doc_id"),
+        TextOps.wordCount(col("text")).as("n_ws_tokens"),
+        TextOps.bpeishTokenCount(col("text")).as("n_bpe_tokens"),
+        TextOps.estTokensByChars(col("text")).as("est_chars_tokens"))
+        .orderBy("doc_id")),
+
+    // Rolling-hash document fingerprint (rows-only: engine-specific hash).
+    "q_txt6" -> ((s, d) =>
+      Tables.load(s, d, "documents").select(
+        col("doc_id"),
+        TextOps.rollingFingerprint(TextOps.tokens(col("text"))).as("fingerprint"))
+        .orderBy("doc_id")),
+
+    // Q-DEDUP1: exact content dedup on a normalization hash, deterministic
+    // survivor (min doc_id).
+    "q_dedup1" -> ((s, d) =>
+      Dedup.exactByExpr(Tables.load(s, d, "documents"),
+        Dedup.contentHash(substring(col("text"), 1, 50)), "h", Seq("doc_id"))
+        .select("doc_id", "h").orderBy("doc_id")),
+
+    // Q-DEDUP2: MinHash+LSH near-dup candidate pairs (rows-only; recall
+    // property-tested on planted duplicates).
+    "q_dedup2" -> ((s, d) =>
+      NearDup.lshCandidatePairs(Tables.load(s, d, "documents"), "doc_id", col("text"))
+        .orderBy("id_a", "id_b")),
+
+    // SimHash near-dup pairs by hamming distance (rows-only).
+    "q_dedup3" -> ((s, d) => {
+      val sh = NearDup.simhash(Tables.load(s, d, "documents"), "doc_id", col("text"))
+      NearDup.simhashPairs(sh, "doc_id", maxHamming = 16).orderBy("id_a", "id_b")
+    }),
+
+    // Exact n-gram Jaccard pairs within a language block (the ground truth
+    // for the sketches; oracle-checked).
+    "q_dedup4" -> ((s, d) =>
+      NearDup.exactJaccardPairs(Tables.load(s, d, "documents"), "doc_id",
+        col("text"), col("lang"), shingleN = 3, minSim = 0.05)
+        .orderBy("id_a", "id_b")),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_txt1" ->
+      s"""SELECT w, COUNT(*) AS n
+         |FROM (SELECT unnest($tokSql) AS w FROM documents)
+         |GROUP BY w ORDER BY n DESC, w""".stripMargin,
+    "q_txt2" ->
+      s"""SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(SUM(CAST(len($tokSql) AS BIGINT)) AS BIGINT) AS sum_words
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_txt3" -> {
+      val scoreExprs = TextOps.langMarkers.map { case (l, ms) =>
+        s"CAST(len(list_filter(toks, x -> x IN ${inList(ms)})) AS BIGINT) AS s_$l"
+      }.mkString(",\n  ")
+      val langs = TextOps.langMarkers.map(_._1).sorted
+      val cases = langs.dropRight(1).map { l =>
+        val conds = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+        s"WHEN $conds THEN '$l'"
+      }.mkString("\n    ")
+      s"""WITH t AS (SELECT doc_id, lang, $tokSql AS toks FROM documents),
+         |sc AS (SELECT doc_id, lang,
+         |  $scoreExprs
+         |FROM t)
+         |SELECT doc_id, s_de, s_en, s_es, s_fr, s_zh, pred_lang, (pred_lang = lang) AS is_match
+         |FROM (SELECT *, CASE
+         |    $cases
+         |    ELSE '${langs.last}' END AS pred_lang FROM sc)
+         |ORDER BY doc_id""".stripMargin
+    },
+    "q_txt4" ->
+      s"""WITH t AS (SELECT doc_id, text, n_chars, CAST(len($tokSql) AS BIGINT) AS n_words FROM documents)
+         |SELECT doc_id, n_chars, n_words,
+         |  round(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / nullif(CAST(n_words AS DOUBLE), 0.0), 6) AS mean_wlen,
+         |  round(CAST(len(list_filter($tokSql, x -> x IN ${inList(TextOps.langMarkers.toMap.apply("en"))})) AS DOUBLE) / nullif(CAST(n_words AS DOUBLE), 0.0), 6) AS stop_ratio,
+         |  round(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / nullif(CAST(length(text) AS DOUBLE), 0.0), 6) AS digit_ratio
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "q_txt5" ->
+      s"""SELECT doc_id,
+         |  CAST(len($tokSql) AS BIGINT) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_chars_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_dedup1" ->
+      """SELECT doc_id, h
+        |FROM (SELECT doc_id, sha256(lower(trim(substring(text, 1, 50)))) AS h,
+        |        row_number() OVER (PARTITION BY sha256(lower(trim(substring(text, 1, 50)))) ORDER BY doc_id) AS rn
+        |      FROM documents)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q_dedup4" ->
+      s"""WITH t AS (SELECT doc_id, lang, $tokSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, lang,
+         |         unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+         |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+         |       FROM t WHERE len(toks) >= 3),
+         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+         |          FROM sh a JOIN sh b ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) AS jaccard
+         |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+         |WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.05
+         |ORDER BY id_a, id_b""".stripMargin,
+  )
+}

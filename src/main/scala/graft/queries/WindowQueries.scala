@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables}
+import graft.operators.Similarity
+import graft.util.Det
+
+/** Window functions and top-k (SURVEY.md §2.B Q-WIN1–5, Q-TOP1–2) — the
+  * stock feature-engineering heart: returns, SMAs, rolling sums, running
+  * extrema, rankings. Every orderBy inside a window carries a unique
+  * tie-break key so results are deterministic (SURVEY.md §7.4.2); windowed
+  * double sums use the exact fixed-point form (safe under DuckDB's
+  * segment-tree re-association AND Spark's own retry reordering).
+  */
+object WindowQueries extends QueryModule {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q-WIN1: ranking family.
+    "q_win1" -> ((s, d) => {
+      val byStatus = Window.partitionBy("o_orderstatus")
+      val unique = byStatus.orderBy(col("o_orderdate"), col("o_orderkey"))
+      val byDate = byStatus.orderBy(col("o_orderdate"))
+      Tables.load(s, d, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        row_number().over(unique).cast("long").as("rn"),
+        rank().over(byDate).cast("long").as("rnk"),
+        dense_rank().over(byDate).cast("long").as("drnk"),
+        ntile(4).over(unique).cast("long").as("nt"))
+        .orderBy("o_orderstatus", "rn")
+    }),
+
+    // Q-WIN2: lag -> per-event "return" (the daily-return shape, ANA core).
+    "q_win2" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.load(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          lag(col("value"), 1).over(w).as("prev_value"))
+        .withColumn("ret", col("value") / col("prev_value") - lit(1))
+        .orderBy("event_id")
+    }),
+
+    // Q-WIN3: 20-row SMA over each supplier's shipment timeline.
+    "q_win3" -> ((s, d) => {
+      // The in-window order must be TOTAL: (shipdate, orderkey, linenumber)
+      // is not unique in the fixture, so extendedprice + quantity complete
+      // the key (otherwise sliding-frame membership is tie-order-dependent).
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("l_quantity"))
+        .rowsBetween(-19, Window.currentRow)
+      Tables.load(s, d, "lineitem").select(
+        col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), col("l_quantity"),
+        (Det.fixedSumOver(col("l_extendedprice"), 2, w) / count(lit(1)).over(w)).as("sma20"))
+        .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber",
+          "l_extendedprice", "l_quantity")
+    }),
+
+    // Q-WIN4: 7-day rolling sum via a RANGE frame on epoch seconds.
+    "q_win4" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").cast("long"))
+        .rangeBetween(-604800L, Window.currentRow)
+      Tables.load(s, d, "orders").select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        Det.fixedSumOver(col("o_totalprice"), 2, w).as("rolling7d"))
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    }),
+
+    // Q-WIN5: cumulative running max + drawdown-style delta.
+    "q_win5" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, d, "orders").select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"),
+        max(col("o_totalprice")).over(w).as("running_max"))
+        .withColumn("drawdown", col("o_totalprice") - col("running_max"))
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    }),
+
+    // Q-TOP1: global top-k => TakeOrderedAndProject (plan-shape-tested).
+    "q_top1" -> ((s, d) =>
+      Tables.load(s, d, "orders").select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)),
+
+    // Q-TOP2: per-group top-k => WindowGroupLimit in Spark 4.
+    "q_top2" -> ((s, d) =>
+      Similarity.topKPerGroup(Tables.load(s, d, "orders"), Seq("o_custkey"),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")),
+  )
+
+  private val win3Frame =
+    "(PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice, l_quantity ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)"
+
+  def oracleSql: Map[String, String] = Map(
+    "q_win1" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn,
+        |  CAST(rank() OVER (PARTITION BY o_orderstatus ORDER BY o_orderdate) AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY o_orderdate) AS BIGINT) AS drnk,
+        |  CAST(ntile(4) OVER (PARTITION BY o_orderstatus ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS nt
+        |FROM orders ORDER BY o_orderstatus, rn""".stripMargin,
+    "q_win2" ->
+      """SELECT event_id, user_id, value, prev_value, value / prev_value - 1 AS ret
+        |FROM (SELECT event_id, user_id, value,
+        |        lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+        |      FROM events)
+        |ORDER BY event_id""".stripMargin,
+    "q_win3" ->
+      s"""SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_extendedprice, l_quantity,
+         |  ${Det.sqlFixedSumOver("l_extendedprice", 2, "w")} / COUNT(*) OVER w AS sma20
+         |FROM lineitem WINDOW w AS $win3Frame
+         |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_extendedprice, l_quantity""".stripMargin,
+    "q_win4" ->
+      s"""SELECT o_custkey, o_orderkey, o_orderdate,
+         |  ${Det.sqlFixedSumOver("o_totalprice", 2,
+              "(PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT) RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)")} AS rolling7d
+         |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "q_win5" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |  max(o_totalprice) OVER w AS running_max,
+        |  o_totalprice - max(o_totalprice) OVER w AS drawdown
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "q_top1" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_top2" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders)
+        |WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin,
+  )
+}

@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.util.Det
+
+/** Structured-Streaming layer (SURVEY.md §2.B Q-STRM1–3, S-STRM4/5): the
+  * reference's own stated future is "daily stock data updates"
+  * (`README.md:49`); here the same `events` schema is consumed
+  * incrementally. Each windowed transform below is ONE function applied to
+  * either a batch DataFrame or a `readStream` DataFrame — identical column
+  * expressions, so the batch twin registered in `SparkEntry.queries` is
+  * oracle-checked while the streaming path reuses the exact logic
+  * (MemoryStream unit tests cover watermark/dedup behavior).
+  */
+object StreamOps {
+
+  /** Tumbling 1-hour aggregation. Works on batch and streaming inputs. */
+  def tumblingHourly(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_ev"), Det.fixedSum(col("value"), 2).as("sum_value"))
+      .select(col("window.start").as("ws"), col("n_ev"), col("sum_value"))
+
+  /** Sliding 1-hour window, 15-minute slide; window start as epoch seconds
+    * (BIGINT) so the oracle compares integers, not timestamps. */
+  def slidingHourly(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n_ev"))
+      .select(col("window.start").cast("long").as("ws"), col("n_ev"))
+
+  /** Session windows with a 30-minute gap, per user. Session semantics:
+    * an event extends its session iff it starts strictly within
+    * (prev event + gap) — boundary-equal events open a NEW session
+    * (SURVEY.md §7.4.4). */
+  def sessionized(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_ev"), Det.fixedSum(col("value"), 2).as("sum_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_ev"), col("sum_value"))
+
+  /** S-STRM4: watermarked tumbling agg — events later than 10 minutes
+    * behind the max seen ts are dropped (streaming-only; MemoryStream test). */
+  def watermarkedTumbling(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_ev"))
+      .select(col("window.start").as("ws"), col("n_ev"))
+
+  /** S-STRM5: stateful stream dedup on event_id, state bounded by the
+    * watermark (streaming-only; MemoryStream test). */
+  def dedupedStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+}
