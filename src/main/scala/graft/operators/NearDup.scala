@@ -81,7 +81,10 @@ object NearDup {
 
   /** SimHash near-dup candidates: pigeonhole on 16-bit chunks — any pair
     * with hamming distance <= 3 must agree on >= 1 of 4 chunks, so a
-    * bucket join on (chunk_idx, chunk) finds all of them without O(n^2). */
+    * bucket join on (chunk_idx, chunk) finds ALL such pairs without
+    * O(n^2). A `maxHamming` above 3 still filters the candidates it sees
+    * but is recall-lossy (pairs differing in every chunk are never
+    * candidates) — that's the LSH trade, not a bug. */
   def simhashPairs(sh: DataFrame, idCol: String, maxHamming: Int = 3): DataFrame = {
     val chunks = sh.select(col(idCol).as("__id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>

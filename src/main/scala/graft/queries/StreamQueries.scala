@@ -37,11 +37,12 @@ object StreamQueries extends QueryModule {
         |      FROM events CROSS JOIN range(4) AS t(k))
         |GROUP BY ws ORDER BY ws""".stripMargin,
     // Gaps-and-islands twin of session_window: same-session iff the gap to
-    // the previous event is STRICTLY under 30 min (SURVEY.md §7.4.4).
+    // the previous event is <= 30 min — Spark's boundary is INCLUSIVE
+    // (verified by the MemoryStream boundary test, SURVEY.md §7.4.4).
     "q_strm3" ->
       s"""WITH g AS (
          |  SELECT user_id, ts, event_id, value,
-         |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) < INTERVAL 30 MINUTE
+         |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) <= INTERVAL 30 MINUTE
          |         THEN 0 ELSE 1 END AS new_s
          |  FROM events),
          |sess AS (

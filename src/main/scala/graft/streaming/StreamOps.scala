@@ -28,10 +28,11 @@ object StreamOps {
       .agg(count(lit(1)).as("n_ev"))
       .select(col("window.start").cast("long").as("ws"), col("n_ev"))
 
-  /** Session windows with a 30-minute gap, per user. Session semantics:
-    * an event extends its session iff it starts strictly within
-    * (prev event + gap) — boundary-equal events open a NEW session
-    * (SURVEY.md §7.4.4). */
+  /** Session windows with a 30-minute gap, per user. Session semantics
+    * (verified against Spark 4.1 by MemoryStream test): an event MERGES
+    * into the session iff its gap to the previous event is <= 30 min —
+    * the boundary-equal event is inclusive, so the SQL twin must use
+    * `<= INTERVAL 30 MINUTE`, not `<`. */
   def sessionized(events: DataFrame): DataFrame =
     events.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
       .agg(count(lit(1)).as("n_ev"), Det.fixedSum(col("value"), 2).as("sum_value"))

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Batching
+import graft.util.Det
+
+/** Property-style checks (SURVEY.md §5.2.3) over seeded random data:
+  * algebraic laws the oracle can't see.
+  */
+class DeterminismSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(42)
+  private lazy val money = Seq.fill(5000)(
+    (rnd.nextInt(100), math.round(rnd.nextDouble() * 1e6) / 100.0))
+    .toDF("k", "v")
+
+  test("fixedSum is exact: equals BigDecimal sum regardless of partitioning") {
+    val expected = money.select("v").as[Double].collect()
+      .map(BigDecimal(_)).sum.toDouble
+    for (parts <- Seq(1, 2, 7)) {
+      val got = money.repartition(parts).agg(Det.fixedSum(col("v"), 2).as("s"))
+        .as[Double].head()
+      assert(got === expected, s"parts=$parts")
+    }
+  }
+
+  test("window cumulative sum at the last row equals the group sum") {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("k")
+      .orderBy("v").rowsBetween(Long.MinValue, 0)
+    val lastCum = money
+      .withColumn("cum", Det.fixedSumOver(col("v"), 2, w))
+      .groupBy("k").agg(max("cum").as("cum_last"))
+    val grp = money.groupBy("k").agg(Det.fixedSum(col("v"), 2).as("total"))
+    val diff = lastCum.join(grp, "k")
+      .where(col("cum_last") =!= col("total")).count()
+    assert(diff === 0)
+  }
+
+  test("union-all count additivity") {
+    val a = money.where(col("k") < 50)
+    val b = money.where(col("k") >= 50)
+    assert(a.unionByName(b).count() === money.count())
+  }
+
+  test("batch assignment: every batch full-size except possibly the last") {
+    val sizes = Batching.withBatchNum(
+        money.select(monotonically_increasing_id().as("id")), "id", 100)
+      .groupBy("batch_num").count()
+      .orderBy("batch_num").as[(Long, Long)].collect()
+    assert(sizes.dropRight(1).forall(_._2 === 100L))
+    assert(sizes.last._2 <= 100L)
+    assert(sizes.map(_._2).sum === 5000L)
+  }
+}

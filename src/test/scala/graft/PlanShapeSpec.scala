@@ -1,0 +1,53 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.queries.{RelationalQueries, WindowQueries, ScanSinkQueries}
+
+/** Plan-shape guards (SURVEY.md §5.2.4): the §4.2 "free lunch" assumptions —
+  * pushdown, broadcast, top-k physical operators, partition pruning — must
+  * actually appear in the executed plan, or a regression silently turns a
+  * scan-light query into a full-table pass at 100 TB.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String, m: QueryModule): String =
+    m.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q_scan2: shipdate predicate is pushed to the parquet reader") {
+    val p = plan("q_scan2", ScanSinkQueries)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q_scan1: projection prunes the read schema to selected columns") {
+    val p = plan("q_scan1", ScanSinkQueries)
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_extendedprice"), "unused column must not be read")
+  }
+
+  test("q_join2: dimension joins use BroadcastHashJoin") {
+    val p = plan("q_join2", RelationalQueries)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q_top1: global top-k plans as TakeOrderedAndProject") {
+    assert(plan("q_top1", WindowQueries).contains("TakeOrderedAndProject"))
+  }
+
+  test("q_top2: per-group top-k benefits from WindowGroupLimit") {
+    assert(plan("q_top2", WindowQueries).contains("WindowGroupLimit"))
+  }
+
+  test("partitioned write + year-filtered read hits PartitionFilters, not data filters") {
+    val dir = Files.createTempDirectory("graft_part").toString
+    val li = Tables.load(spark, sf, "lineitem")
+      .withColumn("ship_year", year(col("l_shipdate")))
+    operators.IngestEgress.writePartitioned(li, dir, Seq("ship_year"))
+    val back = spark.read.parquet(dir).where(col("ship_year") === 1997)
+    val p = back.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(ship_year"), p)
+    assert(back.count() ===
+      li.where(col("ship_year") === 1997).count())
+  }
+}

@@ -1,0 +1,50 @@
+package graft.operators
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val right = Seq(
+    (1L, ts("2024-01-01 10:00:00"), 1.0, 100L),
+    (1L, ts("2024-01-01 12:00:00"), 2.0, 101L),
+    (1L, ts("2024-01-01 12:00:00"), 3.0, 102L), // tie on time: max event_id wins
+    (2L, ts("2024-01-01 11:00:00"), 9.0, 200L)
+  ).toDF("k", "t", "v", "eid")
+
+  private val left = Seq(
+    (1L, ts("2024-01-01 09:00:00"), "before-any"),
+    (1L, ts("2024-01-01 12:00:00"), "exactly-at"), // at-or-before: inclusive
+    (1L, ts("2024-01-01 23:00:00"), "after-all"),
+    (2L, ts("2024-01-01 11:30:00"), "simple"),
+    (3L, ts("2024-01-01 11:30:00"), "no-right-key")
+  ).toDF("lk", "lt", "tag")
+
+  private def run() = AsOfJoin.lastAtOrBefore(left, right,
+    "lk", "lt", "k", "t", rightValueCols = Seq("v"), tieBreak = Seq("eid"))
+    .select("tag", "asof_t", "asof_v").collect()
+    .map(r => r.getString(0) -> ((Option(r.get(1)).map(_.toString), Option(r.get(2))))).toMap
+
+  test("at-or-before semantics with deterministic ties") {
+    val m = run()
+    assert(m("before-any") === ((None, None)))
+    // equal timestamp is included; among the two 12:00 rows eid=102 wins
+    assert(m("exactly-at")._2 === Some(3.0))
+    assert(m("after-all")._2 === Some(3.0))
+    assert(m("simple")._2 === Some(9.0))
+    assert(m("no-right-key") === ((None, None)))
+  }
+
+  test("lastWithin clears matches older than the lookback") {
+    val out = AsOfJoin.lastWithin(left, right, "lk", "lt", "k", "t",
+      Seq("v"), Seq("eid"), expr("INTERVAL 1 HOUR"))
+      .select("tag", "asof_v").collect()
+      .map(r => (r.getString(0), Option(r.get(1)))).toMap
+    assert(out("exactly-at") === Some(3.0)) // 0 min old
+    assert(out("after-all") === None)       // 11 h old -> cleared
+  }
+}

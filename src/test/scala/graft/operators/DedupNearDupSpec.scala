@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupNearDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away " * 4
+
+  // 0/1 identical, 2 near-dup of 0 (one word changed), 3 unrelated.
+  private val docs = Seq(
+    (0L, base),
+    (1L, base),
+    (2L, base.replace("lazy", "sleepy")),
+    (3L, "completely different content about spark query engines and columnar io " * 4)
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps the min-tie-break survivor and is idempotent") {
+    val once = Dedup.exactByExpr(docs, Dedup.contentHash(col("text")), "h", Seq("doc_id"))
+    val ids = once.select("doc_id").as[Long].collect().sorted
+    assert(ids === Seq(0L, 2L, 3L)) // doc 1 (dup of 0) removed, min id kept
+    val twice = Dedup.exactByExpr(once, Dedup.contentHash(col("text")), "h2", Seq("doc_id"))
+    assert(twice.count() === once.count())
+  }
+
+  test("MinHash LSH: exact duplicates always collide; unrelated docs don't") {
+    val pairs = NearDup.lshCandidatePairs(docs, "doc_id", col("text"))
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), "exact dup pair must be a candidate")
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)),
+      "near-dup (1-word edit) should share at least one band")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc must not pair")
+  }
+
+  test("MinHash estimated Jaccard is 1.0 for identical docs") {
+    val sig = NearDup.minhashSignatures(docs, "doc_id", col("text"), 3, 32)
+    val a = sig.where(col("__id") === 0).select("__sig")
+    val b = sig.where(col("__id") === 1).select(col("__sig").as("__sig2"))
+    val est = a.crossJoin(b)
+      .select(NearDup.estJaccard(col("__sig"), col("__sig2"), 32).as("j"))
+      .as[Double].head()
+    assert(est === 1.0)
+  }
+
+  test("SimHash: identical docs get hamming 0 and are guaranteed candidates") {
+    val sh = NearDup.simhash(docs, "doc_id", col("text"))
+    val sigs = sh.as[(Long, Long)].collect().toMap
+    assert(sigs(0L) === sigs(1L), "identical text -> identical simhash")
+    val nearDupHamming = java.lang.Long.bitCount(sigs(0L) ^ sigs(2L))
+    val unrelatedHamming = java.lang.Long.bitCount(sigs(0L) ^ sigs(3L))
+    assert(nearDupHamming < unrelatedHamming,
+      s"1-word edit ($nearDupHamming bits) must be closer than unrelated text ($unrelatedHamming bits)")
+    // the pigeonhole candidate join must surface the exact-dup pair
+    val pairs = NearDup.simhashPairs(sh, "doc_id", maxHamming = 3)
+      .as[(Long, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(pairs((0L, 1L)) === 0L)
+  }
+
+  test("exact n-gram Jaccard: dup pair scores 1.0, near-dup high, cross-block excluded") {
+    val blocked = docs.withColumn("blk", when(col("doc_id") < 3, "a").otherwise("b"))
+    val out = NearDup.exactJaccardPairs(blocked, "doc_id", col("text"), col("blk"), 3, 0.01)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(out((0L, 1L)) === 1.0)
+    assert(out((0L, 2L)) > 0.5 && out((0L, 2L)) < 1.0)
+    assert(!out.keySet.exists(p => p._1 == 3L || p._2 == 3L), "blocking must exclude doc 3")
+  }
+}

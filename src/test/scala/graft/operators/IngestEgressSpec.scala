@@ -1,0 +1,77 @@
+package graft.operators
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class IngestEgressSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dirty-typed numeric parse: $/%/comma/space strip, invalid -> null") {
+    val in = Seq("$146.865", "0.208%", "1,234,567", " 42 ", "", "N/A", "-$3.50")
+      .toDF("raw")
+    val out = in.select(IngestEgress.parseDirtyNumber(col("raw")).as("v"))
+      .as[Option[Double]].collect()
+    assert(out === Seq(Some(146.865), Some(0.208), Some(1234567.0),
+      Some(42.0), None, None, Some(-3.5)))
+  }
+
+  test("dirty bool parse: True/False strings, else null") {
+    val out = Seq("True", "false", "TRUE", "yes", "")
+      .toDF("raw").select(IngestEgress.parseDirtyBool(col("raw")).as("b"))
+      .as[Option[Boolean]].collect()
+    assert(out === Seq(Some(true), Some(false), Some(true), None, None))
+  }
+
+  test("declared-schema CSV ingest of the reference's screener shape") {
+    // symbols_raw shape (FIXTURES.md §B): dirty-typed strings incl. spaces
+    // in column names; mirrors company_symbols.csv:1-2.
+    val csv = Files.createTempDirectory("graft_csv").resolve("symbols.csv")
+    Files.writeString(csv,
+      """Symbol,Name,Last Sale,% Change,IPO Year
+        |AAPL,Apple Inc.,$146.865,0.208%,1980
+        |NOIPO,No Ipo Corp,$10.00,-1.5%,
+        |""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("Symbol", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("Name", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("Last Sale", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("% Change", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("IPO Year", org.apache.spark.sql.types.StringType)))
+    val df = IngestEgress.readCsv(spark, csv.toString, schema)
+      .select(col("Symbol"),
+        IngestEgress.parseDirtyNumber(col("Last Sale")).as("last_sale"),
+        IngestEgress.parseDirtyNumber(col("% Change")).as("pct_change"),
+        IngestEgress.parseDirtyNumber(col("IPO Year")).as("ipo_year"))
+    val rows = df.as[(String, Option[Double], Option[Double], Option[Double])]
+      .collect().sortBy(_._1)
+    assert(rows(0) === (("AAPL", Some(146.865), Some(0.208), Some(1980.0))))
+    assert(rows(1) === (("NOIPO", Some(10.0), Some(-1.5), None)))
+  }
+
+  test("partitioned parquet write: reference layout, one file per partition, round-trip") {
+    // prices shape (FIXTURES.md §B) incl. the `Adj Close` space-in-name col.
+    val prices = Seq(
+      ("AAPL", 2023, Timestamp.valueOf("2023-06-01 00:00:00"), 1.0, 2.0, 0.5, 1.5, 1.45, 100L),
+      ("AAPL", 2024, Timestamp.valueOf("2024-06-03 00:00:00"), 2.0, 3.0, 1.5, 2.5, 2.45, 200L),
+      ("MSFT", 2024, Timestamp.valueOf("2024-06-03 00:00:00"), 9.0, 9.5, 8.5, 9.2, 9.15, 300L)
+    ).toDF("company", "year", "Date", "Open", "High", "Low", "Close", "Adj Close", "Volume")
+    val dir = Files.createTempDirectory("graft_prices").toString
+    IngestEgress.writePartitioned(prices, dir, Seq("company", "year"))
+
+    val d = new java.io.File(s"$dir/company=AAPL/year=2024")
+    assert(d.isDirectory, "Hive-style company=/year= layout expected")
+    assert(d.listFiles().count(_.getName.endsWith(".parquet")) === 1,
+      "repartition-by-partition-cols must yield ONE file per partition dir")
+
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 3)
+    assert(back.where(col("company") === "AAPL" && col("year") === 2024)
+      .select("Adj Close").as[Double].head() === 2.45)
+
+    val manifest = IngestEgress.partitionManifest(prices, Seq(col("company"), col("year")))
+      .as[(String, Int, Long)].collect().toSet
+    assert(manifest === Set(("AAPL", 2023, 1L), ("AAPL", 2024, 1L), ("MSFT", 2024, 1L)))
+  }
+}

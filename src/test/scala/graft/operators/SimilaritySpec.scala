@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+import graft.functions.VectorOps
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables.load(spark, sf, "embeddings")
+
+  test("cosine: self-similarity ~1, bounds [-1,1] over the whole fixture") {
+    val stats = emb.crossJoin(
+        broadcast(emb.where(col("vec_id") === 0).select(col("embedding").as("q"))))
+      .select(VectorOps.cosine(col("embedding"), col("q")).as("sim"),
+        col("vec_id"))
+      .agg(min("sim"), max("sim"),
+        max(when(col("vec_id") === 0, col("sim"))).as("self"))
+      .head()
+    assert(stats.getDouble(0) >= -1.0 - 1e-9)
+    assert(stats.getDouble(1) <= 1.0 + 1e-9)
+    assert(math.abs(stats.getDouble(2) - 1.0) < 1e-9)
+  }
+
+  test("brute-force top-k: query vector itself ranks first") {
+    val top = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      emb.where(col("vec_id") === 0), "embedding", 5)
+      .as[(Long, Double)].collect()
+    assert(top.head._1 === 0L)
+    assert(top.head._2 === 1.0)
+    assert(top.map(_._2).sliding(2).forall(p => p.head >= p.last), "descending")
+  }
+
+  test("LSH ANN: bucket contains the query itself; results subset of brute force ordering") {
+    val q = emb.where(col("vec_id") === 0)
+    val ann = Similarity.lshTopK(emb, "vec_id", "embedding", q, "embedding", 5, 8, 64)
+      .as[(Long, Double)].collect()
+    assert(ann.head._1 === 0L, "query must be its own nearest neighbor")
+    // recall vs brute force: every ANN hit is a genuine vector with the
+    // same (rounded) sim the brute-force path computes
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, "embedding", 500)
+      .as[(Long, Double)].collect().toMap
+    ann.foreach { case (id, s) => assert(bf(id) === s) }
+  }
+
+  test("topKPerGroup returns at most k rows per group, correctly ranked") {
+    val df = Seq((1, 10.0), (1, 30.0), (1, 20.0), (2, 5.0)).toDF("g", "v")
+    val out = Similarity.topKPerGroup(df, Seq("g"), Seq(col("v").desc), 2)
+      .select("g", "v", "rn").as[(Int, Double, Long)].collect().sorted
+    assert(out === Seq((1, 20.0, 2L), (1, 30.0, 1L), (2, 5.0, 1L)).sorted)
+  }
+}

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.SparkSpec
+
+/** Streaming-only behavior (SURVEY.md §5.2.2, S-STRM4/5): watermark late-data
+  * drop and stateful dedup, driven through MemoryStream micro-batches. The
+  * windowed column expressions themselves are oracle-checked via the batch
+  * twins (q_strm1–3).
+  */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double, props: String)
+
+class StreamOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def ev(id: Long, t: String, v: Double = 1.0) =
+    Ev(id, ts(t), 1L, "click", v, "{}")
+
+  private def runBatches(q: DataFrame => DataFrame, mode: OutputMode,
+                         batches: Seq[Ev]*): Seq[org.apache.spark.sql.Row] = {
+    val mem = MemoryStream[Ev](spark)
+    val name = s"t${System.nanoTime()}"
+    val query = q(mem.toDF()).writeStream.format("memory")
+      .queryName(name).outputMode(mode).start()
+    try {
+      batches.foreach { b => mem.addData(b); query.processAllAvailable() }
+      spark.table(name).collect().toSeq
+    } finally query.stop()
+  }
+
+  test("S-STRM4: watermark drops events later than 10 minutes behind max ts") {
+    val rows = runBatches(StreamOps.watermarkedTumbling, OutputMode.Append(),
+      // batch 1: window [10:00,11:00) gets 2 events; max ts 11:30
+      Seq(ev(1, "2024-01-01 10:05:00"), ev(2, "2024-01-01 10:20:00"),
+          ev(3, "2024-01-01 11:30:00")),
+      // batch 2: watermark = 11:20 -> the 10:00 window is closed and
+      // emitted; this late event for it must be DROPPED
+      Seq(ev(4, "2024-01-01 10:40:00")),
+      // batch 3: advance far so remaining windows close
+      Seq(ev(5, "2024-01-01 15:00:00")))
+    val counts = rows.map(r => (r.getTimestamp(0).toString, r.getLong(1))).toMap
+    assert(counts("2024-01-01 10:00:00.0") === 2L) // late ev4 not counted
+  }
+
+  test("S-STRM5: dropDuplicatesWithinWatermark dedups within the horizon") {
+    val rows = runBatches(StreamOps.dedupedStream, OutputMode.Append(),
+      Seq(ev(1, "2024-01-01 10:00:00"), ev(1, "2024-01-01 10:00:30"),
+          ev(2, "2024-01-01 10:01:00")),
+      Seq(ev(2, "2024-01-01 10:02:00"), ev(3, "2024-01-01 10:03:00")))
+    val ids = rows.map(_.getLong(0)).sorted
+    assert(ids === Seq(1L, 2L, 3L))
+  }
+
+  test("session_window boundary: a gap of exactly 30 min MERGES (inclusive)") {
+    // SURVEY.md §7.4.4 flagged this boundary; empirically Spark 4.1 merges
+    // the boundary-equal event. The SQL oracle twin mirrors with `<=`.
+    val out = StreamOps.sessionized(Seq(
+      ev(1, "2024-01-01 10:00:00"),
+      ev(2, "2024-01-01 10:29:59"), // merges (gap < 30 min from ev1)
+      ev(3, "2024-01-01 10:59:59"), // merges (gap < 30 min from ev2)
+      ev(4, "2024-01-01 11:29:59"), // exactly 30:00 after ev3 -> still merges
+      ev(5, "2024-01-01 13:00:00")  // far later -> new session
+    ).toDF())
+    val sessions = out.collect().map(r => (r.getTimestamp(1).toString, r.getLong(2))).sorted
+    assert(sessions.length === 2)
+    assert(sessions(0) === ("2024-01-01 10:00:00.0", 4L))
+    assert(sessions(1) === ("2024-01-01 13:00:00.0", 1L))
+  }
+}
