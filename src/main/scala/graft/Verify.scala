@@ -12,6 +12,13 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // InferFiltersFromGenerate turns explode-over-derived-arrays into a
+      // scan-level filter that re-evaluates the whole array expression
+      // (tokenize+shingle) several times per row — a ~5x slowdown on the
+      // text pipeline with zero benefit on non-null, usually-non-empty
+      // arrays. Well-known trap; excluded engine-wide.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -16,6 +16,9 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // see Verify.scala — explode-over-derived-array pessimization
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
