@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import graft.functions.CosineSimilarity
 
 /** Embedding-vector math over `array<float>` columns (SURVEY.md §2.B
   * Q-ARR1 / Q-SIM1/2), built from codegen'd higher-order functions — no
@@ -23,7 +24,15 @@ object VectorOps {
   def norm2(a: Column): Column =
     sqrt(fsum(transform(a, x => x.cast("double") * x.cast("double"))))
 
-  def cosine(a: Column, b: Column): Column =
+  /** Cosine similarity — the fused single-pass codegen expression
+    * (graft.functions.CosineSimilarity). Bitwise-identical to
+    * [[cosineHof]]; kept as the default because it avoids the HOF's
+    * intermediate product array and double traversal. */
+  def cosine(a: Column, b: Column): Column = CosineSimilarity(a, b)
+
+  /** Reference HOF formulation of cosine (same fold order); used by tests
+    * to cross-check the custom expression and by non-float array inputs. */
+  def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / (norm2(a) * norm2(b))
 
   /** L2 (Euclidean) distance. */

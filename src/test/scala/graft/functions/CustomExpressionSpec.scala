@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+class CustomExpressionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables.load(spark, sf, "embeddings")
+
+  test("CosineSimilarity expression is bitwise-identical to the HOF fold") {
+    val q = emb.where(col("vec_id") === 0).select(col("embedding").as("q"))
+    val diffs = emb.crossJoin(broadcast(q))
+      .select(VectorOps.cosine(col("embedding"), col("q")).as("fast"),
+        VectorOps.cosineHof(col("embedding"), col("q")).as("ref"))
+      .where(col("fast") =!= col("ref")) // bitwise: any ulp diff counts
+      .count()
+    assert(diffs === 0L)
+  }
+
+  test("CosineSimilarity nulls on length mismatch") {
+    val df = Seq((Array(1.0f, 2.0f), Array(1.0f))).toDF("a", "b")
+    assert(df.select(CosineSimilarity(col("a"), col("b"))).head().isNullAt(0))
+  }
+
+  test("SortedLongIntersectCount matches array_intersect cardinality") {
+    val df = Seq(
+      (Array(1L, 3L, 5L, 9L), Array(2L, 3L, 9L, 11L)),
+      (Array[Long](), Array(1L, 2L)),
+      (Array(4L, 8L), Array(4L, 8L))
+    ).toDF("a", "b")
+    val rows = df.select(
+      SortedLongIntersectCount(col("a"), col("b")).as("fast"),
+      size(array_intersect(col("a"), col("b"))).as("ref"))
+      .as[(Int, Int)].collect()
+    rows.foreach { case (fast, ref) => assert(fast === ref) }
+  }
+
+  test("custom expressions are SQL-callable via GraftExtensions") {
+    emb.createOrReplaceTempView("emb_view")
+    val viaSql = spark.sql(
+      """SELECT vec_id, cosine_similarity(embedding, embedding) AS s
+        |FROM emb_view ORDER BY vec_id LIMIT 5""".stripMargin)
+      .as[(Long, Double)].collect()
+    assert(viaSql.length === 5)
+    viaSql.foreach { case (_, s) => assert(math.abs(s - 1.0) < 1e-9) }
+    val ic = spark.sql(
+      "SELECT sorted_long_intersect_count(array(1L, 2L, 3L), array(2L, 3L, 4L))")
+      .as[Int].head()
+    assert(ic === 2)
+  }
+}
