@@ -43,6 +43,16 @@ object SimMmQueries extends QueryModule {
         .orderBy(col("sim").desc, col("vec_id"))
     }),
 
+    // IVF-quantized ANN top-k (rows-only: k-means is approximate by
+    // construction; recall vs brute force is unit-tested).
+    "q_sim4" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      graft.operators.IvfAnn.topK(emb, "vec_id", "embedding",
+        emb.where(col("vec_id") === 0), "embedding",
+        k = 11, numClusters = 16, nprobe = 4)
+        .orderBy(col("sim").desc, col("vec_id"))
+    }),
+
     // Multimodal: opaque binary payload + typed metadata (oracle-checked).
     "q_mm1" -> ((s, d) =>
       Multimodal.withBinaryMeta(Tables.load(s, d, "documents"), "text")

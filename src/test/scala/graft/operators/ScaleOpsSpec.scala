@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+/** Skew mitigation + IVF ANN: result-equivalence and recall checks. */
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin produces exactly the rows of the plain join") {
+    val orders = Tables.load(spark, sf, "orders")
+    val customer = Tables.load(spark, sf, "customer")
+    val plain = orders.join(customer, orders("o_custkey") === customer("c_custkey"))
+      .select("o_orderkey", "c_name")
+    val salted = SkewOps.saltedJoin(orders, customer.withColumnRenamed("c_custkey", "o_custkey"),
+      "o_custkey", buckets = 8)
+      .select("o_orderkey", "c_name")
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(salted).count() === 0)
+  }
+
+  test("saltedJoin left-outer keeps unmatched rows exactly once") {
+    val l = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "lv")
+    val r = Seq((1L, "x")).toDF("k", "rv")
+    val out = SkewOps.saltedJoin(l, r, "k", buckets = 4, joinType = "left")
+      .select("k", "lv", "rv").as[(Long, String, Option[String])].collect().sortBy(_._1)
+    assert(out === Seq((1L, "a", Some("x")), (2L, "b", None), (3L, "c", None)))
+  }
+
+  test("twoPhaseSum equals the direct aggregation") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val direct = li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"), sum("l_quantity").as("sum_l_quantity"))
+      .as[(String, Long, Double)].collect().map(t => t._1 -> ((t._2, math.round(t._3 * 100)))).toMap
+    val salted = SkewOps.twoPhaseSum(li, Seq("l_returnflag"), Seq("l_quantity"), 8)
+      .as[(String, Long, Double)].collect().map(t => t._1 -> ((t._2, math.round(t._3 * 100)))).toMap
+    assert(salted === direct)
+  }
+
+  test("IVF ANN: query is its own nearest neighbor; recall vs brute force is reported") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val q = emb.where(col("vec_id") === 0)
+    val ann = IvfAnn.topK(emb, "vec_id", "embedding", q, "embedding",
+      k = 10, numClusters = 16, nprobe = 4)
+      .as[(Long, Double)].collect()
+    assert(ann.head._1 === 0L && ann.head._2 === 1.0)
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, "embedding", 10)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val recall = ann.map(_._1).count(bf.contains).toDouble / bf.size
+    info(f"IVF recall@10 = $recall%.2f (numClusters=16, nprobe=4)")
+    assert(recall > 0.0)
+  }
+}
