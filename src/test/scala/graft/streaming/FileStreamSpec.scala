@@ -1,0 +1,38 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+/** The "streaming twin" claim made concrete (SURVEY.md §3.3 entry 3): the
+  * SAME StreamOps transform runs over a file-source `readStream` and over
+  * the batch DataFrame, and produces identical results once the stream is
+  * drained. This is the daily-updates future the reference names
+  * (`README.md:49`) — incremental consumption of the events schema.
+  */
+class FileStreamSpec extends SparkSpec {
+
+  test("file-source readStream through tumblingHourly equals the batch twin") {
+    val events = Tables.load(spark, sf, "events")
+    val dir = Files.createTempDirectory("graft_stream_in").toString
+    // land the fixture as two "arriving" files
+    events.where(col("event_id") % 2 === 0).write.parquet(s"$dir/part=a")
+    events.where(col("event_id") % 2 === 1).write.parquet(s"$dir/part=b")
+
+    val streamIn = spark.readStream
+      .schema(events.schema)
+      .option("maxFilesPerTrigger", "1") // force multiple micro-batches
+      .parquet(s"$dir/part=*")
+    assert(streamIn.isStreaming)
+
+    val name = s"t${System.nanoTime()}"
+    val q = StreamOps.tumblingHourly(streamIn)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table(name).orderBy("ws").collect().toSeq
+    val batch = StreamOps.tumblingHourly(events).orderBy("ws").collect().toSeq
+    assert(streamed === batch)
+  }
+}
