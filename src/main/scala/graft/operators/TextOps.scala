@@ -69,10 +69,17 @@ object TextOps {
       nullif(length(text).cast("double"), lit(0.0))
 
   /** Rolling polynomial (Karp-Rabin) fingerprint over the token stream:
-    * fp = fold(tokens, 0, (acc, t) -> (acc*B + h(t)) mod M). Stays inside
-    * a 64-bit modulus so it is ANSI-overflow-safe; xxhash64 is Spark's
-    * codegen'd hash. Spark-only (no SQL oracle: DuckDB's hash() differs). */
-  def rollingFingerprint(toks: Column): Column = {
+    * fp = fold(tokens, 0, (acc, t) -> (acc*B + h(t)) mod M). Default
+    * implementation is the codegen'd custom expression
+    * (graft.functions.RollingPolynomialHash); [[rollingFingerprintHof]]
+    * is the bit-identical HOF reference used for cross-checking.
+    * Spark-only (no SQL oracle: DuckDB's hash() differs). */
+  def rollingFingerprint(toks: Column): Column =
+    graft.functions.RollingPolynomialHash(toks)
+
+  /** HOF reference formulation of [[rollingFingerprint]] — interpreted
+    * lambda, kept for the equivalence test. */
+  def rollingFingerprintHof(toks: Column): Column = {
     val M = lit(2147483647L) // 2^31 - 1
     val B = lit(131L)
     aggregate(toks, lit(0L), (acc, t) => pmod(acc * B + pmod(xxhash64(t), M), M))

@@ -39,6 +39,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan("q_top2", WindowQueries).contains("WindowGroupLimit"))
   }
 
+  test("q_agg1: hash aggregation runs partial+final around one exchange") {
+    val p = plan("q_agg1", graft.queries.AggQueries)
+    assert("HashAggregate".r.findAllIn(p).length >= 2, "partial + final expected")
+    assert(p.contains("partial_count"), "map-side combine expected")
+    // one hash shuffle for the groupBy; the second Exchange is the final
+    // total-order sort's range partitioning (oracle determinism, §7.4.2)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1,
+      "exactly one aggregation shuffle:\n" + p.take(800))
+  }
+
+  test("q_join6: equi+range join plans as a hash/merge join, never nested-loop") {
+    val p = plan("q_join6", RelationalQueries)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(800))
+  }
+
   test("partitioned write + year-filtered read hits PartitionFilters, not data filters") {
     val dir = Files.createTempDirectory("graft_part").toString
     val li = Tables.load(spark, sf, "lineitem")

@@ -36,6 +36,16 @@ class CustomExpressionSpec extends SparkSpec {
     rows.foreach { case (fast, ref) => assert(fast === ref) }
   }
 
+  test("RollingPolynomialHash is bit-identical to the HOF fold") {
+    import graft.operators.TextOps
+    val docs = Tables.load(spark, sf, "documents")
+    val diff = docs.select(
+        TextOps.rollingFingerprint(TextOps.tokens(col("text"))).as("fast"),
+        TextOps.rollingFingerprintHof(TextOps.tokens(col("text"))).as("ref"))
+      .where(col("fast") =!= col("ref")).count()
+    assert(diff === 0L)
+  }
+
   test("custom expressions are SQL-callable via GraftExtensions") {
     emb.createOrReplaceTempView("emb_view")
     val viaSql = spark.sql(
