@@ -28,8 +28,11 @@ object AggQueries extends QueryModule {
       .orderBy("l_returnflag", "ship_year")
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_agg1" -> (flagship _),
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame]("q_agg1" -> (flagship _)) ++
+      baseQueries ++ statQueries
+
+  private val baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Q-AGG2: multi-key group at the reference's partition grain (R9/R10).
     "q_agg2" -> ((s, d) =>
@@ -94,7 +97,47 @@ object AggQueries extends QueryModule {
     }),
   )
 
-  def oracleSql: Map[String, String] = Map(
+  private val statQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact interpolated percentiles per group (median + p90) — the
+    // distribution summary a returns pipeline reports. Exact `percentile`
+    // (not approx_percentile) so the DuckDB quantile_cont twin matches;
+    // rounded 6dp for interpolation-arithmetic last-ulp drift.
+    "q_agg8" -> ((s, d) =>
+      Tables.load(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(round(expr("percentile(o_totalprice, 0.5)"), 6).as("median_price"),
+          round(expr("percentile(o_totalprice, 0.9)"), 6).as("p90_price"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("o_orderstatus")),
+
+    // Correlation + sample stddev per group. Both are order-dependent
+    // float folds => 6dp rounding on bounded corr, 4dp on stddev
+    // (SURVEY.md §7.4.1 policy for non-exact aggregates).
+    "q_agg9" -> ((s, d) =>
+      Tables.load(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
+          round(stddev_samp(col("l_discount")), 6).as("disc_sd"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")),
+  )
+
+  private val statOracle: Map[String, String] = Map(
+    "q_agg8" ->
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
+        |  round(quantile_cont(o_totalprice, 0.9), 6) AS p90_price,
+        |  COUNT(*) AS n_rows
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_agg9" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+        |  round(stddev_samp(l_discount), 6) AS disc_sd,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
+
+  def oracleSql: Map[String, String] = statOracle ++ Map(
     "q_agg1" ->
       s"""SELECT l_returnflag, CAST(year(l_shipdate) AS BIGINT) AS ship_year,
          |  COUNT(*) AS n_rows,
