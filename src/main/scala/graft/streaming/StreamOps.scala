@@ -52,4 +52,26 @@ object StreamOps {
   def dedupedStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Streaming sink twin of the reference's partitioned landing (R10/R11):
+    * drain a stream into date-partitioned Snappy Parquet via foreachBatch
+    * + AvailableNow — exactly-once per micro-batch through the commit
+    * protocol, no manual temp-dir/cleanup dance (R12). Returns after the
+    * backlog is drained. */
+  def sinkPartitioned(events: DataFrame, path: String, checkpoint: String): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = events
+      .withColumn("event_date", col("ts").cast("date"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append")
+          .partitionBy("event_date")
+          .option("compression", "snappy")
+          .parquet(path)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

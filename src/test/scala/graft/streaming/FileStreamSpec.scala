@@ -35,4 +35,25 @@ class FileStreamSpec extends SparkSpec {
     val batch = StreamOps.tumblingHourly(events).orderBy("ws").collect().toSeq
     assert(streamed === batch)
   }
+
+  test("streaming sink lands date-partitioned parquet exactly once") {
+    val events = Tables.load(spark, sf, "events")
+    val in = Files.createTempDirectory("graft_sink_in").toString
+    val out = Files.createTempDirectory("graft_sink_out").toString
+    val ckpt = Files.createTempDirectory("graft_sink_ckpt").toString
+    events.write.parquet(s"$in/batch1")
+
+    val streamIn = spark.readStream.schema(events.schema).parquet(s"$in/*")
+    StreamOps.sinkPartitioned(streamIn, out, ckpt)
+
+    val landed = spark.read.parquet(out)
+    assert(landed.count() === events.count())
+    // Hive-style event_date= partition dirs exist
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("event_date=")))
+    // re-running against the same checkpoint is a no-op (exactly-once)
+    StreamOps.sinkPartitioned(
+      spark.readStream.schema(events.schema).parquet(s"$in/*"), out, ckpt)
+    assert(spark.read.parquet(out).count() === events.count())
+  }
 }
