@@ -45,6 +45,27 @@ object Multimodal {
       }
   }
 
+  /** STUB resize: a real implementation would decode, rescale pixels, and
+    * re-encode; the deterministic fake decimates the byte stream by
+    * `factor`. Exercises the same distributed shape (binary in, smaller
+    * binary out, per-partition batches). */
+  def resizeStub(payload: Array[Byte], factor: Int): Array[Byte] =
+    payload.indices.by(factor).map(payload).toArray
+
+  /** Downsample every payload by `factor` via mapPartitions, keeping doc
+    * ids and emitting the resized payload + its new size. */
+  def resizeAll(binDf: DataFrame, factor: Int): DataFrame = {
+    val spark = binDf.sparkSession
+    import spark.implicits._
+    binDf.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        val r = resizeStub(decodeStub(b), factor)
+        (id, r, r.length)
+      })
+      .toDF("doc_id", "resized", "n_bytes_resized")
+  }
+
   /** Typed metadata for an opaque binary payload — pure Column exprs
     * (byte length + content hash), oracle-checkable. */
   def withBinaryMeta(df: DataFrame, textToBinary: String): DataFrame =

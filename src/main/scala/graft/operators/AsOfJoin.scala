@@ -58,7 +58,7 @@ object AsOfJoin {
 
     val valueSel = rightValueCols.map(c => col("__asof").getField(c).as(s"asof_$c"))
     val timeSel = col("__asof").getField(rightTime).as(s"asof_$rightTime")
-    joined.select(left.columns.map(col) ++ (timeSel +: valueSel): _*)
+    joined.select(left.columns.toIndexedSeq.map(col) ++ (timeSel +: valueSel): _*)
   }
 
   /** As-of with a maximum lookback: right row must be within `maxLookback`

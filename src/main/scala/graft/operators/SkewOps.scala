@@ -24,7 +24,7 @@ object SkewOps {
                  buckets: Int, joinType: String = "inner"): DataFrame = {
     // Salt must be uniform per-row but NOT depend on the join key alone
     // (that would re-concentrate the hot key); hash the whole row.
-    val salt = pmod(xxhash64(large.columns.map(col): _*), lit(buckets))
+    val salt = pmod(xxhash64(large.columns.toIndexedSeq.map(col): _*), lit(buckets))
     val l = large.withColumn("__salt", salt)
     val s = small.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1)).cast("array<bigint>")))
@@ -39,7 +39,7 @@ object SkewOps {
     * REDUCER-side split for keys too hot for one task. */
   def twoPhaseSum(df: DataFrame, keys: Seq[String], sumCols: Seq[String],
                   buckets: Int): DataFrame = {
-    val salt = pmod(xxhash64(df.columns.map(col): _*), lit(buckets))
+    val salt = pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*), lit(buckets))
     val partials = sumCols.map(c => sum(col(c)).as(s"__s_$c"))
     val partial = df.withColumn("__salt", salt)
       .groupBy((keys :+ "__salt").map(col): _*)

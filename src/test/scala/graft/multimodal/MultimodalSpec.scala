@@ -24,6 +24,14 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.forall(_.mean_byte === 'x'.toInt.toDouble))
   }
 
+  test("resize stub decimates payloads deterministically") {
+    val df = Multimodal.withBinaryMeta(
+      Seq((1L, "abcdefghij"), (2L, "xy")).toDF("doc_id", "text"), "text")
+    val out = Multimodal.resizeAll(df, factor = 3)
+      .select("doc_id", "n_bytes_resized").as[(Long, Int)].collect().sortBy(_._1)
+    assert(out === Seq((1L, 4), (2L, 1))) // a,d,g,j and x
+  }
+
   test("ragged tail frame is truncated, not padded") {
     val df = Multimodal.withBinaryMeta(Seq((7L, "a" * 25)).toDF("doc_id", "text"), "text")
     val frames = Multimodal.sampleFrames(df, stride = 10, frameSize = 10)
