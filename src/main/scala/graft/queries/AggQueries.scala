@@ -110,6 +110,23 @@ object AggQueries extends QueryModule {
           count(lit(1)).as("n_rows"))
         .orderBy("o_orderstatus")),
 
+    // Fixed-width histogram: integer bucketing is exact => oracle-checked.
+    "q_agg10" -> ((s, d) =>
+      Tables.load(s, d, "orders")
+        .groupBy(floor(col("o_totalprice") / lit(50000.0)).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_orders"),
+          Det.fixedSum(col("o_totalprice"), 2).as("sum_price"))
+        .orderBy("bucket")),
+
+    // Approximate percentile — the 100 TB path next to q_agg8's exact
+    // sort-based percentile (rows-only: sketch-based, engine-specific).
+    "q_agg11" -> ((s, d) =>
+      Tables.load(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(approx_percentile(col("o_totalprice"), lit(0.5), lit(1000)).as("approx_median"),
+          approx_percentile(col("o_totalprice"), lit(0.9), lit(1000)).as("approx_p90"))
+        .orderBy("o_orderstatus")),
+
     // Correlation + sample stddev per group. Both are order-dependent
     // float folds => 6dp rounding on bounded corr, 4dp on stddev
     // (SURVEY.md §7.4.1 policy for non-exact aggregates).
@@ -123,6 +140,11 @@ object AggQueries extends QueryModule {
   )
 
   private val statOracle: Map[String, String] = Map(
+    "q_agg10" ->
+      s"""SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+         |  COUNT(*) AS n_orders,
+         |  ${sqlFixedSum("o_totalprice", 2)} AS sum_price
+         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_agg8" ->
       """SELECT o_orderstatus,
         |  round(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
