@@ -72,6 +72,16 @@ object AggQueries extends QueryModule {
           col("n_cust"), col("sum_bal"))
         .orderBy("r", "n")),
 
+    // CUBE over (status, priority) — all four grouping combinations.
+    "q_agg12" -> ((s, d) =>
+      Tables.load(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"), Det.fixedSum(col("o_totalprice"), 2).as("sum_price"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n_rows"), col("sum_price"))
+        .orderBy("status", "priority")),
+
     // Q-AGG6: custom typed UDAF — geometric mean.
     "q_agg6" -> ((s, d) => {
       val gm = udaf(GeoMean.agg)
@@ -175,6 +185,12 @@ object AggQueries extends QueryModule {
     "q_agg3" ->
       """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_agg12" ->
+      s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+         |  COALESCE(o_orderpriority, 'ALL') AS priority,
+         |  COUNT(*) AS n_rows, ${sqlFixedSum("o_totalprice", 2)} AS sum_price
+         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         |ORDER BY status, priority""".stripMargin,
     "q_agg5" ->
       s"""SELECT COALESCE(r_name, 'ALL') AS r, COALESCE(n_name, 'ALL') AS n,
          |  COUNT(*) AS n_cust, ${sqlFixedSum("c_acctbal", 2)} AS sum_bal

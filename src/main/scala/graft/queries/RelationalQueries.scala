@@ -112,9 +112,35 @@ object RelationalQueries extends QueryModule {
         .select("o_orderkey", "asof_ts2")
         .orderBy("o_orderkey")
     }),
+
+    "q_sub1" -> (aboveCustomerAvg _),
   )
 
-  def oracleSql: Map[String, String] = Map(
+  /** Correlated-aggregate subquery shape: orders above their customer's
+    * mean order value. Decorrelated Spark-side into an exact-mean join
+    * (what Catalyst's subquery decorrelation would produce); the oracle
+    * keeps the correlated form. */
+  private def aboveCustomerAvg(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.load(s, d, "orders")
+    val custAvg = orders.groupBy(col("o_custkey").as("ck"))
+      .agg(graft.util.Det.fixedAvg(col("o_totalprice"), 2).as("cust_avg"))
+    orders.join(custAvg, col("o_custkey") === col("ck"))
+      .where(col("o_totalprice") > col("cust_avg"))
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  private val subquerySql: Map[String, String] = Map(
+    "q_sub1" ->
+      s"""SELECT o_orderkey, o_custkey, o_totalprice
+         |FROM orders o
+         |WHERE o_totalprice > (
+         |  SELECT ${graft.util.Det.sqlFixedAvg("o_totalprice", 2)}
+         |  FROM orders i WHERE i.o_custkey = o.o_custkey)
+         |ORDER BY o_orderkey""".stripMargin,
+  )
+
+  def oracleSql: Map[String, String] = subquerySql ++ Map(
     "q_proj1" ->
       """SELECT l_orderkey, l_linenumber,
         |  l_extendedprice * (1.0 - l_discount) AS revenue,

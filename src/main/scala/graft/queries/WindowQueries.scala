@@ -81,6 +81,20 @@ object WindowQueries extends QueryModule {
         .orderBy("o_custkey", "o_orderdate", "o_orderkey")
     }),
 
+    // Distribution window functions: percent_rank/cume_dist are exact
+    // ratios of ints (deterministic); nth_value over a unique order.
+    "q_win6" -> ((s, d) => {
+      val unique = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.load(s, d, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        percent_rank().over(unique).as("pct_rank"),
+        cume_dist().over(unique).as("cdist"),
+        nth_value(col("o_totalprice"), 3).over(
+          unique.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("third_price"))
+        .orderBy("o_orderstatus", "o_totalprice", "o_orderkey")
+    }),
+
     // Q-TOP1: global top-k => TakeOrderedAndProject (plan-shape-tested).
     "q_top1" -> ((s, d) =>
       Tables.load(s, d, "orders").select("o_orderkey", "o_totalprice")
@@ -128,6 +142,13 @@ object WindowQueries extends QueryModule {
         |  o_totalprice - max(o_totalprice) OVER w AS drawdown
         |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "q_win6" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cdist,
+        |  nth_value(o_totalprice, 3) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_price
+        |FROM orders WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderstatus, o_totalprice, o_orderkey""".stripMargin,
     "q_top1" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.util.Det
 
 /** Structured-Streaming layer (SURVEY.md §2.B Q-STRM1–3, S-STRM4/5): the
@@ -52,6 +53,31 @@ object StreamOps {
   def dedupedStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Running per-user position after each micro-batch. */
+  case class UserRunningTotal(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom keyed state via mapGroupsWithState (SURVEY.md §2.B streaming
+    * surface): a per-user running (count, sum) that survives across
+    * micro-batches — the shape session-state/position tracking takes when
+    * the built-in windows can't express it. State is one small case class
+    * per key; works identically on batch Datasets (state sees one group). */
+  def runningTotals(events: Dataset[(Long, Double)]): Dataset[UserRunningTotal] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_._1)
+      .mapGroupsWithState[UserRunningTotal, UserRunningTotal](
+        GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state: GroupState[UserRunningTotal]) =>
+          val prev = state.getOption.getOrElse(UserRunningTotal(user, 0L, 0.0))
+          val (n, v) = rows.foldLeft((prev.n_events, prev.total_value)) {
+            case ((cn, cv), (_, value)) => (cn + 1, cv + value)
+          }
+          val next = UserRunningTotal(user, n, v)
+          state.update(next)
+          next
+      }
+  }
 
   /** Streaming sink twin of the reference's partitioned landing (R10/R11):
     * drain a stream into date-partitioned Snappy Parquet via foreachBatch

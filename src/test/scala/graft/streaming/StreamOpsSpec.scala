@@ -57,6 +57,25 @@ class StreamOpsSpec extends SparkSpec {
     assert(ids === Seq(1L, 2L, 3L))
   }
 
+  test("mapGroupsWithState carries per-user running totals across micro-batches") {
+    val mem = MemoryStream[(Long, Double)](spark)
+    val name = s"t${System.nanoTime()}"
+    val q = StreamOps.runningTotals(mem.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    try {
+      mem.addData((1L, 10.0), (1L, 5.0), (2L, 1.0)); q.processAllAvailable()
+      mem.addData((1L, 2.0)); q.processAllAvailable()
+      val last = spark.table(name)
+        .groupBy("user_id")
+        .agg(org.apache.spark.sql.functions.max("n_events").as("n"),
+          org.apache.spark.sql.functions.max("total_value").as("v"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(last(1L) === ((3L, 17.0))) // state survived batch 1 -> batch 2
+      assert(last(2L) === ((1L, 1.0)))
+    } finally q.stop()
+  }
+
   test("session_window boundary: a gap of exactly 30 min MERGES (inclusive)") {
     // SURVEY.md §7.4.4 flagged this boundary; empirically Spark 4.1 merges
     // the boundary-equal event. The SQL oracle twin mirrors with `<=`.
