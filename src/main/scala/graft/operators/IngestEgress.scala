@@ -47,4 +47,21 @@ object IngestEgress {
     * (Q-SINK1) — what the driver can hash-check without filesystem access. */
   def partitionManifest(df: DataFrame, partitionCols: Seq[Column]): DataFrame =
     df.groupBy(partitionCols: _*).agg(count(lit(1)).as("n_rows"))
+
+  /** Small-files compaction — the remediation for the reference's ~26.5k
+    * 250-row files (`README.md:66` flags the problem itself). Rewrites a
+    * parquet dataset into ~`targetRowsPerFile`-row files; at cluster scale
+    * this is the periodic maintenance job that keeps NameNode/listing and
+    * task-scheduling overhead proportional to data, not to history. Writes
+    * to a fresh path — compacting in place while reading is unsafe. */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetRowsPerFile: Long): Unit = {
+    val df = spark.read.parquet(inPath)
+    val n = df.count()
+    val files = math.max(1L, math.ceil(n.toDouble / targetRowsPerFile).toLong)
+    df.repartition(files.toInt)
+      .write.mode("overwrite")
+      .option("compression", "snappy")
+      .parquet(outPath)
+  }
 }

@@ -50,6 +50,21 @@ class IngestEgressSpec extends SparkSpec {
     assert(rows(1) === (("NOIPO", Some(10.0), Some(-1.5), None)))
   }
 
+  test("compaction rewrites a many-small-files dataset into few well-sized files") {
+    val in = Files.createTempDirectory("graft_small").toString
+    val out = Files.createTempDirectory("graft_compact").toString
+    val df = spark.range(0, 10000).toDF("id")
+    df.repartition(50).write.mode("overwrite").parquet(in)
+    def parquetFiles(p: String) =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(in) === 50)
+    IngestEgress.compact(spark, in, out, targetRowsPerFile = 5000)
+    assert(parquetFiles(out) === 2)
+    assert(spark.read.parquet(out).count() === 10000)
+    assert(spark.read.parquet(out).agg(sum(col("id"))).head.getLong(0) ===
+      df.agg(sum(col("id"))).head.getLong(0))
+  }
+
   test("partitioned parquet write: reference layout, one file per partition, round-trip") {
     // prices shape (FIXTURES.md §B) incl. the `Adj Close` space-in-name col.
     val prices = Seq(
