@@ -157,6 +157,44 @@ object NearDup {
       .where(col("jaccard") >= minSim)
   }
 
+  /** Connected components over a candidate-pair edge list — the final
+    * stage of a dedup pipeline: near-dup pairs form clusters, and exactly
+    * one document per cluster survives. Iterative min-label propagation
+    * (converges in O(cluster diameter) rounds — tiny for dup clusters),
+    * with `localCheckpoint` per round to truncate the growing lineage,
+    * which is what makes iterative DataFrame algorithms viable at scale.
+    * Returns (v, component) where component = min vertex id reachable. */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+                          idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("v")).distinct()
+      .withColumn("component", col("v")).localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val msgs = edges.join(labels, edges("src") === labels("v"))
+        .select(col("dst").as("v"), col("component"))
+      val next = labels.unionByName(msgs)
+        .groupBy("v").agg(min("component").as("component"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("component", "__old"), "v")
+        .where(col("component") =!= col("__old")).count()
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
+  /** Keep one representative (min id) per near-dup cluster; documents in
+    * no cluster pass through untouched. */
+  def dedupByComponents(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val losers = connectedComponents(pairs)
+      .where(col("v") =!= col("component")).select(col("v"))
+    docs.join(losers, docs(idCol) === losers("v"), "left_anti")
+  }
+
   /** Exact Jaccard verification of a candidate-pair list (e.g. from
     * [[lshCandidatePairs]]): joins each (id_a, id_b) to its shingle set and
     * scores it — work is O(|candidates|), independent of corpus size. */

@@ -99,6 +99,15 @@ object TextDedupQueries extends QueryModule {
       NearDup.simhashPairs(sh, "doc_id", maxHamming = 16).orderBy("id_a", "id_b")
     }),
 
+    // End-to-end near-dup pipeline tail: cluster MinHash-LSH candidate
+    // pairs into connected components (rows-only: iterative, seeded-hash
+    // candidates; correctness unit-tested on known graphs).
+    "q_dedup5" -> ((s, d) => {
+      val pairs = NearDup.lshCandidatePairs(Tables.load(s, d, "documents"),
+        "doc_id", col("text"))
+      NearDup.connectedComponents(pairs).orderBy("v")
+    }),
+
     // Exact n-gram Jaccard pairs within a language block (the ground truth
     // for the sketches; oracle-checked).
     "q_dedup4" -> ((s, d) =>

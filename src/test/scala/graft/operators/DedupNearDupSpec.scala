@@ -57,6 +57,18 @@ class DedupNearDupSpec extends SparkSpec {
     assert(pairs((0L, 1L)) === 0L)
   }
 
+  test("connected components: chains merge, clusters get min-id labels, dedup keeps representatives") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val cc = NearDup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+
+    val allDocs = Seq(1L, 2L, 3L, 5L, 6L, 9L).toDF("doc_id")
+    val kept = NearDup.dedupByComponents(allDocs, "doc_id", pairs)
+      .as[Long].collect().sorted
+    assert(kept === Seq(1L, 5L, 9L)) // reps of both clusters + untouched 9
+  }
+
   test("exact n-gram Jaccard: dup pair scores 1.0, near-dup high, cross-block excluded") {
     val blocked = docs.withColumn("blk", when(col("doc_id") < 3, "a").otherwise("b"))
     val out = NearDup.exactJaccardPairs(blocked, "doc_id", col("text"), col("blk"), 3, 0.01)
