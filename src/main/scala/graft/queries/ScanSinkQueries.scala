@@ -44,6 +44,18 @@ object ScanSinkQueries extends QueryModule {
         Seq(col("o_orderstatus"), year(col("o_orderdate")).cast("long").as("o_year")))
         .orderBy("o_orderstatus", "o_year")),
 
+    // Salted two-phase aggregation over an exact (long cents) column —
+    // result equals the plain GROUP BY, so it is oracle-checked: proof
+    // that the hot-key path changes the plan, not the answer.
+    "q_skew1" -> ((s, d) => {
+      val withCents = Tables.load(s, d, "lineitem")
+        .withColumn("qty_cents", round(col("l_quantity") * 100).cast("long"))
+      graft.operators.SkewOps.twoPhaseSum(withCents, Seq("l_returnflag"),
+        Seq("qty_cents"), buckets = 8)
+        .select(col("l_returnflag"), col("n_rows"), col("sum_qty_cents"))
+        .orderBy("l_returnflag")
+    }),
+
     // Q-SINK2: stable batch ids of 100 over ordered keys (reference R3).
     "q_sink2" -> ((s, d) =>
       Batching.withBatchNum(Tables.load(s, d, "customer").select("c_custkey"), "c_custkey", 100)
@@ -68,6 +80,10 @@ object ScanSinkQueries extends QueryModule {
     "q_sink1" ->
       """SELECT o_orderstatus, CAST(year(o_orderdate) AS BIGINT) AS o_year, COUNT(*) AS n_rows
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_skew1" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS sum_qty_cents
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_sink2" ->
       """SELECT c_custkey,
         |  CAST(floor((row_number() OVER (ORDER BY c_custkey) - 1) / 100.0) + 1 AS BIGINT) AS batch_num

@@ -108,6 +108,17 @@ object TextDedupQueries extends QueryModule {
       NearDup.connectedComponents(pairs).orderBy("v")
     }),
 
+    // Embedding-cosine near-dup dedup end-to-end (rows-only): threshold
+    // pairs within label blocks -> connected components -> survivors.
+    "q_dedup6" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      val pairs = graft.operators.Similarity.allPairsAboveThreshold(
+        emb, "vec_id", "embedding", col("label"), minSim = 0.5)
+        .select("id_a", "id_b")
+      NearDup.dedupByComponents(emb.select("vec_id", "label"), "vec_id", pairs)
+        .orderBy("vec_id")
+    }),
+
     // Exact n-gram Jaccard pairs within a language block (the ground truth
     // for the sketches; oracle-checked).
     "q_dedup4" -> ((s, d) =>

@@ -54,6 +54,18 @@ object StreamOps {
     events.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: for each left event, right events of the
+    * same user within [left.ts, left.ts + 30 min]. Watermarks on BOTH
+    * sides bound the join state (without them state grows forever — the
+    * classic stream-join scale failure). Works on batch frames too. */
+  def streamStreamJoin(left: DataFrame, right: DataFrame): DataFrame =
+    left.withWatermark("ts", "10 minutes").alias("l")
+      .join(right.withWatermark("ts", "10 minutes").alias("r"),
+        expr("""l.user_id = r.user_id AND
+                r.ts BETWEEN l.ts AND l.ts + INTERVAL 30 MINUTES"""))
+      .select(col("l.event_id").as("left_id"), col("r.event_id").as("right_id"),
+        col("l.user_id").as("user_id"), col("l.ts").as("left_ts"), col("r.ts").as("right_ts"))
+
   /** Running per-user position after each micro-batch. */
   case class UserRunningTotal(user_id: Long, n_events: Long, total_value: Double)
 

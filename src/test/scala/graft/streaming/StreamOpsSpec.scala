@@ -57,6 +57,24 @@ class StreamOpsSpec extends SparkSpec {
     assert(ids === Seq(1L, 2L, 3L))
   }
 
+  test("stream-stream interval join matches within the window, drops outside") {
+    val clicks = MemoryStream[Ev](spark)
+    val buys = MemoryStream[Ev](spark)
+    val name = s"t${System.nanoTime()}"
+    val q = StreamOps.streamStreamJoin(clicks.toDF(), buys.toDF())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      clicks.addData(ev(1, "2024-01-01 10:00:00"))
+      buys.addData(
+        ev(100, "2024-01-01 10:10:00"), // inside [10:00, 10:30] -> joins
+        ev(101, "2024-01-01 11:00:00")) // outside -> dropped
+      q.processAllAvailable()
+      val rows = spark.table(name)
+        .select("left_id", "right_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.toSet === Set((1L, 100L)))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState carries per-user running totals across micro-batches") {
     val mem = MemoryStream[(Long, Double)](spark)
     val name = s"t${System.nanoTime()}"
