@@ -61,6 +61,44 @@ object AsOfJoin {
     joined.select(left.columns.toIndexedSeq.map(col) ++ (timeSel +: valueSel): _*)
   }
 
+  /** Forward as-of: EARLIEST right row with `right.time >= left.time` per
+    * key (the "next event after" direction — e.g. first fill after an
+    * order). Same union+window shape, mirrored: descending time order,
+    * left rows sort before right at equal time so ties are inclusive. */
+  def firstAtOrAfter(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, leftTime: String,
+      rightKey: String, rightTime: String,
+      rightValueCols: Seq[String], tieBreak: Seq[String]): DataFrame = {
+
+    val payloadCols = (rightTime +: tieBreak) ++ rightValueCols
+    val l = left
+      .withColumn("__k", col(leftKey))
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+    val r = right.select(
+      col(rightKey).as("__k"),
+      col(rightTime).as("__t"),
+      struct(payloadCols.distinct.map(col): _*).as("__rv"))
+      .withColumn("__side", lit(0))
+
+    // Descending time: "first at-or-after" = last right row seen walking
+    // backwards. Among equal-time right rows the MIN tieBreak wins
+    // (struct desc => last in frame is the smallest).
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__t").desc, col("__side").asc, col("__rv").desc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val joined = l.unionByName(r.withColumn("__lpad", lit(null)), allowMissingColumns = true)
+      .drop("__lpad")
+      .withColumn("__asof", last(col("__rv"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+
+    val valueSel = rightValueCols.map(c => col("__asof").getField(c).as(s"asof_$c"))
+    val timeSel = col("__asof").getField(rightTime).as(s"asof_$rightTime")
+    joined.select(left.columns.toIndexedSeq.map(col) ++ (timeSel +: valueSel): _*)
+  }
+
   /** As-of with a maximum lookback: right row must be within `maxLookback`
     * (a Column interval, e.g. `expr("INTERVAL 7 DAYS")`) of the left time. */
   def lastWithin(

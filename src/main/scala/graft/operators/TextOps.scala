@@ -68,6 +68,20 @@ object TextOps {
     regexp_count(text, lit("[.!?,;:]")).cast("double") /
       nullif(length(text).cast("double"), lit(0.0))
 
+  /** Fixed-size character chunking with overlap — the context-window
+    * preparation step of an LLM data pipeline: each document becomes
+    * ceil((len - overlap) / stride) chunks of `chunkChars` chars starting
+    * every `stride = chunkChars - overlap` chars. Pure expression =>
+    * codegen'd and SQL-oracle-expressible. */
+  def chunks(text: Column, chunkChars: Int, overlap: Int): Column = {
+    require(overlap >= 0 && overlap < chunkChars)
+    val stride = chunkChars - overlap
+    val n = length(text)
+    // starts: 1, 1+stride, ... while start <= max(len - overlap, 1)
+    val starts = sequence(lit(1), greatest(n - overlap, lit(1)), lit(stride))
+    transform(starts, s => substring(text, s, lit(chunkChars)))
+  }
+
   /** Rolling polynomial (Karp-Rabin) fingerprint over the token stream:
     * fp = fold(tokens, 0, (acc, t) -> (acc*B + h(t)) mod M). Default
     * implementation is the codegen'd custom expression

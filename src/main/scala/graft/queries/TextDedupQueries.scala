@@ -73,6 +73,22 @@ object TextDedupQueries extends QueryModule {
         TextOps.estTokensByChars(col("text")).as("est_chars_tokens"))
         .orderBy("doc_id")),
 
+    // Context-window chunking: 200-char chunks, 50-char overlap.
+    "q_txt7" -> ((s, d) =>
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(TextOps.chunks(col("text"), chunkChars = 200, overlap = 50)))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+          col("col").as("chunk"))
+        .orderBy("doc_id", "chunk_idx")),
+
+    // Deterministic train/val/test assignment (rows-only: engine hash).
+    "q_sample1" -> ((s, d) =>
+      graft.operators.DataSplit.assignSplit(
+        Tables.load(s, d, "customer").select("c_custkey"),
+        col("c_custkey"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy("c_custkey")),
+
     // Rolling-hash document fingerprint (rows-only: engine-specific hash).
     "q_txt6" -> ((s, d) =>
       Tables.load(s, d, "documents").select(
@@ -169,6 +185,12 @@ object TextDedupQueries extends QueryModule {
          |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
          |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_chars_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_txt7" ->
+      """WITH c AS (
+        |  SELECT doc_id, t.s AS s, substring(text, CAST(t.s AS INT), 200) AS chunk
+        |  FROM documents, unnest(range(1, greatest(length(text) - 50, 1) + 1, 150)) AS t(s))
+        |SELECT doc_id, CAST((s - 1) / 150 AS BIGINT) AS chunk_idx, chunk
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_dedup1" ->
       """SELECT doc_id, h
         |FROM (SELECT doc_id, sha256(lower(trim(substring(text, 1, 50)))) AS h,

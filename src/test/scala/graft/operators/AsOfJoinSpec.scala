@@ -39,6 +39,18 @@ class AsOfJoinSpec extends SparkSpec {
     assert(m("no-right-key") === ((None, None)))
   }
 
+  test("forward as-of: earliest right at-or-after, min tie-break") {
+    val out = AsOfJoin.firstAtOrAfter(left, right, "lk", "lt", "k", "t",
+      Seq("v"), Seq("eid"))
+      .select("tag", "asof_v").collect()
+      .map(r => (r.getString(0), Option(r.get(1)))).toMap
+    assert(out("before-any") === Some(1.0))  // 10:00 row is next
+    assert(out("exactly-at") === Some(2.0))  // at-or-after inclusive, MIN eid of the 12:00 pair
+    assert(out("after-all") === None)        // nothing after 23:00
+    assert(out("simple") === None)           // key 2's only row is before 11:30
+    assert(out("no-right-key") === None)
+  }
+
   test("lastWithin clears matches older than the lookback") {
     val out = AsOfJoin.lastWithin(left, right, "lk", "lt", "k", "t",
       Seq("v"), Seq("eid"), expr("INTERVAL 1 HOUR"))
