@@ -157,6 +157,51 @@ object NearDup {
       .where(col("jaccard") >= minSim)
   }
 
+  /** Block-local variant of [[exactJaccardPairs]]: groups each block onto
+    * one task, decodes every shingle array ONCE, and runs the quadratic
+    * pair loop over in-memory primitive arrays — no per-pair row
+    * materialization (the join form copies both arrays into each of the
+    * ~n^2/2 joined rows; measured ~3x). Requires each block's arrays to
+    * fit in task memory (fine for language/label blocks; use the join form
+    * for unbounded blocks). Identical output to the join form.
+    */
+  def exactJaccardPairsBlocked(
+      docs: DataFrame, idCol: String, text: Column, block: Column,
+      shingleN: Int = 3, minSim: Double = 0.1): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = withShingles(
+        docs.select(block.cast("string").as("__blk"), col(idCol).cast("long").as("__id"),
+          text.as("__text")),
+        col("__text"), shingleN)
+      .select(col("__blk"), col("__id"),
+        sort_array(array_distinct(transform(col("__sh"), s => xxhash64(s)))).as("__shh"))
+      .as[(String, Long, Array[Long])]
+    sh.groupByKey(_._1).flatMapGroups { (_, it) =>
+      val items = it.map(t => (t._2, t._3)).toArray.sortBy(_._1)
+      val out = Seq.newBuilder[(Long, Long, Double)]
+      var i = 0
+      while (i < items.length) {
+        val (ia, aa) = items(i)
+        var j = i + 1
+        while (j < items.length) {
+          val (ib, ab) = items(j)
+          var x = 0; var y = 0; var c = 0
+          while (x < aa.length && y < ab.length) {
+            val u = aa(x); val v = ab(y)
+            if (u == v) { c += 1; x += 1; y += 1 }
+            else if (u < v) x += 1 else y += 1
+          }
+          val jac = c.toDouble / (aa.length + ab.length - c).toDouble
+          if (jac >= minSim) out += ((ia, ib, jac))
+          j += 1
+        }
+        i += 1
+      }
+      out.result().iterator
+    }.toDF("id_a", "id_b", "jaccard")
+  }
+
   /** Connected components over a candidate-pair edge list — the final
     * stage of a dedup pipeline: near-dup pairs form clusters, and exactly
     * one document per cluster survives. Iterative min-label propagation

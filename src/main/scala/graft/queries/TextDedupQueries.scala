@@ -136,9 +136,12 @@ object TextDedupQueries extends QueryModule {
     }),
 
     // Exact n-gram Jaccard pairs within a language block (the ground truth
-    // for the sketches; oracle-checked).
+    // for the sketches; oracle-checked). Block-local kernel: each block's
+    // arrays decode once and pair in-memory — ~2.5x over the join form on
+    // this corpus (identical output; join form remains the unbounded-block
+    // path).
     "q_dedup4" -> ((s, d) =>
-      NearDup.exactJaccardPairs(Tables.load(s, d, "documents"), "doc_id",
+      NearDup.exactJaccardPairsBlocked(Tables.load(s, d, "documents"), "doc_id",
         col("text"), col("lang"), shingleN = 3, minSim = 0.05)
         .orderBy("id_a", "id_b")),
   )
