@@ -74,6 +74,17 @@ object ScalarQueries extends QueryModule {
         get_json_object(col("props"), "$.k").cast("long").as("k"))
         .orderBy("event_id")),
 
+    // Spark 4 VARIANT path for semi-structured data: parse once into the
+    // binary variant encoding, then typed extraction — the scale-friendly
+    // alternative to repeated string JSON parsing.
+    "q_json2" -> ((s, d) =>
+      Tables.load(s, d, "events").select(
+        col("event_id"),
+        variant_get(parse_json(col("props")), "$.k", "long").as("k"),
+        try_variant_get(parse_json(col("props")), "$.missing", "string").isNull
+          .as("missing_is_null"))
+        .orderBy("event_id")),
+
     // Q-MAP1: map build + lookup. No oracle (map key order is undefined in
     // both engines, SURVEY.md §7.4.7); semantics unit-tested instead.
     "q_map1" -> ((s, d) => {
@@ -124,6 +135,11 @@ object ScalarQueries extends QueryModule {
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q_json1" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_json2" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  json_extract_string(props, '$.missing') IS NULL AS missing_is_null
         |FROM events ORDER BY event_id""".stripMargin,
   )
 }
