@@ -7,7 +7,8 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
-/** Custom Catalyst expression: Karp-Rabin rolling polynomial fingerprint of
+/** Custom Catalyst expression (SURVEY.md §4.3 path b): Karp-Rabin rolling
+  * polynomial fingerprint of
   * a token array — fp = fold(tokens, 0, (acc, t) -> (acc*B + (xxhash64(t)
   * mod M)) mod M), with B=131, M=2^31-1.
   *

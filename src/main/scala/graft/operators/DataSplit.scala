@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deterministic train/validation/test assignment for training-data
-  * pipelines: split membership is a pure function of the row KEY
+  * pipelines (north star, /root/repo/BASELINE.json "LLM-data-pipeline
+  * operators"): split membership is a pure function of the row KEY
   * (hash-bucketed), so it is stable across runs, re-partitioning, cluster
   * sizes, and incremental reprocessing — unlike `randomSplit`, whose
   * assignment depends on partition layout. The industry-standard shape for

@@ -6,8 +6,9 @@ import org.apache.spark.sql.{DataFrame, Column}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorOps
 
-/** IVF (inverted-file) approximate nearest neighbor — the second scale
-  * path for similarity search next to hyperplane LSH (Similarity.lshTopK):
+/** IVF (inverted-file) approximate nearest neighbor (north star,
+  * /root/repo/BASELINE.json "similarity search"; SURVEY.md §2.B Q-SIM
+  * family) — the second scale path for similarity search next to hyperplane LSH (Similarity.lshTopK):
   * a k-means coarse quantizer partitions the corpus into `numClusters`
   * cells; a query probes only its `nprobe` closest cells.
   *
