@@ -37,7 +37,10 @@ object WindowQueries extends QueryModule {
       Tables.load(s, d, "events")
         .select(col("event_id"), col("user_id"), col("value"),
           lag(col("value"), 1).over(w).as("prev_value"))
-        .withColumn("ret", col("value") / col("prev_value") - lit(1))
+        // nullif: sf0.1 contains zero-valued events, and ANSI mode raises
+        // on double division by zero (null-returns is the finance
+        // convention for a return off a zero base anyway)
+        .withColumn("ret", col("value") / nullif(col("prev_value"), lit(0.0)) - lit(1))
         .orderBy("event_id")
     }),
 
@@ -121,7 +124,7 @@ object WindowQueries extends QueryModule {
         |  CAST(ntile(4) OVER (PARTITION BY o_orderstatus ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS nt
         |FROM orders ORDER BY o_orderstatus, rn""".stripMargin,
     "q_win2" ->
-      """SELECT event_id, user_id, value, prev_value, value / prev_value - 1 AS ret
+      """SELECT event_id, user_id, value, prev_value, value / nullif(prev_value, 0.0) - 1 AS ret
         |FROM (SELECT event_id, user_id, value,
         |        lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
         |      FROM events)
