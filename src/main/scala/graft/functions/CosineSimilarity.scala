@@ -16,7 +16,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * order and widening are IDENTICAL to the HOF form (in-order left fold of
   * (double)a[i]*(double)b[i]), so results are bitwise-equal and the DuckDB
   * oracle mirror is unaffected. Returns null when lengths differ (the HOF
-  * form nulls via zip_with padding).
+  * form nulls via zip_with padding) and when either vector has zero norm
+  * (0/0 would otherwise yield NaN here but an ANSI divide-by-zero error in
+  * the Catalyst-`Divide` HOF twin — null is the one value both forms and
+  * the SQL oracle can agree on).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -46,7 +49,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += u * v; na += u * u; nb += v * v
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -54,6 +58,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val i = ctx.freshName("i"); val n = ctx.freshName("n")
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
       val nb = ctx.freshName("nb")
+      // every emitted local is ctx.freshName'd — a bare name like `u` can
+      // collide with an enclosing fused-codegen scope and fail compilation
+      // (silent whole-stage fallback to interpreted)
+      val u = ctx.freshName("u"); val v = ctx.freshName("v")
       s"""
          |final int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -61,11 +69,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |} else {
          |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    final double u = (double) $a.getFloat($i);
-         |    final double v = (double) $b.getFloat($i);
-         |    $dot += u * v; $na += u * u; $nb += v * v;
+         |    final double $u = (double) $a.getFloat($i);
+         |    final double $v = (double) $b.getFloat($i);
+         |    $dot += $u * $v; $na += $u * $u; $nb += $v * $v;
          |  }
-         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  if ($na == 0.0 || $nb == 0.0) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
          |}
        """.stripMargin
     })

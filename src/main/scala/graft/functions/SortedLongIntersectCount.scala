@@ -50,12 +50,15 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val c = ctx.freshName("c"); val n1 = ctx.freshName("n1")
       val n2 = ctx.freshName("n2")
+      // freshName'd like every other local — bare names can shadow an
+      // enclosing fused-codegen scope and break the whole stage's compile
+      val u = ctx.freshName("u"); val v = ctx.freshName("v")
       s"""
          |int $i = 0, $j = 0, $c = 0;
          |final int $n1 = $a.numElements(), $n2 = $b.numElements();
          |while ($i < $n1 && $j < $n2) {
-         |  final long u = $a.getLong($i); final long v = $b.getLong($j);
-         |  if (u == v) { $c++; $i++; $j++; } else if (u < v) { $i++; } else { $j++; }
+         |  final long $u = $a.getLong($i); final long $v = $b.getLong($j);
+         |  if ($u == $v) { $c++; $i++; $j++; } else if ($u < $v) { $i++; } else { $j++; }
          |}
          |${ev.value} = $c;
        """.stripMargin

@@ -31,9 +31,12 @@ object VectorOps {
   def cosine(a: Column, b: Column): Column = CosineSimilarity(a, b)
 
   /** Reference HOF formulation of cosine (same fold order); used by tests
-    * to cross-check the custom expression and by non-float array inputs. */
+    * to cross-check the custom expression and by non-float array inputs.
+    * `nullif` guards the zero-norm case to null, mirroring the custom
+    * expression — raw `Divide` would raise under ANSI mode where the
+    * codegen'd form's Java division would yield NaN. */
   def cosineHof(a: Column, b: Column): Column =
-    dot(a, b) / (norm2(a) * norm2(b))
+    dot(a, b) / nullif(norm2(a) * norm2(b), lit(0.0))
 
   /** L2 (Euclidean) distance. */
   def l2(a: Column, b: Column): Column =

@@ -2,21 +2,25 @@ package graft.operators
 
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorOps
+import graft.util.Memo
 
 /** IVF (inverted-file) approximate nearest neighbor (north star,
   * /root/repo/BASELINE.json "similarity search"; SURVEY.md §2.B Q-SIM
-  * family) — the second scale path for similarity search next to hyperplane LSH (Similarity.lshTopK):
-  * a k-means coarse quantizer partitions the corpus into `numClusters`
-  * cells; a query probes only its `nprobe` closest cells.
+  * family) — the second scale path for similarity search next to hyperplane
+  * LSH (Similarity.lshTopK): a k-means coarse quantizer partitions the
+  * corpus into `numClusters` cells; a query probes only its `nprobe`
+  * closest cells.
   *
-  * Scale shape: index build is one MLlib k-means fit (sampled, iterative)
-  * + one assignment pass; the index is just an int cluster id per row —
-  * partition the corpus by it and a query touches nprobe/numClusters of
-  * the data. Centroids are tiny (numClusters x dim) and broadcast.
-  * Deterministic under a fixed seed.
+  * Scale shape: index BUILD (one MLlib k-means fit + one assignment pass)
+  * and query PROBE are separate stages, as in any real IVF deployment —
+  * build once, persist the cluster assignment, serve many queries against
+  * it. [[cachedIndex]] is the in-process equivalent of the persisted index
+  * table. Centroids are tiny (numClusters x dim) and broadcast. Probing
+  * touches nprobe/numClusters of the data. Deterministic under a fixed
+  * seed.
   */
 object IvfAnn {
 
@@ -38,13 +42,29 @@ object IvfAnn {
     (indexed, centers)
   }
 
-  /** ANN top-k: probe the `nprobe` cells whose centroids are closest (by
-    * cosine) to the query vector, brute-force only within them. */
-  def topK(emb: DataFrame, idCol: String, vecCol: String,
-           query: DataFrame, queryVecCol: String,
-           k: Int, numClusters: Int, nprobe: Int, seed: Long = 42L): DataFrame = {
-    val (indexed, centers) = buildIndex(emb, vecCol, numClusters, seed)
-    val q = query.select(col(queryVecCol).as("__qv"))
+  /** [[buildIndex]], built at most once per (session, key, params), with
+    * the assignment persisted + materialized — every later probe pays only
+    * the probe. `key` names the corpus (e.g. its path). */
+  def cachedIndex(spark: SparkSession, key: String, vecCol: String,
+                  numClusters: Int, seed: Long = 42L)
+                 (corpus: => DataFrame): (DataFrame, DataFrame) =
+    Memo.cached(spark, s"ivf|$key|$vecCol|$numClusters|$seed") {
+      val (indexed, centers) = buildIndex(corpus, vecCol, numClusters, seed)
+      val p = indexed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      (p, centers.localCheckpoint())
+    }
+
+  /** ANN top-k against a prebuilt index: rank cells by centroid cosine to
+    * the query vector, brute-force only within the top `nprobe` cells.
+    * `query` must have exactly one row (asserted) — for query batches use
+    * [[Similarity.topKForQueries]]-style per-query windowing instead of a
+    * global limit, which would silently mix cells across queries. */
+  def probe(indexed: DataFrame, centers: DataFrame, idCol: String,
+            vecCol: String, query: DataFrame, queryVecCol: String,
+            k: Int, nprobe: Int): DataFrame = {
+    val q = Similarity.requireSingleRow(query, "IvfAnn.probe")
+      .select(col(queryVecCol).as("__qv"))
     // rank cells by centroid similarity to the query (tiny cross join)
     val probed = centers.crossJoin(broadcast(q))
       .select(col("__cluster"), col("__qv"),
@@ -56,5 +76,14 @@ object IvfAnn {
       .select(col(idCol), round(VectorOps.cosine(col(vecCol), col("__qv")), 6).as("sim"))
       .orderBy(col("sim").desc, col(idCol).asc)
       .limit(k)
+  }
+
+  /** One-shot build + probe (tests / ad-hoc use; production and the bench
+    * go through [[cachedIndex]] + [[probe]]). */
+  def topK(emb: DataFrame, idCol: String, vecCol: String,
+           query: DataFrame, queryVecCol: String,
+           k: Int, numClusters: Int, nprobe: Int, seed: Long = 42L): DataFrame = {
+    val (indexed, centers) = buildIndex(emb, vecCol, numClusters, seed)
+    probe(indexed, centers, idCol, vecCol, query, queryVecCol, k, nprobe)
   }
 }

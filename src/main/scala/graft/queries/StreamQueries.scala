@@ -22,6 +22,19 @@ object StreamQueries extends QueryModule {
     "q_strm3" -> ((s, d) =>
       StreamOps.sessionized(Tables.load(s, d, "events"))
         .orderBy("user_id", "session_start")),
+
+    // Batch shadow of the incremental daily-update merge (IncrementalUpdate
+    // .upsert, the foreachBatch kernel): updated keys replace stored rows,
+    // new keys insert, untouched rows pass through. Oracle-checked.
+    "q_merge1" -> ((s, d) => {
+      val orders = Tables.load(s, d, "orders")
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+      val store = orders.where(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      val updates = orders.where(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1.0))
+      graft.streaming.IncrementalUpdate.upsert(store, updates, Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -53,5 +66,16 @@ object StreamQueries extends QueryModule {
          |  ${sqlFixedSum("value", 2)} AS sum_value
          |FROM sess GROUP BY user_id, sid
          |ORDER BY user_id, session_start""".stripMargin,
+    "q_merge1" ->
+      """WITH store AS (
+        |  SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1996-01-01'),
+        |upd AS (
+        |  SELECT o_orderkey, o_orderdate, o_totalprice + 1.0 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |u AS (SELECT *, 0 AS src FROM upd UNION ALL SELECT *, 1 AS src FROM store)
+        |SELECT o_orderkey, o_orderdate, o_totalprice
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY src) AS rn FROM u)
+        |WHERE rn = 1 ORDER BY o_orderkey""".stripMargin,
   )
 }

@@ -104,10 +104,9 @@ object TextDedupQueries extends QueryModule {
         .select("doc_id", "h").orderBy("doc_id")),
 
     // Q-DEDUP2: MinHash+LSH near-dup candidate pairs (rows-only; recall
-    // property-tested on planted duplicates).
-    "q_dedup2" -> ((s, d) =>
-      NearDup.lshCandidatePairs(Tables.load(s, d, "documents"), "doc_id", col("text"))
-        .orderBy("id_a", "id_b")),
+    // property-tested on planted duplicates). Shared memoized intermediate
+    // — q_dedup5 clusters the same pair list without recomputing it.
+    "q_dedup2" -> ((s, d) => Shared.lshCandidates(s, d).orderBy("id_a", "id_b")),
 
     // SimHash near-dup pairs by hamming distance (rows-only).
     "q_dedup3" -> ((s, d) => {
@@ -117,23 +116,28 @@ object TextDedupQueries extends QueryModule {
 
     // End-to-end near-dup pipeline tail: cluster MinHash-LSH candidate
     // pairs into connected components (rows-only: iterative, seeded-hash
-    // candidates; correctness unit-tested on known graphs).
-    "q_dedup5" -> ((s, d) => {
-      val pairs = NearDup.lshCandidatePairs(Tables.load(s, d, "documents"),
-        "doc_id", col("text"))
-      NearDup.connectedComponents(pairs).orderBy("v")
-    }),
+    // candidates; correctness unit-tested on known graphs AND oracle-
+    // checked on the deterministic edge list via q_dedup7).
+    "q_dedup5" -> ((s, d) =>
+      NearDup.connectedComponents(Shared.lshCandidates(s, d)).orderBy("v")),
 
-    // Embedding-cosine near-dup dedup end-to-end (rows-only): threshold
-    // pairs within label blocks -> connected components -> survivors.
+    // Embedding-cosine near-dup dedup end-to-end: threshold pairs within
+    // label blocks -> connected components -> survivors. Oracle-checked:
+    // the edge list is deterministic (q_sim2 oracles it) and the min-label
+    // components are a DuckDB recursive CTE.
     "q_dedup6" -> ((s, d) => {
       val emb = Tables.load(s, d, "embeddings")
-      val pairs = graft.operators.Similarity.allPairsAboveThreshold(
-        emb, "vec_id", "embedding", col("label"), minSim = 0.5)
-        .select("id_a", "id_b")
-      NearDup.dedupByComponents(emb.select("vec_id", "label"), "vec_id", pairs)
+      NearDup.dedupByComponents(emb.select("vec_id", "label"), "vec_id",
+        Shared.cosinePairs(s, d).select("id_a", "id_b"))
         .orderBy("vec_id")
     }),
+
+    // Connected-component labels themselves over the same deterministic
+    // edge list — the oracle-checked twin of q_dedup5's shape: every
+    // clustered vertex with the min vertex id reachable from it.
+    "q_dedup7" -> ((s, d) =>
+      NearDup.connectedComponents(Shared.cosinePairs(s, d).select("id_a", "id_b"))
+        .orderBy("v")),
 
     // Exact n-gram Jaccard pairs within a language block (the ground truth
     // for the sketches; oracle-checked). Block-local kernel: each block's
@@ -200,6 +204,14 @@ object TextDedupQueries extends QueryModule {
         |        row_number() OVER (PARTITION BY sha256(lower(trim(substring(text, 1, 50)))) ORDER BY doc_id) AS rn
         |      FROM documents)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q_dedup6" ->
+      s"""${Shared.componentsSql}
+         |SELECT e.vec_id, e.label FROM embeddings e
+         |WHERE e.vec_id NOT IN (SELECT v FROM comp WHERE v <> component)
+         |ORDER BY e.vec_id""".stripMargin,
+    "q_dedup7" ->
+      s"""${Shared.componentsSql}
+         |SELECT v, component FROM comp ORDER BY v""".stripMargin,
     "q_dedup4" ->
       s"""WITH t AS (SELECT doc_id, lang, $tokSql AS toks FROM documents),
          |sh AS (SELECT doc_id, lang,

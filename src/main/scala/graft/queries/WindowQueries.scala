@@ -98,6 +98,27 @@ object WindowQueries extends QueryModule {
         .orderBy("o_orderstatus", "o_totalprice", "o_orderkey")
     }),
 
+    // U-UDF1: the one deliberate scalar `udf()` registration demo
+    // (SURVEY.md §2.B U-UDF1) — same answer as q_win2, with the return
+    // computed by a registered UDF instead of a Column expression. Kept as
+    // the single example of the escape hatch, and as the measured reason
+    // the rest of the repo avoids it: the UDF is an opaque non-codegen
+    // black box (per-row boxing, breaks whole-stage fusion, no pushdown
+    // through it), while q_win2's built-in form stays fused. Same IEEE op
+    // sequence, so it still hash-matches the oracle.
+    "q_udf1" -> ((s, d) => {
+      val pctChange = udf((value: java.lang.Double, prev: java.lang.Double) =>
+        if (value == null || prev == null || prev.doubleValue == 0.0) null
+        else java.lang.Double.valueOf(value.doubleValue / prev.doubleValue - 1.0))
+      s.udf.register("pct_change", pctChange)
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.load(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          lag(col("value"), 1).over(w).as("prev_value"))
+        .withColumn("ret", call_udf("pct_change", col("value"), col("prev_value")))
+        .orderBy("event_id")
+    }),
+
     // Q-TOP1: global top-k => TakeOrderedAndProject (plan-shape-tested).
     "q_top1" -> ((s, d) =>
       Tables.load(s, d, "orders").select("o_orderkey", "o_totalprice")
@@ -152,6 +173,12 @@ object WindowQueries extends QueryModule {
         |  nth_value(o_totalprice, 3) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_price
         |FROM orders WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_orderstatus, o_totalprice, o_orderkey""".stripMargin,
+    "q_udf1" ->
+      """SELECT event_id, user_id, value, prev_value, value / nullif(prev_value, 0.0) - 1 AS ret
+        |FROM (SELECT event_id, user_id, value,
+        |        lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+        |      FROM events)
+        |ORDER BY event_id""".stripMargin,
     "q_top1" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+/** The reference's own stated future: "daily stock data updates"
+  * (`README.md:49`). New files of price rows land in an incoming
+  * directory; each micro-batch MERGES them into the company/year-
+  * partitioned store (`stock_data_airflow_local_aws_s3.py:53-63`'s
+  * layout) — an upsert, not an append, so a re-delivered or corrected day
+  * replaces the old row instead of duplicating it.
+  *
+  * Effective exactly-once WITHOUT a transactional table format: the
+  * foreachBatch body is IDEMPOTENT. Per batch it (1) restricts the store
+  * read to the partitions the batch touches, (2) upserts new over old
+  * keyed by `keyCols`, (3) rewrites only those partitions via dynamic
+  * partition overwrite. Replaying a batch (failure after a complete or
+  * partial write, before the checkpoint advanced) re-derives byte-identical
+  * partition contents — incoming rows upsert over their own previous merge
+  * — so at-least-once delivery converges to exactly-once state. (Contrast
+  * a bare `append` in foreachBatch, which duplicates rows on replay; the
+  * production-grade alternative is a format with a commit log — see
+  * [[StreamOps.sinkPartitioned]] for the append-shaped native file sink.)
+  *
+  * Scale shape: a daily update touches ~one (company, current-year)
+  * partition per symbol, so the per-batch read+rewrite is bounded by the
+  * update's partition footprint, never the store size. The shuffle is one
+  * hash partition on `keyCols` for the upsert window.
+  */
+object IncrementalUpdate {
+
+  /** Last-writer-wins upsert: rows from `incoming` replace same-key rows
+    * of `existing`; unmatched rows pass through. One shuffle (window on
+    * the key). `keyCols` must be unique within each input. */
+  def upsert(existing: DataFrame, incoming: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__src").asc)
+    incoming.withColumn("__src", lit(0))
+      .unionByName(existing.withColumn("__src", lit(1)))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__src", "__rn")
+  }
+
+  /** Merge one batch into the partitioned store at `storeDir`. Reads ONLY
+    * the partitions present in `incoming` (broadcast semi join on the
+    * partition key → partition pruning), rewrites ONLY those partitions
+    * (dynamic partition overwrite). Idempotent — see class doc. */
+  def mergeBatch(incoming: DataFrame, storeDir: String,
+                 partitionCols: Seq[String], keyCols: Seq[String]): Unit = {
+    val spark = incoming.sparkSession
+    val exists = new Path(storeDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration).exists(new Path(storeDir))
+    val merged = if (exists) {
+      val touched = incoming.select(partitionCols.map(col): _*).distinct()
+      val existing = spark.read.parquet(storeDir)
+        .join(broadcast(touched), partitionCols, "left_semi")
+      upsert(existing, incoming, keyCols)
+    } else incoming
+    // The rewrite targets partitions the plan also reads — break lineage so
+    // the write doesn't overwrite its own input mid-job. The touched-
+    // partition slice is bounded (a day's update), so materializing it is
+    // cheap; with a commit-log table format (the cluster-production choice)
+    // this step disappears.
+    merged.localCheckpoint()
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .option("compression", "snappy")
+      .parquet(storeDir)
+  }
+
+  /** Drain the incoming directory into the store: file-source readStream →
+    * foreachBatch merge, AvailableNow (process the backlog, then stop).
+    * Re-runnable: the checkpoint remembers which files were consumed, and
+    * the merge itself is idempotent under replay. */
+  def run(spark: SparkSession, incomingDir: String, schema: StructType,
+          storeDir: String, checkpoint: String,
+          partitionCols: Seq[String] = Seq("company", "year"),
+          keyCols: Seq[String] = Seq("company", "Date")): Unit = {
+    val q = spark.readStream.schema(schema).parquet(incomingDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeBatch(batch, storeDir, partitionCols, keyCols)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

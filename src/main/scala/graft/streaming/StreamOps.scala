@@ -92,21 +92,26 @@ object StreamOps {
   }
 
   /** Streaming sink twin of the reference's partitioned landing (R10/R11):
-    * drain a stream into date-partitioned Snappy Parquet via foreachBatch
-    * + AvailableNow — exactly-once per micro-batch through the commit
-    * protocol, no manual temp-dir/cleanup dance (R12). Returns after the
-    * backlog is drained. */
+    * drain a stream into date-partitioned Snappy Parquet via the NATIVE
+    * parquet file sink + AvailableNow — no manual temp-dir/cleanup dance
+    * (R12). The native sink keeps a `_spark_metadata` commit log that
+    * records exactly the files each committed batch produced, so a replayed
+    * batch's rewritten files supersede the orphans and readers of the
+    * metadata log see each row exactly once. (A foreachBatch +
+    * `write.mode("append")` body here would be only at-least-once: a batch
+    * replay after a partial write appends its rows twice — for foreachBatch
+    * merges use [[IncrementalUpdate]], whose idempotent dynamic-partition
+    * overwrite restores exactly-once state.) Returns after the backlog is
+    * drained. */
   def sinkPartitioned(events: DataFrame, path: String, checkpoint: String): Unit = {
     import org.apache.spark.sql.streaming.Trigger
     val q = events
       .withColumn("event_date", col("ts").cast("date"))
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append")
-          .partitionBy("event_date")
-          .option("compression", "snappy")
-          .parquet(path)
-      }
+      .format("parquet")
+      .partitionBy("event_date")
+      .option("path", path)
+      .option("compression", "snappy")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()

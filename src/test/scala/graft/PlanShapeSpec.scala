@@ -55,6 +55,22 @@ class PlanShapeSpec extends SparkSpec {
       p.take(800))
   }
 
+  test("batchByRange: fact-scale batch ids plan with no Exchange SinglePartition") {
+    val src = Tables.load(spark, sf, "orders").select("o_orderkey")
+    // The pre-pass shuffle is range partitioning (parallel), never a
+    // single-partition collapse...
+    val ranged = src.repartitionByRange(col("o_orderkey"))
+    val rp = ranged.queryExecution.executedPlan.toString
+    assert(rp.contains("Exchange rangepartitioning"), rp.take(800))
+    // ...and the full operator's executed plan has no SinglePartition stage
+    // (contrast withBatchNum, whose unpartitioned window forces one).
+    val fact = operators.Batching.batchByRange(src, col("o_orderkey"), 1000)
+    val p = fact.queryExecution.executedPlan.toString
+    assert(!p.contains("SinglePartition"), p.take(800))
+    val dim = operators.Batching.withBatchNum(src, "o_orderkey", 1000)
+    assert(dim.queryExecution.executedPlan.toString.contains("SinglePartition"))
+  }
+
   test("partitioned write + year-filtered read hits PartitionFilters, not data filters") {
     val dir = Files.createTempDirectory("graft_part").toString
     val li = Tables.load(spark, sf, "lineitem")

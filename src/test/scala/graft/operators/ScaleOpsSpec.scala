@@ -38,6 +38,19 @@ class ScaleOpsSpec extends SparkSpec {
     assert(salted === direct)
   }
 
+  test("batchByRange equals the single-partition window form on a unique key") {
+    val src = Tables.load(spark, sf, "orders").select("o_orderkey")
+    val fact = Batching.batchByRange(src, col("o_orderkey"), size = 700)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val dim = Batching.withBatchNum(src, "o_orderkey", 700)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(fact === dim)
+    // batch sizes: every batch exactly `size` except the last
+    val sizes = fact.groupBy(_._2).map { case (b, rs) => b -> rs.length }
+    val lastBatch = sizes.keys.max
+    sizes.foreach { case (b, n) => if (b != lastBatch) assert(n === 700) }
+  }
+
   test("IVF ANN: query is its own nearest neighbor; recall vs brute force is reported") {
     val emb = Tables.load(spark, sf, "embeddings")
     val q = emb.where(col("vec_id") === 0)

@@ -48,9 +48,12 @@ class FileStreamSpec extends SparkSpec {
 
     val landed = spark.read.parquet(out)
     assert(landed.count() === events.count())
-    // Hive-style event_date= partition dirs exist
+    // Hive-style event_date= partition dirs exist, plus the native sink's
+    // _spark_metadata commit log (the exactly-once mechanism)
     val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
-    assert(dirs.nonEmpty && dirs.forall(_.startsWith("event_date=")))
+    assert(dirs.contains("_spark_metadata"), "native file sink commit log expected")
+    val parts = dirs.filterNot(_ == "_spark_metadata")
+    assert(parts.nonEmpty && parts.forall(_.startsWith("event_date=")))
     // re-running against the same checkpoint is a no-op (exactly-once)
     StreamOps.sinkPartitioned(
       spark.readStream.schema(events.schema).parquet(s"$in/*"), out, ckpt)

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.pipeline.StockPipeline
+
+/** The reference's stated future — "daily stock data updates"
+  * (`README.md:49`) — end-to-end: new price files stream into the
+  * company/year-partitioned store as idempotent upserts. */
+class IncrementalUpdateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("daily update: new day inserts, late correction replaces, no duplicates") {
+    val symbols = Seq("AAA", "BBB").toDF("Symbol")
+    def prices(start: String, days: Int) =
+      StockPipeline.syntheticPrices(spark, symbols, start, days)
+    val store = Files.createTempDirectory("graft_store").toString + "/store"
+    val incoming = Files.createTempDirectory("graft_incoming").toString
+    val ckpt = Files.createTempDirectory("graft_merge_ckpt").toString
+
+    // seed the store: Mon 2024-01-01 .. Fri 2024-01-05 for 2 symbols
+    val seed = prices("2024-01-01", 5)
+    IncrementalUpdate.mergeBatch(seed, store, Seq("company", "year"), Seq("company", "Date"))
+    val n0 = spark.read.parquet(store).count()
+    assert(n0 === 10)
+
+    // a new trading day (Mon 2024-01-08) arrives as a file
+    prices("2024-01-08", 1).write.parquet(s"$incoming/f1")
+    IncrementalUpdate.run(spark, s"$incoming/*", seed.schema, store, ckpt)
+    assert(spark.read.parquet(store).count() === n0 + 2)
+
+    // a LATE corrected file for 2024-01-03 arrives: same keys, new Close —
+    // the merge must replace the old rows, not append next to them
+    prices("2024-01-03", 1).withColumn("Close", lit(999.99))
+      .write.parquet(s"$incoming/f2")
+    IncrementalUpdate.run(spark, s"$incoming/*", seed.schema, store, ckpt)
+    val after = spark.read.parquet(store)
+    assert(after.count() === n0 + 2, "correction must upsert, not duplicate")
+    val corrected = after
+      .where(col("company") === "AAA" &&
+        col("Date") === lit("2024-01-03").cast("timestamp"))
+      .select("Close").as[Double].collect()
+    assert(corrected.toSeq === Seq(999.99))
+
+    // replaying the same merge body (simulated batch retry) is idempotent
+    IncrementalUpdate.mergeBatch(
+      prices("2024-01-03", 1).withColumn("Close", lit(999.99)),
+      store, Seq("company", "year"), Seq("company", "Date"))
+    assert(spark.read.parquet(store).count() === n0 + 2)
+
+    // layout is the reference's company=/year= tree (...py:53-63)
+    val top = new java.io.File(store).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(top.nonEmpty && top.forall(_.startsWith("company=")))
+  }
+
+  test("upsert is last-writer-wins and passes unmatched rows through") {
+    val existing = Seq((1L, "old"), (2L, "keep")).toDF("k", "v")
+    val incoming = Seq((1L, "new"), (3L, "ins")).toDF("k", "v")
+    val out = IncrementalUpdate.upsert(existing, incoming, Seq("k"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq((1L, "new"), (2L, "keep"), (3L, "ins")))
+  }
+}
