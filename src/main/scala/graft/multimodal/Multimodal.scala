@@ -72,4 +72,34 @@ object Multimodal {
     df.withColumn("payload", col(textToBinary).cast("binary"))
       .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
       .withColumn("content_sha", sha2(col("payload"), 256))
+
+  /** PNG file signature — the 8 magic bytes every real PNG starts with. */
+  val PngSignature: Array[Byte] =
+    Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  /** Deterministic GENUINE-binary media payloads: PNG signature + `nBytes`
+    * of doc-id-seeded pseudo-pixel bytes (full 0..255 range, including
+    * values no UTF-8 text cast can produce). Stands in for reading real
+    * media files so the frame-sampling pipeline is exercised over actual
+    * bytes, not text recast as binary. Generated on executors
+    * (mapPartitions), one payload per input row. */
+  def syntheticMedia(df: DataFrame, idCol: String, nBytes: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val out = new Array[Byte](PngSignature.length + nBytes)
+        System.arraycopy(PngSignature, 0, out, 0, PngSignature.length)
+        // splitmix-style chain seeded by doc id: stable across runs/partitions
+        var h = id * 0x9E3779B97F4A7C15L + 0xBF58476D1CE4E5B9L
+        var i = PngSignature.length
+        while (i < out.length) {
+          h = h * 6364136223846793005L + 1442695040888963407L
+          out(i) = (h >>> 56).toByte
+          i += 1
+        }
+        (id, out)
+      }
+    }.toDF("doc_id", "payload")
+  }
 }

@@ -65,6 +65,19 @@ object StockPipeline {
         (pmod(xxhash64(col("Symbol"), col("day_idx"), lit(9)), lit(1000000L)) + 100L).as("Volume"))
   }
 
+  /** R5 via the registered Spark source: the same deterministic series
+    * served as a REAL `DataSourceV2` scan (`graft.sources.OhlcvDataSource`,
+    * format "graft-ohlcv") — Spark plans a BatchScan over symbol-chunk
+    * input partitions, with column pruning pushed into the reader. Same
+    * rows, bitwise, as [[syntheticPrices]] (asserted by OhlcvSourceSpec). */
+  def acquirePrices(spark: SparkSession, symbols: Seq[String],
+                    startDate: String, days: Int): DataFrame =
+    spark.read.format("graft-ohlcv")
+      .option("symbols", symbols.mkString(","))
+      .option("startDate", startDate)
+      .option("days", days.toString)
+      .load()
+
   /** R6 fault isolation as a dataflow split: rows failing validation go to
     * a quarantine frame instead of being silently skipped with a print.
     * Returns (clean, quarantined). */
@@ -102,6 +115,24 @@ object StockPipeline {
           startDate: String = "2000-01-01", days: Int = 60): PipelineResult = {
     val symbols = loadSymbols(spark, symbolsCsv)
     val raw = syntheticPrices(spark, symbols, startDate, days)
+    finish(symbols, raw, outPath)
+  }
+
+  /** [[run]] with acquisition through the graft-ohlcv DataSourceV2 scan.
+    * The symbol list becomes driver-side source CONFIG — a bounded (≤7k)
+    * dimension, exactly what the reference hands its fetcher
+    * (`...py:110-112`) — not a data collect. */
+  def runFromSource(spark: SparkSession, symbolsCsv: String, outPath: String,
+                    startDate: String = "2000-01-01", days: Int = 60): PipelineResult = {
+    val symbols = loadSymbols(spark, symbolsCsv)
+    val symList = symbols.select("Symbol").where(col("Symbol").isNotNull)
+      .as[String](org.apache.spark.sql.Encoders.STRING).collect().toSeq
+    val raw = acquirePrices(spark, symList, startDate, days)
+    finish(symbols, raw, outPath)
+  }
+
+  private def finish(symbols: DataFrame, raw: DataFrame,
+                     outPath: String): PipelineResult = {
     val (clean, quarantined) = validateSplit(raw)
     val keep = screenFullHistory(clean)
     val screened = clean.join(broadcast(keep), Seq("company"), "left_semi")

@@ -61,6 +61,16 @@ object ScanSinkQueries extends QueryModule {
       Batching.withBatchNum(Tables.load(s, d, "customer").select("c_custkey"), "c_custkey", 100)
         .orderBy("c_custkey")),
 
+    // Custom DataSourceV2 scan (reference R5's acquisition as a real Spark
+    // source): deterministic OHLCV via spark.read.format("graft-ohlcv").
+    // Rows-only — no fixture table to oracle against; bitwise equality
+    // with the expression generator and plan shape are unit-tested
+    // (OhlcvSourceSpec).
+    "q_src1" -> ((s, _) =>
+      graft.pipeline.StockPipeline.acquirePrices(
+        s, Seq("AAPL", "AMZN", "GOOG", "MSFT"), "2024-01-01", 60)
+        .orderBy("company", "Date")),
+
     // Q-SINK3: the same batch ids via the fact-scale two-pass path
     // (repartitionByRange + zipWithIndex) — identical answer to the
     // single-partition window form, no SinglePartition stage in the plan.

@@ -68,11 +68,13 @@ object SimMmQueries extends QueryModule {
         .select("doc_id", "n_bytes", "content_sha")
         .orderBy("doc_id")),
 
-    // Multimodal: distributed frame-sampling + feature extraction over the
-    // binary payload (decode stubbed; rows-only, unit-tested).
+    // Multimodal: distributed frame-sampling + feature extraction over
+    // GENUINE binary payloads (PNG-signed, full byte range — not a text
+    // cast). Decode stubbed; rows-only, unit-tested.
     "q_mm2" -> ((s, d) =>
       Multimodal.sampleFrames(
-        Multimodal.withBinaryMeta(Tables.load(s, d, "documents"), "text"),
+        Multimodal.syntheticMedia(Tables.load(s, d, "documents"), "doc_id",
+          nBytes = 248),
         stride = 64, frameSize = 16)
         .toDF().orderBy("doc_id", "frame_idx")),
   )

@@ -55,6 +55,19 @@ class PlanShapeSpec extends SparkSpec {
       p.take(800))
   }
 
+  test("q_join6 with broadcast disabled flips to SortMergeJoin, never nested-loop") {
+    // at 100 TB the events side stops fitting the broadcast threshold; the
+    // equi key must carry the join to SMJ, not degrade to BNLJ/cartesian
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("q_join6", RelationalQueries)
+      assert(p.contains("SortMergeJoin"), p.take(800))
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        p.take(800))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("batchByRange: fact-scale batch ids plan with no Exchange SinglePartition") {
     val src = Tables.load(spark, sf, "orders").select("o_orderkey")
     // The pre-pass shuffle is range partitioning (parallel), never a

@@ -32,6 +32,26 @@ class MultimodalSpec extends SparkSpec {
     assert(out === Seq((1L, 4), (2L, 1))) // a,d,g,j and x
   }
 
+  test("syntheticMedia emits genuine PNG-signed binary and frames it end-to-end") {
+    val media = Multimodal.syntheticMedia(Seq(1L, 2L).toDF("doc_id"), "doc_id", nBytes = 120)
+    val rows = media.as[(Long, Array[Byte])].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(1L, 2L))
+    rows.foreach { case (_, payload) =>
+      assert(payload.length === 128)
+      assert(payload.take(8).toSeq === Multimodal.PngSignature.toSeq)
+      // genuine binary: bytes outside printable/UTF-8-text range appear
+      assert(payload.exists(b => (b & 0xFF) > 0x7F))
+    }
+    // same seed -> same bytes (stable across runs and partitionings)
+    val again = Multimodal.syntheticMedia(Seq(1L).toDF("doc_id"), "doc_id", nBytes = 120)
+      .as[(Long, Array[Byte])].head()._2
+    assert(again.toSeq === rows.head._2.toSeq)
+    // frame sampling over the real bytes: 128/32 = 4 frames, means in range
+    val frames = Multimodal.sampleFrames(media, stride = 32, frameSize = 32).collect()
+    assert(frames.count(_.doc_id == 1L) === 4)
+    assert(frames.forall(f => f.mean_byte >= 0.0 && f.mean_byte <= 255.0))
+  }
+
   test("ragged tail frame is truncated, not padded") {
     val df = Multimodal.withBinaryMeta(Seq((7L, "a" * 25)).toDF("doc_id", "text"), "text")
     val frames = Multimodal.sampleFrames(df, stride = 10, frameSize = 10)
