@@ -216,16 +216,26 @@ object NearDup {
       .distinct().localCheckpoint()
     var labels = edges.select(col("src").as("v")).distinct()
       .withColumn("component", col("v")).localCheckpoint()
-    var changed = 1L
+    // Convergence check: min-propagation labels are element-wise
+    // NON-INCREASING (each vertex takes min over itself + neighbors), so
+    // the label sum strictly decreases iff any label changed — one
+    // aggregation scan per round instead of a self-join + filter + count.
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val r = df.agg(sum(col("component").cast("decimal(38,0)"))).head()
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
+    var prevSum = labelSum(labels)
+    var changed = true
     var i = 0
-    while (changed > 0 && i < maxIter) {
+    while (changed && i < maxIter) {
       val msgs = edges.join(labels, edges("src") === labels("v"))
         .select(col("dst").as("v"), col("component"))
       val next = labels.unionByName(msgs)
         .groupBy("v").agg(min("component").as("component"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("component", "__old"), "v")
-        .where(col("component") =!= col("__old")).count()
+      val nextSum = labelSum(next)
+      changed = nextSum.compareTo(prevSum) != 0
+      prevSum = nextSum
       labels = next
       i += 1
     }
