@@ -8,7 +8,9 @@ import graft.functions.{CosineSimilarity, SortedLongIntersectCount}
 /** SparkSessionExtensions entry point (SURVEY.md §3.3): registers the
   * engine's custom Catalyst expressions as SQL functions, so
   * `spark.sql("SELECT cosine_similarity(a, b) ...")` works next to the
-  * Column API. Activate with
+  * Column API, and installs the optimizer rewrite that turns the
+  * declarative sorted-distinct intersect-count pattern into the fused
+  * codegen expression (graft.plans.IntersectCountRewrite). Activate with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -25,5 +27,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("sorted_long_intersect_count",
         "sorted_long_intersect_count(array<bigint>, array<bigint>) - |A intersect B| of sorted arrays"),
       (children: Seq[Expression]) => SortedLongIntersectCount(children(0), children(1))))
+    ext.injectOptimizerRule(_ => graft.plans.IntersectCountRewrite)
   }
 }

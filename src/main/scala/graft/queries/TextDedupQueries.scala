@@ -82,6 +82,24 @@ object TextDedupQueries extends QueryModule {
           col("col").as("chunk"))
         .orderBy("doc_id", "chunk_idx")),
 
+    // Token-overlap between consecutive docs, written DECLARATIVELY with
+    // size(array_intersect(sort_array(array_distinct(...)))) — the
+    // injected optimizer rule (plans.IntersectCountRewrite) swaps in the
+    // fused two-pointer codegen expression; no operator is named in user
+    // code. Oracle-checked (string-token intersect counts; 64-bit hash
+    // collisions are absent on this vocabulary).
+    "q_txt8" -> ((s, d) => {
+      def hs(c: org.apache.spark.sql.Column) =
+        sort_array(array_distinct(transform(TextOps.tokens(c), x => xxhash64(x))))
+      val t = Tables.load(s, d, "documents")
+      val a = t.select(col("doc_id"), col("text").as("ta"))
+      val b = t.select((col("doc_id") - 1).as("doc_id"), col("text").as("tb"))
+      a.join(b, "doc_id")
+        .select(col("doc_id"),
+          size(array_intersect(hs(col("ta")), hs(col("tb")))).cast("long").as("overlap"))
+        .orderBy("doc_id")
+    }),
+
     // Deterministic train/val/test assignment (rows-only: engine hash).
     "q_sample1" -> ((s, d) =>
       graft.operators.DataSplit.assignSplit(
@@ -198,6 +216,15 @@ object TextDedupQueries extends QueryModule {
         |  FROM documents, unnest(range(1, greatest(length(text) - 50, 1) + 1, 150)) AS t(s))
         |SELECT doc_id, CAST((s - 1) / 150 AS BIGINT) AS chunk_idx, chunk
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_txt8" -> {
+      def tok(c: String) =
+        s"""list_filter(regexp_split_to_array(lower(trim($c)), '\\s+'), x -> length(x) > 0)"""
+      s"""SELECT a.doc_id,
+         |  CAST(len(list_intersect(list_distinct(${tok("a.text")}),
+         |                          list_distinct(${tok("b.text")}))) AS BIGINT) AS overlap
+         |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+         |ORDER BY a.doc_id""".stripMargin
+    },
     "q_dedup1" ->
       """SELECT doc_id, h
         |FROM (SELECT doc_id, sha256(lower(trim(substring(text, 1, 50)))) AS h,
