@@ -42,6 +42,12 @@ object Batching {
     * jobs (same RDD lineage). Plan contains no `Exchange SinglePartition`
     * — asserted by `PlanShapeSpec`.
     *
+    * Cost trade-off, made deliberately: the `RDD.zipWithIndex` hop
+    * deserializes each row once (out of Tungsten). The pure-DataFrame
+    * alternative — window over `spark_partition_id()` — would stay
+    * codegen'd but adds a SECOND full-data hash shuffle; one extra
+    * serialization pass beats one extra shuffle at fact scale.
+    *
     * Determinism: ranks (hence batch ids) are total iff `orderKey` is a
     * total order over the input — pass a unique key or a composite
     * tie-broken sort expression (e.g. `struct(k, id)`), same contract as

@@ -39,7 +39,9 @@ object IntersectCountRewrite extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      case Size(ArrayIntersect(a, b), _)
+      // legacySizeOfNull must be false: legacy `size` returns -1 for a
+      // null input where the fused expression (like modern size) is null
+      case Size(ArrayIntersect(a, b), false)
         if sortedDistinctLongs(a) && sortedDistinctLongs(b) =>
         SortedLongIntersectCount(a, b)
     }

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -44,19 +44,37 @@ object IncrementalUpdate {
       .where(col("__rn") === 1).drop("__src", "__rn")
   }
 
+  /** Static partition predicate selecting exactly the partitions present
+    * in `incoming`: OR of per-partition AND-equalities, which the scan
+    * planner folds into `PartitionFilters` (plan-asserted in the spec). A
+    * runtime semi join on the partition key does NOT prune here — DPP
+    * declines the shape (no selective predicate on the build side) and the
+    * store scan would read every partition. The collect is one row per
+    * TOUCHED PARTITION (a daily batch touches ≤ one (company, year) per
+    * symbol) — bounded metadata, the same driver-side partition listing a
+    * metastore does, not a data collect. */
+  def touchedPartitionFilter(incoming: DataFrame, partitionCols: Seq[String]): Column = {
+    val touched = incoming.select(partitionCols.map(col): _*).distinct().collect()
+    touched.toSeq.map { r =>
+      partitionCols.zipWithIndex
+        .map { case (c, i) => col(c) === lit(r.get(i)) }
+        .reduce(_ && _)
+    }.reduceOption(_ || _).getOrElse(lit(false))
+  }
+
   /** Merge one batch into the partitioned store at `storeDir`. Reads ONLY
-    * the partitions present in `incoming` (broadcast semi join on the
-    * partition key → partition pruning), rewrites ONLY those partitions
-    * (dynamic partition overwrite). Idempotent — see class doc. */
+    * the partitions present in `incoming` ([[touchedPartitionFilter]] →
+    * static `PartitionFilters` on the scan), rewrites ONLY those
+    * partitions (dynamic partition overwrite). Idempotent — see class
+    * doc. */
   def mergeBatch(incoming: DataFrame, storeDir: String,
                  partitionCols: Seq[String], keyCols: Seq[String]): Unit = {
     val spark = incoming.sparkSession
     val exists = new Path(storeDir).getFileSystem(
       spark.sparkContext.hadoopConfiguration).exists(new Path(storeDir))
     val merged = if (exists) {
-      val touched = incoming.select(partitionCols.map(col): _*).distinct()
       val existing = spark.read.parquet(storeDir)
-        .join(broadcast(touched), partitionCols, "left_semi")
+        .where(touchedPartitionFilter(incoming, partitionCols))
       upsert(existing, incoming, keyCols)
     } else incoming
     // The rewrite targets partitions the plan also reads — break lineage so

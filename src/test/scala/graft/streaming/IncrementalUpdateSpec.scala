@@ -54,6 +54,26 @@ class IncrementalUpdateSpec extends SparkSpec {
     assert(top.nonEmpty && top.forall(_.startsWith("company=")))
   }
 
+  test("store read during merge is statically partition-pruned to touched partitions") {
+    val symbols = Seq("AAA", "BBB").toDF("Symbol")
+    val store = Files.createTempDirectory("graft_prune_store").toString + "/s"
+    StockPipeline.syntheticPrices(spark, symbols, "2023-12-15", 40)
+      .write.partitionBy("company", "year").parquet(store)
+    // an update touching ONLY (AAA, 2024) — read it back so the plan has
+    // no static filters of its own (the streaming micro-batch case)
+    val incDir = Files.createTempDirectory("graft_prune_inc").toString + "/f1"
+    StockPipeline.syntheticPrices(spark, Seq("AAA").toDF("Symbol"), "2024-01-08", 5)
+      .write.parquet(incDir)
+    val incoming = spark.read.parquet(incDir)
+    val pruned = spark.read.parquet(store)
+      .where(IncrementalUpdate.touchedPartitionFilter(incoming, Seq("company", "year")))
+    val p = pruned.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: ["), p.take(600))
+    assert(p.contains("AAA"), "touched partition value must appear in PartitionFilters:\n" +
+      p.linesIterator.filter(_.contains("PartitionFilters")).mkString)
+    assert(pruned.select("company", "year").distinct().count() === 1)
+  }
+
   test("upsert is last-writer-wins and passes unmatched rows through") {
     val existing = Seq((1L, "old"), (2L, "keep")).toDF("k", "v")
     val incoming = Seq((1L, "new"), (3L, "ins")).toDF("k", "v")
