@@ -99,6 +99,30 @@ object Similarity {
       .limit(k)
   }
 
+  /** Multi-probe LSH ANN top-k: probes the query's bucket PLUS every
+    * bucket at Hamming distance 1 (one sign bit flipped) — the classic
+    * recall knob for hyperplane LSH. A vector near a hyperplane lands on
+    * its far side with probability ∝ its distance to the plane, so the
+    * 1-flip buckets hold most of the neighbors single-probe misses;
+    * recall rises from ~bucket-hit-rate to near-1 while still scanning
+    * only (numPlanes+1)/2^numPlanes of the corpus. Each doc lives in ONE
+    * bucket and probe ids are distinct, so no result dedup is needed. */
+  def lshTopKMultiProbe(emb: DataFrame, idCol: String, vecCol: String,
+                        query: DataFrame, queryVecCol: String,
+                        k: Int, numPlanes: Int, dim: Int): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
+    val bucketed = emb.withColumn("__bucket", lshBucket(col(vecCol), planes, numPlanes))
+    val qb = lshBucket(col(queryVecCol), planes, numPlanes)
+    val probes = array(qb +: (0 until numPlanes).map(p =>
+      qb.bitwiseXOR(lit(1L << p))): _*)
+    val q = requireSingleRow(query, "lshTopKMultiProbe")
+      .select(col(queryVecCol).as("__qv"), explode(probes).as("__qbucket"))
+    bucketed.join(broadcast(q), col("__bucket") === col("__qbucket"))
+      .select(col(idCol), round(VectorOps.cosine(col(vecCol), col("__qv")), 6).as("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Per-group top-k (SURVEY.md Q-TOP2 shape): row_number over a windowed
     * sort, kept <= k — Spark 4 plans this as WindowGroupLimit (no full
     * per-group materialization). */

@@ -37,6 +37,16 @@ object SimMmQueries extends QueryModule {
         .orderBy(col("sim").desc, col("vec_id"))
     }),
 
+    // Multi-probe LSH ANN top-k: query bucket + all Hamming-1 buckets
+    // (rows-only: approximate; recall-vs-single-probe property-tested).
+    "q_sim6" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      Similarity.lshTopKMultiProbe(emb, "vec_id", "embedding",
+        emb.where(col("vec_id") === 0), "embedding",
+        k = 11, numPlanes = 8, dim = 64)
+        .orderBy(col("sim").desc, col("vec_id"))
+    }),
+
     // IVF-quantized ANN top-k (rows-only: k-means is approximate by
     // construction; recall vs brute force is unit-tested). Index build and
     // probe are separate stages, as in a real IVF deployment: the cached

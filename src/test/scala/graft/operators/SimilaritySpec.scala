@@ -43,6 +43,23 @@ class SimilaritySpec extends SparkSpec {
     ann.foreach { case (id, s) => assert(bf(id) === s) }
   }
 
+  test("multi-probe LSH: recall at least single-probe's, measured against brute force") {
+    val q = emb.where(col("vec_id") === 0)
+    val k = 10
+    val bf = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, "embedding", k)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    def recall(ids: Seq[Long]) = ids.count(bf.contains).toDouble / bf.size
+    val single = Similarity.lshTopK(emb, "vec_id", "embedding", q, "embedding",
+      k, numPlanes = 8, dim = 64).as[(Long, Double)].collect().map(_._1)
+    val multi = Similarity.lshTopKMultiProbe(emb, "vec_id", "embedding", q, "embedding",
+      k, numPlanes = 8, dim = 64).as[(Long, Double)].collect().map(_._1)
+    assert(multi.head === 0L, "query is its own nearest neighbor")
+    val (rs, rm) = (recall(single), recall(multi))
+    info(f"recall@$k: single-probe $rs%.2f, multi-probe $rm%.2f")
+    assert(rm >= rs, "probing Hamming-1 buckets must not lose recall")
+    assert(rm > 0.0)
+  }
+
   test("topKPerGroup returns at most k rows per group, correctly ranked") {
     val df = Seq((1, 10.0), (1, 30.0), (1, 20.0), (2, 5.0)).toDF("g", "v")
     val out = Similarity.topKPerGroup(df, Seq("g"), Seq(col("v").desc), 2)
