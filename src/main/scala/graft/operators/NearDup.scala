@@ -56,24 +56,57 @@ object NearDup {
       .select(col("__id"), array((0 until numHashes).map(h => col(s"__m$h")): _*).as("__sig"))
   }
 
+  /** The LSH band table `(__band, __bucket, __id)` — one row per doc per
+    * band. This is the PERSISTABLE dedup index: a doc's rows depend only
+    * on its own text (MinHash is corpus-independent), so the table of a
+    * corpus is the union of the tables of its parts — which is what makes
+    * [[incrementalLshCandidates]] exact, not approximate. */
+  def lshBandTable(
+      docs: DataFrame, idCol: String, text: Column,
+      shingleN: Int = 3, numHashes: Int = 32, rowsPerBand: Int = 4): DataFrame = {
+    require(numHashes % rowsPerBand == 0)
+    val numBands = numHashes / rowsPerBand
+    val sig = minhashSignatures(docs, idCol, text, shingleN, numHashes)
+    sig.select(col("__id"),
+      posexplode(array((0 until numBands).map(b =>
+        xxhash64(slice(col("__sig"), b * rowsPerBand + 1, rowsPerBand), lit(b))): _*)))
+      .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bucket")
+  }
+
   /** LSH banding: candidate pairs are doc pairs sharing >= 1 identical band
     * of `rowsPerBand` consecutive signature values.
     * Returns (id_a, id_b) with id_a < id_b, distinct. */
   def lshCandidatePairs(
       docs: DataFrame, idCol: String, text: Column,
       shingleN: Int = 3, numHashes: Int = 32, rowsPerBand: Int = 4): DataFrame = {
-    require(numHashes % rowsPerBand == 0)
-    val numBands = numHashes / rowsPerBand
-    val sig = minhashSignatures(docs, idCol, text, shingleN, numHashes)
-    val banded = sig.select(col("__id"),
-      posexplode(array((0 until numBands).map(b =>
-        xxhash64(slice(col("__sig"), b * rowsPerBand + 1, rowsPerBand), lit(b))): _*)))
-      .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bucket")
+    val banded = lshBandTable(docs, idCol, text, shingleN, numHashes, rowsPerBand)
     val a = banded.select(col("__band"), col("__bucket"), col("__id").as("id_a"))
     val b = banded.select(col("__band"), col("__bucket"), col("__id").as("id_b"))
     a.join(b, Seq("__band", "__bucket"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+  }
+
+  /** Incremental dedup candidates when a batch of NEW docs arrives: every
+    * candidate pair touching a new doc, WITHOUT recomputing the corpus —
+    * the 100 TB shape (a full-corpus re-sketch per daily batch is the
+    * scale-killer). One join of the (small) new band table against the
+    * persisted corpus index gives new x old; a self-join of the new table
+    * gives new x new. Exactly equals the full recompute restricted to
+    * pairs involving a new id (property-tested). `storedBands` must not
+    * already contain the new ids. */
+  def incrementalLshCandidates(newBands: DataFrame, storedBands: DataFrame): DataFrame = {
+    val n = newBands.select(col("__band"), col("__bucket"), col("__id").as("__new"))
+    val o = storedBands.select(col("__band"), col("__bucket"), col("__id").as("__old"))
+    val newOld = n.join(o, Seq("__band", "__bucket"))
+      .select(least(col("__new"), col("__old")).as("id_a"),
+        greatest(col("__new"), col("__old")).as("id_b"))
+    val n2 = newBands.select(col("__band"), col("__bucket"), col("__id").as("id_b"))
+    val newNew = n.withColumnRenamed("__new", "id_a")
+      .join(n2, Seq("__band", "__bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    newOld.unionByName(newNew).distinct()
   }
 
   /** Estimated Jaccard from MinHash signatures: fraction of equal slots. */

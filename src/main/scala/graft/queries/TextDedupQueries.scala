@@ -157,6 +157,19 @@ object TextDedupQueries extends QueryModule {
       NearDup.connectedComponents(Shared.cosinePairs(s, d).select("id_a", "id_b"))
         .orderBy("v")),
 
+    // Incremental dedup arrival path: candidate pairs touching a NEW doc
+    // batch, found by joining its band table against the persisted corpus
+    // band index — no corpus recompute (rows-only: engine hashes;
+    // exactness vs the full recompute is property-tested).
+    "q_dedup8" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents").select("doc_id", "text")
+      val isNew = col("doc_id") % 5 === 0
+      NearDup.incrementalLshCandidates(
+        NearDup.lshBandTable(docs.where(isNew), "doc_id", col("text")),
+        NearDup.lshBandTable(docs.where(!isNew), "doc_id", col("text")))
+        .orderBy("id_a", "id_b")
+    }),
+
     // Exact n-gram Jaccard pairs within a language block (the ground truth
     // for the sketches; oracle-checked). Block-local kernel: each block's
     // arrays decode once and pair in-memory — ~2.5x over the join form on

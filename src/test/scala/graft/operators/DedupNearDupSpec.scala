@@ -57,6 +57,22 @@ class DedupNearDupSpec extends SparkSpec {
     assert(pairs((0L, 1L)) === 0L)
   }
 
+  test("incremental LSH candidates equal the full recompute restricted to new ids") {
+    val corpus = graft.Tables.load(spark, sf, "documents").select("doc_id", "text")
+    val isNew = col("doc_id") % 5 === 0
+    val oldBands = NearDup.lshBandTable(corpus.where(!isNew), "doc_id", col("text"))
+    val newBands = NearDup.lshBandTable(corpus.where(isNew), "doc_id", col("text"))
+    val inc = NearDup.incrementalLshCandidates(newBands, oldBands)
+    val expected = NearDup.lshCandidatePairs(corpus, "doc_id", col("text"))
+      .where(col("id_a") % 5 === 0 || col("id_b") % 5 === 0)
+    assert(inc.count() > 0, "fixture plants dups across the split")
+    assert(inc.exceptAll(expected).count() === 0)
+    assert(expected.exceptAll(inc).count() === 0)
+    // the planted exact dup of a new doc against an old one must surface
+    val newOldOnly = inc.where((col("id_a") % 5 === 0) =!= (col("id_b") % 5 === 0))
+    assert(newOldOnly.count() > 0, "new x old candidates expected")
+  }
+
   test("connected components: chains merge, clusters get min-id labels, dedup keeps representatives") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
     val cc = NearDup.connectedComponents(pairs)
