@@ -11,9 +11,13 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Whitespace tokenization of normalized text. */
+  /** Whitespace tokenization of normalized text. `array_remove(.., "")`
+    * rather than `filter(.., length > 0)`: identical result (split never
+    * yields nulls, so dropping every "" is exactly the length filter), but
+    * ArrayRemove has real codegen while HOF lambdas are ALWAYS interpreted
+    * — and tokens() sits under every text/dedup query. */
   def tokens(text: Column): Column =
-    filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+    array_remove(split(lower(trim(text)), "\\s+"), "")
 
   /** BPE-ish sub-token segmentation count: letter runs, digit runs, and
     * single punctuation marks each count as one token (the classic
