@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorOps
 import graft.util.Memo
@@ -54,6 +55,24 @@ object IvfAnn {
       p.count()
       (p, centers.localCheckpoint())
     }
+
+  /** Assign vectors to an EXISTING index's cells without refitting — the
+    * arrival path for new embeddings (the ANN mirror of
+    * `NearDup.incrementalLshCandidates`): broadcast the tiny centroid
+    * table, one scan of the batch, `row_number = 1` per vector on squared-
+    * distance order (k-means' own assignment criterion; ties break to the
+    * lowest cell id). Output = input columns + `__cluster`, union-able
+    * with the stored assignment. */
+  def assignToIndex(vecs: DataFrame, idCol: String, vecCol: String,
+                    centers: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__d").asc, col("__cluster").asc)
+    vecs.crossJoin(broadcast(centers))
+      .withColumn("__d", VectorOps.l2(col(vecCol), col("__center")))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__d", "__rn", "__center")
+  }
 
   /** ANN top-k against a prebuilt index: rank cells by centroid cosine to
     * the query vector, brute-force only within the top `nprobe` cells.

@@ -61,6 +61,20 @@ object SimMmQueries extends QueryModule {
         .orderBy(col("sim").desc, col("vec_id"))
     }),
 
+    // Incremental ANN arrival path: assign a NEW vector batch to the
+    // existing (persisted) IVF index's cells without refitting — the ANN
+    // mirror of q_dedup8 (rows-only; agreement with the quantizer's own
+    // assignment is property-tested).
+    "q_sim7" -> ((s, d) => {
+      val (_, centers) = graft.operators.IvfAnn.cachedIndex(
+        s, d, "embedding", numClusters = 16)(Tables.load(s, d, "embeddings"))
+      graft.operators.IvfAnn.assignToIndex(
+        Tables.load(s, d, "embeddings").where(col("vec_id") % 5 === 0),
+        "vec_id", "embedding", centers)
+        .select(col("vec_id"), col("__cluster").cast("long").as("cluster"))
+        .orderBy("vec_id")
+    }),
+
     // Batched-query brute-force top-k: one corpus scan serves the whole
     // query batch, ranked per query id (WindowGroupLimit) — the correct
     // multi-query shape (a global limit would mix queries). Oracle-checked.

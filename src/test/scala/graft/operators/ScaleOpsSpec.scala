@@ -51,6 +51,21 @@ class ScaleOpsSpec extends SparkSpec {
     sizes.foreach { case (b, n) => if (b != lastBatch) assert(n === 700) }
   }
 
+  test("assignToIndex reproduces the quantizer's own cell assignment") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val (indexed, centers) = IvfAnn.buildIndex(emb, "embedding", numClusters = 8)
+    val stored = indexed.select(col("vec_id"), col("__cluster"))
+      .as[(Long, Int)].collect().toMap
+    val reassigned = IvfAnn.assignToIndex(emb, "vec_id", "embedding", centers)
+      .select(col("vec_id"), col("__cluster")).as[(Long, Int)].collect().toMap
+    assert(reassigned.keySet === stored.keySet)
+    // centers are float-rounded in the index table, so a vector sitting on
+    // a cell boundary could legitimately flip; demand near-total agreement
+    val agree = stored.count { case (id, c) => reassigned(id) == c }
+    assert(agree.toDouble / stored.size >= 0.99,
+      s"$agree/${stored.size} assignments agree")
+  }
+
   test("IVF ANN: query is its own nearest neighbor; recall vs brute force is reported") {
     val emb = Tables.load(spark, sf, "embeddings")
     val q = emb.where(col("vec_id") === 0)
