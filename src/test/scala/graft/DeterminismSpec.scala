@@ -52,4 +52,12 @@ class DeterminismSpec extends SparkSpec {
     assert(sizes.last._2 <= 100L)
     assert(sizes.map(_._2).sum === 5000L)
   }
+
+  test("batchByRange ids are independent of the range-partition count") {
+    val src = Tables.load(spark, sf, "orders").select("o_orderkey")
+    def ids(parts: Int) =
+      Batching.batchByRange(src, col("o_orderkey"), size = 500, partitions = parts)
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(ids(3) === ids(7), "rank (hence batch id) must not depend on parallelism")
+  }
 }
