@@ -21,14 +21,18 @@ object Bench {
     val s0 = System.nanoTime()
     try SparkEntry.prepare(spark, sfDir) catch { case _: Throwable => () }
     val setupSec = (System.nanoTime() - s0) / 1e9
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // sorted order: per-query times are comparable across runs/rounds
+    // (map iteration order would move shared-intermediate build costs
+    // between queries at random — e.g. which dedup query pays the
+    // memoized LSH-candidates build)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","setup_sec":$setupSec,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
