@@ -86,6 +86,21 @@ object SimMmQueries extends QueryModule {
         .orderBy("query_id", "rn")
     }),
 
+    // Int8-quantized brute-force top-k: similarity search directly over
+    // 4x-compressed vectors — cosine is scale-invariant so the per-vector
+    // quantization scale cancels; no dequantize pass (rows-only; max
+    // cosine error and top-k overlap property-tested).
+    "q_sim8" -> ((s, d) => {
+      import graft.functions.VectorOps
+      val emb = Tables.load(s, d, "embeddings")
+        .withColumn("__q8", VectorOps.quantizeInt8(col("embedding")))
+      emb.crossJoin(broadcast(emb.where(col("vec_id") === 0)
+          .select(VectorOps.quantizeInt8(col("embedding")).as("__qv8"))))
+        .select(col("vec_id"),
+          round(VectorOps.cosineInt8(col("__q8"), col("__qv8")), 6).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(11)
+    }),
+
     // Multimodal: opaque binary payload + typed metadata (oracle-checked).
     "q_mm1" -> ((s, d) =>
       Multimodal.withBinaryMeta(Tables.load(s, d, "documents"), "text")

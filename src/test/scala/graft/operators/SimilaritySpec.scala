@@ -60,6 +60,29 @@ class SimilaritySpec extends SparkSpec {
     assert(rm > 0.0)
   }
 
+  test("int8 quantization: cosine error small, top-k overlap high") {
+    // compare exact vs quantized cosine against the same query vector
+    val scored = emb
+      .withColumn("__q8", VectorOps.quantizeInt8(col("embedding")))
+      .crossJoin(broadcast(
+        emb.where(col("vec_id") === 0).select(
+          col("embedding").as("__qv"),
+          VectorOps.quantizeInt8(col("embedding")).as("__qv8"))))
+      .select(col("vec_id"),
+        VectorOps.cosine(col("embedding"), col("__qv")).as("exact"),
+        VectorOps.cosineInt8(col("__q8"), col("__qv8")).as("quant"))
+    val maxErr = scored.agg(max(abs(col("exact") - col("quant")))).head().getDouble(0)
+    info(f"max |cos_exact - cos_int8| = $maxErr%.4f")
+    assert(maxErr < 0.02, s"quantization error too large: $maxErr")
+    // top-10 by quantized sim overlaps top-10 exact almost entirely
+    val exactTop = scored.orderBy(col("exact").desc, col("vec_id"))
+      .limit(10).select("vec_id").as[Long].collect().toSet
+    val quantTop = scored.orderBy(col("quant").desc, col("vec_id"))
+      .limit(10).select("vec_id").as[Long].collect().toSet
+    assert(exactTop.intersect(quantTop).size >= 8,
+      s"overlap ${exactTop.intersect(quantTop).size}/10")
+  }
+
   test("topKPerGroup returns at most k rows per group, correctly ranked") {
     val df = Seq((1, 10.0), (1, 30.0), (1, 20.0), (2, 5.0)).toDF("g", "v")
     val out = Similarity.topKPerGroup(df, Seq("g"), Seq(col("v").desc), 2)
