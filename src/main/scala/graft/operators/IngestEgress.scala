@@ -17,6 +17,27 @@ object IngestEgress {
   def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.option("header", "true").schema(schema).csv(path)
 
+  /** R6 fault isolation at the FILE level: permissive CSV read that routes
+    * malformed lines to a quarantine frame instead of failing the job or
+    * silently dropping them — the ingest-side twin of
+    * `StockPipeline.validateSplit` (the reference swallows per-symbol
+    * failures with a print, `...py:44-46`). Returns (clean, quarantined
+    * raw lines). The scan is persisted once: Spark disallows querying ONLY
+    * the internal corrupt-record column of a streaming-parsed CSV, and the
+    * two outputs would otherwise re-parse the file. */
+  def readCsvWithQuarantine(spark: SparkSession, path: String,
+                            schema: StructType): (DataFrame, DataFrame) = {
+    val withCorrupt = schema.add("_corrupt_record", "string")
+    val raw = spark.read.option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(withCorrupt).csv(path)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (raw.where(col("_corrupt_record").isNull).drop("_corrupt_record"),
+      raw.where(col("_corrupt_record").isNotNull)
+        .select(col("_corrupt_record").as("raw_line")))
+  }
+
   /** Dirty-typed numeric parse for screener-export columns
     * (`company_symbols.csv:2`: `$146.865`, `0.208%`, `1,234,567`):
     * strip currency/percent/thousands markers, then ANSI-safe cast

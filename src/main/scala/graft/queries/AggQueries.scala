@@ -82,6 +82,19 @@ object AggQueries extends QueryModule {
           col("n_rows"), col("sum_price"))
         .orderBy("status", "priority")),
 
+    // Approximate per-group quantiles (GK mergeable sketch) — the scale
+    // path when exact `percentile`'s full sort-per-group is too expensive
+    // (threshold selection over 100 TB). Rows-only: sketch results are
+    // partitioning-dependent in general; the spec bounds the rank error
+    // against the exact percentile (and at fixture sizes < accuracy the
+    // sketch IS exact).
+    "q_agg13" -> ((s, d) =>
+      Tables.load(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("p50_approx"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("o_orderstatus")),
+
     // Q-AGG6: custom typed UDAF — geometric mean.
     "q_agg6" -> ((s, d) => {
       val gm = udaf(GeoMean.agg)

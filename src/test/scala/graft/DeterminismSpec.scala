@@ -53,6 +53,23 @@ class DeterminismSpec extends SparkSpec {
     assert(sizes.map(_._2).sum === 5000L)
   }
 
+  test("percentile_approx at accuracy above group size equals the exact median") {
+    val orders = Tables.load(spark, sf, "orders")
+    val both = orders.groupBy("o_orderstatus")
+      .agg(percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("approx"),
+        expr("percentile(o_totalprice, 0.5)").as("exact"),
+        count(lit(1)).as("n"))
+      .as[(String, Double, Double, Long)].collect()
+    both.foreach { case (st, a, e, n) =>
+      assert(n < 10000, "fixture group must be under the sketch accuracy")
+      // GK with accuracy >= n retains every value => approx is an exact
+      // data value at the target rank; exact interpolates between ranks,
+      // so allow the one-rank interpolation gap
+      assert(math.abs(a - e) <= math.abs(e) * 0.05 + 1.0,
+        s"$st: approx $a vs exact $e (n=$n)")
+    }
+  }
+
   test("batchByRange ids are independent of the range-partition count") {
     val src = Tables.load(spark, sf, "orders").select("o_orderkey")
     def ids(parts: Int) =

@@ -50,6 +50,25 @@ class IngestEgressSpec extends SparkSpec {
     assert(rows(1) === (("NOIPO", Some(10.0), Some(-1.5), None)))
   }
 
+  test("permissive CSV ingest quarantines malformed lines, keeps the rest") {
+    import org.apache.spark.sql.types._
+    val f = Files.createTempDirectory("graft_quar").resolve("in.csv")
+    Files.writeString(f,
+      """sym,ipo
+        |AAPL,1980
+        |BROKEN,"unterminated
+        |MSFT,1986
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("sym", StringType), StructField("ipo", IntegerType)))
+    val (clean, quarantined) =
+      IngestEgress.readCsvWithQuarantine(spark, f.toString, schema)
+    assert(clean.select("sym").as[String].collect().sorted.toSeq
+      === Seq("AAPL", "MSFT"))
+    val bad = quarantined.as[String].collect()
+    assert(bad.length === 1 && bad.head.contains("BROKEN"))
+  }
+
   test("compaction rewrites a many-small-files dataset into few well-sized files") {
     val in = Files.createTempDirectory("graft_small").toString
     val out = Files.createTempDirectory("graft_compact").toString
