@@ -148,8 +148,11 @@ object NearDup {
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
-      .distinct()
+      // hamming is a pure function of the pair, so filtering BEFORE the
+      // dedup is equivalent — and shrinks the distinct's shuffle input by
+      // the filter's selectivity (most bucket-collision pairs fail it)
       .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Exact n-gram Jaccard similarity for all pairs within a blocking key —
