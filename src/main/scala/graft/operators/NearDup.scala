@@ -41,17 +41,23 @@ object NearDup {
   def shingles(text: Column, n: Int): Column = shinglesOf(TextOps.tokens(text), n)
 
   /** k-permutation MinHash signatures, computed as an exploded aggregation:
-    * explode shingles once, then k parallel `min(xxhash64(s, h))` partial
-    * aggregates — ONE shuffle on doc id, map-side combined. (A nested
-    * lambda formulation — transform over transform per row — re-evaluates
-    * the shingle expression per hash and falls out of codegen; measured
-    * ~200x slower. This shape scales to arbitrarily long documents.) */
+    * explode shingles once, hash each shingle STRING once to a 64-bit
+    * base, then k parallel `min(xxhash64(base, k))` partial aggregates —
+    * ONE shuffle on doc id, map-side combined. Deriving the k permutation
+    * hashes from the 8-byte base instead of re-hashing the string per
+    * permutation makes the hash stage O(len + k) per shingle, not
+    * O(len * k); the derived family is still uniform and seed-fixed.
+    * (A nested lambda formulation — transform over transform per row —
+    * re-evaluates the shingle expression per hash and falls out of
+    * codegen; measured ~200x slower. This shape scales to arbitrarily
+    * long documents.) */
   def minhashSignatures(docs: DataFrame, idCol: String, text: Column,
                         shingleN: Int, numHashes: Int): DataFrame = {
     val sh = withShingles(docs.select(col(idCol).as("__id"), text.as("__text")),
       col("__text"), shingleN)
       .select(col("__id"), explode(col("__sh")).as("__s"))
-    val sigCols = (0 until numHashes).map(h => min(xxhash64(col("__s"), lit(h))).as(s"__m$h"))
+      .select(col("__id"), xxhash64(col("__s")).as("__h"))
+    val sigCols = (0 until numHashes).map(h => min(xxhash64(col("__h"), lit(h))).as(s"__m$h"))
     sh.groupBy("__id").agg(sigCols.head, sigCols.tail: _*)
       .select(col("__id"), array((0 until numHashes).map(h => col(s"__m$h")): _*).as("__sig"))
   }
