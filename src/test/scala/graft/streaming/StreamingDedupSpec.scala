@@ -1,0 +1,42 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Dedup-on-arrival: a duplicate landing in a LATER batch is caught
+  * against the band store built from earlier batches — no corpus
+  * recompute. */
+class StreamingDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog and runs far away " * 4
+
+  test("late-arriving duplicate is flagged against the persisted band index") {
+    val incoming = Files.createTempDirectory("graft_sdedup_in").toString
+    val bands = Files.createTempDirectory("graft_sdedup_bands").toString + "/b"
+    val cands = Files.createTempDirectory("graft_sdedup_cands").toString + "/c"
+    val ckpt = Files.createTempDirectory("graft_sdedup_ckpt").toString
+    val schema = Seq((0L, "x")).toDF("doc_id", "text").schema
+
+    // batch 1: two distinct docs
+    Seq((0L, base), (1L, "completely different content about spark engines " * 4))
+      .toDF("doc_id", "text").write.parquet(s"$incoming/f1")
+    StreamingDedup.run(spark, s"$incoming/*", schema, bands, cands, ckpt)
+    assert(spark.read.parquet(cands).count() === 0, "no dups yet")
+
+    // batch 2: an exact dup of doc 0 and a fresh doc
+    Seq((2L, base), (3L, "yet another unrelated document body entirely " * 4))
+      .toDF("doc_id", "text").write.parquet(s"$incoming/f2")
+    StreamingDedup.run(spark, s"$incoming/*", schema, bands, cands, ckpt)
+    val pairs = spark.read.parquet(cands).as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 2L)),
+      s"late dup must pair with the stored original, got $pairs")
+    assert(!pairs.exists(p => Set(p._1, p._2).contains(3L)),
+      "unrelated doc must not be a candidate")
+
+    // band store grew to cover all four docs
+    assert(spark.read.parquet(bands).select("__id").distinct().count() === 4)
+  }
+}
