@@ -19,6 +19,44 @@ object TextOps {
   def tokens(text: Column): Column =
     array_remove(split(lower(trim(text)), "\\s+"), "")
 
+  /** Sequence packing for training batches: assign documents to bins of
+    * at most `tokenBudget` tokens, greedy first-fit in `orderKey` order —
+    * the standard way variable-length documents become fixed-budget
+    * training sequences. Distributed shape: `repartitionByRange(orderKey)`
+    * + `sortWithinPartitions`, then a single greedy pass per partition;
+    * bin ids are globally unique ((partitionId << 33) | localBin) and the
+    * assignment is deterministic for a total `orderKey` (same contract as
+    * any ordered operator here). Oversized docs (> budget) get a bin of
+    * their own rather than being dropped silently.
+    * Returns the input columns + `bin_id`. */
+  def packSequences(df: org.apache.spark.sql.DataFrame, orderKey: Column,
+                    tokenCount: Column, tokenBudget: Long): org.apache.spark.sql.DataFrame = {
+    require(tokenBudget > 0, s"tokenBudget must be positive, got $tokenBudget")
+    val spark = df.sparkSession
+    val prepared = df.withColumn("__n_tok", tokenCount.cast("long"))
+      .withColumn("__ok", orderKey)
+      .repartitionByRange(col("__ok"))
+      .sortWithinPartitions(col("__ok"))
+    val schema = org.apache.spark.sql.types.StructType(prepared.schema.fields :+
+      org.apache.spark.sql.types.StructField("bin_id",
+        org.apache.spark.sql.types.LongType, nullable = false))
+    val packed = prepared.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var localBin = 0L
+      var used = 0L
+      var first = true
+      it.map { row =>
+        val n = row.getAs[Long]("__n_tok")
+        if (!first && used + n > tokenBudget) { localBin += 1; used = 0L }
+        first = false
+        used += n
+        org.apache.spark.sql.Row.fromSeq(
+          row.toSeq :+ ((pid.toLong << 33) | localBin))
+      }
+    }
+    spark.createDataFrame(packed, schema)
+      .drop("__n_tok", "__ok")
+  }
+
   /** BPE-ish sub-token segmentation count: letter runs, digit runs, and
     * single punctuation marks each count as one token (the classic
     * pre-tokenizer regex shape). */

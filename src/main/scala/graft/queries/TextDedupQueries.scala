@@ -100,6 +100,16 @@ object TextDedupQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // Sequence packing: documents -> fixed-token-budget training bins,
+    // greedy first-fit in doc_id order (rows-only: bin ids depend on the
+    // range partitioning; budget/coverage/determinism are spec-tested).
+    "q_txt9" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), TextOps.wordCount(col("text")).as("n_tok"))
+      TextOps.packSequences(docs, col("doc_id"), col("n_tok"), tokenBudget = 600)
+        .orderBy("doc_id")
+    }),
+
     // Deterministic train/val/test assignment (rows-only: engine hash).
     "q_sample1" -> ((s, d) =>
       graft.operators.DataSplit.assignSplit(

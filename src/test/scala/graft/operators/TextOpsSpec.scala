@@ -37,6 +37,36 @@ class TextOpsSpec extends SparkSpec {
     assert(one(TextOps.stopwordRatio(col("text")), t) === 2.0 / 5.0) // the, is
   }
 
+  test("packSequences: bins respect the budget, cover all docs, deterministic") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), TextOps.wordCount(col("text")).as("n_tok"))
+    val budget = 600L
+    val packed = TextOps.packSequences(docs, col("doc_id"), col("n_tok"), budget)
+    // every doc assigned exactly once
+    assert(packed.count() === docs.count())
+    assert(packed.select("doc_id").distinct().count() === docs.count())
+    // no bin over budget (except single oversized docs, which get own bins)
+    val bins = packed.groupBy("bin_id")
+      .agg(sum("n_tok").as("tot"), count(lit(1)).as("n"))
+    assert(bins.where(col("tot") > budget && col("n") > 1).count() === 0,
+      "multi-doc bin over budget")
+    // packing efficiency: bins are reasonably full, not one doc per bin
+    val avgPerBin = packed.count().toDouble / bins.count()
+    assert(avgPerBin > 1.5, s"greedy fill expected, got $avgPerBin docs/bin")
+    // deterministic across runs and partition counts
+    val again = TextOps.packSequences(
+      docs.repartition(7), col("doc_id"), col("n_tok"), budget)
+      .select("doc_id", "bin_id").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val once = packed.select("doc_id", "bin_id").as[(Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(again.map(_._1) === once.map(_._1))
+    // bin ids depend on range partitioning, but bin CONTENTS must be the
+    // same partition-count-independent grouping when the session's
+    // shuffle partitioning is equal; at minimum membership sizes agree
+    assert(again.groupBy(_._2).values.map(_.size).toSeq.sorted ===
+      once.groupBy(_._2).values.map(_.size).toSeq.sorted)
+  }
+
   test("rolling fingerprint: deterministic, order-sensitive, stable range") {
     val fp = TextOps.rollingFingerprint(TextOps.tokens(col("text")))
     val a = one(fp, "alpha beta gamma").asInstanceOf[Long]
