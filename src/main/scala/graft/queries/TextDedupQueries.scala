@@ -100,6 +100,31 @@ object TextDedupQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // Per-language token-count z-scores — stratified outlier detection,
+    // the quality-filtering primitive (drop |z| > cutoff docs before
+    // training). Exact integer token sums (sum, sum-of-squares, count are
+    // exact longs) => the double mean/sd/z sequence is identical on both
+    // engines: division and sqrt are correctly rounded IEEE ops, so the
+    // raw z hash-matches with no rounding. Stats side is 5 rows =>
+    // broadcast join, one pass over the corpus.
+    "q_txt10" -> ((s, d) => {
+      val t = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("lang"), TextOps.wordCount(col("text")).as("n_tok"))
+      val stats = t.groupBy("lang").agg(
+        sum("n_tok").as("s"), sum(col("n_tok") * col("n_tok")).as("sq"),
+        count(lit(1)).as("n"))
+      val (sd, sqd, nd) = (col("s").cast("double"), col("sq").cast("double"),
+        col("n").cast("double"))
+      val mean = sd / nd
+      val variance = when(nd > 1.0,
+        greatest((sqd - sd * sd / nd) / (nd - lit(1.0)), lit(0.0))).otherwise(lit(0.0))
+      t.join(broadcast(stats), "lang")
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+          ((col("n_tok").cast("double") - mean) /
+            nullif(sqrt(variance), lit(0.0))).as("z"))
+        .orderBy("doc_id")
+    }),
+
     // Sequence packing: documents -> fixed-token-budget training bins,
     // greedy first-fit in doc_id order (rows-only: bin ids depend on the
     // range partitioning; budget/coverage/determinism are spec-tested).
@@ -239,6 +264,20 @@ object TextDedupQueries extends QueryModule {
         |  FROM documents, unnest(range(1, greatest(length(text) - 50, 1) + 1, 150)) AS t(s))
         |SELECT doc_id, CAST((s - 1) / 150 AS BIGINT) AS chunk_idx, chunk
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_txt10" ->
+      s"""WITH t AS (SELECT doc_id, lang, CAST(len($tokSql) AS BIGINT) AS n_tok FROM documents),
+         |st AS (SELECT lang,
+         |         CAST(SUM(n_tok) AS DOUBLE) AS s,
+         |         CAST(SUM(n_tok * n_tok) AS DOUBLE) AS sq,
+         |         CAST(COUNT(*) AS DOUBLE) AS n
+         |       FROM t GROUP BY lang)
+         |SELECT t.doc_id, t.lang, t.n_tok,
+         |  (CAST(t.n_tok AS DOUBLE) - s / n) /
+         |    nullif(sqrt(CASE WHEN n > 1.0
+         |                     THEN greatest((sq - s * s / n) / (n - 1.0), 0.0)
+         |                     ELSE 0.0 END), 0.0) AS z
+         |FROM t JOIN st ON t.lang = st.lang
+         |ORDER BY t.doc_id""".stripMargin,
     "q_txt8" -> {
       def tok(c: String) =
         s"""list_filter(regexp_split_to_array(lower(trim($c)), '\\s+'), x -> length(x) > 0)"""
