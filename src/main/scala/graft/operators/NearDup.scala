@@ -85,7 +85,13 @@ object NearDup {
   def lshCandidatePairs(
       docs: DataFrame, idCol: String, text: Column,
       shingleN: Int = 3, numHashes: Int = 32, rowsPerBand: Int = 4): DataFrame = {
+    // Materialize the band table before self-joining it: a lazy self-join
+    // plans the whole scan->tokenize->minhash->band pipeline ONCE PER SIDE
+    // (2x the dominant cost — at corpus scale, a doubled sketch pass).
+    // localCheckpoint computes the sketch once and joins the materialized
+    // partitions, same as StreamingDedup persists its batch bands.
     val banded = lshBandTable(docs, idCol, text, shingleN, numHashes, rowsPerBand)
+      .localCheckpoint()
     val a = banded.select(col("__band"), col("__bucket"), col("__id").as("id_a"))
     val b = banded.select(col("__band"), col("__bucket"), col("__id").as("id_b"))
     a.join(b, Seq("__band", "__bucket"))
@@ -99,12 +105,16 @@ object NearDup {
     * scale-killer). One join of the (small) new band table against the
     * persisted corpus index gives new x old; a self-join of the new table
     * gives new x new. Exactly equals the full recompute restricted to
-    * pairs involving a new id (property-tested). `storedBands` must not
-    * already contain the new ids. */
+    * pairs involving a new id (property-tested). Robust to `storedBands`
+    * already containing (some of) the new ids — e.g. a replayed micro-batch
+    * whose previous append survived: self-pairs are filtered and the
+    * duplicate cross pairs collapse in the `distinct`, preserving the
+    * id_a < id_b invariant of the output. */
   def incrementalLshCandidates(newBands: DataFrame, storedBands: DataFrame): DataFrame = {
     val n = newBands.select(col("__band"), col("__bucket"), col("__id").as("__new"))
     val o = storedBands.select(col("__band"), col("__bucket"), col("__id").as("__old"))
     val newOld = n.join(o, Seq("__band", "__bucket"))
+      .where(col("__new") =!= col("__old"))
       .select(least(col("__new"), col("__old")).as("id_a"),
         greatest(col("__new"), col("__old")).as("id_b"))
     val n2 = newBands.select(col("__band"), col("__bucket"), col("__id").as("id_b"))
@@ -144,10 +154,14 @@ object NearDup {
     * but is recall-lossy (pairs differing in every chunk are never
     * candidates) — that's the LSH trade, not a bug. */
   def simhashPairs(sh: DataFrame, idCol: String, maxHamming: Int = 3): DataFrame = {
+    // Materialized before the self-join for the same reason as
+    // lshCandidatePairs: `sh` is usually the full simhash aggregation, and
+    // a lazy self-join would compute it once per side.
     val chunks = sh.select(col(idCol).as("__id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
       .withColumnRenamed("pos", "__chunk").withColumnRenamed("col", "__cv")
+      .localCheckpoint()
     val a = chunks.select(col("__chunk"), col("__cv"), col("__id").as("id_a"), col("simhash").as("sh_a"))
     val b = chunks.select(col("__chunk"), col("__cv"), col("__id").as("id_b"), col("simhash").as("sh_b"))
     a.join(b, Seq("__chunk", "__cv"))

@@ -21,10 +21,16 @@ object Similarity {
     * `limit(2)` probe, never a full count) — batches go through
     * [[topKForQueries]], which carries the query id and ranks per query. */
   private[operators] def requireSingleRow(query: DataFrame, op: String): DataFrame = {
-    val n = query.limit(2).count()
-    require(n == 1, s"$op expects exactly 1 query row, got ${if (n < 2) n else "2+"};" +
+    // One bounded evaluation serves both the check and the broadcast: the
+    // collected row is rebuilt into a local DataFrame, so the query-side
+    // subplan never runs a second time (and the probe is limit(2), never a
+    // full count).
+    val rows = query.limit(2).collect()
+    require(rows.length == 1,
+      s"$op expects exactly 1 query row, got ${if (rows.length < 2) rows.length else "2+"};" +
       " use Similarity.topKForQueries for query batches")
-    query
+    query.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), query.schema)
   }
 
   /** Brute-force cosine top-k against a 1-row query DataFrame (broadcast —

@@ -57,7 +57,11 @@ object IncrementalUpdate {
     val touched = incoming.select(partitionCols.map(col): _*).distinct().collect()
     touched.toSeq.map { r =>
       partitionCols.zipWithIndex
-        .map { case (c, i) => col(c) === lit(r.get(i)) }
+        // null-safe: an incoming null partition value must select the
+        // store's default (null) partition — plain === would never match
+        // it, silently dropping that partition's existing rows from the
+        // upsert read while the dynamic overwrite still rewrites it
+        .map { case (c, i) => col(c) <=> lit(r.get(i)) }
         .reduce(_ && _)
     }.reduceOption(_ || _).getOrElse(lit(false))
   }

@@ -21,43 +21,64 @@ import graft.operators.NearDup
   * directory — at cluster scale it would be bucketed by `__bucket` so the
   * candidate join co-locates without a shuffle of the stored side.
   *
-  * Idempotence note: the candidate OUTPUT for a replayed batch is
-  * recomputed identically (deterministic hashes), but the band-store
-  * append is at-least-once under batch replay; duplicate band rows only
-  * create duplicate candidate PAIRS, which `distinct()` in the candidate
-  * join absorbs — state converges, nothing is lost or double-deduped.
+  * Idempotence under batch replay (failure after a write, before the
+  * checkpoint advanced): (1) the stored side is anti-joined against the
+  * batch's own ids, so a surviving previous append of THIS batch never
+  * joins itself — replayed candidates are byte-identical to the original
+  * run; (2) both writes target a per-batch-id subdirectory with overwrite,
+  * so a replay rewrites the same location instead of appending a second
+  * copy. At-least-once delivery therefore converges to exactly-once state
+  * AND exactly-once candidate output.
   */
 object StreamingDedup {
 
   /** One micro-batch: returns the candidate pairs involving `newDocs` and
-    * appends the batch's bands to the store. */
+    * writes the batch's bands to the store. With `batchId` set, the band
+    * write goes to a `batch=<id>` subdirectory with overwrite (replay-
+    * idempotent); without it, a plain append (one-shot use). */
   def processBatch(newDocs: DataFrame, bandStoreDir: String,
-                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                   idCol: String = "doc_id", textCol: String = "text",
+                   batchId: Option[Long] = None): DataFrame = {
     val spark = newDocs.sparkSession
     val newBands = NearDup.lshBandTable(newDocs, idCol, col(textCol))
-      .localCheckpoint() // reused twice (join + append) — compute once
+      .localCheckpoint() // reused three times (anti-join, join, write) — compute once
     val exists = new Path(bandStoreDir).getFileSystem(
       spark.sparkContext.hadoopConfiguration).exists(new Path(bandStoreDir))
     val stored =
-      if (exists) spark.read.parquet(bandStoreDir)
-      else spark.emptyDataFrame.select(lit(0L).as("__id"), lit(0).as("__band"),
-        lit(0L).as("__bucket")).limit(0)
+      if (exists)
+        spark.read.parquet(bandStoreDir)
+          .select(col("__id"), col("__band"), col("__bucket"))
+          // a replayed batch may have already appended its own bands; drop
+          // them so the replay emits exactly the original candidate set
+          .join(newBands.select("__id").distinct(), Seq("__id"), "left_anti")
+      // empty-store fallback derives the schema from the real band table
+      // (id type follows idCol — never a hardcoded LongType)
+      else newBands.limit(0)
+    // Materialize before the band write: on replay the overwrite below
+    // replaces files the lazy candidate plan would still reference.
     val candidates = NearDup.incrementalLshCandidates(newBands, stored)
-    newBands.write.mode("append").parquet(bandStoreDir)
+      .localCheckpoint()
+    batchId match {
+      case Some(id) =>
+        newBands.write.mode("overwrite").parquet(s"$bandStoreDir/batch=$id")
+      case None =>
+        newBands.write.mode("append").parquet(bandStoreDir)
+    }
     candidates
   }
 
   /** Drain an incoming documents directory: per micro-batch, write the
-    * candidate pairs to `candidatesDir` (append) and grow the band store.
-    * AvailableNow + checkpoint — re-runnable as new files land. */
+    * candidate pairs to `candidatesDir` and grow the band store, both
+    * keyed by batch id (replay rewrites, never duplicates). AvailableNow +
+    * checkpoint — re-runnable as new files land. */
   def run(spark: SparkSession, incomingDir: String, schema: StructType,
           bandStoreDir: String, candidatesDir: String, checkpoint: String,
           idCol: String = "doc_id", textCol: String = "text"): Unit = {
     val q = spark.readStream.schema(schema).parquet(incomingDir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(batch, bandStoreDir, idCol, textCol)
-          .write.mode("append").parquet(candidatesDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, bandStoreDir, idCol, textCol, Some(batchId))
+          .write.mode("overwrite").parquet(s"$candidatesDir/batch=$batchId")
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

@@ -30,7 +30,9 @@ class StreamingDedupSpec extends SparkSpec {
     Seq((2L, base), (3L, "yet another unrelated document body entirely " * 4))
       .toDF("doc_id", "text").write.parquet(s"$incoming/f2")
     StreamingDedup.run(spark, s"$incoming/*", schema, bands, cands, ckpt)
-    val pairs = spark.read.parquet(cands).as[(Long, Long)].collect().toSet
+    def candidatePairs: Set[(Long, Long)] = spark.read.parquet(cands)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val pairs = candidatePairs
     assert(pairs.contains((0L, 2L)),
       s"late dup must pair with the stored original, got $pairs")
     assert(!pairs.exists(p => Set(p._1, p._2).contains(3L)),
@@ -38,5 +40,19 @@ class StreamingDedupSpec extends SparkSpec {
 
     // band store grew to cover all four docs
     assert(spark.read.parquet(bands).select("__id").distinct().count() === 4)
+
+    // replayed micro-batch (store already holds this batch's bands, writes
+    // re-target the same batch subdirs): identical candidates, no
+    // self-pairs, no duplicate band rows
+    val batch2 = Seq((2L, base), (3L, "yet another unrelated document body entirely " * 4))
+      .toDF("doc_id", "text")
+    val replayed = StreamingDedup.processBatch(batch2, bands,
+        batchId = Some(1L))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(replayed === Set((0L, 2L)), s"replay must re-emit exactly the original pairs, got $replayed")
+    assert(!replayed.exists(p => p._1 == p._2), "no self-pairs on replay")
+    assert(spark.read.parquet(bands).select("__id").distinct().count() === 4)
+    assert(spark.read.parquet(bands).count() ===
+      spark.read.parquet(bands).distinct().count(), "band store has no duplicate rows after replay")
   }
 }
