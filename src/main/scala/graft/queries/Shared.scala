@@ -25,11 +25,16 @@ private[queries] object Shared {
 
   /** Cosine>=0.5 pairs within label blocks over `embeddings` — consumed by
     * q_sim2 (the pair list), q_dedup6 (cluster survivors) and q_dedup7
-    * (component labels). */
+    * (component labels). Produced by the LSH-BUCKETED path (candidates
+    * from hyperplane-band bucket collisions, exact re-score of collisions
+    * only — never a block-quadratic self-join); the q_sim2/q_dedup7
+    * oracles verify it equals the exact all-pairs edge list on the
+    * fixtures, and the spec asserts the same against
+    * `Similarity.allPairsAboveThreshold` as ground truth. */
   def cosinePairs(s: SparkSession, d: String): DataFrame =
     Memo.cachedDf(s, s"cosine_pairs|$d") {
-      Similarity.allPairsAboveThreshold(Tables.load(s, d, "embeddings"),
-        "vec_id", "embedding", col("label"), minSim = 0.5)
+      Similarity.lshBucketedPairsAboveThreshold(Tables.load(s, d, "embeddings"),
+        "vec_id", "embedding", col("label"), minSim = 0.5, dim = 64)
     }
 
   /** SQL twin of VectorOps.cosine: same double widening, same in-order

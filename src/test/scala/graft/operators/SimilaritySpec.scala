@@ -83,6 +83,34 @@ class SimilaritySpec extends SparkSpec {
       s"overlap ${exactTop.intersect(quantTop).size}/10")
   }
 
+  test("LSH-bucketed pair list equals exact all-pairs on fixture + planted near-dups") {
+    // planted corpus: per label, random base vectors plus perturbed copies
+    // (cosine ~0.99) — every planted pair must survive the bucketed path
+    val rnd = new scala.util.Random(7)
+    def vec() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    def perturb(v: Array[Float]) = v.map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+    val rows = (0 until 40).flatMap { i =>
+      val base = vec()
+      Seq((i.toLong * 2, i % 4, base), (i.toLong * 2 + 1, i % 4, perturb(base)))
+    }
+    val planted = rows.toDF("vec_id", "label", "embedding")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "sim").as[(Long, Long, Double)].collect().toSet
+    val exact = pairSet(Similarity.allPairsAboveThreshold(
+      planted, "vec_id", "embedding", col("label"), 0.5))
+    val bucketed = pairSet(Similarity.lshBucketedPairsAboveThreshold(
+      planted, "vec_id", "embedding", col("label"), 0.5, dim = 64))
+    assert(exact.size >= 40, s"plant failed: only ${exact.size} qualifying pairs")
+    assert(bucketed === exact,
+      s"missed ${(exact -- bucketed).take(3)} / extra ${(bucketed -- exact).take(3)}")
+    // and on the real fixture (sparse: random vectors rarely clear 0.5)
+    val fxExact = pairSet(Similarity.allPairsAboveThreshold(
+      emb, "vec_id", "embedding", col("label"), 0.5))
+    val fxBucketed = pairSet(Similarity.lshBucketedPairsAboveThreshold(
+      emb, "vec_id", "embedding", col("label"), 0.5, dim = 64))
+    assert(fxBucketed === fxExact)
+  }
+
   test("topKPerGroup returns at most k rows per group, correctly ranked") {
     val df = Seq((1, 10.0), (1, 30.0), (1, 20.0), (2, 5.0)).toDF("g", "v")
     val out = Similarity.topKPerGroup(df, Seq("g"), Seq(col("v").desc), 2)
