@@ -61,6 +61,70 @@ object AsOfJoin {
     joined.select(left.columns.toIndexedSeq.map(col) ++ (timeSel +: valueSel): _*)
   }
 
+  /** Range-join formulation of [[lastAtOrBefore]] — the cheaper plan when
+    * the right side is SMALL (a dimension / calibration table): broadcast
+    * equi-join on the key with the `right.time <= left.time` residual,
+    * then reduce each left row's matches with a max-aggregation on
+    * (time, payload) — map-side combined, so the (left × earlier-rights)
+    * expansion never shuffles. The left side is never sorted and never
+    * co-shuffled with the right, which also sidesteps the hot-key skew a
+    * single key-partitioned timeline sort would hit. Identical output to
+    * [[lastAtOrBefore]] (same at-or-before inclusivity, same max-tieBreak
+    * rule — spec-asserted, and q_join8 runs it against q_join7's oracle).
+    * Wrong shape for a LARGE right side: the join expansion is
+    * O(left × earlier-rights-per-key) rows before the partial aggregate.
+    * [[lastAtOrBeforeAuto]] picks by estimated size. */
+  def lastAtOrBeforeViaRangeJoin(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, leftTime: String,
+      rightKey: String, rightTime: String,
+      rightValueCols: Seq[String], tieBreak: Seq[String],
+      broadcastRight: Boolean = true): DataFrame = {
+    val payloadCols = (rightTime +: tieBreak) ++ rightValueCols
+    // unique per-row grouping handle; dropped before returning, so the
+    // nondeterministic id values never reach the output
+    val l = left.withColumn("__lid", monotonically_increasing_id())
+    val rBase = right.select(col(rightKey).as("__rk"), col(rightTime).as("__rt"),
+      struct(payloadCols.distinct.map(col): _*).as("__rv"))
+    val r = if (broadcastRight) broadcast(rBase) else rBase
+    val joined = l.join(r,
+      col(leftKey) === col("__rk") && col("__rt") <= col(leftTime), "left_outer")
+    // max of (time, payload-struct) == the union-window's last-over-
+    // (time asc, payload asc) frame: latest time wins, then max tieBreak
+    // (payload struct leads with rightTime, then tieBreak). Unmatched left
+    // rows aggregate only nulls => null asof columns.
+    val agg = joined
+      .groupBy((col("__lid") +: left.columns.toIndexedSeq.map(col)): _*)
+      .agg(max(when(col("__rt").isNotNull,
+        struct(col("__rt"), col("__rv")))).as("__m"))
+    val asof = col("__m").getField("__rv")
+    val valueSel = rightValueCols.map(c => asof.getField(c).as(s"asof_$c"))
+    val timeSel = asof.getField(rightTime).as(s"asof_$rightTime")
+    agg.select(left.columns.toIndexedSeq.map(col) ++ (timeSel +: valueSel): _*)
+  }
+
+  /** Picks the [[lastAtOrBefore]] formulation by the optimizer's size
+    * estimate of the right side: under the session's broadcast threshold
+    * => broadcast range-join + max-aggregation; otherwise the
+    * single-shuffle union+window (scales to any right size). */
+  def lastAtOrBeforeAuto(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, leftTime: String,
+      rightKey: String, rightTime: String,
+      rightValueCols: Seq[String], tieBreak: Seq[String]): DataFrame = {
+    val raw = right.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    // the conf accepts both plain longs ("-1" disables) and byte strings ("10MB")
+    val threshold = raw.toLongOption.getOrElse(
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw))
+    val sizeEst = right.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (threshold > 0 && sizeEst <= threshold)
+      lastAtOrBeforeViaRangeJoin(left, right, leftKey, leftTime, rightKey, rightTime,
+        rightValueCols, tieBreak)
+    else
+      lastAtOrBefore(left, right, leftKey, leftTime, rightKey, rightTime,
+        rightValueCols, tieBreak)
+  }
+
   /** Forward as-of: EARLIEST right row with `right.time >= left.time` per
     * key (the "next event after" direction — e.g. first fill after an
     * order). Same union+window shape, mirrored: descending time order,

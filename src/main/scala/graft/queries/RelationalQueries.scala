@@ -113,6 +113,20 @@ object RelationalQueries extends QueryModule {
         .orderBy("o_orderkey")
     }),
 
+    // Q-JOIN8: the SAME as-of semantics via the broadcast range-join +
+    // max-aggregation formulation (the small-right-side plan); verified
+    // against the identical oracle as q_join7 — both formulations must
+    // agree exactly.
+    "q_join8" -> ((s, d) => {
+      val orders = Tables.load(s, d, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+      AsOfJoin.lastAtOrBeforeViaRangeJoin(orders, shiftedEvents(s, d),
+        leftKey = "o_custkey", leftTime = "o_orderdate",
+        rightKey = "user_id", rightTime = "ts2",
+        rightValueCols = Seq(), tieBreak = Seq("event_id"))
+        .select("o_orderkey", "asof_ts2")
+        .orderBy("o_orderkey")
+    }),
+
     "q_sub1" -> (aboveCustomerAvg _),
   )
 
@@ -185,6 +199,11 @@ object RelationalQueries extends QueryModule {
         |  AND e.ts2 >= o.o_orderdate - INTERVAL 30 DAY AND e.ts2 <= o.o_orderdate
         |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
     "q_join7" ->
+      """SELECT o.o_orderkey,
+        |  (SELECT max(e.ts - INTERVAL 29 YEAR) FROM events e
+        |   WHERE e.user_id = o.o_custkey AND e.ts - INTERVAL 29 YEAR <= o.o_orderdate) AS asof_ts2
+        |FROM orders o ORDER BY o.o_orderkey""".stripMargin,
+    "q_join8" ->
       """SELECT o.o_orderkey,
         |  (SELECT max(e.ts - INTERVAL 29 YEAR) FROM events e
         |   WHERE e.user_id = o.o_custkey AND e.ts - INTERVAL 29 YEAR <= o.o_orderdate) AS asof_ts2

@@ -45,25 +45,37 @@ object IncrementalUpdate {
   }
 
   /** Static partition predicate selecting exactly the partitions present
-    * in `incoming`: OR of per-partition AND-equalities, which the scan
-    * planner folds into `PartitionFilters` (plan-asserted in the spec). A
-    * runtime semi join on the partition key does NOT prune here — DPP
-    * declines the shape (no selective predicate on the build side) and the
-    * store scan would read every partition. The collect is one row per
-    * TOUCHED PARTITION (a daily batch touches ≤ one (company, year) per
-    * symbol) — bounded metadata, the same driver-side partition listing a
-    * metastore does, not a data collect. */
+    * in `incoming`, which the scan planner folds into `PartitionFilters`
+    * (plan-asserted in the spec). A runtime semi join on the partition key
+    * does NOT prune here — DPP declines the shape (no selective predicate
+    * on the build side) and the store scan would read every partition. The
+    * collect is one row per TOUCHED PARTITION (a daily batch touches ≤ one
+    * (company, year) per symbol) — bounded metadata, the same driver-side
+    * partition listing a metastore does, not a data collect.
+    *
+    * Shape matters at wide fan-out: a full-universe batch touches 1k+
+    * partitions, and an OR of per-partition AND-equalities builds a
+    * left-deep Column tree that overflows the analyzer's stack around a
+    * thousand terms (measured). Non-null tuples therefore become ONE flat
+    * IN over the partition-column struct; only tuples containing a null
+    * keep the null-safe `<=>` AND form (IN's equality would never match
+    * the store's default partition), and those are rare by construction. */
   def touchedPartitionFilter(incoming: DataFrame, partitionCols: Seq[String]): Column = {
-    val touched = incoming.select(partitionCols.map(col): _*).distinct().collect()
-    touched.toSeq.map { r =>
+    val touched = incoming.select(partitionCols.map(col): _*).distinct().collect().toSeq
+    val (withNull, noNull) =
+      touched.partition(r => partitionCols.indices.exists(r.isNullAt))
+    val inClause =
+      if (noNull.isEmpty) None
+      else if (partitionCols.lengthCompare(1) == 0)
+        Some(col(partitionCols.head).isin(noNull.map(_.get(0)): _*))
+      else Some(struct(partitionCols.map(col): _*).isin(noNull.map(r =>
+        struct(partitionCols.indices.map(i => lit(r.get(i))): _*)): _*))
+    val nullClauses = withNull.map { r =>
       partitionCols.zipWithIndex
-        // null-safe: an incoming null partition value must select the
-        // store's default (null) partition — plain === would never match
-        // it, silently dropping that partition's existing rows from the
-        // upsert read while the dynamic overwrite still rewrites it
         .map { case (c, i) => col(c) <=> lit(r.get(i)) }
         .reduce(_ && _)
-    }.reduceOption(_ || _).getOrElse(lit(false))
+    }
+    (inClause.toSeq ++ nullClauses).reduceOption(_ || _).getOrElse(lit(false))
   }
 
   /** Merge one batch into the partitioned store at `storeDir`. Reads ONLY

@@ -39,6 +39,33 @@ class AsOfJoinSpec extends SparkSpec {
     assert(m("no-right-key") === ((None, None)))
   }
 
+  test("range-join formulation agrees with union+window on every case") {
+    val a = run()
+    val b = AsOfJoin.lastAtOrBeforeViaRangeJoin(left, right,
+      "lk", "lt", "k", "t", rightValueCols = Seq("v"), tieBreak = Seq("eid"))
+      .select("tag", "asof_t", "asof_v").collect()
+      .map(r => r.getString(0) -> ((Option(r.get(1)).map(_.toString), Option(r.get(2))))).toMap
+    assert(a === b)
+  }
+
+  test("auto formulation picks broadcast range-join for a small right side, window for large") {
+    def planOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString
+    // 4-row right side: well under the broadcast threshold
+    val small = planOf(AsOfJoin.lastAtOrBeforeAuto(left, right,
+      "lk", "lt", "k", "t", Seq("v"), Seq("eid")))
+    assert(small.contains("BroadcastHashJoin"), s"expected broadcast plan:\n$small")
+    assert(!small.contains("Window"), "small-right path must not sort a window")
+    // broadcast disabled => same call must fall back to the union+window shape
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val large = planOf(AsOfJoin.lastAtOrBeforeAuto(left, right,
+        "lk", "lt", "k", "t", Seq("v"), Seq("eid")))
+      assert(large.contains("Window"), s"expected union+window plan:\n$large")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("forward as-of: earliest right at-or-after, min tie-break") {
     val out = AsOfJoin.firstAtOrAfter(left, right, "lk", "lt", "k", "t",
       Seq("v"), Seq("eid"))

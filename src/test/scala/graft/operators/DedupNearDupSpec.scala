@@ -43,6 +43,48 @@ class DedupNearDupSpec extends SparkSpec {
     assert(est === 1.0)
   }
 
+  test("derived MinHash family matches the direct per-permutation family's accuracy") {
+    // minhashSignatures derives its k permutation hashes from one 8-byte
+    // base hash (O(len+k) per shingle) instead of re-hashing the string k
+    // times (O(len*k)). This locks in that the derived family kept its
+    // estimator quality: on planted near-dups both families' Jaccard
+    // estimates track the TRUE shingle Jaccard with comparable error.
+    val n = 3; val k = 64
+    val corpus = graft.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").limit(200)
+    // direct family: k independent hashes of the shingle STRING
+    val sh = NearDup.withShingles(
+        corpus.select(col("doc_id").as("__id"), col("text").as("__t")), col("__t"), n)
+      .select(col("__id"), explode(col("__sh")).as("__s"))
+    val directSig = sh.groupBy("__id")
+      .agg(array((0 until k).map(h => min(xxhash64(col("__s"), lit(h)))): _*).as("__sig"))
+    val derivedSig = NearDup.minhashSignatures(corpus, "doc_id", col("text"), n, k)
+    // true Jaccard over the same shingle sets, exact
+    val truth = NearDup.exactJaccardPairs(corpus, "doc_id", col("text"),
+      block = lit(0), shingleN = n, minSim = 0.0)
+    def estOf(sig: org.apache.spark.sql.DataFrame) = truth
+      .join(sig.select(col("__id").as("id_a"), col("__sig").as("__sa")), "id_a")
+      .join(sig.select(col("__id").as("id_b"), col("__sig").as("__sb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("jaccard"),
+        NearDup.estJaccard(col("__sa"), col("__sb"), k).as("est"))
+    val err = estOf(derivedSig).select(avg(abs(col("est") - col("jaccard"))))
+      .as[Double].head()
+    val errDirect = estOf(directSig).select(avg(abs(col("est") - col("jaccard"))))
+      .as[Double].head()
+    info(f"mean |est - true|: derived $err%.4f, direct $errDirect%.4f (k=$k)")
+    // both families behave like k-permutation MinHash (std ~ sqrt(J(1-J)/k))
+    assert(err < 0.08, f"derived family error $err%.4f too large")
+    assert(err <= errDirect + 0.02,
+      f"derived $err%.4f materially worse than direct $errDirect%.4f")
+    // and identical docs still estimate exactly 1.0 under the derived family
+    val idDup = Seq((0L, base), (1L, base)).toDF("doc_id", "text")
+    val s = NearDup.minhashSignatures(idDup, "doc_id", col("text"), n, k)
+    val est = s.where(col("__id") === 0).select(col("__sig").as("__sa"))
+      .crossJoin(s.where(col("__id") === 1).select(col("__sig").as("__sb")))
+      .select(NearDup.estJaccard(col("__sa"), col("__sb"), k)).as[Double].head()
+    assert(est === 1.0)
+  }
+
   test("SimHash: identical docs get hamming 0 and are guaranteed candidates") {
     val sh = NearDup.simhash(docs, "doc_id", col("text"))
     val sigs = sh.as[(Long, Long)].collect().toMap

@@ -74,6 +74,38 @@ class IncrementalUpdateSpec extends SparkSpec {
     assert(pruned.select("company", "year").distinct().count() === 1)
   }
 
+  test("touchedPartitionFilter at 1k+ touched partitions: plan-time sane, pruning fires") {
+    // a full-universe daily batch (the reference's ~1,062 symbols) touches
+    // 1k+ (company, year) partitions — the OR-of-ANDs predicate must not
+    // blow up analysis/planning, and must still reach PartitionFilters
+    val store = Files.createTempDirectory("graft_fanout_store").toString + "/s"
+    spark.range(60).select(
+        concat(lit("C"), format_string("%03d", col("id") % 30)).as("company"),
+        (lit(2023) + col("id").divide(30).cast("int")).as("year"),
+        col("id").as("v"))
+      .write.partitionBy("company", "year").parquet(store)
+    val incoming = spark.range(1050).select(
+      concat(lit("C"), format_string("%03d", col("id") % 525)).as("company"),
+      (lit(2023) + col("id").divide(525).cast("int")).as("year"))
+    val t0 = System.nanoTime()
+    val pruned = spark.read.parquet(store)
+      .where(IncrementalUpdate.touchedPartitionFilter(incoming, Seq("company", "year")))
+    val plan = pruned.queryExecution.executedPlan.toString // forces full planning
+    val planSec = (System.nanoTime() - t0) / 1e9
+    info(f"planned 1050-partition predicate in $planSec%.1f s")
+    assert(planSec < 30.0, f"planning took $planSec%.1f s — fall back to an IN-tuple filter")
+    assert(plan.contains("PartitionFilters: ["), plan.take(600))
+    // every store partition is inside the touched set (C000-C029 x both years)
+    assert(pruned.select("company", "year").distinct().count() === 60)
+    // a disjoint 1k-partition batch prunes the scan to nothing
+    val disjoint = spark.range(1000).select(
+      concat(lit("X"), col("id").cast("string")).as("company"),
+      lit(2023).as("year"))
+    val none = spark.read.parquet(store)
+      .where(IncrementalUpdate.touchedPartitionFilter(disjoint, Seq("company", "year")))
+    assert(none.count() === 0)
+  }
+
   test("upsert is last-writer-wins and passes unmatched rows through") {
     val existing = Seq((1L, "old"), (2L, "keep")).toDF("k", "v")
     val incoming = Seq((1L, "new"), (3L, "ins")).toDF("k", "v")

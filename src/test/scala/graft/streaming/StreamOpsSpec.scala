@@ -34,6 +34,34 @@ class StreamOpsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("batch-vs-stream parity: tumbling, sliding, session windows on the fixture") {
+    // the q_strm1-3 batch twins are oracle-checked; this closes the loop by
+    // asserting the STREAMING execution of the same functions over the same
+    // fixture rows (fed as three micro-batches) produces identical results
+    val slice = graft.Tables.load(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .as[Ev].collect().sortBy(_.event_id).take(600)
+    assert(slice.length === 600, "fixture slice short")
+    val batches = slice.grouped(200).toSeq
+    def parity(op: DataFrame => DataFrame, label: String): Unit = {
+      val expected = op(slice.toSeq.toDF()).collect().map(_.toString).sorted
+      val mem = MemoryStream[Ev](spark)
+      val name = s"t${System.nanoTime()}"
+      // Complete mode: the final result table equals the batch result
+      // regardless of how rows were split across micro-batches
+      val q = op(mem.toDF()).writeStream.format("memory")
+        .queryName(name).outputMode(OutputMode.Complete()).start()
+      try {
+        batches.foreach { b => mem.addData(b.toSeq); q.processAllAvailable() }
+        val got = spark.table(name).collect().map(_.toString).sorted
+        assert(got === expected, s"$label: stream result differs from batch twin")
+      } finally q.stop()
+    }
+    parity(StreamOps.tumblingHourly, "tumbling")
+    parity(StreamOps.slidingHourly, "sliding")
+    parity(StreamOps.sessionized, "session")
+  }
+
   test("S-STRM4: watermark drops events later than 10 minutes behind max ts") {
     val rows = runBatches(StreamOps.watermarkedTumbling, OutputMode.Append(),
       // batch 1: window [10:00,11:00) gets 2 events; max ts 11:30
