@@ -124,6 +124,67 @@ object TextOps {
     transform(starts, s => substring(text, s, lit(chunkChars)))
   }
 
+  /** Train/eval decontamination report — the overlap check every LLM data
+    * pipeline runs before training: for each eval document, how many of its
+    * distinct word n-gram shingles also occur anywhere in the train corpus.
+    * Returns (idCol, n_shingles, n_shared, contamination) per eval doc with
+    * >= shingleN tokens; `contamination` = n_shared / n_shingles.
+    *
+    * Scale shape: the train side collapses to DISTINCT shingle hashes (the
+    * big reduction — corpus-size-independent output for bounded
+    * vocabulary), then ONE hash-partitioned join on the 8-byte shingle
+    * hash; no doc×doc comparison anywhere. At 100 TB the train shingle set
+    * is a persisted table keyed by hash, and each eval batch joins against
+    * it — the same incremental-index shape as the LSH band store. */
+  def contaminationReport(train: org.apache.spark.sql.DataFrame,
+                          eval: org.apache.spark.sql.DataFrame,
+                          idCol: String, text: Column,
+                          shingleN: Int = 3): org.apache.spark.sql.DataFrame = {
+    val trainSh = NearDup.withShingles(
+        train.select(text.as("__text")), col("__text"), shingleN)
+      .select(explode(col("__sh")).as("__s"))
+      .select(xxhash64(col("__s")).as("__h")).distinct()
+    val evalSh = NearDup.withShingles(
+        eval.select(col(idCol), text.as("__text")), col("__text"), shingleN)
+      .select(col(idCol), explode(col("__sh")).as("__s"))
+      .select(col(idCol), xxhash64(col("__s")).as("__h"))
+    evalSh.join(trainSh.withColumn("__hit", lit(1L)), Seq("__h"), "left_outer")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_shared"))
+      .withColumn("contamination",
+        col("n_shared").cast("double") / col("n_shingles").cast("double"))
+  }
+
+  /** Gopher-style repetition signals per document — the repetition family
+    * of quality filters (duplicate-word fraction, most-frequent-bigram
+    * fraction): highly repetitive documents are low-quality training data.
+    * Returns (idCol, n_words, dup_word_frac, top_bigram_frac) for docs
+    * with >= 2 tokens. The bigram mode is computed as an exploded
+    * aggregation (groupBy doc+bigram, then max) — a nested-HOF
+    * count-within-array would fall out of codegen and re-scan the token
+    * array per element. */
+  def repetitionReport(docs: org.apache.spark.sql.DataFrame,
+                       idCol: String, text: Column): org.apache.spark.sql.DataFrame = {
+    val base = docs.select(col(idCol), tokens(text).as("__toks"))
+      .where(size(col("__toks")) >= 2)
+    val perDoc = base.select(col(idCol),
+      size(col("__toks")).cast("long").as("n_words"),
+      size(array_distinct(col("__toks"))).cast("long").as("__nd"))
+    val bigrams = base.select(col(idCol),
+      explode(transform(sequence(lit(1), size(col("__toks")) - 1), i =>
+        concat_ws(" ", element_at(col("__toks"), i),
+          element_at(col("__toks"), i + 1)))).as("__bg"))
+    val top = bigrams.groupBy(col(idCol), col("__bg")).agg(count(lit(1)).as("__c"))
+      .groupBy(idCol).agg(max(col("__c")).as("__top"), sum(col("__c")).as("__nbg"))
+    perDoc.join(top, Seq(idCol))
+      .select(col(idCol), col("n_words"),
+        (lit(1.0) - col("__nd").cast("double") / col("n_words").cast("double"))
+          .as("dup_word_frac"),
+        (col("__top").cast("double") / col("__nbg").cast("double"))
+          .as("top_bigram_frac"))
+  }
+
   /** Rolling polynomial (Karp-Rabin) fingerprint over the token stream:
     * fp = fold(tokens, 0, (acc, t) -> (acc*B + h(t)) mod M). Default
     * implementation is the codegen'd custom expression

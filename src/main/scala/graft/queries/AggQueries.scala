@@ -60,6 +60,21 @@ object AggQueries extends QueryModule {
         .agg(approx_count_distinct(col("o_custkey")).as("approx_cust"))
         .orderBy("o_orderstatus")),
 
+    // Mergeable distinct-count sketches (Apache DataSketches HLL): build
+    // one sketch PER MONTH of events, then union-merge the sketches into
+    // the total distinct-user estimate — the incremental shape for
+    // distinct counts at scale (per-partition sketches are persisted and
+    // re-merged instead of rescanning history; no oracle — sketch
+    // estimate; merge-equals-whole is property-tested).
+    "q_agg14" -> ((s, d) => {
+      val monthly = Tables.load(s, d, "events")
+        .groupBy(date_trunc("month", col("ts")).as("m"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      monthly.agg(
+          count(lit(1)).as("n_months"),
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
+    }),
+
     // Q-AGG5: ROLLUP over the region->nation hierarchy.
     "q_agg5" -> ((s, d) =>
       Tables.load(s, d, "customer")

@@ -214,6 +214,23 @@ object TextDedupQueries extends QueryModule {
       NearDup.exactJaccardPairsBlocked(Tables.load(s, d, "documents"), "doc_id",
         col("text"), col("lang"), shingleN = 3, minSim = 0.05)
         .orderBy("id_a", "id_b")),
+
+    // Decontamination: eval split (doc_id % 10 == 0) checked for 3-gram
+    // shingle overlap against the train split — one hash join on shingle
+    // hashes, never doc x doc.
+    "q_txt11" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      TextOps.contaminationReport(
+        docs.where(col("doc_id") % 10 =!= 0),
+        docs.where(col("doc_id") % 10 === 0),
+        "doc_id", col("text"), shingleN = 3)
+        .orderBy("doc_id")
+    }),
+
+    // Repetition quality filters: duplicate-word and top-bigram fractions.
+    "q_txt12" -> ((s, d) =>
+      TextOps.repetitionReport(Tables.load(s, d, "documents"), "doc_id", col("text"))
+        .orderBy("doc_id")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -316,5 +333,33 @@ object TextDedupQueries extends QueryModule {
          |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
          |WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.05
          |ORDER BY id_a, id_b""".stripMargin,
+    "q_txt11" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
+         |sh AS (SELECT doc_id,
+         |         unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+         |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+         |       FROM t WHERE len(toks) >= 3),
+         |tr AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 <> 0),
+         |ev AS (SELECT doc_id, s FROM sh WHERE doc_id % 10 = 0)
+         |SELECT ev.doc_id, COUNT(*) AS n_shingles,
+         |  CAST(SUM(CASE WHEN tr.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+         |  CAST(SUM(CASE WHEN tr.s IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS contamination
+         |FROM ev LEFT JOIN tr ON ev.s = tr.s
+         |GROUP BY ev.doc_id ORDER BY ev.doc_id""".stripMargin,
+    "q_txt12" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
+         |base AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+         |perdoc AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+         |             CAST(len(list_distinct(toks)) AS BIGINT) AS nd FROM base),
+         |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |         i -> toks[i] || ' ' || toks[i+1])) AS s FROM base),
+         |top AS (SELECT doc_id, max(c) AS top_n, CAST(SUM(c) AS BIGINT) AS n_bg
+         |        FROM (SELECT doc_id, s, COUNT(*) AS c FROM bg GROUP BY 1, 2)
+         |        GROUP BY doc_id)
+         |SELECT p.doc_id, n_words,
+         |  CAST(1 AS DOUBLE) - CAST(nd AS DOUBLE) / CAST(n_words AS DOUBLE) AS dup_word_frac,
+         |  CAST(top_n AS DOUBLE) / CAST(n_bg AS DOUBLE) AS top_bigram_frac
+         |FROM perdoc p JOIN top USING (doc_id) ORDER BY p.doc_id""".stripMargin,
   )
 }

@@ -98,6 +98,17 @@ object WindowQueries extends QueryModule {
         .orderBy("o_orderstatus", "o_totalprice", "o_orderkey")
     }),
 
+    // Quantile binning: ntile deciles of order value within each status —
+    // the feature-bucketing shape (per-group window, total order => exact).
+    "q_win7" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.load(s, d, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        ntile(10).over(w).cast("long").as("decile"))
+        .orderBy("o_orderstatus", "o_totalprice", "o_orderkey")
+    }),
+
     // U-UDF1: the one deliberate scalar `udf()` registration demo
     // (SURVEY.md §2.B U-UDF1) — same answer as q_win2, with the return
     // computed by a registered UDF instead of a Column expression. Kept as
@@ -173,6 +184,10 @@ object WindowQueries extends QueryModule {
         |  nth_value(o_totalprice, 3) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_price
         |FROM orders WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_orderstatus, o_totalprice, o_orderkey""".stripMargin,
+    "q_win7" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |  CAST(ntile(10) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS decile
+        |FROM orders ORDER BY o_orderstatus, o_totalprice, o_orderkey""".stripMargin,
     "q_udf1" ->
       """SELECT event_id, user_id, value, prev_value, value / nullif(prev_value, 0.0) - 1 AS ret
         |FROM (SELECT event_id, user_id, value,

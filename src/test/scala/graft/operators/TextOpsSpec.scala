@@ -14,6 +14,37 @@ class TextOpsSpec extends SparkSpec {
       === Seq("hello", "world", "foo", "bar"))
   }
 
+  test("contamination report: copied eval doc scores 1.0, fresh doc 0.0, partial in between") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),   // exact copy
+      (11L, "totally novel words nowhere else written down"),   // fresh
+      (12L, "one two three four unique closing words here")     // partial prefix
+    ).toDF("doc_id", "text")
+    val m = TextOps.contaminationReport(train, eval, "doc_id", col("text"))
+      .select("doc_id", "contamination").as[(Long, Double)].collect().toMap
+    assert(m(10L) === 1.0)
+    assert(m(11L) === 0.0)
+    assert(m(12L) > 0.0 && m(12L) < 1.0, s"partial overlap got ${m(12L)}")
+  }
+
+  test("repetition report: repeated text scores high, diverse text low") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"),
+      (2L, "eight entirely different tokens appear exactly once here")
+    ).toDF("doc_id", "text")
+    val m = TextOps.repetitionReport(docs, "doc_id", col("text"))
+      .select("doc_id", "dup_word_frac", "top_bigram_frac")
+      .as[(Long, Double, Double)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(m(1L)._1 === 1.0 - 1.0 / 8.0) // one distinct word of eight
+    assert(m(1L)._2 === 1.0)             // every bigram is "spam spam"
+    assert(m(2L)._1 === 0.0)
+    assert(m(2L)._2 === 1.0 / 7.0)       // 7 bigrams, all unique
+  }
+
   test("BPE-ish token count: letter runs, digit runs, single punctuation") {
     assert(one(TextOps.bpeishTokenCount(col("text")), "ab12cd, x!") === 6L)
     // ab | 12 | cd | , | x | !
