@@ -185,6 +185,23 @@ object TextOps {
           .as("top_bigram_frac"))
   }
 
+  /** PII scrubbing — the redaction pass a pre-training pipeline runs over
+    * raw text: masks email addresses and phone-like number groups and
+    * reports how many of each were found. Patterns are deliberately in the
+    * RE2-compatible subset (no backrefs/lookaround) so the engine and the
+    * SQL oracle twin apply byte-identical semantics. Pure expressions:
+    * scrubbing runs at scan speed inside codegen. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "[0-9]{3}[-.][0-9]{3,4}([-.][0-9]{4})?"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, emailPattern, "<EMAIL>"),
+      phonePattern, "<PHONE>")
+
+  def piiCounts(text: Column): (Column, Column) =
+    (regexp_count(text, lit(emailPattern)).cast("long"),
+     regexp_count(text, lit(phonePattern)).cast("long"))
+
   /** Rolling polynomial (Karp-Rabin) fingerprint over the token stream:
     * fp = fold(tokens, 0, (acc, t) -> (acc*B + h(t)) mod M). Default
     * implementation is the codegen'd custom expression

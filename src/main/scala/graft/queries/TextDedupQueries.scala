@@ -231,6 +231,19 @@ object TextDedupQueries extends QueryModule {
     "q_txt12" -> ((s, d) =>
       TextOps.repetitionReport(Tables.load(s, d, "documents"), "doc_id", col("text"))
         .orderBy("doc_id")),
+
+    // PII scrubbing: deterministic synthetic PII is appended per doc (the
+    // fixture has none), then redacted and counted — the pre-training
+    // scrub pass, at scan speed, oracle-checked byte-for-byte.
+    "q_txt13" -> ((s, d) => {
+      val enriched = Tables.load(s, d, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or 555-0123 now")).as("t"))
+      val (ne, np) = TextOps.piiCounts(col("t"))
+      enriched.select(col("doc_id"), ne.as("n_emails"), np.as("n_phones"),
+          TextOps.redactPii(col("t")).as("clean"))
+        .orderBy("doc_id")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -361,5 +374,15 @@ object TextDedupQueries extends QueryModule {
          |  CAST(1 AS DOUBLE) - CAST(nd AS DOUBLE) / CAST(n_words AS DOUBLE) AS dup_word_frac,
          |  CAST(top_n AS DOUBLE) / CAST(n_bg AS DOUBLE) AS top_bigram_frac
          |FROM perdoc p JOIN top USING (doc_id) ORDER BY p.doc_id""".stripMargin,
+    "q_txt13" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-0123 now' AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '${TextOps.emailPattern}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t, '${TextOps.phonePattern}')) AS BIGINT) AS n_phones,
+         |  regexp_replace(regexp_replace(t, '${TextOps.emailPattern}', '<EMAIL>', 'g'),
+         |    '${TextOps.phonePattern}', '<PHONE>', 'g') AS clean
+         |FROM t ORDER BY doc_id""".stripMargin,
   )
 }

@@ -91,6 +91,57 @@ object StreamOps {
       }
   }
 
+  /** A closed (or in-flight) user session materialized by
+    * [[sessionsWithTimeout]]. */
+  case class SessionClosed(user_id: Long, session_start: java.sql.Timestamp,
+                           session_end: java.sql.Timestamp, n_ev: Long)
+
+  /** S-STRM6: explicit session materialization with EVENT-TIME TIMEOUT —
+    * the session shape `session_window` can't express: a session row is
+    * emitted exactly once, when it CLOSES (either a later event opens the
+    * next session, or the watermark passes the gap with no successor).
+    * State per user is one small (start, end, count) triple; the timeout
+    * releases it, so state size tracks ACTIVE users, not history — the
+    * property that keeps this bounded on an unbounded stream. Gap
+    * boundary is inclusive (<= gap merges), matching `session_window` /
+    * the q_strm3 oracle. Requires `withWatermark("ts", ...)` upstream;
+    * emits in Append mode. */
+  def sessionsWithTimeout(events: Dataset[(Long, java.sql.Timestamp)],
+                          gapMinutes: Int): Dataset[SessionClosed] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionClosed, SessionClosed](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, rows, state: GroupState[SessionClosed]) =>
+          if (state.hasTimedOut) {
+            val closed = state.get
+            state.remove()
+            Iterator(closed)
+          } else {
+            val closed = Seq.newBuilder[SessionClosed]
+            var cur = state.getOption
+            rows.toSeq.sortBy(_._2.getTime).foreach { case (_, ts) =>
+              cur match {
+                case Some(s) if ts.getTime <= s.session_end.getTime + gapMs =>
+                  cur = Some(s.copy(session_end = ts, n_ev = s.n_ev + 1))
+                case Some(s) =>
+                  closed += s
+                  cur = Some(SessionClosed(user, ts, ts, 1L))
+                case None =>
+                  cur = Some(SessionClosed(user, ts, ts, 1L))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.session_end.getTime + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Streaming sink twin of the reference's partitioned landing (R10/R11):
     * drain a stream into date-partitioned Snappy Parquet via the NATIVE
     * parquet file sink + AvailableNow — no manual temp-dir/cleanup dance

@@ -122,6 +122,38 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("S-STRM6: sessions close on the next event OR on event-time timeout, exactly once") {
+    val mem = MemoryStream[(Long, java.sql.Timestamp)](spark)
+    val name = s"t${System.nanoTime()}"
+    val withWm = mem.toDF().toDF("user_id", "ts").withWatermark("ts", "0 seconds")
+    import spark.implicits._
+    val q = StreamOps.sessionsWithTimeout(withWm.as[(Long, java.sql.Timestamp)], 30)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    def closed() = spark.table(name)
+      .select("user_id", "session_start", "n_ev")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2))).toSet
+    try {
+      // session A: two events 10 min apart
+      mem.addData((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:10:00")))
+      q.processAllAvailable()
+      assert(closed().isEmpty, "open session must not be emitted")
+      // an event far later CLOSES session A in-line (same user)
+      mem.addData((1L, ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      assert(closed() === Set((1L, "2024-01-01 10:00:00.0", 2L)))
+      // another user's event pushes the WATERMARK past session B's gap —
+      // the timeout path must close it without any user-1 event arriving
+      mem.addData((2L, ts("2024-01-01 15:00:00")))
+      q.processAllAvailable()
+      mem.addData((2L, ts("2024-01-01 15:01:00")))
+      q.processAllAvailable()
+      assert(closed().contains((1L, "2024-01-01 12:00:00.0", 1L)),
+        s"timeout must close the 12:00 session, got ${closed()}")
+      // no double emission of session A
+      assert(closed().count(_._2 == "2024-01-01 10:00:00.0") === 1)
+    } finally q.stop()
+  }
+
   test("session_window boundary: a gap of exactly 30 min MERGES (inclusive)") {
     // SURVEY.md §7.4.4 flagged this boundary; empirically Spark 4.1 merges
     // the boundary-equal event. The SQL oracle twin mirrors with `<=`.
