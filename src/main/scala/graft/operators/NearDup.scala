@@ -131,14 +131,16 @@ object NearDup {
 
   /** 64-bit SimHash of a token multiset: bit b is the sign of
     * sum(tf * (hash bit b ? +1 : -1)). Computed as an exploded aggregation
-    * (scales to any doc length; one shuffle on doc id). */
+    * over token OCCURRENCES — summing ±1 per occurrence is identical to
+    * tf-weighting per distinct token, so no intermediate (doc, token, tf)
+    * aggregation level exists: ONE map-side-combined shuffle on doc id,
+    * whatever the doc length. */
   def simhash(docs: DataFrame, idCol: String, text: Column): DataFrame = {
     val toks = docs.select(col(idCol).as("__id"), explode(TextOps.tokens(text)).as("__tok"))
-      .groupBy("__id", "__tok").agg(count(lit(1)).as("__tf"))
-      .withColumn("__h", xxhash64(col("__tok")))
+      .select(col("__id"), xxhash64(col("__tok")).as("__h"))
     val bitSums = (0 until 64).map { bb =>
-      sum(when(col("__h").bitwiseAND(lit(1L << bb)) =!= 0, col("__tf"))
-        .otherwise(-col("__tf"))).as(s"__b$bb")
+      sum(when(col("__h").bitwiseAND(lit(1L << bb)) =!= 0, lit(1L))
+        .otherwise(lit(-1L))).as(s"__b$bb")
     }
     val sums = toks.groupBy("__id").agg(bitSums.head, bitSums.tail: _*)
     val sh = (0 until 64).foldLeft(lit(0L)) { (acc, bb) =>

@@ -128,6 +128,22 @@ object RelationalQueries extends QueryModule {
     }),
 
     "q_sub1" -> (aboveCustomerAvg _),
+
+    // SCD2 dimension history: snapshot 1 = customer balances, snapshot 2 a
+    // month later with every 7th key changed and every 13th key deleted —
+    // the type-2 history must close/open exactly the right intervals.
+    "q_scd1" -> ((s, d) => {
+      val cust = Tables.load(s, d, "customer")
+      val s1 = cust.select(col("c_custkey"), col("c_acctbal").as("acctbal"))
+      val s2 = cust.where(col("c_custkey") % 13 =!= 0)
+        .select(col("c_custkey"),
+          (col("c_acctbal") +
+            when(col("c_custkey") % 7 === 0, lit(100.0)).otherwise(lit(0.0))).as("acctbal"))
+      val h1 = graft.operators.Scd2.init(s1, to_date(lit("2024-01-01")))
+      graft.operators.Scd2.applySnapshot(h1, s2,
+          Seq("c_custkey"), Seq("acctbal"), to_date(lit("2024-02-01")))
+        .orderBy("c_custkey", "valid_from")
+    }),
   )
 
   /** Correlated-aggregate subquery shape: orders above their customer's
@@ -208,5 +224,20 @@ object RelationalQueries extends QueryModule {
         |  (SELECT max(e.ts - INTERVAL 29 YEAR) FROM events e
         |   WHERE e.user_id = o.o_custkey AND e.ts - INTERVAL 29 YEAR <= o.o_orderdate) AS asof_ts2
         |FROM orders o ORDER BY o.o_orderkey""".stripMargin,
+    "q_scd1" ->
+      """WITH s1 AS (SELECT c_custkey, c_acctbal AS bal FROM customer),
+        |s2 AS (SELECT c_custkey,
+        |         c_acctbal + CASE WHEN c_custkey % 7 = 0 THEN 100.0 ELSE 0.0 END AS bal
+        |       FROM customer WHERE c_custkey % 13 <> 0)
+        |SELECT * FROM (
+        |  SELECT s1.c_custkey, s1.bal AS acctbal, DATE '2024-01-01' AS valid_from,
+        |    CASE WHEN s2.c_custkey IS NULL OR s2.bal <> s1.bal
+        |         THEN DATE '2024-02-01' END AS valid_to,
+        |    COALESCE(s2.c_custkey IS NOT NULL AND s2.bal = s1.bal, FALSE) AS is_current
+        |  FROM s1 LEFT JOIN s2 ON s1.c_custkey = s2.c_custkey
+        |  UNION ALL
+        |  SELECT s2.c_custkey, s2.bal, DATE '2024-02-01', NULL, TRUE
+        |  FROM s2 JOIN s1 ON s1.c_custkey = s2.c_custkey WHERE s2.bal <> s1.bal
+        |) ORDER BY c_custkey, valid_from""".stripMargin,
   )
 }
