@@ -32,12 +32,17 @@ object Scd2 {
     *  - key only in history → closed at `asOf` (deleted from the dim)
     *  - key only in snapshot → new current row
     * Tracked comparison is null-safe (`<=>`): a null value is a value,
-    * not a perpetual change. */
+    * not a perpetual change.
+    *
+    * Single-pass shape: ONE full-outer join, then each joined row
+    * explodes into its 1–2 output rows (kept | closed [+ opened]) — a
+    * per-branch filter+union would re-plan the join once per branch and
+    * scan both inputs three times (plan-asserted in PlanShapeSpec). */
   def applySnapshot(history: DataFrame, snapshot: DataFrame,
                     keyCols: Seq[String], trackedCols: Seq[String],
                     asOf: Column): DataFrame = {
-    require(history.columns.toSet ==
-      (keyCols ++ trackedCols ++ Seq("valid_from", "valid_to", "is_current")).toSet,
+    val outCols = keyCols ++ trackedCols ++ Seq("valid_from", "valid_to", "is_current")
+    require(history.columns.toSet == outCols.toSet,
       s"history columns ${history.columns.mkString(",")} must be exactly keys + tracked + bookkeeping")
     val current = history.where(col("is_current"))
     val past = history.where(!col("is_current"))
@@ -49,18 +54,22 @@ object Scd2 {
     val inSnap = col(s"__k_${keyCols.head}").isNotNull
     val inHist = col(keyCols.head).isNotNull
     val changed = trackedCols.map(c => !(col(c) <=> col(s"__v_$c"))).reduce(_ || _)
-    val histCols = current.columns.toIndexedSeq.map(col)
-    val kept = j.where(inHist && inSnap && !changed).select(histCols: _*)
-    val closedNow = j.where(inHist && (!inSnap || changed)).select(histCols: _*)
-      .withColumn("valid_to", asOf)
-      .withColumn("is_current", lit(false))
-    val opened = j.where(inSnap && (!inHist || changed))
-      .select(keyCols.map(c => col(s"__k_$c").as(c)) ++
-        trackedCols.map(c => col(s"__v_$c").as(c)): _*)
-      .withColumn("valid_from", asOf)
-      .withColumn("valid_to", lit(null).cast("date"))
-      .withColumn("is_current", lit(true))
-    past.unionByName(kept).unionByName(closedNow).unionByName(opened)
+    val kept = struct(outCols.map(c => col(c).as(c)): _*)
+    val closed = struct(
+      (keyCols ++ trackedCols :+ "valid_from").map(c => col(c).as(c)) ++
+        Seq(asOf.as("valid_to"), lit(false).as("is_current")): _*)
+    val opened = struct(
+      keyCols.map(c => col(s"__k_$c").as(c)) ++
+        trackedCols.map(c => col(s"__v_$c").as(c)) ++
+        Seq(asOf.as("valid_from"), lit(null).cast("date").as("valid_to"),
+          lit(true).as("is_current")): _*)
+    val rowsOut =
+      when(inHist && inSnap && !changed, array(kept))
+        .when(inHist && inSnap && changed, array(closed, opened))
+        .when(inHist && !inSnap, array(closed))
+        .otherwise(array(opened))
+    past.select(outCols.map(col): _*)
+      .unionByName(j.select(explode(rowsOut).as("__r")).select(col("__r.*")))
   }
 
   /** Point-in-time view of a type-2 history: the dimension exactly as it

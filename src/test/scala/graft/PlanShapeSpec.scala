@@ -84,6 +84,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(dim.queryExecution.executedPlan.toString.contains("SinglePartition"))
   }
 
+  test("q_txt11 decontamination: hash join on shingle hashes, never doc x doc") {
+    val p = plan("q_txt11", graft.queries.TextDedupQueries)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(800))
+    // train side must collapse to DISTINCT shingle hashes before the join
+    assert(p.contains("HashAggregate"), "distinct-shingle aggregation expected")
+  }
+
+  test("lshBucketedPairsAboveThreshold: bucket-collision joins only, sketch computed once") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val p = operators.Similarity.lshBucketedPairsAboveThreshold(
+        emb, "vec_id", "embedding", col("label"), 0.5, dim = 64)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(800))
+    // the banded table is materialized (localCheckpoint -> ExistingRDD scan),
+    // so the hyperplane sketch pipeline exists ZERO times in this plan
+    assert(p.contains("Scan ExistingRDD"), p.take(800))
+  }
+
+  test("q_scd1: one join for the snapshot diff, no shuffle of the closed history") {
+    val p = plan("q_scd1", graft.queries.RelationalQueries)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(800))
+    // kept/closed/opened are three selections of ONE full-outer join —
+    // exactly one join operator in the whole plan
+    val joins = "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r.findAllIn(p).length
+    assert(joins === 1, s"expected exactly 1 join, found $joins:\n${p.take(800)}")
+  }
+
   test("partitioned write + year-filtered read hits PartitionFilters, not data filters") {
     val dir = Files.createTempDirectory("graft_part").toString
     val li = Tables.load(spark, sf, "lineitem")
