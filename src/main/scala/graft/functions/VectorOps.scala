@@ -18,7 +18,14 @@ object VectorOps {
   private def fsum(arr: Column): Column =
     aggregate(arr, lit(0.0), (acc, x) => acc + x)
 
-  def dot(a: Column, b: Column): Column =
+  /** Codegen'd in-order dot product (graft.functions.DotProduct) — the
+    * LSH-sketch inner loop (~100 evaluations per row under multi-band
+    * bucketing). Bitwise-equal to [[dotHof]], the interpreted reference. */
+  def dot(a: Column, b: Column): Column = DotProduct(a, b)
+
+  /** Reference HOF dot product (same fold order) for cross-checking the
+    * custom expression; interpreted, allocates the product array. */
+  def dotHof(a: Column, b: Column): Column =
     fsum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
 
   def norm2(a: Column): Column =
@@ -36,7 +43,7 @@ object VectorOps {
     * expression — raw `Divide` would raise under ANSI mode where the
     * codegen'd form's Java division would yield NaN. */
   def cosineHof(a: Column, b: Column): Column =
-    dot(a, b) / nullif(norm2(a) * norm2(b), lit(0.0))
+    dotHof(a, b) / nullif(norm2(a) * norm2(b), lit(0.0))
 
   /** L2 (Euclidean) distance. */
   def l2(a: Column, b: Column): Column =
@@ -55,8 +62,8 @@ object VectorOps {
     transform(vec, x => round(x.cast("double") / s * 127.0).cast("tinyint"))
   }
 
-  /** Cosine over int8-quantized vectors (same fold order as [[cosineHof]],
-    * zero-norm -> null). Inputs are tinyint arrays; math in double. */
-  def cosineInt8(a: Column, b: Column): Column =
-    dot(a, b) / nullif(norm2(a) * norm2(b), lit(0.0))
+  /** Cosine over int8-quantized vectors: the fused codegen expression
+    * (CosineSimilarity dispatches on element type — tinyint here), same
+    * in-order double fold as the HOF form, zero-norm -> null. */
+  def cosineInt8(a: Column, b: Column): Column = CosineSimilarity(a, b)
 }

@@ -23,6 +23,31 @@ class CustomExpressionSpec extends SparkSpec {
     assert(df.select(CosineSimilarity(col("a"), col("b"))).head().isNullAt(0))
   }
 
+  test("DotProduct is bitwise-identical to the HOF fold across element types") {
+    // float x double: the lshBucket shape (embedding . literal hyperplane)
+    val plane = graft.operators.Similarity.hyperplanes(1, 64)
+    val fd = emb.select(
+        VectorOps.dot(col("embedding"), element_at(plane, 1)).as("fast"),
+        VectorOps.dotHof(col("embedding"), element_at(plane, 1)).as("ref"))
+      .where(col("fast") =!= col("ref")).count()
+    assert(fd === 0L)
+    // tinyint x tinyint: the int8-quantized path
+    val q8 = emb.select(VectorOps.quantizeInt8(col("embedding")).as("q"))
+    val tt = q8.crossJoin(broadcast(
+        q8.limit(1).select(col("q").as("p"))))
+      .select(VectorOps.dot(col("q"), col("p")).as("fast"),
+        VectorOps.dotHof(col("q"), col("p")).as("ref"))
+      .where(col("fast") =!= col("ref")).count()
+    assert(tt === 0L)
+    // and cosineInt8's fused form matches its previous HOF formulation
+    val ci = q8.crossJoin(broadcast(q8.limit(1).select(col("q").as("p"))))
+      .select(VectorOps.cosineInt8(col("q"), col("p")).as("fast"),
+        (VectorOps.dotHof(col("q"), col("p")) /
+          nullif(VectorOps.norm2(col("q")) * VectorOps.norm2(col("p")), lit(0.0))).as("ref"))
+      .where(col("fast") =!= col("ref")).count()
+    assert(ci === 0L)
+  }
+
   test("SortedLongIntersectCount matches array_intersect cardinality") {
     val df = Seq(
       (Array(1L, 3L, 5L, 9L), Array(2L, 3L, 9L, 11L)),
