@@ -45,8 +45,13 @@ object VectorOps {
   def cosineHof(a: Column, b: Column): Column =
     dotHof(a, b) / nullif(norm2(a) * norm2(b), lit(0.0))
 
-  /** L2 (Euclidean) distance. */
-  def l2(a: Column, b: Column): Column =
+  /** L2 (Euclidean) distance — codegen'd (graft.functions.L2Distance);
+    * the IVF-assignment inner loop (one eval per vector per centroid).
+    * Bitwise-equal to [[l2Hof]]. */
+  def l2(a: Column, b: Column): Column = L2Distance(a, b)
+
+  /** Reference HOF L2 (same fold order) for cross-checking. */
+  def l2Hof(a: Column, b: Column): Column =
     sqrt(fsum(zip_with(a, b, (x, y) => {
       val d = x.cast("double") - y.cast("double"); d * d
     })))

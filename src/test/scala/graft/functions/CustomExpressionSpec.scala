@@ -48,6 +48,15 @@ class CustomExpressionSpec extends SparkSpec {
     assert(ci === 0L)
   }
 
+  test("L2Distance is bitwise-identical to the HOF fold") {
+    val q = emb.where(col("vec_id") === 0).select(col("embedding").as("q"))
+    val diffs = emb.crossJoin(broadcast(q))
+      .select(VectorOps.l2(col("embedding"), col("q")).as("fast"),
+        VectorOps.l2Hof(col("embedding"), col("q")).as("ref"))
+      .where(col("fast") =!= col("ref")).count()
+    assert(diffs === 0L)
+  }
+
   test("SortedLongIntersectCount matches array_intersect cardinality") {
     val df = Seq(
       (Array(1L, 3L, 5L, 9L), Array(2L, 3L, 9L, 11L)),
