@@ -21,6 +21,24 @@ object TextDedupQueries extends QueryModule {
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ",", ")")
 
+  // Shared oracle for q_fuzzy1 (shared-trigram blocking) and q_fuzzy2
+  // (prefix filtering): both engine paths must produce this exact output.
+  private val fuzzyJaccardSql =
+    """WITH o AS (SELECT DISTINCT lower(p_name) AS o_name FROM part),
+      |c AS (SELECT DISTINCT substr(o_name, 4) AS c_name FROM o),
+      |og AS (SELECT o_name, unnest(list_distinct(list_transform(
+      |         range(1, length(o_name) - 1), i -> o_name[i:i+2]))) AS g FROM o),
+      |cg AS (SELECT c_name, unnest(list_distinct(list_transform(
+      |         range(1, length(c_name) - 1), i -> c_name[i:i+2]))) AS g FROM c),
+      |osz AS (SELECT o_name, COUNT(*) AS sz FROM og GROUP BY 1),
+      |csz AS (SELECT c_name, COUNT(*) AS sz FROM cg GROUP BY 1),
+      |inter AS (SELECT c_name, o_name, COUNT(*) AS i FROM cg JOIN og USING (g) GROUP BY 1, 2)
+      |SELECT c_name, o_name,
+      |  CAST(i AS DOUBLE) / CAST(csz.sz + osz.sz - i AS DOUBLE) AS sim
+      |FROM inter JOIN csz USING (c_name) JOIN osz USING (o_name)
+      |WHERE CAST(i AS DOUBLE) / CAST(csz.sz + osz.sz - i AS DOUBLE) >= 0.4
+      |ORDER BY c_name, o_name""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q-TXT1: tokenize + explode + word frequency.
     "q_txt1" -> ((s, d) =>
@@ -232,6 +250,36 @@ object TextDedupQueries extends QueryModule {
       TextOps.repetitionReport(Tables.load(s, d, "documents"), "doc_id", col("text"))
         .orderBy("doc_id")),
 
+    // Entity resolution: fuzzy catalog-name alignment — corrupted variants
+    // (first 3 chars dropped) matched back to the original name vocabulary
+    // by character-trigram Jaccard; candidates from a shared-trigram join,
+    // exact verify on collisions only (never all-pairs).
+    "q_fuzzy1" -> ((s, d) => {
+      val names = Tables.load(s, d, "part")
+        .select(lower(col("p_name")).as("o_name")).distinct()
+      val corrupted = names
+        .select(substring(col("o_name"), 4, 100).as("c_name")).distinct()
+      graft.operators.FuzzyJoin.matchByTrigramJaccard(
+          corrupted, "c_name", col("c_name"),
+          names, "o_name", col("o_name"), minSim = 0.4)
+        .orderBy("c_name", "o_name")
+    }),
+
+    // Same entity-resolution output through the corpus-scale path: PPJoin
+    // prefix filtering (only each record's rarest trigrams enter the
+    // candidate join) + length filter. Lossless by the prefix-filter
+    // pigeonhole — same oracle as q_fuzzy1, hash-exact.
+    "q_fuzzy2" -> ((s, d) => {
+      val names = Tables.load(s, d, "part")
+        .select(lower(col("p_name")).as("o_name")).distinct()
+      val corrupted = names
+        .select(substring(col("o_name"), 4, 100).as("c_name")).distinct()
+      graft.operators.FuzzyJoin.matchByTrigramJaccardPrefix(
+          corrupted, "c_name", col("c_name"),
+          names, "o_name", col("o_name"), minSim = 0.4)
+        .orderBy("c_name", "o_name")
+    }),
+
     // PII scrubbing: deterministic synthetic PII is appended per doc (the
     // fixture has none), then redacted and counted — the pre-training
     // scrub pass, at scan speed, oracle-checked byte-for-byte.
@@ -374,6 +422,10 @@ object TextDedupQueries extends QueryModule {
          |  CAST(1 AS DOUBLE) - CAST(nd AS DOUBLE) / CAST(n_words AS DOUBLE) AS dup_word_frac,
          |  CAST(top_n AS DOUBLE) / CAST(n_bg AS DOUBLE) AS top_bigram_frac
          |FROM perdoc p JOIN top USING (doc_id) ORDER BY p.doc_id""".stripMargin,
+    "q_fuzzy1" -> fuzzyJaccardSql,
+    // q_fuzzy2 is the SAME output via prefix filtering — one oracle text,
+    // two engine paths, both must hash-match it
+    "q_fuzzy2" -> fuzzyJaccardSql,
     "q_txt13" ->
       s"""WITH t AS (SELECT doc_id,
          |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-0123 now' AS t
