@@ -71,6 +71,23 @@ object ScanSinkQueries extends QueryModule {
         s, Seq("AAPL", "AMZN", "GOOG", "MSFT"), "2024-01-01", 60)
         .orderBy("company", "Date")),
 
+    // Data-quality validation report (the Deequ/expectations pattern):
+    // named constraint metrics — nulls, key dups, domain and range
+    // violations — in ONE map-side-combined aggregation pass, long-form.
+    "q_dq1" -> ((s, d) => {
+      import graft.operators.DataQuality
+      DataQuality.report(Tables.load(s, d, "orders"), Seq(
+        "n_rows" -> count(lit(1)),
+        "null_orderdate" -> DataQuality.nullCount(col("o_orderdate")),
+        "dup_orderkey" -> DataQuality.duplicateKeys(col("o_orderkey")),
+        "nonpositive_totalprice" -> DataQuality.violations(col("o_totalprice") <= 0),
+        "bad_status_domain" ->
+          DataQuality.violations(!col("o_orderstatus").isin("O", "F", "P")),
+        "stale_orderdate" -> DataQuality.violations(
+          col("o_orderdate") < lit("1992-01-01").cast("timestamp"))))
+        .orderBy("check_name")
+    }),
+
     // Q-SINK3: the same batch ids via the fact-scale two-pass path
     // (repartitionByRange + zipWithIndex) — identical answer to the
     // single-partition window form, no SinglePartition stage in the plan.
@@ -106,6 +123,23 @@ object ScanSinkQueries extends QueryModule {
       """SELECT c_custkey,
         |  CAST(floor((row_number() OVER (ORDER BY c_custkey) - 1) / 100.0) + 1 AS BIGINT) AS batch_num
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_dq1" ->
+      """WITH m AS (SELECT
+        |  CAST(COUNT(*) AS DOUBLE) AS n_rows,
+        |  CAST(COUNT(*) - COUNT(o_orderdate) AS DOUBLE) AS null_orderdate,
+        |  CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS DOUBLE) AS dup_orderkey,
+        |  CAST(COUNT(*) FILTER (WHERE o_totalprice <= 0) AS DOUBLE) AS nonpositive_totalprice,
+        |  CAST(COUNT(*) FILTER (WHERE NOT o_orderstatus IN ('O','F','P')) AS DOUBLE) AS bad_status_domain,
+        |  CAST(COUNT(*) FILTER (WHERE o_orderdate < TIMESTAMP '1992-01-01') AS DOUBLE) AS stale_orderdate
+        |  FROM orders)
+        |SELECT check_name, value FROM (
+        |  SELECT 'n_rows' AS check_name, n_rows AS value FROM m
+        |  UNION ALL SELECT 'null_orderdate', null_orderdate FROM m
+        |  UNION ALL SELECT 'dup_orderkey', dup_orderkey FROM m
+        |  UNION ALL SELECT 'nonpositive_totalprice', nonpositive_totalprice FROM m
+        |  UNION ALL SELECT 'bad_status_domain', bad_status_domain FROM m
+        |  UNION ALL SELECT 'stale_orderdate', stale_orderdate FROM m)
+        |ORDER BY check_name""".stripMargin,
     "q_sink3" ->
       """SELECT o_orderkey,
         |  CAST(floor((row_number() OVER (ORDER BY o_orderkey) - 1) / 1000.0) + 1 AS BIGINT) AS batch_num

@@ -23,6 +23,20 @@ object StreamQueries extends QueryModule {
       StreamOps.sessionized(Tables.load(s, d, "events"))
         .orderBy("user_id", "session_start")),
 
+    // Batch twin of the stream-stream interval join (StreamOps
+    // .streamStreamJoin): even-id events joined to odd-id events of the
+    // same user within [ts, ts + 30 min]. The watermarks inside the
+    // operator bound streaming state; batch execution eliminates them,
+    // so the twin is oracle-checkable while the MemoryStream spec covers
+    // the streaming path.
+    "q_sjoin1" -> ((s, d) => {
+      val e = Tables.load(s, d, "events")
+      StreamOps.streamStreamJoin(
+          e.where(col("event_id") % 2 === 0),
+          e.where(col("event_id") % 2 === 1))
+        .orderBy("left_id", "right_id")
+    }),
+
     // Batch shadow of the incremental daily-update merge (IncrementalUpdate
     // .upsert, the foreachBatch kernel): updated keys replace stored rows,
     // new keys insert, untouched rows pass through. Oracle-checked.
@@ -66,6 +80,14 @@ object StreamQueries extends QueryModule {
          |  ${sqlFixedSum("value", 2)} AS sum_value
          |FROM sess GROUP BY user_id, sid
          |ORDER BY user_id, session_start""".stripMargin,
+    "q_sjoin1" ->
+      """WITH l AS (SELECT * FROM events WHERE event_id % 2 = 0),
+        |r AS (SELECT * FROM events WHERE event_id % 2 = 1)
+        |SELECT l.event_id AS left_id, r.event_id AS right_id,
+        |  l.user_id AS user_id, l.ts AS left_ts, r.ts AS right_ts
+        |FROM l JOIN r ON l.user_id = r.user_id
+        |  AND r.ts BETWEEN l.ts AND l.ts + INTERVAL 30 MINUTE
+        |ORDER BY left_id, right_id""".stripMargin,
     "q_merge1" ->
       """WITH store AS (
         |  SELECT o_orderkey, o_orderdate, o_totalprice FROM orders

@@ -250,6 +250,30 @@ object TextDedupQueries extends QueryModule {
       TextOps.repetitionReport(Tables.load(s, d, "documents"), "doc_id", col("text"))
         .orderBy("doc_id")),
 
+    // TF-IDF keyword extraction: top-3 terms per document by
+    // tf * ln(N/df). Two aggregations (term-frequency, document-
+    // frequency — the df table is vocabulary-sized) + a per-doc top-k
+    // window; the corpus size joins in as a broadcast scalar, never a
+    // driver-side collect. Scores rounded at 6dp (ln is transcendental;
+    // raw IEEE would diverge between engines) and the rounded score IS
+    // the ranking key, so ranking is engine-independent too.
+    "q_txt14" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, d, "documents")
+      val tf = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dft, Seq("term")).crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("term"),
+          round(col("tf") * log(col("n_docs").cast("double") / col("df").cast("double")), 6)
+            .as("score"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
+      scored.withColumn("__rk", row_number().over(w)).where(col("__rk") <= 3)
+        .select("doc_id", "term", "score")
+        .orderBy(col("doc_id"), col("score").desc, col("term"))
+    }),
+
     // Entity resolution: fuzzy catalog-name alignment — corrupted variants
     // (first 3 chars dropped) matched back to the original name vocabulary
     // by character-trigram Jaccard; candidates from a shared-trigram join,
@@ -422,6 +446,19 @@ object TextDedupQueries extends QueryModule {
          |  CAST(1 AS DOUBLE) - CAST(nd AS DOUBLE) / CAST(n_words AS DOUBLE) AS dup_word_frac,
          |  CAST(top_n AS DOUBLE) / CAST(n_bg AS DOUBLE) AS top_bigram_frac
          |FROM perdoc p JOIN top USING (doc_id) ORDER BY p.doc_id""".stripMargin,
+    "q_txt14" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($tokSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         |dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |scored AS (SELECT doc_id, term,
+         |  round(tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS score
+         |  FROM tf JOIN dft USING (term) CROSS JOIN n),
+         |rk AS (SELECT doc_id, term, score,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+         |  FROM scored)
+         |SELECT doc_id, term, score FROM rk WHERE rk <= 3
+         |ORDER BY doc_id, score DESC, term""".stripMargin,
     "q_fuzzy1" -> fuzzyJaccardSql,
     // q_fuzzy2 is the SAME output via prefix filtering — one oracle text,
     // two engine paths, both must hash-match it
