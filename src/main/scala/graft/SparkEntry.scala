@@ -34,6 +34,8 @@ object SparkEntry {
   def prepare(spark: SparkSession, dir: String): Unit = {
     graft.operators.IvfAnn.cachedIndex(spark, dir, "embedding",
       numClusters = 16)(Tables.load(spark, dir, "embeddings"))
+    graft.operators.PqAnn.cachedCodes(spark, dir, "vec_id", "embedding",
+      dim = 64, m = 8, k = 16)(Tables.load(spark, dir, "embeddings"))
     ()
   }
 

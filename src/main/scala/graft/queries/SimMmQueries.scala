@@ -101,6 +101,23 @@ object SimMmQueries extends QueryModule {
         .orderBy(col("sim").desc, col("vec_id")).limit(11)
     }),
 
+    // Product-quantized ANN (ADC probe): vectors stored as m=8 one-byte
+    // codes (32x compression — what makes a 100 TB embedding corpus
+    // scannable); query-time scoring sums per-subspace distance-table
+    // entries over a broadcast m*k table, corpus never decoded. Probe-only
+    // against the cached codebooks+codes (built in SparkEntry.prepare),
+    // like q_sim4's IVF probe. Rows-only: k-means-approximate; recall,
+    // determinism, and ADC-error are property-tested (PqAnnSpec).
+    "q_sim9" -> ((s, d) => {
+      val (books, codes) = graft.operators.PqAnn.cachedCodes(
+        s, d, "vec_id", "embedding", dim = 64, m = 8, k = 16)(
+        Tables.load(s, d, "embeddings"))
+      graft.operators.PqAnn.probe(codes, books, "vec_id",
+        Tables.load(s, d, "embeddings").where(col("vec_id") === 0), "embedding",
+        dim = 64, m = 8, k = 11)
+        .orderBy(col("adc_dist").asc, col("vec_id"))
+    }),
+
     // Multimodal: opaque binary payload + typed metadata (oracle-checked).
     "q_mm1" -> ((s, d) =>
       Multimodal.withBinaryMeta(Tables.load(s, d, "documents"), "text")
