@@ -89,21 +89,20 @@ object PqAnn {
       (books, codes)
     }
 
-  /** ADC top-k: per-subspace squared-distance table from the single query
-    * row to every codebook center (m*k rows, broadcast), then one scan of
-    * the codes summing table entries. Ascending approximate squared L2;
-    * ties break to the lower id. */
-  def probe(codes: DataFrame, codebooks: DataFrame, idCol: String,
-            query: DataFrame, queryVecCol: String, dim: Int, m: Int,
-            k: Int): DataFrame = {
-    val subDim = dim / m
-    val q = Similarity.requireSingleRow(query, "PqAnn.probe")
-      .select(col(queryVecCol).as("__qv"))
-    val dtable = codebooks.crossJoin(broadcast(q))
+  /** The per-query ADC distance table: for each (subspace, code), the
+    * squared L2 distance from the query's subvector to that code's
+    * center — m*k rows, broadcastable. */
+  private def adcTable(codebooks: DataFrame, q: DataFrame, subDim: Int): DataFrame =
+    codebooks.crossJoin(broadcast(q))
       .select(col("__subspace"), col("__code"),
         VectorOps.l2(col("__center"),
           slice(col("__qv"), col("__subspace") * subDim + lit(1), lit(subDim))).as("__l2"))
       .select(col("__subspace"), col("__code"), (col("__l2") * col("__l2")).as("__d"))
+
+  /** Sum table entries over each vector's codes → approximate squared L2,
+    * ascending top-k, ties to the lower id. */
+  private def adcTopK(codes: DataFrame, dtable: DataFrame, idCol: String,
+                      k: Int): DataFrame =
     codes.select(col(idCol), posexplode(col("__codes")))
       .select(col(idCol), col("pos").as("__subspace"), col("col").cast("int").as("__code"))
       .join(broadcast(dtable), Seq("__subspace", "__code"))
@@ -112,5 +111,38 @@ object PqAnn {
       .select(col(idCol), round(col("adc_dist"), 6).as("adc_dist"))
       .orderBy(col("adc_dist").asc, col(idCol).asc)
       .limit(k)
+
+  /** ADC top-k over the WHOLE code table: one scan of the 8-byte codes
+    * with a broadcast m*k distance table. */
+  def probe(codes: DataFrame, codebooks: DataFrame, idCol: String,
+            query: DataFrame, queryVecCol: String, dim: Int, m: Int,
+            k: Int): DataFrame = {
+    val q = Similarity.requireSingleRow(query, "PqAnn.probe")
+      .select(col(queryVecCol).as("__qv"))
+    adcTopK(codes, adcTable(codebooks, q, dim / m), idCol, k)
+  }
+
+  /** IVF-PQ — the canonical billion-scale ANN layout: the IVF coarse
+    * quantizer picks the query's `nprobe` nearest cells (tiny broadcast
+    * centroid ranking, same criterion as the assignment: squared L2),
+    * and ADC scores only the codes of vectors IN those cells — touching
+    * nprobe/numClusters of the corpus, each row 8 bytes. `assignment`
+    * is the IVF index's (idCol, __cluster) table ([[IvfAnn.cachedIndex]]);
+    * `centers` its (__cluster, __center) centroids. */
+  def probeIvf(codes: DataFrame, codebooks: DataFrame,
+               assignment: DataFrame, centers: DataFrame, idCol: String,
+               query: DataFrame, queryVecCol: String, dim: Int, m: Int,
+               k: Int, nprobe: Int): DataFrame = {
+    val q = Similarity.requireSingleRow(query, "PqAnn.probeIvf")
+      .select(col(queryVecCol).as("__qv"))
+    val cells = centers.crossJoin(broadcast(q))
+      .select(col("__cluster"), VectorOps.l2(col("__center"), col("__qv")).as("__cd"))
+      .orderBy(col("__cd").asc, col("__cluster").asc)
+      .limit(nprobe)
+      .select("__cluster")
+    val inCells = assignment.select(col(idCol), col("__cluster"))
+      .join(broadcast(cells), Seq("__cluster"))
+      .select(idCol)
+    adcTopK(codes.join(inCells, Seq(idCol)), adcTable(codebooks, q, dim / m), idCol, k)
   }
 }

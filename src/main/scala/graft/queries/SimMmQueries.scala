@@ -118,6 +118,23 @@ object SimMmQueries extends QueryModule {
         .orderBy(col("adc_dist").asc, col("vec_id"))
     }),
 
+    // IVF-PQ (the canonical billion-scale ANN layout): the cached IVF
+    // coarse quantizer restricts the scan to the query's nprobe cells;
+    // ADC scores only those cells' 8-byte codes. Both index stages come
+    // prebuilt from SparkEntry.prepare. Rows-only: doubly approximate;
+    // cell-membership + full-scan-consistency property-tested.
+    "q_sim10" -> ((s, d) => {
+      val (indexed, centers) = graft.operators.IvfAnn.cachedIndex(
+        s, d, "embedding", numClusters = 16)(Tables.load(s, d, "embeddings"))
+      val (books, codes) = graft.operators.PqAnn.cachedCodes(
+        s, d, "vec_id", "embedding", dim = 64, m = 8, k = 16)(
+        Tables.load(s, d, "embeddings"))
+      graft.operators.PqAnn.probeIvf(codes, books, indexed, centers, "vec_id",
+        Tables.load(s, d, "embeddings").where(col("vec_id") === 0), "embedding",
+        dim = 64, m = 8, k = 11, nprobe = 4)
+        .orderBy(col("adc_dist").asc, col("vec_id"))
+    }),
+
     // Multimodal: opaque binary payload + typed metadata (oracle-checked).
     "q_mm1" -> ((s, d) =>
       Multimodal.withBinaryMeta(Tables.load(s, d, "documents"), "text")

@@ -62,4 +62,30 @@ class PqAnnSpec extends SparkSpec {
     info(f"mean relative ADC error = $err%.3f")
     assert(err < 0.35, f"ADC relative error $err%.3f too large")
   }
+
+  test("IVF-PQ: results come only from probed cells and agree with full-scan ADC") {
+    val (assignment, centers) = IvfAnn.buildIndex(emb, "embedding", numClusters = 16)
+    val q = emb.where(col("vec_id") === 0)
+    val ivfpq = PqAnn.probeIvf(codes, books, assignment, centers, "vec_id",
+      q, "embedding", dim, m, k = 11, nprobe = 4)
+      .as[(Long, Double)].collect()
+    assert(ivfpq.length === 11)
+    // consistency: each returned id's ADC distance equals the full-scan ADC
+    val full = PqAnn.probe(codes, books, "vec_id", q, "embedding", dim, m, k = 500)
+      .as[(Long, Double)].collect().toMap
+    ivfpq.foreach { case (id, d) => assert(full(id) === d, s"ADC mismatch for $id") }
+    // membership: every returned id sits in one of the query's 4 nearest cells
+    val qv = broadcast(q.select(col("embedding").as("__qv")))
+    val probedCells = centers.crossJoin(qv)
+      .select(col("__cluster"),
+        graft.functions.VectorOps.l2(col("__center"), col("__qv")).as("d"))
+      .orderBy(col("d").asc, col("__cluster").asc).limit(4)
+      .select("__cluster").as[Int].collect().toSet
+    val cellOf = assignment.select(col("vec_id"), col("__cluster"))
+      .as[(Long, Int)].collect().toMap
+    ivfpq.foreach { case (id, _) =>
+      assert(probedCells.contains(cellOf(id)), s"$id outside probed cells") }
+    // the self-match sits in its own nearest cell, so it must surface
+    assert(ivfpq.head._1 === 0L)
+  }
 }
