@@ -55,8 +55,12 @@ object FuzzyJoin {
       left: DataFrame, leftId: String, leftText: Column,
       right: DataFrame, rightId: String, rightText: Column,
       minSim: Double): DataFrame = {
-    val l = prep(left, leftId, leftText, "__lid")
-    val r = prep(right, rightId, rightText, "__rid")
+    // Materialize each side's trigram table once: it feeds BOTH the
+    // blocking explode and the verify join — left lazy, the plan computes
+    // the whole tokenize->hash->sort prep twice per side (the doubled-
+    // sketch trap; same fix as NearDup.lshCandidatePairs).
+    val l = prep(left, leftId, leftText, "__lid").localCheckpoint()
+    val r = prep(right, rightId, rightText, "__rid").localCheckpoint()
     val lx = l.select(col("__lid"), explode(col("__g___lid")).as("__g"))
     val rx = r.select(col("__rid"), explode(col("__g___rid")).as("__g"))
     val candidates = lx.join(rx, Seq("__g"))
@@ -86,13 +90,18 @@ object FuzzyJoin {
       minSim: Double): DataFrame = {
     require(minSim > 0.0 && minSim <= 1.0, s"minSim must be in (0,1], got $minSim")
     val eps = 1e-9
-    val l = prep(left, leftId, leftText, "__lid")
-    val r = prep(right, rightId, rightText, "__rid")
+    // Materialized once each: l/r feed the df count, the prefix explode,
+    // AND the verify join (3 consumers — lazy would plan the prep 3x).
+    val l = prep(left, leftId, leftText, "__lid").localCheckpoint()
+    val r = prep(right, rightId, rightText, "__rid").localCheckpoint()
     val lx = l.select(col("__lid").as("__id"), explode(col("__g___lid")).as("__g"))
     val rx = r.select(col("__rid").as("__id"), explode(col("__g___rid")).as("__g"))
     // document frequency over BOTH sides = the global rare-first token
-    // order prefix filtering requires (ties broken by the hash itself)
+    // order prefix filtering requires (ties broken by the hash itself).
+    // Vocabulary-sized — checkpointed so the two prefixSide consumers
+    // share one build, and broadcastable at any corpus size.
     val dfTable = lx.unionByName(rx).groupBy("__g").agg(count(lit(1)).as("__df"))
+      .localCheckpoint()
     def prefixSide(x: DataFrame, idOut: String) = {
       val ranked = sort_array(collect_list(struct(col("__df"), col("__g"))))
       val prefixLen = (size(col("__ranked")) -
