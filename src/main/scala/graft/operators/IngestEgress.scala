@@ -85,4 +85,21 @@ object IngestEgress {
       .option("compression", "snappy")
       .parquet(outPath)
   }
+
+  /** COUNT/MIN/MAX served from parquet FOOTER STATISTICS — the scan reads
+    * row-group metadata, not rows (on a 100 TB table: thousands of footer
+    * reads instead of a full-table scan). Spark only pushes aggregates
+    * through the DataSourceV2 parquet path, so the read runs in a child
+    * session with parquet taken off `useV1SourceList` — the engine-wide V1
+    * read path (and every other query's plan) is untouched. Pushdown is
+    * plan-asserted in the spec (`PushedAggregation` in the scan node);
+    * supported aggregates: COUNT(*)/COUNT(col), MIN/MAX on non-string
+    * atomic columns, no filter, no non-partition grouping. */
+  def footerStatsScan(spark: SparkSession, path: String)
+                     (aggs: Seq[Column]): DataFrame = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.sources.useV1SourceList", "")
+    s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    s2.read.parquet(path).agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -71,6 +71,16 @@ object ScanSinkQueries extends QueryModule {
         s, Seq("AAPL", "AMZN", "GOOG", "MSFT"), "2024-01-01", 60)
         .orderBy("company", "Date")),
 
+    // Q-SCAN4: table stats from parquet footer metadata — COUNT/MIN/MAX
+    // answered from row-group statistics without reading rows (plan-
+    // asserted PushedAggregation; the 100 TB "how big is this table"
+    // query at metadata cost).
+    "q_scan4" -> ((s, d) =>
+      IngestEgress.footerStatsScan(s, s"$d/lineitem.parquet")(Seq(
+        count(lit(1)).as("n_rows"),
+        min(col("l_orderkey")).as("min_key"), max(col("l_orderkey")).as("max_key"),
+        min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty")))),
+
     // Data-quality validation report (the Deequ/expectations pattern):
     // named constraint metrics — nulls, key dups, domain and range
     // violations — in ONE map-side-combined aggregation pass, long-form.
@@ -123,6 +133,11 @@ object ScanSinkQueries extends QueryModule {
       """SELECT c_custkey,
         |  CAST(floor((row_number() OVER (ORDER BY c_custkey) - 1) / 100.0) + 1 AS BIGINT) AS batch_num
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_scan4" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key,
+        |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+        |FROM lineitem""".stripMargin,
     "q_dq1" ->
       """WITH m AS (SELECT
         |  CAST(COUNT(*) AS DOUBLE) AS n_rows,

@@ -108,4 +108,20 @@ class IngestEgressSpec extends SparkSpec {
       .as[(String, Int, Long)].collect().toSet
     assert(manifest === Set(("AAPL", 2023, 1L), ("AAPL", 2024, 1L), ("MSFT", 2024, 1L)))
   }
+
+  test("footerStatsScan pushes COUNT/MIN/MAX into the parquet scan and matches a row-level agg") {
+    val stats = IngestEgress.footerStatsScan(spark, s"$sf/lineitem.parquet")(Seq(
+      count(lit(1)).as("n_rows"),
+      min(col("l_orderkey")).as("min_key"), max(col("l_orderkey")).as("max_key")))
+    val plan = stats.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation"),
+      s"aggregate not pushed to the scan:\n$plan")
+    assert(plan.contains("COUNT(*)") && plan.contains("MIN(l_orderkey)"),
+      s"expected pushed COUNT/MIN in:\n$plan")
+    // pushed answer == row-level answer
+    val expected = spark.read.parquet(s"$sf/lineitem.parquet")
+      .agg(count(lit(1)), min(col("l_orderkey")), max(col("l_orderkey")))
+      .as[(Long, Long, Long)].head()
+    assert(stats.as[(Long, Long, Long)].head() === expected)
+  }
 }
