@@ -260,8 +260,11 @@ object TextDedupQueries extends QueryModule {
     "q_txt14" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.load(s, d, "documents")
+      // materialized once: tf feeds BOTH the document-frequency rollup and
+      // the scoring join (lazy would tokenize the corpus twice)
       val tf = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
       val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
       val scored = tf.join(dft, Seq("term")).crossJoin(broadcast(nDocs))

@@ -125,4 +125,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(back.count() ===
       li.where(col("ship_year") === 1997).count())
   }
+
+  test("dynamic partition pruning: a filtered dim prunes fact partitions at RUNTIME") {
+    // the dim filter is on o_orderdate (not on the join key), so the
+    // surviving years are only known after evaluating the dim — static
+    // constraint propagation can't do this prune; DPP must
+    val dir = Files.createTempDirectory("graft_dpp").toString
+    val li = Tables.load(spark, sf, "lineitem")
+      .withColumn("ship_year", year(col("l_shipdate")))
+    operators.IngestEgress.writePartitioned(li, dir, Seq("ship_year"))
+    val fact = spark.read.parquet(dir)
+    val dim = Tables.load(spark, sf, "orders")
+      .where(col("o_orderdate") < lit("1993-01-01").cast("timestamp"))
+      .select(year(col("o_orderdate")).as("o_year")).distinct()
+    val pruned = fact.join(dim, fact("ship_year") === dim("o_year"), "left_semi")
+    val p = pruned.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      s"no runtime partition-pruning subquery in the fact scan:\n${p.take(1500)}")
+    val years = dim.collect().map(_.getInt(0)).toSet
+    assert(pruned.count() === li.where(col("ship_year").isin(years.toSeq: _*)).count())
+  }
 }
