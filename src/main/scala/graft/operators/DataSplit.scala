@@ -37,4 +37,38 @@ object DataSplit {
     * (sampling both sides of a join by the SAME key keeps them aligned). */
   def hashSample(df: DataFrame, key: Column, fraction: Double): DataFrame =
     df.where(bucketOf(key) < lit((fraction * Buckets).toLong))
+
+  /** Downsample a multi-source corpus to a TARGET MIXTURE (the pre-training
+    * data-recipe step: "50% web, 30% wiki, 20% code"): per-source
+    * acceptance rates are derived in-plan — `Nt = min(n_s / f_s)` is the
+    * largest total achievable without upsampling any source, and source s
+    * keeps `f_s * Nt / n_s` of its rows — then applied as a key-hash
+    * threshold. Sources absent from `targetFractions` are dropped.
+    *
+    * Scale shape: one count aggregation (rows per source), a broadcast of
+    * the source->rate table (size = #sources), and a scan-speed filter —
+    * no window over per-source partitions (a per-source rank would hot-spot
+    * on the largest source), no driver-side counts. Acceptance is a pure
+    * function of the key (Knuth multiplicative hash, SQL-replicable), so
+    * the sample is stable across runs and incremental reprocessing;
+    * realized proportions are binomial around the target. */
+  def resampleToMixture(df: DataFrame, keyCol: String, sourceCol: String,
+                        targetFractions: Map[String, Double]): DataFrame = {
+    require(targetFractions.nonEmpty, "target mixture must name at least one source")
+    require(math.abs(targetFractions.values.sum - 1.0) < 1e-9,
+      s"target fractions must sum to 1, got ${targetFractions.values.sum}")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fracs = targetFractions.toSeq.toDF(sourceCol, "__frac")
+    val counts = df.groupBy(sourceCol).agg(count(lit(1)).as("__n"))
+      .join(fracs, sourceCol)
+    val nt = counts.agg(min(col("__n").cast("double") / col("__frac")).as("__nt"))
+    val rates = counts.crossJoin(broadcast(nt))
+      .select(col(sourceCol),
+        least(lit(1.0), col("__frac") * col("__nt") / col("__n").cast("double")).as("__rate"))
+    val u = pmod(col(keyCol) * lit(2654435761L), lit(1000000L)).cast("double") / 1e6
+    df.join(broadcast(rates), sourceCol)
+      .where(u < col("__rate"))
+      .drop("__rate")
+  }
 }

@@ -59,6 +59,23 @@ object Similarity {
     topKPerGroup(scored, Seq("query_id"), Seq(col("sim").desc, col(idCol).asc), k)
   }
 
+  /** Hard-negative mining for contrastive training: for each anchor, the
+    * top-k most-SIMILAR vectors with a DIFFERENT label — the examples a
+    * retrieval model most confuses, which is what makes them the valuable
+    * negatives. Same one-corpus-scan, broadcast-anchor-batch,
+    * rank-per-query shape as [[topKForQueries]]; the label inequality is
+    * applied before ranking so negatives never crowd out of the window. */
+  def hardNegatives(emb: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, anchors: DataFrame, k: Int): DataFrame = {
+    val scored = emb.crossJoin(broadcast(
+        anchors.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+          col(labelCol).as("__ql"))))
+      .where(col(labelCol) =!= col("__ql"))
+      .select(col("query_id"), col(idCol),
+        round(VectorOps.cosine(col(vecCol), col("__qv")), 6).as("sim"))
+    topKPerGroup(scored, Seq("query_id"), Seq(col("sim").desc, col(idCol).asc), k)
+  }
+
   /** All pairs with cosine >= minSim within a blocking column. O(block²):
     * this is the GROUND-TRUTH verifier (and stays correct for any block
     * size), not the pipeline path — a skewed block degenerates

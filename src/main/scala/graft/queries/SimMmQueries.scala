@@ -118,6 +118,17 @@ object SimMmQueries extends QueryModule {
         .orderBy(col("adc_dist").asc, col("vec_id"))
     }),
 
+    // Hard-negative mining for contrastive training: per anchor, the top-5
+    // most-similar vectors with a DIFFERENT label. One corpus scan serves
+    // the whole anchor batch (broadcast), ranked per query. Oracle-checked.
+    "q_sim11" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+        emb.where(col("vec_id").isin(0, 1, 2)), k = 5)
+        .select("query_id", "vec_id", "sim", "rn")
+        .orderBy("query_id", "rn")
+    }),
+
     // IVF-PQ (the canonical billion-scale ANN layout): the cached IVF
     // coarse quantizer restricts the scan to the query's nprobe cells;
     // ADC scores only those cells' 8-byte codes. Both index stages come
@@ -176,5 +187,14 @@ object SimMmQueries extends QueryModule {
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
         |  sha256(text) AS content_sha
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_sim11" ->
+      s"""WITH a AS (SELECT vec_id AS query_id, embedding AS qe, label AS ql
+         |           FROM embeddings WHERE vec_id IN (0, 1, 2))
+         |SELECT query_id, vec_id, sim, rn FROM (
+         |  SELECT a.query_id, e.vec_id, round(${cosSql("e.embedding", "qe")}, 6) AS sim,
+         |    CAST(row_number() OVER (PARTITION BY a.query_id
+         |      ORDER BY round(${cosSql("e.embedding", "qe")}, 6) DESC, e.vec_id) AS BIGINT) AS rn
+         |  FROM embeddings e JOIN a ON e.label <> a.ql)
+         |WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
   )
 }

@@ -160,6 +160,16 @@ object TextDedupQueries extends QueryModule {
         col("c_custkey"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .orderBy("c_custkey")),
 
+    // Mixture resampling: downsample documents to a 50/30/20 source recipe
+    // (the pre-training data-recipe step). Acceptance rates are derived
+    // in-plan from per-source counts and applied as a key-hash threshold;
+    // the hash and rate arithmetic are SQL-replicable, so oracle-checked.
+    "q_sample2" -> ((s, d) =>
+      graft.operators.DataSplit.resampleToMixture(
+        Tables.load(s, d, "documents").select("doc_id", "source"),
+        "doc_id", "source", Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+        .select("doc_id", "source").orderBy("doc_id")),
+
     // Rolling-hash document fingerprint (rows-only: engine-specific hash).
     "q_txt6" -> ((s, d) =>
       Tables.load(s, d, "documents").select(
@@ -392,6 +402,19 @@ object TextDedupQueries extends QueryModule {
          |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
          |ORDER BY a.doc_id""".stripMargin
     },
+    "q_sample2" ->
+      """WITH fr(source, frac) AS (VALUES ('src0', CAST(0.5 AS DOUBLE)),
+        |                                ('src1', CAST(0.3 AS DOUBLE)),
+        |                                ('src2', CAST(0.2 AS DOUBLE))),
+        |j AS (SELECT d.source, CAST(COUNT(*) AS DOUBLE) AS n, frac
+        |      FROM documents d JOIN fr ON d.source = fr.source
+        |      GROUP BY d.source, frac),
+        |nt AS (SELECT min(n / frac) AS nt FROM j),
+        |rates AS (SELECT source, least(CAST(1.0 AS DOUBLE), frac * nt / n) AS rate
+        |          FROM j CROSS JOIN nt)
+        |SELECT d.doc_id, d.source FROM documents d JOIN rates r ON d.source = r.source
+        |WHERE CAST((d.doc_id * 2654435761) % 1000000 AS DOUBLE) / 1e6 < r.rate
+        |ORDER BY d.doc_id""".stripMargin,
     "q_dedup1" ->
       """SELECT doc_id, h
         |FROM (SELECT doc_id, sha256(lower(trim(substring(text, 1, 50)))) AS h,

@@ -34,6 +34,33 @@ class DataSplitSpec extends SparkSpec {
     assert(math.abs(ls.count() - 1000L) < 150)
   }
 
+  test("resampleToMixture hits the target recipe without upsampling") {
+    // skewed corpus: 6000 web / 3000 wiki / 1000 code -> target 20/30/50.
+    // code is the binding source (1000/0.5 = 2000 = Nt): kept whole;
+    // web keeps 400/6000, wiki keeps 600/3000.
+    val corpus = spark.range(0, 10000).select(col("id"),
+      when(col("id") < 6000, "web").when(col("id") < 9000, "wiki")
+        .otherwise("code").as("source"))
+    val out = DataSplit.resampleToMixture(corpus, "id", "source",
+      Map("web" -> 0.2, "wiki" -> 0.3, "code" -> 0.5))
+    val counts = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(counts("code") === 1000L) // binding source: rate 1.0, nothing lost
+    assert(math.abs(counts("web") - 400L) < 120, counts.toString)
+    assert(math.abs(counts("wiki") - 600L) < 150, counts.toString)
+  }
+
+  test("resampleToMixture drops unlisted sources and is key-stable") {
+    val corpus = spark.range(0, 4000).select(col("id"),
+      when(col("id") % 3 === 0, "a").when(col("id") % 3 === 1, "b")
+        .otherwise("junk").as("source"))
+    def run(parts: Int) = DataSplit.resampleToMixture(
+      corpus.repartition(parts), "id", "source", Map("a" -> 0.5, "b" -> 0.5))
+      .select("id", "source").as[(Long, String)].collect().toSet
+    val once = run(1)
+    assert(!once.exists(_._2 == "junk"))
+    assert(run(5) === once) // membership is a pure function of the key
+  }
+
   test("chunking: exact chunks with overlap, short docs yield one chunk") {
     val df = Seq("abcdefghij", "ab").toDF("text")
     val out = df.select(col("text"), TextOps.chunks(col("text"), 4, 1).as("c"))

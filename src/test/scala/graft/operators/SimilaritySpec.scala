@@ -43,6 +43,30 @@ class SimilaritySpec extends SparkSpec {
     ann.foreach { case (id, s) => assert(bf(id) === s) }
   }
 
+  test("hard negatives: top-k similar vectors never share the anchor's label") {
+    val anchors = emb.where(col("vec_id").isin(0, 1))
+    val anchorLabels = anchors.select("vec_id", "label")
+      .as[(Long, Long)].collect().toMap
+    val out = Similarity.hardNegatives(emb, "vec_id", "embedding", "label",
+      anchors, k = 5)
+      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+      .select("query_id", "vec_id", "sim", "rn", "label")
+      .as[(Long, Long, Double, Long, Long)].collect()
+    assert(out.length === 10, "k=5 negatives per anchor")
+    out.foreach { case (q, _, _, _, lbl) =>
+      assert(lbl !== anchorLabels(q), s"anchor $q got a same-label negative")
+    }
+    // agrees with a hand-rolled filtered brute force for anchor 0
+    val expect = emb.crossJoin(broadcast(
+        emb.where(col("vec_id") === 0).select(col("embedding").as("q"), col("label").as("ql"))))
+      .where(col("label") =!= col("ql"))
+      .select(col("vec_id"), round(VectorOps.cosine(col("embedding"), col("q")), 6).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id")).limit(5)
+      .as[(Long, Double)].collect().toSeq
+    val got = out.filter(_._1 == 0L).sortBy(_._4).map(r => (r._2, r._3)).toSeq
+    assert(got === expect)
+  }
+
   test("multi-probe LSH: recall at least single-probe's, measured against brute force") {
     val q = emb.where(col("vec_id") === 0)
     val k = 10
