@@ -129,6 +129,25 @@ object RelationalQueries extends QueryModule {
 
     "q_sub1" -> (aboveCustomerAvg _),
 
+    // Q-JOIN9: big-big join with the fact side bloom-pruned BEFORE its
+    // shuffle (Spark's runtime-filter shape, explicit). The bloom's false
+    // positives die in the exact join, so the result equals the plain
+    // join — only the shuffled volume differs. Plan-shape-tested: the
+    // might_contain filter sits under the fact Exchange.
+    "q_join9" -> ((s, d) => {
+      val li = Tables.load(s, d, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey",
+        "l_quantity", "l_extendedprice", "l_shipdate")
+      val dim = Tables.load(s, d, "part").where(col("p_size") === 1)
+        .select(col("p_partkey").as("l_partkey"), col("p_name"))
+      graft.operators.BloomJoin.prunedJoin(li, dim, "l_partkey",
+          expectedItems = 32768)
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_shipdate", "p_name")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_shipdate")
+    }),
+
     // SCD2 dimension history: snapshot 1 = customer balances, snapshot 2 a
     // month later with every 7th key changed and every 13th key deleted —
     // the type-2 history must close/open exactly the right intervals.
@@ -171,6 +190,11 @@ object RelationalQueries extends QueryModule {
   )
 
   def oracleSql: Map[String, String] = subquerySql ++ Map(
+    "q_join9" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate, p_name
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size = 1
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate""".stripMargin,
     "q_proj1" ->
       """SELECT l_orderkey, l_linenumber,
         |  l_extendedprice * (1.0 - l_discount) AS revenue,

@@ -105,6 +105,17 @@ object ScanSinkQueries extends QueryModule {
       Batching.batchByRange(Tables.load(s, d, "orders")
           .select("o_orderkey"), col("o_orderkey"), 1000)
         .orderBy("o_orderkey")),
+
+    // Q-LAYOUT1: Z-order clustering key (Morton interleave of partkey and
+    // suppkey) — the write-layout step behind multi-column min/max file
+    // skipping. The z-value is pure shift/mask arithmetic, so it is
+    // oracle-checked bit-for-bit; the skipping benefit (narrow per-file
+    // spans on BOTH columns) is measured in LayoutSpec.
+    "q_layout1" -> ((s, d) =>
+      Tables.load(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          graft.operators.Layout.zValue(Seq(col("l_partkey"), col("l_suppkey")), 16).as("z"))
+        .orderBy("z", "l_orderkey", "l_linenumber", "l_partkey")),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -138,6 +149,11 @@ object ScanSinkQueries extends QueryModule {
         |  MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key,
         |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
         |FROM lineitem""".stripMargin,
+    "q_layout1" ->
+      s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |  ${graft.operators.Layout.zValueSql(Seq("l_partkey", "l_suppkey"), 16)} AS z
+         |FROM lineitem
+         |ORDER BY z, l_orderkey, l_linenumber, l_partkey""".stripMargin,
     "q_dq1" ->
       """WITH m AS (SELECT
         |  CAST(COUNT(*) AS DOUBLE) AS n_rows,

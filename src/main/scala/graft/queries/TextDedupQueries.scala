@@ -195,6 +195,17 @@ object TextDedupQueries extends QueryModule {
       NearDup.simhashPairs(sh, "doc_id", maxHamming = 16).orderBy("id_a", "id_b")
     }),
 
+    // SemDeDup: semantic dedup via k-means cells (rows-only: the
+    // quantizer is not SQL-replicable; precision/planted-dup-recall are
+    // spec-tested). Reuses the SAME cached IVF assignment the ANN
+    // queries probe — one quantizer fit serves search and dedup.
+    "q_dedup9" -> ((s, d) => {
+      val (indexed, _) = graft.operators.IvfAnn.cachedIndex(
+        s, d, "embedding", numClusters = 16)(Tables.load(s, d, "embeddings"))
+      graft.operators.SemDedup.survivors(indexed, "vec_id", "embedding", minSim = 0.5)
+        .select("vec_id", "label").orderBy("vec_id")
+    }),
+
     // End-to-end near-dup pipeline tail: cluster MinHash-LSH candidate
     // pairs into connected components (rows-only: iterative, seeded-hash
     // candidates; correctness unit-tested on known graphs AND oracle-
