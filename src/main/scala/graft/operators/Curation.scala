@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Corpus-curation selection operators: per-domain caps (anti-spam — no
+  * single crawl domain may dominate the corpus) and global token-budget
+  * selection (take the best documents until the training budget is full).
+  * Both are deterministic given a total order, so they are reproducible
+  * across runs and oracle-checkable.
+  */
+object Curation {
+
+  /** Keep at most `cap` rows per domain — the best by `order` (pass a
+    * fully tie-broken ordering for determinism). The `row_number <= cap`
+    * shape compiles to WindowGroupLimit: each map task pre-prunes to its
+    * local top-`cap` per domain BEFORE the shuffle, so a hot domain ships
+    * ~cap rows per input partition, not its whole row set. */
+  def capPerDomain(df: DataFrame, domainCol: Column, cap: Int,
+                   order: Column*): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    df.withColumn("__rn",
+        row_number().over(Window.partitionBy(domainCol).orderBy(order: _*)))
+      .where(col("__rn") <= cap)
+      .drop("__rn")
+  }
+
+  /** The maximal prefix of `df` under `order` whose running `weightCol`
+    * total stays within `budget` (e.g. pick highest-quality documents
+    * until the token budget is spent).
+    *
+    * Scale shape: a single-partition window over the whole corpus would
+    * serialize on one task; instead this is the two-pass global-prefix
+    * pattern (same as `Batching.batchByRange`): range-repartition by the
+    * order key, per-partition weight totals -> per-partition starting
+    * offsets (a `numPartitions`-sized driver array, never data rows),
+    * then one partition-local cumulative pass with the offset added.
+    * Rows after the budget point are dropped in the same pass. */
+  def selectUnderBudget(df: DataFrame, weightCol: String, budget: Long,
+                        order: Column*): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    val spark = df.sparkSession
+    val n = spark.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(n, order: _*).sortWithinPartitions(order: _*)
+    val wIdx = ranged.schema.fieldIndex(weightCol)
+    // pass 1: per-partition totals (tiny: one long per partition)
+    val totals = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      Iterator.single(pid -> it.map(_.getLong(wIdx)).sum)
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = totals.scanLeft(0L)(_ + _)
+    // pass 2 (reuses pass 1's shuffle files — same lineage): running
+    // total + offset, cut at the budget point. Weights are required
+    // non-negative, so the running total is monotone and takeWhile is
+    // exact; partitions that start past the budget emit nothing.
+    val schema = StructType(ranged.schema.fields :+
+      StructField("running_total", LongType, nullable = false))
+    val rows = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = offsets(pid)
+      if (acc >= budget) Iterator.empty
+      else it.map { row =>
+        val w = row.getLong(wIdx)
+        require(w >= 0, s"negative weight $w breaks monotone budget cut")
+        acc += w
+        (acc, row)
+      }.takeWhile(_._1 <= budget)
+        .map { case (a, row) => Row.fromSeq(row.toSeq :+ a) }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+}

@@ -170,6 +170,26 @@ object TextDedupQueries extends QueryModule {
         "doc_id", "source", Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
         .select("doc_id", "source").orderBy("doc_id")),
 
+    // Per-domain cap (anti-spam curation): keep at most 5 docs per source,
+    // the longest first (ties to the lowest doc_id). The row_number<=cap
+    // shape compiles to WindowGroupLimit: map-side top-cap pre-pruning.
+    "q_sample3" -> ((s, d) =>
+      graft.operators.Curation.capPerDomain(
+        Tables.load(s, d, "documents").select("doc_id", "source", "n_chars"),
+        col("source"), cap = 5, col("n_chars").desc, col("doc_id").asc)
+        .orderBy("doc_id")),
+
+    // Global token-budget selection: best documents (longest-first order)
+    // until the 10k-token training budget is spent — two-pass global
+    // prefix sum, no single-partition window.
+    "q_sample4" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"), TextOps.wordCount(col("text")).as("n_tok"))
+      graft.operators.Curation.selectUnderBudget(docs, "n_tok", budget = 10000L,
+        col("n_chars").desc, col("doc_id").asc)
+        .orderBy("doc_id")
+    }),
+
     // Rolling-hash document fingerprint (rows-only: engine-specific hash).
     "q_txt6" -> ((s, d) =>
       Tables.load(s, d, "documents").select(
@@ -413,6 +433,20 @@ object TextDedupQueries extends QueryModule {
          |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
          |ORDER BY a.doc_id""".stripMargin
     },
+    "q_sample3" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 5 ORDER BY doc_id""".stripMargin,
+    "q_sample4" ->
+      s"""SELECT doc_id, n_chars, n_tok, running_total FROM (
+         |  SELECT doc_id, n_chars, CAST(len($tokSql) AS BIGINT) AS n_tok,
+         |    CAST(SUM(CAST(len($tokSql) AS BIGINT)) OVER (
+         |      ORDER BY n_chars DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_total
+         |  FROM documents)
+         |WHERE running_total <= 10000 ORDER BY doc_id""".stripMargin,
     "q_sample2" ->
       """WITH fr(source, frac) AS (VALUES ('src0', CAST(0.5 AS DOUBLE)),
         |                                ('src1', CAST(0.3 AS DOUBLE)),

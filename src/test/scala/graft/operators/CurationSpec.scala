@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("capPerDomain keeps the top-cap rows per domain, deterministically") {
+    // 3 domains x 100 rows; quality = id so the top-5 are known exactly
+    val df = spark.range(0, 300).select(col("id"),
+      (col("id") % 3).cast("string").as("dom"))
+    val out = Curation.capPerDomain(df, col("dom"), 5, col("id").desc)
+      .as[(Long, String)].collect().toSet
+    assert(out.size === 15)
+    (0 until 3).foreach { dm =>
+      // largest id < 300 with id % 3 == dm is 297 + dm
+      val expect = (297 + dm to 0 by -3).take(5).map(v => (v.toLong, dm.toString))
+      expect.foreach(e => assert(out.contains(e), s"missing $e"))
+    }
+  }
+
+  test("capPerDomain plan uses WindowGroupLimit (map-side pre-pruning)") {
+    val df = spark.range(0, 1000).select(col("id"),
+      (col("id") % 7).cast("string").as("dom"))
+    val p = Curation.capPerDomain(df, col("dom"), 3, col("id").desc)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), p.take(1200))
+  }
+
+  test("selectUnderBudget equals the single-window formulation") {
+    // weights 1..200 in a scrambled insertion order; order by weight asc
+    val df = spark.range(1, 201).select(
+      pmod(col("id") * 7, lit(201)).as("k"), col("id").as("w"))
+      .repartition(13)
+    val budget = 500L
+    val got = Curation.selectUnderBudget(df, "w", budget, col("w").asc)
+      .select("k", "w", "running_total")
+      .as[(Long, Long, Long)].collect().sortBy(_._2)
+    // reference: plain cumulative sum (single window, fine at test size)
+    val expect = (1L to 200L).scanLeft(0L)(_ + _).tail.zipWithIndex
+      .takeWhile(_._1 <= budget)
+      .map { case (acc, i) => (pmod(lit((i + 1) * 7), lit(201)), i + 1L, acc) }
+    assert(got.length === expect.length)
+    got.zip(expect).foreach { case ((_, w, rt), (_, ew, ert)) =>
+      assert(w === ew && rt === ert)
+    }
+    // the cut is exact: adding the next row would exceed the budget
+    val total = got.map(_._2).sum
+    assert(total <= budget && total + (got.length + 1) > budget)
+  }
+
+  test("selectUnderBudget: zero budget and budget >= total") {
+    val df = spark.range(1, 11).select(col("id").as("k"), lit(2L).as("w"))
+    assert(Curation.selectUnderBudget(df, "w", 0L, col("k")).count() === 0)
+    val all = Curation.selectUnderBudget(df, "w", 1000L, col("k"))
+    assert(all.count() === 10)
+    assert(all.agg(max("running_total")).as[Long].head() === 20L)
+  }
+}
