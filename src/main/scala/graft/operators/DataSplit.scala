@@ -62,8 +62,13 @@ object DataSplit {
     val fracs = targetFractions.toSeq.toDF(sourceCol, "__frac")
     val counts = df.groupBy(sourceCol).agg(count(lit(1)).as("__n"))
       .join(fracs, sourceCol)
-    val nt = counts.agg(min(col("__n").cast("double") / col("__frac")).as("__nt"))
-    val rates = counts.crossJoin(broadcast(nt))
+    // Nt as a global window-min over the counts aggregate: the single-
+    // partition stage holds #sources rows (not data rows), and the counts
+    // subtree — the only full-corpus scan — appears ONCE in the plan
+    // (a separate agg + join would recompute it per consumer).
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val rates = counts
+      .withColumn("__nt", min(col("__n").cast("double") / col("__frac")).over(w))
       .select(col(sourceCol),
         least(lit(1.0), col("__frac") * col("__nt") / col("__n").cast("double")).as("__rate"))
     val u = pmod(col(keyCol) * lit(2654435761L), lit(1000000L)).cast("double") / 1e6
