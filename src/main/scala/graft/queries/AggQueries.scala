@@ -97,6 +97,35 @@ object AggQueries extends QueryModule {
           col("n_rows"), col("sum_price"))
         .orderBy("status", "priority")),
 
+    // Count-min-sketch heavy hitters (rows-only: sketch estimates; merge
+    // and error-bound properties spec-tested): per-language token sketches
+    // built in one map-side-combined agg, merged + probed driver-side —
+    // only ~KB summaries leave the cluster.
+    "q_agg16" -> ((s, d) => {
+      val toks = Tables.load(s, d, "documents")
+        .select(col("lang"), explode(graft.operators.TextOps.tokens(col("text"))).as("tok"))
+      graft.operators.SketchOps.cmsEstimates(toks, "tok", "lang",
+        Seq("and", "der", "el", "of", "the"))
+        .orderBy("probe")
+    }),
+
+    // GROUPING SETS ((status), (priority), ()) — the general form that
+    // rollup/cube specialize (independent one-dimension margins + grand
+    // total in ONE pass, no self-union); grouping() flags disambiguate
+    // rolled-up nulls from genuinely null keys.
+    "q_agg15" -> ((s, d) =>
+      Tables.load(s, d, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"), Det.fixedSum(col("o_totalprice"), 2).as("sum_price"),
+          (grouping(col("o_orderstatus")) * 2 + grouping(col("o_orderpriority")))
+            .cast("long").as("gid"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("gid"), col("n_rows"), col("sum_price"))
+        .orderBy("gid", "status", "priority")),
+
     // Approximate per-group quantiles (GK mergeable sketch) — the scale
     // path when exact `percentile`'s full sort-per-group is too expensive
     // (threshold selection over 100 TB). Rows-only: sketch results are
@@ -219,6 +248,13 @@ object AggQueries extends QueryModule {
          |  COUNT(*) AS n_rows, ${sqlFixedSum("o_totalprice", 2)} AS sum_price
          |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
          |ORDER BY status, priority""".stripMargin,
+    "q_agg15" ->
+      s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+         |  COALESCE(o_orderpriority, 'ALL') AS priority,
+         |  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+         |  COUNT(*) AS n_rows, ${sqlFixedSum("o_totalprice", 2)} AS sum_price
+         |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         |ORDER BY gid, status, priority""".stripMargin,
     "q_agg5" ->
       s"""SELECT COALESCE(r_name, 'ALL') AS r, COALESCE(n_name, 'ALL') AS n,
          |  COUNT(*) AS n_cust, ${sqlFixedSum("c_acctbal", 2)} AS sum_bal

@@ -37,6 +37,14 @@ object StreamQueries extends QueryModule {
         .orderBy("left_id", "right_id")
     }),
 
+    // Ordered conversion funnel over the event log: users reaching
+    // view -> click (after their first view) -> purchase (after that
+    // click). All stage times are windows over ONE user-hash shuffle —
+    // no per-stage self-join of the log.
+    "q_funnel1" -> ((s, d) =>
+      graft.operators.Funnel.funnelCounts(Tables.load(s, d, "events"),
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase"))),
+
     // Batch shadow of the incremental daily-update merge (IncrementalUpdate
     // .upsert, the foreachBatch kernel): updated keys replace stored rows,
     // new keys insert, untouched rows pass through. Oracle-checked.
@@ -88,6 +96,18 @@ object StreamQueries extends QueryModule {
         |FROM l JOIN r ON l.user_id = r.user_id
         |  AND r.ts BETWEEN l.ts AND l.ts + INTERVAL 30 MINUTE
         |ORDER BY left_id, right_id""".stripMargin,
+    "q_funnel1" ->
+      """WITH t0 AS (SELECT user_id, min(ts) AS t FROM events
+        |            WHERE event_type = 'view' GROUP BY user_id),
+        |t1 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN t0 ON e.user_id = t0.user_id AND e.ts > t0.t
+        |       WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |t2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t
+        |       WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT (SELECT COUNT(*) FROM t0) AS n_view,
+        |       (SELECT COUNT(*) FROM t1) AS n_click,
+        |       (SELECT COUNT(*) FROM t2) AS n_purchase""".stripMargin,
     "q_merge1" ->
       """WITH store AS (
         |  SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
