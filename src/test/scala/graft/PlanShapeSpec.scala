@@ -145,4 +145,34 @@ class PlanShapeSpec extends SparkSpec {
     val years = dim.collect().map(_.getInt(0)).toSet
     assert(pruned.count() === li.where(col("ship_year").isin(years.toSeq: _*)).count())
   }
+
+  test("Catalyst's own runtime bloom-filter injection fires on a selective big-big join") {
+    // the optimizer counterpart of operators.BloomJoin: with the runtime-
+    // filter rule enabled (thresholds tuned to the test fixture's sizes),
+    // InjectRuntimeFilter plants bloom_filter_agg/might_contain without
+    // any operator-level code
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1GB")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val li = Tables.load(s2, sf, "lineitem")
+    val pt = Tables.load(s2, sf, "part").where(col("p_size") === 1)
+    val j = li.join(pt, li("l_partkey") === pt("p_partkey"))
+    val plan = j.queryExecution.optimizedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"runtime filter not injected:\n${plan.take(1200)}")
+    assert(j.count() > 0)
+  }
+
+  test("q_sample2: mixture resample reads the corpus exactly twice (counts + filter)") {
+    val p = plan("q_sample2", queries.TextDedupQueries)
+    assert("Scan parquet".r.findAllIn(p).length === 2, p.take(1200))
+  }
+
+  test("q_layout1: z-order key is one scan + one range exchange") {
+    val p = plan("q_layout1", ScanSinkQueries)
+    assert("Scan parquet".r.findAllIn(p).length === 1, p.take(800))
+    assert(p.contains("Exchange rangepartitioning"), p.take(800))
+  }
 }
