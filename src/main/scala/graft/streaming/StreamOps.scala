@@ -91,6 +91,46 @@ object StreamOps {
       }
   }
 
+  /** S-STRM7: the same running totals on Spark 4's `transformWithState`
+    * (the arbitrary-state API that supersedes mapGroupsWithState):
+    * typed `ValueState` from the processor handle, explicit `TimeMode` /
+    * `TTLConfig`, RocksDB-backed state store. Must agree exactly with
+    * [[runningTotals]] — asserted by the MemoryStream parity spec. */
+  class RunningTotalProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Double), UserRunningTotal] {
+    @transient private var agg: org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      agg = getHandle.getValueState[(Long, Double)]("agg",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaDouble),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Double)],
+                                 timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[UserRunningTotal] = {
+      val (n0, v0) = Option(agg.get()).getOrElse((0L, 0.0))
+      val (n, v) = rows.foldLeft((n0, v0)) {
+        case ((cn, cv), (_, value)) => (cn + 1, cv + value)
+      }
+      agg.update((n, v))
+      Iterator.single(UserRunningTotal(user, n, v))
+    }
+  }
+
+  /** [[runningTotals]] via [[RunningTotalProcessor]]. Requires the RocksDB
+    * state-store provider (transformWithState's backing store). */
+  def runningTotalsTws(events: Dataset[(Long, Double)]): Dataset[UserRunningTotal] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new RunningTotalProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+  }
+
   /** A closed (or in-flight) user session materialized by
     * [[sessionsWithTimeout]]. */
   case class SessionClosed(user_id: Long, session_start: java.sql.Timestamp,

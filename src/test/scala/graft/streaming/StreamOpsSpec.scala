@@ -103,6 +103,31 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("S-STRM7: transformWithState running totals agree with mapGroupsWithState") {
+    // transformWithState requires the RocksDB state store — child session
+    // so the engine-wide HDFS-backed default stays untouched
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[(Long, Double)](s2)
+    val name = s"t${System.nanoTime()}"
+    val q = StreamOps.runningTotalsTws(mem.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode("update").start()
+    try {
+      mem.addData((1L, 10.0), (1L, 5.0), (2L, 1.0)); q.processAllAvailable()
+      mem.addData((1L, 2.0)); q.processAllAvailable()
+      val last = s2.table(name)
+        .groupBy("user_id")
+        .agg(org.apache.spark.sql.functions.max("n_events").as("n"),
+          org.apache.spark.sql.functions.max("total_value").as("v"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      // identical to the mapGroupsWithState expectation below
+      assert(last(1L) === ((3L, 17.0)))
+      assert(last(2L) === ((1L, 1.0)))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState carries per-user running totals across micro-batches") {
     val mem = MemoryStream[(Long, Double)](spark)
     val name = s"t${System.nanoTime()}"
