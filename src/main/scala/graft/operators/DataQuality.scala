@@ -32,4 +32,18 @@ object DataQuality {
     aggd.unpivot(Array.empty[Column], checks.map(c => col(c._1)).toArray,
       "check_name", "value")
   }
+
+  /** The same checks attached IN-FLIGHT via `Dataset.observe`
+    * (CollectMetrics): metrics accumulate as a side effect of whatever
+    * action the pipeline already runs — no second scan, and the identical
+    * call works on a streaming Dataset (metrics per micro-batch via
+    * `StreamingQueryProgress.observedMetrics`). Batch consumers read them
+    * from a `QueryExecutionListener`; spec-tested against [[report]]. */
+  def observed(df: DataFrame, metricsName: String,
+               checks: Seq[(String, Column)]): DataFrame = {
+    require(checks.nonEmpty, "at least one check required")
+    df.observe(metricsName,
+      checks.head._2.cast("double").as(checks.head._1),
+      checks.tail.map { case (n, c) => c.cast("double").as(n) }: _*)
+  }
 }

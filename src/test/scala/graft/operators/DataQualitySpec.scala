@@ -25,6 +25,42 @@ class DataQualitySpec extends SparkSpec {
       "nonpositive_v" -> 2.0, "bad_cat" -> 1.0))
   }
 
+  test("observe: in-flight metrics equal the report, no extra scan") {
+    val df = Seq(
+      (1L, Option("a"), 10.0), (2L, Option.empty[String], -1.0),
+      (2L, Option("c"), 0.0), (3L, Option("zz"), 5.0)
+    ).toDF("id", "cat", "v")
+    val checks = Seq(
+      "n_rows" -> count(lit(1)),
+      "null_cat" -> DataQuality.nullCount(col("cat")),
+      "nonpositive_v" -> DataQuality.violations(col("v") <= 0))
+
+    @volatile var seen: Map[String, Double] = Map.empty
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             ns: Long): Unit = {
+        qe.observedMetrics.get("dq").foreach { row =>
+          seen = row.schema.fieldNames.map(n =>
+            n -> row.getAs[Double](n)).toMap
+          latch.countDown()
+        }
+      }
+      override def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val out = DataQuality.observed(df, "dq", checks)
+      assert(out.count() === 4, "observe must not change the data")
+      assert(latch.await(30, java.util.concurrent.TimeUnit.SECONDS),
+        "observed metrics never arrived")
+      val expect = DataQuality.report(df, checks)
+        .as[(String, Double)].collect().toMap
+      assert(seen === expect)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("report is a single aggregation: exactly one Aggregate pair, no joins") {
     val df = Seq((1L, 2.0)).toDF("id", "v")
     val plan = DataQuality.report(df, Seq(
