@@ -97,6 +97,32 @@ object IvfAnn {
       .limit(k)
   }
 
+  /** Batched IVF probe: serve a whole QUERY BATCH against the index in
+    * one pass — the production shape (per-query probing would launch one
+    * job per query). The (queries x centroids) ranking is a broadcast
+    * cross join of two tiny tables; each query's top `nprobe` cells
+    * become a broadcast semi-filter on the assignment, so the corpus scan
+    * touches only cells some query probes, and `topKPerGroup` ranks per
+    * query (WindowGroupLimit — never a global limit mixing queries).
+    * Agreement with the single-query [[probe]] is property-tested. */
+  def probeBatch(indexed: DataFrame, centers: DataFrame, idCol: String,
+                 vecCol: String, queries: DataFrame, queryIdCol: String,
+                 queryVecCol: String, k: Int, nprobe: Int): DataFrame = {
+    val q = queries.select(col(queryIdCol).as("query_id"), col(queryVecCol).as("__qv"))
+    val cells = Similarity.topKPerGroup(
+        centers.crossJoin(broadcast(q))
+          .select(col("query_id"), col("__qv"), col("__cluster"),
+            VectorOps.cosine(col("__center"), col("__qv")).as("__csim")),
+        Seq("query_id"), Seq(col("__csim").desc, col("__cluster").asc), nprobe)
+      .select("query_id", "__qv", "__cluster")
+    Similarity.topKPerGroup(
+        indexed.join(broadcast(cells), "__cluster")
+          .select(col("query_id"), col(idCol),
+            round(VectorOps.cosine(col(vecCol), col("__qv")), 6).as("sim")),
+        Seq("query_id"), Seq(col("sim").desc, col(idCol).asc), k)
+      .select("query_id", idCol, "sim", "rn")
+  }
+
   /** One-shot build + probe (tests / ad-hoc use; production and the bench
     * go through [[cachedIndex]] + [[probe]]). */
   def topK(emb: DataFrame, idCol: String, vecCol: String,

@@ -118,6 +118,19 @@ object SimMmQueries extends QueryModule {
         .orderBy(col("adc_dist").asc, col("vec_id"))
     }),
 
+    // Batched IVF probe: one pass serves the whole query batch against
+    // the cached index — per-query nprobe cells via ranked broadcast,
+    // corpus touched only where some query probes (rows-only: IVF approx;
+    // agreement with the single-query probe is property-tested).
+    "q_sim12" -> ((s, d) => {
+      val (indexed, centers) = graft.operators.IvfAnn.cachedIndex(
+        s, d, "embedding", numClusters = 16)(Tables.load(s, d, "embeddings"))
+      graft.operators.IvfAnn.probeBatch(indexed, centers, "vec_id", "embedding",
+        Tables.load(s, d, "embeddings").where(col("vec_id").isin(0, 7, 42)),
+        "vec_id", "embedding", k = 5, nprobe = 4)
+        .orderBy("query_id", "rn")
+    }),
+
     // Hard-negative mining for contrastive training: per anchor, the top-5
     // most-similar vectors with a DIFFERENT label. One corpus scan serves
     // the whole anchor batch (broadcast), ranked per query. Oracle-checked.

@@ -66,6 +66,24 @@ class ScaleOpsSpec extends SparkSpec {
       s"$agree/${stored.size} assignments agree")
   }
 
+  test("batched IVF probe agrees with the single-query probe for every query") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val (indexed0, centers) = IvfAnn.buildIndex(emb, "embedding", numClusters = 16)
+    val indexed = indexed0.localCheckpoint()
+    val batch = emb.where(col("vec_id").isin(0, 7, 42))
+    val got = IvfAnn.probeBatch(indexed, centers, "vec_id", "embedding",
+      batch, "vec_id", "embedding", k = 5, nprobe = 4)
+      .select("query_id", "vec_id", "sim")
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(-_._2).toSeq).toMap
+    Seq(0L, 7L, 42L).foreach { qid =>
+      val single = IvfAnn.probe(indexed, centers, "vec_id", "embedding",
+        emb.where(col("vec_id") === qid), "embedding", k = 5, nprobe = 4)
+        .as[(Long, Double)].collect().toSeq
+      assert(got(qid) === single, s"batch/single divergence for query $qid")
+    }
+  }
+
   test("IVF ANN: query is its own nearest neighbor; recall vs brute force is reported") {
     val emb = Tables.load(spark, sf, "embeddings")
     val q = emb.where(col("vec_id") === 0)
