@@ -170,6 +170,19 @@ object TextDedupQueries extends QueryModule {
         "doc_id", "source", Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
         .select("doc_id", "source").orderBy("doc_id")),
 
+    // Composite quality GATE (the Gopher-rule application step, distinct
+    // from q_txt4's signal computation): per-rule pass flags + the
+    // conjunction, so downstream can both filter and attribute drops.
+    // One scan, all rules as column expressions.
+    "q_txt15" -> ((s, d) =>
+      Tables.load(s, d, "documents").select(
+        col("doc_id"),
+        (TextOps.wordCount(col("text")) >= 30).as("r_words"),
+        TextOps.meanWordLen(col("text")).between(3.0, 10.0).as("r_wlen"),
+        (TextOps.digitRatio(col("text")) <= 0.2).as("r_digit"))
+        .withColumn("keep", col("r_words") && col("r_wlen") && col("r_digit"))
+        .orderBy("doc_id")),
+
     // Per-domain cap (anti-spam curation): keep at most 5 docs per source,
     // the longest first (ties to the lowest doc_id). The row_number<=cap
     // shape compiles to WindowGroupLimit: map-side top-cap pre-pruning.
@@ -433,6 +446,20 @@ object TextDedupQueries extends QueryModule {
          |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
          |ORDER BY a.doc_id""".stripMargin
     },
+    "q_txt15" ->
+      s"""WITH t AS (SELECT doc_id, text, CAST(len($tokSql) AS BIGINT) AS n_words FROM documents)
+         |SELECT doc_id,
+         |  n_words >= 30 AS r_words,
+         |  (CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) /
+         |     nullif(CAST(n_words AS DOUBLE), 0.0)) BETWEEN 3.0 AND 10.0 AS r_wlen,
+         |  (CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) /
+         |     nullif(CAST(length(text) AS DOUBLE), 0.0)) <= 0.2 AS r_digit,
+         |  (n_words >= 30) AND
+         |  ((CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) /
+         |      nullif(CAST(n_words AS DOUBLE), 0.0)) BETWEEN 3.0 AND 10.0) AND
+         |  ((CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) /
+         |      nullif(CAST(length(text) AS DOUBLE), 0.0)) <= 0.2) AS keep
+         |FROM t ORDER BY doc_id""".stripMargin,
     "q_sample3" ->
       """SELECT doc_id, source, n_chars FROM (
         |  SELECT doc_id, source, n_chars,
