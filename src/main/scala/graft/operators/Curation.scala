@@ -43,11 +43,24 @@ object Curation {
     require(budget >= 0, s"budget must be non-negative, got $budget")
     val spark = df.sparkSession
     val n = spark.sessionState.conf.numShufflePartitions
-    val ranged = df.repartitionByRange(n, order: _*).sortWithinPartitions(order: _*)
+    // Normalize the weight column to LongType up front: the RDD passes
+    // read it via getLong, which throws on a physically-Integer column.
+    // Validity (non-null, non-negative) is checked in pass 1, BEFORE any
+    // weight is summed into an offset.
+    val normalized =
+      if (df.schema(weightCol).dataType == LongType) df
+      else df.withColumn(weightCol, col(weightCol).cast(LongType))
+    val ranged = normalized.repartitionByRange(n, order: _*).sortWithinPartitions(order: _*)
     val wIdx = ranged.schema.fieldIndex(weightCol)
+    def weightAt(row: Row): Long = {
+      require(!row.isNullAt(wIdx), s"null $weightCol breaks monotone budget cut")
+      val w = row.getLong(wIdx)
+      require(w >= 0, s"negative weight $w breaks monotone budget cut")
+      w
+    }
     // pass 1: per-partition totals (tiny: one long per partition)
     val totals = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
-      Iterator.single(pid -> it.map(_.getLong(wIdx)).sum)
+      Iterator.single(pid -> it.map(weightAt).sum)
     }.collect().sortBy(_._1).map(_._2)
     val offsets = totals.scanLeft(0L)(_ + _)
     // pass 2 (reuses pass 1's shuffle files — same lineage): running
@@ -60,9 +73,7 @@ object Curation {
       var acc = offsets(pid)
       if (acc >= budget) Iterator.empty
       else it.map { row =>
-        val w = row.getLong(wIdx)
-        require(w >= 0, s"negative weight $w breaks monotone budget cut")
-        acc += w
+        acc += weightAt(row)
         (acc, row)
       }.takeWhile(_._1 <= budget)
         .map { case (a, row) => Row.fromSeq(row.toSeq :+ a) }

@@ -71,7 +71,13 @@ object DataSplit {
       .withColumn("__nt", min(col("__n").cast("double") / col("__frac")).over(w))
       .select(col(sourceCol),
         least(lit(1.0), col("__frac") * col("__nt") / col("__n").cast("double")).as("__rate"))
-    val u = pmod(col(keyCol) * lit(2654435761L), lit(1000000L)).cast("double") / 1e6
+    // Reduce the key mod 1e6 BEFORE the Knuth multiply: (k mod m)*c mod m
+    // == k*c mod m, but the reduced product stays < 2.7e15 — a raw k*c
+    // overflows long (wraps, or throws under ANSI) for keys above ~3.4e9,
+    // and the BIGINT oracle would error where Spark wraps. The oracle SQL
+    // mirrors the same reduced form.
+    val u = pmod(pmod(col(keyCol), lit(1000000L)) * lit(2654435761L), lit(1000000L))
+      .cast("double") / 1e6
     df.join(broadcast(rates), sourceCol)
       .where(u < col("__rate"))
       .drop("__rate")

@@ -22,18 +22,24 @@ object SketchOps {
   /** Estimated frequencies of `probes` from per-`group` count-min
     * sketches over `keyExprSql` (a SQL expression over `df`'s columns),
     * merged across groups. Returns (probe, est_n) — deterministic for a
-    * fixed seed. */
+    * fixed seed.
+    *
+    * The key is cast to STRING at build time so the sketch's hash space
+    * always matches the String `probes` (a bigint key sketched raw would
+    * hash differently than its string probe and silently estimate 0);
+    * an empty input yields an empty sketch, so every probe estimates 0. */
   def cmsEstimates(df: DataFrame, keyExprSql: String, groupCol: String,
                    probes: Seq[String], eps: Double = 0.001,
                    confidence: Double = 0.99, seed: Int = 42): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val sketches = df.groupBy(col(groupCol))
-      .agg(expr(s"count_min_sketch($keyExprSql, ${eps}d, ${confidence}d, $seed)").as("sk"))
+      .agg(expr(s"count_min_sketch(CAST(($keyExprSql) AS STRING), ${eps}d, ${confidence}d, $seed)").as("sk"))
       .collect()
     val merged = sketches.map { r: Row =>
       CountMinSketch.readFrom(r.getAs[Array[Byte]]("sk"))
-    }.reduce((a, b) => a.mergeInPlace(b))
+    }.reduceOption((a, b) => a.mergeInPlace(b))
+      .getOrElse(CountMinSketch.create(eps, confidence, seed))
     probes.map(p => (p, merged.estimateCount(p))).toDF("probe", "est_n")
   }
 }

@@ -26,10 +26,12 @@ object TextDedupQueries extends QueryModule {
   private val fuzzyJaccardSql =
     """WITH o AS (SELECT DISTINCT lower(p_name) AS o_name FROM part),
       |c AS (SELECT DISTINCT substr(o_name, 4) AS c_name FROM o),
-      |og AS (SELECT o_name, unnest(list_distinct(list_transform(
-      |         range(1, length(o_name) - 1), i -> o_name[i:i+2]))) AS g FROM o),
-      |cg AS (SELECT c_name, unnest(list_distinct(list_transform(
-      |         range(1, length(c_name) - 1), i -> c_name[i:i+2]))) AS g FROM c),
+      |og AS (SELECT o_name, unnest(list_distinct(CASE WHEN length(o_name) < 3
+      |         THEN [o_name] ELSE list_transform(
+      |         range(1, length(o_name) - 1), i -> o_name[i:i+2]) END)) AS g FROM o),
+      |cg AS (SELECT c_name, unnest(list_distinct(CASE WHEN length(c_name) < 3
+      |         THEN [c_name] ELSE list_transform(
+      |         range(1, length(c_name) - 1), i -> c_name[i:i+2]) END)) AS g FROM c),
       |osz AS (SELECT o_name, COUNT(*) AS sz FROM og GROUP BY 1),
       |csz AS (SELECT c_name, COUNT(*) AS sz FROM cg GROUP BY 1),
       |inter AS (SELECT c_name, o_name, COUNT(*) AS i FROM cg JOIN og USING (g) GROUP BY 1, 2)
@@ -487,7 +489,7 @@ object TextDedupQueries extends QueryModule {
         |rates AS (SELECT source, least(CAST(1.0 AS DOUBLE), frac * nt / n) AS rate
         |          FROM j CROSS JOIN nt)
         |SELECT d.doc_id, d.source FROM documents d JOIN rates r ON d.source = r.source
-        |WHERE CAST((d.doc_id * 2654435761) % 1000000 AS DOUBLE) / 1e6 < r.rate
+        |WHERE CAST(((d.doc_id % 1000000) * 2654435761) % 1000000 AS DOUBLE) / 1e6 < r.rate
         |ORDER BY d.doc_id""".stripMargin,
     "q_dedup1" ->
       """SELECT doc_id, h

@@ -45,12 +45,24 @@ object StreamingDedup {
     val exists = new Path(bandStoreDir).getFileSystem(
       spark.sparkContext.hadoopConfiguration).exists(new Path(bandStoreDir))
     val stored =
-      if (exists)
-        spark.read.parquet(bandStoreDir)
-          .select(col("__id"), col("__band"), col("__bucket"))
-          // a replayed batch may have already appended its own bands; drop
-          // them so the replay emits exactly the original candidate set
-          .join(newBands.select("__id").distinct(), Seq("__id"), "left_anti")
+      if (exists) {
+        val all = spark.read.parquet(bandStoreDir)
+        // a replayed batch may have already written its own bands; drop
+        // them so the replay emits exactly the original candidate set.
+        // Keyed by BATCH, not doc id: the per-batch-id subdirectory layout
+        // surfaces a `batch` partition column, so only THIS batch's prior
+        // append is excluded — a doc id legitimately recurring in a later
+        // batch keeps its stored bands, preserving candidate pairs between
+        // other documents and the previously stored version of that id.
+        val prior = batchId match {
+          case Some(id) if all.columns.contains("batch") =>
+            all.where(!(col("batch") <=> lit(id)))
+          case Some(_) => all // first write to a fresh store layout
+          case None => // one-shot append path: no batch key, fall back to id
+            all.join(newBands.select("__id").distinct(), Seq("__id"), "left_anti")
+        }
+        prior.select(col("__id"), col("__band"), col("__bucket"))
+      }
       // empty-store fallback derives the schema from the real band table
       // (id type follows idCol — never a hardcoded LongType)
       else newBands.limit(0)

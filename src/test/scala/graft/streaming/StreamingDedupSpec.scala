@@ -55,4 +55,20 @@ class StreamingDedupSpec extends SparkSpec {
     assert(spark.read.parquet(bands).count() ===
       spark.read.parquet(bands).distinct().count(), "band store has no duplicate rows after replay")
   }
+
+  test("doc id recurring in a later batch keeps the stored version's pairs") {
+    // Exclusion is keyed by BATCH, not doc id: when id 5 legitimately
+    // recurs in batch 1 with different text, batch 1's other docs must
+    // still pair against the batch-0 (stored) version of id 5.
+    val bands = Files.createTempDirectory("graft_sdedup_rebands").toString + "/b"
+    val other = "completely different content about spark engines " * 4
+    StreamingDedup.processBatch(
+      Seq((5L, base), (6L, other)).toDF("doc_id", "text"), bands, batchId = Some(0L))
+    val pairs = StreamingDedup.processBatch(
+      Seq((5L, "a totally rewritten second version of this document " * 4),
+          (7L, base)).toDF("doc_id", "text"), bands, batchId = Some(1L))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((5L, 7L)),
+      s"new doc must pair with the STORED version of the recurring id, got $pairs")
+  }
 }
