@@ -79,19 +79,48 @@ object NearDup {
       .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bucket")
   }
 
+  /** Default bucket-population cap for the LSH-family candidate joins —
+    * far above any per-bucket population the test fixtures produce (their
+    * whole corpora are <= 5k docs), so capped and uncapped results are
+    * identical there; at corpus scale it is the knob that bounds the join. */
+  val DefaultMaxBucketSize: Int = 10000
+
+  /** Drops every bucket (equality-key group) whose population exceeds
+    * `cap` BEFORE a candidate self-join. A bucket of size s contributes
+    * s² candidate rows, so one boilerplate/near-empty-document bucket of
+    * 100k docs is 10^10 pairs — the classic LSH skew-killer on web text.
+    * An over-common band value carries no similarity signal (it matches
+    * everything), so dropping it trades a bounded sliver of recall for a
+    * sum(min(s, cap)²) join bound; pairs sharing any OTHER band survive.
+    * One map-side-combined count aggregation; the over-cap key list is
+    * tiny (<= n/cap keys) so AQE broadcasts the anti-join. */
+  private[operators] def dropCrowdedBuckets(
+      banded: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+    require(cap > 1, s"maxBucketSize must be > 1, got $cap")
+    val crowded = banded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__bn")).where(col("__bn") > cap)
+      .select(keys.map(col): _*)
+    banded.join(crowded, keys, "left_anti")
+  }
+
   /** LSH banding: candidate pairs are doc pairs sharing >= 1 identical band
-    * of `rowsPerBand` consecutive signature values.
+    * of `rowsPerBand` consecutive signature values. Buckets holding more
+    * than `maxBucketSize` docs are dropped before the self-join (see
+    * [[dropCrowdedBuckets]] — the default never triggers on the fixtures).
     * Returns (id_a, id_b) with id_a < id_b, distinct. */
   def lshCandidatePairs(
       docs: DataFrame, idCol: String, text: Column,
-      shingleN: Int = 3, numHashes: Int = 32, rowsPerBand: Int = 4): DataFrame = {
+      shingleN: Int = 3, numHashes: Int = 32, rowsPerBand: Int = 4,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     // Materialize the band table before self-joining it: a lazy self-join
     // plans the whole scan->tokenize->minhash->band pipeline ONCE PER SIDE
     // (2x the dominant cost — at corpus scale, a doubled sketch pass).
     // localCheckpoint computes the sketch once and joins the materialized
     // partitions, same as StreamingDedup persists its batch bands.
-    val banded = lshBandTable(docs, idCol, text, shingleN, numHashes, rowsPerBand)
-      .localCheckpoint()
+    val banded = dropCrowdedBuckets(
+      lshBandTable(docs, idCol, text, shingleN, numHashes, rowsPerBand)
+        .localCheckpoint(),
+      Seq("__band", "__bucket"), maxBucketSize)
     val a = banded.select(col("__band"), col("__bucket"), col("__id").as("id_a"))
     val b = banded.select(col("__band"), col("__bucket"), col("__id").as("id_b"))
     a.join(b, Seq("__band", "__bucket"))
@@ -154,16 +183,22 @@ object NearDup {
     * bucket join on (chunk_idx, chunk) finds ALL such pairs without
     * O(n^2). A `maxHamming` above 3 still filters the candidates it sees
     * but is recall-lossy (pairs differing in every chunk are never
-    * candidates) — that's the LSH trade, not a bug. */
-  def simhashPairs(sh: DataFrame, idCol: String, maxHamming: Int = 3): DataFrame = {
+    * candidates) — that's the LSH trade, not a bug. Chunk buckets holding
+    * more than `maxBucketSize` docs are dropped before the self-join
+    * ([[dropCrowdedBuckets]]) — on web text, near-empty docs collapse into
+    * a few giant all-zero-ish chunks. */
+  def simhashPairs(sh: DataFrame, idCol: String, maxHamming: Int = 3,
+                   maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     // Materialized before the self-join for the same reason as
     // lshCandidatePairs: `sh` is usually the full simhash aggregation, and
     // a lazy self-join would compute it once per side.
-    val chunks = sh.select(col(idCol).as("__id"), col("simhash"),
-      posexplode(array((0 until 4).map(c =>
-        shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
-      .withColumnRenamed("pos", "__chunk").withColumnRenamed("col", "__cv")
-      .localCheckpoint()
+    val chunks = dropCrowdedBuckets(
+      sh.select(col(idCol).as("__id"), col("simhash"),
+        posexplode(array((0 until 4).map(c =>
+          shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+        .withColumnRenamed("pos", "__chunk").withColumnRenamed("col", "__cv")
+        .localCheckpoint(),
+      Seq("__chunk", "__cv"), maxBucketSize)
     val a = chunks.select(col("__chunk"), col("__cv"), col("__id").as("id_a"), col("simhash").as("sh_a"))
     val b = chunks.select(col("__chunk"), col("__cv"), col("__id").as("id_b"), col("simhash").as("sh_b"))
     a.join(b, Seq("__chunk", "__cv"))
@@ -188,10 +223,19 @@ object NearDup {
     * (measured 28s vs ~2s on 5k near-duplicate docs). Use
     * [[exactJaccardVerify]] with LSH candidates instead of blocking when no
     * natural block exists: sketch-candidates + per-pair exact verify is the
-    * 100 TB composition. */
+    * 100 TB composition.
+    *
+    * Guarded: a block of s rows joins into s² candidate rows, so a block
+    * above `maxBlockSize` FAILS FAST (before the quadratic join runs)
+    * rather than silently degenerating ~10,000x at a 100x block scale-up.
+    * The operator is exact by contract, so it never auto-falls back to the
+    * recall-lossy LSH path — the error message points there instead. The
+    * guard's count rides the localCheckpoint'ed shingle table (which the
+    * self-join reuses, halving the dominant shingle pass as a side effect). */
   def exactJaccardPairs(
       docs: DataFrame, idCol: String, text: Column, block: Column,
-      shingleN: Int = 3, minSim: Double = 0.1): DataFrame = {
+      shingleN: Int = 3, minSim: Double = 0.1,
+      maxBlockSize: Int = DefaultMaxBucketSize): DataFrame = {
     // Shingles are hashed to 64-bit longs and SORTED before the pairwise
     // intersect, so the custom two-pointer codegen expression
     // (SortedLongIntersectCount) counts the overlap with zero allocation.
@@ -202,6 +246,14 @@ object NearDup {
         col("__text"), shingleN)
       .select(col("__blk"), col(idCol),
         sort_array(array_distinct(transform(col("__sh"), s => xxhash64(s)))).as("__shh"))
+      .localCheckpoint()
+    val biggest = sh.groupBy("__blk").agg(count(lit(1)).as("__n"))
+      .agg(max(col("__n"))).head()
+    val maxBlock = if (biggest.isNullAt(0)) 0L else biggest.getLong(0)
+    require(maxBlock <= maxBlockSize,
+      s"exactJaccardPairs: a block holds $maxBlock rows (> maxBlockSize=$maxBlockSize); " +
+      s"the exact pair join would generate ~${maxBlock}^2 candidates — route through " +
+      "lshCandidatePairs + exactJaccardVerify for unbounded blocks, or raise maxBlockSize")
     val a = sh.select(col("__blk"), col(idCol).as("id_a"), col("__shh").as("__sha"))
     val b = sh.select(col("__blk"), col(idCol).as("id_b"), col("__shh").as("__shb"))
     a.join(b, Seq("__blk"))
@@ -225,7 +277,8 @@ object NearDup {
     */
   def exactJaccardPairsBlocked(
       docs: DataFrame, idCol: String, text: Column, block: Column,
-      shingleN: Int = 3, minSim: Double = 0.1): DataFrame = {
+      shingleN: Int = 3, minSim: Double = 0.1,
+      maxBlockSize: Int = DefaultMaxBucketSize): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val sh = withShingles(
@@ -235,8 +288,13 @@ object NearDup {
       .select(col("__blk"), col("__id"),
         sort_array(array_distinct(transform(col("__sh"), s => xxhash64(s)))).as("__shh"))
       .as[(String, Long, Array[Long])]
-    sh.groupByKey(_._1).flatMapGroups { (_, it) =>
+    sh.groupByKey(_._1).flatMapGroups { (blk, it) =>
       val items = it.map(t => (t._2, t._3)).toArray.sortBy(_._1)
+      // same quadratic guard as the join form — here the group is already
+      // local, so the check is free
+      require(items.length <= maxBlockSize,
+        s"exactJaccardPairsBlocked: block '$blk' holds ${items.length} rows " +
+        s"(> maxBlockSize=$maxBlockSize); route through lshCandidatePairs + exactJaccardVerify")
       val out = Seq.newBuilder[(Long, Long, Double)]
       var i = 0
       while (i < items.length) {

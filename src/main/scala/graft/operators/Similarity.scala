@@ -109,21 +109,28 @@ object Similarity {
     * with probability ≤ 0.8^24 ≈ 0.5% — and the fixed seed makes any
     * given corpus's result deterministic (recall 1.0 on the test fixtures
     * is asserted in the spec and by the q_sim2 oracle). Pass `lit(0)` as
-    * `block` for an unblocked corpus. */
+    * `block` for an unblocked corpus. Buckets holding more than
+    * `maxBucketSize` vectors are dropped before the self-join
+    * (`NearDup.dropCrowdedBuckets` — zero/duplicate embeddings collapse
+    * into giant sign buckets the way boilerplate text does in MinHash LSH;
+    * the default never triggers on the fixtures). */
   def lshBucketedPairsAboveThreshold(
       emb: DataFrame, idCol: String, vecCol: String, block: Column,
       minSim: Double, dim: Int, numBands: Int = 24, planesPerBand: Int = 4,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      maxBucketSize: Int = NearDup.DefaultMaxBucketSize): DataFrame = {
     val base = emb.select(block.as("__blk"), col(idCol).as("__id"), col(vecCol).as("__v"))
     // one bucket id per band, each under its own seed-derived plane set
     val bandBuckets = array((0 until numBands).map { b =>
       lshBucket(col("__v"), hyperplanes(planesPerBand, dim, seed + b), planesPerBand)
     }: _*)
     // materialized before the self-join (sketch computed once, not per side)
-    val banded = base
-      .select(col("__blk"), col("__id"), posexplode(bandBuckets))
-      .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bucket")
-      .localCheckpoint()
+    val banded = NearDup.dropCrowdedBuckets(
+      base
+        .select(col("__blk"), col("__id"), posexplode(bandBuckets))
+        .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bucket")
+        .localCheckpoint(),
+      Seq("__blk", "__band", "__bucket"), maxBucketSize)
     val a = banded.select(col("__blk"), col("__band"), col("__bucket"), col("__id").as("id_a"))
     val b = banded.select(col("__blk"), col("__band"), col("__bucket"), col("__id").as("id_b"))
     val candidates = a.join(b, Seq("__blk", "__band", "__bucket"))

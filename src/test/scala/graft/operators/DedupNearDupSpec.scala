@@ -135,4 +135,53 @@ class DedupNearDupSpec extends SparkSpec {
     assert(out((0L, 2L)) > 0.5 && out((0L, 2L)) < 1.0)
     assert(!out.keySet.exists(p => p._1 == 3L || p._2 == 3L), "blocking must exclude doc 3")
   }
+
+  // 10k copies of one boilerplate template (every band lands in one giant
+  // bucket — the web-text skew-killer: uncapped that is ~10^8 candidate
+  // rows PER BAND) plus one distinct planted near-dup pair.
+  private def pathological(n: Int) = {
+    val template = "breaking news subscribe to our newsletter terms privacy cookie policy " * 6
+    spark.range(n).select(col("id").as("doc_id"), lit(template).as("text"))
+      .unionByName(Seq(
+        (100000L, base), // exact-dup pair: collides in every sketch family
+        (100001L, base)).toDF("doc_id", "text"))
+  }
+
+  test("bucket cap: 10k-doc boilerplate bucket is dropped, planted near-dup pair survives") {
+    val pairs = NearDup.lshCandidatePairs(pathological(10000), "doc_id", col("text"),
+        maxBucketSize = 100)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((100000L, 100001L)),
+      "pair in small buckets must survive the cap")
+    assert(pairs.size <= 100 * 100 * 8 && !pairs.exists(p => p._1 < 10000L),
+      s"boilerplate bucket must be dropped, got ${pairs.size} pairs")
+  }
+
+  test("bucket cap above every bucket's population changes nothing") {
+    val uncapped = NearDup.lshCandidatePairs(docs, "doc_id", col("text"),
+        maxBucketSize = Int.MaxValue).as[(Long, Long)].collect().toSet
+    val defaulted = NearDup.lshCandidatePairs(docs, "doc_id", col("text"))
+      .as[(Long, Long)].collect().toSet
+    assert(defaulted === uncapped)
+  }
+
+  test("SimHash bucket cap: identical-fingerprint flood dropped, distinct pair kept") {
+    val sh = NearDup.simhash(pathological(2000), "doc_id", col("text"))
+    val pairs = NearDup.simhashPairs(sh, "doc_id", maxHamming = 3, maxBucketSize = 100)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((100000L, 100001L)))
+    assert(!pairs.exists(p => p._1 < 2000L), "flooded chunk buckets must be dropped")
+  }
+
+  test("exactJaccardPairs fails fast when a block exceeds maxBlockSize") {
+    val flood = pathological(50).withColumn("blk", lit("one"))
+    val e = intercept[IllegalArgumentException] {
+      NearDup.exactJaccardPairs(flood, "doc_id", col("text"), col("blk"),
+        maxBlockSize = 10)
+    }
+    assert(e.getMessage.contains("maxBlockSize"), e.getMessage)
+    // same corpus under a sufficient bound still runs
+    assert(NearDup.exactJaccardPairs(flood, "doc_id", col("text"), col("blk"),
+      maxBlockSize = 100).count() > 0)
+  }
 }

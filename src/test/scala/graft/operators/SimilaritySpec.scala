@@ -135,6 +135,24 @@ class SimilaritySpec extends SparkSpec {
     assert(fxBucketed === fxExact)
   }
 
+  test("bucket cap: a flooded sign bucket is dropped, a distinct near-dup pair survives") {
+    // 500 copies of ONE vector collapse into the same bucket in every band
+    // (the embedding mirror of boilerplate text); one perturbed pair of a
+    // different random vector lives in tiny buckets and must survive.
+    val rnd = new scala.util.Random(11)
+    val template = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val other = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val flood = (0 until 500).map(i => (i.toLong, 0, template))
+    val planted = Seq((9000L, 0, other),
+      (9001L, 0, other.map(x => x + 0.05f * rnd.nextGaussian().toFloat)))
+    val df = (flood ++ planted).toDF("vec_id", "label", "embedding")
+    val pairs = Similarity.lshBucketedPairsAboveThreshold(
+        df, "vec_id", "embedding", col("label"), 0.5, dim = 64, maxBucketSize = 50)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((9000L, 9001L)), s"planted pair must survive the cap, got $pairs")
+    assert(!pairs.exists(p => p._1 < 500L), "flooded bucket pairs must be dropped")
+  }
+
   test("topKPerGroup returns at most k rows per group, correctly ranked") {
     val df = Seq((1, 10.0), (1, 30.0), (1, 20.0), (2, 5.0)).toDF("g", "v")
     val out = Similarity.topKPerGroup(df, Seq("g"), Seq(col("v").desc), 2)
