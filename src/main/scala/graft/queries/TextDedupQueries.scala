@@ -291,6 +291,15 @@ object TextDedupQueries extends QueryModule {
         col("text"), col("lang"), shingleN = 3, minSim = 0.05)
         .orderBy("id_a", "id_b")),
 
+    // Q-DEDUP10: exact duplicated-span detection — maximal verbatim
+    // cross-document spans >= 12 tokens via positional 4-gram shingle
+    // hashes + diagonal gaps-and-islands (oracle-checked; never doc x doc).
+    "q_dedup10" -> ((s, d) =>
+      graft.operators.SpanDedup.duplicatedSpans(
+          Tables.load(s, d, "documents"), "doc_id", col("text"),
+          shingleN = 4, minSpanTokens = 12)
+        .orderBy("id_a", "id_b", "start_a", "start_b")),
+
     // Decontamination: eval split (doc_id % 10 == 0) checked for 3-gram
     // shingle overlap against the train split — one hash join on shingle
     // hashes, never doc x doc.
@@ -520,6 +529,8 @@ object TextDedupQueries extends QueryModule {
          |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
          |WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.05
          |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup10" ->
+      graft.operators.SpanDedup.duplicatedSpansSql(tokSql, shingleN = 4, minSpanTokens = 12),
     "q_txt11" ->
       s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
          |sh AS (SELECT doc_id,
