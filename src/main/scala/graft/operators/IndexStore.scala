@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** On-disk lifecycle for the engine's ANN/dedup indexes. The LSH band
+  * table, the IVF assignment + centroids, and the PQ codebooks + codes
+  * are INDEXES: built once in an offline stage, stored as tables, probed
+  * by every later run — a production pipeline never refits a quantizer or
+  * re-sketches a corpus per query. `graft.util.Memo` models that within a
+  * session; IndexStore is the durable form: a plain parquet directory
+  * layout that a BRAND-NEW session can reload and probe with zero
+  * recompute, and that the incremental operators
+  * (`NearDup.incrementalLshCandidates`, `IvfAnn.assignToIndex`) append
+  * against.
+  *
+  * All tables round-trip exactly (ids, band/bucket hashes, cluster ids,
+  * centers, one-byte codes are all parquet-native types), so a probe
+  * against the reloaded store is bit-identical to one against the
+  * in-memory build — asserted by IndexStoreSpec and by the q_dedup8 /
+  * q_sim7 / q_sim9 / q_sim12 queries, which serve from the reload.
+  *
+  * At cluster scale the band table and IVF assignment would be written
+  * `bucketBy(__bucket / __cluster)` so probe joins co-locate without a
+  * shuffle; the layout (one directory per table under a root) is the same.
+  */
+object IndexStore {
+
+  private val Bands = "lsh_bands"
+  private val IvfAssign = "ivf_assignment"
+  private val IvfCenters = "ivf_centers"
+  private val PqBooks = "pq_codebooks"
+  private val PqCodes = "pq_codes"
+
+  private def write(df: DataFrame, dir: String): Unit =
+    df.write.mode("overwrite").parquet(dir)
+
+  /** Persist an LSH band table (`NearDup.lshBandTable` shape:
+    * __id, __band, __bucket). */
+  def writeLshBands(bands: DataFrame, root: String): Unit =
+    write(bands, s"$root/$Bands")
+
+  def readLshBands(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(s"$root/$Bands")
+
+  /** Persist an IVF index: the full assignment (corpus columns +
+    * __cluster) and the (__cluster, __center) centroid table. */
+  def writeIvf(assignment: DataFrame, centers: DataFrame, root: String): Unit = {
+    write(assignment, s"$root/$IvfAssign")
+    write(centers, s"$root/$IvfCenters")
+  }
+
+  def readIvf(spark: SparkSession, root: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$root/$IvfAssign"),
+      spark.read.parquet(s"$root/$IvfCenters"))
+
+  /** Persist a PQ index: the (__subspace, __code, __center) codebooks and
+    * the (id, __codes) one-byte code table. */
+  def writePq(codebooks: DataFrame, codes: DataFrame, root: String): Unit = {
+    write(codebooks, s"$root/$PqBooks")
+    write(codes, s"$root/$PqCodes")
+  }
+
+  def readPq(spark: SparkSession, root: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$root/$PqBooks"),
+      spark.read.parquet(s"$root/$PqCodes"))
+
+  /** Whether a store root already holds any index table. */
+  def exists(spark: SparkSession, root: String): Boolean = {
+    val p = new Path(root)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+}

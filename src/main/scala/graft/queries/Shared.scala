@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{NearDup, Similarity}
+import graft.operators.{IndexStore, IvfAnn, NearDup, PqAnn, Similarity}
 import graft.util.Memo
 
 /** Shared memoized intermediates + SQL-twin fragments used by more than one
@@ -47,6 +47,52 @@ private[queries] object Shared {
       Similarity.lshBucketedPairsAboveThreshold(Tables.load(s, d, "embeddings"),
         "vec_id", "embedding", col("label"), minSim = 0.5, dim = 64)
     }
+
+  // ---- on-disk index stores (IndexStore) -------------------------------
+  // Each store is WRITTEN at most once per (session, corpus) and ALWAYS
+  // served from the parquet reload — the consuming queries never touch the
+  // in-memory build plan, proving the full write -> reload -> probe
+  // lifecycle the incremental operators assume. The root is session-scoped
+  // (the sandbox's stand-in for a warehouse path).
+
+  private def indexRoot(s: SparkSession, d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_index/" +
+      s"${s.sparkContext.applicationId}/${new java.io.File(d).getName}"
+
+  /** LSH band store over the q_dedup8 base corpus (doc_id % 5 != 0). */
+  def storedBands(s: SparkSession, d: String): DataFrame = {
+    val root = Memo.cached(s, s"bandstore|$d") {
+      val docs = Tables.load(s, d, "documents").select("doc_id", "text")
+      IndexStore.writeLshBands(
+        NearDup.lshBandTable(docs.where(col("doc_id") % 5 =!= 0), "doc_id", col("text")),
+        indexRoot(s, d))
+      indexRoot(s, d)
+    }
+    IndexStore.readLshBands(s, root)
+  }
+
+  /** IVF (assignment, centers) served from the store; the build reuses
+    * the session's cached index so search/dedup/store share ONE fit. */
+  def storedIvf(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val root = Memo.cached(s, s"ivfstore|$d") {
+      val (indexed, centers) = IvfAnn.cachedIndex(s, d, "embedding",
+        numClusters = 16)(Tables.load(s, d, "embeddings"))
+      IndexStore.writeIvf(indexed, centers, indexRoot(s, d))
+      indexRoot(s, d)
+    }
+    IndexStore.readIvf(s, root)
+  }
+
+  /** PQ (codebooks, codes) served from the store. */
+  def storedPq(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val root = Memo.cached(s, s"pqstore|$d") {
+      val (books, codes) = PqAnn.cachedCodes(s, d, "vec_id", "embedding",
+        dim = 64, m = 8, k = 16)(Tables.load(s, d, "embeddings"))
+      IndexStore.writePq(books, codes, indexRoot(s, d))
+      indexRoot(s, d)
+    }
+    IndexStore.readPq(s, root)
+  }
 
   /** SQL twin of VectorOps.cosine: same double widening, same in-order
     * accumulation, same dot/(sqrt*sqrt) shape, same zero-norm -> null

@@ -62,12 +62,12 @@ object SimMmQueries extends QueryModule {
     }),
 
     // Incremental ANN arrival path: assign a NEW vector batch to the
-    // existing (persisted) IVF index's cells without refitting — the ANN
-    // mirror of q_dedup8 (rows-only; agreement with the quantizer's own
-    // assignment is property-tested).
+    // existing IVF index's cells without refitting — the ANN mirror of
+    // q_dedup8 (rows-only; agreement with the quantizer's own assignment
+    // is property-tested). Centroids come from the ON-DISK index store
+    // (written once per session, reloaded from parquet).
     "q_sim7" -> ((s, d) => {
-      val (_, centers) = graft.operators.IvfAnn.cachedIndex(
-        s, d, "embedding", numClusters = 16)(Tables.load(s, d, "embeddings"))
+      val (_, centers) = Shared.storedIvf(s, d)
       graft.operators.IvfAnn.assignToIndex(
         Tables.load(s, d, "embeddings").where(col("vec_id") % 5 === 0),
         "vec_id", "embedding", centers)
@@ -105,13 +105,12 @@ object SimMmQueries extends QueryModule {
     // codes (32x compression — what makes a 100 TB embedding corpus
     // scannable); query-time scoring sums per-subspace distance-table
     // entries over a broadcast m*k table, corpus never decoded. Probe-only
-    // against the cached codebooks+codes (built in SparkEntry.prepare),
-    // like q_sim4's IVF probe. Rows-only: k-means-approximate; recall,
-    // determinism, and ADC-error are property-tested (PqAnnSpec).
+    // against the ON-DISK codebooks+codes (written once per session,
+    // reloaded from parquet), like q_sim12's IVF reload. Rows-only:
+    // k-means-approximate; recall, determinism, and ADC-error are
+    // property-tested (PqAnnSpec); store round-trip in IndexStoreSpec.
     "q_sim9" -> ((s, d) => {
-      val (books, codes) = graft.operators.PqAnn.cachedCodes(
-        s, d, "vec_id", "embedding", dim = 64, m = 8, k = 16)(
-        Tables.load(s, d, "embeddings"))
+      val (books, codes) = Shared.storedPq(s, d)
       graft.operators.PqAnn.probe(codes, books, "vec_id",
         Tables.load(s, d, "embeddings").where(col("vec_id") === 0), "embedding",
         dim = 64, m = 8, k = 11)
@@ -119,12 +118,12 @@ object SimMmQueries extends QueryModule {
     }),
 
     // Batched IVF probe: one pass serves the whole query batch against
-    // the cached index — per-query nprobe cells via ranked broadcast,
-    // corpus touched only where some query probes (rows-only: IVF approx;
-    // agreement with the single-query probe is property-tested).
+    // the RELOADED on-disk index (write -> reload -> probe, zero refit) —
+    // per-query nprobe cells via ranked broadcast, corpus touched only
+    // where some query probes (rows-only: IVF approx; agreement with the
+    // single-query probe is property-tested).
     "q_sim12" -> ((s, d) => {
-      val (indexed, centers) = graft.operators.IvfAnn.cachedIndex(
-        s, d, "embedding", numClusters = 16)(Tables.load(s, d, "embeddings"))
+      val (indexed, centers) = Shared.storedIvf(s, d)
       graft.operators.IvfAnn.probeBatch(indexed, centers, "vec_id", "embedding",
         Tables.load(s, d, "embeddings").where(col("vec_id").isin(0, 7, 42)),
         "vec_id", "embedding", k = 5, nprobe = 4)

@@ -271,13 +271,14 @@ object TextDedupQueries extends QueryModule {
     // Incremental dedup arrival path: candidate pairs touching a NEW doc
     // batch, found by joining its band table against the persisted corpus
     // band index — no corpus recompute (rows-only: engine hashes;
-    // exactness vs the full recompute is property-tested).
+    // exactness vs the full recompute is property-tested). The stored
+    // side comes from the ON-DISK band store (written once per session,
+    // RELOADED from parquet — the full index lifecycle, not a plan reuse).
     "q_dedup8" -> ((s, d) => {
       val docs = Tables.load(s, d, "documents").select("doc_id", "text")
-      val isNew = col("doc_id") % 5 === 0
       NearDup.incrementalLshCandidates(
-        NearDup.lshBandTable(docs.where(isNew), "doc_id", col("text")),
-        NearDup.lshBandTable(docs.where(!isNew), "doc_id", col("text")))
+        NearDup.lshBandTable(docs.where(col("doc_id") % 5 === 0), "doc_id", col("text")),
+        Shared.storedBands(s, d))
         .orderBy("id_a", "id_b")
     }),
 
