@@ -202,6 +202,36 @@ object Similarity {
       .limit(k)
   }
 
+  /** Brute-force EXACT-L2 top-k — the ground truth for the distance-based
+    * ANN paths (PQ/ADC ranks by approximate squared L2, so its recall is
+    * measured against exact L2, not cosine). Same one-scan broadcast shape
+    * as [[bruteForceTopK]]. */
+  def bruteForceTopKByL2(emb: DataFrame, idCol: String, vecCol: String,
+                         query: DataFrame, queryVecCol: String, k: Int): DataFrame =
+    emb.crossJoin(broadcast(
+        requireSingleRow(query, "bruteForceTopKByL2").select(col(queryVecCol).as("__qv"))))
+      .select(col(idCol), round(VectorOps.l2(col(vecCol), col("__qv")), 6).as("dist"))
+      .orderBy(col("dist").asc, col(idCol).asc)
+      .limit(k)
+
+  /** Annotates an ANN result with its recall against a ground-truth
+    * top-k: |result ∩ truth| / |truth|, emitted as a constant `recall`
+    * column so ANN quality lands in the verify/bench artifacts instead of
+    * only in test logs. Computed in-plan: the truth ids collapse into ONE
+    * array row (collect_set over k rows) broadcast onto the (<= k)-row
+    * result, and the global window runs over those k rows only — a
+    * deliberately bounded single partition, never data-scale. */
+  def withRecallAgainst(approx: DataFrame, truth: DataFrame, idCol: String): DataFrame = {
+    val tset = truth.agg(collect_set(col(idCol)).as("__tids"))
+    val w = Window.partitionBy(lit(1))
+    approx.crossJoin(broadcast(tset))
+      .withColumn("__hit", when(array_contains(col("__tids"), col(idCol)), 1).otherwise(0))
+      .withColumn("recall",
+        round(sum(col("__hit")).over(w).cast("double") /
+          size(col("__tids")).cast("double"), 6))
+      .drop("__tids", "__hit")
+  }
+
   /** Per-group top-k (SURVEY.md Q-TOP2 shape): row_number over a windowed
     * sort, kept <= k — Spark 4 plans this as WindowGroupLimit (no full
     * per-group materialization). */

@@ -27,23 +27,31 @@ object SimMmQueries extends QueryModule {
     "q_sim2" -> ((s, d) =>
       Shared.cosinePairs(s, d).orderBy("id_a", "id_b")),
 
-    // LSH-bucketed ANN top-k (rows-only: approximate by construction;
-    // recall vs brute force is property-tested).
+    // LSH-bucketed ANN top-k (rows-only: approximate by construction).
+    // Emits recall-vs-brute-force as a column, so ANN quality is visible
+    // in the verify artifacts; the floor is spec-asserted.
     "q_sim3" -> ((s, d) => {
       val emb = Tables.load(s, d, "embeddings")
-      Similarity.lshTopK(emb, "vec_id", "embedding",
-        emb.where(col("vec_id") === 0), "embedding",
-        k = 11, numPlanes = 8, dim = 64)
+      val q = emb.where(col("vec_id") === 0)
+      Similarity.withRecallAgainst(
+          Similarity.lshTopK(emb, "vec_id", "embedding", q, "embedding",
+            k = 11, numPlanes = 8, dim = 64),
+          Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, "embedding", 11),
+          "vec_id")
         .orderBy(col("sim").desc, col("vec_id"))
     }),
 
     // Multi-probe LSH ANN top-k: query bucket + all Hamming-1 buckets
-    // (rows-only: approximate; recall-vs-single-probe property-tested).
+    // (rows-only: approximate; recall >= single-probe's spec-asserted on
+    // the emitted column).
     "q_sim6" -> ((s, d) => {
       val emb = Tables.load(s, d, "embeddings")
-      Similarity.lshTopKMultiProbe(emb, "vec_id", "embedding",
-        emb.where(col("vec_id") === 0), "embedding",
-        k = 11, numPlanes = 8, dim = 64)
+      val q = emb.where(col("vec_id") === 0)
+      Similarity.withRecallAgainst(
+          Similarity.lshTopKMultiProbe(emb, "vec_id", "embedding", q, "embedding",
+            k = 11, numPlanes = 8, dim = 64),
+          Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, "embedding", 11),
+          "vec_id")
         .orderBy(col("sim").desc, col("vec_id"))
     }),
 
@@ -111,9 +119,13 @@ object SimMmQueries extends QueryModule {
     // property-tested (PqAnnSpec); store round-trip in IndexStoreSpec.
     "q_sim9" -> ((s, d) => {
       val (books, codes) = Shared.storedPq(s, d)
-      graft.operators.PqAnn.probe(codes, books, "vec_id",
-        Tables.load(s, d, "embeddings").where(col("vec_id") === 0), "embedding",
-        dim = 64, m = 8, k = 11)
+      val emb = Tables.load(s, d, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+      Similarity.withRecallAgainst(
+          graft.operators.PqAnn.probe(codes, books, "vec_id", q, "embedding",
+            dim = 64, m = 8, k = 11),
+          Similarity.bruteForceTopKByL2(emb, "vec_id", "embedding", q, "embedding", 11),
+          "vec_id")
         .orderBy(col("adc_dist").asc, col("vec_id"))
     }),
 
@@ -152,9 +164,13 @@ object SimMmQueries extends QueryModule {
       val (books, codes) = graft.operators.PqAnn.cachedCodes(
         s, d, "vec_id", "embedding", dim = 64, m = 8, k = 16)(
         Tables.load(s, d, "embeddings"))
-      graft.operators.PqAnn.probeIvf(codes, books, indexed, centers, "vec_id",
-        Tables.load(s, d, "embeddings").where(col("vec_id") === 0), "embedding",
-        dim = 64, m = 8, k = 11, nprobe = 4)
+      val emb = Tables.load(s, d, "embeddings")
+      val q = emb.where(col("vec_id") === 0)
+      Similarity.withRecallAgainst(
+          graft.operators.PqAnn.probeIvf(codes, books, indexed, centers, "vec_id",
+            q, "embedding", dim = 64, m = 8, k = 11, nprobe = 4),
+          Similarity.bruteForceTopKByL2(emb, "vec_id", "embedding", q, "embedding", 11),
+          "vec_id")
         .orderBy(col("adc_dist").asc, col("vec_id"))
     }),
 
