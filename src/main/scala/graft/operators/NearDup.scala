@@ -138,15 +138,33 @@ object NearDup {
     * already containing (some of) the new ids — e.g. a replayed micro-batch
     * whose previous append survived: self-pairs are filtered and the
     * duplicate cross pairs collapse in the `distinct`, preserving the
-    * id_a < id_b invariant of the output. */
-  def incrementalLshCandidates(newBands: DataFrame, storedBands: DataFrame): DataFrame = {
-    val n = newBands.select(col("__band"), col("__bucket"), col("__id").as("__new"))
-    val o = storedBands.select(col("__band"), col("__bucket"), col("__id").as("__old"))
+    * id_a < id_b invariant of the output.
+    *
+    * The bucket cap is computed over the UNION of new + stored bands —
+    * exactly the populations the equivalent full recompute would see — so
+    * capped incremental output still equals the capped full recompute
+    * restricted to new ids, and a boilerplate bucket that grew past the
+    * cap in the store stops joining against every future batch. */
+  def incrementalLshCandidates(newBands: DataFrame, storedBands: DataFrame,
+                               maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    require(maxBucketSize > 1, s"maxBucketSize must be > 1, got $maxBucketSize")
+    val n0 = newBands.select(col("__band"), col("__bucket"), col("__id"))
+    val o0 = storedBands.select(col("__band"), col("__bucket"), col("__id"))
+    // over-cap keys of the combined corpus (tiny: <= n/cap rows,
+    // materialized once for the two anti-joins)
+    val crowded = n0.unionByName(o0).groupBy("__band", "__bucket")
+      .agg(count(lit(1)).as("__bn")).where(col("__bn") > maxBucketSize)
+      .select("__band", "__bucket")
+      .localCheckpoint()
+    val n = n0.join(crowded, Seq("__band", "__bucket"), "left_anti")
+      .select(col("__band"), col("__bucket"), col("__id").as("__new"))
+    val o = o0.join(crowded, Seq("__band", "__bucket"), "left_anti")
+      .select(col("__band"), col("__bucket"), col("__id").as("__old"))
     val newOld = n.join(o, Seq("__band", "__bucket"))
       .where(col("__new") =!= col("__old"))
       .select(least(col("__new"), col("__old")).as("id_a"),
         greatest(col("__new"), col("__old")).as("id_b"))
-    val n2 = newBands.select(col("__band"), col("__bucket"), col("__id").as("id_b"))
+    val n2 = n.select(col("__band"), col("__bucket"), col("__new").as("id_b"))
     val newNew = n.withColumnRenamed("__new", "id_a")
       .join(n2, Seq("__band", "__bucket"))
       .where(col("id_a") < col("id_b"))

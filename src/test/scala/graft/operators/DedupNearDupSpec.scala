@@ -115,6 +115,24 @@ class DedupNearDupSpec extends SparkSpec {
     assert(newOldOnly.count() > 0, "new x old candidates expected")
   }
 
+  test("incremental cap equals the capped full recompute (union-population semantics)") {
+    // an over-cap bucket whose population only exceeds the cap when the
+    // stored and new halves are COMBINED: both paths must drop it
+    val flood = pathological(60) // 60 boilerplate + 2 planted dups
+    val isNew = col("doc_id") % 2 === 0
+    val inc = NearDup.incrementalLshCandidates(
+        NearDup.lshBandTable(flood.where(isNew), "doc_id", col("text")),
+        NearDup.lshBandTable(flood.where(!isNew), "doc_id", col("text")),
+        maxBucketSize = 50)
+      .as[(Long, Long)].collect().toSet
+    val full = NearDup.lshCandidatePairs(flood, "doc_id", col("text"), maxBucketSize = 50)
+      .as[(Long, Long)].collect().toSet
+      .filter(p => p._1 % 2 == 0 || p._2 % 2 == 0)
+    assert(inc === full)
+    assert(inc.contains((100000L, 100001L)), "planted pair spans the split and survives the cap")
+    assert(!inc.exists(p => p._1 < 60L), "combined-population bucket must be dropped on both paths")
+  }
+
   test("connected components: chains merge, clusters get min-id labels, dedup keeps representatives") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
     val cc = NearDup.connectedComponents(pairs)
