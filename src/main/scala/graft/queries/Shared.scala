@@ -48,6 +48,24 @@ private[queries] object Shared {
         "vec_id", "embedding", col("label"), minSim = 0.5, dim = 64)
     }
 
+  /** Brute-force ground truths for the recall-annotated ANN queries,
+    * computed once per (session, corpus): q_sim3/q_sim6 share the cosine
+    * truth and q_sim9/q_sim10 the exact-L2 truth (same query vector, same
+    * k) — recall measurement should not re-scan the corpus per query. */
+  def bruteCosineTruth(s: SparkSession, d: String): DataFrame =
+    Memo.cachedDf(s, s"brute_cos_truth|$d") {
+      val emb = Tables.load(s, d, "embeddings")
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        emb.where(col("vec_id") === 0), "embedding", 11)
+    }
+
+  def bruteL2Truth(s: SparkSession, d: String): DataFrame =
+    Memo.cachedDf(s, s"brute_l2_truth|$d") {
+      val emb = Tables.load(s, d, "embeddings")
+      Similarity.bruteForceTopKByL2(emb, "vec_id", "embedding",
+        emb.where(col("vec_id") === 0), "embedding", 11)
+    }
+
   // ---- on-disk index stores (IndexStore) -------------------------------
   // Each store is WRITTEN at most once per (session, corpus) and ALWAYS
   // served from the parquet reload — the consuming queries never touch the

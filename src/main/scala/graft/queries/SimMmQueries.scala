@@ -36,7 +36,7 @@ object SimMmQueries extends QueryModule {
       Similarity.withRecallAgainst(
           Similarity.lshTopK(emb, "vec_id", "embedding", q, "embedding",
             k = 11, numPlanes = 8, dim = 64),
-          Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, "embedding", 11),
+          Shared.bruteCosineTruth(s, d),
           "vec_id")
         .orderBy(col("sim").desc, col("vec_id"))
     }),
@@ -50,7 +50,7 @@ object SimMmQueries extends QueryModule {
       Similarity.withRecallAgainst(
           Similarity.lshTopKMultiProbe(emb, "vec_id", "embedding", q, "embedding",
             k = 11, numPlanes = 8, dim = 64),
-          Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, "embedding", 11),
+          Shared.bruteCosineTruth(s, d),
           "vec_id")
         .orderBy(col("sim").desc, col("vec_id"))
     }),
@@ -124,7 +124,7 @@ object SimMmQueries extends QueryModule {
       Similarity.withRecallAgainst(
           graft.operators.PqAnn.probe(codes, books, "vec_id", q, "embedding",
             dim = 64, m = 8, k = 11),
-          Similarity.bruteForceTopKByL2(emb, "vec_id", "embedding", q, "embedding", 11),
+          Shared.bruteL2Truth(s, d),
           "vec_id")
         .orderBy(col("adc_dist").asc, col("vec_id"))
     }),
@@ -169,7 +169,7 @@ object SimMmQueries extends QueryModule {
       Similarity.withRecallAgainst(
           graft.operators.PqAnn.probeIvf(codes, books, indexed, centers, "vec_id",
             q, "embedding", dim = 64, m = 8, k = 11, nprobe = 4),
-          Similarity.bruteForceTopKByL2(emb, "vec_id", "embedding", q, "embedding", 11),
+          Shared.bruteL2Truth(s, d),
           "vec_id")
         .orderBy(col("adc_dist").asc, col("vec_id"))
     }),
