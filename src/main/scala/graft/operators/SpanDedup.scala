@@ -65,14 +65,15 @@ object SpanDedup {
       .select("id_a", "id_b", "start_a", "start_b", "span_tokens")
   }
 
-  /** DuckDB twin of [[duplicatedSpans]] over `documents` — same shingle
-    * strings, same diagonal gaps-and-islands (no df cap: the operator's
-    * default cap never triggers on the fixtures). `tokSql` must be the
-    * SQL twin of `TextOps.tokens`. */
-  def duplicatedSpansSql(tokSql: String, shingleN: Int, minSpanTokens: Int): String = {
+  /** DuckDB CTE stages shared by the span oracles: `spans` holds one row
+    * per maximal duplicated span — same shingle strings, same diagonal
+    * gaps-and-islands as the operator (no df cap: the operator's default
+    * never triggers on the fixtures). `tokSql` must be the SQL twin of
+    * `TextOps.tokens`. */
+  def spanCtes(tokSql: String, shingleN: Int, minSpanTokens: Int): String = {
     val lastStart = s"len(toks) - ${shingleN - 2}" // range() excludes the bound
     val gram = s"array_to_string(toks[i:i+${shingleN - 1}], ' ')"
-    s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
+    s"""t AS (SELECT doc_id, $tokSql AS toks FROM documents),
        |p AS (SELECT doc_id,
        |        unnest(range(1, $lastStart)) AS pos,
        |        unnest(list_transform(range(1, $lastStart), i -> $gram)) AS g
@@ -81,12 +82,17 @@ object SpanDedup {
        |      FROM p a JOIN p b ON a.g = b.g AND a.doc_id < b.doc_id),
        |isl AS (SELECT id_a, id_b, pa - pb AS diag, pa, pb,
        |          pa - row_number() OVER (PARTITION BY id_a, id_b, pa - pb ORDER BY pa) AS isl
-       |        FROM m)
-       |SELECT id_a, id_b, CAST(min(pa) AS BIGINT) AS start_a,
-       |  CAST(min(pb) AS BIGINT) AS start_b,
-       |  CAST(COUNT(*) + ${shingleN - 1} AS BIGINT) AS span_tokens
-       |FROM isl GROUP BY id_a, id_b, diag, isl
-       |HAVING COUNT(*) + ${shingleN - 1} >= $minSpanTokens
-       |ORDER BY id_a, id_b, start_a, start_b""".stripMargin
+       |        FROM m),
+       |spans AS (SELECT id_a, id_b, CAST(min(pa) AS BIGINT) AS start_a,
+       |    CAST(min(pb) AS BIGINT) AS start_b,
+       |    CAST(COUNT(*) + ${shingleN - 1} AS BIGINT) AS span_tokens
+       |  FROM isl GROUP BY id_a, id_b, diag, isl
+       |  HAVING COUNT(*) + ${shingleN - 1} >= $minSpanTokens)""".stripMargin
   }
+
+  /** DuckDB twin of [[duplicatedSpans]] over `documents`. */
+  def duplicatedSpansSql(tokSql: String, shingleN: Int, minSpanTokens: Int): String =
+    s"""WITH ${spanCtes(tokSql, shingleN, minSpanTokens)}
+       |SELECT id_a, id_b, start_a, start_b, span_tokens FROM spans
+       |ORDER BY id_a, id_b, start_a, start_b""".stripMargin
 }

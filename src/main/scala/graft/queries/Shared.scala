@@ -48,6 +48,15 @@ private[queries] object Shared {
         "vec_id", "embedding", col("label"), minSim = 0.5, dim = 64)
     }
 
+  /** Duplicated-span pairs over `documents` (q_dedup10's surface) —
+    * q_dedup11 clusters the same spans without recomputing them. */
+  def spanPairs(s: SparkSession, d: String): DataFrame =
+    Memo.cachedDf(s, s"span_pairs|$d") {
+      graft.operators.SpanDedup.duplicatedSpans(
+        Tables.load(s, d, "documents"), "doc_id", col("text"),
+        shingleN = 4, minSpanTokens = 12)
+    }
+
   /** Brute-force ground truths for the recall-annotated ANN queries,
     * computed once per (session, corpus): q_sim3/q_sim6 share the cosine
     * truth and q_sim9/q_sim10 the exact-L2 truth (same query vector, same

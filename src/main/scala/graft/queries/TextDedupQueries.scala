@@ -294,12 +294,34 @@ object TextDedupQueries extends QueryModule {
 
     // Q-DEDUP10: exact duplicated-span detection — maximal verbatim
     // cross-document spans >= 12 tokens via positional 4-gram shingle
-    // hashes + diagonal gaps-and-islands (oracle-checked; never doc x doc).
+    // hashes + diagonal gaps-and-islands (oracle-checked; never doc x doc;
+    // shared memoized intermediate — q_dedup11 clusters the same spans).
     "q_dedup10" -> ((s, d) =>
-      graft.operators.SpanDedup.duplicatedSpans(
-          Tables.load(s, d, "documents"), "doc_id", col("text"),
-          shingleN = 4, minSpanTokens = 12)
-        .orderBy("id_a", "id_b", "start_a", "start_b")),
+      Shared.spanPairs(s, d).orderBy("id_a", "id_b", "start_a", "start_b")),
+
+    // Q-DEDUP11: dup-cluster observability — size histogram of the
+    // connected components over the duplicated-span pair list (how much
+    // of the corpus sits in verbatim-duplicate clusters, and how big they
+    // are). Oracle-checked via the recursive-CTE components twin.
+    "q_dedup11" -> ((s, d) =>
+      NearDup.connectedComponents(
+          Shared.spanPairs(s, d).select("id_a", "id_b").distinct())
+        .groupBy("component").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .orderBy("cluster_size")),
+
+    // Q-TXT16: boilerplate shingle report — the df-cap's companion tool:
+    // which 3-gram shingles are over-common across the corpus (distinct
+    // per doc, so df = document frequency). At crawl scale this IS the
+    // stop-shingle list the dedup joins drop.
+    "q_txt16" -> ((s, d) =>
+      NearDup.withShingles(
+          Tables.load(s, d, "documents").select(col("doc_id"), col("text")),
+          col("text"), 3)
+        .select(col("doc_id"), explode(col("__sh")).as("s"))
+        .groupBy("s").agg(count(lit(1)).as("df"))
+        .where(col("df") >= 5)
+        .orderBy(col("df").desc, col("s"))),
 
     // Decontamination: eval split (doc_id % 10 == 0) checked for 3-gram
     // shingle overlap against the train split — one hash join on shingle
@@ -532,6 +554,27 @@ object TextDedupQueries extends QueryModule {
          |ORDER BY id_a, id_b""".stripMargin,
     "q_dedup10" ->
       graft.operators.SpanDedup.duplicatedSpansSql(tokSql, shingleN = 4, minSpanTokens = 12),
+    "q_dedup11" ->
+      s"""WITH RECURSIVE ${graft.operators.SpanDedup.spanCtes(tokSql, 4, 12)},
+         |pairs AS (SELECT DISTINCT id_a, id_b FROM spans),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+         |reach(v, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.v),
+         |comp AS (SELECT v, min(r) AS component FROM reach GROUP BY v)
+         |SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters FROM
+         |  (SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+         |   FROM comp GROUP BY component)
+         |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+    "q_txt16" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+         |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+         |       FROM t WHERE len(toks) >= 3)
+         |SELECT s, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY s
+         |HAVING COUNT(*) >= 5 ORDER BY df DESC, s""".stripMargin,
     "q_txt11" ->
       s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
          |sh AS (SELECT doc_id,
