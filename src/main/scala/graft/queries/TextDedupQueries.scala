@@ -15,7 +15,7 @@ import graft.operators.{Dedup, NearDup, TextOps}
 object TextDedupQueries extends QueryModule {
 
   // SQL twin of TextOps.tokens — keep in lockstep.
-  private val tokSql =
+  private[queries] val tokSql =
     """list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> length(x) > 0)"""
 
   private def inList(words: Seq[String]): String =

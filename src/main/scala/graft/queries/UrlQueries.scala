@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryModule, Tables}
-import graft.operators.{Curation, UrlOps}
+import graft.operators.{Curation, Dedup, TextOps, UrlOps}
 
 /** URL/domain normalization queries (SURVEY.md §2.B Q-CURL1/2): the
   * web-crawl front door — canonicalize messy URL spellings, dedup exact
@@ -66,7 +66,38 @@ object UrlQueries extends QueryModule {
           graft.operators.Dedup.exactByKeys(canonical(s, d), Seq("url"), Seq("doc_id")),
           col("domain"), 3, col("n_chars").desc, col("doc_id").asc)
         .select("doc_id", "domain", "n_chars")
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // Q-PIPE1: the FULL curation pipeline as ONE declarative plan — what
+    // a user of this engine actually ships: URL canonicalize + dedup ->
+    // quality gate -> exact content dedup -> per-domain cap -> global
+    // token-budget cut. Five stages, each individually oracle-checked
+    // elsewhere (q_curl1/2, q_txt15, q_dedup1, q_sample3/4), here chained
+    // and verified END TO END against one DuckDB query. Catalyst fuses
+    // the scan + URL expressions + quality filters into one stage; the
+    // shuffles are exactly the three the semantics require (url dedup,
+    // content dedup, domain cap) plus the budget's range partition.
+    "q_pipe1" -> ((s, d) => {
+      val canon = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("n_chars"),
+          UrlOps.canonicalizeUrl(rawUrl).as("url"))
+        .withColumn("domain", UrlOps.domainOf(col("url")))
+      val urlDeduped = Dedup.exactByKeys(canon, Seq("url"), Seq("doc_id"))
+      val quality = urlDeduped.where(
+        TextOps.wordCount(col("text")) >= 30 &&
+        TextOps.meanWordLen(col("text")).between(3.0, 10.0) &&
+        TextOps.digitRatio(col("text")) <= 0.2)
+      val contentDeduped = Dedup.exactByExpr(quality,
+        Dedup.contentHash(col("text")), "__h", Seq("doc_id")).drop("__h")
+      val capped = Curation.capPerDomain(contentDeduped,
+        col("domain"), 3, col("n_chars").desc, col("doc_id").asc)
+        .select(col("doc_id"), col("domain"), col("n_chars"),
+          TextOps.wordCount(col("text")).as("n_tok"))
+      Curation.selectUnderBudget(capped, "n_tok", budget = 5000L,
+          col("n_chars").desc, col("doc_id").asc)
+        .select("doc_id", "domain", "n_tok", "running_total")
+        .orderBy("doc_id")
+    }))
 
   def oracleSql: Map[String, String] = {
     val base =
@@ -89,6 +120,37 @@ object UrlQueries extends QueryModule {
            |    row_number() OVER (PARTITION BY domain
            |      ORDER BY n_chars DESC, doc_id) AS rn
            |  FROM deduped)
-           |WHERE rn <= 3 ORDER BY doc_id""".stripMargin)
+           |WHERE rn <= 3 ORDER BY doc_id""".stripMargin,
+      "q_pipe1" -> {
+        val tokSql = TextDedupQueries.tokSql
+        s"""WITH raw AS (SELECT doc_id, text, n_chars, $rawUrlSql AS url FROM documents),
+           |${UrlOps.canonicalizeSqlCtes("raw", Seq("doc_id", "text", "n_chars"))},
+           |urldedup AS (SELECT doc_id, text, n_chars, domain FROM (
+           |    SELECT doc_id, text, n_chars, domain,
+           |      row_number() OVER (PARTITION BY url ORDER BY doc_id) AS rn
+           |    FROM canon) WHERE rn = 1),
+           |quality AS (SELECT * FROM (
+           |    SELECT doc_id, text, n_chars, domain,
+           |      CAST(len($tokSql) AS BIGINT) AS n_words FROM urldedup)
+           |  WHERE n_words >= 30
+           |    AND (CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) /
+           |           nullif(CAST(n_words AS DOUBLE), 0.0)) BETWEEN 3.0 AND 10.0
+           |    AND (CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) /
+           |           nullif(CAST(length(text) AS DOUBLE), 0.0)) <= 0.2),
+           |contentdedup AS (SELECT doc_id, domain, n_chars, n_words FROM (
+           |    SELECT *, row_number() OVER (
+           |      PARTITION BY sha256(lower(trim(text))) ORDER BY doc_id) AS crn
+           |    FROM quality) WHERE crn = 1),
+           |capped AS (SELECT doc_id, domain, n_chars, n_words FROM (
+           |    SELECT *, row_number() OVER (
+           |      PARTITION BY domain ORDER BY n_chars DESC, doc_id) AS drn
+           |    FROM contentdedup) WHERE drn <= 3),
+           |sel AS (SELECT doc_id, domain, n_words AS n_tok,
+           |    CAST(SUM(n_words) OVER (ORDER BY n_chars DESC, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_total
+           |  FROM capped)
+           |SELECT doc_id, domain, n_tok, running_total FROM sel
+           |WHERE running_total <= 5000 ORDER BY doc_id""".stripMargin
+      })
   }
 }
