@@ -175,4 +175,26 @@ class PlanShapeSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(p).length === 1, p.take(800))
     assert(p.contains("Exchange rangepartitioning"), p.take(800))
   }
+
+  test("curation pipeline prefix: one scan, exactly 3 hash shuffles, WindowGroupLimit cap") {
+    // the q_pipe1 stages BEFORE the budget cut (whose RDD prefix-sum pass
+    // hides the upstream plan behind an ExistingRDD boundary in PLANS.md):
+    // url dedup, content dedup, and the domain cap each require one hash
+    // exchange; everything else must fuse into the scan stage.
+    import graft.operators.{Curation, Dedup, TextOps, UrlOps}
+    val canon = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"), col("n_chars"),
+        UrlOps.canonicalizeUrl(concat(lit("https://a.com/p"), col("doc_id"))).as("url"))
+      .withColumn("domain", UrlOps.domainOf(col("url")))
+    val urlDeduped = Dedup.exactByKeys(canon, Seq("url"), Seq("doc_id"))
+    val quality = urlDeduped.where(TextOps.wordCount(col("text")) >= 30)
+    val contentDeduped = Dedup.exactByExpr(quality,
+      Dedup.contentHash(col("text")), "__h", Seq("doc_id")).drop("__h")
+    val capped = Curation.capPerDomain(contentDeduped,
+      col("domain"), 3, col("n_chars").desc, col("doc_id").asc)
+    val p = capped.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(p).length === 1, p.take(1200))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 3, p.take(1200))
+    assert(p.contains("WindowGroupLimit"), p.take(1200))
+  }
 }
