@@ -70,6 +70,27 @@ class DeterminismSpec extends SparkSpec {
     }
   }
 
+  test("round-4 operators are invariant under input repartitioning") {
+    import graft.operators.{SpanDedup, UrlOps}
+    val docs = Seq(
+      (0L, (1 to 20).map(i => s"a$i").mkString(" ") + " " +
+        (1 to 20).map(i => s"s$i").mkString(" ")),
+      (1L, (1 to 5).map(i => s"b$i").mkString(" ") + " " +
+        (1 to 20).map(i => s"s$i").mkString(" ")),
+      (2L, (1 to 40).map(i => s"c$i").mkString(" "))).toDF("doc_id", "text")
+    val urls = Seq((3L, "HTTPS://A.com:443/x?utm_source=f&p=1#s"),
+      (1L, "https://a.com/x?p=1"), (2L, "https://b.com/y")).toDF("id", "raw")
+    def spanSet(parts: Int) = SpanDedup.duplicatedSpans(
+        docs.repartition(parts), "doc_id", col("text"), shingleN = 8, minSpanTokens = 16)
+      .collect().map(_.toSeq).toSet
+    def urlSet(parts: Int) = UrlOps.dedupByUrl(
+        urls.repartition(parts), col("raw"), "url", Seq("id"))
+      .collect().map(_.toSeq).toSet
+    assert(spanSet(1) === spanSet(7))
+    assert(urlSet(1) === urlSet(7))
+    assert(urlSet(1).map(_.head) === Set(1L, 2L), "min-id survivor independent of layout")
+  }
+
   test("batchByRange ids are independent of the range-partition count") {
     val src = Tables.load(spark, sf, "orders").select("o_orderkey")
     def ids(parts: Int) =
