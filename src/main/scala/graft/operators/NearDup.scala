@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection sketches for document corpora: MinHash+LSH
@@ -148,17 +149,23 @@ object NearDup {
   def incrementalLshCandidates(newBands: DataFrame, storedBands: DataFrame,
                                maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     require(maxBucketSize > 1, s"maxBucketSize must be > 1, got $maxBucketSize")
-    val n0 = newBands.select(col("__band"), col("__bucket"), col("__id"))
-    val o0 = storedBands.select(col("__band"), col("__bucket"), col("__id"))
-    // over-cap keys of the combined corpus (tiny: <= n/cap rows,
-    // materialized once for the two anti-joins)
-    val crowded = n0.unionByName(o0).groupBy("__band", "__bucket")
-      .agg(count(lit(1)).as("__bn")).where(col("__bn") > maxBucketSize)
-      .select("__band", "__bucket")
+    // The cap count rides the SAME (band, bucket) partitioning the
+    // candidate join needs: one tagged union, one window count (over-cap
+    // buckets dropped in place — no separate aggregate + anti-joins), then
+    // the capped table is materialized ONCE (it feeds three join sides;
+    // left lazy each would replan the new batch's minhash pipeline).
+    val tagged = newBands.select(col("__band"), col("__bucket"), col("__id"))
+      .withColumn("__isnew", lit(true))
+      .unionByName(storedBands.select(col("__band"), col("__bucket"), col("__id"))
+        .withColumn("__isnew", lit(false)))
+    val w = Window.partitionBy("__band", "__bucket")
+    val kept = tagged.withColumn("__bn", count(lit(1)).over(w))
+      .where(col("__bn") <= maxBucketSize)
+      .drop("__bn")
       .localCheckpoint()
-    val n = n0.join(crowded, Seq("__band", "__bucket"), "left_anti")
+    val n = kept.where(col("__isnew"))
       .select(col("__band"), col("__bucket"), col("__id").as("__new"))
-    val o = o0.join(crowded, Seq("__band", "__bucket"), "left_anti")
+    val o = kept.where(!col("__isnew"))
       .select(col("__band"), col("__bucket"), col("__id").as("__old"))
     val newOld = n.join(o, Seq("__band", "__bucket"))
       .where(col("__new") =!= col("__old"))
