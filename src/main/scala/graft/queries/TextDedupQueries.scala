@@ -310,6 +310,30 @@ object TextDedupQueries extends QueryModule {
         .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
         .orderBy("cluster_size")),
 
+    // Q-TXT17: corpus-level overlap — distinct-shingle Jaccard between the
+    // train and eval splits (the corpus-granularity contamination metric
+    // next to q_txt11's per-document report). ONE scan: per-shingle
+    // membership flags via max(), then three sums — no shingle x shingle
+    // join, no distinct-then-join; the quotient ships as raw IEEE (exact
+    // integer inputs divide bitwise-identically in both engines).
+    "q_txt17" -> ((s, d) => {
+      val sh = NearDup.withShingles(
+          Tables.load(s, d, "documents").select(col("doc_id"), col("text")),
+          col("text"), 3)
+        .select(explode(col("__sh")).as("s"),
+          (col("doc_id") % 10 =!= 0).as("is_train"))
+      sh.groupBy("s")
+        .agg(max(when(col("is_train"), 1).otherwise(0)).as("a"),
+          max(when(!col("is_train"), 1).otherwise(0)).as("b"))
+        .agg(sum(col("a")).cast("long").as("n_train_shingles"),
+          sum(col("b")).cast("long").as("n_eval_shingles"),
+          sum(col("a") * col("b")).cast("long").as("n_shared"))
+        .select(col("n_train_shingles"), col("n_eval_shingles"), col("n_shared"),
+          (col("n_shared").cast("double") /
+            (col("n_train_shingles") + col("n_eval_shingles") - col("n_shared"))
+              .cast("double")).as("jaccard"))
+    }),
+
     // Q-TXT16: boilerplate shingle report — the df-cap's companion tool:
     // which 3-gram shingles are over-common across the corpus (distinct
     // per doc, so df = document frequency). At crawl scale this IS the
@@ -568,6 +592,20 @@ object TextDedupQueries extends QueryModule {
          |  (SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
          |   FROM comp GROUP BY component)
          |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+    "q_txt17" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+         |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+         |       FROM t WHERE len(toks) >= 3),
+         |fl AS (SELECT s, max(CASE WHEN doc_id % 10 <> 0 THEN 1 ELSE 0 END) AS a,
+         |              max(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS b
+         |       FROM sh GROUP BY s)
+         |SELECT CAST(SUM(a) AS BIGINT) AS n_train_shingles,
+         |  CAST(SUM(b) AS BIGINT) AS n_eval_shingles,
+         |  CAST(SUM(a * b) AS BIGINT) AS n_shared,
+         |  CAST(SUM(a * b) AS DOUBLE) /
+         |    CAST(SUM(a) + SUM(b) - SUM(a * b) AS DOUBLE) AS jaccard
+         |FROM fl""".stripMargin,
     "q_txt16" ->
       s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
          |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
