@@ -38,6 +38,30 @@ object DataSplit {
   def hashSample(df: DataFrame, key: Column, fraction: Double): DataFrame =
     df.where(bucketOf(key) < lit((fraction * Buckets).toLong))
 
+  /** EXACT stratified sample: precisely ceil(fraction * n_g) rows from each
+    * stratum, chosen by a deterministic SQL-replicable key order (Knuth
+    * multiplicative hash, overflow-reduced like [[resampleToMixture]]'s) —
+    * unlike [[hashSample]], whose per-stratum counts are binomial. Use when
+    * the downstream contract is a count ("exactly 20% of every language"),
+    * e.g. held-out eval slices.
+    *
+    * Shape: one shuffle on the stratum, then rank + windowed count in a
+    * single Window node (same partitioning). Skew = largest stratum; for a
+    * hot stratum at corpus scale, pre-filter with [[hashSample]] at a few
+    * times the target rate, then exact-rank the survivors. */
+  def stratifiedExact(df: DataFrame, stratumCol: String, keyCol: String,
+                      fraction: Double): DataFrame = {
+    require(fraction > 0 && fraction <= 1, s"fraction in (0,1], got $fraction")
+    val h = pmod(pmod(col(keyCol), lit(1000000L)) * lit(2654435761L), lit(1000000L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol).orderBy(h, col(keyCol))
+    df.withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(stratumCol)))
+      .where(col("__rk") <= ceil(lit(fraction) * col("__n")))
+      .drop("__rk", "__n")
+  }
+
   /** Downsample a multi-source corpus to a TARGET MIXTURE (the pre-training
     * data-recipe step: "50% web, 30% wiki, 20% code"): per-source
     * acceptance rates are derived in-plan — `Nt = min(n_s / f_s)` is the

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Interval-overlap join: pairs (a, b) sharing an equality key whose time
+  * ranges intersect — campaigns x sessions, outages x requests, labels x
+  * spans. Spark has no native interval join; the naive form
+  * (`a.join(b, cond)` with only inequalities) plans a BroadcastNestedLoop /
+  * cartesian per key — quadratic, the classic scale-killer.
+  *
+  * This is the standard BUCKETIZED shape (what Flink's interval join and
+  * the range-join optimizations in warehouse engines do): explode each
+  * interval into the fixed-width time buckets it spans, equi-join on
+  * (key, bucket), then keep a pair only in ONE canonical bucket —
+  * `max(bucketOf(a.start), bucketOf(b.start))` — so overlaps are emitted
+  * exactly once WITHOUT a distinct (no second shuffle). Candidate volume is
+  * sum over (key, bucket) of |A||B| — bounded by choosing `bucketWidth`
+  * near the typical interval span, exactly the Flink guidance.
+  *
+  * All bounds are long microseconds (cast timestamps with `unix_micros`).
+  * Intervals are CLOSED: [s1,e1] overlaps [s2,e2] iff s1<=e2 && s2<=e1.
+  */
+object IntervalJoin {
+
+  /** floor(us / width) — exact for non-negative epochs: the true ratio of
+    * a BIGINT by `width` is never within a half-ulp of a wrong integer
+    * (distance >= 1/width > ulp(2^53/width)/2), so the correctly rounded
+    * double divide + truncation IS floor division here. */
+  private def bucketOf(us: Column, width: Long): Column =
+    floor(us.cast("double") / lit(width.toDouble)).cast("long")
+
+  /** Overlap-join `a` and `b`. `aStart`/`aEnd`/`bStart`/`bEnd` name long
+    * microsecond columns; `key` names the equality column present in both
+    * (pass a constant column upstream for a pure time join — and accept
+    * that all rows then collide in each time bucket). Returns a's columns
+    * ++ b's columns plus `overlap_us`. */
+  def overlapJoin(a: DataFrame, b: DataFrame, key: String,
+                  aStart: String, aEnd: String, bStart: String, bEnd: String,
+                  bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0)
+    val ae = a.withColumn("__bkt",
+      explode(sequence(bucketOf(col(aStart), bucketWidth),
+        bucketOf(col(aEnd), bucketWidth))))
+    val be = b.withColumn("__bkt",
+      explode(sequence(bucketOf(col(bStart), bucketWidth),
+        bucketOf(col(bEnd), bucketWidth))))
+    ae.join(be, Seq(key, "__bkt"))
+      .where(col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd) &&
+        col("__bkt") === greatest(bucketOf(col(aStart), bucketWidth),
+          bucketOf(col(bStart), bucketWidth)))
+      .drop("__bkt")
+      .withColumn("overlap_us",
+        least(col(aEnd), col(bEnd)) - greatest(col(aStart), col(bStart)))
+  }
+}

@@ -1,0 +1,339 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables}
+import graft.operators.{Anomaly, Binning, DataSplit, IntervalJoin, Sessionize, SnapshotDiff}
+import graft.util.Det.sqlFixedSum
+
+/** Operational pipeline queries (round 4): gap sessionization over the
+  * event stream, snapshot reconciliation (ship the delta, not the table),
+  * distribution profiling (fixed-width histogram, equi-depth buckets),
+  * exact stratified sampling, and a pairwise correlation matrix computed
+  * from exact integer sums. All oracle-checked hash-exact.
+  */
+object OpsQueries extends QueryModule {
+
+  private val GapSeconds = 1800L
+
+  // q_diff1's two snapshots, derived deterministically from the SAME orders
+  // parquet in both engines: prev drops keys %97==0 (-> 'added' in next),
+  // next drops keys %89==3 (-> 'removed') and edits price (%7==0) and
+  // status (%11==0) (-> 'changed').
+  private def snapshots(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val base = Tables.load(s, d, "orders")
+    val prev = base.where(pmod(col("o_orderkey"), lit(97)) =!= 0)
+    val next = base.where(pmod(col("o_orderkey"), lit(89)) =!= 3)
+      .withColumn("o_totalprice",
+        when(pmod(col("o_orderkey"), lit(7)) === 0, col("o_totalprice") + lit(1.0))
+          .otherwise(col("o_totalprice")))
+      .withColumn("o_orderstatus",
+        when(pmod(col("o_orderkey"), lit(11)) === 0, lit("X"))
+          .otherwise(col("o_orderstatus")))
+    (prev, next)
+  }
+
+  // Pearson correlation from exact integer-cent sums: the five sufficient
+  // statistics are BIGINT (order-independent => cross-engine exact); the
+  // final formula is a fixed double expression mirrored textually in the
+  // oracle, so every IEEE op rounds identically. cents ~ 1e7/day/supplier
+  // at sf0.1 keeps SUM(xa*xb) < 1e18; at larger SF scale cents down first.
+  private def corrFromSums(n: Column, sx: Column, sy: Column, sxy: Column,
+                           sxx: Column, syy: Column): (Column, Column, Column) = {
+    def d(c: Column) = c.cast("double")
+    val cov = d(n) * d(sxy) - d(sx) * d(sy)
+    val vx = d(n) * d(sxx) - d(sx) * d(sx)
+    val vy = d(n) * d(syy) - d(sy) * d(sy)
+    (cov / (sqrt(vx) * sqrt(vy)), vx, vy)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q-SESS1: gap sessionization (30 min) — one shuffle on user_id, one
+    // Window node for both the lag and the running session number.
+    "q_sess1" -> ((s, d) =>
+      Sessionize.assignSessions(Tables.load(s, d, "events"),
+          "user_id", "ts", GapSeconds, "event_id")
+        .select("user_id", "event_id", "ts", "is_session_start", "session_seq")
+        .orderBy("user_id", "ts", "event_id")),
+
+    // Q-SESS2: per-session rollup — bounds, count, exact value sum. The
+    // groupBy key prefixes the window shuffle key, so the aggregation
+    // reuses the session shuffle's co-location.
+    "q_sess2" -> ((s, d) =>
+      Sessionize.sessionStats(Tables.load(s, d, "events"),
+          "user_id", "ts", GapSeconds, "value", "event_id")
+        .orderBy("user_id", "session_seq")),
+
+    // Q-DIFF1: snapshot reconciliation — one full-outer sort-merge join on
+    // the key; only the delta (added/removed/changed) survives.
+    "q_diff1" -> ((s, d) => {
+      val (prev, next) = snapshots(s, d)
+      SnapshotDiff.diff(prev, next, Seq("o_orderkey"),
+          Seq("o_orderstatus", "o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Q-HIST1: fixed-width histogram of order value — one map-side-combined
+    // aggregation, 24 bins over [0, 600k), exact 2dp sums per bin.
+    "q_hist1" -> ((s, d) =>
+      Binning.fixedWidthHistogram(Tables.load(s, d, "orders"),
+          "o_totalprice", lo = 0.0, width = 25000.0, nBins = 24)
+        .orderBy("bin")),
+
+    // Q-BIN1: equi-depth feature buckets (ntile 8) over the customer
+    // dimension — deterministic via the (acctbal, custkey) total order.
+    "q_bin1" -> ((s, d) =>
+      Binning.equiDepthBuckets(
+          Tables.load(s, d, "customer").select("c_custkey", "c_acctbal"),
+          n = 8, order = Seq("c_acctbal", "c_custkey"))
+        .withColumn("bucket", col("bucket").cast("long"))
+        .orderBy("c_custkey")),
+
+    // Q-SAMPLE5: EXACT stratified sample — ceil(20%) of every language by
+    // deterministic key order (vs q_sample1's binomial hash split).
+    "q_sample5" -> ((s, d) =>
+      DataSplit.stratifiedExact(Tables.load(s, d, "documents")
+          .select("doc_id", "lang", "source"),
+          stratumCol = "lang", keyCol = "doc_id", fraction = 0.2)
+        .orderBy("doc_id")),
+
+    // Q-CORR1: pairwise correlation matrix of per-supplier daily revenue
+    // WITHOUT a cartesian: the self-join keys on day (both sides already
+    // aggregated to supplier x day), pairs form per-day only, and the
+    // correlation comes from exact BIGINT sufficient statistics. The merge
+    // hints force SMJ over broadcast so BOTH sides want the same day-hash
+    // Exchange — ReuseExchange then computes the daily aggregate (and the
+    // fact scan under it) ONCE (PlanShapeSpec-asserted).
+    "q_corr1" -> ((s, d) => {
+      val daily = Tables.load(s, d, "lineitem")
+        .where(col("l_suppkey") <= 20)
+        .groupBy(col("l_suppkey").as("k"),
+          col("l_shipdate").cast("date").as("day"))
+        .agg(sum(round(col("l_extendedprice") * lit(100.0)).cast("long")).as("cents"))
+      val a = daily.select(col("k").as("ka"), col("day"), col("cents").as("xa"))
+      val b = daily.select(col("k").as("kb"), col("day"), col("cents").as("xb"))
+      val stats = a.hint("merge").join(b.hint("merge"), "day")
+        .where(col("ka") < col("kb"))
+        .groupBy("ka", "kb")
+        .agg(count(lit(1)).as("n"),
+          sum("xa").as("sx"), sum("xb").as("sy"),
+          sum(col("xa") * col("xb")).as("sxy"),
+          sum(col("xa") * col("xa")).as("sxx"),
+          sum(col("xb") * col("xb")).as("syy"))
+      val (corr, vx, vy) = corrFromSums(col("n"), col("sx"), col("sy"),
+        col("sxy"), col("sxx"), col("syy"))
+      stats.where(vx > lit(0.0) && vy > lit(0.0))
+        .select(col("ka"), col("kb"), col("n"), corr.as("corr_rev"))
+        .orderBy("ka", "kb")
+    }),
+
+    // Q-IJOIN1: interval-overlap join — user sessions x 2-hour incident
+    // windows sharing a cohort key. Bucketized equi-join (6 h buckets) with
+    // exactly-once canonical-bucket emission: no BroadcastNestedLoop, no
+    // distinct. The oracle states the same join as plain inequalities.
+    "q_ijoin1" -> ((s, d) => {
+      val events = Tables.load(s, d, "events")
+      val sess = Sessionize.sessionStats(events, "user_id", "ts",
+          GapSeconds, "value", "event_id")
+        .select(col("user_id"), col("session_seq"),
+          unix_micros(col("session_start")).as("s_us"),
+          unix_micros(col("session_end")).as("e_us"),
+          pmod(col("user_id"), lit(25)).as("k"))
+      val incidents = events
+        .where(pmod(col("event_id"), lit(211)) === 0)
+        .select(col("event_id"),
+          unix_micros(col("ts")).as("a_us"),
+          (unix_micros(col("ts")) + lit(7200000000L)).as("a_end"),
+          pmod(col("user_id"), lit(25)).as("k"))
+      IntervalJoin.overlapJoin(sess, incidents, "k",
+          "s_us", "e_us", "a_us", "a_end", bucketWidth = 21600000000L)
+        .select("k", "user_id", "session_seq", "event_id", "overlap_us")
+        .orderBy("k", "user_id", "session_seq", "event_id")
+    }),
+
+    // Q-ANOM1: per-group z-score outlier flags over supplier daily revenue
+    // — exact integer sufficient statistics in ONE group window (single
+    // shuffle), raw-IEEE z. Dollar-scale stats keep SUM(v*v) far from
+    // BIGINT range at any plausible SF.
+    "q_anom1" -> ((s, d) => {
+      val daily = Tables.load(s, d, "lineitem")
+        .groupBy(col("l_suppkey"), col("l_shipdate").cast("date").as("day"))
+        .agg(graft.util.Det.fixedSum(col("l_extendedprice"), 2).as("revenue"))
+      Anomaly.zScores(daily, "l_suppkey", "revenue", scale = 0, threshold = 2.0)
+        .select("l_suppkey", "day", "revenue", "z", "is_outlier")
+        .orderBy("l_suppkey", "day")
+    }),
+
+    // Q-MODE1: most frequent quantity per (returnflag, linestatus) with a
+    // deterministic smallest-value tie-break — two aggregations, the
+    // second pre-pruned map-side by WindowGroupLimit.
+    "q_mode1" -> ((s, d) => {
+      val counts = Tables.load(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"), col("l_quantity"))
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag", "l_linestatus")
+        .orderBy(col("n").desc, col("l_quantity").asc)
+      counts.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1).drop("__rn")
+        .withColumnRenamed("l_quantity", "mode_qty")
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+  )
+
+  private val sessWin = "(PARTITION BY user_id ORDER BY ts, event_id)"
+  private val gapUs = GapSeconds * 1000000L
+
+  def oracleSql: Map[String, String] = Map(
+    "q_sess1" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, ts,
+         |    epoch_us(ts) - lag(epoch_us(ts)) OVER $sessWin AS gap
+         |  FROM events),
+         |s AS (
+         |  SELECT user_id, event_id, ts,
+         |    (gap IS NULL OR gap > $gapUs) AS is_session_start
+         |  FROM e)
+         |SELECT user_id, event_id, ts, is_session_start,
+         |  CAST(SUM(CASE WHEN is_session_start THEN 1 ELSE 0 END)
+         |    OVER $sessWin AS BIGINT) AS session_seq
+         |FROM s ORDER BY user_id, ts, event_id""".stripMargin,
+
+    "q_sess2" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, ts, value,
+         |    epoch_us(ts) - lag(epoch_us(ts)) OVER $sessWin AS gap
+         |  FROM events),
+         |s AS (
+         |  SELECT user_id, ts, value,
+         |    CAST(SUM(CASE WHEN gap IS NULL OR gap > $gapUs THEN 1 ELSE 0 END)
+         |      OVER $sessWin AS BIGINT) AS session_seq
+         |  FROM e)
+         |SELECT user_id, session_seq,
+         |  min(ts) AS session_start, max(ts) AS session_end,
+         |  COUNT(*) AS n_events,
+         |  ${sqlFixedSum("value", 2)} AS value_sum
+         |FROM s GROUP BY user_id, session_seq
+         |ORDER BY user_id, session_seq""".stripMargin,
+
+    "q_diff1" ->
+      """WITH prev AS (
+        |  SELECT o_orderkey, o_orderstatus AS old_o_orderstatus,
+        |    o_totalprice AS old_o_totalprice
+        |  FROM orders WHERE o_orderkey % 97 <> 0),
+        |next AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN 'X' ELSE o_orderstatus END AS new_o_orderstatus,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS new_o_totalprice
+        |  FROM orders WHERE o_orderkey % 89 <> 3),
+        |j AS (
+        |  SELECT coalesce(p.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |    old_o_orderstatus, old_o_totalprice,
+        |    new_o_orderstatus, new_o_totalprice,
+        |    p.o_orderkey IS NOT NULL AS in_prev,
+        |    n.o_orderkey IS NOT NULL AS in_next
+        |  FROM prev p FULL OUTER JOIN next n ON p.o_orderkey = n.o_orderkey)
+        |SELECT o_orderkey, old_o_orderstatus, old_o_totalprice,
+        |  new_o_orderstatus, new_o_totalprice,
+        |  CASE WHEN NOT in_prev THEN 'added'
+        |       WHEN NOT in_next THEN 'removed'
+        |       ELSE 'changed' END AS change_type
+        |FROM j
+        |WHERE NOT in_prev OR NOT in_next
+        |   OR NOT (old_o_orderstatus IS NOT DISTINCT FROM new_o_orderstatus
+        |       AND old_o_totalprice IS NOT DISTINCT FROM new_o_totalprice)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_hist1" ->
+      (Binning.sqlFixedWidthHistogram("orders", "o_totalprice",
+        lo = 0.0, width = 25000.0, nBins = 24) + "\nORDER BY bin"),
+
+    "q_bin1" ->
+      """SELECT c_custkey, c_acctbal,
+        |  ntile(8) OVER (ORDER BY c_acctbal, c_custkey) AS bucket
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_sample5" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang, source,
+        |    ((doc_id % 1000000) * 2654435761) % 1000000 AS hk
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang, source,
+        |    row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rk,
+        |    COUNT(*) OVER (PARTITION BY lang) AS n
+        |  FROM h)
+        |SELECT doc_id, lang, source FROM r
+        |WHERE rk <= ceil(0.2 * n) ORDER BY doc_id""".stripMargin,
+
+    "q_ijoin1" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, ts, value,
+         |    epoch_us(ts) - lag(epoch_us(ts)) OVER $sessWin AS gap
+         |  FROM events),
+         |s AS (
+         |  SELECT user_id, ts,
+         |    CAST(SUM(CASE WHEN gap IS NULL OR gap > $gapUs THEN 1 ELSE 0 END)
+         |      OVER $sessWin AS BIGINT) AS session_seq
+         |  FROM e),
+         |sess AS (
+         |  SELECT user_id, session_seq,
+         |    min(epoch_us(ts)) AS s_us, max(epoch_us(ts)) AS e_us,
+         |    user_id % 25 AS k
+         |  FROM s GROUP BY user_id, session_seq),
+         |anch AS (
+         |  SELECT event_id, epoch_us(ts) AS a_us,
+         |    epoch_us(ts) + 7200000000 AS a_end, user_id % 25 AS k
+         |  FROM events WHERE event_id % 211 = 0)
+         |SELECT sess.k, user_id, session_seq, event_id,
+         |  least(e_us, a_end) - greatest(s_us, a_us) AS overlap_us
+         |FROM sess JOIN anch ON sess.k = anch.k
+         |  AND s_us <= a_end AND a_us <= e_us
+         |ORDER BY 1, 2, 3, 4""".stripMargin,
+
+    "q_anom1" -> {
+      val (z, outlier) = Anomaly.sqlZScores("revenue", scale = 0,
+        threshold = 2.0, w = "(PARTITION BY l_suppkey)")
+      s"""WITH daily AS (
+         |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS day,
+         |    ${sqlFixedSum("l_extendedprice", 2)} AS revenue
+         |  FROM lineitem GROUP BY 1, 2)
+         |SELECT l_suppkey, day, revenue,
+         |  $z AS z,
+         |  $outlier AS is_outlier
+         |FROM daily ORDER BY l_suppkey, day""".stripMargin
+    },
+
+    "q_mode1" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, l_linestatus, l_quantity, COUNT(*) AS n
+        |  FROM lineitem GROUP BY 1, 2, 3)
+        |SELECT l_returnflag, l_linestatus, l_quantity AS mode_qty, n FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY l_returnflag, l_linestatus
+        |    ORDER BY n DESC, l_quantity) AS rn
+        |  FROM c)
+        |WHERE rn = 1 ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_corr1" ->
+      """WITH daily AS (
+        |  SELECT l_suppkey AS k, CAST(l_shipdate AS DATE) AS day,
+        |    SUM(CAST(round(l_extendedprice*100.0, 0) AS BIGINT)) AS cents
+        |  FROM lineitem WHERE l_suppkey <= 20 GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.k AS ka, b.k AS kb, COUNT(*) AS n,
+        |    SUM(a.cents) AS sx, SUM(b.cents) AS sy,
+        |    SUM(a.cents*b.cents) AS sxy,
+        |    SUM(a.cents*a.cents) AS sxx,
+        |    SUM(b.cents*b.cents) AS syy
+        |  FROM daily a JOIN daily b ON a.day = b.day AND a.k < b.k
+        |  GROUP BY 1, 2)
+        |SELECT ka, kb, n,
+        |  (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
+        |  (sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) *
+        |   sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) AS corr_rev
+        |FROM p
+        |WHERE CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) > 0.0
+        |  AND CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE) > 0.0
+        |ORDER BY ka, kb""".stripMargin,
+  )
+}

@@ -85,8 +85,10 @@ object ScalarQueries extends QueryModule {
           .as("missing_is_null"))
         .orderBy("event_id")),
 
-    // Q-MAP1: map build + lookup. No oracle (map key order is undefined in
-    // both engines, SURVEY.md §7.4.7); semantics unit-tested instead.
+    // Q-MAP1: map build + lookup. The MAP itself is not emitted (key order
+    // is undefined in both engines, SURVEY.md §7.4.7) — but the projected
+    // size() and element_at() values are order-independent, so the query IS
+    // oracle-checked through the relational equivalent (count + CASE max).
     "q_map1" -> ((s, d) => {
       val perSeg = Tables.load(s, d, "customer")
         .groupBy("c_nationkey", "c_mktsegment").agg(count(lit(1)).as("n"))
@@ -101,6 +103,13 @@ object ScalarQueries extends QueryModule {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_map1" ->
+      """WITH perseg AS (
+        |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT c_nationkey, COUNT(*) AS n_segments,
+        |  max(CASE WHEN c_mktsegment = 'BUILDING' THEN n END) AS building_cnt
+        |FROM perseg GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q_str1" ->
       """SELECT p_partkey, upper(p_name) AS up_name,
         |  CAST(length(p_name) AS BIGINT) AS name_len,

@@ -197,4 +197,34 @@ class PlanShapeSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).length === 3, p.take(1200))
     assert(p.contains("WindowGroupLimit"), p.take(1200))
   }
+
+  test("q_corr1: self-join reuses ONE daily-aggregate exchange (single fact scan)") {
+    // Without the merge hints Spark broadcasts one side and rebuilds the
+    // whole aggregate (and its fact scan) under the BroadcastExchange —
+    // twice the I/O at 100 TB. The SMJ form makes both sides demand the
+    // same day-hash Exchange, which ReuseExchange then dedupes.
+    // assert on the non-AQE plan: the static ReuseExchange rule and AQE's
+    // stage reuse make the same decision, and the static plan prints it
+    // legibly (AQE's toString hides scans inside materialized stages)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = graft.queries.OpsQueries.queries("q_corr1")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("ReusedExchange"), p.take(1500))
+      assert("Scan parquet".r.findAllIn(p).length === 1, p.take(1500))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("q_sess2: session rollup reuses the window's user_id shuffle (ONE hash Exchange)") {
+    // hash partitioning on user_id — a subset of the grouping keys
+    // (user_id, session_seq) — already co-locates every session group, so
+    // the aggregation runs in the window's stage with no second Exchange.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = graft.queries.OpsQueries.queries("q_sess2")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert("Exchange hashpartitioning".r.findAllIn(p).length === 1, p.take(1500))
+      assert("Scan parquet".r.findAllIn(p).length === 1, p.take(1500))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }

@@ -1,0 +1,174 @@
+package graft.operators
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Round-4 operational operators: sessionization, snapshot diff, binning,
+  * exact stratified sampling, and the exact-sums correlation path. */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  test("assignSessions cuts sessions exactly at the gap boundary") {
+    // user 1: events at 0s, 10s, 1810s (gap 1800 exceeded? 1800 is NOT
+    // > 1800 -> same session), 3700s (gap 1890 > 1800 -> new session).
+    val df = Seq(
+      (1L, 1L, ts(0)), (1L, 2L, ts(10)), (1L, 3L, ts(1810)),
+      (1L, 4L, ts(3700)), (2L, 5L, ts(50))
+    ).toDF("user_id", "event_id", "ts")
+    val out = Sessionize.assignSessions(df, "user_id", "ts", 1800, "event_id")
+      .select("user_id", "event_id", "session_seq")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out === Set((1L, 1L, 1L), (1L, 2L, 1L), (1L, 3L, 1L),
+      (1L, 4L, 2L), (2L, 5L, 1L)))
+  }
+
+  test("assignSessions costs ONE shuffle and ONE sort (windows share them)") {
+    val df = Seq((1L, 1L, ts(0))).toDF("user_id", "event_id", "ts")
+    val plan = Sessionize.assignSessions(df, "user_id", "ts", 1800, "event_id")
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size === 1, plan.take(1500))
+    assert("Sort ".r.findAllIn(plan).size === 1, plan.take(1500))
+  }
+
+  test("sessionStats rolls up bounds, counts, and exact sums per session") {
+    val df = Seq(
+      (1L, 1L, ts(0), 1.25), (1L, 2L, ts(10), 2.50),
+      (1L, 3L, ts(5000), 0.25)
+    ).toDF("user_id", "event_id", "ts", "value")
+    val out = Sessionize.sessionStats(df, "user_id", "ts", 1800, "value", "event_id")
+      .select("user_id", "session_seq", "n_events", "value_sum")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(out === Set((1L, 1L, 2L, 3.75), (1L, 2L, 1L, 0.25)))
+  }
+
+  test("SnapshotDiff classifies added/removed/changed and drops unchanged") {
+    val prev = Seq((1L, "A", 10.0), (2L, "B", 20.0), (3L, "C", 30.0),
+      (5L, null.asInstanceOf[String], 50.0)).toDF("k", "st", "price")
+    val next = Seq((2L, "B", 20.0), (3L, "X", 30.0), (4L, "D", 40.0),
+      (5L, "E", 50.0)).toDF("k", "st", "price")
+    val out = SnapshotDiff.diff(prev, next, Seq("k"), Seq("st", "price"))
+      .select("k", "change_type").as[(Long, String)].collect().toMap
+    // 1 removed, 2 unchanged (absent), 3 changed, 4 added, 5 null->E changed
+    assert(out === Map(1L -> "removed", 3L -> "changed", 4L -> "added",
+      5L -> "changed"))
+  }
+
+  test("SnapshotDiff is a single full-outer join, no extra shuffle of a side") {
+    val prev = Seq((1L, "A")).toDF("k", "st")
+    val next = Seq((1L, "A")).toDF("k", "st")
+    val plan = SnapshotDiff.diff(prev, next, Seq("k"), Seq("st"))
+      .queryExecution.executedPlan.toString
+    assert("FullOuter".r.findAllIn(plan).size === 1, plan.take(1500))
+  }
+
+  test("fixedWidthHistogram clamps outliers into the edge bins") {
+    val df = Seq(-5.0, 0.0, 9.99, 10.0, 25.0, 99.0, 250.0)
+      .toDF("x")
+    val out = Binning.fixedWidthHistogram(df, "x", lo = 0.0, width = 10.0, nBins = 10)
+      .select("bin", "n").as[(Long, Long)].collect().toMap
+    // -5 clamps to bin 0; 250 clamps to bin 9; 10.0 lands in bin 1.
+    assert(out === Map(0L -> 3L, 1L -> 1L, 2L -> 1L, 9L -> 2L))
+  }
+
+  test("equiDepthBuckets fills buckets to within one row of each other") {
+    val df = spark.range(0, 103).select(col("id").as("v"))
+    val sizes = Binning.equiDepthBuckets(df, 8, Seq("v"))
+      .groupBy("bucket").count().as[(Int, Long)].collect().toMap
+    assert(sizes.keySet === (1 to 8).toSet)
+    assert(sizes.values.max - sizes.values.min <= 1)
+    assert(sizes.values.sum === 103L)
+  }
+
+  test("stratifiedExact takes exactly ceil(frac*n) per stratum, key-stable") {
+    val df = spark.range(0, 1000).select(col("id"),
+      (col("id") % 3).cast("string").as("g"))
+    val out = DataSplit.stratifiedExact(df, "g", "id", 0.25)
+    val counts = out.groupBy("g").count().as[(String, Long)].collect().toMap
+    // strata sizes: g=0 -> 334, g=1/2 -> 333; ceil(0.25*n) = 84
+    assert(counts === Map("0" -> 84L, "1" -> 84L, "2" -> 84L))
+    // membership is a pure function of the key: repartitioning changes nothing
+    val again = DataSplit.stratifiedExact(df.repartition(17), "g", "id", 0.25)
+    assert(out.select("id").as[Long].collect().toSet ===
+      again.select("id").as[Long].collect().toSet)
+  }
+
+  test("overlapJoin equals the naive inequality join, each pair exactly once") {
+    // intervals engineered to span multiple buckets, share buckets without
+    // overlapping, and tie exactly at the closed boundary
+    val a = Seq((1L, 10L, 0L, 250L), (1L, 11L, 300L, 1000L),
+      (1L, 12L, 999L, 999L), (2L, 20L, 0L, 5000L))
+      .toDF("k", "aid", "s", "e")
+    val b = Seq((1L, 90L, 250L, 260L), (1L, 91L, 1000L, 2000L),
+      (1L, 92L, 261L, 299L), (2L, 93L, 4000L, 4001L), (3L, 94L, 0L, 9999L))
+      .toDF("k", "bid", "ws", "we")
+    val got = IntervalJoin.overlapJoin(a, b, "k", "s", "e", "ws", "we",
+        bucketWidth = 100L)
+      .select("aid", "bid").as[(Long, Long)].collect().sorted.toSeq
+    // naive reference: plain inequality join (fine at test size)
+    val expect = a.as[(Long, Long, Long, Long)].collect().flatMap { case (k, aid, s, e) =>
+      b.as[(Long, Long, Long, Long)].collect().collect {
+        case (k2, bid, ws, we) if k == k2 && s <= we && ws <= e => (aid, bid)
+      }
+    }.sorted.toSeq
+    assert(got === expect)
+    assert(got === got.distinct, "canonical-bucket emission must not duplicate")
+    assert(got.contains((10L, 90L)), "closed-boundary touch (e == ws) must match")
+  }
+
+  test("overlapJoin plans a hash join — never BroadcastNestedLoop/cartesian") {
+    val a = Seq((1L, 10L, 0L, 250L)).toDF("k", "aid", "s", "e")
+    val b = Seq((1L, 90L, 250L, 260L)).toDF("k", "bid", "ws", "we")
+    val p = IntervalJoin.overlapJoin(a, b, "k", "s", "e", "ws", "we", 100L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(1500))
+  }
+
+  test("zScores flags the planted outlier and nulls zero-variance groups") {
+    val df = (Seq.fill(20)(10.0) :+ 100.0).zipWithIndex
+      .map { case (v, i) => ("g1", i, v) }
+      .++(Seq(("flat", 100, 5.0), ("flat", 101, 5.0)))
+      .toDF("g", "i", "v")
+    val out = Anomaly.zScores(df, "g", "v", scale = 0, threshold = 2.0)
+    val flagged = out.where(col("is_outlier")).select("g", "i")
+      .as[(String, Int)].collect().toSet
+    assert(flagged === Set(("g1", 20)))
+    val flat = out.where(col("g") === "flat").select("z")
+      .collect().map(_.isNullAt(0))
+    assert(flat.forall(identity), "zero-variance groups must have null z")
+  }
+
+  test("exact-sums correlation matches a direct Pearson computation") {
+    // two series over shared days with a known positive correlation
+    val xs = (0 until 50).map(i => i.toLong * 100 + 37)
+    val ys = xs.map(x => x * 3 + 1000 + (x % 7))  // near-perfect linear
+    val n = xs.size.toDouble
+    val (sx, sy) = (xs.sum.toDouble, ys.sum.toDouble)
+    val sxy = xs.zip(ys).map { case (a, b) => a.toDouble * b }.sum
+    val sxx = xs.map(a => a.toDouble * a).sum
+    val syy = ys.map(b => b.toDouble * b).sum
+    val expect = (n * sxy - sx * sy) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    val daily = xs.indices.map(i => (1L, i, xs(i))) ++
+      ys.indices.map(i => (2L, i, ys(i)))
+    val df = daily.toDF("k", "day", "cents")
+    val a = df.select(col("k").as("ka"), col("day"), col("cents").as("xa"))
+    val b = df.select(col("k").as("kb"), col("day"), col("cents").as("xb"))
+    val stats = a.join(b, "day").where(col("ka") < col("kb"))
+      .groupBy("ka", "kb").agg(count(lit(1)).as("n"),
+        sum("xa").as("sx"), sum("xb").as("sy"),
+        sum(col("xa") * col("xb")).as("sxy"),
+        sum(col("xa") * col("xa")).as("sxx"),
+        sum(col("xb") * col("xb")).as("syy"))
+    def d(c: String) = col(c).cast("double")
+    val corr = (d("n") * d("sxy") - d("sx") * d("sy")) /
+      (sqrt(d("n") * d("sxx") - d("sx") * d("sx")) *
+       sqrt(d("n") * d("syy") - d("sy") * d("sy")))
+    val got = stats.select(corr).as[Double].head()
+    assert(math.abs(got - expect) < 1e-12, s"got $got expect $expect")
+    assert(got > 0.999)
+  }
+}
