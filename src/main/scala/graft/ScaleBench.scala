@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{NearDup, Similarity, SpanDedup}
+import graft.operators.{IntervalJoin, NearDup, Similarity, SpanDedup}
 
 /** Scale-evidence bench for the dedup/ANN candidate families: runs each
   * operator at 1x (~sf0.1 corpus size) and 10x on DETERMINISTIC synthetic
@@ -51,6 +51,16 @@ object ScaleBench {
           .cast("float")).as("embedding"))
   }
 
+  /** n intervals of fixed `span` µs at CONSTANT density: starts uniform
+    * over a horizon that grows with n (more data = more days, not a denser
+    * day), 25 cohort keys. True overlap count then grows linearly. */
+  def syntheticIntervals(spark: SparkSession, n: Long, span: Long,
+                         tag: String): DataFrame =
+    spark.range(n).select(col("id").as(s"${tag}_id"),
+      pmod(xxhash64(col("id"), lit(tag)), lit(n * 100L)).as(s"${tag}_s"),
+      (pmod(xxhash64(col("id"), lit(tag)), lit(n * 100L)) + lit(span)).as(s"${tag}_e"),
+      pmod(xxhash64(col("id"), lit(tag + "k")), lit(25L)).cast("long").as(s"${tag}_k"))
+
   private def timed(op: String, n: Long, extra: String = "")(body: => Long): (String, Double) = {
     val t0 = System.nanoTime()
     val pairs = body
@@ -86,6 +96,14 @@ object ScaleBench {
       Similarity.lshBucketedPairsAboveThreshold(e, "vec_id", "embedding", lit(0), 0.5, 64,
         planesPerBand = 7).count()
       e.unpersist()
+      val wa = syntheticIntervals(spark, 2000L, 5000L, "a").localCheckpoint()
+      val wb = syntheticIntervals(spark, 2000L, 2000L, "b").localCheckpoint()
+      IntervalJoin.overlapJoin(wa.withColumnRenamed("a_k", "k"),
+        wb.withColumnRenamed("b_k", "k"),
+        "k", "a_s", "a_e", "b_s", "b_e", 5000L).count()
+      wa.join(wb, col("a_k") === col("b_k") &&
+        col("a_s") <= col("b_e") && col("b_s") <= col("a_e")).count()
+      wa.unpersist(); wb.unpersist()
     }
 
     val times = scala.collection.mutable.Map[String, Double]()
@@ -119,13 +137,33 @@ object ScaleBench {
             planesPerBand = 7).count()
         }
       emb.unpersist()
+
+      // interval-overlap join: bucketized (the operator) vs the naive
+      // inequality join Spark would otherwise plan. Constant interval
+      // density => true overlaps linear in n; the naive join's work is
+      // the per-key product and must grow ~100x at 10x.
+      val nInt = 20000L * scale
+      val ia = syntheticIntervals(spark, nInt, span = 5000L, tag = "a").localCheckpoint()
+      val ib = syntheticIntervals(spark, nInt, span = 2000L, tag = "b").localCheckpoint()
+      times += timed("interval_join_bucketized", nInt) {
+        IntervalJoin.overlapJoin(
+          ia.withColumnRenamed("a_k", "k"), ib.withColumnRenamed("b_k", "k"),
+          "k", "a_s", "a_e", "b_s", "b_e", bucketWidth = 5000L).count()
+      }
+      times += timed("interval_join_naive", nInt) {
+        ia.join(ib, col("a_k") === col("b_k") &&
+          col("a_s") <= col("b_e") && col("b_s") <= col("a_e")).count()
+      }
+      ia.unpersist(); ib.unpersist()
     }
     val ratios = Seq(
       "minhash_lsh_candidates" -> (times("minhash_lsh_candidates|50000") / times("minhash_lsh_candidates|5000")),
       "simhash_pairs" -> (times("simhash_pairs|50000") / times("simhash_pairs|5000")),
       "duplicated_spans" -> (times("duplicated_spans|50000") / times("duplicated_spans|5000")),
       "embedding_lsh_pairs@planes4" -> (times("""embedding_lsh_pairs,"planes":4|20000""") / times("""embedding_lsh_pairs,"planes":4|2000""")),
-      "embedding_lsh_pairs@planes7_vs_planes4_1x" -> (times("""embedding_lsh_pairs,"planes":7|20000""") / times("""embedding_lsh_pairs,"planes":4|2000""")))
+      "embedding_lsh_pairs@planes7_vs_planes4_1x" -> (times("""embedding_lsh_pairs,"planes":7|20000""") / times("""embedding_lsh_pairs,"planes":4|2000""")),
+      "interval_join_bucketized" -> (times("interval_join_bucketized|200000") / times("interval_join_bucketized|20000")),
+      "interval_join_naive" -> (times("interval_join_naive|200000") / times("interval_join_naive|20000")))
     println(ratios.map { case (k, v) => f""""$k":$v%.1f""" }
       .mkString("""{"metric":"wall_ratio_10x_over_1x",""", ",", "}"))
     spark.stop()

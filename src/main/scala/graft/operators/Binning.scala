@@ -43,13 +43,41 @@ object Binning {
     * plus a `bucket` column in [1, n].
     *
     * Scale note: a global ntile is a single-partition sort — correct for
-    * dimension-scale inputs (this operator's intended use: deriving bucket
-    * BOUNDARIES from a sample or an aggregate, then joining them back).
-    * For fact-scale discretization, compute boundaries here on an
-    * aggregate, then assign buckets with a broadcast range join — that
-    * composition stays scan-speed. */
+    * dimension-scale inputs. For fact-scale discretization use
+    * [[boundariesFromSample]] + [[assignByBoundaries]]. */
   def equiDepthBuckets(df: DataFrame, n: Int, order: Seq[String]): DataFrame = {
     val w = Window.orderBy(order.map(col): _*)
     df.withColumn("bucket", ntile(n).over(w))
   }
+
+  /** The fact-scale equi-depth path, pass 1: bucket BOUNDARIES from a
+    * deterministic key-hash sample (the overflow-reduced Knuth
+    * multiplicative hash [[DataSplit.stratifiedExact]] uses — unlike
+    * xxhash64 it has an exact SQL twin, so the sample and therefore every
+    * boundary is oracle-replicable and stable across runs). ntile sorts
+    * only the sample; result is ONE row holding the n-1 upper bounds as a
+    * sorted array. */
+  def boundariesFromSample(df: DataFrame, valueCol: String, keyCol: String,
+                           fraction: Double, n: Int): DataFrame = {
+    val u = pmod(pmod(col(keyCol), lit(1000000L)) * lit(2654435761L), lit(1000000L))
+    val sampled = df.where(u < lit((fraction * 1e6).toLong))
+      .select(col(valueCol), col(keyCol))
+    val w = Window.orderBy(col(valueCol), col(keyCol))
+    sampled.withColumn("__b", ntile(n).over(w))
+      .groupBy(col("__b")).agg(max(col(valueCol)).as("__hi"))
+      .where(col("__b") < n) // top bucket is unbounded
+      .agg(sort_array(collect_list(col("__hi"))).as("bounds"))
+  }
+
+  /** Pass 2: assign `bucket` = 1 + #bounds strictly below the value — a
+    * broadcast of ONE row (the bounds array) crossed into the fact scan;
+    * the filter-over-n-element-array lambda is interpreted but O(n) with
+    * n = bucket count, so the assignment stays scan-speed. Ties sit in
+    * the LOWER bucket (bound < value, mirrored by the SQL twin). */
+  def assignByBoundaries(df: DataFrame, valueCol: String,
+                         bounds: DataFrame): DataFrame =
+    df.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        (size(filter(col("bounds"), b => b < col(valueCol))) + lit(1)).cast("long"))
+      .drop("bounds")
 }

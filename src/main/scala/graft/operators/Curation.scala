@@ -27,6 +27,33 @@ object Curation {
       .drop("__rn")
   }
 
+  /** Deterministic weighted sample of exactly `k` rows, probability
+    * proportional to `weightCol` — the quality-weighted corpus cut
+    * ("sample 1M documents, preferring high quality scores"). The A-ES
+    * scheme (Efraimidis–Spirakis) made key-stable: each row's uniform
+    * draw is its key hash, score = ln(u)/w, global top-k by score. Same
+    * keys + same weights => same sample, regardless of partitioning or
+    * cluster size.
+    *
+    * Scale shape: scan-speed scoring + a global top-k
+    * (TakeOrderedAndProject: each task keeps k rows, the driver merges
+    * task heads — no global sort, no single-partition shuffle). `k` must
+    * be driver-bounded (it is the output size). Rows-only vs the oracle:
+    * ln() is transcendental, so cross-engine bit-equality is not
+    * guaranteed — property-tested instead (determinism, exact-k, weight
+    * monotonicity). */
+  def weightedSample(df: DataFrame, keyCol: Column, weightCol: Column,
+                     k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = (pmod(xxhash64(keyCol), lit(1000000L)).cast("double") + lit(0.5)) / 1e6
+    val score = log(u) / weightCol // ln(u)/w: monotone twin of u^(1/w)
+    df.where(weightCol > 0)
+      .withColumn("__score", score)
+      .orderBy(col("__score").desc, keyCol.asc)
+      .limit(k)
+      .drop("__score")
+  }
+
   /** The maximal prefix of `df` under `order` whose running `weightCol`
     * total stays within `budget` (e.g. pick highest-quality documents
     * until the token budget is spent).

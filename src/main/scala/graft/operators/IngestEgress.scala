@@ -86,6 +86,41 @@ object IngestEgress {
       .parquet(outPath)
   }
 
+  /** Partition-PRESERVING compaction: like [[compact]] but keeps the Hive
+    * directory layout (so partition pruning keeps working) and sizes file
+    * counts PER PARTITION — a hot date gets several files, a cold one gets
+    * exactly one. Shape: one count aggregation over the partition keys, a
+    * broadcast of the (partition -> file target) table, then ONE shuffle on
+    * (partition cols, deterministic row-hash bucket) so each partition
+    * directory receives ~its target file count. No driver-side file
+    * listing, no per-partition loop — the 100 TB maintenance-job shape. */
+  def compactPartitioned(spark: SparkSession, inPath: String, outPath: String,
+                         partitionCols: Seq[String],
+                         targetRowsPerFile: Long): Unit = {
+    val df = spark.read.parquet(inPath)
+    val pcols = partitionCols.map(col)
+    val targets = df.groupBy(pcols: _*).agg(count(lit(1)).as("__n"))
+      .withColumn("__files",
+        greatest(lit(1L), ceil(col("__n") / lit(targetRowsPerFile.toDouble))))
+      .drop("__n")
+    val dataCols = df.columns.filterNot(partitionCols.contains).map(col).toSeq
+    val bucketed = df.join(broadcast(targets), partitionCols)
+      .withColumn("__bucket", pmod(xxhash64(dataCols: _*), col("__files")))
+      .drop("__files")
+    // explicit count (sum of per-partition targets — a bounded metadata
+    // aggregate, like the other dimension-scale collects): an unsized
+    // repartition lets AQE coalesce small outputs back into shared tasks,
+    // re-fragmenting directories; range partitioning gives each
+    // (partition, bucket) group its own task => exact file counts.
+    val nOut = targets.agg(sum(col("__files"))).head.getLong(0).toInt
+    bucketed.repartitionByRange(math.max(1, nOut), (pcols :+ col("__bucket")): _*)
+      .drop("__bucket")
+      .write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .option("compression", "snappy")
+      .parquet(outPath)
+  }
+
   /** COUNT/MIN/MAX served from parquet FOOTER STATISTICS — the scan reads
     * row-group metadata, not rows (on a 100 TB table: thousands of footer
     * reads instead of a full-table scan). Spark only pushes aggregates

@@ -19,6 +19,17 @@ object TextOps {
   def tokens(text: Column): Column =
     array_remove(split(lower(trim(text)), "\\s+"), "")
 
+  /** Adjacent token pairs ("a b") — the unit of n-gram LM count tables and
+    * collocation statistics. `toks` must be a materialized column (a HOF
+    * lambda duplicates a referenced sub-expression at tree-construction
+    * time — see withShingles). Guarded for <2 tokens: Spark's
+    * `sequence(1, 0)` would count DOWN, not return empty. */
+  def bigrams(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+
   /** Sequence packing for training batches: assign documents to bins of
     * at most `tokenBudget` tokens, greedy first-fit in `orderKey` order —
     * the standard way variable-length documents become fixed-budget

@@ -89,6 +89,19 @@ object OpsQueries extends QueryModule {
         .withColumn("bucket", col("bucket").cast("long"))
         .orderBy("c_custkey")),
 
+    // Q-BIN2: the FACT-SCALE equi-depth path — boundaries from a 5%
+    // deterministic hash sample (only the sample is sorted), broadcast as
+    // ONE array row into the fact scan, assignment at scan speed. The
+    // 100-TB discretization pattern, end-to-end oracle-checked.
+    "q_bin2" -> ((s, d) => {
+      val orders = Tables.load(s, d, "orders")
+      val bounds = Binning.boundariesFromSample(orders,
+        "o_totalprice", "o_orderkey", fraction = 0.05, n = 8)
+      Binning.assignByBoundaries(orders, "o_totalprice", bounds)
+        .select("o_orderkey", "o_totalprice", "bucket")
+        .orderBy("o_orderkey")
+    }),
+
     // Q-SAMPLE5: EXACT stratified sample — ceil(20%) of every language by
     // deterministic key order (vs q_sample1's binomial hash split).
     "q_sample5" -> ((s, d) =>
@@ -252,6 +265,20 @@ object OpsQueries extends QueryModule {
       """SELECT c_custkey, c_acctbal,
         |  ntile(8) OVER (ORDER BY c_acctbal, c_custkey) AS bucket
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_bin2" ->
+      """WITH s AS (
+        |  SELECT o_totalprice, o_orderkey FROM orders
+        |  WHERE ((o_orderkey % 1000000) * 2654435761) % 1000000 < 50000),
+        |t AS (
+        |  SELECT o_totalprice,
+        |    ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS b
+        |  FROM s),
+        |bounds AS (
+        |  SELECT b, max(o_totalprice) AS hi FROM t WHERE b < 8 GROUP BY b)
+        |SELECT o.o_orderkey, o.o_totalprice,
+        |  1 + (SELECT COUNT(*) FROM bounds WHERE hi < o.o_totalprice) AS bucket
+        |FROM orders o ORDER BY o_orderkey""".stripMargin,
 
     "q_sample5" ->
       """WITH h AS (

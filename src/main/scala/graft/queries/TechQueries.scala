@@ -8,8 +8,9 @@ import graft.operators.TechnicalIndicators
 
 /** Technical-indicator queries (the [ANA] stock feature surface): Bollinger
   * bands and RSI with exact integer-cent numerics (oracle-checked, no
-  * rounding), EMA via the recursive per-key streaming pass (rows-only:
-  * recursion is not window-expressible in the oracle dialect).
+  * rounding), EMA via the recursive per-key streaming pass — oracle-checked
+  * against a RECURSIVE CTE that replays the identical IEEE recurrence
+  * (0.2*x + 0.8*prev; 1-0.2 == the 0.8 literal bit-for-bit) row by row.
   */
 object TechQueries extends QueryModule {
 
@@ -46,7 +47,8 @@ object TechQueries extends QueryModule {
         (col("l_suppkey") +: byNameOrd) :+
           TechnicalIndicators.rsi(col("l_extendedprice"), w, w14).as("rsi14"): _*))),
 
-    // EMA(alpha=0.2) of per-supplier daily revenue — recursive, rows-only.
+    // EMA(alpha=0.2) of per-supplier daily revenue — recursive streaming
+    // pass; oracle = recursive CTE stepping the same recurrence.
     "q_ta3" -> ((s, d) => {
       val daily = Tables.load(s, d, "lineitem")
         .groupBy(col("l_suppkey"), col("l_shipdate").cast("date").as("day"))
@@ -92,6 +94,25 @@ object TechQueries extends QueryModule {
            |       ELSE 100.0 - 100.0 / (1.0 + avg_gain / avg_loss) END AS rsi14
            |FROM a
            |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_extendedprice, l_quantity""".stripMargin,
+      // Recursion joins each level's frontier (one row per supplier) back
+      // to the ranked daily table — exactly the operator's per-key scan,
+      // so every step's 0.2*x + 0.8*prev is the same IEEE op sequence.
+      "q_ta3" ->
+        """WITH RECURSIVE daily AS (
+          |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS day,
+          |    (SUM(CAST(round(l_extendedprice*100.0,0) AS BIGINT))/100.0) AS revenue
+          |  FROM lineitem GROUP BY 1, 2),
+          |d AS (
+          |  SELECT l_suppkey, date_diff('day', DATE '1970-01-01', day) AS day_ord, revenue,
+          |    row_number() OVER (PARTITION BY l_suppkey ORDER BY day) AS rn
+          |  FROM daily),
+          |r AS (
+          |  SELECT l_suppkey, day_ord, revenue, rn, revenue AS ema FROM d WHERE rn = 1
+          |  UNION ALL
+          |  SELECT d.l_suppkey, d.day_ord, d.revenue, d.rn, 0.2*d.revenue + 0.8*r.ema
+          |  FROM d JOIN r ON d.l_suppkey = r.l_suppkey AND d.rn = r.rn + 1)
+          |SELECT l_suppkey, day_ord, revenue, round(ema, 6) AS ema
+          |FROM r ORDER BY l_suppkey, day_ord""".stripMargin,
     )
   }
 }

@@ -205,6 +205,16 @@ object TextDedupQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // Q-SAMPLE6: deterministic weighted sample — 100 documents with
+    // probability proportional to length (the quality-weighted corpus
+    // cut). Rows-only: the A-ES score uses ln(); determinism, exact-k and
+    // weight monotonicity are property-tested (CurationSpec).
+    "q_sample6" -> ((s, d) =>
+      graft.operators.Curation.weightedSample(
+          Tables.load(s, d, "documents").select("doc_id", "lang", "n_chars"),
+          col("doc_id"), col("n_chars").cast("double"), k = 100)
+        .orderBy("doc_id")),
+
     // Rolling-hash document fingerprint (rows-only: engine-specific hash).
     "q_txt6" -> ((s, d) =>
       Tables.load(s, d, "documents").select(
@@ -309,6 +319,24 @@ object TextDedupQueries extends QueryModule {
         .groupBy("component").agg(count(lit(1)).as("cluster_size"))
         .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
         .orderBy("cluster_size")),
+
+    // Q-TXT18: bigram count table (the n-gram LM statistic / collocation
+    // front door): top-15 bigrams per language by raw count with a
+    // deterministic tie-break. One explode + one aggregation; the rank is
+    // WindowGroupLimit-pre-pruned so a hot language never ships its whole
+    // bigram tail.
+    "q_txt18" -> ((s, d) => {
+      val t = Tables.load(s, d, "documents")
+        .select(col("lang"), TextOps.tokens(col("text")).as("__toks"))
+      val counts = t
+        .select(col("lang"), explode(TextOps.bigrams(col("__toks"))).as("bigram"))
+        .groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("n").desc, col("bigram").asc)
+      counts.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") <= 15).drop("__rn")
+        .orderBy("lang", "bigram")
+    }),
 
     // Q-TXT17: corpus-level overlap — distinct-shingle Jaccard between the
     // train and eval splits (the corpus-granularity contamination metric
@@ -592,6 +620,15 @@ object TextDedupQueries extends QueryModule {
          |  (SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
          |   FROM comp GROUP BY component)
          |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+    "q_txt18" ->
+      s"""WITH t AS (SELECT lang, $tokSql AS toks FROM documents),
+         |bg AS (SELECT lang, unnest(list_transform(range(2, len(toks) + 1),
+         |         i -> toks[i-1] || ' ' || toks[i])) AS bigram FROM t),
+         |c AS (SELECT lang, bigram, COUNT(*) AS n FROM bg GROUP BY 1, 2)
+         |SELECT lang, bigram, n FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY lang
+         |    ORDER BY n DESC, bigram) AS rn FROM c)
+         |WHERE rn <= 15 ORDER BY lang, bigram""".stripMargin,
     "q_txt17" ->
       s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
          |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),

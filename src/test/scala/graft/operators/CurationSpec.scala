@@ -28,6 +28,25 @@ class CurationSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p.take(1200))
   }
 
+  test("weightedSample: exact k, key-stable, weight-monotone, top-k plan") {
+    // two weight classes over 2000 keys: w=50 for ids < 400, else w=1
+    val df = spark.range(0, 2000).select(col("id"),
+      when(col("id") < 400, 50.0).otherwise(1.0).as("w"))
+    val got = Curation.weightedSample(df, col("id"), col("w"), k = 200)
+    val ids = got.select("id").as[Long].collect().toSet
+    assert(ids.size === 200, "exactly k rows")
+    val again = Curation.weightedSample(df.repartition(17), col("id"), col("w"), 200)
+      .select("id").as[Long].collect().toSet
+    assert(again === ids, "sample is a pure function of keys+weights")
+    // heavy items are 20% of the corpus but weight 50x: they must
+    // dominate the sample (expected inclusion prob ~1 vs ~0.1)
+    val heavy = ids.count(_ < 400)
+    assert(heavy > 150, s"weight monotonicity: got $heavy/200 heavy")
+    val p = Curation.weightedSample(df, col("id"), col("w"), 200)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
   test("selectUnderBudget equals the single-window formulation") {
     // weights 1..200 in a scrambled insertion order; order by weight asc
     val df = spark.range(1, 201).select(

@@ -84,6 +84,31 @@ class IngestEgressSpec extends SparkSpec {
       df.agg(sum(col("id"))).head.getLong(0))
   }
 
+  test("partition-preserving compaction: per-partition file targets, layout kept") {
+    val in = Files.createTempDirectory("graft_frag").toString
+    val out = Files.createTempDirectory("graft_compact_part").toString
+    // skewed partitions: y=0 -> 9000 rows (hot), y=1 -> 900, y=2 -> 100
+    val df = spark.range(0, 10000).select(col("id"),
+      when(col("id") < 9000, 0).when(col("id") < 9900, 1).otherwise(2).as("y"))
+    df.repartition(20).write.mode("overwrite").partitionBy("y").parquet(in)
+    def filesIn(p: String) =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(filesIn(s"$in/y=2") >= 10, "fragmented input expected")
+    IngestEgress.compactPartitioned(spark, in, out, Seq("y"),
+      targetRowsPerFile = 3000)
+    // hot partition gets ceil(9000/3000)=3 buckets (range sampling can
+    // merge adjacent groups), cold partitions collapse to 1 file
+    assert(filesIn(s"$out/y=0") >= 2 && filesIn(s"$out/y=0") <= 3)
+    assert(filesIn(s"$out/y=1") === 1)
+    assert(filesIn(s"$out/y=2") === 1)
+    val back = spark.read.parquet(out)
+    assert(back.count() === 10000)
+    assert(back.select(sum(col("id"))).head.getLong(0) ===
+      df.select(sum(col("id"))).head.getLong(0))
+    assert(back.groupBy("y").count().as[(Int, Long)].collect().toSet ===
+      Set((0, 9000L), (1, 900L), (2, 100L)))
+  }
+
   test("partitioned parquet write: reference layout, one file per partition, round-trip") {
     // prices shape (FIXTURES.md §B) incl. the `Adj Close` space-in-name col.
     val prices = Seq(

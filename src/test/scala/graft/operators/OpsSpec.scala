@@ -82,6 +82,21 @@ class OpsSpec extends SparkSpec {
     assert(sizes.values.sum === 103L)
   }
 
+  test("sample boundaries + broadcast assignment: ties go to the lower bucket") {
+    val df = spark.range(1, 81).select(col("id").as("k"),
+      col("id").cast("double").as("v"))
+    // fraction 1.0 => the "sample" is the full set: bounds are exact
+    // quartile maxima [20, 40, 60]
+    val bounds = Binning.boundariesFromSample(df, "v", "k", fraction = 1.0, n = 4)
+    assert(bounds.select("bounds").as[Seq[Double]].head() === Seq(20.0, 40.0, 60.0))
+    val got = Binning.assignByBoundaries(df, "v", bounds)
+      .select("k", "bucket").as[(Long, Long)].collect().toMap
+    assert(got(20L) === 1L, "boundary value stays in the lower bucket")
+    assert(got(21L) === 2L && got(60L) === 3L && got(61L) === 4L && got(80L) === 4L)
+    assert(got.values.groupBy(identity).view.mapValues(_.size).toMap ===
+      Map(1L -> 20, 2L -> 20, 3L -> 20, 4L -> 20))
+  }
+
   test("stratifiedExact takes exactly ceil(frac*n) per stratum, key-stable") {
     val df = spark.range(0, 1000).select(col("id"),
       (col("id") % 3).cast("string").as("g"))

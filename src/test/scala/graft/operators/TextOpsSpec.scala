@@ -98,6 +98,16 @@ class TextOpsSpec extends SparkSpec {
       once.groupBy(_._2).values.map(_.size).toSeq.sorted)
   }
 
+  test("bigrams pairs adjacent tokens; <2 tokens yields empty, not reversed") {
+    val bg = TextOps.bigrams(TextOps.tokens(col("text")))
+    assert(one(bg, "a b c d") ===
+      scala.collection.mutable.ArraySeq("a b", "b c", "c d"))
+    assert(one(bg, "  Hello   World ") ===
+      scala.collection.mutable.ArraySeq("hello world"))
+    assert(one(bg, "solo") === scala.collection.mutable.ArraySeq.empty[String])
+    assert(one(bg, "") === scala.collection.mutable.ArraySeq.empty[String])
+  }
+
   test("rolling fingerprint: deterministic, order-sensitive, stable range") {
     val fp = TextOps.rollingFingerprint(TextOps.tokens(col("text")))
     val a = one(fp, "alpha beta gamma").asInstanceOf[Long]
