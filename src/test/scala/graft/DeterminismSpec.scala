@@ -91,6 +91,32 @@ class DeterminismSpec extends SparkSpec {
     assert(urlSet(1).map(_.head) === Set(1L, 2L), "min-id survivor independent of layout")
   }
 
+  test("operational operators are invariant under input repartitioning") {
+    import graft.operators.{Anomaly, Binning, IntervalJoin, Sessionize, SnapshotDiff}
+    val ev = (0 until 200).map { i =>
+      (i.toLong % 7, i.toLong, new java.sql.Timestamp(i * 900L * 1000), (i % 13) / 4.0)
+    }.toDF("user_id", "event_id", "ts", "value")
+    val snapA = (0 until 100).map(i => (i.toLong, s"s${i % 3}", i * 1.5)).toDF("k", "st", "p")
+    val snapB = (5 until 105).map(i => (i.toLong, s"s${i % 4}", i * 1.5)).toDF("k", "st", "p")
+    val ints = (0 until 60).map(i => (i.toLong % 5, i.toLong, i * 100L, i * 100L + 450L))
+      .toDF("k", "iid", "s", "e")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    def all(parts: Int): Seq[Set[Seq[Any]]] = Seq(
+      rows(Sessionize.sessionStats(ev.repartition(parts), "user_id", "ts",
+        1200, "value", "event_id")),
+      rows(SnapshotDiff.diff(snapA.repartition(parts), snapB.repartition(parts),
+        Seq("k"), Seq("st", "p"))),
+      rows(IntervalJoin.overlapJoin(ints.repartition(parts),
+        ints.withColumnsRenamed(Map("iid" -> "jid", "s" -> "s2", "e" -> "e2"))
+          .repartition(parts), "k", "s", "e", "s2", "e2", 500L)),
+      rows(Anomaly.zScores(ev.repartition(parts), "user_id", "value", 2, 2.0)),
+      rows(Binning.fixedWidthHistogram(ev.repartition(parts), "value", 0.0, 1.0, 4)),
+      rows(Binning.boundariesFromSample(ev.repartition(parts), "value", "event_id", 1.0, 4)))
+    all(1).zip(all(7)).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a === b, s"operator #$i diverged under repartitioning")
+    }
+  }
+
   test("batchByRange ids are independent of the range-partition count") {
     val src = Tables.load(spark, sf, "orders").select("o_orderkey")
     def ids(parts: Int) =
