@@ -57,12 +57,12 @@ object OpsQueries extends QueryModule {
         .orderBy("user_id", "ts", "event_id")),
 
     // Q-SESS2: per-session rollup — bounds, count, exact value sum. The
-    // groupBy key prefixes the window shuffle key, so the aggregation
-    // reuses the session shuffle's co-location.
+    // aggregation reuses the session window's co-location (its keys have
+    // the window partitioning as a subset); the rollup is memoized
+    // (Shared.sessionStats) because q_ijoin1 joins the same table — at
+    // cluster scale it is the persisted session table.
     "q_sess2" -> ((s, d) =>
-      Sessionize.sessionStats(Tables.load(s, d, "events"),
-          "user_id", "ts", GapSeconds, "value", "event_id")
-        .orderBy("user_id", "session_seq")),
+      Shared.sessionStats(s, d).orderBy("user_id", "session_seq")),
 
     // Q-DIFF1: snapshot reconciliation — one full-outer sort-merge join on
     // the key; only the delta (added/removed/changed) survives.
@@ -146,8 +146,7 @@ object OpsQueries extends QueryModule {
     // distinct. The oracle states the same join as plain inequalities.
     "q_ijoin1" -> ((s, d) => {
       val events = Tables.load(s, d, "events")
-      val sess = Sessionize.sessionStats(events, "user_id", "ts",
-          GapSeconds, "value", "event_id")
+      val sess = Shared.sessionStats(s, d)
         .select(col("user_id"), col("session_seq"),
           unix_micros(col("session_start")).as("s_us"),
           unix_micros(col("session_end")).as("e_us"),

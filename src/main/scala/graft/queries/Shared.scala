@@ -57,6 +57,15 @@ private[queries] object Shared {
         shingleN = 4, minSpanTokens = 12)
     }
 
+  /** Per-session rollup over `events` (30-min gap) — q_sess2's surface,
+    * reused as q_ijoin1's interval side. At cluster scale the session
+    * table is a persisted intermediate every downstream join reads. */
+  def sessionStats(s: SparkSession, d: String): DataFrame =
+    Memo.cachedDf(s, s"session_stats|$d") {
+      graft.operators.Sessionize.sessionStats(Tables.load(s, d, "events"),
+        "user_id", "ts", 1800L, "value", "event_id")
+    }
+
   /** Brute-force ground truths for the recall-annotated ANN queries,
     * computed once per (session, corpus): q_sim3/q_sim6 share the cosine
     * truth and q_sim9/q_sim10 the exact-L2 truth (same query vector, same
