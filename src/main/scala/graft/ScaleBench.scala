@@ -2,30 +2,39 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{IntervalJoin, NearDup, Similarity, SpanDedup}
+import graft.operators.{Binning, IntervalJoin, NearDup, Sessionize, Similarity, SpanDedup}
 
 /** Scale-evidence bench for the dedup/ANN candidate families: runs each
-  * operator at 1x (~sf0.1 corpus size) and 10x on DETERMINISTIC synthetic
-  * corpora generated in-plan (spark.range + xxhash64 — no driver data, the
-  * OhlcvGen recipe applied to text/vectors), and reports wall time +
+  * operator at 1x (~sf0.1 corpus size), 10x, and — for the linear families
+  * — 100x, on DETERMINISTIC synthetic corpora generated in-plan
+  * (spark.range + xxhash64 — no driver data), and reports wall time +
   * emitted pair counts so near-linear growth is measured, not argued.
+  * At these corpus sizes the 1x rows are half fixed overhead (job setup,
+  * codegen), which deflates 10x/1x ratios; the 100x/10x ratio is the one
+  * that pins the asymptote the 100 TB claim rests on.
   *
   * Each corpus plants a ~10% duplicate rate as neighbor pairs (bounded
   * dup-group size), so the TRUE pair count grows linearly by construction
   * and any superlinear growth in work or output is the operator's fault:
   * - MinHash bands hash into an unbounded key space => bucket populations
-  *   track dup-group size, not corpus size => linear.
-  * - SimHash chunks have 2^16 buckets — large relative to these corpora;
-  *   the maxBucketSize cap now bounds the eventual collapse.
-  * - Hyperplane-LSH buckets are FIXED at 2^planesPerBand per band, so
-  *   collision volume grows ~n^2/2^planes at fixed planes: the bench runs
-  *   10x at the 1x planes AND at planes+3 (8x more buckets) to show the
-  *   knob restoring near-linearity — at corpus scale planesPerBand must
-  *   grow with log2(n), which is the documented operating rule.
+  *   track dup-group size, not corpus size => linear. Same for SimHash
+  *   (2^16 chunk buckets) and positional span shingles at these sizes.
+  * - Hyperplane-LSH buckets are FIXED at 2^planesPerBand per band, so at a
+  *   PINNED plane count collision volume grows ~n^2/2^planes (measured
+  *   13.8x wall at 10x data in round 4): the bench runs 10x at the pinned
+  *   1x planes AND at the default AutoPlanes (which derives the plane
+  *   count from a corpus count — `Similarity.autoPlanesPerBand`, the
+  *   round-4 operating rule made code) to show auto restoring
+  *   near-linearity.
+  * - Equi-depth boundary pass: the single-task ntile sample is ROW-capped
+  *   (round 5), so its wall must stay FLAT as the corpus grows.
+  * - Skew rows: one hot key owns ~10% of all rows (bot user / hot cohort).
+  *   Sessionization work is per-user-linear and the interval join is
+  *   bucket-bounded, so wall must stay ~linear — not quadratic — under
+  *   the hot key; AQE (on by default) handles the shuffle-partition skew.
   *
-  * One JSON line per (op, scale) row; a final summary line reports the
-  * 10x/1x wall-time ratios (pure-linear = 10, sublinear warm-up effects
-  * can push it below).
+  * One JSON line per (op, scale) row; final summary lines report the
+  * consecutive wall-time ratios (pure-linear = 10).
   */
 object ScaleBench {
 
@@ -61,12 +70,50 @@ object ScaleBench {
       (pmod(xxhash64(col("id"), lit(tag)), lit(n * 100L)) + lit(span)).as(s"${tag}_e"),
       pmod(xxhash64(col("id"), lit(tag + "k")), lit(25L)).cast("long").as(s"${tag}_k"))
 
-  private def timed(op: String, n: Long, extra: String = "")(body: => Long): (String, Double) = {
+  /** Skewed variant: key 0 owns ~10% of all intervals (hot cohort); the
+    * rest spread over n/1000 keys. Horizon still grows with n. */
+  def syntheticIntervalsSkewed(spark: SparkSession, n: Long, span: Long,
+                               tag: String): DataFrame = {
+    val nKeys = math.max(2L, n / 1000L)
+    val hot = pmod(xxhash64(col("id"), lit(tag + "h")), lit(10L)) === 0
+    spark.range(n).select(col("id").as(s"${tag}_id"),
+      pmod(xxhash64(col("id"), lit(tag)), lit(n * 100L)).as(s"${tag}_s"),
+      (pmod(xxhash64(col("id"), lit(tag)), lit(n * 100L)) + lit(span)).as(s"${tag}_e"),
+      when(hot, lit(0L))
+        .otherwise(pmod(xxhash64(col("id"), lit(tag + "k")), lit(nKeys)) + 1L)
+        .as(s"${tag}_k"))
+  }
+
+  /** n events with ONE bot user owning ~10% of them; everyone else is one
+    * of n/1000 normal users. Timestamps spread over an n-proportional
+    * horizon (constant density), ~100 µs-scale gaps so sessions form. */
+  def syntheticEventsSkewed(spark: SparkSession, n: Long): DataFrame = {
+    val nUsers = math.max(2L, n / 1000L)
+    val hot = pmod(xxhash64(col("id"), lit("h")), lit(10L)) === 0
+    spark.range(n).select(
+      col("id").as("event_id"),
+      when(hot, lit(0L))
+        .otherwise(pmod(xxhash64(col("id"), lit("u")), lit(nUsers)) + 1L)
+        .as("user_id"),
+      timestamp_micros(pmod(xxhash64(col("id"), lit("t")), lit(n * 60000000L)))
+        .as("ts"),
+      (pmod(xxhash64(col("id"), lit("v")), lit(10000L)).cast("double") / 100.0)
+        .as("value"))
+  }
+
+  /** Orders-shaped numeric fact for the equi-depth boundary pass. */
+  def syntheticValues(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(col("id").as("k"),
+      (pmod(xxhash64(col("id")), lit(60000000L)).cast("double") / 100.0).as("v"))
+
+  private val rows = scala.collection.mutable.ArrayBuffer[(String, Long, Double)]()
+
+  private def timed(op: String, n: Long, extra: String = "")(body: => Long): Unit = {
     val t0 = System.nanoTime()
-    val pairs = body
+    val out = body
     val sec = (System.nanoTime() - t0) / 1e9
-    println(f"""{"op":"$op","n":$n,"pairs":$pairs,"sec":$sec%.2f$extra}""")
-    (s"$op$extra|$n", sec)
+    println(f"""{"op":"$op$extra","n":$n,"rows":$out,"sec":$sec%.2f}""")
+    rows += ((s"$op$extra", n, sec))
   }
 
   def main(args: Array[String]): Unit = {
@@ -92,9 +139,9 @@ object ScaleBench {
       SpanDedup.duplicatedSpans(d, "doc_id", col("text"), 8, 16).count()
       d.unpersist()
       val e = syntheticEmbeddings(spark, 200L).localCheckpoint()
-      Similarity.lshBucketedPairsAboveThreshold(e, "vec_id", "embedding", lit(0), 0.5, 64).count()
       Similarity.lshBucketedPairsAboveThreshold(e, "vec_id", "embedding", lit(0), 0.5, 64,
-        planesPerBand = 7).count()
+        planesPerBand = 4).count()
+      Similarity.lshBucketedPairsAboveThreshold(e, "vec_id", "embedding", lit(0), 0.5, 64).count()
       e.unpersist()
       val wa = syntheticIntervals(spark, 2000L, 5000L, "a").localCheckpoint()
       val wb = syntheticIntervals(spark, 2000L, 2000L, "b").localCheckpoint()
@@ -104,68 +151,102 @@ object ScaleBench {
       wa.join(wb, col("a_k") === col("b_k") &&
         col("a_s") <= col("b_e") && col("b_s") <= col("a_e")).count()
       wa.unpersist(); wb.unpersist()
+      Sessionize.sessionStats(syntheticEventsSkewed(spark, 2000L),
+        "user_id", "ts", 1800L, "value", "event_id").count()
+      Binning.boundariesFromSample(syntheticValues(spark, 10000L),
+        "v", "k", fraction = 0.05, n = 8, maxSampleRows = 2000L).count()
     }
 
-    val times = scala.collection.mutable.Map[String, Double]()
-    for (scale <- Seq(1L, 10L)) {
+    // ---- linear families: 1x / 10x / 100x --------------------------------
+    for (scale <- Seq(1L, 10L, 100L)) {
       val nDocs = 5000L * scale
       val docs = syntheticDocs(spark, nDocs).localCheckpoint()
-      times ++= Seq(
-        timed("minhash_lsh_candidates", nDocs) {
-          NearDup.lshCandidatePairs(docs, "doc_id", col("text")).count()
-        },
-        timed("simhash_pairs", nDocs) {
-          NearDup.simhashPairs(
-            NearDup.simhash(docs, "doc_id", col("text")), "doc_id", maxHamming = 3).count()
-        },
-        timed("duplicated_spans", nDocs) {
-          SpanDedup.duplicatedSpans(docs, "doc_id", col("text"),
-            shingleN = 8, minSpanTokens = 16).count()
-        })
+      timed("minhash_lsh_candidates", nDocs) {
+        NearDup.lshCandidatePairs(docs, "doc_id", col("text")).count()
+      }
+      timed("simhash_pairs", nDocs) {
+        NearDup.simhashPairs(
+          NearDup.simhash(docs, "doc_id", col("text")), "doc_id", maxHamming = 3).count()
+      }
+      timed("duplicated_spans", nDocs) {
+        SpanDedup.duplicatedSpans(docs, "doc_id", col("text"),
+          shingleN = 8, minSpanTokens = 16).count()
+      }
       docs.unpersist()
 
-      val nVec = 2000L * scale
-      val emb = syntheticEmbeddings(spark, nVec).localCheckpoint()
-      times += timed("embedding_lsh_pairs", nVec, s""","planes":4""") {
-        Similarity.lshBucketedPairsAboveThreshold(
-          emb, "vec_id", "embedding", lit(0), minSim = 0.5, dim = 64).count()
-      }
-      if (scale > 1L) // the knob: 8x more buckets restores near-linearity
-        times += timed("embedding_lsh_pairs", nVec, s""","planes":7""") {
-          Similarity.lshBucketedPairsAboveThreshold(
-            emb, "vec_id", "embedding", lit(0), minSim = 0.5, dim = 64,
-            planesPerBand = 7).count()
-        }
-      emb.unpersist()
-
-      // interval-overlap join: bucketized (the operator) vs the naive
-      // inequality join Spark would otherwise plan. Constant interval
-      // density => true overlaps linear in n; the naive join's work is
-      // the per-key product and must grow ~100x at 10x.
+      // interval-overlap join: bucketized (the operator) at all scales; the
+      // naive inequality join Spark would otherwise plan only to 10x (its
+      // per-key product grows ~100x per decade — ~1.6e11 comparisons at
+      // 100x is not worth the electricity).
       val nInt = 20000L * scale
       val ia = syntheticIntervals(spark, nInt, span = 5000L, tag = "a").localCheckpoint()
       val ib = syntheticIntervals(spark, nInt, span = 2000L, tag = "b").localCheckpoint()
-      times += timed("interval_join_bucketized", nInt) {
+      timed("interval_join_bucketized", nInt) {
         IntervalJoin.overlapJoin(
           ia.withColumnRenamed("a_k", "k"), ib.withColumnRenamed("b_k", "k"),
           "k", "a_s", "a_e", "b_s", "b_e", bucketWidth = 5000L).count()
       }
-      times += timed("interval_join_naive", nInt) {
-        ia.join(ib, col("a_k") === col("b_k") &&
-          col("a_s") <= col("b_e") && col("b_s") <= col("a_e")).count()
-      }
+      if (scale <= 10L)
+        timed("interval_join_naive", nInt) {
+          ia.join(ib, col("a_k") === col("b_k") &&
+            col("a_s") <= col("b_e") && col("b_s") <= col("a_e")).count()
+        }
       ia.unpersist(); ib.unpersist()
+
+      // row-capped equi-depth boundary pass: wall must stay FLAT (the
+      // sample is capped at 20k rows whatever the corpus size; the only
+      // growing cost is the column-pruned count + hash filter scan)
+      val nVal = 200000L * scale
+      val vals = syntheticValues(spark, nVal).localCheckpoint()
+      timed("equi_depth_boundaries", nVal) {
+        Binning.boundariesFromSample(vals, "v", "k",
+          fraction = 0.05, n = 8, maxSampleRows = 20000L).count()
+      }
+      vals.unpersist()
+
+      // skew: hot key owns 10% of rows; wall must track the hot key
+      // LINEARLY (sessionization sorts the bot user's events in one task;
+      // the interval join spreads even the hot cohort over time buckets)
+      val nEv = 100000L * scale
+      val ev = syntheticEventsSkewed(spark, nEv).localCheckpoint()
+      timed("sessionization_skewed", nEv) {
+        Sessionize.sessionStats(ev, "user_id", "ts", 1800L, "value", "event_id").count()
+      }
+      ev.unpersist()
+      val sa = syntheticIntervalsSkewed(spark, nInt, span = 5000L, tag = "a").localCheckpoint()
+      val sb = syntheticIntervalsSkewed(spark, nInt, span = 2000L, tag = "b").localCheckpoint()
+      timed("interval_join_bucketized_skewed", nInt) {
+        IntervalJoin.overlapJoin(
+          sa.withColumnRenamed("a_k", "k"), sb.withColumnRenamed("b_k", "k"),
+          "k", "a_s", "a_e", "b_s", "b_e", bucketWidth = 5000L).count()
+      }
+      sa.unpersist(); sb.unpersist()
     }
-    val ratios = Seq(
-      "minhash_lsh_candidates" -> (times("minhash_lsh_candidates|50000") / times("minhash_lsh_candidates|5000")),
-      "simhash_pairs" -> (times("simhash_pairs|50000") / times("simhash_pairs|5000")),
-      "duplicated_spans" -> (times("duplicated_spans|50000") / times("duplicated_spans|5000")),
-      "embedding_lsh_pairs@planes4" -> (times("""embedding_lsh_pairs,"planes":4|20000""") / times("""embedding_lsh_pairs,"planes":4|2000""")),
-      "embedding_lsh_pairs@planes7_vs_planes4_1x" -> (times("""embedding_lsh_pairs,"planes":7|20000""") / times("""embedding_lsh_pairs,"planes":4|2000""")),
-      "interval_join_bucketized" -> (times("interval_join_bucketized|200000") / times("interval_join_bucketized|20000")),
-      "interval_join_naive" -> (times("interval_join_naive|200000") / times("interval_join_naive|20000")))
-    println(ratios.map { case (k, v) => f""""$k":$v%.1f""" }
-      .mkString("""{"metric":"wall_ratio_10x_over_1x",""", ",", "}"))
+
+    // ---- hyperplane-LSH: pinned planes vs AutoPlanes, 1x / 10x ----------
+    for (scale <- Seq(1L, 10L)) {
+      val nVec = 2000L * scale
+      val emb = syntheticEmbeddings(spark, nVec).localCheckpoint()
+      timed("embedding_lsh_pairs", nVec, "@planes4") {
+        Similarity.lshBucketedPairsAboveThreshold(
+          emb, "vec_id", "embedding", lit(0), minSim = 0.5, dim = 64,
+          planesPerBand = 4).count()
+      }
+      timed("embedding_lsh_pairs", nVec, "@auto") {
+        Similarity.lshBucketedPairsAboveThreshold(
+          emb, "vec_id", "embedding", lit(0), minSim = 0.5, dim = 64).count()
+      }
+      emb.unpersist()
+    }
+
+    // ---- consecutive-scale wall ratios ----------------------------------
+    val byOp = rows.groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq)
+    for ((op, rs) <- byOp.toSeq.sortBy(_._1); Seq((_, n1, t1), (_, n2, t2)) <- rs.sliding(2)
+         if rs.length > 1) {
+      val factor = n2 / n1
+      println(f"""{"metric":"wall_ratio","op":"$op","from_n":$n1,"to_n":$n2,""" +
+        f""""data_factor":$factor,"wall_ratio":${t2 / t1}%.1f}""")
+    }
     spark.stop()
   }
 }

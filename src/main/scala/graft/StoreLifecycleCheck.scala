@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.{IndexStore, NearDup}
+
+/** Fresh-PROCESS proof of the IndexStore lifecycle (round-5 hardening):
+  * the q_dedup8/q_sim7/q_sim9/q_sim12 queries prove write -> reload ->
+  * probe within one session; this main proves the true warehouse cycle —
+  * the store written by one SparkSession is probed by a COMPLETELY NEW
+  * SparkSession (the first is `stop()`ed and its context torn down before
+  * the second starts), with nothing carried over but the parquet on disk.
+  *
+  * Day-1: sketch a corpus prefix, persist the LSH band table. Day-2 (new
+  * session): a fresh doc batch arrives; `incrementalLshCandidates` probes
+  * the RELOADED store and must equal the full recompute over old ∪ new
+  * restricted to pairs touching a new id — the exactness contract the
+  * incremental operator claims. Both corpora are rebuilt deterministically
+  * from `ScaleBench.syntheticDocs` (fixed seeds), so the check needs no
+  * state but the store.
+  *
+  * Run: `sbt "runMain graft.StoreLifecycleCheck /tmp/some/root"`, exits 0
+  * on success; StoreLifecycleSpec spawns it as a separate JVM.
+  */
+object StoreLifecycleCheck {
+
+  // split at 301 so the planted pair (300, 301) straddles the old/new
+  // boundary: the probe must find old x new pairs, not just new x new
+  private val NOld = 301L
+  private val NAll = 400L
+
+  private def session(appName: String): SparkSession =
+    SparkSession.builder()
+      .master("local[4]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 1, "usage: StoreLifecycleCheck <storeRoot>")
+    val root = args(0)
+
+    // ---- day 1: its own session writes the store, then fully stops ----
+    locally {
+      val s1 = session("graft-store-writer")
+      s1.sparkContext.setLogLevel("ERROR")
+      val oldDocs = ScaleBench.syntheticDocs(s1, NAll).where(col("doc_id") < NOld)
+      IndexStore.writeLshBands(
+        NearDup.lshBandTable(oldDocs, "doc_id", col("text")), root)
+      s1.stop()
+    }
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+
+    // ---- day 2: a brand-new session (new SparkContext) probes it ----
+    val s2 = session("graft-store-prober")
+    s2.sparkContext.setLogLevel("ERROR")
+    try {
+      val all = ScaleBench.syntheticDocs(s2, NAll)
+      val newDocs = all.where(col("doc_id") >= NOld)
+      val stored = IndexStore.readLshBands(s2, root)
+      require(stored.count() > 0, "reloaded band store is empty")
+
+      val incremental = NearDup.incrementalLshCandidates(
+          NearDup.lshBandTable(newDocs, "doc_id", col("text")), stored)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val full = NearDup.lshCandidatePairs(all, "doc_id", col("text"))
+        .where(col("id_a") >= NOld || col("id_b") >= NOld)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+      require(incremental == full,
+        s"incremental-vs-store != full recompute: missing=${(full -- incremental).take(3)} " +
+        s"extra=${(incremental -- full).take(3)}")
+      // the planted dup structure (id%10==1 duplicates id-1) guarantees
+      // cross-boundary pairs exist, so the equality above is not vacuous
+      require(incremental.nonEmpty, "probe found no candidate pairs — plant failed")
+      println(s"store-lifecycle OK: ${incremental.size} pairs from the reloaded store")
+    } finally s2.stop()
+  }
+}

@@ -56,11 +56,31 @@ object Binning {
     * xxhash64 it has an exact SQL twin, so the sample and therefore every
     * boundary is oracle-replicable and stable across runs). ntile sorts
     * only the sample; result is ONE row holding the n-1 upper bounds as a
-    * sorted array. */
+    * sorted array.
+    *
+    * The ntile runs in ONE task (global order), so the sample must be
+    * ROW-bounded, not fraction-bounded: boundary precision depends on the
+    * ABSOLUTE sample size (quantile estimate error ~ 1/sqrt(rows)), not on
+    * the sampled fraction, and a fixed 5% of a 100 TB table is 5 TB
+    * through a single thread. The effective fraction is therefore
+    * `min(fraction, maxSampleRows / count)` — one column-pruned count
+    * (parquet answers it from row-group metadata), then the same hash
+    * threshold. At fixture scale the cap never binds (15k rows * 5% = 750
+    * << 1M), so the q_bin2 oracle's fixed-threshold SQL twin stays exact.
+    * Hash granularity is 1e-6: below ~1e-6 effective fraction the
+    * threshold floors at 1 (expected sample = count/1e6, still row-capped
+    * within 1e-6 * count of the target). */
   def boundariesFromSample(df: DataFrame, valueCol: String, keyCol: String,
-                           fraction: Double, n: Int): DataFrame = {
+                           fraction: Double, n: Int,
+                           maxSampleRows: Long = 1000000L): DataFrame = {
+    require(fraction > 0 && fraction <= 1, s"fraction in (0,1], got $fraction")
+    require(maxSampleRows > 0, s"maxSampleRows must be positive, got $maxSampleRows")
+    val total = df.count()
+    val eff =
+      if (total == 0L) fraction
+      else math.min(fraction, maxSampleRows.toDouble / total)
     val u = pmod(pmod(col(keyCol), lit(1000000L)) * lit(2654435761L), lit(1000000L))
-    val sampled = df.where(u < lit((fraction * 1e6).toLong))
+    val sampled = df.where(u < lit(math.max(1L, (eff * 1e6).toLong)))
       .select(col(valueCol), col(keyCol))
     val w = Window.orderBy(col(valueCol), col(keyCol))
     sampled.withColumn("__b", ntile(n).over(w))

@@ -27,8 +27,9 @@ object Curation {
       .drop("__rn")
   }
 
-  /** Deterministic weighted sample of exactly `k` rows, probability
-    * proportional to `weightCol` — the quality-weighted corpus cut
+  /** Deterministic weighted sample of `min(k, #rows with weight > 0)`
+    * rows, probability proportional to `weightCol` — the quality-weighted
+    * corpus cut
     * ("sample 1M documents, preferring high quality scores"). The A-ES
     * scheme (Efraimidis–Spirakis) made key-stable: each row's uniform
     * draw is its key hash, score = ln(u)/w, global top-k by score. Same
@@ -38,7 +39,16 @@ object Curation {
     * Scale shape: scan-speed scoring + a global top-k
     * (TakeOrderedAndProject: each task keeps k rows, the driver merges
     * task heads — no global sort, no single-partition shuffle). `k` must
-    * be driver-bounded (it is the output size). Rows-only vs the oracle:
+    * be driver-bounded (it is the output size).
+    *
+    * Rows with weight <= 0 are EXCLUDED by construction (ln(u)/w is
+    * undefined at 0 and order-inverting for negatives — A-ES is defined
+    * over positive weights), so when fewer than `k` positive-weight rows
+    * exist the sample is SHORT, by the count of eligible rows — callers
+    * holding an exact-k contract must check `count` (one cheap aggregate
+    * over the k-bounded output) rather than assume it; asserting
+    * eligible >= k here would force an extra full-scan action on every
+    * call. Rows-only vs the oracle:
     * ln() is transcendental, so cross-engine bit-equality is not
     * guaranteed — property-tested instead (determinism, exact-k, weight
     * monotonicity). */

@@ -15,18 +15,37 @@ object DataSplit {
 
   private val Buckets = 10000L
 
-  /** Bucket in [0, 10000) from the key — stable, uniform. */
+  /** Bucket in [0, 10000) from the key — stable, uniform. General-key
+    * (xxhash64 takes any type), but engine-specific: results are not
+    * SQL-replicable. The split/sample operators below use [[knuthBucket]]
+    * instead so their outputs oracle-check. */
   def bucketOf(key: Column): Column = pmod(xxhash64(key), lit(Buckets))
 
+  /** The repo-standard SQL-replicable key hash (same overflow-reduced
+    * Knuth multiplicative form as [[stratifiedExact]] / Binning's
+    * boundary sample): bucket in [0, 1e6) from a NUMERIC key. The mod-1e6
+    * pre-reduction keeps the product < 2.7e15 (never wraps BIGINT on
+    * either engine) at the cost of keys congruent mod 1e6 sharing a
+    * bucket — uniform over residues (the multiplier is coprime to 1e6,
+    * so k%1e6 -> bucket is a bijection), and fine for id-keyed splits. */
+  def knuthBucket(key: Column): Column =
+    pmod(pmod(key, lit(KnuthBuckets)) * lit(2654435761L), lit(KnuthBuckets))
+
+  val KnuthBuckets = 1000000L
+
   /** Adds a `split` column given (name -> fraction) in declared order;
-    * fractions must sum to <= 1, remainder falls into the last split. */
+    * fractions must sum to <= 1, remainder falls into the last split.
+    * Membership is a [[knuthBucket]] threshold on the numeric key —
+    * SQL-replicable (the q_sample1 oracle states the same CASE ladder),
+    * stable across runs/partitioning, binomial per-split counts. */
   def assignSplit(df: DataFrame, key: Column, splits: Seq[(String, Double)]): DataFrame = {
     require(splits.nonEmpty && splits.map(_._2).sum <= 1.0 + 1e-9)
-    val bucket = bucketOf(key)
+    val bucket = knuthBucket(key)
     val bounds = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
     val expr0 = splits.zip(bounds).foldLeft(lit(null).cast("string")) {
       case (acc, ((name, _), hi)) =>
-        when(acc.isNotNull, acc).when(bucket < lit((hi * Buckets).toLong), lit(name))
+        when(acc.isNotNull, acc)
+          .when(bucket < lit((hi * KnuthBuckets).toLong), lit(name))
           .otherwise(acc)
     }
     df.withColumn("split", coalesce(expr0, lit(splits.last._1)))
@@ -52,7 +71,7 @@ object DataSplit {
   def stratifiedExact(df: DataFrame, stratumCol: String, keyCol: String,
                       fraction: Double): DataFrame = {
     require(fraction > 0 && fraction <= 1, s"fraction in (0,1], got $fraction")
-    val h = pmod(pmod(col(keyCol), lit(1000000L)) * lit(2654435761L), lit(1000000L))
+    val h = knuthBucket(col(keyCol))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(stratumCol).orderBy(h, col(keyCol))
     df.withColumn("__rk", row_number().over(w))
@@ -95,13 +114,11 @@ object DataSplit {
       .withColumn("__nt", min(col("__n").cast("double") / col("__frac")).over(w))
       .select(col(sourceCol),
         least(lit(1.0), col("__frac") * col("__nt") / col("__n").cast("double")).as("__rate"))
-    // Reduce the key mod 1e6 BEFORE the Knuth multiply: (k mod m)*c mod m
-    // == k*c mod m, but the reduced product stays < 2.7e15 — a raw k*c
-    // overflows long (wraps, or throws under ANSI) for keys above ~3.4e9,
-    // and the BIGINT oracle would error where Spark wraps. The oracle SQL
+    // knuthBucket's mod-1e6 pre-reduction is what keeps the product
+    // BIGINT-safe on both engines (a raw k*c wraps for keys above ~3.4e9,
+    // and the oracle would error where Spark wraps); the oracle SQL
     // mirrors the same reduced form.
-    val u = pmod(pmod(col(keyCol), lit(1000000L)) * lit(2654435761L), lit(1000000L))
-      .cast("double") / 1e6
+    val u = knuthBucket(col(keyCol)).cast("double") / 1e6
     df.join(broadcast(rates), sourceCol)
       .where(u < col("__rate"))
       .drop("__rate")

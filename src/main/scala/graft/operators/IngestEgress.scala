@@ -104,7 +104,18 @@ object IngestEgress {
         greatest(lit(1L), ceil(col("__n") / lit(targetRowsPerFile.toDouble))))
       .drop("__n")
     val dataCols = df.columns.filterNot(partitionCols.contains).map(col).toSeq
-    val bucketed = df.join(broadcast(targets), partitionCols)
+    // Null-safe equality (<=>) per partition column: a NULL partition value
+    // is a legal Hive partition (__HIVE_DEFAULT_PARTITION__, read back as
+    // null), and a plain equi-join would silently drop those rows — data
+    // loss in a job whose contract is a lossless rewrite. The target table
+    // carries renamed keys so the join stays a broadcast hash join on the
+    // null-safe condition and the output keeps df's original columns.
+    val renamedTargets = broadcast(partitionCols.foldLeft(targets) {
+      (t, c) => t.withColumnRenamed(c, s"__t_$c")
+    })
+    val joinCond = partitionCols.map(c => col(c) <=> col(s"__t_$c")).reduce(_ && _)
+    val bucketed = df.join(renamedTargets, joinCond)
+      .drop(partitionCols.map(c => s"__t_$c"): _*)
       .withColumn("__bucket", pmod(xxhash64(dataCols: _*), col("__files")))
       .drop("__files")
     // explicit count (sum of per-partition targets — a bounded metadata

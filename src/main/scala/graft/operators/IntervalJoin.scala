@@ -34,17 +34,24 @@ object IntervalJoin {
     * microsecond columns; `key` names the equality column present in both
     * (pass a constant column upstream for a pure time join — and accept
     * that all rows then collide in each time bucket). Returns a's columns
-    * ++ b's columns plus `overlap_us`. */
+    * ++ b's columns plus `overlap_us`.
+    *
+    * INVERTED intervals (end < start — bad upstream data) are dropped, not
+    * joined: Spark's `sequence(lo, hi)` silently generates a DESCENDING
+    * range when hi < lo, which would explode an inverted interval into
+    * wrong candidate buckets (the same sequence pitfall the <2-token guard
+    * in `TextOps.bigrams` exists for). The `when` guard yields NULL for
+    * such rows and `explode` emits nothing — a row that can't overlap
+    * anything under the closed-interval definition produces no pairs. */
   def overlapJoin(a: DataFrame, b: DataFrame, key: String,
                   aStart: String, aEnd: String, bStart: String, bEnd: String,
                   bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0)
-    val ae = a.withColumn("__bkt",
-      explode(sequence(bucketOf(col(aStart), bucketWidth),
-        bucketOf(col(aEnd), bucketWidth))))
-    val be = b.withColumn("__bkt",
-      explode(sequence(bucketOf(col(bStart), bucketWidth),
-        bucketOf(col(bEnd), bucketWidth))))
+    def buckets(s: String, e: String): Column =
+      when(col(s) <= col(e),
+        sequence(bucketOf(col(s), bucketWidth), bucketOf(col(e), bucketWidth)))
+    val ae = a.withColumn("__bkt", explode(buckets(aStart, aEnd)))
+    val be = b.withColumn("__bkt", explode(buckets(bStart, bEnd)))
     ae.join(be, Seq(key, "__bkt"))
       .where(col(aStart) <= col(bEnd) && col(bStart) <= col(aEnd) &&
         col("__bkt") === greatest(bucketOf(col(aStart), bucketWidth),

@@ -94,13 +94,32 @@ object NearDup {
     * everything), so dropping it trades a bounded sliver of recall for a
     * sum(min(s, cap)²) join bound; pairs sharing any OTHER band survive.
     * One map-side-combined count aggregation; the over-cap key list is
-    * tiny (<= n/cap keys) so AQE broadcasts the anti-join. */
+    * tiny (<= n/cap keys) so AQE broadcasts the anti-join.
+    *
+    * The cap's cost is OBSERVABLE, not silent: pass an `Observation` and
+    * the run reports `dropped_buckets` / `dropped_rows` (rows = band-table
+    * rows anti-joined away). The metrics ride the bucket-count aggregate
+    * the anti-join needs anyway; in the observed mode the (tiny, <= n/cap
+    * keys) crowded list is materialized eagerly, which (a) publishes the
+    * metrics at operator-build time — a lazily-planned CollectMetrics dies
+    * two ways: callers self-join the result, duplicating the observed node
+    * (duplicate-name metrics don't publish), and on a zero-drop run AQE's
+    * empty-relation propagation prunes the empty broadcast side, metrics
+    * node included — and (b) stops the self-joining callers re-running the
+    * count aggregate once per join side. */
   private[operators] def dropCrowdedBuckets(
-      banded: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+      banded: DataFrame, keys: Seq[String], cap: Int,
+      obs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     require(cap > 1, s"maxBucketSize must be > 1, got $cap")
-    val crowded = banded.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("__bn")).where(col("__bn") > cap)
-      .select(keys.map(col): _*)
+    val counts = banded.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__bn"))
+    val crowded = obs match {
+      case Some(o) => counts.observe(o,
+          coalesce(sum(when(col("__bn") > cap, lit(1L))), lit(0L)).as("dropped_buckets"),
+          coalesce(sum(when(col("__bn") > cap, col("__bn"))), lit(0L)).as("dropped_rows"))
+        .where(col("__bn") > cap).select(keys.map(col): _*)
+        .localCheckpoint()
+      case None => counts.where(col("__bn") > cap).select(keys.map(col): _*)
+    }
     banded.join(crowded, keys, "left_anti")
   }
 
@@ -112,7 +131,8 @@ object NearDup {
   def lshCandidatePairs(
       docs: DataFrame, idCol: String, text: Column,
       shingleN: Int = 3, numHashes: Int = 32, rowsPerBand: Int = 4,
-      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+      maxBucketSize: Int = DefaultMaxBucketSize,
+      capObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     // Materialize the band table before self-joining it: a lazy self-join
     // plans the whole scan->tokenize->minhash->band pipeline ONCE PER SIDE
     // (2x the dominant cost — at corpus scale, a doubled sketch pass).
@@ -121,7 +141,7 @@ object NearDup {
     val banded = dropCrowdedBuckets(
       lshBandTable(docs, idCol, text, shingleN, numHashes, rowsPerBand)
         .localCheckpoint(),
-      Seq("__band", "__bucket"), maxBucketSize)
+      Seq("__band", "__bucket"), maxBucketSize, capObs)
     val a = banded.select(col("__band"), col("__bucket"), col("__id").as("id_a"))
     val b = banded.select(col("__band"), col("__bucket"), col("__id").as("id_b"))
     a.join(b, Seq("__band", "__bucket"))
@@ -213,7 +233,8 @@ object NearDup {
     * ([[dropCrowdedBuckets]]) — on web text, near-empty docs collapse into
     * a few giant all-zero-ish chunks. */
   def simhashPairs(sh: DataFrame, idCol: String, maxHamming: Int = 3,
-                   maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+                   maxBucketSize: Int = DefaultMaxBucketSize,
+                   capObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     // Materialized before the self-join for the same reason as
     // lshCandidatePairs: `sh` is usually the full simhash aggregation, and
     // a lazy self-join would compute it once per side.
@@ -223,7 +244,7 @@ object NearDup {
           shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
         .withColumnRenamed("pos", "__chunk").withColumnRenamed("col", "__cv")
         .localCheckpoint(),
-      Seq("__chunk", "__cv"), maxBucketSize)
+      Seq("__chunk", "__cv"), maxBucketSize, capObs)
     val a = chunks.select(col("__chunk"), col("__cv"), col("__id").as("id_a"), col("simhash").as("sh_a"))
     val b = chunks.select(col("__chunk"), col("__cv"), col("__id").as("id_b"), col("simhash").as("sh_b"))
     a.join(b, Seq("__chunk", "__cv"))

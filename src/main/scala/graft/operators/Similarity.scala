@@ -15,6 +15,33 @@ import graft.functions.VectorOps
   */
 object Similarity {
 
+  /** Sentinel for "derive the plane count from the corpus size" — the
+    * default for every hyperplane-LSH entry point below. */
+  val AutoPlanes: Int = 0
+
+  /** Plane count from corpus size: enough planes that the EXPECTED bucket
+    * population stays near `targetBucketLoad` — `ceil(log2(n / load))`,
+    * floored at `minPlanes`. With 2^planes buckets per band, per-band
+    * candidate volume ~ n * load (LINEAR in n); a fixed plane count is
+    * ~n²/2^planes (measured 13.8x wall at 10x data in ScaleBench r4).
+    * The recall trade is the caller's to manage: raising planes by Δ
+    * multiplies a θ-angle pair's per-band collision probability by
+    * (1-θ/π)^Δ, so holding the miss bound (1-(1-θ/π)^planes)^bands while
+    * n grows needs `numBands` scaled by ~(1/(1-θ/π))^Δ. At fixture sizes
+    * (n <= ~2k at load 128) this picks the round-4 default of 4, so the
+    * oracle-checked results are unchanged there. */
+  def autoPlanesPerBand(n: Long, targetBucketLoad: Int = 128,
+                        minPlanes: Int = 4): Int = {
+    require(targetBucketLoad > 0 && minPlanes > 0)
+    if (n <= targetBucketLoad) minPlanes
+    else {
+      // ceil(log2(ceil(n / load))) in exact integer math — a floating
+      // log2 is one ulp from the wrong plane count at powers of two
+      val ratio = (n + targetBucketLoad - 1) / targetBucketLoad
+      math.max(minPlanes, 64 - java.lang.Long.numberOfLeadingZeros(ratio - 1))
+    }
+  }
+
   /** The single-query operators below broadcast ONE query vector and take a
     * global top-k; a multi-row query would silently merge every query's
     * neighbors into one ranked list. Assert the contract (a bounded
@@ -113,16 +140,27 @@ object Similarity {
     * `maxBucketSize` vectors are dropped before the self-join
     * (`NearDup.dropCrowdedBuckets` — zero/duplicate embeddings collapse
     * into giant sign buckets the way boilerplate text does in MinHash LSH;
-    * the default never triggers on the fixtures). */
+    * the default never triggers on the fixtures).
+    *
+    * `planesPerBand` defaults to [[AutoPlanes]]: derived from ONE cheap
+    * corpus count (column-pruned to nothing — parquet serves it from
+    * row-group metadata) via [[autoPlanesPerBand]], so the bucket count
+    * grows with the corpus instead of freezing at a fixture-tuned value.
+    * Pass an explicit positive value to pin it. `capObs`, when given, is
+    * wired to the crowded-bucket drop so the run reports what the cap
+    * cost (see `NearDup.dropCrowdedBuckets`). */
   def lshBucketedPairsAboveThreshold(
       emb: DataFrame, idCol: String, vecCol: String, block: Column,
-      minSim: Double, dim: Int, numBands: Int = 24, planesPerBand: Int = 4,
+      minSim: Double, dim: Int, numBands: Int = 24, planesPerBand: Int = AutoPlanes,
       seed: Long = 42L,
-      maxBucketSize: Int = NearDup.DefaultMaxBucketSize): DataFrame = {
+      maxBucketSize: Int = NearDup.DefaultMaxBucketSize,
+      capObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val base = emb.select(block.as("__blk"), col(idCol).as("__id"), col(vecCol).as("__v"))
+    val planes =
+      if (planesPerBand > 0) planesPerBand else autoPlanesPerBand(base.count())
     // one bucket id per band, each under its own seed-derived plane set
     val bandBuckets = array((0 until numBands).map { b =>
-      lshBucket(col("__v"), hyperplanes(planesPerBand, dim, seed + b), planesPerBand)
+      lshBucket(col("__v"), hyperplanes(planes, dim, seed + b), planes)
     }: _*)
     // materialized before the self-join (sketch computed once, not per side)
     val banded = NearDup.dropCrowdedBuckets(
@@ -130,7 +168,7 @@ object Similarity {
         .select(col("__blk"), col("__id"), posexplode(bandBuckets))
         .withColumnRenamed("pos", "__band").withColumnRenamed("col", "__bucket")
         .localCheckpoint(),
-      Seq("__blk", "__band", "__bucket"), maxBucketSize)
+      Seq("__blk", "__band", "__bucket"), maxBucketSize, capObs)
     val a = banded.select(col("__blk"), col("__band"), col("__bucket"), col("__id").as("id_a"))
     val b = banded.select(col("__blk"), col("__band"), col("__bucket"), col("__id").as("id_b"))
     val candidates = a.join(b, Seq("__blk", "__band", "__bucket"))
@@ -162,16 +200,27 @@ object Similarity {
           lit(1L << p)).otherwise(lit(0L)))
     }
 
+  /** Resolves an explicit-or-[[AutoPlanes]] plane count for the single-probe
+    * ANN paths: auto targets a bucket load of 128 (>= any sane top-k) with
+    * a floor of 2 planes, from one column-pruned corpus count. */
+  private def resolveTopKPlanes(emb: DataFrame, numPlanes: Int): Int =
+    if (numPlanes > 0) numPlanes
+    else autoPlanesPerBand(emb.count(), targetBucketLoad = 128, minPlanes = 2)
+
   /** LSH-bucketed ANN top-k: probe only the query's bucket. Recall < 1 by
-    * construction; the unit test measures it against brute force. */
+    * construction; the unit test measures it against brute force.
+    * `numPlanes` = [[AutoPlanes]] derives the bucket count from the corpus
+    * size (see [[resolveTopKPlanes]]) so probe cost stays ~constant as the
+    * corpus grows instead of the bucket load growing linearly. */
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
               query: DataFrame, queryVecCol: String,
               k: Int, numPlanes: Int, dim: Int): DataFrame = {
-    val planes = hyperplanes(numPlanes, dim)
-    val bucketed = emb.withColumn("__bucket", lshBucket(col(vecCol), planes, numPlanes))
+    val nPlanes = resolveTopKPlanes(emb, numPlanes)
+    val planes = hyperplanes(nPlanes, dim)
+    val bucketed = emb.withColumn("__bucket", lshBucket(col(vecCol), planes, nPlanes))
     val q = requireSingleRow(query, "lshTopK")
       .select(col(queryVecCol).as("__qv"),
-        lshBucket(col(queryVecCol), planes, numPlanes).as("__qbucket"))
+        lshBucket(col(queryVecCol), planes, nPlanes).as("__qbucket"))
     bucketed.join(broadcast(q), col("__bucket") === col("__qbucket"))
       .select(col(idCol), round(VectorOps.cosine(col(vecCol), col("__qv")), 6).as("sim"))
       .orderBy(col("sim").desc, col(idCol).asc)
@@ -189,10 +238,11 @@ object Similarity {
   def lshTopKMultiProbe(emb: DataFrame, idCol: String, vecCol: String,
                         query: DataFrame, queryVecCol: String,
                         k: Int, numPlanes: Int, dim: Int): DataFrame = {
-    val planes = hyperplanes(numPlanes, dim)
-    val bucketed = emb.withColumn("__bucket", lshBucket(col(vecCol), planes, numPlanes))
-    val qb = lshBucket(col(queryVecCol), planes, numPlanes)
-    val probes = array(qb +: (0 until numPlanes).map(p =>
+    val nPlanes = resolveTopKPlanes(emb, numPlanes)
+    val planes = hyperplanes(nPlanes, dim)
+    val bucketed = emb.withColumn("__bucket", lshBucket(col(vecCol), planes, nPlanes))
+    val qb = lshBucket(col(queryVecCol), planes, nPlanes)
+    val probes = array(qb +: (0 until nPlanes).map(p =>
       qb.bitwiseXOR(lit(1L << p))): _*)
     val q = requireSingleRow(query, "lshTopKMultiProbe")
       .select(col(queryVecCol).as("__qv"), explode(probes).as("__qbucket"))

@@ -33,7 +33,8 @@ object SpanDedup {
     * standard exactness-for-boundedness trade. */
   def duplicatedSpans(docs: DataFrame, idCol: String, text: Column,
                       shingleN: Int = 8, minSpanTokens: Int = 16,
-                      maxShingleDf: Int = NearDup.DefaultMaxBucketSize): DataFrame = {
+                      maxShingleDf: Int = NearDup.DefaultMaxBucketSize,
+                      capObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     require(shingleN >= 2 && minSpanTokens >= shingleN,
       s"need minSpanTokens ($minSpanTokens) >= shingleN ($shingleN) >= 2")
     // Positional shingle hashes (1-based). __toks is materialized as an
@@ -48,7 +49,7 @@ object SpanDedup {
               (0 until shingleN).map(o => element_at(col("__toks"), i + o)): _*)))))
         .select(col("__id"), (col("pos") + 1).cast("long").as("__pos"), col("col").as("__h"))
         .localCheckpoint(), // feeds the df-cap count and both join sides
-      Seq("__h"), maxShingleDf)
+      Seq("__h"), maxShingleDf, capObs)
     val a = sh.select(col("__h"), col("__id").as("id_a"), col("__pos").as("__pa"))
     val b = sh.select(col("__h"), col("__id").as("id_b"), col("__pos").as("__pb"))
     // one hash-partitioned join; collisions on the 64-bit shingle hash are

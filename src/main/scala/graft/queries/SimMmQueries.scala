@@ -29,13 +29,15 @@ object SimMmQueries extends QueryModule {
 
     // LSH-bucketed ANN top-k (rows-only: approximate by construction).
     // Emits recall-vs-brute-force as a column, so ANN quality is visible
-    // in the verify artifacts; the floor is spec-asserted.
+    // in the verify artifacts; the floor is spec-asserted. AutoPlanes:
+    // the bucket count derives from the corpus size (round-5 hardening —
+    // a fixture-pinned plane count under-buckets any larger corpus).
     "q_sim3" -> ((s, d) => {
       val emb = Tables.load(s, d, "embeddings")
       val q = emb.where(col("vec_id") === 0)
       Similarity.withRecallAgainst(
           Similarity.lshTopK(emb, "vec_id", "embedding", q, "embedding",
-            k = 11, numPlanes = 8, dim = 64),
+            k = 11, numPlanes = Similarity.AutoPlanes, dim = 64),
           Shared.bruteCosineTruth(s, d),
           "vec_id")
         .orderBy(col("sim").desc, col("vec_id"))
@@ -43,13 +45,13 @@ object SimMmQueries extends QueryModule {
 
     // Multi-probe LSH ANN top-k: query bucket + all Hamming-1 buckets
     // (rows-only: approximate; recall >= single-probe's spec-asserted on
-    // the emitted column).
+    // the emitted column). AutoPlanes, as q_sim3.
     "q_sim6" -> ((s, d) => {
       val emb = Tables.load(s, d, "embeddings")
       val q = emb.where(col("vec_id") === 0)
       Similarity.withRecallAgainst(
           Similarity.lshTopKMultiProbe(emb, "vec_id", "embedding", q, "embedding",
-            k = 11, numPlanes = 8, dim = 64),
+            k = 11, numPlanes = Similarity.AutoPlanes, dim = 64),
           Shared.bruteCosineTruth(s, d),
           "vec_id")
         .orderBy(col("sim").desc, col("vec_id"))

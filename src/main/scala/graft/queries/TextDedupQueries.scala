@@ -155,7 +155,8 @@ object TextDedupQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
-    // Deterministic train/val/test assignment (rows-only: engine hash).
+    // Deterministic train/val/test assignment — oracle-checked since the
+    // round-5 switch from xxhash64 to the SQL-replicable Knuth bucket.
     "q_sample1" -> ((s, d) =>
       graft.operators.DataSplit.assignSplit(
         Tables.load(s, d, "customer").select("c_custkey"),
@@ -562,6 +563,12 @@ object TextDedupQueries extends QueryModule {
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_total
          |  FROM documents)
          |WHERE running_total <= 10000 ORDER BY doc_id""".stripMargin,
+    "q_sample1" ->
+      """SELECT c_custkey,
+        |  CASE WHEN ((c_custkey % 1000000) * 2654435761) % 1000000 < 800000 THEN 'train'
+        |       WHEN ((c_custkey % 1000000) * 2654435761) % 1000000 < 900000 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "q_sample2" ->
       """WITH fr(source, frac) AS (VALUES ('src0', CAST(0.5 AS DOUBLE)),
         |                                ('src1', CAST(0.3 AS DOUBLE)),

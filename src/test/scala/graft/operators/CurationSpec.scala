@@ -47,6 +47,18 @@ class CurationSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(800))
   }
 
+  test("weightedSample: non-positive weights are excluded; short sample when eligible < k") {
+    // contract (scaladoc): min(k, #rows with weight > 0) rows — a weight
+    // of 0 or less is ineligible by construction, never silently included
+    val df = spark.range(0, 100).select(col("id"),
+      when(col("id") < 10, 5.0).when(col("id") < 20, 0.0)
+        .otherwise(-1.0).as("w"))
+    val got = Curation.weightedSample(df, col("id"), col("w"), k = 50)
+      .select("id").as[Long].collect().toSet
+    assert(got.size === 10, s"only the 10 positive-weight rows are eligible, got ${got.size}")
+    assert(got.forall(_ < 10L), s"sample must hold only positive-weight keys: $got")
+  }
+
   test("selectUnderBudget equals the single-window formulation") {
     // weights 1..200 in a scrambled insertion order; order by weight asc
     val df = spark.range(1, 201).select(

@@ -166,13 +166,28 @@ class DedupNearDupSpec extends SparkSpec {
   }
 
   test("bucket cap: 10k-doc boilerplate bucket is dropped, planted near-dup pair survives") {
+    // the cap's cost is OBSERVED, not silent: all 8 bands of the 10k
+    // identical boilerplate docs land in one over-cap bucket each, so the
+    // run must report exactly 8 dropped buckets / 80k dropped band rows
+    val obs = org.apache.spark.sql.Observation("lsh_cap")
     val pairs = NearDup.lshCandidatePairs(pathological(10000), "doc_id", col("text"),
-        maxBucketSize = 100)
+        maxBucketSize = 100, capObs = Some(obs))
       .as[(Long, Long)].collect().toSet
     assert(pairs.contains((100000L, 100001L)),
       "pair in small buckets must survive the cap")
     assert(pairs.size <= 100 * 100 * 8 && !pairs.exists(p => p._1 < 10000L),
       s"boilerplate bucket must be dropped, got ${pairs.size} pairs")
+    val m = obs.get
+    assert(m("dropped_buckets") === 8L, m.toString)
+    assert(m("dropped_rows") === 80000L, m.toString)
+  }
+
+  test("cap observation reports zero drops when no bucket is crowded") {
+    val obs = org.apache.spark.sql.Observation("lsh_cap_zero")
+    NearDup.lshCandidatePairs(docs, "doc_id", col("text"), capObs = Some(obs)).count()
+    val m = obs.get
+    assert(m("dropped_buckets") === 0L, m.toString)
+    assert(m("dropped_rows") === 0L, m.toString)
   }
 
   test("bucket cap above every bucket's population changes nothing") {

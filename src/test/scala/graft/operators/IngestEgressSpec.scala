@@ -109,6 +109,23 @@ class IngestEgressSpec extends SparkSpec {
       Set((0, 9000L), (1, 900L), (2, 100L)))
   }
 
+  test("partition-preserving compaction keeps NULL-partition rows (lossless contract)") {
+    // a NULL partition value is a legal Hive partition
+    // (__HIVE_DEFAULT_PARTITION__): the per-partition target join must be
+    // null-safe or these rows silently vanish from a "lossless" rewrite
+    val in = Files.createTempDirectory("graft_nullpart_in").toString
+    val out = Files.createTempDirectory("graft_nullpart_out").toString
+    val df = spark.range(0, 1000).select(col("id"),
+      when(col("id") % 4 === 0, lit(null).cast("int")).otherwise(lit(1)).as("y"))
+    df.repartition(8).write.mode("overwrite").partitionBy("y").parquet(in)
+    IngestEgress.compactPartitioned(spark, in, out, Seq("y"), targetRowsPerFile = 500)
+    val back = spark.read.parquet(out)
+    assert(back.count() === 1000, "null-partition rows must survive compaction")
+    assert(back.where(col("y").isNull).count() === 250)
+    assert(back.select(sum(col("id"))).head.getLong(0) ===
+      df.select(sum(col("id"))).head.getLong(0))
+  }
+
   test("partitioned parquet write: reference layout, one file per partition, round-trip") {
     // prices shape (FIXTURES.md §B) incl. the `Adj Close` space-in-name col.
     val prices = Seq(

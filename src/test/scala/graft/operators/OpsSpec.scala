@@ -97,6 +97,25 @@ class OpsSpec extends SparkSpec {
       Map(1L -> 20, 2L -> 20, 3L -> 20, 4L -> 20))
   }
 
+  test("boundariesFromSample: the row cap bounds the single-task sort at any fraction") {
+    val df = spark.range(1, 10001).select(col("id").as("k"),
+      col("id").cast("double").as("v"))
+    // fraction 1.0 but cap 500 => effective fraction 500/10000 = 5% — the
+    // SAME hash threshold an explicit fraction=0.05 produces, so the two
+    // calls must yield identical boundaries (proves the cap binds and
+    // reduces to the plain fraction path, nothing else)
+    val capped = Binning.boundariesFromSample(df, "v", "k",
+      fraction = 1.0, n = 4, maxSampleRows = 500L)
+    val fractional = Binning.boundariesFromSample(df, "v", "k", fraction = 0.05, n = 4)
+    assert(capped.select("bounds").as[Seq[Double]].head() ===
+      fractional.select("bounds").as[Seq[Double]].head())
+    // and an unbinding cap leaves the full-sample boundaries untouched
+    val loose = Binning.boundariesFromSample(df, "v", "k",
+      fraction = 1.0, n = 4, maxSampleRows = 1000000L)
+    assert(loose.select("bounds").as[Seq[Double]].head() ===
+      Seq(2500.0, 5000.0, 7500.0))
+  }
+
   test("stratifiedExact takes exactly ceil(frac*n) per stratum, key-stable") {
     val df = spark.range(0, 1000).select(col("id"),
       (col("id") % 3).cast("string").as("g"))
@@ -133,6 +152,20 @@ class OpsSpec extends SparkSpec {
     assert(got.contains((10L, 90L)), "closed-boundary touch (e == ws) must match")
   }
 
+  test("overlapJoin drops inverted intervals instead of joining them wrongly") {
+    // end < start is bad upstream data: sequence(lo, hi) would generate a
+    // DESCENDING bucket range for it — wrong candidate buckets, spurious
+    // pairs. The guard must drop the row, keep everything else.
+    val a = Seq((1L, 10L, 0L, 250L), (1L, 11L, 900L, 100L)) // 11 inverted
+      .toDF("k", "aid", "s", "e")
+    val b = Seq((1L, 90L, 200L, 260L), (1L, 91L, 100L, 900L))
+      .toDF("k", "bid", "ws", "we")
+    val got = IntervalJoin.overlapJoin(a, b, "k", "s", "e", "ws", "we", 100L)
+      .select("aid", "bid").as[(Long, Long)].collect().toSet
+    assert(got === Set((10L, 90L), (10L, 91L)),
+      s"inverted interval must produce no pairs, got $got")
+  }
+
   test("overlapJoin plans a hash join — never BroadcastNestedLoop/cartesian") {
     val a = Seq((1L, 10L, 0L, 250L)).toDF("k", "aid", "s", "e")
     val b = Seq((1L, 90L, 250L, 260L)).toDF("k", "bid", "ws", "we")
@@ -154,6 +187,22 @@ class OpsSpec extends SparkSpec {
     val flat = out.where(col("g") === "flat").select("z")
       .collect().map(_.isNullAt(0))
     assert(flat.forall(identity), "zero-variance groups must have null z")
+  }
+
+  test("zScores stays exact when v*v exceeds BIGINT (decimal sufficient statistics)") {
+    // |v| = 4e9 => v*v = 1.6e19 > Long.MaxValue: a BIGINT accumulator
+    // silently wraps (and diverges from DuckDB's HUGEINT); the decimal
+    // path must produce the true z = ±1 for a symmetric 2-point group
+    val df = Seq(("g", 4000000000.0), ("g", 4000001000.0)).toDF("g", "v")
+    val out = Anomaly.zScores(df, "g", "v", scale = 0, threshold = 2.0)
+      .select("v", "z").as[(Double, Double)].collect().toMap
+    // tolerance 1e-2, not 1e-6: the one-pass (sxx - sx²/n) formula cancels
+    // ~3.2e19-scale doubles to a ~2.5e5-scale variance — ~1e-3 relative
+    // error is inherent to the FORMULA (identically on both engines; the
+    // exactness contract is cross-engine, not statistical). A wrapped
+    // BIGINT accumulator yields garbage/null z here, not ±1.
+    assert(math.abs(out(4000000000.0) + 1.0) < 1e-2, out.toString)
+    assert(math.abs(out(4000001000.0) - 1.0) < 1e-2, out.toString)
   }
 
   test("exact-sums correlation matches a direct Pearson computation") {

@@ -135,6 +135,28 @@ class SimilaritySpec extends SparkSpec {
     assert(fxBucketed === fxExact)
   }
 
+  test("autoPlanesPerBand: fixture sizes pin the round-4 default; log2 growth beyond") {
+    // <= targetBucketLoad, and every fixture/1x-bench size, resolve to the
+    // round-4 default of 4 => oracle-checked results unchanged there
+    assert(Similarity.autoPlanesPerBand(0) === 4)
+    assert(Similarity.autoPlanesPerBand(500) === 4)
+    assert(Similarity.autoPlanesPerBand(2000) === 4)
+    // beyond: ceil(log2(n/128)) — buckets grow with the corpus
+    assert(Similarity.autoPlanesPerBand(5000) === 6)
+    assert(Similarity.autoPlanesPerBand(20000) === 8)
+    assert(Similarity.autoPlanesPerBand(1L << 47) === 40) // 100 TB of 8-byte rows
+    // the ANN probe floor: tiny corpora still get >= 2 planes
+    assert(Similarity.autoPlanesPerBand(300, minPlanes = 2) === 2)
+  }
+
+  test("AutoPlanes default equals the pinned round-4 plane count at fixture scale") {
+    def pairs(planes: Int) = Similarity.lshBucketedPairsAboveThreshold(
+        emb, "vec_id", "embedding", col("label"), 0.5, dim = 64,
+        planesPerBand = planes)
+      .select("id_a", "id_b", "sim").as[(Long, Long, Double)].collect().toSet
+    assert(pairs(Similarity.AutoPlanes) === pairs(4))
+  }
+
   test("bucket cap: a flooded sign bucket is dropped, a distinct near-dup pair survives") {
     // 500 copies of ONE vector collapse into the same bucket in every band
     // (the embedding mirror of boilerplate text); one perturbed pair of a
@@ -146,11 +168,19 @@ class SimilaritySpec extends SparkSpec {
     val planted = Seq((9000L, 0, other),
       (9001L, 0, other.map(x => x + 0.05f * rnd.nextGaussian().toFloat)))
     val df = (flood ++ planted).toDF("vec_id", "label", "embedding")
+    val obs = org.apache.spark.sql.Observation("emb_cap")
     val pairs = Similarity.lshBucketedPairsAboveThreshold(
-        df, "vec_id", "embedding", col("label"), 0.5, dim = 64, maxBucketSize = 50)
+        df, "vec_id", "embedding", col("label"), 0.5, dim = 64, maxBucketSize = 50,
+        capObs = Some(obs))
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((9000L, 9001L)), s"planted pair must survive the cap, got $pairs")
     assert(!pairs.exists(p => p._1 < 500L), "flooded bucket pairs must be dropped")
+    // the 500 identical vectors land in ONE over-cap bucket per band (the
+    // 2 planted vectors may or may not share it): >= 24 dropped buckets,
+    // >= 500 rows each — the cap's cost is reported, not silent
+    val m = obs.get
+    assert(m("dropped_buckets").asInstanceOf[Long] >= 24L, m.toString)
+    assert(m("dropped_rows").asInstanceOf[Long] >= 24L * 500, m.toString)
   }
 
   test("topKPerGroup returns at most k rows per group, correctly ranked") {
