@@ -136,6 +136,7 @@ object ScaleBench {
       val d = syntheticDocs(spark, 500L).localCheckpoint()
       NearDup.lshCandidatePairs(d, "doc_id", col("text")).count()
       NearDup.simhashPairs(NearDup.simhash(d, "doc_id", col("text")), "doc_id", 3).count()
+      NearDup.simhashPairsWide(NearDup.simhash(d, "doc_id", col("text")), "doc_id", 3).count()
       SpanDedup.duplicatedSpans(d, "doc_id", col("text"), 8, 16).count()
       d.unpersist()
       val e = syntheticEmbeddings(spark, 200L).localCheckpoint()
@@ -164,10 +165,17 @@ object ScaleBench {
       timed("minhash_lsh_candidates", nDocs) {
         NearDup.lshCandidatePairs(docs, "doc_id", col("text")).count()
       }
+      // the sketch is shared; what's compared is the candidate structure:
+      // 4x16-bit chunks (2^16 buckets — collapses past ~10^5 docs) vs the
+      // Manku 3-of-6-block tables (~2^32 buckets — stays dup-group-bound)
+      val sh = NearDup.simhash(docs, "doc_id", col("text")).localCheckpoint()
       timed("simhash_pairs", nDocs) {
-        NearDup.simhashPairs(
-          NearDup.simhash(docs, "doc_id", col("text")), "doc_id", maxHamming = 3).count()
+        NearDup.simhashPairs(sh, "doc_id", maxHamming = 3).count()
       }
+      timed("simhash_pairs_wide", nDocs) {
+        NearDup.simhashPairsWide(sh, "doc_id", maxHamming = 3).count()
+      }
+      sh.unpersist()
       timed("duplicated_spans", nDocs) {
         SpanDedup.duplicatedSpans(docs, "doc_id", col("text"),
           shingleN = 8, minSpanTokens = 16).count()

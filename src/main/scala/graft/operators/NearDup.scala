@@ -258,6 +258,56 @@ object NearDup {
       .distinct()
   }
 
+  /** SimHash near-dup candidates at CORPUS scale — the multi-block
+    * refinement of [[simhashPairs]] (the design of Manku/Jain/Sarma's
+    * web-crawl dedup paper): split the 64-bit fingerprint into 6 blocks
+    * (11/11/11/11/10/10 bits); a pair with hamming distance <= 3 differs
+    * in at most 3 blocks, so it AGREES on >= 3 — hence it collides in at
+    * least one of the C(6,3) = 20 three-block combinations. Keying each
+    * combination table on the (~32-bit) concatenated block values gives a
+    * ~2^32 bucket space per table vs the 4-chunk form's 2^16 — collision
+    * volume ~ n²/2^32 stays dup-group-bound for corpora where the 16-bit
+    * chunks have already collapsed (measured: the 4-chunk form goes
+    * superlinear past ~10^5 docs — ScaleBench round 5). Cost: 20 rows per
+    * doc in the band table instead of 4 — the classic rows-for-buckets
+    * LSH trade.
+    *
+    * Output is IDENTICAL to [[simhashPairs]] at maxHamming <= 3 (both are
+    * exact-pigeonhole candidate generators followed by the exact hamming
+    * filter; spec-asserted): use this form when n approaches the 16-bit
+    * chunk space, the 4-chunk form below it. */
+  def simhashPairsWide(sh: DataFrame, idCol: String, maxHamming: Int = 3,
+                       maxBucketSize: Int = DefaultMaxBucketSize,
+                       capObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    require(maxHamming <= 3,
+      s"simhashPairsWide's 3-of-6-block pigeonhole is exact only for maxHamming <= 3, got $maxHamming")
+    // 6 blocks: offsets 0,11,22,33,44,54 widths 11,11,11,11,10,10
+    val offsets = Seq(0, 11, 22, 33, 44, 54)
+    val widths = Seq(11, 11, 11, 11, 10, 10)
+    def blockVal(i: Int) =
+      shiftright(col("simhash"), offsets(i)).bitwiseAND(lit((1L << widths(i)) - 1))
+    val combos = offsets.indices.combinations(3).toSeq // 20 of them
+    val keys = combos.zipWithIndex.map { case (c, ci) =>
+      // combo id + the three block values, hashed into one 64-bit key —
+      // width-independent and collision-negligible at these key counts
+      xxhash64(lit(ci), blockVal(c(0)), blockVal(c(1)), blockVal(c(2)))
+    }
+    val banded = dropCrowdedBuckets(
+      sh.select(col(idCol).as("__id"), col("simhash"),
+        posexplode(array(keys: _*)))
+        .withColumnRenamed("pos", "__combo").withColumnRenamed("col", "__cv")
+        .localCheckpoint(),
+      Seq("__combo", "__cv"), maxBucketSize, capObs)
+    val a = banded.select(col("__combo"), col("__cv"), col("__id").as("id_a"), col("simhash").as("sh_a"))
+    val b = banded.select(col("__combo"), col("__cv"), col("__id").as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("__combo", "__cv"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Exact n-gram Jaccard similarity for all pairs within a blocking key —
     * the ground-truth verifier for the sketches above, and an
     * oracle-checkable query (Q-DEDUP4).

@@ -42,6 +42,27 @@ object Similarity {
     }
   }
 
+  /** The band count that holds a target miss probability as planes grow —
+    * the OTHER half of the [[autoPlanesPerBand]] trade, as code instead of
+    * an operating rule. A pair at angle θ collides in one band with
+    * probability p = (1 - θ/π)^planes, so it is missed in every band with
+    * probability (1-p)^bands; holding miss <= `targetMissProb` needs
+    * bands >= ln(miss)/ln(1-p). At the round-4 defaults (planes=4,
+    * θ=60° ⇒ p=(2/3)^4, realized miss 0.51%) this returns the shipped
+    * numBands=24, and growing planes by Δ multiplies the requirement by
+    * ~(3/2)^Δ: the honest cost of constant recall at scale (sketch work
+    * per vector = bands·planes dot products). Callers choose which side
+    * to hold: fixed bands (cheap, recall decays on borderline pairs —
+    * planted near-dups at cosine ~1 have p ≈ 1 and barely decay) or
+    * fixed recall via this helper. */
+  def bandsForRecall(planesPerBand: Int, targetMissProb: Double = 0.006,
+                     thetaRadians: Double = math.Pi / 3): Int = {
+    require(planesPerBand > 0 && targetMissProb > 0 && targetMissProb < 1)
+    require(thetaRadians > 0 && thetaRadians < math.Pi)
+    val p = math.pow(1.0 - thetaRadians / math.Pi, planesPerBand)
+    math.ceil(math.log(targetMissProb) / math.log1p(-p)).toInt
+  }
+
   /** The single-query operators below broadcast ONE query vector and take a
     * global top-k; a multi-row query would silently merge every query's
     * neighbors into one ranked list. Assert the contract (a bounded
@@ -158,10 +179,13 @@ object Similarity {
     val base = emb.select(block.as("__blk"), col(idCol).as("__id"), col(vecCol).as("__v"))
     val planes =
       if (planesPerBand > 0) planesPerBand else autoPlanesPerBand(base.count())
-    // one bucket id per band, each under its own seed-derived plane set
-    val bandBuckets = array((0 until numBands).map { b =>
-      lshBucket(col("__v"), hyperplanes(planes, dim, seed + b), planes)
-    }: _*)
+    // all band buckets in ONE tight-loop expression: the equivalent
+    // Column fold (bands × planes DotProduct nodes) blows past codegen
+    // limits once auto-planes grows, and tree interpretation is the real
+    // cost — see graft.functions.HyperplaneBuckets (equality spec-pinned
+    // to the Column formulation)
+    val bandBuckets =
+      graft.functions.HyperplaneBuckets(col("__v"), numBands, planes, dim, seed)
     // materialized before the self-join (sketch computed once, not per side)
     val banded = NearDup.dropCrowdedBuckets(
       base

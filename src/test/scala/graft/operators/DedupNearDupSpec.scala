@@ -182,6 +182,21 @@ class DedupNearDupSpec extends SparkSpec {
     assert(m("dropped_rows") === 80000L, m.toString)
   }
 
+  test("simhashPairsWide equals the 4-chunk form (both exact pigeonhole + exact filter)") {
+    // planted corpus with exact dups, near-dups and noise: both candidate
+    // generators must reduce to the same exact hamming<=3 pair list
+    val corpus = docs.unionByName( // shift ids clear of docs' 0..3
+      pathological(60).withColumn("doc_id", col("doc_id") + 100L))
+    val sh = NearDup.simhash(corpus, "doc_id", col("text")).localCheckpoint()
+    def pairs(f: => org.apache.spark.sql.DataFrame) =
+      f.select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect().toSet
+    val classic = pairs(NearDup.simhashPairs(sh, "doc_id", maxHamming = 3))
+    val wide = pairs(NearDup.simhashPairsWide(sh, "doc_id", maxHamming = 3))
+    assert(classic.nonEmpty, "plant must produce hamming<=3 pairs")
+    assert(wide === classic,
+      s"missing=${(classic -- wide).take(3)} extra=${(wide -- classic).take(3)}")
+  }
+
   test("cap observation reports zero drops when no bucket is crowded") {
     val obs = org.apache.spark.sql.Observation("lsh_cap_zero")
     NearDup.lshCandidatePairs(docs, "doc_id", col("text"), capObs = Some(obs)).count()

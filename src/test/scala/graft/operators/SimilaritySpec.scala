@@ -149,6 +149,38 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.autoPlanesPerBand(300, minPlanes = 2) === 2)
   }
 
+  test("bandsForRecall: reproduces the shipped defaults and prices plane growth") {
+    // planes=4, θ=60°, miss 0.6% => the shipped 24 bands (realized 0.51%)
+    assert(Similarity.bandsForRecall(4) === 24)
+    // each extra plane multiplies the requirement by ~3/2 (p shrinks 2/3x)
+    val b = (4 to 10).map(Similarity.bandsForRecall(_))
+    assert(b.sliding(2).forall(w => w(1) > w(0)), s"monotone: $b")
+    assert(b.last.toDouble / b.head > math.pow(1.5, 6) * 0.7, s"~(3/2)^Δ growth: $b")
+    // and the returned count actually achieves the target miss prob
+    for (planes <- Seq(4, 7, 10)) {
+      val p = math.pow(2.0 / 3.0, planes)
+      val miss = math.pow(1.0 - p, Similarity.bandsForRecall(planes))
+      assert(miss <= 0.006 + 1e-12, s"planes=$planes realized miss $miss")
+    }
+  }
+
+  test("HyperplaneBuckets kernel is bitwise-equal to the Column lshBucket fold") {
+    val (numBands, planes, seed) = (5, 6, 42L)
+    val colForm = array((0 until numBands).map { b =>
+      Similarity.lshBucket(col("embedding"),
+        Similarity.hyperplanes(planes, 64, seed + b), planes)
+    }: _*)
+    val exprForm = graft.functions.HyperplaneBuckets(
+      col("embedding"), numBands, planes, 64, seed)
+    val diff = emb.select(colForm.as("a"), exprForm.as("b"))
+      .where(not(col("a") === col("b"))).count()
+    assert(diff === 0L, "same seeded planes, same fold order, same buckets")
+    // length-mismatch vector: Column form's null dots fall to bucket 0s
+    val short = Seq(Tuple1(Array.fill(3)(1.0f))).toDF("embedding")
+    val got = short.select(exprForm.as("b")).as[Seq[Long]].head()
+    assert(got === Seq.fill(numBands)(0L))
+  }
+
   test("AutoPlanes default equals the pinned round-4 plane count at fixture scale") {
     def pairs(planes: Int) = Similarity.lshBucketedPairsAboveThreshold(
         emb, "vec_id", "embedding", col("label"), 0.5, dim = 64,
