@@ -243,6 +243,15 @@ object TextDedupQueries extends QueryModule {
       NearDup.simhashPairs(Shared.simhashTable(s, d), "doc_id", maxHamming = 16)
         .orderBy("id_a", "id_b")),
 
+    // Q-DEDUP12 (round 5): corpus-scale SimHash candidates — the Manku
+    // 3-of-6-block tables (~2^32 buckets vs the 4-chunk form's 2^16 per
+    // chunk, which collapses past ~1e5 docs). Exact pigeonhole at
+    // hamming<=3; output-identical to simhashPairs at the same bound
+    // (spec-asserted). Rows-only: engine hash, like q_dedup3.
+    "q_dedup12" -> ((s, d) =>
+      NearDup.simhashPairsWide(Shared.simhashTable(s, d), "doc_id", maxHamming = 3)
+        .orderBy("id_a", "id_b")),
+
     // SemDeDup: semantic dedup via k-means cells (rows-only: the
     // quantizer is not SQL-replicable; precision/planted-dup-recall are
     // spec-tested). Reuses the SAME cached IVF assignment the ANN
