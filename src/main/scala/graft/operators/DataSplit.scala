@@ -81,6 +81,43 @@ object DataSplit {
       .drop("__rk", "__n")
   }
 
+  /** Balance classes to EXACTLY `target` rows per class — the class-
+    * rebalancing step before training on skewed labels: minority classes
+    * are OVERSAMPLED by deterministic replication (each source row gets a
+    * `copy` index), majority classes DOWNSAMPLED by the deterministic
+    * hash-order rank cut — both directions land on precisely `target`
+    * rows per class, reproducibly.
+    *
+    * Shape: one per-class count aggregation, a broadcast of the
+    * (class -> ceil(target/n) replication factor) table, a scan-speed
+    * `explode(sequence(1, k))` (row count <= target + n per class), then
+    * ONE rank window per class cut at `target` — `row_number <= target`
+    * compiles to WindowGroupLimit, so map tasks pre-prune to their local
+    * top-`target` before the shuffle. Skew is bounded by `target` per
+    * class, not by the hottest class's raw count. Every step (Knuth hash
+    * order, IEEE ceil of a double quotient) is SQL-replicable =>
+    * hash-exact oracle (q_sample7). */
+  def balanceClasses(df: DataFrame, classCol: String, keyCol: String,
+                     target: Long): DataFrame = {
+    require(target > 0, s"target must be positive, got $target")
+    val counts = df.groupBy(classCol).agg(count(lit(1)).as("__n"))
+      .withColumn("__k",
+        ceil(lit(target).cast("double") / col("__n").cast("double")).cast("long"))
+      .drop("__n")
+    // epoch-style order: copy 1 of every row, then copy 2, ... — the cut
+    // replicates each row floor(target/n) times plus a hash-chosen
+    // partial epoch (vs per-key copy bursts under a hash-first order)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(classCol)
+      .orderBy(col("copy"), knuthBucket(col(keyCol)), col(keyCol))
+    df.join(broadcast(counts), classCol)
+      .withColumn("copy", explode(sequence(lit(1L), col("__k"))))
+      .drop("__k")
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= target)
+      .drop("__rk")
+  }
+
   /** Downsample a multi-source corpus to a TARGET MIXTURE (the pre-training
     * data-recipe step: "50% web, 30% wiki, 20% code"): per-source
     * acceptance rates are derived in-plan — `Nt = min(n_s / f_s)` is the

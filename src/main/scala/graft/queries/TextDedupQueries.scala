@@ -216,6 +216,17 @@ object TextDedupQueries extends QueryModule {
           col("doc_id"), col("n_chars").cast("double"), k = 100)
         .orderBy("doc_id")),
 
+    // Q-SAMPLE7 (round 5): class rebalancing — EXACTLY 250 documents per
+    // language: minority langs oversampled by deterministic replication
+    // (epoch-ordered `copy` index), majority langs downsampled by the
+    // hash-order rank cut. One count agg + broadcast factors + explode +
+    // one WindowGroupLimit-pruned rank per class; hash-exact oracle.
+    "q_sample7" -> ((s, d) =>
+      graft.operators.DataSplit.balanceClasses(
+          Tables.load(s, d, "documents").select("doc_id", "lang"),
+          classCol = "lang", keyCol = "doc_id", target = 250L)
+        .orderBy("lang", "doc_id", "copy")),
+
     // Rolling-hash document fingerprint (rows-only: engine-specific hash).
     "q_txt6" -> ((s, d) =>
       Tables.load(s, d, "documents").select(
@@ -572,6 +583,22 @@ object TextDedupQueries extends QueryModule {
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_total
          |  FROM documents)
          |WHERE running_total <= 10000 ORDER BY doc_id""".stripMargin,
+    "q_sample7" ->
+      """WITH c AS (
+        |  SELECT lang, CAST(ceil(250.0 / COUNT(*)) AS BIGINT) AS k
+        |  FROM documents GROUP BY lang),
+        |e AS (
+        |  SELECT d.doc_id, d.lang,
+        |    unnest(generate_series(1, c.k)) AS copy
+        |  FROM documents d JOIN c USING (lang)),
+        |r AS (
+        |  SELECT doc_id, lang, copy,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY copy, ((doc_id % 1000000) * 2654435761) % 1000000, doc_id) AS rk
+        |  FROM e)
+        |SELECT doc_id, lang, copy FROM r WHERE rk <= 250
+        |ORDER BY lang, doc_id, copy""".stripMargin,
+
     "q_sample1" ->
       """SELECT c_custkey,
         |  CASE WHEN ((c_custkey % 1000000) * 2654435761) % 1000000 < 800000 THEN 'train'

@@ -61,6 +61,27 @@ class DataSplitSpec extends SparkSpec {
     assert(run(5) === once) // membership is a pure function of the key
   }
 
+  test("balanceClasses: exactly target per class — oversampled, downsampled, key-stable") {
+    // skewed: class a = 10 rows, class b = 100 rows; target 30 per class
+    val df = spark.range(0, 110).select(col("id"),
+      when(col("id") < 10, "a").otherwise("b").as("cls"))
+    val out = DataSplit.balanceClasses(df, "cls", "id", 30L)
+    val counts = out.groupBy("cls").count().as[(String, Long)].collect().toMap
+    assert(counts === Map("a" -> 30L, "b" -> 30L))
+    // minority class: 30 = 3 full epochs of 10 => every row exactly 3 copies
+    val aCopies = out.where(col("cls") === "a").groupBy("id").count()
+      .as[(Long, Long)].collect()
+    assert(aCopies.length === 10 && aCopies.forall(_._2 === 3L), aCopies.toSeq.toString)
+    // majority class: 30 DISTINCT rows, no replication
+    val b = out.where(col("cls") === "b")
+    assert(b.select("copy").distinct().as[Long].collect().toSeq === Seq(1L))
+    assert(b.select("id").distinct().count() === 30L)
+    // pure function of keys: partitioning changes nothing
+    val again = DataSplit.balanceClasses(df.repartition(13), "cls", "id", 30L)
+    assert(out.select("id", "cls", "copy").as[(Long, String, Long)].collect().toSet ===
+      again.select("id", "cls", "copy").as[(Long, String, Long)].collect().toSet)
+  }
+
   test("chunking: exact chunks with overlap, short docs yield one chunk") {
     val df = Seq("abcdefghij", "ab").toDF("text")
     val out = df.select(col("text"), TextOps.chunks(col("text"), 4, 1).as("c"))
