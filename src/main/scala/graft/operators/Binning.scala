@@ -89,6 +89,32 @@ object Binning {
       .agg(sort_array(collect_list(col("__hi"))).as("bounds"))
   }
 
+  /** Winsorize: clip `valueCol` at sampled percentile bounds — the
+    * standard outlier-taming feature transform (the clip-don't-drop
+    * complement to `Anomaly.zScores`' flag-don't-touch). Adds
+    * `<valueCol>_w` = value clipped into [p(loPct), p(hiPct)], where the
+    * percentile estimates are ntile(100) bucket maxima from the same
+    * row-capped deterministic hash sample as [[boundariesFromSample]] —
+    * so the clip bounds are SQL-replicable (hash-exact oracle, q_anom2)
+    * and the boundary pass is O(maxSampleRows) whatever the corpus size.
+    * Clipping itself is comparisons only (no arithmetic): a broadcast of
+    * ONE bounds row into the fact scan. A sample smaller than 100 rows
+    * leaves some ntile buckets empty; a missing bound yields null and
+    * least/greatest ignore nulls => that side degrades to no clipping. */
+  def winsorize(df: DataFrame, valueCol: String, keyCol: String,
+                loPct: Int, hiPct: Int, fraction: Double,
+                maxSampleRows: Long = 1000000L): DataFrame = {
+    require(1 <= loPct && loPct < hiPct && hiPct <= 99,
+      s"need 1 <= loPct < hiPct <= 99, got ($loPct, $hiPct)")
+    val bounds = boundariesFromSample(df, valueCol, keyCol, fraction, n = 100,
+      maxSampleRows)
+    df.crossJoin(broadcast(bounds))
+      .withColumn(s"${valueCol}_w",
+        least(greatest(col(valueCol), try_element_at(col("bounds"), lit(loPct))),
+          try_element_at(col("bounds"), lit(hiPct))))
+      .drop("bounds")
+  }
+
   /** Pass 2: assign `bucket` = 1 + #bounds strictly below the value — a
     * broadcast of ONE row (the bounds array) crossed into the fact scan;
     * the filter-over-n-element-array lambda is interpreted but O(n) with

@@ -167,19 +167,37 @@ object NearDup {
     * restricted to new ids, and a boilerplate bucket that grew past the
     * cap in the store stops joining against every future batch. */
   def incrementalLshCandidates(newBands: DataFrame, storedBands: DataFrame,
-                               maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+                               maxBucketSize: Int = DefaultMaxBucketSize,
+                               capObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     require(maxBucketSize > 1, s"maxBucketSize must be > 1, got $maxBucketSize")
     // The cap count rides the SAME (band, bucket) partitioning the
     // candidate join needs: one tagged union, one window count (over-cap
     // buckets dropped in place — no separate aggregate + anti-joins), then
     // the capped table is materialized ONCE (it feeds three join sides;
     // left lazy each would replan the new batch's minhash pipeline).
+    // `capObs` mirrors dropCrowdedBuckets' observability on this arrival
+    // path: dropped band-table rows + buckets, published by the
+    // localCheckpoint materialization below (`__bn`-first rows mark one
+    // count per dropped bucket).
     val tagged = newBands.select(col("__band"), col("__bucket"), col("__id"))
       .withColumn("__isnew", lit(true))
       .unionByName(storedBands.select(col("__band"), col("__bucket"), col("__id"))
         .withColumn("__isnew", lit(false)))
     val w = Window.partitionBy("__band", "__bucket")
-    val kept = tagged.withColumn("__bn", count(lit(1)).over(w))
+    val wRn = w.orderBy("__id", "__isnew")
+    val counted = tagged.withColumn("__bn", count(lit(1)).over(w))
+    val observed = capObs match {
+      case Some(o) => counted
+        .withColumn("__rn", row_number().over(wRn))
+        .observe(o,
+          coalesce(sum(when(col("__bn") > maxBucketSize && col("__rn") === 1, lit(1L))),
+            lit(0L)).as("dropped_buckets"),
+          coalesce(sum(when(col("__bn") > maxBucketSize, lit(1L))), lit(0L))
+            .as("dropped_rows"))
+        .drop("__rn")
+      case None => counted
+    }
+    val kept = observed
       .where(col("__bn") <= maxBucketSize)
       .drop("__bn")
       .localCheckpoint()

@@ -176,6 +176,16 @@ object OpsQueries extends QueryModule {
         .orderBy("l_suppkey", "day")
     }),
 
+    // Q-ANOM2 (round 5): winsorization — order values clipped into the
+    // sampled [p5, p95]: percentile bounds from the row-capped 5% hash
+    // sample (one bounded single-task ntile), broadcast as ONE row, clip
+    // at scan speed with comparisons only => hash-exact.
+    "q_anom2" -> ((s, d) =>
+      Binning.winsorize(Tables.load(s, d, "orders")
+          .select("o_orderkey", "o_totalprice"),
+          "o_totalprice", "o_orderkey", loPct = 5, hiPct = 95, fraction = 0.05)
+        .orderBy("o_orderkey")),
+
     // Q-MODE1: most frequent quantity per (returnflag, linestatus) with a
     // deterministic smallest-value tie-break — two aggregations, the
     // second pre-pruned map-side by WindowGroupLimit.
@@ -329,6 +339,20 @@ object OpsQueries extends QueryModule {
          |  $outlier AS is_outlier
          |FROM daily ORDER BY l_suppkey, day""".stripMargin
     },
+
+    "q_anom2" ->
+      """WITH s AS (
+        |  SELECT o_totalprice, o_orderkey FROM orders
+        |  WHERE ((o_orderkey % 1000000) * 2654435761) % 1000000 < 50000),
+        |t AS (
+        |  SELECT o_totalprice,
+        |    ntile(100) OVER (ORDER BY o_totalprice, o_orderkey) AS b
+        |  FROM s),
+        |bounds AS (SELECT b, max(o_totalprice) AS hi FROM t WHERE b < 100 GROUP BY b)
+        |SELECT o.o_orderkey, o.o_totalprice,
+        |  least(greatest(o.o_totalprice, (SELECT hi FROM bounds WHERE b = 5)),
+        |        (SELECT hi FROM bounds WHERE b = 95)) AS o_totalprice_w
+        |FROM orders o ORDER BY o_orderkey""".stripMargin,
 
     "q_mode1" ->
       """WITH c AS (

@@ -221,7 +221,17 @@ class PlanShapeSpec extends SparkSpec {
     // the aggregation runs in the window's stage with no second Exchange.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val p = graft.queries.OpsQueries.queries("q_sess2")(spark, sf)
+      // build the rollup directly with a gap that differs from the
+      // memoized q_sess2 frame's: Shared.sessionStats is persisted, and
+      // the cache manager substitutes InMemoryRelation by logical-plan
+      // EQUALITY — an identical rebuild would print whichever cached plan
+      // some earlier suite materialized. A different constant keeps the
+      // plan shape identical but cache-miss, so the OPERATOR's shape is
+      // what's asserted.
+      val p = graft.operators.Sessionize.sessionStats(
+          graft.Tables.load(spark, sf, "events"),
+          "user_id", "ts", 1801L, "value", "event_id")
+        .orderBy("user_id", "session_seq")
         .queryExecution.executedPlan.toString
       assert("Exchange hashpartitioning".r.findAllIn(p).length === 1, p.take(1500))
       assert("Scan parquet".r.findAllIn(p).length === 1, p.take(1500))

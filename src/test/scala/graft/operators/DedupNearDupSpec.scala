@@ -120,11 +120,17 @@ class DedupNearDupSpec extends SparkSpec {
     // stored and new halves are COMBINED: both paths must drop it
     val flood = pathological(60) // 60 boilerplate + 2 planted dups
     val isNew = col("doc_id") % 2 === 0
+    val obs = org.apache.spark.sql.Observation("inc_cap")
     val inc = NearDup.incrementalLshCandidates(
         NearDup.lshBandTable(flood.where(isNew), "doc_id", col("text")),
         NearDup.lshBandTable(flood.where(!isNew), "doc_id", col("text")),
-        maxBucketSize = 50)
+        maxBucketSize = 50, capObs = Some(obs))
       .as[(Long, Long)].collect().toSet
+    // observability parity with dropCrowdedBuckets: 60 boilerplate docs x
+    // 8 bands all land in one over-cap bucket per band
+    val m = obs.get
+    assert(m("dropped_buckets") === 8L, m.toString)
+    assert(m("dropped_rows") === 480L, m.toString)
     val full = NearDup.lshCandidatePairs(flood, "doc_id", col("text"), maxBucketSize = 50)
       .as[(Long, Long)].collect().toSet
       .filter(p => p._1 % 2 == 0 || p._2 % 2 == 0)

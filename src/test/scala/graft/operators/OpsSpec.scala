@@ -116,6 +116,23 @@ class OpsSpec extends SparkSpec {
       Seq(2500.0, 5000.0, 7500.0))
   }
 
+  test("winsorize clips into the sampled percentile band; tiny samples degrade to no clip") {
+    val df = spark.range(1, 1001).select(col("id").as("k"),
+      col("id").cast("double").as("v"))
+    // fraction 1.0 => exact percentiles of 1..1000: p5 = 50, p95 = 950
+    val out = Binning.winsorize(df, "v", "k", loPct = 5, hiPct = 95, fraction = 1.0)
+      .select("v", "v_w").as[(Double, Double)].collect().toMap
+    assert(out(25.0) === 50.0 && out(50.0) === 50.0, "below-p5 clips up")
+    assert(out(500.0) === 500.0, "in-band values untouched")
+    assert(out(999.0) === 950.0 && out(950.0) === 950.0, "above-p95 clips down")
+    // a 10-row sample leaves ntile buckets 11..99 empty: the hi bound is
+    // null and greatest/least ignore it — upper side degrades to no clip
+    val tiny = spark.range(1, 11).select(col("id").as("k"), col("id").cast("double").as("v"))
+    val tout = Binning.winsorize(tiny, "v", "k", loPct = 5, hiPct = 95, fraction = 1.0)
+      .select("v", "v_w").as[(Double, Double)].collect().toMap
+    assert(tout(10.0) === 10.0, "missing upper bound must not clip")
+  }
+
   test("stratifiedExact takes exactly ceil(frac*n) per stratum, key-stable") {
     val df = spark.range(0, 1000).select(col("id"),
       (col("id") % 3).cast("string").as("g"))
