@@ -196,6 +196,50 @@ object TextOps {
           .as("top_bigram_frac"))
   }
 
+  /** CCNet-style perplexity-proxy quality scoring: each document's average
+    * surprisal (negative log-probability per token) under the corpus' own
+    * add-one-smoothed unigram LM, built from the `lmDocFilter` slice (the
+    * held-in split) and applied to EVERY document — wildly improbable token
+    * streams (gibberish, boilerplate soup, wrong-language spill) score
+    * high, fluent text scores low; filtering on the score is the classic
+    * LM-quality gate run before training.
+    *
+    * Returns (idCol, n_tokens, nll_micro, avg_nll) for docs with >= 1
+    * token. p(w) = (cnt(w)+1)/(N+V) with cnt from the LM slice (OOV => 0),
+    * N = LM token count, V = LM vocab size. Cross-engine determinism: the
+    * per-TERM surprisal is rounded ONCE to integer micro-nats
+    * (round(ln((N+V)/(cnt+1))·1e6) — the q_txt14 transcendental-rounding
+    * policy), then everything downstream is EXACT integer arithmetic:
+    * nll_micro = Σ tf·surprisal is an order-independent BIGINT sum, and
+    * avg_nll divides two exact integers (bitwise-identical in any engine).
+    *
+    * Scale shape: one corpus scan into a (doc, term, tf) aggregate
+    * (materialized once — it feeds both the LM rollup and the scoring
+    * join), a vocabulary-sized count table, ONE hash join on the term, and
+    * a broadcast of the one-row (N, V) totals. No doc×doc, no
+    * driver-side vocab; the LM table is exactly the persisted artifact a
+    * production pipeline would reuse across scoring runs. */
+  def surprisalScores(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                      text: Column, lmDocFilter: Column): org.apache.spark.sql.DataFrame = {
+    val tf = docs.select(col(idCol), lmDocFilter.as("__lm"),
+        explode(tokens(text)).as("__w"))
+      .groupBy(col(idCol), col("__lm"), col("__w"))
+      .agg(count(lit(1)).as("__tf"))
+      .localCheckpoint() // feeds LM rollup + scoring join: one tokenize pass
+    val lm = tf.where(col("__lm")).groupBy("__w").agg(sum("__tf").as("__cnt"))
+    val totals = lm.agg(sum(col("__cnt")).as("__N"), count(lit(1)).as("__V"))
+    tf.join(lm, Seq("__w"), "left_outer")
+      .crossJoin(broadcast(totals))
+      .withColumn("__s", round(log((col("__N") + col("__V")).cast("double") /
+          (coalesce(col("__cnt"), lit(0L)) + lit(1L)).cast("double")) * lit(1e6), 0)
+        .cast("long") * col("__tf"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__tf")).cast("long").as("n_tokens"),
+        sum(col("__s")).cast("long").as("nll_micro"))
+      .withColumn("avg_nll",
+        col("nll_micro").cast("double") / lit(1e6) / col("n_tokens").cast("double"))
+  }
+
   /** PII scrubbing — the redaction pass a pre-training pipeline runs over
     * raw text: masks email addresses and phone-like number groups and
     * reports how many of each were found. Patterns are deliberately in the

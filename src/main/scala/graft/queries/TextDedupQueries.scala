@@ -440,6 +440,16 @@ object TextDedupQueries extends QueryModule {
         .orderBy(col("doc_id"), col("score").desc, col("term"))
     }),
 
+    // Q-TXT19: CCNet-style perplexity-proxy scoring — per-doc average
+    // surprisal under the held-in split's add-one unigram LM. Per-term
+    // surprisal rounds ONCE to integer micro-nats (q_txt14's
+    // transcendental policy); the doc rollup is then an exact
+    // order-independent BIGINT sum => hash-exact.
+    "q_txt19" -> ((s, d) =>
+      TextOps.surprisalScores(Tables.load(s, d, "documents"),
+          "doc_id", col("text"), col("doc_id") % 10 =!= 0)
+        .orderBy("doc_id")),
+
     // Entity resolution: fuzzy catalog-name alignment — corrupted variants
     // (first 3 chars dropped) matched back to the original name vocabulary
     // by character-trigram Jaccard; candidates from a shared-trigram join,
@@ -734,6 +744,20 @@ object TextDedupQueries extends QueryModule {
          |  FROM scored)
          |SELECT doc_id, term, score FROM rk WHERE rk <= 3
          |ORDER BY doc_id, score DESC, term""".stripMargin,
+    "q_txt19" ->
+      s"""WITH toks AS (SELECT doc_id, doc_id % 10 <> 0 AS is_lm,
+         |         unnest($tokSql) AS w FROM documents),
+         |tf AS (SELECT doc_id, is_lm, w, COUNT(*) AS tf FROM toks GROUP BY 1, 2, 3),
+         |lm AS (SELECT w, SUM(tf) AS cnt FROM tf WHERE is_lm GROUP BY 1),
+         |tot AS (SELECT SUM(cnt) AS n_lm, COUNT(*) AS v_lm FROM lm),
+         |s AS (SELECT doc_id, tf,
+         |    CAST(round(ln(CAST(n_lm + v_lm AS DOUBLE) /
+         |      CAST(COALESCE(cnt, 0) + 1 AS DOUBLE)) * 1e6, 0) AS BIGINT) * tf AS s
+         |  FROM tf LEFT JOIN lm USING (w) CROSS JOIN tot)
+         |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(s) AS BIGINT) AS nll_micro,
+         |  CAST(SUM(s) AS DOUBLE) / 1e6 / CAST(SUM(tf) AS DOUBLE) AS avg_nll
+         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_fuzzy1" -> fuzzyJaccardSql,
     // q_fuzzy2 is the SAME output via prefix filtering — one oracle text,
     // two engine paths, both must hash-match it

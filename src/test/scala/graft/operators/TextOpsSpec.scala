@@ -14,6 +14,35 @@ class TextOpsSpec extends SparkSpec {
       === Seq("hello", "world", "foo", "bar"))
   }
 
+  test("surprisalScores: OOV gibberish outscores fluent text; micro-nat math is exact") {
+    // LM slice (ids 1..3): "the cat sat" x heavy repetition => those
+    // tokens are cheap; doc 10 reuses them, doc 20 is all-OOV gibberish
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat"),
+      (3L, "the mat sat on the cat"),
+      (10L, "the cat sat on the mat"), // held-out, all in-vocab
+      (20L, "zxqv wfjp qqqz xxyy"),    // held-out, all OOV
+      (30L, "")                        // tokenless: absent from output
+    ).toDF("doc_id", "text")
+    val out = TextOps.surprisalScores(docs, "doc_id", col("text"),
+        col("doc_id") < 10L)
+      .select("doc_id", "n_tokens", "nll_micro", "avg_nll")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(!out.contains(30L), "empty doc must be absent")
+    assert(out(20L)._4 > out(10L)._4, "OOV gibberish must score higher")
+    // exact check, doc 20: N = 15 LM tokens, V = 5 vocab; every token OOV
+    // => surprisal = round(ln(20/1) * 1e6) = 2995732, x4 tokens
+    assert(out(20L)._2 === 4L)
+    assert(out(20L)._3 === 4L * math.round(math.log(20.0) * 1e6))
+    // doc 10 = the(2) cat(1) sat(1) on(1) mat(1): cnt the=5, cat=3, sat=3,
+    // on=2, mat=2 => per-term micro-nats from the same formula
+    def s(cnt: Long) = math.round(math.log(20.0 / (cnt + 1)) * 1e6)
+    assert(out(10L)._3 === 2 * s(5) + s(3) + s(3) + s(2) + s(2))
+    assert(out(10L)._4 === out(10L)._3.toDouble / 1e6 / 6.0)
+  }
+
   test("contamination report: copied eval doc scores 1.0, fresh doc 0.0, partial in between") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
