@@ -306,6 +306,45 @@ object Similarity {
       .drop("__tids", "__hit")
   }
 
+  /** Embedding-space outlier scoring: each vector's cosine to its own
+    * class centroid — the embedding-quality gate that flags mislabeled /
+    * off-distribution rows before training (low cosine = the vector does
+    * not belong where its label says).
+    *
+    * Exactness (unique in the sim family — every other aggregate over
+    * floats is order-dependent): components are snapped ONCE to integer
+    * micro-units (round(x·1e6), exact for the float inputs), then every
+    * aggregate is an exact integer sum — and because cosine is invariant
+    * to scaling of either argument, the UNNORMALIZED per-class component
+    * sum stands in for the centroid (cos(x, Σv) = cos(x, Σv/n)): no
+    * division, no float accumulation, bit-identical across engines. Dot
+    * products accumulate in DECIMAL(38,0) (the `Anomaly.zScores` policy):
+    * exact up to ~1e9 rows per class at unit-scale components.
+    *
+    * Scale shape: posexplode to (row, dim) — 64x row inflation, but the
+    * centroid aggregate is (numClasses × dim)-sized and broadcast back via
+    * an equi-join on (label, pos); one shuffle for the centroid, one for
+    * the per-vector rollup. No pairwise anything. */
+  def cosineToClassCentroid(emb: DataFrame, idCol: String, vecCol: String,
+                            labelCol: String): DataFrame = {
+    val e = emb.select(col(idCol), col(labelCol),
+        posexplode(col(vecCol)).as(Seq("__pos", "__x")))
+      .withColumn("__xm", round(col("__x").cast("double") * lit(1e6), 0).cast("long"))
+    val cent = e.groupBy(col(labelCol), col("__pos"))
+      .agg(sum(col("__xm")).cast("decimal(18,0)").as("__cs"))
+    val cnorm = cent.groupBy(col(labelCol))
+      .agg(sum(col("__cs") * col("__cs")).as("__c2"))
+    e.join(cent, Seq(labelCol, "__pos"))
+      .groupBy(col(idCol), col(labelCol))
+      .agg(sum(col("__xm").cast("decimal(18,0)") * col("__cs")).as("__dot"),
+        sum(col("__xm") * col("__xm")).as("__x2"))
+      .join(cnorm, Seq(labelCol))
+      .select(col(idCol), col(labelCol),
+        (col("__dot").cast("double") /
+          (sqrt(col("__x2").cast("double")) * sqrt(col("__c2").cast("double"))))
+          .as("cos_centroid"))
+  }
+
   /** Per-group top-k (SURVEY.md Q-TOP2 shape): row_number over a windowed
     * sort, kept <= k — Spark 4 plans this as WindowGroupLimit (no full
     * per-group materialization). */

@@ -176,6 +176,16 @@ object SimMmQueries extends QueryModule {
         .orderBy(col("adc_dist").asc, col("vec_id"))
     }),
 
+    // Q-SIM13: embedding-space outlier score — cosine of every vector to
+    // its own class centroid (mislabel / off-distribution gate). The ONLY
+    // exact aggregate in the sim family: micro-unit integer components,
+    // exact integer/DECIMAL sums, and the unnormalized class sum stands in
+    // for the centroid (cosine is scale-invariant) => hash-exact.
+    "q_sim13" -> ((s, d) =>
+      Similarity.cosineToClassCentroid(Tables.load(s, d, "embeddings"),
+          "vec_id", "embedding", "label")
+        .orderBy("vec_id")),
+
     // Multimodal: opaque binary payload + typed metadata (oracle-checked).
     "q_mm1" -> ((s, d) =>
       Multimodal.withBinaryMeta(Tables.load(s, d, "documents"), "text")
@@ -217,6 +227,24 @@ object SimMmQueries extends QueryModule {
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
         |  sha256(text) AS content_sha
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_sim13" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, pos,
+        |    CAST(round(CAST(embedding[pos] AS DOUBLE) * 1e6, 0) AS BIGINT) AS xm
+        |  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) g),
+        |cent AS (SELECT label, pos, CAST(SUM(xm) AS DECIMAL(18,0)) AS cs
+        |         FROM e GROUP BY 1, 2),
+        |cn AS (SELECT label, SUM(cs * cs) AS c2 FROM cent GROUP BY 1),
+        |d AS (SELECT e.vec_id, e.label,
+        |    SUM(CAST(e.xm AS DECIMAL(18,0)) * cent.cs) AS dot,
+        |    SUM(e.xm * e.xm) AS x2
+        |  FROM e JOIN cent ON e.label = cent.label AND e.pos = cent.pos
+        |  GROUP BY 1, 2)
+        |SELECT d.vec_id, d.label,
+        |  CAST(dot AS DOUBLE) / (sqrt(CAST(x2 AS DOUBLE)) * sqrt(CAST(c2 AS DOUBLE)))
+        |    AS cos_centroid
+        |FROM d JOIN cn ON d.label = cn.label
+        |ORDER BY d.vec_id""".stripMargin,
     "q_sim11" ->
       s"""WITH a AS (SELECT vec_id AS query_id, embedding AS qe, label AS ql
          |           FROM embeddings WHERE vec_id IN (0, 1, 2))

@@ -22,6 +22,29 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(stats.getDouble(2) - 1.0) < 1e-9)
   }
 
+  test("cosineToClassCentroid: colinear vectors score exactly 1.0, planted outlier lowest") {
+    // label 0: a and b are the SAME direction (b = a/2) + outlier e on the
+    // orthogonal axis; label 1: two 90-degree-apart vectors (symmetric).
+    // All components exactly representable => the micro-unit snap is exact
+    // and cos(a)=cos(b) BITWISE; the outlier must rank strictly lowest.
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.5f, 0.0f), 0),
+      (3L, Array(0.0f, 0.25f), 0),
+      (4L, Array(0.0f, 1.0f), 1),
+      (5L, Array(1.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val m = Similarity.cosineToClassCentroid(df, "vec_id", "embedding", "label")
+      .select("vec_id", "cos_centroid").as[(Long, Double)].collect().toMap
+    assert(m(1L) === m(2L), "colinear vectors must score identically")
+    assert(m(4L) === m(5L), "symmetric vectors must score identically")
+    assert(m(3L) < m.removed(3L).values.min, "outlier must be strictly lowest")
+    // exact values: label-0 sum = (1.5e6, 0.25e6); cos(a) = 1.5e12 /
+    // (1e6 * sqrt(1.5e6^2 + 0.25e6^2))
+    val c2 = 1.5e6 * 1.5e6 + 0.25e6 * 0.25e6
+    assert(m(1L) === 1.5e12 / (math.sqrt(1.0e12) * math.sqrt(c2)))
+  }
+
   test("brute-force top-k: query vector itself ranks first") {
     val top = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
       emb.where(col("vec_id") === 0), "embedding", 5)
