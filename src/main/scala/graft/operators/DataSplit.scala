@@ -160,4 +160,35 @@ object DataSplit {
       .where(u < col("__rate"))
       .drop("__rate")
   }
+
+  /** Temperature sampling: downsample toward the mixture `f_s ∝ n_s^alpha`
+    * — the multilingual/multi-source rebalancing rule (alpha=1 keeps the
+    * natural mixture, alpha→0 approaches uniform; 0.2–0.7 is the usual
+    * pre-training range). The target fractions are derived IN-PLAN from
+    * the same per-source counts the rate computation needs (no declared
+    * recipe, no driver round-trip), then applied exactly like
+    * [[resampleToMixture]]: Nt = min(n_s/f_s), key-hash threshold, stable
+    * across runs and incremental batches.
+    *
+    * Cross-engine determinism: pow is transcendental, so the weight and
+    * the derived fraction are each rounded ONCE at 6dp (the q_txt14
+    * policy) before any comparison; everything downstream is the
+    * SQL-replicable Knuth-hash threshold. Scale shape matches
+    * resampleToMixture: one count aggregation, singleton-partition window
+    * over #sources rows, broadcast rate table, scan-speed filter. */
+  def temperatureResample(df: DataFrame, keyCol: String, sourceCol: String,
+                          alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0,1], got $alpha")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val rates = df.groupBy(sourceCol).agg(count(lit(1)).as("__n"))
+      .withColumn("__w", round(pow(col("__n").cast("double"), lit(alpha)), 6))
+      .withColumn("__f", round(col("__w") / sum(col("__w")).over(w), 6))
+      .withColumn("__nt", min(col("__n").cast("double") / col("__f")).over(w))
+      .select(col(sourceCol),
+        least(lit(1.0), col("__f") * col("__nt") / col("__n").cast("double")).as("__rate"))
+    val u = knuthBucket(col(keyCol)).cast("double") / 1e6
+    df.join(broadcast(rates), sourceCol)
+      .where(u < col("__rate"))
+      .drop("__rate")
+  }
 }

@@ -173,6 +173,17 @@ object TextDedupQueries extends QueryModule {
         "doc_id", "source", Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
         .select("doc_id", "source").orderBy("doc_id")),
 
+    // Q-SAMPLE8: temperature sampling — downsample toward f_s ∝ n_s^0.5
+    // (the multilingual rebalancing rule: minority sources over-represented
+    // relative to their natural share). Fractions derived in-plan from the
+    // counts, pow/division rounded once at 6dp, then the same
+    // SQL-replicable hash threshold as q_sample2 => hash-exact.
+    "q_sample8" -> ((s, d) =>
+      graft.operators.DataSplit.temperatureResample(
+        Tables.load(s, d, "documents").select("doc_id", "source"),
+        "doc_id", "source", alpha = 0.5)
+        .select("doc_id", "source").orderBy("doc_id")),
+
     // Composite quality GATE (the Gopher-rule application step, distinct
     // from q_txt4's signal computation): per-rule pass flags + the
     // conjunction, so downstream can both filter and attribute drops.
@@ -626,6 +637,17 @@ object TextDedupQueries extends QueryModule {
         |rates AS (SELECT source, least(CAST(1.0 AS DOUBLE), frac * nt / n) AS rate
         |          FROM j CROSS JOIN nt)
         |SELECT d.doc_id, d.source FROM documents d JOIN rates r ON d.source = r.source
+        |WHERE CAST(((d.doc_id % 1000000) * 2654435761) % 1000000 AS DOUBLE) / 1e6 < r.rate
+        |ORDER BY d.doc_id""".stripMargin,
+    "q_sample8" ->
+      """WITH c AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS n
+        |           FROM documents GROUP BY source),
+        |w AS (SELECT source, n, round(pow(n, 0.5), 6) AS w FROM c),
+        |f AS (SELECT source, n, round(w / (SELECT SUM(w) FROM w), 6) AS f FROM w),
+        |nt AS (SELECT min(n / f) AS nt FROM f),
+        |rates AS (SELECT source, least(CAST(1.0 AS DOUBLE), f * nt / n) AS rate
+        |          FROM f CROSS JOIN nt)
+        |SELECT d.doc_id, d.source FROM documents d JOIN rates r USING (source)
         |WHERE CAST(((d.doc_id % 1000000) * 2654435761) % 1000000 AS DOUBLE) / 1e6 < r.rate
         |ORDER BY d.doc_id""".stripMargin,
     "q_dedup1" ->

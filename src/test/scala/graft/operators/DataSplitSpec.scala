@@ -61,6 +61,25 @@ class DataSplitSpec extends SparkSpec {
     assert(run(5) === once) // membership is a pure function of the key
   }
 
+  test("temperatureResample: alpha=1 keeps everything; alpha=0.5 keeps minority whole, majority at sqrt ratio") {
+    val df = spark.range(0, 1000).select(col("id"),
+      when(col("id") < 900, "web").otherwise("wiki").as("source"))
+    // alpha=1: f_s = n_s/N => every rate is exactly 1.0 — natural mixture
+    assert(DataSplit.temperatureResample(df, "id", "source", alpha = 1.0)
+      .count() === 1000L)
+    // alpha=0.5: Nt pins at the SMALLEST source => wiki (100 rows) keeps
+    // all; web keeps ~sqrt(100/900) = 1/3 (binomial around 300)
+    val out = DataSplit.temperatureResample(df, "id", "source", alpha = 0.5)
+    val counts = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(counts("wiki") === 100L, "minority source must be kept whole")
+    assert(counts("web") > 230L && counts("web") < 370L,
+      s"majority should keep ~1/3, got ${counts("web")}")
+    // key-stable: partitioning must not change membership
+    val again = DataSplit.temperatureResample(df.repartition(7), "id", "source", 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(again === out.select("id").as[Long].collect().toSet)
+  }
+
   test("balanceClasses: exactly target per class — oversampled, downsampled, key-stable") {
     // skewed: class a = 10 rows, class b = 100 rows; target 30 per class
     val df = spark.range(0, 110).select(col("id"),
