@@ -330,8 +330,12 @@ object Similarity {
     val e = emb.select(col(idCol), col(labelCol),
         posexplode(col(vecCol)).as(Seq("__pos", "__x")))
       .withColumn("__xm", round(col("__x").cast("double") * lit(1e6), 0).cast("long"))
+    // materialized once: cent feeds BOTH the per-vector dot join and its
+    // own norm rollup — lazy would rescan + re-explode the whole corpus
+    // for cnorm (a third full scan); the table is (numClasses × dim) rows
     val cent = e.groupBy(col(labelCol), col("__pos"))
       .agg(sum(col("__xm")).cast("decimal(18,0)").as("__cs"))
+      .localCheckpoint()
     val cnorm = cent.groupBy(col(labelCol))
       .agg(sum(col("__cs") * col("__cs")).as("__c2"))
     e.join(cent, Seq(labelCol, "__pos"))
