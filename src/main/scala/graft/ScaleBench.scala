@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Binning, IntervalJoin, NearDup, Sessionize, Similarity, SpanDedup}
+import graft.operators.{Binning, IntervalJoin, NearDup, Sessionize, Similarity, SpanDedup, TextOps}
 
 /** Scale-evidence bench for the dedup/ANN candidate families: runs each
   * operator at 1x (~sf0.1 corpus size), 10x, and — for the linear families
@@ -138,6 +138,8 @@ object ScaleBench {
       NearDup.simhashPairs(NearDup.simhash(d, "doc_id", col("text")), "doc_id", 3).count()
       NearDup.simhashPairsWide(NearDup.simhash(d, "doc_id", col("text")), "doc_id", 3).count()
       SpanDedup.duplicatedSpans(d, "doc_id", col("text"), 8, 16).count()
+      TextOps.surprisalScores(d, "doc_id", col("text"),
+        col("doc_id") % 10 =!= 0).count()
       d.unpersist()
       val e = syntheticEmbeddings(spark, 200L).localCheckpoint()
       Similarity.lshBucketedPairsAboveThreshold(e, "vec_id", "embedding", lit(0), 0.5, 64,
@@ -179,6 +181,12 @@ object ScaleBench {
       timed("duplicated_spans", nDocs) {
         SpanDedup.duplicatedSpans(docs, "doc_id", col("text"),
           shingleN = 8, minSpanTokens = 16).count()
+      }
+      // unigram-LM family (round 5): one tokenize pass + a vocab-sized
+      // rollup + one term join — work ~ tokens, output ~ docs/sources
+      timed("surprisal_scores", nDocs) {
+        TextOps.surprisalScores(docs, "doc_id", col("text"),
+          col("doc_id") % 10 =!= 0).count()
       }
       docs.unpersist()
 

@@ -240,6 +240,46 @@ object TextOps {
         col("nll_micro").cast("double") / lit(1e6) / col("n_tokens").cast("double"))
   }
 
+  /** Source-drift diagnostics: KL(source ‖ corpus) per source — how far
+    * each source's unigram distribution sits from the corpus-wide mixture
+    * (the data-recipe health check: a source whose KL jumps between
+    * snapshots changed character; a high-KL source dominates its own
+    * vocabulary). KL = (1/N_s)·Σ_w c_sw·ln(c_sw·N / (c_w·N_s)) — no
+    * smoothing needed: the sum runs over the source's own observed words,
+    * where c_sw ≥ 1 and the corpus count c_w ≥ c_sw > 0.
+    *
+    * Determinism: the ln argument is a quotient of two double PRODUCTS of
+    * exact counts in fixed textual order (bitwise cross-engine), the
+    * per-term value rounds ONCE to micro-nats, and the rollup is an exact
+    * BIGINT sum (the [[surprisalScores]] policy). KL(s‖corpus) is exactly
+    * 0 when a source's distribution equals the mixture.
+    *
+    * Scale shape: ONE tokenize pass into (source, term, count) —
+    * materialized once; corpus totals derive from IT (no second corpus
+    * scan): a vocab-sized rollup, a #sources-sized rollup, a one-row
+    * grand total, then one hash join on the term. */
+  def sourceKlDivergence(docs: org.apache.spark.sql.DataFrame,
+                         sourceCol: String, text: Column): org.apache.spark.sql.DataFrame = {
+    val sw = docs.select(col(sourceCol), explode(tokens(text)).as("__w"))
+      .groupBy(col(sourceCol), col("__w"))
+      .agg(count(lit(1)).as("__csw"))
+      .localCheckpoint() // feeds the term, source, and grand-total rollups
+    val cw = sw.groupBy("__w").agg(sum("__csw").as("__cw"))
+    val ns = sw.groupBy(sourceCol).agg(sum("__csw").as("__ns"))
+    val n = sw.agg(sum("__csw").as("__n"))
+    sw.join(cw, Seq("__w"))
+      .join(broadcast(ns), Seq(sourceCol))
+      .crossJoin(broadcast(n))
+      .withColumn("__t", round(log(
+          (col("__csw").cast("double") * col("__n").cast("double")) /
+          (col("__cw").cast("double") * col("__ns").cast("double"))) * lit(1e6), 0)
+        .cast("long") * col("__csw"))
+      .groupBy(col(sourceCol))
+      .agg(max(col("__ns")).as("n_tokens"), sum(col("__t")).cast("long").as("kl_micro"))
+      .withColumn("kl",
+        col("kl_micro").cast("double") / lit(1e6) / col("n_tokens").cast("double"))
+  }
+
   /** PII scrubbing — the redaction pass a pre-training pipeline runs over
     * raw text: masks email addresses and phone-like number groups and
     * reports how many of each were found. Patterns are deliberately in the

@@ -461,6 +461,15 @@ object TextDedupQueries extends QueryModule {
           "doc_id", col("text"), col("doc_id") % 10 =!= 0)
         .orderBy("doc_id")),
 
+    // Q-TXT20: source-drift diagnostics — KL(source ‖ corpus) per source
+    // over unigram distributions (the data-recipe health check). One
+    // tokenize pass; corpus totals derive from the per-source table;
+    // micro-nat rounding + exact BIGINT rollup => hash-exact.
+    "q_txt20" -> ((s, d) =>
+      TextOps.sourceKlDivergence(Tables.load(s, d, "documents"),
+          "source", col("text"))
+        .orderBy("source")),
+
     // Entity resolution: fuzzy catalog-name alignment — corrupted variants
     // (first 3 chars dropped) matched back to the original name vocabulary
     // by character-trigram Jaccard; candidates from a shared-trigram join,
@@ -780,6 +789,21 @@ object TextDedupQueries extends QueryModule {
          |  CAST(SUM(s) AS BIGINT) AS nll_micro,
          |  CAST(SUM(s) AS DOUBLE) / 1e6 / CAST(SUM(tf) AS DOUBLE) AS avg_nll
          |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_txt20" ->
+      s"""WITH toks AS (SELECT source, unnest($tokSql) AS w FROM documents),
+         |sw AS (SELECT source, w, COUNT(*) AS csw FROM toks GROUP BY 1, 2),
+         |cw AS (SELECT w, SUM(csw) AS cw FROM sw GROUP BY 1),
+         |ns AS (SELECT source, SUM(csw) AS ns FROM sw GROUP BY 1),
+         |n AS (SELECT SUM(csw) AS n FROM sw),
+         |t AS (SELECT sw.source,
+         |    CAST(round(ln((CAST(csw AS DOUBLE) * CAST(n AS DOUBLE)) /
+         |      (CAST(cw AS DOUBLE) * CAST(ns AS DOUBLE))) * 1e6, 0) AS BIGINT) * csw AS t,
+         |    ns
+         |  FROM sw JOIN cw USING (w) JOIN ns ON sw.source = ns.source CROSS JOIN n)
+         |SELECT source, CAST(max(ns) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(t) AS BIGINT) AS kl_micro,
+         |  CAST(SUM(t) AS DOUBLE) / 1e6 / CAST(max(ns) AS DOUBLE) AS kl
+         |FROM t GROUP BY source ORDER BY source""".stripMargin,
     "q_fuzzy1" -> fuzzyJaccardSql,
     // q_fuzzy2 is the SAME output via prefix filtering — one oracle text,
     // two engine paths, both must hash-match it

@@ -43,6 +43,30 @@ class TextOpsSpec extends SparkSpec {
     assert(out(10L)._4 === out(10L)._3.toDouble / 1e6 / 6.0)
   }
 
+  test("sourceKlDivergence: mixture-identical sources score exactly 0, drifted source positive") {
+    // a and b have IDENTICAL unigram distributions => each equals the
+    // corpus mixture => every ln ratio is exactly 1 => kl is EXACTLY 0;
+    // c is all-drift vocabulary => strictly positive
+    val docs = Seq(
+      ("a", "x x y z"), ("a", "x y"),
+      ("b", "x x y z"), ("b", "x y"),
+      ("c", "q q q r")
+    ).toDF("source", "text")
+    val m = TextOps.sourceKlDivergence(docs, "source", col("text"))
+      .select("source", "n_tokens", "kl").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(m("a")._1 === 6L && m("b")._1 === 6L && m("c")._1 === 4L)
+    // a vs corpus-of-{a,b,c}: c's tokens dilute the mixture, so a/b drift
+    // slightly from the corpus too — but a and b must agree BITWISE
+    assert(m("a")._2 === m("b")._2, "identical sources must score identically")
+    assert(m("c")._2 > m("a")._2, "drifted source must score strictly higher")
+    // exact-zero case: corpus of ONLY the two identical sources
+    val z = TextOps.sourceKlDivergence(docs.where(col("source") =!= "c"),
+        "source", col("text"))
+      .select("kl").collect().map(_.getDouble(0))
+    assert(z.forall(_ === 0.0), s"mixture-identical sources must give kl=0, got ${z.toSeq}")
+  }
+
   test("contamination report: copied eval doc scores 1.0, fresh doc 0.0, partial in between") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
