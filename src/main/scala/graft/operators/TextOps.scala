@@ -280,6 +280,88 @@ object TextOps {
         col("kl_micro").cast("double") / lit(1e6) / col("n_tokens").cast("double"))
   }
 
+  /** DSIR-style importance weighting (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling"): score every document by
+    * the log-likelihood ratio between a TARGET-domain unigram LM (built
+    * from the `targetFilter` slice — the domain you want more of) and the
+    * raw-corpus unigram LM. Positive avg_llr ⇒ the doc looks more like the
+    * target domain than like the corpus at large; resampling on the weight
+    * shifts the training mixture toward the target without hand-written
+    * rules. log w(doc) = Σ_w tf·(ln p_t(w) − ln p_r(w)) with both LMs
+    * add-one smoothed over the SHARED corpus vocabulary V:
+    * p_t = (c_t+1)/(N_t+V), p_r = (c_r+1)/(N_r+V).
+    *
+    * Determinism ([[surprisalScores]] policy): the ln argument is a
+    * quotient of two double products of exact counts in fixed textual
+    * order, the per-term ratio rounds ONCE to integer micro-nats, and the
+    * doc rollup Σ tf·llr is an exact order-independent BIGINT sum.
+    *
+    * Scale shape: ONE tokenize pass into (doc, target?, term, tf) —
+    * materialized once, feeding both vocab-sized LM rollups and the
+    * scoring join; a one-row (N_t, N_r, V) broadcast; one hash join on
+    * the term. No doc×doc, no driver-side vocab. */
+  def importanceWeights(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                        text: Column, targetFilter: Column): org.apache.spark.sql.DataFrame = {
+    val tf = docs.select(col(idCol), targetFilter.as("__t"),
+        explode(tokens(text)).as("__w"))
+      .groupBy(col(idCol), col("__t"), col("__w"))
+      .agg(count(lit(1)).as("__tf"))
+      .localCheckpoint() // feeds both LM rollups + the scoring join
+    val raw = tf.groupBy("__w").agg(sum("__tf").as("__cr"))
+    val tgt = tf.where(col("__t")).groupBy("__w").agg(sum("__tf").as("__ct"))
+    val totals = raw.join(tgt, Seq("__w"), "left_outer")
+      .agg(sum(col("__cr")).as("__nr"),
+        sum(coalesce(col("__ct"), lit(0L))).as("__nt"),
+        count(lit(1)).as("__v"))
+    tf.join(raw, Seq("__w"))
+      .join(tgt, Seq("__w"), "left_outer")
+      .crossJoin(broadcast(totals))
+      .withColumn("__s", round(log(
+          ((coalesce(col("__ct"), lit(0L)) + lit(1L)).cast("double") *
+            (col("__nr") + col("__v")).cast("double")) /
+          ((col("__cr") + lit(1L)).cast("double") *
+            (col("__nt") + col("__v")).cast("double"))) * lit(1e6), 0)
+        .cast("long") * col("__tf"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__tf")).cast("long").as("n_tokens"),
+        sum(col("__s")).cast("long").as("llr_micro"))
+      .withColumn("avg_llr",
+        col("llr_micro").cast("double") / lit(1e6) / col("n_tokens").cast("double"))
+  }
+
+  /** Corpus-diversity report per group (source, language, …): type-token
+    * ratio and distinct-bigram ratio — the standard distinct-n diversity
+    * diagnostics. A source whose TTR collapses between snapshots has
+    * started repeating itself (template spam, boilerplate floods); the
+    * bigram ratio catches phrase-level rot that unigram TTR misses. All
+    * outputs are exact counts or raw quotients of exact counts (bitwise
+    * cross-engine; no rounding anywhere).
+    *
+    * Scale shape: the tokenized corpus materializes once and feeds both
+    * n-gram rollups; output is #groups-sized. distinct-counts shuffle on
+    * (group, gram) — the natural key, skew-bounded by the vocabulary. */
+  def diversityReport(docs: org.apache.spark.sql.DataFrame,
+                      groupCol: String, text: Column): org.apache.spark.sql.DataFrame = {
+    val base = docs.select(col(groupCol), tokens(text).as("__toks"))
+      .localCheckpoint() // one tokenize pass feeds both n-gram rollups
+    val uni = base.select(col(groupCol), explode(col("__toks")).as("__w"))
+      .groupBy(groupCol).agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("__w")).as("n_types"))
+    val bi = base.select(col(groupCol), explode(bigrams(col("__toks"))).as("__bg"))
+      .groupBy(groupCol).agg(count(lit(1)).as("n_bigrams"),
+        countDistinct(col("__bg")).as("n_distinct_bigrams"))
+    // left join + nullif-style guard: a group of 1-token docs has no
+    // bigrams — report 0 counts and a null ratio, never a NaN
+    uni.join(bi, Seq(groupCol), "left_outer")
+      .select(col(groupCol), col("n_tokens"), col("n_types"),
+        (col("n_types").cast("double") / col("n_tokens").cast("double")).as("ttr"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_distinct_bigrams"), lit(0L)).as("n_distinct_bigrams"),
+        when(coalesce(col("n_bigrams"), lit(0L)) > 0,
+          col("n_distinct_bigrams").cast("double") / col("n_bigrams").cast("double"))
+          .as("distinct_bigram_ratio"))
+  }
+
   /** PII scrubbing — the redaction pass a pre-training pipeline runs over
     * raw text: masks email addresses and phone-like number groups and
     * reports how many of each were found. Patterns are deliberately in the

@@ -470,6 +470,25 @@ object TextDedupQueries extends QueryModule {
           "source", col("text"))
         .orderBy("source")),
 
+    // Q-TXT21: DSIR-style importance weighting — per-doc log-likelihood
+    // ratio between the src0 target-domain unigram LM and the raw-corpus
+    // LM (resampling on the weight shifts the mixture toward the target).
+    // One tokenize pass, two vocab-sized LM rollups, one term join;
+    // micro-nat rounding + exact BIGINT rollup => hash-exact.
+    "q_txt21" -> ((s, d) =>
+      TextOps.importanceWeights(Tables.load(s, d, "documents"),
+          "doc_id", col("text"), col("source") === "src0")
+        .orderBy("doc_id")),
+
+    // Q-TXT22: distinct-n diversity per source — type-token ratio +
+    // distinct-bigram ratio (the corpus-health diagnostics that catch a
+    // source collapsing into template spam). Exact counts and raw
+    // quotients only => hash-exact.
+    "q_txt22" -> ((s, d) =>
+      TextOps.diversityReport(Tables.load(s, d, "documents"),
+          "source", col("text"))
+        .orderBy("source")),
+
     // Entity resolution: fuzzy catalog-name alignment — corrupted variants
     // (first 3 chars dropped) matched back to the original name vocabulary
     // by character-trigram Jaccard; candidates from a shared-trigram join,
@@ -804,6 +823,41 @@ object TextDedupQueries extends QueryModule {
          |  CAST(SUM(t) AS BIGINT) AS kl_micro,
          |  CAST(SUM(t) AS DOUBLE) / 1e6 / CAST(max(ns) AS DOUBLE) AS kl
          |FROM t GROUP BY source ORDER BY source""".stripMargin,
+    "q_txt21" ->
+      s"""WITH tf AS (SELECT doc_id, source = 'src0' AS t, w, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, source, unnest($tokSql) AS w FROM documents)
+         |  GROUP BY 1, 2, 3),
+         |raw AS (SELECT w, SUM(tf) AS cr FROM tf GROUP BY 1),
+         |tgt AS (SELECT w, SUM(tf) AS ct FROM tf WHERE t GROUP BY 1),
+         |tot AS (SELECT SUM(cr) AS nr, SUM(COALESCE(ct, 0)) AS nt, COUNT(*) AS v
+         |  FROM raw LEFT JOIN tgt USING (w)),
+         |s AS (SELECT doc_id,
+         |    CAST(round(ln((CAST(COALESCE(ct, 0) + 1 AS DOUBLE) * CAST(nr + v AS DOUBLE)) /
+         |      (CAST(cr + 1 AS DOUBLE) * CAST(nt + v AS DOUBLE))) * 1e6, 0) AS BIGINT) * tf AS s,
+         |    tf
+         |  FROM tf JOIN raw USING (w) LEFT JOIN tgt USING (w) CROSS JOIN tot)
+         |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(s) AS BIGINT) AS llr_micro,
+         |  CAST(SUM(s) AS DOUBLE) / 1e6 / CAST(SUM(tf) AS DOUBLE) AS avg_llr
+         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_txt22" ->
+      s"""WITH t AS (SELECT source, $tokSql AS toks FROM documents),
+         |uni AS (SELECT source, COUNT(*) AS n_tokens, COUNT(DISTINCT w) AS n_types
+         |  FROM (SELECT source, unnest(toks) AS w FROM t) GROUP BY 1),
+         |bi AS (SELECT source, COUNT(*) AS n_bigrams,
+         |    COUNT(DISTINCT bg) AS n_distinct_bigrams
+         |  FROM (SELECT source, unnest(list_transform(range(2, len(toks) + 1),
+         |          i -> toks[i-1] || ' ' || toks[i])) AS bg FROM t)
+         |  GROUP BY 1)
+         |SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(n_types AS BIGINT) AS n_types,
+         |  CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+         |  CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |  CAST(COALESCE(n_distinct_bigrams, 0) AS BIGINT) AS n_distinct_bigrams,
+         |  CASE WHEN COALESCE(n_bigrams, 0) > 0
+         |    THEN CAST(n_distinct_bigrams AS DOUBLE) / CAST(n_bigrams AS DOUBLE) END
+         |    AS distinct_bigram_ratio
+         |FROM uni LEFT JOIN bi USING (source) ORDER BY source""".stripMargin,
     "q_fuzzy1" -> fuzzyJaccardSql,
     // q_fuzzy2 is the SAME output via prefix filtering — one oracle text,
     // two engine paths, both must hash-match it

@@ -67,6 +67,43 @@ class TextOpsSpec extends SparkSpec {
     assert(z.forall(_ === 0.0), s"mixture-identical sources must give kl=0, got ${z.toSeq}")
   }
 
+  test("importanceWeights: target-like docs score positive, off-domain negative, exact rollup") {
+    // target domain (t=true) speaks {x,y}; the rest of the corpus speaks
+    // {q,r}. Scoring docs: 10 is pure target-vocab => positive avg_llr;
+    // 11 is pure off-domain vocab => negative; sanity: the micro-nat
+    // rollup identity holds exactly.
+    val docs = Seq(
+      (1L, "src0", "x y x y x y"), (2L, "src0", "x x y y"),
+      (3L, "other", "q r q r q r"), (4L, "other", "q q r r"),
+      (10L, "other", "x y x y"), (11L, "src0", "q r q r")
+    ).toDF("doc_id", "source", "text")
+    val m = TextOps.importanceWeights(docs, "doc_id", col("text"),
+        col("source") === "src0")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(m(10L)._3 > 0.0, s"target-vocab doc must score positive, got ${m(10L)}")
+    assert(m(11L)._3 < 0.0, s"off-domain doc must score negative, got ${m(11L)}")
+    assert(m(10L)._3 === m(10L)._2.toDouble / 1e6 / m(10L)._1.toDouble)
+    assert(m.keySet === Set(1L, 2L, 3L, 4L, 10L, 11L), "every doc is scored")
+  }
+
+  test("diversityReport: repetitive source scores lower ttr; 1-token group degrades to null ratio") {
+    val docs = Seq(
+      ("div", "a b c d e f"), ("div", "g h i j"),
+      ("rep", "a a a a a a"), ("rep", "a a a a"),
+      ("tiny", "a")
+    ).toDF("source", "text")
+    val m = TextOps.diversityReport(docs, "source", col("text"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getLong(5),
+         if (r.isNullAt(6)) None else Some(r.getDouble(6)))).toMap
+    assert(m("div")._3 === 1.0 && m("rep")._3 === 0.1)
+    assert(m("div")._6 === Some(1.0), "all-distinct bigrams => ratio 1")
+    // rep: 8 bigrams, all "a a" => 1 distinct
+    assert(m("rep")._4 === 8L && m("rep")._5 === 1L && m("rep")._6 === Some(0.125))
+    assert(m("tiny")._4 === 0L && m("tiny")._6 === None,
+      "a 1-token group has no bigrams and a null ratio, not NaN")
+  }
+
   test("contamination report: copied eval doc scores 1.0, fresh doc 0.0, partial in between") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
