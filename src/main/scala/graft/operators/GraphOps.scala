@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph-analytics operators over edge lists — the authority-scoring leg
+  * of a web-curation pipeline (a page's rank is the classic quality prior
+  * used to weight crawled documents before training; reference computes no
+  * graph metrics, this is the scale-path extension).
+  *
+  * Design: vertices and edges stay distributed end-to-end; each PageRank
+  * iteration is ONE shuffle (group contributions by destination) plus an
+  * equi-join on the source — no driver-side adjacency, no collect. The
+  * per-iteration plan is truncated with `localCheckpoint` so the lineage
+  * (and the optimizer's input) stays O(1) in the iteration count — the
+  * standard guard for iterative DataFrame jobs.
+  */
+object GraphOps {
+
+  /** Deterministic integer-arithmetic PageRank: ranks carried in micro
+    * units (BIGINT), initialized at 1e6 per vertex, updated for a FIXED
+    * number of iterations as
+    *
+    *   pr'(v) = (100-d)·1e4  +  (d · Σ_{u→v} (pr(u) div outdeg(u))) div 100
+    *
+    * with damping d expressed in percent. Every operation is integer
+    * (truncating division on non-negative values), so the result is
+    * bitwise identical in any engine — no float accumulation anywhere.
+    * Dangling vertices (no out-edges) leak their mass, the standard
+    * simplification when ranks are used as a RELATIVE quality signal.
+    * Self-loops and parallel edges are honored as given; dedup edges
+    * upstream if multiplicity should not count.
+    *
+    * Returns (vertex, pr_micro) for every vertex appearing in the edge
+    * list. Convergence for relative ordering is fast (5–10 iterations);
+    * the caller picks the count, which the oracle twin unrolls. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iterations: Int, dampingPct: Int = 85): DataFrame = {
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct must be in [0,100], got $dampingPct")
+    val e = edges.select(col(srcCol).cast("long").as("__src"),
+      col(dstCol).cast("long").as("__dst"))
+      .localCheckpoint() // reused every iteration: materialize once
+    val verts = e.select(col("__src").as("vertex"))
+      .union(e.select(col("__dst").as("vertex")))
+      .distinct().localCheckpoint()
+    val outdeg = e.groupBy("__src").agg(count(lit(1)).as("__outdeg"))
+      .localCheckpoint()
+    val basePr = lit((100L - dampingPct) * 10000L)
+    var pr = verts.withColumn("pr_micro", lit(1000000L))
+    for (_ <- 1 to iterations) {
+      // contributions: pr(u) div outdeg(u) routed along each edge, then
+      // partially aggregated map-side by groupBy(dst) — one shuffle/iter
+      val contrib = e
+        .join(pr.select(col("vertex").as("__src"), col("pr_micro")), Seq("__src"))
+        .join(outdeg, Seq("__src"))
+        .select(col("__dst"), expr("pr_micro div __outdeg").as("__c"))
+        .groupBy("__dst").agg(sum(col("__c")).as("__s"))
+      pr = verts
+        .join(contrib.withColumnRenamed("__dst", "vertex"), Seq("vertex"), "left_outer")
+        .select(col("vertex"),
+          (basePr + expr(s"($dampingPct * coalesce(__s, 0L)) div 100"))
+            .cast("long").as("pr_micro"))
+        .localCheckpoint() // truncate lineage: O(1) plan per iteration
+    }
+    pr
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryModule, Tables}
-import graft.operators.{Anomaly, Binning, DataSplit, IntervalJoin, Sessionize, SnapshotDiff}
+import graft.operators.{Anomaly, Binning, DataSplit, GraphOps, IntervalJoin, Sessionize, SnapshotDiff}
 import graft.util.Det.sqlFixedSum
 
 /** Operational pipeline queries (round 4): gap sessionization over the
@@ -201,12 +201,55 @@ object OpsQueries extends QueryModule {
         .withColumnRenamed("l_quantity", "mode_qty")
         .orderBy("l_returnflag", "l_linestatus")
     }),
+
+    // Q-GRAPH1 (round 5): integer-arithmetic PageRank over the bipartite
+    // customer→supplier purchase graph (the authority / quality-prior
+    // scoring leg of a web-curation pipeline, run on fixture data). All
+    // arithmetic is BIGINT (micro-unit ranks, truncating division) =>
+    // hash-exact against the unrolled-iteration SQL twin. Keys are
+    // disjoint-encoded (cust·2 / supp·2+1) so the two id spaces never
+    // collide in one vertex set.
+    "q_graph1" -> ((s, d) => {
+      val edges = Tables.load(s, d, "orders")
+        .join(Tables.load(s, d, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      GraphOps.pageRank(edges, "src", "dst", PrIters, dampingPct = 85)
+        .orderBy("vertex")
+    }),
   )
+
+  private val PrIters = 5
 
   private val sessWin = "(PARTITION BY user_id ORDER BY ts, event_id)"
   private val gapUs = GapSeconds * 1000000L
 
+  // PageRank oracle: the fixed iteration count unrolls into chained CTEs
+  // (recursive CTEs can't aggregate over their own recursive reference),
+  // each mirroring the engine's integer update rule textually.
+  private def pageRankSql: String = {
+    val its = (1 to PrIters).map { i =>
+      s"""it$i AS (SELECT v.vertex,
+         |    CAST(150000 + (85 * COALESCE(SUM(p.pr // od.outdeg), 0)) // 100 AS BIGINT) AS pr
+         |  FROM v LEFT JOIN e ON e.dst = v.vertex
+         |    LEFT JOIN it${i - 1} p ON p.vertex = e.src
+         |    LEFT JOIN od ON od.src = e.src
+         |  GROUP BY v.vertex)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |v AS (SELECT DISTINCT vertex FROM
+       |  (SELECT src AS vertex FROM e UNION ALL SELECT dst FROM e)),
+       |od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+       |it0 AS (SELECT vertex, CAST(1000000 AS BIGINT) AS pr FROM v),
+       |$its
+       |SELECT vertex, pr AS pr_micro FROM it$PrIters ORDER BY vertex""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_graph1" -> pageRankSql,
     "q_sess1" ->
       s"""WITH e AS (
          |  SELECT user_id, event_id, ts,
