@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryModule, Tables}
-import graft.operators.{Anomaly, Binning, DataSplit, GraphOps, IntervalJoin, Sessionize, SnapshotDiff}
+import graft.operators.{Anomaly, Binning, DataSplit, GraphOps, IntervalJoin, Privacy, Sessionize, SnapshotDiff}
 import graft.util.Det.sqlFixedSum
 
 /** Operational pipeline queries (round 4): gap sessionization over the
@@ -202,6 +202,16 @@ object OpsQueries extends QueryModule {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // Q-PRIV1 (round 5): k-anonymity suppression — customers whose
+    // (nation, segment) cohort has fewer than 8 members are suppressed
+    // before release; survivors carry their cohort size for release
+    // auditing. One window count on the quasi-identifier key => hash-exact.
+    "q_priv1" -> ((s, d) =>
+      Privacy.kAnonymize(Tables.load(s, d, "customer")
+          .select("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"),
+          Seq("c_nationkey", "c_mktsegment"), k = 8, cohortSizeAs = "cohort_size")
+        .orderBy("c_custkey")),
+
     // Q-GRAPH1 (round 5): integer-arithmetic PageRank over the bipartite
     // customer→supplier purchase graph (the authority / quality-prior
     // scoring leg of a web-curation pipeline, run on fixture data). All
@@ -250,6 +260,13 @@ object OpsQueries extends QueryModule {
 
   def oracleSql: Map[String, String] = Map(
     "q_graph1" -> pageRankSql,
+    "q_priv1" ->
+      """SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal,
+        |  CAST(gc AS BIGINT) AS cohort_size
+        |FROM (SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal,
+        |        COUNT(*) OVER (PARTITION BY c_nationkey, c_mktsegment) AS gc
+        |      FROM customer)
+        |WHERE gc >= 8 ORDER BY c_custkey""".stripMargin,
     "q_sess1" ->
       s"""WITH e AS (
          |  SELECT user_id, event_id, ts,

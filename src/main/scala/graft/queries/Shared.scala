@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{IndexStore, IvfAnn, NearDup, PqAnn, Similarity}
+import graft.operators.{BpeOps, IndexStore, IvfAnn, NearDup, PqAnn, Similarity}
 import graft.util.Memo
 
 /** Shared memoized intermediates + SQL-twin fragments used by more than one
@@ -137,6 +137,18 @@ private[queries] object Shared {
     s"(list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))) / " +
     s"nullif(sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * " +
     s"sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 0.0))"
+
+  /** Learned BPE tokenizer over `documents` (24 merges) — the merge list
+    * plus the final symbolized vocabulary. Consumed by q_bpe1 (the merge
+    * table: the tokenizer artifact itself) and q_bpe2 (per-doc token
+    * counts under it); training runs once, exactly as a production
+    * tokenizer is fit once and shipped. */
+  def bpe(s: SparkSession, d: String): (Seq[(Int, String, String, Long)], DataFrame) =
+    Memo.cached(s, s"bpe|$d") {
+      val (merges, vocab) =
+        BpeOps.learnMerges(Tables.load(s, d, "documents"), col("text"), numMerges = 24)
+      (merges, vocab.localCheckpoint())
+    }
 
   /** SQL twin of the q_sim2/q_dedup6/q_dedup7 edge list: deterministic
     * cosine-threshold pairs within label blocks. */

@@ -489,6 +489,25 @@ object TextDedupQueries extends QueryModule {
           "source", col("text"))
         .orderBy("source")),
 
+    // Q-BPE1: BPE tokenizer induction — the learned merge table (rank,
+    // pair, count) under the (count desc, pair asc) tie-break. Rows-only:
+    // each iteration's pair statistics depend on the previous iteration's
+    // data-dependent argmax, which no fixed SQL text can express; the
+    // classic-corpus merge sequence is spec-asserted instead. Training
+    // runs on the vocabulary-sized word-frequency table, never the corpus.
+    "q_bpe1" -> ((s, d) =>
+      graft.operators.BpeOps.mergeTable(s, Shared.bpe(s, d)._1).orderBy("rank")),
+
+    // Q-BPE2: per-doc token counts under the learned BPE tokenizer (what
+    // sequence packing / token budgeting consumes). Vocabulary-sized
+    // word→length table broadcast-joined to the corpus — the merge fold
+    // never runs at corpus scale. Rows-only (inherits q_bpe1's argmax).
+    "q_bpe2" -> ((s, d) =>
+      graft.operators.BpeOps.encodedTokenCounts(
+          Tables.load(s, d, "documents"), "doc_id", col("text"),
+          Shared.bpe(s, d)._2)
+        .orderBy("doc_id")),
+
     // Entity resolution: fuzzy catalog-name alignment — corrupted variants
     // (first 3 chars dropped) matched back to the original name vocabulary
     // by character-trigram Jaccard; candidates from a shared-trigram join,
