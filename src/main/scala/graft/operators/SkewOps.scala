@@ -32,6 +32,31 @@ object SkewOps {
       .drop(s(key)).drop("__salt")
   }
 
+  /** Key-skew diagnostics — measure BEFORE you salt: the top-k heaviest
+    * keys with their share of all rows and their skew ratio (count ÷ the
+    * uniform per-key average). A skew_ratio of 40 on the top key says one
+    * reducer would carry 40 keys' worth of work — the signal that a join
+    * or aggregation on this key needs [[saltedJoin]]/[[twoPhaseSum]] or
+    * AQE skew splitting. One aggregation on the key + a distributed
+    * top-k (TakeOrderedAndProject — no single-task global sort) + a
+    * one-row broadcast of the totals. Exact counts; shares are raw
+    * quotients of exact integers. */
+  def skewReport(df: DataFrame, keyCol: String, topK: Int = 10): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val counts = df.groupBy(keyCol).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // feeds the totals AND the top-k: one scan of df
+    val totals = counts.agg(sum(col("cnt")).as("total_rows"),
+      count(lit(1)).as("n_keys"))
+    counts.crossJoin(broadcast(totals))
+      .select(col(keyCol), col("cnt"), col("total_rows").cast("long").as("total_rows"),
+        col("n_keys"),
+        (col("cnt").cast("double") / col("total_rows").cast("double")).as("share"),
+        (col("cnt").cast("double") * col("n_keys").cast("double") /
+          col("total_rows").cast("double")).as("skew_ratio"))
+      .orderBy(col("cnt").desc, col(keyCol).asc)
+      .limit(topK)
+  }
+
   /** Two-phase (salted) aggregation for algebraic aggregates: partial
     * aggregate on (key, salt), then final aggregate on key. `partial` and
     * `merge` must form a commutative monoid per column (sum/count/min/max).

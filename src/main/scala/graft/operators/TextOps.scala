@@ -362,6 +362,40 @@ object TextOps {
           .as("distinct_bigram_ratio"))
   }
 
+  /** Pairwise source-overlap matrix: distinct-shingle Jaccard between
+    * every pair of sources — the redundancy map a data-recipe review reads
+    * before weighting sources (two mirrors of the same crawl show up as a
+    * near-1.0 cell; q_txt17 is the train/eval special case of this).
+    *
+    * Scale shape: per-source DISTINCT shingles first (corpus-size work,
+    * source-count output rows per shingle), then a self-join on the
+    * shingle — each shingle contributes at most |sources|² pairs, so the
+    * intersection pass is bounded by vocabulary × sources², independent of
+    * corpus row count. The matrix is emitted DENSE (zero-overlap pairs
+    * included) so a disjoint pair is visible data, not an absent row. */
+  def sourceOverlapMatrix(docs: org.apache.spark.sql.DataFrame, groupCol: String,
+                          text: Column, shingleN: Int = 3): org.apache.spark.sql.DataFrame = {
+    val sh = NearDup.withShingles(
+        docs.select(col(groupCol), text.as("__txt")), col("__txt"), shingleN)
+      .select(col(groupCol), explode(col("__sh")).as("__s"))
+      .distinct()
+      .localCheckpoint() // feeds sizes + the intersection self-join
+    val sizes = sh.groupBy(groupCol).agg(count(lit(1)).as("n"))
+    val inter = sh.select(col(groupCol).as("source_a"), col("__s"))
+      .join(sh.select(col(groupCol).as("source_b"), col("__s")), Seq("__s"))
+      .where(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("__shared"))
+    val sa = sizes.select(col(groupCol).as("source_a"), col("n").as("n_a"))
+    val sb = sizes.select(col(groupCol).as("source_b"), col("n").as("n_b"))
+    sa.join(sb, col("source_a") < col("source_b"))
+      .join(inter, Seq("source_a", "source_b"), "left_outer")
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        coalesce(col("__shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("__shared"), lit(0L)).cast("double") /
+          (col("n_a") + col("n_b") - coalesce(col("__shared"), lit(0L))).cast("double"))
+          .as("jaccard"))
+  }
+
   /** PII scrubbing — the redaction pass a pre-training pipeline runs over
     * raw text: masks email addresses and phone-like number groups and
     * reports how many of each were found. Patterns are deliberately in the

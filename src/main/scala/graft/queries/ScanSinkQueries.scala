@@ -56,6 +56,14 @@ object ScanSinkQueries extends QueryModule {
         .orderBy("l_returnflag")
     }),
 
+    // Q-SKEW2 (round 5): key-skew diagnostics — the top-10 heaviest event
+    // users with share + skew ratio (measure BEFORE you salt: the report
+    // that justifies q_skew1's two-phase path). One aggregation + a
+    // distributed top-k + a one-row totals broadcast => hash-exact.
+    "q_skew2" -> ((s, d) =>
+      graft.operators.SkewOps.skewReport(Tables.load(s, d, "events"),
+        "user_id", topK = 10)),
+
     // Q-SINK2: stable batch ids of 100 over ordered keys (reference R3).
     "q_sink2" -> ((s, d) =>
       Batching.withBatchNum(Tables.load(s, d, "customer").select("c_custkey"), "c_custkey", 100)
@@ -140,6 +148,14 @@ object ScanSinkQueries extends QueryModule {
       """SELECT l_returnflag, COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS sum_qty_cents
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_skew2" ->
+      """WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1),
+        |t AS (SELECT SUM(cnt) AS total_rows, COUNT(*) AS n_keys FROM c)
+        |SELECT user_id, CAST(cnt AS BIGINT) AS cnt,
+        |  CAST(total_rows AS BIGINT) AS total_rows, CAST(n_keys AS BIGINT) AS n_keys,
+        |  CAST(cnt AS DOUBLE) / CAST(total_rows AS DOUBLE) AS share,
+        |  CAST(cnt AS DOUBLE) * CAST(n_keys AS DOUBLE) / CAST(total_rows AS DOUBLE) AS skew_ratio
+        |FROM c CROSS JOIN t ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin,
     "q_sink2" ->
       """SELECT c_custkey,
         |  CAST(floor((row_number() OVER (ORDER BY c_custkey) - 1) / 100.0) + 1 AS BIGINT) AS batch_num

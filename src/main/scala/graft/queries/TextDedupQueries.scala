@@ -489,6 +489,16 @@ object TextDedupQueries extends QueryModule {
           "source", col("text"))
         .orderBy("source")),
 
+    // Q-TXT23: pairwise source-overlap matrix — distinct-3-shingle Jaccard
+    // between every source pair (the redundancy map read before weighting
+    // sources; q_txt17 is its train/eval special case). Dense matrix:
+    // zero-overlap pairs are rows, not absences. Intersection cost is
+    // bounded by vocabulary × sources², never corpus rows².
+    "q_txt23" -> ((s, d) =>
+      TextOps.sourceOverlapMatrix(Tables.load(s, d, "documents"),
+          "source", col("text"), shingleN = 3)
+        .orderBy("source_a", "source_b")),
+
     // Q-BPE1: BPE tokenizer induction — the learned merge table (rank,
     // pair, count) under the (count desc, pair asc) tie-break. Rows-only:
     // each iteration's pair statistics depend on the previous iteration's
@@ -877,6 +887,23 @@ object TextDedupQueries extends QueryModule {
          |    THEN CAST(n_distinct_bigrams AS DOUBLE) / CAST(n_bigrams AS DOUBLE) END
          |    AS distinct_bigram_ratio
          |FROM uni LEFT JOIN bi USING (source) ORDER BY source""".stripMargin,
+    "q_txt23" ->
+      s"""WITH t AS (SELECT source, $tokSql AS toks FROM documents),
+         |sh AS (SELECT DISTINCT source,
+         |    unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+         |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+         |  FROM t WHERE len(toks) >= 3),
+         |sz AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY 1),
+         |ix AS (SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS shared
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source GROUP BY 1, 2)
+         |SELECT sa.source AS source_a, sb.source AS source_b,
+         |  CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+         |  CAST(COALESCE(shared, 0) AS BIGINT) AS n_shared,
+         |  CAST(COALESCE(shared, 0) AS DOUBLE) /
+         |    CAST(sa.n + sb.n - COALESCE(shared, 0) AS DOUBLE) AS jaccard
+         |FROM sz sa JOIN sz sb ON sa.source < sb.source
+         |LEFT JOIN ix ON ix.source_a = sa.source AND ix.source_b = sb.source
+         |ORDER BY source_a, source_b""".stripMargin,
     "q_fuzzy1" -> fuzzyJaccardSql,
     // q_fuzzy2 is the SAME output via prefix filtering — one oracle text,
     // two engine paths, both must hash-match it

@@ -38,6 +38,22 @@ class ScaleOpsSpec extends SparkSpec {
     assert(salted === direct)
   }
 
+  test("skewReport surfaces the hot key with exact counts and ratios") {
+    val rows = (1 to 80).map(_ => (7L, "x")) ++ (1 to 10).map(i => (i + 100L, "y")) ++
+      Seq((200L, "z"), (200L, "z"))
+    val df = rows.toDF("user", "v")
+    val top = SkewOps.skewReport(df, "user", topK = 3).collect()
+    // 12 keys, 92 rows; hot key 7 has 80 rows
+    assert(top.length === 3)
+    assert(top(0).getLong(0) === 7L && top(0).getLong(1) === 80L)
+    assert(top(0).getLong(2) === 92L && top(0).getLong(3) === 12L)
+    assert(top(0).getDouble(4) === 80.0 / 92.0)
+    assert(top(0).getDouble(5) === 80.0 * 12.0 / 92.0)
+    // #2 is key 200 (cnt 2); #3 is the SMALLEST of the cnt-1 keys (tie-break)
+    assert(top(1).getLong(0) === 200L && top(1).getLong(1) === 2L)
+    assert(top(2).getLong(0) === 101L && top(2).getLong(1) === 1L)
+  }
+
   test("batchByRange equals the single-partition window form on a unique key") {
     val src = Tables.load(spark, sf, "orders").select("o_orderkey")
     val fact = Batching.batchByRange(src, col("o_orderkey"), size = 700)

@@ -104,6 +104,22 @@ class TextOpsSpec extends SparkSpec {
       "a 1-token group has no bigrams and a null ratio, not NaN")
   }
 
+  test("sourceOverlapMatrix: identical sources hit 1.0, disjoint pairs are present at 0.0") {
+    val docs = Seq(
+      ("a", "w x y z w x"), ("b", "w x y z"), // same distinct 3-shingle set? a adds (z w x),(y z w)
+      ("c", "p q r s")                        // disjoint from both
+    ).toDF("source", "text")
+    val m = TextOps.sourceOverlapMatrix(docs, "source", col("text"), 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(m.keySet === Set(("a", "b"), ("a", "c"), ("b", "c")),
+      "dense matrix: every pair present, including zero-overlap ones")
+    // b's shingles {wxy, xyz} are a strict subset of a's 4
+    assert(m(("a", "b")) === ((4L, 2L, 2L, 0.5)))
+    assert(m(("a", "c"))._3 === 0L && m(("a", "c"))._4 === 0.0)
+    assert(m(("b", "c"))._3 === 0L)
+  }
+
   test("contamination report: copied eval doc scores 1.0, fresh doc 0.0, partial in between") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
