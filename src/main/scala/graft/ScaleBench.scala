@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Binning, IntervalJoin, NearDup, Sessionize, Similarity, SpanDedup, TextOps}
+import graft.operators.{Binning, BpeOps, GraphOps, IntervalJoin, NearDup, Sessionize, Similarity, SpanDedup, TextOps}
 
 /** Scale-evidence bench for the dedup/ANN candidate families: runs each
   * operator at 1x (~sf0.1 corpus size), 10x, and — for the linear families
@@ -101,6 +101,15 @@ object ScaleBench {
         .as("value"))
   }
 
+  /** n random edges over n/8 vertices (avg degree 8) — the PageRank
+    * corpus. Per-iteration work is linear in edges by construction. */
+  def syntheticEdges(spark: SparkSession, n: Long): DataFrame = {
+    val nV = math.max(2L, n / 8L)
+    spark.range(n).select(
+      pmod(xxhash64(col("id"), lit("s")), lit(nV)).as("src"),
+      pmod(xxhash64(col("id"), lit("d")), lit(nV)).as("dst"))
+  }
+
   /** Orders-shaped numeric fact for the equi-depth boundary pass. */
   def syntheticValues(spark: SparkSession, n: Long): DataFrame =
     spark.range(n).select(col("id").as("k"),
@@ -140,7 +149,9 @@ object ScaleBench {
       SpanDedup.duplicatedSpans(d, "doc_id", col("text"), 8, 16).count()
       TextOps.surprisalScores(d, "doc_id", col("text"),
         col("doc_id") % 10 =!= 0).count()
+      BpeOps.learnMerges(d, col("text"), numMerges = 2)._1.length
       d.unpersist()
+      GraphOps.pageRank(syntheticEdges(spark, 2000L), "src", "dst", 2).count()
       val e = syntheticEmbeddings(spark, 200L).localCheckpoint()
       Similarity.lshBucketedPairsAboveThreshold(e, "vec_id", "embedding", lit(0), 0.5, 64,
         planesPerBand = 4).count()
@@ -188,7 +199,25 @@ object ScaleBench {
         TextOps.surprisalScores(docs, "doc_id", col("text"),
           col("doc_id") % 10 =!= 0).count()
       }
+      // BPE induction (round 5): ONE corpus scan into the vocab-sized
+      // word-freq table, then 12 vocabulary-sized iterations whose cost is
+      // corpus-INDEPENDENT — wall must grow far slower than data (the
+      // fixed per-iteration job overhead dominates at these sizes)
+      if (scale <= 10L)
+        timed("bpe_learn12", nDocs) {
+          BpeOps.learnMerges(docs, col("text"), numMerges = 12)._1.length.toLong
+        }
       docs.unpersist()
+
+      // PageRank (round 5): 5 iterations, each ONE shuffle linear in the
+      // edge count; lineage checkpoint-truncated per iteration, so wall
+      // must track edges ~linearly at any iteration count
+      val nEdge = 40000L * scale
+      val g = syntheticEdges(spark, nEdge).localCheckpoint()
+      timed("pagerank_5iter", nEdge) {
+        GraphOps.pageRank(g, "src", "dst", iterations = 5).count()
+      }
+      g.unpersist()
 
       // interval-overlap join: bucketized (the operator) at all scales; the
       // naive inequality join Spark would otherwise plan only to 10x (its

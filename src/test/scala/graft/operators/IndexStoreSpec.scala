@@ -38,6 +38,36 @@ class IndexStoreSpec extends SparkSpec {
     assert(rows(viaStore).contains(Seq(0L, 2L)), "dup of stored doc 0 must be found")
   }
 
+  test("fresh-PROCESS lifecycle: a separate JVM cold-reads the band store and dedups against it") {
+    // the true warehouse lifecycle — write in THIS application, serve in a
+    // NEW one: fork a second JVM (own SparkContext, cold classloader, no
+    // shared session state) running graft.StoreProbeMain, which reloads
+    // the store and must find the planted duplicate of an indexed doc
+    val root = Files.createTempDirectory("graft_store_xproc").toString
+    val dupText = "the quick brown fox jumps over the lazy dog again and again " * 3
+    val docs = Seq((0L, dupText),
+      (1L, "completely different content about columnar query engines io " * 3))
+      .toDF("doc_id", "text")
+    val bands = NearDup.lshBandTable(docs, "doc_id", col("text"))
+    IndexStore.writeLshBands(bands, root)
+    val nBands = bands.count()
+    val javaBin = s"${sys.props("java.home")}/bin/java"
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = Seq(javaBin) ++ addOpens ++ Seq("-Xmx2g",
+      "-cp", sys.props("java.class.path"),
+      "graft.StoreProbeMain", root, nBands.toString, "7", dupText)
+    val exit = scala.sys.process.Process(cmd).!
+    assert(exit === 0, s"fresh-process probe failed with exit $exit")
+  }
+
   test("IVF store: probe and incremental assignment from the reload equal in-memory") {
     val root = Files.createTempDirectory("graft_store_ivf").toString
     val (indexed, centers) = IvfAnn.buildIndex(emb, "embedding", numClusters = 4)
