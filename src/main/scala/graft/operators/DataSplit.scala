@@ -51,6 +51,25 @@ object DataSplit {
     df.withColumn("split", coalesce(expr0, lit(splits.last._1)))
   }
 
+  /** Deterministic epoch shuffle: every training epoch gets its own
+    * reproducible global order, derived at SCAN SPEED from the row key —
+    * no shuffle, no window, no RNG state. Each row is replicated once per
+    * epoch with `shuffle_key` = [[knuthBucket]](key·epochs + epoch)
+    * (injective combination for epoch < epochs, so epochs permute
+    * independently); a training-data writer materializes the order with
+    * `repartitionByRange($"epoch", $"shuffle_key")` + sort-within-
+    * partitions — the production path needs the KEY, never a dense
+    * row_number (which would serialize each epoch through one task).
+    * Same-key rows keep identical keys whatever else is in the corpus
+    * (resumable, join-stable), and the order is SQL-replicable. */
+  def epochShuffleKeys(df: DataFrame, keyCol: String, epochs: Int): DataFrame = {
+    require(epochs >= 1, s"epochs must be >= 1, got $epochs")
+    df.withColumn("epoch",
+        explode(sequence(lit(0), lit(epochs - 1)).cast("array<bigint>")))
+      .withColumn("shuffle_key",
+        knuthBucket(col(keyCol) * lit(epochs.toLong) + col("epoch")))
+  }
+
   /** Deterministic hash sample: keep ~fraction of rows by key hash.
     * Unlike `df.sample`, membership is key-stable across runs and joins
     * (sampling both sides of a join by the SAME key keeps them aligned). */

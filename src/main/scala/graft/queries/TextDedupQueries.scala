@@ -184,6 +184,16 @@ object TextDedupQueries extends QueryModule {
         "doc_id", "source", alpha = 0.5)
         .select("doc_id", "source").orderBy("doc_id")),
 
+    // Q-SAMPLE9: deterministic epoch shuffle — each epoch's reproducible
+    // global training order derived at scan speed (key-stable Knuth hash;
+    // no shuffle, no window, no RNG state). The writer materializes the
+    // order via repartitionByRange(epoch, shuffle_key); a dense
+    // row_number would serialize each epoch through one task.
+    "q_sample9" -> ((s, d) =>
+      graft.operators.DataSplit.epochShuffleKeys(
+          Tables.load(s, d, "documents").select("doc_id"), "doc_id", epochs = 3)
+        .orderBy("epoch", "shuffle_key", "doc_id")),
+
     // Composite quality GATE (the Gopher-rule application step, distinct
     // from q_txt4's signal computation): per-rule pass flags + the
     // conjunction, so downstream can both filter and attribute drops.
@@ -696,6 +706,11 @@ object TextDedupQueries extends QueryModule {
         |SELECT d.doc_id, d.source FROM documents d JOIN rates r ON d.source = r.source
         |WHERE CAST(((d.doc_id % 1000000) * 2654435761) % 1000000 AS DOUBLE) / 1e6 < r.rate
         |ORDER BY d.doc_id""".stripMargin,
+    "q_sample9" ->
+      """SELECT doc_id, epoch,
+        |  (((doc_id * 3 + epoch) % 1000000) * 2654435761) % 1000000 AS shuffle_key
+        |FROM documents CROSS JOIN (SELECT unnest(range(0, 3)) AS epoch)
+        |ORDER BY epoch, shuffle_key, doc_id""".stripMargin,
     "q_sample8" ->
       """WITH c AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS n
         |           FROM documents GROUP BY source),

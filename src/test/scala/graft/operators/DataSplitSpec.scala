@@ -101,6 +101,22 @@ class DataSplitSpec extends SparkSpec {
       again.select("id", "cls", "copy").as[(Long, String, Long)].collect().toSet)
   }
 
+  test("epochShuffleKeys: epochs permute independently, keys are corpus-independent") {
+    val ids = (0L until 200L).map(Tuple1(_)).toDF("doc_id")
+    val out = DataSplit.epochShuffleKeys(ids, "doc_id", 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.size === 600, "every doc appears once per epoch")
+    // epochs produce genuinely different orders: sort positions of the
+    // same ids by key must differ between epoch 0 and 1
+    def order(e: Long) = (0L until 200L).sortBy(id => (out((id, e)), id))
+    assert(order(0) != order(1) && order(1) != order(2))
+    // key-stability: a doc's shuffle key ignores the rest of the corpus
+    val sub = DataSplit.epochShuffleKeys(
+        ids.where(col("doc_id") < 50), "doc_id", 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(sub.forall { case (k, v) => out(k) === v })
+  }
+
   test("chunking: exact chunks with overlap, short docs yield one chunk") {
     val df = Seq("abcdefghij", "ab").toDF("text")
     val out = df.select(col("text"), TextOps.chunks(col("text"), 4, 1).as("c"))
