@@ -48,6 +48,37 @@ object StreamOps {
       .agg(count(lit(1)).as("n_ev"))
       .select(col("window.start").as("ws"), col("n_ev"))
 
+  /** S-STRM8: streaming distribution-drift monitor — per tumbling hour,
+    * total-variation distance between the window's categorical mix and a
+    * fixed reference distribution (yesterday's snapshot, the contract
+    * mix), with a drift flag. The data-quality twin of the batch KL
+    * diagnostics (`TextOps.sourceKlDivergence`), shaped for a stream: the
+    * reference categories are KNOWN, so per-category counts are columns of
+    * ONE watermark-bounded windowed aggregation (a single stateful
+    * operator — no second normalization agg, no unbounded state).
+    * Categories outside the reference contribute their full mass as
+    * drift. Works on batch frames too (spec parity). */
+  def driftMonitor(events: DataFrame, catCol: String,
+                   reference: Seq[(String, Double)],
+                   threshold: Double = 0.25): DataFrame = {
+    require(reference.nonEmpty, "reference distribution must be non-empty")
+    require(math.abs(reference.map(_._2).sum - 1.0) < 1e-9,
+      "reference distribution must sum to 1")
+    val catCounts = reference.zipWithIndex.map { case ((c, _), i) =>
+      sum(when(col(catCol) === c, 1L).otherwise(0L)).as(s"__c$i") }
+    val agg = events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"), catCounts: _*)
+    val nd = col("n").cast("double")
+    val knownDrift = reference.zipWithIndex.map { case ((_, p), i) =>
+      abs(col(s"__c$i").cast("double") / nd - lit(p)) }.reduce(_ + _)
+    val unseenMass =
+      (nd - reference.indices.map(i => col(s"__c$i")).reduce(_ + _).cast("double")) / nd
+    agg.select(col("window.start").as("ws"), col("n"),
+        ((knownDrift + unseenMass) / 2).as("tvd"))
+      .withColumn("drifted", col("tvd") > threshold)
+  }
+
   /** S-STRM5: stateful stream dedup on event_id, state bounded by the
     * watermark (streaming-only; MemoryStream test). */
   def dedupedStream(events: DataFrame): DataFrame =

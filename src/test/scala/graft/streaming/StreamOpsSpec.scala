@@ -62,6 +62,27 @@ class StreamOpsSpec extends SparkSpec {
     parity(StreamOps.sessionized, "session")
   }
 
+  test("S-STRM8: drift monitor flags a window whose mix leaves the reference") {
+    val ref = Seq("click" -> 0.5, "view" -> 0.5)
+    def e(id: Long, t: String, typ: String) = Ev(id, ts(t), 1L, typ, 1.0, "{}")
+    // window 10:00: perfect 2/2 mix -> tvd 0; window 11:00: all 'error'
+    // (outside the reference) -> tvd 1; window 12:00: 3/1 -> tvd 0.25
+    val rows = runBatches(StreamOps.driftMonitor(_, "event_type", ref, 0.3),
+      OutputMode.Append(),
+      Seq(e(1, "2024-01-01 10:00:01", "click"), e(2, "2024-01-01 10:10:00", "click"),
+        e(3, "2024-01-01 10:20:00", "view"), e(4, "2024-01-01 10:30:00", "view"),
+        e(5, "2024-01-01 11:01:00", "error"), e(6, "2024-01-01 11:02:00", "error"),
+        e(7, "2024-01-01 12:01:00", "click"), e(8, "2024-01-01 12:02:00", "click"),
+        e(9, "2024-01-01 12:03:00", "click"), e(10, "2024-01-01 12:04:00", "view")),
+      // advance the watermark far enough to close every window above
+      Seq(e(99, "2024-01-01 15:00:00", "click")))
+    val byWs = rows.map(r => r.getTimestamp(0).toString -> (r.getLong(1),
+      r.getDouble(2), r.getBoolean(3))).toMap
+    assert(byWs("2024-01-01 10:00:00.0") === ((4L, 0.0, false)))
+    assert(byWs("2024-01-01 11:00:00.0") === ((2L, 1.0, true)))
+    assert(byWs("2024-01-01 12:00:00.0") === ((4L, 0.25, false)))
+  }
+
   test("S-STRM4: watermark drops events later than 10 minutes behind max ts") {
     val rows = runBatches(StreamOps.watermarkedTumbling, OutputMode.Append(),
       // batch 1: window [10:00,11:00) gets 2 events; max ts 11:30
