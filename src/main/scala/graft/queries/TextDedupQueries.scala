@@ -509,6 +509,22 @@ object TextDedupQueries extends QueryModule {
           "source", col("text"), shingleN = 3)
         .orderBy("source_a", "source_b")),
 
+    // Q-PIPE2: per-source corpus-health dashboard — doc/token counts,
+    // distinct-n diversity, and KL drift vs the corpus mixture in ONE
+    // table (the data-recipe review artifact; composition of the round-5
+    // diagnostics operators). Output is #sources-sized; a production run
+    // would share the tokenized intermediate across the three legs — here
+    // each leg keeps its own oracle-checked shape.
+    "q_pipe2" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val div = TextOps.diversityReport(docs, "source", col("text"))
+        .select("source", "n_tokens", "n_types", "ttr", "distinct_bigram_ratio")
+      val kl = TextOps.sourceKlDivergence(docs, "source", col("text"))
+        .select(col("source"), col("kl"))
+      counts.join(div, Seq("source")).join(kl, Seq("source")).orderBy("source")
+    }),
+
     // Q-BPE1: BPE tokenizer induction — the learned merge table (rank,
     // pair, count) under the (count desc, pair asc) tie-break. Rows-only:
     // each iteration's pair statistics depend on the previous iteration's
@@ -919,6 +935,37 @@ object TextDedupQueries extends QueryModule {
          |FROM sz sa JOIN sz sb ON sa.source < sb.source
          |LEFT JOIN ix ON ix.source_a = sa.source AND ix.source_b = sb.source
          |ORDER BY source_a, source_b""".stripMargin,
+    "q_pipe2" ->
+      s"""WITH t AS (SELECT source, $tokSql AS toks FROM documents),
+         |cnt AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+         |uw AS (SELECT source, unnest(toks) AS w FROM t),
+         |uni AS (SELECT source, COUNT(*) AS n_tokens, COUNT(DISTINCT w) AS n_types
+         |  FROM uw GROUP BY 1),
+         |bi AS (SELECT source, COUNT(*) AS nb, COUNT(DISTINCT bg) AS ndb
+         |  FROM (SELECT source, unnest(list_transform(range(2, len(toks) + 1),
+         |          i -> toks[i-1] || ' ' || toks[i])) AS bg FROM t)
+         |  GROUP BY 1),
+         |sw AS (SELECT source, w, COUNT(*) AS csw FROM uw GROUP BY 1, 2),
+         |cw AS (SELECT w, SUM(csw) AS cw FROM sw GROUP BY 1),
+         |ns AS (SELECT source, SUM(csw) AS ns FROM sw GROUP BY 1),
+         |n AS (SELECT SUM(csw) AS n FROM sw),
+         |klt AS (SELECT sw.source,
+         |    CAST(round(ln((CAST(csw AS DOUBLE) * CAST(n AS DOUBLE)) /
+         |      (CAST(cw AS DOUBLE) * CAST(ns AS DOUBLE))) * 1e6, 0) AS BIGINT) * csw AS kt,
+         |    ns
+         |  FROM sw JOIN cw USING (w) JOIN ns ON sw.source = ns.source CROSS JOIN n),
+         |kl AS (SELECT source,
+         |    CAST(SUM(kt) AS DOUBLE) / 1e6 / CAST(max(ns) AS DOUBLE) AS kl
+         |  FROM klt GROUP BY source)
+         |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(n_tokens AS BIGINT) AS n_tokens, CAST(n_types AS BIGINT) AS n_types,
+         |  CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+         |  CASE WHEN COALESCE(nb, 0) > 0
+         |    THEN CAST(ndb AS DOUBLE) / CAST(nb AS DOUBLE) END AS distinct_bigram_ratio,
+         |  kl
+         |FROM cnt JOIN uni USING (source) LEFT JOIN bi USING (source)
+         |  JOIN kl USING (source)
+         |ORDER BY source""".stripMargin,
     "q_fuzzy1" -> fuzzyJaccardSql,
     // q_fuzzy2 is the SAME output via prefix filtering — one oracle text,
     // two engine paths, both must hash-match it
