@@ -24,6 +24,26 @@ object DataQuality {
 
   /** Run the named checks in one pass; output (check, value) with value
     * cast to double so heterogeneous metrics share one long-form column. */
+  /** Single-pass column profile: per column, row count, null count and
+    * EXACT distinct cardinality — the completeness/cardinality table a
+    * pipeline publishes next to every landed dataset. One scan; the
+    * multi-distinct aggregate runs through Spark's Expand (k+1 streams for
+    * k columns — the standard multi-distinct plan), then one wide row
+    * unpivots via `stack` into one row per column. Exact distincts keep
+    * the profile oracle-checkable; at 100 TB swap `countDistinct` for
+    * `approx_count_distinct` (the Q-AGG4 HLL path) column-by-column —
+    * same shape, no Expand. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to profile")
+    val aggs = cols.flatMap { c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+      countDistinct(col(c)).as(s"__nd_$c")) }
+    val row = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val stacked = cols.map(c => s"'$c', __n, __nulls_$c, __nd_$c").mkString(", ")
+    row.selectExpr(
+      s"stack(${cols.length}, $stacked) as (col_name, n_rows, n_nulls, n_distinct)")
+  }
+
   def report(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
     require(checks.nonEmpty, "at least one check required")
     val aggd = df.agg(

@@ -56,6 +56,16 @@ object ScanSinkQueries extends QueryModule {
         .orderBy("l_returnflag")
     }),
 
+    // Q-DQ2 (round 5): single-pass column profile of orders — per column
+    // row/null/exact-distinct counts (the completeness table published
+    // next to every landed dataset). Multi-distinct runs through Expand;
+    // at 100 TB the same shape swaps countDistinct for the Q-AGG4 HLL.
+    "q_dq2" -> ((s, d) =>
+      graft.operators.DataQuality.profile(Tables.load(s, d, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate"))
+        .orderBy("col_name")),
+
     // Q-SKEW2 (round 5): key-skew diagnostics — the top-10 heaviest event
     // users with share + skew ratio (measure BEFORE you salt: the report
     // that justifies q_skew1's two-phase path). One aggregation + a
@@ -148,6 +158,28 @@ object ScanSinkQueries extends QueryModule {
       """SELECT l_returnflag, COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS sum_qty_cents
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_dq2" ->
+      """SELECT col_name, n_rows, n_nulls, n_distinct FROM (
+        |  SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
+        |    CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_nulls,
+        |    CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey', COUNT(*),
+        |    CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+        |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', COUNT(*),
+        |    CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+        |    CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice', COUNT(*),
+        |    CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+        |    CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderdate', COUNT(*),
+        |    CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT),
+        |    CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) FROM orders)
+        |ORDER BY col_name""".stripMargin,
     "q_skew2" ->
       """WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1),
         |t AS (SELECT SUM(cnt) AS total_rows, COUNT(*) AS n_keys FROM c)

@@ -61,6 +61,20 @@ class DataQualitySpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("profile: exact per-column row/null/distinct counts from one pass, no joins") {
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(2L), Some("a")), (Some(2L), None),
+      (None, Some("b"))
+    ).toDF("k", "s")
+    val out = DataQuality.profile(df, Seq("k", "s")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("k") === ((4L, 1L, 2L)), "nulls excluded from distinct")
+    assert(out("s") === ((4L, 1L, 2L)))
+    val plan = DataQuality.profile(df, Seq("k", "s"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"profile must stay one scan:\n$plan")
+  }
+
   test("report is a single aggregation: exactly one Aggregate pair, no joins") {
     val df = Seq((1L, 2.0)).toDF("id", "v")
     val plan = DataQuality.report(df, Seq(
