@@ -66,4 +66,62 @@ object GraphOps {
     }
     pr
   }
+
+  /** Personalized PageRank — [[pageRank]] with the teleport mass pinned to
+    * a SEED set instead of spread uniformly: scores become graph proximity
+    * to the seeds (the data-discovery op: "expand this curated set" —
+    * rank everything by closeness to the documents/domains you already
+    * trust). Same integer arithmetic, same per-iteration shape; the only
+    * change is the base term:
+    *
+    *   base(v) = ((100-d)·1e4 · |V|) div |S|   if v ∈ seeds, else 0
+    *
+    * (total teleport mass matches [[pageRank]]'s (100-d)% of |V|·1e6, so
+    * scores are comparable across the two). Init is the teleport vector
+    * itself. The two counts are driver-side scalars — a setup decision
+    * like the BPE argmax, not per-row data movement. Seeds not present in
+    * the edge list still emit (isolated seeds keep their base mass). */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           seeds: DataFrame, seedCol: String,
+                           iterations: Int, dampingPct: Int = 85): DataFrame = {
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct must be in [0,100], got $dampingPct")
+    val e = edges.select(col(srcCol).cast("long").as("__src"),
+      col(dstCol).cast("long").as("__dst"))
+      .localCheckpoint()
+    val sd = seeds.select(col(seedCol).cast("long").as("vertex"))
+      .distinct().localCheckpoint()
+    val verts = e.select(col("__src").as("vertex"))
+      .union(e.select(col("__dst").as("vertex")))
+      .union(sd.select(col("vertex")))
+      .distinct().localCheckpoint()
+    val nV = verts.count()
+    val nS = sd.count()
+    require(nS > 0, "seed set must be non-empty")
+    val base = ((100L - dampingPct) * 10000L * nV) / nS
+    val outdeg = e.groupBy("__src").agg(count(lit(1)).as("__outdeg"))
+      .localCheckpoint()
+    val teleport = verts
+      .join(sd.withColumn("__isSeed", lit(1)), Seq("vertex"), "left_outer")
+      .select(col("vertex"),
+        when(col("__isSeed").isNotNull, lit(base)).otherwise(lit(0L))
+          .as("__base"))
+      .localCheckpoint()
+    var pr = teleport.select(col("vertex"), col("__base").as("pr_micro"))
+    for (_ <- 1 to iterations) {
+      val contrib = e
+        .join(pr.select(col("vertex").as("__src"), col("pr_micro")), Seq("__src"))
+        .join(outdeg, Seq("__src"))
+        .select(col("__dst"), expr("pr_micro div __outdeg").as("__c"))
+        .groupBy("__dst").agg(sum(col("__c")).as("__s"))
+      pr = teleport
+        .join(contrib.withColumnRenamed("__dst", "vertex"), Seq("vertex"), "left_outer")
+        .select(col("vertex"),
+          (col("__base") + expr(s"($dampingPct * coalesce(__s, 0L)) div 100"))
+            .cast("long").as("pr_micro"))
+        .localCheckpoint()
+    }
+    pr
+  }
 }

@@ -229,9 +229,28 @@ object OpsQueries extends QueryModule {
       GraphOps.pageRank(edges, "src", "dst", PrIters, dampingPct = 85)
         .orderBy("vertex")
     }),
+    // Q-GRAPH2 (round 5): personalized PageRank — teleport pinned to the
+    // BUILDING-segment customers (the curated seed set); scores rank every
+    // vertex by graph proximity to the seeds ("expand this trusted set").
+    // Same integer arithmetic as q_graph1 => hash-exact.
+    "q_graph2" -> ((s, d) => {
+      val edges = Tables.load(s, d, "orders")
+        .join(Tables.load(s, d, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val seeds = Tables.load(s, d, "customer")
+        .where(col("c_mktsegment") === "BUILDING")
+        .select((col("c_custkey") * 2).as("vertex"))
+      GraphOps.personalizedPageRank(edges, "src", "dst", seeds, "vertex",
+          PprIters, dampingPct = 85)
+        .orderBy("vertex")
+    }),
   )
 
   private val PrIters = 5
+  private val PprIters = 4
 
   private val sessWin = "(PARTITION BY user_id ORDER BY ts, event_id)"
   private val gapUs = GapSeconds * 1000000L
@@ -258,8 +277,36 @@ object OpsQueries extends QueryModule {
        |SELECT vertex, pr AS pr_micro FROM it$PrIters ORDER BY vertex""".stripMargin
   }
 
+  private def personalizedPageRankSql: String = {
+    val its = (1 to PprIters).map { i =>
+      s"""it$i AS (SELECT t.vertex,
+         |    CAST(t.base + (85 * COALESCE(SUM(p.pr // od.outdeg), 0)) // 100 AS BIGINT) AS pr
+         |  FROM t LEFT JOIN e ON e.dst = t.vertex
+         |    LEFT JOIN it${i - 1} p ON p.vertex = e.src
+         |    LEFT JOIN od ON od.src = e.src
+         |  GROUP BY t.vertex, t.base)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |s AS (SELECT DISTINCT c_custkey * 2 AS vertex FROM customer
+       |  WHERE c_mktsegment = 'BUILDING'),
+       |v AS (SELECT DISTINCT vertex FROM
+       |  (SELECT src AS vertex FROM e UNION ALL SELECT dst FROM e
+       |   UNION ALL SELECT vertex FROM s)),
+       |od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+       |t AS (SELECT v.vertex,
+       |    CASE WHEN s.vertex IS NOT NULL
+       |      THEN ((100 - 85) * 10000 * (SELECT COUNT(*) FROM v)) // (SELECT COUNT(*) FROM s)
+       |      ELSE 0 END AS base
+       |  FROM v LEFT JOIN s ON s.vertex = v.vertex),
+       |it0 AS (SELECT vertex, CAST(base AS BIGINT) AS pr FROM t),
+       |$its
+       |SELECT vertex, pr AS pr_micro FROM it$PprIters ORDER BY vertex""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_graph1" -> pageRankSql,
+    "q_graph2" -> personalizedPageRankSql,
     "q_priv1" ->
       """SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal,
         |  CAST(gc AS BIGINT) AS cohort_size

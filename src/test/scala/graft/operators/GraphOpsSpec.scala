@@ -31,6 +31,22 @@ class GraphOpsSpec extends SparkSpec {
     assert(pr.toSeq === Seq(1000000L, 1000000L, 1000000L))
   }
 
+  test("personalizedPageRank: mass decays with distance from the seed; isolated seeds keep base") {
+    // chain 0 -> 1 -> 2 -> 3, seed {0}: proximity must order 1 > 2 > 3;
+    // vertex 9 is an isolated seed (no edges) and must still emit its base
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val seeds = Seq(0L, 9L).toDF("v")
+    val pr = GraphOps.personalizedPageRank(edges, "src", "dst", seeds, "v",
+        iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pr.keySet === Set(0L, 1L, 2L, 3L, 9L), "isolated seed present")
+    assert(pr(1L) > pr(2L) && pr(2L) > pr(3L),
+      s"rank must decay along the chain: $pr")
+    // base = 15 * 10000 * 5 vertices / 2 seeds = 375000; non-seeds get 0 base
+    assert(pr(0L) === 375000L && pr(9L) === 375000L)
+    assert(pr(3L) > 0L, "reachable vertex accumulates seed mass")
+  }
+
   test("pageRank: zero iterations returns the uniform init; determinism across runs") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
     val init = GraphOps.pageRank(edges, "src", "dst", iterations = 0)
