@@ -480,6 +480,26 @@ object NearDup {
     docs.join(losers, docs(idCol) === losers("v"), "left_anti")
   }
 
+  /** Keep the BEST document per near-dup cluster — the production form of
+    * [[dedupByComponents]]: min-id survival is arbitrary, a real pipeline
+    * keeps the highest-quality member (longest, best quality score,
+    * freshest). `order` ranks WITHIN a cluster (make it total — end with
+    * the id — or survival is nondeterministic); documents in no cluster
+    * survive untouched. One window over the component key on top of the
+    * component labels; skew bounded by the largest dup cluster. */
+  def dedupByComponentsBest(docs: DataFrame, idCol: String, pairs: DataFrame,
+                            order: Seq[Column]): DataFrame = {
+    require(order.nonEmpty, "need a within-cluster ranking; end it with the id")
+    val comp = connectedComponents(pairs).withColumnRenamed("v", "__v")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__comp")).orderBy(order: _*)
+    docs.join(comp, docs(idCol) === comp("__v"), "left_outer")
+      .withColumn("__comp", coalesce(col("component"), docs(idCol)))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__v", "component", "__comp", "__rn")
+  }
+
   /** Exact Jaccard verification of a candidate-pair list (e.g. from
     * [[lshCandidatePairs]]): joins each (id_a, id_b) to its shingle set and
     * scores it — work is O(|candidates|), independent of corpus size. */

@@ -362,6 +362,18 @@ object TextDedupQueries extends QueryModule {
         .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
         .orderBy("cluster_size")),
 
+    // Q-DEDUP13: quality-aware cluster survival — keep the BEST doc per
+    // verbatim-span dup cluster (longest by n_chars, id tie-break), not
+    // the arbitrary min-id; unclustered docs pass through. The production
+    // form of the q_dedup11 components.
+    "q_dedup13" -> ((s, d) =>
+      NearDup.dedupByComponentsBest(
+          Tables.load(s, d, "documents").select("doc_id", "n_chars"),
+          "doc_id",
+          Shared.spanPairs(s, d).select("id_a", "id_b").distinct(),
+          Seq(col("n_chars").desc, col("doc_id").asc))
+        .orderBy("doc_id")),
+
     // Q-TXT18: bigram count table (the n-gram LM statistic / collocation
     // front door): top-15 bigrams per language by raw count with a
     // deterministic tie-break. One explode + one aggregation; the rank is
@@ -783,6 +795,23 @@ object TextDedupQueries extends QueryModule {
          |  (SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
          |   FROM comp GROUP BY component)
          |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+    "q_dedup13" ->
+      s"""WITH RECURSIVE ${graft.operators.SpanDedup.spanCtes(tokSql, 4, 12)},
+         |pairs AS (SELECT DISTINCT id_a, id_b FROM spans),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |          UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+         |reach(v, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.v),
+         |comp AS (SELECT v, min(r) AS component FROM reach GROUP BY v),
+         |dc AS (SELECT d.doc_id, d.n_chars,
+         |    COALESCE(c.component, d.doc_id) AS comp
+         |  FROM documents d LEFT JOIN comp c ON c.v = d.doc_id)
+         |SELECT doc_id, n_chars FROM (
+         |  SELECT doc_id, n_chars, row_number() OVER (PARTITION BY comp
+         |    ORDER BY n_chars DESC, doc_id) AS rn FROM dc)
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "q_txt18" ->
       s"""WITH t AS (SELECT lang, $tokSql AS toks FROM documents),
          |bg AS (SELECT lang, unnest(list_transform(range(2, len(toks) + 1),

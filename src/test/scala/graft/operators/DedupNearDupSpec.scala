@@ -151,6 +151,18 @@ class DedupNearDupSpec extends SparkSpec {
     assert(kept === Seq(1L, 5L, 9L)) // reps of both clusters + untouched 9
   }
 
+  test("dedupByComponentsBest keeps the highest-quality member, not the min id") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val docs = Seq((1L, 10L), (2L, 99L), (3L, 99L), (5L, 7L), (6L, 50L), (9L, 1L))
+      .toDF("doc_id", "quality")
+    val kept = NearDup.dedupByComponentsBest(docs, "doc_id", pairs,
+        Seq(col("quality").desc, col("doc_id").asc))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    // cluster {1,2,3}: 2 and 3 tie at 99 -> id tie-break keeps 2 (NOT min
+    // id 1); cluster {5,6}: 6 wins on quality; 9 unclustered passes
+    assert(kept === Seq((2L, 99L), (6L, 50L), (9L, 1L)))
+  }
+
   test("exact n-gram Jaccard: dup pair scores 1.0, near-dup high, cross-block excluded") {
     val blocked = docs.withColumn("blk", when(col("doc_id") < 3, "a").otherwise("b"))
     val out = NearDup.exactJaccardPairs(blocked, "doc_id", col("text"), col("blk"), 3, 0.01)
