@@ -44,6 +44,23 @@ object DataQuality {
       s"stack(${cols.length}, $stacked) as (col_name, n_rows, n_nulls, n_distinct)")
   }
 
+  /** Referential-integrity audit of one fact→dim foreign key: row and
+    * distinct-key counts plus how many rows/keys are ORPHANED (no dim
+    * match — the join-loss a silent inner join would eat). One left join
+    * on the key + one aggregate; NULL foreign keys count as orphan rows
+    * but not as keys (countDistinct skips null). Returns ONE row — union
+    * audits across keys and publish next to the dataset. */
+  def fkAudit(fact: DataFrame, factKey: String,
+              dim: DataFrame, dimKey: String): DataFrame = {
+    val d = dim.select(col(dimKey).as("__dk")).distinct()
+    fact.select(col(factKey).as("__fk"))
+      .join(d, col("__fk") === col("__dk"), "left_outer")
+      .agg(count(lit(1)).as("n_fact_rows"),
+        countDistinct(col("__fk")).as("n_distinct_keys"),
+        sum(when(col("__dk").isNull, 1L).otherwise(0L)).as("n_orphan_rows"),
+        countDistinct(when(col("__dk").isNull, col("__fk"))).as("n_orphan_keys"))
+  }
+
   def report(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
     require(checks.nonEmpty, "at least one check required")
     val aggd = df.agg(

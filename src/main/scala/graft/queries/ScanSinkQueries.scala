@@ -66,6 +66,20 @@ object ScanSinkQueries extends QueryModule {
             "o_orderdate"))
         .orderBy("col_name")),
 
+    // Q-DQ3 (round 5): referential-integrity audit — orphan detection on
+    // the two lineitem foreign keys (the join-loss a silent inner join
+    // would eat). One left join + one aggregate per key => hash-exact.
+    "q_dq3" -> ((s, d) => {
+      import graft.operators.DataQuality
+      val li = Tables.load(s, d, "lineitem")
+      DataQuality.fkAudit(li, "l_orderkey", Tables.load(s, d, "orders"), "o_orderkey")
+        .select(lit("l_orderkey->orders").as("fk"), col("*"))
+        .unionByName(
+          DataQuality.fkAudit(li, "l_suppkey", Tables.load(s, d, "supplier"), "s_suppkey")
+            .select(lit("l_suppkey->supplier").as("fk"), col("*")))
+        .orderBy("fk")
+    }),
+
     // Q-SKEW2 (round 5): key-skew diagnostics — the top-10 heaviest event
     // users with share + skew ratio (measure BEFORE you salt: the report
     // that justifies q_skew1's two-phase path). One aggregation + a
@@ -158,6 +172,22 @@ object ScanSinkQueries extends QueryModule {
       """SELECT l_returnflag, COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS sum_qty_cents
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_dq3" ->
+      """SELECT fk, n_fact_rows, n_distinct_keys, n_orphan_rows, n_orphan_keys FROM (
+        |  SELECT 'l_orderkey->orders' AS fk, COUNT(*) AS n_fact_rows,
+        |    CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_distinct_keys,
+        |    CAST(COUNT(*) FILTER (o_orderkey IS NULL) AS BIGINT) AS n_orphan_rows,
+        |    CAST(COUNT(DISTINCT CASE WHEN o_orderkey IS NULL THEN l_orderkey END) AS BIGINT) AS n_orphan_keys
+        |  FROM lineitem LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |    ON l_orderkey = o_orderkey
+        |  UNION ALL
+        |  SELECT 'l_suppkey->supplier', COUNT(*),
+        |    CAST(COUNT(DISTINCT l_suppkey) AS BIGINT),
+        |    CAST(COUNT(*) FILTER (s_suppkey IS NULL) AS BIGINT),
+        |    CAST(COUNT(DISTINCT CASE WHEN s_suppkey IS NULL THEN l_suppkey END) AS BIGINT)
+        |  FROM lineitem LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) s
+        |    ON l_suppkey = s_suppkey)
+        |ORDER BY fk""".stripMargin,
     "q_dq2" ->
       """SELECT col_name, n_rows, n_nulls, n_distinct FROM (
         |  SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,

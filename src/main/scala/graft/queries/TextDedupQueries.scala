@@ -374,6 +374,29 @@ object TextDedupQueries extends QueryModule {
           Seq(col("n_chars").desc, col("doc_id").asc))
         .orderBy("doc_id")),
 
+    // Q-TXT24: vocabulary coverage curve — cumulative token coverage of
+    // the top-50 vocabulary (the vocab-size / OOV-budget table read before
+    // fixing a tokenizer). Distributed: vocab rollup + TakeOrdered top-k;
+    // the single-partition cumsum window runs on the 50 SURVIVORS only.
+    "q_txt24" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wc = Tables.load(s, d, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint() // feeds the total AND the top-k
+      val tot = wc.agg(sum(col("cnt")).as("total"))
+      val o = Window.orderBy(col("cnt").desc, col("w").asc)
+      wc.orderBy(col("cnt").desc, col("w").asc).limit(50)
+        .crossJoin(broadcast(tot))
+        .select(row_number().over(o).cast("long").as("rank"), col("w"), col("cnt"),
+          sum(col("cnt")).over(o.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)).cast("long").as("cum_cnt"),
+          (sum(col("cnt")).over(o.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)).cast("double") / col("total").cast("double"))
+            .as("cum_coverage"))
+        .orderBy("rank")
+    }),
+
     // Q-TXT18: bigram count table (the n-gram LM statistic / collocation
     // front door): top-15 bigrams per language by raw count with a
     // deterministic tie-break. One explode + one aggregation; the rank is
@@ -795,6 +818,17 @@ object TextDedupQueries extends QueryModule {
          |  (SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
          |   FROM comp GROUP BY component)
          |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+    "q_txt24" ->
+      s"""WITH wc AS (SELECT w, COUNT(*) AS cnt
+         |  FROM (SELECT unnest($tokSql) AS w FROM documents) GROUP BY 1),
+         |tot AS (SELECT SUM(cnt) AS total FROM wc),
+         |top AS (SELECT w, cnt FROM wc ORDER BY cnt DESC, w LIMIT 50)
+         |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, w) AS BIGINT) AS rank,
+         |  w, CAST(cnt AS BIGINT) AS cnt,
+         |  CAST(SUM(cnt) OVER (ORDER BY cnt DESC, w ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cnt,
+         |  CAST(SUM(cnt) OVER (ORDER BY cnt DESC, w ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+         |    / CAST(total AS DOUBLE) AS cum_coverage
+         |FROM top CROSS JOIN tot ORDER BY rank""".stripMargin,
     "q_dedup13" ->
       s"""WITH RECURSIVE ${graft.operators.SpanDedup.spanCtes(tokSql, 4, 12)},
          |pairs AS (SELECT DISTINCT id_a, id_b FROM spans),

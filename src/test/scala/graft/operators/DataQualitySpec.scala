@@ -75,6 +75,17 @@ class DataQualitySpec extends SparkSpec {
     assert(!plan.contains("Join"), s"profile must stay one scan:\n$plan")
   }
 
+  test("fkAudit counts orphan rows and keys; null FKs are orphan rows, not keys") {
+    val fact = Seq(Some(1L), Some(1L), Some(2L), Some(7L), Some(7L), None)
+      .map(Tuple1(_)).toDF("fk")
+    val dim = Seq(1L, 2L, 3L).map(Tuple1(_)).toDF("dk")
+    val r = DataQuality.fkAudit(fact, "fk", dim, "dk").head()
+    assert(r.getLong(0) === 6L, "n_fact_rows")
+    assert(r.getLong(1) === 3L, "n_distinct_keys (null skipped)")
+    assert(r.getLong(2) === 3L, "orphan rows: two 7s + one null")
+    assert(r.getLong(3) === 1L, "orphan keys: just 7")
+  }
+
   test("report is a single aggregation: exactly one Aggregate pair, no joins") {
     val df = Seq((1L, 2.0)).toDF("id", "v")
     val plan = DataQuality.report(df, Seq(
