@@ -126,4 +126,52 @@ object Binning {
       .withColumn("bucket",
         (size(filter(col("bounds"), b => b < col(valueCol))) + lit(1)).cast("long"))
       .drop("bounds")
+
+  /** Population stability index between two snapshots of a numeric
+    * column — THE production drift gate for model/pipeline inputs
+    * (PSI < 0.1 stable, 0.1–0.25 watch, > 0.25 investigate). Buckets are
+    * the PREV snapshot's sampled equi-depth boundaries (the same
+    * row-capped deterministic machinery as [[boundariesFromSample]] —
+    * SQL-replicable), both snapshots are bucket-counted at scan speed,
+    * and PSI = Σ_b (p_b − q_b)·ln(p_b/q_b) with add-one smoothing on the
+    * counts (p=(c+1)/(N+n)) so an emptied bucket contributes large finite
+    * drift, never ±∞. Per-bucket terms round ONCE to integer micro-nats
+    * (the q_txt14 transcendental policy), the PSI rollup is an exact
+    * BIGINT sum. Returns one row per bucket (counts + term) plus the
+    * total `psi` on every row.
+    *
+    * Scale shape: one bounded boundary pass on prev, one scan-aggregate
+    * per snapshot, then everything is n-buckets-sized. */
+  def psiReport(prev: DataFrame, next: DataFrame, valueCol: String,
+                keyCol: String, fraction: Double, n: Int,
+                maxSampleRows: Long = 1000000L): DataFrame = {
+    val bounds = boundariesFromSample(prev, valueCol, keyCol, fraction, n,
+      maxSampleRows)
+    val pa = assignByBoundaries(prev, valueCol, bounds)
+      .groupBy("bucket").agg(count(lit(1)).as("n_prev"))
+    val pb = assignByBoundaries(next, valueCol, bounds)
+      .groupBy("bucket").agg(count(lit(1)).as("n_next"))
+    val buckets = prev.sparkSession.range(1, n + 1)
+      .select(col("id").as("bucket"))
+    val na = prev.agg(count(lit(1)).as("__na"))
+    val nb = next.agg(count(lit(1)).as("__nb"))
+    def share(cnt: Column, tot: Column) =
+      (cnt + lit(1L)).cast("double") / (tot + lit(n.toLong)).cast("double")
+    val withTerm = buckets
+      .join(pa, Seq("bucket"), "left_outer")
+      .join(pb, Seq("bucket"), "left_outer")
+      .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .select(col("bucket"),
+        coalesce(col("n_prev"), lit(0L)).as("n_prev"),
+        coalesce(col("n_next"), lit(0L)).as("n_next"),
+        round((share(coalesce(col("n_next"), lit(0L)), col("__nb"))
+            - share(coalesce(col("n_prev"), lit(0L)), col("__na")))
+          * log(share(coalesce(col("n_next"), lit(0L)), col("__nb"))
+              / share(coalesce(col("n_prev"), lit(0L)), col("__na")))
+          * lit(1e6), 0).cast("long").as("term_micro"))
+    val tot = withTerm.agg(sum(col("term_micro")).as("__psi_micro"))
+    withTerm.crossJoin(broadcast(tot))
+      .withColumn("psi", col("__psi_micro").cast("double") / lit(1e6))
+      .drop("__psi_micro")
+  }
 }

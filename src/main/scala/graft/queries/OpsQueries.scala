@@ -163,6 +163,17 @@ object OpsQueries extends QueryModule {
         .orderBy("k", "user_id", "session_seq", "event_id")
     }),
 
+    // Q-DIFF2 (round 5): PSI drift gate between the q_diff1 snapshots —
+    // prev's sampled equi-depth buckets, both snapshots bucket-counted,
+    // add-one-smoothed (p−q)·ln(p/q) terms in exact micro-nats. The
+    // production numeric-drift check (PSI < 0.1 stable).
+    "q_diff2" -> ((s, d) => {
+      val (prev, next) = snapshots(s, d)
+      Binning.psiReport(prev, next, "o_totalprice", "o_orderkey",
+          fraction = 0.05, n = 8)
+        .orderBy("bucket")
+    }),
+
     // Q-ANOM1: per-group z-score outlier flags over supplier daily revenue
     // — exact integer sufficient statistics in ONE group window (single
     // shuffle), raw-IEEE z. Dollar-scale stats keep SUM(v*v) far from
@@ -345,6 +356,38 @@ object OpsQueries extends QueryModule {
          |FROM s GROUP BY user_id, session_seq
          |ORDER BY user_id, session_seq""".stripMargin,
 
+    "q_diff2" ->
+      """WITH prev AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 97 <> 0),
+        |next AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 89 <> 3),
+        |s AS (SELECT o_totalprice, o_orderkey FROM prev
+        |  WHERE ((o_orderkey % 1000000) * 2654435761) % 1000000 < 50000),
+        |t AS (SELECT o_totalprice,
+        |    ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS b FROM s),
+        |bounds AS (SELECT b, max(o_totalprice) AS hi FROM t WHERE b < 8 GROUP BY b),
+        |pa AS (SELECT 1 + (SELECT COUNT(*) FROM bounds WHERE hi < p.o_totalprice) AS bucket,
+        |    COUNT(*) AS n_prev FROM prev p GROUP BY 1),
+        |pb AS (SELECT 1 + (SELECT COUNT(*) FROM bounds WHERE hi < q.o_totalprice) AS bucket,
+        |    COUNT(*) AS n_next FROM next q GROUP BY 1),
+        |na AS (SELECT COUNT(*) AS na FROM prev),
+        |nb AS (SELECT COUNT(*) AS nb FROM next),
+        |bk AS (SELECT unnest(range(1, 9)) AS bucket),
+        |w AS (SELECT bk.bucket,
+        |    COALESCE(n_prev, 0) AS n_prev, COALESCE(n_next, 0) AS n_next,
+        |    CAST(round((CAST(COALESCE(n_next, 0) + 1 AS DOUBLE) / CAST(nb + 8 AS DOUBLE)
+        |        - CAST(COALESCE(n_prev, 0) + 1 AS DOUBLE) / CAST(na + 8 AS DOUBLE))
+        |      * ln((CAST(COALESCE(n_next, 0) + 1 AS DOUBLE) / CAST(nb + 8 AS DOUBLE))
+        |          / (CAST(COALESCE(n_prev, 0) + 1 AS DOUBLE) / CAST(na + 8 AS DOUBLE)))
+        |      * 1e6, 0) AS BIGINT) AS term_micro
+        |  FROM bk LEFT JOIN pa USING (bucket) LEFT JOIN pb USING (bucket)
+        |    CROSS JOIN na CROSS JOIN nb)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(n_prev AS BIGINT) AS n_prev,
+        |  CAST(n_next AS BIGINT) AS n_next, term_micro,
+        |  CAST((SELECT SUM(term_micro) FROM w) AS DOUBLE) / 1e6 AS psi
+        |FROM w ORDER BY bucket""".stripMargin,
     "q_diff1" ->
       """WITH prev AS (
         |  SELECT o_orderkey, o_orderstatus AS old_o_orderstatus,

@@ -116,6 +116,29 @@ class OpsSpec extends SparkSpec {
       Seq(2500.0, 5000.0, 7500.0))
   }
 
+  test("psiReport: identical snapshots score exactly 0; a shifted tail drifts positive and finite") {
+    val prev = spark.range(1, 1001).select(col("id").as("k"),
+      col("id").cast("double").as("v"))
+    val same = Binning.psiReport(prev, prev, "v", "k", fraction = 1.0, n = 4)
+      .collect()
+    assert(same.length === 4)
+    // equal counts + equal totals => every share ratio is exactly 1 =>
+    // every term ln(1)=0 => psi EXACTLY 0
+    assert(same.forall(r => r.getLong(3) === 0L && r.getDouble(4) === 0.0))
+    // shift everything up one bucket width: a quarter of the mass crosses
+    // each boundary (values already in the unbounded top bucket moving
+    // FURTHER up would be invisible to bucket counts — and should be)
+    val drifted = prev.withColumn("v", col("v") + 250.0)
+    val psi = Binning.psiReport(prev, drifted, "v", "k", fraction = 1.0, n = 4)
+      .head().getDouble(4)
+    assert(psi > 0.0 && psi.isFinite, s"drift must be positive and finite, got $psi")
+    // emptied-bucket extreme: everything lands in the top bucket
+    val collapsed = prev.withColumn("v", col("v") + 10000.0)
+    val psiC = Binning.psiReport(prev, collapsed, "v", "k", fraction = 1.0, n = 4)
+      .head().getDouble(4)
+    assert(psiC > psi && psiC.isFinite, "add-one smoothing keeps empty buckets finite")
+  }
+
   test("winsorize clips into the sampled percentile band; tiny samples degrade to no clip") {
     val df = spark.range(1, 1001).select(col("id").as("k"),
       col("id").cast("double").as("v"))
