@@ -396,6 +396,38 @@ object TextOps {
           .as("jaccard"))
   }
 
+  /** Compression-ratio quality signal: deflate(text).length / raw bytes —
+    * the classic cheap spam detector (boilerplate, template floods and
+    * repeated n-grams compress far better than natural prose; used as a
+    * gate in most public web-corpus recipes). Raw DEFLATE at a fixed
+    * level with no header (no gzip mtime), so the byte count is
+    * deterministic for a given JVM zlib — but engine-specific: rows-only
+    * by design (no SQL twin can reproduce another engine's deflate).
+    * A Scala UDF (one deflate per row is inherently per-row CPU — codegen
+    * has nothing to fuse here); at 100 TB this runs where the scan runs
+    * and costs what the bytes cost. */
+  private val deflateLen = udf((s: String) => {
+    if (s == null) 0L
+    else {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.util.zip.DeflaterOutputStream(bos,
+        new java.util.zip.Deflater(6, true))
+      out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+      bos.size().toLong
+    }
+  })
+
+  /** (raw utf8 bytes, deflated bytes, ratio) for each doc; empty text
+    * reports ratio null rather than dividing by zero. */
+  def compressionSignals(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                         text: Column): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol), octet_length(text).cast("long").as("n_bytes"),
+        deflateLen(text).as("n_deflate"))
+      .withColumn("ratio",
+        when(col("n_bytes") > 0,
+          col("n_deflate").cast("double") / col("n_bytes").cast("double")))
+
   /** PII scrubbing — the redaction pass a pre-training pipeline runs over
     * raw text: masks email addresses and phone-like number groups and
     * reports how many of each were found. Patterns are deliberately in the

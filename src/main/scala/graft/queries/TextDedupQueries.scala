@@ -374,6 +374,28 @@ object TextDedupQueries extends QueryModule {
           Seq(col("n_chars").desc, col("doc_id").asc))
         .orderBy("doc_id")),
 
+    // Q-TXT25: compression-ratio quality signal — deflated/raw bytes per
+    // doc (the classic cheap spam gate: repetition compresses). Rows-only:
+    // deflate output is engine-specific; monotonicity + determinism are
+    // spec-asserted.
+    "q_txt25" -> ((s, d) =>
+      TextOps.compressionSignals(Tables.load(s, d, "documents"),
+          "doc_id", col("text"))
+        .orderBy("doc_id")),
+
+    // Q-DEDUP14: the LSH S-curve for the REGISTERED MinHash parameters
+    // (r=4 rows/band, b=8 bands): collision probability as a function of
+    // true Jaccard — the tuning artifact that justifies the threshold the
+    // dedup family operates at. Pure math at 6dp => hash-exact.
+    "q_dedup14" -> ((s, d) => {
+      val steps = s.range(1, 20)
+      steps.select((col("id").cast("double") / lit(20.0)).as("jaccard"))
+        .select(col("jaccard"),
+          round(lit(1.0) - pow(lit(1.0) - pow(col("jaccard"), lit(4.0)), lit(8.0)), 6)
+            .as("p_collide"))
+        .orderBy("jaccard")
+    }),
+
     // Q-TXT24: vocabulary coverage curve — cumulative token coverage of
     // the top-50 vocabulary (the vocab-size / OOV-budget table read before
     // fixing a tokenizer). Distributed: vocab rollup + TakeOrdered top-k;
@@ -818,6 +840,10 @@ object TextDedupQueries extends QueryModule {
          |  (SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
          |   FROM comp GROUP BY component)
          |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+    "q_dedup14" ->
+      """SELECT CAST(i AS DOUBLE) / 20.0 AS jaccard,
+        |  round(1.0 - pow(1.0 - pow(CAST(i AS DOUBLE) / 20.0, 4.0), 8.0), 6) AS p_collide
+        |FROM (SELECT unnest(range(1, 20)) AS i) ORDER BY jaccard""".stripMargin,
     "q_txt24" ->
       s"""WITH wc AS (SELECT w, COUNT(*) AS cnt
          |  FROM (SELECT unnest($tokSql) AS w FROM documents) GROUP BY 1),

@@ -120,6 +120,23 @@ class TextOpsSpec extends SparkSpec {
     assert(m(("b", "c"))._3 === 0L)
   }
 
+  test("compressionSignals: repetition compresses better than prose; deterministic; empty-safe") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam spam spam"),
+      (2L, "the quick brown fox jumps over a lazy dog while rain falls"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val m = TextOps.compressionSignals(docs, "doc_id", col("text")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(m(1L)._3.get < m(2L)._3.get,
+      s"repetitive text must compress better: $m")
+    assert(m(3L)._1 === 0L && m(3L)._3 === None, "empty text yields null ratio")
+    val again = TextOps.compressionSignals(docs, "doc_id", col("text")).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(again === m.view.mapValues(_._2).toMap, "deflate must be bit-repeatable")
+  }
+
   test("contamination report: copied eval doc scores 1.0, fresh doc 0.0, partial in between") {
     val train = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
