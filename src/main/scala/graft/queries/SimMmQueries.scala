@@ -201,6 +201,20 @@ object SimMmQueries extends QueryModule {
           nBytes = 248),
         stride = 64, frameSize = 16)
         .toDF().orderBy("doc_id", "frame_idx")),
+
+    // Multimodal resize path (round 5): stub decimation over genuine
+    // binary payloads via mapPartitions — emitted as sizes + content hash
+    // of the RESIZED payload so the whole distributed transform (not just
+    // its plumbing) is pinned. Rows-only (JVM-generated bytes have no SQL
+    // twin); decimation arithmetic is spec-asserted.
+    "q_mm3" -> ((s, d) =>
+      Multimodal.resizeAll(
+          Multimodal.syntheticMedia(Tables.load(s, d, "documents"), "doc_id",
+            nBytes = 248),
+          factor = 4)
+        .select(col("doc_id"), col("n_bytes_resized"),
+          sha2(col("resized"), 256).as("resized_sha"))
+        .orderBy("doc_id")),
   )
 
   def oracleSql: Map[String, String] = Map(
