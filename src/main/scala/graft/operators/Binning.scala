@@ -141,10 +141,18 @@ object Binning {
     * total `psi` on every row.
     *
     * Scale shape: one bounded boundary pass on prev, one scan-aggregate
-    * per snapshot, then everything is n-buckets-sized. */
-  def psiReport(prev: DataFrame, next: DataFrame, valueCol: String,
+    * per snapshot, then everything is n-buckets-sized.
+    *
+    * NULL values would land silently in bucket 1 (`b < null` is null, the
+    * boundary filter drops it, size 0 ⇒ bucket 1) — masquerading as
+    * low-end drift; both snapshots are null-filtered instead, so a null
+    * RATE change shows up in the row counts, not as fake distribution
+    * movement. Profile nulls with [[DataQuality.profile]]. */
+  def psiReport(prev0: DataFrame, next0: DataFrame, valueCol: String,
                 keyCol: String, fraction: Double, n: Int,
                 maxSampleRows: Long = 1000000L): DataFrame = {
+    val prev = prev0.where(col(valueCol).isNotNull)
+    val next = next0.where(col(valueCol).isNotNull)
     val bounds = boundariesFromSample(prev, valueCol, keyCol, fraction, n,
       maxSampleRows)
     val pa = assignByBoundaries(prev, valueCol, bounds)

@@ -27,6 +27,11 @@ object BpeOps {
   // Spark split runs with limit -1, which KEEPS the trailing "" the
   // end-of-string split position produces — filter it, or it becomes a
   // phantom symbol the pair statistics merge against.
+  // Unit is the UTF-16 code unit, NOT the code point: an astral-plane
+  // character (emoji, rare CJK) splits into its two surrogate halves,
+  // which then merge back like any other pair — consistent (encode uses
+  // the same split) but not byte-level BPE; swap in a codepoint or UTF-8
+  // byte splitter for multilingual corpora.
   private def initialSymbols(word: org.apache.spark.sql.Column) =
     filter(split(word, "(?!^)"), x => x =!= "")
 

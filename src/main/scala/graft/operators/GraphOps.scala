@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Graph-analytics operators over edge lists — the authority-scoring leg
@@ -16,6 +16,18 @@ import org.apache.spark.sql.functions._
   * standard guard for iterative DataFrame jobs.
   */
 object GraphOps {
+
+  // Fail fast on null endpoints: a null id would silently vanish from
+  // every equi-join in the iteration — a truncated graph, not an error
+  // (the same silent-drop class as the compactPartitioned null-partition
+  // fix). Shared by both rank variants.
+  private def checkedEdges(edges: DataFrame, srcCol: String,
+                           dstCol: String): DataFrame = {
+    def nonNull(c: Column, name: String) =
+      when(c.isNull, raise_error(lit(s"null $name edge endpoint"))).otherwise(c)
+    edges.select(nonNull(col(srcCol).cast("long"), srcCol).as("__src"),
+      nonNull(col(dstCol).cast("long"), dstCol).as("__dst"))
+  }
 
   /** Deterministic integer-arithmetic PageRank: ranks carried in micro
     * units (BIGINT), initialized at 1e6 per vertex, updated for a FIXED
@@ -39,8 +51,7 @@ object GraphOps {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct must be in [0,100], got $dampingPct")
-    val e = edges.select(col(srcCol).cast("long").as("__src"),
-      col(dstCol).cast("long").as("__dst"))
+    val e = checkedEdges(edges, srcCol, dstCol)
       .localCheckpoint() // reused every iteration: materialize once
     val verts = e.select(col("__src").as("vertex"))
       .union(e.select(col("__dst").as("vertex")))
@@ -87,9 +98,7 @@ object GraphOps {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct must be in [0,100], got $dampingPct")
-    val e = edges.select(col(srcCol).cast("long").as("__src"),
-      col(dstCol).cast("long").as("__dst"))
-      .localCheckpoint()
+    val e = checkedEdges(edges, srcCol, dstCol).localCheckpoint()
     val sd = seeds.select(col(seedCol).cast("long").as("vertex"))
       .distinct().localCheckpoint()
     val verts = e.select(col("__src").as("vertex"))
