@@ -44,6 +44,43 @@ object Anomaly {
       .withColumn("is_outlier", coalesce(abs(col("z")) > lit(threshold), lit(false)))
   }
 
+  /** Median/MAD robust outlier flags — the robust companion to [[zScores]]:
+    * a z-score gate fails exactly when it matters most (a heavy outlier
+    * inflates the group sigma and hides itself); the median and the median
+    * absolute deviation have a 50% breakdown point, so the flag survives
+    * arbitrarily bad contamination of up to half the group.
+    *
+    * Adds `med`, `mad`, `robust_z` (= |v−med|/mad, null when mad = 0) and
+    * `is_outlier` (|v−med| > k·mad; zero-MAD groups — over half the group
+    * identical — never flag, mirroring zScores' zero-variance convention).
+    *
+    * Determinism: values are scaled to `scale`-dp integers, so every
+    * median is either an integer or an exact .5 midpoint, every deviation
+    * a multiple of 0.25 — all exact in IEEE doubles far below 2^53, and
+    * the interpolated percentile at 0.5 computes identically in Spark and
+    * DuckDB. Hash-exact cross-engine.
+    *
+    * Plan shape: TWO entire-partition window aggregates over the SAME
+    * partitioning — one exchange, each aggregate evaluated once per
+    * group. Exact percentile buffers a group's values in executor memory
+    * (inherently non-mergeable): right when the group is dimension-keyed
+    * (bounded rows per supplier/day); for unbounded groups use the GK
+    * sketch path (SketchOps.gkQuantiles, q_agg13) instead. */
+  def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                     scale: Int, k: Double): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val p10 = math.pow(10.0, scale)
+    val w = Window.partitionBy(groupCol)
+    val v = round(col(valueCol) * lit(p10)).cast("long")
+    val dev = abs(v.cast("double") - col("med"))
+    df.withColumn("med", percentile(v, lit(0.5)).over(w))
+      .withColumn("mad", percentile(dev, lit(0.5)).over(w))
+      .withColumn("robust_z", when(col("mad") > lit(0.0), dev / col("mad")))
+      .withColumn("is_outlier",
+        coalesce(when(col("mad") > lit(0.0), dev > lit(k) * col("mad")),
+          lit(false)))
+  }
+
   /** DuckDB twin of [[zScores]]'s arithmetic for a value expression `x`
     * over window text `w` (same op order, same casts). */
   def sqlZScores(x: String, scale: Int, threshold: Double, w: String): (String, String) = {

@@ -197,6 +197,21 @@ object OpsQueries extends QueryModule {
           "o_totalprice", "o_orderkey", loPct = 5, hiPct = 95, fraction = 0.05)
         .orderBy("o_orderkey")),
 
+    // Q-ANOM3 (round 5): median/MAD robust outliers over the same daily
+    // supplier revenue as q_anom1 — the gate that still fires when a heavy
+    // outlier has inflated the group sigma past the z-threshold. Two
+    // entire-partition windows on ONE partitioning (single shuffle);
+    // integer-dollar values keep every median/deviation exact in doubles.
+    "q_anom3" -> ((s, d) => {
+      val daily = Tables.load(s, d, "lineitem")
+        .groupBy(col("l_suppkey"), col("l_shipdate").cast("date").as("day"))
+        .agg(graft.util.Det.fixedSum(col("l_extendedprice"), 2).as("revenue"))
+      Anomaly.robustOutliers(daily, "l_suppkey", "revenue", scale = 0, k = 3.0)
+        .select("l_suppkey", "day", "revenue", "med", "mad", "robust_z",
+          "is_outlier")
+        .orderBy("l_suppkey", "day")
+    }),
+
     // Q-MODE1: most frequent quantity per (returnflag, linestatus) with a
     // deterministic smallest-value tie-break — two aggregations, the
     // second pre-pruned map-side by WindowGroupLimit.
@@ -489,6 +504,26 @@ object OpsQueries extends QueryModule {
          |  $outlier AS is_outlier
          |FROM daily ORDER BY l_suppkey, day""".stripMargin
     },
+
+    "q_anom3" ->
+      s"""WITH daily AS (
+         |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS day,
+         |    ${sqlFixedSum("l_extendedprice", 2)} AS revenue
+         |  FROM lineitem GROUP BY 1, 2),
+         |a AS (
+         |  SELECT l_suppkey, day, revenue,
+         |    quantile_cont(CAST(round(revenue*1.0, 0) AS BIGINT), 0.5)
+         |      OVER (PARTITION BY l_suppkey) AS med
+         |  FROM daily),
+         |b AS (
+         |  SELECT *, abs(CAST(CAST(round(revenue*1.0, 0) AS BIGINT) AS DOUBLE) - med) AS dev,
+         |    quantile_cont(abs(CAST(CAST(round(revenue*1.0, 0) AS BIGINT) AS DOUBLE) - med), 0.5)
+         |      OVER (PARTITION BY l_suppkey) AS mad
+         |  FROM a)
+         |SELECT l_suppkey, day, revenue, med, mad,
+         |  CASE WHEN mad > 0.0 THEN dev / mad END AS robust_z,
+         |  coalesce(CASE WHEN mad > 0.0 THEN dev > 3.0*mad END, false) AS is_outlier
+         |FROM b ORDER BY l_suppkey, day""".stripMargin,
 
     "q_anom2" ->
       """WITH s AS (

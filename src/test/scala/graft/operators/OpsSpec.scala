@@ -229,6 +229,36 @@ class OpsSpec extends SparkSpec {
     assert(flat.forall(identity), "zero-variance groups must have null z")
   }
 
+  test("robustOutliers: MAD gate fires where the outlier-inflated sigma hides it") {
+    // g1: 21 values (10..29 + one 10000) — the outlier lifts sigma to
+    // ~2200, so EVERY inlier sits at |z| < 1 and a z-gate barely sees the
+    // outlier; median = 20 (11th of 21), deviations sorted give MAD = 5
+    // ⇒ only 10000 crosses 3·MAD. "flat": MAD = 0 ⇒ never flagged.
+    // "single": 1 row, MAD 0.
+    val df = ((10 to 29).map(v => ("g1", v, v.toDouble)) :+ ("g1", 99, 10000.0))
+      .++(Seq(("flat", 1, 5.0), ("flat", 2, 5.0), ("flat", 3, 6.0),
+        ("single", 1, 42.0)))
+      .toDF("g", "i", "v")
+    val out = Anomaly.robustOutliers(df, "g", "v", scale = 0, k = 3.0)
+    val flagged = out.where(col("is_outlier")).select("g", "i")
+      .as[(String, Int)].collect().toSet
+    assert(flagged === Set(("g1", 99)))
+    val g1 = out.where(col("g") === "g1").select("med", "mad").head()
+    assert(g1.getDouble(0) === 20.0 && g1.getDouble(1) === 5.0)
+    val zeroMad = out.where(col("g").isin("flat", "single"))
+      .select("robust_z").collect()
+    assert(zeroMad.forall(_.isNullAt(0)),
+      "zero-MAD groups must have null robust_z")
+    assert(out.where(col("g") === "flat" && col("mad") =!= 0.0).count() === 0)
+  }
+
+  test("robustOutliers: two windows share ONE exchange") {
+    val df = Seq(("g", 1, 1.0)).toDF("g", "i", "v")
+    val plan = Anomaly.robustOutliers(df, "g", "v", scale = 0, k = 3.0)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size === 1, plan)
+  }
+
   test("zScores stays exact when v*v exceeds BIGINT (decimal sufficient statistics)") {
     // |v| = 4e9 => v*v = 1.6e19 > Long.MaxValue: a BIGINT accumulator
     // silently wraps (and diverges from DuckDB's HUGEINT); the decimal
