@@ -469,6 +469,17 @@ object NearDup {
       labels = next
       i += 1
     }
+    // Fail fast rather than return half-merged clusters: un-converged
+    // labels would flow into dedupByComponents* as SPLIT clusters — extra
+    // survivors, i.e. silently incomplete dedup. O(diameter) rounds cover
+    // any real dup cluster in a handful; hitting the cap means a
+    // pathological chain (or maxIter set too low for it) and the caller
+    // must decide, not inherit wrong labels.
+    if (changed)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds; " +
+        "raise maxIter (labels were still changing — long chain-shaped " +
+        "component in the candidate pairs?)")
     labels
   }
 

@@ -151,6 +151,19 @@ class DedupNearDupSpec extends SparkSpec {
     assert(kept === Seq(1L, 5L, 9L)) // reps of both clusters + untouched 9
   }
 
+  test("connected components: unproven convergence at maxIter fails fast, never returns split clusters") {
+    // A length-8 path needs ~7 propagation rounds; maxIter=3 must throw
+    // (silently returning the half-merged labels would mean extra dedup
+    // survivors downstream), while the default cap converges it fine.
+    val chain = (1L to 7L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    assertThrows[IllegalStateException] {
+      NearDup.connectedComponents(chain, maxIter = 3).collect()
+    }
+    val cc = NearDup.connectedComponents(chain).as[(Long, Long)]
+      .collect().toMap
+    assert(cc === (1L to 8L).map(_ -> 1L).toMap)
+  }
+
   test("dedupByComponentsBest keeps the highest-quality member, not the min id") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
     val docs = Seq((1L, 10L), (2L, 99L), (3L, 99L), (5L, 7L), (6L, 50L), (9L, 1L))
