@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryModule, Tables}
-import graft.operators.TimeSeriesOps
+import graft.operators.{TimeSeriesOps, Trend}
 import graft.util.Det.sqlFixedSum
 
 /** Reshaping + time-series regularization: pivot/unpivot and the
@@ -55,6 +55,22 @@ object ReshapeQueries extends QueryModule {
         .select("l_suppkey", "day", "v_filled")
         .orderBy("l_suppkey", "day")
     }),
+
+    // Q-TS3 (round 5): per-supplier revenue trend — OLS slope/intercept of
+    // daily revenue (integer cents) over the day index, closed-form from
+    // ONE aggregation of exact sufficient statistics (decimal accumulators;
+    // a BIGINT Σxv wraps silently at warehouse scale). No window, no join;
+    // constant-regressor keys get null slope, never a fabricated trend.
+    "q_ts3" -> ((s, d) => {
+      val daily = Tables.load(s, d, "lineitem")
+        .groupBy(col("l_suppkey"), col("l_shipdate").cast("date").as("day"))
+        .agg(sum(round(col("l_extendedprice") * lit(100.0)).cast("long"))
+          .as("cents"))
+      Trend.slopes(daily, "l_suppkey",
+          datediff(col("day"), lit("1995-01-01")), "cents", scale = 0)
+        .select("l_suppkey", "n", "slope", "intercept")
+        .orderBy("l_suppkey")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -101,5 +117,18 @@ object ReshapeQueries extends QueryModule {
          |       FROM j)
          |SELECT l_suppkey, day, max(v) OVER (PARTITION BY l_suppkey, grp) AS v_filled
          |FROM g2 ORDER BY l_suppkey, day""".stripMargin,
+    "q_ts3" -> {
+      val (slope, intercept, n) = Trend.sql("x", "cents", scale = 0)
+      s"""WITH daily AS (
+         |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS day,
+         |    SUM(CAST(round(l_extendedprice*100.0, 0) AS BIGINT)) AS cents
+         |  FROM lineitem GROUP BY 1, 2),
+         |obs AS (
+         |  SELECT l_suppkey, date_diff('day', DATE '1995-01-01', day) AS x,
+         |    cents
+         |  FROM daily)
+         |SELECT l_suppkey, $n AS n, $slope AS slope, $intercept AS intercept
+         |FROM obs GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin
+    },
   )
 }

@@ -252,6 +252,29 @@ class OpsSpec extends SparkSpec {
     assert(out.where(col("g") === "flat" && col("mad") =!= 0.0).count() === 0)
   }
 
+  test("Trend.slopes: exact line recovered; constant regressor yields null, never a fake trend") {
+    val df = Seq(
+      ("up", 0L, 10.0), ("up", 1L, 12.0), ("up", 2L, 14.0),
+      ("flatx", 5L, 1.0), ("flatx", 5L, 2.0), ("one", 3L, 7.0))
+      .toDF("k", "x", "v")
+    val out = Trend.slopes(df, "k", col("x"), "v", scale = 0)
+      .select("k", "slope", "intercept").collect()
+      .map(r => r.getString(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(out("up") === (Some(2.0), Some(10.0))) // small ints: IEEE-exact
+    assert(out("flatx") === (None, None), "zero denominator must null out")
+    assert(out("one") === (None, None), "single observation has no trend")
+  }
+
+  test("Trend.slopes: decimal accumulators survive a product sum past BIGINT") {
+    // x=100, v=9.2e17 => one x*v term is 9.2e19 > Long.MaxValue: a BIGINT
+    // accumulator wraps to garbage (and a bare long PRODUCT wraps before
+    // summing); the decimal path recovers the true slope 9.2e15.
+    val df = Seq(("g", 0L, 0.0), ("g", 100L, 9.2e17)).toDF("k", "x", "v")
+    val slope = Trend.slopes(df, "k", col("x"), "v", scale = 0)
+      .select("slope").head().getDouble(0)
+    assert(math.abs(slope / 9.2e15 - 1.0) < 1e-9, slope.toString)
+  }
+
   test("robustOutliers: two windows share ONE exchange") {
     val df = Seq(("g", 1, 1.0)).toDF("g", "i", "v")
     val plan = Anomaly.robustOutliers(df, "g", "v", scale = 0, k = 3.0)
