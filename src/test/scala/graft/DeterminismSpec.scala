@@ -117,6 +117,20 @@ class DeterminismSpec extends SparkSpec {
     }
   }
 
+  test("round-5 numeric operators are invariant under input repartitioning") {
+    import graft.operators.{Anomaly, Trend}
+    val ev = (0 until 200).map { i =>
+      (i.toLong % 7, i.toLong, (i % 13) / 4.0 + (if (i % 50 == 0) 100.0 else 0.0))
+    }.toDF("k", "x", "v")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    def all(parts: Int): Seq[Set[Seq[Any]]] = Seq(
+      rows(Anomaly.robustOutliers(ev.repartition(parts), "k", "v", 2, 3.0)),
+      rows(Trend.slopes(ev.repartition(parts), "k", col("x"), "v", 2)))
+    all(1).zip(all(7)).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a === b, s"operator #$i diverged under repartitioning")
+    }
+  }
+
   test("batchByRange ids are independent of the range-partition count") {
     val src = Tables.load(spark, sf, "orders").select("o_orderkey")
     def ids(parts: Int) =
