@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryModule, Tables}
-import graft.operators.{Anomaly, Binning, DataSplit, GraphOps, IntervalJoin, Privacy, Sessionize, SnapshotDiff}
+import graft.operators.{Anomaly, Binning, DataSplit, GraphOps, IntervalJoin, Normalize, Privacy, Sessionize, SnapshotDiff}
 import graft.util.Det.sqlFixedSum
 
 /** Operational pipeline queries (round 4): gap sessionization over the
@@ -209,6 +209,22 @@ object OpsQueries extends QueryModule {
       Anomaly.robustOutliers(daily, "l_suppkey", "revenue", scale = 0, k = 3.0)
         .select("l_suppkey", "day", "revenue", "med", "mad", "robust_z",
           "is_outlier")
+        .orderBy("l_suppkey", "day")
+    }),
+
+    // Q-NORM1 (round 5): per-supplier feature scaling of daily revenue —
+    // min-max to [0,1] (null for constant groups) + outlier-robust
+    // percent_rank under a total order. Both windows share the supplier
+    // partitioning: ONE shuffle for the pair. Cents-exact inputs make the
+    // min-max quotient a single IEEE division of exact integers.
+    "q_norm1" -> ((s, d) => {
+      val daily = Tables.load(s, d, "lineitem")
+        .groupBy(col("l_suppkey"), col("l_shipdate").cast("date").as("day"))
+        .agg(graft.util.Det.fixedSum(col("l_extendedprice"), 2).as("revenue"))
+      Normalize.percentRank(
+          Normalize.minMax(daily, "l_suppkey", "revenue", scale = 2, "rev_mm"),
+          "l_suppkey", Seq(col("revenue"), col("day")), "rev_pr")
+        .select("l_suppkey", "day", "revenue", "rev_mm", "rev_pr")
         .orderBy("l_suppkey", "day")
     }),
 
@@ -504,6 +520,27 @@ object OpsQueries extends QueryModule {
          |  $outlier AS is_outlier
          |FROM daily ORDER BY l_suppkey, day""".stripMargin
     },
+
+    "q_norm1" ->
+      s"""WITH daily AS (
+         |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS day,
+         |    ${sqlFixedSum("l_extendedprice", 2)} AS revenue
+         |  FROM lineitem GROUP BY 1, 2),
+         |v AS (
+         |  SELECT l_suppkey, day, revenue,
+         |    CAST(round(revenue*100.0, 0) AS BIGINT) AS cents
+         |  FROM daily),
+         |w AS (
+         |  SELECT l_suppkey, day, revenue,
+         |    CAST(cents AS DOUBLE) AS cd,
+         |    CAST(min(cents) OVER (PARTITION BY l_suppkey) AS DOUBLE) AS mn,
+         |    CAST(max(cents) OVER (PARTITION BY l_suppkey) AS DOUBLE) AS mx,
+         |    percent_rank() OVER (PARTITION BY l_suppkey ORDER BY revenue, day) AS rev_pr
+         |  FROM v)
+         |SELECT l_suppkey, day, revenue,
+         |  CASE WHEN mx > mn THEN (cd - mn) / (mx - mn) END AS rev_mm,
+         |  rev_pr
+         |FROM w ORDER BY l_suppkey, day""".stripMargin,
 
     "q_anom3" ->
       s"""WITH daily AS (

@@ -252,6 +252,36 @@ class OpsSpec extends SparkSpec {
     assert(out.where(col("g") === "flat" && col("mad") =!= 0.0).count() === 0)
   }
 
+  test("Normalize: min-max hits exact endpoints, nulls constant groups; percent_rank is outlier-robust") {
+    val df = Seq(
+      ("g", 1, 10.0), ("g", 2, 20.0), ("g", 3, 30.0), ("g", 4, 1000000.0),
+      ("const", 1, 5.0), ("const", 2, 5.0))
+      .toDF("k", "i", "v")
+    val out = Normalize.percentRank(
+        Normalize.minMax(df, "k", "v", scale = 2, "mm"),
+        "k", Seq(col("v"), col("i")), "pr")
+      .select("k", "i", "mm", "pr").collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (Option(r.get(2)), r.getDouble(3))).toMap
+    assert(out(("g", 1)) === (Some(0.0), 0.0)) // exact endpoints
+    assert(out(("g", 4)) === (Some(1.0), 1.0))
+    // the outlier squashes min-max (20 maps to ~1e-5) but percent_rank
+    // keeps the inliers evenly spread — the robustness claim
+    assert(out(("g", 2))._1.get.asInstanceOf[Double] < 1e-4)
+    assert(out(("g", 2))._2 === 1.0 / 3.0)
+    assert(out(("const", 1))._1 === None, "constant group must null min-max")
+    assert(out(("const", 1))._2 === 0.0) // ties: percent_rank of first = 0
+  }
+
+  test("Normalize: the min-max + rank pair costs ONE exchange") {
+    val df = Seq(("g", 1, 1.0)).toDF("k", "i", "v")
+    val plan = Normalize.percentRank(
+        Normalize.minMax(df, "k", "v", scale = 2, "mm"),
+        "k", Seq(col("v"), col("i")), "pr")
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size === 1, plan)
+  }
+
   test("Trend.slopes: exact line recovered; constant regressor yields null, never a fake trend") {
     val df = Seq(
       ("up", 0L, 10.0), ("up", 1L, 12.0), ("up", 2L, 14.0),
