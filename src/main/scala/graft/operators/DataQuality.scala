@@ -35,13 +35,21 @@ object DataQuality {
     * same shape, no Expand. */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "need at least one column to profile")
-    val aggs = cols.flatMap { c => Seq(
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
-      countDistinct(col(c)).as(s"__nd_$c")) }
-    val row = df.agg(count(lit(1)).as("__n"), aggs: _*)
-    val stacked = cols.map(c => s"'$c', __n, __nulls_$c, __nd_$c").mkString(", ")
-    row.selectExpr(
-      s"stack(${cols.length}, $stacked) as (col_name, n_rows, n_nulls, n_distinct)")
+    // Built entirely with the functions API (aggregates nested inside
+    // struct/array, labels via lit(c)) — no selectExpr string to re-parse,
+    // so a column named `weird name`, `a'b` or `a.b` profiles fine. The
+    // inline() unpivot replaces the old stack() selectExpr one-for-one.
+    // col() itself parses dots as nested-field access, so names are
+    // backquoted (embedded backticks doubled) before resolution.
+    def c0(c: String): Column = col("`" + c.replace("`", "``") + "`")
+    val entries = cols.map { c =>
+      struct(lit(c).as("col_name"),
+        count(lit(1)).as("n_rows"),
+        sum(when(c0(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct(c0(c)).as("n_distinct"))
+    }
+    df.agg(array(entries: _*).as("__profile"))
+      .select(inline(col("__profile")))
   }
 
   /** Referential-integrity audit of one fact→dim foreign key: row and

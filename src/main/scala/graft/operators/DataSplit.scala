@@ -61,13 +61,18 @@ object DataSplit {
     * partitions — the production path needs the KEY, never a dense
     * row_number (which would serialize each epoch through one task).
     * Same-key rows keep identical keys whatever else is in the corpus
-    * (resumable, join-stable), and the order is SQL-replicable. */
+    * (resumable, join-stable), and the order is SQL-replicable. The key is
+    * pre-reduced mod 1e6 BEFORE the epoch multiply — congruent
+    * ((k mod m)·e + i ≡ k·e + i mod m) and the product stays < 1e6·epochs,
+    * so xxhash64-scale keys never wrap BIGINT on either engine (a raw
+    * k·epochs wraps silently in non-ANSI Spark above 2^63/epochs while the
+    * BIGINT oracle errors). */
   def epochShuffleKeys(df: DataFrame, keyCol: String, epochs: Int): DataFrame = {
     require(epochs >= 1, s"epochs must be >= 1, got $epochs")
     df.withColumn("epoch",
         explode(sequence(lit(0), lit(epochs - 1)).cast("array<bigint>")))
       .withColumn("shuffle_key",
-        knuthBucket(col(keyCol) * lit(epochs.toLong) + col("epoch")))
+        knuthBucket(pmod(col(keyCol), lit(KnuthBuckets)) * lit(epochs.toLong) + col("epoch")))
   }
 
   /** Deterministic hash sample: keep ~fraction of rows by key hash.

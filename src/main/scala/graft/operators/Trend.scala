@@ -39,7 +39,14 @@ object Trend {
     val agg = df.groupBy(col(keyCol))
       .agg(count(lit(1)).as("n"),
         sum(xd).as("__sx"), sum(vd).as("__sy"),
-        sum(xd * vd).as("__sxy"), sum(xd * xd).as("__sxx"))
+        sum(xd * vd).as("__sxy"), sum(xd * xd).as("__sxx"),
+        // EXACT degenerate-regressor detector: for large-magnitude x
+        // (epoch-microsecond regressors, n·Σx² ≫ 2^53) a mathematically-
+        // zero denominator can double-round to a tiny POSITIVE value, so
+        // a denom>0 test alone would emit an enormous garbage slope —
+        // and both engines would compute it identically, hiding it from
+        // the hash-exact oracle. countDistinct is integer-exact.
+        countDistinct(xd).as("__ndx"))
     val n = col("n").cast("double")
     val sx = col("__sx").cast("double")
     val sy = col("__sy").cast("double")
@@ -47,10 +54,14 @@ object Trend {
     val sxx = col("__sxx").cast("double")
     val denom = n * sxx - sx * sx
     val slope = (n * sxy - sx * sy) / denom
-    agg.withColumn("slope", when(denom > lit(0.0), slope))
+    // denom>0 stays as a second guard: with ≥2 distinct x the true denom
+    // is strictly positive (Cauchy–Schwarz), but catastrophic cancellation
+    // can still round it to 0 — better null than ±Infinity.
+    val ok = col("__ndx") > lit(1) && denom > lit(0.0)
+    agg.withColumn("slope", when(ok, slope))
       .withColumn("intercept",
-        when(denom > lit(0.0), (sy - slope * sx) / n))
-      .drop("__sx", "__sy", "__sxy", "__sxx")
+        when(ok, (sy - slope * sx) / n))
+      .drop("__sx", "__sy", "__sxy", "__sxx", "__ndx")
   }
 
   /** DuckDB twin of [[slopes]]' arithmetic for regressor text `x` and
@@ -67,8 +78,11 @@ object Trend {
     val sxx = s"CAST(SUM(($x)*($x)) AS DOUBLE)"
     val denom = s"($n*$sxx - $sx*$sx)"
     val slope = s"($n*$sxy - $sx*$sy) / $denom"
-    (s"CASE WHEN $denom > 0.0 THEN $slope END",
-     s"CASE WHEN $denom > 0.0 THEN ($sy - ($slope)*$sx) / $n END",
+    // Same exact guard as the Spark side: COUNT(DISTINCT x) > 1 catches the
+    // constant regressor even when the IEEE denom rounds to a tiny positive.
+    val ok = s"(COUNT(DISTINCT $x) > 1 AND $denom > 0.0)"
+    (s"CASE WHEN $ok THEN $slope END",
+     s"CASE WHEN $ok THEN ($sy - ($slope)*$sx) / $n END",
      "COUNT(*)")
   }
 }

@@ -781,7 +781,7 @@ object TextDedupQueries extends QueryModule {
         |ORDER BY d.doc_id""".stripMargin,
     "q_sample9" ->
       """SELECT doc_id, epoch,
-        |  (((doc_id * 3 + epoch) % 1000000) * 2654435761) % 1000000 AS shuffle_key
+        |  ((((doc_id % 1000000) * 3 + epoch) % 1000000) * 2654435761) % 1000000 AS shuffle_key
         |FROM documents CROSS JOIN (SELECT unnest(range(0, 3)) AS epoch)
         |ORDER BY epoch, shuffle_key, doc_id""".stripMargin,
     "q_sample8" ->

@@ -75,6 +75,17 @@ class DataQualitySpec extends SparkSpec {
     assert(!plan.contains("Join"), s"profile must stay one scan:\n$plan")
   }
 
+  test("profile survives column names with quotes, spaces and dots") {
+    val weird = Seq("it's", "two words", "looks.nested")
+    val df = Seq((1L, "a", 2.0), (1L, null, 3.0))
+      .toDF(weird: _*)
+    val out = DataQuality.profile(df, weird).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("it's") === ((2L, 0L, 1L)))
+    assert(out("two words") === ((2L, 1L, 1L)))
+    assert(out("looks.nested") === ((2L, 0L, 2L)))
+  }
+
   test("fkAudit counts orphan rows and keys; null FKs are orphan rows, not keys") {
     val fact = Seq(Some(1L), Some(1L), Some(2L), Some(7L), Some(7L), None)
       .map(Tuple1(_)).toDF("fk")

@@ -117,6 +117,22 @@ class DataSplitSpec extends SparkSpec {
     assert(sub.forall { case (k, v) => out(k) === v })
   }
 
+  test("epochShuffleKeys: xxhash64-scale keys never wrap (pre-reduced before the epoch multiply)") {
+    // A raw key*epochs wraps BIGINT for |key| > Long.MaxValue/epochs; the
+    // pre-reduction keeps the product < 1e6*epochs and congruent mod 1e6,
+    // so huge keys get the same bucket as their mod-1e6 residue.
+    val huge = Long.MaxValue - 3L
+    val df = Seq(huge, huge - 1000000L, 42L).map(Tuple1(_)).toDF("doc_id")
+    val out = DataSplit.epochShuffleKeys(df, "doc_id", 7).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.size === 21)
+    assert(out.values.forall(k => k >= 0 && k < 1000000L), "bucket range")
+    // congruence: keys sharing a mod-1e6 residue share every epoch's key
+    (0L until 7L).foreach { e =>
+      assert(out((huge, e)) === out((huge - 1000000L, e)), s"epoch $e")
+    }
+  }
+
   test("chunking: exact chunks with overlap, short docs yield one chunk") {
     val df = Seq("abcdefghij", "ab").toDF("text")
     val out = df.select(col("text"), TextOps.chunks(col("text"), 4, 1).as("c"))

@@ -305,6 +305,18 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(slope / 9.2e15 - 1.0) < 1e-9, slope.toString)
   }
 
+  test("Trend.slopes: constant large-magnitude regressor nulls out even if the IEEE denom rounds positive") {
+    // x identical at epoch-microsecond magnitude: n*sumXX and sumX^2 are
+    // ~4.3e33 each (ulp ~5e17), so the mathematically-zero denominator is
+    // at the mercy of double rounding — the countDistinct guard must null
+    // the slope regardless of which way it rounds.
+    val x = 1723500000000000L // ~2024 in epoch micros
+    val df = Seq(("k", x, 1.0), ("k", x, 5.0), ("k", x, 9.0)).toDF("k", "x", "v")
+    val r = Trend.slopes(df, "k", col("x"), "v", scale = 2).head()
+    assert(r.isNullAt(r.fieldIndex("slope")), "constant regressor => null slope")
+    assert(r.isNullAt(r.fieldIndex("intercept")))
+  }
+
   test("robustOutliers: two windows share ONE exchange") {
     val df = Seq(("g", 1, 1.0)).toDF("g", "i", "v")
     val plan = Anomaly.robustOutliers(df, "g", "v", scale = 0, k = 3.0)
