@@ -167,6 +167,8 @@ object ScaleBench {
       wa.unpersist(); wb.unpersist()
       Sessionize.sessionStats(syntheticEventsSkewed(spark, 2000L),
         "user_id", "ts", 1800L, "value", "event_id").count()
+      NearDup.connectedComponents(
+        spark.range(200L).select(col("id").as("id_a"), (col("id") + 1L).as("id_b"))).count()
       Binning.boundariesFromSample(syntheticValues(spark, 10000L),
         "v", "k", fraction = 0.05, n = 8, maxSampleRows = 2000L).count()
     }
@@ -266,6 +268,24 @@ object ScaleBench {
           "k", "a_s", "a_e", "b_s", "b_e", bucketWidth = 5000L).count()
       }
       sa.unpersist(); sb.unpersist()
+    }
+
+    // ---- connected components on the worst-case shape: ONE path --------
+    // Diameter = n, the exact graph O(diameter) label propagation
+    // fail-fasted on (round-5 verdict). Large-star/small-star runs
+    // O(log n) rounds of ~constant shuffle count, so wall growth per
+    // decade must be ~(10x data) x ((log n + 3.3)/log n) — near-linear,
+    // NOT the 10x-more-rounds blowup of propagation. maxIter=40 headroom
+    // only because 2^20 ~ the 100x path length sits at the default cap.
+    for (scale <- Seq(1L, 10L, 100L)) {
+      val nCh = 10000L * scale
+      val chain = spark.range(nCh)
+        .select(col("id").as("id_a"), (col("id") + 1L).as("id_b"))
+        .localCheckpoint()
+      timed("connected_components_chain", nCh) {
+        NearDup.connectedComponents(chain, maxIter = 40).count()
+      }
+      chain.unpersist()
     }
 
     // ---- hyperplane-LSH: pinned planes vs AutoPlanes, 1x / 10x ----------

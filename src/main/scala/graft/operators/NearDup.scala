@@ -434,53 +434,94 @@ object NearDup {
 
   /** Connected components over a candidate-pair edge list — the final
     * stage of a dedup pipeline: near-dup pairs form clusters, and exactly
-    * one document per cluster survives. Iterative min-label propagation
-    * (converges in O(cluster diameter) rounds — tiny for dup clusters),
-    * with `localCheckpoint` per round to truncate the growing lineage,
-    * which is what makes iterative DataFrame algorithms viable at scale.
-    * Returns (v, component) where component = min vertex id reachable. */
+    * one document per cluster survives. Alternating LARGE-STAR/SMALL-STAR
+    * rounds (the Kiveris et al. "Connected Components in MapReduce and
+    * Beyond" scheme, also what GraphFrames ships): each round rewires every
+    * edge toward its neighborhood minimum, so component HEIGHT roughly
+    * halves per round and a path of n vertices finishes in O(log n) rounds
+    * — where plain min-label propagation needs O(diameter) rounds and
+    * fail-fasts on exactly the chain-shaped clusters (template pages
+    * A~B~C~…) a web-scale near-dup graph produces. `localCheckpoint` per
+    * round truncates the growing lineage, which is what keeps iterative
+    * DataFrame algorithms viable at scale.
+    * Returns (v, component) for every vertex mentioned in `pairs`, where
+    * component = min vertex id reachable. */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b", maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+    // Orient every edge hi→lo; self-loops drop out of the iteration (their
+    // vertices are restored by the final vertex join).
+    val init = pairs
+      .select(col(idA).as("u"), col(idB).as("v"))
+      .where(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
       .distinct().localCheckpoint()
-    var labels = edges.select(col("src").as("v")).distinct()
-      .withColumn("component", col("v")).localCheckpoint()
-    // Convergence check: min-propagation labels are element-wise
-    // NON-INCREASING (each vertex takes min over itself + neighbors), so
-    // the label sum strictly decreases iff any label changed — one
-    // aggregation scan per round instead of a self-join + filter + count.
-    def labelSum(df: DataFrame): java.math.BigDecimal = {
-      val r = df.agg(sum(col("component").cast("decimal(38,0)"))).head()
-      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+
+    // LARGE-STAR: per vertex u over the SYMMETRIZED adjacency, m =
+    // min(N(u) ∪ {u}); every strictly-larger neighbor v > u re-points to m.
+    // Min is algebraic, so the hot component-root key collapses map-side;
+    // the join back duplicates one mins row per adjacency row (AQE splits
+    // the skewed partition).
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("__mn"))
+        .select(col("u").as("__u"), least(col("__mn"), col("u")).as("__m"))
+      sym.join(mins, col("u") === col("__u"))
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("__m").as("v")) // m <= u < v: stays hi→lo
+        .distinct()
     }
-    var prevSum = labelSum(labels)
-    var changed = true
+
+    // SMALL-STAR: per vertex u over its SMALLER neighbors (input is
+    // oriented hi→lo, so they are exactly the v column), m = min; every
+    // smaller neighbor and u itself re-point to m.
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("u").agg(min("v").as("__m"))
+        .select(col("u").as("__u"), col("__m"))
+      e.join(mins, col("u") === col("__u"))
+        .select(col("v").as("a"), col("__m").as("b"))
+        .where(col("a") =!= col("b"))
+        .select(greatest(col("a"), col("b")).as("u"),
+          least(col("a"), col("b")).as("v"))
+        .unionByName(mins.select(col("__u").as("u"), col("__m").as("v")))
+        .distinct()
+    }
+
+    var cur = init
+    var prevCount = cur.count()
+    var converged = false
     var i = 0
-    while (changed && i < maxIter) {
-      val msgs = edges.join(labels, edges("src") === labels("v"))
-        .select(col("dst").as("v"), col("component"))
-      val next = labels.unionByName(msgs)
-        .groupBy("v").agg(min("component").as("component"))
-        .localCheckpoint()
-      val nextSum = labelSum(next)
-      changed = nextSum.compareTo(prevSum) != 0
-      prevSum = nextSum
-      labels = next
+    while (!converged && i < maxIter) {
+      val next = smallStar(largeStar(cur)).localCheckpoint()
+      val nextCount = next.count()
+      // Exact set-equality convergence (both sides are distinct): equal
+      // cardinality + empty next∖cur ⇒ identical edge sets. At the
+      // fixpoint the graph is a forest of stars centered at each
+      // component's minimum — no probabilistic hash compare, a false
+      // "converged" would silently split clusters.
+      converged = nextCount == prevCount && next.exceptAll(cur).isEmpty
+      prevCount = nextCount
+      cur = next
       i += 1
     }
     // Fail fast rather than return half-merged clusters: un-converged
     // labels would flow into dedupByComponents* as SPLIT clusters — extra
-    // survivors, i.e. silently incomplete dedup. O(diameter) rounds cover
-    // any real dup cluster in a handful; hitting the cap means a
-    // pathological chain (or maxIter set too low for it) and the caller
+    // survivors, i.e. silently incomplete dedup. O(log n) rounds cover
+    // even a path-shaped component of 2^maxIter vertices, so hitting the
+    // cap at the default means something pathological, and the caller
     // must decide, not inherit wrong labels.
-    if (changed)
+    if (!converged)
       throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter rounds; " +
-        "raise maxIter (labels were still changing — long chain-shaped " +
-        "component in the candidate pairs?)")
-    labels
+        s"connectedComponents did not converge in $maxIter large-star/" +
+        "small-star rounds; raise maxIter (the edge set was still moving)")
+    // Fixpoint edges are (member, root). Every endpoint of the ORIGINAL
+    // pair list gets a label; vertices no fixpoint edge mentions (isolated
+    // self-loops) are their own component.
+    val verts = pairs.select(col(idA).as("v"))
+      .unionAll(pairs.select(col(idB).as("v"))).distinct()
+    val members = cur.select(col("u").as("__mv"), col("v").as("__comp"))
+    verts.join(members, col("v") === col("__mv"), "left_outer")
+      .select(col("v"), coalesce(col("__comp"), col("v")).as("component"))
   }
 
   /** Keep one representative (min id) per near-dup cluster; documents in

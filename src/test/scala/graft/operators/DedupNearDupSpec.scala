@@ -151,17 +151,28 @@ class DedupNearDupSpec extends SparkSpec {
     assert(kept === Seq(1L, 5L, 9L)) // reps of both clusters + untouched 9
   }
 
+  test("connected components: a 10k-vertex path converges under the default cap (O(log n) rounds)") {
+    // The worst case for label propagation: one path-shaped component of
+    // 10 001 vertices (diameter 10 000). The old O(diameter) min-label
+    // propagation fail-fasted here at maxIter=20; large-star/small-star
+    // roughly halves component height per round, so the default cap
+    // converges it with room to spare.
+    val chain = (1L to 10000L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = NearDup.connectedComponents(chain).as[(Long, Long)].collect()
+    assert(cc.length === 10001)
+    assert(cc.forall(_._2 == 1L), "every path vertex must reach the min label")
+  }
+
   test("connected components: unproven convergence at maxIter fails fast, never returns split clusters") {
-    // A length-8 path needs ~7 propagation rounds; maxIter=3 must throw
-    // (silently returning the half-merged labels would mean extra dedup
-    // survivors downstream), while the default cap converges it fine.
-    val chain = (1L to 7L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    // maxIter=1 cannot finish a 64-vertex path; silently returning the
+    // half-merged labels would mean extra dedup survivors downstream.
+    val chain = (1L to 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     assertThrows[IllegalStateException] {
-      NearDup.connectedComponents(chain, maxIter = 3).collect()
+      NearDup.connectedComponents(chain, maxIter = 1).collect()
     }
     val cc = NearDup.connectedComponents(chain).as[(Long, Long)]
       .collect().toMap
-    assert(cc === (1L to 8L).map(_ -> 1L).toMap)
+    assert(cc === (1L to 64L).map(_ -> 1L).toMap)
   }
 
   test("dedupByComponentsBest keeps the highest-quality member, not the min id") {
