@@ -37,6 +37,81 @@ class BpeOpsSpec extends SparkSpec {
     assert(vocab.select("symbols").head().getSeq[String](0) === Seq("aaa"))
   }
 
+  test("driver fold and distributed loop learn identical merges and vocab (classic corpus)") {
+    val (fast, fastVocab) = BpeOps.learnMerges(classicCorpus, col("text"), 16)
+    val (slow, slowVocab) = BpeOps.learnMerges(classicCorpus, col("text"), 16,
+      driverFoldMaxBytes = 0L) // force the distributed per-merge path
+    assert(fast === slow)
+    def symsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("word", "freq", "symbols").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getSeq[String](2))).sortBy(_._1).toSeq
+    assert(symsOf(fastVocab) === symsOf(slowVocab))
+  }
+
+  test("driver fold learns >=10 merges per Spark job") {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    // one word of 64 distinct tokens()-surviving chars, freq 3: every
+    // adjacent pair counts 3, so exactly 63 merges exist before the word
+    // is a single symbol
+    val word = ('a' to 'z').mkString + ('0' to '9').mkString + "!#$%&()*+,-./:;<=>?@[]^_{|}~"
+    assert(word.length === 64 && word.distinct.length === 64)
+    val df = Seq((1L, Seq.fill(3)(word).mkString(" "))).toDF("doc_id", "text")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val (merges, _) = BpeOps.learnMerges(df, col("text"), 63)
+      assert(merges.size === 63)
+      // listener delivery is async; wait for the count to go stable
+      var last = -1
+      var stable = 0
+      while (stable < 5) {
+        Thread.sleep(100)
+        val now = jobs.get()
+        if (now == last) stable += 1 else { stable = 0; last = now }
+      }
+      // the fold itself is 2 queries (size probe + collect); AQE splits
+      // each into per-stage jobs, but the count stays CONSTANT in
+      // numMerges — the whole point vs one-job-per-merge
+      assert(last <= 6, s"driver fold job count must not scale with merges, saw $last")
+      assert(merges.size.toDouble / last >= 10.0,
+        s"expected >=10 merges learned per Spark job, got ${merges.size}/$last")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("Utf8Byte mode round-trips astral-plane text that CodeUnit mode mangles") {
+    // U+1F600 is 4 UTF-8 bytes / 2 UTF-16 surrogates
+    val word = "a😀b"
+    val df = Seq((1L, s"$word $word")).toDF("doc_id", "text")
+    val (_, byteVocab) = BpeOps.learnMerges(df, col("text"), 0, mode = BpeOps.Utf8Byte)
+    val bsyms = byteVocab.select("symbols").head().getSeq[String](0)
+    assert(bsyms === Seq("61", "F0", "9F", "98", "80", "62"))
+    val bytes = bsyms.mkString.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    assert(new String(bytes, java.nio.charset.StandardCharsets.UTF_8) === word,
+      "hex symbols must decode back to the exact original word")
+    // the documented CodeUnit lossiness: Spark's split yields '?' for the
+    // surrogate halves (this is WHY Utf8Byte exists)
+    val (_, cuVocab) = BpeOps.learnMerges(df, col("text"), 0, mode = BpeOps.CodeUnit)
+    val csyms = cuVocab.select("symbols").head().getSeq[String](0)
+    assert(csyms.length === 4 && csyms(1) === "?" && csyms(2) === "?")
+  }
+
+  test("Utf8Byte mode merges hex-byte symbols and paths agree") {
+    val df = Seq((1L, "café café café")).toDF("doc_id", "text")
+    val (fast, _) = BpeOps.learnMerges(df, col("text"), 4, mode = BpeOps.Utf8Byte)
+    val (slow, _) = BpeOps.learnMerges(df, col("text"), 4, mode = BpeOps.Utf8Byte,
+      driverFoldMaxBytes = 0L)
+    assert(fast === slow)
+    // café = 63 61 66 C3 A9 (5 bytes, freq 3): 4 merges collapse it fully;
+    // every adjacent pair ties at 3 so UTF-8-binary pair order decides:
+    // (61,66) is the smallest pair, then the growing "61..." symbol keeps
+    // sorting before "63"
+    assert(fast.map(m => (m._2, m._3, m._4)) === Seq(
+      ("61", "66", 3L), ("6166", "C3", 3L), ("6166C3", "A9", 3L), ("63", "6166C3A9", 3L)))
+  }
+
   test("encodedTokenCounts: per-doc counts follow the symbolized vocab via broadcast join") {
     val (_, vocab) = BpeOps.learnMerges(classicCorpus, col("text"), 3)
     val m = BpeOps.encodedTokenCounts(classicCorpus, "doc_id", col("text"), vocab)
