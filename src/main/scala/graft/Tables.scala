@@ -49,11 +49,19 @@ object Tables {
     StructField("l_returnflag", StringType), StructField("l_linestatus", StringType),
     StructField("l_shipdate", TimestampType)))
 
-  // `events.ts` is INT64 TIMESTAMP(NANOS) on disk — Spark has no ns
-  // timestamp type, so `load` reads it as long (nanosAsLong) and converts
-  // ns -> µs exactly (fixture values carry no sub-µs component).
-  val events: StructType = StructType(Seq(
+  // `events.ts` physical encoding has varied across fixture generations:
+  // INT64 TIMESTAMP(NANOS) (no Spark ns type — read as long via
+  // nanosAsLong, convert ns -> µs exactly; fixture values carry no sub-µs
+  // component) or plain TIMESTAMP(MICROS). `load` probes the footer and
+  // picks the right read path, so a regenerated fixture can't silently
+  // shift every timestamp 1000x.
+  val eventsNanos: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  val events: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
@@ -76,10 +84,19 @@ object Tables {
   /** Load a fixture table with its declared schema. */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
+      // With nanosAsLong set, a TIMESTAMP(NANOS) column infers as LongType
+      // while TIMESTAMP(MICROS) infers as TimestampType — one footer read
+      // (no data scan) tells the two fixture generations apart.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      val path = s"$sfDir/$name.parquet"
+      spark.read.parquet(path).schema("ts").dataType match {
+        case LongType =>
+          spark.read.schema(eventsNanos).parquet(path)
+            .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+              org.apache.spark.sql.functions.expr("ts div 1000")))
+        case _ =>
+          spark.read.schema(events).parquet(path)
+      }
     } else {
       spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
     }

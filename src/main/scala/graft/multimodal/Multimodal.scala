@@ -1,70 +1,61 @@
 package graft.multimodal
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (north star, BASELINE.json): treat
   * image/audio/video payloads as opaque `binary` columns with typed
-  * metadata, and run decode / feature-extract / frame-sample as distributed
-  * partition-level transforms.
+  * metadata, and run decode / feature-extract / resize / frame-sample as
+  * distributed partition-level transforms — no driver collect, executor
+  * batches.
   *
-  * The actual media codecs are STUBBED (this container has no image/audio
-  * libraries — see `decodeStub`): the deterministic fake below stands in for
-  * e.g. a JPEG decoder. Everything Spark-side — schemas, `mapPartitions`
-  * batch shape, partitioning behavior — is real and tested, so swapping the
-  * stub for a real codec is a one-function change.
+  * The IMAGE path is a real codec: payloads are genuine PNG files
+  * (encoded and decoded with the JDK's `javax.imageio`, zero extra
+  * dependencies), and every downstream feature is computed from actually
+  * decoded pixels. The byte-stream path ([[sampleFrames]]) stays
+  * codec-free by design: it models modalities whose payload is already a
+  * decoded sample stream (PCM audio, sensor traces), where framing and
+  * feature math are the whole operator.
   */
 object Multimodal {
+
+  // ImageIO defaults to spilling scratch buffers to temp FILES; executors
+  // decode thousands of small images, so keep the scratch in memory.
+  ImageIO.setUseCache(false)
 
   /** One sampled "frame" with its extracted features. */
   case class Frame(doc_id: Long, frame_idx: Int, n_bytes: Int, mean_byte: Double)
 
-  /** STUB decode: a real implementation would parse the container format
-    * and return decoded samples; the deterministic fake returns the raw
-    * bytes so the downstream feature math is exercised end-to-end. */
-  def decodeStub(payload: Array[Byte]): Array[Byte] = payload
+  /** Per-image metadata + channel statistics from REAL decoded pixels. */
+  case class ImageFeatures(doc_id: Long, width: Int, height: Int,
+                           mean_r: Double, mean_g: Double, mean_b: Double,
+                           mean_luma: Double)
 
-  /** Frame-sample a binary column: every `stride` bytes take a `frameSize`
-    * window, decode (stub), and extract features. Runs as `mapPartitions`
-    * over the executor partitions — no driver collect, batch-at-a-time. */
+  /** Frame-sample a binary column holding an ALREADY-DECODED sample stream
+    * (PCM audio, sensor bytes): every `stride` bytes take a `frameSize`
+    * window and extract features. Runs as `mapPartitions` over the
+    * executor partitions — no driver collect, batch-at-a-time. For images
+    * use [[pngLumaFrames]], which really decodes first. */
   def sampleFrames(binDf: DataFrame, stride: Int, frameSize: Int): Dataset[Frame] = {
     val spark = binDf.sparkSession
     import spark.implicits._
     binDf.select(col("doc_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.flatMap { case (id, payload) =>
-          val decoded = decodeStub(payload)
-          decoded.indices.by(stride).iterator.map { off =>
-            val frame = decoded.slice(off, math.min(off + frameSize, decoded.length))
-            val mean = if (frame.isEmpty) 0.0
-                       else frame.map(b => (b & 0xFF).toLong).sum.toDouble / frame.length
-            Frame(id, off / stride, frame.length, mean)
-          }
-        }
-      }
+      .mapPartitions(_.flatMap { case (id, payload) => frames(id, payload, stride, frameSize) })
   }
 
-  /** STUB resize: a real implementation would decode, rescale pixels, and
-    * re-encode; the deterministic fake decimates the byte stream by
-    * `factor`. Exercises the same distributed shape (binary in, smaller
-    * binary out, per-partition batches). */
-  def resizeStub(payload: Array[Byte], factor: Int): Array[Byte] =
-    payload.indices.by(factor).map(payload).toArray
-
-  /** Downsample every payload by `factor` via mapPartitions, keeping doc
-    * ids and emitting the resized payload + its new size. */
-  def resizeAll(binDf: DataFrame, factor: Int): DataFrame = {
-    val spark = binDf.sparkSession
-    import spark.implicits._
-    binDf.select(col("doc_id").cast("long"), col("payload"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, b) =>
-        val r = resizeStub(decodeStub(b), factor)
-        (id, r, r.length)
-      })
-      .toDF("doc_id", "resized", "n_bytes_resized")
-  }
+  private def frames(id: Long, samples: Array[Byte], stride: Int, frameSize: Int): Iterator[Frame] =
+    samples.indices.by(stride).iterator.map { off =>
+      val frame = samples.slice(off, math.min(off + frameSize, samples.length))
+      val mean = if (frame.isEmpty) 0.0
+                 else frame.map(b => (b & 0xFF).toLong).sum.toDouble / frame.length
+      Frame(id, off / stride, frame.length, mean)
+    }
 
   /** Typed metadata for an opaque binary payload — pure Column exprs
     * (byte length + content hash), oracle-checkable. */
@@ -73,33 +64,128 @@ object Multimodal {
       .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
       .withColumn("content_sha", sha2(col("payload"), 256))
 
-  /** PNG file signature — the 8 magic bytes every real PNG starts with. */
-  val PngSignature: Array[Byte] =
-    Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+  // ---------------------------------------------------------------------
+  // Real PNG codec path (javax.imageio — JDK-only, no added dependencies)
+  // ---------------------------------------------------------------------
 
-  /** Deterministic GENUINE-binary media payloads: PNG signature + `nBytes`
-    * of doc-id-seeded pseudo-pixel bytes (full 0..255 range, including
-    * values no UTF-8 text cast can produce). Stands in for reading real
-    * media files so the frame-sampling pipeline is exercised over actual
-    * bytes, not text recast as binary. Generated on executors
-    * (mapPartitions), one payload per input row. */
-  def syntheticMedia(df: DataFrame, idCol: String, nBytes: Int): DataFrame = {
+  /** Encode a packed 0xRRGGBB pixel array as a real PNG file. The JDK PNG
+    * writer is deterministic for fixed pixels (fixed chunk layout + zlib
+    * settings), so payload hashes are stable across runs. */
+  def encodePng(width: Int, height: Int, rgb: Array[Int]): Array[Byte] = {
+    require(rgb.length == width * height,
+      s"pixel array has ${rgb.length} entries for ${width}x$height")
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, width, height, rgb, 0, width)
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL decode: parse the container format and return the image. Fails
+    * fast on non-image bytes instead of propagating nulls. */
+  def decodePng(payload: Array[Byte]): BufferedImage = {
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    require(img != null, "payload is not a decodable image")
+    img
+  }
+
+  /** Packed 0xRRGGBB pixels of a decoded image, row-major. */
+  def rgbPixels(img: BufferedImage): Array[Int] =
+    img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)
+
+  /** Integer BT.601 luma plane of a decoded image — one byte per pixel,
+    * (299r + 587g + 114b)/1000 in exact integer math (deterministic on
+    * every JVM, unlike a float formula). */
+  def lumaPlane(img: BufferedImage): Array[Byte] =
+    rgbPixels(img).map { p =>
+      val (r, g, b) = ((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF)
+      ((299 * r + 587 * g + 114 * b) / 1000).toByte
+    }
+
+  /** Deterministic REAL-PNG payloads: per input row, doc-id-seeded pseudo
+    * pixels (splitmix chain — stable across runs and partitionings) are
+    * encoded through the actual PNG writer on the executors. Stands in
+    * for reading media files off object storage; everything downstream
+    * decodes genuine PNG bytes. */
+  def syntheticPng(df: DataFrame, idCol: String, width: Int, height: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
       it.map { id =>
-        val out = new Array[Byte](PngSignature.length + nBytes)
-        System.arraycopy(PngSignature, 0, out, 0, PngSignature.length)
-        // splitmix-style chain seeded by doc id: stable across runs/partitions
+        val rgb = new Array[Int](width * height)
         var h = id * 0x9E3779B97F4A7C15L + 0xBF58476D1CE4E5B9L
-        var i = PngSignature.length
-        while (i < out.length) {
+        var i = 0
+        while (i < rgb.length) {
           h = h * 6364136223846793005L + 1442695040888963407L
-          out(i) = (h >>> 56).toByte
+          rgb(i) = ((h >>> 40) & 0xFFFFFF).toInt
           i += 1
         }
-        (id, out)
+        (id, encodePng(width, height, rgb))
       }
     }.toDF("doc_id", "payload")
+  }
+
+  /** Decode every payload (really — `ImageIO.read` per row, on the
+    * executors) and extract per-channel pixel statistics. */
+  def imageFeatures(binDf: DataFrame): Dataset[ImageFeatures] = {
+    val spark = binDf.sparkSession
+    import spark.implicits._
+    binDf.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val img = decodePng(payload)
+        val px = rgbPixels(img)
+        var (sr, sg, sb, sy) = (0L, 0L, 0L, 0L)
+        px.foreach { p =>
+          val (r, g, b) = ((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF)
+          sr += r; sg += g; sb += b; sy += (299 * r + 587 * g + 114 * b) / 1000
+        }
+        val n = px.length.toDouble
+        ImageFeatures(id, img.getWidth, img.getHeight,
+          sr / n, sg / n, sb / n, sy / n)
+      })
+  }
+
+  /** Frame-sample the DECODED luma plane of real PNG payloads: decode on
+    * the executors, project to BT.601 luma, then the same framing math as
+    * [[sampleFrames]] — features come from actual pixels, not container
+    * bytes. */
+  def pngLumaFrames(binDf: DataFrame, stride: Int, frameSize: Int): Dataset[Frame] = {
+    val spark = binDf.sparkSession
+    import spark.implicits._
+    binDf.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        frames(id, lumaPlane(decodePng(payload)), stride, frameSize)
+      })
+  }
+
+  /** REAL resize: decode, nearest-neighbor downsample by `factor` (exact
+    * integer pixel picks — no interpolation, so bitwise deterministic on
+    * every JVM), re-encode as PNG. Emits the resized payload with its new
+    * dimensions and byte size; same distributed shape (binary in, smaller
+    * binary out, per-partition batches). */
+  def resizePng(binDf: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1, s"resize factor must be >= 1, got $factor")
+    val spark = binDf.sparkSession
+    import spark.implicits._
+    binDf.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val img = decodePng(payload)
+        val (w, h) = (img.getWidth, img.getHeight)
+        val (ow, oh) = ((w + factor - 1) / factor, (h + factor - 1) / factor)
+        val in = rgbPixels(img)
+        val out = new Array[Int](ow * oh)
+        var y = 0
+        while (y < oh) {
+          var x = 0
+          while (x < ow) { out(y * ow + x) = in(y * factor * w + x * factor) & 0xFFFFFF; x += 1 }
+          y += 1
+        }
+        val resized = encodePng(ow, oh, out)
+        (id, ow, oh, resized, resized.length)
+      })
+      .toDF("doc_id", "out_width", "out_height", "resized", "n_bytes_resized")
   }
 }

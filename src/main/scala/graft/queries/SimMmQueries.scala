@@ -192,29 +192,41 @@ object SimMmQueries extends QueryModule {
         .select("doc_id", "n_bytes", "content_sha")
         .orderBy("doc_id")),
 
-    // Multimodal: distributed frame-sampling + feature extraction over
-    // GENUINE binary payloads (PNG-signed, full byte range — not a text
-    // cast). Decode stubbed; rows-only, unit-tested.
+    // Multimodal: REAL image decode (round 6) — per-doc genuine PNG
+    // payloads (encoded through javax.imageio on the executors), decoded
+    // back with ImageIO.read, projected to the BT.601 luma plane, then
+    // frame-sampled. Features come from actually decoded pixels. Rows-only
+    // (codec bytes have no SQL twin); pixel math is spec-asserted against
+    // hand-crafted fixtures.
     "q_mm2" -> ((s, d) =>
-      Multimodal.sampleFrames(
-        Multimodal.syntheticMedia(Tables.load(s, d, "documents"), "doc_id",
-          nBytes = 248),
+      Multimodal.pngLumaFrames(
+        Multimodal.syntheticPng(Tables.load(s, d, "documents"), "doc_id",
+          width = 16, height = 16),
         stride = 64, frameSize = 16)
         .toDF().orderBy("doc_id", "frame_idx")),
 
-    // Multimodal resize path (round 5): stub decimation over genuine
-    // binary payloads via mapPartitions — emitted as sizes + content hash
-    // of the RESIZED payload so the whole distributed transform (not just
-    // its plumbing) is pinned. Rows-only (JVM-generated bytes have no SQL
-    // twin); decimation arithmetic is spec-asserted.
+    // Multimodal REAL resize (round 6): decode each PNG, nearest-neighbor
+    // downsample 4x in exact integer math, re-encode PNG — emitted as new
+    // dimensions + sizes + content hash of the RESIZED payload so the
+    // whole decode→transform→encode pipeline (not just its plumbing) is
+    // pinned. Rows-only; resize picks are spec-asserted.
     "q_mm3" -> ((s, d) =>
-      Multimodal.resizeAll(
-          Multimodal.syntheticMedia(Tables.load(s, d, "documents"), "doc_id",
-            nBytes = 248),
+      Multimodal.resizePng(
+          Multimodal.syntheticPng(Tables.load(s, d, "documents"), "doc_id",
+            width = 16, height = 16),
           factor = 4)
-        .select(col("doc_id"), col("n_bytes_resized"),
-          sha2(col("resized"), 256).as("resized_sha"))
+        .select(col("doc_id"), col("out_width"), col("out_height"),
+          col("n_bytes_resized"), sha2(col("resized"), 256).as("resized_sha"))
         .orderBy("doc_id")),
+
+    // Multimodal image features (round 6): real per-image channel stats —
+    // ImageIO decode per row on the executors, exact integer channel sums.
+    // Rows-only; channel means are spec-asserted on crafted fixtures.
+    "q_mm4" -> ((s, d) =>
+      Multimodal.imageFeatures(
+        Multimodal.syntheticPng(Tables.load(s, d, "documents"), "doc_id",
+          width = 16, height = 16))
+        .toDF().orderBy("doc_id")),
   )
 
   def oracleSql: Map[String, String] = Map(

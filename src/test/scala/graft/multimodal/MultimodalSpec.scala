@@ -24,38 +24,94 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.forall(_.mean_byte === 'x'.toInt.toDouble))
   }
 
-  test("resize stub decimates payloads deterministically") {
-    val df = Multimodal.withBinaryMeta(
-      Seq((1L, "abcdefghij"), (2L, "xy")).toDF("doc_id", "text"), "text")
-    val out = Multimodal.resizeAll(df, factor = 3)
-      .select("doc_id", "n_bytes_resized").as[(Long, Int)].collect().sortBy(_._1)
-    assert(out === Seq((1L, 4), (2L, 1))) // a,d,g,j and x
-  }
-
-  test("syntheticMedia emits genuine PNG-signed binary and frames it end-to-end") {
-    val media = Multimodal.syntheticMedia(Seq(1L, 2L).toDF("doc_id"), "doc_id", nBytes = 120)
-    val rows = media.as[(Long, Array[Byte])].collect().sortBy(_._1)
-    assert(rows.map(_._1).toSeq === Seq(1L, 2L))
-    rows.foreach { case (_, payload) =>
-      assert(payload.length === 128)
-      assert(payload.take(8).toSeq === Multimodal.PngSignature.toSeq)
-      // genuine binary: bytes outside printable/UTF-8-text range appear
-      assert(payload.exists(b => (b & 0xFF) > 0x7F))
-    }
-    // same seed -> same bytes (stable across runs and partitionings)
-    val again = Multimodal.syntheticMedia(Seq(1L).toDF("doc_id"), "doc_id", nBytes = 120)
-      .as[(Long, Array[Byte])].head()._2
-    assert(again.toSeq === rows.head._2.toSeq)
-    // frame sampling over the real bytes: 128/32 = 4 frames, means in range
-    val frames = Multimodal.sampleFrames(media, stride = 32, frameSize = 32).collect()
-    assert(frames.count(_.doc_id == 1L) === 4)
-    assert(frames.forall(f => f.mean_byte >= 0.0 && f.mean_byte <= 255.0))
-  }
-
   test("ragged tail frame is truncated, not padded") {
     val df = Multimodal.withBinaryMeta(Seq((7L, "a" * 25)).toDF("doc_id", "text"), "text")
     val frames = Multimodal.sampleFrames(df, stride = 10, frameSize = 10)
       .collect().sortBy(_.frame_idx)
     assert(frames.map(_.n_bytes).toSeq === Seq(10, 10, 5))
+  }
+
+  // -------------------------------------------------------------------
+  // Real PNG codec path
+  // -------------------------------------------------------------------
+
+  test("encodePng/decodePng round-trip exact pixels through a genuine PNG file") {
+    val rgb = Array(0xFF0000, 0x00FF00, 0x0000FF, 0x123456)
+    val png = Multimodal.encodePng(2, 2, rgb)
+    // a real PNG container: magic signature + IHDR chunk
+    assert(png.take(8).map(_ & 0xFF).toSeq === Seq(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A))
+    assert(new String(png.slice(12, 16), "US-ASCII") === "IHDR")
+    val img = Multimodal.decodePng(png)
+    assert((img.getWidth, img.getHeight) === ((2, 2)))
+    assert(Multimodal.rgbPixels(img).map(_ & 0xFFFFFF).toSeq === rgb.toSeq)
+  }
+
+  test("decodePng fails fast on non-image bytes") {
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePng("definitely not a png".getBytes("UTF-8"))
+    }
+  }
+
+  test("imageFeatures computes channel means from actually decoded pixels") {
+    // 2x1 image: pure red + pure blue. mean_r = mean_b = 127.5, mean_g = 0;
+    // integer BT.601 luma: red 299*255/1000=76, blue 114*255/1000=29
+    val png = Multimodal.encodePng(2, 1, Array(0xFF0000, 0x0000FF))
+    val f = Multimodal.imageFeatures(Seq((3L, png)).toDF("doc_id", "payload")).head()
+    assert((f.width, f.height) === ((2, 1)))
+    assert(f.mean_r === 127.5 && f.mean_g === 0.0 && f.mean_b === 127.5)
+    assert(f.mean_luma === (76 + 29) / 2.0)
+  }
+
+  test("pngLumaFrames frames the decoded luma plane, not the container bytes") {
+    // 4x4 uniform mid-gray: luma = (299+587+114)*128/1000 = 128 exactly
+    val png = Multimodal.encodePng(4, 4, Array.fill(16)(0x808080))
+    val frames = Multimodal.pngLumaFrames(
+      Seq((5L, png)).toDF("doc_id", "payload"), stride = 8, frameSize = 8)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(f => (f.frame_idx, f.n_bytes, f.mean_byte)).toSeq ===
+      Seq((0, 8, 128.0), (1, 8, 128.0)))
+  }
+
+  test("resizePng nearest-neighbor picks exact source pixels and re-encodes") {
+    // 4x4 with distinct pixels 0..15; factor 2 keeps (0,0) (2,0) (0,2) (2,2)
+    val rgb = Array.tabulate(16)(i => i * 0x010101)
+    val out = Multimodal.resizePng(
+      Seq((9L, Multimodal.encodePng(4, 4, rgb))).toDF("doc_id", "payload"), factor = 2)
+    val r = out.select("out_width", "out_height", "resized").head()
+    assert((r.getInt(0), r.getInt(1)) === ((2, 2)))
+    val resized = Multimodal.decodePng(r.getAs[Array[Byte]]("resized"))
+    assert(Multimodal.rgbPixels(resized).map(_ & 0xFFFFFF).toSeq ===
+      Seq(rgb(0), rgb(2), rgb(8), rgb(10)))
+  }
+
+  test("resizePng ragged edge: width not divisible by factor keeps the first pixel of the tail") {
+    // 3x1: factor 2 -> out width ceil(3/2)=2, picks x=0 and x=2
+    val rgb = Array(0x111111, 0x222222, 0x333333)
+    val out = Multimodal.resizePng(
+      Seq((1L, Multimodal.encodePng(3, 1, rgb))).toDF("doc_id", "payload"), factor = 2)
+    val r = out.select("out_width", "out_height", "resized").head()
+    assert((r.getInt(0), r.getInt(1)) === ((2, 1)))
+    assert(Multimodal.rgbPixels(Multimodal.decodePng(r.getAs[Array[Byte]]("resized")))
+      .map(_ & 0xFFFFFF).toSeq === Seq(0x111111, 0x333333))
+  }
+
+  test("syntheticPng: deterministic genuine PNGs, decodable, stable across runs") {
+    val media = Multimodal.syntheticPng(Seq(1L, 2L).toDF("doc_id"), "doc_id",
+      width = 16, height = 16)
+    val rows = media.as[(Long, Array[Byte])].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(1L, 2L))
+    rows.foreach { case (_, payload) =>
+      val img = Multimodal.decodePng(payload) // real decode must succeed
+      assert((img.getWidth, img.getHeight) === ((16, 16)))
+    }
+    assert(rows(0)._2.toSeq !== rows(1)._2.toSeq, "different ids -> different pixels")
+    // same seed -> same bytes (stable across runs and partitionings)
+    val again = Multimodal.syntheticPng(Seq(1L).toDF("doc_id"), "doc_id",
+      width = 16, height = 16).as[(Long, Array[Byte])].head()._2
+    assert(again.toSeq === rows.head._2.toSeq)
+    // end-to-end: luma frames over the real decode, 256 px / stride 64 = 4
+    val frames = Multimodal.pngLumaFrames(media, stride = 64, frameSize = 16).collect()
+    assert(frames.count(_.doc_id == 1L) === 4)
+    assert(frames.forall(f => f.mean_byte >= 0.0 && f.mean_byte <= 255.0))
   }
 }
