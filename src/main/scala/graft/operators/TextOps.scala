@@ -372,15 +372,37 @@ object TextOps {
     * shingle — each shingle contributes at most |sources|² pairs, so the
     * intersection pass is bounded by vocabulary × sources², independent of
     * corpus row count. The matrix is emitted DENSE (zero-overlap pairs
-    * included) so a disjoint pair is visible data, not an absent row. */
+    * included) so a disjoint pair is visible data, not an absent row.
+    *
+    * `maxShingleSources` (round 6): shingles present in more than this
+    * many sources — boilerplate n-grams, the hot join keys that dominate
+    * the Σ k² intersection cost at crawl scale — are dropped BEFORE both
+    * the size pass and the self-join (`NearDup.dropCrowdedBuckets`, the
+    * q_txt16 df-cap applied at source granularity), so the matrix becomes
+    * "Jaccard over the non-boilerplate shingle vocabulary". Sizes and
+    * intersections see the same capped universe — the ratio stays
+    * internally consistent. The default sits far above any fixture source
+    * count (the cap never binds at sf0.1); `capObs` reports dropped
+    * buckets/rows when it does. */
   def sourceOverlapMatrix(docs: org.apache.spark.sql.DataFrame, groupCol: String,
-                          text: Column, shingleN: Int = 3): org.apache.spark.sql.DataFrame = {
-    val sh = NearDup.withShingles(
-        docs.select(col(groupCol), text.as("__txt")), col("__txt"), shingleN)
-      .select(col(groupCol), explode(col("__sh")).as("__s"))
-      .distinct()
-      .localCheckpoint() // feeds sizes + the intersection self-join
-    val sizes = sh.groupBy(groupCol).agg(count(lit(1)).as("n"))
+                          text: Column, shingleN: Int = 3,
+                          maxShingleSources: Int = NearDup.DefaultMaxBucketSize,
+                          capObs: Option[org.apache.spark.sql.Observation] = None)
+      : org.apache.spark.sql.DataFrame = {
+    val sh = NearDup.dropCrowdedBuckets(
+      NearDup.withShingles(
+          docs.select(col(groupCol), text.as("__txt")), col("__txt"), shingleN)
+        .select(col(groupCol), explode(col("__sh")).as("__s"))
+        .distinct()
+        .localCheckpoint(), // feeds the df-cap count, sizes + the self-join
+      Seq("__s"), maxShingleSources, capObs)
+    // Size over the capped universe, but keep every source VISIBLE even if
+    // the cap dropped its whole vocabulary (n=0 row, not an absent source —
+    // the dense-matrix contract).
+    val sources = docs.select(col(groupCol)).distinct()
+    val sizes = sources.join(
+        sh.groupBy(groupCol).agg(count(lit(1)).as("__n")), Seq(groupCol), "left_outer")
+      .select(col(groupCol), coalesce(col("__n"), lit(0L)).as("n"))
     val inter = sh.select(col(groupCol).as("source_a"), col("__s"))
       .join(sh.select(col(groupCol).as("source_b"), col("__s")), Seq("__s"))
       .where(col("source_a") < col("source_b"))
@@ -391,8 +413,11 @@ object TextOps {
       .join(inter, Seq("source_a", "source_b"), "left_outer")
       .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
         coalesce(col("__shared"), lit(0L)).as("n_shared"),
-        (coalesce(col("__shared"), lit(0L)).cast("double") /
-          (col("n_a") + col("n_b") - coalesce(col("__shared"), lit(0L))).cast("double"))
+        // null (not NaN) when the union is empty — possible only when the
+        // cap dropped both sources' whole vocabularies
+        when(col("n_a") + col("n_b") - coalesce(col("__shared"), lit(0L)) > 0,
+          coalesce(col("__shared"), lit(0L)).cast("double") /
+            (col("n_a") + col("n_b") - coalesce(col("__shared"), lit(0L))).cast("double"))
           .as("jaccard"))
   }
 

@@ -79,29 +79,40 @@ class OhlcvScanBuilder(options: CaseInsensitiveStringMap)
     val symbols = Option(options.get("symbols")).map(_.split(',').map(_.trim)
       .filter(_.nonEmpty)).getOrElse(Array.empty[String])
     require(symbols.nonEmpty, "graft-ohlcv requires option 'symbols' (comma-separated)")
+    val transport = options.getOrDefault("transport", "synthetic")
+    require(transport == "synthetic" || transport == "http",
+      s"graft-ohlcv transport must be 'synthetic' or 'http', got '$transport'")
+    val endpoint = options.getOrDefault("endpoint", "")
+    require(transport != "http" || endpoint.nonEmpty,
+      "graft-ohlcv transport=http requires option 'endpoint'")
     new OhlcvScan(symbols,
       options.getOrDefault("startDate", "2000-01-01"),
       options.getInt("days", 60),
       options.getInt("numPartitions", 8),
-      required)
+      required,
+      OhlcvFetch.Config(transport, endpoint,
+        options.getInt("maxRetries", 3), options.getLong("retryBackoffMs", 1000L)))
   }
 }
 
 case class OhlcvInputPartition(symbols: Array[String], startDate: String,
-                               days: Int, schema: StructType) extends InputPartition
+                               days: Int, schema: StructType,
+                               fetch: OhlcvFetch.Config) extends InputPartition
 
 class OhlcvScan(symbols: Array[String], startDate: String, days: Int,
-                numPartitions: Int, required: StructType) extends Scan with Batch {
+                numPartitions: Int, required: StructType,
+                fetch: OhlcvFetch.Config) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def description(): String =
-    s"graft-ohlcv symbols=${symbols.length} start=$startDate days=$days"
+    s"graft-ohlcv transport=${fetch.transport} symbols=${symbols.length} " +
+      s"start=$startDate days=$days"
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
     val n = math.max(1, math.min(numPartitions, symbols.length))
     // contiguous symbol chunks: deterministic, balanced within one row
     symbols.sorted.grouped(math.ceil(symbols.length.toDouble / n).toInt)
-      .map(chunk => OhlcvInputPartition(chunk, startDate, days, required))
+      .map(chunk => OhlcvInputPartition(chunk, startDate, days, required, fetch))
       .toArray[InputPartition]
   }
 
@@ -110,8 +121,11 @@ class OhlcvScan(symbols: Array[String], startDate: String, days: Int,
 }
 
 class OhlcvReaderFactory extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new OhlcvPartitionReader(partition.asInstanceOf[OhlcvInputPartition])
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[OhlcvInputPartition]
+    if (p.fetch.transport == "http") new OhlcvHttpPartitionReader(p)
+    else new OhlcvPartitionReader(p)
+  }
 }
 
 /** Generates each symbol's trading-day rows for ONLY the pruned columns —

@@ -120,6 +120,33 @@ class TextOpsSpec extends SparkSpec {
     assert(m(("b", "c"))._3 === 0L)
   }
 
+  test("sourceOverlapMatrix: boilerplate-shingle cap fires, drops the hot key, keeps sources visible") {
+    // 6 sources share exactly one boilerplate shingle ("hot one two") and
+    // have 3 unique shingles each; sources "y"/"z" are ONLY boilerplate
+    val docs = (1 to 6).map(i => (s"s$i", s"hot one two u${i}a u${i}b u${i}c")) ++
+      Seq(("y", "hot one two"), ("z", "hot one two"))
+    val df = docs.toDF("source", "text")
+    val obs = org.apache.spark.sql.Observation()
+    val m = TextOps.sourceOverlapMatrix(df, "source", col("text"), 3,
+        maxShingleSources = 3, capObs = Some(obs))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toMap
+    // the one crowded bucket (df=8 > cap=3) was dropped, with its 8 rows
+    assert(obs.get("dropped_buckets") === 1L && obs.get("dropped_rows") === 8L)
+    // pairs among s1..s6: ONLY the boilerplate was shared -> 0.0 now
+    assert(m(("s1", "s2")) === ((3L, 3L, 0L, Some(0.0))))
+    // y/z lost their whole vocabulary but stay visible: n=0; a non-empty
+    // union still yields a real 0.0, the empty-vs-empty pair yields null
+    assert(m(("s1", "z")) === ((3L, 0L, 0L, Some(0.0))))
+    assert(m(("y", "z")) === ((0L, 0L, 0L, None)), "empty union -> null, not NaN")
+    assert(m.keySet.size === 28, "dense 8x8 upper triangle")
+    // default cap does NOT bind: boilerplate shared by all
+    val loose = TextOps.sourceOverlapMatrix(df, "source", col("text"), 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+    assert(loose(("s1", "s2")) === 1L && loose(("s1", "z")) === 1L)
+  }
+
   test("compressionSignals: repetition compresses better than prose; deterministic; empty-safe") {
     val docs = Seq(
       (1L, "spam spam spam spam spam spam spam spam spam spam spam spam"),
