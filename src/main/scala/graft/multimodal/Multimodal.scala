@@ -160,6 +160,80 @@ object Multimodal {
       })
   }
 
+  /** 64-bit difference hash (dHash) of a decoded image — the classic
+    * perceptual fingerprint for image near-dup detection: nearest-neighbor
+    * resample the BT.601 luma plane to a 9x8 grid (exact integer picks,
+    * any input size), then bit (y*8+x) = 1 iff luma(x,y) > luma(x+1,y).
+    * Robust to re-encoding and small edits; Hamming distance between
+    * hashes tracks visual difference. All-integer math — bitwise
+    * deterministic on every JVM. */
+  def dHash64(img: BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val px = rgbPixels(img)
+    def lumaAt(gx: Int, gy: Int): Int = {
+      val p = px(math.min(gy * h / 8, h - 1) * w + math.min(gx * w / 9, w - 1))
+      val (r, g, b) = ((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF)
+      (299 * r + 587 * g + 114 * b) / 1000
+    }
+    var bits = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (lumaAt(x, y) > lumaAt(x + 1, y)) bits |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
+  /** Per-image dHash table (doc_id, dhash) — real decode per row on the
+    * executors. */
+  def imageDHashes(binDf: DataFrame): DataFrame = {
+    val spark = binDf.sparkSession
+    import spark.implicits._
+    binDf.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) => (id, dHash64(decodePng(payload))) })
+      .toDF("doc_id", "dhash")
+  }
+
+  /** Image near-duplicate pairs: dHash + the SimHash 16-bit-chunk
+    * pigeonhole join ([[graft.operators.NearDup.simhashPairs]] — the pair
+    * machinery is hash-agnostic): EVERY pair at Hamming distance <=
+    * `maxHamming` (<= 3 for exactness) shares a chunk bucket, so the join
+    * is bucket-local, never all-pairs. Returns (id_a, id_b, hamming). */
+  def imageNearDupPairs(binDf: DataFrame, maxHamming: Int = 3): DataFrame =
+    graft.operators.NearDup.simhashPairs(
+        imageDHashes(binDf).withColumnRenamed("dhash", "simhash"), "doc_id",
+        maxHamming)
+
+  /** Deterministic near-dup PNG fixture: consecutive ids (2k, 2k+1) render
+    * the SAME seeded pixels except the odd id blacks out pixel (0,0) — a
+    * one-cell luma change, so the planted pair's dHash distance is <= 1
+    * while unrelated images sit near the ~32-bit random-hash expectation.
+    * The planted structure mirrors `ScaleBench.syntheticDocs`' text dups. */
+  def syntheticPngNearDups(df: DataFrame, idCol: String,
+                           width: Int, height: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val rgb = new Array[Int](width * height)
+        var h = (id >> 1) * 0x9E3779B97F4A7C15L + 0xBF58476D1CE4E5B9L
+        var i = 0
+        while (i < rgb.length) {
+          h = h * 6364136223846793005L + 1442695040888963407L
+          rgb(i) = ((h >>> 40) & 0xFFFFFF).toInt
+          i += 1
+        }
+        if ((id & 1L) == 1L) rgb(0) = 0x000000
+        (id, encodePng(width, height, rgb))
+      }
+    }.toDF("doc_id", "payload")
+  }
+
   /** REAL resize: decode, nearest-neighbor downsample by `factor` (exact
     * integer pixel picks — no interpolation, so bitwise deterministic on
     * every JVM), re-encode as PNG. Emits the resized payload with its new

@@ -227,6 +227,26 @@ object SimMmQueries extends QueryModule {
         Multimodal.syntheticPng(Tables.load(s, d, "documents"), "doc_id",
           width = 16, height = 16))
         .toDF().orderBy("doc_id")),
+
+    // Image perceptual fingerprint (round 6): 64-bit dHash from real
+    // decoded pixels — the image-modality twin of the text SimHash.
+    // Rows-only; hash bits spec-asserted on crafted gradient fixtures.
+    "q_mm5" -> ((s, d) =>
+      Multimodal.imageDHashes(
+        Multimodal.syntheticPng(Tables.load(s, d, "documents"), "doc_id",
+          width = 16, height = 16))
+        .orderBy("doc_id")),
+
+    // Image near-dup pairs (round 6): dHash + the SimHash 16-bit-chunk
+    // pigeonhole join over a planted-pair PNG corpus — (2k, 2k+1) differ
+    // by one blacked-out pixel, so each planted pair is <= 1 Hamming bit
+    // apart. Bucket-local join, never all-pairs. Rows-only; exactness of
+    // the banding vs brute-force Hamming is spec-asserted.
+    "q_dedup15" -> ((s, d) =>
+      Multimodal.imageNearDupPairs(
+        Multimodal.syntheticPngNearDups(Tables.load(s, d, "documents"),
+          "doc_id", width = 16, height = 16), maxHamming = 3)
+        .orderBy("id_a", "id_b")),
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -95,6 +95,40 @@ class MultimodalSpec extends SparkSpec {
       .map(_ & 0xFFFFFF).toSeq === Seq(0x111111, 0x333333))
   }
 
+  test("dHash64: gradient bits from decoded luma, invariant to re-encoding, edit-sensitive") {
+    // 9x8 image with luma strictly DECREASING left-to-right in every row:
+    // every comparison luma(x,y) > luma(x+1,y) holds -> all 64 bits set
+    val dec = Array.tabulate(72) { i => val x = i % 9; (200 - 20 * x) * 0x010101 }
+    assert(Multimodal.dHash64(Multimodal.decodePng(Multimodal.encodePng(9, 8, dec))) === -1L)
+    // strictly increasing -> no bit set
+    val inc = Array.tabulate(72) { i => val x = i % 9; (40 + 20 * x) * 0x010101 }
+    assert(Multimodal.dHash64(Multimodal.decodePng(Multimodal.encodePng(9, 8, inc))) === 0L)
+    // flipping one cell's gradient flips exactly that bit
+    val one = inc.clone(); one(0) = 255 * 0x010101 // (0,0) now > (1,0)
+    assert(Multimodal.dHash64(Multimodal.decodePng(Multimodal.encodePng(9, 8, one))) === 1L)
+    // resize-invariance of the fingerprint: the same pattern at 18x16
+    // (2x NN upscale) must hash identically
+    val up = Array.tabulate(18 * 16) { i => val x = (i % 18) / 2; (40 + 20 * x) * 0x010101 }
+    assert(Multimodal.dHash64(Multimodal.decodePng(Multimodal.encodePng(18, 16, up))) === 0L)
+  }
+
+  test("imageNearDupPairs finds EXACTLY the brute-force Hamming<=3 pairs on planted dups") {
+    val media = Multimodal.syntheticPngNearDups(
+      spark.range(40).toDF("doc_id"), "doc_id", width = 16, height = 16)
+    val hashes = Multimodal.imageDHashes(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val truth = (for {
+      a <- hashes.keys; b <- hashes.keys if a < b
+      if java.lang.Long.bitCount(hashes(a) ^ hashes(b)) <= 3
+    } yield (a, b)).toSet
+    val pairs = Multimodal.imageNearDupPairs(media, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === truth, "pigeonhole banding must be exact at hamming<=3")
+    // every planted (2k, 2k+1) pair is present (the one-pixel edit moves <=1 bit)
+    val planted = (0L until 40L by 2).map(k => (k, k + 1)).toSet
+    assert(planted.subsetOf(pairs), s"missing planted pairs: ${planted -- pairs}")
+  }
+
   test("syntheticPng: deterministic genuine PNGs, decodable, stable across runs") {
     val media = Multimodal.syntheticPng(Seq(1L, 2L).toDF("doc_id"), "doc_id",
       width = 16, height = 16)
