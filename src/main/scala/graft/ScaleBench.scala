@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
 import graft.operators.{Binning, BpeOps, GraphOps, IntervalJoin, NearDup, Sessionize, Similarity, SpanDedup, TextOps}
 
 /** Scale-evidence bench for the dedup/ANN candidate families: runs each
@@ -35,6 +36,11 @@ import graft.operators.{Binning, BpeOps, GraphOps, IntervalJoin, NearDup, Sessio
   *
   * One JSON line per (op, scale) row; final summary lines report the
   * consecutive wall-time ratios (pure-linear = 10).
+  *
+  * Run with `SPARK_DRIVER_MEM=16g` or more: the 100x duplicated-spans row
+  * localCheckpoints a ~36M-row positional-shingle table in local-mode
+  * storage memory and OOMs the default 8g heap while building a
+  * broadcast (observed round 6).
   */
 object ScaleBench {
 
@@ -48,6 +54,18 @@ object ScaleBench {
     spark.range(n).select(col("id").as("doc_id"),
       concat_ws(" ", transform(sequence(lit(1), lit(80)),
         j => element_at(vocab, (pmod(xxhash64(seed, j), lit(V.toLong)) + 1).cast("int"))))
+        .as("text"))
+  }
+
+  /** Wide-vocabulary variant for tokenizer induction: words are
+    * "w<hash mod vocabSize>", so the word-frequency table saturates at
+    * `vocabSize` rows regardless of corpus size — the property the BPE
+    * driver-fold's vocab-bound cost claim rests on. Same 10% dup plant. */
+  def syntheticDocsWideVocab(spark: SparkSession, n: Long, vocabSize: Long): DataFrame = {
+    val seed = when(pmod(col("id"), lit(10)) === 1, col("id") - 1).otherwise(col("id"))
+    spark.range(n).select(col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(1), lit(80)),
+        j => concat(lit("w"), pmod(xxhash64(seed, j), lit(vocabSize)))))
         .as("text"))
   }
 
@@ -150,6 +168,13 @@ object ScaleBench {
       TextOps.surprisalScores(d, "doc_id", col("text"),
         col("doc_id") % 10 =!= 0).count()
       BpeOps.learnMerges(d, col("text"), numMerges = 2)._1.length
+      BpeOps.learnMerges(syntheticDocsWideVocab(spark, 500L, 20000L),
+        col("text"), numMerges = 2)._1.length
+      val wm = Multimodal.syntheticPngNearDups(
+        spark.range(200L).toDF("doc_id"), "doc_id", 16, 16).localCheckpoint()
+      Multimodal.imageDHashes(wm).count()
+      Multimodal.imageNearDupPairs(wm, maxHamming = 3).count()
+      wm.unpersist()
       d.unpersist()
       GraphOps.pageRank(syntheticEdges(spark, 2000L), "src", "dst", 2).count()
       val e = syntheticEmbeddings(spark, 200L).localCheckpoint()
@@ -201,15 +226,43 @@ object ScaleBench {
         TextOps.surprisalScores(docs, "doc_id", col("text"),
           col("doc_id") % 10 =!= 0).count()
       }
-      // BPE induction (round 5): ONE corpus scan into the vocab-sized
-      // word-freq table, then 12 vocabulary-sized iterations whose cost is
-      // corpus-INDEPENDENT — wall must grow far slower than data (the
-      // fixed per-iteration job overhead dominates at these sizes)
+      // BPE induction: ONE corpus scan into the vocab-sized word-freq
+      // table; the r6 driver fold then learns ALL merges in 2 Spark jobs
+      // with incrementally-maintained pair counts — wall is vocab-bound,
+      // corpus-independent past the scan
       if (scale <= 10L)
         timed("bpe_learn12", nDocs) {
           BpeOps.learnMerges(docs, col("text"), numMerges = 12)._1.length.toLong
         }
       docs.unpersist()
+
+      // r6: realistic tokenizer-induction shape — 20k-word vocabulary
+      // (saturated at both scales), 200 merges via the driver fold. The
+      // corpus scan is the only data-sized stage; the fold's cost tracks
+      // the 20k-row vocab, so wall must grow FAR slower than 10x.
+      if (scale <= 10L) {
+        val wide = syntheticDocsWideVocab(spark, nDocs, 20000L).localCheckpoint()
+        timed("bpe_learn200_fold", nDocs) {
+          BpeOps.learnMerges(wide, col("text"), numMerges = 200)._1.length.toLong
+        }
+        wide.unpersist()
+      }
+
+      // r6 image-codec family: genuine PNG payloads (encode paid untimed at
+      // checkpoint), then REAL ImageIO decode -> dHash per row; per-image
+      // constant work => wall must track images linearly. The near-dup
+      // pair pass adds the 16-bit-chunk pigeonhole join — planted pairs
+      // grow linearly by construction, so output and wall must too.
+      val media = Multimodal.syntheticPngNearDups(
+        spark.range(nDocs).toDF("doc_id"), "doc_id",
+        width = 16, height = 16).localCheckpoint()
+      timed("png_decode_dhash", nDocs) {
+        Multimodal.imageDHashes(media).count()
+      }
+      timed("image_neardup_pairs", nDocs) {
+        Multimodal.imageNearDupPairs(media, maxHamming = 3).count()
+      }
+      media.unpersist()
 
       // PageRank (round 5): 5 iterations, each ONE shuffle linear in the
       // edge count; lineage checkpoint-truncated per iteration, so wall

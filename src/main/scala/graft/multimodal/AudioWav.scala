@@ -1,0 +1,117 @@
+package graft.multimodal
+
+import java.io.ByteArrayInputStream
+
+import javax.sound.sampled.AudioSystem
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Real audio-modality path (round 6, the WAV twin of the PNG work in
+  * [[Multimodal]]): payloads are genuine RIFF/WAVE PCM16 files — encoded
+  * by writing the public RIFF container layout, decoded through the JDK's
+  * actual audio codec (`javax.sound.sampled.AudioSystem`, zero added
+  * dependencies) — and every feature is computed from really-decoded
+  * samples. Complements [[Multimodal.sampleFrames]], which frames an
+  * already-decoded stream: here the container parse is part of the
+  * operator.
+  */
+object AudioWav {
+
+  /** Per-clip features from REAL decoded samples. `rms` and
+    * `zero_crossings` are the classic cheap audio-quality gates (silence /
+    * clipping / noise detection in a media-curation pipeline). */
+  case class AudioFeatures(doc_id: Long, sample_rate: Int, n_samples: Int,
+                           peak: Int, rms: Double, zero_crossings: Long)
+
+  /** Encode PCM16 mono samples as a genuine RIFF/WAVE file (44-byte
+    * canonical header + little-endian samples — the public WAV layout).
+    * Byte-exact for fixed input, so payload hashes are stable. */
+  def encodeWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    def le32(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+      out(off + 2) = (v >> 16).toByte; out(off + 3) = (v >> 24).toByte
+    }
+    def le16(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+    }
+    def tag(off: Int, s: String): Unit =
+      System.arraycopy(s.getBytes("US-ASCII"), 0, out, off, 4)
+    tag(0, "RIFF"); le32(4, 36 + dataLen); tag(8, "WAVE")
+    tag(12, "fmt "); le32(16, 16); le16(20, 1 /* PCM */); le16(22, 1 /* mono */)
+    le32(24, sampleRate); le32(28, sampleRate * 2); le16(32, 2); le16(34, 16)
+    tag(36, "data"); le32(40, dataLen)
+    var i = 0
+    while (i < samples.length) { le16(44 + i * 2, samples(i).toInt); i += 1 }
+    out
+  }
+
+  /** REAL decode: parse the RIFF container through the JDK audio codec and
+    * return (sampleRate, PCM16 samples). Fails fast on non-WAV bytes. */
+  def decodeWavPcm16(payload: Array[Byte]): (Int, Array[Short]) = {
+    val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+    try {
+      val f = in.getFormat
+      require(f.getSampleSizeInBits == 16 && f.getChannels == 1,
+        s"expected PCM16 mono, got $f")
+      val bytes = in.readAllBytes()
+      val samples = new Array[Short](bytes.length / 2)
+      val be = f.isBigEndian
+      var i = 0
+      while (i < samples.length) {
+        val (lo, hi) = if (be) (bytes(i * 2 + 1), bytes(i * 2)) else (bytes(i * 2), bytes(i * 2 + 1))
+        samples(i) = (((hi & 0xFF) << 8) | (lo & 0xFF)).toShort
+        i += 1
+      }
+      (f.getSampleRate.toInt, samples)
+    } finally in.close()
+  }
+
+  /** Deterministic genuine-WAV payloads: per row, a doc-id-seeded PCM16
+    * pseudo-noise clip encoded through the real container writer on the
+    * executors (stands in for reading audio files off object storage). */
+  def syntheticWav(df: DataFrame, idCol: String, nSamples: Int,
+                   sampleRate: Int = 16000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val samples = new Array[Short](nSamples)
+        var h = id * 0x9E3779B97F4A7C15L + 0xBF58476D1CE4E5B9L
+        var i = 0
+        while (i < nSamples) {
+          h = h * 6364136223846793005L + 1442695040888963407L
+          samples(i) = (h >>> 48).toShort
+          i += 1
+        }
+        (id, encodeWavPcm16(sampleRate, samples))
+      }
+    }.toDF("doc_id", "payload")
+  }
+
+  /** Decode every payload (really — a codec parse per row, on the
+    * executors) and extract sample statistics. Exact integer sums feed the
+    * rms, so the double math is a single final sqrt — deterministic. */
+  def audioFeatures(binDf: DataFrame): Dataset[AudioFeatures] = {
+    val spark = binDf.sparkSession
+    import spark.implicits._
+    binDf.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val (rate, s) = decodeWavPcm16(payload)
+        var (sumSq, peak, zc) = (0L, 0, 0L)
+        var i = 0
+        while (i < s.length) {
+          val v = s(i).toInt
+          sumSq += v.toLong * v
+          if (math.abs(v) > peak) peak = math.abs(v)
+          if (i > 0 && ((v >= 0) != (s(i - 1) >= 0))) zc += 1
+          i += 1
+        }
+        val rms = if (s.length == 0) 0.0 else math.sqrt(sumSq.toDouble / s.length)
+        AudioFeatures(id, rate, s.length, peak, rms, zc)
+      })
+  }
+}

@@ -247,6 +247,16 @@ object SimMmQueries extends QueryModule {
         Multimodal.syntheticPngNearDups(Tables.load(s, d, "documents"),
           "doc_id", width = 16, height = 16), maxHamming = 3)
         .orderBy("id_a", "id_b")),
+
+    // Audio modality (round 6): genuine RIFF/WAVE PCM16 payloads decoded
+    // through the JDK's real audio codec; rms / peak / zero-crossing
+    // features from actually-decoded samples. Rows-only; feature math
+    // spec-asserted on crafted clips (constant, alternating, silence).
+    "q_mm6" -> ((s, d) =>
+      graft.multimodal.AudioWav.audioFeatures(
+        graft.multimodal.AudioWav.syntheticWav(
+          Tables.load(s, d, "documents"), "doc_id", nSamples = 800))
+        .toDF().orderBy("doc_id")),
   )
 
   def oracleSql: Map[String, String] = Map(
