@@ -234,6 +234,85 @@ object Multimodal {
     }.toDF("doc_id", "payload")
   }
 
+  /** Split a multi-frame clip payload (concatenated PNG files — the
+    * motion-JPEG-style stand-in for a video container; real video codecs
+    * aren't in the JDK) into its frames by scanning for the 8-byte PNG
+    * signature. Returns the frame payloads in order. (A signature
+    * byte-string inside a frame's compressed data would mis-split — a
+    * ~2^-64-per-kilobyte event; a real container format carries explicit
+    * frame lengths, which is exactly what swapping this stand-in for a
+    * video demuxer would change.) */
+  def splitPngFrames(payload: Array[Byte]): Seq[Array[Byte]] = {
+    val sig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    def isSigAt(i: Int): Boolean = {
+      var k = 0
+      while (k < 8 && payload(i + k) == sig(k)) k += 1
+      k == 8
+    }
+    val starts = (0 to payload.length - 8).filter(isSigAt)
+    require(starts.nonEmpty && starts.head == 0, "payload is not a PNG clip")
+    starts.zipAll(starts.drop(1), 0, payload.length)
+      .map { case (s, e) => payload.slice(s, e) }
+  }
+
+  /** A per-frame row of [[shotBoundaries]]: Hamming distance of this
+    * frame's dHash to the previous frame's (null for frame 0), and the
+    * cut flag. */
+  case class ShotFrame(doc_id: Long, frame_idx: Int, hamming_prev: Option[Long],
+                       is_cut: Boolean)
+
+  /** Shot-boundary (scene-cut) detection over clip payloads: REALLY decode
+    * every frame, dHash it, and flag frames whose Hamming distance to the
+    * previous frame exceeds `cutThreshold` — the classic first stage of a
+    * video-curation pipeline (sample one keyframe per shot instead of
+    * every frame). Per-clip sequential work inside `mapPartitions`; clips
+    * fan out across executors, so a corpus of clips scales with the clip
+    * count. */
+  def shotBoundaries(binDf: DataFrame, cutThreshold: Int = 10): Dataset[ShotFrame] = {
+    val spark = binDf.sparkSession
+    import spark.implicits._
+    binDf.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        val hashes = splitPngFrames(payload).map(f => dHash64(decodePng(f)))
+        hashes.indices.map { i =>
+          if (i == 0) ShotFrame(id, 0, None, is_cut = false)
+          else {
+            val d = java.lang.Long.bitCount(hashes(i) ^ hashes(i - 1)).toLong
+            ShotFrame(id, i, Some(d), d > cutThreshold)
+          }
+        }
+      })
+  }
+
+  /** Deterministic clip fixture: `nFrames` real PNG frames concatenated,
+    * with a new scene (fresh seeded pixels) every `shotLen` frames and
+    * identical frames within a scene — so the true cut positions are
+    * exactly the multiples of `shotLen`. */
+  def syntheticPngClip(df: DataFrame, idCol: String, nFrames: Int,
+                       width: Int, height: Int, shotLen: Int): DataFrame = {
+    require(nFrames >= 1 && shotLen >= 1, "need nFrames >= 1 and shotLen >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val out = new ByteArrayOutputStream()
+        (0 until nFrames).foreach { f =>
+          val rgb = new Array[Int](width * height)
+          var h = (id * 1000L + f / shotLen) * 0x9E3779B97F4A7C15L + 0xBF58476D1CE4E5B9L
+          var i = 0
+          while (i < rgb.length) {
+            h = h * 6364136223846793005L + 1442695040888963407L
+            rgb(i) = ((h >>> 40) & 0xFFFFFF).toInt
+            i += 1
+          }
+          out.write(encodePng(width, height, rgb))
+        }
+        (id, out.toByteArray)
+      }
+    }.toDF("doc_id", "payload")
+  }
+
   /** REAL resize: decode, nearest-neighbor downsample by `factor` (exact
     * integer pixel picks — no interpolation, so bitwise deterministic on
     * every JVM), re-encode as PNG. Emits the resized payload with its new

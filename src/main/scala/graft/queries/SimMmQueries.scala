@@ -257,6 +257,17 @@ object SimMmQueries extends QueryModule {
         graft.multimodal.AudioWav.syntheticWav(
           Tables.load(s, d, "documents"), "doc_id", nSamples = 800))
         .toDF().orderBy("doc_id")),
+
+    // Video-modality stand-in (round 6): 12-frame PNG clips (scene change
+    // every 4 frames), every frame REALLY decoded and dHashed; cuts =
+    // consecutive-frame Hamming > threshold — keyframe selection's first
+    // stage. Rows-only; exact cut positions spec-asserted.
+    "q_mm7" -> ((s, d) =>
+      Multimodal.shotBoundaries(
+        Multimodal.syntheticPngClip(Tables.load(s, d, "documents"), "doc_id",
+          nFrames = 12, width = 16, height = 16, shotLen = 4),
+        cutThreshold = 10)
+        .toDF().orderBy("doc_id", "frame_idx")),
   )
 
   def oracleSql: Map[String, String] = Map(

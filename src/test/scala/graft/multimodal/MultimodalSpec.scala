@@ -129,6 +129,37 @@ class MultimodalSpec extends SparkSpec {
     assert(planted.subsetOf(pairs), s"missing planted pairs: ${planted -- pairs}")
   }
 
+  test("splitPngFrames recovers the exact concatenated frame payloads") {
+    val f1 = Multimodal.encodePng(2, 2, Array(1, 2, 3, 4))
+    val f2 = Multimodal.encodePng(2, 2, Array(5, 6, 7, 8))
+    val f3 = Multimodal.encodePng(3, 1, Array(9, 10, 11))
+    val clip = f1 ++ f2 ++ f3
+    val frames = Multimodal.splitPngFrames(clip)
+    assert(frames.map(_.toSeq) === Seq(f1.toSeq, f2.toSeq, f3.toSeq))
+    intercept[IllegalArgumentException] {
+      Multimodal.splitPngFrames("no png here".getBytes("UTF-8"))
+    }
+  }
+
+  test("shotBoundaries flags exactly the planted scene changes") {
+    // 12 frames, scene change every 4 -> cuts at frames 4 and 8
+    val clips = Multimodal.syntheticPngClip(
+      Seq(1L, 2L).toDF("doc_id"), "doc_id", nFrames = 12,
+      width = 16, height = 16, shotLen = 4)
+    val rows = Multimodal.shotBoundaries(clips, cutThreshold = 10).collect()
+    assert(rows.length === 24)
+    for (doc <- Seq(1L, 2L)) {
+      val cuts = rows.filter(r => r.doc_id == doc && r.is_cut).map(_.frame_idx).sorted
+      assert(cuts.toSeq === Seq(4, 8), s"doc $doc cuts")
+      // within a shot, identical frames -> hamming 0
+      val within = rows.filter(r => r.doc_id == doc && r.frame_idx % 4 != 0)
+      assert(within.forall(_.hamming_prev.contains(0L)))
+      // frame 0 has no predecessor
+      val first = rows.find(r => r.doc_id == doc && r.frame_idx == 0).get
+      assert(first.hamming_prev.isEmpty && !first.is_cut)
+    }
+  }
+
   test("syntheticPng: deterministic genuine PNGs, decodable, stable across runs") {
     val media = Multimodal.syntheticPng(Seq(1L, 2L).toDF("doc_id"), "doc_id",
       width = 16, height = 16)
