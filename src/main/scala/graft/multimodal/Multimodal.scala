@@ -57,6 +57,20 @@ object Multimodal {
       Frame(id, off / stride, frame.length, mean)
     }
 
+  /** Read a DIRECTORY of media files as (doc_id, path, n_bytes, payload)
+    * via Spark's native `binaryFile` source — the bridge from real files
+    * on object storage to every operator in this module (all of them key
+    * on `doc_id` + `payload`). `doc_id` is the xxhash64 of the file path:
+    * stable across runs and partitionings, no driver-side id assignment.
+    * Partition parallelism, predicate pushdown on path/size, and the
+    * usual file-listing scale-out come from the built-in source. */
+  def readBinaryDir(spark: SparkSession, dir: String, glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(xxhash64(col("path")).as("doc_id"), col("path"),
+        col("length").as("n_bytes"), col("content").as("payload"))
+
   /** Typed metadata for an opaque binary payload — pure Column exprs
     * (byte length + content hash), oracle-checkable. */
   def withBinaryMeta(df: DataFrame, textToBinary: String): DataFrame =

@@ -258,14 +258,17 @@ object SimMmQueries extends QueryModule {
           Tables.load(s, d, "documents"), "doc_id", nSamples = 800))
         .toDF().orderBy("doc_id")),
 
-    // Video-modality stand-in (round 6): 12-frame PNG clips (scene change
-    // every 4 frames), every frame REALLY decoded and dHashed; cuts =
-    // consecutive-frame Hamming > threshold — keyframe selection's first
-    // stage. Rows-only; exact cut positions spec-asserted.
+    // Video-modality stand-in (round 6): 6-frame PNG clips (scene change
+    // every 2 frames — 3 scenes, cuts at frames 2 and 4), every frame
+    // REALLY decoded and dHashed; cuts = consecutive-frame Hamming >
+    // threshold — keyframe selection's first stage. Frame count/size kept
+    // small: the registered query's cost is pure codec volume (frames x
+    // docs), and the operator itself is exercised identically. Rows-only;
+    // exact cut positions spec-asserted.
     "q_mm7" -> ((s, d) =>
       Multimodal.shotBoundaries(
         Multimodal.syntheticPngClip(Tables.load(s, d, "documents"), "doc_id",
-          nFrames = 12, width = 16, height = 16, shotLen = 4),
+          nFrames = 6, width = 8, height = 8, shotLen = 2),
         cutThreshold = 10)
         .toDF().orderBy("doc_id", "frame_idx")),
   )

@@ -129,6 +129,30 @@ class MultimodalSpec extends SparkSpec {
     assert(planted.subsetOf(pairs), s"missing planted pairs: ${planted -- pairs}")
   }
 
+  test("readBinaryDir bridges real files on disk to the codec operators") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_media_").toFile
+    try {
+      // two real PNGs + one non-image file the glob must exclude
+      java.nio.file.Files.write(new java.io.File(dir, "a.png").toPath,
+        Multimodal.encodePng(2, 1, Array(0xFF0000, 0x0000FF)))
+      java.nio.file.Files.write(new java.io.File(dir, "b.png").toPath,
+        Multimodal.encodePng(4, 4, Array.fill(16)(0x808080)))
+      java.nio.file.Files.write(new java.io.File(dir, "notes.txt").toPath,
+        "not an image".getBytes("UTF-8"))
+      val files = Multimodal.readBinaryDir(spark, dir.getAbsolutePath, "*.png")
+      val feats = Multimodal.imageFeatures(files).collect()
+        .map(f => (f.width, f.height, f.mean_luma)).toSet
+      assert(feats === Set((2, 1, (76 + 29) / 2.0), (4, 4, 128.0)))
+      // ids are stable path hashes: re-reading yields identical keys
+      val ids1 = files.select("doc_id").collect().map(_.getLong(0)).toSet
+      val ids2 = Multimodal.readBinaryDir(spark, dir.getAbsolutePath, "*.png")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids1 === ids2 && ids1.size === 2)
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
   test("splitPngFrames recovers the exact concatenated frame payloads") {
     val f1 = Multimodal.encodePng(2, 2, Array(1, 2, 3, 4))
     val f2 = Multimodal.encodePng(2, 2, Array(5, 6, 7, 8))
