@@ -601,6 +601,22 @@ object TextDedupQueries extends QueryModule {
           Shared.bpe(s, d)._2)
         .orderBy("doc_id")),
 
+    // Q-PIPE3 (round 6): the tokenize→budget→pack composition a
+    // pre-training data pipeline actually runs end-to-end — learn the BPE
+    // merge table (vocab-bound driver fold, memoized with q_bpe1/2),
+    // broadcast per-word token lengths onto the corpus, then pack docs
+    // into 512-token training bins, greedy first-fit in doc_id order.
+    // Rows-only: inherits q_bpe1's argmax AND q_txt9's
+    // partitioning-dependent bin ids; budget/coverage spec-asserted.
+    "q_pipe3" -> ((s, d) => {
+      val counts = graft.operators.BpeOps.encodedTokenCounts(
+        Tables.load(s, d, "documents"), "doc_id", col("text"),
+        Shared.bpe(s, d)._2)
+      TextOps.packSequences(counts, col("doc_id"), col("n_bpe_tokens"),
+          tokenBudget = 512)
+        .orderBy("doc_id")
+    }),
+
     // Entity resolution: fuzzy catalog-name alignment — corrupted variants
     // (first 3 chars dropped) matched back to the original name vocabulary
     // by character-trigram Jaccard; candidates from a shared-trigram join,

@@ -112,6 +112,21 @@ class BpeOpsSpec extends SparkSpec {
       ("61", "66", 3L), ("6166", "C3", 3L), ("6166C3", "A9", 3L), ("63", "6166C3A9", 3L)))
   }
 
+  test("BPE counts -> packSequences composition respects the token budget and covers all docs") {
+    val docs = (1L to 30L).map(i => (i, Seq.fill(5)("low newest").mkString(" ")))
+      .toDF("doc_id", "text")
+    val (_, vocab) = BpeOps.learnMerges(docs, col("text"), 3)
+    val counts = BpeOps.encodedTokenCounts(docs, "doc_id", col("text"), vocab)
+    // after 3 merges: low=[lo,w]=2, newest=[n,e,w,est]=4 -> 30 BPE toks/doc
+    val packed = TextOps.packSequences(counts, col("doc_id"),
+      col("n_bpe_tokens"), tokenBudget = 70)
+    val bins = packed.groupBy("bin_id")
+      .agg(sum("n_bpe_tokens").as("toks"), count(lit(1)).as("docs")).collect()
+    assert(bins.map(_.getLong(2)).sum === 30L, "every doc packed exactly once")
+    assert(bins.forall(_.getLong(1) <= 70L), "no bin exceeds the budget")
+    assert(bins.exists(_.getLong(2) === 2L), "budget 70 fits two 30-token docs per bin")
+  }
+
   test("encodedTokenCounts: per-doc counts follow the symbolized vocab via broadcast join") {
     val (_, vocab) = BpeOps.learnMerges(classicCorpus, col("text"), 3)
     val m = BpeOps.encodedTokenCounts(classicCorpus, "doc_id", col("text"), vocab)
