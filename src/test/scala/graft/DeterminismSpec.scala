@@ -131,6 +131,29 @@ class DeterminismSpec extends SparkSpec {
     }
   }
 
+  test("round-6 codec operators are invariant under input repartitioning") {
+    import graft.multimodal.{AudioWav, Multimodal}
+    val ids = spark.range(24).toDF("doc_id")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSet
+    def all(parts: Int): Seq[Set[Seq[Any]]] = {
+      val media = Multimodal.syntheticPngNearDups(
+        ids.repartition(parts), "doc_id", 16, 16)
+      Seq(
+        rows(Multimodal.imageDHashes(media)),
+        rows(Multimodal.imageNearDupPairs(media, maxHamming = 3)),
+        rows(Multimodal.imageFeatures(
+          Multimodal.syntheticPng(ids.repartition(parts), "doc_id", 16, 16)).toDF()),
+        rows(AudioWav.audioFeatures(
+          AudioWav.syntheticWav(ids.repartition(parts), "doc_id", 200)).toDF()),
+        rows(Multimodal.shotBoundaries(
+          Multimodal.syntheticPngClip(ids.repartition(parts), "doc_id", 6, 8, 8, 2))
+          .toDF()))
+    }
+    all(1).zip(all(7)).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(a === b, s"operator #$i diverged under repartitioning")
+    }
+  }
+
   test("batchByRange ids are independent of the range-partition count") {
     val src = Tables.load(spark, sf, "orders").select("o_orderkey")
     def ids(parts: Int) =
