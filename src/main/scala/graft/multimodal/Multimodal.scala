@@ -223,6 +223,38 @@ object Multimodal {
         imageDHashes(binDf).withColumnRenamed("dhash", "simhash"), "doc_id",
         maxHamming)
 
+  private def dhashChunks(hashes: DataFrame) =
+    hashes.select(col("doc_id"), col("dhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("dhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnRenamed("pos", "__chunk").withColumnRenamed("col", "__cv")
+
+  /** Dedup-on-arrival for images (the media twin of
+    * `NearDup.incrementalLshCandidates`): near-dup pairs TOUCHING the new
+    * batch — new×new plus new×stored — against a persisted dHash table
+    * (`IndexStore.writeDHashes`/`readDHashes`), without recomputing or
+    * rescanning the old corpus' media. Ids must be disjoint between the
+    * two tables. Equals the full recompute over old ∪ new restricted to
+    * pairs with at least one new id (spec-asserted, the exactness contract
+    * incremental operators carry here). Both legs stay bucket-local on the
+    * 16-bit chunks. */
+  def incrementalImageNearDups(newHashes: DataFrame, storedHashes: DataFrame,
+                               maxHamming: Int = 3): DataFrame = {
+    val nn = graft.operators.NearDup.simhashPairs(
+      newHashes.withColumnRenamed("dhash", "simhash"), "doc_id", maxHamming)
+    val a = dhashChunks(newHashes).withColumnsRenamed(
+      Map("doc_id" -> "__nid", "dhash" -> "__nh"))
+    val b = dhashChunks(storedHashes).withColumnsRenamed(
+      Map("doc_id" -> "__sid", "dhash" -> "__sh"))
+    val no = a.join(b, Seq("__chunk", "__cv"))
+      .select(least(col("__nid"), col("__sid")).as("id_a"),
+        greatest(col("__nid"), col("__sid")).as("id_b"),
+        bit_count(col("__nh").bitwiseXOR(col("__sh"))).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+    nn.unionByName(no)
+  }
+
   /** Deterministic near-dup PNG fixture: consecutive ids (2k, 2k+1) render
     * the SAME seeded pixels except the odd id blacks out pixel (0,0) — a
     * one-cell luma change, so the planted pair's dHash distance is <= 1

@@ -65,6 +65,19 @@ object IndexStore {
     (spark.read.parquet(s"$root/$PqBooks"),
       spark.read.parquet(s"$root/$PqCodes"))
 
+  private val DHashes = "image_dhashes"
+
+  /** Persist an image dHash table (`Multimodal.imageDHashes` shape:
+    * doc_id, dhash) — the media twin of the LSH band store. The 16-bit
+    * chunk structure the near-dup join buckets on is recomputed from the
+    * stored hash on probe (4 shifts per row — cheaper than storing the
+    * exploded chunks 4x). */
+  def writeDHashes(hashes: DataFrame, root: String): Unit =
+    write(hashes, s"$root/$DHashes")
+
+  def readDHashes(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(s"$root/$DHashes")
+
   /** Whether a store root already holds any index table. */
   def exists(spark: SparkSession, root: String): Boolean = {
     val p = new Path(root)

@@ -107,6 +107,21 @@ private[queries] object Shared {
     IndexStore.readLshBands(s, root)
   }
 
+  /** Image dHash store over the day-1 media slice (doc_id % 5 != 0) —
+    * the media twin of [[storedBands]]: written once per session, always
+    * served from the parquet reload. */
+  def storedDHashes(s: SparkSession, d: String): DataFrame = {
+    val root = Memo.cached(s, s"dhashstore|$d") {
+      val media = graft.multimodal.Multimodal.syntheticPngNearDups(
+        Tables.load(s, d, "documents").where(col("doc_id") % 5 =!= 0),
+        "doc_id", width = 16, height = 16)
+      IndexStore.writeDHashes(
+        graft.multimodal.Multimodal.imageDHashes(media), indexRoot(s, d))
+      indexRoot(s, d)
+    }
+    IndexStore.readDHashes(s, root)
+  }
+
   /** IVF (assignment, centers) served from the store; the build reuses
     * the session's cached index so search/dedup/store share ONE fit. */
   def storedIvf(s: SparkSession, d: String): (DataFrame, DataFrame) = {

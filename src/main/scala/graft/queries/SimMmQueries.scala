@@ -248,6 +248,21 @@ object SimMmQueries extends QueryModule {
           "doc_id", width = 16, height = 16), maxHamming = 3)
         .orderBy("id_a", "id_b")),
 
+    // Media dedup-on-arrival (round 6): the day-2 image batch
+    // (doc_id % 5 == 0) dHashed and probed against the ON-DISK day-1 hash
+    // store (written once per session, RELOADED from parquet — the full
+    // index lifecycle). new×new plus new×stored pairs only; the old
+    // corpus' media is never rescanned. Rows-only; exactness vs the full
+    // recompute restricted to new ids is spec-asserted.
+    "q_dedup16" -> ((s, d) => {
+      val newMedia = Multimodal.syntheticPngNearDups(
+        Tables.load(s, d, "documents").where(col("doc_id") % 5 === 0),
+        "doc_id", width = 16, height = 16)
+      Multimodal.incrementalImageNearDups(
+          Multimodal.imageDHashes(newMedia), Shared.storedDHashes(s, d))
+        .orderBy("id_a", "id_b")
+    }),
+
     // Audio modality (round 6): genuine RIFF/WAVE PCM16 payloads decoded
     // through the JDK's real audio codec; rms / peak / zero-crossing
     // features from actually-decoded samples. Rows-only; feature math

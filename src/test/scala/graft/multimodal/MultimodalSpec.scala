@@ -153,6 +153,30 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("incremental image near-dups against a persisted dHash store equal the full recompute") {
+    val media = Multimodal.syntheticPngNearDups(
+      spark.range(30).toDF("doc_id"), "doc_id", width = 16, height = 16)
+    val all = Multimodal.imageDHashes(media).cache()
+    // day-1 corpus: ids < 21 — the planted pair (20, 21) straddles the
+    // boundary, so the probe must find old x new pairs, not just new x new
+    val (oldH, newH) = (all.where($"doc_id" < 21), all.where($"doc_id" >= 21))
+    val root = java.nio.file.Files.createTempDirectory("graft_dhash_store_").toString
+    graft.operators.IndexStore.writeDHashes(oldH, root)
+    val stored = graft.operators.IndexStore.readDHashes(spark, root)
+    assert(stored.collect().map(_.toSeq).toSet === oldH.collect().map(_.toSeq).toSet,
+      "dhash table round-trips exactly")
+    val got = Multimodal.incrementalImageNearDups(newH, stored, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hm = all.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val truth = (for {
+      x <- hm.keys; y <- hm.keys if x < y && (x >= 21 || y >= 21)
+      if java.lang.Long.bitCount(hm(x) ^ hm(y)) <= 3
+    } yield (x, y)).toSet
+    assert(got === truth, "incremental-vs-store != full recompute restricted to new ids")
+    assert(got.contains((20L, 21L)), "the boundary-straddling planted pair must be found")
+    all.unpersist()
+  }
+
   test("splitPngFrames recovers the exact concatenated frame payloads") {
     val f1 = Multimodal.encodePng(2, 2, Array(1, 2, 3, 4))
     val f2 = Multimodal.encodePng(2, 2, Array(5, 6, 7, 8))
