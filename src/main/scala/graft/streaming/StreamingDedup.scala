@@ -79,6 +79,65 @@ object StreamingDedup {
     candidates
   }
 
+  /** Media twin of [[processBatch]] (round 6): one micro-batch of image
+    * payloads is dHashed (REAL decode per row), probed for near-dup
+    * candidates against the persisted hash store plus itself
+    * (`Multimodal.incrementalImageNearDups`), and appended to the store —
+    * same replay-idempotent per-batch-id layout, same exactly-once
+    * convergence argument. Per batch, work is |new images| decodes plus
+    * bucket-local joins; stored media is NEVER rescanned (only its 8-byte
+    * hashes are read back). */
+  def processImageBatch(newMedia: DataFrame, hashStoreDir: String,
+                        batchId: Option[Long] = None,
+                        maxHamming: Int = 3): DataFrame = {
+    import graft.multimodal.Multimodal
+    val spark = newMedia.sparkSession
+    val newHashes = Multimodal.imageDHashes(newMedia)
+      .localCheckpoint() // reused three times (anti-join, join, write)
+    val exists = new Path(hashStoreDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration).exists(new Path(hashStoreDir))
+    val stored =
+      if (exists) {
+        val all = spark.read.parquet(hashStoreDir)
+        val prior = batchId match {
+          case Some(id) if all.columns.contains("batch") =>
+            all.where(!(col("batch") <=> lit(id)))
+          case Some(_) => all
+          case None =>
+            all.join(newHashes.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+        }
+        prior.select(col("doc_id"), col("dhash"))
+      }
+      else newHashes.limit(0)
+    val candidates = Multimodal.incrementalImageNearDups(newHashes, stored, maxHamming)
+      .localCheckpoint()
+    batchId match {
+      case Some(id) =>
+        newHashes.write.mode("overwrite").parquet(s"$hashStoreDir/batch=$id")
+      case None =>
+        newHashes.write.mode("append").parquet(hashStoreDir)
+    }
+    candidates
+  }
+
+  /** Drain an incoming media directory through [[processImageBatch]]:
+    * per micro-batch, candidates to `candidatesDir`, hashes into the
+    * store, both keyed by batch id. AvailableNow + checkpoint. */
+  def runImages(spark: SparkSession, incomingDir: String, schema: StructType,
+                hashStoreDir: String, candidatesDir: String,
+                checkpoint: String): Unit = {
+    val q = spark.readStream.schema(schema).parquet(incomingDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processImageBatch(batch, hashStoreDir, Some(batchId))
+          .write.mode("overwrite").parquet(s"$candidatesDir/batch=$batchId")
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Drain an incoming documents directory: per micro-batch, write the
     * candidate pairs to `candidatesDir` and grow the band store, both
     * keyed by batch id (replay rewrites, never duplicates). AvailableNow +
