@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
 import graft.operators.{IndexStore, NearDup}
 
 /** Fresh-PROCESS proof of the IndexStore lifecycle (round-5 hardening):
@@ -42,13 +43,19 @@ object StoreLifecycleCheck {
     require(args.length == 1, "usage: StoreLifecycleCheck <storeRoot>")
     val root = args(0)
 
-    // ---- day 1: its own session writes the store, then fully stops ----
+    // ---- day 1: its own session writes the stores, then fully stops ----
     locally {
       val s1 = session("graft-store-writer")
       s1.sparkContext.setLogLevel("ERROR")
       val oldDocs = ScaleBench.syntheticDocs(s1, NAll).where(col("doc_id") < NOld)
       IndexStore.writeLshBands(
         NearDup.lshBandTable(oldDocs, "doc_id", col("text")), root)
+      // media twin: dHash table of the day-1 image slice (same id plant —
+      // 2k/2k+1 near-dups — so pairs straddle the boundary here too)
+      IndexStore.writeDHashes(
+        Multimodal.imageDHashes(Multimodal.syntheticPngNearDups(
+          s1.range(NAll).toDF("doc_id").where(col("doc_id") < NOld),
+          "doc_id", width = 16, height = 16)), root)
       s1.stop()
     }
     SparkSession.clearActiveSession()
@@ -77,6 +84,28 @@ object StoreLifecycleCheck {
       // cross-boundary pairs exist, so the equality above is not vacuous
       require(incremental.nonEmpty, "probe found no candidate pairs — plant failed")
       println(s"store-lifecycle OK: ${incremental.size} pairs from the reloaded store")
+
+      // ---- media store: same fresh-process probe over the dHash table ----
+      val allMedia = Multimodal.syntheticPngNearDups(
+        s2.range(NAll).toDF("doc_id"), "doc_id", width = 16, height = 16)
+      val newHashes = Multimodal.imageDHashes(
+        allMedia.where(col("doc_id") >= NOld))
+      val storedH = IndexStore.readDHashes(s2, root)
+      require(storedH.count() == NOld, "reloaded dhash store has wrong row count")
+      val incImg = Multimodal.incrementalImageNearDups(newHashes, storedH)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val allH = Multimodal.imageDHashes(allMedia).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val fullImg = (for {
+        x <- allH.keys; y <- allH.keys
+        if x < y && (x >= NOld || y >= NOld)
+        if java.lang.Long.bitCount(allH(x) ^ allH(y)) <= 3
+      } yield (x, y)).toSet
+      require(incImg == fullImg,
+        s"media incremental-vs-store != full recompute: " +
+        s"missing=${(fullImg -- incImg).take(3)} extra=${(incImg -- fullImg).take(3)}")
+      require(incImg.nonEmpty, "media probe found no pairs — plant failed")
+      println(s"media-store-lifecycle OK: ${incImg.size} pairs from the reloaded dhash store")
     } finally s2.stop()
   }
 }

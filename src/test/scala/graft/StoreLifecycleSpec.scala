@@ -46,5 +46,7 @@ class StoreLifecycleSpec extends AnyFunSuite {
     val tail = out.toString.linesIterator.toSeq.takeRight(25).mkString("\n")
     assert(exit == 0, s"StoreLifecycleCheck exited $exit; output tail:\n$tail")
     assert(out.toString.contains("store-lifecycle OK"), s"missing OK marker:\n$tail")
+    assert(out.toString.contains("media-store-lifecycle OK"),
+      s"missing media OK marker:\n$tail")
   }
 }
