@@ -223,36 +223,45 @@ object Multimodal {
         imageDHashes(binDf).withColumnRenamed("dhash", "simhash"), "doc_id",
         maxHamming)
 
-  private def dhashChunks(hashes: DataFrame) =
-    hashes.select(col("doc_id"), col("dhash"),
-      posexplode(array((0 until 4).map(c =>
-        shiftright(col("dhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
-      .withColumnRenamed("pos", "__chunk").withColumnRenamed("col", "__cv")
-
   /** Dedup-on-arrival for images (the media twin of
     * `NearDup.incrementalLshCandidates`): near-dup pairs TOUCHING the new
     * batch — new×new plus new×stored — against a persisted dHash table
     * (`IndexStore.writeDHashes`/`readDHashes`), without recomputing or
-    * rescanning the old corpus' media. Ids must be disjoint between the
-    * two tables. Equals the full recompute over old ∪ new restricted to
-    * pairs with at least one new id (spec-asserted, the exactness contract
-    * incremental operators carry here). Both legs stay bucket-local on the
-    * 16-bit chunks. */
+    * rescanning the old corpus' media. Equals the full recompute over
+    * old ∪ new restricted to pairs with at least one new id
+    * (spec-asserted, the exactness contract incremental operators carry
+    * here) — including the crowded-bucket cap, which is counted over the
+    * UNION exactly as the full recompute and the text twin count it (a
+    * new-side-only cap would both miss the blowup protection on stored
+    * crowds and break the equality). A doc_id recurring in both tables
+    * never self-pairs (strict id_a < id_b), matching the text twin's
+    * recurring-id semantics. One bucket-local join over the tagged union. */
   def incrementalImageNearDups(newHashes: DataFrame, storedHashes: DataFrame,
-                               maxHamming: Int = 3): DataFrame = {
-    val nn = graft.operators.NearDup.simhashPairs(
-      newHashes.withColumnRenamed("dhash", "simhash"), "doc_id", maxHamming)
-    val a = dhashChunks(newHashes).withColumnsRenamed(
-      Map("doc_id" -> "__nid", "dhash" -> "__nh"))
-    val b = dhashChunks(storedHashes).withColumnsRenamed(
-      Map("doc_id" -> "__sid", "dhash" -> "__sh"))
-    val no = a.join(b, Seq("__chunk", "__cv"))
-      .select(least(col("__nid"), col("__sid")).as("id_a"),
-        greatest(col("__nid"), col("__sid")).as("id_b"),
-        bit_count(col("__nh").bitwiseXOR(col("__sh"))).cast("long").as("hamming"))
+                               maxHamming: Int = 3,
+                               maxBucketSize: Int = graft.operators.NearDup.DefaultMaxBucketSize)
+      : DataFrame = {
+    import graft.operators.NearDup
+    val tagged = NearDup.hashChunks16(newHashes, "doc_id", "dhash")
+      .withColumn("__isnew", lit(true))
+      .unionByName(NearDup.hashChunks16(storedHashes, "doc_id", "dhash")
+        .withColumn("__isnew", lit(false)))
+    // Cap rides the same (chunk, value) partitioning the join needs: one
+    // window count over the union, over-cap buckets dropped in place;
+    // materialized ONCE (it feeds both join sides).
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("__chunk", "__cv")
+    val capped = tagged.withColumn("__bn", count(lit(1)).over(w))
+      .where(col("__bn") <= maxBucketSize).drop("__bn")
+      .localCheckpoint()
+    val a = capped.select(col("__chunk"), col("__cv"), col("__id").as("id_a"),
+      col("__h64").as("__ha"), col("__isnew").as("__na"))
+    val b = capped.select(col("__chunk"), col("__cv"), col("__id").as("id_b"),
+      col("__h64").as("__hb"), col("__isnew").as("__nb"))
+    a.join(b, Seq("__chunk", "__cv"))
+      .where(col("id_a") < col("id_b") && (col("__na") || col("__nb")))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("__ha").bitwiseXOR(col("__hb"))).cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
-    nn.unionByName(no)
   }
 
   /** Deterministic near-dup PNG fixture: consecutive ids (2k, 2k+1) render

@@ -250,6 +250,15 @@ object NearDup {
     * more than `maxBucketSize` docs are dropped before the self-join
     * ([[dropCrowdedBuckets]]) — on web text, near-empty docs collapse into
     * a few giant all-zero-ish chunks. */
+  /** The 4x16-bit chunk explosion the pigeonhole joins bucket on — shared
+    * by the text SimHash pairs and the image dHash pairs (the pair
+    * machinery is hash-agnostic over any 64-bit fingerprint column). */
+  private[graft] def hashChunks16(h: DataFrame, idCol: String, hashCol: String): DataFrame =
+    h.select(col(idCol).as("__id"), col(hashCol).as("__h64"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col(hashCol), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnRenamed("pos", "__chunk").withColumnRenamed("col", "__cv")
+
   def simhashPairs(sh: DataFrame, idCol: String, maxHamming: Int = 3,
                    maxBucketSize: Int = DefaultMaxBucketSize,
                    capObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
@@ -257,10 +266,8 @@ object NearDup {
     // lshCandidatePairs: `sh` is usually the full simhash aggregation, and
     // a lazy self-join would compute it once per side.
     val chunks = dropCrowdedBuckets(
-      sh.select(col(idCol).as("__id"), col("simhash"),
-        posexplode(array((0 until 4).map(c =>
-          shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
-        .withColumnRenamed("pos", "__chunk").withColumnRenamed("col", "__cv")
+      hashChunks16(sh, idCol, "simhash")
+        .withColumnRenamed("__h64", "simhash")
         .localCheckpoint(),
       Seq("__chunk", "__cv"), maxBucketSize, capObs)
     val a = chunks.select(col("__chunk"), col("__cv"), col("__id").as("id_a"), col("simhash").as("sh_a"))

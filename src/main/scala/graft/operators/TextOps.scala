@@ -389,13 +389,18 @@ object TextOps {
                           maxShingleSources: Int = NearDup.DefaultMaxBucketSize,
                           capObs: Option[org.apache.spark.sql.Observation] = None)
       : org.apache.spark.sql.DataFrame = {
+    // Checkpoint BOTH stages: the distinct table feeds the cap's count
+    // pass + anti-join (2 consumers), and the capped output feeds sizes +
+    // both sides of the intersection self-join (3 consumers) — without
+    // the second checkpoint the cap's agg + anti-join replan ~3x.
     val sh = NearDup.dropCrowdedBuckets(
       NearDup.withShingles(
           docs.select(col(groupCol), text.as("__txt")), col("__txt"), shingleN)
         .select(col(groupCol), explode(col("__sh")).as("__s"))
         .distinct()
-        .localCheckpoint(), // feeds the df-cap count, sizes + the self-join
+        .localCheckpoint(),
       Seq("__s"), maxShingleSources, capObs)
+      .localCheckpoint()
     // Size over the capped universe, but keep every source VISIBLE even if
     // the cap dropped its whole vocabulary (n=0 row, not an absent source —
     // the dense-matrix contract).

@@ -104,8 +104,12 @@ class OhlcvHttpPartitionReader(p: OhlcvInputPartition)
       .flatMap(OhlcvFetch.parseCsv) match {
       case Some(rows) => rows.iterator.map(sym -> _)
       case None =>
-        logWarning(s"graft-ohlcv: skipping symbol $sym after " +
-          s"${p.fetch.maxRetries + 1} failed attempts at ${p.fetch.endpoint}")
+        // fetch exhausted its retry budget OR a 200 body failed the CSV
+        // contract (parse failures don't retry) — don't claim N network
+        // attempts that may not have happened
+        logWarning(s"graft-ohlcv: skipping symbol $sym (fetch failed after up to " +
+          s"${p.fetch.maxRetries + 1} attempts, or response failed to parse) " +
+          s"at ${p.fetch.endpoint}")
         Iterator.empty
     }
   }

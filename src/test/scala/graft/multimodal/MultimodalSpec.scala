@@ -177,6 +177,29 @@ class MultimodalSpec extends SparkSpec {
     all.unpersist()
   }
 
+  test("incremental near-dups: recurring doc_id never self-pairs, crowded buckets capped over the union") {
+    // id 5 exists in BOTH tables with the identical hash (a re-crawled
+    // image): it must not pair with itself, but id 6's matching hash in
+    // the new batch must still pair with the stored id 5
+    val stored = Seq((5L, 0x1234L), (1L, 0x00FFL)).toDF("doc_id", "dhash")
+    val fresh = Seq((5L, 0x1234L), (6L, 0x1234L)).toDF("doc_id", "dhash")
+    val pairs = Multimodal.incrementalImageNearDups(fresh, stored, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.exists(p => p._1 == p._2), s"no self-pairs, got $pairs")
+    assert(pairs === Set((5L, 6L)), s"recurring id still pairs with others, got $pairs")
+
+    // union-side cap: 3 stored + 1 new share every chunk of hash 0; with
+    // maxBucketSize=3 the union count (4) exceeds the cap, so the full
+    // recompute AND the incremental probe must both drop the bucket
+    val crowdStored = Seq((10L, 0L), (11L, 0L), (12L, 0L)).toDF("doc_id", "dhash")
+    val crowdNew = Seq((13L, 0L)).toDF("doc_id", "dhash")
+    val capped = Multimodal.incrementalImageNearDups(crowdNew, crowdStored,
+      maxHamming = 3, maxBucketSize = 3)
+      .collect()
+    assert(capped.isEmpty,
+      "a bucket crowded across new+stored must be dropped, as the full recompute drops it")
+  }
+
   test("splitPngFrames recovers the exact concatenated frame payloads") {
     val f1 = Multimodal.encodePng(2, 2, Array(1, 2, 3, 4))
     val f2 = Multimodal.encodePng(2, 2, Array(5, 6, 7, 8))
