@@ -175,6 +175,10 @@ object ScaleBench {
       Multimodal.imageDHashes(wm).count()
       Multimodal.imageNearDupPairs(wm, maxHamming = 3).count()
       wm.unpersist()
+      graft.multimodal.AudioWav.audioFeatures(graft.multimodal.AudioWav.syntheticWav(
+        spark.range(100L).toDF("doc_id"), "doc_id", nSamples = 800)).count()
+      Multimodal.shotBoundaries(Multimodal.syntheticPngClip(
+        spark.range(50L).toDF("doc_id"), "doc_id", 6, 8, 8, 2)).count()
       d.unpersist()
       GraphOps.pageRank(syntheticEdges(spark, 2000L), "src", "dst", 2).count()
       val e = syntheticEmbeddings(spark, 200L).localCheckpoint()
@@ -263,6 +267,28 @@ object ScaleBench {
         Multimodal.imageNearDupPairs(media, maxHamming = 3).count()
       }
       media.unpersist()
+
+      // r6 audio codec: real WAV container parse per row; per-clip
+      // constant work => wall tracks clips linearly
+      val wavs = graft.multimodal.AudioWav.syntheticWav(
+        spark.range(nDocs).toDF("doc_id"), "doc_id", nSamples = 800)
+        .localCheckpoint()
+      timed("wav_decode_features", nDocs) {
+        graft.multimodal.AudioWav.audioFeatures(wavs).count()
+      }
+      wavs.unpersist()
+
+      // r6 video stand-in: 6-frame clips, every frame really decoded +
+      // dHashed; per-clip constant work => linear in clips
+      if (scale <= 10L) {
+        val clips = Multimodal.syntheticPngClip(
+          spark.range(nDocs).toDF("doc_id"), "doc_id",
+          nFrames = 6, width = 8, height = 8, shotLen = 2).localCheckpoint()
+        timed("clip_shot_boundaries", nDocs) {
+          Multimodal.shotBoundaries(clips, cutThreshold = 10).count()
+        }
+        clips.unpersist()
+      }
 
       // PageRank (round 5): 5 iterations, each ONE shuffle linear in the
       // edge count; lineage checkpoint-truncated per iteration, so wall
