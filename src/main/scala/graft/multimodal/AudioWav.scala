@@ -48,9 +48,45 @@ object AudioWav {
     out
   }
 
-  /** REAL decode: parse the RIFF container through the JDK audio codec and
-    * return (sampleRate, PCM16 samples). Fails fast on non-WAV bytes. */
-  def decodeWavPcm16(payload: Array[Byte]): (Int, Array[Short]) = {
+  /** REAL decode: parse the RIFF container and return (sampleRate, PCM16
+    * samples). The canonical PCM16-mono layout (what [[encodeWavPcm16]]
+    * writes and what a curation pipeline's normalized clips are) takes a
+    * direct chunk-walk parse — `AudioSystem.getAudioInputStream`'s
+    * per-call provider lookup costs ~115 µs/clip (measured, ScaleBench
+    * `wav_decode_features`), ~10x the actual parse, which matters at
+    * 500M clips. Anything non-canonical (stereo, other bit depths,
+    * compressed, extension chunks reordering the layout we don't walk)
+    * falls back to the JDK codec, so the accepted format surface is
+    * unchanged. Fails fast on non-WAV bytes. */
+  def decodeWavPcm16(payload: Array[Byte]): (Int, Array[Short]) =
+    parseCanonicalRiffPcm16(payload).getOrElse(decodeWavPcm16Jdk(payload))
+
+  /** Direct parse of the strict canonical layout: RIFF/WAVE, a 16-byte
+    * `fmt ` chunk declaring PCM(1)/mono/16-bit, then `data`. Returns None
+    * (→ JDK fallback) for anything else. */
+  private[multimodal] def parseCanonicalRiffPcm16(p: Array[Byte]): Option[(Int, Array[Short])] = {
+    def le16(o: Int) = (p(o) & 0xFF) | ((p(o + 1) & 0xFF) << 8)
+    def le32(o: Int) = le16(o) | (le16(o + 2) << 16)
+    def tag(o: Int, s: String) = p.length >= o + 4 &&
+      new String(p, o, 4, "US-ASCII") == s
+    if (p.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE") ||
+        !tag(12, "fmt ") || le32(16) != 16 ||
+        le16(20) != 1 /* PCM */ || le16(22) != 1 /* mono */ ||
+        le16(34) != 16 /* bits */ || !tag(36, "data")) None
+    else {
+      val dataLen = le32(40)
+      if (dataLen < 0 || 44 + dataLen > p.length || dataLen % 2 != 0) None
+      else {
+        val samples = new Array[Short](dataLen / 2)
+        var i = 0
+        while (i < samples.length) { samples(i) = le16(44 + i * 2).toShort; i += 1 }
+        Some((le32(24), samples))
+      }
+    }
+  }
+
+  /** The JDK-codec path: handles every WAV layout javax.sound does. */
+  private[multimodal] def decodeWavPcm16Jdk(payload: Array[Byte]): (Int, Array[Short]) = {
     val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
     try {
       val f = in.getFormat

@@ -16,6 +16,23 @@ class AudioWavSpec extends SparkSpec {
     assert(back.toSeq === samples.toSeq)
   }
 
+  test("canonical fast parse and JDK codec decode identically; non-canonical falls back") {
+    val samples = Array.tabulate[Short](300)(i => ((i * 7919) % 65536 - 32768).toShort)
+    val wav = AudioWav.encodeWavPcm16(44100, samples)
+    val fast = AudioWav.parseCanonicalRiffPcm16(wav)
+    val jdk = AudioWav.decodeWavPcm16Jdk(wav)
+    assert(fast.isDefined, "canonical layout must take the direct parse")
+    assert(fast.get._1 === jdk._1 && fast.get._2.toSeq === jdk._2.toSeq,
+      "both parsers must agree bit-for-bit")
+    // a stereo header is non-canonical: direct parse declines (JDK path
+    // would handle a real stereo file; this one only flips the field)
+    val stereo = wav.clone(); stereo(22) = 2
+    assert(AudioWav.parseCanonicalRiffPcm16(stereo).isEmpty)
+    // truncated data chunk declines rather than reading out of bounds
+    val truncated = wav.take(wav.length - 2)
+    assert(AudioWav.parseCanonicalRiffPcm16(truncated).isEmpty)
+  }
+
   test("decode fails fast on non-audio bytes") {
     intercept[Exception] {
       AudioWav.decodeWavPcm16("definitely not a wav file".getBytes("UTF-8"))
