@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.multimodal.Multimodal
+import graft.multimodal.{AudioWav, Multimodal}
 import graft.operators.{IndexStore, NearDup}
 
 /** Fresh-PROCESS proof of the IndexStore lifecycle (round-5 hardening):
@@ -56,6 +56,11 @@ object StoreLifecycleCheck {
         Multimodal.imageDHashes(Multimodal.syntheticPngNearDups(
           s1.range(NAll).toDF("doc_id").where(col("doc_id") < NOld),
           "doc_id", width = 16, height = 16)), root)
+      // audio twin: band-energy fingerprints of the day-1 clip slice
+      IndexStore.writeAudioHashes(
+        AudioWav.audioHashes(AudioWav.syntheticWavNearDups(
+          s1.range(NAll).toDF("doc_id").where(col("doc_id") < NOld),
+          "doc_id", nSamples = 3600)), root)
       s1.stop()
     }
     SparkSession.clearActiveSession()
@@ -106,6 +111,28 @@ object StoreLifecycleCheck {
         s"missing=${(fullImg -- incImg).take(3)} extra=${(incImg -- fullImg).take(3)}")
       require(incImg.nonEmpty, "media probe found no pairs — plant failed")
       println(s"media-store-lifecycle OK: ${incImg.size} pairs from the reloaded dhash store")
+
+      // ---- audio store: same fresh-process probe over the fingerprints ----
+      val allAudio = AudioWav.syntheticWavNearDups(
+        s2.range(NAll).toDF("doc_id"), "doc_id", nSamples = 3600)
+      val newAHashes = AudioWav.audioHashes(
+        allAudio.where(col("doc_id") >= NOld))
+      val storedA = IndexStore.readAudioHashes(s2, root)
+      require(storedA.count() == NOld, "reloaded audio hash store has wrong row count")
+      val incAud = AudioWav.incrementalAudioNearDups(newAHashes, storedA)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val allA = AudioWav.audioHashes(allAudio).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val fullAud = (for {
+        x <- allA.keys; y <- allA.keys
+        if x < y && (x >= NOld || y >= NOld)
+        if java.lang.Long.bitCount(allA(x) ^ allA(y)) <= 3
+      } yield (x, y)).toSet
+      require(incAud == fullAud,
+        s"audio incremental-vs-store != full recompute: " +
+        s"missing=${(fullAud -- incAud).take(3)} extra=${(incAud -- fullAud).take(3)}")
+      require(incAud.nonEmpty, "audio probe found no pairs — plant failed")
+      println(s"audio-store-lifecycle OK: ${incAud.size} pairs from the reloaded fingerprint store")
     } finally s2.stop()
   }
 }

@@ -75,7 +75,11 @@ object AudioWav {
         le16(34) != 16 /* bits */ || !tag(36, "data")) None
     else {
       val dataLen = le32(40)
-      if (dataLen < 0 || 44 + dataLen > p.length || dataLen % 2 != 0) None
+      // Long compare: a crafted dataLen near Int.MaxValue would overflow
+      // `44 + dataLen` to negative and sail past an Int bounds check,
+      // turning a malformed header into an OOM instead of a clean
+      // fall-through to the JDK codec.
+      if (dataLen < 0 || 44L + dataLen > p.length || dataLen % 2 != 0) None
       else {
         val samples = new Array[Short](dataLen / 2)
         var i = 0
@@ -125,6 +129,232 @@ object AudioWav {
         (id, encodeWavPcm16(sampleRate, samples))
       }
     }.toDF("doc_id", "payload")
+  }
+
+  // ---------------------------------------------------------------------
+  // Perceptual audio fingerprint + near-dup (round 7): the audio twin of
+  // the image dHash path — fingerprint -> pigeonhole pairs -> persisted
+  // store -> incremental probe -> streaming arrival.
+  // ---------------------------------------------------------------------
+
+  /** Haar-wavelet detail ENERGIES of a sample window at 8 dyadic levels —
+    * the all-integer band analyzer behind [[audioHash64]]: level b's
+    * detail coefficients are pairwise differences of the level-(b-1)
+    * approximation (sums), so energy(b) ~ the signal's power in the b-th
+    * octave band, computed in exact Long math (no FFT floats — bitwise
+    * deterministic on every JVM). Coefficients grow 2x per level (level-7
+    * values <= 32768 * 2^7), so energies fit Long for any clip frame a
+    * curation pipeline hashes (minutes of PCM16, not hours). Levels the
+    * window is too short to populate stay 0. */
+  private[multimodal] def bandEnergies(frame: Array[Short]): Array[Long] = {
+    val energies = new Array[Long](8)
+    var cur: Array[Long] = Array.tabulate(frame.length)(i => frame(i).toLong)
+    var level = 0
+    while (level < 8) {
+      if (cur.length >= 2) {
+        val half = cur.length / 2
+        val next = new Array[Long](half)
+        var e = 0L
+        var i = 0
+        while (i < half) {
+          val d = cur(2 * i) - cur(2 * i + 1)
+          e += d * d
+          next(i) = cur(2 * i) + cur(2 * i + 1)
+          i += 1
+        }
+        energies(level) = e
+        cur = next
+      }
+      level += 1
+    }
+    energies
+  }
+
+  /** 64-bit band-energy sign hash of a decoded clip — the audio twin of
+    * [[Multimodal.dHash64]]: split the samples into 9 equal time frames,
+    * measure each frame's energy in 8 Haar octave bands
+    * ([[bandEnergies]]), then bit (band*8 + t) = 1 iff
+    * energy(t, band) > energy(t+1, band). All-integer, so bitwise
+    * deterministic; robust to small additive noise and re-encoding
+    * (energy ORDER between adjacent frames survives perturbations that
+    * are small relative to the frame's power), sensitive to structural
+    * change (a different clip orders its band energies differently).
+    * Hamming distance between hashes tracks acoustic difference exactly
+    * as dHash tracks visual difference. Clips shorter than 18 samples
+    * hash to 0 (no populated comparisons). */
+  def audioHash64(samples: Array[Short]): Long = {
+    val n = samples.length
+    if (n < 18) return 0L
+    val e = Array.ofDim[Long](9, 8)
+    var t = 0
+    while (t < 9) {
+      val start = (t.toLong * n / 9).toInt
+      val end = ((t + 1).toLong * n / 9).toInt
+      e(t) = bandEnergies(java.util.Arrays.copyOfRange(samples, start, end))
+      t += 1
+    }
+    var bits = 0L
+    var b = 0
+    while (b < 8) {
+      var tt = 0
+      while (tt < 8) {
+        if (e(tt)(b) > e(tt + 1)(b)) bits |= 1L << (b * 8 + tt)
+        tt += 1
+      }
+      b += 1
+    }
+    bits
+  }
+
+  /** Per-clip fingerprint table (doc_id, ahash) — real container decode
+    * per row on the executors, the audio mirror of
+    * [[Multimodal.imageDHashes]]. */
+  def audioHashes(binDf: DataFrame): DataFrame = {
+    val spark = binDf.sparkSession
+    import spark.implicits._
+    binDf.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        (id, audioHash64(decodeWavPcm16(payload)._2))
+      })
+      .toDF("doc_id", "ahash")
+  }
+
+  /** Audio near-duplicate pairs — fingerprint + the hash-agnostic
+    * pigeonhole band join, exactly [[Multimodal.imageNearDupPairs]] with
+    * [[audioHash64]] in place of dHash: every pair at Hamming <= 3 shares
+    * a band bucket, so the join is bucket-local, never all-pairs. Band
+    * mode auto-routes on corpus size past `NearDup.WideHashThreshold`
+    * (identical outputs, only collision volume changes); guarded to
+    * maxHamming <= 3 (the pigeonhole exactness bound). The hash table is
+    * materialized once for the size probe and reused by the band
+    * explosion, so payloads decode exactly once. */
+  def audioNearDupPairs(binDf: DataFrame, maxHamming: Int = 3,
+                        wide: Option[Boolean] = None): DataFrame = {
+    import graft.operators.NearDup
+    require(maxHamming <= 3,
+      s"audioNearDupPairs' pigeonhole band tables are exact only for maxHamming <= 3, got $maxHamming")
+    val hashes = audioHashes(binDf).localCheckpoint()
+    val useWide = wide.getOrElse(hashes.count() >= NearDup.WideHashThreshold)
+    val sh = hashes.withColumnRenamed("ahash", "simhash")
+    if (useWide) NearDup.simhashPairsWide(sh, "doc_id", maxHamming)
+    else NearDup.simhashPairs(sh, "doc_id", maxHamming)
+  }
+
+  /** Dedup-on-arrival for audio: near-dup pairs TOUCHING the new batch
+    * (new×new plus new×stored) against a persisted fingerprint table
+    * (`IndexStore.writeAudioHashes`/`readAudioHashes`) — the audio twin of
+    * [[Multimodal.incrementalImageNearDups]], sharing its exactness
+    * contract (equals the full recompute over old ∪ new restricted to
+    * pairs with >= 1 new id, union-counted crowded-bucket cap,
+    * recurring-id no-self-pair semantics) via the same shared core. */
+  def incrementalAudioNearDups(newHashes: DataFrame, storedHashes: DataFrame,
+                               maxHamming: Int = 3,
+                               maxBucketSize: Int = graft.operators.NearDup.DefaultMaxBucketSize,
+                               wide: Option[Boolean] = None): DataFrame = {
+    import graft.operators.NearDup
+    require(maxHamming <= 3,
+      s"incrementalAudioNearDups' pigeonhole band tables are exact only for maxHamming <= 3, got $maxHamming")
+    val (nh, useWide) = wide match {
+      case Some(w) => (newHashes, w)
+      case None =>
+        val nhc = newHashes.localCheckpoint()
+        (nhc, nhc.count() + storedHashes.count() >= NearDup.WideHashThreshold)
+    }
+    NearDup.incrementalHashPairs(nh, storedHashes, "doc_id", "ahash",
+      maxHamming, maxBucketSize, useWide)
+  }
+
+  /** Deterministic near-dup WAV fixture (the audio mirror of
+    * `Multimodal.syntheticPngNearDups`): consecutive ids (2k, 2k+1)
+    * render the SAME seeded clip except the odd id adds small
+    * per-sample noise (±8 on amplitudes >= 4000) — an acoustically
+    * near-identical copy, so the planted pair's [[audioHash64]] distance
+    * is ~0 while unrelated clips sit near the 32-bit random expectation.
+    * Each clip is 9 time frames of seeded pseudo-noise whose per-frame
+    * amplitude walks a seeded permutation of {4000, 7000, ..., 28000}:
+    * adjacent frames differ by >= 1.1x in amplitude (>= 1.2x in energy,
+    * across EVERY band — broadband noise), so all 64 sign comparisons
+    * are decided at margins the ±8 noise cannot flip. */
+  def syntheticWavNearDups(df: DataFrame, idCol: String, nSamples: Int,
+                           sampleRate: Int = 16000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val seed = id >> 1
+        def mix(a: Long, b: Long): Long = {
+          var h = (a * 0x9E3779B97F4A7C15L + b) ^ 0xBF58476D1CE4E5B9L
+          h = (h ^ (h >>> 30)) * 0xBF58476D1CE4E5B9L
+          h = (h ^ (h >>> 27)) * 0x94D049BB133111EBL
+          h ^ (h >>> 31)
+        }
+        // per-frame amplitude = 4000 + 3000 * rank of the frame's seeded
+        // hash among the 9 frames — a seeded permutation, distinct per
+        // frame, identical for both halves of a planted pair
+        val frameKeys = Array.tabulate(9)(t => mix(seed, 1000L + t))
+        val amps = {
+          val ranks = frameKeys.zipWithIndex.sortBy(_._1).zipWithIndex
+            .map { case ((_, t), r) => t -> r }.toMap
+          Array.tabulate(9)(t => 4000 + 3000 * ranks(t))
+        }
+        val samples = new Array[Short](nSamples)
+        var h = mix(seed, 2L)
+        var noise = mix(id, 3L)
+        var i = 0
+        while (i < nSamples) {
+          val t = math.min((i.toLong * 9 / nSamples).toInt, 8)
+          h = h * 6364136223846793005L + 1442695040888963407L
+          var v = (((h >>> 48).toShort.toInt * amps(t)) / 32768)
+          if ((id & 1L) == 1L) {
+            noise = noise * 6364136223846793005L + 1442695040888963407L
+            v += (((noise >>> 48) & 0xF).toInt - 8)
+          }
+          samples(i) = v.toShort
+          i += 1
+        }
+        (id, encodeWavPcm16(sampleRate, samples))
+      }
+    }.toDF("doc_id", "payload")
+  }
+
+  /** Crawl-scale fault isolation for the audio decode path — the WAV twin
+    * of `Multimodal.imageFeaturesQuarantined` (and of
+    * `IngestEgress.readCsvWithQuarantine`, R6 semantics): undecodable
+    * payloads land in a quarantine frame with a reason, good clips'
+    * features are unaffected, the job completes. ONE decode pass,
+    * persisted once and split. */
+  def audioFeaturesQuarantined(binDf: DataFrame)
+      : (Dataset[AudioFeatures], Dataset[Multimodal.QuarantinedMedia]) = {
+    val spark = binDf.sparkSession
+    import spark.implicits._
+    val parsed = binDf.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        try {
+          val (rate, s) = decodeWavPcm16(payload)
+          var (sumSq, peak, zc) = (0L, 0, 0L)
+          var i = 0
+          while (i < s.length) {
+            val v = s(i).toInt
+            sumSq += v.toLong * v
+            if (math.abs(v) > peak) peak = math.abs(v)
+            if (i > 0 && ((v >= 0) != (s(i - 1) >= 0))) zc += 1
+            i += 1
+          }
+          val rms = if (s.length == 0) 0.0 else math.sqrt(sumSq.toDouble / s.length)
+          (Some(AudioFeatures(id, rate, s.length, peak, rms, zc)): Option[AudioFeatures],
+            None: Option[Multimodal.QuarantinedMedia])
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            (None: Option[AudioFeatures],
+              Some(Multimodal.QuarantinedMedia(id, payload.length.toLong,
+                s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"))
+                : Option[Multimodal.QuarantinedMedia])
+        }
+      })
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (parsed.flatMap(_._1), parsed.flatMap(_._2))
   }
 
   /** Decode every payload (really — a codec parse per row, on the

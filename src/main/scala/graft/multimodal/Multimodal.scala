@@ -160,6 +160,50 @@ object Multimodal {
       })
   }
 
+  /** One quarantined media payload: the id, the byte length, and WHY the
+    * decode failed — enough to triage or re-fetch without carrying the
+    * broken bytes through the pipeline. */
+  case class QuarantinedMedia(doc_id: Long, n_bytes: Long, reason: String)
+
+  /** Crawl-scale fault isolation for the image decode path — the media
+    * twin of `IngestEgress.readCsvWithQuarantine` (R6 semantics): decode
+    * failures are routed to a quarantine frame with a reason instead of
+    * killing the job ([[imageFeatures]] is fail-fast by contract — one
+    * corrupt payload in a 100 TB crawl must not cost the whole pass).
+    * Returns (clean features, quarantined). ONE decode pass: the parsed
+    * frame is persisted once and split, exactly the CSV twin's shape —
+    * the two outputs would otherwise re-decode every payload. */
+  def imageFeaturesQuarantined(binDf: DataFrame)
+      : (Dataset[ImageFeatures], Dataset[QuarantinedMedia]) = {
+    val spark = binDf.sparkSession
+    import spark.implicits._
+    val parsed = binDf.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        try {
+          val img = decodePng(payload)
+          val px = rgbPixels(img)
+          var (sr, sg, sb, sy) = (0L, 0L, 0L, 0L)
+          px.foreach { p =>
+            val (r, g, b) = ((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF)
+            sr += r; sg += g; sb += b; sy += (299 * r + 587 * g + 114 * b) / 1000
+          }
+          val n = px.length.toDouble
+          (Some(ImageFeatures(id, img.getWidth, img.getHeight,
+            sr / n, sg / n, sb / n, sy / n)): Option[ImageFeatures],
+            None: Option[QuarantinedMedia])
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            (None: Option[ImageFeatures],
+              Some(QuarantinedMedia(id, payload.length.toLong,
+                s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"))
+                : Option[QuarantinedMedia])
+        }
+      })
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (parsed.flatMap(_._1), parsed.flatMap(_._2))
+  }
+
   /** Frame-sample the DECODED luma plane of real PNG payloads: decode on
     * the executors, project to BT.601 luma, then the same framing math as
     * [[sampleFrames]] — features come from actual pixels, not container
@@ -213,15 +257,32 @@ object Multimodal {
       .toDF("doc_id", "dhash")
   }
 
-  /** Image near-duplicate pairs: dHash + the SimHash 16-bit-chunk
-    * pigeonhole join ([[graft.operators.NearDup.simhashPairs]] — the pair
-    * machinery is hash-agnostic): EVERY pair at Hamming distance <=
-    * `maxHamming` (<= 3 for exactness) shares a chunk bucket, so the join
-    * is bucket-local, never all-pairs. Returns (id_a, id_b, hamming). */
-  def imageNearDupPairs(binDf: DataFrame, maxHamming: Int = 3): DataFrame =
-    graft.operators.NearDup.simhashPairs(
-        imageDHashes(binDf).withColumnRenamed("dhash", "simhash"), "doc_id",
-        maxHamming)
+  /** Image near-duplicate pairs: dHash + a SimHash pigeonhole join (the
+    * pair machinery is hash-agnostic): EVERY pair at Hamming distance <=
+    * `maxHamming` shares a band bucket, so the join is bucket-local, never
+    * all-pairs. Guarded to maxHamming <= 3 — both band tables are exact
+    * pigeonholes only there (pairs differing in every band would be
+    * silently missed above it), matching `simhashPairsWide`'s contract.
+    *
+    * Band mode auto-routes on corpus size (`wide = None`): below
+    * `NearDup.WideHashThreshold` the 4x16-bit chunk table (4 rows/doc);
+    * past it — where 2^16 buckets/chunk crowd and collision volume goes
+    * ~n²/2^16 — the Manku 3-of-6-block tables (~2^32 buckets, 20
+    * rows/doc). Outputs are identical (spec-asserted); only the join's
+    * collision volume changes. The hash table is materialized once for
+    * the size probe and reused by the band explosion, so payloads decode
+    * exactly once either way. Returns (id_a, id_b, hamming). */
+  def imageNearDupPairs(binDf: DataFrame, maxHamming: Int = 3,
+                        wide: Option[Boolean] = None): DataFrame = {
+    import graft.operators.NearDup
+    require(maxHamming <= 3,
+      s"imageNearDupPairs' pigeonhole band tables are exact only for maxHamming <= 3, got $maxHamming")
+    val hashes = imageDHashes(binDf).localCheckpoint()
+    val useWide = wide.getOrElse(hashes.count() >= NearDup.WideHashThreshold)
+    val sh = hashes.withColumnRenamed("dhash", "simhash")
+    if (useWide) NearDup.simhashPairsWide(sh, "doc_id", maxHamming)
+    else NearDup.simhashPairs(sh, "doc_id", maxHamming)
+  }
 
   /** Dedup-on-arrival for images (the media twin of
     * `NearDup.incrementalLshCandidates`): near-dup pairs TOUCHING the new
@@ -238,30 +299,24 @@ object Multimodal {
     * recurring-id semantics. One bucket-local join over the tagged union. */
   def incrementalImageNearDups(newHashes: DataFrame, storedHashes: DataFrame,
                                maxHamming: Int = 3,
-                               maxBucketSize: Int = graft.operators.NearDup.DefaultMaxBucketSize)
+                               maxBucketSize: Int = graft.operators.NearDup.DefaultMaxBucketSize,
+                               wide: Option[Boolean] = None)
       : DataFrame = {
     import graft.operators.NearDup
-    val tagged = NearDup.hashChunks16(newHashes, "doc_id", "dhash")
-      .withColumn("__isnew", lit(true))
-      .unionByName(NearDup.hashChunks16(storedHashes, "doc_id", "dhash")
-        .withColumn("__isnew", lit(false)))
-    // Cap rides the same (chunk, value) partitioning the join needs: one
-    // window count over the union, over-cap buckets dropped in place;
-    // materialized ONCE (it feeds both join sides).
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("__chunk", "__cv")
-    val capped = tagged.withColumn("__bn", count(lit(1)).over(w))
-      .where(col("__bn") <= maxBucketSize).drop("__bn")
-      .localCheckpoint()
-    val a = capped.select(col("__chunk"), col("__cv"), col("__id").as("id_a"),
-      col("__h64").as("__ha"), col("__isnew").as("__na"))
-    val b = capped.select(col("__chunk"), col("__cv"), col("__id").as("id_b"),
-      col("__h64").as("__hb"), col("__isnew").as("__nb"))
-    a.join(b, Seq("__chunk", "__cv"))
-      .where(col("id_a") < col("id_b") && (col("__na") || col("__nb")))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("__ha").bitwiseXOR(col("__hb"))).cast("long").as("hamming"))
-      .where(col("hamming") <= maxHamming)
-      .distinct()
+    require(maxHamming <= 3,
+      s"incrementalImageNearDups' pigeonhole band tables are exact only for maxHamming <= 3, got $maxHamming")
+    // Band-mode auto-routing sizes the UNION (the populations the join
+    // sees): the new side is materialized first so the size probe and the
+    // band explosion share one decode pass; the stored side is a parquet
+    // hash table — counting it reads 8-byte rows, never stored media.
+    val (nh, useWide) = wide match {
+      case Some(w) => (newHashes, w)
+      case None =>
+        val nhc = newHashes.localCheckpoint()
+        (nhc, nhc.count() + storedHashes.count() >= NearDup.WideHashThreshold)
+    }
+    NearDup.incrementalHashPairs(nh, storedHashes, "doc_id", "dhash",
+      maxHamming, maxBucketSize, useWide)
   }
 
   /** Deterministic near-dup PNG fixture: consecutive ids (2k, 2k+1) render
@@ -289,14 +344,54 @@ object Multimodal {
     }.toDF("doc_id", "payload")
   }
 
-  /** Split a multi-frame clip payload (concatenated PNG files — the
-    * motion-JPEG-style stand-in for a video container; real video codecs
-    * aren't in the JDK) into its frames by scanning for the 8-byte PNG
-    * signature. Returns the frame payloads in order. (A signature
-    * byte-string inside a frame's compressed data would mis-split — a
-    * ~2^-64-per-kilobyte event; a real container format carries explicit
-    * frame lengths, which is exactly what swapping this stand-in for a
-    * video demuxer would change.) */
+  // Clip container magic: "GCLP" + u32 frame count + u32 frame lengths +
+  // concatenated frame payloads (all big-endian).
+  private val ClipMagic = Array('G', 'C', 'L', 'P').map(_.toByte)
+
+  /** Write a multi-frame clip container with an EXPLICIT frame-length
+    * index — what any real demuxer reads (an MP4's sample-size table, an
+    * AVI's index chunk): magic, frame count, one u32 length per frame,
+    * then the frame payloads back-to-back. Splitting is exact for ANY
+    * frame bytes — no signature scanning, so compressed frame data
+    * containing magic-like byte strings cannot mis-split. */
+  def encodeClip(frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(frames.nonEmpty, "a clip needs at least one frame")
+    val bb = java.nio.ByteBuffer.allocate(
+      8 + 4 * frames.length + frames.map(_.length).sum)
+    bb.put(ClipMagic).putInt(frames.length)
+    frames.foreach(f => bb.putInt(f.length))
+    frames.foreach(bb.put)
+    bb.array()
+  }
+
+  /** Split a clip payload into its frames, in order. A length-prefixed
+    * [[encodeClip]] container reads its index — exact for any frame
+    * content. Raw concatenated PNG files (a directory of real media with
+    * no index) fall back to scanning for the 8-byte PNG signature via
+    * [[splitPngFrames]], which carries that path's documented caveat. */
+  def splitClipFrames(payload: Array[Byte]): Seq[Array[Byte]] =
+    if (payload.length >= 8 && ClipMagic.indices.forall(i => payload(i) == ClipMagic(i))) {
+      val bb = java.nio.ByteBuffer.wrap(payload)
+      bb.position(4)
+      val n = bb.getInt
+      require(n > 0 && payload.length.toLong >= 8L + 4L * n,
+        s"clip header declares $n frames but holds ${payload.length} bytes")
+      val lens = Array.fill(n)(bb.getInt)
+      require(lens.forall(_ >= 0) &&
+        lens.foldLeft(8L + 4L * n)(_ + _) == payload.length,
+        "clip frame lengths do not tile the payload exactly")
+      lens.map { len =>
+        val f = new Array[Byte](len)
+        bb.get(f)
+        f
+      }.toSeq
+    } else splitPngFrames(payload)
+
+  /** Signature-scan split of RAW concatenated PNG files (no container
+    * index — e.g. a motion-JPEG-style dump). A signature byte-string
+    * inside a frame's compressed data would mis-split — a ~2^-64-per-
+    * kilobyte event; media WITH an index should use [[encodeClip]] /
+    * [[splitClipFrames]], which is exact for any frame content. */
   def splitPngFrames(payload: Array[Byte]): Seq[Array[Byte]] = {
     val sig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
     def isSigAt(i: Int): Boolean = {
@@ -329,7 +424,7 @@ object Multimodal {
     binDf.select(col("doc_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, payload) =>
-        val hashes = splitPngFrames(payload).map(f => dHash64(decodePng(f)))
+        val hashes = splitClipFrames(payload).map(f => dHash64(decodePng(f)))
         hashes.indices.map { i =>
           if (i == 0) ShotFrame(id, 0, None, is_cut = false)
           else {
@@ -340,32 +435,71 @@ object Multimodal {
       })
   }
 
-  /** Deterministic clip fixture: `nFrames` real PNG frames concatenated,
-    * with a new scene (fresh seeded pixels) every `shotLen` frames and
-    * identical frames within a scene — so the true cut positions are
-    * exactly the multiples of `shotLen`. */
+  /** Deterministic clip fixture: `nFrames` real PNG frames in a
+    * length-prefixed [[encodeClip]] container, with a new scene (fresh
+    * seeded pixels) every `shotLen` frames and identical frames within a
+    * scene — so the true cut positions are exactly the multiples of
+    * `shotLen`. With `scenePool > 0`, scene seeds draw from a SHARED pool
+    * of `scenePool` scenes (seed = (id + shotNo) % scenePool), so
+    * different clips contain bit-identical scenes — the planted structure
+    * for cross-clip duplicate-shot detection; the default 0 keeps every
+    * clip's scenes unique (the shot-boundary fixture). */
   def syntheticPngClip(df: DataFrame, idCol: String, nFrames: Int,
-                       width: Int, height: Int, shotLen: Int): DataFrame = {
+                       width: Int, height: Int, shotLen: Int,
+                       scenePool: Long = 0L): DataFrame = {
     require(nFrames >= 1 && shotLen >= 1, "need nFrames >= 1 and shotLen >= 1")
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
       it.map { id =>
-        val out = new ByteArrayOutputStream()
-        (0 until nFrames).foreach { f =>
+        val frames = (0 until nFrames).map { f =>
+          val scene = if (scenePool > 0L) (id + f / shotLen) % scenePool
+                      else id * 1000L + f / shotLen
           val rgb = new Array[Int](width * height)
-          var h = (id * 1000L + f / shotLen) * 0x9E3779B97F4A7C15L + 0xBF58476D1CE4E5B9L
+          var h = scene * 0x9E3779B97F4A7C15L + 0xBF58476D1CE4E5B9L
           var i = 0
           while (i < rgb.length) {
             h = h * 6364136223846793005L + 1442695040888963407L
             rgb(i) = ((h >>> 40) & 0xFFFFFF).toInt
             i += 1
           }
-          out.write(encodePng(width, height, rgb))
+          encodePng(width, height, rgb)
         }
-        (id, out.toByteArray)
+        (id, encodeClip(frames))
       }
     }.toDF("doc_id", "payload")
+  }
+
+  /** One selected keyframe: the clip, the shot's ordinal within it, the
+    * frame index the keyframe came from, and the frame payload. */
+  case class Keyframe(doc_id: Long, shot_idx: Int, frame_idx: Int,
+                      payload: Array[Byte])
+
+  /** Keyframe selection — the stage after [[shotBoundaries]] in a
+    * video-curation pipeline: detect the cuts (same decode + dHash +
+    * threshold as shotBoundaries), then emit exactly ONE frame per shot
+    * (the shot's first frame — deterministic), shrinking the frame volume
+    * every downstream stage pays by ~the mean shot length. The emitted
+    * payloads are real PNG frames, so the output feeds
+    * [[imageNearDupPairs]] (cross-clip duplicate-scene detection, q_pipe4)
+    * or any other image operator directly. Per-clip sequential work inside
+    * `mapPartitions`; clips fan out across executors. */
+  def keyframes(binDf: DataFrame, cutThreshold: Int = 10): Dataset[Keyframe] = {
+    val spark = binDf.sparkSession
+    import spark.implicits._
+    binDf.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        val frames = splitClipFrames(payload)
+        val hashes = frames.map(f => dHash64(decodePng(f)))
+        var shot = -1
+        frames.indices.flatMap { i =>
+          val isCut = i == 0 ||
+            java.lang.Long.bitCount(hashes(i) ^ hashes(i - 1)) > cutThreshold
+          if (isCut) { shot += 1; Some(Keyframe(id, shot, i, frames(i))) }
+          else None
+        }
+      })
   }
 
   /** REAL resize: decode, nearest-neighbor downsample by `factor` (exact

@@ -78,6 +78,18 @@ object IndexStore {
   def readDHashes(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(s"$root/$DHashes")
 
+  private val AudioHashes = "audio_ahashes"
+
+  /** Persist an audio fingerprint table (`AudioWav.audioHashes` shape:
+    * doc_id, ahash) — the audio twin of [[writeDHashes]]; probes recompute
+    * the band structure from the stored 8-byte hash, same as the image
+    * path. */
+  def writeAudioHashes(hashes: DataFrame, root: String): Unit =
+    write(hashes, s"$root/$AudioHashes")
+
+  def readAudioHashes(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(s"$root/$AudioHashes")
+
   /** Whether a store root already holds any index table. */
   def exists(spark: SparkSession, root: String): Boolean = {
     val p = new Path(root)

@@ -259,6 +259,36 @@ object NearDup {
         shiftright(col(hashCol), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
       .withColumnRenamed("pos", "__chunk").withColumnRenamed("col", "__cv")
 
+  /** Corpus size at which the 16-bit-chunk pigeonhole's 2^16 buckets per
+    * chunk start crowding (collision volume ~ n²/2^16 — measured
+    * superlinear past ~10^5 docs, ScaleBench round 5) and callers should
+    * switch to the ~2^32-bucket 3-of-6-block tables ([[hashCombos20]]).
+    * The auto-routing image entry points key off this. */
+  private[graft] val WideHashThreshold: Long = 100000L
+
+  /** The Manku 3-of-6-block combination explosion [[simhashPairsWide]]
+    * buckets on, factored out so the incremental (new-vs-stored) pair
+    * path can band the SAME way past [[WideHashThreshold]]. Blocks of
+    * 11/11/11/11/10/10 bits; a pair within Hamming 3 agrees on >= 3
+    * blocks, hence collides in >= 1 of the C(6,3)=20 combinations. Output
+    * shape matches [[hashChunks16]] — (__chunk = combo id, __cv = hashed
+    * 3-block key, __id, __h64) — so every consumer is band-mode-agnostic. */
+  private[graft] def hashCombos20(h: DataFrame, idCol: String, hashCol: String): DataFrame = {
+    val offsets = Seq(0, 11, 22, 33, 44, 54)
+    val widths = Seq(11, 11, 11, 11, 10, 10)
+    def blockVal(i: Int) =
+      shiftright(col(hashCol), offsets(i)).bitwiseAND(lit((1L << widths(i)) - 1))
+    val combos = offsets.indices.combinations(3).toSeq // 20 of them
+    val keys = combos.zipWithIndex.map { case (c, ci) =>
+      // combo id + the three block values, hashed into one 64-bit key —
+      // width-independent and collision-negligible at these key counts
+      xxhash64(lit(ci), blockVal(c(0)), blockVal(c(1)), blockVal(c(2)))
+    }
+    h.select(col(idCol).as("__id"), col(hashCol).as("__h64"),
+      posexplode(array(keys: _*)))
+      .withColumnRenamed("pos", "__chunk").withColumnRenamed("col", "__cv")
+  }
+
   def simhashPairs(sh: DataFrame, idCol: String, maxHamming: Int = 3,
                    maxBucketSize: Int = DefaultMaxBucketSize,
                    capObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
@@ -306,29 +336,56 @@ object NearDup {
                        capObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     require(maxHamming <= 3,
       s"simhashPairsWide's 3-of-6-block pigeonhole is exact only for maxHamming <= 3, got $maxHamming")
-    // 6 blocks: offsets 0,11,22,33,44,54 widths 11,11,11,11,10,10
-    val offsets = Seq(0, 11, 22, 33, 44, 54)
-    val widths = Seq(11, 11, 11, 11, 10, 10)
-    def blockVal(i: Int) =
-      shiftright(col("simhash"), offsets(i)).bitwiseAND(lit((1L << widths(i)) - 1))
-    val combos = offsets.indices.combinations(3).toSeq // 20 of them
-    val keys = combos.zipWithIndex.map { case (c, ci) =>
-      // combo id + the three block values, hashed into one 64-bit key —
-      // width-independent and collision-negligible at these key counts
-      xxhash64(lit(ci), blockVal(c(0)), blockVal(c(1)), blockVal(c(2)))
-    }
     val banded = dropCrowdedBuckets(
-      sh.select(col(idCol).as("__id"), col("simhash"),
-        posexplode(array(keys: _*)))
-        .withColumnRenamed("pos", "__combo").withColumnRenamed("col", "__cv")
-        .localCheckpoint(),
-      Seq("__combo", "__cv"), maxBucketSize, capObs)
-    val a = banded.select(col("__combo"), col("__cv"), col("__id").as("id_a"), col("simhash").as("sh_a"))
-    val b = banded.select(col("__combo"), col("__cv"), col("__id").as("id_b"), col("simhash").as("sh_b"))
-    a.join(b, Seq("__combo", "__cv"))
+      hashCombos20(sh, idCol, "simhash").localCheckpoint(),
+      Seq("__chunk", "__cv"), maxBucketSize, capObs)
+    val a = banded.select(col("__chunk"), col("__cv"), col("__id").as("id_a"), col("__h64").as("sh_a"))
+    val b = banded.select(col("__chunk"), col("__cv"), col("__id").as("id_b"), col("__h64").as("sh_b"))
+    a.join(b, Seq("__chunk", "__cv"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Incremental (new-batch-vs-stored) pigeonhole pairs over any 64-bit
+    * fingerprint column — the shared core of
+    * [[graft.multimodal.Multimodal.incrementalImageNearDups]] and its
+    * audio twin: near-dup pairs TOUCHING the new batch (new×new plus
+    * new×stored) without rescanning the stored corpus' media. `wide`
+    * selects the band mode — [[hashChunks16]] below [[WideHashThreshold]],
+    * [[hashCombos20]] at corpus scale — and both modes emit identical
+    * pairs at maxHamming <= 3 (exact pigeonholes + the exact hamming
+    * filter). The crowded-bucket cap is counted over the UNION exactly as
+    * the full recompute would count it (a new-side-only cap would both
+    * miss the blowup protection on stored crowds and break the
+    * incremental == restricted-full-recompute equality); a doc_id
+    * recurring in both tables never self-pairs (strict id_a < id_b). One
+    * bucket-local join over the tagged union, cap riding the same
+    * partitioning, materialized ONCE (it feeds both join sides). */
+  private[graft] def incrementalHashPairs(
+      newHashes: DataFrame, storedHashes: DataFrame,
+      idCol: String, hashCol: String,
+      maxHamming: Int, maxBucketSize: Int, wide: Boolean): DataFrame = {
+    require(maxHamming <= 3,
+      s"the pigeonhole band tables are exact only for maxHamming <= 3, got $maxHamming")
+    def bands(df: DataFrame) =
+      if (wide) hashCombos20(df, idCol, hashCol) else hashChunks16(df, idCol, hashCol)
+    val tagged = bands(newHashes).withColumn("__isnew", lit(true))
+      .unionByName(bands(storedHashes).withColumn("__isnew", lit(false)))
+    val w = Window.partitionBy("__chunk", "__cv")
+    val capped = tagged.withColumn("__bn", count(lit(1)).over(w))
+      .where(col("__bn") <= maxBucketSize).drop("__bn")
+      .localCheckpoint()
+    val a = capped.select(col("__chunk"), col("__cv"), col("__id").as("id_a"),
+      col("__h64").as("__ha"), col("__isnew").as("__na"))
+    val b = capped.select(col("__chunk"), col("__cv"), col("__id").as("id_b"),
+      col("__h64").as("__hb"), col("__isnew").as("__nb"))
+    a.join(b, Seq("__chunk", "__cv"))
+      .where(col("id_a") < col("id_b") && (col("__na") || col("__nb")))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("__ha").bitwiseXOR(col("__hb"))).cast("long").as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct()
   }

@@ -122,6 +122,21 @@ private[queries] object Shared {
     IndexStore.readDHashes(s, root)
   }
 
+  /** Audio fingerprint store over the day-1 clip slice (doc_id % 5 != 0) —
+    * the audio twin of [[storedDHashes]]: written once per session, always
+    * served from the parquet reload. */
+  def storedAudioHashes(s: SparkSession, d: String): DataFrame = {
+    val root = Memo.cached(s, s"ahashstore|$d") {
+      val media = graft.multimodal.AudioWav.syntheticWavNearDups(
+        Tables.load(s, d, "documents").where(col("doc_id") % 5 =!= 0),
+        "doc_id", nSamples = 3600)
+      IndexStore.writeAudioHashes(
+        graft.multimodal.AudioWav.audioHashes(media), indexRoot(s, d))
+      indexRoot(s, d)
+    }
+    IndexStore.readAudioHashes(s, root)
+  }
+
   /** IVF (assignment, centers) served from the store; the build reuses
     * the session's cached index so search/dedup/store share ONE fit. */
   def storedIvf(s: SparkSession, d: String): (DataFrame, DataFrame) = {

@@ -273,6 +273,81 @@ object SimMmQueries extends QueryModule {
           Tables.load(s, d, "documents"), "doc_id", nSamples = 800))
         .toDF().orderBy("doc_id")),
 
+    // Audio perceptual fingerprint (round 7): 64-bit band-energy sign hash
+    // from REALLY-decoded PCM16 samples — the audio twin of q_mm5's dHash
+    // (9 time frames x 8 integer Haar octave bands, bit = sign of the
+    // adjacent-frame energy difference). Rows-only; hash bits, noise
+    // robustness, and determinism spec-asserted on crafted clips.
+    "q_mm8" -> ((s, d) =>
+      graft.multimodal.AudioWav.audioHashes(
+        graft.multimodal.AudioWav.syntheticWavNearDups(
+          Tables.load(s, d, "documents"), "doc_id", nSamples = 3600))
+        .orderBy("doc_id")),
+
+    // Audio near-dup pairs (round 7): band-energy hash + the hash-agnostic
+    // pigeonhole join over a planted-pair WAV corpus — (2k, 2k+1) differ
+    // by small per-sample noise, so each planted pair is ~0 Hamming bits
+    // apart. Bucket-local join, never all-pairs; band tables auto-route
+    // wide past the 16-bit-chunk crowding threshold. Rows-only; exactness
+    // vs brute-force Hamming<=3 is spec-asserted.
+    "q_dedup17" -> ((s, d) =>
+      graft.multimodal.AudioWav.audioNearDupPairs(
+        graft.multimodal.AudioWav.syntheticWavNearDups(
+          Tables.load(s, d, "documents"), "doc_id", nSamples = 3600),
+        maxHamming = 3)
+        .orderBy("id_a", "id_b")),
+
+    // Audio dedup-on-arrival (round 7): the day-2 clip batch
+    // (doc_id % 5 == 0) fingerprinted and probed against the ON-DISK day-1
+    // hash store (written once per session, RELOADED from parquet). new×new
+    // plus new×stored pairs only; stored audio is never rescanned.
+    // Rows-only; exactness vs the full recompute restricted to new ids is
+    // spec-asserted, plus a fresh-JVM store proof (StoreLifecycleCheck).
+    "q_dedup18" -> ((s, d) => {
+      val newMedia = graft.multimodal.AudioWav.syntheticWavNearDups(
+        Tables.load(s, d, "documents").where(col("doc_id") % 5 === 0),
+        "doc_id", nSamples = 3600)
+      graft.multimodal.AudioWav.incrementalAudioNearDups(
+          graft.multimodal.AudioWav.audioHashes(newMedia),
+          Shared.storedAudioHashes(s, d))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // Media quarantine (round 7): crawl-scale fault isolation — a corpus
+    // where every 7th payload is truncated mid-container decodes with the
+    // corrupt rows routed to a quarantine status (reason attached) and the
+    // good rows' features untouched; the job completes. The media twin of
+    // R6's error-skip / readCsvWithQuarantine. Rows-only; good-rows-
+    // unchanged and corrupt-rows-quarantined are spec-asserted.
+    "q_mm9" -> ((s, d) => {
+      val good = Multimodal.syntheticPng(Tables.load(s, d, "documents"),
+        "doc_id", width = 16, height = 16)
+      val mixed = good.withColumn("payload",
+        when(col("doc_id") % 7 === 0, expr("substring(payload, 1, 20)"))
+          .otherwise(col("payload")))
+      val (feats, quar) = Multimodal.imageFeaturesQuarantined(mixed)
+      feats.toDF()
+        .select(col("doc_id"), lit("ok").as("status"), col("width").cast("long").as("detail"))
+        .unionByName(quar.toDF()
+          .select(col("doc_id"), lit("quarantined").as("status"), col("n_bytes").as("detail")))
+        .orderBy("doc_id")
+    }),
+
+    // Audio twin of q_mm9: truncated WAVs quarantined, good clips decoded.
+    "q_mm10" -> ((s, d) => {
+      val good = graft.multimodal.AudioWav.syntheticWav(
+        Tables.load(s, d, "documents"), "doc_id", nSamples = 800)
+      val mixed = good.withColumn("payload",
+        when(col("doc_id") % 7 === 0, expr("substring(payload, 1, 30)"))
+          .otherwise(col("payload")))
+      val (feats, quar) = graft.multimodal.AudioWav.audioFeaturesQuarantined(mixed)
+      feats.toDF()
+        .select(col("doc_id"), lit("ok").as("status"), col("n_samples").cast("long").as("detail"))
+        .unionByName(quar.toDF()
+          .select(col("doc_id"), lit("quarantined").as("status"), col("n_bytes").as("detail")))
+        .orderBy("doc_id")
+    }),
+
     // Video-modality stand-in (round 6): 6-frame PNG clips (scene change
     // every 2 frames — 3 scenes, cuts at frames 2 and 4), every frame
     // REALLY decoded and dHashed; cuts = consecutive-frame Hamming >
@@ -286,6 +361,24 @@ object SimMmQueries extends QueryModule {
           nFrames = 6, width = 8, height = 8, shotLen = 2),
         cutThreshold = 10)
         .toDF().orderBy("doc_id", "frame_idx")),
+    // Video-curation pipeline end-to-end (round 7, the q_pipe1 pattern for
+    // media): clips -> shot detection -> ONE keyframe per shot -> dHash
+    // near-dup over the keyframes only — cross-clip duplicate SCENES found
+    // while paying the fingerprint pass on ~1/shotLen of the frames. The
+    // fixture draws scenes from a shared pool, so different clips really
+    // contain bit-identical scenes; keyframe ids pack (clip, shot).
+    // Rows-only; planted cross-clip duplicates and the per-shot
+    // exactly-one-keyframe contract are spec-asserted.
+    "q_pipe4" -> ((s, d) => {
+      val clips = Multimodal.syntheticPngClip(Tables.load(s, d, "documents"),
+        "doc_id", nFrames = 6, width = 8, height = 8, shotLen = 2,
+        scenePool = 1000L)
+      val kf = Multimodal.keyframes(clips, cutThreshold = 10).toDF()
+        .select((col("doc_id") * 100 + col("shot_idx")).as("doc_id"), col("payload"))
+      Multimodal.imageNearDupPairs(kf, maxHamming = 3)
+        .where(col("hamming") === 0) // duplicate scenes, not near-misses
+        .orderBy("id_a", "id_b")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -312,6 +405,31 @@ object SimMmQueries extends QueryModule {
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
         |  sha256(text) AS content_sha
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // The quarantine splits ARE oracle-checkable: status and detail are
+    // exact functions of doc_id (every 7th payload truncated to 20/30
+    // bytes; good images are 16 px wide, good clips 800 samples) — so the
+    // oracle genuinely checks that the REAL codec decoded every good
+    // payload and failed every truncated one.
+    "q_mm9" ->
+      """SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN 'quarantined' ELSE 'ok' END AS status,
+        |  CAST(CASE WHEN doc_id % 7 = 0 THEN 20 ELSE 16 END AS BIGINT) AS detail
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_mm10" ->
+      """SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN 'quarantined' ELSE 'ok' END AS status,
+        |  CAST(CASE WHEN doc_id % 7 = 0 THEN 30 ELSE 800 END AS BIGINT) AS detail
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // q_pipe4's plant is a pure function of doc_id (clip id's shots 0..2
+    // carry scenes (id+k) % 1000), so the oracle genuinely checks the
+    // whole pipeline: shot detection found exactly 3 shots per clip,
+    // keyframes are one-per-shot, and the dHash near-dup found exactly
+    // the shared-scene keyframe pairs (identical scenes -> hamming 0).
+    "q_pipe4" ->
+      """WITH kf AS (
+        |  SELECT d.doc_id * 100 + s.k AS kid, (d.doc_id + s.k) % 1000 AS scene
+        |  FROM documents d CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS k) s)
+        |SELECT a.kid AS id_a, b.kid AS id_b, CAST(0 AS BIGINT) AS hamming
+        |FROM kf a JOIN kf b ON a.scene = b.scene AND a.kid < b.kid
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_sim13" ->
       """WITH e AS (
         |  SELECT vec_id, label, pos,

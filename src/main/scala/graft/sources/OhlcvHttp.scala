@@ -44,23 +44,32 @@ object OhlcvFetch {
   case class Config(transport: String, endpoint: String,
                     maxRetries: Int, retryBackoffMs: Long)
 
-  /** GET `url`, retrying on non-200 / IO error. Returns the body, or None
-    * after the budget is exhausted (caller skips). */
+  /** GET `url`, retrying on 5xx / 429 / IO error. Returns the body, or None
+    * after the budget is exhausted (caller skips). Deterministic client
+    * errors (4xx other than 429) fail IMMEDIATELY: a bad symbol or
+    * malformed request returns the same 4xx on every attempt, and at 5k
+    * symbols a misconfigured endpoint would otherwise burn
+    * 5k x maxRetries x backoff of idle executor-thread sleep before the
+    * scan finishes skipping. */
   private[sources] def get(url: String, maxRetries: Int, backoffMs: Long): Option[String] = {
     var attempt = 0
     while (attempt <= maxRetries) {
-      val body = Try {
+      val result: Either[Boolean, String] = Try {
         val conn = new URI(url).toURL.openConnection().asInstanceOf[HttpURLConnection]
         conn.setRequestMethod("GET")
         conn.setConnectTimeout(10000)
         conn.setReadTimeout(30000)
         try {
-          if (conn.getResponseCode == 200)
-            Some(new String(conn.getInputStream.readAllBytes(), UTF_8))
-          else None
+          val code = conn.getResponseCode
+          if (code == 200) Right(new String(conn.getInputStream.readAllBytes(), UTF_8))
+          else Left(code >= 500 || code == 429) // retryable?
         } finally conn.disconnect()
-      }.toOption.flatten
-      if (body.isDefined) return body
+      }.getOrElse(Left(true)) // IO error: transient, retry
+      result match {
+        case Right(body) => return Some(body)
+        case Left(false) => return None // deterministic 4xx: skip now
+        case Left(true) => ()
+      }
       attempt += 1
       if (attempt <= maxRetries && backoffMs > 0) Thread.sleep(backoffMs * attempt)
     }

@@ -59,7 +59,14 @@ object StreamingDedup {
             all.where(!(col("batch") <=> lit(id)))
           case Some(_) => all // first write to a fresh store layout
           case None => // one-shot append path: no batch key, fall back to id
-            all.join(newBands.select("__id").distinct(), Seq("__id"), "left_anti")
+            // the id anti-join shields only THIS batch's ids — repeated
+            // one-shot calls over overlapping corpora leave duplicate band
+            // rows from earlier appends, which would inflate the union
+            // bucket counts driving the crowded-bucket cap (dropping
+            // buckets the full recompute would keep); distinct the stored
+            // side so replays converge instead of compounding
+            all.select(col("__id"), col("__band"), col("__bucket")).distinct()
+              .join(newBands.select("__id").distinct(), Seq("__id"), "left_anti")
         }
         prior.select(col("__id"), col("__band"), col("__bucket"))
       }
@@ -104,7 +111,11 @@ object StreamingDedup {
             all.where(!(col("batch") <=> lit(id)))
           case Some(_) => all
           case None =>
-            all.join(newHashes.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+            // same one-shot-path caveat as processBatch: duplicate stored
+            // (doc_id, dhash) rows from overlapping earlier appends would
+            // inflate the union bucket counts behind the crowded-bucket cap
+            all.select(col("doc_id"), col("dhash")).distinct()
+              .join(newHashes.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
         }
         prior.select(col("doc_id"), col("dhash"))
       }
@@ -118,6 +129,67 @@ object StreamingDedup {
         newHashes.write.mode("append").parquet(hashStoreDir)
     }
     candidates
+  }
+
+  /** Audio twin of [[processImageBatch]] (round 7): one micro-batch of WAV
+    * payloads is fingerprinted (`AudioWav.audioHash64`, real container
+    * decode per row), probed for near-dup candidates against the
+    * persisted hash store plus itself
+    * (`AudioWav.incrementalAudioNearDups`), and appended to the store —
+    * same replay-idempotent per-batch-id layout, same exactly-once
+    * convergence argument. Stored audio is NEVER rescanned (only its
+    * 8-byte hashes are read back). */
+  def processAudioBatch(newMedia: DataFrame, hashStoreDir: String,
+                        batchId: Option[Long] = None,
+                        maxHamming: Int = 3): DataFrame = {
+    import graft.multimodal.AudioWav
+    val spark = newMedia.sparkSession
+    val newHashes = AudioWav.audioHashes(newMedia)
+      .localCheckpoint() // reused three times (anti-join, join, write)
+    val exists = new Path(hashStoreDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration).exists(new Path(hashStoreDir))
+    val stored =
+      if (exists) {
+        val all = spark.read.parquet(hashStoreDir)
+        val prior = batchId match {
+          case Some(id) if all.columns.contains("batch") =>
+            all.where(!(col("batch") <=> lit(id)))
+          case Some(_) => all
+          case None =>
+            // one-shot path: distinct the stored side so replayed appends
+            // can't inflate the union bucket counts (see processBatch)
+            all.select(col("doc_id"), col("ahash")).distinct()
+              .join(newHashes.select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+        }
+        prior.select(col("doc_id"), col("ahash"))
+      }
+      else newHashes.limit(0)
+    val candidates = AudioWav.incrementalAudioNearDups(newHashes, stored, maxHamming)
+      .localCheckpoint()
+    batchId match {
+      case Some(id) =>
+        newHashes.write.mode("overwrite").parquet(s"$hashStoreDir/batch=$id")
+      case None =>
+        newHashes.write.mode("append").parquet(hashStoreDir)
+    }
+    candidates
+  }
+
+  /** Drain an incoming audio directory through [[processAudioBatch]] —
+    * the audio mirror of [[runImages]]. AvailableNow + checkpoint. */
+  def runAudio(spark: SparkSession, incomingDir: String, schema: StructType,
+               hashStoreDir: String, candidatesDir: String,
+               checkpoint: String): Unit = {
+    val q = spark.readStream.schema(schema).parquet(incomingDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processAudioBatch(batch, hashStoreDir, Some(batchId))
+          .write.mode("overwrite").parquet(s"$candidatesDir/batch=$batchId")
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
   }
 
   /** Drain an incoming media directory through [[processImageBatch]]:

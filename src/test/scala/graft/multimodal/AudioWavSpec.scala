@@ -31,6 +31,12 @@ class AudioWavSpec extends SparkSpec {
     // truncated data chunk declines rather than reading out of bounds
     val truncated = wav.take(wav.length - 2)
     assert(AudioWav.parseCanonicalRiffPcm16(truncated).isEmpty)
+    // a crafted dataLen near Int.MaxValue must decline cleanly (Long
+    // bounds compare), not overflow the check and OOM allocating samples
+    val overflow = wav.clone()
+    overflow(40) = 0xFE.toByte; overflow(41) = 0xFF.toByte
+    overflow(42) = 0xFF.toByte; overflow(43) = 0x7F.toByte // dataLen = 0x7FFFFFFE
+    assert(AudioWav.parseCanonicalRiffPcm16(overflow).isEmpty)
   }
 
   test("decode fails fast on non-audio bytes") {
@@ -54,6 +60,126 @@ class AudioWavSpec extends SparkSpec {
     assert(f(1L).rms === 1000.0 && f(1L).peak === 1000 && f(1L).zero_crossings === 0L)
     assert(f(2L).rms === 2000.0 && f(2L).peak === 2000 && f(2L).zero_crossings === 99L)
     assert(f(3L).rms === 0.0 && f(3L).peak === 0 && f(3L).zero_crossings === 0L)
+  }
+
+  test("audioFeaturesQuarantined isolates corrupt payloads; good rows identical to the fail-fast path") {
+    import org.apache.spark.sql.functions.{expr, lit, when, col}
+    val good = AudioWav.syntheticWav(spark.range(8).toDF("doc_id"), "doc_id", nSamples = 400)
+    val mixed = good.withColumn("payload",
+      when(col("doc_id") === 1, expr("substring(payload, 1, 30)"))
+        .when(col("doc_id") === 4, lit("not audio at all".getBytes("UTF-8")))
+        .otherwise(col("payload")))
+    val (feats, quar) = AudioWav.audioFeaturesQuarantined(mixed)
+    val q = quar.collect().map(m => m.doc_id -> m).toMap
+    assert(q.keySet === Set(1L, 4L), s"exactly the corrupt rows quarantined: ${q.keySet}")
+    assert(q.values.forall(_.reason.nonEmpty))
+    val cleanTruth = AudioWav.audioFeatures(
+        good.where(!col("doc_id").isin(1L, 4L))).collect().toSet
+    assert(feats.collect().toSet === cleanTruth,
+      "quarantine path must not perturb good rows")
+  }
+
+  // -------------------------------------------------------------------
+  // Perceptual fingerprint + near-dup (round 7)
+  // -------------------------------------------------------------------
+
+  /** 512 seeded pseudo-noise base samples, full Short range. */
+  private def basePattern(seed: Long): Array[Short] = {
+    var h = seed * 0x9E3779B97F4A7C15L + 0xBF58476D1CE4E5B9L
+    Array.fill[Short](512) {
+      h = h * 6364136223846793005L + 1442695040888963407L
+      (h >>> 48).toShort
+    }
+  }
+
+  /** 9 frames of the SAME base pattern at the given amplitudes. */
+  private def clipWithAmps(amps: Seq[Int], base: Array[Short]): Array[Short] =
+    amps.flatMap(a => base.map(s => ((s.toInt * a) / 32768).toShort)).toArray
+
+  test("audioHash64: band-energy sign bits track per-frame energy order exactly") {
+    val base = basePattern(42L)
+    // strictly decreasing frame energies: every comparison true in every
+    // band (energies scale ~A^2 across ALL Haar bands for the same
+    // broadband pattern) -> all 64 bits set
+    val dec = clipWithAmps((0 until 9).map(t => 28000 - 3000 * t), base)
+    assert(AudioWav.audioHash64(dec) === -1L)
+    // strictly increasing -> no bit set
+    val inc = clipWithAmps((0 until 9).map(t => 4000 + 3000 * t), base)
+    assert(AudioWav.audioHash64(inc) === 0L)
+    // silence and too-short clips hash to 0
+    assert(AudioWav.audioHash64(Array.fill[Short](4608)(0)) === 0L)
+    assert(AudioWav.audioHash64(Array[Short](1, 2, 3)) === 0L)
+    // deterministic
+    assert(AudioWav.audioHash64(dec) === AudioWav.audioHash64(dec.clone()))
+  }
+
+  test("audioHash64 is robust to small noise, sensitive to a different clip") {
+    val base = basePattern(7L)
+    val amps = Seq(28000, 4000, 25000, 7000, 22000, 10000, 19000, 13000, 16000)
+    val clean = clipWithAmps(amps, base)
+    val noisy = clean.map(s => (s + (s % 3) - 1).toShort) // tiny per-sample jitter
+    val d = java.lang.Long.bitCount(
+      AudioWav.audioHash64(clean) ^ AudioWav.audioHash64(noisy))
+    assert(d <= 3, s"near-identical clip drifted $d bits")
+    // ascending amplitudes: every adjacent-frame comparison flips to <,
+    // clearing the ~32 alternating bits the zigzag pattern sets
+    val other = clipWithAmps(amps.sorted, basePattern(8L))
+    val far = java.lang.Long.bitCount(
+      AudioWav.audioHash64(clean) ^ AudioWav.audioHash64(other))
+    assert(far > 10, s"different clip unexpectedly close: $far bits")
+  }
+
+  test("audioNearDupPairs finds EXACTLY the brute-force Hamming<=3 pairs on planted dups") {
+    val media = AudioWav.syntheticWavNearDups(
+      spark.range(40).toDF("doc_id"), "doc_id", nSamples = 3600)
+      .localCheckpoint()
+    val hashes = AudioWav.audioHashes(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val truth = (for {
+      a <- hashes.keys; b <- hashes.keys if a < b
+      if java.lang.Long.bitCount(hashes(a) ^ hashes(b)) <= 3
+    } yield (a, b)).toSet
+    val pairs = AudioWav.audioNearDupPairs(media, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === truth, "pigeonhole banding must be exact at hamming<=3")
+    val planted = (0L until 40L by 2).map(k => (k, k + 1)).toSet
+    assert(planted.subsetOf(pairs), s"missing planted pairs: ${planted -- pairs}")
+    // wide band tables emit identical pairs
+    val wide = AudioWav.audioNearDupPairs(media, maxHamming = 3, wide = Some(true))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wide === pairs)
+  }
+
+  test("incremental audio near-dups against a persisted hash store equal the full recompute") {
+    val media = AudioWav.syntheticWavNearDups(
+      spark.range(30).toDF("doc_id"), "doc_id", nSamples = 3600)
+    val all = AudioWav.audioHashes(media).cache()
+    // ids < 21: the planted pair (20, 21) straddles the boundary
+    val (oldH, newH) = (all.where($"doc_id" < 21), all.where($"doc_id" >= 21))
+    val root = java.nio.file.Files.createTempDirectory("graft_ahash_store_").toString
+    graft.operators.IndexStore.writeAudioHashes(oldH, root)
+    val stored = graft.operators.IndexStore.readAudioHashes(spark, root)
+    assert(stored.collect().map(_.toSeq).toSet === oldH.collect().map(_.toSeq).toSet,
+      "audio hash table round-trips exactly")
+    val got = AudioWav.incrementalAudioNearDups(newH, stored, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hm = all.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val truth = (for {
+      x <- hm.keys; y <- hm.keys if x < y && (x >= 21 || y >= 21)
+      if java.lang.Long.bitCount(hm(x) ^ hm(y)) <= 3
+    } yield (x, y)).toSet
+    assert(got === truth, "incremental-vs-store != full recompute restricted to new ids")
+    assert(got.contains((20L, 21L)), "the boundary-straddling planted pair must be found")
+    // recurring id never self-pairs; maxHamming guard enforced
+    val rec = AudioWav.incrementalAudioNearDups(
+        Seq((5L, 0x1234L)).toDF("doc_id", "ahash"),
+        Seq((5L, 0x1234L), (6L, 0x1234L)).toDF("doc_id", "ahash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rec === Set((5L, 6L)))
+    intercept[IllegalArgumentException] {
+      AudioWav.incrementalAudioNearDups(oldH, stored, maxHamming = 4)
+    }
+    all.unpersist()
   }
 
   test("syntheticWav: deterministic genuine WAVs, decodable end-to-end") {

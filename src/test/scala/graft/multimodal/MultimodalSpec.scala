@@ -95,6 +95,28 @@ class MultimodalSpec extends SparkSpec {
       .map(_ & 0xFFFFFF).toSeq === Seq(0x111111, 0x333333))
   }
 
+  test("imageFeaturesQuarantined isolates corrupt payloads; good rows identical to the fail-fast path") {
+    val good = Multimodal.syntheticPng(
+      spark.range(10).toDF("doc_id"), "doc_id", width = 16, height = 16)
+    // plant three corruption shapes among the good payloads
+    import org.apache.spark.sql.functions.{expr, lit, when}
+    val mixed = good.withColumn("payload",
+      when($"doc_id" === 2, expr("substring(payload, 1, 20)"))
+        .when($"doc_id" === 5, lit("not a png".getBytes("UTF-8")))
+        .when($"doc_id" === 7, lit(Array.empty[Byte]))
+        .otherwise($"payload"))
+    val (feats, quar) = Multimodal.imageFeaturesQuarantined(mixed)
+    val q = quar.collect().map(m => m.doc_id -> m).toMap
+    assert(q.keySet === Set(2L, 5L, 7L), s"exactly the corrupt rows quarantined: ${q.keySet}")
+    assert(q.values.forall(_.reason.nonEmpty))
+    assert(q(5L).n_bytes === 9L)
+    // good rows: bit-identical to the fail-fast operator over the same media
+    val cleanTruth = Multimodal.imageFeatures(
+        good.where(!$"doc_id".isin(2L, 5L, 7L))).collect().toSet
+    assert(feats.collect().toSet === cleanTruth,
+      "quarantine path must not perturb good rows")
+  }
+
   test("dHash64: gradient bits from decoded luma, invariant to re-encoding, edit-sensitive") {
     // 9x8 image with luma strictly DECREASING left-to-right in every row:
     // every comparison luma(x,y) > luma(x+1,y) holds -> all 64 bits set
@@ -127,6 +149,41 @@ class MultimodalSpec extends SparkSpec {
     // every planted (2k, 2k+1) pair is present (the one-pixel edit moves <=1 bit)
     val planted = (0L until 40L by 2).map(k => (k, k + 1)).toSet
     assert(planted.subsetOf(pairs), s"missing planted pairs: ${planted -- pairs}")
+  }
+
+  test("image near-dup wide band tables emit identical pairs to the narrow form") {
+    val media = Multimodal.syntheticPngNearDups(
+      spark.range(40).toDF("doc_id"), "doc_id", width = 16, height = 16)
+      .localCheckpoint()
+    val narrow = Multimodal.imageNearDupPairs(media, maxHamming = 3, wide = Some(false))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val wide = Multimodal.imageNearDupPairs(media, maxHamming = 3, wide = Some(true))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(narrow === wide,
+      "both band tables are exact pigeonholes at hamming<=3 — outputs must match")
+    assert(narrow.nonEmpty, "planted pairs must be present in both")
+    // incremental twin: same equality over a new-vs-stored split
+    val all = Multimodal.imageDHashes(media).localCheckpoint()
+    val (oldH, newH) = (all.where($"doc_id" < 21), all.where($"doc_id" >= 21))
+    val incNarrow = Multimodal.incrementalImageNearDups(newH, oldH,
+        maxHamming = 3, wide = Some(false))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val incWide = Multimodal.incrementalImageNearDups(newH, oldH,
+        maxHamming = 3, wide = Some(true))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(incNarrow === incWide && incNarrow.nonEmpty)
+  }
+
+  test("image near-dup entry points reject maxHamming > 3 (pigeonhole exactness bound)") {
+    val media = Multimodal.syntheticPngNearDups(
+      spark.range(4).toDF("doc_id"), "doc_id", width = 16, height = 16)
+    intercept[IllegalArgumentException] {
+      Multimodal.imageNearDupPairs(media, maxHamming = 4)
+    }
+    val h = Seq((1L, 0L)).toDF("doc_id", "dhash")
+    intercept[IllegalArgumentException] {
+      Multimodal.incrementalImageNearDups(h, h, maxHamming = 4)
+    }
   }
 
   test("readBinaryDir bridges real files on disk to the codec operators") {
@@ -210,6 +267,36 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Multimodal.splitPngFrames("no png here".getBytes("UTF-8"))
     }
+    // the raw-concat fallback also routes through splitClipFrames
+    assert(Multimodal.splitClipFrames(clip).map(_.toSeq) ===
+      Seq(f1.toSeq, f2.toSeq, f3.toSeq))
+  }
+
+  test("splitClipFrames: length-prefixed container is exact even when a frame embeds the PNG signature") {
+    val sig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    val f1 = Multimodal.encodePng(2, 2, Array(1, 2, 3, 4))
+    // adversarial frame: the PNG signature appears INSIDE its bytes — the
+    // signature-scan splitter would mis-split here; the index must not
+    val tricky = f1 ++ sig ++ Array[Byte](9, 9, 9)
+    val f2 = Multimodal.encodePng(3, 1, Array(9, 10, 11))
+    val clip = Multimodal.encodeClip(Seq(f1, tricky, f2))
+    assert(Multimodal.splitClipFrames(clip).map(_.toSeq) ===
+      Seq(f1.toSeq, tricky.toSeq, f2.toSeq))
+    // a truncated container fails fast instead of returning wrong frames
+    intercept[IllegalArgumentException] {
+      Multimodal.splitClipFrames(clip.take(clip.length - 3))
+    }
+    // round-trip through the synthetic fixture: indexed container, exact
+    // frame boundaries, every frame decodable
+    val payload = Multimodal.syntheticPngClip(
+        Seq(1L).toDF("doc_id"), "doc_id", nFrames = 4,
+        width = 8, height = 8, shotLen = 2)
+      .select("payload").head().getAs[Array[Byte]](0)
+    val back = Multimodal.splitClipFrames(payload)
+    assert(back.length === 4)
+    back.foreach(f => Multimodal.decodePng(f))
+    assert(back(0).toSeq === back(1).toSeq, "frames within a shot are identical")
+    assert(back(1).toSeq !== back(2).toSeq, "scene change at the shot boundary")
   }
 
   test("shotBoundaries flags exactly the planted scene changes") {
@@ -229,6 +316,45 @@ class MultimodalSpec extends SparkSpec {
       val first = rows.find(r => r.doc_id == doc && r.frame_idx == 0).get
       assert(first.hamming_prev.isEmpty && !first.is_cut)
     }
+  }
+
+  test("keyframes: exactly one per shot, at the shot's first frame") {
+    val clips = Multimodal.syntheticPngClip(
+      Seq(1L, 2L).toDF("doc_id"), "doc_id", nFrames = 12,
+      width = 16, height = 16, shotLen = 4)
+    val kf = Multimodal.keyframes(clips, cutThreshold = 10).collect()
+    for (doc <- Seq(1L, 2L)) {
+      val ks = kf.filter(_.doc_id == doc).sortBy(_.shot_idx)
+      assert(ks.map(k => (k.shot_idx, k.frame_idx)).toSeq ===
+        Seq((0, 0), (1, 4), (2, 8)),
+        s"doc $doc: one keyframe per shot, at the shot start")
+    }
+    // each keyframe's payload is the actual frame at that index
+    val frames = Multimodal.splitClipFrames(
+      clips.where($"doc_id" === 1L).select("payload").head().getAs[Array[Byte]](0))
+    val k1 = kf.filter(_.doc_id == 1L).sortBy(_.shot_idx)
+    assert(k1.map(_.payload.toSeq) === Seq(frames(0).toSeq, frames(4).toSeq, frames(8).toSeq))
+  }
+
+  test("keyframe near-dup finds exactly the planted cross-clip duplicate scenes") {
+    // shared scene pool: clip id's shots 0..2 carry scenes (id+k) % 6
+    val clips = Multimodal.syntheticPngClip(
+      spark.range(8).toDF("doc_id"), "doc_id", nFrames = 6,
+      width = 8, height = 8, shotLen = 2, scenePool = 6L)
+    val kf = Multimodal.keyframes(clips, cutThreshold = 10).toDF()
+      .select(($"doc_id" * 100 + $"shot_idx").as("doc_id"), $"payload")
+    val got = Multimodal.imageNearDupPairs(kf, maxHamming = 3)
+      .where($"hamming" === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (for {
+      a <- 0L until 8L; i <- 0 until 3
+      b <- 0L until 8L; j <- 0 until 3
+      ida = a * 100 + i; idb = b * 100 + j
+      if ida < idb && (a + i) % 6 == (b + j) % 6
+    } yield (ida, idb)).toSet
+    assert(got === expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    assert(got.nonEmpty)
   }
 
   test("syntheticPng: deterministic genuine PNGs, decodable, stable across runs") {

@@ -59,7 +59,7 @@ class OhlcvHttpSourceSpec extends SparkSpec {
   test("http transport fetches over real HTTP, retries transient failures, skips dead symbols") {
     withServer { (endpoint, hits) =>
       val df = spark.read.format("graft-ohlcv")
-        .option("symbols", "AAA,BBB,FLAKY,DEAD,GARBLED")
+        .option("symbols", "AAA,BBB,FLAKY,DEAD,GARBLED,GONE")
         .option("transport", "http")
         .option("endpoint", endpoint)
         .option("maxRetries", "3")
@@ -77,7 +77,9 @@ class OhlcvHttpSourceSpec extends SparkSpec {
 
       // retry/skip accounting straight from the server's own hit counters
       assert(hits.get("FLAKY").get === 3, "two 503s then one 200")
-      assert(hits.get("DEAD").get === 4, "1 try + maxRetries=3, then skipped")
+      assert(hits.get("DEAD").get === 4, "500s retry: 1 try + maxRetries=3, then skipped")
+      assert(hits.get("GONE").get === 1,
+        "deterministic 4xx skips IMMEDIATELY — no retry budget burned")
       assert(hits.get("GARBLED").get >= 1, "malformed body consumes its attempts, then skips")
       assert(hits.get("AAA").get === 1 && hits.get("BBB").get === 1)
     }
