@@ -418,6 +418,41 @@ object SimMmQueries extends QueryModule {
       """SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN 'quarantined' ELSE 'ok' END AS status,
         |  CAST(CASE WHEN doc_id % 7 = 0 THEN 30 ELSE 800 END AS BIGINT) AS detail
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q_mm6's oracle replicates the seeded PCM16 generation in SQL — the
+    // payload BYTES never reach DuckDB (no binary fixture table), but the
+    // generator is a 64-bit LCG chain, expressible exactly in HUGEINT
+    // modular arithmetic (h < 2^64 times A < 2^63 fits 2^127): a
+    // recursive CTE walks the per-doc chain, reproduces each sample as
+    // (h >> 48) reinterpreted int16, and aggregates the same exact
+    // integer sums Spark computes from the DECODED samples. The WAV
+    // encode -> decode round-trip this treats as identity is pinned
+    // bit-for-bit by AudioWavSpec; everything else — seed, chain, sample
+    // extraction, peak/rms/zero-crossing math — is genuinely re-derived.
+    "q_mm6" ->
+      """WITH RECURSIVE gen AS (
+        |  SELECT doc_id, 0 AS i,
+        |    (CAST(doc_id AS HUGEINT) * 11400714819323198485 + 13787848793156543929)
+        |      % 18446744073709551616 AS h
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, i + 1,
+        |    (h * 6364136223846793005 + 1442695040888963407) % 18446744073709551616
+        |  FROM gen WHERE i < 800),
+        |samples AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN h // 281474976710656 >= 32768
+        |         THEN CAST(h // 281474976710656 AS BIGINT) - 65536
+        |         ELSE CAST(h // 281474976710656 AS BIGINT) END AS v
+        |  FROM gen WHERE i >= 1),
+        |lagged AS (
+        |  SELECT doc_id, v, lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+        |  FROM samples)
+        |SELECT doc_id, 16000 AS sample_rate, 800 AS n_samples,
+        |  CAST(MAX(abs(v)) AS INTEGER) AS peak,
+        |  sqrt(CAST(SUM(v * v) AS DOUBLE) / 800) AS rms,
+        |  CAST(SUM(CASE WHEN pv IS NOT NULL AND ((v >= 0) <> (pv >= 0))
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+        |FROM lagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // q_pipe4's plant is a pure function of doc_id (clip id's shots 0..2
     // carry scenes (id+k) % 1000), so the oracle genuinely checks the
     // whole pipeline: shot detection found exactly 3 shots per clip,
