@@ -124,6 +124,38 @@ object BpeOps {
     else learnMergesDistributed(vocab0, numMerges)
   }
 
+  /** Most merges applied per distributed round — bounds the depth of the
+    * chained `mergeOnce` aggregates in one projection (analysis stays
+    * sane; HOF aggregates are interpreted, so depth is linear eval cost,
+    * not codegen blowup) while amortizing a vocabulary-sized job over
+    * many merges. */
+  private val MaxMergeBatch = 64
+  /** Candidate rows collected per round: the decision prefix, not the
+    * data (16 KB-ish of driver traffic at typical symbol lengths). */
+  private val TopCandidates = 256
+
+  /** The oversized-vocabulary fallback, BATCHED (round 7): instead of one
+    * vocabulary-sized job per merge, each round collects the top candidate
+    * pairs and applies a PREFIX of symbol-disjoint ones in a single pass —
+    * bit-identical to the sequential greedy loop, by construction:
+    *
+    *  - merging (a,b) only changes counts of pairs sharing a or b, so a
+    *    batched pair disjoint from every earlier batched pair keeps its
+    *    exact count through the batch;
+    *  - a pair newly created by merging (a,b) is count-bounded by an
+    *    ORIGINAL pair sharing a symbol with it (every (ab,x) occurrence
+    *    was a (b,x) occurrence), and every pair sharing a symbol with the
+    *    batch ranks after the batch's stopping point;
+    *  - the batch is therefore trimmed to pairs whose count STRICTLY
+    *    exceeds the first non-batched count — no interfering pair, old or
+    *    new, can reach any batched pair's count, so the sequential argmax
+    *    at each step is exactly the next batched pair (same
+    *    (count desc, pair asc UTF-8) tie-break Spark's orderBy applies).
+    *
+    * A tie at the top (trim leaves nothing) falls back to the classic
+    * single-argmax step, which is always exact. Worst case (all ties,
+    * adversarial) degrades to one merge per round — never wrong, just
+    * slower; typical text batches 10+ merges per vocabulary-sized job. */
   private def learnMergesDistributed(vocab0: DataFrame, numMerges: Int)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
     var vocab = vocab0.localCheckpoint()
@@ -136,16 +168,39 @@ object BpeOps {
         .groupBy(col("p.left"), col("p.right"))
         .agg(sum(col("freq")).as("n"))
         .orderBy(col("n").desc, col("left").asc, col("right").asc)
-        .limit(1).collect() // ONE row: the argmax decision, not the data
-      top.headOption.filter(_.getLong(2) >= 2L) match {
-        case Some(r) =>
+        .limit(TopCandidates).collect()
+      val eligible = top.filter(_.getLong(2) >= 2L)
+      if (eligible.isEmpty) done = true // no pair left that occurs twice
+      else {
+        // greedy prefix of symbol-disjoint pairs, stopping AT the first
+        // conflict (skip-and-continue would break the exactness argument)
+        val used = mutable.HashSet.empty[String]
+        val batch = mutable.ArrayBuffer.empty[(String, String, Long)]
+        val cap = math.min(MaxMergeBatch, numMerges - rank)
+        var i = 0
+        var conflictCount = -1L
+        while (conflictCount < 0L && i < eligible.length && batch.length < cap) {
+          val r = eligible(i)
           val (l, rt, n) = (r.getString(0), r.getString(1), r.getLong(2))
-          merges += ((rank, l, rt, n))
-          vocab = vocab.withColumn("symbols", mergeOnce(col("symbols"), l, rt))
-            .localCheckpoint()
-          rank += 1
-          done = rank >= numMerges
-        case None => done = true // no pair left that occurs twice
+          if (used.contains(l) || used.contains(rt)) conflictCount = n
+          else { batch += ((l, rt, n)); used += l; used += rt; i += 1 }
+        }
+        // the exactness floor: the count of the first pair NOT in the
+        // batch. List exhausted below TopCandidates means every remaining
+        // pair counts < 2 (can never win); a full candidate page means
+        // unseen pairs may tie its last row.
+        val floor =
+          if (conflictCount >= 0L) conflictCount
+          else if (i < eligible.length) eligible(i).getLong(2)
+          else if (eligible.length < top.length || top.length < TopCandidates) 1L
+          else top.last.getLong(2)
+        var exact = batch.takeWhile(_._3 > floor).toSeq
+        if (exact.isEmpty) exact = batch.take(1).toSeq // single argmax: always exact
+        exact.foreach { case (l, rt, n) => merges += ((rank, l, rt, n)); rank += 1 }
+        vocab = vocab.withColumn("symbols",
+          exact.foldLeft(col("symbols")) { case (c, (l, rt, _)) => mergeOnce(c, l, rt) })
+          .localCheckpoint()
+        done = rank >= numMerges
       }
     }
     (merges.result(), vocab)

@@ -81,6 +81,48 @@ class BpeOpsSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("batched distributed fallback: >=10 merges per Spark job on an over-budget vocab, identical table") {
+    // 120 two-char words over pairwise-disjoint lower()-stable alphabets
+    // (caseless scripts included) with DISTINCT frequencies: every
+    // adjacent pair is symbol-disjoint from every other and counts are
+    // unique, so each round batches up to 64 merges into one vocabulary
+    // pass
+    val alphabet: IndexedSeq[Char] =
+      (('a' to 'z') ++ ('0' to '9') ++ ('à' to 'þ').filter(_.isLetter) ++
+        ('α' to 'ω') ++ ('а' to 'я') ++ ('ա' to 'ֆ') ++ ('א' to 'ת') ++
+        ('ა' to 'ჰ') ++ ('ก' to 'ฮ')).toIndexedSeq
+    assert(alphabet.distinct.length >= 240)
+    assert(alphabet.forall(c => c.toLower == c), "alphabet must be lower()-stable")
+    val words = (0 until 120).map(k => s"${alphabet(2 * k)}${alphabet(2 * k + 1)}")
+    val text = words.zipWithIndex.flatMap { case (w, k) => Seq.fill(k + 2)(w) }
+      .mkString(" ")
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val slow = try {
+      val (m, _) = BpeOps.learnMerges(df, col("text"), 120, driverFoldMaxBytes = 0L)
+      var last = -1
+      var stable = 0
+      while (stable < 5) {
+        Thread.sleep(100)
+        val now = jobs.get()
+        if (now == last) stable += 1 else { stable = 0; last = now }
+      }
+      assert(m.size === 120, "all 120 merges learned")
+      assert(m.size.toDouble / last >= 10.0,
+        s"expected >=10 merges per Spark job from batching, got ${m.size}/$last")
+      m
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // bit-identical to the driver fold over the same corpus
+    val (fast, _) = BpeOps.learnMerges(df, col("text"), 120)
+    assert(slow === fast)
+  }
+
   test("Utf8Byte mode round-trips astral-plane text that CodeUnit mode mangles") {
     // U+1F600 is 4 UTF-8 bytes / 2 UTF-16 surrogates
     val word = "a😀b"
