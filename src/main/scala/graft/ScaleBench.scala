@@ -128,6 +128,30 @@ object ScaleBench {
       pmod(xxhash64(col("id"), lit("d")), lit(nV)).as("dst"))
   }
 
+  /** Viral-image corpus: every id with id % 10 == 0 renders THE SAME
+    * image (the viral meme — ~10% of the corpus is one exact duplicate
+    * group); everyone else is unique. All viral copies share one dHash,
+    * so they collapse into a single bucket per band — the media skew
+    * shape that tests the crowded-bucket cap. */
+  def syntheticPngViral(spark: SparkSession, n: Long,
+                        width: Int, height: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(n).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val seed = if (id % 10L == 0L) -1L else id
+        val rgb = new Array[Int](width * height)
+        var h = seed * 0x9E3779B97F4A7C15L + 0xBF58476D1CE4E5B9L
+        var i = 0
+        while (i < rgb.length) {
+          h = h * 6364136223846793005L + 1442695040888963407L
+          rgb(i) = ((h >>> 40) & 0xFFFFFF).toInt
+          i += 1
+        }
+        (id, graft.multimodal.Multimodal.encodePng(width, height, rgb))
+      }
+    }.toDF("doc_id", "payload")
+  }
+
   /** Orders-shaped numeric fact for the equi-depth boundary pass. */
   def syntheticValues(spark: SparkSession, n: Long): DataFrame =
     spark.range(n).select(col("id").as("k"),
@@ -177,6 +201,12 @@ object ScaleBench {
       wm.unpersist()
       graft.multimodal.AudioWav.audioFeatures(graft.multimodal.AudioWav.syntheticWav(
         spark.range(100L).toDF("doc_id"), "doc_id", nSamples = 800)).count()
+      val wd = graft.multimodal.AudioWav.syntheticWavNearDups(
+        spark.range(40L).toDF("doc_id"), "doc_id", nSamples = 3600).localCheckpoint()
+      graft.multimodal.AudioWav.audioNearDupPairs(wd, maxHamming = 3).count()
+      wd.unpersist()
+      Multimodal.imageNearDupPairs(
+        syntheticPngViral(spark, 100L, 16, 16), maxHamming = 3).count()
       Multimodal.shotBoundaries(Multimodal.syntheticPngClip(
         spark.range(50L).toDF("doc_id"), "doc_id", 6, 8, 8, 2)).count()
       d.unpersist()
@@ -263,10 +293,38 @@ object ScaleBench {
       timed("png_decode_dhash", nDocs) {
         Multimodal.imageDHashes(media).count()
       }
+      // auto-routes narrow below NearDup.WideHashThreshold, WIDE at 100x
+      // (500k docs): the 2^16-bucket chunk ceiling BASELINE names is
+      // escaped by the same 3-of-6-block tables the text path uses
       timed("image_neardup_pairs", nDocs) {
         Multimodal.imageNearDupPairs(media, maxHamming = 3).count()
       }
       media.unpersist()
+
+      // viral-image skew: ~10% of the corpus is ONE exact duplicate group.
+      // Below the bucket cap the pair list is quadratic in the viral count
+      // BY CONTRACT (those are all real duplicate pairs — 1x/10x rows);
+      // at 100x the 50k-copy group exceeds the cap, its buckets drop, and
+      // the join stays bounded instead of detonating at ~1.25e9 pairs —
+      // the knob that survives a viral meme at crawl scale.
+      val viral = syntheticPngViral(spark, nDocs, width = 16, height = 16)
+        .localCheckpoint()
+      timed("image_neardup_pairs_viral", nDocs) {
+        Multimodal.imageNearDupPairs(viral, maxHamming = 3).count()
+      }
+      viral.unpersist()
+
+      // r7 audio fingerprint family: encode paid untimed at checkpoint;
+      // the timed pass is 500k real container parses + Haar band hashes +
+      // the pigeonhole pair join (auto-wide at 100x, like images).
+      // Planted (2k, 2k+1) near-identical pairs grow linearly.
+      val wavdups = graft.multimodal.AudioWav.syntheticWavNearDups(
+        spark.range(nDocs).toDF("doc_id"), "doc_id", nSamples = 3600)
+        .localCheckpoint()
+      timed("audio_neardup_pairs", nDocs) {
+        graft.multimodal.AudioWav.audioNearDupPairs(wavdups, maxHamming = 3).count()
+      }
+      wavdups.unpersist()
 
       // r6 audio codec: real WAV container parse per row; per-clip
       // constant work => wall tracks clips linearly
@@ -278,17 +336,16 @@ object ScaleBench {
       }
       wavs.unpersist()
 
-      // r6 video stand-in: 6-frame clips, every frame really decoded +
-      // dHashed; per-clip constant work => linear in clips
-      if (scale <= 10L) {
-        val clips = Multimodal.syntheticPngClip(
-          spark.range(nDocs).toDF("doc_id"), "doc_id",
-          nFrames = 6, width = 8, height = 8, shotLen = 2).localCheckpoint()
-        timed("clip_shot_boundaries", nDocs) {
-          Multimodal.shotBoundaries(clips, cutThreshold = 10).count()
-        }
-        clips.unpersist()
+      // r6 video stand-in, now to 100x (r7): 6-frame indexed clips, every
+      // frame really decoded + dHashed; per-clip constant work => linear
+      // in clips (3M real frame decodes at the 100x row)
+      val clips = Multimodal.syntheticPngClip(
+        spark.range(nDocs).toDF("doc_id"), "doc_id",
+        nFrames = 6, width = 8, height = 8, shotLen = 2).localCheckpoint()
+      timed("clip_shot_boundaries", nDocs) {
+        Multimodal.shotBoundaries(clips, cutThreshold = 10).count()
       }
+      clips.unpersist()
 
       // PageRank (round 5): 5 iterations, each ONE shuffle linear in the
       // edge count; lineage checkpoint-truncated per iteration, so wall

@@ -502,6 +502,38 @@ object Multimodal {
       })
   }
 
+  /** Clip-level near-duplicate pairs via keyframe fingerprints — the
+    * stage after [[keyframes]] in the video-dedup pipeline: two clips are
+    * near-dups when they share at least `minSharedShots` identical-scene
+    * shots (keyframe dHash equality — re-encoded copies of a scene hash
+    * identically, like the image path). ONE hash-equality join over the
+    * per-clip DISTINCT scene-hash table, grouped into per-pair shared
+    * counts — bucket-local on the 64-bit hash space, never all-pairs; a
+    * viral scene crowding past `maxBucketSize` clips is dropped by the
+    * same cap the text/image band joins use (its equality carries no
+    * clip-similarity signal, exactly like a boilerplate shingle).
+    * Returns (id_a, id_b, shared_shots). */
+  def clipNearDups(binDf: DataFrame, minSharedShots: Int = 2,
+                   cutThreshold: Int = 10,
+                   maxBucketSize: Int = graft.operators.NearDup.DefaultMaxBucketSize)
+      : DataFrame = {
+    val spark = binDf.sparkSession
+    import spark.implicits._
+    val scenes = graft.operators.NearDup.dropCrowdedBuckets(
+      keyframes(binDf, cutThreshold)
+        .mapPartitions(_.map(k => (k.doc_id, dHash64(decodePng(k.payload)))))
+        .toDF("doc_id", "dhash")
+        .distinct() // a clip revisiting a scene counts it once
+        .localCheckpoint(), // decode once; feeds both join sides
+      Seq("dhash"), maxBucketSize)
+    val a = scenes.select(col("doc_id").as("id_a"), col("dhash"))
+    val b = scenes.select(col("doc_id").as("id_b"), col("dhash"))
+    a.join(b, Seq("dhash"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared_shots"))
+      .where(col("shared_shots") >= minSharedShots)
+  }
+
   /** REAL resize: decode, nearest-neighbor downsample by `factor` (exact
     * integer pixel picks — no interpolation, so bitwise deterministic on
     * every JVM), re-encode as PNG. Emits the resized payload with its new

@@ -107,7 +107,7 @@ object NearDup {
     * empty-relation propagation prunes the empty broadcast side, metrics
     * node included — and (b) stops the self-joining callers re-running the
     * count aggregate once per join side. */
-  private[operators] def dropCrowdedBuckets(
+  private[graft] def dropCrowdedBuckets(
       banded: DataFrame, keys: Seq[String], cap: Int,
       obs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     require(cap > 1, s"maxBucketSize must be > 1, got $cap")

@@ -361,6 +361,20 @@ object SimMmQueries extends QueryModule {
           nFrames = 6, width = 8, height = 8, shotLen = 2),
         cutThreshold = 10)
         .toDF().orderBy("doc_id", "frame_idx")),
+    // Clip-level near-dup (round 7, the stage after q_pipe4): two clips
+    // are near-dups when they share >= 2 identical-scene shots (keyframe
+    // dHash equality) — one hash join over per-clip distinct scene hashes,
+    // viral scenes capped like boilerplate shingles. Oracle-checked: the
+    // shared-scene plant makes the exact pair set + shared counts a pure
+    // function of doc_id.
+    "q_dedup19" -> ((s, d) => {
+      val clips = Multimodal.syntheticPngClip(Tables.load(s, d, "documents"),
+        "doc_id", nFrames = 6, width = 8, height = 8, shotLen = 2,
+        scenePool = 1000L)
+      Multimodal.clipNearDups(clips, minSharedShots = 2, cutThreshold = 10)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Video-curation pipeline end-to-end (round 7, the q_pipe1 pattern for
     // media): clips -> shot detection -> ONE keyframe per shot -> dHash
     // near-dup over the keyframes only — cross-clip duplicate SCENES found
@@ -458,6 +472,15 @@ object SimMmQueries extends QueryModule {
     // whole pipeline: shot detection found exactly 3 shots per clip,
     // keyframes are one-per-shot, and the dHash near-dup found exactly
     // the shared-scene keyframe pairs (identical scenes -> hamming 0).
+    "q_dedup19" ->
+      """WITH s AS (
+        |  SELECT d.doc_id, (d.doc_id + k.k) % 1000 AS scene
+        |  FROM documents d CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS k) k)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(count(*) AS BIGINT) AS shared_shots
+        |FROM s a JOIN s b ON a.scene = b.scene AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_pipe4" ->
       """WITH kf AS (
         |  SELECT d.doc_id * 100 + s.k AS kid, (d.doc_id + s.k) % 1000 AS scene

@@ -357,6 +357,32 @@ class MultimodalSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("clipNearDups: shared-scene counting, threshold, and the viral-scene cap") {
+    // pool of 6 scenes over 8 clips: clip a's scenes are {(a+k)%6, k<3},
+    // so consecutive clips share exactly 2 scenes, a and a+2 share 1
+    val clips = Multimodal.syntheticPngClip(
+      spark.range(8).toDF("doc_id"), "doc_id", nFrames = 6,
+      width = 8, height = 8, shotLen = 2, scenePool = 6L)
+    val got = Multimodal.clipNearDups(clips, minSharedShots = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val expected = (for {
+      a <- 0L until 8L; b <- 0L until 8L if a < b
+      shared = ((0 until 3).map(k => (a + k) % 6).toSet
+        intersect (0 until 3).map(k => (b + k) % 6).toSet).size
+      if shared >= 2
+    } yield (a, b) -> shared.toLong).toMap
+    assert(got === expected,
+      s"missing=${(expected.keySet -- got.keySet).take(5)} extra=${(got.keySet -- expected.keySet).take(5)}")
+    // viral-scene cap: with every clip sharing the whole 3-scene pool,
+    // each scene's bucket holds all 8 clips; cap 4 drops them all
+    val viral = Multimodal.syntheticPngClip(
+      spark.range(8).toDF("doc_id"), "doc_id", nFrames = 6,
+      width = 8, height = 8, shotLen = 2, scenePool = 1L)
+    assert(Multimodal.clipNearDups(viral, minSharedShots = 1,
+      maxBucketSize = 4).collect().isEmpty,
+      "a scene crowding past the cap must be dropped, not joined quadratically")
+  }
+
   test("syntheticPng: deterministic genuine PNGs, decodable, stable across runs") {
     val media = Multimodal.syntheticPng(Seq(1L, 2L).toDF("doc_id"), "doc_id",
       width = 16, height = 16)
