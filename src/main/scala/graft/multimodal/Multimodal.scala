@@ -273,11 +273,20 @@ object Multimodal {
     * the size probe and reused by the band explosion, so payloads decode
     * exactly once either way. Returns (id_a, id_b, hamming). */
   def imageNearDupPairs(binDf: DataFrame, maxHamming: Int = 3,
-                        wide: Option[Boolean] = None): DataFrame = {
+                        wide: Option[Boolean] = None): DataFrame =
+    imageNearDupPairsFromHashes(imageDHashes(binDf).localCheckpoint(),
+      maxHamming, wide)
+
+  /** [[imageNearDupPairs]] over an ALREADY-COMPUTED (doc_id, dhash) table
+    * — the entry point for callers holding a persisted/memoized
+    * fingerprint table (the keyframe pipeline, an `IndexStore` reload).
+    * `hashes` should be materialized: the auto-route sizes it with a
+    * count, and the band explosion reads it again. */
+  def imageNearDupPairsFromHashes(hashes: DataFrame, maxHamming: Int = 3,
+                                  wide: Option[Boolean] = None): DataFrame = {
     import graft.operators.NearDup
     require(maxHamming <= 3,
       s"imageNearDupPairs' pigeonhole band tables are exact only for maxHamming <= 3, got $maxHamming")
-    val hashes = imageDHashes(binDf).localCheckpoint()
     val useWide = wide.getOrElse(hashes.count() >= NearDup.WideHashThreshold)
     val sh = hashes.withColumnRenamed("dhash", "simhash")
     if (useWide) NearDup.simhashPairsWide(sh, "doc_id", maxHamming)
@@ -516,15 +525,32 @@ object Multimodal {
   def clipNearDups(binDf: DataFrame, minSharedShots: Int = 2,
                    cutThreshold: Int = 10,
                    maxBucketSize: Int = graft.operators.NearDup.DefaultMaxBucketSize)
-      : DataFrame = {
+      : DataFrame =
+    clipNearDupsFromHashes(
+      keyframeHashes(binDf, cutThreshold).localCheckpoint(),
+      minSharedShots, maxBucketSize)
+
+  /** Per-keyframe fingerprint table (doc_id, shot_idx, dhash) — the
+    * persistable artifact of the keyframe pipeline: both the cross-clip
+    * scene near-dup (q_pipe4) and the clip-level near-dup (q_dedup19)
+    * read it, so one decode pass serves both (Memo'd in queries.Shared,
+    * a stored table at cluster scale). */
+  def keyframeHashes(binDf: DataFrame, cutThreshold: Int = 10): DataFrame = {
     val spark = binDf.sparkSession
     import spark.implicits._
+    keyframes(binDf, cutThreshold)
+      .mapPartitions(_.map(k => (k.doc_id, k.shot_idx, dHash64(decodePng(k.payload)))))
+      .toDF("doc_id", "shot_idx", "dhash")
+  }
+
+  /** [[clipNearDups]] over an already-computed [[keyframeHashes]] table
+    * (materialized — it feeds both join sides). */
+  def clipNearDupsFromHashes(kfHashes: DataFrame, minSharedShots: Int = 2,
+                             maxBucketSize: Int = graft.operators.NearDup.DefaultMaxBucketSize)
+      : DataFrame = {
     val scenes = graft.operators.NearDup.dropCrowdedBuckets(
-      keyframes(binDf, cutThreshold)
-        .mapPartitions(_.map(k => (k.doc_id, dHash64(decodePng(k.payload)))))
-        .toDF("doc_id", "dhash")
-        .distinct() // a clip revisiting a scene counts it once
-        .localCheckpoint(), // decode once; feeds both join sides
+      kfHashes.select(col("doc_id"), col("dhash"))
+        .distinct(), // a clip revisiting a scene counts it once
       Seq("dhash"), maxBucketSize)
     val a = scenes.select(col("doc_id").as("id_a"), col("dhash"))
     val b = scenes.select(col("doc_id").as("id_b"), col("dhash"))

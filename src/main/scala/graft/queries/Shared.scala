@@ -122,6 +122,21 @@ private[queries] object Shared {
     IndexStore.readDHashes(s, root)
   }
 
+  /** Keyframe fingerprint table over the shared-scene clip fixture —
+    * clips decoded ONCE (30k frames at sf0.1), then both q_pipe4
+    * (cross-clip duplicate scenes) and q_dedup19 (clip-level near-dup)
+    * join against the same (doc_id, shot_idx, dhash) rows. At cluster
+    * scale this is the stored artifact a video pipeline materializes
+    * after shot detection. */
+  def clipKeyframeHashes(s: SparkSession, d: String): DataFrame =
+    Memo.cachedDf(s, s"clip_kf_hashes|$d") {
+      graft.multimodal.Multimodal.keyframeHashes(
+        graft.multimodal.Multimodal.syntheticPngClip(
+          Tables.load(s, d, "documents"), "doc_id",
+          nFrames = 6, width = 8, height = 8, shotLen = 2, scenePool = 1000L),
+        cutThreshold = 10)
+    }
+
   /** Audio fingerprint store over the day-1 clip slice (doc_id % 5 != 0) —
     * the audio twin of [[storedDHashes]]: written once per session, always
     * served from the parquet reload. */

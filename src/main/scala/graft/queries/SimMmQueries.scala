@@ -367,13 +367,10 @@ object SimMmQueries extends QueryModule {
     // viral scenes capped like boilerplate shingles. Oracle-checked: the
     // shared-scene plant makes the exact pair set + shared counts a pure
     // function of doc_id.
-    "q_dedup19" -> ((s, d) => {
-      val clips = Multimodal.syntheticPngClip(Tables.load(s, d, "documents"),
-        "doc_id", nFrames = 6, width = 8, height = 8, shotLen = 2,
-        scenePool = 1000L)
-      Multimodal.clipNearDups(clips, minSharedShots = 2, cutThreshold = 10)
-        .orderBy("id_a", "id_b")
-    }),
+    "q_dedup19" -> ((s, d) =>
+      Multimodal.clipNearDupsFromHashes(Shared.clipKeyframeHashes(s, d),
+          minSharedShots = 2)
+        .orderBy("id_a", "id_b")),
 
     // Video-curation pipeline end-to-end (round 7, the q_pipe1 pattern for
     // media): clips -> shot detection -> ONE keyframe per shot -> dHash
@@ -384,12 +381,9 @@ object SimMmQueries extends QueryModule {
     // Rows-only; planted cross-clip duplicates and the per-shot
     // exactly-one-keyframe contract are spec-asserted.
     "q_pipe4" -> ((s, d) => {
-      val clips = Multimodal.syntheticPngClip(Tables.load(s, d, "documents"),
-        "doc_id", nFrames = 6, width = 8, height = 8, shotLen = 2,
-        scenePool = 1000L)
-      val kf = Multimodal.keyframes(clips, cutThreshold = 10).toDF()
-        .select((col("doc_id") * 100 + col("shot_idx")).as("doc_id"), col("payload"))
-      Multimodal.imageNearDupPairs(kf, maxHamming = 3)
+      val kf = Shared.clipKeyframeHashes(s, d)
+        .select((col("doc_id") * 100 + col("shot_idx")).as("doc_id"), col("dhash"))
+      Multimodal.imageNearDupPairsFromHashes(kf, maxHamming = 3)
         .where(col("hamming") === 0) // duplicate scenes, not near-misses
         .orderBy("id_a", "id_b")
     }),
