@@ -220,6 +220,30 @@ object AudioWav {
       .toDF("doc_id", "ahash")
   }
 
+  /** [[audioHashes]] with decode-failure quarantine — the WAV twin of
+    * `Multimodal.imageDHashesQuarantined`: one decode pass, corrupt clips
+    * to the quarantine frame, good clips hash normally. */
+  def audioHashesQuarantined(binDf: DataFrame)
+      : (DataFrame, Dataset[Multimodal.QuarantinedMedia]) = {
+    val spark = binDf.sparkSession
+    import spark.implicits._
+    val parsed = binDf.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        try (Some((id, audioHash64(decodeWavPcm16(payload)._2))): Option[(Long, Long)],
+          None: Option[Multimodal.QuarantinedMedia])
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            (None: Option[(Long, Long)],
+              Some(Multimodal.QuarantinedMedia(id, payload.length.toLong,
+                s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"))
+                : Option[Multimodal.QuarantinedMedia])
+        }
+      })
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (parsed.flatMap(_._1).toDF("doc_id", "ahash"), parsed.flatMap(_._2))
+  }
+
   /** Audio near-duplicate pairs — fingerprint + the hash-agnostic
     * pigeonhole band join, exactly [[Multimodal.imageNearDupPairs]] with
     * [[audioHash64]] in place of dHash: every pair at Hamming <= 3 shares

@@ -257,6 +257,32 @@ object Multimodal {
       .toDF("doc_id", "dhash")
   }
 
+  /** [[imageDHashes]] with decode-failure quarantine — the fingerprint
+    * stage of dedup-on-arrival run against crawl payloads: corrupt
+    * images land in the quarantine frame (reason attached), good images
+    * hash normally, one decode pass (persist-once split, as
+    * [[imageFeaturesQuarantined]]). */
+  def imageDHashesQuarantined(binDf: DataFrame)
+      : (DataFrame, Dataset[QuarantinedMedia]) = {
+    val spark = binDf.sparkSession
+    import spark.implicits._
+    val parsed = binDf.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        try (Some((id, dHash64(decodePng(payload)))): Option[(Long, Long)],
+          None: Option[QuarantinedMedia])
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            (None: Option[(Long, Long)],
+              Some(QuarantinedMedia(id, payload.length.toLong,
+                s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"))
+                : Option[QuarantinedMedia])
+        }
+      })
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (parsed.flatMap(_._1).toDF("doc_id", "dhash"), parsed.flatMap(_._2))
+  }
+
   /** Image near-duplicate pairs: dHash + a SimHash pigeonhole join (the
     * pair machinery is hash-agnostic): EVERY pair at Hamming distance <=
     * `maxHamming` shares a band bucket, so the join is bucket-local, never
@@ -365,8 +391,12 @@ object Multimodal {
     * containing magic-like byte strings cannot mis-split. */
   def encodeClip(frames: Seq[Array[Byte]]): Array[Byte] = {
     require(frames.nonEmpty, "a clip needs at least one frame")
-    val bb = java.nio.ByteBuffer.allocate(
-      8 + 4 * frames.length + frames.map(_.length).sum)
+    // Long-sum the sizes first: an Int sum would wrap for ~2 GB of frames
+    // and hand ByteBuffer.allocate a meaningless negative size
+    val total = 8L + 4L * frames.length + frames.map(_.length.toLong).sum
+    require(total <= Int.MaxValue,
+      s"clip payload would be $total bytes; a single payload is capped at 2 GB")
+    val bb = java.nio.ByteBuffer.allocate(total.toInt)
     bb.put(ClipMagic).putInt(frames.length)
     frames.foreach(f => bb.putInt(f.length))
     frames.foreach(bb.put)

@@ -96,10 +96,21 @@ object StreamingDedup {
     * hashes are read back). */
   def processImageBatch(newMedia: DataFrame, hashStoreDir: String,
                         batchId: Option[Long] = None,
-                        maxHamming: Int = 3): DataFrame = {
+                        maxHamming: Int = 3,
+                        quarantineDir: Option[String] = None): DataFrame = {
     import graft.multimodal.Multimodal
     val spark = newMedia.sparkSession
-    val newHashes = Multimodal.imageDHashes(newMedia)
+    // With a quarantine sink, a corrupt payload costs ONE quarantine row,
+    // not the micro-batch (the crawl-arrival posture); without one the
+    // batch stays fail-fast by contract.
+    val hashed = quarantineDir match {
+      case Some(qdir) =>
+        val (good, quar) = Multimodal.imageDHashesQuarantined(newMedia)
+        writeQuarantine(quar.toDF(), qdir, batchId)
+        good
+      case None => Multimodal.imageDHashes(newMedia)
+    }
+    val newHashes = hashed
       .localCheckpoint() // reused three times (anti-join, join, write)
     val exists = new Path(hashStoreDir).getFileSystem(
       spark.sparkContext.hadoopConfiguration).exists(new Path(hashStoreDir))
@@ -131,6 +142,15 @@ object StreamingDedup {
     candidates
   }
 
+  /** Quarantine rows land next to the candidate/store sinks with the same
+    * replay idempotence: per-batch-id subdirectory with overwrite, plain
+    * append on the one-shot path. */
+  private def writeQuarantine(quar: DataFrame, dir: String,
+                              batchId: Option[Long]): Unit = batchId match {
+    case Some(id) => quar.write.mode("overwrite").parquet(s"$dir/batch=$id")
+    case None => quar.write.mode("append").parquet(dir)
+  }
+
   /** Audio twin of [[processImageBatch]] (round 7): one micro-batch of WAV
     * payloads is fingerprinted (`AudioWav.audioHash64`, real container
     * decode per row), probed for near-dup candidates against the
@@ -141,10 +161,18 @@ object StreamingDedup {
     * 8-byte hashes are read back). */
   def processAudioBatch(newMedia: DataFrame, hashStoreDir: String,
                         batchId: Option[Long] = None,
-                        maxHamming: Int = 3): DataFrame = {
+                        maxHamming: Int = 3,
+                        quarantineDir: Option[String] = None): DataFrame = {
     import graft.multimodal.AudioWav
     val spark = newMedia.sparkSession
-    val newHashes = AudioWav.audioHashes(newMedia)
+    val hashed = quarantineDir match {
+      case Some(qdir) =>
+        val (good, quar) = AudioWav.audioHashesQuarantined(newMedia)
+        writeQuarantine(quar.toDF(), qdir, batchId)
+        good
+      case None => AudioWav.audioHashes(newMedia)
+    }
+    val newHashes = hashed
       .localCheckpoint() // reused three times (anti-join, join, write)
     val exists = new Path(hashStoreDir).getFileSystem(
       spark.sparkContext.hadoopConfiguration).exists(new Path(hashStoreDir))
@@ -179,11 +207,12 @@ object StreamingDedup {
     * the audio mirror of [[runImages]]. AvailableNow + checkpoint. */
   def runAudio(spark: SparkSession, incomingDir: String, schema: StructType,
                hashStoreDir: String, candidatesDir: String,
-               checkpoint: String): Unit = {
+               checkpoint: String, quarantineDir: Option[String] = None): Unit = {
     val q = spark.readStream.schema(schema).parquet(incomingDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processAudioBatch(batch, hashStoreDir, Some(batchId))
+        processAudioBatch(batch, hashStoreDir, Some(batchId),
+            quarantineDir = quarantineDir)
           .write.mode("overwrite").parquet(s"$candidatesDir/batch=$batchId")
       }
       .option("checkpointLocation", checkpoint)
@@ -197,11 +226,12 @@ object StreamingDedup {
     * store, both keyed by batch id. AvailableNow + checkpoint. */
   def runImages(spark: SparkSession, incomingDir: String, schema: StructType,
                 hashStoreDir: String, candidatesDir: String,
-                checkpoint: String): Unit = {
+                checkpoint: String, quarantineDir: Option[String] = None): Unit = {
     val q = spark.readStream.schema(schema).parquet(incomingDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processImageBatch(batch, hashStoreDir, Some(batchId))
+        processImageBatch(batch, hashStoreDir, Some(batchId),
+            quarantineDir = quarantineDir)
           .write.mode("overwrite").parquet(s"$candidatesDir/batch=$batchId")
       }
       .option("checkpointLocation", checkpoint)

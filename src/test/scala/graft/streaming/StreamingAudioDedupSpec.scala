@@ -62,4 +62,21 @@ class StreamingAudioDedupSpec extends SparkSpec {
     assert(spark.read.parquet(store).count() === 4,
       "hash store has no duplicate rows after replay")
   }
+
+  test("corrupt clip in a micro-batch is quarantined, not fatal (quarantineDir set)") {
+    val store = Files.createTempDirectory("graft_saudq_store").toString + "/h"
+    val qdir = Files.createTempDirectory("graft_saudq_q").toString + "/q"
+    StreamingDedup.processAudioBatch(
+      Seq((0L, wav(100)), (1L, wav(200))).toDF("doc_id", "payload"),
+      store, batchId = Some(0L), quarantineDir = Some(qdir))
+    val pairs = StreamingDedup.processAudioBatch(
+        Seq((2L, wav(100)), (3L, "not audio".getBytes("UTF-8")), (4L, wav(400)))
+          .toDF("doc_id", "payload"),
+        store, batchId = Some(1L), quarantineDir = Some(qdir))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((0L, 2L)), s"good rows still dedup, got $pairs")
+    assert(spark.read.parquet(qdir).select("doc_id").as[Long].collect().toSeq === Seq(3L))
+    assert(spark.read.parquet(store).select("doc_id").as[Long].collect().toSet ===
+      Set(0L, 1L, 2L, 4L), "only decodable ids reach the store")
+  }
 }

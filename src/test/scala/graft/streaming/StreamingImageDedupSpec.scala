@@ -60,4 +60,41 @@ class StreamingImageDedupSpec extends SparkSpec {
     assert(spark.read.parquet(store).count() === 4,
       "hash store has no duplicate rows after replay")
   }
+
+  test("corrupt payload in a micro-batch is quarantined, not fatal (quarantineDir set)") {
+    val store = Files.createTempDirectory("graft_simgq_store").toString + "/h"
+    val qdir = Files.createTempDirectory("graft_simgq_q").toString + "/q"
+    // batch 2 mixes a dup of a stored image, garbage bytes, and a fresh one
+    StreamingDedup.processImageBatch(
+      Seq((0L, png(100)), (1L, png(200))).toDF("doc_id", "payload"),
+      store, batchId = Some(0L), quarantineDir = Some(qdir))
+    val pairs = StreamingDedup.processImageBatch(
+        Seq((2L, png(100)), (3L, "junk bytes".getBytes("UTF-8")), (4L, png(400)))
+          .toDF("doc_id", "payload"),
+        store, batchId = Some(1L), quarantineDir = Some(qdir))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((0L, 2L)), s"good rows still dedup, got $pairs")
+    val quar = spark.read.parquet(qdir)
+      .select("doc_id", "reason").collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(quar.map(_._1).toSeq === Seq(3L), "exactly the corrupt row quarantined")
+    assert(quar.head._2.nonEmpty)
+    // the store holds only decodable ids; replaying the batch rewrites,
+    // never duplicates, the quarantine rows
+    assert(spark.read.parquet(store).select("doc_id").as[Long].collect().toSet ===
+      Set(0L, 1L, 2L, 4L))
+    StreamingDedup.processImageBatch(
+      Seq((2L, png(100)), (3L, "junk bytes".getBytes("UTF-8")), (4L, png(400)))
+        .toDF("doc_id", "payload"),
+      store, batchId = Some(1L), quarantineDir = Some(qdir))
+    assert(spark.read.parquet(qdir).count() === 1, "replay rewrites the quarantine batch")
+  }
+
+  test("without a quarantineDir a corrupt payload stays fail-fast by contract") {
+    val store = Files.createTempDirectory("graft_simgf_store").toString + "/h"
+    intercept[org.apache.spark.SparkException] {
+      StreamingDedup.processImageBatch(
+        Seq((0L, "junk".getBytes("UTF-8"))).toDF("doc_id", "payload"),
+        store, batchId = Some(0L))
+    }
+  }
 }
