@@ -111,24 +111,79 @@ object AudioWav {
 
   /** Deterministic genuine-WAV payloads: per row, a doc-id-seeded PCM16
     * pseudo-noise clip encoded through the real container writer on the
-    * executors (stands in for reading audio files off object storage). */
+    * executors (stands in for reading audio files off object storage).
+    * `leadSilence`/`tailSilence` pad exact-zero samples around the noise
+    * — the planted structure for the silence-trim operator. */
   def syntheticWav(df: DataFrame, idCol: String, nSamples: Int,
-                   sampleRate: Int = 16000): DataFrame = {
+                   sampleRate: Int = 16000,
+                   leadSilence: Int = 0, tailSilence: Int = 0): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
       it.map { id =>
-        val samples = new Array[Short](nSamples)
+        val samples = new Array[Short](leadSilence + nSamples + tailSilence)
         var h = id * 0x9E3779B97F4A7C15L + 0xBF58476D1CE4E5B9L
         var i = 0
         while (i < nSamples) {
           h = h * 6364136223846793005L + 1442695040888963407L
-          samples(i) = (h >>> 48).toShort
+          samples(leadSilence + i) = (h >>> 48).toShort
           i += 1
         }
         (id, encodeWavPcm16(sampleRate, samples))
       }
     }.toDF("doc_id", "payload")
+  }
+
+  /** Halve the sample rate by averaging adjacent sample pairs — the
+    * box-filter decimator, the cheapest alias-suppressing 2x downsample
+    * and the curation step that normalizes a mixed-rate crawl onto one
+    * rate ladder. out(i) = (s(2i) + s(2i+1)) / 2 in exact TRUNCATING
+    * integer division (matching SQL integer `//` semantics, so the
+    * resampled signal is oracle-replicable); an odd trailing sample is
+    * dropped. Decode → resample → RE-ENCODE through the real container
+    * writer: downstream consumers read a genuine WAV at rate/2. */
+  def downsample2x(binDf: DataFrame): DataFrame = {
+    val spark = binDf.sparkSession
+    import spark.implicits._
+    binDf.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val (rate, s) = decodeWavPcm16(payload)
+        val out = new Array[Short](s.length / 2)
+        var i = 0
+        while (i < out.length) {
+          out(i) = ((s(2 * i) + s(2 * i + 1)) / 2).toShort
+          i += 1
+        }
+        (id, encodeWavPcm16(rate / 2, out))
+      })
+      .toDF("doc_id", "payload")
+  }
+
+  /** Silence-trim statistics — the audio quality gate that strips
+    * leading/trailing silence (|sample| <= `threshold`) before a clip
+    * enters a training corpus: per clip, the kept-span length and how
+    * much was trimmed off each end. An ALL-quiet clip keeps nothing
+    * (n_kept = 0, lead_trimmed = n_in, tail_trimmed = 0 by convention).
+    * Exact integer math over really-decoded samples. */
+  def trimSilenceStats(binDf: DataFrame, threshold: Int): DataFrame = {
+    val spark = binDf.sparkSession
+    import spark.implicits._
+    binDf.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val s = decodeWavPcm16(payload)._2
+        var lo = 0
+        while (lo < s.length && math.abs(s(lo).toInt) <= threshold) lo += 1
+        if (lo == s.length) (id, s.length.toLong, 0L, s.length.toLong, 0L)
+        else {
+          var hi = s.length - 1
+          while (hi > lo && math.abs(s(hi).toInt) <= threshold) hi -= 1
+          (id, s.length.toLong, (hi - lo + 1).toLong, lo.toLong,
+            (s.length - 1 - hi).toLong)
+        }
+      })
+      .toDF("doc_id", "n_in", "n_kept", "lead_trimmed", "tail_trimmed")
   }
 
   // ---------------------------------------------------------------------

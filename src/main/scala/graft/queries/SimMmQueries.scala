@@ -348,6 +348,31 @@ object SimMmQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // Audio rate normalization (round 7): REAL decode -> box-filter 2x
+    // decimation in exact truncating integer math -> REAL re-encode at
+    // rate/2, then features of the re-decoded result — the whole
+    // decode->resample->encode->decode chain is pinned by the oracle,
+    // which replicates the seeded generation + the pair averaging in SQL.
+    "q_mm11" -> ((s, d) =>
+      graft.multimodal.AudioWav.audioFeatures(
+        graft.multimodal.AudioWav.downsample2x(
+          graft.multimodal.AudioWav.syntheticWav(
+            Tables.load(s, d, "documents"), "doc_id", nSamples = 800)))
+        .toDF().orderBy("doc_id")),
+
+    // Audio silence trim (round 7): strip leading/trailing |v| <= 100
+    // samples — the quality gate before a clip enters a training corpus.
+    // The fixture pads 40/60 exact-zero samples around the noise; the
+    // oracle re-derives the exact kept span from the replicated chain
+    // (noise samples can themselves fall under the threshold, so the
+    // trim edges are data-dependent, not just the padding).
+    "q_mm12" -> ((s, d) =>
+      graft.multimodal.AudioWav.trimSilenceStats(
+        graft.multimodal.AudioWav.syntheticWav(
+          Tables.load(s, d, "documents"), "doc_id", nSamples = 800,
+          leadSilence = 40, tailSilence = 60), threshold = 100)
+        .orderBy("doc_id")),
+
     // Video-modality stand-in (round 6): 6-frame PNG clips (scene change
     // every 2 frames — 3 scenes, cuts at frames 2 and 4), every frame
     // REALLY decoded and dHashed; cuts = consecutive-frame Hamming >
@@ -461,6 +486,68 @@ object SimMmQueries extends QueryModule {
         |  CAST(SUM(CASE WHEN pv IS NOT NULL AND ((v >= 0) <> (pv >= 0))
         |       THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
         |FROM lagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q_mm11: same chain replication as q_mm6, then the box-filter pair
+    // average in truncating integer division (DuckDB's `//` and Scala's
+    // Int `/` both truncate toward zero) and the same feature math over
+    // the resampled signal.
+    "q_mm11" ->
+      """WITH RECURSIVE gen AS (
+        |  SELECT doc_id, 0 AS i,
+        |    (CAST(doc_id AS HUGEINT) * 11400714819323198485 + 13787848793156543929)
+        |      % 18446744073709551616 AS h
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, i + 1,
+        |    (h * 6364136223846793005 + 1442695040888963407) % 18446744073709551616
+        |  FROM gen WHERE i < 800),
+        |samples AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN h // 281474976710656 >= 32768
+        |         THEN CAST(h // 281474976710656 AS BIGINT) - 65536
+        |         ELSE CAST(h // 281474976710656 AS BIGINT) END AS v
+        |  FROM gen WHERE i >= 1),
+        |resampled AS (
+        |  SELECT a.doc_id, (a.i + 1) // 2 AS j, (a.v + b.v) // 2 AS w
+        |  FROM samples a JOIN samples b
+        |    ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |  WHERE a.i % 2 = 1),
+        |lagged AS (
+        |  SELECT doc_id, w, lag(w) OVER (PARTITION BY doc_id ORDER BY j) AS pw
+        |  FROM resampled)
+        |SELECT doc_id, 8000 AS sample_rate, 400 AS n_samples,
+        |  CAST(MAX(abs(w)) AS INTEGER) AS peak,
+        |  sqrt(CAST(SUM(w * w) AS DOUBLE) / 400) AS rms,
+        |  CAST(SUM(CASE WHEN pw IS NOT NULL AND ((w >= 0) <> (pw >= 0))
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+        |FROM lagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q_mm12: noise sample i sits at padded position i + 40 (40 lead + 60
+    // tail exact-zero samples, always under the threshold); the kept span
+    // runs from the first to the last |v| > 100 noise sample.
+    "q_mm12" ->
+      """WITH RECURSIVE gen AS (
+        |  SELECT doc_id, 0 AS i,
+        |    (CAST(doc_id AS HUGEINT) * 11400714819323198485 + 13787848793156543929)
+        |      % 18446744073709551616 AS h
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, i + 1,
+        |    (h * 6364136223846793005 + 1442695040888963407) % 18446744073709551616
+        |  FROM gen WHERE i < 800),
+        |samples AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN h // 281474976710656 >= 32768
+        |         THEN CAST(h // 281474976710656 AS BIGINT) - 65536
+        |         ELSE CAST(h // 281474976710656 AS BIGINT) END AS v
+        |  FROM gen WHERE i >= 1),
+        |loud AS (
+        |  SELECT doc_id, min(i) AS fi, max(i) AS li
+        |  FROM samples WHERE abs(v) > 100 GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(900 AS BIGINT) AS n_in,
+        |  CAST(coalesce(li - fi + 1, 0) AS BIGINT) AS n_kept,
+        |  CAST(coalesce(fi + 39, 900) AS BIGINT) AS lead_trimmed,
+        |  CAST(CASE WHEN fi IS NULL THEN 0 ELSE 860 - li END AS BIGINT) AS tail_trimmed
+        |FROM documents d LEFT JOIN loud ON d.doc_id = loud.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // q_pipe4's plant is a pure function of doc_id (clip id's shots 0..2
     // carry scenes (id+k) % 1000), so the oracle genuinely checks the
     // whole pipeline: shot detection found exactly 3 shots per clip,

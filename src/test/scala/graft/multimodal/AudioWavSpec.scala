@@ -79,6 +79,49 @@ class AudioWavSpec extends SparkSpec {
       "quarantine path must not perturb good rows")
   }
 
+  test("downsample2x: box-filter pair average in truncating integer math, re-encoded at rate/2") {
+    val wav = AudioWav.encodeWavPcm16(16000, Array[Short](0, 2, -3, 5, 7))
+    val out = AudioWav.downsample2x(Seq((1L, wav)).toDF("doc_id", "payload"))
+      .as[(Long, Array[Byte])].head()._2
+    val (rate, s) = AudioWav.decodeWavPcm16(out) // genuine WAV round-trip
+    assert(rate === 8000)
+    // (0+2)/2 = 1; (-3+5)/2 = 1; the odd trailing 7 is dropped
+    assert(s.toSeq === Seq[Short](1, 1))
+    // negative odd sums TRUNCATE toward zero (the SQL `//` convention)
+    val neg = AudioWav.downsample2x(Seq(
+        (2L, AudioWav.encodeWavPcm16(16000, Array[Short](-3, 0)))).toDF("doc_id", "payload"))
+      .as[(Long, Array[Byte])].head()._2
+    assert(AudioWav.decodeWavPcm16(neg)._2.toSeq === Seq[Short](-1))
+  }
+
+  test("trimSilenceStats: exact kept span, data-dependent edges, all-quiet convention") {
+    val clip = AudioWav.encodeWavPcm16(16000,
+      Array[Short](0, 0, 50, 2000, 0, 3000, 80, 0))
+    val silent = AudioWav.encodeWavPcm16(16000, Array.fill[Short](6)(90))
+    val m = AudioWav.trimSilenceStats(
+        Seq((1L, clip), (2L, silent)).toDF("doc_id", "payload"), threshold = 100)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // loud span is [3, 5]: 3 kept, 3 leading + 2 trailing trimmed (the
+    // quiet 0 inside the span is KEPT — only edges trim)
+    assert(m(1L) === ((8L, 3L, 3L, 2L)))
+    assert(m(2L) === ((6L, 0L, 6L, 0L)), "all-quiet: keep nothing, lead = n_in")
+  }
+
+  test("syntheticWav silence padding surrounds the noise exactly") {
+    val wav = AudioWav.syntheticWav(Seq(1L).toDF("doc_id"), "doc_id",
+      nSamples = 100, leadSilence = 7, tailSilence = 9)
+      .as[(Long, Array[Byte])].head()._2
+    val s = AudioWav.decodeWavPcm16(wav)._2
+    assert(s.length === 116)
+    assert(s.take(7).forall(_ == 0) && s.takeRight(9).forall(_ == 0))
+    // the noise body is unchanged vs the unpadded fixture
+    val plain = AudioWav.decodeWavPcm16(AudioWav.syntheticWav(
+      Seq(1L).toDF("doc_id"), "doc_id", nSamples = 100)
+      .as[(Long, Array[Byte])].head()._2)._2
+    assert(s.slice(7, 107).toSeq === plain.toSeq)
+  }
+
   // -------------------------------------------------------------------
   // Perceptual fingerprint + near-dup (round 7)
   // -------------------------------------------------------------------
