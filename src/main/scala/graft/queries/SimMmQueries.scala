@@ -348,6 +348,21 @@ object SimMmQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // Image resize chain pinned end-to-end (round 7): real PNG decode ->
+    // exact nearest-neighbor 4x downsample -> real re-encode -> decode
+    // AGAIN -> channel stats. The oracle replicates the seeded pixel
+    // chain and the resample picks in SQL, so the whole
+    // decode->resize->encode->decode path is value-checked (the mirror
+    // of q_mm11's audio chain).
+    "q_mm13" -> ((s, d) =>
+      Multimodal.imageFeatures(
+        Multimodal.resizePng(
+            Multimodal.syntheticPng(Tables.load(s, d, "documents"), "doc_id",
+              width = 16, height = 16),
+            factor = 4)
+          .select(col("doc_id"), col("resized").as("payload")))
+        .toDF().orderBy("doc_id")),
+
     // Audio rate normalization (round 7): REAL decode -> box-filter 2x
     // decimation in exact truncating integer math -> REAL re-encode at
     // rate/2, then features of the re-decoded result — the whole
@@ -486,6 +501,121 @@ object SimMmQueries extends QueryModule {
         |  CAST(SUM(CASE WHEN pv IS NOT NULL AND ((v >= 0) <> (pv >= 0))
         |       THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
         |FROM lagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q_mm2/q_mm4/q_mm5/q_mm13: the image twin of the audio chain
+    // replication — syntheticPng's pixels are the same 64-bit LCG walk
+    // (pixel = bits 40..63 of the state, split RGB), so luma frames,
+    // channel statistics, the dHash bit pattern, and the post-resize
+    // stats are all re-derivable in exact SQL. The PNG encode->decode
+    // round-trip the oracles treat as identity is spec-pinned bitwise
+    // (MultimodalSpec); everything else is genuinely re-computed.
+    "q_mm4" ->
+      """WITH RECURSIVE gen AS (
+        |  SELECT doc_id, 0 AS i,
+        |    (CAST(doc_id AS HUGEINT) * 11400714819323198485 + 13787848793156543929)
+        |      % 18446744073709551616 AS h
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, i + 1,
+        |    (h * 6364136223846793005 + 1442695040888963407) % 18446744073709551616
+        |  FROM gen WHERE i < 256),
+        |px AS (
+        |  SELECT doc_id, i - 1 AS p,
+        |    CAST((h // 1099511627776) % 16777216 AS BIGINT) AS v
+        |  FROM gen WHERE i >= 1),
+        |ch AS (
+        |  SELECT doc_id, p, v // 65536 AS r, (v // 256) % 256 AS g, v % 256 AS b,
+        |    (299 * (v // 65536) + 587 * ((v // 256) % 256) + 114 * (v % 256)) // 1000 AS y
+        |  FROM px)
+        |SELECT doc_id, 16 AS width, 16 AS height,
+        |  CAST(SUM(r) AS DOUBLE) / 256 AS mean_r,
+        |  CAST(SUM(g) AS DOUBLE) / 256 AS mean_g,
+        |  CAST(SUM(b) AS DOUBLE) / 256 AS mean_b,
+        |  CAST(SUM(y) AS DOUBLE) / 256 AS mean_luma
+        |FROM ch GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_mm2" ->
+      """WITH RECURSIVE gen AS (
+        |  SELECT doc_id, 0 AS i,
+        |    (CAST(doc_id AS HUGEINT) * 11400714819323198485 + 13787848793156543929)
+        |      % 18446744073709551616 AS h
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, i + 1,
+        |    (h * 6364136223846793005 + 1442695040888963407) % 18446744073709551616
+        |  FROM gen WHERE i < 256),
+        |px AS (
+        |  SELECT doc_id, i - 1 AS p,
+        |    CAST((h // 1099511627776) % 16777216 AS BIGINT) AS v
+        |  FROM gen WHERE i >= 1),
+        |ch AS (
+        |  SELECT doc_id, p,
+        |    (299 * (v // 65536) + 587 * ((v // 256) % 256) + 114 * (v % 256)) // 1000 AS y
+        |  FROM px)
+        |SELECT doc_id, CAST(p // 64 AS INTEGER) AS frame_idx, 16 AS n_bytes,
+        |  CAST(SUM(y) AS DOUBLE) / 16 AS mean_byte
+        |FROM ch WHERE p % 64 < 16
+        |GROUP BY doc_id, p // 64
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    "q_mm5" ->
+      """WITH RECURSIVE gen AS (
+        |  SELECT doc_id, 0 AS i,
+        |    (CAST(doc_id AS HUGEINT) * 11400714819323198485 + 13787848793156543929)
+        |      % 18446744073709551616 AS h
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, i + 1,
+        |    (h * 6364136223846793005 + 1442695040888963407) % 18446744073709551616
+        |  FROM gen WHERE i < 256),
+        |px AS (
+        |  SELECT doc_id, i - 1 AS p,
+        |    CAST((h // 1099511627776) % 16777216 AS BIGINT) AS v
+        |  FROM gen WHERE i >= 1),
+        |ch AS (
+        |  SELECT doc_id, p,
+        |    (299 * (v // 65536) + 587 * ((v // 256) % 256) + 114 * (v % 256)) // 1000 AS y
+        |  FROM px),
+        |xmap AS (SELECT * FROM (VALUES (0, 0), (1, 1), (2, 3), (3, 5), (4, 7),
+        |  (5, 8), (6, 10), (7, 12), (8, 14)) AS t(gx, x)),
+        |lum AS (
+        |  SELECT ch.doc_id, m.gx, g.gy, ch.y
+        |  FROM ch
+        |  JOIN (SELECT unnest(generate_series(0, 7)) AS gy) g ON TRUE
+        |  JOIN xmap m ON ch.p = 32 * g.gy + m.x),
+        |bits AS (
+        |  SELECT a.doc_id,
+        |    SUM(CASE WHEN a.y > b.y THEN CAST(1 AS HUGEINT) << (a.gy * 8 + a.gx)
+        |        ELSE CAST(0 AS HUGEINT) END) AS uh
+        |  FROM lum a JOIN lum b
+        |    ON a.doc_id = b.doc_id AND a.gy = b.gy AND b.gx = a.gx + 1
+        |  WHERE a.gx < 8
+        |  GROUP BY a.doc_id)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN uh >= CAST(1 AS HUGEINT) << 63
+        |       THEN uh - (CAST(1 AS HUGEINT) << 64) ELSE uh END AS BIGINT) AS dhash
+        |FROM bits ORDER BY doc_id""".stripMargin,
+    "q_mm13" ->
+      """WITH RECURSIVE gen AS (
+        |  SELECT doc_id, 0 AS i,
+        |    (CAST(doc_id AS HUGEINT) * 11400714819323198485 + 13787848793156543929)
+        |      % 18446744073709551616 AS h
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, i + 1,
+        |    (h * 6364136223846793005 + 1442695040888963407) % 18446744073709551616
+        |  FROM gen WHERE i < 256),
+        |px AS (
+        |  SELECT doc_id, i - 1 AS p,
+        |    CAST((h // 1099511627776) % 16777216 AS BIGINT) AS v
+        |  FROM gen WHERE i >= 1),
+        |picked AS (
+        |  SELECT doc_id, v // 65536 AS r, (v // 256) % 256 AS g, v % 256 AS b,
+        |    (299 * (v // 65536) + 587 * ((v // 256) % 256) + 114 * (v % 256)) // 1000 AS y
+        |  FROM px WHERE (p % 16) % 4 = 0 AND (p // 16) % 4 = 0)
+        |SELECT doc_id, 4 AS width, 4 AS height,
+        |  CAST(SUM(r) AS DOUBLE) / 16 AS mean_r,
+        |  CAST(SUM(g) AS DOUBLE) / 16 AS mean_g,
+        |  CAST(SUM(b) AS DOUBLE) / 16 AS mean_b,
+        |  CAST(SUM(y) AS DOUBLE) / 16 AS mean_luma
+        |FROM picked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // q_mm11: same chain replication as q_mm6, then the box-filter pair
     // average in truncating integer division (DuckDB's `//` and Scala's
     // Int `/` both truncate toward zero) and the same feature math over
