@@ -616,6 +616,152 @@ object SimMmQueries extends QueryModule {
         |  CAST(SUM(b) AS DOUBLE) / 16 AS mean_b,
         |  CAST(SUM(y) AS DOUBLE) / 16 AS mean_luma
         |FROM picked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q_mm7: the clip fixture's frames are per-(doc, scene) pixel chains,
+    // so the oracle rebuilds every frame's dHash (8x8 grid) and re-derives
+    // the consecutive-frame hammings and cut flags with bit_count(xor) —
+    // the full shot-boundary pipeline re-computed in SQL.
+    "q_mm7" ->
+      """WITH RECURSIVE gen AS (
+        |  SELECT doc_id, f, 0 AS i,
+        |    (CAST(doc_id * 1000 + f // 2 AS HUGEINT) * 11400714819323198485
+        |      + 13787848793156543929) % 18446744073709551616 AS h
+        |  FROM documents CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS f) fr
+        |  UNION ALL
+        |  SELECT doc_id, f, i + 1,
+        |    (h * 6364136223846793005 + 1442695040888963407) % 18446744073709551616
+        |  FROM gen WHERE i < 64),
+        |px AS (
+        |  SELECT doc_id, f, i - 1 AS p,
+        |    CAST((h // 1099511627776) % 16777216 AS BIGINT) AS v
+        |  FROM gen WHERE i >= 1),
+        |ch AS (
+        |  SELECT doc_id, f, p,
+        |    (299 * (v // 65536) + 587 * ((v // 256) % 256) + 114 * (v % 256)) // 1000 AS y
+        |  FROM px),
+        |xmap AS (SELECT * FROM (VALUES (0, 0), (1, 0), (2, 1), (3, 2), (4, 3),
+        |  (5, 4), (6, 5), (7, 6), (8, 7)) AS t(gx, x)),
+        |lum AS (
+        |  SELECT ch.doc_id, ch.f, m.gx, g.gy, ch.y
+        |  FROM ch
+        |  JOIN (SELECT unnest(generate_series(0, 7)) AS gy) g ON TRUE
+        |  JOIN xmap m ON ch.p = 8 * g.gy + m.x),
+        |bits AS (
+        |  SELECT a.doc_id, a.f,
+        |    SUM(CASE WHEN a.y > b.y THEN CAST(1 AS HUGEINT) << (a.gy * 8 + a.gx)
+        |        ELSE CAST(0 AS HUGEINT) END) AS uh
+        |  FROM lum a JOIN lum b
+        |    ON a.doc_id = b.doc_id AND a.f = b.f AND a.gy = b.gy AND b.gx = a.gx + 1
+        |  WHERE a.gx < 8
+        |  GROUP BY a.doc_id, a.f),
+        |dh AS (
+        |  SELECT doc_id, f,
+        |    CAST(CASE WHEN uh >= CAST(1 AS HUGEINT) << 63
+        |         THEN uh - (CAST(1 AS HUGEINT) << 64) ELSE uh END AS BIGINT) AS dhash
+        |  FROM bits),
+        |lagged AS (
+        |  SELECT doc_id, f, dhash,
+        |    lag(dhash) OVER (PARTITION BY doc_id ORDER BY f) AS pd
+        |  FROM dh)
+        |SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+        |  CASE WHEN pd IS NULL THEN NULL
+        |       ELSE CAST(bit_count(xor(dhash, pd)) AS BIGINT) END AS hamming_prev,
+        |  coalesce(bit_count(xor(dhash, pd)) > 10, FALSE) AS is_cut
+        |FROM lagged ORDER BY doc_id, frame_idx""".stripMargin,
+    // q_dedup15/q_dedup16: the planted near-dup PNGs hash from the SAME
+    // chain (seed = doc_id // 2, odd ids black out pixel 0), so the
+    // oracle computes every dHash and takes the brute-force Hamming<=3
+    // pairs — which the pigeonhole banding must equal exactly (its spec
+    // contract, now also oracle-enforced per run). q_dedup16 restricts to
+    // pairs touching the day-2 batch (doc_id % 5 = 0).
+    "q_dedup15" ->
+      """WITH RECURSIVE gen AS (
+        |  SELECT doc_id, 0 AS i,
+        |    (CAST(doc_id // 2 AS HUGEINT) * 11400714819323198485 + 13787848793156543929)
+        |      % 18446744073709551616 AS h
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, i + 1,
+        |    (h * 6364136223846793005 + 1442695040888963407) % 18446744073709551616
+        |  FROM gen WHERE i < 256),
+        |px AS (
+        |  SELECT doc_id, i - 1 AS p,
+        |    CASE WHEN doc_id % 2 = 1 AND i = 1 THEN 0
+        |         ELSE CAST((h // 1099511627776) % 16777216 AS BIGINT) END AS v
+        |  FROM gen WHERE i >= 1),
+        |ch AS (
+        |  SELECT doc_id, p,
+        |    (299 * (v // 65536) + 587 * ((v // 256) % 256) + 114 * (v % 256)) // 1000 AS y
+        |  FROM px),
+        |xmap AS (SELECT * FROM (VALUES (0, 0), (1, 1), (2, 3), (3, 5), (4, 7),
+        |  (5, 8), (6, 10), (7, 12), (8, 14)) AS t(gx, x)),
+        |lum AS (
+        |  SELECT ch.doc_id, m.gx, g.gy, ch.y
+        |  FROM ch
+        |  JOIN (SELECT unnest(generate_series(0, 7)) AS gy) g ON TRUE
+        |  JOIN xmap m ON ch.p = 32 * g.gy + m.x),
+        |bits AS (
+        |  SELECT a.doc_id,
+        |    SUM(CASE WHEN a.y > b.y THEN CAST(1 AS HUGEINT) << (a.gy * 8 + a.gx)
+        |        ELSE CAST(0 AS HUGEINT) END) AS uh
+        |  FROM lum a JOIN lum b
+        |    ON a.doc_id = b.doc_id AND a.gy = b.gy AND b.gx = a.gx + 1
+        |  WHERE a.gx < 8
+        |  GROUP BY a.doc_id),
+        |dh AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN uh >= CAST(1 AS HUGEINT) << 63
+        |         THEN uh - (CAST(1 AS HUGEINT) << 64) ELSE uh END AS BIGINT) AS dhash
+        |  FROM bits)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+        |FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup16" ->
+      """WITH RECURSIVE gen AS (
+        |  SELECT doc_id, 0 AS i,
+        |    (CAST(doc_id // 2 AS HUGEINT) * 11400714819323198485 + 13787848793156543929)
+        |      % 18446744073709551616 AS h
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, i + 1,
+        |    (h * 6364136223846793005 + 1442695040888963407) % 18446744073709551616
+        |  FROM gen WHERE i < 256),
+        |px AS (
+        |  SELECT doc_id, i - 1 AS p,
+        |    CASE WHEN doc_id % 2 = 1 AND i = 1 THEN 0
+        |         ELSE CAST((h // 1099511627776) % 16777216 AS BIGINT) END AS v
+        |  FROM gen WHERE i >= 1),
+        |ch AS (
+        |  SELECT doc_id, p,
+        |    (299 * (v // 65536) + 587 * ((v // 256) % 256) + 114 * (v % 256)) // 1000 AS y
+        |  FROM px),
+        |xmap AS (SELECT * FROM (VALUES (0, 0), (1, 1), (2, 3), (3, 5), (4, 7),
+        |  (5, 8), (6, 10), (7, 12), (8, 14)) AS t(gx, x)),
+        |lum AS (
+        |  SELECT ch.doc_id, m.gx, g.gy, ch.y
+        |  FROM ch
+        |  JOIN (SELECT unnest(generate_series(0, 7)) AS gy) g ON TRUE
+        |  JOIN xmap m ON ch.p = 32 * g.gy + m.x),
+        |bits AS (
+        |  SELECT a.doc_id,
+        |    SUM(CASE WHEN a.y > b.y THEN CAST(1 AS HUGEINT) << (a.gy * 8 + a.gx)
+        |        ELSE CAST(0 AS HUGEINT) END) AS uh
+        |  FROM lum a JOIN lum b
+        |    ON a.doc_id = b.doc_id AND a.gy = b.gy AND b.gx = a.gx + 1
+        |  WHERE a.gx < 8
+        |  GROUP BY a.doc_id),
+        |dh AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN uh >= CAST(1 AS HUGEINT) << 63
+        |         THEN uh - (CAST(1 AS HUGEINT) << 64) ELSE uh END AS BIGINT) AS dhash
+        |  FROM bits)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+        |FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+        |WHERE (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)
+        |  AND bit_count(xor(a.dhash, b.dhash)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     // q_mm11: same chain replication as q_mm6, then the box-filter pair
     // average in truncating integer division (DuckDB's `//` and Scala's
     // Int `/` both truncate toward zero) and the same feature math over
