@@ -362,11 +362,16 @@ object AudioWav {
     df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
       it.map { id =>
         val seed = id >> 1
+        // Two LCG steps over a linear combine — enough mixing to
+        // decorrelate (seed, tag) pairs, and every multiplier is < 2^63,
+        // so the whole fixture is replicable in SQL HUGEINT modular
+        // arithmetic (the q_mm8/q_dedup17/q_dedup18 oracles re-derive
+        // the clips from scratch; splitmix's >= 2^63 multipliers put
+        // 64x64-bit products past HUGEINT's range).
         def mix(a: Long, b: Long): Long = {
-          var h = (a * 0x9E3779B97F4A7C15L + b) ^ 0xBF58476D1CE4E5B9L
-          h = (h ^ (h >>> 30)) * 0xBF58476D1CE4E5B9L
-          h = (h ^ (h >>> 27)) * 0x94D049BB133111EBL
-          h ^ (h >>> 31)
+          var x = a * 1000003L + b
+          x = x * 6364136223846793005L + 1442695040888963407L
+          x * 6364136223846793005L + 1442695040888963407L
         }
         // per-frame amplitude = 4000 + 3000 * rank of the frame's seeded
         // hash among the 9 frames — a seeded permutation, distinct per

@@ -429,7 +429,98 @@ object SimMmQueries extends QueryModule {
     }),
   )
 
+  /** Shared SQL prefix re-deriving the `syntheticWavNearDups` clips and
+    * their [[graft.multimodal.AudioWav.audioHash64]] band-energy hashes
+    * from scratch: the LCG-composed mix (every multiplier < 2^63, so
+    * HUGEINT holds the products), the per-frame amplitude rank walk, the
+    * base + noise sample chains, and the 8-level Haar detail energies
+    * expressed as signed block sums over the 400-sample frames (the
+    * level ladder 400/400/400/400/384/384/384/256 encodes the integer
+    * halving truncation of the wavelet recursion). Ends with
+    * `dh(doc_id, ahash)`. */
+  private val audioHashChainSql: String =
+    """WITH RECURSIVE fk AS (
+      |  SELECT d.doc_id, tt.t,
+      |    ((((CAST(d.doc_id // 2 AS HUGEINT) * 1000003 + 1000 + tt.t)
+      |        % 18446744073709551616)
+      |       * 6364136223846793005 + 1442695040888963407) % 18446744073709551616) AS k1
+      |  FROM documents d CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS t) tt),
+      |amps AS (
+      |  SELECT doc_id, t,
+      |    4000 + 3000 * (rank() OVER (PARTITION BY doc_id ORDER BY
+      |      CASE WHEN ((k1 * 6364136223846793005 + 1442695040888963407)
+      |                 % 18446744073709551616) >= CAST(1 AS HUGEINT) << 63
+      |           THEN CAST(((k1 * 6364136223846793005 + 1442695040888963407)
+      |                 % 18446744073709551616) - (CAST(1 AS HUGEINT) << 64) AS BIGINT)
+      |           ELSE CAST(((k1 * 6364136223846793005 + 1442695040888963407)
+      |                 % 18446744073709551616) AS BIGINT) END, t) - 1) AS amp
+      |  FROM fk),
+      |gen AS (
+      |  SELECT doc_id, 0 AS i,
+      |    (((((CAST(doc_id // 2 AS HUGEINT) * 1000003 + 2) % 18446744073709551616)
+      |       * 6364136223846793005 + 1442695040888963407) % 18446744073709551616
+      |       * 6364136223846793005 + 1442695040888963407) % 18446744073709551616) AS h,
+      |    (((((CAST(doc_id AS HUGEINT) * 1000003 + 3) % 18446744073709551616)
+      |       * 6364136223846793005 + 1442695040888963407) % 18446744073709551616
+      |       * 6364136223846793005 + 1442695040888963407) % 18446744073709551616) AS hn
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, i + 1,
+      |    (h * 6364136223846793005 + 1442695040888963407) % 18446744073709551616,
+      |    (hn * 6364136223846793005 + 1442695040888963407) % 18446744073709551616
+      |  FROM gen WHERE i < 3600),
+      |smp AS (
+      |  SELECT g.doc_id, (g.i - 1) // 400 AS t, (g.i - 1) % 400 AS q,
+      |    (CASE WHEN g.h // 281474976710656 >= 32768
+      |          THEN CAST(g.h // 281474976710656 AS BIGINT) - 65536
+      |          ELSE CAST(g.h // 281474976710656 AS BIGINT) END * a.amp) // 32768
+      |    + CASE WHEN g.doc_id % 2 = 1
+      |           THEN CAST((g.hn // 281474976710656) % 16 AS BIGINT) - 8
+      |           ELSE 0 END AS v
+      |  FROM gen g JOIN amps a ON g.doc_id = a.doc_id AND a.t = (g.i - 1) // 400
+      |  WHERE g.i >= 1),
+      |levels AS (SELECT * FROM (VALUES (0, 400, 1, 2), (1, 400, 2, 4),
+      |  (2, 400, 4, 8), (3, 400, 8, 16), (4, 384, 16, 32), (5, 384, 32, 64),
+      |  (6, 384, 64, 128), (7, 256, 128, 256)) AS t(L, nl, hs, bs)),
+      |det AS (
+      |  SELECT s.doc_id, s.t, lv.L, s.q // lv.bs AS blk,
+      |    SUM(s.v * CASE WHEN (s.q // lv.hs) % 2 = 0 THEN 1 ELSE -1 END) AS dd
+      |  FROM smp s JOIN levels lv ON s.q < lv.nl
+      |  GROUP BY s.doc_id, s.t, lv.L, s.q // lv.bs),
+      |en AS (SELECT doc_id, t, L, SUM(dd * dd) AS e FROM det GROUP BY doc_id, t, L),
+      |abits AS (
+      |  SELECT a.doc_id,
+      |    SUM(CASE WHEN a.e > b.e THEN CAST(1 AS HUGEINT) << (a.L * 8 + a.t)
+      |        ELSE CAST(0 AS HUGEINT) END) AS uh
+      |  FROM en a JOIN en b ON a.doc_id = b.doc_id AND a.L = b.L AND b.t = a.t + 1
+      |  WHERE a.t < 8
+      |  GROUP BY a.doc_id),
+      |dh AS (
+      |  SELECT doc_id,
+      |    CAST(CASE WHEN uh >= CAST(1 AS HUGEINT) << 63
+      |         THEN uh - (CAST(1 AS HUGEINT) << 64) ELSE uh END AS BIGINT) AS ahash
+      |  FROM abits)
+      |""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    // Audio fingerprint family: the full clip synthesis + Haar band-energy
+    // hash re-derived in SQL (see audioHashChainSql); pairs are the
+    // brute-force Hamming<=3 sets the pigeonhole banding must equal.
+    "q_mm8" -> (audioHashChainSql +
+      "SELECT doc_id, ahash FROM dh ORDER BY doc_id"),
+    "q_dedup17" -> (audioHashChainSql +
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+        |FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin),
+    "q_dedup18" -> (audioHashChainSql +
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+        |FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+        |WHERE (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)
+        |  AND bit_count(xor(a.ahash, b.ahash)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin),
     "q_sim1" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id, round(${cosSql("embedding", "qe")}, 6) AS sim
