@@ -295,7 +295,11 @@ object AudioWav {
                 : Option[Multimodal.QuarantinedMedia])
         }
       })
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // localCheckpoint, not persist: one eager decode pass feeding both
+      // outputs, but the blocks free with the frame's GC — a persisted
+      // frame is pinned by the CacheManager until an explicit unpersist,
+      // which a per-micro-batch caller (StreamingDedup) never gets to do
+      .localCheckpoint()
     (parsed.flatMap(_._1).toDF("doc_id", "ahash"), parsed.flatMap(_._2))
   }
 
@@ -348,13 +352,21 @@ object AudioWav {
     * `Multimodal.syntheticPngNearDups`): consecutive ids (2k, 2k+1)
     * render the SAME seeded clip except the odd id adds small
     * per-sample noise (±8 on amplitudes >= 4000) — an acoustically
-    * near-identical copy, so the planted pair's [[audioHash64]] distance
-    * is ~0 while unrelated clips sit near the 32-bit random expectation.
-    * Each clip is 9 time frames of seeded pseudo-noise whose per-frame
-    * amplitude walks a seeded permutation of {4000, 7000, ..., 28000}:
-    * adjacent frames differ by >= 1.1x in amplitude (>= 1.2x in energy,
-    * across EVERY band — broadband noise), so all 64 sign comparisons
-    * are decided at margins the ±8 noise cannot flip. */
+    * near-identical copy. Each clip is 9 time frames of seeded
+    * pseudo-noise whose per-frame amplitude walks a seeded permutation
+    * of {4000, 7000, ..., 28000}, so adjacent frames differ by >= 1.2x
+    * in EXPECTED energy across every band. Low bands (many Haar
+    * coefficients) concentrate tightly around that expectation, so
+    * their sign comparisons are noise-proof; the top 1–3-coefficient
+    * bands have wide per-seed spread, so a planted pair's distance is
+    * ~0 with high probability per comparison rather than by structural
+    * guarantee, and unrelated clips sharing an amplitude-descent
+    * pattern can land within a few bits (an envelope hash hashes the
+    * envelope — BASELINE.md's 100x row quantifies the effect). What the
+    * gates rely on is exactness, not separation: the q_dedup17/18
+    * oracles and specs compare against brute-force Hamming over these
+    * same hashes, so fixture statistics can never turn into silent
+    * wrongness. */
   def syntheticWavNearDups(df: DataFrame, idCol: String, nSamples: Int,
                            sampleRate: Int = 16000): DataFrame = {
     val spark = df.sparkSession
@@ -437,7 +449,11 @@ object AudioWav {
                 : Option[Multimodal.QuarantinedMedia])
         }
       })
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // localCheckpoint, not persist: one eager decode pass feeding both
+      // outputs, but the blocks free with the frame's GC — a persisted
+      // frame is pinned by the CacheManager until an explicit unpersist,
+      // which a per-micro-batch caller (StreamingDedup) never gets to do
+      .localCheckpoint()
     (parsed.flatMap(_._1), parsed.flatMap(_._2))
   }
 

@@ -200,7 +200,11 @@ object Multimodal {
                 : Option[QuarantinedMedia])
         }
       })
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // localCheckpoint, not persist: one eager decode pass feeding both
+      // outputs, but the blocks free with the frame's GC — a persisted
+      // frame is pinned by the CacheManager until an explicit unpersist,
+      // which a per-micro-batch caller (StreamingDedup) never gets to do
+      .localCheckpoint()
     (parsed.flatMap(_._1), parsed.flatMap(_._2))
   }
 
@@ -279,7 +283,11 @@ object Multimodal {
                 : Option[QuarantinedMedia])
         }
       })
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // localCheckpoint, not persist: one eager decode pass feeding both
+      // outputs, but the blocks free with the frame's GC — a persisted
+      // frame is pinned by the CacheManager until an explicit unpersist,
+      // which a per-micro-batch caller (StreamingDedup) never gets to do
+      .localCheckpoint()
     (parsed.flatMap(_._1).toDF("doc_id", "dhash"), parsed.flatMap(_._2))
   }
 
@@ -510,9 +518,12 @@ object Multimodal {
   }
 
   /** One selected keyframe: the clip, the shot's ordinal within it, the
-    * frame index the keyframe came from, and the frame payload. */
+    * frame index the keyframe came from, the frame payload, and the
+    * frame's dHash (already computed by the cut detection — carrying it
+    * saves downstream fingerprint stages a second decode of every
+    * keyframe). */
   case class Keyframe(doc_id: Long, shot_idx: Int, frame_idx: Int,
-                      payload: Array[Byte])
+                      payload: Array[Byte], dhash: Long)
 
   /** Keyframe selection — the stage after [[shotBoundaries]] in a
     * video-curation pipeline: detect the cuts (same decode + dHash +
@@ -535,7 +546,7 @@ object Multimodal {
         frames.indices.flatMap { i =>
           val isCut = i == 0 ||
             java.lang.Long.bitCount(hashes(i) ^ hashes(i - 1)) > cutThreshold
-          if (isCut) { shot += 1; Some(Keyframe(id, shot, i, frames(i))) }
+          if (isCut) { shot += 1; Some(Keyframe(id, shot, i, frames(i), hashes(i))) }
           else None
         }
       })
@@ -565,13 +576,9 @@ object Multimodal {
     * scene near-dup (q_pipe4) and the clip-level near-dup (q_dedup19)
     * read it, so one decode pass serves both (Memo'd in queries.Shared,
     * a stored table at cluster scale). */
-  def keyframeHashes(binDf: DataFrame, cutThreshold: Int = 10): DataFrame = {
-    val spark = binDf.sparkSession
-    import spark.implicits._
-    keyframes(binDf, cutThreshold)
-      .mapPartitions(_.map(k => (k.doc_id, k.shot_idx, dHash64(decodePng(k.payload)))))
-      .toDF("doc_id", "shot_idx", "dhash")
-  }
+  def keyframeHashes(binDf: DataFrame, cutThreshold: Int = 10): DataFrame =
+    keyframes(binDf, cutThreshold).toDF()
+      .select(col("doc_id"), col("shot_idx"), col("dhash"))
 
   /** [[clipNearDups]] over an already-computed [[keyframeHashes]] table
     * (materialized — it feeds both join sides). */

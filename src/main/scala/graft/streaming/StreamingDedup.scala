@@ -131,7 +131,12 @@ object StreamingDedup {
         prior.select(col("doc_id"), col("dhash"))
       }
       else newHashes.limit(0)
-    val candidates = Multimodal.incrementalImageNearDups(newHashes, stored, maxHamming)
+    // newHashes is already materialized; decide the band mode here so the
+    // incremental entry point's auto-route doesn't checkpoint it a second
+    // time (its counts are cheap scans of the checkpointed/parquet sides)
+    val useWide = newHashes.count() + stored.count() >= graft.operators.NearDup.WideHashThreshold
+    val candidates = Multimodal.incrementalImageNearDups(newHashes, stored, maxHamming,
+        wide = Some(useWide))
       .localCheckpoint()
     batchId match {
       case Some(id) =>
@@ -192,7 +197,11 @@ object StreamingDedup {
         prior.select(col("doc_id"), col("ahash"))
       }
       else newHashes.limit(0)
-    val candidates = AudioWav.incrementalAudioNearDups(newHashes, stored, maxHamming)
+    // same explicit band-mode decision as processImageBatch: avoid the
+    // auto-route's second materialization of the batch hashes
+    val useWide = newHashes.count() + stored.count() >= graft.operators.NearDup.WideHashThreshold
+    val candidates = AudioWav.incrementalAudioNearDups(newHashes, stored, maxHamming,
+        wide = Some(useWide))
       .localCheckpoint()
     batchId match {
       case Some(id) =>
