@@ -204,6 +204,7 @@ object ScaleBench {
       val wd = graft.multimodal.AudioWav.syntheticWavNearDups(
         spark.range(40L).toDF("doc_id"), "doc_id", nSamples = 3600).localCheckpoint()
       graft.multimodal.AudioWav.audioNearDupPairs(wd, maxHamming = 3).count()
+      graft.multimodal.AudioWav.audioNearDupPairsRefined(wd, maxHamming = 3).count()
       wd.unpersist()
       Multimodal.imageNearDupPairs(
         syntheticPngViral(spark, 100L, 16, 16), maxHamming = 3).count()
@@ -323,6 +324,12 @@ object ScaleBench {
         .localCheckpoint()
       timed("audio_neardup_pairs", nDocs) {
         graft.multimodal.AudioWav.audioNearDupPairs(wavdups, maxHamming = 3).count()
+      }
+      // refined: same candidates, then the spectral-tilt filter — the
+      // same-envelope collision pairs the plain row's counts carry must
+      // collapse toward the planted linear structure
+      timed("audio_neardup_pairs_refined", nDocs) {
+        graft.multimodal.AudioWav.audioNearDupPairsRefined(wavdups, maxHamming = 3).count()
       }
       wavdups.unpersist()
 

@@ -237,9 +237,9 @@ object AudioWav {
     * Hamming distance between hashes tracks acoustic difference exactly
     * as dHash tracks visual difference. Clips shorter than 18 samples
     * hash to 0 (no populated comparisons). */
-  def audioHash64(samples: Array[Short]): Long = {
+  /** The 9 time frames × 8 Haar band energies both fingerprints read. */
+  private[multimodal] def frameBandEnergies(samples: Array[Short]): Array[Array[Long]] = {
     val n = samples.length
-    if (n < 18) return 0L
     val e = Array.ofDim[Long](9, 8)
     var t = 0
     while (t < 9) {
@@ -248,6 +248,12 @@ object AudioWav {
       e(t) = bandEnergies(java.util.Arrays.copyOfRange(samples, start, end))
       t += 1
     }
+    e
+  }
+
+  def audioHash64(samples: Array[Short]): Long = {
+    if (samples.length < 18) return 0L
+    val e = frameBandEnergies(samples)
     var bits = 0L
     var b = 0
     while (b < 8) {
@@ -257,6 +263,32 @@ object AudioWav {
         tt += 1
       }
       b += 1
+    }
+    bits
+  }
+
+  /** Spectral-tilt companion to [[audioHash64]]: bit (t*7 + band) = 1 iff
+    * energy(t, band) > energy(t, band+1) — the energy ORDER across
+    * adjacent octave bands WITHIN each frame (63 comparisons; bit 63
+    * stays 0). [[audioHash64]] hashes the time ENVELOPE, so two clips
+    * with the same loudness contour but different spectral content
+    * collide there; this hash is driven by per-clip spectral structure
+    * instead, and the two together decorrelate envelope collisions
+    * (the refined near-dup path filters time-hash candidates on
+    * spectral distance). Same exact-integer determinism and noise
+    * robustness arguments as the time hash. */
+  def audioSpectralHash64(samples: Array[Short]): Long = {
+    if (samples.length < 18) return 0L
+    val e = frameBandEnergies(samples)
+    var bits = 0L
+    var t = 0
+    while (t < 9) {
+      var b = 0
+      while (b < 7) {
+        if (e(t)(b) > e(t)(b + 1)) bits |= 1L << (t * 7 + b)
+        b += 1
+      }
+      t += 1
     }
     bits
   }
@@ -301,6 +333,49 @@ object AudioWav {
       // which a per-micro-batch caller (StreamingDedup) never gets to do
       .localCheckpoint()
     (parsed.flatMap(_._1).toDF("doc_id", "ahash"), parsed.flatMap(_._2))
+  }
+
+  /** Both fingerprints in ONE decode pass: (doc_id, ahash, shash). */
+  def audioFingerprints(binDf: DataFrame): DataFrame = {
+    val spark = binDf.sparkSession
+    import spark.implicits._
+    binDf.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val s = decodeWavPcm16(payload)._2
+        (id, audioHash64(s), audioSpectralHash64(s))
+      })
+      .toDF("doc_id", "ahash", "shash")
+  }
+
+  /** Envelope-collision-resistant audio near-dup pairs: candidates come
+    * from the time-hash pigeonhole banding (exact at time-Hamming <= 3 —
+    * a true near-identical copy preserves the envelope, so the candidate
+    * set loses nothing real), then each candidate is FILTERED on the
+    * spectral hash's distance. Two clips sharing only a loudness contour
+    * collide on the time hash but diverge spectrally and drop here; a
+    * genuine near-copy passes both. The filter is a broadcast-friendly
+    * join of the (8-byte × 2)/clip fingerprint table onto the candidate
+    * list — work O(|candidates|), never all-pairs. Returns
+    * (id_a, id_b, hamming, spectral_hamming). */
+  def audioNearDupPairsRefined(binDf: DataFrame, maxHamming: Int = 3,
+                               maxSpectralHamming: Int = 8,
+                               wide: Option[Boolean] = None): DataFrame = {
+    import graft.operators.NearDup
+    require(maxHamming <= 3,
+      s"the time-hash pigeonhole is exact only for maxHamming <= 3, got $maxHamming")
+    val fp = audioFingerprints(binDf).localCheckpoint()
+    val useWide = wide.getOrElse(fp.count() >= NearDup.WideHashThreshold)
+    val sh = fp.select(col("doc_id"), col("ahash").as("simhash"))
+    val cands =
+      if (useWide) NearDup.simhashPairsWide(sh, "doc_id", maxHamming)
+      else NearDup.simhashPairs(sh, "doc_id", maxHamming)
+    cands
+      .join(fp.select(col("doc_id").as("id_a"), col("shash").as("__sa")), "id_a")
+      .join(fp.select(col("doc_id").as("id_b"), col("shash").as("__sb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("hamming"),
+        bit_count(col("__sa").bitwiseXOR(col("__sb"))).cast("long").as("spectral_hamming"))
+      .where(col("spectral_hamming") <= maxSpectralHamming)
   }
 
   /** Audio near-duplicate pairs — fingerprint + the hash-agnostic

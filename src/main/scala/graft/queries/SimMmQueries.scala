@@ -412,6 +412,17 @@ object SimMmQueries extends QueryModule {
           minSharedShots = 2)
         .orderBy("id_a", "id_b")),
 
+    // Envelope-collision-resistant audio near-dup (round 7): time-hash
+    // pigeonhole candidates filtered on the spectral-tilt hash — clips
+    // sharing only a loudness contour drop, genuine near-copies pass
+    // both. Oracle-checked: both fingerprints AND the two-condition
+    // brute-force pair set re-derived from the replicated clip chains.
+    "q_dedup20" -> ((s, d) =>
+      graft.multimodal.AudioWav.audioNearDupPairsRefined(
+        graft.multimodal.AudioWav.syntheticWavNearDups(
+          Tables.load(s, d, "documents"), "doc_id", nSamples = 3600))
+        .orderBy("id_a", "id_b")),
+
     // Video-curation pipeline end-to-end (round 7, the q_pipe1 pattern for
     // media): clips -> shot detection -> ONE keyframe per shot -> dHash
     // near-dup over the keyframes only — cross-clip duplicate SCENES found
@@ -520,6 +531,27 @@ object SimMmQueries extends QueryModule {
         |FROM dh a JOIN dh b ON a.doc_id < b.doc_id
         |WHERE (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)
         |  AND bit_count(xor(a.ahash, b.ahash)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin),
+    // the spectral-tilt hash reads the SAME en energies: bit (t*7 + L) =
+    // sign of the band-adjacent difference within a frame (63 bits, so
+    // the value never reaches the sign bit)
+    "q_dedup20" -> (audioHashChainSql +
+      """, sbits AS (
+        |  SELECT a.doc_id,
+        |    SUM(CASE WHEN a.e > b.e THEN CAST(1 AS HUGEINT) << (a.t * 7 + a.L)
+        |        ELSE CAST(0 AS HUGEINT) END) AS suh
+        |  FROM en a JOIN en b ON a.doc_id = b.doc_id AND a.t = b.t AND b.L = a.L + 1
+        |  WHERE a.L < 7
+        |  GROUP BY a.doc_id),
+        |fp AS (
+        |  SELECT dh.doc_id, dh.ahash, CAST(sbits.suh AS BIGINT) AS shash
+        |  FROM dh JOIN sbits ON dh.doc_id = sbits.doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming,
+        |  CAST(bit_count(xor(a.shash, b.shash)) AS BIGINT) AS spectral_hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+        |  AND bit_count(xor(a.shash, b.shash)) <= 8
         |ORDER BY id_a, id_b""".stripMargin),
     "q_sim1" ->
       s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)

@@ -193,6 +193,41 @@ class AudioWavSpec extends SparkSpec {
     assert(wide === pairs)
   }
 
+  test("spectral hash keeps planted pairs and drops envelope-only collisions; refined == brute force") {
+    val media = AudioWav.syntheticWavNearDups(
+      spark.range(500).toDF("doc_id"), "doc_id", nSamples = 3600)
+      .localCheckpoint()
+    val fp = AudioWav.audioFingerprints(media).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // every planted pair is near-identical on BOTH hashes
+    (0L until 500L by 2).foreach { k =>
+      val (a1, s1) = fp(k); val (a2, s2) = fp(k + 1)
+      assert(java.lang.Long.bitCount(a1 ^ a2) <= 3, s"time hash drifted for pair $k")
+      assert(java.lang.Long.bitCount(s1 ^ s2) <= 8, s"spectral hash drifted for pair $k")
+    }
+    // refined pairs == brute force over BOTH conditions
+    val got = AudioWav.audioNearDupPairsRefined(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = (for {
+      a <- fp.keys; b <- fp.keys if a < b
+      if java.lang.Long.bitCount(fp(a)._1 ^ fp(b)._1) <= 3
+      if java.lang.Long.bitCount(fp(a)._2 ^ fp(b)._2) <= 8
+    } yield (a, b)).toSet
+    assert(got === truth)
+    val planted = (0L until 500L by 2).map(k => (k, k + 1)).toSet
+    assert(planted.subsetOf(got), s"missing planted: ${(planted -- got).take(3)}")
+    // the decorrelation claim: time-hash-only admits envelope collisions
+    // (clips sharing a loudness contour); the spectral filter drops them
+    val timeOnly = (for {
+      a <- fp.keys; b <- fp.keys if a < b
+      if java.lang.Long.bitCount(fp(a)._1 ^ fp(b)._1) <= 3
+    } yield (a, b)).toSet
+    val extrasBefore = (timeOnly -- planted).size
+    val extrasAfter = (got -- planted).size
+    assert(extrasAfter < extrasBefore,
+      s"spectral filter must drop envelope collisions: $extrasBefore -> $extrasAfter")
+  }
+
   test("incremental audio near-dups against a persisted hash store equal the full recompute") {
     val media = AudioWav.syntheticWavNearDups(
       spark.range(30).toDF("doc_id"), "doc_id", nSamples = 3600)
