@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** BM25 keyword retrieval over a document corpus — the lexical half of a
+  * training-data curation stack (source triage, query-by-example mining,
+  * benchmark-contamination lookups all start from "find the docs matching
+  * these terms").
+  *
+  * The reference repo has no search layer (its analytics are deferred to
+  * "AWS Glue or AWS SageMaker", `README.md:46`); this is part of the
+  * declared LLM-pipeline extension surface (SURVEY.md §2.B).
+  *
+  * Spark-first shape:
+  *   - [[postings]] is ONE scan + ONE hash shuffle: tokenize, explode,
+  *     groupBy (doc, term) with map-side partial aggregation; the per-doc
+  *     length rides the same rows (computed before the explode, constant
+  *     per doc) so no second pass over the text is needed.
+  *   - document frequencies reduce the postings (map-side combine again);
+  *     corpus-level N / avgdl are a one-row aggregate, broadcast.
+  *   - queries are tiny (terms of a handful of user queries) and are
+  *     BROADCAST-joined against the postings on `term` — the only big
+  *     table is never re-shuffled for scoring.
+  *   At cluster scale the postings table is the persisted artifact (a
+  *   bucketed-by-term table — exactly an inverted index in relational
+  *   clothing); per-query scoring touches only the postings of the query's
+  *   terms via partition/bucket pruning on `term`.
+  *
+  * Oracle-exactness: per-(query,doc,term) contributions are rounded ONCE
+  * to integer MICRO-units (the q_txt19 transcendental policy), so the
+  * per-doc rollup is an exact integer sum — immune to floating summation
+  * order across partitions, and byte-identical to the DuckDB twin.
+  */
+object Bm25 {
+
+  /** Lucene-style BM25 defaults. */
+  val DefaultK1 = 1.2
+  val DefaultB = 0.75
+
+  /** Postings table: one row per (doc, term) with term frequency and the
+    * doc's token length — the inverted index as a DataFrame.
+    * Output: (doc_id, term, tf, dl). */
+  def postings(docs: DataFrame, idCol: String, text: Column): DataFrame = {
+    val toks = TextOps.tokens(text)
+    docs.select(col(idCol).as("doc_id"), toks.as("__toks"))
+      .select(col("doc_id"), size(col("__toks")).cast("long").as("dl"),
+        explode(col("__toks")).as("term"))
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+      .select("doc_id", "term", "tf", "dl")
+  }
+
+  /** BM25 scores in integer micro-units for every (query, doc) pair with
+    * at least one matching term.
+    *
+    * `queries`: (query_id, term) — one row per query term, assumed tiny
+    * (it is broadcast). Duplicate (query_id, term) rows are collapsed:
+    * BM25 is defined over the query's term SET.
+    *
+    * idf = ln(1 + (N - df + 0.5)/(df + 0.5))   (Lucene's non-negative form)
+    * tfc = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+    * contribution_micro = round(idf * tfc * 1e6)  — rounded per term, then
+    * summed exactly as integers.
+    *
+    * Output: (query_id, doc_id, score_micro). */
+  def scoreMicro(postings: DataFrame, queries: DataFrame,
+                 k1: Double = DefaultK1, b: Double = DefaultB): DataFrame = {
+    val df = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = postings.groupBy("doc_id").agg(first(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    val q = queries.select(col("query_id"), col("term")).distinct()
+
+    // Constants composed as EXPRESSIONS (lit(k1)+lit(1.0), not lit(k1+1.0)):
+    // the oracle twin writes the same decimal literals and the same IEEE
+    // additions, so both engines derive bit-identical doubles — folding the
+    // sum in Scala could land one ulp away from the SQL literal's parse.
+    val idf = log(lit(1.0) +
+      ((col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5))))
+    val tfc = (col("tf").cast("double") * (lit(k1) + lit(1.0))) /
+      (col("tf").cast("double") +
+        lit(k1) * ((lit(1.0) - lit(b)) + lit(b) * col("dl").cast("double") / col("avgdl")))
+
+    postings
+      .join(broadcast(q), Seq("term")) // only the queries' terms survive
+      .join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        round(idf * tfc * lit(1e6), 0).cast("long").as("__c_micro"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("__c_micro")).as("score_micro"))
+  }
+
+  /** Top-k docs per query by BM25, deterministic tie-break on doc_id.
+    * Output: (query_id, doc_id, score_micro, rank). */
+  def topK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
+  /** Positional proximity search: for each (term_a, term_b) pair, the docs
+    * where the two terms co-occur within `window` token positions, with
+    * the closest distance and the number of qualifying position pairs.
+    *
+    * The positions table (doc, term, pos) is one scan + posexplode; the
+    * pair list is tiny and broadcast, so the self-join on (doc_id) meets
+    * only rows whose terms appear in some pair — never the full positions
+    * × positions product. At scale the positions table is the persisted
+    * positional index, bucketed by term.
+    *
+    * Output: (term_a, term_b, doc_id, min_dist, n_hits). */
+  def proximity(docs: DataFrame, idCol: String, text: Column,
+                pairs: Seq[(String, String)], window: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pos = docs.select(col(idCol).as("doc_id"),
+        posexplode(TextOps.tokens(text)).as(Seq("pos", "term")))
+    val pairDf = pairs.toDF("term_a", "term_b")
+    val pa = pos.select(col("doc_id"), col("term").as("term_a"), col("pos").as("pos_a"))
+    val pb = pos.select(col("doc_id"), col("term").as("term_b"), col("pos").as("pos_b"))
+    pa.join(broadcast(pairDf), Seq("term_a"))
+      .join(pb, Seq("doc_id", "term_b"))
+      .where(abs(col("pos_a") - col("pos_b")) <= window)
+      .groupBy("term_a", "term_b", "doc_id")
+      .agg(min(abs(col("pos_a") - col("pos_b"))).cast("long").as("min_dist"),
+        count(lit(1)).as("n_hits"))
+  }
+
+  /** Reciprocal-rank fusion of ranked lists: rrf_micro = Σ round(1e6 /
+    * (rrfK + rank)) over the rankers that returned the doc. Integer
+    * arithmetic after the per-ranker round, so the fusion is oracle-exact.
+    *
+    * `ranked`: (query_id, doc_id, rank) — union of all rankers' lists
+    * (a doc absent from a ranker simply contributes nothing).
+    * Output: (query_id, doc_id, rrf_micro). */
+  def rrfFuse(ranked: DataFrame, rrfK: Int = 60): DataFrame =
+    ranked.select(col("query_id"), col("doc_id"),
+        round(lit(1e6) / (lit(rrfK).cast("double") + col("rank").cast("double")), 0)
+          .cast("long").as("__r_micro"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("__r_micro")).as("rrf_micro"))
+}

@@ -1,0 +1,187 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables}
+import graft.functions.VectorOps
+import graft.operators.{Bm25, Similarity, TextOps}
+
+/** Keyword / hybrid retrieval over `documents` + `embeddings` — the search
+  * layer of the LLM-curation surface (SURVEY.md §2.B Q-SRCH1–3). The
+  * reference has no query layer at all (analysis deferred to Glue/SageMaker,
+  * `README.md:46`); BM25, positional proximity and lexical+semantic fusion
+  * are what its downstream consumers would run first.
+  *
+  * All three queries are fully DuckDB-oracle-checked: scores are rounded
+  * once to integer micro-units per term (the q_txt19 transcendental
+  * policy), so every rollup after the round is exact integer math.
+  */
+object SearchQueries extends QueryModule {
+
+  import TextDedupQueries.tokSql
+  import Shared.cosSql
+
+  /** Fixed literal query set over the fixture vocabulary ('dup' is the one
+    * rare term — df 26/500 — so q1 exercises a high-idf term). */
+  private val bmQueries: Seq[(Long, String)] = Seq(
+    1L -> "spark join dup",
+    2L -> "fast hash scan",
+    3L -> "stream window batch",
+    4L -> "customer query filter",
+    5L -> "big data vector")
+
+  private val proxPairs = Seq(("spark", "join"), ("hash", "table"), ("window", "stream"))
+  private val proxWindow = 5
+
+  /** Query-by-example seed docs for the hybrid ranker (doc_id == vec_id by
+    * fixture construction, FIXTURES.md §A). */
+  private val seeds = Seq(0L, 7L, 13L)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Q-SRCH1: BM25 top-10 per query — postings built once (memoized,
+    // shared with q_srch3), query terms broadcast onto them.
+    "q_srch1" -> ((s, d) => {
+      import s.implicits._
+      val q = bmQueries
+        .flatMap { case (id, t) => t.split(' ').toSeq.map(id -> _) }
+        .toDF("query_id", "term")
+      Bm25.topK(Bm25.scoreMicro(Shared.bm25Postings(s, d), q), 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Q-SRCH2: positional proximity — docs where a term pair co-occurs
+    // within 5 positions, with closest distance and hit count.
+    "q_srch2" -> ((s, d) =>
+      Bm25.proximity(Tables.load(s, d, "documents"), "doc_id", col("text"),
+          proxPairs, proxWindow)
+        .orderBy("term_a", "term_b", "doc_id")),
+
+    // Q-SRCH3: hybrid query-by-example — BM25 over the seed doc's terms
+    // fused with embedding-cosine ranking by reciprocal-rank fusion.
+    "q_srch3" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val seedTerms = docs.where(col("doc_id").isin(seeds: _*))
+        .select(col("doc_id").as("query_id"),
+          explode(TextOps.tokens(col("text"))).as("term"))
+        .distinct()
+      val lex = Bm25.topK(
+          Bm25.scoreMicro(Shared.bm25Postings(s, d), seedTerms)
+            .where(col("doc_id") =!= col("query_id")), 50)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+
+      val emb = Tables.load(s, d, "embeddings")
+      val seedVecs = emb.where(col("vec_id").isin(seeds: _*))
+        .select(col("vec_id").as("query_id"), col("embedding").as("__qv"))
+      val semScored = emb.crossJoin(broadcast(seedVecs))
+        .where(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("doc_id"),
+          round(VectorOps.cosine(col("embedding"), col("__qv")), 6).as("sim"))
+      val sem = Similarity.topKPerGroup(semScored, Seq("query_id"),
+          Seq(col("sim").desc, col("doc_id").asc), 50)
+        .select(col("query_id"), col("doc_id"), col("rn").as("rank"))
+
+      val fused = Bm25.rrfFuse(lex.unionByName(sem))
+      Similarity.topKPerGroup(fused, Seq("query_id"),
+          Seq(col("rrf_micro").desc, col("doc_id").asc), 10)
+        .select(col("query_id"), col("doc_id"), col("rrf_micro"),
+          col("rn").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+  )
+
+  /** Shared SQL CTE chain mirroring Bm25.postings + df/stats — kept in
+    * lockstep with the operator (same grouping, same double derivations). */
+  private val postCtes =
+    s"""tok AS (SELECT doc_id, $tokSql AS toks FROM documents),
+       |post AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, t.w AS term,
+       |                CAST(COUNT(*) AS BIGINT) AS tf
+       |         FROM tok, unnest(toks) AS t(w) GROUP BY doc_id, dl, term),
+       |dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM post GROUP BY term),
+       |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |                 CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+       |          FROM (SELECT doc_id, dl FROM post GROUP BY doc_id, dl))""".stripMargin
+
+  /** Per-(query,doc,term) BM25 contribution in micro-units — the SQL twin
+    * of Bm25.scoreMicro's expression tree, with the SAME association:
+    * ((idf * (num/den)) * 1e6) and constants built from the same decimal
+    * literals and IEEE additions (1.2 + 1.0, 1.0 - 0.75). */
+  private def contribCte(qryCte: String, extraWhere: String): String =
+    s"""contrib AS (
+       |  SELECT q.query_id, p.doc_id,
+       |    CAST(round(
+       |      ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5) /
+       |                (CAST(f.df AS DOUBLE) + 0.5))
+       |      * ((CAST(p.tf AS DOUBLE) * (1.2 + 1.0)) /
+       |         (CAST(p.tf AS DOUBLE) +
+       |          1.2 * ((1.0 - 0.75) + 0.75 * CAST(p.dl AS DOUBLE) / s.avgdl)))
+       |      * 1000000.0, 0) AS BIGINT) AS c
+       |  FROM post p JOIN $qryCte q ON p.term = q.term
+       |       JOIN dft f ON p.term = f.term, stats s
+       |  $extraWhere),
+       |scored AS (SELECT query_id, doc_id, SUM(c) AS score_micro
+       |           FROM contrib GROUP BY query_id, doc_id)""".stripMargin
+
+  private def rankedSql(source: String, scoreCol: String, k: Int): String =
+    s"""SELECT query_id, doc_id, $scoreCol,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |         ORDER BY $scoreCol DESC, doc_id) AS BIGINT) AS rank
+       |  FROM $source""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q_srch1" -> {
+      val vals = bmQueries.flatMap { case (id, t) =>
+        t.split(' ').toSeq.map(w => s"(CAST($id AS BIGINT), '$w')")
+      }.mkString(", ")
+      s"""WITH $postCtes,
+         |qry AS (SELECT * FROM (VALUES $vals) AS v(query_id, term)),
+         |${contribCte("qry", "")}
+         |SELECT query_id, doc_id, score_micro, rank FROM (
+         |  ${rankedSql("scored", "score_micro", 10)})
+         |WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin
+    },
+    "q_srch2" -> {
+      val vals = proxPairs.map { case (a, b) => s"('$a', '$b')" }.mkString(", ")
+      s"""WITH tok AS (SELECT doc_id, $tokSql AS toks FROM documents),
+         |pos AS (SELECT doc_id, toks[r.i] AS term, r.i - 1 AS p
+         |        FROM tok, unnest(range(1, len(toks) + 1)) AS r(i)),
+         |pairs AS (SELECT * FROM (VALUES $vals) AS v(term_a, term_b)),
+         |j AS (SELECT v.term_a, v.term_b, a.doc_id, abs(a.p - b.p) AS dist
+         |      FROM pos a JOIN pairs v ON a.term = v.term_a
+         |      JOIN pos b ON b.doc_id = a.doc_id AND b.term = v.term_b
+         |      WHERE abs(a.p - b.p) <= $proxWindow)
+         |SELECT term_a, term_b, doc_id,
+         |  CAST(MIN(dist) AS BIGINT) AS min_dist,
+         |  CAST(COUNT(*) AS BIGINT) AS n_hits
+         |FROM j GROUP BY term_a, term_b, doc_id
+         |ORDER BY term_a, term_b, doc_id""".stripMargin
+    },
+    "q_srch3" -> {
+      val seedList = seeds.mkString("(", ", ", ")")
+      s"""WITH $postCtes,
+         |seedq AS (SELECT doc_id AS query_id, t.w AS term
+         |          FROM tok, unnest(toks) AS t(w)
+         |          WHERE doc_id IN $seedList GROUP BY doc_id, t.w),
+         |${contribCte("seedq", "WHERE p.doc_id <> q.query_id")},
+         |lex AS (SELECT query_id, doc_id, rank FROM (
+         |  ${rankedSql("scored", "score_micro", 50)}) WHERE rank <= 50),
+         |sem0 AS (SELECT s.vec_id AS query_id, e.vec_id AS doc_id,
+         |                round(${cosSql("e.embedding", "s.embedding")}, 6) AS sim
+         |         FROM embeddings e, embeddings s
+         |         WHERE s.vec_id IN $seedList AND e.vec_id <> s.vec_id),
+         |sem AS (SELECT query_id, doc_id, rank FROM (
+         |  ${rankedSql("sem0", "sim", 50)}) WHERE rank <= 50),
+         |allr AS (SELECT query_id, doc_id, rank FROM lex
+         |         UNION ALL SELECT query_id, doc_id, rank FROM sem),
+         |fused AS (SELECT query_id, doc_id,
+         |    SUM(CAST(round(1000000.0 / (60.0 + CAST(rank AS DOUBLE)), 0) AS BIGINT))
+         |      AS rrf_micro
+         |  FROM allr GROUP BY query_id, doc_id)
+         |SELECT query_id, doc_id, rrf_micro, rank FROM (
+         |  ${rankedSql("fused", "rrf_micro", 10)})
+         |WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin
+    },
+  )
+}

@@ -23,6 +23,15 @@ private[queries] object Shared {
       NearDup.lshCandidatePairs(Tables.load(s, d, "documents"), "doc_id", col("text"))
     }
 
+  /** BM25 postings (doc_id, term, tf, dl) over `documents` — the inverted
+    * index as a table; at cluster scale a persisted bucketed-by-term table.
+    * Consumed by q_srch1 (ad-hoc queries) and q_srch3 (query-by-example
+    * lexical side). */
+  def bm25Postings(s: SparkSession, d: String): DataFrame =
+    Memo.cachedDf(s, s"bm25_postings|$d") {
+      graft.operators.Bm25.postings(Tables.load(s, d, "documents"), "doc_id", col("text"))
+    }
+
   /** SimHash sketch table over `documents` — the persistable fingerprint
     * index (the SimHash mirror of the LSH band store): at cluster scale
     * this is a stored table that dedup-on-arrival joins against, so the

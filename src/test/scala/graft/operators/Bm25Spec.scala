@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class Bm25Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "a b a"),
+    (2L, "a c"),
+    (3L, "c c c c")
+  ).toDF("doc_id", "text")
+
+  private def post = Bm25.postings(corpus, "doc_id", col("text"))
+
+  /** The operator's exact formula, replicated in plain doubles — asserts
+    * the Spark plumbing computes the declared math, term by term. */
+  private def contribMicro(tf: Long, dl: Long, df: Long, n: Long, avgdl: Double): Long = {
+    val idf = math.log(1.0 + (n.toDouble - df.toDouble + 0.5) / (df.toDouble + 0.5))
+    val tfc = (tf.toDouble * (1.2 + 1.0)) /
+      (tf.toDouble + 1.2 * ((1.0 - 0.75) + 0.75 * dl.toDouble / avgdl))
+    math.round(idf * tfc * 1e6)
+  }
+
+  test("postings: one row per (doc, term) with tf and doc length") {
+    val rows = post.as[(Long, String, Long, Long)].collect().toSet
+    assert(rows === Set(
+      (1L, "a", 2L, 3L), (1L, "b", 1L, 3L),
+      (2L, "a", 1L, 2L), (2L, "c", 1L, 2L),
+      (3L, "c", 4L, 4L)))
+  }
+
+  test("scoreMicro matches the hand formula exactly (N=3, avgdl=3)") {
+    val q = Seq((1L, "a"), (1L, "c")).toDF("query_id", "term")
+    val got = Bm25.scoreMicro(post, q)
+      .as[(Long, Long, Long)].collect().map { case (_, d, s) => d -> s }.toMap
+    // df(a)=2, df(c)=2, N=3, avgdl=3.0
+    val a1 = contribMicro(2, 3, 2, 3, 3.0) // doc1: a tf=2 dl=3
+    val a2 = contribMicro(1, 2, 2, 3, 3.0) // doc2: a tf=1 dl=2
+    val c2 = contribMicro(1, 2, 2, 3, 3.0) // doc2: c tf=1 dl=2
+    val c3 = contribMicro(4, 4, 2, 3, 3.0) // doc3: c tf=4 dl=4
+    assert(got === Map(1L -> a1, 2L -> (a2 + c2), 3L -> c3))
+    // one hand-pinned anchor so a systematic formula drift can't hide in
+    // the replicated math: idf=ln(1.6), tfc=4.4/3.2 -> 646255 micro
+    assert(a1 === 646255L)
+  }
+
+  test("query terms are a SET: duplicated query terms don't double-count") {
+    val q1 = Seq((1L, "a"), (1L, "a")).toDF("query_id", "term")
+    val q2 = Seq((1L, "a")).toDF("query_id", "term")
+    val s1 = Bm25.scoreMicro(post, q1).orderBy("doc_id").as[(Long, Long, Long)].collect()
+    val s2 = Bm25.scoreMicro(post, q2).orderBy("doc_id").as[(Long, Long, Long)].collect()
+    assert(s1.toSeq === s2.toSeq)
+  }
+
+  test("topK ranks by score desc with doc_id tie-break, k enforced") {
+    val scored = Seq((1L, 10L, 5L), (1L, 3L, 9L), (1L, 7L, 5L), (1L, 2L, 1L))
+      .toDF("query_id", "doc_id", "score_micro")
+    val got = Bm25.topK(scored, 3)
+      .select("doc_id", "rank").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((3L, 1L), (7L, 2L), (10L, 3L))) // 7 before 10 on tie
+  }
+
+  test("proximity: window bound, min distance and hit count") {
+    //       pos: 0 1 2 3 4 5 6 7
+    val docs = Seq(
+      (1L, "x spark a b join y spark z"), // spark@1,6 join@4 -> dists 3, 2
+      (2L, "spark a b c d e f join"),     // dist 7 > window 5: excluded
+      (3L, "join spark")                  // dist 1
+    ).toDF("doc_id", "text")
+    val got = Bm25.proximity(docs, "doc_id", col("text"), Seq(("spark", "join")), 5)
+      .orderBy("doc_id")
+      .select("doc_id", "min_dist", "n_hits").as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L, 2L), (3L, 1L, 1L)))
+  }
+
+  test("rrfFuse sums per-ranker reciprocal ranks as exact integers") {
+    // doc 10 ranked 1 and 3; doc 20 only by one ranker at rank 2
+    val ranked = Seq((1L, 10L, 1L), (1L, 10L, 3L), (1L, 20L, 2L))
+      .toDF("query_id", "doc_id", "rank")
+    val got = Bm25.rrfFuse(ranked).orderBy("doc_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    val r = (k: Long) => math.round(1e6 / (60.0 + k.toDouble))
+    assert(got === Seq((1L, 10L, r(1) + r(3)), (1L, 20L, r(2))))
+  }
+
+  test("scoring plan: queries and stats are broadcast, postings never re-shuffled") {
+    val q = Seq((1L, "a")).toDF("query_id", "term")
+    val p = Bm25.scoreMicro(post, q).queryExecution.executedPlan.toString
+    assert("BroadcastExchange".r.findAllIn(p).length >= 2,
+      s"query terms + df + corpus stats must broadcast:\n${p.take(1500)}")
+    // the only hash exchanges allowed are the postings build (groupBy doc/term)
+    // and the final per-(query,doc) rollup — no join-driven repartition of
+    // the postings side
+    assert(!p.contains("SortMergeJoin"),
+      s"scoring must not sort-merge-join the postings:\n${p.take(1500)}")
+  }
+}
