@@ -659,9 +659,95 @@ object TextDedupQueries extends QueryModule {
           TextOps.redactPii(col("t")).as("clean"))
         .orderBy("doc_id")
     }),
+
+    // Q-TXT26: Unicode NFC normalization (native codegen'd expression —
+    // Spark has no built-in). The fixture text is pure ASCII, so a
+    // deterministic base+combining-mark suffix is appended per doc (the
+    // same generator chain on both sides); NFC then composes it into the
+    // precomposed letter wherever one exists — every (base, mark) combo
+    // composes EXCEPT base 'q', which Unicode has no precomposed form for,
+    // so the 'q' docs keep their length and pin the don't-compose case.
+    "q_txt26" -> ((s, d) => {
+      val bases = array(lit("e"), lit("a"), lit("u"), lit("o"), lit("q"))
+      val marks = array(lit("\u0301"), lit("\u0300"), lit("\u0308"), lit("\u0303"))
+      val decorated = concat(substring(col("text"), 1, 40), lit(" "),
+        element_at(bases, (col("doc_id") % 5).cast("int") + 1),
+        element_at(marks, (col("doc_id") % 4).cast("int") + 1))
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), decorated.as("__raw"))
+        .select(col("doc_id"),
+          graft.functions.NfcNormalize(col("__raw")).as("norm_text"),
+          length(col("__raw")).cast("long").as("n_raw"))
+        .withColumn("n_nfc", length(col("norm_text")).cast("long"))
+        .withColumn("composed", col("n_nfc") < col("n_raw"))
+        .orderBy("doc_id")
+    }),
+
+    // Q-TXT27: accent/case/whitespace canonical grouping — three variants
+    // of a shared base (raw; uppercased + accent-decorated; whitespace-
+    // inflated) collapse to ONE canonical form under
+    // strip_accents(lower(trim(collapse_ws(x)))), the fuzzy-dedup
+    // canonical key. Groups of 3 consecutive docs share the leader's text.
+    "q_txt27" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val leaders = docs.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("leader_id"),
+          substring(col("text"), 1, 60).as("base"))
+      val v = docs
+        .select(col("doc_id"), (col("doc_id") % 3).as("m"),
+          (col("doc_id") - col("doc_id") % 3).as("leader_id"))
+        .join(leaders, Seq("leader_id"))
+        .select(col("doc_id"),
+          when(col("m") === 0, col("base"))
+            .when(col("m") === 1,
+              translate(upper(col("base")), "AEO", "\u00C1\u00C9\u00D3"))
+            .otherwise(regexp_replace(col("base"), " ", "   ")).as("variant"))
+      val canon = graft.functions.StripAccents(
+        lower(trim(regexp_replace(col("variant"), "\\s+", " "))))
+      v.select(col("doc_id"), col("variant"), canon.as("canon"))
+        .groupBy("canon")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"),
+          max("doc_id").as("max_doc"),
+          countDistinct(col("variant")).as("n_variants"))
+        .orderBy("min_doc")
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_txt26" ->
+      """SELECT doc_id, norm_text, n_raw,
+        |  CAST(length(norm_text) AS BIGINT) AS n_nfc,
+        |  (CAST(length(norm_text) AS BIGINT) < n_raw) AS composed
+        |FROM (
+        |  SELECT doc_id, nfc_normalize(raw) AS norm_text,
+        |         CAST(length(raw) AS BIGINT) AS n_raw
+        |  FROM (SELECT doc_id,
+        |          substring(text, 1, 40) || ' ' ||
+        |          (['e','a','u','o','q'])[CAST(doc_id % 5 AS INT) + 1] ||
+        |          ([chr(769), chr(768), chr(776), chr(771)])[CAST(doc_id % 4 AS INT) + 1]
+        |          AS raw
+        |        FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+    "q_txt27" ->
+      """WITH leaders AS (
+        |  SELECT doc_id AS leader_id, substring(text, 1, 60) AS base
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |v AS (SELECT d.doc_id,
+        |        CASE CAST(d.doc_id % 3 AS INT)
+        |          WHEN 0 THEN l.base
+        |          WHEN 1 THEN translate(upper(l.base),
+        |                        'AEO', chr(193) || chr(201) || chr(211))
+        |          ELSE replace(l.base, ' ', '   ') END AS variant
+        |      FROM documents d
+        |      JOIN leaders l ON l.leader_id = d.doc_id - d.doc_id % 3),
+        |c AS (SELECT doc_id, variant,
+        |        strip_accents(lower(trim(regexp_replace(variant, '\s+', ' ', 'g'))))
+        |          AS canon
+        |      FROM v)
+        |SELECT canon, CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS min_doc,
+        |       MAX(doc_id) AS max_doc,
+        |       CAST(COUNT(DISTINCT variant) AS BIGINT) AS n_variants
+        |FROM c GROUP BY canon ORDER BY min_doc""".stripMargin,
     "q_txt1" ->
       s"""SELECT w, COUNT(*) AS n
          |FROM (SELECT unnest($tokSql) AS w FROM documents)
