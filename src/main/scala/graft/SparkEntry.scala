@@ -15,7 +15,8 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     ScanSinkQueries, RelationalQueries, AggQueries, WindowQueries,
     SetQueries, ScalarQueries, StreamQueries, TextDedupQueries, SimMmQueries,
-    ReshapeQueries, TechQueries, UrlQueries, OpsQueries, SearchQueries)
+    ReshapeQueries, TechQueries, UrlQueries, OpsQueries, SearchQueries,
+    MarkupQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
