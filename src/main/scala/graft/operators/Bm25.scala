@@ -131,6 +131,59 @@ object Bm25 {
         count(lit(1)).as("n_hits"))
   }
 
+  /** Day-2 index maintenance: tokenize ONLY the new documents and append
+    * their postings to the stored table — the indexed corpus is never
+    * re-read, let alone re-tokenized. Correct because every BM25 input is
+    * either per-(doc, term) local (tf, dl — new rows only) or re-derived
+    * from the merged postings at query time by [[scoreMicro]] (df, N,
+    * avgdl — vocab-sized / one-row aggregates, the cheap part). So the
+    * merged index is EQUAL to a full rebuild, not approximately so —
+    * q_srch4's oracle enforces merged == full-corpus scores per run.
+    *
+    * `newDocs` must be disjoint from the stored corpus by id (re-ingesting
+    * a doc would double its postings — the caller's dedup-on-arrival
+    * problem, solved upstream by the q_dedup8/16/18 family). */
+  def incrementalPostings(stored: DataFrame, newDocs: DataFrame,
+                          idCol: String, text: Column): DataFrame =
+    stored.select("doc_id", "term", "tf", "dl")
+      .unionByName(postings(newDocs, idCol, text))
+
+  /** Exact phrase search, relationally: an occurrence of an n-term phrase
+    * at position `start` is n positional postings rows agreeing on
+    * `pos - offset = start` — one broadcast join of the (tiny) phrase-term
+    * table onto the positions table, one aggregation; no per-row loops,
+    * no UDF, and only positions of terms that appear in SOME phrase ever
+    * leave the scan. Repeated terms inside a phrase ("batch batch batch")
+    * are handled by counting DISTINCT offsets: start s matches iff every
+    * offset found its term at s + offset.
+    *
+    * `phrases`: (phrase_id, phrase text). Output: (phrase_id, doc_id,
+    * n_occurrences, first_pos) — overlapping occurrences all count.
+    * At cluster scale the positions table is the persisted positional
+    * index bucketed by term, and this join prunes to the phrase terms'
+    * buckets. */
+  def phraseSearch(docs: DataFrame, idCol: String, text: Column,
+                   phrases: Seq[(Long, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val terms = phrases.flatMap { case (pid, p) =>
+      val ts = p.trim.toLowerCase.split("\\s+").toSeq
+      ts.zipWithIndex.map { case (t, off) => (pid, t, off.toLong, ts.size.toLong) }
+    }.toDF("phrase_id", "term", "off", "plen")
+    val pos = docs.select(col(idCol).as("doc_id"),
+      posexplode(TextOps.tokens(text)).as(Seq("pos", "term")))
+    pos.join(broadcast(terms), Seq("term"))
+      .select(col("phrase_id"), col("doc_id"), col("plen"), col("off"),
+        (col("pos") - col("off")).as("start"))
+      .where(col("start") >= 0)
+      .groupBy("phrase_id", "doc_id", "plen", "start")
+      .agg(countDistinct(col("off")).as("__n_off"))
+      .where(col("__n_off") === col("plen"))
+      .groupBy("phrase_id", "doc_id")
+      .agg(count(lit(1)).as("n_occurrences"),
+        min(col("start")).cast("long").as("first_pos"))
+  }
+
   /** Reciprocal-rank fusion of ranked lists: rrf_micro = Σ round(1e6 /
     * (rrfK + rank)) over the rankers that returned the doc. Integer
     * arithmetic after the per-ranker round, so the fusion is oracle-exact.

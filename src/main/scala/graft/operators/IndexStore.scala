@@ -90,6 +90,20 @@ object IndexStore {
   def readAudioHashes(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(s"$root/$AudioHashes")
 
+  private val Postings = "bm25_postings"
+
+  /** Persist a BM25 postings table (`Bm25.postings` shape: doc_id, term,
+    * tf, dl) — the inverted index as a table. At cluster scale this is
+    * written `bucketBy(term)` so per-query scoring joins prune to the
+    * query terms' buckets; df/avgdl derive from it on read (vocab-sized
+    * and one-row aggregates — never worth a second stored table that
+    * could drift out of sync). */
+  def writePostings(postings: DataFrame, root: String): Unit =
+    write(postings, s"$root/$Postings")
+
+  def readPostings(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(s"$root/$Postings")
+
   /** Whether a store root already holds any index table. */
   def exists(spark: SparkSession, root: String): Boolean = {
     val p = new Path(root)

@@ -37,6 +37,14 @@ object SearchQueries extends QueryModule {
     * fixture construction, FIXTURES.md §A). */
   private val seeds = Seq(0L, 7L, 13L)
 
+  /** Phrase set over the fixture vocabulary — includes a repeated-term
+    * phrase (the DISTINCT-offset case) and a 3-term run. */
+  private val phrases: Seq[(Long, String)] = Seq(
+    1L -> "batch batch batch",
+    2L -> "window window",
+    3L -> "table scan",
+    4L -> "hash scan join")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Q-SRCH1: BM25 top-10 per query — postings built once (memoized,
@@ -88,6 +96,29 @@ object SearchQueries extends QueryModule {
           col("rn").as("rank"))
         .orderBy("query_id", "rank")
     }),
+
+    // Q-SRCH4: day-2 index maintenance — the stored day-1 postings are
+    // reloaded from disk, ONLY the day-2 docs are tokenized, and scoring
+    // runs over the merged index. The contract (merged == full rebuild)
+    // is what the oracle enforces: its SQL indexes the WHOLE corpus.
+    "q_srch4" -> ((s, d) => {
+      import s.implicits._
+      val day2 = Tables.load(s, d, "documents").where(col("doc_id") % 5 === 0)
+      val merged = Bm25.incrementalPostings(
+        Shared.storedPostings(s, d), day2, "doc_id", col("text"))
+      val q = bmQueries
+        .flatMap { case (id, t) => t.split(' ').toSeq.map(id -> _) }
+        .toDF("query_id", "term")
+      Bm25.topK(Bm25.scoreMicro(merged, q), 10)
+        .orderBy("query_id", "rank")
+    }),
+
+    // Q-SRCH5: exact phrase search — n-term runs found relationally
+    // (pos - offset agreement), overlapping occurrences all counted.
+    "q_srch5" -> ((s, d) =>
+      Bm25.phraseSearch(Tables.load(s, d, "documents"), "doc_id", col("text"),
+          phrases)
+        .orderBy("phrase_id", "doc_id")),
   )
 
   /** Shared SQL CTE chain mirroring Bm25.postings + df/stats — kept in
@@ -140,6 +171,45 @@ object SearchQueries extends QueryModule {
          |  ${rankedSql("scored", "score_micro", 10)})
          |WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin
+    },
+    // q_srch4's oracle is deliberately the FULL-corpus index: the query
+    // under test merges stored day-1 postings with freshly-tokenized
+    // day-2 docs, and must equal a from-scratch rebuild exactly.
+    "q_srch4" -> {
+      val vals = bmQueries.flatMap { case (id, t) =>
+        t.split(' ').toSeq.map(w => s"(CAST($id AS BIGINT), '$w')")
+      }.mkString(", ")
+      s"""WITH $postCtes,
+         |qry AS (SELECT * FROM (VALUES $vals) AS v(query_id, term)),
+         |${contribCte("qry", "")}
+         |SELECT query_id, doc_id, score_micro, rank FROM (
+         |  ${rankedSql("scored", "score_micro", 10)})
+         |WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin
+    },
+    "q_srch5" -> {
+      val vals = phrases.flatMap { case (pid, p) =>
+        val ts = p.trim.toLowerCase.split("\\s+").toSeq
+        ts.zipWithIndex.map { case (t, off) =>
+          s"(CAST($pid AS BIGINT), '$t', $off, ${ts.size})"
+        }
+      }.mkString(", ")
+      s"""WITH tok AS (SELECT doc_id, $tokSql AS toks FROM documents),
+         |pos AS (SELECT doc_id, toks[r.i] AS term, r.i - 1 AS p
+         |        FROM tok, unnest(range(1, len(toks) + 1)) AS r(i)),
+         |pt AS (SELECT * FROM (VALUES $vals) AS v(phrase_id, term, off, plen)),
+         |m AS (SELECT t.phrase_id, p.doc_id, t.plen, p.p - t.off AS s, t.off
+         |      FROM pos p JOIN pt t ON p.term = t.term
+         |      WHERE p.p - t.off >= 0),
+         |occ AS (SELECT phrase_id, doc_id, plen, s,
+         |               COUNT(DISTINCT off) AS n_off
+         |        FROM m GROUP BY phrase_id, doc_id, plen, s)
+         |SELECT phrase_id, doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         |  CAST(MIN(s) AS BIGINT) AS first_pos
+         |FROM occ WHERE n_off = plen
+         |GROUP BY phrase_id, doc_id
+         |ORDER BY phrase_id, doc_id""".stripMargin
     },
     "q_srch2" -> {
       val vals = proxPairs.map { case (a, b) => s"('$a', '$b')" }.mkString(", ")

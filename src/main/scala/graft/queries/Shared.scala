@@ -161,6 +161,22 @@ private[queries] object Shared {
     IndexStore.readAudioHashes(s, root)
   }
 
+  /** BM25 postings store over the day-1 corpus slice (doc_id % 5 != 0) —
+    * the search twin of [[storedBands]]: the inverted index written once,
+    * always served from the parquet reload, so q_srch4 measures what
+    * production pays on day 2: tokenize the NEW docs, append, score. */
+  def storedPostings(s: SparkSession, d: String): DataFrame = {
+    val root = Memo.cached(s, s"poststore|$d") {
+      IndexStore.writePostings(
+        graft.operators.Bm25.postings(
+          Tables.load(s, d, "documents").where(col("doc_id") % 5 =!= 0),
+          "doc_id", col("text")),
+        indexRoot(s, d))
+      indexRoot(s, d)
+    }
+    IndexStore.readPostings(s, root)
+  }
+
   /** IVF (assignment, centers) served from the store; the build reuses
     * the session's cached index so search/dedup/store share ONE fit. */
   def storedIvf(s: SparkSession, d: String): (DataFrame, DataFrame) = {

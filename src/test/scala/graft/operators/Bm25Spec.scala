@@ -85,6 +85,52 @@ class Bm25Spec extends SparkSpec {
     assert(got === Seq((1L, 10L, r(1) + r(3)), (1L, 20L, r(2))))
   }
 
+  test("incrementalPostings: append-only merge equals a full rebuild") {
+    val day1 = corpus.where(col("doc_id") =!= 2L)
+    val day2 = corpus.where(col("doc_id") === 2L)
+    val merged = Bm25.incrementalPostings(
+        Bm25.postings(day1, "doc_id", col("text")), day2, "doc_id", col("text"))
+      .as[(Long, String, Long, Long)].collect().toSet
+    val full = post.as[(Long, String, Long, Long)].collect().toSet
+    assert(merged === full)
+    // and the scores derived from the merge match the full index exactly
+    val q = Seq((1L, "a"), (1L, "c")).toDF("query_id", "term")
+    val ms = Bm25.scoreMicro(Bm25.postings(day1, "doc_id", col("text"))
+        .unionByName(Bm25.postings(day2, "doc_id", col("text"))), q)
+      .as[(Long, Long, Long)].collect().toSet
+    val fs = Bm25.scoreMicro(post, q).as[(Long, Long, Long)].collect().toSet
+    assert(ms === fs)
+  }
+
+  test("phraseSearch finds runs; overlapping occurrences all count") {
+    val docs = Seq(
+      (1L, "a b c a b"),   // "a b" at 0 and 3
+      (2L, "b b b b"),     // "b b" at 0,1,2 (overlapping)
+      (3L, "a c b"),       // both terms, never adjacent in order
+      (4L, "b a")          // reversed: no "a b"
+    ).toDF("doc_id", "text")
+    val ab = Bm25.phraseSearch(docs, "doc_id", col("text"), Seq(10L -> "a b"))
+      .orderBy("doc_id")
+      .select("doc_id", "n_occurrences", "first_pos")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(ab === Seq((1L, 2L, 0L)))
+    val bb = Bm25.phraseSearch(docs, "doc_id", col("text"), Seq(11L -> "b b"))
+      .select("doc_id", "n_occurrences", "first_pos")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(bb === Seq((2L, 3L, 0L)))
+  }
+
+  test("phraseSearch repeated-term phrase needs every offset, not just any") {
+    val docs = Seq(
+      (1L, "x b b b y"),   // "b b b" at 1
+      (2L, "b b y b b")    // two "b b" runs but never three in a row
+    ).toDF("doc_id", "text")
+    val got = Bm25.phraseSearch(docs, "doc_id", col("text"), Seq(1L -> "b b b"))
+      .select("doc_id", "n_occurrences", "first_pos")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 1L, 1L)))
+  }
+
   test("scoring plan: queries and stats are broadcast, postings never re-shuffled") {
     val q = Seq((1L, "a")).toDF("query_id", "term")
     val p = Bm25.scoreMicro(post, q).queryExecution.executedPlan.toString
