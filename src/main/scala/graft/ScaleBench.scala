@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.multimodal.Multimodal
-import graft.operators.{Binning, BpeOps, GraphOps, IntervalJoin, NearDup, Sessionize, Similarity, SpanDedup, TextOps}
+import graft.operators.{Binning, Bm25, BpeOps, GraphOps, IntervalJoin, MarkupOps, NearDup, Sessionize, Similarity, SpanDedup, TextOps}
 
 /** Scale-evidence bench for the dedup/ANN candidate families: runs each
   * operator at 1x (~sf0.1 corpus size), 10x, and — for the linear families
@@ -179,6 +179,7 @@ object ScaleBench {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
 
     // untimed warm-up at 1/10th of 1x: pays janino codegen + JIT once, so
     // the 1x rows measure the operator, not first-plan compilation (the
@@ -210,6 +211,13 @@ object ScaleBench {
         syntheticPngViral(spark, 100L, 16, 16), maxHamming = 3).count()
       Multimodal.shotBoundaries(Multimodal.syntheticPngClip(
         spark.range(50L).toDF("doc_id"), "doc_id", 6, 8, 8, 2)).count()
+      val pd = d.select(col("doc_id"),
+        concat(lit("<p>"), col("text"), lit("</p>")).as("h"))
+      pd.select(Seq(col("doc_id"), MarkupOps.extractText(col("h")).as("t")) ++
+        MarkupOps.markupStats(col("h")).map { case (n, c) => c.as(n) }: _*).count()
+      Bm25.topK(Bm25.scoreMicro(Bm25.postings(d, "doc_id", col("text")),
+        Seq((1L, "w1")).toDF("query_id", "term")), 10).count()
+      Bm25.phraseSearch(d, "doc_id", col("text"), Seq(1L -> "w1 w2")).count()
       d.unpersist()
       GraphOps.pageRank(syntheticEdges(spark, 2000L), "src", "dst", 2).count()
       val e = syntheticEmbeddings(spark, 200L).localCheckpoint()
@@ -260,6 +268,38 @@ object ScaleBench {
       timed("surprisal_scores", nDocs) {
         TextOps.surprisalScores(docs, "doc_id", col("text"),
           col("doc_id") % 10 =!= 0).count()
+      }
+      // r7 search + markup families: extraction is a pure per-row map (no
+      // shuffle — must be flat per doc); postings build ~ tokens; scoring
+      // broadcast-joins a fixed query set onto the postings, so work ~
+      // matching postings and the top-10 is a group limit, never a global
+      // sort; phrase search ~ positions of the phrases' terms only.
+      timed("html_extract_stats", nDocs) {
+        val paged = docs.select(col("doc_id"), concat(
+          lit("<html><head><title>d</title><script>var x = 1; " +
+            "if (x < 2) { x = 3; }</script></head><body>" +
+            "<nav><a href=\"/\">home portal</a></nav><p>"),
+          col("text"), lit(" &amp; tail</p></body></html>")).as("h"))
+        // aggregate over the extracted/derived columns: a bare count()
+        // would let Catalyst prune the whole projection and time nothing
+        paged.select(Seq(col("doc_id"),
+            MarkupOps.extractText(col("h")).as("t")) ++
+            MarkupOps.markupStats(col("h")).map { case (n, c) => c.as(n) }: _*)
+          .agg(count(lit(1)).as("n"),
+            sum(col("text_chars") + col("n_tags") + col("anchor_chars")),
+            sum(length(col("t"))))
+          .head().getLong(0)
+      }
+      timed("bm25_score_top10", nDocs) {
+        val q = Seq((1L, "w1"), (1L, "w2"), (1L, "w3"), (2L, "w4"), (2L, "w5"),
+            (3L, "w6"), (3L, "w7"), (3L, "w8"))
+          .toDF("query_id", "term")
+        Bm25.topK(Bm25.scoreMicro(
+          Bm25.postings(docs, "doc_id", col("text")), q), 10).count()
+      }
+      timed("phrase_search", nDocs) {
+        Bm25.phraseSearch(docs, "doc_id", col("text"),
+          Seq(1L -> "w1 w2", 2L -> "w3 w4 w5")).count()
       }
       // BPE induction: ONE corpus scan into the vocab-sized word-freq
       // table; the r6 driver fold then learns ALL merges in 2 Spark jobs

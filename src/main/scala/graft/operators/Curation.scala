@@ -117,4 +117,66 @@ object Curation {
     }
     spark.createDataFrame(rows, schema)
   }
+
+  /** Token-budget waterfilling over sources — the data-mixture planner:
+    * given per-source available token counts and a total training budget,
+    * allocate each source min(cap, θ) tokens, where cap = avail ×
+    * `maxEpochs` (the repetition ceiling — no source may be epoch'd past
+    * it) and the water level θ is chosen so the allocations fill the
+    * budget. Small sources saturate at their cap; the rest share the
+    * remaining budget equally. This is the allocation rule behind
+    * "sample low-resource sources at higher epochs, cap the rest".
+    *
+    * Exact integer construction (oracle-replicable): sources sorted by
+    * cap ascending (ties on `sourceCol`), prefix sums decide the first
+    * rank k whose equal share floor((budget − prefix)/(n − k + 1)) fits
+    * under its own cap; ranks before k saturate, ranks ≥ k all get that
+    * share. Σalloc ≤ budget with deficit < n (floor slack); when budget ≥
+    * Σcap every source gets exactly its cap. The division is double
+    * floor-division (exact below 2^53 — 9e15 tokens, well past any real
+    * budget) because BIGINT `/` means float division in DuckDB too.
+    *
+    * `budget` must resolve against `perSource` — a literal, or a
+    * broadcast one-row total attached by the caller (budgets derived from
+    * the corpus itself, e.g. 60% of total tokens).
+    *
+    * Scale shape: `perSource` is a per-source aggregate — sources-sized
+    * BY DEFINITION (tens to thousands of rows), so the entire-frame
+    * windows here are a deliberate single-partition pass over a tiny
+    * table, after the real work (the corpus-sized token count) reduced
+    * upstream.
+    *
+    * Output: sourceCol, avail, cap, alloc, epochs (alloc/avail, null for
+    * empty sources). */
+  def waterfillMixture(perSource: DataFrame, sourceCol: String,
+                       availCol: String, budget: Column,
+                       maxEpochs: Int): DataFrame = {
+    require(maxEpochs > 0, s"maxEpochs must be positive, got $maxEpochs")
+    val ord = Window.orderBy(col("cap").asc, col(sourceCol).asc)
+    val all = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = perSource
+      .select(col(sourceCol), col(availCol).cast("long").as("avail"),
+        (col(availCol).cast("long") * lit(maxEpochs.toLong)).as("cap"),
+        budget.cast("long").as("__budget"))
+      .withColumn("__rn", row_number().over(ord).cast("long"))
+      .withColumn("__prefix", coalesce(
+        sum(col("cap")).over(ord.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("__n", count(lit(1)).over(all))
+      .withColumn("__share", greatest(lit(0L),
+        floor((col("__budget") - col("__prefix")).cast("double") /
+          (col("__n") - col("__rn") + lit(1L)).cast("double")).cast("long")))
+    ranked
+      .withColumn("__k",
+        min(when(col("__share") <= col("cap"), col("__rn"))).over(all))
+      .withColumn("__theta",
+        max(when(col("__rn") === col("__k"), col("__share"))).over(all))
+      .withColumn("alloc",
+        when(col("__k").isNull || col("__rn") < col("__k"), col("cap"))
+          .otherwise(col("__theta")))
+      .withColumn("epochs",
+        col("alloc").cast("double") / nullif(col("avail"), lit(0L)).cast("double"))
+      .select(sourceCol, "avail", "cap", "alloc", "epochs")
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryModule, Tables}
-import graft.operators.{Anomaly, Binning, DataSplit, GraphOps, IntervalJoin, Normalize, Privacy, Sessionize, SnapshotDiff}
+import graft.operators.{Anomaly, Binning, Curation, DataSplit, GraphOps, IntervalJoin, Normalize, Privacy, Sessionize, SnapshotDiff, TextOps}
 import graft.util.Det.sqlFixedSum
 
 /** Operational pipeline queries (round 4): gap sessionization over the
@@ -109,6 +109,24 @@ object OpsQueries extends QueryModule {
           .select("doc_id", "lang", "source"),
           stratumCol = "lang", keyCol = "doc_id", fraction = 0.2)
         .orderBy("doc_id")),
+
+    // Q-SAMPLE10: token-budget waterfilling over (source, lang) strata —
+    // the data-mixture planner. Budget = total corpus tokens, repetition
+    // ceiling 2 epochs: small strata saturate at 2x their tokens, large
+    // strata share the rest at one common water level. The stratum token
+    // counts are the corpus-sized work (one tokenize + reduce); the
+    // waterfilling itself runs on the ~100-row stratum table.
+    "q_sample10" -> ((s, d) => {
+      val toks = Tables.load(s, d, "documents")
+        .select(concat(col("source"), lit("|"), col("lang")).as("stratum"),
+          size(TextOps.tokens(col("text"))).cast("long").as("__nt"))
+      val perStratum = toks.groupBy("stratum").agg(sum("__nt").as("avail"))
+      val total = toks.agg(sum("__nt").as("__total"))
+      Curation.waterfillMixture(
+          perStratum.crossJoin(broadcast(total)),
+          "stratum", "avail", col("__total"), maxEpochs = 2)
+        .orderBy("stratum")
+    }),
 
     // Q-CORR1: pairwise correlation matrix of per-supplier daily revenue
     // WITHOUT a cartesian: the self-join keys on day (both sides already
@@ -469,6 +487,33 @@ object OpsQueries extends QueryModule {
         |SELECT o.o_orderkey, o.o_totalprice,
         |  1 + (SELECT COUNT(*) FROM bounds WHERE hi < o.o_totalprice) AS bucket
         |FROM orders o ORDER BY o_orderkey""".stripMargin,
+
+    "q_sample10" ->
+      s"""WITH toks AS (SELECT source || '|' || lang AS stratum,
+        |    CAST(len(${TextDedupQueries.tokSql}) AS BIGINT) AS nt FROM documents),
+        |per AS (SELECT stratum, CAST(SUM(nt) AS BIGINT) AS avail
+        |        FROM toks GROUP BY stratum),
+        |tot AS (SELECT CAST(SUM(nt) AS BIGINT) AS budget FROM toks),
+        |base AS (SELECT stratum, avail, avail * 2 AS cap, budget FROM per, tot),
+        |r AS (SELECT *,
+        |    CAST(row_number() OVER (ORDER BY cap, stratum) AS BIGINT) AS rn,
+        |    COALESCE(SUM(cap) OVER (ORDER BY cap, stratum
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS n
+        |  FROM base),
+        |s AS (SELECT *, greatest(CAST(0 AS BIGINT),
+        |    CAST(floor(CAST(budget - prefix AS DOUBLE) /
+        |         CAST(n - rn + 1 AS DOUBLE)) AS BIGINT)) AS share FROM r),
+        |k AS (SELECT *, MIN(CASE WHEN share <= cap THEN rn END) OVER () AS kk
+        |      FROM s),
+        |t2 AS (SELECT *, MAX(CASE WHEN rn = kk THEN share END) OVER () AS theta
+        |       FROM k),
+        |f AS (SELECT stratum, avail, cap,
+        |        CASE WHEN kk IS NULL OR rn < kk THEN cap ELSE theta END AS alloc
+        |      FROM t2)
+        |SELECT stratum, avail, cap, CAST(alloc AS BIGINT) AS alloc,
+        |  CAST(alloc AS DOUBLE) / CAST(nullif(avail, 0) AS DOUBLE) AS epochs
+        |FROM f ORDER BY stratum""".stripMargin,
 
     "q_sample5" ->
       """WITH h AS (

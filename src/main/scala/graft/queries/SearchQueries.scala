@@ -45,6 +45,34 @@ object SearchQueries extends QueryModule {
     3L -> "table scan",
     4L -> "hash scan join")
 
+  /** Lexical tower: BM25 top-50 per seed over the seed doc's term set
+    * (self excluded) — shared by q_srch3 (fusion) and q_srch7 (mining). */
+  private def lexTop50(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.load(s, d, "documents")
+    val seedTerms = docs.where(col("doc_id").isin(seeds: _*))
+      .select(col("doc_id").as("query_id"),
+        explode(TextOps.tokens(col("text"))).as("term"))
+      .distinct()
+    Bm25.topK(
+        Bm25.scoreMicro(Shared.bm25Postings(s, d), seedTerms)
+          .where(col("doc_id") =!= col("query_id")), 50)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+  }
+
+  /** Semantic tower: embedding-cosine top-50 per seed (self excluded). */
+  private def semTop50(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.load(s, d, "embeddings")
+    val seedVecs = emb.where(col("vec_id").isin(seeds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("__qv"))
+    val semScored = emb.crossJoin(broadcast(seedVecs))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        round(VectorOps.cosine(col("embedding"), col("__qv")), 6).as("sim"))
+    Similarity.topKPerGroup(semScored, Seq("query_id"),
+        Seq(col("sim").desc, col("doc_id").asc), 50)
+      .select(col("query_id"), col("doc_id"), col("rn").as("rank"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Q-SRCH1: BM25 top-10 per query — postings built once (memoized,
@@ -68,28 +96,7 @@ object SearchQueries extends QueryModule {
     // Q-SRCH3: hybrid query-by-example — BM25 over the seed doc's terms
     // fused with embedding-cosine ranking by reciprocal-rank fusion.
     "q_srch3" -> ((s, d) => {
-      val docs = Tables.load(s, d, "documents")
-      val seedTerms = docs.where(col("doc_id").isin(seeds: _*))
-        .select(col("doc_id").as("query_id"),
-          explode(TextOps.tokens(col("text"))).as("term"))
-        .distinct()
-      val lex = Bm25.topK(
-          Bm25.scoreMicro(Shared.bm25Postings(s, d), seedTerms)
-            .where(col("doc_id") =!= col("query_id")), 50)
-        .select(col("query_id"), col("doc_id"), col("rank"))
-
-      val emb = Tables.load(s, d, "embeddings")
-      val seedVecs = emb.where(col("vec_id").isin(seeds: _*))
-        .select(col("vec_id").as("query_id"), col("embedding").as("__qv"))
-      val semScored = emb.crossJoin(broadcast(seedVecs))
-        .where(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id").as("doc_id"),
-          round(VectorOps.cosine(col("embedding"), col("__qv")), 6).as("sim"))
-      val sem = Similarity.topKPerGroup(semScored, Seq("query_id"),
-          Seq(col("sim").desc, col("doc_id").asc), 50)
-        .select(col("query_id"), col("doc_id"), col("rn").as("rank"))
-
-      val fused = Bm25.rrfFuse(lex.unionByName(sem))
+      val fused = Bm25.rrfFuse(lexTop50(s, d).unionByName(semTop50(s, d)))
       Similarity.topKPerGroup(fused, Seq("query_id"),
           Seq(col("rrf_micro").desc, col("doc_id").asc), 10)
         .select(col("query_id"), col("doc_id"), col("rrf_micro"),
@@ -119,6 +126,49 @@ object SearchQueries extends QueryModule {
       Bm25.phraseSearch(Tables.load(s, d, "documents"), "doc_id", col("text"),
           phrases)
         .orderBy("phrase_id", "doc_id")),
+
+    // Q-SRCH6: keyword-in-context snippets for the BM25 top-3 — a ±3-token
+    // window around the doc's FIRST occurrence of any query term. The
+    // window slice happens on the top-3 rows only (30 rows total), never
+    // the corpus; first-hit positions come from the same broadcast-join
+    // shape as scoring.
+    "q_srch6" -> ((s, d) => {
+      import s.implicits._
+      val q = bmQueries
+        .flatMap { case (id, t) => t.split(' ').toSeq.map(id -> _) }
+        .toDF("query_id", "term")
+      val top = Bm25.topK(Bm25.scoreMicro(Shared.bm25Postings(s, d), q), 3)
+      val docs = Tables.load(s, d, "documents")
+      val firstHit = docs
+        .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "term")))
+        .join(broadcast(q), Seq("term"))
+        .groupBy("query_id", "doc_id")
+        .agg(min(col("pos")).cast("long").as("first_pos"))
+      val start = greatest(lit(1L), col("first_pos") + 1L - 3L)
+      top.join(firstHit, Seq("query_id", "doc_id"))
+        .join(docs.select(col("doc_id"), TextOps.tokens(col("text")).as("__toks")),
+          Seq("doc_id"))
+        .select(col("query_id"), col("doc_id"), col("rank"), col("first_pos"),
+          array_join(slice(col("__toks"), start.cast("int"), lit(7)), " ").as("snippet"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // Q-SRCH7: hard-negative mining — the DISAGREEMENT set of the two
+    // towers. lex_only = term overlap but semantically far (the classic
+    // hard negative for embedding training); sem_only = semantically near
+    // with no term overlap (the paraphrase the lexical index misses).
+    // Anti-joins over the two top-50 lists; the corpus is scanned once
+    // per tower, never per pair.
+    "q_srch7" -> ((s, d) => {
+      val lex = lexTop50(s, d)
+      val sem = semTop50(s, d)
+      val lexOnly = lex.join(sem, Seq("query_id", "doc_id"), "left_anti")
+        .select(col("query_id"), col("doc_id"), lit("lex_only").as("side"), col("rank"))
+      val semOnly = sem.join(lex, Seq("query_id", "doc_id"), "left_anti")
+        .select(col("query_id"), col("doc_id"), lit("sem_only").as("side"), col("rank"))
+      lexOnly.unionByName(semOnly)
+        .orderBy("query_id", "side", "rank", "doc_id")
+    }),
   )
 
   /** Shared SQL CTE chain mirroring Bm25.postings + df/stats — kept in
@@ -152,6 +202,26 @@ object SearchQueries extends QueryModule {
        |  $extraWhere),
        |scored AS (SELECT query_id, doc_id, SUM(c) AS score_micro
        |           FROM contrib GROUP BY query_id, doc_id)""".stripMargin
+
+  /** Shared CTE chain ending in `lex` and `sem` — the two retrieval
+    * towers' per-seed top-50 lists, used by the q_srch3 and q_srch7
+    * oracles. */
+  private lazy val twoTowerCtes: String = {
+    val seedList = seeds.mkString("(", ", ", ")")
+    s"""$postCtes,
+       |seedq AS (SELECT doc_id AS query_id, t.w AS term
+       |          FROM tok, unnest(toks) AS t(w)
+       |          WHERE doc_id IN $seedList GROUP BY doc_id, t.w),
+       |${contribCte("seedq", "WHERE p.doc_id <> q.query_id")},
+       |lex AS (SELECT query_id, doc_id, rank FROM (
+       |  ${rankedSql("scored", "score_micro", 50)}) WHERE rank <= 50),
+       |sem0 AS (SELECT s.vec_id AS query_id, e.vec_id AS doc_id,
+       |                round(${cosSql("e.embedding", "s.embedding")}, 6) AS sim
+       |         FROM embeddings e, embeddings s
+       |         WHERE s.vec_id IN $seedList AND e.vec_id <> s.vec_id),
+       |sem AS (SELECT query_id, doc_id, rank FROM (
+       |  ${rankedSql("sem0", "sim", 50)}) WHERE rank <= 50)""".stripMargin
+  }
 
   private def rankedSql(source: String, scoreCol: String, k: Int): String =
     s"""SELECT query_id, doc_id, $scoreCol,
@@ -211,6 +281,29 @@ object SearchQueries extends QueryModule {
          |GROUP BY phrase_id, doc_id
          |ORDER BY phrase_id, doc_id""".stripMargin
     },
+    "q_srch6" -> {
+      val vals = bmQueries.flatMap { case (id, t) =>
+        t.split(' ').toSeq.map(w => s"(CAST($id AS BIGINT), '$w')")
+      }.mkString(", ")
+      s"""WITH $postCtes,
+         |qry AS (SELECT * FROM (VALUES $vals) AS v(query_id, term)),
+         |${contribCte("qry", "")},
+         |top3 AS (SELECT query_id, doc_id, rank FROM (
+         |  ${rankedSql("scored", "score_micro", 3)}) WHERE rank <= 3),
+         |pos AS (SELECT doc_id, toks[r.i] AS term, r.i - 1 AS p
+         |        FROM tok, unnest(range(1, len(toks) + 1)) AS r(i)),
+         |fh AS (SELECT q.query_id, pos.doc_id, CAST(MIN(pos.p) AS BIGINT) AS first_pos
+         |       FROM pos JOIN qry q ON pos.term = q.term
+         |       GROUP BY q.query_id, pos.doc_id)
+         |SELECT t.query_id, t.doc_id, t.rank, fh.first_pos,
+         |  array_to_string(k.toks[
+         |    greatest(1, fh.first_pos + 1 - 3):greatest(1, fh.first_pos + 1 - 3) + 6],
+         |    ' ') AS snippet
+         |FROM top3 t
+         |JOIN fh ON fh.query_id = t.query_id AND fh.doc_id = t.doc_id
+         |JOIN tok k ON k.doc_id = t.doc_id
+         |ORDER BY t.query_id, t.rank""".stripMargin
+    },
     "q_srch2" -> {
       val vals = proxPairs.map { case (a, b) => s"('$a', '$b')" }.mkString(", ")
       s"""WITH tok AS (SELECT doc_id, $tokSql AS toks FROM documents),
@@ -228,20 +321,7 @@ object SearchQueries extends QueryModule {
          |ORDER BY term_a, term_b, doc_id""".stripMargin
     },
     "q_srch3" -> {
-      val seedList = seeds.mkString("(", ", ", ")")
-      s"""WITH $postCtes,
-         |seedq AS (SELECT doc_id AS query_id, t.w AS term
-         |          FROM tok, unnest(toks) AS t(w)
-         |          WHERE doc_id IN $seedList GROUP BY doc_id, t.w),
-         |${contribCte("seedq", "WHERE p.doc_id <> q.query_id")},
-         |lex AS (SELECT query_id, doc_id, rank FROM (
-         |  ${rankedSql("scored", "score_micro", 50)}) WHERE rank <= 50),
-         |sem0 AS (SELECT s.vec_id AS query_id, e.vec_id AS doc_id,
-         |                round(${cosSql("e.embedding", "s.embedding")}, 6) AS sim
-         |         FROM embeddings e, embeddings s
-         |         WHERE s.vec_id IN $seedList AND e.vec_id <> s.vec_id),
-         |sem AS (SELECT query_id, doc_id, rank FROM (
-         |  ${rankedSql("sem0", "sim", 50)}) WHERE rank <= 50),
+      s"""WITH $twoTowerCtes,
          |allr AS (SELECT query_id, doc_id, rank FROM lex
          |         UNION ALL SELECT query_id, doc_id, rank FROM sem),
          |fused AS (SELECT query_id, doc_id,
@@ -253,5 +333,16 @@ object SearchQueries extends QueryModule {
          |WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin
     },
+    "q_srch7" ->
+      s"""WITH $twoTowerCtes
+         |SELECT query_id, doc_id, side, rank FROM (
+         |  SELECT l.query_id, l.doc_id, 'lex_only' AS side, l.rank FROM lex l
+         |  WHERE NOT EXISTS (SELECT 1 FROM sem s
+         |    WHERE s.query_id = l.query_id AND s.doc_id = l.doc_id)
+         |  UNION ALL
+         |  SELECT s.query_id, s.doc_id, 'sem_only' AS side, s.rank FROM sem s
+         |  WHERE NOT EXISTS (SELECT 1 FROM lex l
+         |    WHERE l.query_id = s.query_id AND l.doc_id = s.doc_id))
+         |ORDER BY query_id, side, rank, doc_id""".stripMargin,
   )
 }

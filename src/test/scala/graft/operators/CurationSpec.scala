@@ -88,4 +88,58 @@ class CurationSpec extends SparkSpec {
     assert(all.count() === 10)
     assert(all.agg(max("running_total")).as[Long].head() === 20L)
   }
+
+  // ---- waterfillMixture -------------------------------------------------
+
+  private def plan(avail: Seq[(String, Long)], budget: Long, maxEpochs: Int = 2) =
+    Curation.waterfillMixture(avail.toDF("src", "avail"), "src", "avail",
+        lit(budget), maxEpochs)
+      .select("src", "avail", "cap", "alloc")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+
+  test("waterfill: small sources saturate at cap, the rest share one level") {
+    // caps (x2): a=20, b=40, c=200, d=200; budget 160
+    // a saturates (share 40 > 20); then share floor(140/3)=46 > 40: b
+    // saturates too; then share floor(100/2)=50 <= 200: level = 50.
+    val got = plan(Seq("a" -> 10L, "b" -> 20L, "c" -> 100L, "d" -> 100L), 160L)
+    assert(got("a")._4 === 20L && got("b")._4 === 40L)
+    assert(got("c")._4 === 50L && got("d")._4 === 50L)
+  }
+
+  test("waterfill: budget >= total cap gives every source its cap") {
+    val got = plan(Seq("a" -> 5L, "b" -> 50L), 1000L)
+    assert(got("a")._4 === 10L && got("b")._4 === 100L)
+  }
+
+  test("waterfill: allocation never exceeds budget; floor deficit < n") {
+    for (budget <- Seq(0L, 7L, 33L, 160L, 301L)) {
+      val got = plan(Seq("a" -> 10L, "b" -> 20L, "c" -> 100L, "d" -> 23L), budget)
+      val total = got.values.map(_._4).sum
+      val capSum = got.values.map(_._3).sum
+      assert(total <= math.min(budget, capSum))
+      if (budget <= capSum) assert(budget - total < got.size,
+        s"budget=$budget total=$total: deficit must be floor slack only")
+      got.values.foreach { case (_, _, cap, alloc) => assert(alloc <= cap) }
+    }
+  }
+
+  test("waterfill: empty source gets zero allocation and null epochs") {
+    val row = Curation.waterfillMixture(
+        Seq(("a", 0L), ("b", 50L)).toDF("src", "avail"), "src", "avail",
+        lit(60L), 2)
+      .where(col("src") === "a").collect().head
+    assert(row.getAs[Long]("alloc") === 0L)
+    assert(row.isNullAt(row.fieldIndex("epochs")))
+  }
+
+  test("waterfill: epoch ratio reported; maxEpochs bounds it") {
+    val got = Curation.waterfillMixture(
+        Seq(("a", 10L), ("b", 1000L)).toDF("src", "avail"), "src", "avail",
+        lit(500L), maxEpochs = 3)
+      .select("src", "alloc", "epochs").as[(String, Long, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    // a saturates at 3 epochs (30 tokens); b gets floor(470/1)=470
+    assert(got("a")._2 === 30L && got("a")._3 === 3.0)
+    assert(got("b")._2 === 470L && got("b")._3 === 0.47)
+  }
 }
