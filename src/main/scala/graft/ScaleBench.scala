@@ -152,6 +152,65 @@ object ScaleBench {
     }.toDF("doc_id", "payload")
   }
 
+  /** Spectrally-diverse WAV corpus for the audio scale rows: each of the 9
+    * frames is a sum of 8 Haar-ALIGNED square waves (band b flips every
+    * 2^b samples — orthogonal under `AudioWav.bandEnergies`' cascade, so
+    * band b's energy is a pure function of its own amplitude), with
+    * per-(clip, frame, band) seeded amplitudes drawn from parity-disjoint
+    * lattices (even frames {256k}, odd frames {256k + 128}) so consecutive
+    * frames can never tie. Result: all 64 time-hash sign comparisons have
+    * margins the ±8 dup noise cannot flip AND are ~independent across
+    * (frame, band) — the hash is near-uniform over clips, like real
+    * spectra. The envelope-rank fixture (`AudioWav.syntheticWavNearDups`,
+    * kept SQL-replicable for the q_mm8/q_dedup17 oracles) collapses to
+    * ~envelope entropy and floods the pair join at corpus scale — the
+    * flood row below quantifies that failure mode and the cap knob that
+    * bounds it. Same 10% (2k, 2k+1) near-identical plant.
+    * `nSamples` must be a multiple of 9 (exact frame alignment). */
+  def syntheticWavDiverse(spark: SparkSession, n: Long, nSamples: Int = 3600): DataFrame = {
+    require(nSamples % 9 == 0, s"nSamples must be a multiple of 9, got $nSamples")
+    import spark.implicits._
+    spark.range(n).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val seed = id >> 1
+        def mix(a: Long, b: Long): Long = {
+          var x = a * 1000003L + b
+          x = x * 6364136223846793005L + 1442695040888963407L
+          x * 6364136223846793005L + 1442695040888963407L
+        }
+        val frameLen = nSamples / 9
+        val samples = new Array[Short](nSamples)
+        var noise = mix(id, 3L)
+        var t = 0
+        while (t < 9) {
+          val amps = Array.tabulate(8) { b =>
+            256 * (1 + java.lang.Long.remainderUnsigned(
+              mix(seed, 7000L + t * 8 + b), 6L).toInt) + (t % 2) * 128
+          }
+          val start = t * frameLen
+          var i = start
+          while (i < start + frameLen) {
+            val j = i - start
+            var v = 0
+            var b = 0
+            while (b < 8) {
+              v += (if (((j >> b) & 1) == 0) amps(b) else -amps(b))
+              b += 1
+            }
+            if ((id & 1L) == 1L) {
+              noise = noise * 6364136223846793005L + 1442695040888963407L
+              v += (((noise >>> 48) & 0xF).toInt - 8)
+            }
+            samples(i) = v.toShort
+            i += 1
+          }
+          t += 1
+        }
+        (id, graft.multimodal.AudioWav.encodeWavPcm16(16000, samples))
+      }
+    }.toDF("doc_id", "payload")
+  }
+
   /** Orders-shaped numeric fact for the equi-depth boundary pass. */
   def syntheticValues(spark: SparkSession, n: Long): DataFrame =
     spark.range(n).select(col("id").as("k"),
@@ -358,20 +417,39 @@ object ScaleBench {
       // r7 audio fingerprint family: encode paid untimed at checkpoint;
       // the timed pass is 500k real container parses + Haar band hashes +
       // the pigeonhole pair join (auto-wide at 100x, like images).
-      // Planted (2k, 2k+1) near-identical pairs grow linearly.
-      val wavdups = graft.multimodal.AudioWav.syntheticWavNearDups(
-        spark.range(nDocs).toDF("doc_id"), "doc_id", nSamples = 3600)
-        .localCheckpoint()
+      // Planted (2k, 2k+1) near-identical pairs grow linearly; the
+      // spectrally-diverse corpus keeps unrelated hashes ~uniform, so the
+      // rows measure the OPERATOR, not fixture degeneracy.
+      val wavdups = syntheticWavDiverse(spark, nDocs).localCheckpoint()
       timed("audio_neardup_pairs", nDocs) {
         graft.multimodal.AudioWav.audioNearDupPairs(wavdups, maxHamming = 3).count()
       }
-      // refined: same candidates, then the spectral-tilt filter — the
-      // same-envelope collision pairs the plain row's counts carry must
-      // collapse toward the planted linear structure
       timed("audio_neardup_pairs_refined", nDocs) {
         graft.multimodal.AudioWav.audioNearDupPairsRefined(wavdups, maxHamming = 3).count()
       }
       wavdups.unpersist()
+
+      // Envelope-collision FLOOD (10x only — the audio twin of the viral
+      // image row): the SQL-replicable oracle fixture's amplitude-rank
+      // construction gives the time hash ~envelope entropy, so unrelated
+      // clips collide en masse (~50M true Hamming<=3 pairs at 50k clips;
+      // the output itself is quadratic-ish — at 100x it detonates to
+      // ~686M pairs / ~4 min). The production knob is the crowded-bucket
+      // cap: at maxBucketSize=200 the join is BOUNDED and the wall
+      // collapses, exactly like a viral meme under the image cap.
+      if (scale == 10L) {
+        val flood = graft.multimodal.AudioWav.syntheticWavNearDups(
+          spark.range(nDocs).toDF("doc_id"), "doc_id", nSamples = 3600)
+          .localCheckpoint()
+        timed("audio_neardup_pairs_flood", nDocs, "@uncapped") {
+          graft.multimodal.AudioWav.audioNearDupPairs(flood, maxHamming = 3).count()
+        }
+        timed("audio_neardup_pairs_flood", nDocs, "@cap200") {
+          graft.multimodal.AudioWav.audioNearDupPairs(flood, maxHamming = 3,
+            maxBucketSize = 200).count()
+        }
+        flood.unpersist()
+      }
 
       // r6 audio codec: real WAV container parse per row; per-clip
       // constant work => wall tracks clips linearly

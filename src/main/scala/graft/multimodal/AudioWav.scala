@@ -360,7 +360,8 @@ object AudioWav {
     * (id_a, id_b, hamming, spectral_hamming). */
   def audioNearDupPairsRefined(binDf: DataFrame, maxHamming: Int = 3,
                                maxSpectralHamming: Int = 8,
-                               wide: Option[Boolean] = None): DataFrame = {
+                               wide: Option[Boolean] = None,
+                               maxBucketSize: Int = graft.operators.NearDup.DefaultMaxBucketSize): DataFrame = {
     import graft.operators.NearDup
     require(maxHamming <= 3,
       s"the time-hash pigeonhole is exact only for maxHamming <= 3, got $maxHamming")
@@ -368,8 +369,8 @@ object AudioWav {
     val useWide = wide.getOrElse(fp.count() >= NearDup.WideHashThreshold)
     val sh = fp.select(col("doc_id"), col("ahash").as("simhash"))
     val cands =
-      if (useWide) NearDup.simhashPairsWide(sh, "doc_id", maxHamming)
-      else NearDup.simhashPairs(sh, "doc_id", maxHamming)
+      if (useWide) NearDup.simhashPairsWide(sh, "doc_id", maxHamming, maxBucketSize)
+      else NearDup.simhashPairs(sh, "doc_id", maxHamming, maxBucketSize)
     cands
       .join(fp.select(col("doc_id").as("id_a"), col("shash").as("__sa")), "id_a")
       .join(fp.select(col("doc_id").as("id_b"), col("shash").as("__sb")), "id_b")
@@ -388,15 +389,16 @@ object AudioWav {
     * materialized once for the size probe and reused by the band
     * explosion, so payloads decode exactly once. */
   def audioNearDupPairs(binDf: DataFrame, maxHamming: Int = 3,
-                        wide: Option[Boolean] = None): DataFrame = {
+                        wide: Option[Boolean] = None,
+                        maxBucketSize: Int = graft.operators.NearDup.DefaultMaxBucketSize): DataFrame = {
     import graft.operators.NearDup
     require(maxHamming <= 3,
       s"audioNearDupPairs' pigeonhole band tables are exact only for maxHamming <= 3, got $maxHamming")
     val hashes = audioHashes(binDf).localCheckpoint()
     val useWide = wide.getOrElse(hashes.count() >= NearDup.WideHashThreshold)
     val sh = hashes.withColumnRenamed("ahash", "simhash")
-    if (useWide) NearDup.simhashPairsWide(sh, "doc_id", maxHamming)
-    else NearDup.simhashPairs(sh, "doc_id", maxHamming)
+    if (useWide) NearDup.simhashPairsWide(sh, "doc_id", maxHamming, maxBucketSize)
+    else NearDup.simhashPairs(sh, "doc_id", maxHamming, maxBucketSize)
   }
 
   /** Dedup-on-arrival for audio: near-dup pairs TOUCHING the new batch

@@ -121,6 +121,24 @@ object TextOps {
     regexp_count(text, lit("[.!?,;:]")).cast("double") /
       nullif(length(text).cast("double"), lit(0.0))
 
+  /** Composite quality score in integer MICRO-units — one comparable
+    * number per doc for gate / threshold-sweep / mixture consumers: the
+    * mean of (stopword ratio, distinct-token ratio, mean-word-length/10
+    * capped at 1), rounded ONCE at the end (the q_txt19 policy), so every
+    * rollup over it is exact integer math. Empty text scores null.
+    * The blend is a heuristic; the operator contract is determinism and
+    * monotonicity in its inputs, both spec-asserted. */
+  def compositeQualityMicro(text: Column): Column = {
+    val toks = tokens(text)
+    val nw = nullif(size(toks).cast("double"), lit(0.0))
+    val sw = markerHits(toks, langMarkers.toMap.apply("en")).cast("double")
+    val dw = size(array_distinct(toks)).cast("double")
+    val cns = length(regexp_replace(text, "\\s", "")).cast("double")
+    round((sw / nw + dw / nw + least(cns / nw, lit(10.0)) / lit(10.0)) /
+        lit(3.0) * lit(1e6), 0)
+      .cast("long")
+  }
+
   /** Fixed-size character chunking with overlap — the context-window
     * preparation step of an LLM data pipeline: each document becomes
     * ceil((len - overlap) / stride) chunks of `chunkChars` chars starting

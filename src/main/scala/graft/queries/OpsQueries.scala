@@ -128,6 +128,26 @@ object OpsQueries extends QueryModule {
         .orderBy("stratum")
     }),
 
+    // Q-PIPE6: quality-gated mixture planning end-to-end — filter → count
+    // → plan: docs below the composite quality score drop, the surviving
+    // tokens are counted per stratum, and the waterfill runs at HALF the
+    // gated total (so the level lands mid-distribution). The curation
+    // pipeline's last mile: what the training job actually samples.
+    "q_pipe6" -> ((s, d) => {
+      val sc = Tables.load(s, d, "documents")
+        .select(concat(col("source"), lit("|"), col("lang")).as("stratum"),
+          size(TextOps.tokens(col("text"))).cast("long").as("__nt"),
+          TextOps.compositeQualityMicro(col("text")).as("__score"))
+      val gated = sc.where(col("__score").isNotNull && col("__score") >= 450000L)
+      val perStratum = gated.groupBy("stratum").agg(sum("__nt").as("avail"))
+      val budget = gated.agg(
+        floor(sum("__nt").cast("double") * lit(0.5)).cast("long").as("__budget"))
+      Curation.waterfillMixture(
+          perStratum.crossJoin(broadcast(budget)),
+          "stratum", "avail", col("__budget"), maxEpochs = 2)
+        .orderBy("stratum")
+    }),
+
     // Q-CORR1: pairwise correlation matrix of per-supplier daily revenue
     // WITHOUT a cartesian: the self-join keys on day (both sides already
     // aggregated to supplier x day), pairs form per-day only, and the
@@ -494,26 +514,23 @@ object OpsQueries extends QueryModule {
         |per AS (SELECT stratum, CAST(SUM(nt) AS BIGINT) AS avail
         |        FROM toks GROUP BY stratum),
         |tot AS (SELECT CAST(SUM(nt) AS BIGINT) AS budget FROM toks),
-        |base AS (SELECT stratum, avail, avail * 2 AS cap, budget FROM per, tot),
-        |r AS (SELECT *,
-        |    CAST(row_number() OVER (ORDER BY cap, stratum) AS BIGINT) AS rn,
-        |    COALESCE(SUM(cap) OVER (ORDER BY cap, stratum
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix,
-        |    CAST(COUNT(*) OVER () AS BIGINT) AS n
-        |  FROM base),
-        |s AS (SELECT *, greatest(CAST(0 AS BIGINT),
-        |    CAST(floor(CAST(budget - prefix AS DOUBLE) /
-        |         CAST(n - rn + 1 AS DOUBLE)) AS BIGINT)) AS share FROM r),
-        |k AS (SELECT *, MIN(CASE WHEN share <= cap THEN rn END) OVER () AS kk
-        |      FROM s),
-        |t2 AS (SELECT *, MAX(CASE WHEN rn = kk THEN share END) OVER () AS theta
-        |       FROM k),
-        |f AS (SELECT stratum, avail, cap,
-        |        CASE WHEN kk IS NULL OR rn < kk THEN cap ELSE theta END AS alloc
-        |      FROM t2)
-        |SELECT stratum, avail, cap, CAST(alloc AS BIGINT) AS alloc,
-        |  CAST(alloc AS DOUBLE) / CAST(nullif(avail, 0) AS DOUBLE) AS epochs
-        |FROM f ORDER BY stratum""".stripMargin,
+        |${Shared.waterfillSqlTail(2)}""".stripMargin,
+
+    // q_pipe6: the quality gate changes WHICH tokens are available; the
+    // same waterfill chain then plans over the gated counts at half the
+    // gated total.
+    "q_pipe6" ->
+      s"""WITH sc AS (SELECT source || '|' || lang AS stratum,
+        |    CAST(len(${TextDedupQueries.tokSql}) AS BIGINT) AS nt,
+        |    ${Shared.qualityScoreMicroSql} AS score
+        |  FROM documents),
+        |gated AS (SELECT stratum, nt FROM sc
+        |          WHERE score IS NOT NULL AND score >= 450000),
+        |per AS (SELECT stratum, CAST(SUM(nt) AS BIGINT) AS avail
+        |        FROM gated GROUP BY stratum),
+        |tot AS (SELECT CAST(floor(CAST(SUM(nt) AS DOUBLE) * 0.5) AS BIGINT)
+        |          AS budget FROM gated),
+        |${Shared.waterfillSqlTail(2)}""".stripMargin,
 
     "q_sample5" ->
       """WITH h AS (

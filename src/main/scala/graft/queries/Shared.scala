@@ -200,6 +200,45 @@ private[queries] object Shared {
     IndexStore.readPq(s, root)
   }
 
+  /** DuckDB twin of TextOps.compositeQualityMicro over a column `text` —
+    * same ratio expressions, same association, one round. */
+  def qualityScoreMicroSql: String = {
+    val tok = TextDedupQueries.tokSql
+    val en = graft.operators.TextOps.langMarkers.toMap.apply("en")
+      .map(w => s"'$w'").mkString("(", ",", ")")
+    val nw = s"nullif(CAST(len($tok) AS DOUBLE), 0.0)"
+    s"""CAST(round((CAST(len(list_filter($tok, x -> x IN $en)) AS DOUBLE) / $nw +
+       | CAST(len(list_distinct($tok)) AS DOUBLE) / $nw +
+       | least(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / $nw,
+       |   10.0) / 10.0) / 3.0 * 1000000.0, 0) AS BIGINT)""".stripMargin
+  }
+
+  /** DuckDB twin of Curation.waterfillMixture: expects CTEs
+    * `per(stratum, avail)` and `tot(budget)` already defined; appends the
+    * sorted-caps / prefix-sum / floor-share chain and the final SELECT. */
+  def waterfillSqlTail(maxEpochs: Int): String =
+    s"""base AS (SELECT stratum, avail, avail * $maxEpochs AS cap, budget
+       |         FROM per, tot),
+       |r AS (SELECT *,
+       |    CAST(row_number() OVER (ORDER BY cap, stratum) AS BIGINT) AS rn,
+       |    COALESCE(SUM(cap) OVER (ORDER BY cap, stratum
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix,
+       |    CAST(COUNT(*) OVER () AS BIGINT) AS n
+       |  FROM base),
+       |s AS (SELECT *, greatest(CAST(0 AS BIGINT),
+       |    CAST(floor(CAST(budget - prefix AS DOUBLE) /
+       |         CAST(n - rn + 1 AS DOUBLE)) AS BIGINT)) AS share FROM r),
+       |k AS (SELECT *, MIN(CASE WHEN share <= cap THEN rn END) OVER () AS kk
+       |      FROM s),
+       |t2 AS (SELECT *, MAX(CASE WHEN rn = kk THEN share END) OVER () AS theta
+       |       FROM k),
+       |f AS (SELECT stratum, avail, cap,
+       |        CASE WHEN kk IS NULL OR rn < kk THEN cap ELSE theta END AS alloc
+       |      FROM t2)
+       |SELECT stratum, avail, cap, CAST(alloc AS BIGINT) AS alloc,
+       |  CAST(alloc AS DOUBLE) / CAST(nullif(avail, 0) AS DOUBLE) AS epochs
+       |FROM f ORDER BY stratum""".stripMargin
+
   /** SQL twin of VectorOps.cosine: same double widening, same in-order
     * accumulation, same dot/(sqrt*sqrt) shape, same zero-norm -> null
     * guard (nullif on the denominator product). */

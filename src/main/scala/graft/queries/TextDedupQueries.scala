@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryModule, Tables}
 import graft.operators.{Dedup, NearDup, TextOps}
@@ -660,6 +661,61 @@ object TextDedupQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // Q-TXT31: Zipf-slope corpus-health diagnostic — per source, fit
+    // log(count) ~ slope * log(rank) over the top-100 terms (healthy
+    // natural text sits near -1; template floods flatten it, long-tail
+    // gibberish steepens it). Ranks via WindowGroupLimit (map-side
+    // top-100 per source), logs micro-rounded ONCE, then the least-
+    // squares slope from exact BIGINT sufficient statistics — one final
+    // double division.
+    "q_txt31" -> ((s, d) => {
+      val tf = Tables.load(s, d, "documents")
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("term"))
+        .groupBy("source", "term").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("source").orderBy(col("cnt").desc, col("term").asc)
+      val ranked = tf
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 100)
+      val x = round(log(col("rank").cast("double")) * lit(1e6), 0).cast("long")
+      val y = round(log(col("cnt").cast("double")) * lit(1e6), 0).cast("long")
+      ranked.select(col("source"), x.as("x"), y.as("y"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_terms"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+        .select(col("source"), col("n_terms"),
+          ((col("n_terms") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            nullif(col("n_terms") * col("sxx") - col("sx") * col("sx"), lit(0L))
+              .cast("double")).as("zipf_slope"))
+        .orderBy("source")
+    }),
+
+    // Q-TXT32: quality-threshold sweep — the choose-the-gate table read
+    // BEFORE fixing a filter: for each candidate threshold, how many docs
+    // and what token fraction survive. One scan computes the per-doc
+    // score; the 5-row threshold table broadcasts onto it.
+    "q_txt32" -> ((s, d) => {
+      import s.implicits._
+      val sc = Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("__nt"),
+          TextOps.compositeQualityMicro(col("text")).as("__score"))
+      val ts = Seq(350000L, 400000L, 450000L, 500000L, 550000L).toDF("threshold")
+      val kept = col("__score").isNotNull && (col("__score") >= col("threshold"))
+      sc.crossJoin(broadcast(ts))
+        .groupBy("threshold")
+        .agg(sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+          count(lit(1)).as("n_docs"),
+          sum(when(kept, col("__nt")).otherwise(0L)).as("kept_tokens"),
+          sum(col("__nt")).as("total_tokens"))
+        .select(col("threshold"), col("n_kept"),
+          (col("n_kept").cast("double") / col("n_docs").cast("double"))
+            .as("frac_docs"),
+          col("kept_tokens"),
+          (col("kept_tokens").cast("double") / col("total_tokens").cast("double"))
+            .as("frac_tokens"))
+        .orderBy("threshold")
+    }),
+
     // Q-TXT26: Unicode NFC normalization (native codegen'd expression —
     // Spark has no built-in). The fixture text is pure ASCII, so a
     // deterministic base+combining-mark suffix is appended per doc (the
@@ -714,6 +770,45 @@ object TextDedupQueries extends QueryModule {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_txt31" ->
+      s"""WITH tf AS (SELECT source, t.w AS term, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM (SELECT source, $tokSql AS toks FROM documents), unnest(toks) AS t(w)
+         |  GROUP BY source, term),
+         |r AS (SELECT source, term, cnt,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY cnt DESC, term) AS BIGINT) AS rank FROM tf),
+         |xy AS (SELECT source,
+         |    CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS x,
+         |    CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS y
+         |  FROM r WHERE rank <= 100),
+         |a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_terms,
+         |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |    CAST(SUM(x*y) AS BIGINT) AS sxy, CAST(SUM(x*x) AS BIGINT) AS sxx
+         |  FROM xy GROUP BY source)
+         |SELECT source, n_terms,
+         |  CAST(n_terms*sxy - sx*sy AS DOUBLE) /
+         |    CAST(nullif(n_terms*sxx - sx*sx, 0) AS DOUBLE) AS zipf_slope
+         |FROM a ORDER BY source""".stripMargin,
+    "q_txt32" ->
+      s"""WITH sc AS (SELECT doc_id,
+         |    CAST(len($tokSql) AS BIGINT) AS nt,
+         |    ${Shared.qualityScoreMicroSql} AS score
+         |  FROM documents),
+         |ts AS (SELECT * FROM (VALUES (CAST(350000 AS BIGINT)), (400000),
+         |       (450000), (500000), (550000)) AS v(threshold)),
+         |ag AS (SELECT threshold,
+         |    CAST(SUM(CASE WHEN score IS NOT NULL AND score >= threshold
+         |             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(CASE WHEN score IS NOT NULL AND score >= threshold
+         |             THEN nt ELSE 0 END) AS BIGINT) AS kept_tokens,
+         |    CAST(SUM(nt) AS BIGINT) AS total_tokens
+         |  FROM sc, ts GROUP BY threshold)
+         |SELECT threshold, n_kept,
+         |  CAST(n_kept AS DOUBLE) / CAST(n_docs AS DOUBLE) AS frac_docs,
+         |  kept_tokens,
+         |  CAST(kept_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS frac_tokens
+         |FROM ag ORDER BY threshold""".stripMargin,
     "q_txt26" ->
       """SELECT doc_id, norm_text, n_raw,
         |  CAST(length(norm_text) AS BIGINT) AS n_nfc,

@@ -258,6 +258,21 @@ class TextOpsSpec extends SparkSpec {
     assert(one(bg, "") === scala.collection.mutable.ArraySeq.empty[String])
   }
 
+  test("compositeQualityMicro: deterministic, monotone in its signals, null on empty") {
+    val q = TextOps.compositeQualityMicro(col("text"))
+    val diverse = one(q, "the quick brown fox and a clever dog ran far").asInstanceOf[Long]
+    val again = one(q, "the quick brown fox and a clever dog ran far").asInstanceOf[Long]
+    assert(diverse === again, "re-run must be identical")
+    // pure repetition: distinct ratio collapses, stopwords absent => lower
+    val repetitive = one(q, "spam spam spam spam spam spam spam spam spam spam")
+      .asInstanceOf[Long]
+    assert(repetitive < diverse)
+    assert(one(q, "") === null)
+    assert(one(q, "   ") === null)
+    // bounded: each of the three blended signals is in [0, 1]
+    assert(diverse > 0L && diverse <= 1000000L)
+  }
+
   test("rolling fingerprint: deterministic, order-sensitive, stable range") {
     val fp = TextOps.rollingFingerprint(TextOps.tokens(col("text")))
     val a = one(fp, "alpha beta gamma").asInstanceOf[Long]
