@@ -173,10 +173,17 @@ object ScaleBench {
     spark.range(n).as[Long].mapPartitions { it =>
       it.map { id =>
         val seed = id >> 1
+        // murmur3 fmix64 finalizer: the AudioWav fixture's pure-LCG mix is
+        // AFFINE in (seed, tag), so `mod 6` of it collapses to seed mod 6
+        // and every clip would draw one of only six amplitude matrices
+        // (genuine mass duplicates — observed 336k pairs at 5k clips).
+        // The xorshift steps break the affinity; no SQL-replication
+        // constraint applies to this bench-only corpus.
         def mix(a: Long, b: Long): Long = {
-          var x = a * 1000003L + b
-          x = x * 6364136223846793005L + 1442695040888963407L
-          x * 6364136223846793005L + 1442695040888963407L
+          var x = a * -7046029254386353131L + b
+          x ^= x >>> 33; x *= -49064778989728563L
+          x ^= x >>> 33; x *= -4265267296055464877L
+          x ^ (x >>> 33)
         }
         val frameLen = nSamples / 9
         val samples = new Array[Short](nSamples)

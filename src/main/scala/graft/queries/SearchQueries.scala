@@ -45,46 +45,58 @@ object SearchQueries extends QueryModule {
     3L -> "table scan",
     4L -> "hash scan join")
 
-  /** Lexical tower: BM25 top-50 per seed over the seed doc's term set
-    * (self excluded) — shared by q_srch3 (fusion) and q_srch7 (mining). */
-  private def lexTop50(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.load(s, d, "documents")
-    val seedTerms = docs.where(col("doc_id").isin(seeds: _*))
-      .select(col("doc_id").as("query_id"),
-        explode(TextOps.tokens(col("text"))).as("term"))
-      .distinct()
-    Bm25.topK(
-        Bm25.scoreMicro(Shared.bm25Postings(s, d), seedTerms)
-          .where(col("doc_id") =!= col("query_id")), 50)
-      .select(col("query_id"), col("doc_id"), col("rank"))
+  private def bmQueryDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    bmQueries.flatMap { case (id, t) => t.split(' ').toSeq.map(id -> _) }
+      .toDF("query_id", "term")
   }
 
+  /** BM25 top-10 for the fixed ad-hoc query set — q_srch1's whole surface
+    * AND the list q_srch6 slices its top-3 snippets from; scored once per
+    * (session, corpus), exactly as a serving tier caches a hot query
+    * set's result list. */
+  private def bmTop10(s: SparkSession, d: String): DataFrame =
+    graft.util.Memo.cachedDf(s, s"bm_top10|$d") {
+      Bm25.topK(Bm25.scoreMicro(Shared.bm25Postings(s, d), bmQueryDf(s)), 10)
+    }
+
+  /** Lexical tower: BM25 top-50 per seed over the seed doc's term set
+    * (self excluded) — shared by q_srch3 (fusion) and q_srch7 (mining),
+    * so it is memoized: the towers are built once per (session, corpus). */
+  private def lexTop50(s: SparkSession, d: String): DataFrame =
+    graft.util.Memo.cachedDf(s, s"lex_top50|$d") {
+      val docs = Tables.load(s, d, "documents")
+      val seedTerms = docs.where(col("doc_id").isin(seeds: _*))
+        .select(col("doc_id").as("query_id"),
+          explode(TextOps.tokens(col("text"))).as("term"))
+        .distinct()
+      Bm25.topK(
+          Bm25.scoreMicro(Shared.bm25Postings(s, d), seedTerms)
+            .where(col("doc_id") =!= col("query_id")), 50)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+    }
+
   /** Semantic tower: embedding-cosine top-50 per seed (self excluded). */
-  private def semTop50(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.load(s, d, "embeddings")
-    val seedVecs = emb.where(col("vec_id").isin(seeds: _*))
-      .select(col("vec_id").as("query_id"), col("embedding").as("__qv"))
-    val semScored = emb.crossJoin(broadcast(seedVecs))
-      .where(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("doc_id"),
-        round(VectorOps.cosine(col("embedding"), col("__qv")), 6).as("sim"))
-    Similarity.topKPerGroup(semScored, Seq("query_id"),
-        Seq(col("sim").desc, col("doc_id").asc), 50)
-      .select(col("query_id"), col("doc_id"), col("rn").as("rank"))
-  }
+  private def semTop50(s: SparkSession, d: String): DataFrame =
+    graft.util.Memo.cachedDf(s, s"sem_top50|$d") {
+      val emb = Tables.load(s, d, "embeddings")
+      val seedVecs = emb.where(col("vec_id").isin(seeds: _*))
+        .select(col("vec_id").as("query_id"), col("embedding").as("__qv"))
+      val semScored = emb.crossJoin(broadcast(seedVecs))
+        .where(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("doc_id"),
+          round(VectorOps.cosine(col("embedding"), col("__qv")), 6).as("sim"))
+      Similarity.topKPerGroup(semScored, Seq("query_id"),
+          Seq(col("sim").desc, col("doc_id").asc), 50)
+        .select(col("query_id"), col("doc_id"), col("rn").as("rank"))
+    }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Q-SRCH1: BM25 top-10 per query — postings built once (memoized,
-    // shared with q_srch3), query terms broadcast onto them.
-    "q_srch1" -> ((s, d) => {
-      import s.implicits._
-      val q = bmQueries
-        .flatMap { case (id, t) => t.split(' ').toSeq.map(id -> _) }
-        .toDF("query_id", "term")
-      Bm25.topK(Bm25.scoreMicro(Shared.bm25Postings(s, d), q), 10)
-        .orderBy("query_id", "rank")
-    }),
+    // shared with q_srch3), query terms broadcast onto them; the ranked
+    // list itself is memoized and re-sliced by q_srch6.
+    "q_srch1" -> ((s, d) => bmTop10(s, d).orderBy("query_id", "rank")),
 
     // Q-SRCH2: positional proximity — docs where a term pair co-occurs
     // within 5 positions, with closest distance and hit count.
@@ -133,12 +145,12 @@ object SearchQueries extends QueryModule {
     // the corpus; first-hit positions come from the same broadcast-join
     // shape as scoring.
     "q_srch6" -> ((s, d) => {
-      import s.implicits._
-      val q = bmQueries
-        .flatMap { case (id, t) => t.split(' ').toSeq.map(id -> _) }
-        .toDF("query_id", "term")
-      val top = Bm25.topK(Bm25.scoreMicro(Shared.bm25Postings(s, d), q), 3)
+      val q = bmQueryDf(s)
+      val top = bmTop10(s, d).where(col("rank") <= 3)
+      // semi-join the corpus down to the <=30 result docs BEFORE the
+      // position explode — the snippet pass never tokenizes a non-result
       val docs = Tables.load(s, d, "documents")
+        .join(broadcast(top.select("doc_id").distinct()), Seq("doc_id"), "left_semi")
       val firstHit = docs
         .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "term")))
         .join(broadcast(q), Seq("term"))
