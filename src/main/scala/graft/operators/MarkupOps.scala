@@ -42,9 +42,14 @@ object MarkupOps {
     *  4. then whitespace collapses and trims.
     */
   def extractText(html: Column): Column = {
-    val noScript = regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " ")
-    val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
-    val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    // Known limit (shared with real WET extractors): a raw '>' inside a
+    // QUOTED attribute value truncates the tag match early — full
+    // tolerance needs a parser, not a regex; crawl HTML rarely hits it
+    // and the oracle twin shares the exact behavior.
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
     val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
         "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
       .foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
@@ -63,13 +68,16 @@ object MarkupOps {
     * boilerplate-page discriminator). Ratios are raw IEEE quotients of
     * exact integer lengths — bit-identical on both engines. */
   def markupStats(html: Column): Seq[(String, Column)] = {
+    // `<a(?:\s...)?>` — NOT `<a[^>]*>`, which would also open at
+    // `<article>`/`<aside>`/`<audio>` and swallow their bodies as
+    // "anchor text"; (?i) matches old uppercase crawl HTML
     val anchors = length(array_join(
-      regexp_extract_all(html, lit("(?s)<a[^>]*>(.*?)</a>"), lit(1)), ""))
+      regexp_extract_all(html, lit("(?is)<a(?:\\s[^>]*)?>(.*?)</a>"), lit(1)), ""))
     val textChars = length(extractText(html))
     val htmlChars = length(html)
     Seq(
       "n_tags" -> regexp_count(html, lit("<[a-zA-Z/][^>]*>")).cast("long"),
-      "n_links" -> regexp_count(html, lit("<a[ >]")).cast("long"),
+      "n_links" -> regexp_count(html, lit("(?i)<a[ >]")).cast("long"),
       "anchor_chars" -> anchors.cast("long"),
       "text_chars" -> textChars.cast("long"),
       "html_chars" -> htmlChars.cast("long"),
@@ -122,12 +130,17 @@ object MarkupOps {
     val clean = filter(sents, s => size(TextOps.tokens(s)) > 0)
     val words = aggregate(clean, lit(0L),
       (acc, s) => acc + size(TextOps.tokens(s)).cast("long"))
+    // Zero word-bearing sentences (punctuation-only text) yields NULL
+    // stats, matching the SQL twin's list_sum/list_max over an empty
+    // list — a fold would emit 0 and NaN-cast garbage instead.
+    val none = size(clean) === 0
     Seq(
       "n_sentences" -> size(clean).cast("long"),
-      "total_words" -> words,
+      "total_words" -> when(none, lit(null)).otherwise(words).cast("long"),
       "avg_words_micro" -> round(words.cast("double") * lit(1e6) /
-        size(clean).cast("double"), 0).cast("long"),
-      "max_sent_chars" -> aggregate(clean, lit(0L),
-        (acc, s) => greatest(acc, length(trim(s)).cast("long"))))
+        nullif(size(clean), lit(0)).cast("double"), 0).cast("long"),
+      "max_sent_chars" -> when(none, lit(null)).otherwise(
+        aggregate(clean, lit(0L),
+          (acc, s) => greatest(acc, length(trim(s)).cast("long")))).cast("long"))
   }
 }

@@ -44,9 +44,10 @@ object MarkupQueries extends QueryModule {
   private def extractSql(h: String): String =
     s"""trim(regexp_replace(
        |  replace(replace(replace(replace(replace(replace(
-       |    regexp_replace(regexp_replace(regexp_replace($h,
-       |      '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
-       |      '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+       |    regexp_replace(regexp_replace(regexp_replace(regexp_replace($h,
+       |      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+       |      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+       |      '(?s)<!--.*?-->', ' ', 'g'),
        |      '<[^>]*>', ' ', 'g'),
        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
        |    '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
@@ -137,11 +138,11 @@ object MarkupQueries extends QueryModule {
       s"""WITH page AS (SELECT doc_id, $pageHtmlSql AS html FROM documents),
          |ext AS (SELECT doc_id, html, ${extractSql("html")} AS clean_text,
          |  length(array_to_string(
-         |    regexp_extract_all(html, '(?s)<a[^>]*>(.*?)</a>', 1), '')) AS anchors
+         |    regexp_extract_all(html, '(?is)<a(?:\\s[^>]*)?>(.*?)</a>', 1), '')) AS anchors
          |  FROM page)
          |SELECT doc_id, clean_text,
          |  CAST(len(regexp_extract_all(html, '<[a-zA-Z/][^>]*>')) AS BIGINT) AS n_tags,
-         |  CAST(len(regexp_extract_all(html, '<a[ >]')) AS BIGINT) AS n_links,
+         |  CAST(len(regexp_extract_all(html, '(?i)<a[ >]')) AS BIGINT) AS n_links,
          |  CAST(anchors AS BIGINT) AS anchor_chars,
          |  CAST(length(clean_text) AS BIGINT) AS text_chars,
          |  CAST(length(html) AS BIGINT) AS html_chars,

@@ -120,8 +120,12 @@ object OpsQueries extends QueryModule {
       val toks = Tables.load(s, d, "documents")
         .select(concat(col("source"), lit("|"), col("lang")).as("stratum"),
           size(TextOps.tokens(col("text"))).cast("long").as("__nt"))
+      // budget = Σ stratum avails — derived from the per-stratum rollup,
+      // NOT a second aggregation over the corpus-sized toks plan (Spark
+      // has no cross-aggregate subplan reuse; the tokenize would run twice)
       val perStratum = toks.groupBy("stratum").agg(sum("__nt").as("avail"))
-      val total = toks.agg(sum("__nt").as("__total"))
+        .localCheckpoint()
+      val total = perStratum.agg(sum("avail").as("__total"))
       Curation.waterfillMixture(
           perStratum.crossJoin(broadcast(total)),
           "stratum", "avail", col("__total"), maxEpochs = 2)
@@ -139,9 +143,12 @@ object OpsQueries extends QueryModule {
           size(TextOps.tokens(col("text"))).cast("long").as("__nt"),
           TextOps.compositeQualityMicro(col("text")).as("__score"))
       val gated = sc.where(col("__score").isNotNull && col("__score") >= 450000L)
+      // as in q_sample10: the budget folds the per-stratum rollup (exact
+      // integer re-association), never a second corpus-sized aggregation
       val perStratum = gated.groupBy("stratum").agg(sum("__nt").as("avail"))
-      val budget = gated.agg(
-        floor(sum("__nt").cast("double") * lit(0.5)).cast("long").as("__budget"))
+        .localCheckpoint()
+      val budget = perStratum.agg(
+        floor(sum("avail").cast("double") * lit(0.5)).cast("long").as("__budget"))
       Curation.waterfillMixture(
           perStratum.crossJoin(broadcast(budget)),
           "stratum", "avail", col("__budget"), maxEpochs = 2)

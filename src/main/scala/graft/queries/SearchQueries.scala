@@ -125,10 +125,7 @@ object SearchQueries extends QueryModule {
       val day2 = Tables.load(s, d, "documents").where(col("doc_id") % 5 === 0)
       val merged = Bm25.incrementalPostings(
         Shared.storedPostings(s, d), day2, "doc_id", col("text"))
-      val q = bmQueries
-        .flatMap { case (id, t) => t.split(' ').toSeq.map(id -> _) }
-        .toDF("query_id", "term")
-      Bm25.topK(Bm25.scoreMicro(merged, q), 10)
+      Bm25.topK(Bm25.scoreMicro(merged, bmQueryDf(s)), 10)
         .orderBy("query_id", "rank")
     }),
 

@@ -27,6 +27,25 @@ class MarkupOpsSpec extends SparkSpec {
     assert(extract("<p>&amp;lt;</p>") === "&lt;")
   }
 
+  test("uppercase SCRIPT/STYLE blocks vanish whole (old crawl HTML)") {
+    assert(extract("<SCRIPT>if (x < 2) { x = 3; }</SCRIPT><P>kept</P>") === "kept")
+    assert(extract("<Style>p { }</Style>ok") === "ok")
+  }
+
+  test("HTML comments are stripped, including ones containing '>'") {
+    assert(extract("<!-- breadcrumb > home -->visible<!-- x -->") === "visible")
+  }
+
+  test("anchor stats: <article>/<aside> are NOT anchors; uppercase <A> is") {
+    val html = "<article><p>long body text</p></article><a href=\"/\">hi</a>" +
+      "<A HREF=\"/x\">Yo</A><aside>side</aside>"
+    val row = Seq(html).toDF("h")
+      .select(MarkupOps.markupStats(col("h")).map { case (n, c) => c.as(n) }: _*)
+      .collect().head
+    assert(row.getAs[Long]("n_links") === 2L)
+    assert(row.getAs[Long]("anchor_chars") === ("hi".length + "Yo".length).toLong)
+  }
+
   test("tags become word boundaries, not glue") {
     assert(extract("<p>one</p><p>two</p>") === "one two")
   }
@@ -94,6 +113,16 @@ class MarkupOpsSpec extends SparkSpec {
     assert(row.getAs[Long]("total_words") === 2L + 3L + 1L + 2L)
     assert(row.getAs[Long]("avg_words_micro") === math.round(8.0 * 1e6 / 4.0))
     assert(row.getAs[Long]("max_sent_chars") === "Three four five!!".length.toLong)
+  }
+
+  test("sentenceStats: punctuation-only text yields null stats, not 0/NaN-cast") {
+    val row = Seq("!!!").toDF("t")
+      .select(MarkupOps.sentenceStats(col("t")).map { case (n, c) => c.as(n) }: _*)
+      .collect().head
+    assert(row.getAs[Long]("n_sentences") === 0L)
+    assert(row.isNullAt(row.fieldIndex("total_words")))
+    assert(row.isNullAt(row.fieldIndex("avg_words_micro")))
+    assert(row.isNullAt(row.fieldIndex("max_sent_chars")))
   }
 
   test("sentenceStats: trailing-punct text emits no empty sentence") {
