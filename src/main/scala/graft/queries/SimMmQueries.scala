@@ -27,6 +27,37 @@ object SimMmQueries extends QueryModule {
     "q_sim2" -> ((s, d) =>
       Shared.cosinePairs(s, d).orderBy("id_a", "id_b")),
 
+    // Q-SIM14: two-stage retrieval through a JL SIGN projection — the
+    // 64-dim corpus is projected to 16 dims by ONE codegen'd expression
+    // (native SignProject: ±1 Achlioptas matrix from an arithmetic rule,
+    // so the oracle spells the identical matrix as literal ± terms),
+    // coarse top-50 by 16-dim cosine via TakeOrderedAndProject (never a
+    // global-sort window), then the 50 survivors exact-reranked in the
+    // full space. 4x fewer flops + 4x less bandwidth per coarse scan —
+    // the memory-bound trade PQ makes with codes, made with dimensions.
+    "q_sim14" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      val proj = emb.select(col("vec_id"), col("embedding"),
+        graft.functions.SignProject(col("embedding"), 64, 16).as("__p"))
+      val qrow = proj.where(col("vec_id") === 0)
+        .select(col("__p").as("__qp"), col("embedding").as("__qe"))
+      val coarse = proj.crossJoin(broadcast(qrow))
+        .where(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("embedding"), col("__qe"),
+          round(graft.functions.VectorOps.cosine(col("__p"), col("__qp")), 6)
+            .as("sim16"))
+      val cands = coarse.orderBy(col("sim16").desc, col("vec_id").asc).limit(50)
+      val rer = cands.select(col("vec_id"), col("sim16"),
+        round(graft.functions.VectorOps.cosine(col("embedding"), col("__qe")), 6)
+          .as("sim64"))
+      rer.withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("sim64").desc, col("vec_id").asc)).cast("long"))
+        .where(col("rank") <= 10)
+        .select("rank", "vec_id", "sim16", "sim64")
+        .orderBy("rank")
+    }),
+
     // LSH-bucketed ANN top-k (rows-only: approximate by construction).
     // Emits recall-vs-brute-force as a column, so ANN quality is visible
     // in the verify artifacts; the floor is spec-asserted. AutoPlanes:
@@ -514,6 +545,31 @@ object SimMmQueries extends QueryModule {
       |""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    // q_sim14's twin spells the SAME ±1 matrix (shared arithmetic rule)
+    // as literal add/subtract chains in the same fold order.
+    "q_sim14" -> {
+      def projList(e: String): String =
+        (0 until 16).map { i =>
+          "(0.0 " + (0 until 64).map { j =>
+            val op = if (graft.functions.SignProject.signAt(i, j, 64) > 0) "+" else "-"
+            s"$op CAST($e[${j + 1}] AS DOUBLE) "
+          }.mkString + ")"
+        }.mkString("[", ", ", "]")
+      s"""WITH p AS (SELECT vec_id, embedding,
+         |    ${projList("embedding")} AS p16 FROM embeddings),
+         |q AS (SELECT p16 AS qp, embedding AS qe FROM p WHERE vec_id = 0),
+         |coarse AS (SELECT p.vec_id, p.embedding, q.qe,
+         |    round(${cosSql("p.p16", "q.qp")}, 6) AS sim16
+         |  FROM p, q WHERE p.vec_id <> 0),
+         |cand AS (SELECT * FROM coarse ORDER BY sim16 DESC, vec_id LIMIT 50),
+         |rer AS (SELECT vec_id, sim16,
+         |    round(${cosSql("embedding", "qe")}, 6) AS sim64 FROM cand)
+         |SELECT rank, vec_id, sim16, sim64 FROM (
+         |  SELECT CAST(row_number() OVER (ORDER BY sim64 DESC, vec_id) AS BIGINT)
+         |      AS rank, vec_id, sim16, sim64
+         |  FROM rer)
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin
+    },
     // Audio fingerprint family: the full clip synthesis + Haar band-energy
     // hash re-derived in SQL (see audioHashChainSql); pairs are the
     // brute-force Hamming<=3 sets the pigeonhole banding must equal.

@@ -618,6 +618,30 @@ object TextDedupQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // Q-PIPE7: context-length padding-waste table — the choose-the-seq-len
+    // companion to q_pipe3's packing: for each candidate context length,
+    // the token overhead of padding every doc's chunks up to the boundary
+    // (pad = (L - nt mod L) mod L, exact integer math). One tokenize scan,
+    // the 4-row length table broadcast onto it.
+    "q_pipe7" -> ((s, d) => {
+      import s.implicits._
+      val nt = Tables.load(s, d, "documents")
+        .select(size(TextOps.tokens(col("text"))).cast("long").as("__nt"))
+      val ls = Seq(32L, 64L, 128L, 256L).toDF("seq_len")
+      nt.crossJoin(broadcast(ls))
+        .select(col("seq_len"), col("__nt"),
+          (col("__nt") + pmod(col("seq_len") - pmod(col("__nt"), col("seq_len")),
+            col("seq_len"))).as("__padded"))
+        .groupBy("seq_len")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__nt")).as("total_tokens"),
+          sum(col("__padded")).as("padded_tokens"))
+        .withColumn("waste_frac",
+          (col("padded_tokens") - col("total_tokens")).cast("double") /
+            col("padded_tokens").cast("double"))
+        .orderBy("seq_len")
+    }),
+
     // Entity resolution: fuzzy catalog-name alignment — corrupted variants
     // (first 3 chars dropped) matched back to the original name vocabulary
     // by character-trigram Jaccard; candidates from a shared-trigram join,
@@ -770,6 +794,21 @@ object TextDedupQueries extends QueryModule {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_pipe7" ->
+      s"""WITH nt AS (SELECT CAST(len($tokSql) AS BIGINT) AS n FROM documents),
+         |ls AS (SELECT * FROM (VALUES (CAST(32 AS BIGINT)), (64), (128), (256))
+         |       AS v(seq_len)),
+         |pad AS (SELECT seq_len, n,
+         |    n + ((seq_len - (n % seq_len)) % seq_len) AS padded
+         |  FROM nt, ls),
+         |ag AS (SELECT seq_len, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(n) AS BIGINT) AS total_tokens,
+         |    CAST(SUM(padded) AS BIGINT) AS padded_tokens
+         |  FROM pad GROUP BY seq_len)
+         |SELECT seq_len, n_docs, total_tokens, padded_tokens,
+         |  CAST(padded_tokens - total_tokens AS DOUBLE) /
+         |    CAST(padded_tokens AS DOUBLE) AS waste_frac
+         |FROM ag ORDER BY seq_len""".stripMargin,
     "q_txt31" ->
       s"""WITH tf AS (SELECT source, t.w AS term, CAST(COUNT(*) AS BIGINT) AS cnt
          |  FROM (SELECT source, $tokSql AS toks FROM documents), unnest(toks) AS t(w)
