@@ -113,6 +113,37 @@ object StreamingCheck {
       val batchN = batch.count()
       require(sunkN == batchN, s"sink drained $sunkN rows, batch has $batchN")
       println(s"sinkPartitioned OK: $sunkN rows exactly-once through the file sink")
+
+      // S-STRMSEARCH: search-index maintenance through the REAL entry
+      // point — documents replayed as 4 micro-batches via foreachBatch
+      // into StreamingSearch.processBatch (per-batch-id postings store);
+      // after the drain, scoring against the STORE must equal a
+      // from-scratch index of the whole corpus (the maintenance
+      // contract, proven through readStream instead of direct calls).
+      import spark.implicits._
+      val docs = Tables.load(spark, sfDir, "documents")
+        .select("doc_id", "text").cache()
+      val docInput = s"$scratch/docs_in"
+      docs.repartition(4).write.mode("overwrite").parquet(docInput)
+      val postStore = s"$scratch/postings"
+      val queriesDf = Seq((1L, "spark"), (1L, "window"), (2L, "batch"))
+        .toDF("query_id", "term")
+      val sq = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(docInput)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$scratch/ckpt_search")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          graft.streaming.StreamingSearch.processBatch(
+            b, postStore, queriesDf, batchId = Some(id))
+          ()
+        }.start()
+      sq.awaitTermination()
+      import graft.operators.Bm25
+      mustMatch("S-STRMSEARCH(store==rebuild)",
+        Bm25.scoreMicro(spark.read.parquet(postStore)
+          .select("doc_id", "term", "tf", "dl"), queriesDf),
+        Bm25.scoreMicro(Bm25.postings(docs, "doc_id", col("text")), queriesDf))
     } finally spark.stop()
   }
 }
