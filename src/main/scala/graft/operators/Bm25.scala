@@ -184,6 +184,58 @@ object Bm25 {
         min(col("start")).cast("long").as("first_pos"))
   }
 
+  /** Maximal-marginal-relevance diversification of a candidate list:
+    * greedily pick k results maximizing
+    * `λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s)` — the standard rerank
+    * that stops a result page (or a few-shot example set) from being five
+    * near-copies of the best hit.
+    *
+    * `cands`: (doc_id, rel_micro) — the candidate list, ALREADY k-bounded
+    * by an upstream retrieval stage (top-50/100), with integer micro-unit
+    * relevance. `sims`: (id_a, id_b, sim_micro) — pairwise similarities
+    * among candidates (missing pairs count as 0). The greedy recurrence is
+    * inherently sequential AND data-dependent (each step's argmax feeds
+    * the next step's penalty), so — exactly like BPE's merge loop — no
+    * fixed SQL can express it and the operator is spec-verified rather
+    * than oracle-checked. It runs on the DRIVER over the collected
+    * candidate list: the list is output-sized BY CONTRACT (the expensive
+    * part, retrieval + pairwise sims over candidates, stays distributed
+    * upstream), and integer micro arithmetic keeps every step exact and
+    * deterministic (ties to the lower doc_id).
+    *
+    * Output: (rank, doc_id, rel_micro, mmr_micro). λ is given in micro
+    * units (`lambdaMicro` of 1e6 = pure relevance = plain top-k). */
+  def mmrSelect(cands: DataFrame, sims: DataFrame, k: Int,
+                lambdaMicro: Long = 700000L): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(lambdaMicro >= 0L && lambdaMicro <= 1000000L,
+      s"lambdaMicro must be in [0, 1e6], got $lambdaMicro")
+    val spark = cands.sparkSession
+    import spark.implicits._
+    val rel = cands.select(col("doc_id").cast("long"), col("rel_micro").cast("long"))
+      .as[(Long, Long)].collect().toSeq
+    val sim = sims.select(col("id_a").cast("long"), col("id_b").cast("long"),
+        col("sim_micro").cast("long"))
+      .as[(Long, Long, Long)].collect()
+      .flatMap { case (a, b, s) => Seq((a, b) -> s, (b, a) -> s) }.toMap
+    val lam = lambdaMicro
+    val selected = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    val remaining = scala.collection.mutable.LinkedHashMap(rel.sortBy(_._1): _*)
+    while (selected.size < math.min(k, rel.size)) {
+      // score in exact integer micro^2 space: λ·rel − (1−λ)·maxSim
+      val best = remaining.iterator.map { case (id, r) =>
+        val pen = if (selected.isEmpty) 0L
+          else selected.iterator.map(s => sim.getOrElse((id, s._2), 0L)).max
+        (lam * r - (1000000L - lam) * pen, id, r)
+      }.maxBy { case (score, id, _) => (score, -id) } // ties -> lower doc_id
+      selected += ((best._1, best._2, best._3))
+      remaining.remove(best._2)
+    }
+    selected.zipWithIndex.map { case ((score, id, r), i) =>
+      ((i + 1).toLong, id, r, score)
+    }.toSeq.toDF("rank", "doc_id", "rel_micro", "mmr_micro")
+  }
+
   /** Reciprocal-rank fusion of ranked lists: rrf_micro = Σ round(1e6 /
     * (rrfK + rank)) over the rankers that returned the doc. Integer
     * arithmetic after the per-ranker round, so the fusion is oracle-exact.

@@ -178,6 +178,32 @@ object SearchQueries extends QueryModule {
       lexOnly.unionByName(semOnly)
         .orderBy("query_id", "side", "rank", "doc_id")
     }),
+
+    // Q-SRCH8: MMR diversification — the semantic top-50 for seed 0
+    // reranked so near-duplicate hits stop crowding the page: greedy
+    // λ·rel − (1−λ)·maxSimToSelected over exact integer micro scores.
+    // Retrieval + the 50×50 pairwise sims stay distributed; only the
+    // output-sized candidate list reaches the driver greedy (rows-only:
+    // the data-dependent greedy recurrence has no SQL form — q_bpe1's
+    // adjudication; determinism + diversity spec-asserted).
+    "q_srch8" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      val qv = emb.where(col("vec_id") === 0).select(col("embedding").as("__qe"))
+      val scored = emb.crossJoin(broadcast(qv)).where(col("vec_id") =!= 0)
+        .select(col("vec_id").as("doc_id"), col("embedding"),
+          round(VectorOps.cosine(col("embedding"), col("__qe")) * lit(1e6), 0)
+            .cast("long").as("rel_micro"))
+      val cands = scored.orderBy(col("rel_micro").desc, col("doc_id").asc)
+        .limit(50).localCheckpoint()
+      val a = cands.select(col("doc_id").as("id_a"), col("embedding").as("__ea"))
+      val b = cands.select(col("doc_id").as("id_b"), col("embedding").as("__eb"))
+      val sims = a.join(broadcast(b), col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(VectorOps.cosine(col("__ea"), col("__eb")) * lit(1e6), 0)
+            .cast("long").as("sim_micro"))
+      Bm25.mmrSelect(cands.select("doc_id", "rel_micro"), sims, k = 10)
+        .orderBy("rank")
+    }),
   )
 
   /** Shared SQL CTE chain mirroring Bm25.postings + df/stats — kept in

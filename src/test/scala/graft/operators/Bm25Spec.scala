@@ -131,6 +131,38 @@ class Bm25Spec extends SparkSpec {
     assert(got === Seq((1L, 1L, 1L)))
   }
 
+  test("mmrSelect: λ=1 is plain top-k by relevance; ties to lower doc_id") {
+    val cands = Seq((1L, 900L), (2L, 800L), (3L, 900L), (4L, 700L))
+      .toDF("doc_id", "rel_micro")
+    val sims = Seq((1L, 3L, 999999L)).toDF("id_a", "id_b", "sim_micro")
+    val got = Bm25.mmrSelect(cands, sims, k = 3, lambdaMicro = 1000000L)
+      .select("rank", "doc_id").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 1L), (2L, 3L), (3L, 2L)))
+  }
+
+  test("mmrSelect: a near-duplicate of the top hit is pushed out of the page") {
+    // docs 1 and 2 are near-identical (sim 0.99); 3 is distinct but less
+    // relevant. Plain top-2 = (1, 2); MMR at λ=0.7 must pick (1, 3).
+    val cands = Seq((1L, 900000L), (2L, 890000L), (3L, 600000L))
+      .toDF("doc_id", "rel_micro")
+    val sims = Seq((1L, 2L, 990000L), (1L, 3L, 100000L), (2L, 3L, 120000L))
+      .toDF("id_a", "id_b", "sim_micro")
+    val got = Bm25.mmrSelect(cands, sims, k = 2)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got === Seq(1L, 3L))
+  }
+
+  test("mmrSelect: deterministic, missing pairs penalize zero, k caps at candidates") {
+    val cands = Seq((5L, 500000L), (6L, 400000L)).toDF("doc_id", "rel_micro")
+    val sims = spark.emptyDataFrame
+      .select(lit(0L).as("id_a"), lit(0L).as("id_b"), lit(0L).as("sim_micro"))
+      .limit(0)
+    val once = Bm25.mmrSelect(cands, sims, k = 10).collect().toSeq
+    val again = Bm25.mmrSelect(cands, sims, k = 10).collect().toSeq
+    assert(once === again)
+    assert(once.map(_.getLong(1)) === Seq(5L, 6L))
+  }
+
   test("scoring plan: queries and stats are broadcast, postings never re-shuffled") {
     val q = Seq((1L, "a")).toDF("query_id", "term")
     val p = Bm25.scoreMicro(post, q).queryExecution.executedPlan.toString
