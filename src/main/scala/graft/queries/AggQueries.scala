@@ -109,6 +109,28 @@ object AggQueries extends QueryModule {
         .orderBy("probe")
     }),
 
+    // Q-AGG17: frequent-pair mining over order baskets (the 2-itemset
+    // apriori core): distinct (order, part) rows self-join WITHIN an
+    // order only (pair volume bounded by basket size², with an explicit
+    // basket-size cap so a degenerate mega-basket cannot detonate the
+    // join — the q_dedup crowded-bucket knob applied to baskets), pair
+    // support counted, support >= 2 kept, top-20 by (support desc, pair).
+    "q_agg17" -> ((s, d) => {
+      val items = Tables.load(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val sized = items.withColumn("__bsz",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("ok")))
+      val capped = sized.where(col("__bsz") <= 50).drop("__bsz")
+      val a = capped.select(col("ok"), col("pk").as("pk_a"))
+      val b = capped.select(col("ok"), col("pk").as("pk_b"))
+      a.join(b, Seq("ok")).where(col("pk_a") < col("pk_b"))
+        .groupBy("pk_a", "pk_b").agg(count(lit(1)).as("support"))
+        .where(col("support") >= 2)
+        .orderBy(col("support").desc, col("pk_a"), col("pk_b"))
+        .limit(20)
+    }),
+
     // GROUPING SETS ((status), (priority), ()) — the general form that
     // rollup/cube specialize (independent one-dimension margins + grand
     // total in ONE pass, no self-union); grouping() flags disambiguate
@@ -207,6 +229,20 @@ object AggQueries extends QueryModule {
   )
 
   private val statOracle: Map[String, String] = Map(
+    "q_agg17" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |               FROM lineitem),
+        |capped AS (SELECT ok, pk FROM (
+        |    SELECT ok, pk, COUNT(*) OVER (PARTITION BY ok) AS bsz FROM items)
+        |  WHERE bsz <= 50),
+        |pairs AS (SELECT a.pk AS pk_a, b.pk AS pk_b
+        |          FROM capped a JOIN capped b
+        |            ON a.ok = b.ok AND a.pk < b.pk)
+        |SELECT pk_a, pk_b, CAST(COUNT(*) AS BIGINT) AS support
+        |FROM pairs GROUP BY pk_a, pk_b
+        |HAVING COUNT(*) >= 2
+        |ORDER BY support DESC, pk_a, pk_b
+        |LIMIT 20""".stripMargin,
     "q_agg10" ->
       s"""SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
          |  COUNT(*) AS n_orders,

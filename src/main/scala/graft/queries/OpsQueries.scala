@@ -64,6 +64,25 @@ object OpsQueries extends QueryModule {
     "q_sess2" -> ((s, d) =>
       Shared.sessionStats(s, d).orderBy("user_id", "session_seq")),
 
+    // Q-SESS3: weekly retention cohorts — the activation/retention matrix:
+    // cohort = a user's first active week (pure integer epoch-week, no
+    // calendar-boundary cross-engine traps), offset = weeks since cohort,
+    // cell = distinct returning users. Two aggregations + one broadcast
+    // join of the users-sized cohort table; the event scan happens once.
+    "q_sess3" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+        .select(col("user_id"),
+          floor(unix_timestamp(col("ts")).cast("double") / lit(604800.0))
+            .cast("long").as("__wk"))
+      val cohorts = ev.groupBy("user_id").agg(min("__wk").as("__cwk"))
+      ev.join(broadcast(cohorts), Seq("user_id"))
+        .select(col("user_id"), col("__cwk").as("cohort_week"),
+          (col("__wk") - col("__cwk")).as("offset_weeks"))
+        .groupBy("cohort_week", "offset_weeks")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_week", "offset_weeks")
+    }),
+
     // Q-DIFF1: snapshot reconciliation — one full-outer sort-merge join on
     // the key; only the delta (added/removed/changed) survives.
     "q_diff1" -> ((s, d) => {
@@ -414,6 +433,18 @@ object OpsQueries extends QueryModule {
          |  CAST(SUM(CASE WHEN is_session_start THEN 1 ELSE 0 END)
          |    OVER $sessWin AS BIGINT) AS session_seq
          |FROM s ORDER BY user_id, ts, event_id""".stripMargin,
+
+    "q_sess3" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(floor(CAST(epoch_us(ts) // 1000000 AS DOUBLE) / 604800.0)
+        |      AS BIGINT) AS wk
+        |  FROM events),
+        |c AS (SELECT user_id, MIN(wk) AS cwk FROM e GROUP BY user_id)
+        |SELECT c.cwk AS cohort_week, e.wk - c.cwk AS offset_weeks,
+        |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM e JOIN c ON e.user_id = c.user_id
+        |GROUP BY cohort_week, offset_weeks
+        |ORDER BY cohort_week, offset_weeks""".stripMargin,
 
     "q_sess2" ->
       s"""WITH e AS (
