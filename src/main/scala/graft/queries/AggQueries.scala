@@ -28,6 +28,31 @@ object AggQueries extends QueryModule {
       .orderBy("l_returnflag", "ship_year")
   }
 
+  /** Distinct (order, part) rows with degenerate mega-baskets dropped
+    * (> 50 items) — the basket universe q_agg17/18 mine. The cap is the
+    * crowded-bucket knob applied to baskets: pair volume stays bounded by
+    * basket size², never the corpus. */
+  private def cappedBasketItems(s: SparkSession, d: String): DataFrame = {
+    val items = Tables.load(s, d, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    items.withColumn("__bsz",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("ok")))
+      .where(col("__bsz") <= 50).drop("__bsz")
+  }
+
+  /** Pair supports >= 2 over [[cappedBasketItems]] — the per-order
+    * self-join, shared by q_agg17 (the support table) and q_agg18 (the
+    * rule table). */
+  private def pairSupports(s: SparkSession, d: String): DataFrame = {
+    val capped = cappedBasketItems(s, d)
+    val a = capped.select(col("ok"), col("pk").as("pk_a"))
+    val b = capped.select(col("ok"), col("pk").as("pk_b"))
+    a.join(b, Seq("ok")).where(col("pk_a") < col("pk_b"))
+      .groupBy("pk_a", "pk_b").agg(count(lit(1)).as("support"))
+      .where(col("support") >= 2)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame]("q_agg1" -> (flagship _)) ++
       baseQueries ++ statQueries
@@ -115,18 +140,29 @@ object AggQueries extends QueryModule {
     // basket-size cap so a degenerate mega-basket cannot detonate the
     // join — the q_dedup crowded-bucket knob applied to baskets), pair
     // support counted, support >= 2 kept, top-20 by (support desc, pair).
-    "q_agg17" -> ((s, d) => {
-      val items = Tables.load(s, d, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val sized = items.withColumn("__bsz",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("ok")))
-      val capped = sized.where(col("__bsz") <= 50).drop("__bsz")
-      val a = capped.select(col("ok"), col("pk").as("pk_a"))
-      val b = capped.select(col("ok"), col("pk").as("pk_b"))
-      a.join(b, Seq("ok")).where(col("pk_a") < col("pk_b"))
-        .groupBy("pk_a", "pk_b").agg(count(lit(1)).as("support"))
-        .where(col("support") >= 2)
+    "q_agg17" -> ((s, d) =>
+      pairSupports(s, d)
+        .orderBy(col("support").desc, col("pk_a"), col("pk_b"))
+        .limit(20)),
+
+    // Q-AGG18: association rules over the q_agg17 pairs — confidence in
+    // both directions and lift from exact integer supports (raw IEEE
+    // quotients); deterministic top-20 on the same total order. The rule
+    // table every recommender bootstrap reads off basket data.
+    "q_agg18" -> ((s, d) => {
+      val items = cappedBasketItems(s, d)
+      val nBaskets = items.select("ok").distinct()
+        .agg(count(lit(1)).as("__n"))
+      val itemSup = items.groupBy("pk").agg(count(lit(1)).as("__sup"))
+      pairSupports(s, d)
+        .join(itemSup.select(col("pk").as("pk_a"), col("__sup").as("__sa")), "pk_a")
+        .join(itemSup.select(col("pk").as("pk_b"), col("__sup").as("__sb")), "pk_b")
+        .crossJoin(broadcast(nBaskets))
+        .select(col("pk_a"), col("pk_b"), col("support"),
+          (col("support").cast("double") / col("__sa").cast("double")).as("conf_ab"),
+          (col("support").cast("double") / col("__sb").cast("double")).as("conf_ba"),
+          ((col("support") * col("__n")).cast("double") /
+            (col("__sa") * col("__sb")).cast("double")).as("lift"))
         .orderBy(col("support").desc, col("pk_a"), col("pk_b"))
         .limit(20)
     }),
@@ -228,21 +264,38 @@ object AggQueries extends QueryModule {
         .orderBy("l_returnflag")),
   )
 
+  private val basketCtes =
+    """items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |          FROM lineitem),
+      |capped AS (SELECT ok, pk FROM (
+      |    SELECT ok, pk, COUNT(*) OVER (PARTITION BY ok) AS bsz FROM items)
+      |  WHERE bsz <= 50),
+      |psup AS (SELECT a.pk AS pk_a, b.pk AS pk_b,
+      |    CAST(COUNT(*) AS BIGINT) AS support
+      |  FROM capped a JOIN capped b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY a.pk, b.pk HAVING COUNT(*) >= 2)""".stripMargin
+
   private val statOracle: Map[String, String] = Map(
+    "q_agg18" ->
+      s"""WITH $basketCtes,
+         |nb AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n FROM capped),
+         |isup AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS sup
+         |         FROM capped GROUP BY pk)
+         |SELECT p.pk_a, p.pk_b, p.support,
+         |  CAST(p.support AS DOUBLE) / CAST(ia.sup AS DOUBLE) AS conf_ab,
+         |  CAST(p.support AS DOUBLE) / CAST(ib.sup AS DOUBLE) AS conf_ba,
+         |  CAST(p.support * nb.n AS DOUBLE) /
+         |    CAST(ia.sup * ib.sup AS DOUBLE) AS lift
+         |FROM psup p
+         |JOIN isup ia ON ia.pk = p.pk_a
+         |JOIN isup ib ON ib.pk = p.pk_b, nb
+         |ORDER BY p.support DESC, p.pk_a, p.pk_b
+         |LIMIT 20""".stripMargin,
     "q_agg17" ->
-      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
-        |               FROM lineitem),
-        |capped AS (SELECT ok, pk FROM (
-        |    SELECT ok, pk, COUNT(*) OVER (PARTITION BY ok) AS bsz FROM items)
-        |  WHERE bsz <= 50),
-        |pairs AS (SELECT a.pk AS pk_a, b.pk AS pk_b
-        |          FROM capped a JOIN capped b
-        |            ON a.ok = b.ok AND a.pk < b.pk)
-        |SELECT pk_a, pk_b, CAST(COUNT(*) AS BIGINT) AS support
-        |FROM pairs GROUP BY pk_a, pk_b
-        |HAVING COUNT(*) >= 2
-        |ORDER BY support DESC, pk_a, pk_b
-        |LIMIT 20""".stripMargin,
+      s"""WITH $basketCtes
+         |SELECT pk_a, pk_b, support FROM psup
+         |ORDER BY support DESC, pk_a, pk_b
+         |LIMIT 20""".stripMargin,
     "q_agg10" ->
       s"""SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
          |  COUNT(*) AS n_orders,
