@@ -78,6 +78,159 @@ object GraphOps {
     pr
   }
 
+  /** Canonical undirected simple-graph edge list: each edge once as
+    * (lo, hi) with lo < hi, self-loops dropped, parallel edges collapsed.
+    * The shared normalization under every undirected metric below. */
+  def canonicalUndirected(edges: DataFrame, srcCol: String,
+                          dstCol: String): DataFrame =
+    checkedEdges(edges, srcCol, dstCol)
+      .select(least(col("__src"), col("__dst")).as("__lo"),
+        greatest(col("__src"), col("__dst")).as("__hi"))
+      .where(col("__lo") < col("__hi"))
+      .distinct()
+
+  private def undirectedDegrees(canon: DataFrame): DataFrame =
+    canon.select(col("__lo").as("vertex"))
+      .union(canon.select(col("__hi").as("vertex")))
+      .groupBy("vertex").agg(count(lit(1)).as("__deg"))
+
+  /** Per-vertex triangle counts over the undirected simple graph — the
+    * cohesion metric under clustering coefficients and community quality
+    * scores. Exact and all-integer => hash-exact against a three-way
+    * self-join oracle.
+    *
+    * Scale design: edges are ORIENTED BY DEGREE (from the lower-(degree,id)
+    * endpoint to the higher) before the wedge join, the classic
+    * O(m^1.5)-work triangle enumeration: every wedge is generated at its
+    * lowest-ranked apex, whose out-degree under this orientation is
+    * O(sqrt(m)) — a power-law hub with 10^6 neighbors generates wedges
+    * only from the ~sqrt(m) edges pointing INTO higher-ranked vertices,
+    * not the hub's full neighborhood squared. Id-orientation (the oracle's
+    * simpler form — same result) would square the hub. Two shuffles on
+    * vertex keys + one edge-keyed join; no driver state.
+    *
+    * Returns (vertex, triangles) for EVERY vertex of the graph, zeros
+    * included. */
+  def triangleCounts(edges: DataFrame, srcCol: String,
+                     dstCol: String): DataFrame = {
+    val canon = canonicalUndirected(edges, srcCol, dstCol).localCheckpoint()
+    val deg = undirectedDegrees(canon).localCheckpoint()
+    // orient: a -> b where (deg(a), a) < lexicographically (deg(b), b);
+    // lo < hi always, so equal degrees orient lo -> hi.
+    val oriented = canon
+      .join(deg.select(col("vertex").as("__lo"), col("__deg").as("__dl")), Seq("__lo"))
+      .join(deg.select(col("vertex").as("__hi"), col("__deg").as("__dh")), Seq("__hi"))
+      .select(
+        when(col("__dl") <= col("__dh"), col("__lo")).otherwise(col("__hi")).as("__a"),
+        when(col("__dl") <= col("__dh"), col("__hi")).otherwise(col("__lo")).as("__b"),
+        when(col("__dl") <= col("__dh"), col("__dh")).otherwise(col("__dl")).as("__degb"))
+      .localCheckpoint()
+    // wedges at apex a between out-neighbors b < c in (degree, id) rank,
+    // closed by the oriented edge b -> c (which exists iff {b,c} is an
+    // edge, because rank(b) < rank(c) fixes its orientation).
+    val o2 = oriented.select(col("__a"), col("__b").as("__c"), col("__degb").as("__degc"))
+    val wedges = oriented.join(o2, Seq("__a"))
+      .where(col("__degb") < col("__degc") ||
+        (col("__degb") === col("__degc") && col("__b") < col("__c")))
+    val closing = oriented.select(col("__a").as("__b"), col("__b").as("__c"))
+    val triangles = wedges.select("__a", "__b", "__c")
+      .join(closing.hint("shuffle_hash"), Seq("__b", "__c"))
+    val perVertex = triangles
+      .select(explode(array(col("__a"), col("__b"), col("__c"))).as("vertex"))
+      .groupBy("vertex").agg(count(lit(1)).as("triangles"))
+    deg.select(col("vertex"))
+      .join(perVertex, Seq("vertex"), "left_outer")
+      .select(col("vertex"), coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
+
+  /** Local clustering coefficient per vertex, in exact micro units:
+    * lcc_micro = (2 · triangles(v) · 1e6) div (deg(v) · (deg(v)-1)),
+    * 0 for degree < 2. Integer arithmetic end-to-end (non-negative
+    * operands, so truncating and flooring division agree) => hash-exact. */
+  def clusteringCoefficients(edges: DataFrame, srcCol: String,
+                             dstCol: String): DataFrame = {
+    val canon = canonicalUndirected(edges, srcCol, dstCol).localCheckpoint()
+    val tri = triangleCounts(canon, "__lo", "__hi")
+    undirectedDegrees(canon)
+      .withColumnRenamed("__deg", "degree")
+      .join(tri, Seq("vertex"))
+      .select(col("vertex"), col("degree"), col("triangles"),
+        when(col("degree") >= 2,
+          expr("(2 * triangles * 1000000) div (degree * (degree - 1))"))
+          .otherwise(lit(0L)).as("lcc_micro"))
+  }
+
+  /** k-core: the maximal subgraph where every vertex has degree >= k,
+    * by iterative peeling (drop vertices with degree < k, recompute,
+    * repeat to fixpoint). The standard corpus-pruning metric — a page
+    * with fewer than k well-connected neighbors is peripheral no matter
+    * how the rest of the graph looks.
+    *
+    * Each round is one degree aggregation + one semi-join edge filter;
+    * lineage is truncated per round. The driver reads ONE scalar per
+    * round (the surviving-edge count) to detect the fixpoint — a setup
+    * decision like the BPE argmax, not data movement; rounds are bounded
+    * by the peel depth (O(log n) on real graphs, `maxRounds` hard cap).
+    *
+    * Returns (vertex, core_degree): survivors with their degree INSIDE
+    * the k-core. Empty when the graph has no k-core. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+            maxRounds: Int = 64): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    var cur = canonicalUndirected(edges, srcCol, dstCol).localCheckpoint()
+    var n = cur.count()
+    var done = n == 0L
+    var rounds = 0
+    while (!done && rounds < maxRounds) {
+      val keep = undirectedDegrees(cur).where(col("__deg") >= k)
+        .select(col("vertex")).localCheckpoint()
+      val next = cur
+        .join(keep.withColumnRenamed("vertex", "__lo"), Seq("__lo"), "left_semi")
+        .join(keep.withColumnRenamed("vertex", "__hi"), Seq("__hi"), "left_semi")
+        .localCheckpoint()
+      val m = next.count()
+      done = m == n // no edge removed => every remaining degree >= k
+      cur = next
+      n = m
+      rounds += 1
+    }
+    undirectedDegrees(cur).where(col("__deg") >= k)
+      .select(col("vertex"), col("__deg").as("core_degree"))
+  }
+
+  /** Synchronous label propagation for a FIXED number of rounds —
+    * deterministic community detection. Init label(v) = v; each round
+    * every vertex adopts the most frequent label among its neighbors
+    * (ties -> smallest label; isolated vertices cannot occur, the vertex
+    * set is induced by the edges). Fixed rounds + min-label tie-break
+    * make the result engine-independent and all-integer => hash-exact
+    * against an unrolled-CTE oracle, same contract as [[pageRank]].
+    *
+    * One neighbor-join + one (vertex, label) count + one per-vertex
+    * arg-max window per round; lineage truncated per round. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       rounds: Int): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    val canon = canonicalUndirected(edges, srcCol, dstCol)
+    val nbrs = canon.select(col("__lo").as("vertex"), col("__hi").as("__nbr"))
+      .union(canon.select(col("__hi").as("vertex"), col("__lo").as("__nbr")))
+      .localCheckpoint()
+    var labels = nbrs.select(col("vertex")).distinct()
+      .select(col("vertex"), col("vertex").as("label")).localCheckpoint()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("vertex")
+      .orderBy(col("__cnt").desc, col("label").asc)
+    for (_ <- 1 to rounds) {
+      labels = nbrs
+        .join(labels.select(col("vertex").as("__nbr"), col("label")), Seq("__nbr"))
+        .groupBy("vertex", "label").agg(count(lit(1)).as("__cnt"))
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .select("vertex", "label")
+        .localCheckpoint()
+    }
+    labels
+  }
+
   /** Personalized PageRank — [[pageRank]] with the teleport mass pinned to
     * a SEED set instead of spread uniformly: scores become graph proximity
     * to the seeds (the data-discovery op: "expand this curated set" —

@@ -65,4 +65,118 @@ object TimeSeriesOps {
     forwardFill(gridJoinDaily(daily, keyCol, "day"),
       keyCol, Seq(col("day")), valueCol, s"${valueCol}_filled")
   }
+
+  /** Sample autocorrelation r_k per key at lags 1..maxLag over an
+    * INTEGER-valued regular series (`valueCol` LONG, one row per
+    * consecutive `idxCol` step — resample/zero-fill first). The
+    * periodicity diagnostic behind seasonality detection and
+    * feature-window selection.
+    *
+    *   r_k = Σ_{t>k} (x_t - x̄)(x_{t-k} - x̄)  /  Σ_t (x_t - x̄)²
+    *
+    * Determinism: multiplying through by n² makes both sums exact
+    * integers — num_k = Σ (n·x_t - S)(n·x_{t-k} - S), den = Σ (n·x_t - S)²
+    * with S = Σx — accumulated in DECIMAL, then one cast each to double
+    * and ONE IEEE division. Deterministic within Spark; an oracle compare
+    * must still round the quotient (observed: DuckDB's HUGEINT→DOUBLE
+    * conversion lands 1 ulp off the JVM's correctly-rounded decimal cast
+    * for >2^53 sums). Constant series (den = 0) yield null, never NaN.
+    *
+    * Shape: one window partition per key (lag + count + sum in a single
+    * pass), one key-wise aggregation per lag — no self-joins, no collect.
+    * Returns (key, lag, n, acf). */
+  def acf(df: DataFrame, keyCol: String, idxCol: String, valueCol: String,
+          maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(idxCol))
+    val wAll = Window.partitionBy(col(keyCol))
+    val xd = col(valueCol).cast("long").cast("decimal(19,0)")
+    val laggedCols =
+      Seq(col(keyCol), xd.as("__x"),
+        count(lit(1)).over(wAll).cast("decimal(19,0)").as("__n"),
+        sum(xd).over(wAll).cast("decimal(19,0)").as("__s")) ++
+      (1 to maxLag).map(k => lag(xd, k).over(w).as(s"__x$k"))
+    val lagged = df.select(laggedCols: _*)
+    val dev = (x: Column) => col("__n") * x - col("__s")
+    val aggCols =
+      Seq(sum(dev(col("__x")) * dev(col("__x"))).as("__den")) ++
+      (1 to maxLag).map(k =>
+        sum(dev(col("__x")) * dev(col(s"__x$k"))).as(s"__num$k"))
+    val agg = lagged.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), aggCols: _*)
+    val pairs = array((1 to maxLag).map(k =>
+      struct(lit(k).as("lag"), col(s"__num$k").as("num"))): _*)
+    agg.select(col(keyCol), col("n"), col("__den"),
+        explode(pairs).as("__p"))
+      .select(col(keyCol), col("__p.lag").as("lag"), col("n"),
+        when(col("__den") > 0,
+          col("__p.num").cast("double") / col("__den").cast("double"))
+          .as("acf"))
+  }
+
+  /** Change-point detection by two-sided window mean shift: at each point
+    * of a regular integer series, the difference between the sum of the
+    * NEXT w values and the sum of the PREVIOUS w values (both windows must
+    * be full). The per-key arg-max |shift| is the most likely level-shift
+    * location — the drift detector run over ingest volumes and price
+    * series before a model retrain. All-integer => hash-exact.
+    *
+    * Returns one row per key that has at least 2w+1 points:
+    * (key, idx, shift) with ties broken toward the earliest index. */
+  def meanShiftChangepoint(df: DataFrame, keyCol: String, idxCol: String,
+                           valueCol: String, w: Int): DataFrame = {
+    require(w >= 1, s"w must be >= 1, got $w")
+    val ord = Window.partitionBy(col(keyCol)).orderBy(col(idxCol))
+    val left = ord.rowsBetween(-w, -1)
+    val right = ord.rowsBetween(1, w)
+    val x = col(valueCol).cast("long")
+    val shifted = df.select(col(keyCol), col(idxCol), x.as("__x"))
+      .select(col(keyCol), col(idxCol),
+        sum(col("__x")).over(left).as("__l"), count(lit(1)).over(left).as("__nl"),
+        sum(col("__x")).over(right).as("__r"), count(lit(1)).over(right).as("__nr"))
+      .where(col("__nl") === w && col("__nr") === w)
+      .select(col(keyCol), col(idxCol), (col("__r") - col("__l")).as("shift"))
+    val pick = Window.partitionBy(col(keyCol))
+      .orderBy(abs(col("shift")).desc, col(idxCol).asc)
+    shifted.withColumn("__rn", row_number().over(pick))
+      .where(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Classical additive seasonal decomposition on a regular daily integer
+    * series: trend = centered (2h+1)-day moving average, seasonal = the
+    * ISO-weekday mean of the detrended series, residual = the rest.
+    * Rows without a full trend window are dropped (the standard edge
+    * treatment).
+    *
+    * Determinism: the trend sum T and the scaled detrended value
+    * d = (2h+1)·x − T are exact integers; trend = T/(2h+1), seasonal =
+    * Σd / ((2h+1)·count) are each ONE integer→double cast + ONE IEEE
+    * division, and residual = (x − trend) − seasonal chains IEEE ops on
+    * identical operands — bitwise cross-engine. Two window passes + one
+    * weekday aggregation; no joins beyond the seasonal broadcast-back. */
+  def seasonalDecompose(df: DataFrame, keyCol: String, dayCol: String,
+                        valueCol: String, halfWindow: Int): DataFrame = {
+    require(halfWindow >= 1, s"halfWindow must be >= 1, got $halfWindow")
+    val span = 2 * halfWindow + 1
+    val ord = Window.partitionBy(col(keyCol)).orderBy(col(dayCol))
+      .rowsBetween(-halfWindow, halfWindow)
+    val x = col(valueCol).cast("long")
+    val trended = df.select(col(keyCol), col(dayCol), x.as("__x"))
+      .select(col(keyCol), col(dayCol), col("__x"),
+        sum(col("__x")).over(ord).as("__t"), count(lit(1)).over(ord).as("__nt"))
+      .where(col("__nt") === span)
+      .select(col(keyCol), col(dayCol), col("__x"), col("__t"),
+        (weekday(col(dayCol)) + 1).as("__dow"),
+        (lit(span) * col("__x") - col("__t")).as("__d"))
+    val seasonal = trended.groupBy(col(keyCol), col("__dow"))
+      .agg((sum(col("__d").cast("decimal(19,0)")).cast("double") /
+        (lit(span.toLong) * count(lit(1))).cast("double")).as("seasonal"))
+    trended.join(seasonal, Seq(keyCol, "__dow"))
+      .select(col(keyCol), col(dayCol),
+        col("__x").as("value"),
+        (col("__t").cast("double") / lit(span.toDouble)).as("trend"),
+        col("seasonal"),
+        (col("__x").cast("double") - col("__t").cast("double") / lit(span.toDouble)
+          - col("seasonal")).as("residual"))
+  }
 }

@@ -42,9 +42,10 @@ object AggQueries extends QueryModule {
   }
 
   /** Pair supports >= 2 over [[cappedBasketItems]] — the per-order
-    * self-join, shared by q_agg17 (the support table) and q_agg18 (the
-    * rule table). */
-  private def pairSupports(s: SparkSession, d: String): DataFrame = {
+    * self-join, shared by q_agg17 (the support table), q_agg18 (the
+    * rule table), and the q_graph3–6 co-purchase graph (the support
+    * threshold doubles as the edge-noise floor). */
+  private[queries] def pairSupports(s: SparkSession, d: String): DataFrame = {
     val capped = cappedBasketItems(s, d)
     val a = capped.select(col("ok"), col("pk").as("pk_a"))
     val b = capped.select(col("ok"), col("pk").as("pk_b"))

@@ -353,10 +353,143 @@ object OpsQueries extends QueryModule {
           PprIters, dampingPct = 85)
         .orderBy("vertex")
     }),
+
+    // Q-GRAPH3 (round 7): per-vertex triangle counts over the co-purchase
+    // graph (q_agg17's support>=2 basket pairs as undirected edges) — the
+    // cohesion signal under community quality and spam-farm detection.
+    // Engine enumerates wedges under DEGREE orientation (O(m^1.5) work,
+    // hub-proof); the oracle's id-oriented three-way join is the simple
+    // quadratic-in-degree form — same triangles, hash-exact (all integer).
+    "q_graph3" -> ((s, d) =>
+      GraphOps.triangleCounts(coPurchaseEdges(s, d), "src", "dst")
+        .orderBy("vertex")),
+
+    // Q-GRAPH4 (round 7): local clustering coefficient in exact micro
+    // units — 2·tri·1e6 div (deg·(deg-1)) — over the same graph. Integer
+    // division on non-negative operands => hash-exact.
+    "q_graph4" -> ((s, d) =>
+      GraphOps.clusteringCoefficients(coPurchaseEdges(s, d), "src", "dst")
+        .orderBy("vertex")),
+
+    // Q-GRAPH5 (round 7): 3-core of the co-purchase graph by iterative
+    // peeling (engine runs to fixpoint — 11 rounds at sf0.01; oracle
+    // unrolls KCoreUnroll >= that, extra rounds are no-ops once converged,
+    // so the unroll depth only needs to DOMINATE the true peel depth).
+    "q_graph5" -> ((s, d) =>
+      GraphOps.kCore(coPurchaseEdges(s, d), "src", "dst", k = KCoreK)
+        .orderBy("vertex")),
+
+    // Q-GRAPH6 (round 7): synchronous label-propagation communities,
+    // LpRounds fixed rounds, min-label tie-break — deterministic, integer,
+    // unrolled-CTE oracle like q_graph1.
+    "q_graph6" -> ((s, d) =>
+      GraphOps.labelPropagation(coPurchaseEdges(s, d), "src", "dst",
+          rounds = LpRounds)
+        .orderBy("vertex")),
   )
 
   private val PrIters = 5
   private val PprIters = 4
+  private val KCoreK = 3
+  private val KCoreUnroll = 16
+  private val LpRounds = 4
+
+  /** The q_agg17 support>=2 basket-pair table as an edge list — the
+    * co-purchase graph every q_graph3–6 metric runs over. */
+  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame =
+    AggQueries.pairSupports(s, d)
+      .select(col("pk_a").as("src"), col("pk_b").as("dst"))
+
+  /** Shared CTE text: the co-purchase edge list (lo < hi, canonical) in
+    * the q_agg17 basket SQL convention, plus the vertex set and degrees. */
+  private val graphCtes =
+    """items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      |          FROM lineitem),
+      |capped AS (SELECT ok, pk FROM (
+      |    SELECT ok, pk, COUNT(*) OVER (PARTITION BY ok) AS bsz FROM items)
+      |  WHERE bsz <= 50),
+      |e0 AS (SELECT a.pk AS lo, b.pk AS hi
+      |  FROM capped a JOIN capped b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY a.pk, b.pk HAVING COUNT(*) >= 2),
+      |v AS (SELECT DISTINCT vtx FROM
+      |  (SELECT lo AS vtx FROM e0 UNION ALL SELECT hi FROM e0))""".stripMargin
+
+  private def triangleSql: String =
+    s"""WITH $graphCtes,
+       |tri AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+       |  FROM e0 e1
+       |  JOIN e0 e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+       |  JOIN e0 e3 ON e3.lo = e1.hi AND e3.hi = e2.hi),
+       |pv AS (SELECT vtx, CAST(COUNT(*) AS BIGINT) AS t FROM
+       |  (SELECT a AS vtx FROM tri UNION ALL SELECT b FROM tri
+       |   UNION ALL SELECT c FROM tri) GROUP BY vtx)
+       |SELECT v.vtx AS vertex, coalesce(pv.t, 0) AS triangles
+       |FROM v LEFT JOIN pv ON pv.vtx = v.vtx
+       |ORDER BY vertex""".stripMargin
+
+  private def lccSql: String =
+    s"""WITH $graphCtes,
+       |deg AS (SELECT vtx, CAST(COUNT(*) AS BIGINT) AS dg FROM
+       |  (SELECT lo AS vtx FROM e0 UNION ALL SELECT hi FROM e0) GROUP BY vtx),
+       |tri AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+       |  FROM e0 e1
+       |  JOIN e0 e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+       |  JOIN e0 e3 ON e3.lo = e1.hi AND e3.hi = e2.hi),
+       |pv AS (SELECT vtx, CAST(COUNT(*) AS BIGINT) AS t FROM
+       |  (SELECT a AS vtx FROM tri UNION ALL SELECT b FROM tri
+       |   UNION ALL SELECT c FROM tri) GROUP BY vtx)
+       |SELECT deg.vtx AS vertex, deg.dg AS degree,
+       |  coalesce(pv.t, 0) AS triangles,
+       |  CASE WHEN deg.dg >= 2
+       |    THEN (2 * coalesce(pv.t, 0) * 1000000) // (deg.dg * (deg.dg - 1))
+       |    ELSE 0 END AS lcc_micro
+       |FROM deg LEFT JOIN pv ON pv.vtx = deg.vtx
+       |ORDER BY vertex""".stripMargin
+
+  // k-core oracle: peel rounds unrolled as chained CTEs (the engine runs
+  // to fixpoint; once converged, every further unrolled round is a no-op,
+  // so KCoreUnroll only has to be >= the true peel depth — 11 at sf0.01).
+  // Every e_i/k_i is MATERIALIZED: DuckDB inlines plain CTEs at each
+  // reference site, and e_i is referenced 3x per round — un-materialized,
+  // the expansion is 3^rounds and exhausts file handles on the base scan.
+  private def kCoreSql: String = {
+    val rounds = (1 to KCoreUnroll).map { i =>
+      s"""d$i AS (SELECT vtx, COUNT(*) AS dg FROM
+         |  (SELECT lo AS vtx FROM e${i - 1} UNION ALL SELECT hi FROM e${i - 1})
+         |  GROUP BY vtx),
+         |k$i AS MATERIALIZED (SELECT vtx FROM d$i WHERE dg >= $KCoreK),
+         |e$i AS MATERIALIZED (SELECT lo, hi FROM e${i - 1}
+         |  WHERE lo IN (SELECT vtx FROM k$i) AND hi IN (SELECT vtx FROM k$i))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${graphCtes.replace("e0 AS (", "e0 AS MATERIALIZED (")},
+       |$rounds
+       |SELECT vtx AS vertex, CAST(dg AS BIGINT) AS core_degree FROM
+       |  (SELECT vtx, COUNT(*) AS dg FROM
+       |    (SELECT lo AS vtx FROM e$KCoreUnroll UNION ALL SELECT hi FROM e$KCoreUnroll)
+       |   GROUP BY vtx)
+       |WHERE dg >= $KCoreK
+       |ORDER BY vertex""".stripMargin
+  }
+
+  // Label-propagation oracle: LpRounds synchronous rounds unrolled, each
+  // one neighbor-join + per-vertex arg-max (count desc, label asc).
+  private def labelPropSql: String = {
+    val rounds = (1 to LpRounds).map { i =>
+      s"""l$i AS (SELECT vtx, label FROM (
+         |  SELECT n.vtx, p.label,
+         |    row_number() OVER (PARTITION BY n.vtx
+         |      ORDER BY COUNT(*) DESC, p.label ASC) AS rn
+         |  FROM nbr n JOIN l${i - 1} p ON p.vtx = n.nb
+         |  GROUP BY n.vtx, p.label)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $graphCtes,
+       |nbr AS (SELECT lo AS vtx, hi AS nb FROM e0
+       |        UNION ALL SELECT hi, lo FROM e0),
+       |l0 AS (SELECT vtx, vtx AS label FROM v),
+       |$rounds
+       |SELECT vtx AS vertex, label FROM l$LpRounds ORDER BY vertex""".stripMargin
+  }
 
   private val sessWin = "(PARTITION BY user_id ORDER BY ts, event_id)"
   private val gapUs = GapSeconds * 1000000L
@@ -413,6 +546,10 @@ object OpsQueries extends QueryModule {
   def oracleSql: Map[String, String] = Map(
     "q_graph1" -> pageRankSql,
     "q_graph2" -> personalizedPageRankSql,
+    "q_graph3" -> triangleSql,
+    "q_graph4" -> lccSql,
+    "q_graph5" -> kCoreSql,
+    "q_graph6" -> labelPropSql,
     "q_priv1" ->
       """SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal,
         |  CAST(gc AS BIGINT) AS cohort_size

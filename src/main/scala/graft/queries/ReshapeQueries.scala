@@ -71,7 +71,150 @@ object ReshapeQueries extends QueryModule {
         .select("l_suppkey", "n", "slope", "intercept")
         .orderBy("l_suppkey")
     }),
+
+    // Q-TS4 (round 7): autocorrelation at lags 1..3 of each supplier's
+    // monthly revenue (zero-filled integer-cents series) — the
+    // periodicity diagnostic before choosing feature windows. Exact
+    // integer numerator/denominator (multiplied through by n²); the final
+    // quotient is rounded to 6dp for the compare (the q_agg9 convention:
+    // DuckDB's HUGEINT→DOUBLE conversion can differ from the JVM's
+    // decimal→double by 1 ulp, observed on this very query).
+    "q_ts4" -> ((s, d) =>
+      TimeSeriesOps.acf(monthlyCentsFilled(s, d), "l_suppkey", "month",
+          "cents", maxLag = AcfMaxLag)
+        .withColumn("acf", round(col("acf"), 6))
+        .orderBy("l_suppkey", "lag")),
+
+    // Q-TS5 (round 7): change-point detection — per-supplier arg-max
+    // |mean shift| between the 14 days before and after each grid day
+    // (both windows full). All-integer => hash-exact.
+    "q_ts5" -> ((s, d) =>
+      TimeSeriesOps.meanShiftChangepoint(dailyCentsFilled(s, d),
+          "l_suppkey", "day", "cents", w = ShiftW)
+        .orderBy("l_suppkey")),
+
+    // Q-TS6 (round 7): additive seasonal decomposition of daily revenue —
+    // 7-day centered-MA trend, ISO-weekday seasonal mean of the scaled
+    // detrended series, IEEE-chained residual. Deterministic by the
+    // integer-sums-then-one-division contract.
+    "q_ts6" -> ((s, d) =>
+      TimeSeriesOps.seasonalDecompose(dailyCentsFilled(s, d),
+          "l_suppkey", "day", "cents", halfWindow = SeasonHalfW)
+        .orderBy("l_suppkey", "day")),
   )
+
+  private val AcfMaxLag = 3
+  private val ShiftW = 14
+  private val SeasonHalfW = 3
+
+  /** Per-supplier monthly revenue in integer cents, zero-filled onto the
+    * supplier's [min, max] month grid — the regular series q_ts4 needs. */
+  private def monthlyCentsFilled(s: SparkSession, d: String): DataFrame = {
+    val monthly = Tables.load(s, d, "lineitem")
+      .groupBy(col("l_suppkey"),
+        date_trunc("month", col("l_shipdate")).cast("date").as("month"))
+      .agg(sum(round(col("l_extendedprice") * lit(100.0)).cast("long"))
+        .as("cents"))
+    val spans = monthly.groupBy(col("l_suppkey"))
+      .agg(min(col("month")).as("__lo"), max(col("month")).as("__hi"))
+    spans.select(col("l_suppkey"),
+        explode(sequence(col("__lo"), col("__hi"),
+          expr("INTERVAL '1' MONTH"))).as("month"))
+      .join(monthly, Seq("l_suppkey", "month"), "left_outer")
+      .select(col("l_suppkey"), col("month"),
+        coalesce(col("cents"), lit(0L)).as("cents"))
+  }
+
+  /** Daily twin of [[monthlyCentsFilled]] — q_ts5/q_ts6's regular grid. */
+  private def dailyCentsFilled(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.load(s, d, "lineitem")
+      .groupBy(col("l_suppkey"), col("l_shipdate").cast("date").as("day"))
+      .agg(sum(round(col("l_extendedprice") * lit(100.0)).cast("long"))
+        .as("cents"))
+    TimeSeriesOps.gridJoinDaily(daily, "l_suppkey", "day")
+      .select(col("l_suppkey"), col("day"),
+        coalesce(col("cents"), lit(0L)).as("cents"))
+  }
+
+  /** Oracle CTE text for [[monthlyCentsFilled]] / [[dailyCentsFilled]]:
+    * grain = 'month'/'day' with the matching truncation + step. */
+  private def filledCtes(grain: String): String = {
+    val (expr0, step) =
+      if (grain == "month")
+        ("CAST(date_trunc('month', l_shipdate) AS DATE)", "INTERVAL 1 MONTH")
+      else ("CAST(l_shipdate AS DATE)", "INTERVAL 1 DAY")
+    s"""agg0 AS (SELECT l_suppkey, $expr0 AS g,
+       |    SUM(CAST(round(l_extendedprice*100.0,0) AS BIGINT)) AS cents
+       |  FROM lineitem GROUP BY 1, 2),
+       |spans AS (SELECT l_suppkey, min(g) AS lo, max(g) AS hi FROM agg0 GROUP BY 1),
+       |grid AS (SELECT l_suppkey,
+       |    CAST(unnest(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP), $step)) AS DATE) AS g
+       |  FROM spans),
+       |f AS (SELECT grid.l_suppkey, grid.g, coalesce(agg0.cents, 0) AS cents
+       |  FROM grid LEFT JOIN agg0 ON agg0.l_suppkey = grid.l_suppkey AND agg0.g = grid.g)""".stripMargin
+  }
+
+  private def acfSql: String = {
+    val lags = (1 to AcfMaxLag).map(k =>
+      s"lag(cents,$k) OVER w AS x$k").mkString(", ")
+    val devs = (1 to AcfMaxLag).map(k =>
+      s"CAST(n AS HUGEINT)*x$k - s AS d$k").mkString(", ")
+    val nums = (1 to AcfMaxLag).map(k => s"SUM(d0*d$k) AS n$k").mkString(", ")
+    val arms = (1 to AcfMaxLag).map(k =>
+      s"SELECT l_suppkey, $k AS lag, n, CASE WHEN den > 0 THEN round(CAST(n$k AS DOUBLE)/CAST(den AS DOUBLE), 6) END AS acf FROM agg"
+    ).mkString("\n  UNION ALL ")
+    s"""WITH ${filledCtes("month")},
+       |st AS (SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n, SUM(cents) AS s
+       |  FROM f GROUP BY 1),
+       |lagd AS (SELECT f.l_suppkey, st.n, st.s, cents, $lags
+       |  FROM f JOIN st USING (l_suppkey)
+       |  WINDOW w AS (PARTITION BY f.l_suppkey ORDER BY g)),
+       |dv AS (SELECT l_suppkey, n, CAST(n AS HUGEINT)*cents - s AS d0, $devs
+       |  FROM lagd),
+       |agg AS (SELECT l_suppkey, max(n) AS n, SUM(d0*d0) AS den, $nums
+       |  FROM dv GROUP BY 1)
+       |SELECT l_suppkey, lag, n, acf FROM (
+       |  $arms)
+       |ORDER BY l_suppkey, lag""".stripMargin
+  }
+
+  private def shiftSql: String =
+    s"""WITH ${filledCtes("day")},
+       |win AS (SELECT l_suppkey, g AS day,
+       |    SUM(cents) OVER wl AS l, COUNT(*) OVER wl AS nl,
+       |    SUM(cents) OVER wr AS r, COUNT(*) OVER wr AS nr
+       |  FROM f
+       |  WINDOW wl AS (PARTITION BY l_suppkey ORDER BY g
+       |      ROWS BETWEEN $ShiftW PRECEDING AND 1 PRECEDING),
+       |    wr AS (PARTITION BY l_suppkey ORDER BY g
+       |      ROWS BETWEEN 1 FOLLOWING AND $ShiftW FOLLOWING)),
+       |sh AS (SELECT l_suppkey, day, CAST(r - l AS BIGINT) AS shift
+       |  FROM win WHERE nl = $ShiftW AND nr = $ShiftW)
+       |SELECT l_suppkey, day, shift FROM (
+       |  SELECT l_suppkey, day, shift, row_number() OVER (PARTITION BY l_suppkey
+       |      ORDER BY abs(shift) DESC, day ASC) AS rn FROM sh)
+       |WHERE rn = 1 ORDER BY l_suppkey""".stripMargin
+
+  private def seasonalSql: String = {
+    val span = 2 * SeasonHalfW + 1
+    s"""WITH ${filledCtes("day")},
+       |tr AS (SELECT l_suppkey, g AS day, cents,
+       |    SUM(cents) OVER wt AS t, COUNT(*) OVER wt AS nt
+       |  FROM f
+       |  WINDOW wt AS (PARTITION BY l_suppkey ORDER BY g
+       |      ROWS BETWEEN $SeasonHalfW PRECEDING AND $SeasonHalfW FOLLOWING)),
+       |tf AS (SELECT l_suppkey, day, cents, t, isodow(day) AS dow,
+       |    $span*cents - t AS dd
+       |  FROM tr WHERE nt = $span),
+       |se AS (SELECT l_suppkey, dow,
+       |    CAST(SUM(dd) AS DOUBLE)/CAST($span*COUNT(*) AS DOUBLE) AS seasonal
+       |  FROM tf GROUP BY 1, 2)
+       |SELECT tf.l_suppkey, tf.day, tf.cents AS value,
+       |  CAST(tf.t AS DOUBLE)/$span.0 AS trend, se.seasonal,
+       |  (CAST(tf.cents AS DOUBLE) - CAST(tf.t AS DOUBLE)/$span.0) - se.seasonal AS residual
+       |FROM tf JOIN se ON se.l_suppkey = tf.l_suppkey AND se.dow = tf.dow
+       |ORDER BY tf.l_suppkey, tf.day""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_pivot1" -> {
@@ -130,5 +273,8 @@ object ReshapeQueries extends QueryModule {
          |SELECT l_suppkey, $n AS n, $slope AS slope, $intercept AS intercept
          |FROM obs GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin
     },
+    "q_ts4" -> acfSql,
+    "q_ts5" -> shiftSql,
+    "q_ts6" -> seasonalSql,
   )
 }

@@ -58,4 +58,88 @@ class GraphOpsSpec extends SparkSpec {
       .orderBy("vertex").collect().toSeq
     assert(a === b, "integer arithmetic must be bitwise repeatable")
   }
+
+  test("triangleCounts: K4 + pendant, direction/duplicate/self-loop insensitive") {
+    // K4 on 0..3 (4 triangles, 3 per vertex) with a pendant 4-0 (0 tris).
+    // Edges fed in mixed direction, with duplicates and a self-loop, to
+    // prove canonicalization: the metric is over the undirected SIMPLE
+    // graph however the edge list arrives.
+    val k4 = Seq((0L, 1L), (2L, 0L), (0L, 3L), (1L, 2L), (3L, 1L), (2L, 3L))
+    val edges = (k4 ++ Seq((1L, 0L), (0L, 4L), (2L, 2L))).toDF("src", "dst")
+    val t = GraphOps.triangleCounts(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 0L))
+  }
+
+  test("triangleCounts: degree orientation matches brute force on a skewed graph") {
+    // hub 0 connected to 1..9, plus a sparse ring among the spokes — the
+    // shape where id-orientation would square the hub. Brute-force count
+    // from the canonical edge set is the ground truth.
+    val ring = (1L to 9L).map(i => (i, if (i == 9L) 1L else i + 1))
+    val star = (1L to 9L).map(i => (0L, i))
+    val edges = (star ++ ring).toDF("src", "dst")
+    val canon = (star ++ ring).map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val brute = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    val vs = canon.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    for {
+      a <- vs; b <- vs if a < b && canon((a, b))
+      c <- vs if b < c && canon((b, c)) && canon((a, c))
+    } Seq(a, b, c).foreach(v => brute(v) += 1)
+    val got = GraphOps.triangleCounts(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === vs.map(v => v -> brute(v)).toMap)
+  }
+
+  test("clusteringCoefficients: triangle is 1.0, path center is 0, pendant is 0") {
+    // triangle {0,1,2} + pendant 3-0: lcc(0) = 2*1*1e6 div (3*2) = 333333
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (0L, 3L)).toDF("src", "dst")
+    val rows = GraphOps.clusteringCoefficients(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows(0L) === ((3L, 1L, 333333L)))
+    assert(rows(1L) === ((2L, 1L, 1000000L)))
+    assert(rows(2L) === ((2L, 1L, 1000000L)))
+    assert(rows(3L) === ((1L, 0L, 0L)))
+  }
+
+  test("kCore: peels the chain off a triangle; too-high k yields empty") {
+    // triangle {0,1,2} + chain 2-3-4: 2-core = the triangle (two peel
+    // rounds: 4 falls, then 3), core degrees all 2.
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L), (3L, 4L))
+      .toDF("src", "dst")
+    val core = GraphOps.kCore(edges, "src", "dst", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core === Map(0L -> 2L, 1L -> 2L, 2L -> 2L))
+    assert(GraphOps.kCore(edges, "src", "dst", k = 3).count() === 0L)
+  }
+
+  test("labelPropagation: zero rounds is the identity; a triangle converges to the min label") {
+    val tri = Seq((5L, 6L), (6L, 7L), (7L, 5L)).toDF("src", "dst")
+    val id = GraphOps.labelPropagation(tri, "src", "dst", rounds = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(id === Map(5L -> 5L, 6L -> 6L, 7L -> 7L))
+    // round 1: 5 -> min(6,7)=6; 6 -> min(5,7)=5; 7 -> min(5,6)=5
+    // round 2: 5 -> min over {5,5}=5; 6 -> {6,5} tie -> 5; 7 -> {6,5} -> 5
+    val two = GraphOps.labelPropagation(tri, "src", "dst", rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two === Map(5L -> 5L, 6L -> 5L, 7L -> 5L))
+  }
+
+  test("labelPropagation: bridged cliques match the synchronous brute-force rule exactly") {
+    val raw = Seq((0L, 1L), (1L, 2L), (2L, 0L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (2L, 10L))
+    val nbrs = (raw ++ raw.map(_.swap)).groupBy(_._1)
+      .map { case (v, es) => v -> es.map(_._2) }
+    def step(lab: Map[Long, Long]): Map[Long, Long] =
+      nbrs.map { case (v, ns) =>
+        val counts = ns.groupBy(lab).map { case (l, g) => (l, g.size) }
+        v -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    for (rounds <- Seq(1, 4)) {
+      val expected = (1 to rounds)
+        .foldLeft(nbrs.keys.map(v => v -> v).toMap)((l, _) => step(l))
+      val got = GraphOps.labelPropagation(raw.toDF("src", "dst"), "src", "dst", rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"rounds=$rounds")
+    }
+  }
 }
