@@ -128,6 +128,19 @@ object ScaleBench {
       pmod(xxhash64(col("id"), lit("d")), lit(nV)).as("dst"))
   }
 
+  /** [[syntheticEdges]] plus a power-law hub: vertex 0 additionally links
+    * to ~n/10 distinct vertices. The triangle-counting stress shape —
+    * id-orientation generates C(n/10, 2) wedges AT THE HUB (vertex 0 is
+    * the minimum id, so every hub edge points outward); degree
+    * orientation points every hub edge INTO the hub and the hub generates
+    * none. */
+  def syntheticEdgesHub(spark: SparkSession, n: Long): DataFrame = {
+    val nV = math.max(2L, n / 8L)
+    syntheticEdges(spark, n).union(
+      spark.range(n / 10L).select(lit(0L).as("src"),
+        (pmod(xxhash64(col("id"), lit("h")), lit(nV - 1L)) + 1L).as("dst")))
+  }
+
   /** Viral-image corpus: every id with id % 10 == 0 renders THE SAME
     * image (the viral meme — ~10% of the corpus is one exact duplicate
     * group); everyone else is unique. All viral copies share one dHash,
@@ -286,6 +299,11 @@ object ScaleBench {
       Bm25.phraseSearch(d, "doc_id", col("text"), Seq(1L -> "w1 w2")).count()
       d.unpersist()
       GraphOps.pageRank(syntheticEdges(spark, 2000L), "src", "dst", 2).count()
+      val wg = syntheticEdgesHub(spark, 2000L).localCheckpoint()
+      GraphOps.triangleCounts(wg, "src", "dst").count()
+      GraphOps.labelPropagation(wg, "src", "dst", rounds = 2).count()
+      GraphOps.kCore(wg, "src", "dst", k = 3).count()
+      wg.unpersist()
       val e = syntheticEmbeddings(spark, 200L).localCheckpoint()
       Similarity.lshBucketedPairsAboveThreshold(e, "vec_id", "embedding", lit(0), 0.5, 64,
         planesPerBand = 4).count()
@@ -488,6 +506,36 @@ object ScaleBench {
         GraphOps.pageRank(g, "src", "dst", iterations = 5).count()
       }
       g.unpersist()
+
+      // triangle counting under a power-law hub (round 7): the operator's
+      // DEGREE orientation must stay ~edge-linear — the hub generates no
+      // wedges. The id-oriented naive (what the simple SQL form does)
+      // wedges the hub quadratically: C(n/10, 2) pairs, ~8e6 at 1x and
+      // ~8e8 at 10x — run at 1x only as the contrast row.
+      val hg = syntheticEdgesHub(spark, nEdge).localCheckpoint()
+      timed("triangles_degree_oriented_hub", nEdge) {
+        GraphOps.triangleCounts(hg, "src", "dst").count()
+      }
+      if (scale == 1L)
+        timed("triangles_id_oriented_hub", nEdge) {
+          val canon = GraphOps.canonicalUndirected(hg, "src", "dst")
+            .localCheckpoint()
+          val w = canon.select(col("__lo").as("a"), col("__hi").as("b"))
+            .join(canon.select(col("__lo").as("a"), col("__hi").as("c")), Seq("a"))
+            .where(col("b") < col("c"))
+          w.join(canon.select(col("__lo").as("b"), col("__hi").as("c")),
+            Seq("b", "c")).count()
+        }
+      // label propagation + k-core on the same hub graph: per-round work
+      // is edge-linear (two partial-aggregated shuffles / one degree agg
+      // + semi-joins), so wall must track edges across decades
+      timed("label_propagation_4r", nEdge) {
+        GraphOps.labelPropagation(hg, "src", "dst", rounds = 4).count()
+      }
+      timed("kcore_3", nEdge) {
+        GraphOps.kCore(hg, "src", "dst", k = 3).count()
+      }
+      hg.unpersist()
 
       // interval-overlap join: bucketized (the operator) at all scales; the
       // naive inequality join Spark would otherwise plan only to 10x (its

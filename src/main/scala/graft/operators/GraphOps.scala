@@ -198,6 +198,48 @@ object GraphOps {
       .select(col("vertex"), col("__deg").as("core_degree"))
   }
 
+  /** Link prediction over the undirected simple graph: for every
+    * NON-adjacent distance-2 pair, the two classic integer scores —
+    * common-neighbor count and preferential attachment deg(a)·deg(b) —
+    * ranked (cn desc, pa desc, a, b), top `k`. The "suggest an edge"
+    * primitive (related-products, co-citation discovery); kept ln-free
+    * (no Adamic-Adar) so it is hash-exact.
+    *
+    * Work is Σ_w deg(w)² over wedge centers — the hub-quadratic shape.
+    * `maxCenterDegree` is the crowded-bucket knob: hubs above the cap
+    * stop generating candidate pairs (a mega-hub's neighborhood² is
+    * exactly the q_dedup crowded-bucket blowup, and a pair whose ONLY
+    * evidence is co-membership in a huge neighborhood is weak anyway).
+    * Uncapped by default: caps change answers, callers opt in. */
+  def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String,
+                     k: Int, maxCenterDegree: Int = Int.MaxValue): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val canon = canonicalUndirected(edges, srcCol, dstCol).localCheckpoint()
+    val deg = undirectedDegrees(canon).localCheckpoint()
+    val nbrs = canon.select(col("__lo").as("__c"), col("__hi").as("__v"))
+      .union(canon.select(col("__hi").as("__c"), col("__lo").as("__v")))
+    val centers =
+      if (maxCenterDegree == Int.MaxValue) nbrs
+      else nbrs.join(
+        deg.where(col("__deg") <= maxCenterDegree)
+          .select(col("vertex").as("__c")), Seq("__c"), "left_semi")
+    val wedges = centers.select(col("__c"), col("__v").as("__a"))
+      .join(centers.select(col("__c"), col("__v").as("__b")), Seq("__c"))
+      .where(col("__a") < col("__b"))
+    val cn = wedges.groupBy("__a", "__b").agg(count(lit(1)).as("common_neighbors"))
+    val nonAdj = cn.join(
+      canon.select(col("__lo").as("__a"), col("__hi").as("__b")),
+      Seq("__a", "__b"), "left_anti")
+    nonAdj
+      .join(deg.select(col("vertex").as("__a"), col("__deg").as("__da")), Seq("__a"))
+      .join(deg.select(col("vertex").as("__b"), col("__deg").as("__db")), Seq("__b"))
+      .select(col("__a").as("a"), col("__b").as("b"), col("common_neighbors"),
+        (col("__da") * col("__db")).as("pref_attachment"))
+      .orderBy(col("common_neighbors").desc, col("pref_attachment").desc,
+        col("a"), col("b"))
+      .limit(k)
+  }
+
   /** Synchronous label propagation for a FIXED number of rounds —
     * deterministic community detection. Init label(v) = v; each round
     * every vertex adopts the most frequent label among its neighbors
@@ -217,15 +259,17 @@ object GraphOps {
       .localCheckpoint()
     var labels = nbrs.select(col("vertex")).distinct()
       .select(col("vertex"), col("vertex").as("label")).localCheckpoint()
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("vertex")
-      .orderBy(col("__cnt").desc, col("label").asc)
     for (_ <- 1 to rounds) {
+      // arg-max as a second AGGREGATION, not a window: max of the struct
+      // (count, -label) is exactly (count desc, label asc) — two partial-
+      // aggregated shuffles per round instead of a shuffle + per-vertex
+      // sort. (Labels are vertex ids >= 0, so negation cannot overflow.)
       labels = nbrs
         .join(labels.select(col("vertex").as("__nbr"), col("label")), Seq("__nbr"))
         .groupBy("vertex", "label").agg(count(lit(1)).as("__cnt"))
-        .withColumn("__rn", row_number().over(w))
-        .where(col("__rn") === 1)
-        .select("vertex", "label")
+        .groupBy("vertex")
+        .agg(max(struct(col("__cnt"), (-col("label")).as("__nl"))).as("__m"))
+        .select(col("vertex"), (-col("__m.__nl")).as("label"))
         .localCheckpoint()
     }
     labels

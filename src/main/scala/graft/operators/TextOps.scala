@@ -509,4 +509,48 @@ object TextOps {
     val B = lit(131L)
     aggregate(toks, lit(0L), (acc, t) => pmod(acc * B + pmod(xxhash64(t), M), M))
   }
+
+  /** Integer token-voting domain classifier — the domain/source tagger a
+    * curation pipeline trains on labeled slices and applies to the crawl
+    * (route docs to per-domain quality gates, rebalance the mixture).
+    * Deliberately NOT log-probability naive Bayes: ln() is not
+    * cross-engine exact (the q_sample6 adjudication), so the class score
+    * is the pure-integer multinomial count form
+    *
+    *   score(doc, c) = Σ_{token occurrences t in doc} trainCount(t, c)
+    *
+    * — argmax with (score desc, label asc) tie-break; a doc with no
+    * trained token gets `unknownLabel`. Exact integers end-to-end =>
+    * hash-exact against the SQL twin.
+    *
+    * Shape: one tokenize pass per side; the weight table is
+    * vocabulary × #classes and joins on the TOKEN key (hash join, never
+    * doc×doc); the score table is #docs × #classes-that-share-a-token —
+    * bounded by #classes, so keep the label space coarse (domains, not
+    * urls) or pre-prune rare terms at large class counts.
+    *
+    * Returns (idCol, actual, predicted) for every `test` row. */
+  def domainClassify(train: org.apache.spark.sql.DataFrame,
+                     test: org.apache.spark.sql.DataFrame,
+                     idCol: String, textCol: String, labelCol: String,
+                     unknownLabel: String = "unknown"): org.apache.spark.sql.DataFrame = {
+    val weights = train
+      .select(col(labelCol).as("__lab"), explode(tokens(col(textCol))).as("__t"))
+      .groupBy("__t", "__lab").agg(count(lit(1)).as("__w"))
+    val testTok = test
+      .select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+    val scores = testTok.join(weights, Seq("__t"))
+      .groupBy(col(idCol), col("__lab"))
+      .agg(sum(col("__w")).as("__score"))
+    // arg-max as an aggregation, not a window: min of (-score, label) is
+    // exactly (score desc, label asc) — partial-aggregated, no per-doc sort
+    val pred = scores
+      .groupBy(col(idCol))
+      .agg(min(struct((-col("__score")).as("__ns"), col("__lab"))).as("__m"))
+      .select(col(idCol), col("__m.__lab").as("__lab"))
+    test.select(col(idCol), col(labelCol).as("actual"))
+      .join(pred, Seq(idCol), "left_outer")
+      .select(col(idCol), col("actual"),
+        coalesce(col("__lab"), lit(unknownLabel)).as("predicted"))
+  }
 }

@@ -126,16 +126,28 @@ object TimeSeriesOps {
   def meanShiftChangepoint(df: DataFrame, keyCol: String, idxCol: String,
                            valueCol: String, w: Int): DataFrame = {
     require(w >= 1, s"w must be >= 1, got $w")
+    // Prefix-sum formulation: both framed sums come from GROWING frames
+    // [unboundedPreceding, +k] — Spark evaluates those incrementally
+    // (add-only), so the whole thing is O(n) per key instead of the
+    // O(n·w) re-aggregation of two bounded sliding frames, and ALL the
+    // expressions below share ONE WindowExec on one (key, idx) sort:
+    //   R = S(+w) - S(0),  L = S(-1) - S(-w-1),  shift = R - L
+    // (same long integers exactly; empty prefixes coalesce to 0).
+    // Full-window eligibility comes from the row number, not framed counts.
     val ord = Window.partitionBy(col(keyCol)).orderBy(col(idxCol))
-    val left = ord.rowsBetween(-w, -1)
-    val right = ord.rowsBetween(1, w)
+    def pre(hi: Int) = sum(col("__x"))
+      .over(ord.rowsBetween(Window.unboundedPreceding, hi))
+    val all = Window.partitionBy(col(keyCol))
     val x = col(valueCol).cast("long")
     val shifted = df.select(col(keyCol), col(idxCol), x.as("__x"))
       .select(col(keyCol), col(idxCol),
-        sum(col("__x")).over(left).as("__l"), count(lit(1)).over(left).as("__nl"),
-        sum(col("__x")).over(right).as("__r"), count(lit(1)).over(right).as("__nr"))
-      .where(col("__nl") === w && col("__nr") === w)
-      .select(col(keyCol), col(idxCol), (col("__r") - col("__l")).as("shift"))
+        ((pre(w) - pre(0)) -
+          (coalesce(pre(-1), lit(0L)) - coalesce(pre(-w - 1), lit(0L))))
+          .as("shift"),
+        row_number().over(ord).as("__rn"),
+        count(lit(1)).over(all).as("__n"))
+      .where(col("__rn") > w && col("__rn") + w <= col("__n"))
+      .select(col(keyCol), col(idxCol), col("shift"))
     val pick = Window.partitionBy(col(keyCol))
       .orderBy(abs(col("shift")).desc, col(idxCol).asc)
     shifted.withColumn("__rn", row_number().over(pick))
@@ -158,20 +170,28 @@ object TimeSeriesOps {
                         valueCol: String, halfWindow: Int): DataFrame = {
     require(halfWindow >= 1, s"halfWindow must be >= 1, got $halfWindow")
     val span = 2 * halfWindow + 1
+    // Centered trend sum via the growing-frame prefix-sum trick (see
+    // [[meanShiftChangepoint]]): T(t) = S(+h) - S(-h-1), row-number
+    // eligibility instead of a framed count — ONE WindowExec, O(n).
     val ord = Window.partitionBy(col(keyCol)).orderBy(col(dayCol))
-      .rowsBetween(-halfWindow, halfWindow)
+    def pre(hi: Int) = sum(col("__x"))
+      .over(ord.rowsBetween(Window.unboundedPreceding, hi))
+    val all = Window.partitionBy(col(keyCol))
     val x = col(valueCol).cast("long")
     val trended = df.select(col(keyCol), col(dayCol), x.as("__x"))
       .select(col(keyCol), col(dayCol), col("__x"),
-        sum(col("__x")).over(ord).as("__t"), count(lit(1)).over(ord).as("__nt"))
-      .where(col("__nt") === span)
+        (pre(halfWindow) - coalesce(pre(-halfWindow - 1), lit(0L))).as("__t"),
+        row_number().over(ord).as("__rn"),
+        count(lit(1)).over(all).as("__n"))
+      .where(col("__rn") > halfWindow && col("__rn") + halfWindow <= col("__n"))
       .select(col(keyCol), col(dayCol), col("__x"), col("__t"),
         (weekday(col(dayCol)) + 1).as("__dow"),
         (lit(span) * col("__x") - col("__t")).as("__d"))
     val seasonal = trended.groupBy(col(keyCol), col("__dow"))
       .agg((sum(col("__d").cast("decimal(19,0)")).cast("double") /
         (lit(span.toLong) * count(lit(1))).cast("double")).as("seasonal"))
-    trended.join(seasonal, Seq(keyCol, "__dow"))
+    // #keys × 7 rows — always broadcastable
+    trended.join(broadcast(seasonal), Seq(keyCol, "__dow"))
       .select(col(keyCol), col(dayCol),
         col("__x").as("value"),
         (col("__t").cast("double") / lit(span.toDouble)).as("trend"),

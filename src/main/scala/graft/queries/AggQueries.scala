@@ -142,7 +142,7 @@ object AggQueries extends QueryModule {
     // join — the q_dedup crowded-bucket knob applied to baskets), pair
     // support counted, support >= 2 kept, top-20 by (support desc, pair).
     "q_agg17" -> ((s, d) =>
-      pairSupports(s, d)
+      Shared.pairSupports(s, d)
         .orderBy(col("support").desc, col("pk_a"), col("pk_b"))
         .limit(20)),
 
@@ -155,7 +155,7 @@ object AggQueries extends QueryModule {
       val nBaskets = items.select("ok").distinct()
         .agg(count(lit(1)).as("__n"))
       val itemSup = items.groupBy("pk").agg(count(lit(1)).as("__sup"))
-      pairSupports(s, d)
+      Shared.pairSupports(s, d)
         .join(itemSup.select(col("pk").as("pk_a"), col("__sup").as("__sa")), "pk_a")
         .join(itemSup.select(col("pk").as("pk_b"), col("__sup").as("__sb")), "pk_b")
         .crossJoin(broadcast(nBaskets))

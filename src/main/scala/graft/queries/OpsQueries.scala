@@ -386,6 +386,12 @@ object OpsQueries extends QueryModule {
       GraphOps.labelPropagation(coPurchaseEdges(s, d), "src", "dst",
           rounds = LpRounds)
         .orderBy("vertex")),
+
+    // Q-GRAPH7 (round 7): link prediction — top-20 non-adjacent pairs by
+    // (common neighbors, preferential attachment), the "suggest an edge"
+    // primitive over the co-purchase graph. All integer => hash-exact.
+    "q_graph7" -> ((s, d) =>
+      GraphOps.linkPrediction(coPurchaseEdges(s, d), "src", "dst", k = 20)),
   )
 
   private val PrIters = 5
@@ -395,9 +401,10 @@ object OpsQueries extends QueryModule {
   private val LpRounds = 4
 
   /** The q_agg17 support>=2 basket-pair table as an edge list — the
-    * co-purchase graph every q_graph3–6 metric runs over. */
+    * co-purchase graph every q_graph3–7 metric runs over (memoized: one
+    * mining pass serves the whole family, the persisted-table shape). */
   private def coPurchaseEdges(s: SparkSession, d: String): DataFrame =
-    AggQueries.pairSupports(s, d)
+    Shared.pairSupports(s, d)
       .select(col("pk_a").as("src"), col("pk_b").as("dst"))
 
   /** Shared CTE text: the co-purchase edge list (lo < hi, canonical) in
@@ -470,6 +477,23 @@ object OpsQueries extends QueryModule {
        |WHERE dg >= $KCoreK
        |ORDER BY vertex""".stripMargin
   }
+
+  private def linkPredSql: String =
+    s"""WITH $graphCtes,
+       |deg AS (SELECT vtx, CAST(COUNT(*) AS BIGINT) AS dg FROM
+       |  (SELECT lo AS vtx FROM e0 UNION ALL SELECT hi FROM e0) GROUP BY vtx),
+       |nbr AS (SELECT lo AS c, hi AS v FROM e0
+       |        UNION ALL SELECT hi, lo FROM e0),
+       |cn AS (SELECT n1.v AS a, n2.v AS b, CAST(COUNT(*) AS BIGINT) AS common_neighbors
+       |  FROM nbr n1 JOIN nbr n2 ON n1.c = n2.c AND n1.v < n2.v
+       |  GROUP BY 1, 2),
+       |cand AS (SELECT a, b, common_neighbors FROM cn
+       |  WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE e0.lo = cn.a AND e0.hi = cn.b))
+       |SELECT cand.a, cand.b, cand.common_neighbors,
+       |  da.dg * db.dg AS pref_attachment
+       |FROM cand JOIN deg da ON da.vtx = cand.a JOIN deg db ON db.vtx = cand.b
+       |ORDER BY common_neighbors DESC, pref_attachment DESC, a, b
+       |LIMIT 20""".stripMargin
 
   // Label-propagation oracle: LpRounds synchronous rounds unrolled, each
   // one neighbor-join + per-vertex arg-max (count desc, label asc).
@@ -550,6 +574,7 @@ object OpsQueries extends QueryModule {
     "q_graph4" -> lccSql,
     "q_graph5" -> kCoreSql,
     "q_graph6" -> labelPropSql,
+    "q_graph7" -> linkPredSql,
     "q_priv1" ->
       """SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal,
         |  CAST(gc AS BIGINT) AS cohort_size

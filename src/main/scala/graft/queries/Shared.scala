@@ -266,6 +266,17 @@ private[queries] object Shared {
        |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
        |WHERE round(${cosSql("a.embedding", "b.embedding")}, 6) >= 0.5""".stripMargin
 
+  /** q_agg17's support>=2 capped-basket pair table — consumed by q_agg17
+    * (the support table), q_agg18 (the rule table) and, as an undirected
+    * edge list, by the whole co-purchase graph family q_graph3–7. At
+    * cluster scale the mined pair table is persisted once and every
+    * graph metric reads it; the in-process equivalent is the build-once
+    * frame. */
+  def pairSupports(s: SparkSession, d: String): DataFrame =
+    Memo.cachedDf(s, s"pair_supports|$d") {
+      AggQueries.pairSupports(s, d)
+    }
+
   /** DuckDB recursive-CTE twin of NearDup.connectedComponents over
     * [[cosinePairsSql]]: transitive closure, then component = min reachable
     * vertex — the same min-label fixpoint the Spark loop converges to. */

@@ -740,6 +740,22 @@ object TextDedupQueries extends QueryModule {
         .orderBy("threshold")
     }),
 
+    // Q-TXT33 (round 7): integer token-voting domain classifier — train
+    // on even doc_ids, score the odd half, publish the confusion matrix
+    // (actual × predicted doc counts). Pure-integer class scores (the
+    // multinomial count form; ln-free by the q_sample6 adjudication) with
+    // (score desc, label asc) tie-break => hash-exact.
+    "q_txt33" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val pred = TextOps.domainClassify(
+        docs.where(pmod(col("doc_id"), lit(2)) === 0),
+        docs.where(pmod(col("doc_id"), lit(2)) === 1),
+        "doc_id", "text", "source")
+      pred.groupBy(col("actual"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("actual", "predicted")
+    }),
+
     // Q-TXT26: Unicode NFC normalization (native codegen'd expression —
     // Spark has no built-in). The fixture text is pure ASCII, so a
     // deterministic base+combining-mark suffix is appended per doc (the
@@ -848,6 +864,24 @@ object TextDedupQueries extends QueryModule {
          |  kept_tokens,
          |  CAST(kept_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS frac_tokens
          |FROM ag ORDER BY threshold""".stripMargin,
+    "q_txt33" ->
+      s"""WITH tr AS (SELECT source AS lab, unnest($tokSql) AS t
+         |  FROM documents WHERE doc_id % 2 = 0),
+         |w AS (SELECT t, lab, COUNT(*) AS w FROM tr GROUP BY 1, 2),
+         |te AS (SELECT doc_id, unnest($tokSql) AS t
+         |  FROM documents WHERE doc_id % 2 = 1),
+         |sc AS (SELECT doc_id, lab, SUM(w.w) AS score
+         |  FROM te JOIN w USING (t) GROUP BY 1, 2),
+         |pr AS (SELECT doc_id, lab FROM (
+         |    SELECT doc_id, lab, row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY score DESC, lab ASC) AS rn FROM sc)
+         |  WHERE rn = 1),
+         |base AS (SELECT doc_id, source AS actual FROM documents
+         |  WHERE doc_id % 2 = 1)
+         |SELECT base.actual, coalesce(pr.lab, 'unknown') AS predicted,
+         |  CAST(COUNT(*) AS BIGINT) AS n
+         |FROM base LEFT JOIN pr ON pr.doc_id = base.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_txt26" ->
       """SELECT doc_id, norm_text, n_raw,
         |  CAST(length(norm_text) AS BIGINT) AS n_nfc,

@@ -124,6 +124,30 @@ class GraphOpsSpec extends SparkSpec {
     assert(two === Map(5L -> 5L, 6L -> 5L, 7L -> 5L))
   }
 
+  test("linkPrediction: square's diagonals rank first; adjacent pairs never appear") {
+    // square 0-1-2-3-0 plus pendant 4-0: diagonals (0,2),(1,3) have cn=2;
+    // (1,4),(3,4) share the neighbor 0 (cn=1, pa=2); (2,4) shares nothing.
+    val sq = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (0L, 4L))
+      .toDF("src", "dst")
+    val rows = GraphOps.linkPrediction(sq, "src", "dst", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.take(2).toSet === Set((0L, 2L, 2L, 6L), (1L, 3L, 2L, 4L)))
+    assert(rows(0) === ((0L, 2L, 2L, 6L)), "pa tie-break ranks the hub pair first")
+    assert(rows.drop(2).toSet === Set((1L, 4L, 1L, 2L), (3L, 4L, 1L, 2L)))
+    val pairs = rows.map(r => (r._1, r._2)).toSet
+    Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 3L), (0L, 4L)).foreach(e =>
+      assert(!pairs(e), s"adjacent pair $e must not be suggested"))
+  }
+
+  test("linkPrediction: the center-degree cap silences hub-mediated candidates") {
+    // star: 0 connected to 1..5. Every spoke pair is a candidate through
+    // the hub; capping center degree below 5 must erase them all.
+    val star = (1L to 5L).map(i => (0L, i)).toDF("src", "dst")
+    assert(GraphOps.linkPrediction(star, "src", "dst", k = 100).count() === 10L)
+    assert(GraphOps.linkPrediction(star, "src", "dst", k = 100,
+      maxCenterDegree = 4).count() === 0L)
+  }
+
   test("labelPropagation: bridged cliques match the synchronous brute-force rule exactly") {
     val raw = Seq((0L, 1L), (1L, 2L), (2L, 0L),
       (10L, 11L), (11L, 12L), (12L, 10L), (2L, 10L))

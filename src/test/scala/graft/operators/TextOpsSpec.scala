@@ -282,4 +282,38 @@ class TextOpsSpec extends SparkSpec {
     assert(a !== b, "token order must matter")
     assert(a >= 0 && a < 2147483647L)
   }
+
+  test("domainClassify: count votes win, ties go to the smaller label, unseen is unknown") {
+    val train = Seq(
+      (1L, "apple banana apple", "fruit"),
+      (2L, "zebra yak", "zoo"),
+      (3L, "banana", "zoo")).toDF("id", "text", "lab")
+    val test_ = Seq(
+      (10L, "apple apple", "fruit"),   // apple: fruit=2, zoo=0 -> fruit
+      (11L, "zebra", "zoo"),           // zoo only
+      (12L, "banana", "fruit"),        // banana: fruit=1, zoo=1 tie -> fruit (min label)
+      (13L, "quux corge", "zoo")       // no trained token -> unknown
+    ).toDF("id", "text", "lab")
+    val got = TextOps.domainClassify(train, test_, "id", "text", "lab")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(got === Map(
+      10L -> (("fruit", "fruit")),
+      11L -> (("zoo", "zoo")),
+      12L -> (("fruit", "fruit")),
+      13L -> (("zoo", "unknown"))))
+  }
+
+  test("domainClassify: token multiplicity on BOTH sides weighs the vote") {
+    // train: 'x' seen 3x under a, 1x under b; 'y' 4x under b.
+    // test doc 'x x y': score(a) = 3+3 = 6, score(b) = 1+1+4 = 6 — tie on
+    // aggregate, min label a wins; doc 'x y y' -> a=3, b=1+8=9 -> b.
+    val train = Seq(
+      (1L, "x x x", "a"), (2L, "x", "b"), (3L, "y y y y", "b"))
+      .toDF("id", "text", "lab")
+    val test_ = Seq((10L, "x x y", "?"), (11L, "x y y", "?"))
+      .toDF("id", "text", "lab")
+    val got = TextOps.domainClassify(train, test_, "id", "text", "lab")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got === Map(10L -> "a", 11L -> "b"))
+  }
 }
