@@ -182,4 +182,34 @@ object Binning {
       .withColumn("psi", col("__psi_micro").cast("double") / lit(1e6))
       .drop("__psi_micro")
   }
+
+  /** Exact weighted median per group: the smallest value whose cumulative
+    * weight reaches HALF the group's total — lower weighted median,
+    * decided by the integer comparison 2·cum >= total (no division, no
+    * interpolation ⇒ the emitted value is an INPUT value, bit-identical
+    * cross-engine; the robust center for weight-skewed distributions,
+    * e.g. revenue-weighted price points).
+    *
+    * Shape: weights pre-aggregate onto distinct values first (the window
+    * then runs over #distinct-values rows, not raw rows), one group
+    * partitioning shared by the cumulative and total sums, one crossing
+    * filter + min. `weightCol` must be a non-negative integer column;
+    * zero-total groups emit nothing (no median of nothing). */
+  def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
+                     weightCol: String): DataFrame = {
+    val perVal = df.groupBy(col(groupCol), col(valueCol))
+      .agg(sum(col(weightCol).cast("long")).as("__w"))
+    val ord = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(valueCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val all = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    perVal.select(col(groupCol), col(valueCol),
+        sum(col("__w")).over(ord).as("__cum"),
+        sum(col("__w")).over(all).as("__tot"))
+      .where(col("__tot") > 0 && col("__cum") * 2 >= col("__tot"))
+      .groupBy(col(groupCol))
+      .agg(min(col(valueCol)).as("weighted_median"),
+        max(col("__tot")).as("total_weight"))
+  }
 }

@@ -146,6 +146,18 @@ object AggQueries extends QueryModule {
         .orderBy(col("support").desc, col("pk_a"), col("pk_b"))
         .limit(20)),
 
+    // Q-AGG19 (round 7): exact revenue-weighted median quantity per
+    // returnflag — the robust center under weight skew. Lower weighted
+    // median by the integer crossing 2·cum >= total: no division, no
+    // interpolation, the answer is an input value => hash-exact.
+    "q_agg19" -> ((s, d) =>
+      graft.operators.Binning.weightedMedian(
+        Tables.load(s, d, "lineitem").select(col("l_returnflag"),
+          col("l_quantity"),
+          round(col("l_extendedprice") * lit(100.0)).cast("long").as("w")),
+        "l_returnflag", "l_quantity", "w")
+        .orderBy("l_returnflag")),
+
     // Q-AGG18: association rules over the q_agg17 pairs — confidence in
     // both directions and lift from exact integer supports (raw IEEE
     // quotients); deterministic top-20 on the same total order. The rule
@@ -297,6 +309,19 @@ object AggQueries extends QueryModule {
          |SELECT pk_a, pk_b, support FROM psup
          |ORDER BY support DESC, pk_a, pk_b
          |LIMIT 20""".stripMargin,
+    "q_agg19" ->
+      """WITH pv AS (SELECT l_returnflag, l_quantity,
+        |    SUM(CAST(round(l_extendedprice*100.0, 0) AS BIGINT)) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |cw AS (SELECT l_returnflag, l_quantity,
+        |    SUM(w) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM pv)
+        |SELECT l_returnflag, MIN(l_quantity) AS weighted_median,
+        |  CAST(MAX(tot) AS BIGINT) AS total_weight
+        |FROM cw WHERE tot > 0 AND cum * 2 >= tot
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_agg10" ->
       s"""SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
          |  COUNT(*) AS n_orders,

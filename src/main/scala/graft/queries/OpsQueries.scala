@@ -83,6 +83,36 @@ object OpsQueries extends QueryModule {
         .orderBy("cohort_week", "offset_weeks")
     }),
 
+    // Q-SESS4 (round 7): WAU / trailing-4-week MAU / stickiness per
+    // epoch-week — the engagement dashboard row. The trailing-window
+    // distinct is NOT a window function (no engine does framed
+    // COUNT(DISTINCT)): each (user, week) row fans out to the <= 4 target
+    // weeks it supports via an in-plan sequence-explode, target weeks are
+    // semi-filtered to ones that exist (broadcast of the ~#weeks table),
+    // then one exact distinct per target week. Fan-out is a constant 4x
+    // of the deduped (user, week) table — linear at any history length.
+    // Stickiness = one IEEE division of exact longs => hash-exact.
+    "q_sess4" -> ((s, d) => {
+      val uw = Tables.load(s, d, "events")
+        .select(col("user_id"),
+          floor(unix_timestamp(col("ts")).cast("double") / lit(604800.0))
+            .cast("long").as("__wk"))
+        .distinct()
+      val weeks = uw.select(col("__wk").as("week")).distinct()
+      val wau = uw.groupBy(col("__wk").as("week"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+      val mau = uw
+        .select(col("user_id"),
+          explode(sequence(col("__wk"), col("__wk") + 3)).as("week"))
+        .join(broadcast(weeks), Seq("week"))
+        .groupBy("week").agg(countDistinct(col("user_id")).as("mau"))
+      wau.join(mau, Seq("week"))
+        .select(col("week"), col("wau"), col("mau"),
+          (col("wau").cast("double") / col("mau").cast("double"))
+            .as("stickiness"))
+        .orderBy("week")
+    }),
+
     // Q-DIFF1: snapshot reconciliation — one full-outer sort-merge join on
     // the key; only the delta (added/removed/changed) survives.
     "q_diff1" -> ((s, d) => {
@@ -607,6 +637,22 @@ object OpsQueries extends QueryModule {
         |FROM e JOIN c ON e.user_id = c.user_id
         |GROUP BY cohort_week, offset_weeks
         |ORDER BY cohort_week, offset_weeks""".stripMargin,
+
+    "q_sess4" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |    CAST(floor(CAST(epoch_us(ts) // 1000000 AS DOUBLE) / 604800.0)
+        |      AS BIGINT) AS wk
+        |  FROM events),
+        |wks AS (SELECT DISTINCT wk AS week FROM uw),
+        |wau AS (SELECT wk AS week, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+        |  FROM uw GROUP BY 1),
+        |mau AS (SELECT w.week, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS mau
+        |  FROM wks w JOIN uw u ON u.wk BETWEEN w.week - 3 AND w.week
+        |  GROUP BY 1)
+        |SELECT wau.week AS week, wau.wau, mau.mau,
+        |  CAST(wau.wau AS DOUBLE) / CAST(mau.mau AS DOUBLE) AS stickiness
+        |FROM wau JOIN mau ON mau.week = wau.week
+        |ORDER BY wau.week""".stripMargin,
 
     "q_sess2" ->
       s"""WITH e AS (

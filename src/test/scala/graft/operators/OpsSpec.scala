@@ -82,6 +82,26 @@ class OpsSpec extends SparkSpec {
     assert(sizes.values.sum === 103L)
   }
 
+  test("weightedMedian: weight skew moves the median; exact crossing picks the boundary value") {
+    val df = Seq(
+      // group a: values 1..4, weight piled on 4 -> median 4 (cum at 4 is
+      // the first to reach half of 1+1+1+7 = 10)
+      ("a", 1.0, 1L), ("a", 2.0, 1L), ("a", 3.0, 1L), ("a", 4.0, 7L),
+      // group b: exact half-crossing AT value 1 (2*2 >= 4) -> lower median 1
+      ("b", 1.0, 2L), ("b", 2.0, 2L),
+      // group c: all-zero weights -> emits nothing
+      ("c", 9.0, 0L)).toDF("g", "v", "w")
+    val got = Binning.weightedMedian(df, "g", "v", "w")
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(got === Map("a" -> ((4.0, 10L)), "b" -> ((1.0, 4L))))
+  }
+
+  test("weightedMedian: unit weights reduce to the plain lower median") {
+    val df = (1 to 9).map(i => ("k", i.toDouble, 1L)).toDF("g", "v", "w")
+    val r = Binning.weightedMedian(df, "g", "v", "w").collect()
+    assert(r.length === 1 && r(0).getDouble(1) === 5.0)
+  }
+
   test("sample boundaries + broadcast assignment: ties go to the lower bucket") {
     val df = spark.range(1, 81).select(col("id").as("k"),
       col("id").cast("double").as("v"))
