@@ -349,6 +349,40 @@ object Similarity {
           .as("cos_centroid"))
   }
 
+  /** Per-label embedding-centroid drift between two halves of a corpus —
+    * the embedding-space distribution-shift check run before a retrain
+    * (the numeric twin of the PSI gate): cosine between each label's
+    * half-A and half-B centroids, from the SAME exact-integer machinery
+    * as [[cosineToClassCentroid]] (micro-unit components, DECIMAL sums,
+    * unnormalized sums stand in for centroids — cosine is scale-invariant;
+    * sqrt/division are single correctly-rounded IEEE ops => hash-exact).
+    * Labels present in only one half drop out (no drift of nothing).
+    *
+    * Shape: one posexplode scan, one (label, half, dim) aggregate
+    * (2 · numClasses × dim rows), dim-sized join between the halves —
+    * nothing pairwise, nothing driver-side. */
+  def centroidDrift(emb: DataFrame, vecCol: String, labelCol: String,
+                    halfCol: Column): DataFrame = {
+    val e = emb.select(col(labelCol), halfCol.cast("int").as("__h"),
+        posexplode(col(vecCol)).as(Seq("__pos", "__x")))
+      .withColumn("__xm", round(col("__x").cast("double") * lit(1e6), 0).cast("long"))
+    val cent = e.groupBy(col(labelCol), col("__h"), col("__pos"))
+      .agg(sum(col("__xm")).cast("decimal(18,0)").as("__cs"))
+    val a = cent.where(col("__h") === 0)
+      .select(col(labelCol), col("__pos"), col("__cs").as("__ca"))
+    val b = cent.where(col("__h") === 1)
+      .select(col(labelCol), col("__pos"), col("__cs").as("__cb"))
+    a.join(b, Seq(labelCol, "__pos"))
+      .groupBy(col(labelCol))
+      .agg(sum(col("__ca") * col("__cb")).as("__dot"),
+        sum(col("__ca") * col("__ca")).as("__a2"),
+        sum(col("__cb") * col("__cb")).as("__b2"))
+      .select(col(labelCol),
+        (col("__dot").cast("double") /
+          (sqrt(col("__a2").cast("double")) * sqrt(col("__b2").cast("double"))))
+          .as("centroid_cos"))
+  }
+
   /** Per-group top-k (SURVEY.md Q-TOP2 shape): row_number over a windowed
     * sort, kept <= k — Spark 4 plans this as WindowGroupLimit (no full
     * per-group materialization). */

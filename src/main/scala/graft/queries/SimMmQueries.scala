@@ -217,6 +217,15 @@ object SimMmQueries extends QueryModule {
           "vec_id", "embedding", "label")
         .orderBy("vec_id")),
 
+    // Q-SIM15 (round 7): per-label centroid drift between the even and
+    // odd vec_id halves — the embedding-space distribution-shift gate
+    // (PSI's numeric twin). Same exact-integer centroid machinery as
+    // q_sim13 => hash-exact.
+    "q_sim15" -> ((s, d) =>
+      Similarity.centroidDrift(Tables.load(s, d, "embeddings"),
+          "embedding", "label", pmod(col("vec_id"), lit(2)))
+        .orderBy("label")),
+
     // Multimodal: opaque binary payload + typed metadata (oracle-checked).
     "q_mm1" -> ((s, d) =>
       Multimodal.withBinaryMeta(Tables.load(s, d, "documents"), "text")
@@ -1042,6 +1051,23 @@ object SimMmQueries extends QueryModule {
         |    AS cos_centroid
         |FROM d JOIN cn ON d.label = cn.label
         |ORDER BY d.vec_id""".stripMargin,
+    "q_sim15" ->
+      """WITH e AS (
+        |  SELECT vec_id % 2 AS h, label, pos,
+        |    CAST(round(CAST(embedding[pos] AS DOUBLE) * 1e6, 0) AS BIGINT) AS xm
+        |  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) g),
+        |cent AS (SELECT label, h, pos, CAST(SUM(xm) AS DECIMAL(18,0)) AS cs
+        |         FROM e GROUP BY 1, 2, 3),
+        |a AS (SELECT label, pos, cs AS ca FROM cent WHERE h = 0),
+        |b AS (SELECT label, pos, cs AS cb FROM cent WHERE h = 1),
+        |j AS (SELECT a.label, SUM(ca * cb) AS dot,
+        |    SUM(ca * ca) AS a2, SUM(cb * cb) AS b2
+        |  FROM a JOIN b ON a.label = b.label AND a.pos = b.pos
+        |  GROUP BY 1)
+        |SELECT label,
+        |  CAST(dot AS DOUBLE) / (sqrt(CAST(a2 AS DOUBLE)) * sqrt(CAST(b2 AS DOUBLE)))
+        |    AS centroid_cos
+        |FROM j ORDER BY label""".stripMargin,
     "q_sim11" ->
       s"""WITH a AS (SELECT vec_id AS query_id, embedding AS qe, label AS ql
          |           FROM embeddings WHERE vec_id IN (0, 1, 2))

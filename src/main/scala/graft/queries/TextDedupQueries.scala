@@ -756,6 +756,34 @@ object TextDedupQueries extends QueryModule {
         .orderBy("actual", "predicted")
     }),
 
+    // Q-TXT34 (round 7): per-source Pareto frontier on (token count,
+    // quality score) — the skyline docs no other same-source doc strictly
+    // beats on BOTH axes: the "best long docs" shortlist a curation
+    // review reads (length and quality trade off; the frontier is the
+    // whole trade-off curve). Scalable form: per distinct token count the
+    // max quality, then a shifted running max over counts DESC — a doc is
+    // dominated iff that running max (over strictly-longer docs) strictly
+    // exceeds its quality. O(n log n), no pairwise; the oracle states the
+    // same predicate as NOT EXISTS (fine at fixture size). All integer.
+    "q_txt34" -> ((s, d) => {
+      val sc = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          size(TextOps.tokens(col("text"))).cast("long").as("nt"),
+          TextOps.compositeQualityMicro(col("text")).as("q"))
+        .where(col("q").isNotNull)
+      val perNt = sc.groupBy(col("source"), col("nt"))
+        .agg(max(col("q")).as("__mq"))
+      val wNt = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("nt").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val best = perNt.select(col("source"), col("nt"),
+        max(col("__mq")).over(wNt).as("__best"))
+      sc.join(best, Seq("source", "nt"))
+        .where(col("__best").isNull || col("__best") <= col("q"))
+        .select("doc_id", "source", "nt", "q")
+        .orderBy("doc_id")
+    }),
+
     // Q-TXT26: Unicode NFC normalization (native codegen'd expression —
     // Spark has no built-in). The fixture text is pure ASCII, so a
     // deterministic base+combining-mark suffix is appended per doc (the
@@ -864,6 +892,16 @@ object TextDedupQueries extends QueryModule {
          |  kept_tokens,
          |  CAST(kept_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS frac_tokens
          |FROM ag ORDER BY threshold""".stripMargin,
+    "q_txt34" ->
+      s"""WITH sc AS (SELECT doc_id, source,
+         |    CAST(len($tokSql) AS BIGINT) AS nt,
+         |    ${Shared.qualityScoreMicroSql} AS q
+         |  FROM documents),
+         |f AS (SELECT * FROM sc WHERE q IS NOT NULL)
+         |SELECT doc_id, source, nt, q FROM f d
+         |WHERE NOT EXISTS (SELECT 1 FROM f o
+         |  WHERE o.source = d.source AND o.nt > d.nt AND o.q > d.q)
+         |ORDER BY doc_id""".stripMargin,
     "q_txt33" ->
       s"""WITH tr AS (SELECT source AS lab, unnest($tokSql) AS t
          |  FROM documents WHERE doc_id % 2 = 0),

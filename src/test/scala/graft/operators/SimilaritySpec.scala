@@ -244,4 +244,21 @@ class SimilaritySpec extends SparkSpec {
       .select("g", "v", "rn").as[(Int, Double, Long)].collect().sorted
     assert(out === Seq((1, 20.0, 2L), (1, 30.0, 1L), (2, 5.0, 1L)).sorted)
   }
+
+  test("centroidDrift: identical halves give exactly 1.0; an orthogonal shift drops it; lone-half labels vanish") {
+    val rows = Seq(
+      // label 0: both halves average to the same direction -> cos 1.0
+      (0L, 0, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, 0, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      // label 1: half A on x, half B on y -> cos 0.0
+      (2L, 1, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, 1, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      // label 2: only the even half exists -> no drift row
+      (4L, 2, Array(0.0f, 0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val got = Similarity.centroidDrift(rows, "embedding", "label",
+        pmod(col("vec_id"), lit(2)))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(got === Map(0 -> 1.0, 1 -> 0.0))
+  }
 }
