@@ -113,6 +113,50 @@ object OpsQueries extends QueryModule {
         .orderBy("week")
     }),
 
+    // Q-SESS5 (round 7): event-type transition matrix — counts of
+    // adjacent (from -> to) steps within each user's (ts, event_id)
+    // stream, with the per-source-state transition probability (one IEEE
+    // division of exact longs). The first-order Markov table behind
+    // next-step prediction and funnel-leak diagnosis. One lag window on
+    // the user partitioning + one aggregation; top-20 deterministic.
+    "q_sess5" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val steps = Tables.load(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .select(col("event_type").as("to_type"),
+          lag(col("event_type"), 1).over(w).as("from_type"))
+        .where(col("from_type").isNotNull)
+      val counts = steps.groupBy("from_type", "to_type")
+        .agg(count(lit(1)).as("n"))
+      val fromTotals = counts.groupBy("from_type")
+        .agg(sum(col("n")).as("__ft"))
+      counts.join(broadcast(fromTotals), Seq("from_type"))
+        .select(col("from_type"), col("to_type"), col("n"),
+          (col("n").cast("double") / col("__ft").cast("double")).as("p"))
+        .orderBy(col("n").desc, col("from_type"), col("to_type"))
+        .limit(20)
+    }),
+
+    // Q-DQ4 (round 7): self-join cardinality forecast — the check run
+    // BEFORE launching a corpus-scale self-join (dedup candidates, basket
+    // pairs): per-key row counts c(k) predict exactly Σ c(k)·(c(k)-1)/2
+    // output pairs; the top key's share says whether a cap/salt is needed.
+    // One aggregation + a broadcast one-row total; all integer.
+    "q_dq4" -> ((s, d) => {
+      val perKey = Tables.load(s, d, "lineitem")
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("__c"))
+        .select(col("l_partkey"),
+          expr("__c * (__c - 1) div 2").as("pairs"))
+      val tot = perKey.agg(sum(col("pairs")).as("__tot"))
+      perKey.crossJoin(broadcast(tot))
+        .select(col("l_partkey"), col("pairs"), col("__tot").as("total_pairs"),
+          (col("pairs").cast("double") / col("__tot").cast("double"))
+            .as("share"))
+        .orderBy(col("pairs").desc, col("l_partkey"))
+        .limit(10)
+    }),
+
     // Q-DIFF1: snapshot reconciliation — one full-outer sort-merge join on
     // the key; only the delta (added/removed/changed) survives.
     "q_diff1" -> ((s, d) => {
@@ -637,6 +681,27 @@ object OpsQueries extends QueryModule {
         |FROM e JOIN c ON e.user_id = c.user_id
         |GROUP BY cohort_week, offset_weeks
         |ORDER BY cohort_week, offset_weeks""".stripMargin,
+
+    "q_sess5" ->
+      """WITH st AS (SELECT event_type AS to_type,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS from_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM st WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        |ft AS (SELECT from_type, SUM(n) AS ft FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n,
+        |  CAST(c.n AS DOUBLE) / CAST(ft.ft AS DOUBLE) AS p
+        |FROM c JOIN ft USING (from_type)
+        |ORDER BY n DESC, from_type, to_type LIMIT 20""".stripMargin,
+
+    "q_dq4" ->
+      """WITH pk AS (SELECT l_partkey, COUNT(*) AS c FROM lineitem GROUP BY 1),
+        |pp AS (SELECT l_partkey, CAST(c * (c - 1) // 2 AS BIGINT) AS pairs FROM pk),
+        |t AS (SELECT SUM(pairs) AS tot FROM pp)
+        |SELECT l_partkey, pairs, CAST(t.tot AS BIGINT) AS total_pairs,
+        |  CAST(pairs AS DOUBLE) / CAST(t.tot AS DOUBLE) AS share
+        |FROM pp, t ORDER BY pairs DESC, l_partkey LIMIT 10""".stripMargin,
 
     "q_sess4" ->
       """WITH uw AS (SELECT DISTINCT user_id,

@@ -784,6 +784,35 @@ object TextDedupQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // Q-TXT35 (round 7): PMI collocations — the strongest-associated
+    // bigrams (pmi = ln(c_ab·N / (c_a·c_b)), counts from the bigram table
+    // itself: c_a = left-position, c_b = right-position totals), minimum
+    // count 5, top-20 by (pmi_micro desc, pair). The phrase-mining /
+    // multiword-expression table. The ln argument is a quotient of double
+    // PRODUCTS of exact counts in fixed textual order, rounded ONCE to
+    // micro-nats (the q_txt20 transcendental policy) => hash-exact.
+    "q_txt35" -> ((s, d) => {
+      val all = Tables.load(s, d, "documents")
+        .select(TextOps.tokens(col("text")).as("__toks"))
+        .select(explode(TextOps.bigrams(col("__toks"))).as("__bg"))
+        .select(split(col("__bg"), " ").as("__p"))
+        .select(col("__p").getItem(0).as("a"), col("__p").getItem(1).as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+        .localCheckpoint() // feeds the left, right, and grand-total rollups
+      val ca = all.groupBy("a").agg(sum(col("n_ab")).as("__ca"))
+      val cb = all.groupBy("b").agg(sum(col("n_ab")).as("__cb"))
+      val n = all.agg(sum(col("n_ab")).as("__n"))
+      all.where(col("n_ab") >= 5)
+        .join(ca, Seq("a")).join(cb, Seq("b"))
+        .crossJoin(broadcast(n))
+        .select(col("a"), col("b"), col("n_ab"),
+          round(log((col("n_ab").cast("double") * col("__n").cast("double")) /
+            (col("__ca").cast("double") * col("__cb").cast("double"))) * lit(1e6), 0)
+            .cast("long").as("pmi_micro"))
+        .orderBy(col("pmi_micro").desc, col("a"), col("b"))
+        .limit(20)
+    }),
+
     // Q-TXT26: Unicode NFC normalization (native codegen'd expression —
     // Spark has no built-in). The fixture text is pure ASCII, so a
     // deterministic base+combining-mark suffix is appended per doc (the
@@ -892,6 +921,23 @@ object TextDedupQueries extends QueryModule {
          |  kept_tokens,
          |  CAST(kept_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS frac_tokens
          |FROM ag ORDER BY threshold""".stripMargin,
+    "q_txt35" ->
+      s"""WITH t AS (SELECT $tokSql AS toks FROM documents),
+         |bg AS (SELECT unnest(list_transform(range(2, len(toks) + 1),
+         |         i -> toks[i-1] || ' ' || toks[i])) AS bigram FROM t),
+         |sp AS (SELECT string_split(bigram, ' ') AS p FROM bg),
+         |ab AS (SELECT p[1] AS a, p[2] AS b, CAST(COUNT(*) AS BIGINT) AS n_ab
+         |  FROM sp GROUP BY 1, 2),
+         |ca AS (SELECT a, SUM(n_ab) AS c FROM ab GROUP BY 1),
+         |cb AS (SELECT b, SUM(n_ab) AS c FROM ab GROUP BY 1),
+         |n AS (SELECT SUM(n_ab) AS n FROM ab)
+         |SELECT ab.a, ab.b, ab.n_ab,
+         |  CAST(round(ln((CAST(ab.n_ab AS DOUBLE) * CAST(n.n AS DOUBLE)) /
+         |    (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE))) * 1e6, 0) AS BIGINT)
+         |    AS pmi_micro
+         |FROM ab JOIN ca ON ca.a = ab.a JOIN cb ON cb.b = ab.b CROSS JOIN n
+         |WHERE ab.n_ab >= 5
+         |ORDER BY pmi_micro DESC, ab.a, ab.b LIMIT 20""".stripMargin,
     "q_txt34" ->
       s"""WITH sc AS (SELECT doc_id, source,
          |    CAST(len($tokSql) AS BIGINT) AS nt,
