@@ -28,4 +28,21 @@ object Privacy {
     if (cohortSizeAs.isEmpty) sized.drop("__gc")
     else sized.withColumnRenamed("__gc", cohortSizeAs)
   }
+
+  /** l-diversity audit — k-anonymity's mandatory companion: a cohort can
+    * be large (k-anonymous) yet expose everyone if the SENSITIVE value is
+    * uniform inside it (the homogeneity attack). Reports every
+    * quasi-identifier cohort with its size and distinct-sensitive-value
+    * count, flagging those below `l`. One aggregation (exact distinct
+    * rides the same shuffle); release gates join the flagged cohorts back
+    * as a suppression list. */
+  def lDiversityAudit(df: DataFrame, quasiCols: Seq[String],
+                      sensitiveCol: String, l: Int): DataFrame = {
+    require(l >= 1, s"l must be >= 1, got $l")
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("cohort_size"),
+        countDistinct(col(sensitiveCol)).as("distinct_sensitive"))
+      .withColumn("diverse", col("distinct_sensitive") >= l)
+  }
 }

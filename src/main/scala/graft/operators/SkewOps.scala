@@ -73,4 +73,35 @@ object SkewOps {
     partial.groupBy(keys.map(col): _*)
       .agg(sum(col("__n")).as("n_rows"), finals: _*)
   }
+
+  /** Gini coefficient of a non-negative integer measure across keys,
+    * per group — the concentration summary behind "is this mixture
+    * dominated by a few sources/keys" (0 = perfectly even, →1 = one key
+    * owns everything). Exact rank formulation over the PER-KEY rollup
+    * (the window sorts #keys rows, never raw rows):
+    *
+    *   G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx),  x sorted asc, i = 1..n
+    *
+    * Sums accumulate in DECIMAL (a BIGINT Σ i·x wraps silently at
+    * warehouse scale); the quotient rounds to 6dp (the q_agg9 transcend-
+    * ental/ulp policy). `orderTieCol` must make the sort total — ties in
+    * x would otherwise make ranks, and G, nondeterministic. Zero-total
+    * groups yield null. */
+  def giniByGroup(df: DataFrame, groupCol: String, keyCol: String,
+                  valueCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(valueCol).asc, col(keyCol).asc)
+    val xd = col(valueCol).cast("long").cast("decimal(28,0)")
+    val ranked = df
+      .select(col(groupCol), col(keyCol), col(valueCol))
+      .withColumn("__i", row_number().over(w).cast("decimal(10,0)"))
+    ranked.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(xd).as("__s"), sum(col("__i") * xd).as("__a"))
+      .select(col(groupCol), col("n_keys"),
+        when(col("__s") > 0, round(
+          (lit(2) * col("__a") - (col("n_keys") + 1) * col("__s")).cast("double") /
+            (col("n_keys") * col("__s")).cast("double"), 6))
+          .as("gini"))
+  }
 }

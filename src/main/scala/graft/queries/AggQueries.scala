@@ -158,6 +158,20 @@ object AggQueries extends QueryModule {
         "l_returnflag", "l_quantity", "w")
         .orderBy("l_returnflag")),
 
+    // Q-AGG20 (round 7): revenue-concentration Gini per returnflag across
+    // suppliers — the "is this slice dominated by a few keys" summary
+    // (the mixture-concentration diagnostic applied to the fixture).
+    // Exact rank formulation over the per-supplier rollup; 6dp-rounded
+    // single division => hash-exact.
+    "q_agg20" -> ((s, d) =>
+      graft.operators.SkewOps.giniByGroup(
+        Tables.load(s, d, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_suppkey"))
+          .agg(sum(round(col("l_extendedprice") * lit(100.0)).cast("long"))
+            .as("cents")),
+        "l_returnflag", "l_suppkey", "cents")
+        .orderBy("l_returnflag")),
+
     // Q-AGG18: association rules over the q_agg17 pairs — confidence in
     // both directions and lift from exact integer supports (raw IEEE
     // quotients); deterministic top-20 on the same total order. The rule
@@ -309,6 +323,22 @@ object AggQueries extends QueryModule {
          |SELECT pk_a, pk_b, support FROM psup
          |ORDER BY support DESC, pk_a, pk_b
          |LIMIT 20""".stripMargin,
+    "q_agg20" ->
+      """WITH rev AS (SELECT l_returnflag, l_suppkey,
+        |    SUM(CAST(round(l_extendedprice*100.0, 0) AS BIGINT)) AS x
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT l_returnflag, x,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY x, l_suppkey)
+        |      AS i
+        |  FROM rev),
+        |a AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(x) AS s, SUM(CAST(i AS HUGEINT) * x) AS a
+        |  FROM r GROUP BY 1)
+        |SELECT l_returnflag, n AS n_keys,
+        |  CASE WHEN s > 0 THEN
+        |    round(CAST(2*a - (n+1)*s AS DOUBLE) / CAST(n*s AS DOUBLE), 6)
+        |  END AS gini
+        |FROM a ORDER BY l_returnflag""".stripMargin,
     "q_agg19" ->
       """WITH pv AS (SELECT l_returnflag, l_quantity,
         |    SUM(CAST(round(l_extendedprice*100.0, 0) AS BIGINT)) AS w

@@ -392,6 +392,15 @@ object OpsQueries extends QueryModule {
           Seq("c_nationkey", "c_mktsegment"), k = 8, cohortSizeAs = "cohort_size")
         .orderBy("c_custkey")),
 
+    // Q-PRIV2 (round 7): l-diversity audit — k-anonymity's mandatory
+    // companion (a large cohort still exposes everyone if the sensitive
+    // value is uniform inside it): per (nation) cohort, size + distinct
+    // market segments + the l>=5 flag. One aggregation => hash-exact.
+    "q_priv2" -> ((s, d) =>
+      Privacy.lDiversityAudit(Tables.load(s, d, "customer"),
+          Seq("c_nationkey"), "c_mktsegment", l = 5)
+        .orderBy("c_nationkey")),
+
     // Q-GRAPH1 (round 5): integer-arithmetic PageRank over the bipartite
     // customer→supplier purchase graph (the authority / quality-prior
     // scoring leg of a web-curation pipeline, run on fixture data). All
@@ -681,6 +690,13 @@ object OpsQueries extends QueryModule {
         |FROM e JOIN c ON e.user_id = c.user_id
         |GROUP BY cohort_week, offset_weeks
         |ORDER BY cohort_week, offset_weeks""".stripMargin,
+
+    "q_priv2" ->
+      """SELECT c_nationkey,
+        |  CAST(COUNT(*) AS BIGINT) AS cohort_size,
+        |  CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS distinct_sensitive,
+        |  COUNT(DISTINCT c_mktsegment) >= 5 AS diverse
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_sess5" ->
       """WITH st AS (SELECT event_type AS to_type,

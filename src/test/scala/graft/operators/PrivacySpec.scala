@@ -29,4 +29,16 @@ class PrivacySpec extends SparkSpec {
     assert(sized(1L) === 3L && sized(4L) === 2L && sized(7L) === 2L)
     assert(Privacy.kAnonymize(people, Seq("country"), k = 1).count() === 8L)
   }
+
+  test("lDiversityAudit flags the homogeneous cohort a k-gate would pass") {
+    import spark.implicits._
+    // cohort A: 4 rows but ONE segment value — k-anonymous at k=4, yet
+    // anyone known to be in A is exposed. Cohort B: 2 rows, 2 values.
+    val df = Seq(("A", "s1"), ("A", "s1"), ("A", "s1"), ("A", "s1"),
+      ("B", "s1"), ("B", "s2")).toDF("country", "segment")
+    val got = Privacy.lDiversityAudit(df, Seq("country"), "segment", l = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got === Map("A" -> ((4L, 1L, false)), "B" -> ((2L, 2L, true))))
+  }
 }

@@ -54,6 +54,19 @@ class ScaleOpsSpec extends SparkSpec {
     assert(top(2).getLong(0) === 101L && top(2).getLong(1) === 1L)
   }
 
+  test("giniByGroup: even spread is 0, single-owner approaches 1, zero-total is null") {
+    val df = Seq(
+      // group e: four equal keys -> G = (2*(1+2+3+4)*5 - 5*20) / (4*20) = 0
+      ("e", 1L, 5L), ("e", 2L, 5L), ("e", 3L, 5L), ("e", 4L, 5L),
+      // group o: one key owns all of it -> G = (n-1)/n = 3/4
+      ("o", 1L, 0L), ("o", 2L, 0L), ("o", 3L, 0L), ("o", 4L, 12L),
+      // group z: zero total -> null, never NaN
+      ("z", 1L, 0L), ("z", 2L, 0L)).toDF("g", "k", "x")
+    val got = SkewOps.giniByGroup(df, "g", "k", "x").collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(2)) null else r.getDouble(2))).toMap
+    assert(got === Map("e" -> 0.0, "o" -> 0.75, "z" -> null))
+  }
+
   test("batchByRange equals the single-partition window form on a unique key") {
     val src = Tables.load(spark, sf, "orders").select("o_orderkey")
     val fact = Batching.batchByRange(src, col("o_orderkey"), size = 700)
