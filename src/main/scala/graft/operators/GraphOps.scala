@@ -51,12 +51,15 @@ object GraphOps {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct must be in [0,100], got $dampingPct")
-    val e = checkedEdges(edges, srcCol, dstCol)
-      .localCheckpoint() // reused every iteration: materialize once
-    val verts = e.select(col("__src").as("vertex"))
-      .union(e.select(col("__dst").as("vertex")))
+    val e0 = checkedEdges(edges, srcCol, dstCol).localCheckpoint()
+    val verts = e0.select(col("__src").as("vertex"))
+      .union(e0.select(col("__dst").as("vertex")))
       .distinct().localCheckpoint()
-    val outdeg = e.groupBy("__src").agg(count(lit(1)).as("__outdeg"))
+    // outdeg is static across iterations — join it into the edge table
+    // ONCE (window count on the materialized edges: no second join per
+    // iteration, the per-iteration plan is edge⋈pr + one aggregation)
+    val e = e0.withColumn("__outdeg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("__src")))
       .localCheckpoint()
     val basePr = lit((100L - dampingPct) * 10000L)
     var pr = verts.withColumn("pr_micro", lit(1000000L))
@@ -65,7 +68,6 @@ object GraphOps {
       // partially aggregated map-side by groupBy(dst) — one shuffle/iter
       val contrib = e
         .join(pr.select(col("vertex").as("__src"), col("pr_micro")), Seq("__src"))
-        .join(outdeg, Seq("__src"))
         .select(col("__dst"), expr("pr_micro div __outdeg").as("__c"))
         .groupBy("__dst").agg(sum(col("__c")).as("__s"))
       pr = verts
@@ -295,18 +297,20 @@ object GraphOps {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct must be in [0,100], got $dampingPct")
-    val e = checkedEdges(edges, srcCol, dstCol).localCheckpoint()
+    val e0 = checkedEdges(edges, srcCol, dstCol).localCheckpoint()
     val sd = seeds.select(col(seedCol).cast("long").as("vertex"))
       .distinct().localCheckpoint()
-    val verts = e.select(col("__src").as("vertex"))
-      .union(e.select(col("__dst").as("vertex")))
+    val verts = e0.select(col("__src").as("vertex"))
+      .union(e0.select(col("__dst").as("vertex")))
       .union(sd.select(col("vertex")))
       .distinct().localCheckpoint()
     val nV = verts.count()
     val nS = sd.count()
     require(nS > 0, "seed set must be non-empty")
     val base = ((100L - dampingPct) * 10000L * nV) / nS
-    val outdeg = e.groupBy("__src").agg(count(lit(1)).as("__outdeg"))
+    // static outdeg folded into the edges once — see [[pageRank]]
+    val e = e0.withColumn("__outdeg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("__src")))
       .localCheckpoint()
     val teleport = verts
       .join(sd.withColumn("__isSeed", lit(1)), Seq("vertex"), "left_outer")
@@ -318,7 +322,6 @@ object GraphOps {
     for (_ <- 1 to iterations) {
       val contrib = e
         .join(pr.select(col("vertex").as("__src"), col("pr_micro")), Seq("__src"))
-        .join(outdeg, Seq("__src"))
         .select(col("__dst"), expr("pr_micro div __outdeg").as("__c"))
         .groupBy("__dst").agg(sum(col("__c")).as("__s"))
       pr = teleport
