@@ -242,6 +242,45 @@ object GraphOps {
       .limit(k)
   }
 
+  /** Per-vertex mean neighbor degree, in exact micro units:
+    * annd_micro(v) = (1e6 · Σ_{u∈N(v)} deg(u)) div deg(v) — the local
+    * assortativity profile (is this vertex connected to hubs or to the
+    * periphery — the crawl-frontier prioritization signal). Two joins on
+    * the degree table + one aggregation; all integer => hash-exact. */
+  def avgNeighborDegree(edges: DataFrame, srcCol: String,
+                        dstCol: String): DataFrame = {
+    val canon = canonicalUndirected(edges, srcCol, dstCol).localCheckpoint()
+    val deg = undirectedDegrees(canon).localCheckpoint()
+    val nbrs = canon.select(col("__lo").as("vertex"), col("__hi").as("__nbr"))
+      .union(canon.select(col("__hi").as("vertex"), col("__lo").as("__nbr")))
+    nbrs
+      .join(deg.select(col("vertex").as("__nbr"), col("__deg").as("__nd")),
+        Seq("__nbr"))
+      .groupBy("vertex")
+      .agg(sum(col("__nd")).as("__snd"), count(lit(1)).as("degree"))
+      .select(col("vertex"), col("degree"),
+        expr("(1000000 * __snd) div degree").as("annd_micro"))
+  }
+
+  /** Degree assortativity: Pearson correlation of the endpoint degrees
+    * over every edge (both orientations — the standard symmetric form).
+    * One number: positive = hubs link to hubs (social-graph shape),
+    * negative = hub-and-spoke (web/infrastructure shape). Rounded to 6dp
+    * (the q_agg9 correlation convention). */
+  def degreeAssortativity(edges: DataFrame, srcCol: String,
+                          dstCol: String): DataFrame = {
+    val canon = canonicalUndirected(edges, srcCol, dstCol).localCheckpoint()
+    val deg = undirectedDegrees(canon)
+    val both = canon.select(col("__lo").as("__a"), col("__hi").as("__b"))
+      .union(canon.select(col("__hi").as("__a"), col("__lo").as("__b")))
+    both
+      .join(deg.select(col("vertex").as("__a"), col("__deg").as("__da")), Seq("__a"))
+      .join(deg.select(col("vertex").as("__b"), col("__deg").as("__db")), Seq("__b"))
+      .agg(round(corr(col("__da").cast("double"), col("__db").cast("double")), 6)
+        .as("assortativity"),
+        count(lit(1)).as("n_endpoints"))
+  }
+
   /** Synchronous label propagation for a FIXED number of rounds —
     * deterministic community detection. Init label(v) = v; each round
     * every vertex adopts the most frequent label among its neighbors

@@ -475,6 +475,19 @@ object OpsQueries extends QueryModule {
     // primitive over the co-purchase graph. All integer => hash-exact.
     "q_graph7" -> ((s, d) =>
       GraphOps.linkPrediction(coPurchaseEdges(s, d), "src", "dst", k = 20)),
+
+    // Q-GRAPH8 (round 7): per-vertex mean neighbor degree in micro units
+    // — connected-to-hubs vs connected-to-periphery, the local
+    // assortativity profile. All integer => hash-exact.
+    "q_graph8" -> ((s, d) =>
+      GraphOps.avgNeighborDegree(coPurchaseEdges(s, d), "src", "dst")
+        .orderBy("vertex")),
+
+    // Q-GRAPH9 (round 7): degree assortativity — one Pearson correlation
+    // of endpoint degrees over both edge orientations, 6dp (the q_agg9
+    // correlation convention).
+    "q_graph9" -> ((s, d) =>
+      GraphOps.degreeAssortativity(coPurchaseEdges(s, d), "src", "dst")),
   )
 
   private val PrIters = 5
@@ -578,6 +591,27 @@ object OpsQueries extends QueryModule {
        |ORDER BY common_neighbors DESC, pref_attachment DESC, a, b
        |LIMIT 20""".stripMargin
 
+  private def avgNbrDegSql: String =
+    s"""WITH $graphCtes,
+       |deg AS (SELECT vtx, CAST(COUNT(*) AS BIGINT) AS dg FROM
+       |  (SELECT lo AS vtx FROM e0 UNION ALL SELECT hi FROM e0) GROUP BY vtx),
+       |nbr AS (SELECT lo AS vtx, hi AS nb FROM e0
+       |        UNION ALL SELECT hi, lo FROM e0)
+       |SELECT nbr.vtx AS vertex, CAST(COUNT(*) AS BIGINT) AS degree,
+       |  CAST((1000000 * SUM(deg.dg)) // COUNT(*) AS BIGINT) AS annd_micro
+       |FROM nbr JOIN deg ON deg.vtx = nbr.nb
+       |GROUP BY nbr.vtx ORDER BY vertex""".stripMargin
+
+  private def assortativitySql: String =
+    s"""WITH $graphCtes,
+       |deg AS (SELECT vtx, CAST(COUNT(*) AS BIGINT) AS dg FROM
+       |  (SELECT lo AS vtx FROM e0 UNION ALL SELECT hi FROM e0) GROUP BY vtx),
+       |bth AS (SELECT lo AS a, hi AS b FROM e0 UNION ALL SELECT hi, lo FROM e0)
+       |SELECT round(corr(CAST(da.dg AS DOUBLE), CAST(db.dg AS DOUBLE)), 6)
+       |    AS assortativity,
+       |  CAST(COUNT(*) AS BIGINT) AS n_endpoints
+       |FROM bth JOIN deg da ON da.vtx = bth.a JOIN deg db ON db.vtx = bth.b""".stripMargin
+
   // Label-propagation oracle: LpRounds synchronous rounds unrolled, each
   // one neighbor-join + per-vertex arg-max (count desc, label asc).
   private def labelPropSql: String = {
@@ -658,6 +692,8 @@ object OpsQueries extends QueryModule {
     "q_graph5" -> kCoreSql,
     "q_graph6" -> labelPropSql,
     "q_graph7" -> linkPredSql,
+    "q_graph8" -> avgNbrDegSql,
+    "q_graph9" -> assortativitySql,
     "q_priv1" ->
       """SELECT c_custkey, c_nationkey, c_mktsegment, c_acctbal,
         |  CAST(gc AS BIGINT) AS cohort_size

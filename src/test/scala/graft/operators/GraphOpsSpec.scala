@@ -112,6 +112,17 @@ class GraphOpsSpec extends SparkSpec {
     assert(GraphOps.kCore(edges, "src", "dst", k = 3).count() === 0L)
   }
 
+  test("avgNeighborDegree and assortativity: a star is maximally disassortative") {
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val annd = GraphOps.avgNeighborDegree(star, "src", "dst")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(annd(0L) === ((3L, 1000000L)), "hub sees three degree-1 spokes")
+    assert(annd(1L) === ((1L, 3000000L)) && annd(2L) === ((1L, 3000000L)))
+    val a = GraphOps.degreeAssortativity(star, "src", "dst").collect()(0)
+    assert(a.getDouble(0) === -1.0, "pure hub-and-spoke correlates degrees at -1")
+    assert(a.getLong(1) === 6L)
+  }
+
   test("labelPropagation: zero rounds is the identity; a triangle converges to the min label") {
     val tri = Seq((5L, 6L), (6L, 7L), (7L, 5L)).toDF("src", "dst")
     val id = GraphOps.labelPropagation(tri, "src", "dst", rounds = 0)
