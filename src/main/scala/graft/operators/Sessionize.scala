@@ -57,4 +57,32 @@ object Sessionize {
         max(col(tsCol)).as("session_end"),
         count(lit(1)).as("n_events"),
         graft.util.Det.fixedSum(col(valueCol), 2).as("value_sum"))
+
+  /** Distinct (user_id, wk) epoch-week activity pairs — the SUFFICIENT
+    * STATISTIC for every engagement metric below: tiny next to raw
+    * events, and countDistinct-insensitive to duplicate pairs (so
+    * incremental stores can append without cross-batch dedup). */
+  def userWeeks(events: DataFrame, userCol: String, tsCol: String): DataFrame =
+    events.select(col(userCol).as("user_id"),
+        floor(unix_timestamp(col(tsCol)).cast("double") / lit(604800.0))
+          .cast("long").as("wk"))
+      .distinct()
+
+  /** WAU / trailing-4-week MAU / stickiness per epoch-week over a
+    * [[userWeeks]]-shaped frame (q_sess4's core; see that query for the
+    * fan-out design — framed COUNT(DISTINCT) exists in no engine, so each
+    * pair supports its <= 4 target weeks via sequence-explode). Duplicate
+    * (user_id, wk) input rows cannot change the result. */
+  def engagementFromUserWeeks(uw: DataFrame): DataFrame = {
+    val weeks = uw.select(col("wk").as("week")).distinct()
+    val wau = uw.groupBy(col("wk").as("week"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    val mau = uw
+      .select(col("user_id"), explode(sequence(col("wk"), col("wk") + 3)).as("week"))
+      .join(broadcast(weeks), Seq("week"))
+      .groupBy("week").agg(countDistinct(col("user_id")).as("mau"))
+    wau.join(mau, Seq("week"))
+      .select(col("week"), col("wau"), col("mau"),
+        (col("wau").cast("double") / col("mau").cast("double")).as("stickiness"))
+  }
 }

@@ -92,26 +92,10 @@ object OpsQueries extends QueryModule {
     // then one exact distinct per target week. Fan-out is a constant 4x
     // of the deduped (user, week) table — linear at any history length.
     // Stickiness = one IEEE division of exact longs => hash-exact.
-    "q_sess4" -> ((s, d) => {
-      val uw = Tables.load(s, d, "events")
-        .select(col("user_id"),
-          floor(unix_timestamp(col("ts")).cast("double") / lit(604800.0))
-            .cast("long").as("__wk"))
-        .distinct()
-      val weeks = uw.select(col("__wk").as("week")).distinct()
-      val wau = uw.groupBy(col("__wk").as("week"))
-        .agg(countDistinct(col("user_id")).as("wau"))
-      val mau = uw
-        .select(col("user_id"),
-          explode(sequence(col("__wk"), col("__wk") + 3)).as("week"))
-        .join(broadcast(weeks), Seq("week"))
-        .groupBy("week").agg(countDistinct(col("user_id")).as("mau"))
-      wau.join(mau, Seq("week"))
-        .select(col("week"), col("wau"), col("mau"),
-          (col("wau").cast("double") / col("mau").cast("double"))
-            .as("stickiness"))
-        .orderBy("week")
-    }),
+    "q_sess4" -> ((s, d) =>
+      Sessionize.engagementFromUserWeeks(
+          Sessionize.userWeeks(Tables.load(s, d, "events"), "user_id", "ts"))
+        .orderBy("week")),
 
     // Q-SESS5 (round 7): event-type transition matrix — counts of
     // adjacent (from -> to) steps within each user's (ts, event_id)
