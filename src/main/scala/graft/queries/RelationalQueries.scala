@@ -129,6 +129,81 @@ object RelationalQueries extends QueryModule {
 
     "q_sub1" -> (aboveCustomerAvg _),
 
+    // Q-JOIN10 (round 7): the TPC-H Q3 shape — top-10 highest-revenue
+    // orders still unshipped at the cutoff for one segment. Dimension
+    // filter broadcasts; exact 4dp revenue sums; total order under the
+    // top-k (revenue exact ⇒ desc sort deterministic, orderkey breaks
+    // residual ties).
+    "q_join10" -> ((s, d) => {
+      val cust = Tables.load(s, d, "customer")
+        .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val ord = Tables.load(s, d, "orders")
+        .where(col("o_orderdate").cast("date") < lit("1998-06-01"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val li = Tables.load(s, d, "lineitem")
+        .where(col("l_shipdate").cast("date") > lit("1998-06-01"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_date"),
+          col("o_orderpriority"))
+        .agg(graft.util.Det.fixedSum(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // Q-JOIN11 (round 7): the TPC-H Q5 shape — revenue by nation where
+    // the customer and the line's supplier share the nation, one region.
+    // The locality predicate (c_nationkey = s_nationkey) is the join
+    // graph's cycle; nation/region broadcast.
+    "q_join11" -> ((s, d) => {
+      val nr = Tables.load(s, d, "nation")
+        .join(Tables.load(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name") === "ASIA")
+        .select("n_nationkey", "n_name")
+      val cust = Tables.load(s, d, "customer").select("c_custkey", "c_nationkey")
+      val supp = Tables.load(s, d, "supplier").select("s_suppkey", "s_nationkey")
+      Tables.load(s, d, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(Tables.load(s, d, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nr), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(graft.util.Det.fixedSum(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // Q-JOIN12 (round 7): the TPC-H Q10 shape — top-20 customers by
+    // revenue lost to returns (l_returnflag = 'R') in one quarter.
+    "q_join12" -> ((s, d) => {
+      val ord = Tables.load(s, d, "orders")
+        .where(col("o_orderdate").cast("date") >= lit("1997-01-01") &&
+          col("o_orderdate").cast("date") < lit("1997-04-01"))
+        .select("o_orderkey", "o_custkey")
+      val cust = Tables.load(s, d, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+      val nat = Tables.load(s, d, "nation").select("n_nationkey", "n_name")
+      Tables.load(s, d, "lineitem")
+        .where(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(graft.util.Det.fixedSum(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     // Q-JOIN9: big-big join with the fact side bloom-pruned BEFORE its
     // shuffle (Spark's runtime-filter shape, explicit). The bloom's false
     // positives die in the exact join, so the result equals the plain
@@ -189,7 +264,42 @@ object RelationalQueries extends QueryModule {
          |ORDER BY o_orderkey""".stripMargin,
   )
 
+  private val revSum =
+    graft.util.Det.sqlFixedSum("l_extendedprice * (1.0 - l_discount)", 4)
+
   def oracleSql: Map[String, String] = subquerySql ++ Map(
+    "q_join10" ->
+      s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+         |  o_orderpriority, $revSum AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND CAST(o_orderdate AS DATE) < DATE '1998-06-01'
+         |  AND CAST(l_shipdate AS DATE) > DATE '1998-06-01'
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q_join11" ->
+      s"""SELECT n_name, $revSum AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_join12" ->
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name, $revSum AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+         |  AND CAST(o_orderdate AS DATE) < DATE '1997-04-01'
+         |GROUP BY 1, 2, 3, 4
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "q_join9" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_shipdate, p_name
         |FROM lineitem JOIN part ON l_partkey = p_partkey
