@@ -59,6 +59,40 @@ object TechQueries extends QueryModule {
         .withColumn("ema", round(col("ema"), 6))
         .orderBy("l_suppkey", "day_ord")
     }),
+
+    // Q-TA4 (round 7): MACD(12, 26, 9) of per-supplier MONTHLY revenue —
+    // the classic momentum triple: fast EMA minus slow EMA, a signal EMA
+    // of that difference, and the histogram. Three recursive streaming
+    // passes over the ~#keys·months table (monthly grain keeps the
+    // serial-per-key recurrences off the raw-row volume); the oracle
+    // replays all three recurrences as recursive CTEs with the SAME
+    // IEEE constants (2.0/13.0 etc. evaluate bit-identically in both
+    // engines), outputs rounded 6dp (the q_ta3 convention).
+    "q_ta4" -> ((s, d) => {
+      val monthly = Tables.load(s, d, "lineitem")
+        .groupBy(col("l_suppkey"),
+          date_trunc("month", col("l_shipdate")).cast("date").as("month"))
+        .agg((sum(round(col("l_extendedprice") * lit(100.0)).cast("long")) /
+          lit(100.0)).as("revenue"))
+        .withColumn("m_ord",
+          (year(col("month")) * 12 + month(col("month"))).cast("long"))
+      val e12 = TechnicalIndicators.ema(monthly.select("l_suppkey", "m_ord", "revenue"),
+          "l_suppkey", "m_ord", "revenue", alpha = 2.0 / 13.0)
+        .select(col("l_suppkey"), col("m_ord"), col("ema").as("__e12"))
+      val e26 = TechnicalIndicators.ema(monthly.select("l_suppkey", "m_ord", "revenue"),
+          "l_suppkey", "m_ord", "revenue", alpha = 2.0 / 27.0)
+        .select(col("l_suppkey"), col("m_ord"), col("ema").as("__e26"))
+      val macd = e12.join(e26, Seq("l_suppkey", "m_ord"))
+        .select(col("l_suppkey"), col("m_ord"),
+          (col("__e12") - col("__e26")).as("macd"))
+      TechnicalIndicators.ema(macd, "l_suppkey", "m_ord", "macd",
+          alpha = 2.0 / 10.0)
+        .select(col("l_suppkey"), col("m_ord"),
+          round(col("macd"), 6).as("macd"),
+          round(col("ema"), 6).as("signal"),
+          round(col("macd") - col("ema"), 6).as("histogram"))
+        .orderBy("l_suppkey", "m_ord")
+    }),
   )
 
   def oracleSql: Map[String, String] = {
@@ -113,6 +147,42 @@ object TechQueries extends QueryModule {
           |  FROM d JOIN r ON d.l_suppkey = r.l_suppkey AND d.rn = r.rn + 1)
           |SELECT l_suppkey, day_ord, revenue, round(ema, 6) AS ema
           |FROM r ORDER BY l_suppkey, day_ord""".stripMargin,
+      // Three chained recursive replays (fast, slow, signal) — each step
+      // multiplies by the SAME IEEE constants the engine computes
+      // ((2.0/13.0) etc.), so every recurrence is bit-identical.
+      "q_ta4" ->
+        """WITH RECURSIVE monthly AS (
+          |  SELECT l_suppkey, CAST(date_trunc('month', l_shipdate) AS DATE) AS mo,
+          |    (SUM(CAST(round(l_extendedprice*100.0,0) AS BIGINT))/100.0) AS revenue
+          |  FROM lineitem GROUP BY 1, 2),
+          |d AS (
+          |  SELECT l_suppkey, CAST(year(mo)*12 + month(mo) AS BIGINT) AS m_ord, revenue,
+          |    row_number() OVER (PARTITION BY l_suppkey ORDER BY mo) AS rn
+          |  FROM monthly),
+          |r12 AS (
+          |  SELECT l_suppkey, m_ord, rn, revenue AS e FROM d WHERE rn = 1
+          |  UNION ALL
+          |  SELECT d.l_suppkey, d.m_ord, d.rn,
+          |    (2.0/13.0)*d.revenue + (1.0-2.0/13.0)*r12.e
+          |  FROM d JOIN r12 ON d.l_suppkey = r12.l_suppkey AND d.rn = r12.rn + 1),
+          |r26 AS (
+          |  SELECT l_suppkey, m_ord, rn, revenue AS e FROM d WHERE rn = 1
+          |  UNION ALL
+          |  SELECT d.l_suppkey, d.m_ord, d.rn,
+          |    (2.0/27.0)*d.revenue + (1.0-2.0/27.0)*r26.e
+          |  FROM d JOIN r26 ON d.l_suppkey = r26.l_suppkey AND d.rn = r26.rn + 1),
+          |m AS (
+          |  SELECT r12.l_suppkey, r12.m_ord, r12.rn, r12.e - r26.e AS macd
+          |  FROM r12 JOIN r26 ON r12.l_suppkey = r26.l_suppkey AND r12.m_ord = r26.m_ord),
+          |r9 AS (
+          |  SELECT l_suppkey, m_ord, rn, macd, macd AS sig FROM m WHERE rn = 1
+          |  UNION ALL
+          |  SELECT m.l_suppkey, m.m_ord, m.rn, m.macd,
+          |    (2.0/10.0)*m.macd + (1.0-2.0/10.0)*r9.sig
+          |  FROM m JOIN r9 ON m.l_suppkey = r9.l_suppkey AND m.rn = r9.rn + 1)
+          |SELECT l_suppkey, m_ord, round(macd, 6) AS macd,
+          |  round(sig, 6) AS signal, round(macd - sig, 6) AS histogram
+          |FROM r9 ORDER BY l_suppkey, m_ord""".stripMargin,
     )
   }
 }
