@@ -93,6 +93,36 @@ object TechQueries extends QueryModule {
           round(col("macd") - col("ema"), 6).as("histogram"))
         .orderBy("l_suppkey", "m_ord")
     }),
+
+    // Q-TA5 (round 7): stochastic oscillator %K over the 14-row channel —
+    // where the current value sits inside its recent [min, max] band
+    // (0 = at the low, 100 = at the high). Exact integer cents in the
+    // channel extremes; flat channels (max = min) null out rather than
+    // divide by zero. One more expression on the SAME q_ta2 window sort.
+    "q_ta5" -> ((s, d) => {
+      val cents = round(col("l_extendedprice") * lit(100.0)).cast("long")
+      val lo = min(cents).over(w14)
+      val hi = max(cents).over(w14)
+      outOrder(Tables.load(s, d, "lineitem").select(
+        (col("l_suppkey") +: byNameOrd) :+
+          when(hi > lo, lit(100.0) * (cents - lo).cast("double") /
+            (hi - lo).cast("double")).as("stoch_k"): _*))
+    }),
+
+    // Q-TA6 (round 7): on-balance volume — the running signed-quantity
+    // accumulator (quantity adds on an up-move of the price series,
+    // subtracts on a down-move, holds on flat/first). All integer, one
+    // lag + one running sum on the shared sort => hash-exact.
+    "q_ta6" -> ((s, d) => {
+      val cents = round(col("l_extendedprice") * lit(100.0)).cast("long")
+      val qty = round(col("l_quantity")).cast("long")
+      val diff = cents - lag(cents, 1).over(w)
+      val signed = when(diff > 0, qty).when(diff < 0, -qty).otherwise(lit(0L))
+      outOrder(Tables.load(s, d, "lineitem").select(
+        (col("l_suppkey") +: byNameOrd) :+
+          sum(signed).over(w.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)).as("obv"): _*))
+    }),
   )
 
   def oracleSql: Map[String, String] = {
@@ -183,6 +213,36 @@ object TechQueries extends QueryModule {
           |SELECT l_suppkey, m_ord, round(macd, 6) AS macd,
           |  round(sig, 6) AS signal, round(macd - sig, 6) AS histogram
           |FROM r9 ORDER BY l_suppkey, m_ord""".stripMargin,
+      "q_ta5" ->
+        s"""WITH c AS (
+           |  SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_extendedprice, l_quantity,
+           |    CAST(round(l_extendedprice*100.0, 0) AS BIGINT) AS cents
+           |  FROM lineitem),
+           |b AS (
+           |  SELECT *, min(cents) OVER f AS lo, max(cents) OVER f AS hi
+           |  FROM c WINDOW f AS $win14Sql)
+           |SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_extendedprice, l_quantity,
+           |  CASE WHEN hi > lo
+           |    THEN 100.0 * CAST(cents - lo AS DOUBLE) / CAST(hi - lo AS DOUBLE)
+           |  END AS stoch_k
+           |FROM b
+           |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_extendedprice, l_quantity""".stripMargin,
+      "q_ta6" ->
+        s"""WITH c AS (
+           |  SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_extendedprice, l_quantity,
+           |    CAST(round(l_extendedprice*100.0, 0) AS BIGINT) AS cents,
+           |    CAST(round(l_quantity, 0) AS BIGINT) AS qty
+           |  FROM lineitem),
+           |d AS (
+           |  SELECT *, cents - lag(cents, 1) OVER $winSql AS diff FROM c),
+           |g AS (
+           |  SELECT *, CASE WHEN diff > 0 THEN qty
+           |                 WHEN diff < 0 THEN -qty ELSE 0 END AS signed
+           |  FROM d)
+           |SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_extendedprice, l_quantity,
+           |  CAST(SUM(signed) OVER ${winSql.dropRight(1)} ROWS UNBOUNDED PRECEDING) AS BIGINT) AS obv
+           |FROM g
+           |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_extendedprice, l_quantity""".stripMargin,
     )
   }
 }
