@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryModule, Tables}
@@ -813,6 +813,50 @@ object TextDedupQueries extends QueryModule {
         .limit(20)
     }),
 
+    // Q-PIPE8 (round 7): the RAG-ingestion pipeline end-to-end — chunk
+    // the corpus (the q_txt7 grain), embed every chunk with a
+    // feature-hashed bag-of-words vector (64 dims; the hashing trick with
+    // a DELIBERATELY SQL-expressible token hash — ascii/length
+    // arithmetic, not xxhash, so the whole pipeline stays oracle-exact),
+    // and retrieve the top-3 chunks per standing query by exact cosine.
+    // The dim join is postings-shaped (queries broadcast); integer dot
+    // products and norms, one division + sqrts per pair => hash-exact.
+    "q_pipe8" -> ((s, d) => {
+      import s.implicits._
+      def dimOf(t: Column): Column =
+        pmod(ascii(substring(t, 1, 1)) * lit(31) +
+          ascii(substring(t, 2, 1)) * lit(7) + length(t), lit(64))
+      def vecs(df: DataFrame, idCol: String, textCol: String, cntName: String) =
+        df.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("__t"))
+          .select(col(idCol), dimOf(col("__t")).as("dim"))
+          .groupBy(idCol, "dim").agg(count(lit(1)).as(cntName))
+      val chunks = Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(TextOps.chunks(col("text"), chunkChars = 200, overlap = 50))
+            .as(Seq("chunk_idx", "chunk")))
+        .select((col("doc_id") * 1000 + col("chunk_idx")).as("chunk_id"),
+          col("chunk"))
+      val cvec = vecs(chunks, "chunk_id", "chunk", "cnt")
+      val qdf = Seq((1L, "fast hash join"), (2L, "table scan slow"),
+        (3L, "merge sort window")).toDF("query_id", "qtext")
+      val qvec = vecs(qdf, "query_id", "qtext", "qcnt")
+      val cn = cvec.groupBy("chunk_id").agg(sum(col("cnt") * col("cnt")).as("__c2"))
+      val qn = qvec.groupBy("query_id").agg(sum(col("qcnt") * col("qcnt")).as("__q2"))
+      val dot = cvec.join(broadcast(qvec), Seq("dim"))
+        .groupBy("query_id", "chunk_id")
+        .agg(sum(col("cnt") * col("qcnt")).as("__dot"))
+      val pick = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+        .orderBy(col("sim").desc, col("chunk_id").asc)
+      dot.join(cn, Seq("chunk_id")).join(broadcast(qn), Seq("query_id"))
+        .select(col("query_id"), col("chunk_id"),
+          (col("__dot").cast("double") /
+            (sqrt(col("__c2").cast("double")) * sqrt(col("__q2").cast("double"))))
+            .as("sim"))
+        .withColumn("rn", row_number().over(pick)).where(col("rn") <= 3)
+        .withColumn("rn", col("rn").cast("long"))
+        .orderBy("query_id", "rn")
+    }),
+
     // Q-TXT26: Unicode NFC normalization (native codegen'd expression —
     // Spark has no built-in). The fixture text is pure ASCII, so a
     // deterministic base+combining-mark suffix is appended per doc (the
@@ -921,6 +965,36 @@ object TextDedupQueries extends QueryModule {
          |  kept_tokens,
          |  CAST(kept_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS frac_tokens
          |FROM ag ORDER BY threshold""".stripMargin,
+    "q_pipe8" -> {
+      def tok(c: String) =
+        s"""list_filter(regexp_split_to_array(lower(trim($c)), '\\s+'), x -> length(x) > 0)"""
+      def dim(t: String) =
+        s"(ascii(substring($t,1,1))*31 + ascii(substring($t,2,1))*7 + length($t)) % 64"
+      s"""WITH ch AS (
+         |  SELECT doc_id*1000 + CAST((t.s - 1) / 150 AS BIGINT) AS chunk_id,
+         |    substring(text, CAST(t.s AS INT), 200) AS chunk
+         |  FROM documents, unnest(range(1, greatest(length(text) - 50, 1) + 1, 150)) AS t(s)),
+         |ct AS (SELECT chunk_id, unnest(${tok("chunk")}) AS t FROM ch),
+         |cv AS (SELECT chunk_id, ${dim("t")} AS dim, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM ct GROUP BY 1, 2),
+         |q AS (SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'fast hash join'),
+         |       (2, 'table scan slow'), (3, 'merge sort window')) v(query_id, qtext)),
+         |qt AS (SELECT query_id, unnest(${tok("qtext")}) AS t FROM q),
+         |qv AS (SELECT query_id, ${dim("t")} AS dim, CAST(COUNT(*) AS BIGINT) AS qcnt
+         |  FROM qt GROUP BY 1, 2),
+         |cn AS (SELECT chunk_id, SUM(cnt*cnt) AS c2 FROM cv GROUP BY 1),
+         |qn AS (SELECT query_id, SUM(qcnt*qcnt) AS q2 FROM qv GROUP BY 1),
+         |dt AS (SELECT qv.query_id, cv.chunk_id, SUM(cv.cnt*qv.qcnt) AS dot
+         |  FROM cv JOIN qv USING (dim) GROUP BY 1, 2),
+         |sc AS (SELECT dt.query_id, dt.chunk_id,
+         |    CAST(dot AS DOUBLE)/(sqrt(CAST(c2 AS DOUBLE))*sqrt(CAST(q2 AS DOUBLE))) AS sim
+         |  FROM dt JOIN cn ON cn.chunk_id = dt.chunk_id
+         |  JOIN qn ON qn.query_id = dt.query_id)
+         |SELECT query_id, chunk_id, sim, rn FROM (
+         |  SELECT sc.*, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, chunk_id) AS rn FROM sc)
+         |WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin
+    },
     "q_txt35" ->
       s"""WITH t AS (SELECT $tokSql AS toks FROM documents),
          |bg AS (SELECT unnest(list_transform(range(2, len(toks) + 1),
