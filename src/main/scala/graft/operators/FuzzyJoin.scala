@@ -119,4 +119,33 @@ object FuzzyJoin {
       .select("__lid", "__rid").distinct()
     scoreCandidates(candidates, l, r, leftId, rightId, minSim)
   }
+
+  /** All DISTINCT-value pairs within Levenshtein distance `maxDist` — the
+    * typo/variant-clustering primitive (the edit-distance complement to
+    * the trigram-Jaccard matchers above; both engines implement standard
+    * Levenshtein, so this one is oracle-exact).
+    *
+    * Blocking is the LOSSLESS length band: ED <= k forces
+    * |len(a) - len(b)| <= k, so each value fans out to its 2k+1 candidate
+    * lengths and pairs equi-join on the length — never an all-pairs
+    * cross. Candidate volume is Σ (values per length band)², values NOT
+    * rows (the distinct is the first thing that happens); for name-like
+    * columns that is vocabulary-sized. The exact filter then computes
+    * Levenshtein once per candidate. */
+  def editDistancePairs(df: DataFrame, textCol: Column,
+                        maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val names = df.select(textCol.as("name"))
+      .where(col("name").isNotNull).distinct().localCheckpoint()
+    val a = names.select(col("name").as("name_a"),
+      length(col("name")).as("__l"))
+    val b = names.select(col("name").as("name_b"),
+      explode(sequence(length(col("name")) - maxDist,
+        length(col("name")) + maxDist)).as("__l"))
+    a.join(b, Seq("__l"))
+      .where(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .where(col("dist") <= maxDist)
+      .select(col("name_a"), col("name_b"), col("dist").cast("long").as("dist"))
+  }
 }

@@ -122,6 +122,24 @@ object OpsQueries extends QueryModule {
         .limit(20)
     }),
 
+    // Q-SESS6 (round 7): top event-type path trigrams — the 3-step
+    // sequences users actually walk (q_sess5's first-order matrix misses
+    // multi-step structure). Two lags on the same user partitioning, one
+    // aggregation, deterministic top-20. All integer => hash-exact.
+    "q_sess6" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.load(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .select(col("event_type").as("e3"),
+          lag(col("event_type"), 1).over(w).as("e2"),
+          lag(col("event_type"), 2).over(w).as("e1"))
+        .where(col("e1").isNotNull)
+        .groupBy("e1", "e2", "e3").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+        .limit(20)
+    }),
+
     // Q-DQ4 (round 7): self-join cardinality forecast — the check run
     // BEFORE launching a corpus-scale self-join (dedup candidates, basket
     // pairs): per-key row counts c(k) predict exactly Σ c(k)·(c(k)-1)/2
@@ -730,6 +748,17 @@ object OpsQueries extends QueryModule {
         |  CAST(c.n AS DOUBLE) / CAST(ft.ft AS DOUBLE) AS p
         |FROM c JOIN ft USING (from_type)
         |ORDER BY n DESC, from_type, to_type LIMIT 20""".stripMargin,
+
+    "q_sess6" ->
+      """WITH st AS (SELECT event_type AS e3,
+        |    lag(event_type, 1) OVER w AS e2,
+        |    lag(event_type, 2) OVER w AS e1
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM st WHERE e1 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n DESC, e1, e2, e3 LIMIT 20""".stripMargin,
 
     "q_dq4" ->
       """WITH pk AS (SELECT l_partkey, COUNT(*) AS c FROM lineitem GROUP BY 1),

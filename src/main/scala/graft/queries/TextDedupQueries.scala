@@ -672,6 +672,17 @@ object TextDedupQueries extends QueryModule {
         .orderBy("c_name", "o_name")
     }),
 
+    // Q-FUZZY3 (round 7): typo/variant pairs by Levenshtein distance <= 2
+    // over the distinct name vocabulary — the edit-distance complement to
+    // the trigram matchers. Blocking is the LOSSLESS length band
+    // (ED <= k forces |Δlen| <= k): each name fans to its 2k+1 candidate
+    // lengths and pairs equi-join on length, never all-pairs. Both
+    // engines implement standard Levenshtein => hash-exact.
+    "q_fuzzy3" -> ((s, d) =>
+      graft.operators.FuzzyJoin.editDistancePairs(
+          Tables.load(s, d, "part"), lower(col("p_name")), maxDist = 2)
+        .orderBy("name_a", "name_b")),
+
     // PII scrubbing: deterministic synthetic PII is appended per doc (the
     // fixture has none), then redacted and counted — the pre-training
     // scrub pass, at scan speed, oracle-checked byte-for-byte.
@@ -1483,6 +1494,15 @@ object TextDedupQueries extends QueryModule {
          |FROM cnt JOIN uni USING (source) LEFT JOIN bi USING (source)
          |  JOIN kl USING (source)
          |ORDER BY source""".stripMargin,
+    "q_fuzzy3" ->
+      """WITH n AS (SELECT DISTINCT lower(p_name) AS name FROM part
+        |  WHERE p_name IS NOT NULL)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+        |FROM n a JOIN n b ON a.name < b.name
+        |  AND abs(length(a.name) - length(b.name)) <= 2
+        |WHERE levenshtein(a.name, b.name) <= 2
+        |ORDER BY name_a, name_b""".stripMargin,
     "q_fuzzy1" -> fuzzyJaccardSql,
     // q_fuzzy2 is the SAME output via prefix filtering — one oracle text,
     // two engine paths, both must hash-match it

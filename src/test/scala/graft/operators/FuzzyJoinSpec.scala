@@ -84,4 +84,16 @@ class FuzzyJoinSpec extends SparkSpec {
       .as[(String, String, Double)].collect()
     assert(m.toSeq === Seq(("alpha beta", "Alpha Beta", 1.0)))
   }
+
+  test("editDistancePairs: length-band blocking is lossless at the band edge; duplicates collapse") {
+    // "ab"/"abcd" differ by the FULL band width (dist 2, Δlen 2) — the
+    // pair the blocking must not lose; "abc"/"abd" is the plain typo;
+    // "abc"/"zzzz" is inside the band but over the distance.
+    val df = Seq("abc", "abd", "ab", "abcd", "zzzz", "abc").toDF("t")
+    val got = FuzzyJoin.editDistancePairs(df, col("t"), maxDist = 2)
+      .as[(String, String, Long)].collect().toSet
+    assert(got === Set(
+      ("ab", "abc", 1L), ("ab", "abcd", 2L), ("ab", "abd", 1L),
+      ("abc", "abcd", 1L), ("abc", "abd", 1L), ("abcd", "abd", 1L)))
+  }
 }
