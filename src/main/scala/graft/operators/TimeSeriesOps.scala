@@ -154,6 +154,36 @@ object TimeSeriesOps {
       .where(col("__rn") === 1).drop("__rn")
   }
 
+  /** Interior rows of a regular daily integer series with the centered
+    * (2h+1)-day trend sum attached: (key, day, __x, __t, __dow,
+    * __d = (2h+1)·x − T) — __t and __d exact integers, __dow the ISO
+    * weekday. The shared core of [[seasonalDecompose]] and the
+    * seasonal-aware anomaly gate (z-scoring __d within (key, dow) keeps
+    * the sufficient statistics integer, where z-scoring the DOUBLE
+    * residual would put order-dependent float sums in the aggregate).
+    * Centered sum via the growing-frame prefix-sum trick (see
+    * [[meanShiftChangepoint]]): T(t) = S(+h) − S(−h−1), row-number
+    * eligibility — ONE WindowExec, O(n). */
+  def detrendedDaily(df: DataFrame, keyCol: String, dayCol: String,
+                     valueCol: String, halfWindow: Int): DataFrame = {
+    require(halfWindow >= 1, s"halfWindow must be >= 1, got $halfWindow")
+    val span = 2 * halfWindow + 1
+    val ord = Window.partitionBy(col(keyCol)).orderBy(col(dayCol))
+    def pre(hi: Int) = sum(col("__x"))
+      .over(ord.rowsBetween(Window.unboundedPreceding, hi))
+    val all = Window.partitionBy(col(keyCol))
+    val x = col(valueCol).cast("long")
+    df.select(col(keyCol), col(dayCol), x.as("__x"))
+      .select(col(keyCol), col(dayCol), col("__x"),
+        (pre(halfWindow) - coalesce(pre(-halfWindow - 1), lit(0L))).as("__t"),
+        row_number().over(ord).as("__rn"),
+        count(lit(1)).over(all).as("__n"))
+      .where(col("__rn") > halfWindow && col("__rn") + halfWindow <= col("__n"))
+      .select(col(keyCol), col(dayCol), col("__x"), col("__t"),
+        (weekday(col(dayCol)) + 1).as("__dow"),
+        (lit(span) * col("__x") - col("__t")).as("__d"))
+  }
+
   /** Classical additive seasonal decomposition on a regular daily integer
     * series: trend = centered (2h+1)-day moving average, seasonal = the
     * ISO-weekday mean of the detrended series, residual = the rest.
@@ -168,25 +198,8 @@ object TimeSeriesOps {
     * weekday aggregation; no joins beyond the seasonal broadcast-back. */
   def seasonalDecompose(df: DataFrame, keyCol: String, dayCol: String,
                         valueCol: String, halfWindow: Int): DataFrame = {
-    require(halfWindow >= 1, s"halfWindow must be >= 1, got $halfWindow")
     val span = 2 * halfWindow + 1
-    // Centered trend sum via the growing-frame prefix-sum trick (see
-    // [[meanShiftChangepoint]]): T(t) = S(+h) - S(-h-1), row-number
-    // eligibility instead of a framed count — ONE WindowExec, O(n).
-    val ord = Window.partitionBy(col(keyCol)).orderBy(col(dayCol))
-    def pre(hi: Int) = sum(col("__x"))
-      .over(ord.rowsBetween(Window.unboundedPreceding, hi))
-    val all = Window.partitionBy(col(keyCol))
-    val x = col(valueCol).cast("long")
-    val trended = df.select(col(keyCol), col(dayCol), x.as("__x"))
-      .select(col(keyCol), col(dayCol), col("__x"),
-        (pre(halfWindow) - coalesce(pre(-halfWindow - 1), lit(0L))).as("__t"),
-        row_number().over(ord).as("__rn"),
-        count(lit(1)).over(all).as("__n"))
-      .where(col("__rn") > halfWindow && col("__rn") + halfWindow <= col("__n"))
-      .select(col(keyCol), col(dayCol), col("__x"), col("__t"),
-        (weekday(col(dayCol)) + 1).as("__dow"),
-        (lit(span) * col("__x") - col("__t")).as("__d"))
+    val trended = detrendedDaily(df, keyCol, dayCol, valueCol, halfWindow)
     val seasonal = trended.groupBy(col(keyCol), col("__dow"))
       .agg((sum(col("__d").cast("decimal(19,0)")).cast("double") /
         (lit(span.toLong) * count(lit(1))).cast("double")).as("seasonal"))

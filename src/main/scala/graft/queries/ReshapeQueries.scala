@@ -93,6 +93,24 @@ object ReshapeQueries extends QueryModule {
           "l_suppkey", "day", "cents", w = ShiftW)
         .orderBy("l_suppkey")),
 
+    // Q-ANOM4 (round 7): seasonality-aware anomaly gate — z-scoring raw
+    // daily revenue (q_anom1) flags every Monday of a weekly-cyclic
+    // series; here the SCALED-INTEGER detrended value d = 7x − T is
+    // z-scored within its (supplier, ISO-weekday) cohort, so only days
+    // abnormal FOR THAT WEEKDAY fire. Integer sufficient statistics (the
+    // q_anom1 discipline — z-scoring the double residual would put
+    // order-dependent float sums in the aggregate), raw IEEE z.
+    "q_anom4" -> ((s, d) => {
+      val det = TimeSeriesOps.detrendedDaily(dailyCentsFilled(s, d),
+          "l_suppkey", "day", "cents", halfWindow = SeasonHalfW)
+        .select(col("l_suppkey"), col("day"), col("__d").as("d"),
+          (col("l_suppkey") * 10 + col("__dow")).as("grp"))
+      graft.operators.Anomaly.zScores(det, "grp", "d",
+          scale = 0, threshold = 3.0)
+        .select("l_suppkey", "day", "d", "z", "is_outlier")
+        .orderBy("l_suppkey", "day")
+    }),
+
     // Q-TS6 (round 7): additive seasonal decomposition of daily revenue —
     // 7-day centered-MA trend, ISO-weekday seasonal mean of the scaled
     // detrended series, IEEE-chained residual. Deterministic by the
@@ -284,5 +302,21 @@ object ReshapeQueries extends QueryModule {
     "q_ts4" -> acfSql,
     "q_ts5" -> shiftSql,
     "q_ts6" -> seasonalSql,
+    "q_anom4" -> {
+      val (z, outlier) = graft.operators.Anomaly.sqlZScores("d", scale = 0,
+        threshold = 3.0, w = "(PARTITION BY grp)")
+      s"""WITH ${filledCtes("day")},
+         |tr AS (SELECT l_suppkey, g AS day, cents,
+         |    SUM(cents) OVER wt AS t, COUNT(*) OVER wt AS nt
+         |  FROM f
+         |  WINDOW wt AS (PARTITION BY l_suppkey ORDER BY g
+         |      ROWS BETWEEN $SeasonHalfW PRECEDING AND $SeasonHalfW FOLLOWING)),
+         |dd AS (SELECT l_suppkey, day, ${2 * SeasonHalfW + 1}*cents - t AS d,
+         |    l_suppkey*10 + isodow(day) AS grp
+         |  FROM tr WHERE nt = ${2 * SeasonHalfW + 1})
+         |SELECT l_suppkey, day, CAST(d AS BIGINT) AS d,
+         |  $z AS z, $outlier AS is_outlier
+         |FROM dd ORDER BY l_suppkey, day""".stripMargin
+    },
   )
 }

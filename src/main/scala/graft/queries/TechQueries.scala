@@ -123,6 +123,37 @@ object TechQueries extends QueryModule {
           sum(signed).over(w.rowsBetween(Window.unboundedPreceding,
             Window.currentRow)).as("obv"): _*))
     }),
+
+    // Q-TA7 (round 7): average true range over daily OHLC bars derived
+    // from the shipment stream (high/low = day extremes, close = last by
+    // the total in-day order). TR_t = max(high-low, |high-prevclose|,
+    // |low-prevclose|) — all integer cents; first bar degrades to
+    // high-low. ATR(14) = exact-sum/count mean of TR => one division.
+    "q_ta7" -> ((s, d) => {
+      val cents = round(col("l_extendedprice") * lit(100.0)).cast("long")
+      val inDay = Window.partitionBy("l_suppkey", "day").orderBy(
+        col("l_shipdate").desc, col("l_orderkey").desc, col("l_linenumber").desc,
+        col("l_extendedprice").desc, col("l_quantity").desc)
+      val bars = Tables.load(s, d, "lineitem")
+        .withColumn("day", col("l_shipdate").cast("date"))
+        .withColumn("__c", cents)
+        .withColumn("__rn", row_number().over(inDay))
+        .groupBy("l_suppkey", "day")
+        .agg(max(col("__c")).as("high"), min(col("__c")).as("low"),
+          max(when(col("__rn") === 1, col("__c"))).as("close"))
+      val byDay = Window.partitionBy("l_suppkey").orderBy("day")
+      val prevClose = lag(col("close"), 1).over(byDay)
+      val tr = greatest(col("high") - col("low"),
+        coalesce(abs(col("high") - prevClose), lit(0L)),
+        coalesce(abs(col("low") - prevClose), lit(0L)))
+      val atrW = byDay.rowsBetween(-13, Window.currentRow)
+      bars.withColumn("tr", tr)
+        .withColumn("atr14",
+          sum(col("tr")).over(atrW).cast("double") /
+            count(lit(1)).over(atrW).cast("double"))
+        .select("l_suppkey", "day", "high", "low", "close", "tr", "atr14")
+        .orderBy("l_suppkey", "day")
+    }),
   )
 
   def oracleSql: Map[String, String] = {
@@ -213,6 +244,30 @@ object TechQueries extends QueryModule {
           |SELECT l_suppkey, m_ord, round(macd, 6) AS macd,
           |  round(sig, 6) AS signal, round(macd - sig, 6) AS histogram
           |FROM r9 ORDER BY l_suppkey, m_ord""".stripMargin,
+      "q_ta7" ->
+        """WITH c AS (
+          |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS day,
+          |    CAST(round(l_extendedprice*100.0, 0) AS BIGINT) AS cents,
+          |    row_number() OVER (PARTITION BY l_suppkey, CAST(l_shipdate AS DATE)
+          |      ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC,
+          |        l_extendedprice DESC, l_quantity DESC) AS rn
+          |  FROM lineitem),
+          |bars AS (
+          |  SELECT l_suppkey, day, max(cents) AS high, min(cents) AS low,
+          |    max(CASE WHEN rn = 1 THEN cents END) AS close
+          |  FROM c GROUP BY 1, 2),
+          |t AS (
+          |  SELECT l_suppkey, day, high, low, close,
+          |    greatest(high - low,
+          |      coalesce(abs(high - lag(close, 1) OVER wd), 0),
+          |      coalesce(abs(low - lag(close, 1) OVER wd), 0)) AS tr
+          |  FROM bars WINDOW wd AS (PARTITION BY l_suppkey ORDER BY day))
+          |SELECT l_suppkey, day, high, low, close, tr,
+          |  CAST(SUM(tr) OVER wa AS DOUBLE) / CAST(COUNT(*) OVER wa AS DOUBLE) AS atr14
+          |FROM t
+          |WINDOW wa AS (PARTITION BY l_suppkey ORDER BY day
+          |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+          |ORDER BY l_suppkey, day""".stripMargin,
       "q_ta5" ->
         s"""WITH c AS (
            |  SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_extendedprice, l_quantity,
