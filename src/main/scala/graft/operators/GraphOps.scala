@@ -116,7 +116,14 @@ object GraphOps {
   def triangleCounts(edges: DataFrame, srcCol: String,
                      dstCol: String): DataFrame = {
     val canon = canonicalUndirected(edges, srcCol, dstCol).localCheckpoint()
-    val deg = undirectedDegrees(canon).localCheckpoint()
+    triangleCountsFromCanon(canon, undirectedDegrees(canon).localCheckpoint())
+  }
+
+  /** [[triangleCounts]] core over ALREADY canonical/materialized frames —
+    * shared with [[clusteringCoefficients]] so the canon distinct and the
+    * degree aggregation are never paid twice. */
+  private def triangleCountsFromCanon(canon: DataFrame,
+                                      deg: DataFrame): DataFrame = {
     // orient: a -> b where (deg(a), a) < lexicographically (deg(b), b);
     // lo < hi always, so equal degrees orient lo -> hi.
     val oriented = canon
@@ -152,9 +159,9 @@ object GraphOps {
   def clusteringCoefficients(edges: DataFrame, srcCol: String,
                              dstCol: String): DataFrame = {
     val canon = canonicalUndirected(edges, srcCol, dstCol).localCheckpoint()
-    val tri = triangleCounts(canon, "__lo", "__hi")
-    undirectedDegrees(canon)
-      .withColumnRenamed("__deg", "degree")
+    val deg = undirectedDegrees(canon).localCheckpoint()
+    val tri = triangleCountsFromCanon(canon, deg)
+    deg.withColumnRenamed("__deg", "degree")
       .join(tri, Seq("vertex"))
       .select(col("vertex"), col("degree"), col("triangles"),
         when(col("degree") >= 2,

@@ -84,8 +84,8 @@ object SkewOps {
     *
     * Sums accumulate in DECIMAL (a BIGINT Σ i·x wraps silently at
     * warehouse scale); the quotient rounds to 6dp (the q_agg9 transcend-
-    * ental/ulp policy). `orderTieCol` must make the sort total — ties in
-    * x would otherwise make ranks, and G, nondeterministic. Zero-total
+    * ental/ulp policy). `keyCol` breaks rank ties — it must be unique per
+    * (group, value) row or ranks, and G, are nondeterministic. Zero-total
     * groups yield null. */
   def giniByGroup(df: DataFrame, groupCol: String, keyCol: String,
                   valueCol: String): DataFrame = {

@@ -457,11 +457,15 @@ object OpsQueries extends QueryModule {
         .orderBy("vertex")),
 
     // Q-GRAPH5 (round 7): 3-core of the co-purchase graph by iterative
-    // peeling (engine runs to fixpoint — 11 rounds at sf0.01; oracle
-    // unrolls KCoreUnroll >= that, extra rounds are no-ops once converged,
-    // so the unroll depth only needs to DOMINATE the true peel depth).
+    // peeling. Engine and oracle share the SAME round budget
+    // (KCoreUnroll): the engine early-stops at fixpoint (11 rounds at
+    // sf0.01) and extra unrolled rounds are no-ops once converged, while
+    // on a hypothetical deeper-than-budget graph BOTH sides emit the
+    // identical KCoreUnroll-round partial peel — the twins can never
+    // diverge on ANY input, converged or not.
     "q_graph5" -> ((s, d) =>
-      GraphOps.kCore(coPurchaseEdges(s, d), "src", "dst", k = KCoreK)
+      GraphOps.kCore(coPurchaseEdges(s, d), "src", "dst", k = KCoreK,
+          maxRounds = KCoreUnroll)
         .orderBy("vertex")),
 
     // Q-GRAPH6 (round 7): synchronous label-propagation communities,

@@ -113,11 +113,16 @@ object ReshapeQueries extends QueryModule {
 
     // Q-TS6 (round 7): additive seasonal decomposition of daily revenue —
     // 7-day centered-MA trend, ISO-weekday seasonal mean of the scaled
-    // detrended series, IEEE-chained residual. Deterministic by the
-    // integer-sums-then-one-division contract.
+    // detrended series, IEEE-chained residual. Trend stays raw (T/7 with
+    // T far below 2^53 — a single exact-operand division); seasonal and
+    // residual round to 6dp for the compare: their cohort sum Σd can
+    // cross 2^53 at larger scale factors, where DuckDB's HUGEINT→DOUBLE
+    // cast sits 1 ulp off the JVM decimal cast (the q_ts4 lesson).
     "q_ts6" -> ((s, d) =>
       TimeSeriesOps.seasonalDecompose(dailyCentsFilled(s, d),
           "l_suppkey", "day", "cents", halfWindow = SeasonHalfW)
+        .withColumn("seasonal", round(col("seasonal"), 6))
+        .withColumn("residual", round(col("residual"), 6))
         .orderBy("l_suppkey", "day")),
   )
 
@@ -236,8 +241,9 @@ object ReshapeQueries extends QueryModule {
        |    CAST(SUM(dd) AS DOUBLE)/CAST($span*COUNT(*) AS DOUBLE) AS seasonal
        |  FROM tf GROUP BY 1, 2)
        |SELECT tf.l_suppkey, tf.day, tf.cents AS value,
-       |  CAST(tf.t AS DOUBLE)/$span.0 AS trend, se.seasonal,
-       |  (CAST(tf.cents AS DOUBLE) - CAST(tf.t AS DOUBLE)/$span.0) - se.seasonal AS residual
+       |  CAST(tf.t AS DOUBLE)/$span.0 AS trend, round(se.seasonal, 6) AS seasonal,
+       |  round((CAST(tf.cents AS DOUBLE) - CAST(tf.t AS DOUBLE)/$span.0) - se.seasonal, 6)
+       |    AS residual
        |FROM tf JOIN se ON se.l_suppkey = tf.l_suppkey AND se.dow = tf.dow
        |ORDER BY tf.l_suppkey, tf.day""".stripMargin
   }

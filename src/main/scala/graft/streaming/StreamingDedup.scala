@@ -47,6 +47,7 @@ object StreamingDedup {
     val stored =
       if (exists) {
         val all = spark.read.parquet(bandStoreDir)
+        StoreLayout.check(all, bandStoreDir, batchId)
         // a replayed batch may have already written its own bands; drop
         // them so the replay emits exactly the original candidate set.
         // Keyed by BATCH, not doc id: the per-batch-id subdirectory layout
@@ -55,9 +56,8 @@ object StreamingDedup {
         // batch keeps its stored bands, preserving candidate pairs between
         // other documents and the previously stored version of that id.
         val prior = batchId match {
-          case Some(id) if all.columns.contains("batch") =>
+          case Some(id) =>
             all.where(!(col("batch") <=> lit(id)))
-          case Some(_) => all // first write to a fresh store layout
           case None => // one-shot append path: no batch key, fall back to id
             // the id anti-join shields only THIS batch's ids — repeated
             // one-shot calls over overlapping corpora leave duplicate band
@@ -117,10 +117,10 @@ object StreamingDedup {
     val stored =
       if (exists) {
         val all = spark.read.parquet(hashStoreDir)
+        StoreLayout.check(all, hashStoreDir, batchId)
         val prior = batchId match {
-          case Some(id) if all.columns.contains("batch") =>
+          case Some(id) =>
             all.where(!(col("batch") <=> lit(id)))
-          case Some(_) => all
           case None =>
             // same one-shot-path caveat as processBatch: duplicate stored
             // (doc_id, dhash) rows from overlapping earlier appends would
@@ -184,10 +184,10 @@ object StreamingDedup {
     val stored =
       if (exists) {
         val all = spark.read.parquet(hashStoreDir)
+        StoreLayout.check(all, hashStoreDir, batchId)
         val prior = batchId match {
-          case Some(id) if all.columns.contains("batch") =>
+          case Some(id) =>
             all.where(!(col("batch") <=> lit(id)))
-          case Some(_) => all
           case None =>
             // one-shot path: distinct the stored side so replayed appends
             // can't inflate the union bucket counts (see processBatch)

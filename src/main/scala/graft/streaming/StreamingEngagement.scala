@@ -40,10 +40,11 @@ object StreamingEngagement {
     val stored =
       if (exists) {
         val all = spark.read.parquet(storeDir)
+        StoreLayout.check(all, storeDir, batchId)
         val prior = batchId match {
-          case Some(id) if all.columns.contains("batch") =>
+          case Some(id) =>
             all.where(!(col("batch") <=> lit(id))) // replay: drop own prior append
-          case _ => all
+          case None => all
         }
         prior.select(col("user_id"), col("wk"))
       }

@@ -40,12 +40,12 @@ object StreamingSearch {
     val stored =
       if (exists) {
         val all = spark.read.parquet(postingsDir)
+        StoreLayout.check(all, postingsDir, batchId)
         val prior = batchId match {
-          case Some(id) if all.columns.contains("batch") =>
+          case Some(id) =>
             // exclude THIS batch's own surviving append (replay) — other
             // batches' postings stay, including other versions of an id
             all.where(!(col("batch") <=> lit(id)))
-          case Some(_) => all // first write to a fresh store layout
           case None =>
             // one-shot append path: replayed appends leave byte-identical
             // duplicate posting rows, which would DOUBLE tf contributions;

@@ -59,6 +59,21 @@ class StreamingEngagementSpec extends SparkSpec {
       Sessionize.userWeeks(events(b1 ++ b2), "user_id", "ts").count())
   }
 
+  test("switching store layouts fails fast instead of corrupting the directory") {
+    val dir = Files.createTempDirectory("eng_store").toString + "/store"
+    StreamingEngagement.processBatch(events(b1), dir, batchId = None)
+    val e1 = intercept[IllegalArgumentException] {
+      StreamingEngagement.processBatch(events(b2), dir, batchId = Some(1L))
+    }
+    assert(e1.getMessage.contains("layout mismatch"))
+    val dir2 = Files.createTempDirectory("eng_store").toString + "/store"
+    StreamingEngagement.processBatch(events(b1), dir2, batchId = Some(0L))
+    val e2 = intercept[IllegalArgumentException] {
+      StreamingEngagement.processBatch(events(b2), dir2, batchId = None)
+    }
+    assert(e2.getMessage.contains("layout mismatch"))
+  }
+
   test("one-shot append path: duplicate pairs cannot change countDistinct metrics") {
     val dir = Files.createTempDirectory("eng_store").toString + "/store"
     StreamingEngagement.processBatch(events(b1), dir, batchId = None)
