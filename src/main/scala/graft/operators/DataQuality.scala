@@ -69,6 +69,25 @@ object DataQuality {
         countDistinct(when(col("__dk").isNull, col("__fk"))).as("n_orphan_keys"))
   }
 
+  /** Functional-dependency audit lhs → rhs: does every lhs value map to
+    * exactly ONE rhs value? The schema-discovery / denormalization-safety
+    * check (an FD that holds means rhs can move to a dimension keyed by
+    * lhs; a violated "key" means dedup/joins on it are unsound). One row:
+    * (fd, n_lhs_keys, n_violating_keys, holds) — a key violates when it
+    * maps to > 1 DISTINCT NON-NULL rhs value (countDistinct skips nulls,
+    * so lhs → {x, null} reads as determined — the SQL-standard FD
+    * reading, mirrored by the oracle twin). One aggregation per audited
+    * pair, keyed on lhs. */
+  def fdAudit(df: DataFrame, fdName: String, lhs: Seq[String],
+              rhs: String): DataFrame = {
+    df.groupBy(lhs.map(col): _*)
+      .agg(countDistinct(col(rhs)).as("__nd"))
+      .agg(lit(fdName).as("fd"),
+        count(lit(1)).as("n_lhs_keys"),
+        sum(when(col("__nd") > 1, 1L).otherwise(0L)).as("n_violating_keys"))
+      .withColumn("holds", col("n_violating_keys") === 0)
+  }
+
   def report(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
     require(checks.nonEmpty, "at least one check required")
     val aggd = df.agg(

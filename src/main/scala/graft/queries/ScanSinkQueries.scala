@@ -80,6 +80,26 @@ object ScanSinkQueries extends QueryModule {
         .orderBy("fk")
     }),
 
+    // Q-DQ5 (round 7): functional-dependency audit — schema discovery /
+    // denormalization safety: does lhs determine rhs? Four audited pairs
+    // spanning a holding FD (orderkey is a real key) and the known
+    // non-determining ones; one aggregation per pair. All integer =>
+    // hash-exact.
+    "q_dq5" -> ((s, d) => {
+      import graft.operators.DataQuality
+      val ord = Tables.load(s, d, "orders")
+      val li = Tables.load(s, d, "lineitem")
+      DataQuality.fdAudit(ord, "o_orderkey->o_custkey",
+          Seq("o_orderkey"), "o_custkey")
+        .unionByName(DataQuality.fdAudit(ord, "o_custkey->o_orderpriority",
+          Seq("o_custkey"), "o_orderpriority"))
+        .unionByName(DataQuality.fdAudit(li, "l_orderkey->l_partkey",
+          Seq("l_orderkey"), "l_partkey"))
+        .unionByName(DataQuality.fdAudit(li, "l_orderkey,l_linenumber->l_quantity",
+          Seq("l_orderkey", "l_linenumber"), "l_quantity"))
+        .orderBy("fd")
+    }),
+
     // Q-SKEW2 (round 5): key-skew diagnostics — the top-10 heaviest event
     // users with share + skew ratio (measure BEFORE you salt: the report
     // that justifies q_skew1's two-phase path). One aggregation + a
@@ -172,6 +192,25 @@ object ScanSinkQueries extends QueryModule {
       """SELECT l_returnflag, COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS sum_qty_cents
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_dq5" -> {
+      def arm(name: String, table: String, lhs: String, rhs: String) =
+        s"""SELECT '$name' AS fd, CAST(COUNT(*) AS BIGINT) AS n_lhs_keys,
+           |    CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_violating_keys
+           |  FROM (SELECT $lhs, COUNT(DISTINCT $rhs) AS nd
+           |        FROM $table GROUP BY $lhs)""".stripMargin
+      s"""SELECT fd, n_lhs_keys, n_violating_keys,
+         |  n_violating_keys = 0 AS holds FROM (
+         |  ${arm("o_orderkey->o_custkey", "orders", "o_orderkey", "o_custkey")}
+         |  UNION ALL
+         |  ${arm("o_custkey->o_orderpriority", "orders", "o_custkey", "o_orderpriority")}
+         |  UNION ALL
+         |  ${arm("l_orderkey->l_partkey", "lineitem", "l_orderkey", "l_partkey")}
+         |  UNION ALL
+         |  ${arm("l_orderkey,l_linenumber->l_quantity", "lineitem",
+             "l_orderkey, l_linenumber", "l_quantity")})
+         |ORDER BY fd""".stripMargin
+    },
     "q_dq3" ->
       """SELECT fk, n_fact_rows, n_distinct_keys, n_orphan_rows, n_orphan_keys FROM (
         |  SELECT 'l_orderkey->orders' AS fk, COUNT(*) AS n_fact_rows,
