@@ -160,6 +160,52 @@ object AudioWav {
       .toDF("doc_id", "payload")
   }
 
+  /** Peak normalization — the loudness-leveling pass run before clips
+    * enter a training corpus (widely varying input gains otherwise
+    * dominate whatever feature comes next): every sample is scaled so the
+    * clip's peak hits `targetPeak`, by the SIGN-SPLIT integer rule
+    *
+    *   s' = sign(s) · ((|s| · targetPeak) div peak)
+    *
+    * (non-negative operands only, so truncating and flooring division
+    * agree — the cross-engine convention; a direct s·t div peak would
+    * diverge between engines on negative samples). All-zero clips pass
+    * through unchanged (no gain of silence). Decode → scale → re-encode,
+    * per-row executor work like [[downsample2x]]. */
+  def normalizePeak(binDf: DataFrame, targetPeak: Int): DataFrame = {
+    require(targetPeak > 0 && targetPeak <= 32767,
+      s"targetPeak must be in (0, 32767], got $targetPeak")
+    val spark = binDf.sparkSession
+    import spark.implicits._
+    binDf.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val (rate, s) = decodeWavPcm16(payload)
+        var peak = 0L
+        var i = 0
+        while (i < s.length) {
+          val a = math.abs(s(i).toLong)
+          if (a > peak) peak = a
+          i += 1
+        }
+        val out =
+          if (peak == 0L) s
+          else {
+            val o = new Array[Short](s.length)
+            i = 0
+            while (i < s.length) {
+              val v = s(i).toLong
+              val scaled = (math.abs(v) * targetPeak) / peak
+              o(i) = (if (v < 0) -scaled else scaled).toShort
+              i += 1
+            }
+            o
+          }
+        (id, encodeWavPcm16(rate, out))
+      })
+      .toDF("doc_id", "payload")
+  }
+
   /** Silence-trim statistics — the audio quality gate that strips
     * leading/trailing silence (|sample| <= `threshold`) before a clip
     * enters a training corpus: per clip, the kept-span length and how

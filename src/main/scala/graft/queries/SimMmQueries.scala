@@ -313,6 +313,19 @@ object SimMmQueries extends QueryModule {
           Tables.load(s, d, "documents"), "doc_id", nSamples = 800))
         .toDF().orderBy("doc_id")),
 
+    // Q-MM14 (round 7): peak normalization — decode, gain every clip to
+    // peak 30000 by the sign-split integer rule, re-encode, and verify
+    // via the feature stats of the RE-DECODED result. Oracle re-derives
+    // the seeded PCM chain in SQL (the q_mm6 pattern) and applies the
+    // identical scaling — hash-exact through a real codec round-trip.
+    "q_mm14" -> ((s, d) =>
+      graft.multimodal.AudioWav.audioFeatures(
+        graft.multimodal.AudioWav.normalizePeak(
+          graft.multimodal.AudioWav.syntheticWav(
+            Tables.load(s, d, "documents"), "doc_id", nSamples = 800),
+          targetPeak = 30000))
+        .toDF().orderBy("doc_id")),
+
     // Audio perceptual fingerprint (round 7): 64-bit band-energy sign hash
     // from REALLY-decoded PCM16 samples — the audio twin of q_mm5's dHash
     // (9 time frames x 8 integer Haar octave bands, bit = sign of the
@@ -683,6 +696,38 @@ object SimMmQueries extends QueryModule {
         |lagged AS (
         |  SELECT doc_id, v, lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
         |  FROM samples)
+        |SELECT doc_id, 16000 AS sample_rate, 800 AS n_samples,
+        |  CAST(MAX(abs(v)) AS INTEGER) AS peak,
+        |  sqrt(CAST(SUM(v * v) AS DOUBLE) / 800) AS rms,
+        |  CAST(SUM(CASE WHEN pv IS NOT NULL AND ((v >= 0) <> (pv >= 0))
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+        |FROM lagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_mm14" ->
+      """WITH RECURSIVE gen AS (
+        |  SELECT doc_id, 0 AS i,
+        |    (CAST(doc_id AS HUGEINT) * 11400714819323198485 + 13787848793156543929)
+        |      % 18446744073709551616 AS h
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, i + 1,
+        |    (h * 6364136223846793005 + 1442695040888963407) % 18446744073709551616
+        |  FROM gen WHERE i < 800),
+        |samples AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN h // 281474976710656 >= 32768
+        |         THEN CAST(h // 281474976710656 AS BIGINT) - 65536
+        |         ELSE CAST(h // 281474976710656 AS BIGINT) END AS v
+        |  FROM gen WHERE i >= 1),
+        |pk AS (SELECT doc_id, MAX(abs(v)) AS peak FROM samples GROUP BY 1),
+        |nv AS (
+        |  SELECT s.doc_id, s.i,
+        |    CASE WHEN pk.peak = 0 THEN s.v
+        |         WHEN s.v < 0 THEN -CAST((abs(s.v) * 30000) // pk.peak AS BIGINT)
+        |         ELSE CAST((s.v * 30000) // pk.peak AS BIGINT) END AS v
+        |  FROM samples s JOIN pk ON pk.doc_id = s.doc_id),
+        |lagged AS (
+        |  SELECT doc_id, v, lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+        |  FROM nv)
         |SELECT doc_id, 16000 AS sample_rate, 800 AS n_samples,
         |  CAST(MAX(abs(v)) AS INTEGER) AS peak,
         |  sqrt(CAST(SUM(v * v) AS DOUBLE) / 800) AS rms,

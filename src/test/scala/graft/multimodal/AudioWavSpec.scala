@@ -276,4 +276,19 @@ class AudioWavSpec extends SparkSpec {
     assert(feats.length === 2)
     assert(feats.forall(a => a.n_samples === 400 && a.rms > 0.0))
   }
+
+  test("normalizePeak: peak lands exactly on target, signs survive, silence passes through") {
+    import org.apache.spark.sql.functions.col
+    val loud = AudioWav.encodeWavPcm16(16000,
+      Array[Short](-16000, 8000, 0, 4000))
+    val quiet = AudioWav.encodeWavPcm16(16000, Array[Short](0, 0, 0, 0))
+    val df = Seq((1L, loud), (2L, quiet)).toDF("doc_id", "payload")
+    val out = AudioWav.normalizePeak(df, targetPeak = 30000)
+      .as[(Long, Array[Byte])].collect().sortBy(_._1)
+    val (_, s1) = AudioWav.decodeWavPcm16(out(0)._2)
+    // gain 30000/16000: sign-split truncating scale of each sample
+    assert(s1.toSeq === Seq[Short](-30000, 15000, 0, 7500))
+    val (_, s2) = AudioWav.decodeWavPcm16(out(1)._2)
+    assert(s2.toSeq === Seq[Short](0, 0, 0, 0), "silence must pass through")
+  }
 }
