@@ -782,6 +782,8 @@ object TextDedupQueries extends QueryModule {
           size(TextOps.tokens(col("text"))).cast("long").as("nt"),
           TextOps.compositeQualityMicro(col("text")).as("q"))
         .where(col("q").isNotNull)
+        .localCheckpoint() // feeds BOTH the frontier table and the join
+                           // back — lazy would re-score the corpus twice
       val perNt = sc.groupBy(col("source"), col("nt"))
         .agg(max(col("q")).as("__mq"))
       val wNt = org.apache.spark.sql.expressions.Window
