@@ -93,4 +93,31 @@ class CustomExpressionSpec extends SparkSpec {
       .as[Int].head()
     assert(ic === 2)
   }
+
+  test("round-7 expressions are SQL-callable: l2, nfc, accents, rolling hash, sign_project") {
+    val l2 = spark.sql(
+      "SELECT l2_distance(array(CAST(0.0 AS FLOAT), CAST(3.0 AS FLOAT)), " +
+        "array(CAST(4.0 AS FLOAT), CAST(0.0 AS FLOAT)))").as[Double].head()
+    assert(l2 === 5.0)
+    // e + COMBINING ACUTE normalizes to the precomposed e-acute; the
+    // accent strip then drops the mark entirely
+    val (nfc, stripped) = spark.sql(
+      "SELECT nfc_normalize('café'), strip_accents('café')")
+      .as[(String, String)].head()
+    assert(nfc === "café" && stripped === "cafe")
+    val (h1, h2) = spark.sql(
+      "SELECT rolling_token_hash(array('a','b')), rolling_token_hash(array('b','a'))")
+      .as[(Long, Long)].head()
+    assert(h1 !== h2, "order must matter")
+    val proj = spark.sql(
+      "SELECT sign_project(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT), " +
+        "CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)), 4, 2)")
+      .collect()(0).getSeq[Float](0)
+    assert(proj.length === 2)
+    val bad = intercept[Exception] {
+      spark.sql("SELECT sign_project(array(CAST(1.0 AS FLOAT)), 1, id) FROM range(1)")
+        .collect()
+    }
+    assert(bad.getMessage.toLowerCase.contains("literal"))
+  }
 }
