@@ -319,6 +319,12 @@ object ScaleBench {
       wa.unpersist(); wb.unpersist()
       Sessionize.sessionStats(syntheticEventsSkewed(spark, 2000L),
         "user_id", "ts", 1800L, "value", "event_id").count()
+      Sessionize.engagementFromUserWeeks(Sessionize.userWeeks(
+        syntheticEventsSkewed(spark, 2000L), "user_id", "ts")).count()
+      val cd = syntheticDocs(spark, 400L)
+        .withColumn("src", concat(lit("s"), pmod(col("doc_id"), lit(20L))))
+      TextOps.domainClassify(cd.where(pmod(col("doc_id"), lit(2)) === 0),
+        cd.where(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text", "src").count()
       NearDup.connectedComponents(
         spark.range(200L).select(col("id").as("id_a"), (col("id") + 1L).as("id_b"))).count()
       Binning.boundariesFromSample(syntheticValues(spark, 10000L),
@@ -575,7 +581,30 @@ object ScaleBench {
       timed("sessionization_skewed", nEv) {
         Sessionize.sessionStats(ev, "user_id", "ts", 1800L, "value", "event_id").count()
       }
+      // WAU/MAU (round 7): events reduce to the distinct (user, week)
+      // pairs first — the sufficient statistic — and the trailing-window
+      // fan-out is a constant 4x of THAT table, so wall tracks events
+      // ~linearly at any history length (and the bot user costs nothing
+      // extra: distinct collapses its volume)
+      timed("wau_mau_stickiness", nEv) {
+        Sessionize.engagementFromUserWeeks(
+          Sessionize.userWeeks(ev, "user_id", "ts")).count()
+      }
       ev.unpersist()
+
+      // integer token-voting classifier (round 7): one tokenize pass per
+      // side, the weight table saturates at vocabulary x #classes, and the
+      // scoring join is TOKEN-keyed — corpus-linear
+      val cdocs = syntheticDocs(spark, nDocs)
+        .withColumn("src", concat(lit("s"), pmod(col("doc_id"), lit(20L))))
+        .localCheckpoint()
+      timed("domain_classify", nDocs) {
+        TextOps.domainClassify(
+          cdocs.where(pmod(col("doc_id"), lit(2)) === 0),
+          cdocs.where(pmod(col("doc_id"), lit(2)) === 1),
+          "doc_id", "text", "src").count()
+      }
+      cdocs.unpersist()
       val sa = syntheticIntervalsSkewed(spark, nInt, span = 5000L, tag = "a").localCheckpoint()
       val sb = syntheticIntervalsSkewed(spark, nInt, span = 2000L, tag = "b").localCheckpoint()
       timed("interval_join_bucketized_skewed", nInt) {

@@ -204,6 +204,28 @@ object SearchQueries extends QueryModule {
       Bm25.mmrSelect(cands.select("doc_id", "rel_micro"), sims, k = 10)
         .orderBy("rank")
     }),
+
+    // Q-SRCH9 (round 7): prefix autocomplete — top-3 completions per
+    // standing 2-char prefix by corpus token frequency. The completion
+    // index is the vocabulary rollup keyed by an equi-joinable prefix
+    // (substring, not startsWith, so the join hashes — never a nested
+    // loop); ties break lexicographically. All integer => hash-exact.
+    "q_srch9" -> ((s, d) => {
+      import s.implicits._
+      val vocab = Tables.load(s, d, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .withColumn("prefix", substring(col("tok"), 1, 2))
+      val prefixes = Seq("ta", "sc", "wi", "me", "fa").toDF("prefix")
+      val pick = org.apache.spark.sql.expressions.Window.partitionBy("prefix")
+        .orderBy(col("n").desc, col("tok").asc)
+      vocab.join(broadcast(prefixes), Seq("prefix"))
+        .withColumn("rank", row_number().over(pick))
+        .where(col("rank") <= 3)
+        .withColumn("rank", col("rank").cast("long"))
+        .select("prefix", "rank", "tok", "n")
+        .orderBy("prefix", "rank")
+    }),
   )
 
   /** Shared SQL CTE chain mirroring Bm25.postings + df/stats — kept in
@@ -265,6 +287,19 @@ object SearchQueries extends QueryModule {
        |  FROM $source""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "q_srch9" ->
+      s"""WITH v AS (
+         |  SELECT t.w AS tok, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM (SELECT $tokSql AS toks FROM documents), unnest(toks) AS t(w)
+         |  GROUP BY 1),
+         |p AS (SELECT * FROM (VALUES ('ta'), ('sc'), ('wi'), ('me'), ('fa'))
+         |      AS x(prefix)),
+         |r AS (SELECT p.prefix, v.tok, v.n,
+         |    row_number() OVER (PARTITION BY p.prefix
+         |        ORDER BY v.n DESC, v.tok ASC) AS rank
+         |  FROM v JOIN p ON substring(v.tok, 1, 2) = p.prefix)
+         |SELECT prefix, rank, tok, n FROM r WHERE rank <= 3
+         |ORDER BY prefix, rank""".stripMargin,
     "q_srch1" -> {
       val vals = bmQueries.flatMap { case (id, t) =>
         t.split(' ').toSeq.map(w => s"(CAST($id AS BIGINT), '$w')")

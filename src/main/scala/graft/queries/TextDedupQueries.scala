@@ -870,6 +870,44 @@ object TextDedupQueries extends QueryModule {
         .orderBy("query_id", "rn")
     }),
 
+    // Q-TXT36 (round 7): classifier evaluation on-cluster — per-class
+    // precision/recall/F1 of the q_txt33 domain classifier from exact
+    // integer tp/fp/fn counts (one aggregation over the prediction
+    // table); P and R are single exact-operand divisions and F1 chains
+    // IEEE ops on identical doubles => hash-exact. Classes with no
+    // predictions (P undefined) or no members (R undefined) null out.
+    "q_txt36" -> ((s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val pred = TextOps.domainClassify(
+        docs.where(pmod(col("doc_id"), lit(2)) === 0),
+        docs.where(pmod(col("doc_id"), lit(2)) === 1),
+        "doc_id", "text", "source").localCheckpoint()
+      val classes = pred.select(col("actual").as("cls"))
+        .union(pred.select(col("predicted").as("cls"))).distinct()
+      val tp = pred.where(col("actual") === col("predicted"))
+        .groupBy(col("actual").as("cls")).agg(count(lit(1)).as("tp"))
+      val np = pred.groupBy(col("predicted").as("cls"))
+        .agg(count(lit(1)).as("n_pred"))
+      val na = pred.groupBy(col("actual").as("cls"))
+        .agg(count(lit(1)).as("n_actual"))
+      val joined = classes
+        .join(tp, Seq("cls"), "left_outer")
+        .join(np, Seq("cls"), "left_outer")
+        .join(na, Seq("cls"), "left_outer")
+        .select(col("cls"), coalesce(col("tp"), lit(0L)).as("tp"),
+          coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+          coalesce(col("n_actual"), lit(0L)).as("n_actual"))
+      val p = when(col("n_pred") > 0,
+        col("tp").cast("double") / col("n_pred").cast("double"))
+      val r = when(col("n_actual") > 0,
+        col("tp").cast("double") / col("n_actual").cast("double"))
+      joined.select(col("cls"), col("tp"), col("n_pred"), col("n_actual"),
+          p.as("precision"), r.as("recall"),
+          when(p.isNotNull && r.isNotNull && (p + r) > 0,
+            lit(2.0) * p * r / (p + r)).as("f1"))
+        .orderBy("cls")
+    }),
+
     // Q-TXT26: Unicode NFC normalization (native codegen'd expression —
     // Spark has no built-in). The fixture text is pure ASCII, so a
     // deterministic base+combining-mark suffix is appended per doc (the
@@ -1008,6 +1046,42 @@ object TextDedupQueries extends QueryModule {
          |      ORDER BY sim DESC, chunk_id) AS rn FROM sc)
          |WHERE rn <= 3 ORDER BY query_id, rn""".stripMargin
     },
+    "q_txt36" ->
+      s"""WITH tr AS (SELECT source AS lab, unnest($tokSql) AS t
+         |  FROM documents WHERE doc_id % 2 = 0),
+         |w AS (SELECT t, lab, COUNT(*) AS w FROM tr GROUP BY 1, 2),
+         |te AS (SELECT doc_id, unnest($tokSql) AS t
+         |  FROM documents WHERE doc_id % 2 = 1),
+         |sc AS (SELECT doc_id, lab, SUM(w.w) AS score
+         |  FROM te JOIN w USING (t) GROUP BY 1, 2),
+         |pr AS (SELECT doc_id, lab FROM (
+         |    SELECT doc_id, lab, row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY score DESC, lab ASC) AS rn FROM sc)
+         |  WHERE rn = 1),
+         |pred AS (SELECT b.doc_id, b.actual, coalesce(pr.lab, 'unknown') AS predicted
+         |  FROM (SELECT doc_id, source AS actual FROM documents
+         |        WHERE doc_id % 2 = 1) b
+         |  LEFT JOIN pr ON pr.doc_id = b.doc_id),
+         |cls AS (SELECT DISTINCT cls FROM
+         |  (SELECT actual AS cls FROM pred UNION ALL SELECT predicted FROM pred)),
+         |tp AS (SELECT actual AS cls, CAST(COUNT(*) AS BIGINT) AS tp FROM pred
+         |  WHERE actual = predicted GROUP BY 1),
+         |np AS (SELECT predicted AS cls, CAST(COUNT(*) AS BIGINT) AS n_pred
+         |  FROM pred GROUP BY 1),
+         |na AS (SELECT actual AS cls, CAST(COUNT(*) AS BIGINT) AS n_actual
+         |  FROM pred GROUP BY 1),
+         |j AS (SELECT cls.cls, coalesce(tp.tp, 0) AS tp,
+         |    coalesce(np.n_pred, 0) AS n_pred, coalesce(na.n_actual, 0) AS n_actual
+         |  FROM cls LEFT JOIN tp USING (cls) LEFT JOIN np USING (cls)
+         |  LEFT JOIN na USING (cls)),
+         |m AS (SELECT cls, tp, n_pred, n_actual,
+         |    CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE)/CAST(n_pred AS DOUBLE) END AS p,
+         |    CASE WHEN n_actual > 0 THEN CAST(tp AS DOUBLE)/CAST(n_actual AS DOUBLE) END AS r
+         |  FROM j)
+         |SELECT cls, tp, n_pred, n_actual, p AS precision, r AS recall,
+         |  CASE WHEN p IS NOT NULL AND r IS NOT NULL AND (p + r) > 0
+         |       THEN 2.0 * p * r / (p + r) END AS f1
+         |FROM m ORDER BY cls""".stripMargin,
     "q_txt35" ->
       s"""WITH t AS (SELECT $tokSql AS toks FROM documents),
          |bg AS (SELECT unnest(list_transform(range(2, len(toks) + 1),
