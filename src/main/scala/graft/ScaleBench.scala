@@ -594,7 +594,11 @@ object ScaleBench {
 
       // integer token-voting classifier (round 7): one tokenize pass per
       // side, the weight table saturates at vocabulary x #classes, and the
-      // scoring join is TOKEN-keyed — corpus-linear
+      // scoring join is TOKEN-keyed — corpus-linear. The count MUST
+      // touch `predicted`: a bare count() of the left-outer output lets
+      // Spark 4's distinct-key propagation ELIMINATE the aggregation-
+      // unique join and skip the classifier entirely (observed: 0.14 s
+      // "classifying" 500k docs).
       val cdocs = syntheticDocs(spark, nDocs)
         .withColumn("src", concat(lit("s"), pmod(col("doc_id"), lit(20L))))
         .localCheckpoint()
@@ -602,7 +606,8 @@ object ScaleBench {
         TextOps.domainClassify(
           cdocs.where(pmod(col("doc_id"), lit(2)) === 0),
           cdocs.where(pmod(col("doc_id"), lit(2)) === 1),
-          "doc_id", "text", "src").count()
+          "doc_id", "text", "src")
+          .where(col("predicted") =!= "unknown").count()
       }
       cdocs.unpersist()
       val sa = syntheticIntervalsSkewed(spark, nInt, span = 5000L, tag = "a").localCheckpoint()

@@ -122,6 +122,32 @@ object OpsQueries extends QueryModule {
         .limit(20)
     }),
 
+    // Q-SESS7 (round 7): daily growth accounting — DAU, new vs returning
+    // users, and the cumulative-uniques curve. Cumulative COUNT(DISTINCT)
+    // is not window-able at scale; the scalable identity: each user's
+    // FIRST-SEEN day contributes one "new user", and cumulative uniques =
+    // running sum of daily new users (a #days-sized window, never user
+    // rows). All integer => hash-exact.
+    "q_sess7" -> ((s, d) => {
+      val ev = Tables.load(s, d, "events")
+        .select(col("user_id"), col("ts").cast("date").as("day"))
+      val dau = ev.distinct().groupBy("day")
+        .agg(countDistinct(col("user_id")).as("active_users"))
+      val firstSeen = ev.groupBy("user_id").agg(min(col("day")).as("day"))
+      val newU = firstSeen.groupBy("day").agg(count(lit(1)).as("new_users"))
+      val cum = org.apache.spark.sql.expressions.Window.orderBy("day")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val nEv = ev.groupBy("day").agg(count(lit(1)).as("n_events"))
+      nEv.join(dau, Seq("day"))
+        .join(newU, Seq("day"), "left_outer")
+        .select(col("day"), col("n_events"), col("active_users"),
+          coalesce(col("new_users"), lit(0L)).as("new_users"))
+        .withColumn("returning_users", col("active_users") - col("new_users"))
+        .withColumn("cumulative_users", sum(col("new_users")).over(cum))
+        .orderBy("day")
+    }),
+
     // Q-SESS6 (round 7): top event-type path trigrams — the 3-step
     // sequences users actually walk (q_sess5's first-order matrix misses
     // multi-step structure). Two lags on the same user partitioning, one
@@ -752,6 +778,21 @@ object OpsQueries extends QueryModule {
         |  CAST(c.n AS DOUBLE) / CAST(ft.ft AS DOUBLE) AS p
         |FROM c JOIN ft USING (from_type)
         |ORDER BY n DESC, from_type, to_type LIMIT 20""".stripMargin,
+
+    "q_sess7" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |dau AS (SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+        |  FROM ev GROUP BY 1),
+        |ne AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_events FROM ev GROUP BY 1),
+        |fs AS (SELECT user_id, MIN(day) AS day FROM ev GROUP BY 1),
+        |nu AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users FROM fs GROUP BY 1)
+        |SELECT ne.day, ne.n_events, dau.active_users,
+        |  coalesce(nu.new_users, 0) AS new_users,
+        |  dau.active_users - coalesce(nu.new_users, 0) AS returning_users,
+        |  CAST(SUM(coalesce(nu.new_users, 0)) OVER (ORDER BY ne.day
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_users
+        |FROM ne JOIN dau USING (day) LEFT JOIN nu USING (day)
+        |ORDER BY ne.day""".stripMargin,
 
     "q_sess6" ->
       """WITH st AS (SELECT event_type AS e3,
