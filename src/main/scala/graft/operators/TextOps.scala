@@ -523,11 +523,17 @@ object TextOps {
     * trained token gets `unknownLabel`. Exact integers end-to-end =>
     * hash-exact against the SQL twin.
     *
-    * Shape: one tokenize pass per side; the weight table is
-    * vocabulary × #classes and joins on the TOKEN key (hash join, never
-    * doc×doc); the score table is #docs × #classes-that-share-a-token —
-    * bounded by #classes, so keep the label space coarse (domains, not
-    * urls) or pre-prune rare terms at large class counts.
+    * Shape: one tokenize pass per side. Both sides pre-aggregate BEFORE
+    * the term join: the weight table is vocabulary × #classes (the
+    * classic broadcastable dimension — hinted broadcast, so scoring
+    * shuffles nothing on the term key), and the test side collapses to
+    * (doc, term, tf) so multiplicity is ONE row, not one per occurrence.
+    * The unavoidable fan-out is #distinct-(doc, term) × classes-sharing-
+    * the-term, flowing straight into a map-side-combined (doc, class)
+    * aggregation — keep the label space coarse (domains, not urls) or
+    * pre-prune near-uniform terms at large class counts (measured: the
+    * occurrence-level join form went superlinear past ~10^5 docs purely
+    * on intermediate volume).
     *
     * Returns (idCol, actual, predicted) for every `test` row. */
   def domainClassify(train: org.apache.spark.sql.DataFrame,
@@ -537,11 +543,12 @@ object TextOps {
     val weights = train
       .select(col(labelCol).as("__lab"), explode(tokens(col(textCol))).as("__t"))
       .groupBy("__t", "__lab").agg(count(lit(1)).as("__w"))
-    val testTok = test
+    val testTf = test
       .select(col(idCol), explode(tokens(col(textCol))).as("__t"))
-    val scores = testTok.join(weights, Seq("__t"))
+      .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__tf"))
+    val scores = testTf.join(broadcast(weights), Seq("__t"))
       .groupBy(col(idCol), col("__lab"))
-      .agg(sum(col("__w")).as("__score"))
+      .agg(sum(col("__tf") * col("__w")).as("__score"))
     // arg-max as an aggregation, not a window: min of (-score, label) is
     // exactly (score desc, label asc) — partial-aggregated, no per-doc sort
     val pred = scores
