@@ -158,6 +158,17 @@ object AggQueries extends QueryModule {
         "l_returnflag", "l_quantity", "w")
         .orderBy("l_returnflag")),
 
+    // Q-AGG21 (round 7): exact revenue-weighted quantity quartiles per
+    // returnflag — the weighted box plot in ONE aggregation (q_agg19's
+    // crossing rule at p25/p50/p75; quartile values are INPUT values).
+    "q_agg21" -> ((s, d) =>
+      graft.operators.Binning.weightedQuartiles(
+        Tables.load(s, d, "lineitem").select(col("l_returnflag"),
+          col("l_quantity"),
+          round(col("l_extendedprice") * lit(100.0)).cast("long").as("w")),
+        "l_returnflag", "l_quantity", "w")
+        .orderBy("l_returnflag")),
+
     // Q-AGG20 (round 7): revenue-concentration Gini per returnflag across
     // suppliers — the "is this slice dominated by a few keys" summary
     // (the mixture-concentration diagnostic applied to the fixture).
@@ -323,6 +334,22 @@ object AggQueries extends QueryModule {
          |SELECT pk_a, pk_b, support FROM psup
          |ORDER BY support DESC, pk_a, pk_b
          |LIMIT 20""".stripMargin,
+    "q_agg21" ->
+      """WITH pv AS (SELECT l_returnflag, l_quantity,
+        |    SUM(CAST(round(l_extendedprice*100.0, 0) AS BIGINT)) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |cw AS (SELECT l_returnflag, l_quantity,
+        |    SUM(w) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM pv)
+        |SELECT l_returnflag,
+        |  MIN(CASE WHEN cum * 4 >= tot THEN l_quantity END) AS wq1,
+        |  MIN(CASE WHEN cum * 2 >= tot THEN l_quantity END) AS wmedian,
+        |  MIN(CASE WHEN cum * 4 >= tot * 3 THEN l_quantity END) AS wq3,
+        |  CAST(MAX(tot) AS BIGINT) AS total_weight
+        |FROM cw WHERE tot > 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_agg20" ->
       """WITH rev AS (SELECT l_returnflag, l_suppkey,
         |    SUM(CAST(round(l_extendedprice*100.0, 0) AS BIGINT)) AS x

@@ -102,6 +102,18 @@ class OpsSpec extends SparkSpec {
     assert(r.length === 1 && r(0).getDouble(1) === 5.0)
   }
 
+  test("weightedQuartiles: unit weights reduce to lower quartiles; skew pulls them together") {
+    val unit = (1 to 8).map(i => ("u", i.toDouble, 1L)).toDF("g", "v", "w")
+    val r = Binning.weightedQuartiles(unit, "g", "v", "w").collect()(0)
+    // crossings at cum>=2, >=4, >=6 of 8
+    assert((r.getDouble(1), r.getDouble(2), r.getDouble(3)) === ((2.0, 4.0, 6.0)))
+    // one value owns 90% of the weight -> all three quartiles land on it
+    val skew = Seq(("s", 1.0, 1L), ("s", 2.0, 1L), ("s", 9.0, 18L)).toDF("g", "v", "w")
+    val sk = Binning.weightedQuartiles(skew, "g", "v", "w").collect()(0)
+    assert((sk.getDouble(1), sk.getDouble(2), sk.getDouble(3)) === ((9.0, 9.0, 9.0)))
+    assert(sk.getLong(4) === 20L)
+  }
+
   test("sample boundaries + broadcast assignment: ties go to the lower bucket") {
     val df = spark.range(1, 81).select(col("id").as("k"),
       col("id").cast("double").as("v"))
