@@ -93,6 +93,28 @@ object ReshapeQueries extends QueryModule {
           "l_suppkey", "day", "cents", w = ShiftW)
         .orderBy("l_suppkey")),
 
+    // Q-TS7 (round 7): seasonal-naive forecast backtest — the baseline
+    // every forecasting effort must beat: x̂_t = x_{t-7} on the daily
+    // grid; per supplier the MAE (Σ|err| / n — ONE division of exact
+    // integers) and the signed bias. Mean-of-quotients metrics (MAPE)
+    // are deliberately out: summing per-row double quotients is
+    // order-dependent across engines. One lag on the grid partitioning.
+    "q_ts7" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_suppkey").orderBy("day")
+      dailyCentsFilled(s, d)
+        .withColumn("__pred", lag(col("cents"), 7).over(w))
+        .where(col("__pred").isNotNull)
+        .withColumn("__err", col("cents") - col("__pred"))
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n"),
+          (sum(abs(col("__err"))).cast("double") /
+            count(lit(1)).cast("double")).as("mae_cents"),
+          (sum(col("__err")).cast("double") /
+            count(lit(1)).cast("double")).as("bias_cents"))
+        .orderBy("l_suppkey")
+    }),
+
     // Q-ANOM4 (round 7): seasonality-aware anomaly gate — z-scoring raw
     // daily revenue (q_anom1) flags every Monday of a weekly-cyclic
     // series; here the SCALED-INTEGER detrended value d = 7x − T is
@@ -308,6 +330,18 @@ object ReshapeQueries extends QueryModule {
     "q_ts4" -> acfSql,
     "q_ts5" -> shiftSql,
     "q_ts6" -> seasonalSql,
+    "q_ts7" ->
+      s"""WITH ${filledCtes("day")},
+         |p AS (SELECT l_suppkey, cents,
+         |    lag(cents, 7) OVER (PARTITION BY l_suppkey ORDER BY g) AS pred
+         |  FROM f)
+         |SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(abs(cents - pred)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |    AS mae_cents,
+         |  CAST(SUM(cents - pred) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |    AS bias_cents
+         |FROM p WHERE pred IS NOT NULL
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_anom4" -> {
       val (z, outlier) = graft.operators.Anomaly.sqlZScores("d", scale = 0,
         threshold = 3.0, w = "(PARTITION BY grp)")
