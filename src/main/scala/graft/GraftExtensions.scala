@@ -50,9 +50,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         def lit(i: Int): Int = {
           require(children(i).foldable,
             s"sign_project: argument ${i + 1} must be a literal integer")
+          // integral types only: Number.intValue() would silently
+          // truncate a 4.5 into dim=4 instead of erroring
           children(i).eval(null) match {
             case n: Int => n
-            case n: java.lang.Number => n.intValue()
+            case n: Long if n.isValidInt => n.toInt
+            case n: Short => n.toInt
+            case n: Byte => n.toInt
             case other => throw new IllegalArgumentException(
               s"sign_project: argument ${i + 1} must be an integer, got $other")
           }

@@ -324,7 +324,9 @@ object ScaleBench {
       val cd = syntheticDocs(spark, 400L)
         .withColumn("src", concat(lit("s"), pmod(col("doc_id"), lit(20L))))
       TextOps.domainClassify(cd.where(pmod(col("doc_id"), lit(2)) === 0),
-        cd.where(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text", "src").count()
+          cd.where(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text", "src")
+        .where(col("predicted") =!= "unknown").count() // same guard as the
+        // timed row: a bare count() join-eliminates the whole classifier
       NearDup.connectedComponents(
         spark.range(200L).select(col("id").as("id_a"), (col("id") + 1L).as("id_b"))).count()
       Binning.boundariesFromSample(syntheticValues(spark, 10000L),

@@ -195,14 +195,13 @@ object Binning {
     * partitioning shared by the cumulative and total sums, one crossing
     * filter + min. `weightCol` must be a non-negative integer column;
     * zero-total groups emit nothing (no median of nothing). */
-  /** Exact weighted quartiles per group — [[weightedMedian]]'s crossing
-    * rule at p25/p50/p75 in ONE aggregation: q_p = min value with
-    * cum·(1/p) >= total, written integer-only as 4·cum >= tot,
-    * 2·cum >= tot, 4·cum >= 3·tot. The weighted box plot (lower/median/
-    * upper are INPUT values, no interpolation) behind weight-skewed
-    * distribution summaries. Zero-total groups emit nothing. */
-  def weightedQuartiles(df: DataFrame, groupCol: String, valueCol: String,
-                        weightCol: String): DataFrame = {
+  /** Shared scaffold of the weighted-percentile family: weights
+    * pre-aggregate onto DISTINCT values (the windows then run over
+    * #values rows, never raw rows), then cumulative and total weight
+    * sums share one group partitioning. `weightCol` must be a
+    * non-negative integer column; zero-total groups are dropped. */
+  private def cumWeights(df: DataFrame, groupCol: String, valueCol: String,
+                         weightCol: String): DataFrame = {
     val perVal = df.groupBy(col(groupCol), col(valueCol))
       .agg(sum(col(weightCol).cast("long")).as("__w"))
     val ord = org.apache.spark.sql.expressions.Window
@@ -214,29 +213,32 @@ object Binning {
         sum(col("__w")).over(ord).as("__cum"),
         sum(col("__w")).over(all).as("__tot"))
       .where(col("__tot") > 0)
+  }
+
+  /** Exact weighted quartiles per group in ONE aggregation: q_p = the
+    * smallest value whose cumulative weight reaches p of the total,
+    * decided integer-only (4·cum >= tot, 2·cum >= tot, 4·cum >= 3·tot —
+    * no division, no interpolation: every emitted quartile is an INPUT
+    * value, bit-identical cross-engine). The weighted box plot behind
+    * weight-skewed distribution summaries. Zero-total groups emit
+    * nothing. */
+  def weightedQuartiles(df: DataFrame, groupCol: String, valueCol: String,
+                        weightCol: String): DataFrame =
+    cumWeights(df, groupCol, valueCol, weightCol)
       .groupBy(col(groupCol))
       .agg(
         min(when(col("__cum") * 4 >= col("__tot"), col(valueCol))).as("wq1"),
         min(when(col("__cum") * 2 >= col("__tot"), col(valueCol))).as("wmedian"),
         min(when(col("__cum") * 4 >= col("__tot") * 3, col(valueCol))).as("wq3"),
         max(col("__tot")).as("total_weight"))
-  }
 
+  /** Exact weighted median per group — the p50 slice of
+    * [[weightedQuartiles]] (same integer crossing rule, same scaffold,
+    * the emitted value is an INPUT value), kept as its own entry point
+    * for the common robust-center use. */
   def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
-                     weightCol: String): DataFrame = {
-    val perVal = df.groupBy(col(groupCol), col(valueCol))
-      .agg(sum(col(weightCol).cast("long")).as("__w"))
-    val ord = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(groupCol)).orderBy(col(valueCol))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val all = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
-    perVal.select(col(groupCol), col(valueCol),
-        sum(col("__w")).over(ord).as("__cum"),
-        sum(col("__w")).over(all).as("__tot"))
-      .where(col("__tot") > 0 && col("__cum") * 2 >= col("__tot"))
-      .groupBy(col(groupCol))
-      .agg(min(col(valueCol)).as("weighted_median"),
-        max(col("__tot")).as("total_weight"))
-  }
+                     weightCol: String): DataFrame =
+    weightedQuartiles(df, groupCol, valueCol, weightCol)
+      .select(col(groupCol), col("wmedian").as("weighted_median"),
+        col("total_weight"))
 }

@@ -84,7 +84,10 @@ object DataQuality {
       .agg(countDistinct(col(rhs)).as("__nd"))
       .agg(lit(fdName).as("fd"),
         count(lit(1)).as("n_lhs_keys"),
-        sum(when(col("__nd") > 1, 1L).otherwise(0L)).as("n_violating_keys"))
+        // coalesce: SUM over zero groups is NULL, and an empty relation
+        // must read (0 violations, holds) — the vacuous FD — not unknown
+        coalesce(sum(when(col("__nd") > 1, 1L).otherwise(0L)), lit(0L))
+          .as("n_violating_keys"))
       .withColumn("holds", col("n_violating_keys") === 0)
   }
 

@@ -131,7 +131,7 @@ object OpsQueries extends QueryModule {
     "q_sess7" -> ((s, d) => {
       val ev = Tables.load(s, d, "events")
         .select(col("user_id"), col("ts").cast("date").as("day"))
-      val dau = ev.distinct().groupBy("day")
+      val dau = ev.groupBy("day")
         .agg(countDistinct(col("user_id")).as("active_users"))
       val firstSeen = ev.groupBy("user_id").agg(min(col("day")).as("day"))
       val newU = firstSeen.groupBy("day").agg(count(lit(1)).as("new_users"))
