@@ -170,24 +170,28 @@ object ReshapeQueries extends QueryModule {
         coalesce(col("cents"), lit(0L)).as("cents"))
   }
 
-  /** Daily twin of [[monthlyCentsFilled]] — q_ts5/q_ts6's regular grid.
-    * The grid fill is hinted shuffle-hash: the daily table is ~#keys·days/4
-    * rows, and Spark's broadcast pick re-BUILDS that ~600k-row broadcast
-    * relation on the driver per execution (~2.5 s measured at sf0.1) where
-    * the shuffle-hash join pays a partitioned build instead. */
-  private def dailyCentsFilled(s: SparkSession, d: String): DataFrame = {
-    val daily = Tables.load(s, d, "lineitem")
-      .groupBy(col("l_suppkey"), col("l_shipdate").cast("date").as("day"))
-      .agg(sum(round(col("l_extendedprice") * lit(100.0)).cast("long"))
-        .as("cents"))
-    val spans = daily.groupBy(col("l_suppkey"))
-      .agg(min(col("day")).as("__lo"), max(col("day")).as("__hi"))
-    spans.select(col("l_suppkey"),
-        explode(sequence(col("__lo"), col("__hi"))).as("day"))
-      .join(daily.hint("shuffle_hash"), Seq("l_suppkey", "day"), "left_outer")
-      .select(col("l_suppkey"), col("day"),
-        coalesce(col("cents"), lit(0L)).as("cents"))
-  }
+  /** Daily twin of [[monthlyCentsFilled]] — the regular grid four queries
+    * share (q_ts5/6/7, q_anom4), memoized like any other shared
+    * intermediate (at cluster scale the zero-filled grid is a persisted
+    * table every downstream diagnostic reads). The grid fill is hinted
+    * shuffle-hash: the daily table is ~#keys·days/4 rows, and Spark's
+    * broadcast pick re-BUILDS that ~600k-row broadcast relation on the
+    * driver per execution (~2.5 s measured at sf0.1) where the
+    * shuffle-hash join pays a partitioned build instead. */
+  private def dailyCentsFilled(s: SparkSession, d: String): DataFrame =
+    graft.util.Memo.cachedDf(s, s"daily_cents_filled|$d") {
+      val daily = Tables.load(s, d, "lineitem")
+        .groupBy(col("l_suppkey"), col("l_shipdate").cast("date").as("day"))
+        .agg(sum(round(col("l_extendedprice") * lit(100.0)).cast("long"))
+          .as("cents"))
+      val spans = daily.groupBy(col("l_suppkey"))
+        .agg(min(col("day")).as("__lo"), max(col("day")).as("__hi"))
+      spans.select(col("l_suppkey"),
+          explode(sequence(col("__lo"), col("__hi"))).as("day"))
+        .join(daily.hint("shuffle_hash"), Seq("l_suppkey", "day"), "left_outer")
+        .select(col("l_suppkey"), col("day"),
+          coalesce(col("cents"), lit(0L)).as("cents"))
+    }
 
   /** Oracle CTE text for [[monthlyCentsFilled]] / [[dailyCentsFilled]]:
     * grain = 'month'/'day' with the matching truncation + step. */
