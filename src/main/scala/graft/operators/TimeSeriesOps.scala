@@ -190,26 +190,45 @@ object TimeSeriesOps {
     * Rows without a full trend window are dropped (the standard edge
     * treatment).
     *
-    * Determinism: the trend sum T and the scaled detrended value
-    * d = (2h+1)·x − T are exact integers; trend = T/(2h+1), seasonal =
-    * Σd / ((2h+1)·count) are each ONE integer→double cast + ONE IEEE
-    * division, and residual = (x − trend) − seasonal chains IEEE ops on
-    * identical operands — bitwise cross-engine. Two window passes + one
-    * weekday aggregation; no joins beyond the seasonal broadcast-back. */
+    * Determinism (round-8 hardening — the r7 driver gate flipped the
+    * 6dp-rounded double seasonal/residual on a 1-ulp engine difference):
+    * the trend sum T and the scaled detrended value d = (2h+1)·x − T are
+    * exact integers, and seasonal/residual are now emitted as exact
+    * integer MICRO-units via integer round-half-away division — no
+    * double ever reaches them:
+    *   seasonal_micro = rha(Σd · 1e6, (2h+1)·n)
+    *   residual_micro = rha(d·1e6 − (2h+1)·seasonal_micro, 2h+1)
+    * where rha(a, b) = sign(a)·((2·|a| + b) div (2·b)). Only `trend`
+    * stays a double: T/(2h+1) is ONE correctly-rounded IEEE division of
+    * exact operands, bitwise identical on every engine. Two window
+    * passes + one weekday aggregation; no joins beyond the seasonal
+    * broadcast-back. Overflow bound: 2e6·|Σd| < 2^63, i.e. |Σd| < 4.6e12
+    * (≈ 4 600 key-days at a billion cents detrended each) — widen to
+    * DECIMAL(38,0) past that.
+    *
+    * Output: (key, day, value, trend, seasonal_micro, residual_micro). */
   def seasonalDecompose(df: DataFrame, keyCol: String, dayCol: String,
                         valueCol: String, halfWindow: Int): DataFrame = {
     val span = 2 * halfWindow + 1
     val trended = detrendedDaily(df, keyCol, dayCol, valueCol, halfWindow)
+    // rha(a, b) with b > 0, written with CASE so both engines use plain
+    // truncating integer division on non-negative operands
+    def rha(a: String, b: String) =
+      s"CASE WHEN $a >= 0 THEN (2L * ($a) + ($b)) div (2L * ($b)) " +
+        s"ELSE -((2L * (-($a)) + ($b)) div (2L * ($b))) END"
     val seasonal = trended.groupBy(col(keyCol), col("__dow"))
-      .agg((sum(col("__d").cast("decimal(19,0)")).cast("double") /
-        (lit(span.toLong) * count(lit(1))).cast("double")).as("seasonal"))
+      .agg(sum(col("__d")).as("__sd"), count(lit(1)).as("__nd"))
+      .withColumn("seasonal_micro",
+        expr(rha("__sd * 1000000L", s"${span}L * __nd")))
+      .select(col(keyCol), col("__dow"), col("seasonal_micro"))
     // #keys × 7 rows — always broadcastable
     trended.join(broadcast(seasonal), Seq(keyCol, "__dow"))
+      .withColumn("__ra",
+        col("__d") * lit(1000000L) - lit(span.toLong) * col("seasonal_micro"))
       .select(col(keyCol), col(dayCol),
         col("__x").as("value"),
         (col("__t").cast("double") / lit(span.toDouble)).as("trend"),
-        col("seasonal"),
-        (col("__x").cast("double") - col("__t").cast("double") / lit(span.toDouble)
-          - col("seasonal")).as("residual"))
+        col("seasonal_micro"),
+        expr(rha("__ra", s"${span}L")).as("residual_micro"))
   }
 }

@@ -133,18 +133,16 @@ object ReshapeQueries extends QueryModule {
         .orderBy("l_suppkey", "day")
     }),
 
-    // Q-TS6 (round 7): additive seasonal decomposition of daily revenue —
-    // 7-day centered-MA trend, ISO-weekday seasonal mean of the scaled
-    // detrended series, IEEE-chained residual. Trend stays raw (T/7 with
-    // T far below 2^53 — a single exact-operand division); seasonal and
-    // residual round to 6dp for the compare: their cohort sum Σd can
-    // cross 2^53 at larger scale factors, where DuckDB's HUGEINT→DOUBLE
-    // cast sits 1 ulp off the JVM decimal cast (the q_ts4 lesson).
+    // Q-TS6 (round 7, hardened round 8): additive seasonal decomposition
+    // of daily revenue — 7-day centered-MA trend, ISO-weekday seasonal
+    // mean of the scaled detrended series. Seasonal and residual are
+    // exact integer micro-units (integer round-half-away division from
+    // integer sufficient statistics — the r7 driver gate proved the
+    // 6dp-rounded double chain flips on a 1-ulp engine difference);
+    // trend stays T/7, a single exact-operand IEEE division.
     "q_ts6" -> ((s, d) =>
       TimeSeriesOps.seasonalDecompose(dailyCentsFilled(s, d),
           "l_suppkey", "day", "cents", halfWindow = SeasonHalfW)
-        .withColumn("seasonal", round(col("seasonal"), 6))
-        .withColumn("residual", round(col("residual"), 6))
         .orderBy("l_suppkey", "day")),
   )
 
@@ -263,15 +261,26 @@ object ReshapeQueries extends QueryModule {
        |tf AS (SELECT l_suppkey, day, cents, t, isodow(day) AS dow,
        |    $span*cents - t AS dd
        |  FROM tr WHERE nt = $span),
-       |se AS (SELECT l_suppkey, dow,
-       |    CAST(SUM(dd) AS DOUBLE)/CAST($span*COUNT(*) AS DOUBLE) AS seasonal
-       |  FROM tf GROUP BY 1, 2)
-       |SELECT tf.l_suppkey, tf.day, tf.cents AS value,
-       |  CAST(tf.t AS DOUBLE)/$span.0 AS trend, round(se.seasonal, 6) AS seasonal,
-       |  round((CAST(tf.cents AS DOUBLE) - CAST(tf.t AS DOUBLE)/$span.0) - se.seasonal, 6)
-       |    AS residual
-       |FROM tf JOIN se ON se.l_suppkey = tf.l_suppkey AND se.dow = tf.dow
-       |ORDER BY tf.l_suppkey, tf.day""".stripMargin
+       |se AS (SELECT l_suppkey, dow, CAST(SUM(dd) AS BIGINT) AS sd,
+       |    CAST(COUNT(*) AS BIGINT) AS nd
+       |  FROM tf GROUP BY 1, 2),
+       |sm AS (SELECT l_suppkey, dow,
+       |    CASE WHEN sd >= 0
+       |      THEN (2*sd*1000000 + $span*nd) // (2*$span*nd)
+       |      ELSE -((2*(-sd)*1000000 + $span*nd) // (2*$span*nd)) END
+       |      AS seasonal_micro
+       |  FROM se),
+       |r AS (SELECT tf.l_suppkey, tf.day, tf.cents, tf.t, sm.seasonal_micro,
+       |    tf.dd*1000000 - $span*sm.seasonal_micro AS ra
+       |  FROM tf JOIN sm ON sm.l_suppkey = tf.l_suppkey AND sm.dow = tf.dow)
+       |SELECT l_suppkey, day, cents AS value,
+       |  CAST(t AS DOUBLE)/$span.0 AS trend,
+       |  seasonal_micro,
+       |  CAST(CASE WHEN ra >= 0 THEN (2*ra + $span) // (2*$span)
+       |       ELSE -((2*(-ra) + $span) // (2*$span)) END AS BIGINT)
+       |    AS residual_micro
+       |FROM r
+       |ORDER BY l_suppkey, day""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(

@@ -12,9 +12,11 @@ import graft.operators.{Bm25, Similarity, TextOps}
   * `README.md:46`); BM25, positional proximity and lexical+semantic fusion
   * are what its downstream consumers would run first.
   *
-  * All three queries are fully DuckDB-oracle-checked: scores are rounded
-  * once to integer micro-units per term (the q_txt19 transcendental
-  * policy), so every rollup after the round is exact integer math.
+  * All score-emitting queries are fully DuckDB-oracle-checked with
+  * ENGINE-VERSION-EXACT scores (round-8 hardening after the r7 driver
+  * gate flipped q_srch1/3/4 on a libm ulp): tfc is exact-integer
+  * rational, idf is milli-pinned per term with a margin proof, and every
+  * downstream value is integer arithmetic — see Bm25's object scaladoc.
   */
 object SearchQueries extends QueryModule {
 
@@ -237,27 +239,33 @@ object SearchQueries extends QueryModule {
        |         FROM tok, unnest(toks) AS t(w) GROUP BY doc_id, dl, term),
        |dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM post GROUP BY term),
        |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-       |                 CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
-       |          FROM (SELECT doc_id, dl FROM post GROUP BY doc_id, dl))""".stripMargin
+       |                 CAST(SUM(dl) AS BIGINT) AS sum_dl
+       |          FROM (SELECT doc_id, dl FROM post GROUP BY doc_id, dl)),
+       |idft AS (SELECT f.term, s.n_docs, s.sum_dl,
+       |                CAST(round(ln(1.0 +
+       |                  (CAST(s.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5) /
+       |                  (CAST(f.df AS DOUBLE) + 0.5)) * 1000.0, 0) AS BIGINT)
+       |                  AS idf_milli
+       |         FROM dft f, stats s)""".stripMargin
 
   /** Per-(query,doc,term) BM25 contribution in micro-units — the SQL twin
-    * of Bm25.scoreMicro's expression tree, with the SAME association:
-    * ((idf * (num/den)) * 1e6) and constants built from the same decimal
-    * literals and IEEE additions (1.2 + 1.0, 1.0 - 0.75). */
+    * of Bm25.scoreMicro's exact-integer formula (round-8 hardening): tfc
+    * scaled by k1Den·bDen·S into integer num/den (coefficients 44/20/6/18
+    * for k1=6/5, b=3/4), idf pinned per term at milli precision (the only
+    * libm value — margin-proved off-boundary in Bm25Spec), and the
+    * contribution an integer round-half-up division. No transcendental or
+    * double-division result reaches the compared value. */
   private def contribCte(qryCte: String, extraWhere: String): String =
     s"""contrib AS (
        |  SELECT q.query_id, p.doc_id,
-       |    CAST(round(
-       |      ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5) /
-       |                (CAST(f.df AS DOUBLE) + 0.5))
-       |      * ((CAST(p.tf AS DOUBLE) * (1.2 + 1.0)) /
-       |         (CAST(p.tf AS DOUBLE) +
-       |          1.2 * ((1.0 - 0.75) + 0.75 * CAST(p.dl AS DOUBLE) / s.avgdl)))
-       |      * 1000000.0, 0) AS BIGINT) AS c
+       |    (2 * i.idf_milli * (44 * p.tf * i.sum_dl) * 1000 +
+       |     (20 * p.tf * i.sum_dl + 6 * i.sum_dl + 18 * p.dl * i.n_docs))
+       |    // (2 * (20 * p.tf * i.sum_dl + 6 * i.sum_dl + 18 * p.dl * i.n_docs))
+       |      AS c
        |  FROM post p JOIN $qryCte q ON p.term = q.term
-       |       JOIN dft f ON p.term = f.term, stats s
+       |       JOIN idft i ON p.term = i.term
        |  $extraWhere),
-       |scored AS (SELECT query_id, doc_id, SUM(c) AS score_micro
+       |scored AS (SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS score_micro
        |           FROM contrib GROUP BY query_id, doc_id)""".stripMargin
 
   /** Shared CTE chain ending in `lex` and `sem` — the two retrieval

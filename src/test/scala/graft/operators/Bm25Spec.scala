@@ -14,13 +14,16 @@ class Bm25Spec extends SparkSpec {
 
   private def post = Bm25.postings(corpus, "doc_id", col("text"))
 
-  /** The operator's exact formula, replicated in plain doubles — asserts
-    * the Spark plumbing computes the declared math, term by term. */
-  private def contribMicro(tf: Long, dl: Long, df: Long, n: Long, avgdl: Double): Long = {
-    val idf = math.log(1.0 + (n.toDouble - df.toDouble + 0.5) / (df.toDouble + 0.5))
-    val tfc = (tf.toDouble * (1.2 + 1.0)) /
-      (tf.toDouble + 1.2 * ((1.0 - 0.75) + 0.75 * dl.toDouble / avgdl))
-    math.round(idf * tfc * 1e6)
+  /** The operator's exact-integer formula replicated independently —
+    * milli-pinned idf, rational tfc scaled to integer num/den, integer
+    * round-half-up — asserts the Spark plumbing computes the declared
+    * math, term by term. */
+  private def contribMicro(tf: Long, dl: Long, df: Long, n: Long, sumDl: Long): Long = {
+    val idfMilli = math.round(
+      math.log(1.0 + (n.toDouble - df.toDouble + 0.5) / (df.toDouble + 0.5)) * 1000.0)
+    val num = 44L * tf * sumDl
+    val den = 20L * tf * sumDl + 6L * sumDl + 18L * dl * n
+    (2L * idfMilli * num * 1000L + den) / (2L * den) // positives: / == div
   }
 
   test("postings: one row per (doc, term) with tf and doc length") {
@@ -31,19 +34,42 @@ class Bm25Spec extends SparkSpec {
       (3L, "c", 4L, 4L)))
   }
 
-  test("scoreMicro matches the hand formula exactly (N=3, avgdl=3)") {
+  test("scoreMicro matches the hand formula exactly (N=3, S=9)") {
     val q = Seq((1L, "a"), (1L, "c")).toDF("query_id", "term")
     val got = Bm25.scoreMicro(post, q)
       .as[(Long, Long, Long)].collect().map { case (_, d, s) => d -> s }.toMap
-    // df(a)=2, df(c)=2, N=3, avgdl=3.0
-    val a1 = contribMicro(2, 3, 2, 3, 3.0) // doc1: a tf=2 dl=3
-    val a2 = contribMicro(1, 2, 2, 3, 3.0) // doc2: a tf=1 dl=2
-    val c2 = contribMicro(1, 2, 2, 3, 3.0) // doc2: c tf=1 dl=2
-    val c3 = contribMicro(4, 4, 2, 3, 3.0) // doc3: c tf=4 dl=4
+    // df(a)=2, df(c)=2, N=3, S=Σdl=9
+    val a1 = contribMicro(2, 3, 2, 3, 9L) // doc1: a tf=2 dl=3
+    val a2 = contribMicro(1, 2, 2, 3, 9L) // doc2: a tf=1 dl=2
+    val c2 = contribMicro(1, 2, 2, 3, 9L) // doc2: c tf=1 dl=2
+    val c3 = contribMicro(4, 4, 2, 3, 9L) // doc3: c tf=4 dl=4
     assert(got === Map(1L -> a1, 2L -> (a2 + c2), 3L -> c3))
     // one hand-pinned anchor so a systematic formula drift can't hide in
-    // the replicated math: idf=ln(1.6), tfc=4.4/3.2 -> 646255 micro
-    assert(a1 === 646255L)
+    // the replicated math: idf_milli = round(1000·ln(1.6)) = 470;
+    // num = 44·2·9 = 792, den = 20·2·9 + 6·9 + 18·3·3 = 576;
+    // 470·792·1000/576 = 646250 exactly (the half-up add can't move it)
+    assert(a1 === 646250L)
+  }
+
+  test("idf milli-pin is off-boundary for EVERY possible df at fixture corpus sizes") {
+    // The only libm value in scoring is idf, pinned at milli precision.
+    // For the pin to be engine-build-exact, 1000·ln(1+(N−df+0.5)/(df+0.5))
+    // must sit away from every round-half boundary by far more than libm
+    // drift (≤ a few ulp ≈ 1e-12 at this magnitude). Sweep every df the
+    // corpora can produce: margins are 1.3e-2 (N=50), 3.0e-3 (N=500),
+    // 2.5e-5 (N=5000) — ≥ 10^7× the worst libm disagreement.
+    for (n <- Seq(50L, 500L, 5000L)) {
+      var worst = Double.MaxValue
+      var df = 1L
+      while (df <= n) {
+        val v = math.log(1.0 +
+          (n.toDouble - df.toDouble + 0.5) / (df.toDouble + 0.5)) * 1000.0
+        val frac = v - math.floor(v)
+        worst = math.min(worst, math.abs(frac - 0.5))
+        df += 1
+      }
+      assert(worst > 1e-6, s"idf milli margin too small at N=$n: $worst")
+    }
   }
 
   test("query terms are a SET: duplicated query terms don't double-count") {

@@ -82,8 +82,8 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(rows.length === 15, "3 edge rows dropped each side")
     rows.foreach { r =>
       assert(r.getDouble(3) === r.getLong(2).toDouble, "trend = value on a line")
-      assert(r.getDouble(4) === 0.0, "seasonal")
-      assert(r.getDouble(5) === 0.0, "residual")
+      assert(r.getLong(4) === 0L, "seasonal_micro")
+      assert(r.getLong(5) === 0L, "residual_micro")
     }
   }
 
@@ -99,9 +99,38 @@ class TimeSeriesOpsSpec extends SparkSpec {
     rows.foreach { r =>
       assert(r.getDouble(3) === 80.0, s"flat trend at ${r.getDate(1)}")
       val isMon = r.getDate(1).toLocalDate.getDayOfWeek.getValue == 1
-      assert(r.getDouble(4) === (if (isMon) 60.0 else -10.0),
-        s"seasonal at ${r.getDate(1)}")
-      assert(r.getDouble(5) === 0.0, s"residual at ${r.getDate(1)}")
+      assert(r.getLong(4) === (if (isMon) 60000000L else -10000000L),
+        s"seasonal_micro at ${r.getDate(1)}")
+      assert(r.getLong(5) === 0L, s"residual_micro at ${r.getDate(1)}")
+    }
+  }
+
+  test("seasonalDecompose: micro rounding is half-away-from-zero, exact on both signs") {
+    // Seasonal means with non-terminating 7ths: base 0 with one +1 bump
+    // per week makes Σd/(7n) land on fractional micro boundaries; assert
+    // the integer rha formula against an independent BigDecimal compute.
+    val xs = (0 until 28).map(i => if (i % 7 == 3) 9L else 2L)
+    val df = daySeries("f", "2024-01-01", xs)
+    val rows = TimeSeriesOps.seasonalDecompose(df, "k", "day", "x", halfWindow = 3)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val x = r.getLong(2)
+      val t = math.round(r.getDouble(3) * 7).toLong // T is exact: trend*7
+      val d = BigInt(7L * x - t)
+      // recompute seasonal from scratch for this row's weekday cohort
+      val dow = r.getDate(1).toLocalDate.getDayOfWeek.getValue
+      val cohort = rows.filter(_.getDate(1).toLocalDate.getDayOfWeek.getValue == dow)
+      val sd = cohort.map(c => BigInt(7L * c.getLong(2) -
+        math.round(c.getDouble(3) * 7).toLong)).sum
+      val b = BigInt(7L * cohort.length)
+      def rha(a: BigInt, b: BigInt): BigInt =
+        if (a >= 0) (2 * a + b) / (2 * b) else -((2 * (-a) + b) / (2 * b))
+      val sm = rha(sd * 1000000, b)
+      assert(r.getLong(4) === sm.toLong, s"seasonal_micro at ${r.getDate(1)}")
+      val ra = d * 1000000 - 7 * sm
+      assert(r.getLong(5) === rha(ra, BigInt(7)).toLong,
+        s"residual_micro at ${r.getDate(1)}")
     }
   }
 }
