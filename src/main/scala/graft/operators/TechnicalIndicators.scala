@@ -11,6 +11,11 @@ import org.apache.spark.sql.functions._
   * projection on every row when the class is nested. */
 case class EmaRow(key: Long, ord: Long, value: Double, ema: Double)
 
+/** Output row of [[TechnicalIndicators.emaMicro]] — same top-level-class
+  * rule as [[EmaRow]]. `emaMicro` is the state in exact micro-units of
+  * the value (value·1e6). */
+case class EmaMicroRow(key: Long, ord: Long, valueUnits: Long, emaMicro: Long)
+
 /** Technical indicators over per-key price series — the feature
   * engineering the reference's partitioned OHLCV layout exists to feed
   * (SURVEY.md §2.B [ANA]; `README.md:46`).
@@ -98,4 +103,77 @@ object TechnicalIndicators {
   /** In-memory reference EMA for tests. */
   def emaReference(values: Seq[Double], alpha: Double): Seq[Double] =
     values.tail.scanLeft(values.head)((prev, x) => alpha * x + (1 - alpha) * prev)
+
+  /** Round-half-away-from-zero integer division, b > 0 — the exact
+    * quantization step of [[emaMicro]]; mirrored literally by the oracle
+    * CTEs (CASE on sign + nonnegative floor division on both engines). */
+  def rhaDiv(a: Long, b: Long): Long =
+    if (a >= 0) (2 * a + b) / (2 * b) else -((-2 * a + b) / (2 * b))
+
+  /** ENGINE-VERSION-EXACT exponential moving average (round-8 hardening;
+    * the fragility audit measured the double-recurrence q_ta3/q_ta4
+    * outputs within 2 ulps of a 6dp rounding boundary — bit-identical
+    * inputs, but one round-IMPLEMENTATION difference between builds
+    * (Spark's exact BigDecimal HALF_UP vs a float-scaled libc round)
+    * from flipping). The recurrence itself is integer arithmetic:
+    *
+    * The caller supplies the series as EXACT integers in `unitsCol`
+    * (`unitsScale` dp of the natural value — e.g. cents = 2):
+    *
+    *   state e_0 = c_0 · 10^(6−unitsScale)     (micro-units of the value)
+    *   e_t = rhaDiv(aNum·c_t·10^(6−uS) + (aDen−aNum)·e_{t−1}, aDen)
+    *
+    * i.e. the classic ema_t = α·x_t + (1−α)·ema_{t−1} with α = aNum/aDen,
+    * re-quantized to 1e-6 of the value unit at every step (steady-state
+    * drift vs the real-valued EMA ≤ 0.5/α micro — invisible at 6dp-1
+    * precision, and DETERMINISTIC: every engine computes the identical
+    * integers).
+    *
+    * Same distributed shape as [[ema]]: repartition(key) +
+    * sortWithinPartitions + one constant-memory streaming pass — the
+    * scalable plan for serial per-key state at 100 TB. Overflow: needs
+    * aDen·|value|·1e6 < 2^63, i.e. |value| < 9.2e12/aDen — widen the
+    * state to BigInt past that (same recurrence, wider carrier).
+    *
+    * Output: (key, ord, value_units = c_t, ema_micro = e_t). */
+  def emaMicro(df: DataFrame, keyCol: String, ordCol: String,
+               unitsCol: String, unitsScale: Int,
+               alphaNum: Long, alphaDen: Long): DataFrame = {
+    require(alphaDen > 0 && alphaNum > 0 && alphaNum <= alphaDen,
+      s"alpha must be in (0,1]: $alphaNum/$alphaDen")
+    require(unitsScale >= 0 && unitsScale <= 6,
+      s"unitsScale must be in [0,6], got $unitsScale")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val up = math.pow(10.0, 6 - unitsScale).toLong
+    val prepared = df.select(
+      col(keyCol).cast("long").as("key"),
+      col(ordCol).cast("long").as("ord"),
+      col(unitsCol).cast("long").as("units"))
+      .repartition(col("key"))
+      .sortWithinPartitions(col("key"), col("ord"))
+    prepared.as[(Long, Long, Long)].mapPartitions { it =>
+      var curKey = Long.MinValue
+      var curEma = 0L
+      it.map { case (k, o, c) =>
+        curEma =
+          if (k != curKey) c * up
+          else rhaDiv(alphaNum * c * up + (alphaDen - alphaNum) * curEma, alphaDen)
+        curKey = k
+        EmaMicroRow(k, o, c, curEma)
+      }
+    }(Encoders.product[EmaMicroRow])
+      .toDF("key", "ord", "value_units", "ema_micro")
+      .withColumnRenamed("key", keyCol)
+      .withColumnRenamed("ord", ordCol)
+  }
+
+  /** In-memory reference of [[emaMicro]] for tests (inputs already in
+    * `unitsScale`-dp units). */
+  def emaMicroReference(units: Seq[Long], alphaNum: Long, alphaDen: Long,
+                        unitsScale: Int): Seq[Long] = {
+    val up = math.pow(10.0, 6 - unitsScale).toLong
+    units.tail.scanLeft(units.head * up)((prev, c) =>
+      rhaDiv(alphaNum * c * up + (alphaDen - alphaNum) * prev, alphaDen))
+  }
 }

@@ -45,12 +45,17 @@ object ScalarQueries extends QueryModule {
       // diverges on exact half-cent quotients (e.g. 67322.93/2) because
       // Spark rounds the shortest decimal representation and DuckDB the
       // binary value. Transcendentals (ln/exp/sqrt) get 6dp rounding for
-      // libm last-ulp differences instead.
+      // libm last-ulp differences — over SMALL-DOMAIN arguments only:
+      // tools/fragility.py measured ln(l_extendedprice) at 6dp sitting
+      // 714 ulps from a rounding boundary (59 821 distinct prices pack
+      // the boundary neighborhood; no precision clears 1e6 ulps), while
+      // ln over l_quantity's 50 integer values keeps 1.2e7 ulps of
+      // margin — the same small-pinned-domain rule as Bm25's idf.
       Tables.load(s, d, "lineitem").select(
         col("l_orderkey"), col("l_linenumber"),
         (col("l_extendedprice") / col("l_quantity")).as("unit_price"),
         abs(col("l_discount") - lit(0.05)).as("abs_disc_dev"),
-        round(log(col("l_extendedprice")), 6).as("ln_price"),
+        round(log(col("l_quantity")), 6).as("ln_qty"),
         round(exp(col("l_discount")), 6).as("exp_disc"),
         round(pow(col("l_quantity"), 2), 1).as("qty_sq"),
         round(sqrt(col("l_quantity")), 6).as("sqrt_qty"),
@@ -131,7 +136,7 @@ object ScalarQueries extends QueryModule {
       """SELECT l_orderkey, l_linenumber,
         |  l_extendedprice / l_quantity AS unit_price,
         |  abs(l_discount - 0.05) AS abs_disc_dev,
-        |  round(ln(l_extendedprice), 6) AS ln_price,
+        |  round(ln(l_quantity), 6) AS ln_qty,
         |  round(exp(l_discount), 6) AS exp_disc,
         |  round(pow(l_quantity, 2), 1) AS qty_sq,
         |  round(sqrt(l_quantity), 6) AS sqrt_qty,

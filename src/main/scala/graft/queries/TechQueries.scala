@@ -47,50 +47,59 @@ object TechQueries extends QueryModule {
         (col("l_suppkey") +: byNameOrd) :+
           TechnicalIndicators.rsi(col("l_extendedprice"), w, w14).as("rsi14"): _*))),
 
-    // EMA(alpha=0.2) of per-supplier daily revenue — recursive streaming
-    // pass; oracle = recursive CTE stepping the same recurrence.
+    // EMA(alpha=1/5) of per-supplier daily revenue — recursive streaming
+    // pass in EXACT integer micro-units (round-8 hardening: the fragility
+    // audit measured the old 6dp-rounded double recurrence within 2 ulps
+    // of a rounding boundary — one round-implementation difference
+    // between engine builds from flipping); oracle = recursive CTE
+    // stepping the identical integer recurrence.
     "q_ta3" -> ((s, d) => {
       val daily = Tables.load(s, d, "lineitem")
         .groupBy(col("l_suppkey"), col("l_shipdate").cast("date").as("day"))
-        .agg(graft.util.Det.fixedSum(col("l_extendedprice"), 2).as("revenue"))
+        .agg(sum(round(col("l_extendedprice") * lit(100.0)).cast("long"))
+          .as("cents"))
         .withColumn("day_ord",
           datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
-      TechnicalIndicators.ema(daily, "l_suppkey", "day_ord", "revenue", alpha = 0.2)
-        .withColumn("ema", round(col("ema"), 6))
+      TechnicalIndicators.emaMicro(daily, "l_suppkey", "day_ord", "cents",
+          unitsScale = 2, alphaNum = 1, alphaDen = 5)
+        .select(col("l_suppkey"), col("day_ord"),
+          (col("value_units").cast("double") / lit(100.0)).as("revenue"),
+          col("ema_micro"))
         .orderBy("l_suppkey", "day_ord")
     }),
 
-    // Q-TA4 (round 7): MACD(12, 26, 9) of per-supplier MONTHLY revenue —
-    // the classic momentum triple: fast EMA minus slow EMA, a signal EMA
-    // of that difference, and the histogram. Three recursive streaming
-    // passes over the ~#keys·months table (monthly grain keeps the
-    // serial-per-key recurrences off the raw-row volume); the oracle
-    // replays all three recurrences as recursive CTEs with the SAME
-    // IEEE constants (2.0/13.0 etc. evaluate bit-identically in both
-    // engines), outputs rounded 6dp (the q_ta3 convention).
+    // Q-TA4 (round 7, hardened round 8): MACD(12, 26, 9) of per-supplier
+    // MONTHLY revenue — the classic momentum triple: fast EMA minus slow
+    // EMA, a signal EMA of that difference, and the histogram. Three
+    // recursive streaming passes over the ~#keys·months table (monthly
+    // grain keeps the serial-per-key recurrences off the raw-row
+    // volume), ALL in exact integer micro-units (see q_ta3): macd =
+    // e12 − e26 is an exact integer difference, the signal EMA re-enters
+    // emaMicro with the macd micro series as its units (unitsScale = 6),
+    // and the histogram is again exact. The oracle replays the identical
+    // integer recurrences as recursive CTEs — no double anywhere.
     "q_ta4" -> ((s, d) => {
       val monthly = Tables.load(s, d, "lineitem")
         .groupBy(col("l_suppkey"),
           date_trunc("month", col("l_shipdate")).cast("date").as("month"))
-        .agg((sum(round(col("l_extendedprice") * lit(100.0)).cast("long")) /
-          lit(100.0)).as("revenue"))
+        .agg(sum(round(col("l_extendedprice") * lit(100.0)).cast("long"))
+          .as("cents"))
         .withColumn("m_ord",
           (year(col("month")) * 12 + month(col("month"))).cast("long"))
-      val e12 = TechnicalIndicators.ema(monthly.select("l_suppkey", "m_ord", "revenue"),
-          "l_suppkey", "m_ord", "revenue", alpha = 2.0 / 13.0)
-        .select(col("l_suppkey"), col("m_ord"), col("ema").as("__e12"))
-      val e26 = TechnicalIndicators.ema(monthly.select("l_suppkey", "m_ord", "revenue"),
-          "l_suppkey", "m_ord", "revenue", alpha = 2.0 / 27.0)
-        .select(col("l_suppkey"), col("m_ord"), col("ema").as("__e26"))
-      val macd = e12.join(e26, Seq("l_suppkey", "m_ord"))
+        .select("l_suppkey", "m_ord", "cents")
+      def e(aNum: Long, aDen: Long, out: String) =
+        TechnicalIndicators.emaMicro(monthly, "l_suppkey", "m_ord", "cents",
+            unitsScale = 2, alphaNum = aNum, alphaDen = aDen)
+          .select(col("l_suppkey"), col("m_ord"), col("ema_micro").as(out))
+      val macd = e(2, 13, "__e12").join(e(2, 27, "__e26"), Seq("l_suppkey", "m_ord"))
         .select(col("l_suppkey"), col("m_ord"),
-          (col("__e12") - col("__e26")).as("macd"))
-      TechnicalIndicators.ema(macd, "l_suppkey", "m_ord", "macd",
-          alpha = 2.0 / 10.0)
+          (col("__e12") - col("__e26")).as("macd_micro"))
+      TechnicalIndicators.emaMicro(macd, "l_suppkey", "m_ord", "macd_micro",
+          unitsScale = 6, alphaNum = 2, alphaDen = 10)
         .select(col("l_suppkey"), col("m_ord"),
-          round(col("macd"), 6).as("macd"),
-          round(col("ema"), 6).as("signal"),
-          round(col("macd") - col("ema"), 6).as("histogram"))
+          col("value_units").as("macd_micro"),
+          col("ema_micro").as("signal_micro"),
+          (col("value_units") - col("ema_micro")).as("histogram_micro"))
         .orderBy("l_suppkey", "m_ord")
     }),
 
@@ -190,59 +199,67 @@ object TechQueries extends QueryModule {
            |FROM a
            |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_extendedprice, l_quantity""".stripMargin,
       // Recursion joins each level's frontier (one row per supplier) back
-      // to the ranked daily table — exactly the operator's per-key scan,
-      // so every step's 0.2*x + 0.8*prev is the same IEEE op sequence.
+      // to the ranked daily table — exactly the operator's per-key scan.
+      // The recurrence is emaMicro's INTEGER step: with alpha = 1/5,
+      // e = rha(cents*1e4 + 4*e_prev, 5) = (2*a + 5) // 10 on the
+      // always-nonnegative a — identical integers on every engine.
       "q_ta3" ->
         """WITH RECURSIVE daily AS (
           |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS day,
-          |    (SUM(CAST(round(l_extendedprice*100.0,0) AS BIGINT))/100.0) AS revenue
+          |    SUM(CAST(round(l_extendedprice*100.0,0) AS BIGINT)) AS cents
           |  FROM lineitem GROUP BY 1, 2),
           |d AS (
-          |  SELECT l_suppkey, date_diff('day', DATE '1970-01-01', day) AS day_ord, revenue,
+          |  SELECT l_suppkey, date_diff('day', DATE '1970-01-01', day) AS day_ord, cents,
           |    row_number() OVER (PARTITION BY l_suppkey ORDER BY day) AS rn
           |  FROM daily),
           |r AS (
-          |  SELECT l_suppkey, day_ord, revenue, rn, revenue AS ema FROM d WHERE rn = 1
+          |  SELECT l_suppkey, day_ord, cents, rn, cents*10000 AS ema_micro FROM d WHERE rn = 1
           |  UNION ALL
-          |  SELECT d.l_suppkey, d.day_ord, d.revenue, d.rn, 0.2*d.revenue + 0.8*r.ema
+          |  SELECT d.l_suppkey, d.day_ord, d.cents, d.rn,
+          |    (2*(d.cents*10000 + 4*r.ema_micro) + 5) // 10
           |  FROM d JOIN r ON d.l_suppkey = r.l_suppkey AND d.rn = r.rn + 1)
-          |SELECT l_suppkey, day_ord, revenue, round(ema, 6) AS ema
+          |SELECT l_suppkey, day_ord, CAST(cents AS DOUBLE)/100.0 AS revenue, ema_micro
           |FROM r ORDER BY l_suppkey, day_ord""".stripMargin,
-      // Three chained recursive replays (fast, slow, signal) — each step
-      // multiplies by the SAME IEEE constants the engine computes
-      // ((2.0/13.0) etc.), so every recurrence is bit-identical.
+      // Three chained recursive replays (fast, slow, signal), every step
+      // emaMicro's integer recurrence: alpha = 2/13 -> (2*a+13)//26 with
+      // a = 2*cents*1e4 + 11*e_prev, alpha = 2/27 -> (2*a+27)//54 with
+      // a = 2*cents*1e4 + 25*e_prev; the signal series (macd micro) can
+      // be negative, so its step carries the explicit round-half-away
+      // sign CASE (rhaDiv's branch, literally).
       "q_ta4" ->
         """WITH RECURSIVE monthly AS (
           |  SELECT l_suppkey, CAST(date_trunc('month', l_shipdate) AS DATE) AS mo,
-          |    (SUM(CAST(round(l_extendedprice*100.0,0) AS BIGINT))/100.0) AS revenue
+          |    SUM(CAST(round(l_extendedprice*100.0,0) AS BIGINT)) AS cents
           |  FROM lineitem GROUP BY 1, 2),
           |d AS (
-          |  SELECT l_suppkey, CAST(year(mo)*12 + month(mo) AS BIGINT) AS m_ord, revenue,
+          |  SELECT l_suppkey, CAST(year(mo)*12 + month(mo) AS BIGINT) AS m_ord, cents,
           |    row_number() OVER (PARTITION BY l_suppkey ORDER BY mo) AS rn
           |  FROM monthly),
           |r12 AS (
-          |  SELECT l_suppkey, m_ord, rn, revenue AS e FROM d WHERE rn = 1
+          |  SELECT l_suppkey, m_ord, rn, cents*10000 AS e FROM d WHERE rn = 1
           |  UNION ALL
           |  SELECT d.l_suppkey, d.m_ord, d.rn,
-          |    (2.0/13.0)*d.revenue + (1.0-2.0/13.0)*r12.e
+          |    (2*(2*d.cents*10000 + 11*r12.e) + 13) // 26
           |  FROM d JOIN r12 ON d.l_suppkey = r12.l_suppkey AND d.rn = r12.rn + 1),
           |r26 AS (
-          |  SELECT l_suppkey, m_ord, rn, revenue AS e FROM d WHERE rn = 1
+          |  SELECT l_suppkey, m_ord, rn, cents*10000 AS e FROM d WHERE rn = 1
           |  UNION ALL
           |  SELECT d.l_suppkey, d.m_ord, d.rn,
-          |    (2.0/27.0)*d.revenue + (1.0-2.0/27.0)*r26.e
+          |    (2*(2*d.cents*10000 + 25*r26.e) + 27) // 54
           |  FROM d JOIN r26 ON d.l_suppkey = r26.l_suppkey AND d.rn = r26.rn + 1),
           |m AS (
-          |  SELECT r12.l_suppkey, r12.m_ord, r12.rn, r12.e - r26.e AS macd
+          |  SELECT r12.l_suppkey, r12.m_ord, r12.rn, r12.e - r26.e AS macd_micro
           |  FROM r12 JOIN r26 ON r12.l_suppkey = r26.l_suppkey AND r12.m_ord = r26.m_ord),
           |r9 AS (
-          |  SELECT l_suppkey, m_ord, rn, macd, macd AS sig FROM m WHERE rn = 1
+          |  SELECT l_suppkey, m_ord, rn, macd_micro, macd_micro AS sig FROM m WHERE rn = 1
           |  UNION ALL
-          |  SELECT m.l_suppkey, m.m_ord, m.rn, m.macd,
-          |    (2.0/10.0)*m.macd + (1.0-2.0/10.0)*r9.sig
+          |  SELECT m.l_suppkey, m.m_ord, m.rn, m.macd_micro,
+          |    CASE WHEN 2*m.macd_micro + 8*r9.sig >= 0
+          |      THEN (2*(2*m.macd_micro + 8*r9.sig) + 10) // 20
+          |      ELSE -((-2*(2*m.macd_micro + 8*r9.sig) + 10) // 20) END
           |  FROM m JOIN r9 ON m.l_suppkey = r9.l_suppkey AND m.rn = r9.rn + 1)
-          |SELECT l_suppkey, m_ord, round(macd, 6) AS macd,
-          |  round(sig, 6) AS signal, round(macd - sig, 6) AS histogram
+          |SELECT l_suppkey, m_ord, macd_micro, sig AS signal_micro,
+          |  macd_micro - sig AS histogram_micro
           |FROM r9 ORDER BY l_suppkey, m_ord""".stripMargin,
       "q_ta7" ->
         """WITH c AS (

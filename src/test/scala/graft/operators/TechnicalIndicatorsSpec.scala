@@ -23,6 +23,49 @@ class TechnicalIndicatorsSpec extends SparkSpec {
     }
   }
 
+  test("emaMicro matches the integer reference, is partition-invariant, " +
+    "and tracks the real-valued EMA within the quantization bound") {
+    val cents = Seq(1000L, 1250L, 1100L, 1575L, 1425L, 1300L)
+    val rows = for {
+      k <- Seq(1L, 2L); (c, i) <- cents.zipWithIndex
+    } yield (k, i.toLong, c + k)
+    val df = rows.toDF("k", "ord", "c")
+    for (parts <- Seq(1, 3)) {
+      val out = TechnicalIndicators.emaMicro(df.repartition(parts), "k", "ord", "c",
+          unitsScale = 2, alphaNum = 1, alphaDen = 5)
+        .orderBy("k", "ord").select("k", "ema_micro").as[(Long, Long)].collect()
+      for (k <- Seq(1L, 2L)) {
+        val series = cents.map(_ + k)
+        val expected = TechnicalIndicators.emaMicroReference(series, 1, 5, 2)
+        val got = out.filter(_._1 == k).map(_._2).toSeq
+        assert(got == expected)
+        // the integer recurrence stays within 0.5/alpha micro-units of
+        // the real-valued EMA (steady-state quantization bound)
+        val real = TechnicalIndicators.emaReference(series.map(_ / 100.0), 0.2)
+        got.zip(real).foreach { case (g, r) =>
+          assert(math.abs(g - r * 1e6) <= 0.5 / 0.2 + 1e-6,
+            s"micro $g vs real ${r * 1e6}")
+        }
+      }
+    }
+  }
+
+  test("emaMicro round-half-away step is exact on negative series (MACD signal path)") {
+    // alpha = 2/10 over an alternating-sign micro series: reference fold
+    // must reproduce rhaDiv semantics on both signs
+    val micro = Seq(-1000001L, 999999L, -3L, 7L, -999997L)
+    val df = micro.zipWithIndex.map { case (v, i) => (1L, i.toLong, v) }
+      .toDF("k", "ord", "m")
+    val got = TechnicalIndicators.emaMicro(df, "k", "ord", "m",
+        unitsScale = 6, alphaNum = 2, alphaDen = 10)
+      .orderBy("ord").select("ema_micro").as[Long].collect().toSeq
+    val expected = TechnicalIndicators.emaMicroReference(micro, 2, 10, 6)
+    assert(got == expected)
+    // spot-check one step by hand: e1 = rha(2*999999 + 8*(-1000001), 10)
+    val a = 2L * 999999L + 8L * -1000001L
+    assert(expected(1) == -((-2 * a + 10) / 20))
+  }
+
   test("windowed exact mean/sd agrees with direct computation") {
     val df = Seq((1L, 1L, 10.0), (1L, 2L, 12.0), (1L, 3L, 14.0)).toDF("k", "o", "v")
     val w = org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("o")

@@ -13,12 +13,16 @@ sbt -batch test
 echo "== 2/4 verify dump @ $SF"
 sbt -batch "runMain graft.Verify $SF $OUT"
 
-echo "== 3/4 DuckDB oracle compare"
+echo "== 3/5 DuckDB oracle compare"
 python3 tools/check.py "$SF" "$OUT" | tail -5
 python3 tools/check.py "$SF" "$OUT" | grep -q " 0 failing" \
   || { echo "ORACLE FAILURES"; exit 1; }
 
-echo "== 4/4 bench (sf0.1)"
+echo "== 4/5 oracle fragility audit (r7 cross-engine-round failure class)"
+python3 tools/fragility.py "$SF" "$OUT" | tail -12 \
+  || { echo "FRAGILE ORACLE ROUNDS"; exit 1; }
+
+echo "== 5/5 bench (sf0.1)"
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench" \
   | grep -oE '\{"metric".*' | tee "$OUT/bench.json"
 

@@ -78,8 +78,15 @@ def guarded(inner, scale, thresh, tag):
     v = f"(({inner}) * pow(10.0, CAST({scale} AS INTEGER)))"
     frac = f"({v} - floor({v}))"
     ulp = f"greatest(abs({v}), 1.0) * {EPS}"
+    # distance EXACTLY 0 = the scaled value is a representable midpoint
+    # (e.g. cents/100 rounding at scale 0 hitting x.50): both engines hold
+    # the identical double and round it half-away — deterministic, exempt.
+    # The hazard class is 0 < distance < T ulps: a near-boundary value
+    # that an upstream 1-ulp drift (libm, HUGEINT cast, summation order)
+    # or a round-implementation difference can push across.
     return (f"(CASE WHEN typeof({inner}) = 'DOUBLE' "
             f"AND abs({frac} - 0.5) < {thresh} * {ulp} "
+            f"AND abs({frac} - 0.5) > 0.0 "
             f"THEN round(CAST(error('FRAGILE:{tag}') AS DOUBLE), "
             f"CAST({scale} AS INTEGER)) "
             f"ELSE round({inner}, CAST({scale} AS INTEGER)) END)")
