@@ -104,6 +104,21 @@ object IndexStore {
   def readPostings(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(s"$root/$Postings")
 
+  private val Cells = "semantic_cells"
+
+  /** Persist a semantic-dedup cell assignment (`__cluster`, `__id`,
+    * `__vec`) — the embedding twin of [[writeLshBands]]: the coarse
+    * quantizer's assignment plus the vector itself, because the within-
+    * cell probe needs the stored vectors for the exact-cosine verify
+    * (unlike the hash stores, where 8 bytes replay the whole signature).
+    * At cluster scale this is written `bucketBy(__cluster)` so day-2
+    * probes co-locate without shuffling the stored corpus. */
+  def writeCells(assigned: DataFrame, root: String): Unit =
+    write(assigned, s"$root/$Cells")
+
+  def readCells(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(s"$root/$Cells")
+
   /** Whether a store root already holds any index table. */
   def exists(spark: SparkSession, root: String): Boolean = {
     val p = new Path(root)

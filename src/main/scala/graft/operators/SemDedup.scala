@@ -38,6 +38,42 @@ object SemDedup {
       .select("id_a", "id_b")
   }
 
+  /** Incremental within-cell pairs for a NEW vector batch against a
+    * stored assignment (round 8 — the embedding twin of
+    * `NearDup.incrementalHashPairs`): candidate pairs touching the batch
+    * are new×new plus new×stored, found by a cell-local join — the
+    * stored corpus is never re-paired against itself. Contract (the
+    * q_dedup16 discipline, oracle-enforced by q_dedup21): the output
+    * equals the FULL `pairsWithinCells` recompute over stored ∪ new,
+    * restricted to pairs with at least one new id. Pairs are normalized
+    * id_a < id_b regardless of which side is stored.
+    *
+    * Both inputs carry (`__cluster`, idCol, vecCol); ids must be
+    * disjoint between the two sides (the store layer excludes a replayed
+    * batch's own prior append before calling this). */
+  def incrementalPairsWithinCells(newAssigned: DataFrame, stored: DataFrame,
+                                  idCol: String, vecCol: String,
+                                  minSim: Double): DataFrame = {
+    // Drive the join from the NEW side only: per batch the join output is
+    // |new ∩ cell| × |cell|, never the stored corpus against itself (a
+    // tagged-union self-join filtered on "touches new" would materialize
+    // every stored×stored candidate row per cell before discarding it —
+    // the full quadratic the incremental path exists to avoid).
+    val a = newAssigned.select(col("__cluster"), col(idCol).as("__id_n"),
+      col(vecCol).as("__vn"))
+    val b = newAssigned.select(col("__cluster"), col(idCol).as("__id_o"),
+        col(vecCol).as("__vo"), lit(true).as("__isnew"))
+      .unionByName(stored.select(col("__cluster"), col(idCol).as("__id_o"),
+        col(vecCol).as("__vo"), lit(false).as("__isnew")))
+    a.join(b, Seq("__cluster"))
+      // new×new once (strict order); new×stored always (stored ids are
+      // disjoint from the batch by the store-layer contract)
+      .where((col("__isnew") && col("__id_n") < col("__id_o")) || !col("__isnew"))
+      .where(round(VectorOps.cosine(col("__vn"), col("__vo")), 6) >= lit(minSim))
+      .select(least(col("__id_n"), col("__id_o")).as("id_a"),
+        greatest(col("__id_n"), col("__id_o")).as("id_b"))
+  }
+
   /** End-to-end semantic dedup: within-cell pairs -> connected components
     * -> keep each component's minimum id (deterministic survivor), plus
     * all never-matched rows. `indexed` as in [[pairsWithinCells]]. */

@@ -116,6 +116,25 @@ private[queries] object Shared {
     IndexStore.readLshBands(s, root)
   }
 
+  /** Semantic-dedup cell store over the day-1 embedding slice
+    * (vec_id % 5 != 0) — the embedding twin of [[storedBands]] (round 8):
+    * cell assignments + vectors written once, always served from the
+    * parquet reload. The cell here is the deterministic `label` block
+    * (the same blocking q_sim2/q_dedup6 oracle-check), so the
+    * incremental contract is DuckDB-replicable end to end; the k-means
+    * cell path stays on `IvfAnn.cachedIndex` (q_dedup9). */
+  def storedCells(s: SparkSession, d: String): DataFrame = {
+    val root = Memo.cached(s, s"cellstore|$d") {
+      IndexStore.writeCells(
+        Tables.load(s, d, "embeddings").where(col("vec_id") % 5 =!= 0)
+          .select(col("label").cast("long").as("__cluster"),
+            col("vec_id").as("__id"), col("embedding").as("__vec")),
+        indexRoot(s, d))
+      indexRoot(s, d)
+    }
+    IndexStore.readCells(s, root)
+  }
+
   /** Image dHash store over the day-1 media slice (doc_id % 5 != 0) —
     * the media twin of [[storedBands]]: written once per session, always
     * served from the parquet reload. */

@@ -335,6 +335,28 @@ object TextDedupQueries extends QueryModule {
         .orderBy("id_a", "id_b")
     }),
 
+    // Q-DEDUP21 (round 8): SEMANTIC dedup-on-arrival — the day-2
+    // embedding batch (vec_id % 5 == 0) assigned to its deterministic
+    // cell (the label block, so the contract is SQL-replicable; k-means
+    // cells stay on q_dedup9) and probed against the ON-DISK day-1 cell
+    // store (written once per session, RELOADED from parquet — the full
+    // index lifecycle). new×new plus new×stored cosine pairs only; the
+    // stored corpus is never re-paired against itself. ORACLE-ENFORCED
+    // incremental contract (the q_dedup16 discipline): output equals the
+    // full within-cell recompute over day-1 ∪ day-2 restricted to pairs
+    // touching day-2.
+    "q_dedup21" -> ((s, d) => {
+      val day2 = Tables.load(s, d, "embeddings").where(col("vec_id") % 5 === 0)
+        .select(col("label").cast("long").as("__cluster"),
+          col("vec_id"), col("embedding"))
+      graft.operators.SemDedup.incrementalPairsWithinCells(
+          day2,
+          Shared.storedCells(s, d).select(col("__cluster"),
+            col("__id").as("vec_id"), col("__vec").as("embedding")),
+          "vec_id", "embedding", minSim = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Exact n-gram Jaccard pairs within a language block (the ground truth
     // for the sketches; oracle-checked). Block-local kernel: each block's
     // arrays decode once and pair in-memory — ~2.5x over the join form on
@@ -1324,6 +1346,17 @@ object TextDedupQueries extends QueryModule {
     "q_dedup7" ->
       s"""${Shared.componentsSql}
          |SELECT v, component FROM comp ORDER BY v""".stripMargin,
+    // The incremental==restricted-full-recompute contract, literally: the
+    // full within-cell cosine pair set, restricted to pairs touching the
+    // day-2 batch — exactly what the store-served incremental join must
+    // emit.
+    "q_dedup21" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE round(${Shared.cosSql("a.embedding", "b.embedding")}, 6) >= 0.5
+         |  AND (a.vec_id % 5 = 0 OR b.vec_id % 5 = 0)
+         |ORDER BY id_a, id_b""".stripMargin,
     "q_dedup4" ->
       s"""WITH t AS (SELECT doc_id, lang, $tokSql AS toks FROM documents),
          |sh AS (SELECT doc_id, lang,

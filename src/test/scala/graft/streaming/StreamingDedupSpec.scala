@@ -56,6 +56,42 @@ class StreamingDedupSpec extends SparkSpec {
       spark.read.parquet(bands).distinct().count(), "band store has no duplicate rows after replay")
   }
 
+  test("embedding batch: store-served semantic pairs equal the restricted " +
+    "full recompute, and a replayed batch is idempotent") {
+    val cells = Files.createTempDirectory("graft_sdedup_cells").toString + "/s"
+    def vecs(rows: (Long, Long, Array[Float])*) =
+      rows.toSeq.toDF("__cluster", "vec_id", "embedding")
+        .select(col("__cluster"), col("vec_id"), col("embedding"))
+    val day1 = vecs(
+      (0L, 1L, Array(1f, 0f, 0f, 0f)),
+      (0L, 2L, Array(1f, 0.01f, 0f, 0f)),   // ~parallel to id 1
+      (1L, 3L, Array(0f, 1f, 0f, 0f)))
+    val day2 = vecs(
+      (0L, 4L, Array(0.9f, 0.1f, 0f, 0f)),  // near ids 1 and 2
+      (1L, 5L, Array(0f, -1f, 0f, 0f)),     // anti-parallel to id 3
+      (0L, 6L, Array(0f, 0f, 1f, 0f)))      // orthogonal to cell 0
+    val c1 = StreamingDedup.processEmbeddingBatch(day1, cells, batchId = Some(0L))
+      .as[(Long, Long)].collect().toSet
+    assert(c1 === Set((1L, 2L)), s"day-1 new×new only, got $c1")
+    val c2 = StreamingDedup.processEmbeddingBatch(day2, cells, batchId = Some(1L))
+      .as[(Long, Long)].collect().toSet
+    assert(c2 === Set((1L, 4L), (2L, 4L)), s"new×stored pairs, got $c2")
+
+    // incremental == full recompute restricted to pairs touching day 2
+    val full = graft.operators.SemDedup.pairsWithinCells(
+        day1.unionByName(day2).localCheckpoint(), "vec_id", "embedding", 0.5)
+      .as[(Long, Long)].collect().toSet
+    val day2Ids = Set(4L, 5L, 6L)
+    assert(c2 === full.filter(p => day2Ids(p._1) || day2Ids(p._2)))
+
+    // replay of batch 1 (same batchId): identical output, store unchanged
+    val replay = StreamingDedup.processEmbeddingBatch(day2, cells, batchId = Some(1L))
+      .as[(Long, Long)].collect().toSet
+    assert(replay === c2, "replay must emit the original candidate set")
+    assert(spark.read.parquet(cells).count() === 6,
+      "replay must overwrite its own subdirectory, never append a second copy")
+  }
+
   test("doc id recurring in a later batch keeps the stored version's pairs") {
     // Exclusion is keyed by BATCH, not doc id: when id 5 legitimately
     // recurs in batch 1 with different text, batch 1's other docs must
