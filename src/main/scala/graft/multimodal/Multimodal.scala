@@ -96,12 +96,53 @@ object Multimodal {
   }
 
   /** REAL decode: parse the container format and return the image. Fails
-    * fast on non-image bytes instead of propagating nulls. */
+    * fast on non-image bytes instead of propagating nulls. Despite the
+    * historical name, `ImageIO.read` SNIFFS the container from the magic
+    * bytes — JPEG/GIF/BMP payloads decode through this same entry (pinned
+    * by JpegPathSpec), which is why the dedup/feature/quarantine
+    * operators above it are format-agnostic. */
   def decodePng(payload: Array[Byte]): BufferedImage = {
     val img = ImageIO.read(new ByteArrayInputStream(payload))
     require(img != null, "payload is not a decodable image")
     img
   }
+
+  /** Encode a packed 0xRRGGBB pixel array as a real JPEG (round 8 — real
+    * crawls are mostly JPEG, and every prior fixture was PNG). The
+    * quality factor is pinned explicitly so the lossy round-trip is
+    * deterministic for fixed pixels within a JDK; cross-engine exactness
+    * is never claimed for decoded JPEG pixels (the format is lossy), so
+    * only structural facts (dimensions, decodability, sniffed format)
+    * feed oracle-checked output — pixel-derived values after a JPEG trip
+    * are spec-bounded instead (dHash stability, JpegPathSpec). */
+  def encodeJpeg(width: Int, height: Int, rgb: Array[Int],
+                 quality: Float = 0.9f): Array[Byte] = {
+    require(rgb.length == width * height,
+      s"pixel array has ${rgb.length} entries for ${width}x$height")
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, width, height, rgb, 0, width)
+    val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    } finally { ios.close(); writer.dispose() }
+    bos.toByteArray
+  }
+
+  /** Container sniff from magic bytes — the same dispatch `ImageIO.read`
+    * performs, surfaced as a cheap Column-side fact (works on truncated
+    * payloads too, where a decode would fail). */
+  def sniffFormat(payload: Array[Byte]): String =
+    if (payload.length >= 8 && (payload(0) & 0xFF) == 0x89 &&
+      payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G') "png"
+    else if (payload.length >= 2 && (payload(0) & 0xFF) == 0xFF &&
+      (payload(1) & 0xFF) == 0xD8) "jpeg"
+    else "unknown"
 
   /** Packed 0xRRGGBB pixels of a decoded image, row-major. */
   def rgbPixels(img: BufferedImage): Array[Int] =
@@ -135,6 +176,36 @@ object Multimodal {
           i += 1
         }
         (id, encodePng(width, height, rgb))
+      }
+    }.toDF("doc_id", "payload")
+  }
+
+  /** Deterministic MIXED-FORMAT crawl fixture (round 8): per input row,
+    * doc-id-seeded pseudo pixels at doc-id-dependent dimensions
+    * (w = 16 + 8·(id mod 3), h = 16 + 4·(id mod 5)), encoded as REAL PNG
+    * when id mod 3 = 0 and REAL JPEG otherwise — and every 7th payload
+    * truncated to its first 12 bytes (magic intact, body gone), the
+    * corrupt-crawl case. Every structural fact (format, dimensions,
+    * corruptness) is an exact function of doc_id, so the ingestion query
+    * over this fixture is fully oracle-checkable even though JPEG pixel
+    * content is lossy. */
+  def syntheticMixedFormat(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val (w, h0) = (16 + 8 * (id % 3).toInt, 16 + 4 * (id % 5).toInt)
+        val rgb = new Array[Int](w * h0)
+        var h = id * 0x9E3779B97F4A7C15L + 0xBF58476D1CE4E5B9L
+        var i = 0
+        while (i < rgb.length) {
+          h = h * 6364136223846793005L + 1442695040888963407L
+          rgb(i) = ((h >>> 40) & 0xFFFFFF).toInt
+          i += 1
+        }
+        val full =
+          if (id % 3 == 0) encodePng(w, h0, rgb) else encodeJpeg(w, h0, rgb)
+        (id, if (id % 7 == 0) full.take(12) else full)
       }
     }.toDF("doc_id", "payload")
   }

@@ -386,6 +386,38 @@ object SimMmQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // Q-MM15 (round 8): MIXED-FORMAT ingestion — real crawls are mostly
+    // JPEG, and every prior fixture was PNG. A corpus of 2/3 real JPEG +
+    // 1/3 real PNG payloads at doc-id-dependent dimensions, every 7th
+    // truncated after the magic bytes, goes through ONE format-agnostic
+    // decode path (ImageIO sniffs the container): format detected from
+    // the payload's OWN magic bytes (codegen'd substring/hex, no UDF),
+    // truncated payloads quarantined, decoded dimensions emitted. Every
+    // compared value is a structural fact (format, status, dims) — exact
+    // functions of doc_id — so the oracle genuinely checks that the real
+    // codec decoded every good JPEG/PNG and failed every truncated one;
+    // lossy pixel content never reaches the compare (JpegPathSpec bounds
+    // dHash drift under the JPEG round-trip instead).
+    "q_mm15" -> ((s, d) => {
+      val mixed = Multimodal.syntheticMixedFormat(
+          Tables.load(s, d, "documents"), "doc_id")
+        .localCheckpoint() // one fixture pass feeds the sniff AND the decode
+      val tagged = mixed.select(col("doc_id"),
+        when(hex(substring(col("payload"), 1, 2)) === lit("FFD8"), "jpeg")
+          .when(hex(substring(col("payload"), 1, 4)) === lit("89504E47"), "png")
+          .otherwise("unknown").as("fmt"))
+      val (feats, quar) = Multimodal.imageFeaturesQuarantined(mixed)
+      feats.toDF()
+        .select(col("doc_id"), lit("ok").as("status"),
+          col("width").cast("long").as("w"), col("height").cast("long").as("h"))
+        .unionByName(quar.toDF()
+          .select(col("doc_id"), lit("quarantined").as("status"),
+            lit(null).cast("long").as("w"), lit(null).cast("long").as("h")))
+        .join(tagged, Seq("doc_id"))
+        .select("doc_id", "fmt", "status", "w", "h")
+        .orderBy("doc_id")
+    }),
+
     // Audio twin of q_mm9: truncated WAVs quarantined, good clips decoded.
     "q_mm10" -> ((s, d) => {
       val good = graft.multimodal.AudioWav.syntheticWav(
@@ -666,6 +698,18 @@ object SimMmQueries extends QueryModule {
     "q_mm10" ->
       """SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN 'quarantined' ELSE 'ok' END AS status,
         |  CAST(CASE WHEN doc_id % 7 = 0 THEN 30 ELSE 800 END AS BIGINT) AS detail
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // q_mm15's structural facts are exact functions of doc_id: the sniffed
+    // format must equal the planted encoder choice, the truncated rows
+    // must quarantine, and the decoded dimensions must equal the planted
+    // ones — real-codec evidence for both JPEG and PNG through the one
+    // sniffing decode path.
+    "q_mm15" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+        |  CASE WHEN doc_id % 7 = 0 THEN 'quarantined' ELSE 'ok' END AS status,
+        |  CAST(CASE WHEN doc_id % 7 = 0 THEN NULL ELSE 16 + 8*(doc_id % 3) END AS BIGINT) AS w,
+        |  CAST(CASE WHEN doc_id % 7 = 0 THEN NULL ELSE 16 + 4*(doc_id % 5) END AS BIGINT) AS h
         |FROM documents ORDER BY doc_id""".stripMargin,
     // q_mm6's oracle replicates the seeded PCM16 generation in SQL — the
     // payload BYTES never reach DuckDB (no binary fixture table), but the
