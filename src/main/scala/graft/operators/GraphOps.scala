@@ -182,9 +182,21 @@ object GraphOps {
     * by the peel depth (O(log n) on real graphs, `maxRounds` hard cap).
     *
     * Returns (vertex, core_degree): survivors with their degree INSIDE
-    * the k-core. Empty when the graph has no k-core. */
+    * the k-core. Empty when the graph has no k-core.
+    *
+    * Convergence contract (round 8, ADVICE r7): a deep graph (e.g. a
+    * long chain peels ~2 vertices/round) can exhaust `maxRounds` before
+    * the fixpoint, in which case the survivor set is a SUPERSET of the
+    * true k-core and core_degree counts edges to not-yet-peeled
+    * vertices. With `requireConverged = true` (default) that state
+    * THROWS instead of returning silently-partial results. Pass
+    * `requireConverged = false` only when the partial peel is the
+    * declared semantic — q_graph5 does, because its DuckDB oracle
+    * unrolls exactly `maxRounds` levels, so both sides emit the
+    * identical partial on any deeper-than-budget input (twin-parity,
+    * see the query's comment). */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
-            maxRounds: Int = 64): DataFrame = {
+            maxRounds: Int = 64, requireConverged: Boolean = true): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     var cur = canonicalUndirected(edges, srcCol, dstCol).localCheckpoint()
     var n = cur.count()
@@ -203,6 +215,12 @@ object GraphOps {
       n = m
       rounds += 1
     }
+    if (!done && requireConverged)
+      throw new IllegalStateException(
+        s"kCore did not converge within maxRounds = $maxRounds (edges still " +
+          s"shrinking: $n remain). The partial peel is a SUPERSET of the " +
+          "k-core; raise maxRounds, or pass requireConverged = false if the " +
+          s"$maxRounds-round partial peel is the intended semantic.")
     undirectedDegrees(cur).where(col("__deg") >= k)
       .select(col("vertex"), col("__deg").as("core_degree"))
   }

@@ -92,8 +92,12 @@ object SkewOps {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(col(valueCol).asc, col(keyCol).asc)
     val xd = col(valueCol).cast("long").cast("decimal(28,0)")
+    // Null measures are excluded BEFORE ranking (ADVICE r7): sum() skips
+    // them but count/row_number would not, silently skewing n and the
+    // ranks i — a null row is "no observation", not a zero.
     val ranked = df
       .select(col(groupCol), col(keyCol), col(valueCol))
+      .where(col(valueCol).isNotNull)
       .withColumn("__i", row_number().over(w).cast("decimal(10,0)"))
     ranked.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_keys"),

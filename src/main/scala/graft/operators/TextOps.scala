@@ -11,6 +11,13 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Broadcast gate for [[domainClassify]]'s weight table: vocabulary ×
+    * #classes rows beyond this fall back to a shuffle join rather than
+    * risk the driver (each row is a short token + label + count —
+    * ~5M rows ≈ low hundreds of MB built, the usual broadcast comfort
+    * ceiling at default driver sizes). */
+  val BroadcastWeightRows: Long = 5000000L
+
   /** Whitespace tokenization of normalized text. `array_remove(.., "")`
     * rather than `filter(.., length > 0)`: identical result (split never
     * yields nulls, so dropping every "" is exactly the length filter), but
@@ -524,9 +531,15 @@ object TextOps {
     * hash-exact against the SQL twin.
     *
     * Shape: one tokenize pass per side. Both sides pre-aggregate BEFORE
-    * the term join: the weight table is vocabulary × #classes (the
-    * classic broadcastable dimension — hinted broadcast, so scoring
-    * shuffles nothing on the term key), and the test side collapses to
+    * the term join: the weight table is vocabulary × #classes — USUALLY
+    * the classic broadcastable dimension, but vocabulary is
+    * corpus-dependent and unbounded, so the broadcast is SIZE-GATED
+    * (ADVICE r7): the aggregated table is materialized and counted, the
+    * hint applies only below `BroadcastWeightRows` (scoring then
+    * shuffles nothing on the term key), and a noisy-vocabulary corpus
+    * above it falls back to a plain join (AQE still broadcasts at
+    * runtime if the bytes turn out small) instead of OOMing the driver.
+    * The test side collapses to
     * (doc, term, tf) so multiplicity is ONE row, not one per occurrence.
     * The unavoidable fan-out is #distinct-(doc, term) × classes-sharing-
     * the-term, flowing straight into a map-side-combined (doc, class)
@@ -543,10 +556,13 @@ object TextOps {
     val weights = train
       .select(col(labelCol).as("__lab"), explode(tokens(col(textCol))).as("__t"))
       .groupBy("__t", "__lab").agg(count(lit(1)).as("__w"))
+      .localCheckpoint() // counted for the gate, then joined — one build
+    val weightsSide =
+      if (weights.count() <= BroadcastWeightRows) broadcast(weights) else weights
     val testTf = test
       .select(col(idCol), explode(tokens(col(textCol))).as("__t"))
       .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__tf"))
-    val scores = testTf.join(broadcast(weights), Seq("__t"))
+    val scores = testTf.join(weightsSide, Seq("__t"))
       .groupBy(col(idCol), col("__lab"))
       .agg(sum(col("__tf") * col("__w")).as("__score"))
     // arg-max as an aggregation, not a window: min of (-score, label) is

@@ -491,7 +491,7 @@ object OpsQueries extends QueryModule {
     // diverge on ANY input, converged or not.
     "q_graph5" -> ((s, d) =>
       GraphOps.kCore(coPurchaseEdges(s, d), "src", "dst", k = KCoreK,
-          maxRounds = KCoreUnroll)
+          maxRounds = KCoreUnroll, requireConverged = false)
         .orderBy("vertex")),
 
     // Q-GRAPH6 (round 7): synchronous label-propagation communities,

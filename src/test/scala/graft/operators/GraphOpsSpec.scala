@@ -112,6 +112,27 @@ class GraphOpsSpec extends SparkSpec {
     assert(GraphOps.kCore(edges, "src", "dst", k = 3).count() === 0L)
   }
 
+  test("kCore: cap-hit non-convergence throws by default, returns the " +
+    "partial peel when declared") {
+    // chain 0-1-...-9 + triangle {20,21,22}: the 2-core is the triangle,
+    // but a chain peels only its two endpoints per round — 1 round is
+    // not enough, and the partial would be a SUPERSET of the core
+    val edges = ((0L until 9L).map(i => (i, i + 1)) ++
+      Seq((20L, 21L), (21L, 22L), (22L, 20L))).toDF("src", "dst")
+    val e = intercept[IllegalStateException] {
+      GraphOps.kCore(edges, "src", "dst", k = 2, maxRounds = 1)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // declared-partial semantic: superset of the true core after 1 round
+    val partial = GraphOps.kCore(edges, "src", "dst", k = 2, maxRounds = 1,
+      requireConverged = false).collect().map(_.getLong(0)).toSet
+    assert(Set(20L, 21L, 22L).subsetOf(partial) && partial.size > 3)
+    // enough rounds: converges to exactly the triangle, no throw
+    val full = GraphOps.kCore(edges, "src", "dst", k = 2, maxRounds = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(full === Set(20L, 21L, 22L))
+  }
+
   test("avgNeighborDegree and assortativity: a star is maximally disassortative") {
     val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
     val annd = GraphOps.avgNeighborDegree(star, "src", "dst")
