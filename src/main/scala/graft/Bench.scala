@@ -25,7 +25,14 @@ object Bench {
     // (map iteration order would move shared-intermediate build costs
     // between queries at random — e.g. which dedup query pays the
     // memoized LSH-candidates build)
+    // SPARK_GRAFT_ONLY (comma-separated name prefixes) restricts the run —
+    // the A/B isolation probe for regression triage (a flagged query
+    // re-timed in a fresh JVM without the other 240 queries' accumulated
+    // state); the driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     // untimed warm-up: the first execution of each query pays one-time
     // costs that are not query latency — janino whole-stage-codegen
     // compilation, the build of memoized shared intermediates
