@@ -482,13 +482,18 @@ object Multimodal {
     bb.array()
   }
 
-  /** Split a clip payload into its frames, in order. A length-prefixed
+  /** Split a clip payload into its frames, in order, routing on the
+    * container's own magic: a REAL RIFF/AVI payload goes through the
+    * [[AviMjpeg]] chunk-walking demuxer (round 8 — so the whole clip
+    * pipeline runs on genuine AVI/MJPEG files), a length-prefixed
     * [[encodeClip]] container reads its index — exact for any frame
-    * content. Raw concatenated PNG files (a directory of real media with
-    * no index) fall back to scanning for the 8-byte PNG signature via
-    * [[splitPngFrames]], which carries that path's documented caveat. */
+    * content — and raw concatenated PNG files (a directory of real media
+    * with no index) fall back to scanning for the 8-byte PNG signature
+    * via [[splitPngFrames]], which carries that path's documented
+    * caveat. */
   def splitClipFrames(payload: Array[Byte]): Seq[Array[Byte]] =
-    if (payload.length >= 8 && ClipMagic.indices.forall(i => payload(i) == ClipMagic(i))) {
+    if (AviMjpeg.isAvi(payload)) AviMjpeg.decodeFrames(payload)
+    else if (payload.length >= 8 && ClipMagic.indices.forall(i => payload(i) == ClipMagic(i))) {
       val bb = java.nio.ByteBuffer.wrap(payload)
       bb.position(4)
       val n = bb.getInt
