@@ -35,7 +35,7 @@ object Binning {
        |  CAST(least(greatest(floor(($valueCol - $lo) / $width), 0.0), ${nBins - 1}.0) AS BIGINT) AS bin,
        |  COUNT(*) AS n,
        |  ${graft.util.Det.sqlFixedSum(valueCol, 2)} AS value_sum,
-       |  $lo + CAST(least(greatest(floor(($valueCol - $lo) / $width), 0.0), ${nBins - 1}.0) AS BIGINT) * $width AS bin_lo
+       |  CAST($lo AS DOUBLE) + CAST(least(greatest(floor(($valueCol - $lo) / $width), 0.0), ${nBins - 1}.0) AS BIGINT) * CAST($width AS DOUBLE) AS bin_lo
        |FROM $table GROUP BY 1""".stripMargin
 
   /** Equi-depth bucketing: `ntile(n)` over a TOTAL order (pass a unique

@@ -232,10 +232,10 @@ object Bm25 {
     * relevance. `sims`: (id_a, id_b, sim_micro) — pairwise similarities
     * among candidates (missing pairs count as 0). The greedy recurrence is
     * inherently sequential AND data-dependent (each step's argmax feeds
-    * the next step's penalty), so — exactly like BPE's merge loop — no
-    * fixed SQL can express it and the operator is spec-verified rather
-    * than oracle-checked. It runs on the DRIVER over the collected
-    * candidate list: the list is output-sized BY CONTRACT (the expensive
+    * the next step's penalty); since k is a fixed contract constant the
+    * oracle unrolls it into k chained CTEs (q_srch8 is hash-compared
+    * against that replay as of round 9). It runs on the DRIVER over the
+    * collected candidate list: the list is output-sized BY CONTRACT (the expensive
     * part, retrieval + pairwise sims over candidates, stays distributed
     * upstream), and integer micro arithmetic keeps every step exact and
     * deterministic (ties to the lower doc_id).

@@ -273,7 +273,7 @@ object ReshapeQueries extends QueryModule {
        |r AS (SELECT tf.l_suppkey, tf.day, tf.cents, tf.t, sm.seasonal_micro,
        |    tf.dd*1000000 - $span*sm.seasonal_micro AS ra
        |  FROM tf JOIN sm ON sm.l_suppkey = tf.l_suppkey AND sm.dow = tf.dow)
-       |SELECT l_suppkey, day, cents AS value,
+       |SELECT l_suppkey, day, CAST(cents AS BIGINT) AS value,
        |  CAST(t AS DOUBLE)/$span.0 AS trend,
        |  seasonal_micro,
        |  CAST(CASE WHEN ra >= 0 THEN (2*ra + $span) // (2*$span)

@@ -185,9 +185,12 @@ object SearchQueries extends QueryModule {
     // reranked so near-duplicate hits stop crowding the page: greedy
     // λ·rel − (1−λ)·maxSimToSelected over exact integer micro scores.
     // Retrieval + the 50×50 pairwise sims stay distributed; only the
-    // output-sized candidate list reaches the driver greedy (rows-only:
-    // the data-dependent greedy recurrence has no SQL form — q_bpe1's
-    // adjudication; determinism + diversity spec-asserted).
+    // output-sized candidate list reaches the driver greedy.
+    // ORACLE-CHECKED as of round 9: k is a fixed contract constant, so
+    // the data-dependent greedy unrolls into k chained MATERIALIZED CTEs
+    // (the k-core-peel playbook) — each step's argmax is a plain
+    // ORDER BY/LIMIT 1 with the penalty as a correlated MAX over the
+    // already-selected set; every compared value is integer micro.
     "q_srch8" -> ((s, d) => {
       val emb = Tables.load(s, d, "embeddings")
       val qv = emb.where(col("vec_id") === 0).select(col("embedding").as("__qe"))
@@ -403,8 +406,8 @@ object SearchQueries extends QueryModule {
          |allr AS (SELECT query_id, doc_id, rank FROM lex
          |         UNION ALL SELECT query_id, doc_id, rank FROM sem),
          |fused AS (SELECT query_id, doc_id,
-         |    SUM(CAST(round(1000000.0 / (60.0 + CAST(rank AS DOUBLE)), 0) AS BIGINT))
-         |      AS rrf_micro
+         |    CAST(SUM(CAST(round(1000000.0 / (60.0 + CAST(rank AS DOUBLE)), 0) AS BIGINT))
+         |      AS BIGINT) AS rrf_micro
          |  FROM allr GROUP BY query_id, doc_id)
          |SELECT query_id, doc_id, rrf_micro, rank FROM (
          |  ${rankedSql("fused", "rrf_micro", 10)})
@@ -422,5 +425,42 @@ object SearchQueries extends QueryModule {
          |  WHERE NOT EXISTS (SELECT 1 FROM lex l
          |    WHERE l.query_id = s.query_id AND l.doc_id = s.doc_id))
          |ORDER BY query_id, side, rank, doc_id""".stripMargin,
+    // MMR replayed exactly: k = 10 is a contract constant, so the greedy
+    // unrolls into 10 chained MATERIALIZED CTEs (the k-core-peel
+    // playbook — MATERIALIZED stops DuckDB re-inlining each level at
+    // every reference). Step i's penalty is a correlated MAX(sim_micro)
+    // over the docs already in s_{i-1}; the argmax is ORDER BY
+    // (mmr DESC, doc_id) LIMIT 1 — mmrSelect's exact tie-break. All
+    // compared values are integer micro (BIGINT; MAX never widens).
+    "q_srch8" -> {
+      val steps = (2 to 10).map { i =>
+        val (p, s) = (i - 1, i)
+        s"""c$s AS MATERIALIZED (
+           |  SELECT c.doc_id, c.rel_micro,
+           |    700000*c.rel_micro - 300000*COALESCE((SELECT MAX(x.sim_micro) FROM simsall x
+           |      WHERE x.id_a = c.doc_id AND x.id_b IN (SELECT doc_id FROM s$p)), 0) AS mmr
+           |  FROM cands c WHERE c.doc_id NOT IN (SELECT doc_id FROM s$p)),
+           |s$s AS MATERIALIZED (SELECT * FROM s$p UNION ALL
+           |  SELECT doc_id, rel_micro, mmr, $s FROM
+           |    (SELECT * FROM c$s ORDER BY mmr DESC, doc_id LIMIT 1))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |scored AS (SELECT vec_id AS doc_id, embedding,
+         |    CAST(round(${cosSql("embedding", "qe")} * 1000000.0, 0) AS BIGINT) AS rel_micro
+         |  FROM embeddings, q WHERE vec_id <> 0),
+         |cands AS MATERIALIZED (SELECT doc_id, embedding, rel_micro FROM scored
+         |  ORDER BY rel_micro DESC, doc_id LIMIT 50),
+         |simsall AS MATERIALIZED (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(round(${cosSql("a.embedding", "b.embedding")} * 1000000.0, 0) AS BIGINT) AS sim_micro
+         |  FROM cands a JOIN cands b ON a.doc_id <> b.doc_id),
+         |s1 AS MATERIALIZED (SELECT doc_id, rel_micro, 700000*rel_micro AS mmr, 1 AS rank
+         |  FROM cands ORDER BY mmr DESC, doc_id LIMIT 1),
+         |$steps
+         |SELECT CAST(rank AS BIGINT) AS rank, doc_id, rel_micro,
+         |  CAST(mmr AS BIGINT) AS mmr_micro
+         |FROM s10 ORDER BY rank""".stripMargin
+    },
   )
 }

@@ -218,7 +218,8 @@ object TechQueries extends QueryModule {
           |  SELECT d.l_suppkey, d.day_ord, d.cents, d.rn,
           |    (2*(d.cents*10000 + 4*r.ema_micro) + 5) // 10
           |  FROM d JOIN r ON d.l_suppkey = r.l_suppkey AND d.rn = r.rn + 1)
-          |SELECT l_suppkey, day_ord, CAST(cents AS DOUBLE)/100.0 AS revenue, ema_micro
+          |SELECT l_suppkey, day_ord, CAST(cents AS DOUBLE)/100.0 AS revenue,
+          |  CAST(ema_micro AS BIGINT) AS ema_micro
           |FROM r ORDER BY l_suppkey, day_ord""".stripMargin,
       // Three chained recursive replays (fast, slow, signal), every step
       // emaMicro's integer recurrence: alpha = 2/13 -> (2*a+13)//26 with
@@ -258,8 +259,9 @@ object TechQueries extends QueryModule {
           |      THEN (2*(2*m.macd_micro + 8*r9.sig) + 10) // 20
           |      ELSE -((-2*(2*m.macd_micro + 8*r9.sig) + 10) // 20) END
           |  FROM m JOIN r9 ON m.l_suppkey = r9.l_suppkey AND m.rn = r9.rn + 1)
-          |SELECT l_suppkey, m_ord, macd_micro, sig AS signal_micro,
-          |  macd_micro - sig AS histogram_micro
+          |SELECT l_suppkey, m_ord, CAST(macd_micro AS BIGINT) AS macd_micro,
+          |  CAST(sig AS BIGINT) AS signal_micro,
+          |  CAST(macd_micro - sig AS BIGINT) AS histogram_micro
           |FROM r9 ORDER BY l_suppkey, m_ord""".stripMargin,
       "q_ta7" ->
         """WITH c AS (

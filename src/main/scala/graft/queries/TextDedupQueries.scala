@@ -230,8 +230,12 @@ object TextDedupQueries extends QueryModule {
 
     // Q-SAMPLE6: deterministic weighted sample — 100 documents with
     // probability proportional to length (the quality-weighted corpus
-    // cut). Rows-only: the A-ES score uses ln(); determinism, exact-k and
-    // weight monotonicity are property-tested (CurationSpec).
+    // cut). ORACLE-CHECKED as of round 9: the key-stable uniform draw is
+    // replayed via XxhashSql.hashLongCte and only the selected SET is
+    // compared (scores never leave the plan), so the ln() transcendental
+    // can only matter at the rank-100/101 boundary — whose fixture margin
+    // is ~12 orders above libm drift. Determinism, exact-k and weight
+    // monotonicity stay property-tested (CurationSpec).
     "q_sample6" -> ((s, d) =>
       graft.operators.Curation.weightedSample(
           Tables.load(s, d, "documents").select("doc_id", "lang", "n_chars"),
@@ -1309,6 +1313,26 @@ object TextDedupQueries extends QueryModule {
         |  FROM e)
         |SELECT doc_id, lang, copy FROM r WHERE rk <= 250
         |ORDER BY lang, doc_id, copy""".stripMargin,
+    // A-ES weighted sample replayed from scratch: the uniform draw is the
+    // key's xxhash64 (XxhashSql.hashLongCte re-derives Spark's
+    // XXH64.hashLong in integer SQL), score = ln(u)/w, top-100. ln() is
+    // the one transcendental — safe here because only the SELECTED SET is
+    // compared (no score column) and the rank-100/101 score gap on the
+    // fixture is ~12 orders of magnitude above libm's 1-ulp drift
+    // (measured 5e-4 relative vs ~1e-16; CurationSpec pins the margin).
+    "q_sample6" -> {
+      val hashed = XxhashSql.hashLongCte(
+        "SELECT doc_id, lang, n_chars FROM documents WHERE n_chars > 0",
+        "doc_id", "hs")
+      s"""WITH hsrc AS MATERIALIZED (SELECT doc_id, lang, n_chars, hs FROM $hashed),
+         |sc AS (SELECT doc_id, lang, n_chars,
+         |    ln((CAST(((hs % 1000000) + 1000000) % 1000000 AS DOUBLE) + 0.5)
+         |        / 1000000.0) / CAST(n_chars AS DOUBLE) AS score
+         |  FROM hsrc),
+         |top AS (SELECT doc_id, lang, n_chars FROM sc
+         |        ORDER BY score DESC, doc_id LIMIT 100)
+         |SELECT doc_id, lang, n_chars FROM top ORDER BY doc_id""".stripMargin
+    },
 
     "q_sample1" ->
       """SELECT c_custkey,

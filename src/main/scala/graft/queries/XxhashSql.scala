@@ -196,6 +196,19 @@ private[queries] object XxhashSql {
     * little-endian 8-byte lanes, the ≥32-byte 4-accumulator stripe
     * recursion, the lane recursion, then chunk/byte tails + fmix.
     * Must sit inside a WITH RECURSIVE. */
+  /** Nested-select expression computing Spark's `xxhash64(longCol)`
+    * (XXH64.hashLong, seed 42) for every row of `srcSql`, emitted as
+    * SIGNED BIGINT column `outCol` alongside the source columns. Wrap in
+    * `name AS MATERIALIZED (SELECT * FROM <this>)`. Powers the q_sample6
+    * A-ES weighted-sample oracle (key-stable uniform draw = key hash). */
+  def hashLongCte(srcSql: String, keyCol: String, outCol: String): String = {
+    val ch = new Chain(srcSql)
+    ch.layer("hl_k" -> s2u(keyCol))
+    addHashLong(ch, "hl_", "hl_k", s"CAST($Seed AS HUGEINT)", "hl_out")
+    ch.layer(outCol -> u2s("hl_out"))
+    ch.sql
+  }
+
   def hashStringCtes(srcCte: String): String =
     s"""sb AS MATERIALIZED (SELECT s, octet_length(encode(s)) AS n,
        |  hex(encode(s)) AS hx FROM $srcCte),

@@ -47,6 +47,23 @@ class CurationSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(800))
   }
 
+  test("weightedSample: oracle-boundary margin dwarfs libm drift (q_sample6 contract)") {
+    // q_sample6 compares the selected SET only, so the single cross-engine
+    // hazard is the ln() score ordering flipping at the rank-k boundary.
+    // Pin the fixture margin: the k/k+1 relative score gap must sit many
+    // orders above libm's ~1e-16 1-ulp drift (measured ~5e-4 at sf0.01;
+    // this guard fires long before the oracle could become flaky).
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .where(col("n_chars") > 0)
+    val u = (pmod(xxhash64(col("doc_id")), lit(1000000L)).cast("double") + lit(0.5)) / 1e6
+    val scores = docs.select((log(u) / col("n_chars").cast("double")).as("score"))
+      .orderBy(col("score").desc).limit(101)
+      .as[Double].collect()
+    val (s100, s101) = (scores(99), scores(100))
+    val rel = math.abs((s100 - s101) / s100)
+    assert(rel > 1e-9, s"rank-100/101 relative margin $rel too thin for a libm-robust oracle")
+  }
+
   test("weightedSample: non-positive weights are excluded; short sample when eligible < k") {
     // contract (scaladoc): min(k, #rows with weight > 0) rows — a weight
     // of 0 or less is ineligible by construction, never silently included

@@ -40,13 +40,27 @@ def main():
             continue
         try:
             con.execute(f"CREATE OR REPLACE VIEW __o AS {oracle[name]}")
-            o_cols = [r[0] for r in con.execute("DESCRIBE __o").fetchall()]
+            o_desc = con.execute("DESCRIBE __o").fetchall()
+            o_cols = [r[0] for r in o_desc]
             ocols = ",".join(f'"{c}"' for c in sorted(o_cols))
             ora = con.execute(f"SELECT {ocols} FROM __o").fetchall()
         except Exception as e:
             results[name] = f"ORACLE-SQL-FAIL {e}"; continue
         if sorted(sp_cols) != sorted(o_cols):
             results[name] = f"SCHEMA-MISMATCH spark={sorted(sp_cols)} oracle={sorted(o_cols)}"
+            continue
+        # The driver's hasher materializes DuckDB results through pandas,
+        # where HUGEINT/DECIMAL columns become float64 (formatted "1.0" vs
+        # Spark's int64 "1") — a representation mismatch invisible to the
+        # float()-equality compare below. Round 8 lost q_ta3/ta4/ts6/srch3
+        # to exactly this: SUM(BIGINT) returns HUGEINT in DuckDB. Flag any
+        # oracle column outside the boring type set as a hard failure.
+        BORING = {"BIGINT","INTEGER","SMALLINT","TINYINT","DOUBLE","FLOAT",
+                  "VARCHAR","DATE","TIMESTAMP","BOOLEAN","BLOB",
+                  "TIMESTAMP WITH TIME ZONE"}
+        exotic = [(c, t) for c, t, *_ in o_desc if t not in BORING]
+        if exotic:
+            results[name] = f"TYPE-HAZARD oracle cols {exotic} (cast to BIGINT/DOUBLE in the SQL)"
             continue
         if len(sp) != len(ora):
             results[name] = f"ROWCOUNT-MISMATCH spark={len(sp)} oracle={len(ora)}"
