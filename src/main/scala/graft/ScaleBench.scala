@@ -290,6 +290,8 @@ object ScaleBench {
         syntheticPngViral(spark, 100L, 16, 16), maxHamming = 3).count()
       Multimodal.shotBoundaries(Multimodal.syntheticPngClip(
         spark.range(50L).toDF("doc_id"), "doc_id", 6, 8, 8, 2)).count()
+      Multimodal.clipShotStatsQuarantined(Multimodal.syntheticAviClip(
+        spark.range(50L).toDF("doc_id"), "doc_id", 6, 8, 8, 2))._1.count()
       val pd = d.select(col("doc_id"),
         concat(lit("<p>"), col("text"), lit("</p>")).as("h"))
       pd.select(Seq(col("doc_id"), MarkupOps.extractText(col("h")).as("t")) ++
@@ -504,6 +506,19 @@ object ScaleBench {
         Multimodal.shotBoundaries(clips, cutThreshold = 10).count()
       }
       clips.unpersist()
+
+      // REAL AVI/MJPEG container (round 9): the same 6-frame clip volume
+      // through the RIFF chunk-walk demux + lossy JPEG decode. Per-clip
+      // cost must stay the codec volume — same linear shape as the
+      // PNG-container row above, proving the container upgrade costs
+      // container parsing only (JPEG decode is the dominant term).
+      val aviClips = Multimodal.syntheticAviClip(
+        spark.range(nDocs).toDF("doc_id"), "doc_id",
+        nFrames = 6, width = 8, height = 8, shotLen = 2).localCheckpoint()
+      timed("avi_clip_shot_stats", nDocs) {
+        Multimodal.clipShotStatsQuarantined(aviClips, cutThreshold = 10)._1.count()
+      }
+      aviClips.unpersist()
 
       // PageRank (round 5): 5 iterations, each ONE shuffle linear in the
       // edge count; lineage checkpoint-truncated per iteration, so wall

@@ -593,6 +593,81 @@ object Multimodal {
     }.toDF("doc_id", "payload")
   }
 
+  /** Deterministic REAL AVI/MJPEG clip fixture — [[syntheticPngClip]]'s
+    * container-upgrade twin (the declared "video stand-in" gap): the same
+    * planted scene structure (fresh scene every `shotLen` frames,
+    * bit-identical frames within a scene), but each scene is encoded ONCE
+    * as a real JPEG and the frames ship inside a spec-conformant
+    * [[AviMjpeg]] RIFF container. Downstream the full real-media path
+    * runs: RIFF chunk-walk demux → ImageIO sniffing JPEG decode → dHash.
+    * Identical within-scene frame BYTES make within-shot dHash distance
+    * exactly 0 despite JPEG's lossiness, so the planted cut positions
+    * survive the lossy codec — the property q_mm16's oracle leans on. */
+  def syntheticAviClip(df: DataFrame, idCol: String, nFrames: Int,
+                       width: Int, height: Int, shotLen: Int,
+                       fps: Int = 25): DataFrame = {
+    require(nFrames >= 1 && shotLen >= 1, "need nFrames >= 1 and shotLen >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val sceneJpeg = scala.collection.mutable.LongMap.empty[Array[Byte]]
+        val frames = (0 until nFrames).map { f =>
+          val scene = id * 1000L + f / shotLen
+          sceneJpeg.getOrElseUpdate(scene, {
+            val rgb = new Array[Int](width * height)
+            var h = scene * 0x9E3779B97F4A7C15L + 0xBF58476D1CE4E5B9L
+            var i = 0
+            while (i < rgb.length) {
+              h = h * 6364136223846793005L + 1442695040888963407L
+              rgb(i) = ((h >>> 40) & 0xFFFFFF).toInt
+              i += 1
+            }
+            encodeJpeg(width, height, rgb)
+          })
+        }
+        (id, AviMjpeg.encode(frames, width, height, fps))
+      }
+    }.toDF("doc_id", "payload")
+  }
+
+  /** Per-clip structural rollup of [[shotBoundaries]]'s rows. */
+  case class ClipShotStats(doc_id: Long, n_frames: Long, n_shots: Long)
+
+  /** The clip pipeline's quarantine entry: demux + decode + cut-count per
+    * clip with per-CLIP fault isolation — a clip whose container grammar
+    * or any frame payload fails to parse quarantines whole (with the
+    * reason), exactly like [[imageFeaturesQuarantined]] does per image.
+    * Good clips emit (n_frames, n_shots = 1 + cuts past `cutThreshold`).
+    * Scale shape: clips fan out across executors; per-clip work is the
+    * codec volume. */
+  def clipShotStatsQuarantined(binDf: DataFrame, cutThreshold: Int = 10)
+      : (Dataset[ClipShotStats], Dataset[QuarantinedMedia]) = {
+    val spark = binDf.sparkSession
+    import spark.implicits._
+    val parsed = binDf.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        try {
+          val hashes = splitClipFrames(payload).map(f => dHash64(decodePng(f)))
+          val cuts = hashes.indices.count(i => i > 0 &&
+            java.lang.Long.bitCount(hashes(i) ^ hashes(i - 1)) > cutThreshold)
+          (Some(ClipShotStats(id, hashes.length.toLong, cuts + 1L))
+            : Option[ClipShotStats], None: Option[QuarantinedMedia])
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            (None: Option[ClipShotStats],
+              Some(QuarantinedMedia(id, payload.length.toLong,
+                s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"))
+                : Option[QuarantinedMedia])
+        }
+      })
+      // localCheckpoint: one eager demux+decode pass feeds both outputs
+      // (see imageFeaturesQuarantined for the persist-vs-checkpoint note)
+      .localCheckpoint()
+    (parsed.flatMap(_._1), parsed.flatMap(_._2))
+  }
+
   /** One selected keyframe: the clip, the shot's ordinal within it, the
     * frame index the keyframe came from, the frame payload, and the
     * frame's dHash (already computed by the cut detection — carrying it

@@ -418,6 +418,35 @@ object SimMmQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // Q-MM16 (round 9): REAL VIDEO CONTAINER — the clip pipeline on
+    // genuine AVI/MJPEG files (RIFF chunk-walk demux → sniffing ImageIO
+    // JPEG decode → dHash cuts), with every 7th container truncated
+    // mid-header to drive the per-clip quarantine. Every compared value
+    // is a structural/planted fact: frame count = the container's movi
+    // chunk count cross-checked against avih, shot count = the planted
+    // scene structure (within-scene frames are bit-identical JPEG bytes,
+    // so the lossy codec cannot blur the planted cut positions —
+    // AviMjpegSpec pins the round-trip). The PNG-container stand-in
+    // (q_mm7/q_pipe4) keeps its SQL-replicated pixel oracle; this query
+    // is the reality upgrade on the container axis.
+    "q_mm16" -> ((s, d) => {
+      val clips = Multimodal.syntheticAviClip(
+          Tables.load(s, d, "documents"), "doc_id",
+          nFrames = 6, width = 8, height = 8, shotLen = 2)
+        .withColumn("payload",
+          when(col("doc_id") % 7 === 0, expr("substring(payload, 1, 40)"))
+            .otherwise(col("payload")))
+      val (stats, quar) = Multimodal.clipShotStatsQuarantined(clips, cutThreshold = 10)
+      stats.toDF()
+        .select(col("doc_id"), lit("ok").as("status"),
+          col("n_frames"), col("n_shots"))
+        .unionByName(quar.toDF()
+          .select(col("doc_id"), lit("quarantined").as("status"),
+            lit(null).cast("long").as("n_frames"),
+            lit(null).cast("long").as("n_shots")))
+        .orderBy("doc_id")
+    }),
+
     // Audio twin of q_mm9: truncated WAVs quarantined, good clips decoded.
     "q_mm10" -> ((s, d) => {
       val good = graft.multimodal.AudioWav.syntheticWav(
@@ -710,6 +739,16 @@ object SimMmQueries extends QueryModule {
         |  CASE WHEN doc_id % 7 = 0 THEN 'quarantined' ELSE 'ok' END AS status,
         |  CAST(CASE WHEN doc_id % 7 = 0 THEN NULL ELSE 16 + 8*(doc_id % 3) END AS BIGINT) AS w,
         |  CAST(CASE WHEN doc_id % 7 = 0 THEN NULL ELSE 16 + 4*(doc_id % 5) END AS BIGINT) AS h
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // q_mm16's facts are planted: 6 movi frames and 3 two-frame scenes
+    // per good clip, quarantine for the truncated 7ths. The real work the
+    // compare certifies is the demux+decode chain recovering exactly that
+    // structure from genuine AVI/MJPEG bytes.
+    "q_mm16" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN 'quarantined' ELSE 'ok' END AS status,
+        |  CAST(CASE WHEN doc_id % 7 = 0 THEN NULL ELSE 6 END AS BIGINT) AS n_frames,
+        |  CAST(CASE WHEN doc_id % 7 = 0 THEN NULL ELSE 3 END AS BIGINT) AS n_shots
         |FROM documents ORDER BY doc_id""".stripMargin,
     // q_mm6's oracle replicates the seeded PCM16 generation in SQL — the
     // payload BYTES never reach DuckDB (no binary fixture table), but the
