@@ -462,6 +462,14 @@ object ScaleBench {
       timed("audio_neardup_pairs_refined", nDocs) {
         graft.multimodal.AudioWav.audioNearDupPairsRefined(wavdups, maxHamming = 3).count()
       }
+      // Constant-Q fingerprint (round 9): 8 log-spaced integer
+      // correlators x 9 frames per clip — per-clip work is a constant
+      // multiple of the sample count (like the Haar rows), so the shape
+      // must stay linear in clips; the extra cost over the Haar hash is
+      // the 16 extra multiply-accumulate passes per sample.
+      timed("audio_neardup_pairs_cq", nDocs) {
+        graft.multimodal.AudioWav.audioNearDupPairsCq(wavdups, maxHamming = 3).count()
+      }
       wavdups.unpersist()
 
       // Envelope-collision FLOOD (10x only — the audio twin of the viral

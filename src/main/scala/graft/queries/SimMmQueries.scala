@@ -245,19 +245,31 @@ object SimMmQueries extends QueryModule {
         stride = 64, frameSize = 16)
         .toDF().orderBy("doc_id", "frame_idx")),
 
-    // Multimodal REAL resize (round 6): decode each PNG, nearest-neighbor
-    // downsample 4x in exact integer math, re-encode PNG — emitted as new
-    // dimensions + sizes + content hash of the RESIZED payload so the
-    // whole decode→transform→encode pipeline (not just its plumbing) is
-    // pinned. Rows-only; resize picks are spec-asserted.
-    "q_mm3" -> ((s, d) =>
+    // Multimodal REAL resize (round 6; ORACLE-CHECKED as of round 9):
+    // decode each PNG, nearest-neighbor downsample 4x in exact integer
+    // math, re-encode PNG, then RE-DECODE the resized payload and emit
+    // every output pixel — the whole decode→transform→encode→decode
+    // pipeline is pinned against the planted pixel chain (the old form
+    // compared a sha of the ENCODER's bytes, which is zlib-build-specific
+    // and so could never be oracle-checked; the re-decoded pixels pin
+    // strictly more of the pipeline and are exact SQL facts, PNG being
+    // lossless). Resize picks stay spec-asserted too.
+    "q_mm3" -> ((s, d) => {
+      import s.implicits._
       Multimodal.resizePng(
           Multimodal.syntheticPng(Tables.load(s, d, "documents"), "doc_id",
             width = 16, height = 16),
           factor = 4)
-        .select(col("doc_id"), col("out_width"), col("out_height"),
-          col("n_bytes_resized"), sha2(col("resized"), 256).as("resized_sha"))
-        .orderBy("doc_id")),
+        .select(col("doc_id"), col("out_width"), col("out_height"), col("resized"))
+        .as[(Long, Int, Int, Array[Byte])]
+        .mapPartitions(_.flatMap { case (id, ow, _, bytes) =>
+          val px = Multimodal.rgbPixels(Multimodal.decodePng(bytes))
+          px.indices.map(i => (id, ow.toLong, (px.length / ow).toLong,
+            (i / ow).toLong, (i % ow).toLong, (px(i) & 0xFFFFFF).toLong))
+        })
+        .toDF("doc_id", "out_width", "out_height", "y", "x", "v")
+        .orderBy("doc_id", "y", "x")
+    }),
 
     // Multimodal image features (round 6): real per-image channel stats —
     // ImageIO decode per row on the executors, exact integer channel sums.
@@ -345,6 +357,21 @@ object SimMmQueries extends QueryModule {
     // vs brute-force Hamming<=3 is spec-asserted.
     "q_dedup17" -> ((s, d) =>
       graft.multimodal.AudioWav.audioNearDupPairs(
+        graft.multimodal.AudioWav.syntheticWavNearDups(
+          Tables.load(s, d, "documents"), "doc_id", nSamples = 3600),
+        maxHamming = 3)
+        .orderBy("id_a", "id_b")),
+
+    // Q-DEDUP22 (round 9): audio near-dup over the CONSTANT-Q spectral
+    // fingerprint — log-spaced fixed-point correlators in exact integer
+    // math (the industry-standard spectral geometry, replacing the Haar
+    // octaves' dyadic bands for this path) through the same pigeonhole
+    // band join. Oracle-checked end to end: the SQL re-derives the PCM
+    // chain, the quadrature correlations against the SAME fixed-point
+    // cosine table, the |re|+|im| magnitudes, the frame-derivative bits,
+    // and the brute-force Hamming<=3 pair set the banding must equal.
+    "q_dedup22" -> ((s, d) =>
+      graft.multimodal.AudioWav.audioNearDupPairsCq(
         graft.multimodal.AudioWav.syntheticWavNearDups(
           Tables.load(s, d, "documents"), "doc_id", nSamples = 3600),
         maxHamming = 3)
@@ -671,6 +698,48 @@ object SimMmQueries extends QueryModule {
         |WHERE (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)
         |  AND bit_count(xor(a.ahash, b.ahash)) <= 3
         |ORDER BY id_a, id_b""".stripMargin),
+    // q_dedup22: same PCM chain (smp), then the constant-Q quadrature
+    // correlations against the operator's OWN fixed-point cosine cycle
+    // (the 400 table values below are interpolated from
+    // AudioWav.CqTable, so both engines correlate against identical
+    // integers), |re|+|im| magnitudes, frame-derivative bits, and the
+    // brute-force pair set. The unused Haar CTEs (det/en/abits/dh) prune
+    // away — plain CTEs cost nothing unreferenced.
+    "q_dedup22" -> {
+      val cqt = graft.multimodal.AudioWav.CqTable.zipWithIndex
+        .map { case (v, m) => s"($m, $v)" }.mkString(", ")
+      val cyc = graft.multimodal.AudioWav.CqCycles.zipWithIndex
+        .map { case (c, b) => s"($b, $c)" }.mkString(", ")
+      audioHashChainSql +
+      s""", cqt AS MATERIALIZED (SELECT * FROM (VALUES $cqt) AS t(m, c)),
+         |cyc AS (SELECT * FROM (VALUES $cyc) AS t(b, c)),
+         |corr AS (
+         |  SELECT s.doc_id, s.t, cy.b,
+         |    SUM(s.v * ct.c) AS re, SUM(s.v * st.c) AS im
+         |  FROM smp s
+         |  JOIN cyc cy ON TRUE
+         |  JOIN cqt ct ON ct.m = (cy.c * s.q) % 400
+         |  JOIN cqt st ON st.m = (cy.c * s.q + 300) % 400
+         |  GROUP BY s.doc_id, s.t, cy.b),
+         |cmag AS (SELECT doc_id, t, b, abs(re) + abs(im) AS mag FROM corr),
+         |cbits AS (
+         |  SELECT a.doc_id,
+         |    SUM(CASE WHEN a.mag > x.mag THEN CAST(1 AS HUGEINT) << (a.b * 8 + a.t)
+         |        ELSE CAST(0 AS HUGEINT) END) AS uh
+         |  FROM cmag a JOIN cmag x ON a.doc_id = x.doc_id AND a.b = x.b AND x.t = a.t + 1
+         |  WHERE a.t < 8
+         |  GROUP BY a.doc_id),
+         |cqh AS (
+         |  SELECT doc_id,
+         |    CAST(CASE WHEN uh >= CAST(1 AS HUGEINT) << 63
+         |         THEN uh - (CAST(1 AS HUGEINT) << 64) ELSE uh END AS BIGINT) AS cqhash
+         |  FROM cbits)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.cqhash, b.cqhash)) AS BIGINT) AS hamming
+         |FROM cqh a JOIN cqh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.cqhash, b.cqhash)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin
+    },
     // the spectral-tilt hash reads the SAME en energies: bit (t*7 + L) =
     // sign of the band-adjacent difference within a frame (63 bits, so
     // the value never reaches the sign bit)
@@ -848,6 +917,28 @@ object SimMmQueries extends QueryModule {
         |  CAST(SUM(b) AS DOUBLE) / 256 AS mean_b,
         |  CAST(SUM(y) AS DOUBLE) / 256 AS mean_luma
         |FROM ch GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q_mm3: the resize picks are pixels p = 64y + 4x of the 16x16 chain
+    // (NN picks row y*4, col x*4); the oracle re-derives each picked
+    // pixel's packed value — what the query emits after a full
+    // encode->decode round-trip of the resized image.
+    "q_mm3" ->
+      """WITH RECURSIVE gen AS (
+        |  SELECT doc_id, 0 AS i,
+        |    (CAST(doc_id AS HUGEINT) * 11400714819323198485 + 13787848793156543929)
+        |      % 18446744073709551616 AS h
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, i + 1,
+        |    (h * 6364136223846793005 + 1442695040888963407) % 18446744073709551616
+        |  FROM gen WHERE i < 256),
+        |px AS (
+        |  SELECT doc_id, i - 1 AS p,
+        |    CAST((h // 1099511627776) % 16777216 AS BIGINT) AS v
+        |  FROM gen WHERE i >= 1)
+        |SELECT doc_id, CAST(4 AS BIGINT) AS out_width, CAST(4 AS BIGINT) AS out_height,
+        |  CAST(p // 64 AS BIGINT) AS y, CAST((p % 64) // 4 AS BIGINT) AS x, v
+        |FROM px WHERE p % 64 < 16 AND p % 4 = 0
+        |ORDER BY doc_id, y, x""".stripMargin,
     "q_mm2" ->
       """WITH RECURSIVE gen AS (
         |  SELECT doc_id, 0 AS i,

@@ -277,6 +277,52 @@ class AudioWavSpec extends SparkSpec {
     assert(feats.forall(a => a.n_samples === 400 && a.rms > 0.0))
   }
 
+  test("constantQ: planted pairs all recovered, envelope collisions decorrelated, banding exact") {
+    val media = AudioWav.syntheticWavNearDups(
+      spark.range(500).toDF("doc_id"), "doc_id", nSamples = 3600)
+      .localCheckpoint()
+    val hashes = AudioWav.constantQHashes(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val truth = (for {
+      a <- hashes.keys; b <- hashes.keys if a < b
+      if java.lang.Long.bitCount(hashes(a) ^ hashes(b)) <= 3
+    } yield (a, b)).toSet
+    val pairs = AudioWav.audioNearDupPairsCq(media, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === truth, "pigeonhole banding must be exact at hamming<=3")
+    // every planted (2k, 2k+1) near-dup survives the ±8-noise variant
+    val planted = (0L until 500L by 2).map(k => (k, k + 1)).toSet
+    assert(planted.subsetOf(pairs), s"missing planted pairs: ${planted -- pairs}")
+    // the selling point vs the Haar time hash: this fixture's amplitude-
+    // RANK construction leaves the Haar hash mostly envelope entropy (it
+    // emits thousands of envelope-collision pairs here); the log-spaced
+    // correlators read seed-specific narrowband content, so the cq pair
+    // list stays within a small multiple of the planted set
+    val haarPairs = AudioWav.audioNearDupPairs(media, maxHamming = 3).count()
+    assert(pairs.size < planted.size * 2,
+      s"cq pair list ${pairs.size} should stay near the 250 planted")
+    assert(haarPairs > pairs.size * 5,
+      s"expected the Haar hash to collide far more on this fixture (haar=$haarPairs cq=${pairs.size})")
+  }
+
+  test("constantQHash64: deterministic, partitioning-invariant, near-bound magnitudes stay in Long") {
+    val media = AudioWav.syntheticWavNearDups(
+      spark.range(30).toDF("doc_id"), "doc_id", nSamples = 3600)
+    val a = AudioWav.constantQHashes(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = AudioWav.constantQHashes(media.repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b, "hash is a pure function of the payload")
+    // worst-case full-scale alternating signal: |re|,|im| bounded by
+    // 2^15 * 2^14 * frameLen — exercise the extreme and check no wrap
+    val extreme = Array.fill(3600)(Short.MinValue)
+    val h = AudioWav.constantQHash64(extreme)
+    val mags = AudioWav.constantQMags(extreme)
+    assert(mags.flatten.forall(m => m >= 0L && m < (1L << 42)),
+      "magnitudes must stay far from Long overflow")
+    assert(h === AudioWav.constantQHash64(extreme))
+  }
+
   test("normalizePeak: peak lands exactly on target, signs survive, silence passes through") {
     import org.apache.spark.sql.functions.col
     val loud = AudioWav.encodeWavPcm16(16000,
