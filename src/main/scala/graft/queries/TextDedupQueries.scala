@@ -253,7 +253,11 @@ object TextDedupQueries extends QueryModule {
           classCol = "lang", keyCol = "doc_id", target = 250L)
         .orderBy("lang", "doc_id", "copy")),
 
-    // Rolling-hash document fingerprint (rows-only: engine-specific hash).
+    // Rolling-hash document fingerprint. ORACLE-CHECKED as of round 9:
+    // the "engine-specific" ingredient is Spark's xxhash64 over token
+    // strings, which XxhashSql.hashStringCtes re-derives from scratch;
+    // the Karp-Rabin fold is then an exact integer recursion the oracle
+    // replays per doc (one recursive-CTE level per token position).
     "q_txt6" -> ((s, d) =>
       Tables.load(s, d, "documents").select(
         col("doc_id"),
@@ -1313,6 +1317,33 @@ object TextDedupQueries extends QueryModule {
         |  FROM e)
         |SELECT doc_id, lang, copy FROM r WHERE rk <= 250
         |ORDER BY lang, doc_id, copy""".stripMargin,
+    // Karp-Rabin fingerprint replayed from scratch: xxhash64 of every
+    // distinct token re-derived by the string-hash chain, then the fold
+    // acc' = (acc*131 + pmod(h, 2^31-1)) % (2^31-1) stepped as a
+    // recursive CTE over token positions (working set: one row per doc
+    // per level; every value a nonnegative exact integer). Empty token
+    // lists fingerprint to the fold seed 0 on both engines.
+    "q_txt6" ->
+      s"""WITH RECURSIVE
+         |doc AS MATERIALIZED (SELECT doc_id, $tokSql AS toks FROM documents),
+         |pos AS MATERIALIZED (
+         |  SELECT doc_id, CAST(r.i AS BIGINT) AS p, toks[r.i] AS s
+         |  FROM doc, unnest(range(1, len(toks) + 1)) AS r(i)),
+         |str AS MATERIALIZED (SELECT DISTINCT s FROM pos),
+         |${XxhashSql.hashStringCtes("str")},
+         |ph AS MATERIALIZED (
+         |  SELECT pos.doc_id, pos.p,
+         |    ((xxh.h % 2147483647) + 2147483647) % 2147483647 AS hm
+         |  FROM pos JOIN xxh ON xxh.s = pos.s),
+         |dn AS MATERIALIZED (SELECT doc_id, CAST(len(toks) AS BIGINT) AS nt FROM doc),
+         |roll AS (
+         |  SELECT doc_id, CAST(0 AS BIGINT) AS p, CAST(0 AS BIGINT) AS acc, nt FROM dn
+         |  UNION ALL
+         |  SELECT r.doc_id, r.p + 1, (r.acc * 131 + ph.hm) % 2147483647, r.nt
+         |  FROM roll r JOIN ph ON ph.doc_id = r.doc_id AND ph.p = r.p + 1
+         |  WHERE r.p < r.nt)
+         |SELECT doc_id, acc AS fingerprint FROM roll WHERE p = nt
+         |ORDER BY doc_id""".stripMargin,
     // A-ES weighted sample replayed from scratch: the uniform draw is the
     // key's xxhash64 (XxhashSql.hashLongCte re-derives Spark's
     // XXH64.hashLong in integer SQL), score = ln(u)/w, top-100. ln() is
