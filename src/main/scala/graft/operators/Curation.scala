@@ -179,4 +179,58 @@ object Curation {
         col("alloc").cast("double") / nullif(col("avail"), lit(0L)).cast("double"))
       .select(sourceCol, "avail", "cap", "alloc", "epochs")
   }
+
+  /** Temperature-flattened mixture allocation — the OTHER standard
+    * data-mixture rule next to [[waterfillMixture]]'s epoch-capped
+    * waterfill: source s gets budget share ∝ avail_s^α, the flattening
+    * that up-weights low-resource sources (the mT5/XLM-R language-
+    * balancing rule). α is pinned to 1/2 (temperature T = 2, the classic
+    * operating point) because avail^(1/2) has an EXACT integer form —
+    * isqrt — so the whole allocation is engine-exact integer arithmetic
+    * (the q_ta3/q_sample6 discipline: no pow(), no double division,
+    * nothing for a libm build to flip). `floor(sqrt(toDouble(n)))` IS
+    * exact isqrt for n < 2^50: IEEE sqrt is correctly rounded, a
+    * non-square's root is irrational and far (≫1 ulp) from the nearest
+    * integer at this magnitude, and a perfect square's root is exactly
+    * representable.
+    *
+    * The integer shares use largest-remainder apportionment:
+    * base_s = budget·w_s div W, then the leftover budget − Σ base
+    * (< #sources when W > 0) goes +1 each to the largest remainders
+    * budget·w_s mod W (ties → source name), so Σ alloc == budget
+    * exactly. W = 0 (no positive-weight source) allocates nothing.
+    * Unlike the waterfill there is deliberately no epoch cap — pure
+    * temperature sampling repeats small sources freely; `epochs` is
+    * emitted so callers can SEE the repetition rate and cap with
+    * [[waterfillMixture]] when that matters.
+    *
+    * Scale shape: one aggregation reduces the corpus to per-source
+    * counts upstream (the sufficient statistic); everything here runs on
+    * the dimension-sized source table (two windows + a rank).
+    * Overflow bound: budget·w_s must stay < 2^63 — budget 10^12 tokens ×
+    * isqrt(10^12) = 10^18 fits. */
+  def temperatureMixture(perSource: DataFrame, sourceCol: String,
+                         availCol: String, budget: Column): DataFrame = {
+    val all = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val remOrd = Window.orderBy(col("__rem").desc, col(sourceCol).asc)
+    perSource
+      .select(col(sourceCol), col(availCol).cast("long").as("avail"),
+        budget.cast("long").as("__budget"))
+      .withColumn("weight",
+        floor(sqrt(greatest(col("avail"), lit(0L)).cast("double"))).cast("long"))
+      .withColumn("__w", sum(col("weight")).over(all))
+      .withColumn("__base", when(col("__w") > 0,
+        expr("__budget * weight div __w")).otherwise(lit(0L)))
+      .withColumn("__rem", when(col("__w") > 0,
+        expr("__budget * weight % __w")).otherwise(lit(0L)))
+      .withColumn("__left", col("__budget") - sum(col("__base")).over(all))
+      .withColumn("__rk", row_number().over(remOrd).cast("long"))
+      .withColumn("alloc", when(col("__w") > 0,
+        col("__base") + when(col("__rk") <= col("__left"), 1L).otherwise(0L))
+        .otherwise(lit(0L)))
+      .withColumn("epochs",
+        col("alloc").cast("double") / nullif(col("avail"), lit(0L)).cast("double"))
+      .select(sourceCol, "avail", "weight", "alloc", "epochs")
+  }
 }

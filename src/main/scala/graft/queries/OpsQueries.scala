@@ -276,6 +276,26 @@ object OpsQueries extends QueryModule {
         .orderBy("stratum")
     }),
 
+    // Q-PIPE9 (round 9): temperature-flattened mixture — the OTHER
+    // standard data-mixture rule next to the q_pipe5/6 waterfill: budget
+    // share ∝ avail^(1/2) (temperature T = 2, the mT5/XLM-R language-
+    // balancing flattening), exact-integer via isqrt weights +
+    // largest-remainder apportionment, so Σ alloc == budget exactly and
+    // no libm pow() ever runs. Same sufficient-statistic shape as
+    // q_sample10: the corpus reduces to per-source token counts first.
+    "q_pipe9" -> ((s, d) => {
+      val toks = Tables.load(s, d, "documents")
+        .select(col("source"),
+          size(TextOps.tokens(col("text"))).cast("long").as("__nt"))
+      val perSource = toks.groupBy("source").agg(sum("__nt").as("avail"))
+        .localCheckpoint()
+      val budget = perSource.agg(expr("sum(avail) div 2").as("__budget"))
+      Curation.temperatureMixture(
+          perSource.crossJoin(broadcast(budget)),
+          "source", "avail", col("__budget"))
+        .orderBy("source")
+    }),
+
     // Q-CORR1: pairwise correlation matrix of per-supplier daily revenue
     // WITHOUT a cartesian: the self-join keys on day (both sides already
     // aggregated to supplier x day), pairs form per-day only, and the
@@ -936,6 +956,38 @@ object OpsQueries extends QueryModule {
         |        FROM toks GROUP BY stratum),
         |tot AS (SELECT CAST(SUM(nt) AS BIGINT) AS budget FROM toks),
         |${Shared.waterfillSqlTail(2)}""".stripMargin,
+
+    // q_pipe9: the temperature rule replayed in the same integer terms —
+    // isqrt weights (floor-of-correctly-rounded-sqrt is exact isqrt at
+    // these magnitudes on both engines), integer base/remainder
+    // apportionment, windows CAST back to BIGINT (SUM OVER widens to
+    // HUGEINT — the r9 representation class).
+    "q_pipe9" ->
+      s"""WITH toks AS (SELECT source,
+        |    CAST(len(${TextDedupQueries.tokSql}) AS BIGINT) AS nt FROM documents),
+        |per AS (SELECT source, CAST(SUM(nt) AS BIGINT) AS avail
+        |        FROM toks GROUP BY source),
+        |b AS (SELECT CAST(SUM(nt) AS BIGINT) // 2 AS budget FROM toks),
+        |w AS (SELECT source, avail,
+        |        CAST(floor(sqrt(CAST(greatest(avail, 0) AS DOUBLE))) AS BIGINT) AS weight,
+        |        budget
+        |      FROM per, b),
+        |t AS (SELECT *, CAST(SUM(weight) OVER () AS BIGINT) AS tw FROM w),
+        |a AS (SELECT source, avail, weight, budget, tw,
+        |        CASE WHEN tw > 0 THEN (budget * weight) // tw ELSE 0 END AS base,
+        |        CASE WHEN tw > 0 THEN (budget * weight) % tw ELSE 0 END AS rem
+        |      FROM t),
+        |l AS (SELECT *, budget - CAST(SUM(base) OVER () AS BIGINT) AS leftv,
+        |        CAST(row_number() OVER (ORDER BY rem DESC, source) AS BIGINT) AS rk
+        |      FROM a),
+        |f AS (SELECT source, avail, weight,
+        |        CAST(CASE WHEN tw > 0
+        |             THEN base + CASE WHEN rk <= leftv THEN 1 ELSE 0 END
+        |             ELSE 0 END AS BIGINT) AS alloc
+        |      FROM l)
+        |SELECT source, avail, weight, alloc,
+        |  CAST(alloc AS DOUBLE) / CAST(nullif(avail, 0) AS DOUBLE) AS epochs
+        |FROM f ORDER BY source""".stripMargin,
 
     // q_pipe6: the quality gate changes WHICH tokens are available; the
     // same waterfill chain then plans over the gated counts at half the

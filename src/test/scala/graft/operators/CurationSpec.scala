@@ -140,6 +140,40 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("temperatureMixture: exact budget, flattening direction, integer isqrt weights") {
+    val per = Seq(("big", 1000000L), ("mid", 10000L), ("small", 100L))
+      .toDF("src", "avail")
+    val got = Curation.temperatureMixture(per, "src", "avail", lit(50000L))
+      .select("src", "avail", "weight", "alloc").as[(String, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    // isqrt weights: 1000, 100, 10
+    assert(got("big")._3 === 1000L && got("mid")._3 === 100L && got("small")._3 === 10L)
+    // largest-remainder apportionment sums EXACTLY to the budget
+    assert(got.values.map(_._4).sum === 50000L)
+    // the flattening: shares follow sqrt, so the small source's share of
+    // the budget (10/1110) far exceeds its share of the corpus (1e-4)
+    val smallShare = got("small")._4.toDouble / 50000.0
+    assert(smallShare > 0.008 && smallShare < 0.010)
+    // proportional-to-weight within integer rounding
+    got.values.foreach { case (_, _, w, a) =>
+      assert(math.abs(a - 50000.0 * w / 1110.0) <= 1.0) }
+  }
+
+  test("temperatureMixture: zero-weight corpus allocates nothing; epochs surface repetition") {
+    val got = Curation.temperatureMixture(
+        Seq(("a", 0L), ("b", 0L)).toDF("src", "avail"), "src", "avail", lit(99L))
+      .select("src", "alloc").as[(String, Long)].collect().toMap
+    assert(got.values.forall(_ === 0L), "W = 0 must allocate nothing")
+    val rep = Curation.temperatureMixture(
+        Seq(("tiny", 4L), ("huge", 1000000L)).toDF("src", "avail"),
+        "src", "avail", lit(100000L))
+      .where(col("src") === "tiny")
+      .select("epochs").as[Double].collect().head
+    // tiny gets ~100000*2/1002 ≈ 200 tokens from 4 available ⇒ ~50 epochs:
+    // temperature sampling repeats freely, and the column makes that visible
+    assert(rep > 10.0, s"expected heavy repetition surfaced in epochs, got $rep")
+  }
+
   test("waterfill: empty source gets zero allocation and null epochs") {
     val row = Curation.waterfillMixture(
         Seq(("a", 0L), ("b", 50L)).toDF("src", "avail"), "src", "avail",
