@@ -43,18 +43,24 @@ private[queries] object Shared {
       NearDup.simhash(Tables.load(s, d, "documents"), "doc_id", col("text"))
     }
 
-  /** Cosine>=0.5 pairs within label blocks over `embeddings` — consumed by
-    * q_sim2 (the pair list), q_dedup6 (cluster survivors) and q_dedup7
-    * (component labels). Produced by the LSH-BUCKETED path (candidates
-    * from hyperplane-band bucket collisions, exact re-score of collisions
-    * only — never a block-quadratic self-join); the q_sim2/q_dedup7
-    * oracles verify it equals the exact all-pairs edge list on the
-    * fixtures, and the spec asserts the same against
-    * `Similarity.allPairsAboveThreshold` as ground truth. */
+  /** Cosine>=0.3 pairs within label blocks over `embeddings` — consumed
+    * by q_sim2 (the pair list), q_dedup6 (cluster survivors) and
+    * q_dedup7 (component labels). ROUND-9 REWORK: the previous 0.5
+    * threshold yielded ZERO pairs on the sf0.01 fixture, so this whole
+    * oracle family was passing vacuously — and at a threshold low enough
+    * to produce pairs (0.3 ⇒ 111 pairs here) the LSH-bucketed path's
+    * recall genuinely collapses (sign-bucket collision probability
+    * (1−θ/π)^planes at θ ≈ 72° misses most qualifying pairs), so its
+    * output could never equal an exact oracle. The family therefore runs
+    * the EXACT within-block kernel — the same bounded-block contract as
+    * `SemDedup.pairsWithinCells` (blocks are label/cell-bounded by
+    * construction; the within-block join is the declared cost) — and the
+    * LSH-bucketed operator keeps its own recall-spec'd surface
+    * (q_sim3/q_sim6, ScaleBench, planted-recall spec). */
   def cosinePairs(s: SparkSession, d: String): DataFrame =
     Memo.cachedDf(s, s"cosine_pairs|$d") {
-      Similarity.lshBucketedPairsAboveThreshold(Tables.load(s, d, "embeddings"),
-        "vec_id", "embedding", col("label"), minSim = 0.5, dim = 64)
+      Similarity.allPairsAboveThreshold(Tables.load(s, d, "embeddings"),
+        "vec_id", "embedding", col("label"), minSim = 0.3)
     }
 
   /** Duplicated-span pairs over `documents` (q_dedup10's surface) —
@@ -283,7 +289,7 @@ private[queries] object Shared {
   def cosinePairsSql: String =
     s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b
        |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-       |WHERE round(${cosSql("a.embedding", "b.embedding")}, 6) >= 0.5""".stripMargin
+       |WHERE round(${cosSql("a.embedding", "b.embedding")}, 6) >= 0.3""".stripMargin
 
   /** q_agg17's support>=2 capped-basket pair table — consumed by q_agg17
     * (the support table), q_agg18 (the rule table) and, as an undirected

@@ -770,7 +770,7 @@ object SimMmQueries extends QueryModule {
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |  round(${cosSql("a.embedding", "b.embedding")}, 6) AS sim
          |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-         |WHERE round(${cosSql("a.embedding", "b.embedding")}, 6) >= 0.5
+         |WHERE round(${cosSql("a.embedding", "b.embedding")}, 6) >= 0.3
          |ORDER BY id_a, id_b""".stripMargin,
     "q_sim5" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id IN (0, 1, 2))

@@ -309,7 +309,7 @@ object TextDedupQueries extends QueryModule {
     "q_dedup9" -> ((s, d) => {
       val (indexed, _) = graft.operators.IvfAnn.cachedIndex(
         s, d, "embedding", numClusters = 16)(Tables.load(s, d, "embeddings"))
-      graft.operators.SemDedup.survivors(indexed, "vec_id", "embedding", minSim = 0.5)
+      graft.operators.SemDedup.survivors(indexed, "vec_id", "embedding", minSim = 0.3)
         .select("vec_id", "label").orderBy("vec_id")
     }),
 
@@ -374,7 +374,7 @@ object TextDedupQueries extends QueryModule {
           day2,
           Shared.storedCells(s, d).select(col("__cluster"),
             col("__id").as("vec_id"), col("__vec").as("embedding")),
-          "vec_id", "embedding", minSim = 0.5)
+          "vec_id", "embedding", minSim = 0.3)
         .orderBy("id_a", "id_b")
     }),
 
@@ -1474,7 +1474,7 @@ object TextDedupQueries extends QueryModule {
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b
          |FROM embeddings a JOIN embeddings b
          |  ON a.label = b.label AND a.vec_id < b.vec_id
-         |WHERE round(${Shared.cosSql("a.embedding", "b.embedding")}, 6) >= 0.5
+         |WHERE round(${Shared.cosSql("a.embedding", "b.embedding")}, 6) >= 0.3
          |  AND (a.vec_id % 5 = 0 OR b.vec_id % 5 = 0)
          |ORDER BY id_a, id_b""".stripMargin,
     "q_dedup4" ->
