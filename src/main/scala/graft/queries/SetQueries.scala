@@ -26,9 +26,15 @@ object SetQueries extends QueryModule {
         .intersect(Tables.load(s, d, "supplier").select(col("s_nationkey").as("nk")))
         .orderBy("nk")),
 
+    // EXCEPT with a restricted right side (the first 20 suppliers): the
+    // unrestricted form returns ZERO rows on every fixture (all nations
+    // have suppliers), which made this oracle compare empty sets — the
+    // restriction keeps both branches of the set difference exercised
+    // (11 kept, 14 excluded at sf0.01).
     "q_set3" -> ((s, d) =>
       Tables.load(s, d, "nation").select(col("n_nationkey").as("nk"))
-        .except(Tables.load(s, d, "supplier").select(col("s_nationkey").as("nk")))
+        .except(Tables.load(s, d, "supplier").where(col("s_suppkey") <= 20)
+          .select(col("s_nationkey").as("nk")))
         .orderBy("nk")),
 
     // Q-SET4: exact dedup with a total tie-break (row_number=1), never
@@ -54,7 +60,8 @@ object SetQueries extends QueryModule {
         |INTERSECT SELECT s_nationkey AS nk FROM supplier ORDER BY nk""".stripMargin,
     "q_set3" ->
       """SELECT n_nationkey AS nk FROM nation
-        |EXCEPT SELECT s_nationkey AS nk FROM supplier ORDER BY nk""".stripMargin,
+        |EXCEPT SELECT s_nationkey AS nk FROM supplier WHERE s_suppkey <= 20
+        |ORDER BY nk""".stripMargin,
     "q_set4" ->
       """SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber, l_quantity
         |FROM (SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber, l_quantity,

@@ -7,10 +7,10 @@ cd "$(dirname "$0")/.."
 SF="${1:-/root/testdata/sf0.01}"
 OUT="$(mktemp -d /tmp/graft_ci.XXXXXX)"
 
-echo "== 1/4 compile + tests"
+echo "== 1/5 compile + tests"
 sbt -batch test
 
-echo "== 2/4 verify dump @ $SF"
+echo "== 2/5 verify dump @ $SF"
 sbt -batch "runMain graft.Verify $SF $OUT"
 
 echo "== 3/5 DuckDB oracle compare"
