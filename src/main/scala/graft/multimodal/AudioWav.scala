@@ -458,14 +458,15 @@ object AudioWav {
   /** [[audioHashes]] with decode-failure quarantine — the WAV twin of
     * `Multimodal.imageDHashesQuarantined`: one decode pass, corrupt clips
     * to the quarantine frame, good clips hash normally. */
-  def audioHashesQuarantined(binDf: DataFrame)
+  def audioHashesQuarantined(binDf: DataFrame,
+                             hashFn: Array[Short] => Long = audioHash64)
       : (DataFrame, Dataset[Multimodal.QuarantinedMedia]) = {
     val spark = binDf.sparkSession
     import spark.implicits._
     val parsed = binDf.select(col("doc_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, payload) =>
-        try (Some((id, audioHash64(decodeWavPcm16(payload)._2))): Option[(Long, Long)],
+        try (Some((id, hashFn(decodeWavPcm16(payload)._2))): Option[(Long, Long)],
           None: Option[Multimodal.QuarantinedMedia])
         catch {
           case scala.util.control.NonFatal(e) =>

@@ -167,15 +167,26 @@ object StreamingDedup {
   def processAudioBatch(newMedia: DataFrame, hashStoreDir: String,
                         batchId: Option[Long] = None,
                         maxHamming: Int = 3,
-                        quarantineDir: Option[String] = None): DataFrame = {
+                        quarantineDir: Option[String] = None,
+                        spectral: Boolean = false): DataFrame = {
     import graft.multimodal.AudioWav
     val spark = newMedia.sparkSession
+    // spectral = true runs the round-9 constant-Q fingerprint instead of
+    // the Haar time hash — the store then holds cqhash values under the
+    // same "ahash" column (one store dir holds ONE fingerprint kind; the
+    // kinds collide numerically, so mixing dirs is the caller's bug, the
+    // same homogeneity contract as the band/semantic stores).
+    val hashFn: Array[Short] => Long =
+      if (spectral) AudioWav.constantQHash64 else AudioWav.audioHash64
     val hashed = quarantineDir match {
       case Some(qdir) =>
-        val (good, quar) = AudioWav.audioHashesQuarantined(newMedia)
+        val (good, quar) = AudioWav.audioHashesQuarantined(newMedia, hashFn)
         writeQuarantine(quar.toDF(), qdir, batchId)
         good
-      case None => AudioWav.audioHashes(newMedia)
+      case None =>
+        if (spectral) AudioWav.constantQHashes(newMedia)
+          .withColumnRenamed("cqhash", "ahash")
+        else AudioWav.audioHashes(newMedia)
     }
     val newHashes = hashed
       .localCheckpoint() // reused three times (anti-join, join, write)
@@ -216,12 +227,13 @@ object StreamingDedup {
     * the audio mirror of [[runImages]]. AvailableNow + checkpoint. */
   def runAudio(spark: SparkSession, incomingDir: String, schema: StructType,
                hashStoreDir: String, candidatesDir: String,
-               checkpoint: String, quarantineDir: Option[String] = None): Unit = {
+               checkpoint: String, quarantineDir: Option[String] = None,
+               spectral: Boolean = false): Unit = {
     val q = spark.readStream.schema(schema).parquet(incomingDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processAudioBatch(batch, hashStoreDir, Some(batchId),
-            quarantineDir = quarantineDir)
+            quarantineDir = quarantineDir, spectral = spectral)
           .write.mode("overwrite").parquet(s"$candidatesDir/batch=$batchId")
       }
       .option("checkpointLocation", checkpoint)

@@ -63,6 +63,25 @@ class StreamingAudioDedupSpec extends SparkSpec {
       "hash store has no duplicate rows after replay")
   }
 
+  test("spectral=true runs the constant-Q fingerprint through the same store machinery") {
+    val store = Files.createTempDirectory("graft_scq_store").toString + "/h"
+    StreamingDedup.processAudioBatch(
+      Seq((0L, wav(100)), (1L, wav(200))).toDF("doc_id", "payload"),
+      store, batchId = Some(0L), spectral = true)
+    val pairs = StreamingDedup.processAudioBatch(
+        Seq((2L, wav(100)), (3L, wav(300))).toDF("doc_id", "payload"),
+        store, batchId = Some(1L), spectral = true)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((0L, 2L)),
+      s"bit-identical late dup must pair under the cq fingerprint, got $pairs")
+    // the stored values really are cq hashes, not Haar time hashes
+    val stored = spark.read.parquet(store)
+      .select("doc_id", "ahash").as[(Long, Long)].collect().toMap
+    val expectCq = AudioWav.constantQHash64(
+      AudioWav.decodeWavPcm16(wav(100))._2)
+    assert(stored(0L) === expectCq, "store must hold the constant-Q value")
+  }
+
   test("corrupt clip in a micro-batch is quarantined, not fatal (quarantineDir set)") {
     val store = Files.createTempDirectory("graft_saudq_store").toString + "/h"
     val qdir = Files.createTempDirectory("graft_saudq_q").toString + "/q"
