@@ -130,6 +130,27 @@ class SimilaritySpec extends SparkSpec {
       s"overlap ${exactTop.intersect(quantTop).size}/10")
   }
 
+  test("LSH-bucketed recall collapses at low thresholds (the r9 oracle-family adjudication)") {
+    // why q_sim2/q_dedup6/7/21 run the exact within-block kernel: at a
+    // pair-producing threshold (0.3 on the sf0.01 fixture, 111 exact
+    // pairs) the sign-bucket collision probability (1−θ/π)^planes ≈ 0.6%
+    // per band at θ≈72° misses most qualifying pairs even across 24
+    // bands. Precision stays exact (every emitted pair is re-scored) —
+    // the LSH trade is recall, measured here, not hoped away.
+    val emb01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = pairSet(Similarity.allPairsAboveThreshold(
+      emb01, "vec_id", "embedding", col("label"), 0.3))
+    val bucketed = pairSet(Similarity.lshBucketedPairsAboveThreshold(
+      emb01, "vec_id", "embedding", col("label"), 0.3, dim = 64))
+    assert(exact.size >= 100, s"fixture should yield ~111 pairs at 0.3, got ${exact.size}")
+    assert(bucketed.subsetOf(exact), "precision must stay exact (re-scored candidates)")
+    assert(bucketed.size < exact.size,
+      s"recall must be < 1 at sim 0.3 (got ${bucketed.size}/${exact.size}) — " +
+        "if this ever reaches 1.0 the exact-kernel adjudication should be revisited")
+  }
+
   test("LSH-bucketed pair list equals exact all-pairs on fixture + planted near-dups") {
     // planted corpus: per label, random base vectors plus perturbed copies
     // (cosine ~0.99) — every planted pair must survive the bucketed path
