@@ -181,4 +181,64 @@ object AsOfJoin {
     }
     cleared
   }
+
+  /** Nearest as-of (pandas `merge_asof(direction='nearest')`, round 9 —
+    * the third direction completing at-or-before / at-or-after): per left
+    * row, whichever of the latest at-or-before and earliest at-or-after
+    * right rows is CLOSER in time; equal distance → the at-or-before
+    * match (a deterministic pin, mirrored literally by the oracle).
+    *
+    * Distance is |unix_micros| of the two times, so left/right time
+    * columns must be timestamp-castable (dates land on UTC midnight
+    * under the session's UTC timezone) — exact integer micros, no float
+    * anywhere in the comparison.
+    *
+    * ONE shuffle: both inputs hash-partition on the key once; the two
+    * carried values are windows over the SAME partitioning in opposite
+    * sort orders (Spark re-sorts within partitions for the second
+    * window — a partition-local sort, not another exchange), then the
+    * closer match is picked per row. Never materializes the left ×
+    * candidates blow-up. */
+  def nearest(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, leftTime: String,
+      rightKey: String, rightTime: String,
+      rightValueCols: Seq[String], tieBreak: Seq[String]): DataFrame = {
+
+    val payloadCols = (rightTime +: tieBreak) ++ rightValueCols
+    val l = left
+      .withColumn("__k", col(leftKey))
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+    val r = right.select(
+      col(rightKey).as("__k"),
+      col(rightTime).as("__t"),
+      struct(payloadCols.distinct.map(col): _*).as("__rv"))
+      .withColumn("__side", lit(0))
+
+    // same frames as lastAtOrBefore / firstAtOrAfter, over one partitioning
+    val wB = Window.partitionBy("__k")
+      .orderBy(col("__t").asc, col("__side").asc, col("__rv").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wA = Window.partitionBy("__k")
+      .orderBy(col("__t").desc, col("__side").asc, col("__rv").desc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val lt = unix_micros(col("__t").cast("timestamp"))
+    def rt(c: Column) = unix_micros(c.getField(rightTime).cast("timestamp"))
+    val joined = l.unionByName(r.withColumn("__lpad", lit(null)), allowMissingColumns = true)
+      .drop("__lpad")
+      .withColumn("__before", last(col("__rv"), ignoreNulls = true).over(wB))
+      .withColumn("__after", last(col("__rv"), ignoreNulls = true).over(wA))
+      .where(col("__side") === 1)
+      .withColumn("__asof",
+        when(col("__before").isNull, col("__after"))
+          .when(col("__after").isNull, col("__before"))
+          .when(lt - rt(col("__before")) <= rt(col("__after")) - lt, col("__before"))
+          .otherwise(col("__after")))
+
+    val valueSel = rightValueCols.map(c => col("__asof").getField(c).as(s"asof_$c"))
+    val timeSel = col("__asof").getField(rightTime).as(s"asof_$rightTime")
+    joined.select(left.columns.toIndexedSeq.map(col) ++ (timeSel +: valueSel): _*)
+  }
 }

@@ -127,6 +127,21 @@ object RelationalQueries extends QueryModule {
         .orderBy("o_orderkey")
     }),
 
+    // Q-JOIN13 (round 9): NEAREST as-of — pandas merge_asof's third
+    // direction, completing at-or-before (q_join7/8) and at-or-after:
+    // per order, whichever of the latest-before / earliest-after events
+    // is closer in exact integer micros, equal distance → before. One
+    // key shuffle, two opposite-order windows on it.
+    "q_join13" -> ((s, d) => {
+      val orders = Tables.load(s, d, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+      AsOfJoin.nearest(orders, shiftedEvents(s, d),
+        leftKey = "o_custkey", leftTime = "o_orderdate",
+        rightKey = "user_id", rightTime = "ts2",
+        rightValueCols = Seq(), tieBreak = Seq("event_id"))
+        .select("o_orderkey", "asof_ts2")
+        .orderBy("o_orderkey")
+    }),
+
     "q_sub1" -> (aboveCustomerAvg _),
 
     // Q-JOIN10 (round 7): the TPC-H Q3 shape — top-10 highest-revenue
@@ -358,6 +373,23 @@ object RelationalQueries extends QueryModule {
         |  (SELECT max(e.ts - INTERVAL 29 YEAR) FROM events e
         |   WHERE e.user_id = o.o_custkey AND e.ts - INTERVAL 29 YEAR <= o.o_orderdate) AS asof_ts2
         |FROM orders o ORDER BY o.o_orderkey""".stripMargin,
+    // q_join13: before/after via the q_join7 correlated scalars, the pick
+    // via the same exact-integer micro distances and tie rule (equal
+    // distance -> before) the operator pins.
+    "q_join13" ->
+      """WITH ba AS (SELECT o.o_orderkey, o.o_orderdate,
+        |  (SELECT max(e.ts - INTERVAL 29 YEAR) FROM events e
+        |   WHERE e.user_id = o.o_custkey AND e.ts - INTERVAL 29 YEAR <= o.o_orderdate) AS b,
+        |  (SELECT min(e.ts - INTERVAL 29 YEAR) FROM events e
+        |   WHERE e.user_id = o.o_custkey AND e.ts - INTERVAL 29 YEAR >= o.o_orderdate) AS a
+        |  FROM orders o)
+        |SELECT o_orderkey,
+        |  CASE WHEN b IS NULL THEN a
+        |       WHEN a IS NULL THEN b
+        |       WHEN epoch_us(CAST(o_orderdate AS TIMESTAMP)) - epoch_us(b)
+        |            <= epoch_us(a) - epoch_us(CAST(o_orderdate AS TIMESTAMP)) THEN b
+        |       ELSE a END AS asof_ts2
+        |FROM ba ORDER BY o_orderkey""".stripMargin,
     "q_scd1" ->
       """WITH s1 AS (SELECT c_custkey, c_acctbal AS bal FROM customer),
         |s2 AS (SELECT c_custkey,

@@ -78,6 +78,40 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out("no-right-key") === None)
   }
 
+  test("nearest: closer side wins, equal distance -> before, missing sides degrade") {
+    val m = AsOfJoin.nearest(left, right,
+      "lk", "lt", "k", "t", rightValueCols = Seq("v"), tieBreak = Seq("eid"))
+      .select("tag", "asof_v").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(m("before-any") === Some(1.0), "no before -> the after match")
+    assert(m("exactly-at") === Some(3.0), "zero distance: the at-time row (max tie-break)")
+    assert(m("after-all") === Some(3.0), "no after -> the before match")
+    assert(m("simple") === Some(9.0))
+    assert(m("no-right-key") === None)
+    // a left row exactly midway between two right rows: before wins the tie
+    val midL = Seq((1L, ts("2024-01-01 11:00:00"), "midway")).toDF("lk", "lt", "tag")
+    val tie = AsOfJoin.nearest(midL, right,
+      "lk", "lt", "k", "t", rightValueCols = Seq("v"), tieBreak = Seq("eid"))
+      .select("asof_v").collect().head.get(0)
+    assert(tie === 1.0, "10:00 and 12:00 are equidistant from 11:00 -> the before row")
+    // a strictly-closer after row beats a farther before row
+    val closeL = Seq((1L, ts("2024-01-01 11:40:00"), "late")).toDF("lk", "lt", "tag")
+    val close = AsOfJoin.nearest(closeL, right,
+      "lk", "lt", "k", "t", rightValueCols = Seq("v"), tieBreak = Seq("eid"))
+      .select("asof_v").collect().head.get(0)
+    // the after side carries firstAtOrAfter's convention: MIN tie-break
+    // among the equal-time 12:00 rows -> eid=101 (v=2.0)
+    assert(close === 2.0, "12:00 (20 min) beats 10:00 (100 min), min tie-break")
+  }
+
+  test("nearest plans ONE exchange: both direction windows share the key partitioning") {
+    val p = AsOfJoin.nearest(left, right,
+      "lk", "lt", "k", "t", rightValueCols = Seq("v"), tieBreak = Seq("eid"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges === 1, s"expected a single key shuffle, got $exchanges:\n${p.take(1500)}")
+  }
+
   test("lastWithin clears matches older than the lookback") {
     val out = AsOfJoin.lastWithin(left, right, "lk", "lt", "k", "t",
       Seq("v"), Seq("eid"), expr("INTERVAL 1 HOUR"))
