@@ -168,6 +168,56 @@ object TechnicalIndicators {
       .withColumnRenamed("ord", ordCol)
   }
 
+  /** Rolling volatility over EXACT micro-unit returns (round 9 — the
+    * flagship risk feature of the reference's domain, in the q_ta1/q_ta3
+    * numeric discipline): per key, the period-over-period return is
+    * quantized ONCE to exact integer micro
+    * (r_micro = rhaDiv((c_t − c_{t−1})·1e6, c_{t−1}), the emaMicro
+    * rounding rule — no IEEE division survives into state), then the
+    * rolling sample standard deviation comes from exact BIGINT window
+    * sums (Σr, Σr², n) with the double formula applied once at the end —
+    * the meanSd pattern, so the emitted vol is a bit-identical chain on
+    * every engine (casts of exact integers, same-order arithmetic, one
+    * correctly-rounded sqrt).
+    *
+    * All windowed — one shuffle on the key, no serial pass (unlike the
+    * genuinely recursive EMA). Requires positive `unitsCol` values
+    * (returns are undefined at c ≤ 0; revenue/price series by
+    * construction). Overflow: |r_micro| ≤ 1e6·max-swing — the window sum
+    * of squares needs window·r² < 2^63, i.e. a 100x daily swing (r =
+    * 1e8) holds to window ≈ 900.
+    *
+    * Output: (key, ord, value_units, r_micro — null on each key's first
+    * row, vol_micro — sample stddev of the window's returns in micro
+    * units, 0.0 when fewer than 2 returns are in frame). */
+  def rollingVolMicro(df: DataFrame, keyCol: String, ordCol: String,
+                      unitsCol: String, window: Int): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(ordCol))
+    val wv = Window.partitionBy(col(keyCol)).orderBy(col(ordCol))
+      .rowsBetween(-(window - 1), 0)
+    val c = col(unitsCol).cast("long")
+    // rhaDiv as a Column: round-half-away integer division, both
+    // branches routed through non-negative operands so floor == truncate
+    // on any engine (the emaMicro oracle convention)
+    val withR = df.select(col(keyCol), col(ordCol), c.as("__u"))
+      .withColumn("__prev", lag(col("__u"), 1).over(w))
+      .withColumn("__a", (col("__u") - col("__prev")) * lit(1000000L))
+      .withColumn("r_micro",
+        when(col("__prev").isNull, lit(null).cast("long"))
+          .when(col("__a") >= 0, expr("(2 * __a + __prev) div (2 * __prev)"))
+          .otherwise(-expr("(-2 * __a + __prev) div (2 * __prev)")))
+    val n = count(col("r_micro")).over(wv).cast("double")
+    val s = sum(col("r_micro")).over(wv).cast("double")
+    val sq = sum(col("r_micro") * col("r_micro")).over(wv).cast("double")
+    withR
+      .withColumn("vol_micro",
+        when(n > 1.0, sqrt(greatest((sq - s * s / n) / (n - lit(1.0)), lit(0.0))))
+          .otherwise(lit(0.0)))
+      .select(col(keyCol), col(ordCol), col("__u").as("value_units"),
+        col("r_micro"), col("vol_micro"))
+  }
+
   /** In-memory reference of [[emaMicro]] for tests (inputs already in
     * `unitsScale`-dp units). */
   def emaMicroReference(units: Seq[Long], alphaNum: Long, alphaDen: Long,

@@ -103,6 +103,24 @@ object TechQueries extends QueryModule {
         .orderBy("l_suppkey", "m_ord")
     }),
 
+    // Q-TA8 (round 9): 30-day rolling volatility of per-supplier daily
+    // revenue — the flagship risk feature of the reference's domain.
+    // Returns quantized ONCE to exact integer micro (the emaMicro
+    // rounding rule), stddev from exact BIGINT window sums with the
+    // double formula applied at the end (the q_ta1 meanSd discipline) —
+    // all windowed, one key shuffle, no serial pass.
+    "q_ta8" -> ((s, d) => {
+      val daily = Tables.load(s, d, "lineitem")
+        .groupBy(col("l_suppkey"), col("l_shipdate").cast("date").as("day"))
+        .agg(sum(round(col("l_extendedprice") * lit(100.0)).cast("long"))
+          .as("cents"))
+        .withColumn("day_ord",
+          datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+      TechnicalIndicators.rollingVolMicro(daily, "l_suppkey", "day_ord",
+          "cents", window = 30)
+        .orderBy("l_suppkey", "day_ord")
+    }),
+
     // Q-TA5 (round 7): stochastic oscillator %K over the 14-row channel —
     // where the current value sits inside its recent [min, max] band
     // (0 = at the low, 100 = at the high). Exact integer cents in the
@@ -263,6 +281,39 @@ object TechQueries extends QueryModule {
           |  CAST(sig AS BIGINT) AS signal_micro,
           |  CAST(macd_micro - sig AS BIGINT) AS histogram_micro
           |FROM r9 ORDER BY l_suppkey, m_ord""".stripMargin,
+      // rollingVolMicro's integer return + meanSd chain, literally: the
+      // rhaDiv CASE (both branches non-negative operands), exact BIGINT
+      // window sums cast to DOUBLE once, the identical variance formula.
+      // daily cents CAST back to BIGINT (SUM widens to HUGEINT — the r9
+      // representation class).
+      "q_ta8" ->
+        """WITH daily AS (
+          |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS day,
+          |    CAST(SUM(CAST(round(l_extendedprice*100.0,0) AS BIGINT)) AS BIGINT) AS cents
+          |  FROM lineitem GROUP BY 1, 2),
+          |d AS (
+          |  SELECT l_suppkey, date_diff('day', DATE '1970-01-01', day) AS day_ord, cents,
+          |    lag(cents) OVER (PARTITION BY l_suppkey ORDER BY day) AS prev
+          |  FROM daily),
+          |r AS (
+          |  SELECT l_suppkey, day_ord, cents,
+          |    CASE WHEN prev IS NULL THEN NULL
+          |         WHEN (cents - prev) * 1000000 >= 0
+          |           THEN (2*((cents - prev)*1000000) + prev) // (2*prev)
+          |         ELSE -((-2*((cents - prev)*1000000) + prev) // (2*prev)) END AS r_micro
+          |  FROM d),
+          |v AS (
+          |  SELECT l_suppkey, day_ord, cents, r_micro,
+          |    CAST(COUNT(r_micro) OVER wv AS DOUBLE) AS n,
+          |    CAST(SUM(r_micro) OVER wv AS DOUBLE) AS s,
+          |    CAST(SUM(r_micro * r_micro) OVER wv AS DOUBLE) AS sq
+          |  FROM r WINDOW wv AS (PARTITION BY l_suppkey ORDER BY day_ord
+          |    ROWS BETWEEN 29 PRECEDING AND CURRENT ROW))
+          |SELECT l_suppkey, day_ord, cents AS value_units,
+          |  CAST(r_micro AS BIGINT) AS r_micro,
+          |  CASE WHEN n > 1.0 THEN sqrt(greatest((sq - s * s / n) / (n - 1.0), 0.0))
+          |       ELSE 0.0 END AS vol_micro
+          |FROM v ORDER BY l_suppkey, day_ord""".stripMargin,
       "q_ta7" ->
         """WITH c AS (
           |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS day,

@@ -66,6 +66,38 @@ class TechnicalIndicatorsSpec extends SparkSpec {
     assert(expected(1) == -((-2 * a + 10) / 20))
   }
 
+  test("rollingVolMicro: exact micro returns, sample stddev, partition-invariant") {
+    // hand-checkable series: 1000 -> 1500 (+50%), -> 1200 (-20%), -> 1200 (0%)
+    val cents = Seq(1000L, 1500L, 1200L, 1200L)
+    val rows = for { k <- Seq(1L, 2L); (c, i) <- cents.zipWithIndex }
+      yield (k, i.toLong, c)
+    val df = rows.toDF("k", "ord", "c")
+    for (parts <- Seq(1, 3)) {
+      val out = TechnicalIndicators.rollingVolMicro(
+          df.repartition(parts), "k", "ord", "c", window = 3)
+        .orderBy("k", "ord")
+        .select("k", "r_micro", "vol_micro")
+        .collect().filter(_.getLong(0) == 1L)
+        .map(r => (Option(r.get(1)).map(_.asInstanceOf[Long]), r.getDouble(2)))
+      assert(out.map(_._1).toSeq === Seq(None, Some(500000L), Some(-200000L), Some(0L)),
+        "micro returns must be the exact rhaDiv quanta")
+      assert(out(0)._2 === 0.0 && out(1)._2 === 0.0, "fewer than 2 returns -> 0")
+      // window rows 1..2: returns {500000, -200000}: sample sd = |a-b|/sqrt(2)
+      val sd2 = math.abs(500000.0 - (-200000.0)) / math.sqrt(2.0)
+      assert(math.abs(out(2)._2 - sd2) < 1e-6, s"got ${out(2)._2}, want $sd2")
+      // rows 1..3: {500000, -200000, 0}
+      val xs = Seq(500000.0, -200000.0, 0.0)
+      val m = xs.sum / 3.0
+      val sd3 = math.sqrt(xs.map(x => (x - m) * (x - m)).sum / 2.0)
+      assert(math.abs(out(3)._2 - sd3) < 1e-6)
+    }
+    // round-half-away on the negative branch: 1000 -> 999 is -0.1% = -1000 micro;
+    // 3 -> 2 is -1/3 = -333333.33 micro, rounds away to -333333? half-away:
+    // rhaDiv(-1000000, 3) = -(2000000+3)/6 = -333333 (truncation of .83 -> 333333)
+    assert(TechnicalIndicators.rhaDiv(-1000000L, 3L) === -333333L)
+    assert(TechnicalIndicators.rhaDiv(1L, 2L) === 1L, "half rounds away from zero")
+  }
+
   test("windowed exact mean/sd agrees with direct computation") {
     val df = Seq((1L, 1L, 10.0), (1L, 2L, 12.0), (1L, 3L, 14.0)).toDF("k", "o", "v")
     val w = org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("o")
