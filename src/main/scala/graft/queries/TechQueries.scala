@@ -121,6 +121,48 @@ object TechQueries extends QueryModule {
         .orderBy("l_suppkey", "day_ord")
     }),
 
+    // Q-TA9 (round 9): drawdown — each day's distance below the running
+    // revenue peak in exact integer micro (rhaDiv against the peak), plus
+    // the running MAXIMUM drawdown (the risk headline). Two running
+    // windows on one key sort; integers end to end.
+    "q_ta9" -> ((s, d) => {
+      val w = Window.partitionBy("l_suppkey").orderBy("day_ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, d, "lineitem")
+        .groupBy(col("l_suppkey"), col("l_shipdate").cast("date").as("day"))
+        .agg(sum(round(col("l_extendedprice") * lit(100.0)).cast("long"))
+          .as("cents"))
+        .withColumn("day_ord",
+          datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+        .withColumn("peak", max(col("cents")).over(w))
+        .withColumn("__a", (col("cents") - col("peak")) * lit(1000000L))
+        // cents <= peak always, so the dividend is <= 0: one branch
+        .withColumn("drawdown_micro",
+          -expr("(-2 * __a + peak) div (2 * peak)"))
+        .withColumn("max_drawdown_micro", min(col("drawdown_micro")).over(w))
+        .select(col("l_suppkey"), col("day_ord"), col("cents").as("value_units"),
+          col("peak"), col("drawdown_micro"), col("max_drawdown_micro"))
+        .orderBy("l_suppkey", "day_ord")
+    }),
+
+    // Q-TA10 (round 9): anchored VWAP — the volume-weighted average price
+    // benchmark per supplier, running from the series start: Σ(price·qty)
+    // over Σqty in exact integer cents·units, ONE raw double division per
+    // row (single IEEE op — bit-exact cross-engine, the verify-recipe
+    // rule: never round after dividing).
+    "q_ta10" -> ((s, d) => {
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cents = round(col("l_extendedprice") * lit(100.0)).cast("long")
+      val qty = round(col("l_quantity")).cast("long")
+      outOrder(Tables.load(s, d, "lineitem").select(
+        (col("l_suppkey") +: byNameOrd) ++ Seq(
+          sum(cents * qty).over(wRun).as("__pv"),
+          sum(qty).over(wRun).as("__v")): _*)
+        .withColumn("vwap_cents",
+          col("__pv").cast("double") / nullif(col("__v"), lit(0L)).cast("double"))
+        .drop("__pv", "__v"))
+    }),
+
     // Q-TA5 (round 7): stochastic oscillator %K over the 14-row channel —
     // where the current value sits inside its recent [min, max] band
     // (0 = at the low, 100 = at the high). Exact integer cents in the
@@ -281,6 +323,41 @@ object TechQueries extends QueryModule {
           |  CAST(sig AS BIGINT) AS signal_micro,
           |  CAST(macd_micro - sig AS BIGINT) AS histogram_micro
           |FROM r9 ORDER BY l_suppkey, m_ord""".stripMargin,
+      // drawdown: the dividend cents−peak is never positive, so one
+      // negative-branch rhaDiv on nonneg operands replays exactly; both
+      // running windows over the same deterministic key sort.
+      "q_ta9" ->
+        """WITH daily AS (
+          |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS day,
+          |    CAST(SUM(CAST(round(l_extendedprice*100.0,0) AS BIGINT)) AS BIGINT) AS cents
+          |  FROM lineitem GROUP BY 1, 2),
+          |p AS (
+          |  SELECT l_suppkey, date_diff('day', DATE '1970-01-01', day) AS day_ord, cents,
+          |    CAST(MAX(cents) OVER wr AS BIGINT) AS peak
+          |  FROM daily WINDOW wr AS (PARTITION BY l_suppkey ORDER BY day
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+          |dd AS (
+          |  SELECT l_suppkey, day_ord, cents, peak,
+          |    -((-2*((cents - peak)*1000000) + peak) // (2*peak)) AS drawdown_micro
+          |  FROM p)
+          |SELECT l_suppkey, day_ord, cents AS value_units, peak,
+          |  CAST(drawdown_micro AS BIGINT) AS drawdown_micro,
+          |  CAST(MIN(drawdown_micro) OVER wr AS BIGINT) AS max_drawdown_micro
+          |FROM dd WINDOW wr AS (PARTITION BY l_suppkey ORDER BY day_ord
+          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |ORDER BY l_suppkey, day_ord""".stripMargin,
+      // anchored VWAP: exact integer running sums, ONE raw double
+      // division per row (never round after dividing — the recipe rule).
+      "q_ta10" ->
+        s"""SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+           |  l_extendedprice, l_quantity,
+           |  CAST(SUM(CAST(round(l_extendedprice*100.0,0) AS BIGINT)
+           |           * CAST(round(l_quantity,0) AS BIGINT)) OVER wr AS DOUBLE)
+           |  / CAST(nullif(SUM(CAST(round(l_quantity,0) AS BIGINT)) OVER wr, 0) AS DOUBLE)
+           |    AS vwap_cents
+           |FROM lineitem
+           |WINDOW wr AS ${winSql.dropRight(1)} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_extendedprice, l_quantity""".stripMargin,
       // rollingVolMicro's integer return + meanSd chain, literally: the
       // rhaDiv CASE (both branches non-negative operands), exact BIGINT
       // window sums cast to DOUBLE once, the identical variance formula.

@@ -98,6 +98,26 @@ class TechnicalIndicatorsSpec extends SparkSpec {
     assert(TechnicalIndicators.rhaDiv(1L, 2L) === 1L, "half rounds away from zero")
   }
 
+  test("drawdown/VWAP query math: hand-checked quanta (q_ta9/q_ta10 kernels)") {
+    // drawdown: peak carries 1000, 1500, 1500; only the dip draws down
+    val dd = Seq((1L, 0L, 1000L), (1L, 1L, 1500L), (1L, 2L, 1200L))
+      .toDF("l_suppkey", "day_ord", "cents")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_suppkey").orderBy("day_ord")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val got = dd.withColumn("peak", max(col("cents")).over(w))
+      .withColumn("__a", (col("cents") - col("peak")) * lit(1000000L))
+      .withColumn("ddm", -expr("(-2 * __a + peak) div (2 * peak)"))
+      .orderBy("day_ord").select("ddm").as[Long].collect().toSeq
+    assert(got === Seq(0L, 0L, -200000L), s"got $got")
+    // the rhaDiv identity the SQL CASE mirrors
+    assert(TechnicalIndicators.rhaDiv((1200L - 1500L) * 1000000L, 1500L) === -200000L)
+    // VWAP: (10*2 + 20*1) / 3 cents
+    val vw = Seq((10L, 2L), (20L, 1L))
+    val expect = vw.map { case (p, q) => p * q }.sum.toDouble / vw.map(_._2).sum
+    assert(expect === 40.0 / 3.0)
+  }
+
   test("windowed exact mean/sd agrees with direct computation") {
     val df = Seq((1L, 1L, 10.0), (1L, 2L, 12.0), (1L, 3L, 14.0)).toDF("k", "o", "v")
     val w = org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("o")
