@@ -218,6 +218,41 @@ object TechnicalIndicators {
         col("r_micro"), col("vol_micro"))
   }
 
+  /** Per-key exact micro-unit returns — the r_micro quantization step of
+    * [[rollingVolMicro]] factored out for the CROSS-series features
+    * (rolling beta q_ta12, lead-lag correlation q_corr2). Emits
+    * (keyCols..., ordCol, value_units, r_micro) with r_micro null on each
+    * key's first row; `keyCols` may be empty for a single global series
+    * (the market index — one row per period, so the unpartitioned window
+    * is a non-issue). `clampMicro > 0` clips the return to ±clampMicro
+    * (null-preserving — Spark's greatest/least SKIP nulls, so the clamp
+    * must branch explicitly or a first-row null would collapse to
+    * -clampMicro and survive downstream null filters). The clip is both
+    * the robust-feature practice for ratio features and the OVERFLOW
+    * BOUND for downstream sums of products: with |r| ≤ C and window n,
+    * Σr² ≤ n·C² must stay under 2^63 (C = 1e7, n = 2500 ⇒ 2.5e17 ✓). */
+  def returnsMicro(df: DataFrame, keyCols: Seq[String], ordCol: String,
+                   unitsCol: String, clampMicro: Long = 0L): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(ordCol))
+    val c = col(unitsCol).cast("long")
+    val base = df.select(keyCols.map(col) :+ col(ordCol) :+ c.as("__u"): _*)
+      .withColumn("__prev", lag(col("__u"), 1).over(w))
+      .withColumn("__a", (col("__u") - col("__prev")) * lit(1000000L))
+      .withColumn("r_micro",
+        when(col("__prev").isNull, lit(null).cast("long"))
+          .when(col("__a") >= 0, expr("(2 * __a + __prev) div (2 * __prev)"))
+          .otherwise(-expr("(-2 * __a + __prev) div (2 * __prev)")))
+    val clamped =
+      if (clampMicro > 0)
+        base.withColumn("r_micro",
+          when(col("r_micro").isNull, lit(null).cast("long"))
+            .otherwise(least(greatest(col("r_micro"), lit(-clampMicro)),
+              lit(clampMicro))))
+      else base
+    clamped.select(keyCols.map(col) :+ col(ordCol) :+
+      col("__u").as("value_units") :+ col("r_micro"): _*)
+  }
+
   /** In-memory reference of [[emaMicro]] for tests (inputs already in
     * `unitsScale`-dp units). */
   def emaMicroReference(units: Seq[Long], alphaNum: Long, alphaDen: Long,

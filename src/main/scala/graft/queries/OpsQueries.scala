@@ -326,6 +326,80 @@ object OpsQueries extends QueryModule {
         .orderBy("ka", "kb")
     }),
 
+    // Q-CORR2 (round 9): lead-lag cross-correlation — does a supplier's
+    // return series LEAD or FOLLOW the market? Pearson corr of
+    // (supplier_t, market_{t+k}) for k in [-2, +2] calendar days, per
+    // supplier <= 20. Returns are the shared exact clipped-micro series
+    // (Shared.supplierReturns / marketReturns); the five sufficient
+    // statistics are exact BIGINT group sums (bounded by the ±1e7 clip:
+    // n·C² ≤ 2500·1e14 = 2.5e17 < 2^63) and the corr is the q_corr1
+    // corrFromSums double tree. Market is one row per day — the shifted
+    // join is broadcast, the group-by is tiny (≤ 100 groups).
+    "q_corr2" -> ((s, d) => {
+      val sup = Shared.supplierReturns(s, d).where(col("l_suppkey") <= 20)
+      val mkt = Shared.marketReturns(s, d)
+      val lagged = sup.select(col("l_suppkey"), col("day_ord"), col("x"),
+        explode(array((-2 to 2).map(k => lit(k.toLong)): _*)).as("lead_days"))
+      val stats = lagged
+        .join(broadcast(mkt.select((col("day_ord") as "m_ord"), col("y"))),
+          col("day_ord") + col("lead_days") === col("m_ord"))
+        .groupBy("l_suppkey", "lead_days")
+        .agg(count(lit(1)).as("n"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+      val (corr, vx, vy) = corrFromSums(col("n"), col("sx"), col("sy"),
+        col("sxy"), col("sxx"), col("syy"))
+      stats.where(vx > lit(0.0) && vy > lit(0.0))
+        .select(col("l_suppkey"), col("lead_days"), col("n"),
+          corr.as("xcorr"))
+        .orderBy("l_suppkey", "lead_days")
+    }),
+
+    // Q-SAMPLE11 (round 9): k-fold cross-validation assignment — the
+    // split operator generalized from one holdout to the full CV
+    // expansion: every key appears once per round, as 'test' in exactly
+    // its fold and 'train' elsewhere. Fold membership is the
+    // SQL-replicable Knuth bucket mod k (deterministic, uniform over
+    // residues); the expansion is a k-row explode — no shuffle at all
+    // beyond the final presentation sort.
+    "q_sample11" -> ((s, d) => {
+      val k = 5
+      Tables.load(s, d, "customer")
+        .select(col("c_custkey"),
+          pmod(DataSplit.knuthBucket(col("c_custkey")), lit(k.toLong)).as("fold"))
+        .select(col("c_custkey"), col("fold"),
+          explode(sequence(lit(0L), lit(k - 1L))).as("cv_round"))
+        .withColumn("role",
+          when(col("fold") === col("cv_round"), lit("test")).otherwise(lit("train")))
+        .select("cv_round", "c_custkey", "fold", "role")
+        .orderBy("cv_round", "c_custkey")
+    }),
+
+    // Q-FEAT1 (round 9): leave-one-out target encoding — the
+    // leakage-safe categorical feature: each order's priority is encoded
+    // as the mean target (total price) of all OTHER orders in that
+    // priority, (Σ−x)/(n−1) from exact integer cents with ONE raw double
+    // division (never round after dividing). Per-category stats are a
+    // 5-row aggregate broadcast back — the scale-right plan (a window
+    // over 5 nation-sized partitions would serialize; the broadcast join
+    // keeps the encode map-side at any corpus size).
+    "q_feat1" -> ((s, d) => {
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round(col("o_totalprice") * lit(100.0)).cast("long").as("cents"))
+      val stats = o.groupBy("o_orderpriority")
+        .agg(sum("cents").as("s"), count(lit(1)).as("n"))
+      o.join(broadcast(stats), "o_orderpriority")
+        .withColumn("loo_cents",
+          when(col("n") > 1,
+            (col("s") - col("cents")).cast("double") /
+              (col("n") - lit(1L)).cast("double")))
+        .select("o_orderkey", "o_orderpriority", "cents", "loo_cents")
+        .orderBy("o_orderkey")
+    }),
+
     // Q-IJOIN1: interval-overlap join — user sessions x 2-hour incident
     // windows sharing a cohort key. Bucketized equi-join (6 h buckets) with
     // exactly-once canonical-bucket emission: no BroadcastNestedLoop, no
@@ -1142,5 +1216,54 @@ object OpsQueries extends QueryModule {
         |WHERE CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) > 0.0
         |  AND CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE) > 0.0
         |ORDER BY ka, kb""".stripMargin,
+    // lead-lag corr: the shared exact-return CTEs, a generate_series
+    // shift join against the one-row-per-day market, then the identical
+    // corrFromSums double tree.
+    "q_corr2" ->
+      s"""WITH ${Shared.supplierMarketReturnsSql},
+         |lagged AS (
+         |  SELECT s.l_suppkey, s.day_ord, s.x, k.lead_days
+         |  FROM sx s, (SELECT CAST(unnest(generate_series(-2, 2)) AS BIGINT) AS lead_days) k
+         |  WHERE s.l_suppkey <= 20),
+         |p AS (
+         |  SELECT l.l_suppkey, l.lead_days, COUNT(*) AS n,
+         |    CAST(SUM(l.x) AS BIGINT) AS sx_, CAST(SUM(m.y) AS BIGINT) AS sy_,
+         |    CAST(SUM(l.x*m.y) AS BIGINT) AS sxy,
+         |    CAST(SUM(l.x*l.x) AS BIGINT) AS sxx,
+         |    CAST(SUM(m.y*m.y) AS BIGINT) AS syy
+         |  FROM lagged l JOIN my m ON l.day_ord + l.lead_days = m.day_ord
+         |  GROUP BY 1, 2)
+         |SELECT l_suppkey, lead_days, n,
+         |  (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx_ AS DOUBLE)*CAST(sy_ AS DOUBLE)) /
+         |  (sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx_ AS DOUBLE)*CAST(sx_ AS DOUBLE)) *
+         |   sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy_ AS DOUBLE)*CAST(sy_ AS DOUBLE))) AS xcorr
+         |FROM p
+         |WHERE CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx_ AS DOUBLE)*CAST(sx_ AS DOUBLE) > 0.0
+         |  AND CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy_ AS DOUBLE)*CAST(sy_ AS DOUBLE) > 0.0
+         |ORDER BY l_suppkey, lead_days""".stripMargin,
+    // k-fold CV: the q_sample1 Knuth-bucket ladder reduced mod 5, crossed
+    // with the round index.
+    "q_sample11" ->
+      """SELECT r.cv_round, c.c_custkey,
+        |  ((c.c_custkey % 1000000) * 2654435761) % 1000000 % 5 AS fold,
+        |  CASE WHEN ((c.c_custkey % 1000000) * 2654435761) % 1000000 % 5 = r.cv_round
+        |       THEN 'test' ELSE 'train' END AS role
+        |FROM customer c,
+        |  (SELECT CAST(unnest(generate_series(0, 4)) AS BIGINT) AS cv_round) r
+        |ORDER BY r.cv_round, c.c_custkey""".stripMargin,
+    // LOO target encoding: exact integer (Σ−x), one raw double division.
+    "q_feat1" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(round(o_totalprice*100.0, 0) AS BIGINT) AS cents
+        |  FROM orders),
+        |st AS (
+        |  SELECT o_orderpriority, CAST(SUM(cents) AS BIGINT) AS s, COUNT(*) AS n
+        |  FROM o GROUP BY 1)
+        |SELECT o_orderkey, o.o_orderpriority, cents,
+        |  CASE WHEN n > 1
+        |    THEN CAST(s - cents AS DOUBLE) / CAST(n - 1 AS DOUBLE) END AS loo_cents
+        |FROM o JOIN st USING (o_orderpriority)
+        |ORDER BY o_orderkey""".stripMargin,
   )
 }

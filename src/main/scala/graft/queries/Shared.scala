@@ -302,6 +302,93 @@ private[queries] object Shared {
       AggQueries.pairSupports(s, d)
     }
 
+  /** Per-supplier daily revenue in exact integer cents with the epoch-day
+    * ordinal — the price-series frame every q_ta indicator starts from.
+    * Memoized: q_ta12 and q_corr2 both derive returns from it. */
+  def supplierDailyCents(s: SparkSession, d: String): DataFrame =
+    Memo.cachedDf(s, s"sup_daily_cents|$d") {
+      Tables.load(s, d, "lineitem")
+        .groupBy(col("l_suppkey"), col("l_shipdate").cast("date").as("day"))
+        .agg(sum(round(col("l_extendedprice") * lit(100.0)).cast("long"))
+          .as("cents"))
+        .withColumn("day_ord",
+          datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+        .select("l_suppkey", "day_ord", "cents")
+    }
+
+  /** Clip bound for the cross-series return features: ±1e7 micro
+    * (±1000%) — generous for any real daily move, and the overflow proof
+    * for the downstream sums of products (n·C² ≤ 2500·1e14 = 2.5e17 <
+    * 2^63; each cast-to-double operand ≤ 2.5e17... the SUMS are ≤
+    * n·C² = 2.5e17 pre-cast, and the q_corr1 double tree takes over from
+    * there). */
+  val ReturnClampMicro = 10000000L
+
+  /** Per-supplier daily returns in exact clipped micro units (x) — the
+    * dependent series of rolling beta / lead-lag correlation. */
+  def supplierReturns(s: SparkSession, d: String): DataFrame =
+    Memo.cachedDf(s, s"sup_returns|$d") {
+      graft.operators.TechnicalIndicators.returnsMicro(
+          supplierDailyCents(s, d), Seq("l_suppkey"), "day_ord", "cents",
+          clampMicro = ReturnClampMicro)
+        .where(col("r_micro").isNotNull)
+        .select(col("l_suppkey"), col("day_ord"), col("r_micro").as("x"))
+    }
+
+  /** Market daily returns (y): the all-supplier daily total as the index
+    * series, same exact quantization and clip. One row per trading day —
+    * always broadcast on the join side. */
+  def marketReturns(s: SparkSession, d: String): DataFrame =
+    Memo.cachedDf(s, s"mkt_returns|$d") {
+      graft.operators.TechnicalIndicators.returnsMicro(
+          supplierDailyCents(s, d).groupBy("day_ord")
+            .agg(sum("cents").as("mcents")),
+          Seq.empty, "day_ord", "mcents", clampMicro = ReturnClampMicro)
+        .where(col("r_micro").isNotNull)
+        .select(col("day_ord"), col("r_micro").as("y"))
+    }
+
+  /** DuckDB twins of [[supplierReturns]] (CTE `sx(l_suppkey, day_ord, x)`)
+    * and [[marketReturns]] (CTE `my(day_ord, y)`): the identical integer
+    * rhaDiv quantization and explicit null-preserving clamp, layered so
+    * each stage references only the previous one. Prepend after WITH. */
+  def supplierMarketReturnsSql: String =
+    s"""daily AS (
+       |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS day,
+       |    CAST(SUM(CAST(round(l_extendedprice*100.0,0) AS BIGINT)) AS BIGINT) AS cents
+       |  FROM lineitem GROUP BY 1, 2),
+       |dd AS (
+       |  SELECT l_suppkey, date_diff('day', DATE '1970-01-01', day) AS day_ord, cents
+       |  FROM daily),
+       |sr AS (
+       |  SELECT l_suppkey, day_ord, cents,
+       |    lag(cents) OVER (PARTITION BY l_suppkey ORDER BY day_ord) AS prev
+       |  FROM dd),
+       |sraw AS (
+       |  SELECT l_suppkey, day_ord,
+       |    CASE WHEN prev IS NULL THEN NULL
+       |         WHEN (cents - prev)*1000000 >= 0
+       |           THEN (2*((cents - prev)*1000000) + prev) // (2*prev)
+       |         ELSE -((-2*((cents - prev)*1000000) + prev) // (2*prev)) END AS r
+       |  FROM sr),
+       |sx AS (
+       |  SELECT l_suppkey, day_ord,
+       |    CAST(least(greatest(r, -$ReturnClampMicro), $ReturnClampMicro) AS BIGINT) AS x
+       |  FROM sraw WHERE r IS NOT NULL),
+       |md AS (SELECT day_ord, CAST(SUM(cents) AS BIGINT) AS mcents FROM dd GROUP BY 1),
+       |mr AS (SELECT day_ord, mcents, lag(mcents) OVER (ORDER BY day_ord) AS mprev FROM md),
+       |mraw AS (
+       |  SELECT day_ord,
+       |    CASE WHEN mprev IS NULL THEN NULL
+       |         WHEN (mcents - mprev)*1000000 >= 0
+       |           THEN (2*((mcents - mprev)*1000000) + mprev) // (2*mprev)
+       |         ELSE -((-2*((mcents - mprev)*1000000) + mprev) // (2*mprev)) END AS r
+       |  FROM mr),
+       |my AS (
+       |  SELECT day_ord,
+       |    CAST(least(greatest(r, -$ReturnClampMicro), $ReturnClampMicro) AS BIGINT) AS y
+       |  FROM mraw WHERE r IS NOT NULL)""".stripMargin
+
   /** DuckDB recursive-CTE twin of NearDup.connectedComponents over
     * [[cosinePairsSql]]: transitive closure, then component = min reachable
     * vertex — the same min-label fixpoint the Spark loop converges to. */

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryModule, Tables}
@@ -161,6 +161,85 @@ object TechQueries extends QueryModule {
         .withColumn("vwap_cents",
           col("__pv").cast("double") / nullif(col("__v"), lit(0L)).cast("double"))
         .drop("__pv", "__v"))
+    }),
+
+    // Q-TA11 (round 9): weekly OHLCV resample — the bar-building
+    // operation itself (daily/tick -> coarser bars), the reference
+    // domain's canonical "resample('1W')". open/close by min_by/max_by
+    // over a UNIQUE integer tuple-ordinal (epoch-day·2^40 + orderkey·8 +
+    // linenumber — collision-free, so arg_min/arg_max agree on every
+    // engine); high/low/volume are plain exact-integer extremes/sums.
+    // One hash aggregation, no window, no division anywhere.
+    "q_ta11" -> ((s, d) => {
+      val cents = round(col("l_extendedprice") * lit(100.0)).cast("long")
+      val qty = round(col("l_quantity")).cast("long")
+      val ord = datediff(col("l_shipdate").cast("date"),
+          lit("1970-01-01").cast("date")).cast("long") * lit(1099511627776L) +
+        col("l_orderkey").cast("long") * lit(8L) + col("l_linenumber").cast("long")
+      Tables.load(s, d, "lineitem")
+        .withColumn("week", date_trunc("week", col("l_shipdate")).cast("date"))
+        .withColumn("__c", cents).withColumn("__q", qty).withColumn("__o", ord)
+        .groupBy("l_suppkey", "week")
+        .agg(min_by(col("__c"), col("__o")).as("open"),
+          max(col("__c")).as("high"), min(col("__c")).as("low"),
+          max_by(col("__c"), col("__o")).as("close"),
+          sum(col("__q")).as("volume"), count(lit(1)).as("n_trades"))
+        .orderBy("l_suppkey", "week")
+    }),
+
+    // Q-TA12 (round 9): rolling 60-day beta vs the market — the classic
+    // systematic-risk feature: cov(supplier, market)/var(market) over the
+    // joint daily-return window. Both return series are EXACT clipped
+    // integer micro (Shared.supplierReturns/marketReturns — the rhaDiv
+    // quantization + the ±1e7 overflow-bounding clip), the window
+    // statistics are exact BIGINT sums, and beta is the one fixed
+    // double tree at the end (the q_corr1 corrFromSums discipline).
+    // Market frame is one row per day — broadcast; the window is one
+    // shuffle on the supplier key.
+    "q_ta12" -> ((s, d) => {
+      def dd(c: Column) = c.cast("double")
+      val wv = Window.partitionBy("l_suppkey").orderBy("day_ord")
+        .rowsBetween(-59, Window.currentRow)
+      val st = Shared.supplierReturns(s, d)
+        .join(broadcast(Shared.marketReturns(s, d)), "day_ord")
+        .withColumn("n", count(lit(1)).over(wv))
+        .withColumn("sx", sum(col("x")).over(wv))
+        .withColumn("sy", sum(col("y")).over(wv))
+        .withColumn("sxy", sum(col("x") * col("y")).over(wv))
+        .withColumn("syy", sum(col("y") * col("y")).over(wv))
+      val den = dd(col("n")) * dd(col("syy")) - dd(col("sy")) * dd(col("sy"))
+      st.withColumn("beta",
+          when(den > 0.0,
+            (dd(col("n")) * dd(col("sxy")) - dd(col("sx")) * dd(col("sy"))) / den))
+        .select(col("l_suppkey"), col("day_ord"),
+          col("x").as("r_sup_micro"), col("y").as("r_mkt_micro"),
+          col("n"), col("beta"))
+        .orderBy("l_suppkey", "day_ord")
+    }),
+
+    // Q-TA13 (round 9): SMA(10)/SMA(50) crossover events (golden/death
+    // cross) — signal DETECTION, not curve emission: only the rows where
+    // the fast mean crosses the slow one. The comparison is the exact
+    // integer cross-multiplication sign(s10·n50 − s50·n10) — identical to
+    // sign(s10/n10 − s50/n50) with NO division ever computed, so the
+    // output is integers + a label end to end.
+    "q_ta13" -> ((s, d) => {
+      val wd = Window.partitionBy("l_suppkey").orderBy("day_ord")
+      val w10 = wd.rowsBetween(-9, Window.currentRow)
+      val w50 = wd.rowsBetween(-49, Window.currentRow)
+      Shared.supplierDailyCents(s, d)
+        .withColumn("s10", sum(col("cents")).over(w10))
+        .withColumn("n10", count(lit(1)).over(w10))
+        .withColumn("s50", sum(col("cents")).over(w50))
+        .withColumn("n50", count(lit(1)).over(w50))
+        .withColumn("__diff", col("s10") * col("n50") - col("s50") * col("n10"))
+        .withColumn("__prev", lag(col("__diff"), 1).over(wd))
+        .withColumn("signal",
+          when(col("__diff") > 0 && col("__prev") <= 0, lit("golden"))
+            .when(col("__diff") < 0 && col("__prev") >= 0, lit("death")))
+        .where(col("signal").isNotNull)
+        .select("l_suppkey", "day_ord", "s10", "n10", "s50", "n50", "signal")
+        .orderBy("l_suppkey", "day_ord")
     }),
 
     // Q-TA5 (round 7): stochastic oscillator %K over the 14-row channel —
@@ -415,6 +494,80 @@ object TechQueries extends QueryModule {
           |WINDOW wa AS (PARTITION BY l_suppkey ORDER BY day
           |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
           |ORDER BY l_suppkey, day""".stripMargin,
+      // weekly bars: arg_min/arg_max over the same collision-free integer
+      // ordinal Spark's min_by/max_by use — no ties, so both engines pick
+      // the identical row; all sums CAST back to BIGINT (HUGEINT class).
+      "q_ta11" ->
+        """WITH c AS (
+          |  SELECT l_suppkey,
+          |    CAST(date_trunc('week', CAST(l_shipdate AS DATE)) AS DATE) AS week,
+          |    CAST(round(l_extendedprice*100.0, 0) AS BIGINT) AS cents,
+          |    CAST(round(l_quantity, 0) AS BIGINT) AS qty,
+          |    date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) * 1099511627776
+          |      + l_orderkey*8 + l_linenumber AS o
+          |  FROM lineitem)
+          |SELECT l_suppkey, week,
+          |  arg_min(cents, o) AS open, max(cents) AS high, min(cents) AS low,
+          |  arg_max(cents, o) AS close, CAST(SUM(qty) AS BIGINT) AS volume,
+          |  COUNT(*) AS n_trades
+          |FROM c GROUP BY 1, 2 ORDER BY l_suppkey, week""".stripMargin,
+      // rolling beta: the shared exact-return CTEs, BIGINT window sums,
+      // then the corrFromSums double tree (cast each exact sum once,
+      // combine in the same association on both engines).
+      "q_ta12" ->
+        s"""WITH ${Shared.supplierMarketReturnsSql},
+           |j AS (
+           |  SELECT sx.l_suppkey, sx.day_ord, sx.x, my.y
+           |  FROM sx JOIN my ON sx.day_ord = my.day_ord),
+           |st AS (
+           |  SELECT l_suppkey, day_ord, x, y,
+           |    COUNT(*) OVER wv AS n,
+           |    CAST(SUM(x) OVER wv AS BIGINT) AS sx_,
+           |    CAST(SUM(y) OVER wv AS BIGINT) AS sy_,
+           |    CAST(SUM(x*y) OVER wv AS BIGINT) AS sxy,
+           |    CAST(SUM(y*y) OVER wv AS BIGINT) AS syy
+           |  FROM j WINDOW wv AS (PARTITION BY l_suppkey ORDER BY day_ord
+           |    ROWS BETWEEN 59 PRECEDING AND CURRENT ROW))
+           |SELECT l_suppkey, day_ord, x AS r_sup_micro, y AS r_mkt_micro, n,
+           |  CASE WHEN CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+           |            - CAST(sy_ AS DOUBLE)*CAST(sy_ AS DOUBLE) > 0.0
+           |    THEN (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+           |          - CAST(sx_ AS DOUBLE)*CAST(sy_ AS DOUBLE))
+           |       / (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+           |          - CAST(sy_ AS DOUBLE)*CAST(sy_ AS DOUBLE))
+           |  END AS beta
+           |FROM st ORDER BY l_suppkey, day_ord""".stripMargin,
+      // crossover events: exact integer sign test, no division; the NULL
+      // first-row lag falls out of both CASE branches exactly as Spark's
+      // three-valued when() does.
+      "q_ta13" ->
+        """WITH daily AS (
+          |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS day,
+          |    CAST(SUM(CAST(round(l_extendedprice*100.0,0) AS BIGINT)) AS BIGINT) AS cents
+          |  FROM lineitem GROUP BY 1, 2),
+          |d AS (
+          |  SELECT l_suppkey, date_diff('day', DATE '1970-01-01', day) AS day_ord, cents
+          |  FROM daily),
+          |m AS (
+          |  SELECT l_suppkey, day_ord,
+          |    CAST(SUM(cents) OVER w10 AS BIGINT) AS s10, COUNT(*) OVER w10 AS n10,
+          |    CAST(SUM(cents) OVER w50 AS BIGINT) AS s50, COUNT(*) OVER w50 AS n50
+          |  FROM d
+          |  WINDOW w10 AS (PARTITION BY l_suppkey ORDER BY day_ord
+          |      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+          |    w50 AS (PARTITION BY l_suppkey ORDER BY day_ord
+          |      ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)),
+          |x AS (
+          |  SELECT l_suppkey, day_ord, s10, n10, s50, n50,
+          |    s10*n50 - s50*n10 AS diff,
+          |    lag(s10*n50 - s50*n10, 1) OVER (PARTITION BY l_suppkey ORDER BY day_ord) AS prev
+          |  FROM m)
+          |SELECT l_suppkey, day_ord, s10, n10, s50, n50,
+          |  CASE WHEN diff > 0 AND prev <= 0 THEN 'golden'
+          |       WHEN diff < 0 AND prev >= 0 THEN 'death' END AS signal
+          |FROM x
+          |WHERE (diff > 0 AND prev <= 0) OR (diff < 0 AND prev >= 0)
+          |ORDER BY l_suppkey, day_ord""".stripMargin,
       "q_ta5" ->
         s"""WITH c AS (
            |  SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_extendedprice, l_quantity,

@@ -118,6 +118,57 @@ class TechnicalIndicatorsSpec extends SparkSpec {
     assert(expect === 40.0 / 3.0)
   }
 
+  test("returnsMicro: exact quanta, null-preserving clamp, global series, " +
+    "partition-invariant") {
+    // 1000 -> 1500 (+50%) -> 3 (-99.8%) -> 600 (+19900%, clamps at +1e7)
+    val cents = Seq(1000L, 1500L, 3L, 600L)
+    val rows = for { k <- Seq(1L, 2L); (c, i) <- cents.zipWithIndex }
+      yield (k, i.toLong, c)
+    val df = rows.toDF("k", "ord", "c")
+    for (parts <- Seq(1, 3)) {
+      val out = TechnicalIndicators.returnsMicro(
+          df.repartition(parts), Seq("k"), "ord", "c", clampMicro = 10000000L)
+        .orderBy("k", "ord").collect().filter(_.getLong(0) == 1L)
+        .map(r => Option(r.get(3)).map(_.asInstanceOf[Long])).toSeq
+      // the clamp must NOT collapse the first-row null (Spark's
+      // greatest/least skip nulls — the explicit branch guards that)
+      assert(out === Seq(None, Some(500000L),
+        Some(TechnicalIndicators.rhaDiv((3L - 1500L) * 1000000L, 1500L)),
+        Some(10000000L)), s"got $out")
+    }
+    // empty key list = one global series (the market index path)
+    val g = TechnicalIndicators.returnsMicro(
+        cents.zipWithIndex.map { case (c, i) => (i.toLong, c) }.toDF("ord", "c"),
+        Seq.empty, "ord", "c", clampMicro = 10000000L)
+      .orderBy("ord").collect()
+      .map(r => Option(r.get(2)).map(_.asInstanceOf[Long])).toSeq
+    assert(g.head.isEmpty && g(1).contains(500000L) && g(3).contains(10000000L))
+  }
+
+  test("crossover sign test and beta/LOO kernels are exact (q_ta13/q_ta12/q_feat1)") {
+    // sign(s10*n50 - s50*n10) == sign(s10/n10 - s50/n50) for positive counts
+    for ((s10, n10, s50, n50) <- Seq((10L, 2L, 24L, 5L), (9L, 3L, 15L, 5L),
+        (7L, 2L, 18L, 5L))) {
+      val lhs = (s10 * n50 - s50 * n10).sign
+      val rhs = (s10.toDouble / n10 - s50.toDouble / n50).sign.toLong
+      assert(lhs == rhs, s"($s10/$n10 vs $s50/$n50)")
+    }
+    // beta from sufficient stats: y = 2x exactly => beta = cov/var(mkt)
+    val xs = Seq(2L, -1L, 3L, -4L) // supplier returns; market y = x/2 idea inverted:
+    val ys = xs.map(_ * 2)         // x = beta*y + e with beta = 0.5, e = 0
+    val n = xs.size.toLong
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val syy = ys.map(y => y * y).sum
+    val beta = (n.toDouble * sxy - sx.toDouble * sy) /
+      (n.toDouble * syy - sy.toDouble * sy)
+    assert(math.abs(beta - 0.5) < 1e-15)
+    // LOO target encoding: (sum - x) / (n - 1) excludes self exactly
+    val t = Seq(10L, 20L, 30L)
+    val loo = t.map(x => (t.sum - x).toDouble / (t.size - 1))
+    assert(loo === Seq(25.0, 20.0, 15.0))
+  }
+
   test("windowed exact mean/sd agrees with direct computation") {
     val df = Seq((1L, 1L, 10.0), (1L, 2L, 12.0), (1L, 3L, 14.0)).toDF("k", "o", "v")
     val w = org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("o")
