@@ -400,6 +400,68 @@ object OpsQueries extends QueryModule {
         .orderBy("o_orderkey")
     }),
 
+    // Q-SAMPLE12 (round 9): embargoed walk-forward CV — the time-series
+    // CV that never trains on the future (the López-de-Prado purged
+    // walk-forward): the day range splits into 5 equal segments; round r
+    // trains on segments 0..r and tests on segment r+1, with the first 5
+    // days of each test block EMBARGOED (the adjacent-boundary leakage
+    // guard: features built from trailing windows still overlap the
+    // train tail there). All boundaries are exact integer floor/ceil
+    // arithmetic on the epoch-day ordinal; the range bounds are a
+    // one-row aggregate broadcast — never a global sort.
+    "q_sample12" -> ((s, d) => {
+      val base = Shared.supplierDailyCents(s, d).select("l_suppkey", "day_ord")
+      val bounds = base.agg(min("day_ord").as("lo"),
+        (max("day_ord") - min("day_ord") + lit(1L)).as("w"))
+      base.crossJoin(broadcast(bounds))
+        .withColumn("seg", expr("((day_ord - lo) * 5) div w"))
+        .withColumn("cv_round", explode(sequence(lit(0L), lit(3L))))
+        .withColumn("role",
+          when(col("seg") <= col("cv_round"), lit("train"))
+            .when(col("seg") === col("cv_round") + lit(1L),
+              when(col("day_ord") - col("lo") <
+                  expr("(seg * w + 4) div 5") + lit(5L), lit("embargo"))
+                .otherwise(lit("test"))))
+        .where(col("role").isNotNull)
+        .select("cv_round", "l_suppkey", "day_ord", "seg", "role")
+        .orderBy("cv_round", "l_suppkey", "day_ord")
+    }),
+
+    // Q-FEAT4 (round 9): leakage-safe train-fitted scaling — the
+    // standardization a model pipeline must fit on the TRAIN split only
+    // and apply everywhere (fitting on the full series leaks test-set
+    // moments into training features). Split at the 80% point of the day
+    // range (exact integer arithmetic); per-key train moments are exact
+    // BIGINT sums (x clipped at ±1e7 bounds n·x² < 2^63); z is the fixed
+    // double tree mu = sx/n, var = (n·sxx − sx²)/(n·(n−1)),
+    // z = (x − mu)/sqrt(var) — raw IEEE, never rounded after dividing.
+    // Degenerate train slices (n < 2 or zero variance) emit null z. The
+    // stats join broadcasts here (#suppliers rows); with a huge key
+    // space the same equi-join shuffles — drop the hint, nothing else
+    // changes.
+    "q_feat4" -> ((s, d) => {
+      def dd(c: Column) = c.cast("double")
+      val base = Shared.supplierReturns(s, d)
+      val bounds = base.agg(min("day_ord").as("lo"), max("day_ord").as("hi"))
+      val withSplit = base.crossJoin(broadcast(bounds))
+        .withColumn("split",
+          when(col("day_ord") <= col("lo") + expr("((hi - lo) * 4) div 5"),
+            lit("train")).otherwise(lit("test")))
+      val stats = withSplit.where(col("split") === "train")
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+      val vr = (dd(col("n")) * dd(col("sxx")) - dd(col("sx")) * dd(col("sx"))) /
+        (dd(col("n")) * dd(col("n") - lit(1L)))
+      withSplit.join(broadcast(stats), Seq("l_suppkey"), "left")
+        .withColumn("z",
+          when(col("n") >= 2 && vr > 0.0,
+            (dd(col("x")) - dd(col("sx")) / dd(col("n"))) / sqrt(vr)))
+        .select(col("l_suppkey"), col("day_ord"), col("split"),
+          col("x").as("r_micro"), col("z"))
+        .orderBy("l_suppkey", "day_ord")
+    }),
+
     // Q-IJOIN1: interval-overlap join — user sessions x 2-hour incident
     // windows sharing a cohort key. Bucketized equi-join (6 h buckets) with
     // exactly-once canonical-bucket emission: no BroadcastNestedLoop, no
@@ -1251,6 +1313,59 @@ object OpsQueries extends QueryModule {
         |FROM customer c,
         |  (SELECT CAST(unnest(generate_series(0, 4)) AS BIGINT) AS cv_round) r
         |ORDER BY r.cv_round, c.c_custkey""".stripMargin,
+    // embargoed walk-forward CV: identical integer segment/boundary
+    // arithmetic ((d−lo)·5 // w; block start ceil(s·w/5) = (s·w+4)//5).
+    "q_sample12" ->
+      """WITH daily AS (
+        |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS day
+        |  FROM lineitem GROUP BY 1, 2),
+        |dd2 AS (
+        |  SELECT l_suppkey, date_diff('day', DATE '1970-01-01', day) AS day_ord
+        |  FROM daily),
+        |b AS (SELECT MIN(day_ord) AS lo,
+        |        MAX(day_ord) - MIN(day_ord) + 1 AS w FROM dd2),
+        |e AS (
+        |  SELECT dd2.l_suppkey, dd2.day_ord, b.lo, b.w,
+        |    ((dd2.day_ord - b.lo) * 5) // b.w AS seg, r.cv_round
+        |  FROM dd2, b,
+        |    (SELECT CAST(unnest(generate_series(0, 3)) AS BIGINT) AS cv_round) r),
+        |f AS (
+        |  SELECT l_suppkey, day_ord, CAST(seg AS BIGINT) AS seg, cv_round,
+        |    CASE WHEN seg <= cv_round THEN 'train'
+        |         WHEN seg = cv_round + 1 THEN
+        |           CASE WHEN day_ord - lo < (seg * w + 4) // 5 + 5
+        |                THEN 'embargo' ELSE 'test' END
+        |    END AS role
+        |  FROM e)
+        |SELECT cv_round, l_suppkey, day_ord, seg, role
+        |FROM f WHERE role IS NOT NULL
+        |ORDER BY cv_round, l_suppkey, day_ord""".stripMargin,
+    // train-fitted scaling: the shared exact-return CTE, integer 80% cut,
+    // exact BIGINT train moments, the identical raw double z tree.
+    "q_feat4" ->
+      s"""WITH ${Shared.supplierMarketReturnsSql},
+         |b AS (SELECT MIN(day_ord) AS lo, MAX(day_ord) AS hi FROM sx),
+         |sp AS (
+         |  SELECT l_suppkey, day_ord, x,
+         |    CASE WHEN day_ord <= lo + ((hi - lo) * 4) // 5
+         |         THEN 'train' ELSE 'test' END AS split
+         |  FROM sx, b),
+         |st AS (
+         |  SELECT l_suppkey, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx_,
+         |    CAST(SUM(x*x) AS BIGINT) AS sxx
+         |  FROM sp WHERE split = 'train' GROUP BY 1)
+         |SELECT sp.l_suppkey, sp.day_ord, sp.split, sp.x AS r_micro,
+         |  CASE WHEN n >= 2
+         |        AND (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+         |             - CAST(sx_ AS DOUBLE)*CAST(sx_ AS DOUBLE))
+         |            / (CAST(n AS DOUBLE)*CAST(n - 1 AS DOUBLE)) > 0.0
+         |    THEN (CAST(sp.x AS DOUBLE) - CAST(sx_ AS DOUBLE) / CAST(n AS DOUBLE))
+         |       / sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+         |               - CAST(sx_ AS DOUBLE)*CAST(sx_ AS DOUBLE))
+         |              / (CAST(n AS DOUBLE)*CAST(n - 1 AS DOUBLE)))
+         |  END AS z
+         |FROM sp LEFT JOIN st USING (l_suppkey)
+         |ORDER BY sp.l_suppkey, sp.day_ord""".stripMargin,
     // LOO target encoding: exact integer (Σ−x), one raw double division.
     "q_feat1" ->
       """WITH o AS (

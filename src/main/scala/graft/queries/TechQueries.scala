@@ -302,6 +302,99 @@ object TechQueries extends QueryModule {
         .select("l_suppkey", "day", "high", "low", "close", "tr", "atr14")
         .orderBy("l_suppkey", "day")
     }),
+
+    // Q-FEAT2 (round 9): the supervised training matrix — the reference's
+    // entire stated purpose is stock PREDICTION, and this is the row a
+    // model trains on: returns at lags 0..5 as feature columns plus the
+    // NEXT-day return as the target, one row per (key, day) with a full
+    // feature window. Everything is the shared exact clipped-micro return
+    // series (no IEEE anywhere); dow is pure integer arithmetic
+    // ((day_ord + 3) % 7, 0 = Monday — engine date functions never enter
+    // the compare). One key-partitioned window for all six lags + the
+    // lead; rows with any missing lag or target drop (a model can't use
+    // them).
+    "q_feat2" -> ((s, d) => {
+      val w = Window.partitionBy("l_suppkey").orderBy("day_ord")
+      val lagged = (1 to 5).foldLeft(
+        Shared.supplierReturns(s, d).withColumnRenamed("x", "r_lag0")) {
+        case (df, i) => df.withColumn(s"r_lag$i", lag(col("r_lag0"), i).over(w))
+      }
+      lagged
+        .withColumn("target_micro", lead(col("r_lag0"), 1).over(w))
+        .withColumn("dow", pmod(col("day_ord") + lit(3L), lit(7L)))
+        .where((1 to 5).map(i => col(s"r_lag$i").isNotNull).reduce(_ && _) &&
+          col("target_micro").isNotNull)
+        .select("l_suppkey", "day_ord", "dow", "r_lag0", "r_lag1", "r_lag2",
+          "r_lag3", "r_lag4", "r_lag5", "target_micro")
+        .orderBy("l_suppkey", "day_ord")
+    }),
+
+    // Q-FEAT3 (round 9): triple-barrier labeling (the López-de-Prado
+    // financial-ML standard): each day is labeled by the FIRST of three
+    // events over the next `h` observations — value doubles ('up',
+    // upper barrier 2x), halves ('down', lower barrier 0.5x), or neither
+    // by the vertical barrier ('timeout'). Exact integer comparisons only
+    // (c_{t+j} >= 2c_t / 2c_{t+j} <= c_t — mutually exclusive for
+    // positive series, since both together force c_t <= 0); rows without
+    // the full horizon drop. One key window, three leads, a CASE cascade.
+    "q_feat3" -> ((s, d) => {
+      val w = Window.partitionBy("l_suppkey").orderBy("day_ord")
+      def up(c: Column) = c >= lit(2L) * col("cents")
+      def dn(c: Column) = lit(2L) * c <= col("cents")
+      Shared.supplierDailyCents(s, d)
+        .withColumn("c1", lead(col("cents"), 1).over(w))
+        .withColumn("c2", lead(col("cents"), 2).over(w))
+        .withColumn("c3", lead(col("cents"), 3).over(w))
+        .where(col("c3").isNotNull)
+        .withColumn("label",
+          when(up(col("c1")), lit("up")).when(dn(col("c1")), lit("down"))
+            .when(up(col("c2")), lit("up")).when(dn(col("c2")), lit("down"))
+            .when(up(col("c3")), lit("up")).when(dn(col("c3")), lit("down"))
+            .otherwise(lit("timeout")))
+        .withColumn("days_to_event",
+          when(up(col("c1")) || dn(col("c1")), lit(1L))
+            .when(up(col("c2")) || dn(col("c2")), lit(2L))
+            .otherwise(lit(3L)))
+        .select("l_suppkey", "day_ord", "cents", "label", "days_to_event")
+        .orderBy("l_suppkey", "day_ord")
+    }),
+
+    // Q-FEAT5 (round 9): daily information coefficient — THE quant factor
+    // metric: per day, the cross-sectional Spearman rank correlation
+    // between today's return (the signal) and tomorrow's (the outcome).
+    // Ranks are deterministic exact integers (row_number over the
+    // (value, key) total order — the documented tie policy; average-rank
+    // Spearman would put rationals in the compare), the five sufficient
+    // statistics are exact BIGINT sums (rank products <= n³ — safe to a
+    // ~2M-name cross-section), and the IC is the fixed q_corr1 double
+    // tree. Thin days (n < 10) and degenerate ranks drop. Plan: one key
+    // shuffle for the lead, one day shuffle shared by both rank windows
+    // and the aggregation.
+    "q_feat5" -> ((s, d) => {
+      def dd(c: Column) = c.cast("double")
+      val wk = Window.partitionBy("l_suppkey").orderBy("day_ord")
+      val ranked = Shared.supplierReturns(s, d)
+        .withColumn("fwd", lead(col("x"), 1).over(wk))
+        .where(col("fwd").isNotNull)
+        .withColumn("rs", row_number().over(
+          Window.partitionBy("day_ord").orderBy(col("x"), col("l_suppkey")))
+          .cast("long"))
+        .withColumn("rf", row_number().over(
+          Window.partitionBy("day_ord").orderBy(col("fwd"), col("l_suppkey")))
+          .cast("long"))
+      val stats = ranked.groupBy("day_ord").agg(
+        count(lit(1)).as("n"), sum("rs").as("srs"), sum("rf").as("srf"),
+        sum(col("rs") * col("rf")).as("srsrf"),
+        sum(col("rs") * col("rs")).as("srs2"),
+        sum(col("rf") * col("rf")).as("srf2"))
+      val vx = dd(col("n")) * dd(col("srs2")) - dd(col("srs")) * dd(col("srs"))
+      val vy = dd(col("n")) * dd(col("srf2")) - dd(col("srf")) * dd(col("srf"))
+      val ic = (dd(col("n")) * dd(col("srsrf")) - dd(col("srs")) * dd(col("srf"))) /
+        (sqrt(vx) * sqrt(vy))
+      stats.where(col("n") >= 10 && vx > 0.0 && vy > 0.0)
+        .select(col("day_ord"), col("n"), ic.as("ic"))
+        .orderBy("day_ord")
+    }),
   )
 
   def oracleSql: Map[String, String] = {
@@ -568,6 +661,81 @@ object TechQueries extends QueryModule {
           |FROM x
           |WHERE (diff > 0 AND prev <= 0) OR (diff < 0 AND prev >= 0)
           |ORDER BY l_suppkey, day_ord""".stripMargin,
+      // lagged feature matrix: the shared exact-return CTE, one window for
+      // all six lags + the lead, pure-integer dow — nothing IEEE anywhere.
+      "q_feat2" ->
+        s"""WITH ${Shared.supplierMarketReturnsSql},
+           |l AS (
+           |  SELECT l_suppkey, day_ord, x AS r_lag0,
+           |    lag(x, 1) OVER w AS r_lag1, lag(x, 2) OVER w AS r_lag2,
+           |    lag(x, 3) OVER w AS r_lag3, lag(x, 4) OVER w AS r_lag4,
+           |    lag(x, 5) OVER w AS r_lag5, lead(x, 1) OVER w AS target_micro
+           |  FROM sx WINDOW w AS (PARTITION BY l_suppkey ORDER BY day_ord))
+           |SELECT l_suppkey, day_ord, CAST((day_ord + 3) % 7 AS BIGINT) AS dow,
+           |  r_lag0, r_lag1, r_lag2, r_lag3, r_lag4, r_lag5, target_micro
+           |FROM l
+           |WHERE r_lag1 IS NOT NULL AND r_lag2 IS NOT NULL AND r_lag3 IS NOT NULL
+           |  AND r_lag4 IS NOT NULL AND r_lag5 IS NOT NULL
+           |  AND target_micro IS NOT NULL
+           |ORDER BY l_suppkey, day_ord""".stripMargin,
+      // triple-barrier: exact integer barrier comparisons (c >= 2c_t /
+      // 2c <= c_t), the identical CASE cascade; c3 NOT NULL implies c1/c2
+      // NOT NULL (nearer leads of the same partition), so no null branch
+      // divergence is possible.
+      "q_feat3" ->
+        """WITH daily AS (
+          |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS day,
+          |    CAST(SUM(CAST(round(l_extendedprice*100.0,0) AS BIGINT)) AS BIGINT) AS cents
+          |  FROM lineitem GROUP BY 1, 2),
+          |dd AS (
+          |  SELECT l_suppkey, date_diff('day', DATE '1970-01-01', day) AS day_ord, cents
+          |  FROM daily),
+          |l AS (
+          |  SELECT l_suppkey, day_ord, cents,
+          |    lead(cents, 1) OVER w AS c1, lead(cents, 2) OVER w AS c2,
+          |    lead(cents, 3) OVER w AS c3
+          |  FROM dd WINDOW w AS (PARTITION BY l_suppkey ORDER BY day_ord))
+          |SELECT l_suppkey, day_ord, cents,
+          |  CASE WHEN c1 >= 2*cents THEN 'up' WHEN 2*c1 <= cents THEN 'down'
+          |       WHEN c2 >= 2*cents THEN 'up' WHEN 2*c2 <= cents THEN 'down'
+          |       WHEN c3 >= 2*cents THEN 'up' WHEN 2*c3 <= cents THEN 'down'
+          |       ELSE 'timeout' END AS label,
+          |  CAST(CASE WHEN c1 >= 2*cents OR 2*c1 <= cents THEN 1
+          |            WHEN c2 >= 2*cents OR 2*c2 <= cents THEN 2
+          |            ELSE 3 END AS BIGINT) AS days_to_event
+          |FROM l WHERE c3 IS NOT NULL ORDER BY l_suppkey, day_ord""".stripMargin,
+      // information coefficient: deterministic integer ranks (row_number
+      // over the (value, key) total order — unique since one row per
+      // supplier per day), exact BIGINT sufficient statistics, then the
+      // q_corr1 double tree verbatim (cast each exact sum once, same
+      // association, sqrt·sqrt denominator).
+      "q_feat5" ->
+        s"""WITH ${Shared.supplierMarketReturnsSql},
+           |f AS (
+           |  SELECT l_suppkey, day_ord, x,
+           |    lead(x, 1) OVER (PARTITION BY l_suppkey ORDER BY day_ord) AS fwd
+           |  FROM sx),
+           |rk AS (
+           |  SELECT day_ord,
+           |    CAST(row_number() OVER (PARTITION BY day_ord ORDER BY x, l_suppkey) AS BIGINT) AS rs,
+           |    CAST(row_number() OVER (PARTITION BY day_ord ORDER BY fwd, l_suppkey) AS BIGINT) AS rf
+           |  FROM f WHERE fwd IS NOT NULL),
+           |st AS (
+           |  SELECT day_ord, COUNT(*) AS n,
+           |    CAST(SUM(rs) AS BIGINT) AS srs, CAST(SUM(rf) AS BIGINT) AS srf,
+           |    CAST(SUM(rs*rf) AS BIGINT) AS srsrf,
+           |    CAST(SUM(rs*rs) AS BIGINT) AS srs2,
+           |    CAST(SUM(rf*rf) AS BIGINT) AS srf2
+           |  FROM rk GROUP BY 1)
+           |SELECT day_ord, n,
+           |  (CAST(n AS DOUBLE)*CAST(srsrf AS DOUBLE) - CAST(srs AS DOUBLE)*CAST(srf AS DOUBLE))
+           |  / (sqrt(CAST(n AS DOUBLE)*CAST(srs2 AS DOUBLE) - CAST(srs AS DOUBLE)*CAST(srs AS DOUBLE))
+           |     * sqrt(CAST(n AS DOUBLE)*CAST(srf2 AS DOUBLE) - CAST(srf AS DOUBLE)*CAST(srf AS DOUBLE))) AS ic
+           |FROM st
+           |WHERE n >= 10
+           |  AND CAST(n AS DOUBLE)*CAST(srs2 AS DOUBLE) - CAST(srs AS DOUBLE)*CAST(srs AS DOUBLE) > 0.0
+           |  AND CAST(n AS DOUBLE)*CAST(srf2 AS DOUBLE) - CAST(srf AS DOUBLE)*CAST(srf AS DOUBLE) > 0.0
+           |ORDER BY day_ord""".stripMargin,
       "q_ta5" ->
         s"""WITH c AS (
            |  SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_extendedprice, l_quantity,

@@ -169,6 +169,102 @@ class TechnicalIndicatorsSpec extends SparkSpec {
     assert(loo === Seq(25.0, 20.0, 15.0))
   }
 
+  test("triple-barrier and IC kernels are exact (q_feat3/q_feat5/q_feat2)") {
+    import org.apache.spark.sql.expressions.Window
+    // first-touch barrier semantics on a hand series: 100 -> 90 -> 210 ->
+    // 40 -> 41 -> 42 -> 43. Day 0: c2=210 >= 200 -> up@2 (the day-1 dip
+    // does NOT trigger: 2*90=180 > 100). Day 1: c1=210 >= 180 -> up@1.
+    // Day 2: c2=41, 2*41=82 <= 210 -> down@2 (c1=40 already: 80<=210 ->
+    // down@1). Day 3: 40 -> 41,42,43 none double/halve -> timeout@3.
+    val cents = Seq(100L, 90L, 210L, 40L, 41L, 42L, 43L)
+    val df = cents.zipWithIndex.map { case (c, i) => (1L, i.toLong, c) }
+      .toDF("l_suppkey", "day_ord", "cents")
+    val w = Window.partitionBy("l_suppkey").orderBy("day_ord")
+    def up(c: org.apache.spark.sql.Column) = c >= lit(2L) * col("cents")
+    def dn(c: org.apache.spark.sql.Column) = lit(2L) * c <= col("cents")
+    val got = df
+      .withColumn("c1", lead(col("cents"), 1).over(w))
+      .withColumn("c2", lead(col("cents"), 2).over(w))
+      .withColumn("c3", lead(col("cents"), 3).over(w))
+      .where(col("c3").isNotNull)
+      .withColumn("label",
+        when(up(col("c1")), lit("up")).when(dn(col("c1")), lit("down"))
+          .when(up(col("c2")), lit("up")).when(dn(col("c2")), lit("down"))
+          .when(up(col("c3")), lit("up")).when(dn(col("c3")), lit("down"))
+          .otherwise(lit("timeout")))
+      .withColumn("dte",
+        when(up(col("c1")) || dn(col("c1")), lit(1L))
+          .when(up(col("c2")) || dn(col("c2")), lit(2L)).otherwise(lit(3L)))
+      .orderBy("day_ord").select("label", "dte").as[(String, Long)]
+      .collect().toSeq
+    assert(got === Seq(("up", 2L), ("up", 1L), ("down", 1L), ("timeout", 3L)),
+      s"got $got")
+    // barriers are mutually exclusive on positive series: c>=2c_t and
+    // 2c<=c_t together force 4c_t <= c_t, impossible for c_t > 0
+    for (ct <- Seq(1L, 7L, 1000L); c <- Seq(1L, 2 * ct, ct / 2, 5000L))
+      assert(!(c >= 2 * ct && 2 * c <= ct))
+    // Spearman IC from integer-rank sufficient stats: perfect monotone
+    // agreement -> +1, perfect inversion -> -1 (n=5)
+    def ic(rs: Seq[Long], rf: Seq[Long]): Double = {
+      val n = rs.size.toDouble
+      val (srs, srf) = (rs.sum.toDouble, rf.sum.toDouble)
+      val srsrf = rs.zip(rf).map { case (a, b) => a * b }.sum.toDouble
+      val srs2 = rs.map(r => r * r).sum.toDouble
+      val srf2 = rf.map(r => r * r).sum.toDouble
+      (n * srsrf - srs * srf) /
+        (math.sqrt(n * srs2 - srs * srs) * math.sqrt(n * srf2 - srf * srf))
+    }
+    val r = Seq(1L, 2L, 3L, 4L, 5L)
+    assert(math.abs(ic(r, r) - 1.0) < 1e-15)
+    assert(math.abs(ic(r, r.reverse) + 1.0) < 1e-15)
+    // dow: epoch day 0 = Thursday, so (day_ord + 3) % 7 puts Monday at 0
+    assert((0L + 3) % 7 === 3L) // 1970-01-01 Thu -> 3
+    assert((4L + 3) % 7 === 0L) // 1970-01-05 Mon -> 0
+  }
+
+  test("walk-forward CV segments and train-fitted z kernels (q_sample12/q_feat4)") {
+    // segment arithmetic: w = 50 days from lo = 100 -> 5 blocks of 10;
+    // block s spans day-lo in [ceil(s*50/5), ceil((s+1)*50/5)-1] = [10s, 10s+9]
+    def seg(d: Long, lo: Long, w: Long) = ((d - lo) * 5) / w
+    def blockStart(s: Long, w: Long) = (s * w + 4) / 5
+    val (lo, w) = (100L, 50L)
+    assert((0L until 50L).map(t => seg(lo + t, lo, w)).toSeq ===
+      (0L until 50L).map(_ / 10))
+    assert((0L to 4L).map(blockStart(_, w)) === Seq(0L, 10L, 20L, 30L, 40L))
+    // roles for round r=1: train = segs 0..1 (days 0-19), embargo = first
+    // 5 days of seg 2 (20-24), test = 25-29, segs 3-4 absent
+    def role(d: Long, r: Long): Option[String] = {
+      val s = seg(d, lo, w)
+      if (s <= r) Some("train")
+      else if (s == r + 1)
+        Some(if (d - lo < blockStart(s, w) + 5) "embargo" else "test")
+      else None
+    }
+    assert(role(lo + 19, 1).contains("train"))
+    assert(role(lo + 20, 1).contains("embargo") && role(lo + 24, 1).contains("embargo"))
+    assert(role(lo + 25, 1).contains("test") && role(lo + 29, 1).contains("test"))
+    assert(role(lo + 30, 1).isEmpty)
+    // every round's train end strictly precedes its embargo, which
+    // strictly precedes its test — the no-future-leakage invariant
+    for (r <- 0L to 3L) {
+      val byRole = (0L until 50L).flatMap(t => role(lo + t, r).map(_ -> t))
+      val train = byRole.collect { case ("train", t) => t }
+      val emb = byRole.collect { case ("embargo", t) => t }
+      val test = byRole.collect { case ("test", t) => t }
+      assert(train.max < emb.min && emb.max < test.min)
+    }
+    // train-fitted z: stats from train rows only; applying train moments
+    // to a test point reproduces the hand z-score
+    val train = Seq(10L, 20L, 30L)
+    val (n, sx, sxx) = (train.size.toLong, train.sum,
+      train.map(x => x * x).sum)
+    val vr = (n.toDouble * sxx - sx.toDouble * sx) / (n.toDouble * (n - 1L))
+    val mu = sx.toDouble / n
+    assert(mu === 20.0 && math.abs(vr - 100.0) < 1e-12) // sample var of 10,20,30
+    val z = (50.0 - mu) / math.sqrt(vr)
+    assert(math.abs(z - 3.0) < 1e-12) // test point 50 is 3 train-sds out
+  }
+
   test("windowed exact mean/sd agrees with direct computation") {
     val df = Seq((1L, 1L, 10.0), (1L, 2L, 12.0), (1L, 3L, 14.0)).toDF("k", "o", "v")
     val w = org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("o")
