@@ -395,6 +395,105 @@ object TechQueries extends QueryModule {
         .select(col("day_ord"), col("n"), ic.as("ic"))
         .orderBy("day_ord")
     }),
+
+    // Q-FEAT6 (round 9): cross-sectional momentum rank — per day, every
+    // name's position in the return cross-section (rank 1 = best) plus
+    // the integer decile ((rank−1)·10 div n — NOT ntile, whose remainder
+    // distribution is engine-defined; this floor form is pinned
+    // arithmetic). Ranks are deterministic over the unique
+    // (x desc, key) total order. One day-partition shuffle shared by the
+    // rank window and the count.
+    "q_feat6" -> ((s, d) => {
+      val wd = Window.partitionBy("day_ord")
+      Shared.supplierReturns(s, d)
+        .withColumn("rnk", row_number().over(
+          wd.orderBy(col("x").desc, col("l_suppkey"))).cast("long"))
+        .withColumn("n", count(lit(1)).over(wd))
+        .withColumn("decile", expr("((rnk - 1) * 10) div n"))
+        .select("l_suppkey", "day_ord", "x", "rnk", "n", "decile")
+        .orderBy("day_ord", "l_suppkey")
+    }),
+
+    // Q-FEAT7 (round 9): decile-portfolio forward returns — the factor
+    // evaluation table: rank today's return cross-section into deciles
+    // (the q_feat6 floor arithmetic, among rows WITH a next day), then
+    // the mean NEXT-day return per decile over the whole sample. A
+    // monotone decile→avg_fwd profile is the momentum/reversal verdict.
+    // Exact BIGINT forward-return sums; ONE raw double division per
+    // decile row (10 rows out).
+    "q_feat7" -> ((s, d) => {
+      val wk = Window.partitionBy("l_suppkey").orderBy("day_ord")
+      val wd = Window.partitionBy("day_ord")
+      Shared.supplierReturns(s, d)
+        .withColumn("fwd", lead(col("x"), 1).over(wk))
+        .where(col("fwd").isNotNull)
+        .withColumn("rnk", row_number().over(
+          wd.orderBy(col("x").desc, col("l_suppkey"))).cast("long"))
+        .withColumn("n", count(lit(1)).over(wd))
+        .withColumn("decile", expr("((rnk - 1) * 10) div n"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_obs"), sum("fwd").as("sum_fwd_micro"))
+        .withColumn("avg_fwd_micro",
+          col("sum_fwd_micro").cast("double") / col("n_obs").cast("double"))
+        .orderBy("decile")
+    }),
+
+    // Q-BT1 (round 9): strategy backtest — the loop that closes the
+    // reference's predict-then-trade purpose: hold long (1) from each
+    // golden cross, flat (0) from each death cross (position = LOCF of
+    // the q_ta13 signal, initial flat), P&L = position · next-day return,
+    // plus the running cumulative. Integers end to end: exact SMA sign
+    // test, the shared exact clipped-micro returns, integer products and
+    // running sums — nothing IEEE anywhere in the output.
+    "q_bt1" -> ((s, d) => {
+      val wd = Window.partitionBy("l_suppkey").orderBy("day_ord")
+      val wRun = wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val w10 = wd.rowsBetween(-9, Window.currentRow)
+      val w50 = wd.rowsBetween(-49, Window.currentRow)
+      TechnicalIndicators.returnsMicro(Shared.supplierDailyCents(s, d),
+          Seq("l_suppkey"), "day_ord", "cents",
+          clampMicro = Shared.ReturnClampMicro)
+        .withColumn("s10", sum(col("value_units")).over(w10))
+        .withColumn("n10", count(lit(1)).over(w10))
+        .withColumn("s50", sum(col("value_units")).over(w50))
+        .withColumn("n50", count(lit(1)).over(w50))
+        .withColumn("__diff", col("s10") * col("n50") - col("s50") * col("n10"))
+        .withColumn("__prev", lag(col("__diff"), 1).over(wd))
+        .withColumn("__sig",
+          when(col("__diff") > 0 && col("__prev") <= 0, lit(1L))
+            .when(col("__diff") < 0 && col("__prev") >= 0, lit(0L)))
+        .withColumn("position",
+          coalesce(last(col("__sig"), ignoreNulls = true).over(wRun), lit(0L)))
+        .withColumn("fwd_micro", lead(col("r_micro"), 1).over(wd))
+        .withColumn("strat_micro", col("position") * col("fwd_micro"))
+        .withColumn("cum_strat_micro", sum(col("strat_micro")).over(wRun))
+        .select("l_suppkey", "day_ord", "position", "fwd_micro",
+          "strat_micro", "cum_strat_micro")
+        .orderBy("l_suppkey", "day_ord")
+    }),
+
+    // Q-TA14 (round 9): rolling 60-day Sharpe — the risk-adjusted
+    // performance headline: windowed mean over windowed sample-sd of the
+    // exact clipped-micro returns. Sufficient statistics are exact
+    // BIGINT window sums (the q_ta8 discipline); mean, variance, and the
+    // ratio are one fixed double tree — raw IEEE, never rounded after
+    // dividing. Degenerate windows (n < 2 or zero variance) null out.
+    "q_ta14" -> ((s, d) => {
+      def dd(c: Column) = c.cast("double")
+      val wv = Window.partitionBy("l_suppkey").orderBy("day_ord")
+        .rowsBetween(-59, Window.currentRow)
+      val st = Shared.supplierReturns(s, d)
+        .withColumn("n", count(lit(1)).over(wv))
+        .withColumn("s", sum(col("x")).over(wv))
+        .withColumn("sq", sum(col("x") * col("x")).over(wv))
+      val vr = (dd(col("sq")) - dd(col("s")) * dd(col("s")) / dd(col("n"))) /
+        (dd(col("n")) - lit(1.0))
+      st.withColumn("sharpe",
+          when(col("n") >= 2 && vr > 0.0,
+            (dd(col("s")) / dd(col("n"))) / sqrt(vr)))
+        .select("l_suppkey", "day_ord", "x", "n", "sharpe")
+        .orderBy("l_suppkey", "day_ord")
+    }),
   )
 
   def oracleSql: Map[String, String] = {
@@ -661,6 +760,124 @@ object TechQueries extends QueryModule {
           |FROM x
           |WHERE (diff > 0 AND prev <= 0) OR (diff < 0 AND prev >= 0)
           |ORDER BY l_suppkey, day_ord""".stripMargin,
+      // cross-sectional rank: row_number over the unique (x DESC, key)
+      // order, the pinned floor-decile arithmetic.
+      "q_feat6" ->
+        s"""WITH ${Shared.supplierMarketReturnsSql},
+           |r AS (
+           |  SELECT l_suppkey, day_ord, x,
+           |    CAST(row_number() OVER (PARTITION BY day_ord
+           |      ORDER BY x DESC, l_suppkey) AS BIGINT) AS rnk,
+           |    COUNT(*) OVER (PARTITION BY day_ord) AS n
+           |  FROM sx)
+           |SELECT l_suppkey, day_ord, x, rnk, n,
+           |  CAST(((rnk - 1) * 10) // n AS BIGINT) AS decile
+           |FROM r ORDER BY day_ord, l_suppkey""".stripMargin,
+      // decile portfolio: rank among rows WITH a forward return, exact
+      // BIGINT sums, one raw double division per decile.
+      "q_feat7" ->
+        s"""WITH ${Shared.supplierMarketReturnsSql},
+           |f AS (
+           |  SELECT l_suppkey, day_ord, x,
+           |    lead(x, 1) OVER (PARTITION BY l_suppkey ORDER BY day_ord) AS fwd
+           |  FROM sx),
+           |r AS (
+           |  SELECT x, fwd,
+           |    CAST(row_number() OVER (PARTITION BY day_ord
+           |      ORDER BY x DESC, l_suppkey) AS BIGINT) AS rnk,
+           |    COUNT(*) OVER (PARTITION BY day_ord) AS n
+           |  FROM f WHERE fwd IS NOT NULL)
+           |SELECT CAST(((rnk - 1) * 10) // n AS BIGINT) AS decile,
+           |  COUNT(*) AS n_obs, CAST(SUM(fwd) AS BIGINT) AS sum_fwd_micro,
+           |  CAST(CAST(SUM(fwd) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+           |    AS avg_fwd_micro
+           |FROM r GROUP BY 1 ORDER BY decile""".stripMargin,
+      // backtest: the q_ta13 integer sign test, count-grp LOCF position
+      // (the q_ts2 grp trick — max over the (key, grp) partition where
+      // the only non-null sig is the group's first row), the returnsMicro
+      // rhaDiv+clamp CASE, integer products and running sums end to end.
+      "q_bt1" ->
+        """WITH daily AS (
+          |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS day,
+          |    CAST(SUM(CAST(round(l_extendedprice*100.0,0) AS BIGINT)) AS BIGINT) AS cents
+          |  FROM lineitem GROUP BY 1, 2),
+          |dd AS (
+          |  SELECT l_suppkey, date_diff('day', DATE '1970-01-01', day) AS day_ord, cents
+          |  FROM daily),
+          |rr AS (
+          |  SELECT l_suppkey, day_ord, cents,
+          |    lag(cents) OVER (PARTITION BY l_suppkey ORDER BY day_ord) AS prev
+          |  FROM dd),
+          |r2 AS (
+          |  SELECT l_suppkey, day_ord, cents,
+          |    CASE WHEN prev IS NULL THEN NULL
+          |         WHEN (cents - prev)*1000000 >= 0
+          |           THEN (2*((cents - prev)*1000000) + prev) // (2*prev)
+          |         ELSE -((-2*((cents - prev)*1000000) + prev) // (2*prev)) END AS rw
+          |  FROM rr),
+          |r3 AS (
+          |  SELECT l_suppkey, day_ord, cents,
+          |    CASE WHEN rw IS NULL THEN NULL
+          |         ELSE CAST(least(greatest(rw, -10000000), 10000000) AS BIGINT) END AS r_micro
+          |  FROM r2),
+          |m AS (
+          |  SELECT l_suppkey, day_ord, r_micro,
+          |    CAST(SUM(cents) OVER w10 AS BIGINT) AS s10, COUNT(*) OVER w10 AS n10,
+          |    CAST(SUM(cents) OVER w50 AS BIGINT) AS s50, COUNT(*) OVER w50 AS n50
+          |  FROM r3
+          |  WINDOW w10 AS (PARTITION BY l_suppkey ORDER BY day_ord
+          |      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+          |    w50 AS (PARTITION BY l_suppkey ORDER BY day_ord
+          |      ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)),
+          |x2 AS (
+          |  SELECT l_suppkey, day_ord, r_micro,
+          |    s10*n50 - s50*n10 AS diff,
+          |    lag(s10*n50 - s50*n10, 1) OVER (PARTITION BY l_suppkey ORDER BY day_ord) AS prev
+          |  FROM m),
+          |sg AS (
+          |  SELECT l_suppkey, day_ord, r_micro,
+          |    CASE WHEN diff > 0 AND prev <= 0 THEN 1
+          |         WHEN diff < 0 AND prev >= 0 THEN 0 END AS sig
+          |  FROM x2),
+          |gp AS (
+          |  SELECT l_suppkey, day_ord, r_micro, sig,
+          |    count(sig) OVER (PARTITION BY l_suppkey ORDER BY day_ord
+          |      ROWS UNBOUNDED PRECEDING) AS grp
+          |  FROM sg),
+          |ps AS (
+          |  SELECT l_suppkey, day_ord, r_micro,
+          |    CAST(coalesce(max(sig) OVER (PARTITION BY l_suppkey, grp), 0) AS BIGINT)
+          |      AS position
+          |  FROM gp),
+          |fw AS (
+          |  SELECT l_suppkey, day_ord, position,
+          |    lead(r_micro, 1) OVER (PARTITION BY l_suppkey ORDER BY day_ord) AS fwd_micro
+          |  FROM ps)
+          |SELECT l_suppkey, day_ord, position, fwd_micro,
+          |  CAST(position * fwd_micro AS BIGINT) AS strat_micro,
+          |  CAST(SUM(position * fwd_micro) OVER (PARTITION BY l_suppkey ORDER BY day_ord
+          |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_strat_micro
+          |FROM fw ORDER BY l_suppkey, day_ord""".stripMargin,
+      // rolling Sharpe: exact BIGINT window sums cast once, the identical
+      // mean/variance/ratio double tree, degenerate windows null.
+      "q_ta14" ->
+        s"""WITH ${Shared.supplierMarketReturnsSql},
+           |v AS (
+           |  SELECT l_suppkey, day_ord, x,
+           |    COUNT(*) OVER wv AS n,
+           |    CAST(SUM(x) OVER wv AS BIGINT) AS s,
+           |    CAST(SUM(x*x) OVER wv AS BIGINT) AS sq
+           |  FROM sx WINDOW wv AS (PARTITION BY l_suppkey ORDER BY day_ord
+           |    ROWS BETWEEN 59 PRECEDING AND CURRENT ROW))
+           |SELECT l_suppkey, day_ord, x, n,
+           |  CASE WHEN n >= 2
+           |        AND (CAST(sq AS DOUBLE) - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/CAST(n AS DOUBLE))
+           |            / (CAST(n AS DOUBLE) - 1.0) > 0.0
+           |    THEN (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+           |       / sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/CAST(n AS DOUBLE))
+           |              / (CAST(n AS DOUBLE) - 1.0))
+           |  END AS sharpe
+           |FROM v ORDER BY l_suppkey, day_ord""".stripMargin,
       // lagged feature matrix: the shared exact-return CTE, one window for
       // all six lags + the lead, pure-integer dow — nothing IEEE anywhere.
       "q_feat2" ->

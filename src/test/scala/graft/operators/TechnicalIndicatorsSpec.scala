@@ -265,6 +265,43 @@ class TechnicalIndicatorsSpec extends SparkSpec {
     assert(math.abs(z - 3.0) < 1e-12) // test point 50 is 3 train-sds out
   }
 
+  test("decile floor arithmetic and LOCF position kernels (q_feat6/7, q_bt1)") {
+    // floor deciles partition any n into sizes differing by at most 1,
+    // in rank order (ntile-equivalent sizes, engine-pinned arithmetic)
+    for (n <- Seq(10L, 23L, 95L, 100L, 7L)) {
+      val deciles = (1L to n).map(r => ((r - 1) * 10) / n)
+      assert(deciles.head == 0 && deciles.last == 9 || n < 10 && deciles.last < 10)
+      assert(deciles == deciles.sorted)
+      val sizes = deciles.groupBy(identity).values.map(_.size).toSeq
+      assert(sizes.max - sizes.min <= 1, s"n=$n sizes=$sizes")
+    }
+    // LOCF position via last(ignoreNulls) over a running frame == the
+    // count-grp/max SQL twin, on a signal stream with leading nulls
+    val sig = Seq[Option[Long]](None, None, Some(1L), None, Some(0L), None, Some(1L), None)
+    val expectPos = Seq(0L, 0L, 1L, 1L, 0L, 0L, 1L, 1L)
+    val df = sig.zipWithIndex.map { case (v, i) => (1L, i.toLong, v) }
+      .toDF("k", "ord", "sig")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("ord")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val spark_ = df.withColumn("p",
+        coalesce(last(col("sig"), ignoreNulls = true).over(w), lit(0L)))
+      .orderBy("ord").select("p").as[Long].collect().toSeq
+    assert(spark_ === expectPos)
+    // the SQL twin's semantics replayed in Scala: grp = running count of
+    // non-null sig; position = the grp's unique non-null value (or 0)
+    val grps = sig.scanLeft(0L)((c, v) => c + (if (v.isDefined) 1 else 0)).tail
+    val byGrp = sig.zip(grps).groupBy(_._2).view
+      .mapValues(_.flatMap(_._1).headOption.getOrElse(0L)).toMap
+    assert(grps.map(byGrp) === expectPos)
+    // Sharpe tree: constant-return window -> zero variance -> null branch;
+    // alternating ±x -> mean 0 -> sharpe 0
+    val xs = Seq(5L, -5L, 5L, -5L)
+    val (n2, s2, sq2) = (xs.size.toDouble, xs.sum.toDouble,
+      xs.map(x => x * x).sum.toDouble)
+    val vr = (sq2 - s2 * s2 / n2) / (n2 - 1.0)
+    assert(vr > 0.0 && (s2 / n2) / math.sqrt(vr) === 0.0)
+  }
+
   test("windowed exact mean/sd agrees with direct computation") {
     val df = Seq((1L, 1L, 10.0), (1L, 2L, 12.0), (1L, 3L, 14.0)).toDF("k", "o", "v")
     val w = org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("o")
