@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.multimodal.Multimodal
-import graft.operators.{Binning, Bm25, BpeOps, GraphOps, IntervalJoin, MarkupOps, NearDup, Sessionize, Similarity, SpanDedup, TextOps}
+import graft.operators.{Binning, Bm25, BpeOps, GraphOps, IntervalJoin, MarkupOps, NearDup, Sessionize, Similarity, SpanDedup, TechnicalIndicators, TextOps}
 
 /** Scale-evidence bench for the dedup/ANN candidate families: runs each
   * operator at 1x (~sf0.1 corpus size), 10x, and — for the linear families
@@ -232,6 +232,17 @@ object ScaleBench {
   }
 
   /** Orders-shaped numeric fact for the equi-depth boundary pass. */
+  /** Daily price panel: nKeys series × nDays days, one strictly-positive
+    * integer-cent value per (key, day) — deterministic hash noise around
+    * 100.00 (positive: the return quantization divides by the previous
+    * value). */
+  def syntheticPanel(spark: SparkSession, nKeys: Long, nDays: Long): DataFrame =
+    spark.range(nKeys * nDays).select(
+      pmod(col("id"), lit(nKeys)).as("k"),
+      expr(s"id div $nKeys").as("day_ord"),
+      (lit(10000L) + pmod(xxhash64(col("id")), lit(2001L)) - lit(1000L))
+        .as("cents"))
+
   def syntheticValues(spark: SparkSession, n: Long): DataFrame =
     spark.range(n).select(col("id").as("k"),
       (pmod(xxhash64(col("id")), lit(60000000L)).cast("double") / 100.0).as("v"))
@@ -677,6 +688,55 @@ object ScaleBench {
           emb, "vec_id", "embedding", lit(0), minSim = 0.5, dim = 64).count()
       }
       emb.unpersist()
+    }
+
+    // ---- r9 feature/panel family: 1x / 10x / 100x ------------------------
+    // The price-panel chains behind q_ta8/q_ta12/q_feat2/q_feat6: growth
+    // axis is the KEY dimension (panel width) — at warehouse scale the day
+    // count is bounded (~decades of trading days) while the series
+    // universe is not. Key-window chains shuffle once on the key and sort
+    // within partitions (work ~ n log(rows-per-key), rows-per-key FIXED);
+    // the cross-sectional rank shuffles once on the day with per-day
+    // sorts of exactly the panel width. Both must stay ~linear in keys.
+    // Every timed body aggregates over the DERIVED columns (the r7
+    // classifier lesson: a bare count() lets Catalyst prune the operator
+    // under test out of the plan).
+    locally { // warm-up pays codegen once
+      val wp = syntheticPanel(spark, 100L, 100L).localCheckpoint()
+      TechnicalIndicators.rollingVolMicro(wp, "k", "day_ord", "cents", window = 30)
+        .agg(count(col("vol_micro"))).head()
+      wp.unpersist()
+    }
+    for (scale <- Seq(1L, 10L, 100L)) {
+      val nKeys = 2000L * scale
+      val nDays = 500L
+      val nRows = nKeys * nDays
+      val panel = syntheticPanel(spark, nKeys, nDays).localCheckpoint()
+      timed("panel_returns_vol30", nRows) {
+        TechnicalIndicators.rollingVolMicro(panel, "k", "day_ord", "cents",
+            window = 30)
+          .agg(count(col("vol_micro")), sum(col("r_micro"))).head().getLong(0)
+      }
+      timed("panel_lag_matrix", nRows) {
+        val wk = org.apache.spark.sql.expressions.Window
+          .partitionBy("k").orderBy("day_ord")
+        val lagged = (1 to 5).foldLeft(panel.withColumn("l0", col("cents"))) {
+          case (df, i) => df.withColumn(s"l$i", lag(col("l0"), i).over(wk))
+        }
+        lagged.withColumn("t", lead(col("l0"), 1).over(wk))
+          .agg(count(col("l5") + col("l4") + col("l3") + col("l2") +
+            col("l1") + col("t"))).head().getLong(0)
+      }
+      timed("panel_xsection_decile", nRows) {
+        val wd = org.apache.spark.sql.expressions.Window.partitionBy("day_ord")
+        panel
+          .withColumn("rnk", row_number().over(
+            wd.orderBy(col("cents").desc, col("k"))).cast("long"))
+          .withColumn("nn", count(lit(1)).over(wd))
+          .agg(sum(expr("((rnk - 1) * 10) div nn"))).head()
+        nRows
+      }
+      panel.unpersist()
     }
 
     // ---- consecutive-scale wall ratios ----------------------------------

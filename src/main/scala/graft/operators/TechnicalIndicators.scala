@@ -16,6 +16,9 @@ case class EmaRow(key: Long, ord: Long, value: Double, ema: Double)
   * the value (value·1e6). */
 case class EmaMicroRow(key: Long, ord: Long, valueUnits: Long, emaMicro: Long)
 
+case class HoltMicroRow(key: Long, ord: Long, valueUnits: Long,
+                        levelMicro: Long, trendMicro: Long)
+
 /** Technical indicators over per-key price series — the feature
   * engineering the reference's partitioned OHLCV layout exists to feed
   * (SURVEY.md §2.B [ANA]; `README.md:46`).
@@ -166,6 +169,77 @@ object TechnicalIndicators {
       .toDF("key", "ord", "value_units", "ema_micro")
       .withColumnRenamed("key", keyCol)
       .withColumnRenamed("ord", ordCol)
+  }
+
+  /** ENGINE-VERSION-EXACT Holt double-exponential smoothing (level +
+    * trend) — the forecasting primitive the reference domain's
+    * prediction purpose actually calls for: a forecast h steps out is
+    * level + h·trend. Same integer-recurrence discipline as [[emaMicro]]
+    * (no IEEE result ever enters state):
+    *
+    *   l_0 = c_0·10^(6−uS),  b_0 = 0
+    *   l_t = rhaDiv(aNum·c_t·10^(6−uS) + (aDen−aNum)·(l_{t−1} + b_{t−1}), aDen)
+    *   b_t = rhaDiv(bNum·(l_t − l_{t−1}) + (bDen−bNum)·b_{t−1}, bDen)
+    *
+    * Same distributed shape: repartition(key) + sortWithinPartitions +
+    * one constant-memory streaming pass — serial per key by nature, never
+    * serial across keys. Both state values can be negative (a falling
+    * level drives trend below zero); rhaDiv carries both sign branches.
+    *
+    * Output: (key, ord, value_units, level_micro, trend_micro). */
+  def holtMicro(df: DataFrame, keyCol: String, ordCol: String,
+                unitsCol: String, unitsScale: Int,
+                alphaNum: Long, alphaDen: Long,
+                betaNum: Long, betaDen: Long): DataFrame = {
+    require(alphaDen > 0 && alphaNum > 0 && alphaNum <= alphaDen &&
+      betaDen > 0 && betaNum > 0 && betaNum <= betaDen,
+      s"alpha/beta must be in (0,1]: $alphaNum/$alphaDen, $betaNum/$betaDen")
+    require(unitsScale >= 0 && unitsScale <= 6,
+      s"unitsScale must be in [0,6], got $unitsScale")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val up = math.pow(10.0, 6 - unitsScale).toLong
+    val prepared = df.select(
+      col(keyCol).cast("long").as("key"),
+      col(ordCol).cast("long").as("ord"),
+      col(unitsCol).cast("long").as("units"))
+      .repartition(col("key"))
+      .sortWithinPartitions(col("key"), col("ord"))
+    prepared.as[(Long, Long, Long)].mapPartitions { it =>
+      var curKey = Long.MinValue
+      var lvl = 0L
+      var trd = 0L
+      it.map { case (k, o, c) =>
+        if (k != curKey) { lvl = c * up; trd = 0L }
+        else {
+          val prevLvl = lvl
+          lvl = rhaDiv(alphaNum * c * up + (alphaDen - alphaNum) * (lvl + trd),
+            alphaDen)
+          trd = rhaDiv(betaNum * (lvl - prevLvl) + (betaDen - betaNum) * trd,
+            betaDen)
+        }
+        curKey = k
+        HoltMicroRow(k, o, c, lvl, trd)
+      }
+    }(Encoders.product[HoltMicroRow])
+      .toDF("key", "ord", "value_units", "level_micro", "trend_micro")
+      .withColumnRenamed("key", keyCol)
+      .withColumnRenamed("ord", ordCol)
+  }
+
+  /** In-memory reference of [[holtMicro]] for tests. */
+  def holtMicroReference(units: Seq[Long], alphaNum: Long, alphaDen: Long,
+                         betaNum: Long, betaDen: Long,
+                         unitsScale: Int): Seq[(Long, Long)] = {
+    val up = math.pow(10.0, 6 - unitsScale).toLong
+    units.headOption.map { h =>
+      units.tail.scanLeft((h * up, 0L)) { case ((l, b), c) =>
+        val nl = rhaDiv(alphaNum * c * up + (alphaDen - alphaNum) * (l + b),
+          alphaDen)
+        val nb = rhaDiv(betaNum * (nl - l) + (betaDen - betaNum) * b, betaDen)
+        (nl, nb)
+      }
+    }.getOrElse(Seq.empty)
   }
 
   /** Rolling volatility over EXACT micro-unit returns (round 9 — the

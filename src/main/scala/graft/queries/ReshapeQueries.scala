@@ -115,6 +115,25 @@ object ReshapeQueries extends QueryModule {
         .orderBy("l_suppkey")
     }),
 
+    // Q-TS8 (round 9): Holt double-exponential smoothing (level + trend)
+    // with the 7-day-ahead forecast — the actual forecasting primitive
+    // the reference's prediction purpose calls for, one step past the
+    // q_ts7 seasonal-naive baseline and the q_ta3 level-only EMA. Both
+    // recurrences run in EXACT integer micro-units (the emaMicro
+    // discipline — no IEEE result enters state; trend goes negative on
+    // falling series, rhaDiv carries both signs); forecast = level +
+    // 7·trend is a pure integer add. α = 1/5, β = 1/10. Oracle = a
+    // recursive CTE stepping the identical coupled integer recurrences.
+    "q_ts8" -> ((s, d) => {
+      graft.operators.TechnicalIndicators.holtMicro(
+          Shared.supplierDailyCents(s, d), "l_suppkey", "day_ord", "cents",
+          unitsScale = 2, alphaNum = 1, alphaDen = 5,
+          betaNum = 1, betaDen = 10)
+        .withColumn("forecast7_micro",
+          col("level_micro") + lit(7L) * col("trend_micro"))
+        .orderBy("l_suppkey", "day_ord")
+    }),
+
     // Q-ANOM4 (round 7): seasonality-aware anomaly gate — z-scoring raw
     // daily revenue (q_anom1) flags every Monday of a weekly-cyclic
     // series; here the SCALED-INTEGER detrended value d = 7x − T is
@@ -343,6 +362,37 @@ object ReshapeQueries extends QueryModule {
     "q_ts4" -> acfSql,
     "q_ts5" -> shiftSql,
     "q_ts6" -> seasonalSql,
+    // Holt: the two coupled integer recurrences replayed level by level;
+    // the trend step needs l_t twice, so the l_t CASE is inlined at each
+    // site (pure arithmetic — no LATERAL, whose correlated scalars
+    // mis-decorrelate in recursive CTEs, per the verify recipe).
+    "q_ts8" -> {
+      val a = "(d.cents*10000 + 4*(r.lvl + r.tr))"
+      val lvl = s"CASE WHEN $a >= 0 THEN (2*$a + 5) // 10" +
+        s" ELSE -((-2*$a + 5) // 10) END"
+      def b(l: String) = s"(($l) - r.lvl + 9*r.tr)"
+      val tr = s"CASE WHEN ${b(lvl)} >= 0 THEN (2*${b(lvl)} + 10) // 20" +
+        s" ELSE -((-2*${b(lvl)} + 10) // 20) END"
+      s"""WITH RECURSIVE daily AS (
+         |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS day,
+         |    CAST(SUM(CAST(round(l_extendedprice*100.0,0) AS BIGINT)) AS BIGINT) AS cents
+         |  FROM lineitem GROUP BY 1, 2),
+         |d AS (
+         |  SELECT l_suppkey, date_diff('day', DATE '1970-01-01', day) AS day_ord, cents,
+         |    row_number() OVER (PARTITION BY l_suppkey ORDER BY day) AS rn
+         |  FROM daily),
+         |r AS (
+         |  SELECT l_suppkey, day_ord, cents, rn,
+         |    cents*10000 AS lvl, CAST(0 AS BIGINT) AS tr
+         |  FROM d WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.l_suppkey, d.day_ord, d.cents, d.rn, $lvl, $tr
+         |  FROM d JOIN r ON d.l_suppkey = r.l_suppkey AND d.rn = r.rn + 1)
+         |SELECT l_suppkey, day_ord, cents AS value_units,
+         |  CAST(lvl AS BIGINT) AS level_micro, CAST(tr AS BIGINT) AS trend_micro,
+         |  CAST(lvl + 7*tr AS BIGINT) AS forecast7_micro
+         |FROM r ORDER BY l_suppkey, day_ord""".stripMargin
+    },
     "q_ts7" ->
       s"""WITH ${filledCtes("day")},
          |p AS (SELECT l_suppkey, cents,

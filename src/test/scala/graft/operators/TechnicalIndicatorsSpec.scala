@@ -66,6 +66,37 @@ class TechnicalIndicatorsSpec extends SparkSpec {
     assert(expected(1) == -((-2 * a + 10) / 20))
   }
 
+  test("holtMicro matches the coupled-recurrence reference, tracks trends, " +
+    "and is partition-invariant") {
+    // rising then falling series: trend must go positive then negative
+    val cents = Seq(1000L, 1100L, 1200L, 1300L, 1200L, 1000L, 800L, 600L)
+    val rows = for { k <- Seq(1L, 2L); (c, i) <- cents.zipWithIndex }
+      yield (k, i.toLong, c + k)
+    val df = rows.toDF("k", "ord", "c")
+    for (parts <- Seq(1, 3)) {
+      val out = TechnicalIndicators.holtMicro(df.repartition(parts), "k", "ord",
+          "c", unitsScale = 2, alphaNum = 1, alphaDen = 5,
+          betaNum = 1, betaDen = 10)
+        .orderBy("k", "ord").select("k", "level_micro", "trend_micro")
+        .as[(Long, Long, Long)].collect()
+      for (k <- Seq(1L, 2L)) {
+        val expected = TechnicalIndicators.holtMicroReference(
+          cents.map(_ + k), 1, 5, 1, 10, 2)
+        val got = out.filter(_._1 == k).map(r => (r._2, r._3)).toSeq
+        assert(got == expected, s"key $k: $got vs $expected")
+        // trend sign follows the series shape
+        assert(got(3)._2 > 0L, "rising leg must carry positive trend")
+        assert(got.last._2 < 0L, "falling leg must carry negative trend")
+      }
+    }
+    // hand-check step 1 (key offset 0): l1 = rha(1100*1e4 + 4*(1000*1e4), 5),
+    // b1 = rha(l1 - 1000*1e4 + 9*0, 10)
+    val l1 = TechnicalIndicators.rhaDiv(1100L * 10000 + 4L * 10000000, 5)
+    val b1 = TechnicalIndicators.rhaDiv(l1 - 10000000L, 10)
+    val ref = TechnicalIndicators.holtMicroReference(cents, 1, 5, 1, 10, 2)
+    assert(ref(1) == (l1, b1))
+  }
+
   test("rollingVolMicro: exact micro returns, sample stddev, partition-invariant") {
     // hand-checkable series: 1000 -> 1500 (+50%), -> 1200 (-20%), -> 1200 (0%)
     val cents = Seq(1000L, 1500L, 1200L, 1200L)
