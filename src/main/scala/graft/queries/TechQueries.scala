@@ -472,6 +472,36 @@ object TechQueries extends QueryModule {
         .orderBy("l_suppkey", "day_ord")
     }),
 
+    // Q-EVT1 (round 9): event study — the MacKinlay empirical-finance
+    // standard: around each "revenue shock" (a day whose cents reach 2×
+    // the trailing 30-day mean — the exact integer cross-multiplication
+    // cents·n30 ≥ 2·s30 over the [-30, -1] frame, NO division; thin
+    // history n30 < 10 never fires), the mean market-adjusted abnormal
+    // return (AR = supplier − market return, both exact clipped micro)
+    // at each relative offset −3..+5. Exact BIGINT sums per offset, ONE
+    // raw double division each; 9 rows out. Plan: trailing window on the
+    // key sort, a 9-row offset explode, one (key, day) equi-join back to
+    // the return series, market broadcast.
+    "q_evt1" -> ((s, d) => {
+      val wt = Window.partitionBy("l_suppkey").orderBy("day_ord")
+        .rowsBetween(-30, -1)
+      val events = Shared.supplierDailyCents(s, d)
+        .withColumn("s30", sum(col("cents")).over(wt))
+        .withColumn("n30", count(lit(1)).over(wt))
+        .where(col("n30") >= 10 && col("cents") * col("n30") >= lit(2L) * col("s30"))
+        .select(col("l_suppkey"), col("day_ord").as("eday"))
+        .withColumn("off", explode(sequence(lit(-3L), lit(5L))))
+        .withColumn("day_ord", col("eday") + col("off"))
+      events
+        .join(Shared.supplierReturns(s, d), Seq("l_suppkey", "day_ord"))
+        .join(broadcast(Shared.marketReturns(s, d)), "day_ord")
+        .groupBy("off")
+        .agg(count(lit(1)).as("n"), sum(col("x") - col("y")).as("sum_ar_micro"))
+        .withColumn("avg_ar_micro",
+          col("sum_ar_micro").cast("double") / col("n").cast("double"))
+        .orderBy("off")
+    }),
+
     // Q-TA14 (round 9): rolling 60-day Sharpe — the risk-adjusted
     // performance headline: windowed mean over windowed sample-sd of the
     // exact clipped-micro returns. Sufficient statistics are exact
@@ -858,6 +888,33 @@ object TechQueries extends QueryModule {
           |  CAST(SUM(position * fwd_micro) OVER (PARTITION BY l_suppkey ORDER BY day_ord
           |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_strat_micro
           |FROM fw ORDER BY l_suppkey, day_ord""".stripMargin,
+      // event study: integer cross-multiplied shock test over the
+      // [-30, -1] frame, the shared exact-return CTEs, exact per-offset
+      // sums, one raw division each.
+      "q_evt1" ->
+        s"""WITH ${Shared.supplierMarketReturnsSql},
+           |t AS (
+           |  SELECT l_suppkey, day_ord, cents,
+           |    CAST(SUM(cents) OVER wt AS BIGINT) AS s30,
+           |    COUNT(*) OVER wt AS n30
+           |  FROM dd WINDOW wt AS (PARTITION BY l_suppkey ORDER BY day_ord
+           |    ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING)),
+           |ev AS (
+           |  SELECT l_suppkey, day_ord AS eday FROM t
+           |  WHERE n30 >= 10 AND cents * n30 >= 2 * s30),
+           |exp_ AS (
+           |  SELECT ev.l_suppkey, ev.eday, o.off, ev.eday + o.off AS day_ord
+           |  FROM ev, (SELECT CAST(unnest(generate_series(-3, 5)) AS BIGINT) AS off) o),
+           |j AS (
+           |  SELECT e.off, sx.x, my.y
+           |  FROM exp_ e
+           |  JOIN sx ON sx.l_suppkey = e.l_suppkey AND sx.day_ord = e.day_ord
+           |  JOIN my ON my.day_ord = e.day_ord)
+           |SELECT off, COUNT(*) AS n,
+           |  CAST(SUM(x - y) AS BIGINT) AS sum_ar_micro,
+           |  CAST(CAST(SUM(x - y) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+           |    AS avg_ar_micro
+           |FROM j GROUP BY 1 ORDER BY off""".stripMargin,
       // rolling Sharpe: exact BIGINT window sums cast once, the identical
       // mean/variance/ratio double tree, degenerate windows null.
       "q_ta14" ->
