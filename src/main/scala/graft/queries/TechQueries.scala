@@ -472,6 +472,40 @@ object TechQueries extends QueryModule {
         .orderBy("l_suppkey", "day_ord")
     }),
 
+    // Q-CORR3 (round 9): portfolio correlation matrix — pairwise Pearson
+    // correlation between the top-8 revenue series (by exact total-cents
+    // rank, key tie-break), THE covariance-structure input of portfolio
+    // risk. The K series are a broadcast-sized dimension, so the matrix
+    // is a day-aligned self-join bounded at K rows per side per day
+    // (never all-suppliers × all-suppliers); per-pair sufficient
+    // statistics are exact BIGINT sums (n ≤ days, the n·C² < 2^63 proof),
+    // correlation is the fixed q_corr1 double tree. K(K−1)/2 = 28 rows.
+    "q_corr3" -> ((s, d) => {
+      def dd(c: Column) = c.cast("double")
+      val top = Shared.supplierDailyCents(s, d)
+        .groupBy("l_suppkey").agg(sum("cents").as("tot"))
+        .orderBy(desc("tot"), col("l_suppkey")).limit(8)
+        .select("l_suppkey")
+      val r = Shared.supplierReturns(s, d).join(broadcast(top), "l_suppkey")
+      val a = r.select(col("l_suppkey").as("key_a"), col("day_ord"),
+        col("x").as("xa"))
+      val b = r.select(col("l_suppkey").as("key_b"), col("day_ord"),
+        col("x").as("xb"))
+      val st = a.join(b, Seq("day_ord")).where(col("key_a") < col("key_b"))
+        .groupBy("key_a", "key_b")
+        .agg(count(lit(1)).as("n"), sum("xa").as("sa"), sum("xb").as("sb"),
+          sum(col("xa") * col("xb")).as("sab"),
+          sum(col("xa") * col("xa")).as("saa"),
+          sum(col("xb") * col("xb")).as("sbb"))
+      val va = dd(col("n")) * dd(col("saa")) - dd(col("sa")) * dd(col("sa"))
+      val vb = dd(col("n")) * dd(col("sbb")) - dd(col("sb")) * dd(col("sb"))
+      val corr = (dd(col("n")) * dd(col("sab")) - dd(col("sa")) * dd(col("sb"))) /
+        (sqrt(va) * sqrt(vb))
+      st.where(col("n") >= 2 && va > 0.0 && vb > 0.0)
+        .select(col("key_a"), col("key_b"), col("n"), corr.as("corr"))
+        .orderBy("key_a", "key_b")
+    }),
+
     // Q-EVT1 (round 9): event study — the MacKinlay empirical-finance
     // standard: around each "revenue shock" (a day whose cents reach 2×
     // the trailing 30-day mean — the exact integer cross-multiplication
@@ -888,6 +922,36 @@ object TechQueries extends QueryModule {
           |  CAST(SUM(position * fwd_micro) OVER (PARTITION BY l_suppkey ORDER BY day_ord
           |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_strat_micro
           |FROM fw ORDER BY l_suppkey, day_ord""".stripMargin,
+      // portfolio matrix: exact total-cents top-8 (key tie-break), the
+      // day-aligned self-join, the identical corr double tree.
+      "q_corr3" ->
+        s"""WITH ${Shared.supplierMarketReturnsSql},
+           |top_ AS (
+           |  SELECT l_suppkey FROM (
+           |    SELECT l_suppkey, CAST(SUM(cents) AS BIGINT) AS tot
+           |    FROM dd GROUP BY 1)
+           |  ORDER BY tot DESC, l_suppkey LIMIT 8),
+           |rr AS (SELECT sx.l_suppkey, sx.day_ord, sx.x
+           |       FROM sx JOIN top_ USING (l_suppkey)),
+           |st AS (
+           |  SELECT a.l_suppkey AS key_a, b.l_suppkey AS key_b,
+           |    COUNT(*) AS n,
+           |    CAST(SUM(a.x) AS BIGINT) AS sa, CAST(SUM(b.x) AS BIGINT) AS sb,
+           |    CAST(SUM(a.x * b.x) AS BIGINT) AS sab,
+           |    CAST(SUM(a.x * a.x) AS BIGINT) AS saa,
+           |    CAST(SUM(b.x * b.x) AS BIGINT) AS sbb
+           |  FROM rr a JOIN rr b
+           |    ON a.day_ord = b.day_ord AND a.l_suppkey < b.l_suppkey
+           |  GROUP BY 1, 2)
+           |SELECT key_a, key_b, n,
+           |  (CAST(n AS DOUBLE)*CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE)*CAST(sb AS DOUBLE))
+           |  / (sqrt(CAST(n AS DOUBLE)*CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE)*CAST(sa AS DOUBLE))
+           |     * sqrt(CAST(n AS DOUBLE)*CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE)*CAST(sb AS DOUBLE))) AS corr
+           |FROM st
+           |WHERE n >= 2
+           |  AND CAST(n AS DOUBLE)*CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE)*CAST(sa AS DOUBLE) > 0.0
+           |  AND CAST(n AS DOUBLE)*CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE)*CAST(sb AS DOUBLE) > 0.0
+           |ORDER BY key_a, key_b""".stripMargin,
       // event study: integer cross-multiplied shock test over the
       // [-30, -1] frame, the shared exact-return CTEs, exact per-offset
       // sums, one raw division each.
