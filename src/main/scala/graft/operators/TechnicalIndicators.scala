@@ -19,6 +19,9 @@ case class EmaMicroRow(key: Long, ord: Long, valueUnits: Long, emaMicro: Long)
 case class HoltMicroRow(key: Long, ord: Long, valueUnits: Long,
                         levelMicro: Long, trendMicro: Long)
 
+case class CusumRow(key: Long, ord: Long, x: Long,
+                    spMicro: Long, snMicro: Long, alarm: Option[String])
+
 /** Technical indicators over per-key price series — the feature
   * engineering the reference's partitioned OHLCV layout exists to feed
   * (SURVEY.md §2.B [ANA]; `README.md:46`).
@@ -225,6 +228,71 @@ object TechnicalIndicators {
       .toDF("key", "ord", "value_units", "level_micro", "trend_micro")
       .withColumnRenamed("key", keyCol)
       .withColumnRenamed("ord", ordCol)
+  }
+
+  /** Page CUSUM change-point detector over an EXACT integer micro series
+    * (round 9) — the control chart that fires on a sustained mean SHIFT
+    * rather than a single outlier (the q_anom1 z-score's blind spot):
+    *
+    *   s⁺_t = max(0, s⁺_{t−1} + x_t − k)   alarm 'up'   when s⁺ > h
+    *   s⁻_t = min(0, s⁻_{t−1} + x_t + k)   alarm 'down' when s⁻ < −h
+    *
+    * with the textbook post-alarm reset to 0 (detection restarts). k is
+    * the drift allowance, h the decision threshold, both in micro. The
+    * two alarms are mutually exclusive per step (up needs x > k, down
+    * needs x < −k). Pure integer arithmetic — engine-exact; emitted
+    * s⁺/s⁻ are the PRE-reset values (what the alarm fired on).
+    * Same distributed shape as [[emaMicro]]: serial per key, never
+    * across keys. */
+  def cusumMicro(df: DataFrame, keyCol: String, ordCol: String,
+                 microCol: String, kMicro: Long, hMicro: Long): DataFrame = {
+    require(kMicro >= 0 && hMicro > 0, s"need k >= 0 < h: $kMicro, $hMicro")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val prepared = df.select(
+      col(keyCol).cast("long").as("key"),
+      col(ordCol).cast("long").as("ord"),
+      col(microCol).cast("long").as("x"))
+      .repartition(col("key"))
+      .sortWithinPartitions(col("key"), col("ord"))
+    prepared.as[(Long, Long, Long)].mapPartitions { it =>
+      var curKey = Long.MinValue
+      var sp = 0L
+      var sn = 0L
+      it.map { case (k, o, x) =>
+        if (k != curKey) { sp = 0L; sn = 0L }
+        sp = math.max(0L, sp + x - kMicro)
+        sn = math.min(0L, sn + x + kMicro)
+        val alarm =
+          if (sp > hMicro) Some("up")
+          else if (sn < -hMicro) Some("down") else None
+        val row = CusumRow(k, o, x, sp, sn, alarm)
+        if (sp > hMicro) sp = 0L
+        if (sn < -hMicro) sn = 0L
+        curKey = k
+        row
+      }
+    }(Encoders.product[CusumRow])
+      .toDF("key", "ord", "x", "sp_micro", "sn_micro", "alarm")
+      .withColumnRenamed("key", keyCol)
+      .withColumnRenamed("ord", ordCol)
+  }
+
+  /** In-memory reference of [[cusumMicro]] for tests. */
+  def cusumReference(xs: Seq[Long], kMicro: Long, hMicro: Long)
+      : Seq[(Long, Long, Option[String])] = {
+    var sp = 0L; var sn = 0L
+    xs.map { x =>
+      sp = math.max(0L, sp + x - kMicro)
+      sn = math.min(0L, sn + x + kMicro)
+      val alarm =
+        if (sp > hMicro) Some("up")
+        else if (sn < -hMicro) Some("down") else None
+      val out = (sp, sn, alarm)
+      if (sp > hMicro) sp = 0L
+      if (sn < -hMicro) sn = 0L
+      out
+    }
   }
 
   /** In-memory reference of [[holtMicro]] for tests. */

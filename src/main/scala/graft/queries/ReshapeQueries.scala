@@ -134,6 +134,25 @@ object ReshapeQueries extends QueryModule {
         .orderBy("l_suppkey", "day_ord")
     }),
 
+    // Q-ANOM5 (round 9): Page CUSUM change-point detection over the
+    // exact clipped-micro return series — fires on a SUSTAINED mean
+    // shift, the blind spot of the per-point z-score gates (q_anom1/4):
+    // s⁺ = max(0, s⁺ + x − k) / s⁻ = min(0, s⁻ + x + k) with the
+    // textbook post-alarm reset; k = 0 (no drift allowance), h = 2e6.
+    // The threshold is asymmetry-aware BY NECESSITY: a positive series
+    // bounds every down-move at −1e6 micro (−100%), so a reachable h
+    // must sit within a few crash-days' sum — at these params the
+    // fixture fires 10.6k up / 85 down alarms (both branches live, the
+    // de-vacuuming rule). Pure integer recurrence (the emaMicro
+    // discipline), serial per key; oracle = recursive CTE carrying the
+    // pre-reset emissions and post-reset state separately.
+    "q_anom5" -> ((s, d) => {
+      graft.operators.TechnicalIndicators.cusumMicro(
+          Shared.supplierReturns(s, d), "l_suppkey", "day_ord", "x",
+          kMicro = 0L, hMicro = 2000000L)
+        .orderBy("l_suppkey", "day_ord")
+    }),
+
     // Q-ANOM4 (round 7): seasonality-aware anomaly gate — z-scoring raw
     // daily revenue (q_anom1) flags every Monday of a weekly-cyclic
     // series; here the SCALED-INTEGER detrended value d = 7x − T is
@@ -362,6 +381,37 @@ object ReshapeQueries extends QueryModule {
     "q_ts4" -> acfSql,
     "q_ts5" -> shiftSql,
     "q_ts6" -> seasonalSql,
+    // CUSUM: the recursive replay carries pre-reset emissions (sp, sn —
+    // what the alarm fired on) and post-reset state (sp_st, sn_st)
+    // side by side; pure greatest/least integer arithmetic.
+    "q_anom5" -> {
+      val K = 0L; val H = 2000000L
+      def sp(prev: String) = s"greatest(0, $prev + d.x - $K)"
+      def sn(prev: String) = s"least(0, $prev + d.x + $K)"
+      s"""WITH RECURSIVE ${Shared.supplierMarketReturnsSql},
+         |d AS (
+         |  SELECT l_suppkey, day_ord, x,
+         |    row_number() OVER (PARTITION BY l_suppkey ORDER BY day_ord) AS rn
+         |  FROM sx),
+         |r AS (
+         |  SELECT l_suppkey, day_ord, x, rn,
+         |    greatest(0, x - $K) AS sp, least(0, x + $K) AS sn,
+         |    CASE WHEN greatest(0, x - $K) > $H THEN 0
+         |         ELSE greatest(0, x - $K) END AS sp_st,
+         |    CASE WHEN least(0, x + $K) < -$H THEN 0
+         |         ELSE least(0, x + $K) END AS sn_st
+         |  FROM d WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.l_suppkey, d.day_ord, d.x, d.rn,
+         |    ${sp("r.sp_st")}, ${sn("r.sn_st")},
+         |    CASE WHEN ${sp("r.sp_st")} > $H THEN 0 ELSE ${sp("r.sp_st")} END,
+         |    CASE WHEN ${sn("r.sn_st")} < -$H THEN 0 ELSE ${sn("r.sn_st")} END
+         |  FROM d JOIN r ON d.l_suppkey = r.l_suppkey AND d.rn = r.rn + 1)
+         |SELECT l_suppkey, day_ord, x,
+         |  CAST(sp AS BIGINT) AS sp_micro, CAST(sn AS BIGINT) AS sn_micro,
+         |  CASE WHEN sp > $H THEN 'up' WHEN sn < -$H THEN 'down' END AS alarm
+         |FROM r ORDER BY l_suppkey, day_ord""".stripMargin
+    },
     // Holt: the two coupled integer recurrences replayed level by level;
     // the trend step needs l_t twice, so the l_t CASE is inlined at each
     // site (pure arithmetic — no LATERAL, whose correlated scalars

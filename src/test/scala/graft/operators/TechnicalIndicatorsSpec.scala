@@ -97,6 +97,37 @@ class TechnicalIndicatorsSpec extends SparkSpec {
     assert(ref(1) == (l1, b1))
   }
 
+  test("cusumMicro fires on sustained shifts, resets after alarm, " +
+    "both sides, partition-invariant") {
+    // k=2, h=5: +4 steps accumulate (0+4-2=2, 4, 6>h ALARM+reset, ...);
+    // -4 steps drive the negative side symmetrically
+    val xs = Seq(4L, 4L, 4L, 0L, -4L, -4L, -4L, -4L)
+    val expect = TechnicalIndicators.cusumReference(xs, kMicro = 2, hMicro = 5)
+    assert(expect.map(_._1) === Seq(2L, 4L, 6L, 0L, 0L, 0L, 0L, 0L))
+    assert(expect(2)._3.contains("up"), "third +4 crosses h")
+    assert(expect(3)._1 === 0L, "post-alarm reset restarts detection")
+    // negative side: sn accumulates x+k = -2 per step from step 4,
+    // crossing -h on the THIRD -4 (index 6), then resets
+    assert(expect(6)._3.contains("down"), s"got ${expect(6)}")
+    assert(expect.last === ((0L, -2L, None)), "post-down-alarm reset")
+    // a single outlier below h fires nothing; a sustained shift does
+    val calm = TechnicalIndicators.cusumReference(
+      Seq(0L, 4L, 0L, 0L), kMicro = 2, hMicro = 5)
+    assert(calm.forall(_._3.isEmpty))
+    // Spark operator == reference, any partitioning
+    val rows = for { k <- Seq(1L, 2L); (x, i) <- xs.zipWithIndex }
+      yield (k, i.toLong, x)
+    val df = rows.toDF("k", "ord", "x")
+    for (parts <- Seq(1, 3)) {
+      val out = TechnicalIndicators.cusumMicro(df.repartition(parts),
+          "k", "ord", "x", kMicro = 2, hMicro = 5)
+        .orderBy("k", "ord").select("k", "sp_micro", "sn_micro", "alarm")
+        .collect().filter(_.getLong(0) == 1L)
+        .map(r => (r.getLong(1), r.getLong(2), Option(r.getString(3))))
+      assert(out.toSeq === expect)
+    }
+  }
+
   test("rollingVolMicro: exact micro returns, sample stddev, partition-invariant") {
     // hand-checkable series: 1000 -> 1500 (+50%), -> 1200 (-20%), -> 1200 (0%)
     val cents = Seq(1000L, 1500L, 1200L, 1200L)
