@@ -30,6 +30,36 @@ object TechQueries extends QueryModule {
   private def outOrder(df: DataFrame): DataFrame =
     df.orderBy((col("l_suppkey") +: byNameOrd): _*)
 
+  /** The q_bt1/q_bt2 shared per-day backtest frame (position, forward
+    * return, P&L, cumulative) — built once per (session, corpus); at
+    * cluster scale the persisted P&L table every evaluation reads. */
+  private def backtestFrame(s: SparkSession, d: String): DataFrame =
+    graft.util.Memo.cachedDf(s, s"bt_frame|$d") {
+      val wd = Window.partitionBy("l_suppkey").orderBy("day_ord")
+      val wRun = wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val w10 = wd.rowsBetween(-9, Window.currentRow)
+      val w50 = wd.rowsBetween(-49, Window.currentRow)
+      TechnicalIndicators.returnsMicro(Shared.supplierDailyCents(s, d),
+          Seq("l_suppkey"), "day_ord", "cents",
+          clampMicro = Shared.ReturnClampMicro)
+        .withColumn("s10", sum(col("value_units")).over(w10))
+        .withColumn("n10", count(lit(1)).over(w10))
+        .withColumn("s50", sum(col("value_units")).over(w50))
+        .withColumn("n50", count(lit(1)).over(w50))
+        .withColumn("__diff", col("s10") * col("n50") - col("s50") * col("n10"))
+        .withColumn("__prev", lag(col("__diff"), 1).over(wd))
+        .withColumn("__sig",
+          when(col("__diff") > 0 && col("__prev") <= 0, lit(1L))
+            .when(col("__diff") < 0 && col("__prev") >= 0, lit(0L)))
+        .withColumn("position",
+          coalesce(last(col("__sig"), ignoreNulls = true).over(wRun), lit(0L)))
+        .withColumn("fwd_micro", lead(col("r_micro"), 1).over(wd))
+        .withColumn("strat_micro", col("position") * col("fwd_micro"))
+        .withColumn("cum_strat_micro", sum(col("strat_micro")).over(wRun))
+        .select("l_suppkey", "day_ord", "position", "fwd_micro",
+          "strat_micro", "cum_strat_micro")
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Bollinger bands: 20-row mean +/- 2 sd from exact cent sums.
     "q_ta1" -> ((s, d) => {
@@ -445,31 +475,43 @@ object TechQueries extends QueryModule {
     // plus the running cumulative. Integers end to end: exact SMA sign
     // test, the shared exact clipped-micro returns, integer products and
     // running sums — nothing IEEE anywhere in the output.
-    "q_bt1" -> ((s, d) => {
-      val wd = Window.partitionBy("l_suppkey").orderBy("day_ord")
-      val wRun = wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val w10 = wd.rowsBetween(-9, Window.currentRow)
-      val w50 = wd.rowsBetween(-49, Window.currentRow)
-      TechnicalIndicators.returnsMicro(Shared.supplierDailyCents(s, d),
-          Seq("l_suppkey"), "day_ord", "cents",
-          clampMicro = Shared.ReturnClampMicro)
-        .withColumn("s10", sum(col("value_units")).over(w10))
-        .withColumn("n10", count(lit(1)).over(w10))
-        .withColumn("s50", sum(col("value_units")).over(w50))
-        .withColumn("n50", count(lit(1)).over(w50))
-        .withColumn("__diff", col("s10") * col("n50") - col("s50") * col("n10"))
-        .withColumn("__prev", lag(col("__diff"), 1).over(wd))
-        .withColumn("__sig",
-          when(col("__diff") > 0 && col("__prev") <= 0, lit(1L))
-            .when(col("__diff") < 0 && col("__prev") >= 0, lit(0L)))
-        .withColumn("position",
-          coalesce(last(col("__sig"), ignoreNulls = true).over(wRun), lit(0L)))
-        .withColumn("fwd_micro", lead(col("r_micro"), 1).over(wd))
-        .withColumn("strat_micro", col("position") * col("fwd_micro"))
-        .withColumn("cum_strat_micro", sum(col("strat_micro")).over(wRun))
+    "q_bt1" -> ((s, d) =>
+      backtestFrame(s, d)
         .select("l_suppkey", "day_ord", "position", "fwd_micro",
           "strat_micro", "cum_strat_micro")
-        .orderBy("l_suppkey", "day_ord")
+        .orderBy("l_suppkey", "day_ord")),
+
+    // Q-BT2 (round 9): backtest SUMMARY with transaction costs — the
+    // per-series verdict row: days, position switches, gross P&L, net
+    // P&L after a 10000-micro (1%) cost per switch, and the strategy
+    // Sharpe over the daily P&L series (the q_ta14 double tree). All
+    // sufficient statistics exact BIGINT; keys with a degenerate P&L
+    // series (n < 2 or zero variance) null the Sharpe.
+    "q_bt2" -> ((s, d) => {
+      def dd(c: Column) = c.cast("double")
+      val wd = Window.partitionBy("l_suppkey").orderBy("day_ord")
+      val f = backtestFrame(s, d)
+        .withColumn("switched",
+          when(col("position") =!=
+            coalesce(lag(col("position"), 1).over(wd), lit(0L)), lit(1L))
+            .otherwise(lit(0L)))
+      val st = f.groupBy("l_suppkey").agg(
+        count(lit(1)).as("n_days"),
+        sum(col("switched")).as("n_trades"),
+        count(col("strat_micro")).as("n"),
+        sum(col("strat_micro")).as("gross_micro"),
+        sum(col("strat_micro") * col("strat_micro")).as("sq"))
+      val vr = (dd(col("sq")) -
+        dd(col("gross_micro")) * dd(col("gross_micro")) / dd(col("n"))) /
+        (dd(col("n")) - lit(1.0))
+      st.withColumn("net_micro",
+          col("gross_micro") - col("n_trades") * lit(10000L))
+        .withColumn("sharpe",
+          when(col("n") >= 2 && vr > 0.0,
+            (dd(col("gross_micro")) / dd(col("n"))) / sqrt(vr)))
+        .select("l_suppkey", "n_days", "n_trades", "gross_micro",
+          "net_micro", "sharpe")
+        .orderBy("l_suppkey")
     }),
 
     // Q-CORR3 (round 9): portfolio correlation matrix — pairwise Pearson
@@ -562,6 +604,65 @@ object TechQueries extends QueryModule {
 
   def oracleSql: Map[String, String] = {
     val (meanSql, sdSql) = TechnicalIndicators.sqlMeanSd("l_extendedprice", "w")
+    // q_bt1/q_bt2 shared chain: daily cents -> returnsMicro rhaDiv+clamp
+    // CASE -> SMA sign test -> count-grp LOCF position -> forward return.
+    val btCtes =
+      """WITH daily AS (
+        |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS day,
+        |    CAST(SUM(CAST(round(l_extendedprice*100.0,0) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1, 2),
+        |dd AS (
+        |  SELECT l_suppkey, date_diff('day', DATE '1970-01-01', day) AS day_ord, cents
+        |  FROM daily),
+        |rr AS (
+        |  SELECT l_suppkey, day_ord, cents,
+        |    lag(cents) OVER (PARTITION BY l_suppkey ORDER BY day_ord) AS prev
+        |  FROM dd),
+        |r2 AS (
+        |  SELECT l_suppkey, day_ord, cents,
+        |    CASE WHEN prev IS NULL THEN NULL
+        |         WHEN (cents - prev)*1000000 >= 0
+        |           THEN (2*((cents - prev)*1000000) + prev) // (2*prev)
+        |         ELSE -((-2*((cents - prev)*1000000) + prev) // (2*prev)) END AS rw
+        |  FROM rr),
+        |r3 AS (
+        |  SELECT l_suppkey, day_ord, cents,
+        |    CASE WHEN rw IS NULL THEN NULL
+        |         ELSE CAST(least(greatest(rw, -10000000), 10000000) AS BIGINT) END AS r_micro
+        |  FROM r2),
+        |m AS (
+        |  SELECT l_suppkey, day_ord, r_micro,
+        |    CAST(SUM(cents) OVER w10 AS BIGINT) AS s10, COUNT(*) OVER w10 AS n10,
+        |    CAST(SUM(cents) OVER w50 AS BIGINT) AS s50, COUNT(*) OVER w50 AS n50
+        |  FROM r3
+        |  WINDOW w10 AS (PARTITION BY l_suppkey ORDER BY day_ord
+        |      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+        |    w50 AS (PARTITION BY l_suppkey ORDER BY day_ord
+        |      ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)),
+        |x2 AS (
+        |  SELECT l_suppkey, day_ord, r_micro,
+        |    s10*n50 - s50*n10 AS diff,
+        |    lag(s10*n50 - s50*n10, 1) OVER (PARTITION BY l_suppkey ORDER BY day_ord) AS prev
+        |  FROM m),
+        |sg AS (
+        |  SELECT l_suppkey, day_ord, r_micro,
+        |    CASE WHEN diff > 0 AND prev <= 0 THEN 1
+        |         WHEN diff < 0 AND prev >= 0 THEN 0 END AS sig
+        |  FROM x2),
+        |gp AS (
+        |  SELECT l_suppkey, day_ord, r_micro, sig,
+        |    count(sig) OVER (PARTITION BY l_suppkey ORDER BY day_ord
+        |      ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM sg),
+        |ps AS (
+        |  SELECT l_suppkey, day_ord, r_micro,
+        |    CAST(coalesce(max(sig) OVER (PARTITION BY l_suppkey, grp), 0) AS BIGINT)
+        |      AS position
+        |  FROM gp),
+        |fw AS (
+        |  SELECT l_suppkey, day_ord, position,
+        |    lead(r_micro, 1) OVER (PARTITION BY l_suppkey ORDER BY day_ord) AS fwd_micro
+        |  FROM ps)""".stripMargin
     Map(
       "q_ta1" ->
         s"""SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_extendedprice, l_quantity,
@@ -861,67 +962,42 @@ object TechQueries extends QueryModule {
       // the only non-null sig is the group's first row), the returnsMicro
       // rhaDiv+clamp CASE, integer products and running sums end to end.
       "q_bt1" ->
-        """WITH daily AS (
-          |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS day,
-          |    CAST(SUM(CAST(round(l_extendedprice*100.0,0) AS BIGINT)) AS BIGINT) AS cents
-          |  FROM lineitem GROUP BY 1, 2),
-          |dd AS (
-          |  SELECT l_suppkey, date_diff('day', DATE '1970-01-01', day) AS day_ord, cents
-          |  FROM daily),
-          |rr AS (
-          |  SELECT l_suppkey, day_ord, cents,
-          |    lag(cents) OVER (PARTITION BY l_suppkey ORDER BY day_ord) AS prev
-          |  FROM dd),
-          |r2 AS (
-          |  SELECT l_suppkey, day_ord, cents,
-          |    CASE WHEN prev IS NULL THEN NULL
-          |         WHEN (cents - prev)*1000000 >= 0
-          |           THEN (2*((cents - prev)*1000000) + prev) // (2*prev)
-          |         ELSE -((-2*((cents - prev)*1000000) + prev) // (2*prev)) END AS rw
-          |  FROM rr),
-          |r3 AS (
-          |  SELECT l_suppkey, day_ord, cents,
-          |    CASE WHEN rw IS NULL THEN NULL
-          |         ELSE CAST(least(greatest(rw, -10000000), 10000000) AS BIGINT) END AS r_micro
-          |  FROM r2),
-          |m AS (
-          |  SELECT l_suppkey, day_ord, r_micro,
-          |    CAST(SUM(cents) OVER w10 AS BIGINT) AS s10, COUNT(*) OVER w10 AS n10,
-          |    CAST(SUM(cents) OVER w50 AS BIGINT) AS s50, COUNT(*) OVER w50 AS n50
-          |  FROM r3
-          |  WINDOW w10 AS (PARTITION BY l_suppkey ORDER BY day_ord
-          |      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
-          |    w50 AS (PARTITION BY l_suppkey ORDER BY day_ord
-          |      ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)),
-          |x2 AS (
-          |  SELECT l_suppkey, day_ord, r_micro,
-          |    s10*n50 - s50*n10 AS diff,
-          |    lag(s10*n50 - s50*n10, 1) OVER (PARTITION BY l_suppkey ORDER BY day_ord) AS prev
-          |  FROM m),
-          |sg AS (
-          |  SELECT l_suppkey, day_ord, r_micro,
-          |    CASE WHEN diff > 0 AND prev <= 0 THEN 1
-          |         WHEN diff < 0 AND prev >= 0 THEN 0 END AS sig
-          |  FROM x2),
-          |gp AS (
-          |  SELECT l_suppkey, day_ord, r_micro, sig,
-          |    count(sig) OVER (PARTITION BY l_suppkey ORDER BY day_ord
-          |      ROWS UNBOUNDED PRECEDING) AS grp
-          |  FROM sg),
-          |ps AS (
-          |  SELECT l_suppkey, day_ord, r_micro,
-          |    CAST(coalesce(max(sig) OVER (PARTITION BY l_suppkey, grp), 0) AS BIGINT)
-          |      AS position
-          |  FROM gp),
-          |fw AS (
-          |  SELECT l_suppkey, day_ord, position,
-          |    lead(r_micro, 1) OVER (PARTITION BY l_suppkey ORDER BY day_ord) AS fwd_micro
-          |  FROM ps)
-          |SELECT l_suppkey, day_ord, position, fwd_micro,
-          |  CAST(position * fwd_micro AS BIGINT) AS strat_micro,
-          |  CAST(SUM(position * fwd_micro) OVER (PARTITION BY l_suppkey ORDER BY day_ord
-          |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_strat_micro
-          |FROM fw ORDER BY l_suppkey, day_ord""".stripMargin,
+        s"""$btCtes
+           |SELECT l_suppkey, day_ord, position, fwd_micro,
+           |  CAST(position * fwd_micro AS BIGINT) AS strat_micro,
+           |  CAST(SUM(position * fwd_micro) OVER (PARTITION BY l_suppkey ORDER BY day_ord
+           |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_strat_micro
+           |FROM fw ORDER BY l_suppkey, day_ord""".stripMargin,
+      // backtest summary: switches via lag-default-0, exact BIGINT sums,
+      // the q_ta14 Sharpe tree over the daily P&L.
+      "q_bt2" ->
+        s"""$btCtes,
+           |pl AS (
+           |  SELECT l_suppkey, day_ord, position,
+           |    CAST(position * fwd_micro AS BIGINT) AS strat_micro,
+           |    CASE WHEN position <> coalesce(lag(position)
+           |        OVER (PARTITION BY l_suppkey ORDER BY day_ord), 0)
+           |      THEN 1 ELSE 0 END AS switched
+           |  FROM fw),
+           |st AS (
+           |  SELECT l_suppkey, COUNT(*) AS n_days,
+           |    CAST(SUM(switched) AS BIGINT) AS n_trades,
+           |    COUNT(strat_micro) AS n,
+           |    CAST(SUM(strat_micro) AS BIGINT) AS gross_micro,
+           |    CAST(SUM(strat_micro * strat_micro) AS BIGINT) AS sq
+           |  FROM pl GROUP BY 1)
+           |SELECT l_suppkey, n_days, n_trades, gross_micro,
+           |  gross_micro - n_trades * 10000 AS net_micro,
+           |  CASE WHEN n >= 2
+           |        AND (CAST(sq AS DOUBLE)
+           |             - CAST(gross_micro AS DOUBLE)*CAST(gross_micro AS DOUBLE)/CAST(n AS DOUBLE))
+           |            / (CAST(n AS DOUBLE) - 1.0) > 0.0
+           |    THEN (CAST(gross_micro AS DOUBLE) / CAST(n AS DOUBLE))
+           |       / sqrt((CAST(sq AS DOUBLE)
+           |               - CAST(gross_micro AS DOUBLE)*CAST(gross_micro AS DOUBLE)/CAST(n AS DOUBLE))
+           |              / (CAST(n AS DOUBLE) - 1.0))
+           |  END AS sharpe
+           |FROM st ORDER BY l_suppkey""".stripMargin,
       // portfolio matrix: exact total-cents top-8 (key tie-break), the
       // day-aligned self-join, the identical corr double tree.
       "q_corr3" ->
