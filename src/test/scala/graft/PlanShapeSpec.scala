@@ -14,6 +14,60 @@ class PlanShapeSpec extends SparkSpec {
   private def plan(name: String, m: QueryModule): String =
     m.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  test("holt/cusum serial passes: ONE key exchange then mapPartitions, " +
+    "no second shuffle") {
+    import spark.implicits._
+    val df = Seq((1L, 0L, 100L), (1L, 1L, 110L), (2L, 0L, 50L))
+      .toDF("k", "ord", "c")
+    val p1 = graft.operators.TechnicalIndicators.holtMicro(df, "k", "ord", "c",
+        unitsScale = 2, alphaNum = 1, alphaDen = 5, betaNum = 1, betaDen = 10)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p1).length === 1, p1.take(1200))
+    assert(p1.contains("MapPartitions"), p1.take(1200))
+    val p2 = graft.operators.TechnicalIndicators.cusumMicro(df, "k", "ord", "c",
+        kMicro = 0L, hMicro = 5L)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p2).length === 1, p2.take(1200))
+  }
+
+  test("q_evt1/q_corr3/q_ta12: dimension sides broadcast, never nested-loop") {
+    for (n <- Seq("q_evt1", "q_corr3", "q_ta12")) {
+      val p = plan(n, graft.queries.TechQueries)
+      assert(p.contains("BroadcastHashJoin"), s"$n:\n" + p.take(1200))
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$n must not nested-loop:\n" + p.take(1200))
+    }
+  }
+
+  test("q_bt1: every backtest window rides one key shuffle") {
+    // rebuild the chain directly (the registered query serves the memoized
+    // frame — cache substitution would print InMemoryRelation): all five
+    // key windows + the signal LOCF must share ONE l_suppkey exchange
+    import org.apache.spark.sql.expressions.Window
+    val wd = Window.partitionBy("l_suppkey").orderBy("day_ord")
+    val wRun = wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w11 = wd.rowsBetween(-10, Window.currentRow) // differs from q_bt1's
+    val base = graft.operators.TechnicalIndicators.returnsMicro(
+      graft.Tables.load(spark, sf, "lineitem")
+        .groupBy(col("l_suppkey"), col("l_shipdate").cast("date").as("day"))
+        .agg(sum(round(col("l_extendedprice") * lit(100.0)).cast("long")).as("cents"))
+        .withColumn("day_ord",
+          datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+        .select("l_suppkey", "day_ord", "cents"),
+      Seq("l_suppkey"), "day_ord", "cents", clampMicro = 10000000L)
+    val p = base
+      .withColumn("s", sum(col("value_units")).over(w11))
+      .withColumn("sig", when(col("s") > 0, lit(1L)))
+      .withColumn("pos", coalesce(
+        last(col("sig"), ignoreNulls = true).over(wRun), lit(0L)))
+      .withColumn("fwd", lead(col("r_micro"), 1).over(wd))
+      .withColumn("cum", sum(col("pos") * col("fwd")).over(wRun))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning\\(l_suppkey#\\d+L, \\d+\\)".r
+      .findAllIn(p).length === 1,
+      "one key exchange for the whole window chain:\n" + p.take(1500))
+  }
+
   test("q_scan2: shipdate predicate is pushed to the parquet reader") {
     val p = plan("q_scan2", ScanSinkQueries)
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"), p)
