@@ -144,6 +144,57 @@ object StreamingCheck {
         Bm25.scoreMicro(spark.read.parquet(postStore)
           .select("doc_id", "term", "tf", "dl"), queriesDf),
         Bm25.scoreMicro(Bm25.postings(docs, "doc_id", col("text")), queriesDf))
+
+      // S-STRMTA: streaming indicator maintenance through the REAL entry
+      // point. The operator's contract requires per-key IN-ORDER arrival
+      // across micro-batches (late rows drop by design), so the staging
+      // splits the daily series into 4 chronological day-range files and
+      // forces strictly increasing modification times — the file source
+      // replays oldest-first, exactly the daily-update cadence the
+      // operator is for. The union of Update-mode emissions must equal
+      // the batch holtMicro run over the whole series, row for row.
+      val cents = Tables.load(spark, sfDir, "lineitem")
+        .groupBy(col("l_suppkey"), col("l_shipdate").cast("date").as("day"))
+        .agg(sum(round(col("l_extendedprice") * lit(100.0)).cast("long"))
+          .as("cents"))
+        .select(col("l_suppkey").as("k"),
+          datediff(col("day"), lit("1970-01-01").cast("date")).cast("long")
+            .as("ord"),
+          col("cents").as("c"))
+        .cache()
+      val Row(taLo: Long, taHi: Long) =
+        cents.agg(min("ord"), max("ord")).head()
+      val taIn = new java.io.File(s"$scratch/ta_in")
+      val span = taHi - taLo + 1
+      for (i <- 0L to 3L) {
+        val before: Set[String] =
+          Option(taIn.list()).map(_.toSet).getOrElse(Set.empty)
+        cents.where(col("ord") >= taLo + i * span / 4 &&
+            col("ord") < taLo + (i + 1) * span / 4 + (if (i == 3) 1 else 0))
+          .coalesce(1).write.mode("append").parquet(taIn.getPath)
+        val added = taIn.list().toSet -- before
+        // strictly increasing mtimes pin the replay order (same-ms writes
+        // would otherwise tie and could reorder the quartiles)
+        added.foreach(f =>
+          new java.io.File(taIn, f).setLastModified(1000000000000L + i * 600000L))
+      }
+      val taQ = graft.streaming.StreamingIndicators.holtOnArrival(
+          spark.readStream.schema(cents.schema)
+            .option("maxFilesPerTrigger", "1").parquet(taIn.getPath)
+            .as[(Long, Long, Long)],
+          unitsScale = 2, alphaNum = 1, alphaDen = 5, betaNum = 1, betaDen = 10)
+        .writeStream.format("memory").queryName("strmta")
+        .outputMode("update")
+        .option("checkpointLocation", s"$scratch/ckpt_ta")
+        .trigger(Trigger.AvailableNow()).start()
+      taQ.awaitTermination()
+      mustMatch("S-STRMTA(holtOnArrival==batch)",
+        spark.table("strmta").select(col("key").as("k"), col("ord"),
+          col("valueUnits").as("value_units"),
+          col("levelMicro").as("level_micro"),
+          col("trendMicro").as("trend_micro")),
+        graft.operators.TechnicalIndicators.holtMicro(cents, "k", "ord", "c",
+          unitsScale = 2, alphaNum = 1, alphaDen = 5, betaNum = 1, betaDen = 10))
     } finally spark.stop()
   }
 }
