@@ -231,7 +231,6 @@ object ScaleBench {
     }.toDF("doc_id", "payload")
   }
 
-  /** Orders-shaped numeric fact for the equi-depth boundary pass. */
   /** Daily price panel: nKeys series × nDays days, one strictly-positive
     * integer-cent value per (key, day) — deterministic hash noise around
     * 100.00 (positive: the return quantization divides by the previous
@@ -243,6 +242,7 @@ object ScaleBench {
       (lit(10000L) + pmod(xxhash64(col("id")), lit(2001L)) - lit(1000L))
         .as("cents"))
 
+  /** Orders-shaped numeric fact for the equi-depth boundary pass. */
   def syntheticValues(spark: SparkSession, n: Long): DataFrame =
     spark.range(n).select(col("id").as("k"),
       (pmod(xxhash64(col("id")), lit(60000000L)).cast("double") / 100.0).as("v"))

@@ -153,13 +153,8 @@ object StreamingCheck {
       // replays oldest-first, exactly the daily-update cadence the
       // operator is for. The union of Update-mode emissions must equal
       // the batch holtMicro run over the whole series, row for row.
-      val cents = Tables.load(spark, sfDir, "lineitem")
-        .groupBy(col("l_suppkey"), col("l_shipdate").cast("date").as("day"))
-        .agg(sum(round(col("l_extendedprice") * lit(100.0)).cast("long"))
-          .as("cents"))
-        .select(col("l_suppkey").as("k"),
-          datediff(col("day"), lit("1970-01-01").cast("date")).cast("long")
-            .as("ord"),
+      val cents = graft.queries.Shared.supplierDailyCents(spark, sfDir)
+        .select(col("l_suppkey").as("k"), col("day_ord").as("ord"),
           col("cents").as("c"))
         .cache()
       val Row(taLo: Long, taHi: Long) =
@@ -169,8 +164,9 @@ object StreamingCheck {
       for (i <- 0L to 3L) {
         val before: Set[String] =
           Option(taIn.list()).map(_.toSet).getOrElse(Set.empty)
+        // i=3 upper bound is taLo + span = taHi + 1, so taHi is admitted
         cents.where(col("ord") >= taLo + i * span / 4 &&
-            col("ord") < taLo + (i + 1) * span / 4 + (if (i == 3) 1 else 0))
+            col("ord") < taLo + (i + 1) * span / 4)
           .coalesce(1).write.mode("append").parquet(taIn.getPath)
         val added = taIn.list().toSet -- before
         // strictly increasing mtimes pin the replay order (same-ms writes

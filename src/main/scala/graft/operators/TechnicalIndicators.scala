@@ -159,12 +159,16 @@ object TechnicalIndicators {
       .repartition(col("key"))
       .sortWithinPartitions(col("key"), col("ord"))
     prepared.as[(Long, Long, Long)].mapPartitions { it =>
-      var curKey = Long.MinValue
+      // explicit started flag, not a key sentinel: a key column may hold
+      // ANY long (including Long.MinValue) in this generic operator
+      var started = false
+      var curKey = 0L
       var curEma = 0L
       it.map { case (k, o, c) =>
         curEma =
-          if (k != curKey) c * up
+          if (!started || k != curKey) c * up
           else rhaDiv(alphaNum * c * up + (alphaDen - alphaNum) * curEma, alphaDen)
+        started = true
         curKey = k
         EmaMicroRow(k, o, c, curEma)
       }
@@ -209,11 +213,13 @@ object TechnicalIndicators {
       .repartition(col("key"))
       .sortWithinPartitions(col("key"), col("ord"))
     prepared.as[(Long, Long, Long)].mapPartitions { it =>
-      var curKey = Long.MinValue
+      // started flag, not a key sentinel (a key may be Long.MinValue)
+      var started = false
+      var curKey = 0L
       var lvl = 0L
       var trd = 0L
       it.map { case (k, o, c) =>
-        if (k != curKey) { lvl = c * up; trd = 0L }
+        if (!started || k != curKey) { started = true; lvl = c * up; trd = 0L }
         else {
           val prevLvl = lvl
           lvl = rhaDiv(alphaNum * c * up + (alphaDen - alphaNum) * (lvl + trd),
@@ -256,11 +262,15 @@ object TechnicalIndicators {
       .repartition(col("key"))
       .sortWithinPartitions(col("key"), col("ord"))
     prepared.as[(Long, Long, Long)].mapPartitions { it =>
-      var curKey = Long.MinValue
+      // started flag, not a key sentinel (a key may be Long.MinValue);
+      // the reset state is 0/0 so the seed is the same either way, but
+      // the pattern stays uniform with emaMicro/holtMicro
+      var started = false
+      var curKey = 0L
       var sp = 0L
       var sn = 0L
       it.map { case (k, o, x) =>
-        if (k != curKey) { sp = 0L; sn = 0L }
+        if (!started || k != curKey) { started = true; sp = 0L; sn = 0L }
         sp = math.max(0L, sp + x - kMicro)
         sn = math.min(0L, sn + x + kMicro)
         val alarm =

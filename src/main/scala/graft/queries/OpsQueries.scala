@@ -1316,18 +1316,13 @@ object OpsQueries extends QueryModule {
     // embargoed walk-forward CV: identical integer segment/boundary
     // arithmetic ((d−lo)·5 // w; block start ceil(s·w/5) = (s·w+4)//5).
     "q_sample12" ->
-      """WITH daily AS (
-        |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS day
-        |  FROM lineitem GROUP BY 1, 2),
-        |dd2 AS (
-        |  SELECT l_suppkey, date_diff('day', DATE '1970-01-01', day) AS day_ord
-        |  FROM daily),
+      s"""WITH ${Shared.supplierMarketReturnsSql},
         |b AS (SELECT MIN(day_ord) AS lo,
-        |        MAX(day_ord) - MIN(day_ord) + 1 AS w FROM dd2),
+        |        MAX(day_ord) - MIN(day_ord) + 1 AS w FROM dd),
         |e AS (
-        |  SELECT dd2.l_suppkey, dd2.day_ord, b.lo, b.w,
-        |    ((dd2.day_ord - b.lo) * 5) // b.w AS seg, r.cv_round
-        |  FROM dd2, b,
+        |  SELECT dd.l_suppkey, dd.day_ord, b.lo, b.w,
+        |    ((dd.day_ord - b.lo) * 5) // b.w AS seg, r.cv_round
+        |  FROM dd, b,
         |    (SELECT CAST(unnest(generate_series(0, 3)) AS BIGINT) AS cv_round) r),
         |f AS (
         |  SELECT l_suppkey, day_ord, CAST(seg AS BIGINT) AS seg, cv_round,

@@ -423,14 +423,11 @@ object ReshapeQueries extends QueryModule {
       def b(l: String) = s"(($l) - r.lvl + 9*r.tr)"
       val tr = s"CASE WHEN ${b(lvl)} >= 0 THEN (2*${b(lvl)} + 10) // 20" +
         s" ELSE -((-2*${b(lvl)} + 10) // 20) END"
-      s"""WITH RECURSIVE daily AS (
-         |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS day,
-         |    CAST(SUM(CAST(round(l_extendedprice*100.0,0) AS BIGINT)) AS BIGINT) AS cents
-         |  FROM lineitem GROUP BY 1, 2),
+      s"""WITH RECURSIVE ${Shared.supplierMarketReturnsSql},
          |d AS (
-         |  SELECT l_suppkey, date_diff('day', DATE '1970-01-01', day) AS day_ord, cents,
-         |    row_number() OVER (PARTITION BY l_suppkey ORDER BY day) AS rn
-         |  FROM daily),
+         |  SELECT l_suppkey, day_ord, cents,
+         |    row_number() OVER (PARTITION BY l_suppkey ORDER BY day_ord) AS rn
+         |  FROM dd),
          |r AS (
          |  SELECT l_suppkey, day_ord, cents, rn,
          |    cents*10000 AS lvl, CAST(0 AS BIGINT) AS tr

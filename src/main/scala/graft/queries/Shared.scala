@@ -13,7 +13,7 @@ import graft.util.Memo
   * build-once persisted DataFrame (graft.util.Memo). All inputs are
   * deterministic (fixed seeds), so sharing changes cost, never answers.
   */
-private[queries] object Shared {
+private[graft] object Shared {
 
   /** MinHash+LSH candidate pairs over `documents` (default params) —
     * consumed by q_dedup2 (the pair list itself) and q_dedup5 (connected

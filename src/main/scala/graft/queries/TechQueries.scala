@@ -607,13 +607,7 @@ object TechQueries extends QueryModule {
     // q_bt1/q_bt2 shared chain: daily cents -> returnsMicro rhaDiv+clamp
     // CASE -> SMA sign test -> count-grp LOCF position -> forward return.
     val btCtes =
-      """WITH daily AS (
-        |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS day,
-        |    CAST(SUM(CAST(round(l_extendedprice*100.0,0) AS BIGINT)) AS BIGINT) AS cents
-        |  FROM lineitem GROUP BY 1, 2),
-        |dd AS (
-        |  SELECT l_suppkey, date_diff('day', DATE '1970-01-01', day) AS day_ord, cents
-        |  FROM daily),
+      s"""WITH ${Shared.supplierMarketReturnsSql},
         |rr AS (
         |  SELECT l_suppkey, day_ord, cents,
         |    lag(cents) OVER (PARTITION BY l_suppkey ORDER BY day_ord) AS prev

@@ -9,8 +9,11 @@ import graft.operators.TechnicalIndicators.rhaDiv
 case class IndicatorRow(key: Long, ord: Long, valueUnits: Long,
                         levelMicro: Long, trendMicro: Long)
 
-/** Per-key indicator state carried across micro-batches. */
-case class IndicatorState(lastOrd: Long, levelMicro: Long, trendMicro: Long)
+/** Per-key indicator state carried across micro-batches. `started`
+  * distinguishes the empty state explicitly — an ord sentinel would
+  * silently drop a legitimate observation at ord == Long.MinValue. */
+case class IndicatorState(started: Boolean, lastOrd: Long,
+                          levelMicro: Long, trendMicro: Long)
 
 /** S-STRMTA (round 9): STREAMING technical-indicator maintenance — the
   * reference's own stated future is "daily stock data updates", and this is
@@ -44,6 +47,9 @@ object StreamingIndicators {
                     alphaNum: Long, alphaDen: Long,
                     betaNum: Long, betaDen: Long): Dataset[IndicatorRow] = {
     require(unitsScale >= 0 && unitsScale <= 6, s"unitsScale: $unitsScale")
+    require(alphaDen > 0 && alphaNum > 0 && alphaNum <= alphaDen &&
+      betaDen > 0 && betaNum > 0 && betaNum <= betaDen,
+      s"alpha/beta must be in (0,1]: $alphaNum/$alphaDen, $betaNum/$betaDen")
     val spark = obs.sparkSession
     import spark.implicits._
     val up = math.pow(10.0, 6 - unitsScale).toLong
@@ -56,13 +62,13 @@ object StreamingIndicators {
           // the rest. Bounded: one batch's rows for one key.
           val sorted = rows.toSeq.sortBy(_._2)
           var st = state.getOption.getOrElse(
-            IndicatorState(Long.MinValue, 0L, 0L))
+            IndicatorState(started = false, 0L, 0L, 0L))
           val out = Seq.newBuilder[IndicatorRow]
           sorted.foreach { case (_, ord, units) =>
-            if (ord > st.lastOrd) {
+            if (!st.started || ord > st.lastOrd) {
               st =
-                if (st.lastOrd == Long.MinValue)
-                  IndicatorState(ord, units * up, 0L)
+                if (!st.started)
+                  IndicatorState(started = true, ord, units * up, 0L)
                 else {
                   val prevLvl = st.levelMicro
                   val lvl = rhaDiv(alphaNum * units * up +
@@ -70,7 +76,7 @@ object StreamingIndicators {
                     alphaDen)
                   val trd = rhaDiv(betaNum * (lvl - prevLvl) +
                     (betaDen - betaNum) * st.trendMicro, betaDen)
-                  IndicatorState(ord, lvl, trd)
+                  IndicatorState(started = true, ord, lvl, trd)
                 }
               out += IndicatorRow(key, ord, units, st.levelMicro, st.trendMicro)
             } // else: late/replayed observation — dropped, state untouched

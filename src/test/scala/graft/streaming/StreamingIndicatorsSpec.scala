@@ -49,10 +49,13 @@ class StreamingIndicatorsSpec extends SparkSpec {
       .outputMode("update").start()
     try {
       mem.addData((1L, 0L, 1000L), (1L, 1L, 1100L)); q.processAllAvailable()
+      val beforeReplay = spark.table(name).count()
       // replay batch 1 verbatim + one genuinely late row: all dropped
       mem.addData((1L, 0L, 1000L), (1L, 1L, 1100L), (1L, 0L, 9999L))
       q.processAllAvailable()
       val afterReplay = spark.table(name).count()
+      assert(afterReplay === beforeReplay,
+        "the replayed/late batch must emit ZERO rows, not just leave state intact")
       // then a fresh in-order row still folds from the UNCORRUPTED state
       mem.addData((1L, 2L, 1200L)); q.processAllAvailable()
       assert(spark.table(name).count() === afterReplay + 1)
