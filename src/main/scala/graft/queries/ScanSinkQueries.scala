@@ -1,12 +1,17 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryModule, Tables}
 import graft.operators.{Batching, IngestEgress}
 
 /** Scans, sources, sinks (SURVEY.md §2.B Q-SCAN1–3, Q-SINK1–2). */
 object ScanSinkQueries extends QueryModule {
+
+  /** round(log10(1 + 1/d), 6) for d = 1..9 — Benford's law as fixed
+    * literals, so no engine evaluates a logarithm at query time. */
+  private val BenfordP = Seq(0.301030, 0.176091, 0.124939, 0.096910,
+    0.079181, 0.066947, 0.057992, 0.051153, 0.045757)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q-SCAN1: parquet scan + projection + total sort.
@@ -150,6 +155,33 @@ object ScanSinkQueries extends QueryModule {
         .orderBy("check_name")
     }),
 
+    // Q-DQ6 (round 9): Benford first-digit audit — the forensic
+    // data-quality classic: the leading-digit distribution of order
+    // totals against Benford's law, with the per-digit chi-square
+    // contribution (fabricated/truncated monetary data fails this gate).
+    // The nine expectations are FIXED 6dp literals (round(log10(1+1/d)))
+    // — identical text on both engines, NO runtime log10, so the only
+    // IEEE ops are the fixed expected/chi trees over exact counts.
+    // Digit extraction is exact (first char of the positive integer
+    // cents). One aggregation + a one-row total broadcast; 9 rows out.
+    "q_dq6" -> ((s, d) => {
+      def dd(c: Column) = c.cast("double")
+      val base = Tables.load(s, d, "orders")
+        .select(round(col("o_totalprice") * lit(100.0)).cast("long").as("cents"))
+        .where(col("cents") > 0)
+        .select(substring(col("cents").cast("string"), 1, 1).cast("long")
+          .as("digit"))
+      val obs = base.groupBy("digit").agg(count(lit(1)).as("n_obs"))
+      val tot = base.agg(count(lit(1)).as("n"))
+      val p = element_at(array(BenfordP.map(lit): _*), col("digit").cast("int"))
+      val expected = dd(col("n")) * p
+      obs.crossJoin(broadcast(tot))
+        .select(col("digit"), col("n_obs"), expected.as("expected"),
+          ((dd(col("n_obs")) - expected) * (dd(col("n_obs")) - expected) /
+            expected).as("chi2_term"))
+        .orderBy("digit")
+    }),
+
     // Q-SINK3: the same batch ids via the fact-scale two-pass path
     // (repartitionByRange + zipWithIndex) — identical answer to the
     // single-partition window form, no SinglePartition stage in the plan.
@@ -271,6 +303,28 @@ object ScanSinkQueries extends QueryModule {
          |  ${graft.operators.Layout.zValueSql(Seq("l_partkey", "l_suppkey"), 16)} AS z
          |FROM lineitem
          |ORDER BY z, l_orderkey, l_linenumber, l_partkey""".stripMargin,
+    // Benford: identical fixed 6dp expectation literals, identical
+    // expected/chi trees over exact counts.
+    "q_dq6" -> {
+      val plist = BenfordP.map(p => s"CAST($p AS DOUBLE)")
+        .mkString("[", ", ", "]")
+      s"""WITH c AS (
+         |  SELECT CAST(round(o_totalprice*100.0, 0) AS BIGINT) AS cents
+         |  FROM orders),
+         |dg AS (
+         |  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
+         |  FROM c WHERE cents > 0),
+         |o AS (SELECT digit, COUNT(*) AS n_obs FROM dg GROUP BY 1),
+         |t AS (SELECT COUNT(*) AS n FROM dg),
+         |e AS (
+         |  SELECT digit, n_obs,
+         |    CAST(n AS DOUBLE) * ($plist)[CAST(digit AS INT)] AS expected
+         |  FROM o, t)
+         |SELECT digit, n_obs, expected,
+         |  (CAST(n_obs AS DOUBLE) - expected) * (CAST(n_obs AS DOUBLE) - expected)
+         |    / expected AS chi2_term
+         |FROM e ORDER BY digit""".stripMargin
+    },
     "q_dq1" ->
       """WITH m AS (SELECT
         |  CAST(COUNT(*) AS DOUBLE) AS n_rows,
