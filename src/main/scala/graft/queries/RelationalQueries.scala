@@ -127,6 +127,24 @@ object RelationalQueries extends QueryModule {
         .orderBy("o_orderkey")
     }),
 
+    // Q-JOIN14 (round 9): TOLERANCE as-of — pandas merge_asof's
+    // `tolerance` parameter on the backward direction: the latest
+    // at-or-before match counts only within a 365-day lookback; staler
+    // matches clear to null (a stock joined to a quote from months ago
+    // is worse than no quote). Same single-shuffle operator as q_join7
+    // plus one null-out predicate — no extra exchange.
+    "q_join14" -> ((s, d) => {
+      val orders = Tables.load(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      AsOfJoin.lastWithin(orders, shiftedEvents(s, d),
+        leftKey = "o_custkey", leftTime = "o_orderdate",
+        rightKey = "user_id", rightTime = "ts2",
+        rightValueCols = Seq(), tieBreak = Seq("event_id"),
+        maxLookback = expr("INTERVAL 365 DAYS"))
+        .select("o_orderkey", "asof_ts2")
+        .orderBy("o_orderkey")
+    }),
+
     // Q-JOIN13 (round 9): NEAREST as-of — pandas merge_asof's third
     // direction, completing at-or-before (q_join7/8) and at-or-after:
     // per order, whichever of the latest-before / earliest-after events
@@ -373,6 +391,18 @@ object RelationalQueries extends QueryModule {
         |  (SELECT max(e.ts - INTERVAL 29 YEAR) FROM events e
         |   WHERE e.user_id = o.o_custkey AND e.ts - INTERVAL 29 YEAR <= o.o_orderdate) AS asof_ts2
         |FROM orders o ORDER BY o.o_orderkey""".stripMargin,
+    // q_join14: the q_join7 correlated scalar cleared by the identical
+    // lookback predicate (match >= left time - 365 days); the fixture keeps
+    // 245 matches and clears 14,755 stale ones - both branches live.
+    "q_join14" ->
+      """WITH a AS (SELECT o.o_orderkey, o.o_orderdate,
+        |  (SELECT max(e.ts - INTERVAL 29 YEAR) FROM events e
+        |   WHERE e.user_id = o.o_custkey
+        |     AND e.ts - INTERVAL 29 YEAR <= o.o_orderdate) AS m
+        |  FROM orders o)
+        |SELECT o_orderkey,
+        |  CASE WHEN m >= o_orderdate - INTERVAL 365 DAY THEN m END AS asof_ts2
+        |FROM a ORDER BY o_orderkey""".stripMargin,
     // q_join13: before/after via the q_join7 correlated scalars, the pick
     // via the same exact-integer micro distances and tie rule (equal
     // distance -> before) the operator pins.
