@@ -145,6 +145,21 @@ object RelationalQueries extends QueryModule {
         .orderBy("o_orderkey")
     }),
 
+    // Q-JOIN15 (round 9): FORWARD as-of — pandas merge_asof's
+    // direction='forward', registered standalone (it previously ran only
+    // inside the nearest pick): the EARLIEST at-or-after match per key.
+    // Same single-shuffle union+window operator, opposite sort.
+    "q_join15" -> ((s, d) => {
+      val orders = Tables.load(s, d, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      AsOfJoin.firstAtOrAfter(orders, shiftedEvents(s, d),
+        leftKey = "o_custkey", leftTime = "o_orderdate",
+        rightKey = "user_id", rightTime = "ts2",
+        rightValueCols = Seq(), tieBreak = Seq("event_id"))
+        .select("o_orderkey", "asof_ts2")
+        .orderBy("o_orderkey")
+    }),
+
     // Q-JOIN13 (round 9): NEAREST as-of — pandas merge_asof's third
     // direction, completing at-or-before (q_join7/8) and at-or-after:
     // per order, whichever of the latest-before / earliest-after events
@@ -270,6 +285,27 @@ object RelationalQueries extends QueryModule {
       graft.operators.Scd2.applySnapshot(h1, s2,
           Seq("c_custkey"), Seq("acctbal"), to_date(lit("2024-02-01")))
         .orderBy("c_custkey", "valid_from")
+    }),
+
+    // Q-SCD2 (round 9): the point-in-time VIEW over the q_scd1 history —
+    // the consumption pattern every SCD2 dimension exists for ("the
+    // customer dimension as of 2024-02-15"): changed keys show their NEW
+    // balance, unchanged keys their original row, deleted keys are
+    // absent. One interval predicate over the history — no window, no
+    // join.
+    "q_scd2" -> ((s, d) => {
+      val cust = Tables.load(s, d, "customer")
+      val s1 = cust.select(col("c_custkey"), col("c_acctbal").as("acctbal"))
+      val s2 = cust.where(col("c_custkey") % 13 =!= 0)
+        .select(col("c_custkey"),
+          (col("c_acctbal") +
+            when(col("c_custkey") % 7 === 0, lit(100.0)).otherwise(lit(0.0))).as("acctbal"))
+      val h1 = graft.operators.Scd2.init(s1, to_date(lit("2024-01-01")))
+      val hist = graft.operators.Scd2.applySnapshot(h1, s2,
+        Seq("c_custkey"), Seq("acctbal"), to_date(lit("2024-02-01")))
+      graft.operators.Scd2.asOfView(hist, to_date(lit("2024-02-15")))
+        .select("c_custkey", "acctbal", "valid_from")
+        .orderBy("c_custkey")
     }),
   )
 
@@ -421,19 +457,37 @@ object RelationalQueries extends QueryModule {
         |       ELSE a END AS asof_ts2
         |FROM ba ORDER BY o_orderkey""".stripMargin,
     "q_scd1" ->
-      """WITH s1 AS (SELECT c_custkey, c_acctbal AS bal FROM customer),
-        |s2 AS (SELECT c_custkey,
-        |         c_acctbal + CASE WHEN c_custkey % 7 = 0 THEN 100.0 ELSE 0.0 END AS bal
-        |       FROM customer WHERE c_custkey % 13 <> 0)
-        |SELECT * FROM (
-        |  SELECT s1.c_custkey, s1.bal AS acctbal, DATE '2024-01-01' AS valid_from,
-        |    CASE WHEN s2.c_custkey IS NULL OR s2.bal <> s1.bal
-        |         THEN DATE '2024-02-01' END AS valid_to,
-        |    COALESCE(s2.c_custkey IS NOT NULL AND s2.bal = s1.bal, FALSE) AS is_current
-        |  FROM s1 LEFT JOIN s2 ON s1.c_custkey = s2.c_custkey
-        |  UNION ALL
-        |  SELECT s2.c_custkey, s2.bal, DATE '2024-02-01', NULL, TRUE
-        |  FROM s2 JOIN s1 ON s1.c_custkey = s2.c_custkey WHERE s2.bal <> s1.bal
-        |) ORDER BY c_custkey, valid_from""".stripMargin,
+      s"""WITH $scdHistSql
+        |SELECT * FROM h ORDER BY c_custkey, valid_from""".stripMargin,
+    // point-in-time view: the identical history CTE, one interval filter.
+    "q_scd2" ->
+      s"""WITH $scdHistSql
+        |SELECT c_custkey, acctbal, valid_from FROM h
+        |WHERE valid_from <= DATE '2024-02-15'
+        |  AND (valid_to IS NULL OR valid_to > DATE '2024-02-15')
+        |ORDER BY c_custkey""".stripMargin,
+    // forward as-of: the q_join7 correlated scalar with min/>=.
+    "q_join15" ->
+      """SELECT o.o_orderkey,
+        |  (SELECT min(e.ts - INTERVAL 29 YEAR) FROM events e
+        |   WHERE e.user_id = o.o_custkey
+        |     AND e.ts - INTERVAL 29 YEAR >= o.o_orderdate) AS asof_ts2
+        |FROM orders o ORDER BY o.o_orderkey""".stripMargin,
   )
+
+  /** The q_scd1/q_scd2 shared two-snapshot SCD2 history as a CTE `h`. */
+  private val scdHistSql =
+    """s1 AS (SELECT c_custkey, c_acctbal AS bal FROM customer),
+      |s2 AS (SELECT c_custkey,
+      |         c_acctbal + CASE WHEN c_custkey % 7 = 0 THEN 100.0 ELSE 0.0 END AS bal
+      |       FROM customer WHERE c_custkey % 13 <> 0),
+      |h AS (
+      |  SELECT s1.c_custkey, s1.bal AS acctbal, DATE '2024-01-01' AS valid_from,
+      |    CASE WHEN s2.c_custkey IS NULL OR s2.bal <> s1.bal
+      |         THEN DATE '2024-02-01' END AS valid_to,
+      |    COALESCE(s2.c_custkey IS NOT NULL AND s2.bal = s1.bal, FALSE) AS is_current
+      |  FROM s1 LEFT JOIN s2 ON s1.c_custkey = s2.c_custkey
+      |  UNION ALL
+      |  SELECT s2.c_custkey, s2.bal, DATE '2024-02-01', NULL, TRUE
+      |  FROM s2 JOIN s1 ON s1.c_custkey = s2.c_custkey WHERE s2.bal <> s1.bal)""".stripMargin
 }
