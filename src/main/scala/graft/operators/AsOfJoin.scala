@@ -232,7 +232,12 @@ object AsOfJoin {
       .withColumn("__after", last(col("__rv"), ignoreNulls = true).over(wA))
       .where(col("__side") === 1)
       .withColumn("__asof",
-        when(col("__before").isNull, col("__after"))
+        // A null left time has no distance to anything: pandas
+        // merge_asof(direction='nearest') yields no match there, and
+        // without this branch all three distance conditions evaluate
+        // null/false and fall through to __after (round-9 advice).
+        when(col("__t").isNull, lit(null))
+          .when(col("__before").isNull, col("__after"))
           .when(col("__after").isNull, col("__before"))
           .when(lt - rt(col("__before")) <= rt(col("__after")) - lt, col("__before"))
           .otherwise(col("__after")))

@@ -428,18 +428,28 @@ object SearchQueries extends QueryModule {
     // MMR replayed exactly: k = 10 is a contract constant, so the greedy
     // unrolls into 10 chained MATERIALIZED CTEs (the k-core-peel
     // playbook — MATERIALIZED stops DuckDB re-inlining each level at
-    // every reference). Step i's penalty is a correlated MAX(sim_micro)
-    // over the docs already in s_{i-1}; the argmax is ORDER BY
+    // every reference). Step i's penalty mirrors mmrSelect BIT-FOR-BIT:
+    // MAX over the docs already in s_{i-1} of COALESCE(sim, 0) — each
+    // selected doc contributes its pair sim OR 0 when the pair is absent
+    // from the sims table (round-9 advice: a bare MAX over present pairs
+    // would diverge on a sparse sims table with negative sims, where the
+    // operator floors each missing pair at 0 inside the max). Written as
+    // a plain cross-join + left-join aggregate — DuckDB rejects non-inner
+    // joins on correlated columns, and decorrelated joins dodge the
+    // mis-decorrelation class entirely. The argmax is ORDER BY
     // (mmr DESC, doc_id) LIMIT 1 — mmrSelect's exact tie-break. All
-    // compared values are integer micro (BIGINT; MAX never widens).
+    // compared values are integer micro (BIGINT).
     "q_srch8" -> {
       val steps = (2 to 10).map { i =>
         val (p, s) = (i - 1, i)
         s"""c$s AS MATERIALIZED (
            |  SELECT c.doc_id, c.rel_micro,
-           |    700000*c.rel_micro - 300000*COALESCE((SELECT MAX(x.sim_micro) FROM simsall x
-           |      WHERE x.id_a = c.doc_id AND x.id_b IN (SELECT doc_id FROM s$p)), 0) AS mmr
-           |  FROM cands c WHERE c.doc_id NOT IN (SELECT doc_id FROM s$p)),
+           |    700000*c.rel_micro - 300000*MAX(COALESCE(x.sim_micro, 0)) AS mmr
+           |  FROM (SELECT * FROM cands
+           |        WHERE doc_id NOT IN (SELECT doc_id FROM s$p)) c
+           |  CROSS JOIN s$p sel
+           |  LEFT JOIN simsall x ON x.id_a = c.doc_id AND x.id_b = sel.doc_id
+           |  GROUP BY c.doc_id, c.rel_micro),
            |s$s AS MATERIALIZED (SELECT * FROM s$p UNION ALL
            |  SELECT doc_id, rel_micro, mmr, $s FROM
            |    (SELECT * FROM c$s ORDER BY mmr DESC, doc_id LIMIT 1))""".stripMargin

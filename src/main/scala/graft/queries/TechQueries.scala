@@ -196,15 +196,22 @@ object TechQueries extends QueryModule {
     // Q-TA11 (round 9): weekly OHLCV resample — the bar-building
     // operation itself (daily/tick -> coarser bars), the reference
     // domain's canonical "resample('1W')". open/close by min_by/max_by
-    // over a UNIQUE integer tuple-ordinal (epoch-day·2^40 + orderkey·8 +
+    // over a UNIQUE integer tuple-ordinal (epoch-day·2^44 + orderkey·8 +
     // linenumber — collision-free, so arg_min/arg_max agree on every
     // engine); high/low/volume are plain exact-integer extremes/sums.
     // One hash aggregation, no window, no division anywhere.
+    // VALIDITY BOUND (round-10 advice — the bound now carries its range
+    // like the other overflow proofs in this file): injective iff
+    // orderkey·8 + linenumber < 2^44, i.e. l_orderkey < 2^41 (~2.2e12;
+    // TPC-H orderkey ≤ SF·6e6·4 reaches that around SF ≈ 91,000) with
+    // l_linenumber ≤ 7 (spec max), and the packed value stays in signed
+    // 64-bit while epoch-day < 2^19 (year ≈ 3405). The previous 2^40
+    // multiplier silently collided from SF ≈ 5,700.
     "q_ta11" -> ((s, d) => {
       val cents = round(col("l_extendedprice") * lit(100.0)).cast("long")
       val qty = round(col("l_quantity")).cast("long")
       val ord = datediff(col("l_shipdate").cast("date"),
-          lit("1970-01-01").cast("date")).cast("long") * lit(1099511627776L) +
+          lit("1970-01-01").cast("date")).cast("long") * lit(17592186044416L) +
         col("l_orderkey").cast("long") * lit(8L) + col("l_linenumber").cast("long")
       Tables.load(s, d, "lineitem")
         .withColumn("week", date_trunc("week", col("l_shipdate")).cast("date"))
@@ -854,7 +861,7 @@ object TechQueries extends QueryModule {
           |    CAST(date_trunc('week', CAST(l_shipdate AS DATE)) AS DATE) AS week,
           |    CAST(round(l_extendedprice*100.0, 0) AS BIGINT) AS cents,
           |    CAST(round(l_quantity, 0) AS BIGINT) AS qty,
-          |    date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) * 1099511627776
+          |    date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) * 17592186044416
           |      + l_orderkey*8 + l_linenumber AS o
           |  FROM lineitem)
           |SELECT l_suppkey, week,

@@ -102,6 +102,13 @@ class AsOfJoinSpec extends SparkSpec {
     // the after side carries firstAtOrAfter's convention: MIN tie-break
     // among the equal-time 12:00 rows -> eid=101 (v=2.0)
     assert(close === 2.0, "12:00 (20 min) beats 10:00 (100 min), min tie-break")
+    // a null left time has no distance to anything -> no match (pandas
+    // merge_asof semantics), never a silent fall-through to the after row
+    val nullL = Seq((1L, null.asInstanceOf[Timestamp], "null-time")).toDF("lk", "lt", "tag")
+    val nul = AsOfJoin.nearest(nullL, right,
+      "lk", "lt", "k", "t", rightValueCols = Seq("v"), tieBreak = Seq("eid"))
+      .select("asof_v").collect().head
+    assert(nul.isNullAt(0), "null left time must produce a null asof match")
   }
 
   test("nearest plans ONE exchange: both direction windows share the key partitioning") {

@@ -189,6 +189,28 @@ class Bm25Spec extends SparkSpec {
     assert(once.map(_.getLong(1)) === Seq(5L, 6L))
   }
 
+  test("mmrSelect: sparse sims with negative entries — missing pairs floor the max at 0") {
+    // selected = {1}. Candidate 2's only pair with 1 is NEGATIVE
+    // (sim -0.5): the per-pair penalty inside the max is
+    // max(getOrElse((2,1), 0)) = -500000 — but candidate 3 has NO pair
+    // with 1, so its penalty is exactly 0, not "no contribution".
+    // rel: 1=900k, 2=880k, 3=600k. λ=0.7:
+    //   mmr(2) = 0.7·880000 − 0.3·(−500000) = 616000 + 150000 = 766000 µ²
+    //   mmr(3) = 0.7·600000 − 0.3·0        = 420000 µ²
+    // so 2 wins step 2 BECAUSE the negative sim is a bonus — the exact
+    // semantics the q_srch8 oracle mirrors per-pair with COALESCE(sim,0).
+    val cands = Seq((1L, 900000L), (2L, 880000L), (3L, 600000L))
+      .toDF("doc_id", "rel_micro")
+    val sims = Seq((1L, 2L, -500000L)).toDF("id_a", "id_b", "sim_micro")
+    val got = Bm25.mmrSelect(cands, sims, k = 3)
+      .select("doc_id", "mmr_micro").as[(Long, Long)].collect().toSeq
+    assert(got.map(_._1) === Seq(1L, 2L, 3L))
+    assert(got(1)._2 === 700000L * 880000L + 300000L * 500000L)
+    // step 3: selected = {1, 2}; candidate 3 pairs with neither ->
+    // max(0, 0) = 0 penalty
+    assert(got(2)._2 === 700000L * 600000L)
+  }
+
   test("scoring plan: queries and stats are broadcast, postings never re-shuffled") {
     val q = Seq((1L, "a")).toDF("query_id", "term")
     val p = Bm25.scoreMicro(post, q).queryExecution.executedPlan.toString
