@@ -140,6 +140,59 @@ object Similarity {
       .where(col("sim") >= minSim)
   }
 
+  /** EXACT-INTEGER cosine-threshold pair list — [[allPairsAboveThreshold]]
+    * with the float arithmetic replaced end-to-end by integers, so the
+    * pair set AND the emitted sim are hash-exact on any fixture at any
+    * scale (round-10 hardening of the one [1e5,1e6)-ulp thin family):
+    *
+    *  - inputs quantize by an exact power-of-two scale: x·2^scaleBits is
+    *    an EXACT double (power-of-two multiply never rounds a float32),
+    *    truncated toward zero — trunc of an exact value is mathematics,
+    *    not float rounding, so there is NO boundary hazard at all (the
+    *    r7 failure class needs a rounded inexact value near a boundary);
+    *  - the threshold cos ≥ thrNum/thrDen becomes the exact integer
+    *    cross-multiplication dot ≥ 0 ∧ thrDen²·dot² ≥ thrNum²·na·nb in
+    *    DECIMAL (all products exact: operands are bounded to 13 digits,
+    *    well under DECIMAL(38) cross-multiplied);
+    *  - the emitted `sim` is the raw quotient dot/(√na·√nb) of EXACT
+    *    integer-valued doubles — four correctly-rounded IEEE ops, never
+    *    rounded again (the q_sim13 centroid discipline).
+    *
+    * This is also the honest production shape: large-scale embedding
+    * stores quantize (int8) anyway, and the quantized cosine is the
+    * similarity actually served. Validity bounds (documented, generous):
+    * |x| ≤ 2 and dim ≤ 512 keep |q_i| ≤ 2^14, na/|dot| ≤ 2^37 < 13
+    * digits (DECIMAL products exact) and < 2^53 (double casts exact).
+    * `thrNum/thrDen` must be non-negative (dot ≥ 0 is part of the
+    * predicate). Zero-norm vectors pair with nothing (cosine undefined).
+    * Per-pair cost is ONE codegen'd integer fold
+    * (graft.functions.DotProductLong); norms are per-ROW, not per-pair. */
+  def allPairsAboveThresholdExact(emb: DataFrame, idCol: String, vecCol: String,
+                                  block: Column, thrNum: Int, thrDen: Int,
+                                  scaleBits: Int = 13): DataFrame = {
+    require(thrNum >= 0 && thrDen > 0, s"threshold must be >= 0: $thrNum/$thrDen")
+    require(scaleBits > 0 && scaleBits < 20, s"scaleBits out of range: $scaleBits")
+    val scale = math.pow(2.0, scaleBits) // exact
+    val qv = transform(col(vecCol), x => (x.cast("double") * lit(scale)).cast("long"))
+    val base = emb.select(block.as("__blk"), col(idCol).as("__id"), qv.as("__q"))
+      .withColumn("__n2", graft.functions.DotProductLong(col("__q"), col("__q")))
+    val a = base.select(col("__blk"), col("__id").as("id_a"),
+      col("__q").as("__qa"), col("__n2").as("__na"))
+    val b = base.select(col("__blk"), col("__id").as("id_b"),
+      col("__q").as("__qb"), col("__n2").as("__nb"))
+    def dec(c: Column) = c.cast("decimal(13,0)")
+    a.join(b, Seq("__blk"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("__dot", graft.functions.DotProductLong(col("__qa"), col("__qb")))
+      .where(col("__na") > 0 && col("__nb") > 0 && col("__dot") >= 0 &&
+        dec(col("__dot")) * dec(col("__dot")) * lit(thrDen.toLong * thrDen) >=
+          dec(col("__na")) * dec(col("__nb")) * lit(thrNum.toLong * thrNum))
+      .select(col("id_a"), col("id_b"),
+        (col("__dot").cast("double") /
+          (sqrt(col("__na").cast("double")) * sqrt(col("__nb").cast("double"))))
+          .as("sim"))
+  }
+
   /** LSH-bucketed cosine-threshold pair list — the scale shape of
     * [[allPairsAboveThreshold]]: candidates come from equality joins on
     * (block, band, bucket) under `numBands` independent hyperplane sign
@@ -329,7 +382,10 @@ object Similarity {
                             labelCol: String): DataFrame = {
     val e = emb.select(col(idCol), col(labelCol),
         posexplode(col(vecCol)).as(Seq("__pos", "__x")))
-      .withColumn("__xm", round(col("__x").cast("double") * lit(1e6), 0).cast("long"))
+      // trunc(x·2^20): the power-of-two product is EXACT (never rounds a
+      // float32) and trunc of an exact value has no boundary hazard —
+      // round(x·1e6) left a thin fragility margin (round 10).
+      .withColumn("__xm", (col("__x").cast("double") * lit(1048576.0)).cast("long"))
     // materialized once: cent feeds BOTH the per-vector dot join and its
     // own norm rollup — lazy would rescan + re-explode the whole corpus
     // for cnorm (a third full scan); the table is (numClasses × dim) rows
@@ -365,7 +421,8 @@ object Similarity {
                     halfCol: Column): DataFrame = {
     val e = emb.select(col(labelCol), halfCol.cast("int").as("__h"),
         posexplode(col(vecCol)).as(Seq("__pos", "__x")))
-      .withColumn("__xm", round(col("__x").cast("double") * lit(1e6), 0).cast("long"))
+      // exact trunc ×2^20 quantization — see cosineToClassCentroid
+      .withColumn("__xm", (col("__x").cast("double") * lit(1048576.0)).cast("long"))
     val cent = e.groupBy(col(labelCol), col("__h"), col("__pos"))
       .agg(sum(col("__xm")).cast("decimal(18,0)").as("__cs"))
     val a = cent.where(col("__h") === 0)

@@ -262,16 +262,36 @@ object AggQueries extends QueryModule {
 
   private val statQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact interpolated percentiles per group (median + p90) — the
-    // distribution summary a returns pipeline reports. Exact `percentile`
-    // (not approx_percentile) so the DuckDB quantile_cont twin matches;
-    // rounded 6dp for interpolation-arithmetic last-ulp drift.
-    "q_agg8" -> ((s, d) =>
+    // distribution summary a returns pipeline reports. ROUND-10 HARDENING
+    // (the r9 fragility audit's one [1e3,1e4)-ulp site): the previous
+    // `percentile(...)` + round(...,6) compared a double interpolation
+    // against DuckDB's quantile_cont — the exact r7 failure mechanism.
+    // Now the interpolation is replayed in EXACT INTEGERS end-to-end:
+    // prices as integer cents, the percentile position (n−1)·p in tenths
+    // (p ∈ {5/10, 9/10}), and the interpolated value emitted ×10 cents
+    // (= milli-dollars): v_milli = c_lo·(10−rem) + c_hi·rem where
+    // rem = (n−1)·k mod 10. Positional picks by row_number over the
+    // cents sort — ties are between EQUAL cents values, so any tie order
+    // yields the same picked value. No round site, no double anywhere.
+    "q_agg8" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderstatus").orderBy("c")
+      val wn = Window.partitionBy("o_orderstatus")
+      def pick(k: Int, out: String) =
+        sum(expr(s"CASE WHEN rn - 1 = (n-1)*$k div 10 " +
+          s"THEN c * (10 - (n-1)*$k % 10) " +
+          s"WHEN rn - 1 = (n-1)*$k div 10 + 1 THEN c * ((n-1)*$k % 10) " +
+          "ELSE 0 END")).as(out)
       Tables.load(s, d, "orders")
+        .select(col("o_orderstatus"),
+          round(col("o_totalprice") * lit(100.0)).cast("long").as("c"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(wn))
         .groupBy("o_orderstatus")
-        .agg(round(expr("percentile(o_totalprice, 0.5)"), 6).as("median_price"),
-          round(expr("percentile(o_totalprice, 0.9)"), 6).as("p90_price"),
+        .agg(pick(5, "median_milli"), pick(9, "p90_milli"),
           count(lit(1)).as("n_rows"))
-        .orderBy("o_orderstatus")),
+        .orderBy("o_orderstatus")
+    }),
 
     // Fixed-width histogram: integer bucketing is exact => oracle-checked.
     "q_agg10" -> ((s, d) =>
@@ -384,12 +404,26 @@ object AggQueries extends QueryModule {
          |  COUNT(*) AS n_orders,
          |  ${sqlFixedSum("o_totalprice", 2)} AS sum_price
          |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // exact-integer percentile replay (see the engine-side comment):
+    // identical positional picks + tenth-weighted interpolation over
+    // integer cents; `//` and `%` on BIGINT are exact on both engines.
     "q_agg8" ->
-      """SELECT o_orderstatus,
-        |  round(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
-        |  round(quantile_cont(o_totalprice, 0.9), 6) AS p90_price,
+      """WITH r AS (
+        |  SELECT o_orderstatus,
+        |    CAST(round(o_totalprice*100.0, 0) AS BIGINT) AS c,
+        |    CAST(row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY CAST(round(o_totalprice*100.0, 0) AS BIGINT)) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS n
+        |  FROM orders)
+        |SELECT o_orderstatus,
+        |  CAST(SUM(CASE WHEN rn - 1 = (n-1)*5//10 THEN c * (10 - (n-1)*5%10)
+        |                WHEN rn - 1 = (n-1)*5//10 + 1 THEN c * ((n-1)*5%10)
+        |                ELSE 0 END) AS BIGINT) AS median_milli,
+        |  CAST(SUM(CASE WHEN rn - 1 = (n-1)*9//10 THEN c * (10 - (n-1)*9%10)
+        |                WHEN rn - 1 = (n-1)*9//10 + 1 THEN c * ((n-1)*9%10)
+        |                ELSE 0 END) AS BIGINT) AS p90_milli,
         |  COUNT(*) AS n_rows
-        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_agg9" ->
       """SELECT l_returnflag,
         |  round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,

@@ -59,8 +59,14 @@ private[graft] object Shared {
     * (q_sim3/q_sim6, ScaleBench, planted-recall spec). */
   def cosinePairs(s: SparkSession, d: String): DataFrame =
     Memo.cachedDf(s, s"cosine_pairs|$d") {
-      Similarity.allPairsAboveThreshold(Tables.load(s, d, "embeddings"),
-        "vec_id", "embedding", col("label"), minSim = 0.3)
+      // ROUND-10 REWORK: the float kernel's round(cos,6)-then-threshold
+      // left the family's oracles thin ([1e5,1e6) ulps at the 6dp round).
+      // The exact-integer kernel (trunc ×2^13 quantization, integer
+      // cross-multiplied threshold, raw-quotient sim) has NO round site
+      // and is hash-exact at any scale — see
+      // Similarity.allPairsAboveThresholdExact's scaladoc.
+      Similarity.allPairsAboveThresholdExact(Tables.load(s, d, "embeddings"),
+        "vec_id", "embedding", col("label"), thrNum = 3, thrDen = 10)
     }
 
   /** Duplicated-span pairs over `documents` (q_dedup10's surface) —
@@ -284,12 +290,31 @@ private[graft] object Shared {
       (merges, vocab.localCheckpoint())
     }
 
-  /** SQL twin of the q_sim2/q_dedup6/q_dedup7 edge list: deterministic
-    * cosine-threshold pairs within label blocks. */
-  def cosinePairsSql: String =
-    s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b
-       |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-       |WHERE round(${cosSql("a.embedding", "b.embedding")}, 6) >= 0.3""".stripMargin
+  /** SQL twin of the q_sim2/q_dedup6/q_dedup7 edge list: a CTE chain
+    * ending in `cpairs(id_a, id_b, dot, na, nb)` — the exact replay of
+    * Similarity.allPairsAboveThresholdExact: trunc(x·2^13) quantization
+    * (trunc of an exact power-of-two product — no boundary hazard),
+    * exact BIGINT dot/norms, and the threshold cos ≥ 3/10 as the integer
+    * cross-multiplication 100·dot² ≥ 9·na·nb (HUGEINT internally, never
+    * in an output column). */
+  def cosinePairsCtes: String =
+    s"""qe AS MATERIALIZED (
+       |  SELECT vec_id, label, pos,
+       |    CAST(trunc(CAST(embedding[pos] AS DOUBLE) * 8192.0) AS BIGINT) AS q
+       |  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) g),
+       |qn AS (SELECT vec_id, CAST(SUM(q*q) AS BIGINT) AS n2 FROM qe GROUP BY 1),
+       |qd AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |         CAST(SUM(a.q * b.q) AS BIGINT) AS dot
+       |       FROM qe a JOIN qe b
+       |         ON a.label = b.label AND a.pos = b.pos AND a.vec_id < b.vec_id
+       |       GROUP BY 1, 2),
+       |cpairs AS (
+       |  SELECT d.id_a, d.id_b, d.dot, na.n2 AS na, nb.n2 AS nb
+       |  FROM qd d JOIN qn na ON d.id_a = na.vec_id
+       |            JOIN qn nb ON d.id_b = nb.vec_id
+       |  WHERE na.n2 > 0 AND nb.n2 > 0 AND d.dot >= 0
+       |    AND 100 * CAST(d.dot AS HUGEINT) * d.dot
+       |        >= 9 * CAST(na.n2 AS HUGEINT) * nb.n2)""".stripMargin
 
   /** q_agg17's support>=2 capped-basket pair table — consumed by q_agg17
     * (the support table), q_agg18 (the rule table) and, as an undirected
@@ -390,10 +415,11 @@ private[graft] object Shared {
        |  FROM mraw WHERE r IS NOT NULL)""".stripMargin
 
   /** DuckDB recursive-CTE twin of NearDup.connectedComponents over
-    * [[cosinePairsSql]]: transitive closure, then component = min reachable
+    * [[cosinePairsCtes]]: transitive closure, then component = min reachable
     * vertex — the same min-label fixpoint the Spark loop converges to. */
   def componentsSql: String =
-    s"""WITH RECURSIVE pairs AS ($cosinePairsSql),
+    s"""WITH RECURSIVE $cosinePairsCtes,
+       |pairs AS (SELECT id_a, id_b FROM cpairs),
        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
        |          UNION SELECT id_b AS src, id_a AS dst FROM pairs),
        |reach(v, r) AS (

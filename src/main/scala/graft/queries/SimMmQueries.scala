@@ -766,12 +766,15 @@ object SimMmQueries extends QueryModule {
          |SELECT vec_id, round(${cosSql("embedding", "qe")}, 6) AS sim
          |FROM embeddings, q
          |ORDER BY sim DESC, vec_id LIMIT 11""".stripMargin,
+    // exact quantized-cosine pair replay (Shared.cosinePairsCtes); the
+    // emitted sim is the raw quotient of exact integer-valued doubles —
+    // four correctly-rounded IEEE ops, no round site anywhere.
     "q_sim2" ->
-      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |  round(${cosSql("a.embedding", "b.embedding")}, 6) AS sim
-         |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-         |WHERE round(${cosSql("a.embedding", "b.embedding")}, 6) >= 0.3
-         |ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH ${Shared.cosinePairsCtes}
+         |SELECT id_a, id_b,
+         |  CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
+         |    AS sim
+         |FROM cpairs ORDER BY id_a, id_b""".stripMargin,
     "q_sim5" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id IN (0, 1, 2))
          |SELECT query_id, vec_id, sim, rn FROM (
@@ -1255,7 +1258,7 @@ object SimMmQueries extends QueryModule {
     "q_sim13" ->
       """WITH e AS (
         |  SELECT vec_id, label, pos,
-        |    CAST(round(CAST(embedding[pos] AS DOUBLE) * 1e6, 0) AS BIGINT) AS xm
+        |    CAST(trunc(CAST(embedding[pos] AS DOUBLE) * 1048576.0) AS BIGINT) AS xm
         |  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) g),
         |cent AS (SELECT label, pos, CAST(SUM(xm) AS DECIMAL(18,0)) AS cs
         |         FROM e GROUP BY 1, 2),
@@ -1273,7 +1276,7 @@ object SimMmQueries extends QueryModule {
     "q_sim15" ->
       """WITH e AS (
         |  SELECT vec_id % 2 AS h, label, pos,
-        |    CAST(round(CAST(embedding[pos] AS DOUBLE) * 1e6, 0) AS BIGINT) AS xm
+        |    CAST(trunc(CAST(embedding[pos] AS DOUBLE) * 1048576.0) AS BIGINT) AS xm
         |  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS pos) g),
         |cent AS (SELECT label, h, pos, CAST(SUM(xm) AS DECIMAL(18,0)) AS cs
         |         FROM e GROUP BY 1, 2, 3),

@@ -151,6 +151,44 @@ class SimilaritySpec extends SparkSpec {
         "if this ever reaches 1.0 the exact-kernel adjudication should be revisited")
   }
 
+  test("exact-integer pair kernel: agrees with the float kernel away from the threshold") {
+    val emb01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val exactQ = Similarity.allPairsAboveThresholdExact(
+      emb01, "vec_id", "embedding", col("label"), thrNum = 3, thrDen = 10)
+      .select("id_a", "id_b", "sim").as[(Long, Long, Double)].collect()
+    val floatQ = Similarity.allPairsAboveThreshold(
+      emb01, "vec_id", "embedding", col("label"), 0.3)
+      .select("id_a", "id_b", "sim").as[(Long, Long, Double)].collect()
+    // quantization at 2^13 moves a 64-dim cosine by well under 1% — the
+    // two kernels may only disagree on pairs hugging 0.3 exactly; on
+    // this fixture they agree pair-for-pair, and each quantized sim is
+    // within 0.01 of the float cosine.
+    assert(exactQ.map(t => (t._1, t._2)).toSet === floatQ.map(t => (t._1, t._2)).toSet)
+    val fm = floatQ.map(t => (t._1, t._2) -> t._3).toMap
+    exactQ.foreach { case (a, b, s) =>
+      assert(math.abs(s - fm((a, b))) < 0.01, s"pair ($a,$b): $s vs ${fm((a, b))}")
+    }
+    // hand-checked exact values: orthogonal, identical, and a known-angle
+    // pair — the integer threshold must make the textbook calls
+    val hand = Seq(
+      (1L, 0, Array(1f, 0f, 0f, 0f)), (2L, 0, Array(0f, 1f, 0f, 0f)),   // cos 0
+      (3L, 0, Array(0.5f, 0.5f, 0f, 0f)), (4L, 0, Array(1f, 1f, 0f, 0f)), // cos 1
+      (5L, 0, Array(1f, 0.2f, 0f, 0f))  // cos(2,5) ≈ 0.196 < 0.3: excluded
+    ).toDF("vec_id", "label", "embedding")
+    val got = Similarity.allPairsAboveThresholdExact(
+      hand, "vec_id", "embedding", col("label"), 3, 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 3L), (1L, 4L), (1L, 5L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (3L, 5L), (4L, 5L)), s"got $got")
+    // identical directions: sim ≈ 1 (dot = √(na·nb) algebraically, but the
+    // emitted quotient uses √na·√nb — two independent roundings, so the
+    // value is deterministic yet may sit 1-2 ulps under 1.0)
+    val one = Similarity.allPairsAboveThresholdExact(
+      hand.where(col("vec_id").isin(3L, 4L)), "vec_id", "embedding",
+      col("label"), 3, 10).select("sim").as[Double].collect()
+    assert(one.length === 1 && math.abs(one.head - 1.0) < 1e-14, one.toSeq)
+  }
+
   test("LSH-bucketed pair list equals exact all-pairs on fixture + planted near-dups") {
     // planted corpus: per label, random base vectors plus perturbed copies
     // (cosine ~0.99) — every planted pair must survive the bucketed path
