@@ -18,11 +18,18 @@ object Batching {
   /** Dimension-scale path: global `row_number` window. Correct and free for
     * the reference's use (batching a ≤7k-row symbol list), but the
     * unpartitioned window plans as `Exchange SinglePartition` — one task
-    * holds the whole table. For fact-scale inputs use [[batchByRange]]. */
+    * holds the whole table. For fact-scale inputs use [[batchByRange]].
+    *
+    * BOUND (runtime-enforced, r10): the input must stay under
+    * [[graft.util.RowBound.DimensionScaleRows]] rows — the guard rides
+    * the same single-partition window and fails fast instead of letting
+    * a refactor feed a fact table through one task. */
   def withBatchNum(df: DataFrame, orderKey: String, size: Int): DataFrame = {
     val w = Window.orderBy(col(orderKey))
     df.withColumn("batch_num",
-      floor((row_number().over(w) - 1) / lit(size)) + 1)
+      graft.util.RowBound.guarded(
+        floor((row_number().over(w) - 1) / lit(size)) + 1,
+        w, graft.util.RowBound.DimensionScaleRows, "Batching.withBatchNum"))
   }
 
   /** Fact-scale path: same `floor((rank-1)/size)+1` batch ids with NO

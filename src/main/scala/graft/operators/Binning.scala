@@ -44,10 +44,15 @@ object Binning {
     *
     * Scale note: a global ntile is a single-partition sort — correct for
     * dimension-scale inputs. For fact-scale discretization use
-    * [[boundariesFromSample]] + [[assignByBoundaries]]. */
+    * [[boundariesFromSample]] + [[assignByBoundaries]].
+    *
+    * BOUND (runtime-enforced, r10): input under
+    * [[graft.util.RowBound.DimensionScaleRows]] rows, guarded in-plan. */
   def equiDepthBuckets(df: DataFrame, n: Int, order: Seq[String]): DataFrame = {
     val w = Window.orderBy(order.map(col): _*)
-    df.withColumn("bucket", ntile(n).over(w))
+    df.withColumn("bucket", graft.util.RowBound.guarded(
+      ntile(n).over(w), w, graft.util.RowBound.DimensionScaleRows,
+      "Binning.equiDepthBuckets"))
   }
 
   /** The fact-scale equi-depth path, pass 1: bucket BOUNDARIES from a
@@ -83,7 +88,13 @@ object Binning {
     val sampled = df.where(u < lit(math.max(1L, (eff * 1e6).toLong)))
       .select(col(valueCol), col(keyCol))
     val w = Window.orderBy(col(valueCol), col(keyCol))
-    sampled.withColumn("__b", ntile(n).over(w))
+    // BOUND (runtime-enforced, r10): the ntile input is the hash sample,
+    // expected ≤ maxSampleRows by the eff-fraction cap; the hash is
+    // key-uniform, so 8x the cap is beyond any binomial tail — tripping
+    // the guard means the sampler (not the data) broke.
+    sampled.withColumn("__b", graft.util.RowBound.guarded(
+        ntile(n).over(w), w, math.max(8L * maxSampleRows, 1024L),
+        "Binning.boundariesFromSample"))
       .groupBy(col("__b")).agg(max(col(valueCol)).as("__hi"))
       .where(col("__b") < n) // top bucket is unbounded
       .agg(sort_array(collect_list(col("__hi"))).as("bounds"))

@@ -172,9 +172,14 @@ object Curation {
         min(when(col("__share") <= col("cap"), col("__rn"))).over(all))
       .withColumn("__theta",
         max(when(col("__rn") === col("__k"), col("__share"))).over(all))
-      .withColumn("alloc",
+      // BOUND (runtime-enforced, r10): perSource is sources-sized by
+      // contract; the guard rides the same global window and fails fast
+      // if a refactor ever feeds row-scale data through this one task.
+      .withColumn("alloc", graft.util.RowBound.guarded(
         when(col("__k").isNull || col("__rn") < col("__k"), col("cap"))
-          .otherwise(col("__theta")))
+          .otherwise(col("__theta")),
+        all, graft.util.RowBound.DimensionScaleRows,
+        "Curation.waterfillMixture"))
       .withColumn("epochs",
         col("alloc").cast("double") / nullif(col("avail"), lit(0L)).cast("double"))
       .select(sourceCol, "avail", "cap", "alloc", "epochs")
@@ -226,9 +231,14 @@ object Curation {
         expr("__budget * weight % __w")).otherwise(lit(0L)))
       .withColumn("__left", col("__budget") - sum(col("__base")).over(all))
       .withColumn("__rk", row_number().over(remOrd).cast("long"))
-      .withColumn("alloc", when(col("__w") > 0,
-        col("__base") + when(col("__rk") <= col("__left"), 1L).otherwise(0L))
-        .otherwise(lit(0L)))
+      // BOUND (runtime-enforced, r10): same sources-sized contract as
+      // waterfillMixture — guarded on the shared global window.
+      .withColumn("alloc", graft.util.RowBound.guarded(
+        when(col("__w") > 0,
+          col("__base") + when(col("__rk") <= col("__left"), 1L).otherwise(0L))
+          .otherwise(lit(0L)),
+        all, graft.util.RowBound.DimensionScaleRows,
+        "Curation.temperatureMixture"))
       .withColumn("epochs",
         col("alloc").cast("double") / nullif(col("avail"), lit(0L)).cast("double"))
       .select(sourceCol, "avail", "weight", "alloc", "epochs")

@@ -128,6 +128,10 @@ object OpsQueries extends QueryModule {
     // FIRST-SEEN day contributes one "new user", and cumulative uniques =
     // running sum of daily new users (a #days-sized window, never user
     // rows). All integer => hash-exact.
+    // BOUND: structural — the global window's input is the per-DAY
+    // aggregate, one row per calendar day (a century of daily grain is
+    // ~36,500 rows, five orders under RowBound.DimensionScaleRows);
+    // whitelisted in GlobalWindowSweepSpec.
     "q_sess7" -> ((s, d) => {
       val ev = Tables.load(s, d, "events")
         .select(col("user_id"), col("ts").cast("date").as("day"))

@@ -50,6 +50,9 @@ object SimMmQueries extends QueryModule {
       val rer = cands.select(col("vec_id"), col("sim16"),
         round(graft.functions.VectorOps.cosine(col("embedding"), col("__qe")), 6)
           .as("sim64"))
+      // BOUND: structural — limit(50) sits upstream, so this global
+      // rerank window sorts ≤ 50 rows (whitelisted in
+      // GlobalWindowSweepSpec)
       rer.withColumn("rank", row_number().over(
           org.apache.spark.sql.expressions.Window
             .orderBy(col("sim64").desc, col("vec_id").asc)).cast("long"))

@@ -444,6 +444,10 @@ object TextDedupQueries extends QueryModule {
     // the top-50 vocabulary (the vocab-size / OOV-budget table read before
     // fixing a tokenizer). Distributed: vocab rollup + TakeOrdered top-k;
     // the single-partition cumsum window runs on the 50 SURVIVORS only.
+    // BOUND: structural — limit(50) sits UPSTREAM of the global window in
+    // this same expression, so the one-task sort can never see more than
+    // 50 rows (no runtime guard needed; whitelisted in
+    // GlobalWindowSweepSpec).
     "q_txt24" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val wc = Tables.load(s, d, "documents")
