@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corporate-action (split/dividend) adjustment — the price-hygiene layer
+  * the reference's own schema presumes: its OHLCV frame carries BOTH
+  * `Close` and `Adj Close` (reference
+  * `data_collection/dags/stock_data_airflow_local_aws_s3.py:36-42`), and
+  * every return/indicator computed from raw closes is wrong across a
+  * split. Three operators, all exact integer arithmetic (the emaMicro /
+  * q_ta13 discipline — no libm, no double division in any compared
+  * value):
+  *
+  *  - [[splitEvents]]: detect action days from the raw/adjusted ratio —
+  *    the ratio R_t/A_t is piecewise-constant and changes EXACTLY at an
+  *    action, so an event is a day where cross-multiplication
+  *    R_t·A_{t−1} ≠ R_{t−1}·A_t (exact integers, no division). The
+  *    factor is emitted as the exact rational
+  *    (num, den) = (R_{t−1}·A_t, R_t·A_{t−1}), plus `factor_int` when it
+  *    reduces to an integer (the 2:1/3:1 forward-split fast path).
+  *  - [[backAdjust]]: rebuild the adjusted series from the raw series +
+  *    an event table: A_t = R_t·Πden/Πnum over events with ord > t
+  *    (actions rescale all HISTORY strictly before them). Per-key event
+  *    counts are tiny by nature (a handful per listing lifetime), so the
+  *    per-row product folds over a collected per-key event array.
+  *  - callers reconcile with `TechnicalIndicators.returnsMicro` on both
+  *    series (see q_ca3): across an event day the raw return is distorted
+  *    by the factor while the adjusted return shows the true move.
+  *
+  * Scale shape: one hash shuffle on the key for the lag window
+  * (detection); back-adjustment joins a broadcast-sized per-key event
+  * array (events are dimension-scale by nature) onto the fact series —
+  * no second shuffle of the facts beyond the detection's own.
+  *
+  * Overflow bounds (documented like q_ta11's): detection products
+  * R·A < 2^63 need raw·adjacent-adjusted ≤ 9.2e18 — at integer cents
+  * that is prices up to ~$30M·$30M adjacent-day pairs, far past any
+  * equity; back-adjust products Πnum ≤ 2^63/max(R) hold while the
+  * cumulative split factor stays under ~1e9 (a century of 2:1 splits is
+  * 2^30 ≈ 1e9 — at that point re-quantize the units upstream).
+  */
+object CorporateActions {
+
+  /** Detect corporate-action days from (raw close, adjusted close), both
+    * integer units (cents). Emits one row per action:
+    * (keyCols..., ordCol, num, den, factor_int) where num/den is the
+    * exact action factor R_{t−1}·A_t / R_t·A_{t−1} (> 1 for a forward
+    * split) and factor_int = num/den when that rational is an integer,
+    * else null (e.g. a 3:2 split stays rational). Rows with no previous
+    * day never fire. */
+  def splitEvents(df: DataFrame, keyCols: Seq[String], ordCol: String,
+                  rawCol: String, adjCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(ordCol))
+    df.select(keyCols.map(col) :+ col(ordCol) :+
+        col(rawCol).cast("long").as("__r") :+
+        col(adjCol).cast("long").as("__a"): _*)
+      .withColumn("__rp", lag(col("__r"), 1).over(w))
+      .withColumn("__ap", lag(col("__a"), 1).over(w))
+      .where(col("__rp").isNotNull &&
+        col("__r") * col("__ap") =!= col("__rp") * col("__a"))
+      .withColumn("num", col("__rp") * col("__a"))
+      .withColumn("den", col("__r") * col("__ap"))
+      .withColumn("factor_int",
+        when(col("num") % col("den") === 0, expr("num div den")))
+      .select(keyCols.map(col) :+ col(ordCol) :+ col("num") :+ col("den") :+
+        col("factor_int"): _*)
+  }
+
+  /** Rebuild the adjusted series from the raw series and an event table
+    * (keyCols..., ordCol, fnum, fden — SMALL-integer factor rationals,
+    * e.g. (2,1) for a 2:1 split, (3,2) for 3:2): for each row,
+    * adj = raw·Πfden / Πfnum over the key's events with event ord
+    * STRICTLY AFTER the row's ord (an action rescales its past). The
+    * division truncates toward zero — exact whenever the factors are the
+    * true action factors (raw is then divisible by construction).
+    *
+    * Events fold per row over a per-key collected array — per-key event
+    * counts are a handful by nature, and [[graft.util.RowBound]]-style
+    * discipline applies: the require below bounds the collected array so
+    * a mistaken fact-scale "event" table fails fast instead of collecting
+    * unbounded lists. */
+  def backAdjust(df: DataFrame, keyCols: Seq[String], ordCol: String,
+                 rawCol: String, events: DataFrame,
+                 maxEventsPerKey: Int = 1000): DataFrame = {
+    val evArr = events.groupBy(keyCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(
+        col(ordCol).as("o"),
+        col("fnum").cast("long").as("fn"),
+        col("fden").cast("long").as("fd")))).as("__ev"))
+      .withColumn("__ev",
+        when(size(col("__ev")) > maxEventsPerKey, raise_error(concat(
+            lit("CorporateActions.backAdjust: "), size(col("__ev")).cast("string"),
+            lit(s" events on one key (bound $maxEventsPerKey) — not an event table"))))
+          .otherwise(col("__ev")))
+    def prodAfter(field: String): Column = coalesce(
+      aggregate(
+        filter(col("__ev"), e => e.getField("o") > col(ordCol)),
+        lit(1L), (acc, e) => acc * e.getField(field)),
+      lit(1L))
+    df.join(broadcast(evArr), keyCols, "left_outer")
+      .withColumn("__pn", prodAfter("fn"))
+      .withColumn("__pd", prodAfter("fd"))
+      .withColumn("adj_rebuilt",
+        expr(s"(CAST($rawCol AS BIGINT) * __pd) div __pn"))
+      .drop("__ev", "__pn", "__pd")
+  }
+}

@@ -360,6 +360,55 @@ private[graft] object Shared {
         .select(col("l_suppkey"), col("day_ord"), col("r_micro").as("x"))
     }
 
+  /** Planted corporate-action fixture (round 10): the per-supplier daily
+    * cents series is treated as the TRUE adjusted close, and
+    * deterministic split events are planted on each EVEN supplier's 5th
+    * (2:1) and 11th (3:1) trading days. The raw close is then
+    * raw_t = adj_t · C_t with the piecewise-constant cumulative factor
+    * C_t = Π of factors at events strictly after t (6 before the first
+    * split, 3 between, 1 after) — exactly how a provider's raw/adjusted
+    * pair relates. Odd suppliers carry no events (the no-action branch
+    * stays live). All exact integer multiplication; the q_ca* oracles
+    * replant the identical series. */
+  def plantedSplitSeries(s: SparkSession, d: String): DataFrame =
+    Memo.cachedDf(s, s"planted_splits|$d") {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_suppkey").orderBy("day_ord")
+      supplierDailyCents(s, d)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("__c",
+          when(pmod(col("l_suppkey"), lit(2)) === 0,
+            when(col("rn") < 5, lit(6L)).when(col("rn") < 11, lit(3L))
+              .otherwise(lit(1L)))
+            .otherwise(lit(1L)))
+        .select(col("l_suppkey"), col("day_ord"), col("rn"),
+          col("cents").as("adj_cents"),
+          (col("cents") * col("__c")).as("raw_cents"))
+    }
+
+  /** DuckDB twin of [[plantedSplitSeries]]: CTE chain ending in
+    * `ps(l_suppkey, day_ord, rn, adj_cents, raw_cents)`. Names are
+    * p-prefixed so the chain composes with [[supplierMarketReturnsSql]]
+    * in one oracle if ever needed. */
+  def plantedSplitCtes: String =
+    """pdaily AS (
+      |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS day,
+      |    CAST(SUM(CAST(round(l_extendedprice*100.0,0) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM lineitem GROUP BY 1, 2),
+      |pdd AS (
+      |  SELECT l_suppkey, date_diff('day', DATE '1970-01-01', day) AS day_ord, cents
+      |  FROM pdaily),
+      |prn AS (
+      |  SELECT l_suppkey, day_ord, cents,
+      |    CAST(row_number() OVER (PARTITION BY l_suppkey ORDER BY day_ord) AS BIGINT) AS rn
+      |  FROM pdd),
+      |ps AS (
+      |  SELECT l_suppkey, day_ord, rn, cents AS adj_cents,
+      |    cents * (CASE WHEN l_suppkey % 2 = 0
+      |                  THEN CASE WHEN rn < 5 THEN 6 WHEN rn < 11 THEN 3 ELSE 1 END
+      |                  ELSE 1 END) AS raw_cents
+      |  FROM prn)""".stripMargin
+
   /** Market daily returns (y): the all-supplier daily total as the index
     * series, same exact quantization and clip. One row per trading day —
     * always broadcast on the join side. */

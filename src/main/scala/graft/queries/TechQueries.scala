@@ -607,6 +607,61 @@ object TechQueries extends QueryModule {
         .select("l_suppkey", "day_ord", "x", "n", "sharpe")
         .orderBy("l_suppkey", "day_ord")
     }),
+
+    // Q-CA1 (round 10): corporate-action detection — the price-hygiene
+    // gate the reference's own Adj Close column presumes. On the planted
+    // fixture (Shared.plantedSplitSeries: 2:1 + 3:1 splits on even
+    // suppliers' 5th/11th trading days, odd suppliers event-free), the
+    // raw/adjusted ratio change is found by exact integer
+    // cross-multiplication; the factor comes out as an exact rational
+    // plus the integer fast path. One key-window shuffle, no division.
+    "q_ca1" -> ((s, d) =>
+      graft.operators.CorporateActions.splitEvents(
+          Shared.plantedSplitSeries(s, d),
+          Seq("l_suppkey"), "day_ord", "raw_cents", "adj_cents")
+        .orderBy("l_suppkey", "day_ord")),
+
+    // Q-CA2 (round 10): back-adjustment round-trip — detect events from
+    // (raw, adj), rebuild the adjusted series from the RAW series + the
+    // detected events alone, and emit the rebuilt values with a
+    // roundtrip flag against the original adjusted close. Exact integer
+    // products/divisions end-to-end; the broadcast per-key event arrays
+    // are dimension-sized by nature (guarded in backAdjust).
+    "q_ca2" -> ((s, d) => {
+      val ps = Shared.plantedSplitSeries(s, d)
+      val ev = graft.operators.CorporateActions.splitEvents(
+          ps, Seq("l_suppkey"), "day_ord", "raw_cents", "adj_cents")
+        .where(col("factor_int").isNotNull)
+        .select(col("l_suppkey"), col("day_ord"),
+          col("factor_int").as("fnum"), lit(1L).as("fden"))
+      graft.operators.CorporateActions.backAdjust(
+          ps, Seq("l_suppkey"), "day_ord", "raw_cents", ev)
+        .select(col("l_suppkey"), col("day_ord"), col("raw_cents"),
+          col("adj_rebuilt"),
+          (col("adj_rebuilt") === col("adj_cents")).as("roundtrip"))
+        .orderBy("l_suppkey", "day_ord")
+    }),
+
+    // Q-CA3 (round 10): adjusted-vs-raw return reconciliation on the
+    // event days — the distortion table that shows WHY adjustment
+    // matters: across a split the raw return carries the factor while
+    // the adjusted return shows the true move. Both series through the
+    // one exact returnsMicro quantization (rhaDiv + clamp).
+    "q_ca3" -> ((s, d) => {
+      val ps = Shared.plantedSplitSeries(s, d)
+      def rets(c: String, out: String) =
+        TechnicalIndicators.returnsMicro(ps, Seq("l_suppkey"), "day_ord", c,
+            clampMicro = Shared.ReturnClampMicro)
+          .select(col("l_suppkey"), col("day_ord"), col("r_micro").as(out))
+      val ev = graft.operators.CorporateActions.splitEvents(
+          ps, Seq("l_suppkey"), "day_ord", "raw_cents", "adj_cents")
+        .select("l_suppkey", "day_ord")
+      ev.join(rets("raw_cents", "raw_ret_micro"), Seq("l_suppkey", "day_ord"))
+        .join(rets("adj_cents", "adj_ret_micro"), Seq("l_suppkey", "day_ord"))
+        .withColumn("distortion_micro",
+          col("adj_ret_micro") - col("raw_ret_micro"))
+        .orderBy("l_suppkey", "day_ord")
+    }),
   )
 
   def oracleSql: Map[String, String] = {
@@ -1181,6 +1236,75 @@ object TechQueries extends QueryModule {
            |  CAST(SUM(signed) OVER ${winSql.dropRight(1)} ROWS UNBOUNDED PRECEDING) AS BIGINT) AS obv
            |FROM g
            |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_extendedprice, l_quantity""".stripMargin,
+      // corporate actions: the oracle replants the identical fixture
+      // (Shared.plantedSplitCtes) and replays the exact integer
+      // cross-multiplication detection / product back-adjustment.
+      "q_ca1" ->
+        s"""WITH ${Shared.plantedSplitCtes},
+           |lagd AS (
+           |  SELECT l_suppkey, day_ord, raw_cents AS r, adj_cents AS a,
+           |    lag(raw_cents) OVER w AS rp, lag(adj_cents) OVER w AS ap
+           |  FROM ps WINDOW w AS (PARTITION BY l_suppkey ORDER BY day_ord))
+           |SELECT l_suppkey, day_ord,
+           |  CAST(rp*a AS BIGINT) AS num, CAST(r*ap AS BIGINT) AS den,
+           |  CASE WHEN (rp*a) % (r*ap) = 0
+           |       THEN CAST((rp*a) // (r*ap) AS BIGINT) END AS factor_int
+           |FROM lagd WHERE rp IS NOT NULL AND r*ap <> rp*a
+           |ORDER BY l_suppkey, day_ord""".stripMargin,
+      "q_ca2" ->
+        s"""WITH ${Shared.plantedSplitCtes},
+           |lagd AS (
+           |  SELECT l_suppkey, day_ord, raw_cents AS r, adj_cents AS a,
+           |    lag(raw_cents) OVER w AS rp, lag(adj_cents) OVER w AS ap
+           |  FROM ps WINDOW w AS (PARTITION BY l_suppkey ORDER BY day_ord)),
+           |ev AS (
+           |  SELECT l_suppkey, day_ord, (rp*a) // (r*ap) AS fnum
+           |  FROM lagd
+           |  WHERE rp IS NOT NULL AND r*ap <> rp*a AND (rp*a) % (r*ap) = 0)
+           |SELECT p.l_suppkey, p.day_ord, p.raw_cents,
+           |  CAST(p.raw_cents // COALESCE(
+           |    (SELECT CAST(product(e.fnum) AS BIGINT) FROM ev e
+           |     WHERE e.l_suppkey = p.l_suppkey AND e.day_ord > p.day_ord),
+           |    1) AS BIGINT) AS adj_rebuilt,
+           |  CAST(p.raw_cents // COALESCE(
+           |    (SELECT CAST(product(e.fnum) AS BIGINT) FROM ev e
+           |     WHERE e.l_suppkey = p.l_suppkey AND e.day_ord > p.day_ord),
+           |    1) AS BIGINT) = p.adj_cents AS roundtrip
+           |FROM ps p
+           |ORDER BY p.l_suppkey, p.day_ord""".stripMargin,
+      "q_ca3" ->
+        s"""WITH ${Shared.plantedSplitCtes},
+           |lagd AS (
+           |  SELECT l_suppkey, day_ord, raw_cents AS r, adj_cents AS a,
+           |    lag(raw_cents) OVER w AS rp, lag(adj_cents) OVER w AS ap
+           |  FROM ps WINDOW w AS (PARTITION BY l_suppkey ORDER BY day_ord)),
+           |ev AS (
+           |  SELECT l_suppkey, day_ord FROM lagd
+           |  WHERE rp IS NOT NULL AND r*ap <> rp*a),
+           |rets AS (
+           |  SELECT l_suppkey, day_ord,
+           |    CASE WHEN rp IS NULL THEN NULL
+           |         WHEN (r - rp)*1000000 >= 0
+           |           THEN least(greatest(
+           |             (2*((r - rp)*1000000) + rp) // (2*rp), -10000000), 10000000)
+           |         ELSE least(greatest(
+           |           -((-2*((r - rp)*1000000) + rp) // (2*rp)), -10000000), 10000000)
+           |    END AS raw_ret_micro,
+           |    CASE WHEN ap IS NULL THEN NULL
+           |         WHEN (a - ap)*1000000 >= 0
+           |           THEN least(greatest(
+           |             (2*((a - ap)*1000000) + ap) // (2*ap), -10000000), 10000000)
+           |         ELSE least(greatest(
+           |           -((-2*((a - ap)*1000000) + ap) // (2*ap)), -10000000), 10000000)
+           |    END AS adj_ret_micro
+           |  FROM lagd)
+           |SELECT e.l_suppkey, e.day_ord,
+           |  CAST(r.raw_ret_micro AS BIGINT) AS raw_ret_micro,
+           |  CAST(r.adj_ret_micro AS BIGINT) AS adj_ret_micro,
+           |  CAST(r.adj_ret_micro - r.raw_ret_micro AS BIGINT) AS distortion_micro
+           |FROM ev e JOIN rets r
+           |  ON e.l_suppkey = r.l_suppkey AND e.day_ord = r.day_ord
+           |ORDER BY e.l_suppkey, e.day_ord""".stripMargin,
     )
   }
 }

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class CorporateActionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // key 1: adjusted closes 100, 102, 104, 106 cents with a 2:1 split
+  // effective at ord 2 -> raw = adj * (factor product of events after t):
+  // raw = 200, 204, 104, 106. key 2: no events, raw == adj.
+  private val series = Seq(
+    (1L, 0L, 200L, 100L), (1L, 1L, 204L, 102L),
+    (1L, 2L, 104L, 104L), (1L, 3L, 106L, 106L),
+    (2L, 0L, 50L, 50L), (2L, 1L, 55L, 55L)
+  ).toDF("k", "ord", "raw", "adj")
+
+  test("splitEvents: exact ratio-change detection, integer fast path, no-event key silent") {
+    val ev = CorporateActions.splitEvents(series, Seq("k"), "ord", "raw", "adj")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), Option(r.get(4))))
+    assert(ev.length === 1)
+    val (k, ord, num, den, fi) = ev.head
+    assert(k === 1L && ord === 2L)
+    // factor = R_prev*A / (R*A_prev) = 204*104 / (104*102) = 2
+    assert(num === 204L * 104L && den === 104L * 102L && fi === Some(2L))
+  }
+
+  test("splitEvents: a 3:2 split keeps the exact rational, factor_int null") {
+    // raw = adj * 3/2 before the event at ord 1
+    val s32 = Seq((7L, 0L, 150L, 100L), (7L, 1L, 104L, 104L))
+      .toDF("k", "ord", "raw", "adj")
+    val ev = CorporateActions.splitEvents(s32, Seq("k"), "ord", "raw", "adj")
+      .collect()
+    assert(ev.length === 1)
+    val r = ev.head
+    // num/den = 150*104 / (104*100) = 3/2 (unreduced)
+    assert(r.getLong(2) === 150L * 104L && r.getLong(3) === 104L * 100L)
+    assert(r.isNullAt(4), "3:2 is not an integer factor")
+  }
+
+  test("backAdjust: detected events rebuild the adjusted series exactly; rational factors work") {
+    val ev = CorporateActions.splitEvents(series, Seq("k"), "ord", "raw", "adj")
+      .select(col("k"), col("ord"), col("factor_int").as("fnum"),
+        lit(1L).as("fden"))
+    val got = CorporateActions.backAdjust(series, Seq("k"), "ord", "raw", ev)
+      .select("k", "ord", "adj", "adj_rebuilt")
+      .as[(Long, Long, Long, Long)].collect().toSeq.sorted
+    got.foreach { case (k, ord, adj, rebuilt) =>
+      assert(rebuilt === adj, s"($k,$ord): $rebuilt != $adj")
+    }
+    // rational 3:2 factor path: raw 150 at ord 0 with event (3,2) at ord 1
+    val s32 = Seq((7L, 0L, 150L, 100L), (7L, 1L, 104L, 104L))
+      .toDF("k", "ord", "raw", "adj")
+    val ev32 = Seq((7L, 1L, 3L, 2L)).toDF("k", "ord", "fnum", "fden")
+    val got32 = CorporateActions.backAdjust(s32, Seq("k"), "ord", "raw", ev32)
+      .select("ord", "adj_rebuilt").as[(Long, Long)].collect().toMap
+    assert(got32 === Map(0L -> 100L, 1L -> 104L))
+  }
+
+  test("backAdjust: the per-key event bound fails fast on a fact-scale 'event' table") {
+    val big = (1 to 2000).map(i => (9L, i.toLong, 2L, 1L))
+      .toDF("k", "ord", "fnum", "fden")
+    val df = Seq((9L, 0L, 100L)).toDF("k", "ord", "raw")
+    val e = intercept[Exception] {
+      CorporateActions.backAdjust(df, Seq("k"), "ord", "raw", big,
+        maxEventsPerKey = 1000).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("not an event table")), msgs(e).mkString(" | "))
+  }
+
+  test("detection plans ONE key exchange; back-adjust broadcasts the event arrays") {
+    val p1 = CorporateActions.splitEvents(series, Seq("k"), "ord", "raw", "adj")
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p1).length === 1, p1.take(1200))
+    val ev = Seq((1L, 2L, 2L, 1L)).toDF("k", "ord", "fnum", "fden")
+    val p2 = CorporateActions.backAdjust(series, Seq("k"), "ord", "raw", ev)
+      .queryExecution.executedPlan.toString
+    assert(p2.contains("BroadcastHashJoin"), p2.take(1200))
+  }
+}
