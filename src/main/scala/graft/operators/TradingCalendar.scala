@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Trading-calendar alignment (round 10) — the missing-session machinery
+  * behind the reference's R13 screen (it keeps exactly the symbols with a
+  * full 6,225-session history; reference
+  * `data_collection/dags/stock_data_airflow_local_aws_s3.py` filters on
+  * a hard per-symbol row count). Re-expressed as three composable pieces:
+  *
+  *  - [[sessionCalendar]]: the observed-session calendar — one row per
+  *    day ANY key traded, with a DENSE session index. The index is the
+  *    load-bearing trick: "how many sessions between two days" becomes
+  *    idx(b) − idx(a), so every audit/gap-fill below runs on EQUI-joins
+  *    against this broadcast dimension instead of per-key range joins.
+  *  - [[sessionAudit]]: per key, expected vs present session counts over
+  *    the key's own listing window [first, last] — the R13 screen's
+  *    general form (its "exactly N rows" is `missing_sessions = 0`).
+  *  - [[gapFillLocf]]: expand each key to its full session grid and
+  *    LOCF-fill the value column (the standard price-series gap policy;
+  *    a `was_present` flag keeps the fill auditable). Grid rows are the
+  *    OUTPUT's inherent size (keys × their sessions); the calendar side
+  *    is always broadcast.
+  *
+  * Input contract: `df` has ONE row per (keys, day) — the per-key daily
+  * frame (e.g. Shared.supplierDailyCents), not raw facts.
+  *
+  * Scale shape: the calendar is #days-sized (a century of sessions is
+  * ~25k rows — [[graft.util.RowBound]]-guarded); audits are one per-key
+  * aggregate plus two broadcast equi-joins; the gap-fill's LOCF window
+  * rides the same key partitioning as the grid join.
+  */
+object TradingCalendar {
+
+  /** Observed-session calendar with a dense index: (day_ord, session_idx).
+    * The global window is deliberate and bounded (one row per calendar
+    * day; guarded — whitelisted in GlobalWindowSweepSpec). */
+  def sessionCalendar(df: DataFrame, dayOrdCol: String): DataFrame = {
+    val w = Window.orderBy("day_ord")
+    df.select(col(dayOrdCol).cast("long").as("day_ord")).distinct()
+      .withColumn("session_idx", graft.util.RowBound.guarded(
+        row_number().over(w).cast("long"), w,
+        graft.util.RowBound.DimensionScaleRows,
+        "TradingCalendar.sessionCalendar"))
+  }
+
+  /** Per-key audit: (keys..., first_day, last_day, expected_sessions,
+    * present_sessions, missing_sessions) where expected counts calendar
+    * sessions inside the key's [first, last] listing window. */
+  def sessionAudit(df: DataFrame, keyCols: Seq[String], dayOrdCol: String,
+                   calendar: DataFrame): DataFrame = {
+    val agg = df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(dayOrdCol).cast("long")).as("first_day"),
+        max(col(dayOrdCol).cast("long")).as("last_day"),
+        count(lit(1)).as("present_sessions"))
+    val cf = calendar.select(col("day_ord").as("first_day"),
+      col("session_idx").as("__fi"))
+    val cl = calendar.select(col("day_ord").as("last_day"),
+      col("session_idx").as("__li"))
+    agg.join(broadcast(cf), Seq("first_day"))
+      .join(broadcast(cl), Seq("last_day"))
+      .withColumn("expected_sessions", col("__li") - col("__fi") + 1)
+      .withColumn("missing_sessions",
+        col("expected_sessions") - col("present_sessions"))
+      .select(keyCols.map(col) ++ Seq(col("first_day"), col("last_day"),
+        col("expected_sessions"), col("present_sessions"),
+        col("missing_sessions")): _*)
+  }
+
+  /** Gap-fill to the full per-key session grid: one output row per
+    * (key, session in [key's first, key's last]), with
+    * `<valueCol>_filled` = last present value at-or-before (LOCF — never
+    * null: the grid starts at the key's first PRESENT day) and a
+    * `was_present` flag. */
+  def gapFillLocf(df: DataFrame, keyCols: Seq[String], dayOrdCol: String,
+                  valueCol: String, calendar: DataFrame): DataFrame = {
+    val day = col(dayOrdCol).cast("long")
+    val facts = df.select(keyCols.map(col) :+ day.as("day_ord") :+
+      col(valueCol).as("__v"): _*)
+    val bounds = facts.groupBy(keyCols.map(col): _*)
+      .agg(min(col("day_ord")).as("first_day"), max(col("day_ord")).as("last_day"))
+      .join(broadcast(calendar.select(col("day_ord").as("first_day"),
+        col("session_idx").as("__fi"))), Seq("first_day"))
+      .join(broadcast(calendar.select(col("day_ord").as("last_day"),
+        col("session_idx").as("__li"))), Seq("last_day"))
+    val grid = bounds
+      .select(keyCols.map(col) :+
+        explode(sequence(col("__fi"), col("__li"))).as("session_idx"): _*)
+      .join(broadcast(calendar), Seq("session_idx"))
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy("session_idx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(facts, keyCols :+ "day_ord", "left_outer")
+      .withColumn("was_present", col("__v").isNotNull)
+      .withColumn(s"${valueCol}_filled",
+        last(col("__v"), ignoreNulls = true).over(w))
+      .drop("__v")
+  }
+}

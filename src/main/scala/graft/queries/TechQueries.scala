@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryModule, Tables}
-import graft.operators.TechnicalIndicators
+import graft.operators.{TechnicalIndicators, TradingCalendar}
 
 /** Technical-indicator queries (the [ANA] stock feature surface): Bollinger
   * bands and RSI with exact integer-cent numerics (oracle-checked, no
@@ -662,6 +662,34 @@ object TechQueries extends QueryModule {
           col("adj_ret_micro") - col("raw_ret_micro"))
         .orderBy("l_suppkey", "day_ord")
     }),
+
+    // Q-CAL1 (round 10): trading-calendar audit — the general form of the
+    // reference's R13 "exactly 6,225 sessions" screen: per supplier,
+    // expected vs present sessions over its own listing window, against
+    // the observed-session calendar. The dense session INDEX turns
+    // "sessions between two days" into an index difference, so the audit
+    // is one aggregate + two broadcast equi-joins — no range join.
+    "q_cal1" -> ((s, d) => {
+      val daily = Shared.supplierDailyCents(s, d)
+      TradingCalendar.sessionAudit(daily, Seq("l_suppkey"), "day_ord",
+          TradingCalendar.sessionCalendar(daily, "day_ord"))
+        .orderBy("l_suppkey")
+    }),
+
+    // Q-CAL2 (round 10): LOCF gap-fill to the full per-key session grid —
+    // the missing-session policy every daily-grid indicator (q_ta*)
+    // implicitly needs: one row per (supplier, session in its listing
+    // window), cents carried forward over gaps, was_present auditable.
+    // Grid rows are the output's inherent size; calendar broadcast; the
+    // LOCF window rides the grid join's key partitioning.
+    "q_cal2" -> ((s, d) => {
+      val daily = Shared.supplierDailyCents(s, d)
+      TradingCalendar.gapFillLocf(daily, Seq("l_suppkey"), "day_ord",
+          "cents", TradingCalendar.sessionCalendar(daily, "day_ord"))
+        .select("l_suppkey", "session_idx", "day_ord", "was_present",
+          "cents_filled")
+        .orderBy("l_suppkey", "session_idx")
+    }),
   )
 
   def oracleSql: Map[String, String] = {
@@ -1305,6 +1333,58 @@ object TechQueries extends QueryModule {
            |FROM ev e JOIN rets r
            |  ON e.l_suppkey = r.l_suppkey AND e.day_ord = r.day_ord
            |ORDER BY e.l_suppkey, e.day_ord""".stripMargin,
+      // trading calendar: the pdd daily frame (a prefix of the planted
+      // CTE chain; unused CTEs are pruned) + the dense-indexed observed
+      // calendar, then pure integer index arithmetic.
+      "q_cal1" ->
+        s"""WITH ${Shared.plantedSplitCtes},
+           |cal AS (
+           |  SELECT day_ord, CAST(row_number() OVER (ORDER BY day_ord) AS BIGINT) AS idx
+           |  FROM (SELECT DISTINCT day_ord FROM pdd)),
+           |agg AS (
+           |  SELECT l_suppkey, MIN(day_ord) AS first_day, MAX(day_ord) AS last_day,
+           |    COUNT(*) AS present_sessions
+           |  FROM pdd GROUP BY 1)
+           |SELECT a.l_suppkey, a.first_day, a.last_day,
+           |  cl.idx - cf.idx + 1 AS expected_sessions,
+           |  a.present_sessions,
+           |  cl.idx - cf.idx + 1 - a.present_sessions AS missing_sessions
+           |FROM agg a JOIN cal cf ON a.first_day = cf.day_ord
+           |           JOIN cal cl ON a.last_day = cl.day_ord
+           |ORDER BY a.l_suppkey""".stripMargin,
+      // gap-fill: correlated generate_series builds the per-key session
+      // grid; LOCF via the count-grp trick (the q_bt1 oracle's pattern —
+      // COUNT(value) over the running frame is constant within a gap, so
+      // MAX over (key, grp) recovers the carried value).
+      "q_cal2" ->
+        s"""WITH ${Shared.plantedSplitCtes},
+           |cal AS (
+           |  SELECT day_ord, CAST(row_number() OVER (ORDER BY day_ord) AS BIGINT) AS idx
+           |  FROM (SELECT DISTINCT day_ord FROM pdd)),
+           |b AS (
+           |  SELECT a.l_suppkey, cf.idx AS fi, cl.idx AS li
+           |  FROM (SELECT l_suppkey, MIN(day_ord) AS first_day,
+           |               MAX(day_ord) AS last_day FROM pdd GROUP BY 1) a
+           |  JOIN cal cf ON a.first_day = cf.day_ord
+           |  JOIN cal cl ON a.last_day = cl.day_ord),
+           |grid AS (
+           |  SELECT b.l_suppkey, CAST(g.i AS BIGINT) AS session_idx
+           |  FROM b, unnest(generate_series(b.fi, b.li)) AS g(i)),
+           |j AS (
+           |  SELECT grid.l_suppkey, grid.session_idx, cal.day_ord, pdd.cents
+           |  FROM grid JOIN cal ON grid.session_idx = cal.idx
+           |  LEFT JOIN pdd ON pdd.l_suppkey = grid.l_suppkey
+           |               AND pdd.day_ord = cal.day_ord),
+           |g2 AS (
+           |  SELECT *, COUNT(cents) OVER (PARTITION BY l_suppkey
+           |    ORDER BY session_idx ROWS UNBOUNDED PRECEDING) AS grp
+           |  FROM j)
+           |SELECT l_suppkey, session_idx, day_ord,
+           |  cents IS NOT NULL AS was_present,
+           |  CAST(MAX(cents) OVER (PARTITION BY l_suppkey, grp) AS BIGINT)
+           |    AS cents_filled
+           |FROM g2
+           |ORDER BY l_suppkey, session_idx""".stripMargin,
     )
   }
 }

@@ -22,6 +22,7 @@ class GlobalWindowSweepSpec extends SparkSpec {
     // guarded via RowBound.guarded (fails fast past DimensionScaleRows):
     "operators/Batching.scala" -> 1,   // withBatchNum (dimension lists)
     "operators/Binning.scala" -> 2,    // equiDepthBuckets + the row-capped sample ntile
+    "operators/TradingCalendar.scala" -> 1, // sessionCalendar: one row per day
     "operators/Curation.scala" -> 4,   // waterfill ord+all, temperature all+remOrd (guards shared)
     // structurally bounded (bound stated at the site):
     "operators/Similarity.scala" -> 1, // withRecallAgainst: <= k result rows

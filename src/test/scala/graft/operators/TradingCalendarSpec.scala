@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class TradingCalendarSpec extends SparkSpec {
+  import spark.implicits._
+
+  // market sessions: days 10, 11, 12, 15, 16 (13/14 are never traded by
+  // anyone — NOT sessions). key 1 trades all its window's sessions; key 2
+  // misses session 11 and 15 inside its window.
+  private val daily = Seq(
+    (1L, 10L, 100L), (1L, 11L, 110L), (1L, 12L, 120L),
+    (2L, 10L, 50L), (2L, 12L, 70L), (2L, 16L, 90L),
+    (3L, 15L, 30L), (3L, 16L, 31L)
+  ).toDF("k", "day_ord", "cents")
+
+  test("sessionCalendar: dense index over the union of observed days") {
+    val cal = TradingCalendar.sessionCalendar(daily, "day_ord")
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(cal === Seq((10L, 1L), (11L, 2L), (12L, 3L), (15L, 4L), (16L, 5L)))
+  }
+
+  test("sessionAudit: expected counts CALENDAR sessions in the key's window, not days") {
+    val cal = TradingCalendar.sessionCalendar(daily, "day_ord")
+    val got = TradingCalendar.sessionAudit(daily, Seq("k"), "day_ord", cal)
+      .select("k", "first_day", "last_day", "expected_sessions",
+        "present_sessions", "missing_sessions")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(got === Seq(
+      (1L, 10L, 12L, 3L, 3L, 0L),   // complete history (the R13 screen keeps this)
+      (2L, 10L, 16L, 5L, 3L, 2L),   // missing sessions 11 and 15 (not 13/14!)
+      (3L, 15L, 16L, 2L, 2L, 0L)))
+  }
+
+  test("gapFillLocf: full grid, LOCF over gaps, was_present auditable") {
+    val cal = TradingCalendar.sessionCalendar(daily, "day_ord")
+    val got = TradingCalendar.gapFillLocf(daily, Seq("k"), "day_ord", "cents", cal)
+      .where(col("k") === 2L)
+      .select("session_idx", "day_ord", "was_present", "cents_filled")
+      .as[(Long, Long, Boolean, Long)].collect().toSeq.sorted
+    assert(got === Seq(
+      (1L, 10L, true, 50L),
+      (2L, 11L, false, 50L),  // gap: carried from day 10
+      (3L, 12L, true, 70L),
+      (4L, 15L, false, 70L),  // gap: carried from day 12
+      (5L, 16L, true, 90L)))
+    // never-null invariant: the grid starts at each key's first present day
+    val all = TradingCalendar.gapFillLocf(daily, Seq("k"), "day_ord", "cents", cal)
+    assert(all.where(col("cents_filled").isNull).count() === 0L)
+  }
+
+  test("plan shape: calendar joins broadcast; LOCF shares the grid's key shuffle") {
+    val cal = TradingCalendar.sessionCalendar(daily, "day_ord")
+    val p = TradingCalendar.gapFillLocf(daily, Seq("k"), "day_ord", "cents", cal)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+  }
+}
