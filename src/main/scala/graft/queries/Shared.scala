@@ -290,6 +290,17 @@ private[graft] object Shared {
       (merges, vocab.localCheckpoint())
     }
 
+  /** Learned unigram-LM tokenizer over `documents` (target 200 pieces) —
+    * the piece table plus the per-word Viterbi segmentation, fit once and
+    * served to q_unig1/q_unig2 (the SentencePiece-unigram sibling of
+    * [[bpe]]). */
+  def unigram(s: SparkSession, d: String)
+      : (Seq[graft.operators.UnigramLm.Piece], Seq[(String, Long, Seq[String])]) =
+    Memo.cached(s, s"unigram|$d") {
+      graft.operators.UnigramLm.learn(
+        Tables.load(s, d, "documents"), col("text"), targetVocab = 200)
+    }
+
   /** SQL twin of the q_sim2/q_dedup6/q_dedup7 edge list: a CTE chain
     * ending in `cpairs(id_a, id_b, dot, na, nb)` — the exact replay of
     * Similarity.allPairsAboveThresholdExact: trunc(x·2^13) quantization

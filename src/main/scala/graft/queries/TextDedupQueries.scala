@@ -649,6 +649,29 @@ object TextDedupQueries extends QueryModule {
           Shared.bpe(s, d)._2)
         .orderBy("doc_id")),
 
+    // Q-UNIG1 (round 10): unigram-LM tokenizer induction (the
+    // SentencePiece-unigram sibling of Q-BPE1): EM-estimated piece model
+    // pruned top-down to the target vocabulary; the learned piece table
+    // (rank, piece, Viterbi count, logp). Rows-only by the same
+    // impossibility class as Q-BPE1 — every EM iteration's segmentation
+    // depends on the previous iteration's data-dependent estimates and
+    // the prune argmin feeds back into the next E-step; classic-corpus
+    // behavior is spec-asserted (UnigramLmSpec). Training runs on the
+    // vocabulary-sized word-frequency table, never the corpus.
+    "q_unig1" -> ((s, d) =>
+      graft.operators.UnigramLm.pieceTable(s, Shared.unigram(s, d)._1)
+        .orderBy("rank")),
+
+    // Q-UNIG2 (round 10): per-doc token counts under the learned unigram
+    // segmentation — the q_bpe2 twin: the vocabulary-sized word→n_pieces
+    // table broadcast-joins onto the corpus, Viterbi never runs at
+    // corpus scale. Rows-only (inherits q_unig1's EM loop).
+    "q_unig2" -> ((s, d) =>
+      graft.operators.UnigramLm.encodedTokenCounts(
+          Tables.load(s, d, "documents"), "doc_id", col("text"),
+          s, Shared.unigram(s, d)._2)
+        .orderBy("doc_id")),
+
     // Q-PIPE3 (round 6): the tokenize→budget→pack composition a
     // pre-training data pipeline actually runs end-to-end — learn the BPE
     // merge table (vocab-bound driver fold, memoized with q_bpe1/2),
