@@ -493,6 +493,7 @@ object Multimodal {
     * caveat. */
   def splitClipFrames(payload: Array[Byte]): Seq[Array[Byte]] =
     if (AviMjpeg.isAvi(payload)) AviMjpeg.decodeFrames(payload)
+    else if (Mp4Mjpeg.isMp4(payload)) Mp4Mjpeg.decodeFrames(payload)
     else if (payload.length >= 8 && ClipMagic.indices.forall(i => payload(i) == ClipMagic(i))) {
       val bb = java.nio.ByteBuffer.wrap(payload)
       bb.position(4)
@@ -603,6 +604,29 @@ object Multimodal {
     * Identical within-scene frame BYTES make within-shot dHash distance
     * exactly 0 despite JPEG's lossiness, so the planted cut positions
     * survive the lossy codec — the property q_mm16's oracle leans on. */
+  /** The planted scene frames both synthetic clip fixtures share: a fresh
+    * seeded-LCG JPEG every `shotLen` frames, bit-identical bytes within a
+    * scene (so within-shot dHash distance is exactly 0 despite JPEG's
+    * lossiness — the property the q_mm16/q_mm17 oracles lean on). */
+  private def sceneJpegFrames(id: Long, nFrames: Int, width: Int, height: Int,
+                              shotLen: Int): Seq[Array[Byte]] = {
+    val sceneJpeg = scala.collection.mutable.LongMap.empty[Array[Byte]]
+    (0 until nFrames).map { f =>
+      val scene = id * 1000L + f / shotLen
+      sceneJpeg.getOrElseUpdate(scene, {
+        val rgb = new Array[Int](width * height)
+        var h = scene * 0x9E3779B97F4A7C15L + 0xBF58476D1CE4E5B9L
+        var i = 0
+        while (i < rgb.length) {
+          h = h * 6364136223846793005L + 1442695040888963407L
+          rgb(i) = ((h >>> 40) & 0xFFFFFF).toInt
+          i += 1
+        }
+        encodeJpeg(width, height, rgb)
+      })
+    }
+  }
+
   def syntheticAviClip(df: DataFrame, idCol: String, nFrames: Int,
                        width: Int, height: Int, shotLen: Int,
                        fps: Int = 25): DataFrame = {
@@ -611,22 +635,28 @@ object Multimodal {
     import spark.implicits._
     df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
       it.map { id =>
-        val sceneJpeg = scala.collection.mutable.LongMap.empty[Array[Byte]]
-        val frames = (0 until nFrames).map { f =>
-          val scene = id * 1000L + f / shotLen
-          sceneJpeg.getOrElseUpdate(scene, {
-            val rgb = new Array[Int](width * height)
-            var h = scene * 0x9E3779B97F4A7C15L + 0xBF58476D1CE4E5B9L
-            var i = 0
-            while (i < rgb.length) {
-              h = h * 6364136223846793005L + 1442695040888963407L
-              rgb(i) = ((h >>> 40) & 0xFFFFFF).toInt
-              i += 1
-            }
-            encodeJpeg(width, height, rgb)
-          })
-        }
-        (id, AviMjpeg.encode(frames, width, height, fps))
+        (id, AviMjpeg.encode(
+          sceneJpegFrames(id, nFrames, width, height, shotLen), width, height, fps))
+      }
+    }.toDF("doc_id", "payload")
+  }
+
+  /** Deterministic REAL MP4 clip fixture (round 10) — [[syntheticAviClip]]
+    * with the ISO-BMFF container instead of RIFF: the same planted scene
+    * structure ships inside a spec-conformant [[Mp4Mjpeg]] file, so the
+    * full real-media path runs: atom-walk demux through the
+    * stsd/stsz/stsc/stco sample tables → ImageIO sniffing JPEG decode →
+    * dHash. */
+  def syntheticMp4Clip(df: DataFrame, idCol: String, nFrames: Int,
+                       width: Int, height: Int, shotLen: Int,
+                       fps: Int = 25): DataFrame = {
+    require(nFrames >= 1 && shotLen >= 1, "need nFrames >= 1 and shotLen >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        (id, Mp4Mjpeg.encode(
+          sceneJpegFrames(id, nFrames, width, height, shotLen), width, height, fps))
       }
     }.toDF("doc_id", "payload")
   }

@@ -477,6 +477,31 @@ object SimMmQueries extends QueryModule {
         .orderBy("doc_id")
     }),
 
+    // Q-MM17 (round 10): REAL MP4 — the q_mm16 pipeline on genuine
+    // ISO-BMFF files: atom-walk demux through the stsd/stsz/stsc/stco
+    // sample tables, every 7th payload truncated to 40 bytes so the
+    // per-clip quarantine branch fires on real grammar violations. Same
+    // planted structure (6 frames / 3 two-frame scenes per good clip) —
+    // the compare certifies the real demux+decode chain recovers exactly
+    // that from MP4 bytes.
+    "q_mm17" -> ((s, d) => {
+      val clips = Multimodal.syntheticMp4Clip(
+          Tables.load(s, d, "documents"), "doc_id",
+          nFrames = 6, width = 8, height = 8, shotLen = 2)
+        .withColumn("payload",
+          when(col("doc_id") % 7 === 0, expr("substring(payload, 1, 40)"))
+            .otherwise(col("payload")))
+      val (stats, quar) = Multimodal.clipShotStatsQuarantined(clips, cutThreshold = 10)
+      stats.toDF()
+        .select(col("doc_id"), lit("ok").as("status"),
+          col("n_frames"), col("n_shots"))
+        .unionByName(quar.toDF()
+          .select(col("doc_id"), lit("quarantined").as("status"),
+            lit(null).cast("long").as("n_frames"),
+            lit(null).cast("long").as("n_shots")))
+        .orderBy("doc_id")
+    }),
+
     // Audio twin of q_mm9: truncated WAVs quarantined, good clips decoded.
     "q_mm10" -> ((s, d) => {
       val good = graft.multimodal.AudioWav.syntheticWav(
@@ -820,6 +845,15 @@ object SimMmQueries extends QueryModule {
     // compare certifies is the demux+decode chain recovering exactly that
     // structure from genuine AVI/MJPEG bytes.
     "q_mm16" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN 'quarantined' ELSE 'ok' END AS status,
+        |  CAST(CASE WHEN doc_id % 7 = 0 THEN NULL ELSE 6 END AS BIGINT) AS n_frames,
+        |  CAST(CASE WHEN doc_id % 7 = 0 THEN NULL ELSE 3 END AS BIGINT) AS n_shots
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // q_mm17: identical planted facts through the MP4 container — the
+    // compare certifies the atom-walk demux (stsd/stsz/stsc/stco) + JPEG
+    // decode chain recovers the same structure from ISO-BMFF bytes.
+    "q_mm17" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 7 = 0 THEN 'quarantined' ELSE 'ok' END AS status,
         |  CAST(CASE WHEN doc_id % 7 = 0 THEN NULL ELSE 6 END AS BIGINT) AS n_frames,
