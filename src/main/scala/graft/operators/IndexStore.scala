@@ -119,6 +119,23 @@ object IndexStore {
   def readCells(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(s"$root/$Cells")
 
+  private val NswNeighbors = "nsw_neighbors"
+  private val NswEntries = "nsw_entries"
+
+  /** Persist an NSW proximity graph ([[NswAnn.buildGraph]] shape:
+    * neighbors(src, dst, sim) + entries(__cluster, entry_id)) — the
+    * graph-ANN index as tables. At cluster scale the adjacency is
+    * written `bucketBy(src)` so each probe hop's frontier join
+    * co-locates without shuffling the graph. */
+  def writeNsw(neighbors: DataFrame, entries: DataFrame, root: String): Unit = {
+    write(neighbors, s"$root/$NswNeighbors")
+    write(entries, s"$root/$NswEntries")
+  }
+
+  def readNsw(spark: SparkSession, root: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$root/$NswNeighbors"),
+      spark.read.parquet(s"$root/$NswEntries"))
+
   /** Whether a store root already holds any index table. */
   def exists(spark: SparkSession, root: String): Boolean = {
     val p = new Path(root)

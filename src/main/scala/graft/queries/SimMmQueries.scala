@@ -77,6 +77,26 @@ object SimMmQueries extends QueryModule {
         .orderBy(col("sim").desc, col("vec_id"))
     }),
 
+    // Q-SIM16 (round 10): graph-based ANN (NSW-class, the HNSW base
+    // layer) — the recall/probe-count frontier next to IVF (memory) and
+    // PQ (bandwidth): greedy beam over a stored proximity graph, probe
+    // cost O(rounds·beam·M) independent of corpus size. Graph built
+    // within the shared IVF cells (partitioned kNN build), stitched by
+    // the inter-cell entry mesh, served from the IndexStore reload.
+    // Rows-only (approximate by design — the q_sim3 contract): recall vs
+    // brute force emitted as data, floors spec-asserted.
+    "q_sim16" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      val (neighbors, entries) = Shared.storedNsw(s, d)
+      Similarity.withRecallAgainst(
+          graft.operators.NswAnn.probe(neighbors, entries, emb,
+            "vec_id", "embedding", emb.where(col("vec_id") === 0),
+            "embedding", k = 11, beamWidth = 32, rounds = 5),
+          Shared.bruteCosineTruth(s, d),
+          "vec_id")
+        .orderBy(col("sim").desc, col("vec_id"))
+    }),
+
     // Multi-probe LSH ANN top-k: query bucket + all Hamming-1 buckets
     // (rows-only: approximate; recall >= single-probe's spec-asserted on
     // the emitted column). AutoPlanes, as q_sim3.
