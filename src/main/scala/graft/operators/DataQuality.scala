@@ -113,4 +113,39 @@ object DataQuality {
       checks.head._2.cast("double").as(checks.head._1),
       checks.tail.map { case (n, c) => c.cast("double").as(n) }: _*)
   }
+
+  /** Cross-table reconciliation audit (round 10) — the "did the copy
+    * land" check run after every replication/migration/backfill: both
+    * sides bucket by the (numeric) key, each bucket reduces to a row
+    * count and an ORDER-INDEPENDENT checksum (bitwise XOR of the per-row
+    * `xxhash64(key, values...)`), and the buckets full-outer-join into a
+    * verdict table. A diverging bucket localizes the damage to
+    * 1/nBuckets of the keyspace without ever comparing rows — the audit
+    * moves 2·nBuckets rows over the network, not data.
+    *
+    * XOR is the right fold: commutative/associative (partition-order
+    * free), and a single flipped row flips the bucket checksum with
+    * probability 1 − 2⁻⁶⁴ (two DIFFERENT corruptions canceling needs a
+    * hash collision). The checksum replays exactly in DuckDB integer SQL
+    * (`XxhashSql.hashLong2Cte` + bit_xor), so the whole audit is
+    * oracle-checkable.
+    *
+    * Scale shape: one map-side-combined aggregation per side (bucket
+    * count is the only shuffle key), one nBuckets-row join. */
+  def reconcile(src: DataFrame, dst: DataFrame, keyCol: String,
+                valueCol: String, nBuckets: Int = 64): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    def side(df: DataFrame, n: String, x: String) = df
+      .select(pmod(col(keyCol).cast("long"), lit(nBuckets.toLong)).as("bucket"),
+        xxhash64(col(keyCol).cast("long"), col(valueCol).cast("long")).as("__h"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as(n), expr("bit_xor(__h)").as(x))
+    side(src, "n_src", "xor_src")
+      .join(side(dst, "n_dst", "xor_dst"), Seq("bucket"), "full_outer")
+      .withColumn("counts_match",
+        coalesce(col("n_src"), lit(0L)) === coalesce(col("n_dst"), lit(0L)))
+      .withColumn("checksum_match",
+        col("counts_match") && coalesce(col("xor_src"), lit(0L)) ===
+          coalesce(col("xor_dst"), lit(0L)))
+  }
 }

@@ -69,6 +69,30 @@ object TradingCalendar {
         col("missing_sessions")): _*)
   }
 
+  /** Next-session mapping: for EVERY calendar day in
+    * [first session − lookbackDays, last session] (sessions and gaps
+    * alike), the first session at-or-after it — the broadcastable
+    * dimension that turns "align arbitrary event dates to the trading
+    * calendar" (T+0 execution day, settlement alignment) into one
+    * EQUI-join: each session covers the day span since its predecessor,
+    * expanded by `explode(sequence(...))`; no as-of machinery, no range
+    * join, no window (the predecessor comes from an idx−1 self equi-join
+    * on the dense session index). Output:
+    * (day_ord, next_session_day, next_session_idx), #span-days rows. */
+  def nextSessionMap(calendar: DataFrame, lookbackDays: Int = 0): DataFrame = {
+    require(lookbackDays >= 0, s"lookbackDays must be >= 0, got $lookbackDays")
+    val prev = calendar.select((col("session_idx") + 1).as("session_idx"),
+      col("day_ord").as("__prev"))
+    calendar.join(prev, Seq("session_idx"), "left_outer")
+      .select(
+        explode(sequence(
+          coalesce(col("__prev") + 1, col("day_ord") - lookbackDays),
+          col("day_ord"))).as("day_ord_target"),
+        col("day_ord").as("next_session_day"),
+        col("session_idx").as("next_session_idx"))
+      .withColumnRenamed("day_ord_target", "day_ord")
+  }
+
   /** Gap-fill to the full per-key session grid: one output row per
     * (key, session in [key's first, key's last]), with
     * `<valueCol>_filled` = last present value at-or-before (LOCF — never

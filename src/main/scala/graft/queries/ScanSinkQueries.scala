@@ -105,6 +105,26 @@ object ScanSinkQueries extends QueryModule {
         .orderBy("fd")
     }),
 
+    // Q-DQ7 (round 10): cross-table reconciliation audit — the "did the
+    // copy land" check after every replication/backfill: per key-bucket
+    // row counts + order-independent XOR-of-xxhash64 checksums on both
+    // sides, full-outer-joined into a verdict table (a diverging bucket
+    // localizes damage to 1/64 of the keyspace without comparing rows).
+    // Fixture: the destination is the source with every 997th orderkey's
+    // cents perturbed by +1 — some buckets corrupt, some clean, so both
+    // verdict branches are live. Checksums replay exactly in DuckDB via
+    // XxhashSql.hashLong2Cte => hash-exact.
+    "q_dq7" -> ((s, d) => {
+      import graft.operators.DataQuality
+      val src = Tables.load(s, d, "orders").select(col("o_orderkey"),
+        round(col("o_totalprice") * lit(100.0)).cast("long").as("cents"))
+      val dst = src.withColumn("cents",
+        when(pmod(col("o_orderkey"), lit(997L)) === 0, col("cents") + 1L)
+          .otherwise(col("cents")))
+      DataQuality.reconcile(src, dst, "o_orderkey", "cents", nBuckets = 64)
+        .orderBy("bucket")
+    }),
+
     // Q-SKEW2 (round 5): key-skew diagnostics — the top-10 heaviest event
     // users with share + skew ratio (measure BEFORE you salt: the report
     // that justifies q_skew1's two-phase path). One aggregation + a
@@ -242,6 +262,38 @@ object ScanSinkQueries extends QueryModule {
          |  ${arm("l_orderkey,l_linenumber->l_quantity", "lineitem",
              "l_orderkey, l_linenumber", "l_quantity")})
          |ORDER BY fd""".stripMargin
+    },
+    // reconciliation audit: per-row xxhash64(key, cents) replayed via
+    // hashLong2Cte (the multi-child running-seed fold), bucketed counts +
+    // bit_xor checksums on both sides, full outer join
+    "q_dq7" -> {
+      val srcSql = "SELECT o_orderkey AS k, " +
+        "CAST(round(o_totalprice*100.0, 0) AS BIGINT) AS v FROM orders"
+      val dstSql = "SELECT o_orderkey AS k, " +
+        "CASE WHEN o_orderkey % 997 = 0 " +
+        "THEN CAST(round(o_totalprice*100.0, 0) AS BIGINT) + 1 " +
+        "ELSE CAST(round(o_totalprice*100.0, 0) AS BIGINT) END AS v FROM orders"
+      val hs = XxhashSql.hashLong2Cte(srcSql, "k", "v", "h")
+      val hd = XxhashSql.hashLong2Cte(dstSql, "k", "v", "h")
+      s"""WITH srch AS MATERIALIZED (SELECT k, h FROM $hs),
+         |dsth AS MATERIALIZED (SELECT k, h FROM $hd),
+         |sa AS (SELECT ((k % 64) + 64) % 64 AS bucket,
+         |         COUNT(*) AS n_src, bit_xor(h) AS xor_src
+         |       FROM srch GROUP BY 1),
+         |da AS (SELECT ((k % 64) + 64) % 64 AS bucket,
+         |         COUNT(*) AS n_dst, bit_xor(h) AS xor_dst
+         |       FROM dsth GROUP BY 1)
+         |SELECT COALESCE(sa.bucket, da.bucket) AS bucket,
+         |  CAST(sa.n_src AS BIGINT) AS n_src,
+         |  CAST(sa.xor_src AS BIGINT) AS xor_src,
+         |  CAST(da.n_dst AS BIGINT) AS n_dst,
+         |  CAST(da.xor_dst AS BIGINT) AS xor_dst,
+         |  COALESCE(sa.n_src, 0) = COALESCE(da.n_dst, 0) AS counts_match,
+         |  COALESCE(sa.n_src, 0) = COALESCE(da.n_dst, 0)
+         |    AND COALESCE(sa.xor_src, 0) = COALESCE(da.xor_dst, 0)
+         |    AS checksum_match
+         |FROM sa FULL OUTER JOIN da ON sa.bucket = da.bucket
+         |ORDER BY bucket""".stripMargin
     },
     "q_dq3" ->
       """SELECT fk, n_fact_rows, n_distinct_keys, n_orphan_rows, n_orphan_keys FROM (

@@ -663,6 +663,77 @@ object TechQueries extends QueryModule {
         .orderBy("l_suppkey", "day_ord")
     }),
 
+    // Q-TA15 (round 10): stochastic oscillator %K/%D — the classic
+    // bounded momentum pair: %K = 100·(close − lo14)/(hi14 − lo14), %D =
+    // SMA3 of %K, both as exact integer micro via the rhaDiv rounding
+    // rule (numerator always ≥ 0, so one positive-branch division each);
+    // flat 14-day windows (hi == lo) null out. One key shuffle, three
+    // frames on it.
+    "q_ta15" -> ((s, d) => {
+      val wd = Window.partitionBy("l_suppkey").orderBy("day_ord")
+      val w14 = wd.rowsBetween(-13, Window.currentRow)
+      val w3 = wd.rowsBetween(-2, Window.currentRow)
+      Shared.supplierDailyCents(s, d)
+        .withColumn("lo14", min(col("cents")).over(w14))
+        .withColumn("hi14", max(col("cents")).over(w14))
+        .withColumn("__a", (col("cents") - col("lo14")) * lit(1000000L))
+        .withColumn("__w", col("hi14") - col("lo14"))
+        .withColumn("k_micro",
+          when(col("__w") > 0, expr("(2 * __a + __w) div (2 * __w)")))
+        .withColumn("__ks", sum(col("k_micro")).over(w3))
+        .withColumn("__kn", count(col("k_micro")).over(w3))
+        .withColumn("d_micro",
+          when(col("__kn") > 0, expr("(2 * __ks + __kn) div (2 * __kn)")))
+        .select("l_suppkey", "day_ord", "cents", "k_micro", "d_micro")
+        .orderBy("l_suppkey", "day_ord")
+    }),
+
+    // Q-TA16 (round 10): Donchian channel + breakout flags — the
+    // rolling-extreme channel (hi/lo over the PRIOR 20 sessions, so a
+    // breakout compares today against history, not itself); mid emitted
+    // ×2 (hi+lo) to stay integer. Pure integer comparisons — nothing to
+    // round anywhere; rows with no history null out.
+    "q_ta16" -> ((s, d) => {
+      val wd = Window.partitionBy("l_suppkey").orderBy("day_ord")
+      val w20p = wd.rowsBetween(-20, -1)
+      Shared.supplierDailyCents(s, d)
+        .withColumn("hi20", max(col("cents")).over(w20p))
+        .withColumn("lo20", min(col("cents")).over(w20p))
+        .withColumn("mid_x2", col("hi20") + col("lo20"))
+        .withColumn("break_up", col("cents") > col("hi20"))
+        .withColumn("break_dn", col("cents") < col("lo20"))
+        .select("l_suppkey", "day_ord", "cents", "hi20", "lo20", "mid_x2",
+          "break_up", "break_dn")
+        .orderBy("l_suppkey", "day_ord")
+    }),
+
+    // Q-CAL3 (round 10): next-session alignment — map every order date
+    // to the first trading session at-or-after it ON A SPECIFIC
+    // INSTRUMENT'S calendar (supplier 1's observed sessions — the
+    // "align market events to THIS listing's trading days" use case; a
+    // single listing's calendar has real gaps, so the wait branch is
+    // genuinely exercised). The nextSessionMap dimension (one row per
+    // calendar day in the span, built by predecessor equi-join + span
+    // explode — no as-of, no range join) broadcasts onto the orders as
+    // ONE equi-join.
+    "q_cal3" -> ((s, d) => {
+      val daily = Shared.supplierDailyCents(s, d)
+        .where(col("l_suppkey") === 1L)
+      val mapping = TradingCalendar.nextSessionMap(
+        TradingCalendar.sessionCalendar(daily, "day_ord"), lookbackDays = 120)
+      Tables.load(s, d, "orders")
+        .select(col("o_orderkey"),
+          datediff(col("o_orderdate").cast("date"),
+            lit("1970-01-01").cast("date")).cast("long").as("day_ord"))
+        .join(broadcast(mapping), Seq("day_ord"), "left_outer")
+        .withColumn("wait_days", col("next_session_day") - col("day_ord"))
+        .withColumn("is_session_day",
+          col("next_session_day") === col("day_ord"))
+        .select("o_orderkey", "day_ord", "next_session_day",
+          "next_session_idx", "wait_days", "is_session_day")
+        .orderBy("o_orderkey")
+    }),
+
     // Q-CAL1 (round 10): trading-calendar audit — the general form of the
     // reference's R13 "exactly 6,225 sessions" screen: per supplier,
     // expected vs present sessions over its own listing window, against
@@ -1333,6 +1404,67 @@ object TechQueries extends QueryModule {
            |FROM ev e JOIN rets r
            |  ON e.l_suppkey = r.l_suppkey AND e.day_ord = r.day_ord
            |ORDER BY e.l_suppkey, e.day_ord""".stripMargin,
+      // stochastic %K/%D: identical window frames + the rhaDiv replay
+      // (numerators non-negative, so the positive branch only)
+      "q_ta15" ->
+        s"""WITH ${Shared.plantedSplitCtes},
+           |w AS (
+           |  SELECT l_suppkey, day_ord, cents,
+           |    MIN(cents) OVER w14 AS lo14, MAX(cents) OVER w14 AS hi14
+           |  FROM pdd WINDOW w14 AS (PARTITION BY l_suppkey ORDER BY day_ord
+           |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+           |k AS (
+           |  SELECT l_suppkey, day_ord, cents,
+           |    CASE WHEN hi14 - lo14 > 0
+           |         THEN (2*((cents - lo14)*1000000) + (hi14 - lo14))
+           |              // (2*(hi14 - lo14)) END AS k_micro
+           |  FROM w),
+           |s AS (
+           |  SELECT l_suppkey, day_ord, cents, k_micro,
+           |    SUM(k_micro) OVER w3 AS ks, COUNT(k_micro) OVER w3 AS kn
+           |  FROM k WINDOW w3 AS (PARTITION BY l_suppkey ORDER BY day_ord
+           |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+           |SELECT l_suppkey, day_ord, cents,
+           |  CAST(k_micro AS BIGINT) AS k_micro,
+           |  CAST(CASE WHEN kn > 0 THEN (2*ks + kn) // (2*kn) END AS BIGINT)
+           |    AS d_micro
+           |FROM s ORDER BY l_suppkey, day_ord""".stripMargin,
+      // Donchian channel over the PRIOR 20 sessions: integer extremes
+      // and comparisons only
+      "q_ta16" ->
+        s"""WITH ${Shared.plantedSplitCtes},
+           |w AS (
+           |  SELECT l_suppkey, day_ord, cents,
+           |    MAX(cents) OVER wp AS hi20, MIN(cents) OVER wp AS lo20
+           |  FROM pdd WINDOW wp AS (PARTITION BY l_suppkey ORDER BY day_ord
+           |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+           |SELECT l_suppkey, day_ord, cents, hi20, lo20,
+           |  hi20 + lo20 AS mid_x2,
+           |  cents > hi20 AS break_up, cents < lo20 AS break_dn
+           |FROM w ORDER BY l_suppkey, day_ord""".stripMargin,
+      // next-session alignment: predecessor equi-join on the dense index,
+      // span explode, one equi-join onto orders
+      "q_cal3" ->
+        s"""WITH ${Shared.plantedSplitCtes},
+           |cal AS (
+           |  SELECT day_ord, CAST(row_number() OVER (ORDER BY day_ord) AS BIGINT) AS idx
+           |  FROM (SELECT DISTINCT day_ord FROM pdd WHERE l_suppkey = 1)),
+           |m AS (
+           |  SELECT CAST(g.i AS BIGINT) AS day_ord,
+           |    c.day_ord AS next_session_day, c.idx AS next_session_idx
+           |  FROM (SELECT c1.day_ord, c1.idx, p.day_ord AS prev
+           |        FROM cal c1 LEFT JOIN cal p ON p.idx = c1.idx - 1) c,
+           |       unnest(generate_series(
+           |         COALESCE(c.prev + 1, c.day_ord - 120), c.day_ord)) AS g(i)),
+           |o AS (
+           |  SELECT o_orderkey,
+           |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_ord
+           |  FROM orders)
+           |SELECT o.o_orderkey, o.day_ord, m.next_session_day,
+           |  m.next_session_idx, m.next_session_day - o.day_ord AS wait_days,
+           |  m.next_session_day = o.day_ord AS is_session_day
+           |FROM o LEFT JOIN m ON o.day_ord = m.day_ord
+           |ORDER BY o.o_orderkey""".stripMargin,
       // trading calendar: the pdd daily frame (a prefix of the planted
       // CTE chain; unused CTEs are pruned) + the dense-indexed observed
       // calendar, then pure integer index arithmetic.

@@ -209,6 +209,19 @@ private[queries] object XxhashSql {
     ch.sql
   }
 
+  /** `outCol` = Spark's `xxhash64(k1, k2)` over two BIGINT columns —
+    * the multi-child running-seed fold: hashLong(k2, hashLong(k1, 42)).
+    * Used by the q_dq7 reconciliation checksums (round 10). */
+  def hashLong2Cte(srcSql: String, k1: String, k2: String, outCol: String): String = {
+    val ch = new Chain(srcSql)
+    ch.layer("h2a_k" -> s2u(k1))
+    addHashLong(ch, "h2a_", "h2a_k", s"CAST($Seed AS HUGEINT)", "h2a_out")
+    ch.layer("h2b_k" -> s2u(k2))
+    addHashLong(ch, "h2b_", "h2b_k", "h2a_out", "h2b_out")
+    ch.layer(outCol -> u2s("h2b_out"))
+    ch.sql
+  }
+
   def hashStringCtes(srcCte: String): String =
     s"""sb AS MATERIALIZED (SELECT s, octet_length(encode(s)) AS n,
        |  hex(encode(s)) AS hx FROM $srcCte),

@@ -105,4 +105,27 @@ class DataQualitySpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), s"unexpected join in plan:\n$plan")
   }
+
+  test("reconcile: clean copy all-green; one flipped value trips EXACTLY its bucket") {
+    val src = (1L to 200L).map(k => (k, k * 100L)).toDF("k", "v")
+    val clean = DataQuality.reconcile(src, src, "k", "v", nBuckets = 8)
+    assert(clean.where(!col("checksum_match") || !col("counts_match")).count() === 0)
+    assert(clean.count() === 8)
+    // flip one value: key 42 -> bucket 42 % 8 = 2 diverges, others stay green
+    val dst = src.withColumn("v", when(col("k") === 42L, col("v") + 1L).otherwise(col("v")))
+    val bad = DataQuality.reconcile(src, dst, "k", "v", nBuckets = 8)
+      .select("bucket", "counts_match", "checksum_match")
+      .as[(Long, Boolean, Boolean)].collect().toSeq.sorted
+    assert(bad.count(!_._3) === 1 && bad.find(!_._3).get._1 === 2L)
+    assert(bad.forall(_._2), "value corruption must not trip counts_match")
+    // a MISSING row trips both counts and checksum in its bucket
+    val dropped = DataQuality.reconcile(src, src.where(col("k") =!= 17L), "k", "v", 8)
+      .where(!col("counts_match"))
+      .select("bucket").as[Long].collect().toSeq
+    assert(dropped === Seq(17L % 8))
+    // checksum is order-independent: a shuffled/repartitioned copy matches
+    val shuffled = src.repartition(7, col("v")).sortWithinPartitions(col("v").desc)
+    val reord = DataQuality.reconcile(src, shuffled, "k", "v", 8)
+    assert(reord.where(!col("checksum_match")).count() === 0)
+  }
 }

@@ -50,6 +50,20 @@ class TradingCalendarSpec extends SparkSpec {
     assert(all.where(col("cents_filled").isNull).count() === 0L)
   }
 
+  test("nextSessionMap: gaps map forward, sessions map to themselves, lookback covers the head") {
+    val cal = TradingCalendar.sessionCalendar(daily, "day_ord")
+    val m = TradingCalendar.nextSessionMap(cal, lookbackDays = 2)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    // sessions: 10, 11, 12, 15, 16; lookback 2 covers days 8-9
+    assert(m === Seq(
+      (8L, 10L, 1L), (9L, 10L, 1L), (10L, 10L, 1L),
+      (11L, 11L, 2L), (12L, 12L, 3L),
+      (13L, 15L, 4L), (14L, 15L, 4L), (15L, 15L, 4L),
+      (16L, 16L, 5L)))
+    // the mapping is a function: one row per covered day
+    assert(m.map(_._1).distinct.size === m.size)
+  }
+
   test("plan shape: calendar joins broadcast; LOCF shares the grid's key shuffle") {
     val cal = TradingCalendar.sessionCalendar(daily, "day_ord")
     val p = TradingCalendar.gapFillLocf(daily, Seq("k"), "day_ord", "cents", cal)
