@@ -60,4 +60,43 @@ object IntervalJoin {
       .withColumn("overlap_us",
         least(col(aEnd), col(bEnd)) - greatest(col(aStart), col(bStart)))
   }
+
+  /** Interval-union coverage per key (round 10) — the sweep-line
+    * gaps-and-islands rollup: merge each key's CLOSED integer intervals
+    * [start, end] wherever they overlap (start ≤ some earlier interval's
+    * end; merely ADJACENT intervals stay separate islands), then report
+    * (n_intervals, n_islands, covered_units, span_units). This is the
+    * "how much of the timeline is actually covered" statistic
+    * (in-transit days, on-call coverage, valid-data spans) that a plain
+    * sum of durations double-counts.
+    *
+    * The sweep is two windows on ONE key partitioning: a new island
+    * opens where start > max(end) over all EARLIER rows in (start,
+    * tiebreak) order (ties in start can never open an island — an
+    * equal-start row's span is reachable from the first), and the island
+    * id is the running count of opens. Exact integers throughout;
+    * covered counts BOTH endpoints (closed-interval day semantics). */
+  def coverage(df: DataFrame, keyCols: Seq[String], startCol: String,
+               endCol: String, tiebreak: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = (col("__s") +: (col("__e") +: tiebreak.map(col))).map(_.asc)
+    val wPrev = Window.partitionBy(keyCols.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(keyCols.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(keyCols.map(col) ++ Seq(col(startCol).cast("long").as("__s"),
+        col(endCol).cast("long").as("__e")) ++ tiebreak.map(col): _*)
+      .withColumn("__open",
+        when(col("__s") > coalesce(max(col("__e")).over(wPrev),
+          col("__s") - 1), 1L).otherwise(0L))
+      .withColumn("__island", sum(col("__open")).over(wRun))
+      .groupBy(keyCols.map(col) :+ col("__island"): _*)
+      .agg(min(col("__s")).as("__is"), max(col("__e")).as("__ie"),
+        count(lit(1)).as("__n"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__n")).as("n_intervals"),
+        count(lit(1)).as("n_islands"),
+        sum(col("__ie") - col("__is") + 1).as("covered_units"),
+        (max(col("__ie")) - min(col("__is")) + 1).as("span_units"))
+  }
 }

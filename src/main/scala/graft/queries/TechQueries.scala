@@ -608,6 +608,101 @@ object TechQueries extends QueryModule {
         .orderBy("l_suppkey", "day_ord")
     }),
 
+    // Q-TA17 (round 10): ADX — the Wilder directional system completing
+    // the classic indicator set (+DI/−DI/DX/ADX) over weekly
+    // high/low/close bars built from the daily cents series (hi/lo =
+    // weekly extremes, close = last trading day's cents — max_by over the
+    // unique (key, week, day) grain, no tuple ordinal needed). Four
+    // exact-integer Wilder smoothings (α = 1/14 via emaMicro: +DM, −DM,
+    // TR on the cents grain, then ADX over the DX micro series), the
+    // DI/DX ratios as rhaDiv with zero-denominator → 0 (flat bars carry
+    // no direction). OVERFLOW BOUND: pdi numerator 1e6·dm_micro needs
+    // weekly per-key cents < ~9e8 — per-supplier volume is
+    // SF-invariant in TPC-H (suppliers scale with SF), so the bound
+    // holds at any scale of this schema. Serial recurrences run on the
+    // weeks-per-key grain, never raw rows.
+    "q_ta17" -> ((s, d) => {
+      val wd = Window.partitionBy("l_suppkey").orderBy("w_ord")
+      val bars = Shared.supplierDailyCents(s, d)
+        .withColumn("w_ord", expr("(day_ord + 3) div 7"))
+        .groupBy("l_suppkey", "w_ord")
+        .agg(max("cents").as("hi"), min("cents").as("lo"),
+          max_by(col("cents"), col("day_ord")).as("close"))
+      val dm = bars
+        .withColumn("__hp", lag(col("hi"), 1).over(wd))
+        .withColumn("__lp", lag(col("lo"), 1).over(wd))
+        .withColumn("__cp", lag(col("close"), 1).over(wd))
+        .where(col("__hp").isNotNull)
+        .withColumn("__up", col("hi") - col("__hp"))
+        .withColumn("__dn", col("__lp") - col("lo"))
+        .withColumn("pdm", when(col("__up") > col("__dn") && col("__up") > 0,
+          col("__up")).otherwise(lit(0L)))
+        .withColumn("mdm", when(col("__dn") > col("__up") && col("__dn") > 0,
+          col("__dn")).otherwise(lit(0L)))
+        .withColumn("tr", greatest(col("hi") - col("lo"),
+          abs(col("hi") - col("__cp")), abs(col("lo") - col("__cp"))))
+        .select("l_suppkey", "w_ord", "pdm", "mdm", "tr")
+        .localCheckpoint() // feeds three smoothing passes
+      def sm(c: String) = TechnicalIndicators.emaMicro(dm, "l_suppkey",
+          "w_ord", c, unitsScale = 2, alphaNum = 1, alphaDen = 14)
+        .select(col("l_suppkey"), col("w_ord"), col("ema_micro").as(s"${c}_s"))
+      val di = sm("pdm").join(sm("mdm"), Seq("l_suppkey", "w_ord"))
+        .join(sm("tr"), Seq("l_suppkey", "w_ord"))
+        .withColumn("pdi_micro", when(col("tr_s") > 0,
+          expr("(2 * (1000000 * pdm_s) + tr_s) div (2 * tr_s)"))
+          .otherwise(lit(0L)))
+        .withColumn("mdi_micro", when(col("tr_s") > 0,
+          expr("(2 * (1000000 * mdm_s) + tr_s) div (2 * tr_s)"))
+          .otherwise(lit(0L)))
+        .withColumn("__dsum", col("pdi_micro") + col("mdi_micro"))
+        .withColumn("dx_micro", when(col("__dsum") > 0,
+          expr("(2 * (1000000 * abs(pdi_micro - mdi_micro)) + __dsum) " +
+            "div (2 * __dsum)")).otherwise(lit(0L)))
+      TechnicalIndicators.emaMicro(di, "l_suppkey", "w_ord", "dx_micro",
+          unitsScale = 6, alphaNum = 1, alphaDen = 14)
+        .select(col("l_suppkey"), col("w_ord"),
+          col("ema_micro").as("adx_micro"))
+        .join(di.select("l_suppkey", "w_ord", "pdi_micro", "mdi_micro",
+          "dx_micro"), Seq("l_suppkey", "w_ord"))
+        .select("l_suppkey", "w_ord", "pdi_micro", "mdi_micro", "dx_micro",
+          "adx_micro")
+        .orderBy("l_suppkey", "w_ord")
+    }),
+
+    // Q-TA18 (round 10): time-underwater — the DURATION companion to
+    // q_ta9's drawdown DEPTH: days since the running peak (struct-free
+    // formulation: running max, peak days as a conditional running max —
+    // two plain windows on one key sort, pure integers).
+    "q_ta18" -> ((s, d) => {
+      val run = Window.partitionBy("l_suppkey").orderBy("day_ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Shared.supplierDailyCents(s, d)
+        .withColumn("peak", max(col("cents")).over(run))
+        .withColumn("last_peak_day",
+          max(when(col("cents") === col("peak"), col("day_ord"))).over(run))
+        .withColumn("underwater_days", col("day_ord") - col("last_peak_day"))
+        .select("l_suppkey", "day_ord", "cents", "peak", "underwater_days")
+        .orderBy("l_suppkey", "day_ord")
+    }),
+
+    // Q-IJOIN2 (round 10): interval-union coverage — per user, the
+    // activity timeline (each event spans [ts, ts + its value in
+    // centi-units] seconds) merged by the sweep-line gaps-and-islands
+    // pass: a plain duration sum double-counts overlapping spells;
+    // coverage reports what the timeline actually holds. Two windows on
+    // one key shuffle, exact integers (epoch seconds + the 2dp cents
+    // pattern for durations).
+    "q_ijoin2" -> ((s, d) =>
+      graft.operators.IntervalJoin.coverage(
+          Tables.load(s, d, "events")
+            .select(col("user_id"),
+              expr("unix_micros(ts) div 1000000").as("s0"),
+              col("event_id"),
+              round(col("value") * lit(100.0)).cast("long").as("dur"))
+            .withColumn("e0", col("s0") + col("dur")),
+          Seq("user_id"), "s0", "e0", tiebreak = Seq("event_id"))
+        .orderBy("user_id")),
+
     // Q-CA1 (round 10): corporate-action detection — the price-hygiene
     // gate the reference's own Adj Close column presumes. On the planted
     // fixture (Shared.plantedSplitSeries: 2:1 + 3:1 splits on even
@@ -1404,6 +1499,115 @@ object TechQueries extends QueryModule {
            |FROM ev e JOIN rets r
            |  ON e.l_suppkey = r.l_suppkey AND e.day_ord = r.day_ord
            |ORDER BY e.l_suppkey, e.day_ord""".stripMargin,
+      // ADX: the weekly bar build + FOUR positive-branch integer Wilder
+      // recurrences replayed as recursive CTEs (the q_ta4 playbook), the
+      // DI/DX ratios as the same rhaDiv integer divisions
+      "q_ta17" ->
+        s"""WITH RECURSIVE ${Shared.plantedSplitCtes},
+           |bars AS MATERIALIZED (
+           |  SELECT l_suppkey, (day_ord + 3) // 7 AS w_ord,
+           |    MAX(cents) AS hi, MIN(cents) AS lo,
+           |    arg_max(cents, day_ord) AS close
+           |  FROM pdd GROUP BY 1, 2),
+           |dm AS MATERIALIZED (
+           |  SELECT l_suppkey, w_ord,
+           |    CASE WHEN hi - hp > lp - lo AND hi - hp > 0
+           |         THEN hi - hp ELSE 0 END AS pdm,
+           |    CASE WHEN lp - lo > hi - hp AND lp - lo > 0
+           |         THEN lp - lo ELSE 0 END AS mdm,
+           |    greatest(hi - lo, abs(hi - cp), abs(lo - cp)) AS tr,
+           |    CAST(row_number() OVER (PARTITION BY l_suppkey ORDER BY w_ord)
+           |      AS BIGINT) AS rn
+           |  FROM (SELECT l_suppkey, w_ord, hi, lo, close,
+           |          lag(hi) OVER w AS hp, lag(lo) OVER w AS lp,
+           |          lag(close) OVER w AS cp
+           |        FROM bars WINDOW w AS (PARTITION BY l_suppkey ORDER BY w_ord))
+           |  WHERE hp IS NOT NULL),
+           |rp AS (
+           |  SELECT l_suppkey, w_ord, rn, pdm*10000 AS e FROM dm WHERE rn = 1
+           |  UNION ALL
+           |  SELECT d.l_suppkey, d.w_ord, d.rn, (2*(d.pdm*10000 + 13*rp.e) + 14) // 28
+           |  FROM dm d JOIN rp ON d.l_suppkey = rp.l_suppkey AND d.rn = rp.rn + 1),
+           |rm AS (
+           |  SELECT l_suppkey, w_ord, rn, mdm*10000 AS e FROM dm WHERE rn = 1
+           |  UNION ALL
+           |  SELECT d.l_suppkey, d.w_ord, d.rn, (2*(d.mdm*10000 + 13*rm.e) + 14) // 28
+           |  FROM dm d JOIN rm ON d.l_suppkey = rm.l_suppkey AND d.rn = rm.rn + 1),
+           |rt AS (
+           |  SELECT l_suppkey, w_ord, rn, tr*10000 AS e FROM dm WHERE rn = 1
+           |  UNION ALL
+           |  SELECT d.l_suppkey, d.w_ord, d.rn, (2*(d.tr*10000 + 13*rt.e) + 14) // 28
+           |  FROM dm d JOIN rt ON d.l_suppkey = rt.l_suppkey AND d.rn = rt.rn + 1),
+           |dx AS MATERIALIZED (
+           |  SELECT l_suppkey, w_ord, rn, pdi, mdi,
+           |    CASE WHEN pdi + mdi > 0
+           |      THEN (2*(1000000*abs(pdi - mdi)) + (pdi + mdi)) // (2*(pdi + mdi))
+           |      ELSE 0 END AS dxv
+           |  FROM (
+           |    SELECT rp.l_suppkey, rp.w_ord, rp.rn,
+           |      CASE WHEN rt.e > 0 THEN (2*(1000000*rp.e) + rt.e) // (2*rt.e)
+           |           ELSE 0 END AS pdi,
+           |      CASE WHEN rt.e > 0 THEN (2*(1000000*rm.e) + rt.e) // (2*rt.e)
+           |           ELSE 0 END AS mdi
+           |    FROM rp
+           |    JOIN rm ON rp.l_suppkey = rm.l_suppkey AND rp.rn = rm.rn
+           |    JOIN rt ON rp.l_suppkey = rt.l_suppkey AND rp.rn = rt.rn)),
+           |ra AS (
+           |  SELECT l_suppkey, w_ord, rn, pdi, mdi, dxv, dxv AS adx
+           |  FROM dx WHERE rn = 1
+           |  UNION ALL
+           |  SELECT x.l_suppkey, x.w_ord, x.rn, x.pdi, x.mdi, x.dxv,
+           |    (2*(x.dxv + 13*ra.adx) + 14) // 28
+           |  FROM dx x JOIN ra ON x.l_suppkey = ra.l_suppkey AND x.rn = ra.rn + 1)
+           |SELECT l_suppkey, w_ord, CAST(pdi AS BIGINT) AS pdi_micro,
+           |  CAST(mdi AS BIGINT) AS mdi_micro, CAST(dxv AS BIGINT) AS dx_micro,
+           |  CAST(adx AS BIGINT) AS adx_micro
+           |FROM ra ORDER BY l_suppkey, w_ord""".stripMargin,
+      // time-underwater: two plain running windows, pure integers
+      "q_ta18" ->
+        s"""WITH ${Shared.plantedSplitCtes},
+           |p AS (
+           |  SELECT l_suppkey, day_ord, cents,
+           |    MAX(cents) OVER wr AS peak
+           |  FROM pdd WINDOW wr AS (PARTITION BY l_suppkey ORDER BY day_ord
+           |    ROWS UNBOUNDED PRECEDING)),
+           |q AS (
+           |  SELECT l_suppkey, day_ord, cents, peak,
+           |    MAX(CASE WHEN cents = peak THEN day_ord END) OVER wr AS lpd
+           |  FROM p WINDOW wr AS (PARTITION BY l_suppkey ORDER BY day_ord
+           |    ROWS UNBOUNDED PRECEDING))
+           |SELECT l_suppkey, day_ord, cents, peak,
+           |  day_ord - lpd AS underwater_days
+           |FROM q ORDER BY l_suppkey, day_ord""".stripMargin,
+      // interval-union coverage: the identical sweep (open where start >
+      // max prior end under the same total order), islands rolled up
+      "q_ijoin2" ->
+        """WITH iv AS (
+          |  SELECT user_id, epoch_us(ts) // 1000000 AS s,
+          |    epoch_us(ts) // 1000000 + CAST(round(value*100.0, 0) AS BIGINT) AS e,
+          |    event_id
+          |  FROM events),
+          |f AS (
+          |  SELECT user_id, s, e, event_id,
+          |    CASE WHEN s > COALESCE(MAX(e) OVER wp, s - 1) THEN 1 ELSE 0 END AS op
+          |  FROM iv WINDOW wp AS (PARTITION BY user_id
+          |    ORDER BY s, e, event_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+          |g AS (
+          |  SELECT user_id, s, e,
+          |    SUM(op) OVER wr AS island
+          |  FROM f WINDOW wr AS (PARTITION BY user_id
+          |    ORDER BY s, e, event_id
+          |    ROWS UNBOUNDED PRECEDING)),
+          |isl AS (
+          |  SELECT user_id, island, MIN(s) AS i_s, MAX(e) AS i_e,
+          |    COUNT(*) AS n
+          |  FROM g GROUP BY 1, 2)
+          |SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_intervals,
+          |  COUNT(*) AS n_islands,
+          |  CAST(SUM(i_e - i_s + 1) AS BIGINT) AS covered_units,
+          |  CAST(MAX(i_e) - MIN(i_s) + 1 AS BIGINT) AS span_units
+          |FROM isl GROUP BY 1 ORDER BY user_id""".stripMargin,
       // stochastic %K/%D: identical window frames + the rhaDiv replay
       // (numerators non-negative, so the positive branch only)
       "q_ta15" ->

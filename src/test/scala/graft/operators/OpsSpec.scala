@@ -402,4 +402,26 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(got - expect) < 1e-12, s"got $got expect $expect")
     assert(got > 0.999)
   }
+
+  test("interval coverage: overlap merges, adjacency does not, duplicates counted once") {
+    // key 1: [1,5] [3,8] overlap -> island [1,8]; [9,12] is ADJACENT to
+    //        nothing ([8]+1=9 touches but does not overlap) -> own island;
+    //        [10,11] nests inside [9,12]. covered = 8 + 4 = 12, span = 12.
+    // key 2: identical duplicate intervals [4,6] x2 -> one island, covered 3.
+    val iv = Seq(
+      (1L, 1L, 5L, 1L), (1L, 3L, 8L, 2L), (1L, 9L, 12L, 3L), (1L, 10L, 11L, 4L),
+      (2L, 4L, 6L, 5L), (2L, 4L, 6L, 6L)
+    ).toDF("k", "s", "e", "id")
+    val got = IntervalJoin.coverage(iv, Seq("k"), "s", "e", Seq("id"))
+      .select("k", "n_intervals", "n_islands", "covered_units", "span_units")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(got === Seq((1L, 4L, 2L, 12L, 12L), (2L, 2L, 1L, 3L, 3L)))
+    // a contained interval arriving FIRST in start order still merges
+    // (running max end, not last end): [1,10] then [2,3] then [4,5]
+    val nest = Seq((9L, 1L, 10L, 1L), (9L, 2L, 3L, 2L), (9L, 4L, 5L, 3L))
+      .toDF("k", "s", "e", "id")
+    val g2 = IntervalJoin.coverage(nest, Seq("k"), "s", "e", Seq("id"))
+      .select("n_islands", "covered_units").as[(Long, Long)].head()
+    assert(g2 === ((1L, 10L)))
+  }
 }
