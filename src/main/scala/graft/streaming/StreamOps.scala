@@ -48,6 +48,22 @@ object StreamOps {
       .agg(count(lit(1)).as("n_ev"))
       .select(col("window.start").as("ws"), col("n_ev"))
 
+  /** S-STRMRECON (round 10): streaming maintenance of the q_dq7
+    * reconciliation checksums — per key-bucket row counts + XOR-of-
+    * xxhash64(key, value). XOR is incremental BY NATURE (commutative,
+    * associative, self-inverse), so the streaming state after any prefix
+    * of micro-batches is EXACTLY the batch answer over the rows seen —
+    * the replication-audit side (`DataQuality.reconcile`) maintained
+    * continuously instead of recomputed per run. One stateful aggregate,
+    * nBuckets rows of state total, batch/stream parity by construction
+    * (spec-asserted on the fixture). */
+  def reconcileChecksums(rows: DataFrame, keyCol: String, valueCol: String,
+                         nBuckets: Int = 64): DataFrame =
+    rows.select(pmod(col(keyCol).cast("long"), lit(nBuckets.toLong)).as("bucket"),
+        xxhash64(col(keyCol).cast("long"), col(valueCol).cast("long")).as("__h"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), expr("bit_xor(__h)").as("checksum"))
+
   /** S-STRM8: streaming distribution-drift monitor — per tumbling hour,
     * total-variation distance between the window's categorical mix and a
     * fixed reference distribution (yesterday's snapshot, the contract

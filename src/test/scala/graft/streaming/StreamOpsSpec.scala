@@ -62,6 +62,34 @@ class StreamOpsSpec extends SparkSpec {
     parity(StreamOps.sessionized, "session")
   }
 
+  test("S-STRMRECON: streaming checksum state equals the batch audit after EVERY prefix") {
+    // XOR's order-freedom means the state is the batch answer at every
+    // micro-batch boundary, not just the end — asserted per prefix
+    val rows = (1L to 300L).map(k => (k, k * 7L + 1))
+    val mem = MemoryStream[(Long, Long)](spark)
+    val name = s"recon${System.nanoTime()}"
+    val q = StreamOps.reconcileChecksums(
+        mem.toDF().toDF("k", "v"), "k", "v", nBuckets = 8)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      rows.grouped(100).zipWithIndex.foreach { case (chunk, i) =>
+        mem.addData(chunk)
+        q.processAllAvailable()
+        val seen = rows.take((i + 1) * 100)
+        val expected = StreamOps.reconcileChecksums(
+            seen.toDF("k", "v"), "k", "v", nBuckets = 8)
+          .collect().map(_.toString).sorted
+        val got = spark.table(name).collect().map(_.toString).sorted
+        assert(got === expected, s"prefix ${i + 1} diverged")
+      }
+      // and the final streaming state verifies a clean batch copy green
+      val audit = graft.operators.DataQuality.reconcile(
+        rows.toDF("k", "v"), rows.toDF("k", "v"), "k", "v", nBuckets = 8)
+      assert(audit.where("NOT checksum_match").count() === 0)
+    } finally q.stop()
+  }
+
   test("S-STRM8: drift monitor flags a window whose mix leaves the reference") {
     val ref = Seq("click" -> 0.5, "view" -> 0.5)
     def e(id: Long, t: String, typ: String) = Ev(id, ts(t), 1L, typ, 1.0, "{}")
