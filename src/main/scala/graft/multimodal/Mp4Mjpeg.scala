@@ -24,7 +24,10 @@ import java.nio.ByteBuffer
   * reason — the media quarantine operators' input.
   *
   * Not implemented: edit lists (elts), fragmented MP4 (moof), co64
-  * (64-bit chunk offsets), multiple tracks beyond the first video track.
+  * (64-bit chunk offsets). Multiple video tracks: the FIRST video
+  * track's complete sample table wins; later traks are ignored (never
+  * merged — a size/offset table from track 2 must not pair with track
+  * 1's codec).
   */
 object Mp4Mjpeg {
 
@@ -172,6 +175,10 @@ object Mp4Mjpeg {
 
     var table: Option[SampleTable] = None
     var inVideoTrack = false
+    // Once the first video track's stbl has been consumed the table is
+    // frozen: a second video track must not overwrite sizes/offsets with
+    // its own (a chimera of track 1's codec and track 2's geometry).
+    var frozen = false
 
     // one box at `pos` inside [pos, end); returns (type, payloadStart,
     // payloadEnd, nextBox)
@@ -197,33 +204,43 @@ object Mp4Mjpeg {
       var pos = start
       while (pos < end) {
         val (tpe, pStart, pEnd, next) = header(pos, end)
-        if (tpe == Moov || tpe == Trak || tpe == Mdia || tpe == Minf || tpe == Stbl)
+        if (tpe == Trak) {
+          inVideoTrack = false
+          walk(pStart, pEnd, depth + 1)
+          if (table.nonEmpty) frozen = true // first video track wins
+        } else if (tpe == Moov || tpe == Mdia || tpe == Minf || tpe == Stbl)
           walk(pStart, pEnd, depth + 1)
         else if (tpe == Hdlr) {
           require(pEnd - pStart >= 12, "hdlr box too short")
           inVideoTrack = bb.getInt(pStart + 8) == Vide
-        } else if (tpe == Stsd && inVideoTrack && table.isEmpty) {
+        } else if (tpe == Stsd && inVideoTrack && !frozen && table.isEmpty) {
           require(pEnd - pStart >= 16, "stsd box too short")
           val codec = bb.getInt(pStart + 12) // first sample entry's fourcc
           table = Some(SampleTable(codec, Array.empty, Array.empty, Array.empty))
-        } else if (tpe == Stsz && inVideoTrack) {
+        } else if (tpe == Stsz && inVideoTrack && !frozen) {
           require(pEnd - pStart >= 12, "stsz box too short")
           val fixed = bb.getInt(pStart + 4)
           val count = bb.getInt(pStart + 8)
-          require(count >= 0 && (fixed != 0 || pStart + 12 + 4L * count <= pEnd),
+          // Bound count in BOTH branches: a sample is ≥1 byte, so a count
+          // above the file length is a lie — without this, a corrupt
+          // fixed-size stsz declaring count≈2^31 would Array.fill a
+          // multi-GB buffer (OOM) instead of the fail-fast quarantine path.
+          require(count >= 0 && count <= payload.length,
+            s"stsz declares $count samples in a ${payload.length}-byte file")
+          require(fixed != 0 || pStart + 12 + 4L * count <= pEnd,
             s"stsz declares $count sizes past the box")
           val sizes =
             if (fixed != 0) Array.fill(count)(fixed)
             else Array.tabulate(count)(i => bb.getInt(pStart + 12 + 4 * i))
           table = table.map(_.copy(sizes = sizes))
-        } else if (tpe == Stco && inVideoTrack) {
+        } else if (tpe == Stco && inVideoTrack && !frozen) {
           require(pEnd - pStart >= 8, "stco box too short")
           val count = bb.getInt(pStart + 4)
           require(count >= 0 && pStart + 8 + 4L * count <= pEnd,
             s"stco declares $count offsets past the box")
           val offs = Array.tabulate(count)(i => bb.getInt(pStart + 8 + 4 * i))
           table = table.map(_.copy(chunkOffsets = offs))
-        } else if (tpe == Stsc && inVideoTrack) {
+        } else if (tpe == Stsc && inVideoTrack && !frozen) {
           require(pEnd - pStart >= 8, "stsc box too short")
           val count = bb.getInt(pStart + 4)
           require(count >= 0 && pStart + 8 + 12L * count <= pEnd,

@@ -91,18 +91,25 @@ object NswAnn {
       .select(col("__id"), VectorOps.cosine(col("__v"), col("__qv")).as("sim"))
     var visited = score(entries.select(col("entry_id").as("__id")).distinct())
       .localCheckpoint()
-    var frontier = visited.orderBy(col("sim").desc, col("__id").asc)
-      .limit(beamWidth)
+    // Classic best-first beam: each hop expands the best `beamWidth` of
+    // EVERYTHING visited that has not been expanded yet (not just the
+    // nodes scored last hop) — a hop that surfaces few/poor fresh
+    // candidates cannot shrink or degrade the beam.
+    var expanded = visited.select("__id").limit(0).localCheckpoint()
     var r = 0
     while (r < rounds) {
+      val frontier = visited
+        .join(expanded, Seq("__id"), "left_anti")
+        .orderBy(col("sim").desc, col("__id").asc)
+        .limit(beamWidth)
+        .localCheckpoint()
       val fresh = broadcast(frontier.select(col("__id").as("src")))
         .join(neighbors, Seq("src"))
         .select(col("dst").as("__id")).distinct()
         .join(visited.select("__id"), Seq("__id"), "left_anti")
       val scored = score(fresh).localCheckpoint()
       visited = visited.unionByName(scored).localCheckpoint()
-      frontier = scored.orderBy(col("sim").desc, col("__id").asc)
-        .limit(beamWidth)
+      expanded = expanded.unionByName(frontier.select("__id")).localCheckpoint()
       r += 1
     }
     visited

@@ -174,8 +174,22 @@ object Similarity {
     require(scaleBits > 0 && scaleBits < 20, s"scaleBits out of range: $scaleBits")
     val scale = math.pow(2.0, scaleBits) // exact
     val qv = transform(col(vecCol), x => (x.cast("double") * lit(scale)).cast("long"))
+    // Runtime enforcement of the documented validity bounds (|x| ≤ 2,
+    // dim ≤ 512 ⇒ norms ≤ 2^37): with ANSI off, an out-of-bounds input
+    // would make the decimal(13,0) casts below return NULL and the
+    // threshold predicate SILENTLY DROP pairs. Since |dot| ≤ √(na·nb)
+    // ≤ max(na,nb), guarding the per-ROW norm to 13 digits bounds every
+    // casted quantity — cost is one comparison per row, never per pair.
+    val maxDec13 = 9999999999999L
+    val guardedN2 = {
+      val n2 = graft.functions.DotProductLong(col("__q"), col("__q"))
+      when(n2 > maxDec13 || n2 < 0, raise_error(concat(
+          lit("allPairsAboveThresholdExact: quantized norm "), n2.cast("string"),
+          lit(" exceeds the exact-DECIMAL bound (inputs must satisfy |x|<=2, dim<=512)"))))
+        .otherwise(n2)
+    }
     val base = emb.select(block.as("__blk"), col(idCol).as("__id"), qv.as("__q"))
-      .withColumn("__n2", graft.functions.DotProductLong(col("__q"), col("__q")))
+      .withColumn("__n2", guardedN2)
     val a = base.select(col("__blk"), col("__id").as("id_a"),
       col("__q").as("__qa"), col("__n2").as("__na"))
     val b = base.select(col("__blk"), col("__id").as("id_b"),

@@ -50,6 +50,31 @@ class GlobalWindowSweepSpec extends SparkSpec {
         "bound comment) AND a whitelist entry here")
   }
 
+  test("no SQL-text global window outside oracle strings (expr/selectExpr gap)") {
+    // The Scala sweep above only sees `Window.orderBy(` — a global window
+    // smuggled in as SQL TEXT (expr("row_number() OVER (ORDER BY ...)"),
+    // selectExpr, spark.sql) would plan the same Exchange SinglePartition
+    // without tripping it. This sweep closes that gap: every
+    // `OVER (ORDER BY` in the main tree must sit in a DuckDB ORACLE string
+    // (stripMargin `|` continuation line — oracle SQL never executes in
+    // Spark) or a comment; anything else is an unguarded Spark-side site.
+    val root = Paths.get("src/main/scala/graft")
+    val sqlGlobal = raw"(?i)OVER\s*\(\s*ORDER\s+BY".r.unanchored
+    val offenders = Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala"))
+      .flatMap { p =>
+        Files.readAllLines(p).asScala.zipWithIndex.collect {
+          case (line, i) if sqlGlobal.matches(line) &&
+            !line.trim.startsWith("|") && !line.trim.startsWith("*") &&
+            !line.trim.startsWith("//") =>
+            s"${root.relativize(p)}:${i + 1}: ${line.trim.take(80)}"
+        }
+      }.toList
+    assert(offenders.isEmpty,
+      "SQL-text global window in Spark-side code (needs a RowBound guard " +
+        s"or a structural bound + whitelist):\n${offenders.mkString("\n")}")
+  }
+
   test("RowBound.guarded fails fast past the bound and is silent under it") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window

@@ -44,6 +44,44 @@ class Mp4MjpegSpec extends AnyFunSuite {
     assert(e3.getMessage.nonEmpty)
   }
 
+  private def fourccIndex(bytes: Array[Byte], fourcc: String): Int = {
+    val needle = fourcc.getBytes("US-ASCII")
+    bytes.indices.find(i => i + 4 <= bytes.length &&
+      needle.indices.forall(k => bytes(i + k) == needle(k))).get
+  }
+  private def patchBe32(bytes: Array[Byte], at: Int, v: Int): Unit = {
+    bytes(at) = ((v >> 24) & 0xFF).toByte; bytes(at + 1) = ((v >> 16) & 0xFF).toByte
+    bytes(at + 2) = ((v >> 8) & 0xFF).toByte; bytes(at + 3) = (v & 0xFF).toByte
+  }
+
+  test("a corrupt fixed-size stsz with a 2^31-scale count fails fast, not OOM") {
+    val mp4 = Mp4Mjpeg.encode(Seq(jpeg(1), jpeg(2)), 8, 8)
+    // stsz payload layout after the fourcc: version+flags(4) fixed(4) count(4)
+    val i = fourccIndex(mp4, "stsz")
+    val patched = mp4.clone()
+    patchBe32(patched, i + 8, 1)          // fixed sample size = 1 byte
+    patchBe32(patched, i + 12, 0x7FFFF000) // count ~= 2^31: a multi-GB lie
+    val e = intercept[IllegalArgumentException] { Mp4Mjpeg.decodeFrames(patched) }
+    assert(e.getMessage.contains("stsz") && e.getMessage.contains("2147479552"),
+      e.getMessage)
+  }
+
+  test("a second video track never overwrites the first track's sample table") {
+    val frames = Seq(jpeg(11), jpeg(12))
+    val mp4 = Mp4Mjpeg.encode(frames, 8, 8)
+    // Splice a SECOND moov (same structure, stsz patched to fixed-size-1
+    // samples) after mdat: pre-freeze, its stsz/stco/stsc would overwrite
+    // track 1's geometry and slice 1-byte garbage frames.
+    val moovStart = fourccIndex(mp4, "moov") - 4
+    val moovSize = java.nio.ByteBuffer.wrap(mp4, moovStart, 4).getInt
+    val moov2 = java.util.Arrays.copyOfRange(mp4, moovStart, moovStart + moovSize)
+    patchBe32(moov2, fourccIndex(moov2, "stsz") + 8, 1) // fixed = 1 byte
+    val spliced = mp4 ++ moov2
+    val got = Mp4Mjpeg.decodeFrames(spliced)
+    assert(got.length === 2)
+    got.zip(frames).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
+  }
+
   test("the H.264 seam: a non-JPEG codec fails fast NAMING the codec") {
     val mp4 = Mp4Mjpeg.encode(Seq(jpeg(5)), 8, 8)
     // patch the stsd sample-entry fourcc 'jpeg' -> 'avc1' in place
