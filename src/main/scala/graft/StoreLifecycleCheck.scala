@@ -61,6 +61,14 @@ object StoreLifecycleCheck {
         AudioWav.audioHashes(AudioWav.syntheticWavNearDups(
           s1.range(NAll).toDF("doc_id").where(col("doc_id") < NOld),
           "doc_id", nSamples = 3600)), root)
+      // ACID twin: commit two versions (overwrite then append); the day-2
+      // session must time-travel to BOTH with nothing carried over but the
+      // manifests + data files on disk.
+      import graft.operators.AcidTable
+      AcidTable.commitOverwrite(
+        s1.range(NOld).toDF("k").withColumn("v", col("k") * 2), s"$root/acid")
+      AcidTable.commitAppend(
+        s1.range(NOld, NAll).toDF("k").withColumn("v", col("k") * 2), s"$root/acid")
       s1.stop()
     }
     SparkSession.clearActiveSession()
@@ -133,6 +141,18 @@ object StoreLifecycleCheck {
         s"missing=${(fullAud -- incAud).take(3)} extra=${(incAud -- fullAud).take(3)}")
       require(incAud.nonEmpty, "audio probe found no pairs — plant failed")
       println(s"audio-store-lifecycle OK: ${incAud.size} pairs from the reloaded fingerprint store")
+
+      // ---- ACID table: a brand-new session time-travels both versions ----
+      import graft.operators.AcidTable
+      require(AcidTable.versions(s2, s"$root/acid") == Seq(1L, 2L),
+        "acid store lost a version across the process boundary")
+      val asOf1 = AcidTable.readAsOf(s2, s"$root/acid", 1)
+      val latest = AcidTable.read(s2, s"$root/acid")
+      require(asOf1.count() == NOld && latest.count() == NAll,
+        s"acid snapshot counts wrong: v1=${asOf1.count()} latest=${latest.count()}")
+      val sumV = latest.agg(sum(col("v"))).head().getLong(0)
+      require(sumV == NAll * (NAll - 1), s"acid latest content wrong: sum(v)=$sumV")
+      println(s"acid-lifecycle OK: v1=${NOld} rows, v2=${NAll} rows from reloaded manifests")
     } finally s2.stop()
   }
 }

@@ -1,0 +1,198 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import scala.util.Using
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Manifest-versioned parquet table: snapshot isolation + time travel
+  * (round 11 — the lakehouse seam the reference's overwrite-in-place S3
+  * layout papers over, `data_collection/dags/stock_data_airflow_local_
+  * aws_s3.py:67-92`: its daily run rewrites `stock_data/{symbol}.csv`, so
+  * a reader racing the writer sees a torn table and yesterday's state is
+  * gone the moment today's lands).
+  *
+  * The fix is the standard manifest trick (Iceberg/Delta's core idea,
+  * rebuilt here from first principles because neither ships offline):
+  * data files are IMMUTABLE and INVISIBLE until a numbered manifest
+  * references them, so
+  *
+  *  - a COMMIT is: (1) write new parquet files under `root/data/<uuid>/`
+  *    — unreferenced, so concurrent readers cannot see them — then
+  *    (2) publish `root/_manifests/v<N+1>.manifest`, a text file listing
+  *    every live data file (relative paths). The manifest is created
+  *    create-EXCLUSIVE: two writers racing to the same version → exactly
+  *    one wins, the loser fails fast with a conflict error and must
+  *    re-read + retry (optimistic concurrency — documented limit: on a
+  *    filesystem without atomic create-exclusive, e.g. bare S3 without a
+  *    conditional-put layer, the exclusion window narrows to the PUT race;
+  *    run against HDFS/S3+strong-consistency-layer for the hard guarantee);
+  *  - a READ resolves ONE manifest (latest, or `asOf(version)`) and plans
+  *    from its file list — O(manifest) planning, NO directory listing (at
+  *    100 TB an object-store LIST over millions of files is the slowest
+  *    and least consistent operation a reader can issue), and perfect
+  *    snapshot isolation: a reader holding version N's file list is
+  *    untouched by any number of later commits, because no commit ever
+  *    mutates or deletes a referenced file;
+  *  - TIME TRAVEL is free: old manifests keep referencing old files until
+  *    [[vacuum]] explicitly retires them.
+  *
+  * Append vs overwrite: `append` publishes prev-live ∪ new files;
+  * `overwrite` publishes new files only (the old ones stay on disk for
+  * time travel). Version diff composes [[SnapshotDiff.diff]] over two
+  * resolved snapshots — the ship-the-delta machinery q_diff1/2 already
+  * prove.
+  */
+object AcidTable {
+
+  private val ManifestDir = "_manifests"
+  private val DataDir = "data"
+  private val Width = 8 // v%08d
+
+  final case class Conflict(version: Long, root: String)
+    extends RuntimeException(
+      s"AcidTable commit conflict: version $version at $root was published " +
+        "by a concurrent writer — re-read the table and retry the commit")
+
+  private def fs(spark: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestPath(root: String, v: Long): Path =
+    new Path(s"$root/$ManifestDir/v${("%0" + Width + "d").format(v)}.manifest")
+
+  private def parseVersion(name: String): Option[Long] = {
+    val m = raw"v(\d{%d})\.manifest".format(Width).r
+    name match { case m(d) => Some(d.toLong); case _ => None }
+  }
+
+  /** All published versions, ascending (empty for a table that has never
+    * committed). One manifest-directory listing — the only LIST a reader
+    * ever issues, over the (small) manifest set, never over data files. */
+  def versions(spark: SparkSession, root: String): Seq[Long] = {
+    val dir = new Path(s"$root/$ManifestDir")
+    val f = fs(spark, root)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq
+      .flatMap(s => parseVersion(s.getPath.getName)).sorted
+  }
+
+  def currentVersion(spark: SparkSession, root: String): Long = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"AcidTable at $root has no committed version")
+    vs.last
+  }
+
+  private def readManifest(spark: SparkSession, root: String,
+                           v: Long): (String, Seq[String]) = {
+    val f = fs(spark, root)
+    val p = manifestPath(root, v)
+    require(f.exists(p), s"AcidTable at $root has no version $v")
+    val text = Using.resource(f.open(p)) { in =>
+      new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    }
+    val lines = text.linesIterator.toSeq
+    val action = lines.headOption match {
+      case Some(h) if h.startsWith("#action:") => h.stripPrefix("#action:")
+      case _ => throw new IllegalStateException(
+        s"manifest v$v at $root is malformed (missing #action header)")
+    }
+    (action, lines.tail.filter(_.nonEmpty))
+  }
+
+  /** Write `df` as new immutable parquet files under `root/data/<uuid>/`
+    * and return their root-relative paths. The files are unreferenced
+    * (invisible to every reader) until a manifest publishes them. */
+  private def writeDataFiles(df: DataFrame, root: String): Seq[String] = {
+    val commitId = java.util.UUID.randomUUID().toString
+    val dir = s"$DataDir/$commitId"
+    df.write.parquet(s"$root/$dir")
+    val f = fs(df.sparkSession, root)
+    f.listStatus(new Path(s"$root/$dir")).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.endsWith(".parquet") || n.startsWith("part-"))
+      .filterNot(_.startsWith("_"))
+      .sorted
+      .map(n => s"$dir/$n")
+  }
+
+  /** Publish `files` as version `v` with create-exclusive semantics
+    * (package-visible so the spec can drive the exact two-writers-one-
+    * version race the version-list read normally hides). */
+  private[operators] def publish(spark: SparkSession, root: String, v: Long,
+                                 action: String, files: Seq[String]): Long = {
+    val f = fs(spark, root)
+    f.mkdirs(new Path(s"$root/$ManifestDir"))
+    val p = manifestPath(root, v)
+    if (f.exists(p)) throw Conflict(v, root)
+    val out =
+      try f.create(p, /*overwrite=*/ false)
+      catch { case _: java.io.IOException => throw Conflict(v, root) }
+    Using.resource(out) { o =>
+      o.write((s"#action:$action\n" + files.mkString("", "\n", "\n"))
+        .getBytes(StandardCharsets.UTF_8))
+    }
+    v
+  }
+
+  /** Commit `df` as the table's complete new state. Returns the published
+    * version. Prior versions stay readable via [[readAsOf]]. */
+  def commitOverwrite(df: DataFrame, root: String): Long = {
+    val spark = df.sparkSession
+    val next = versions(spark, root).lastOption.getOrElse(0L) + 1
+    publish(spark, root, next, "overwrite", writeDataFiles(df, root))
+  }
+
+  /** Commit `df` as rows ADDED to the current state (file-level append —
+    * no key semantics; keyed upsert is `IncrementalUpdate.merge` over a
+    * read + commitOverwrite). Returns the published version. */
+  def commitAppend(df: DataFrame, root: String): Long = {
+    val spark = df.sparkSession
+    val prev = versions(spark, root).lastOption
+    val base = prev.map(readManifest(spark, root, _)._2).getOrElse(Seq.empty)
+    publish(spark, root, prev.getOrElse(0L) + 1, "append",
+      base ++ writeDataFiles(df, root))
+  }
+
+  /** The table as of `version` — planned from that manifest's file list
+    * alone; later commits never disturb it. */
+  def readAsOf(spark: SparkSession, root: String, version: Long): DataFrame = {
+    val (_, files) = readManifest(spark, root, version)
+    require(files.nonEmpty, s"version $version of $root lists no data files")
+    spark.read.parquet(files.map(f => s"$root/$f"): _*)
+  }
+
+  /** The latest committed state. */
+  def read(spark: SparkSession, root: String): DataFrame =
+    readAsOf(spark, root, currentVersion(spark, root))
+
+  /** (version, action, n_files) for every published version. */
+  def history(spark: SparkSession, root: String): Seq[(Long, String, Int)] =
+    versions(spark, root).map { v =>
+      val (action, files) = readManifest(spark, root, v)
+      (v, action, files.length)
+    }
+
+  /** Added / removed / changed rows between two versions —
+    * [[SnapshotDiff.diff]] over the two resolved snapshots (one full-outer
+    * join on the key; the delta ships, never the snapshots). */
+  def diffVersions(spark: SparkSession, root: String, from: Long, to: Long,
+                   keys: Seq[String], tracked: Seq[String]): DataFrame =
+    SnapshotDiff.diff(readAsOf(spark, root, from), readAsOf(spark, root, to),
+      keys, tracked)
+
+  /** Retire time travel older than the last `retainLast` versions: delete
+    * the expired manifests, then every data file no RETAINED manifest
+    * references. Readers of retained versions are untouched (their files
+    * survive by construction). Returns (manifests deleted, files deleted). */
+  def vacuum(spark: SparkSession, root: String, retainLast: Int): (Int, Int) = {
+    require(retainLast >= 1, "must retain at least the current version")
+    val vs = versions(spark, root)
+    val (expired, retained) = vs.splitAt(math.max(0, vs.length - retainLast))
+    val keep = retained.flatMap(readManifest(spark, root, _)._2).toSet
+    val drop = expired.flatMap(readManifest(spark, root, _)._2).toSet -- keep
+    val f = fs(spark, root)
+    drop.foreach(rel => f.delete(new Path(s"$root/$rel"), false))
+    expired.foreach(v => f.delete(manifestPath(root, v), false))
+    (expired.length, drop.size)
+  }
+}

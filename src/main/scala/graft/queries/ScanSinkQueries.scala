@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryModule, Tables}
-import graft.operators.{Batching, IngestEgress}
+import graft.operators.{AcidTable, Batching, IngestEgress}
+import graft.util.Memo
 
 /** Scans, sources, sinks (SURVEY.md §2.B Q-SCAN1–3, Q-SINK1–2). */
 object ScanSinkQueries extends QueryModule {
@@ -13,7 +14,56 @@ object ScanSinkQueries extends QueryModule {
   private val BenfordP = Seq(0.301030, 0.176091, 0.124939, 0.096910,
     0.079181, 0.066947, 0.057992, 0.051153, 0.045757)
 
+  // Q-ACID1/2 fixture: a 3-version manifest table built ONCE per (session,
+  // corpus) — v1 overwrite (keys %10 < 5), v2 overwrite (keys %10 in 2..7,
+  // cents doubled where key %3 == 0), v3 append (keys %10 == 8). Every
+  // version derives deterministically from the SAME orders parquet, so the
+  // DuckDB oracle replays each snapshot from the fixture directly; reads
+  // always resolve the on-disk manifests (never the in-memory plans).
+  private def acidRoot(s: SparkSession, d: String): String =
+    Memo.cached(s, s"acidtable|$d") {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_acid/" +
+        s"${s.sparkContext.applicationId}/${new java.io.File(d).getName}"
+      val base = Tables.load(s, d, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * lit(100.0)).cast("long").as("cents"))
+      AcidTable.commitOverwrite(
+        base.where(pmod(col("o_orderkey"), lit(10L)) < 5), root)
+      AcidTable.commitOverwrite(
+        base.where(pmod(col("o_orderkey"), lit(10L)).between(2, 7))
+          .withColumn("cents",
+            when(pmod(col("o_orderkey"), lit(3L)) === 0, col("cents") * 2)
+              .otherwise(col("cents"))), root)
+      AcidTable.commitAppend(
+        base.where(pmod(col("o_orderkey"), lit(10L)) === 8), root)
+      root
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q-ACID1 (round 11): TIME TRAVEL — after an overwrite and an append,
+    // every historical version is still readable from its manifest:
+    // per-version status rollups of v1 (pre-overwrite state — the proof
+    // the v2 commit disturbed nothing), v2, and v3 (= v2 ∪ appended).
+    "q_acid1" -> ((s, d) => {
+      val root = acidRoot(s, d)
+      (1L to 3L).map { v =>
+        AcidTable.readAsOf(s, root, v)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+          .select(lit(v).as("version"), col("o_orderstatus"),
+            col("n"), col("sum_cents"))
+      }.reduce(_.unionByName(_)).orderBy("version", "o_orderstatus")
+    }),
+
+    // Q-ACID2 (round 11): version diff — SnapshotDiff over two resolved
+    // snapshots (one full-outer join on the key). All three change kinds
+    // are live on the fixture: added (%10 in 5..7), removed (%10 in 0..1),
+    // changed (%10 in 2..4 with %3 == 0 — the doubled cents).
+    "q_acid2" -> ((s, d) =>
+      AcidTable.diffVersions(s, acidRoot(s, d), from = 1, to = 2,
+          keys = Seq("o_orderkey"), tracked = Seq("o_orderstatus", "cents"))
+        .orderBy("o_orderkey")),
+
     // Q-SCAN1: parquet scan + projection + total sort.
     "q_scan1" -> ((s, d) =>
       Tables.load(s, d, "lineitem")
@@ -223,6 +273,60 @@ object ScanSinkQueries extends QueryModule {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_acid1" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(round(o_totalprice*100,0) AS BIGINT) AS cents
+        |  FROM orders),
+        |v1 AS (SELECT * FROM base WHERE o_orderkey % 10 < 5),
+        |v2 AS (SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN cents*2 ELSE cents END AS cents
+        |  FROM base WHERE o_orderkey % 10 BETWEEN 2 AND 7),
+        |v3 AS (SELECT * FROM v2
+        |  UNION ALL SELECT * FROM base WHERE o_orderkey % 10 = 8)
+        |SELECT CAST(1 AS BIGINT) AS version, o_orderstatus,
+        |  CAST(count(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM v1 GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), o_orderstatus,
+        |  CAST(count(*) AS BIGINT), CAST(SUM(cents) AS BIGINT)
+        |FROM v2 GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), o_orderstatus,
+        |  CAST(count(*) AS BIGINT), CAST(SUM(cents) AS BIGINT)
+        |FROM v3 GROUP BY o_orderstatus
+        |ORDER BY version, o_orderstatus""".stripMargin,
+
+    "q_acid2" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(round(o_totalprice*100,0) AS BIGINT) AS cents
+        |  FROM orders),
+        |prev AS (
+        |  SELECT o_orderkey, o_orderstatus AS old_o_orderstatus,
+        |    cents AS old_cents
+        |  FROM base WHERE o_orderkey % 10 < 5),
+        |next AS (
+        |  SELECT o_orderkey, o_orderstatus AS new_o_orderstatus,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN cents*2 ELSE cents END AS new_cents
+        |  FROM base WHERE o_orderkey % 10 BETWEEN 2 AND 7),
+        |j AS (
+        |  SELECT coalesce(p.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |    old_o_orderstatus, old_cents, new_o_orderstatus, new_cents,
+        |    p.o_orderkey IS NOT NULL AS in_prev,
+        |    n.o_orderkey IS NOT NULL AS in_next
+        |  FROM prev p FULL OUTER JOIN next n ON p.o_orderkey = n.o_orderkey)
+        |SELECT o_orderkey, old_o_orderstatus, old_cents,
+        |  new_o_orderstatus, new_cents,
+        |  CASE WHEN NOT in_prev THEN 'added'
+        |       WHEN NOT in_next THEN 'removed'
+        |       ELSE 'changed' END AS change_type
+        |FROM j
+        |WHERE NOT in_prev OR NOT in_next
+        |   OR NOT (old_o_orderstatus IS NOT DISTINCT FROM new_o_orderstatus
+        |       AND old_cents IS NOT DISTINCT FROM new_cents)
+        |ORDER BY o_orderkey""".stripMargin,
+
     "q_scan1" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
         |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity, l_shipdate""".stripMargin,

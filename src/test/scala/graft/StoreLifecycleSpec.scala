@@ -48,5 +48,7 @@ class StoreLifecycleSpec extends AnyFunSuite {
     assert(out.toString.contains("store-lifecycle OK"), s"missing OK marker:\n$tail")
     assert(out.toString.contains("media-store-lifecycle OK"),
       s"missing media OK marker:\n$tail")
+    assert(out.toString.contains("acid-lifecycle OK"),
+      s"missing acid OK marker:\n$tail")
   }
 }
