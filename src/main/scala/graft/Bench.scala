@@ -52,7 +52,19 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","setup_sec":$setupSec,"warmup_sec":$warmupSec,"queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","setup_sec":$setupSec,"warmup_sec":$warmupSec,"queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Persist the COMPLETE per-query map (r10 verdict: the driver's bench
+    // artifact keeps only a 2000-char log tail, so the cross-round
+    // regression gate could see ~83/296 queries; this file carries all of
+    // them). Overwritten per run; committed at round close as the
+    // full-surface record next to BASELINE.md. Skipped for SPARK_GRAFT_ONLY
+    // triage probes — a subset run must not masquerade as the full surface.
+    if (only.isEmpty) {
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     spark.stop()
   }
 }

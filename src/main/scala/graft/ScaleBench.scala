@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.multimodal.Multimodal
-import graft.operators.{Binning, Bm25, BpeOps, GraphOps, IntervalJoin, MarkupOps, NearDup, Sessionize, Similarity, SpanDedup, TechnicalIndicators, TextOps}
+import graft.operators.{Binning, Bm25, BpeOps, GraphOps, IntervalJoin, MarkupOps, NearDup, NswAnn, Sessionize, Similarity, SpanDedup, TechnicalIndicators, TextOps}
 
 /** Scale-evidence bench for the dedup/ANN candidate families: runs each
   * operator at 1x (~sf0.1 corpus size), 10x, and — for the linear families
@@ -757,6 +757,37 @@ object ScaleBench {
         nRows
       }
       panel.unpersist()
+    }
+
+    // ---- NSW entry hierarchy: edges ~ cells·kUp, probe scored FLAT ------
+    // (r11, VERDICT r10 #3) The r10 entry mesh was cells² edges and every
+    // probe scored every entry. The HNSW upper layers must show: (a) edge
+    // count O(kUp·cells) — we report edges/cells, which must stay ~constant
+    // as cells grow 16x; (b) the per-probe scored-candidate count of the
+    // top-down descent FLAT (log-ish) in cells — the r10 design scored all
+    // of them. Entry vectors are dim-16 synthetic; the hierarchy is the
+    // budget-guarded driver fold buildGraph uses.
+    for (cells <- Seq(1024, 4096, 16384)) {
+      val rnd = new scala.util.Random(1L)
+      val evecs = (0 until cells).map(i =>
+        i.toLong -> Array.fill(16)(rnd.nextGaussian().toFloat))
+      var edges: Seq[(Long, Long, Double, Int)] = Seq.empty
+      var levels: Map[Long, Int] = Map.empty
+      timed("nsw_hier_build", cells.toLong) {
+        val (e, l) = NswAnn.buildHierarchy(evecs, kUp = 4, efBuild = 16)
+        edges = e; levels = l
+        e.length.toLong
+      }
+      val entriesDf = levels.toSeq.toDF("entry_id", "level")
+      val hierDf = edges.toDF("src", "dst", "sim", "layer")
+      val embDf = evecs.toDF("entry_id", "embedding")
+        .select(col("entry_id").as("vec_id"), col("embedding"))
+      val scored = NswAnn.descendEntries(entriesDf, hierDf, embDf,
+        "vec_id", "embedding", embDf.where(col("vec_id") === 7L),
+        "embedding", entryBeam = 8).count()
+      println(f"""{"op":"nsw_hier","cells":$cells,"edges":${edges.length},""" +
+        f""""edges_per_cell":${edges.length.toDouble / cells}%.2f,""" +
+        f""""probe_scored":$scored,"scored_frac":${scored.toDouble / cells}%.4f}""")
     }
 
     // ---- consecutive-scale wall ratios ----------------------------------

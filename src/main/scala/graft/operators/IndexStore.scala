@@ -121,20 +121,26 @@ object IndexStore {
 
   private val NswNeighbors = "nsw_neighbors"
   private val NswEntries = "nsw_entries"
+  private val NswHier = "nsw_hier"
 
-  /** Persist an NSW proximity graph ([[NswAnn.buildGraph]] shape:
-    * neighbors(src, dst, sim) + entries(__cluster, entry_id)) — the
-    * graph-ANN index as tables. At cluster scale the adjacency is
+  /** Persist an HNSW-style proximity graph ([[NswAnn.buildGraph]] shape:
+    * neighbors(src, dst, sim) layer-0 lists + entries(__cluster,
+    * entry_id, level) + hier(src, dst, sim, layer) upper-layer edges) —
+    * the graph-ANN index as tables. At cluster scale the adjacency is
     * written `bucketBy(src)` so each probe hop's frontier join
-    * co-locates without shuffling the graph. */
-  def writeNsw(neighbors: DataFrame, entries: DataFrame, root: String): Unit = {
+    * co-locates without shuffling the graph; the hierarchy is
+    * O(kUp · entries) rows and broadcasts. */
+  def writeNsw(neighbors: DataFrame, entries: DataFrame, hier: DataFrame,
+               root: String): Unit = {
     write(neighbors, s"$root/$NswNeighbors")
     write(entries, s"$root/$NswEntries")
+    write(hier, s"$root/$NswHier")
   }
 
-  def readNsw(spark: SparkSession, root: String): (DataFrame, DataFrame) =
+  def readNsw(spark: SparkSession, root: String): (DataFrame, DataFrame, DataFrame) =
     (spark.read.parquet(s"$root/$NswNeighbors"),
-      spark.read.parquet(s"$root/$NswEntries"))
+      spark.read.parquet(s"$root/$NswEntries"),
+      spark.read.parquet(s"$root/$NswHier"))
 
   /** Whether a store root already holds any index table. */
   def exists(spark: SparkSession, root: String): Boolean = {

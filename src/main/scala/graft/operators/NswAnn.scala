@@ -1,48 +1,174 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import scala.collection.mutable
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorOps
 
-/** Graph-based ANN (NSW-class — the single-layer navigable-small-world
-  * core of HNSW, round 10): completes the ANN family at the
-  * recall-vs-probe-count frontier next to IVF (memory/partition axis,
-  * [[IvfAnn]]) and PQ (bandwidth axis, [[PqAnn]]). A query greedily walks
-  * a proximity GRAPH instead of scanning cells: per hop it expands the
-  * current beam's neighbor lists, rescores only those candidates, and
-  * keeps the best `beamWidth` — probe cost is
+/** Graph-based ANN (HNSW-class, round 10; hierarchical entry layers round
+  * 11): completes the ANN family at the recall-vs-probe-count frontier next
+  * to IVF (memory/partition axis, [[IvfAnn]]) and PQ (bandwidth axis,
+  * [[PqAnn]]). A query greedily walks a proximity GRAPH instead of scanning
+  * cells: per hop it expands the current beam's neighbor lists, rescores
+  * only those candidates, and keeps the best `beamWidth` — probe cost is
   * O(rounds · beamWidth · M) similarity evaluations, independent of the
   * corpus size.
   *
   * BUILD (offline, partitioned — the 100 TB shape): an exact kNN graph is
-  * O(n²), so neighbor lists are built WITHIN IVF cells (the
+  * O(n²), so LAYER-0 neighbor lists are built WITHIN IVF cells (the
   * `SemDedup.pairsWithinCells` bounded-block contract: the within-cell
-  * self-join is the declared cost, parallel across cells), then stitched
-  * navigable by a small long-range mesh: each cell's ENTRY POINT (its
-  * vector nearest the centroid) links to every other cell's entry —
-  * ≤ cells² extra edges, so the beam can cross cells the way HNSW's upper
-  * layers route between regions. The adjacency ships as a plain parquet
-  * table ([[IndexStore.writeNsw]]; at cluster scale `bucketBy(src)` so
-  * each hop's frontier join co-locates).
+  * self-join is the declared cost, parallel across cells). Cross-cell
+  * routing is provided by a HIERARCHY over the cell ENTRY POINTS (each
+  * cell's vector nearest its centroid) — the r10 design meshed every entry
+  * to every other (≤ cells² edges, every probe scored every entry), which
+  * is fine at sqrt(n) cells on a fixture but at the 3×10^4-cell operating
+  * point of a 10^9-vector corpus is ~10^9 edges and 3×10^4 seed scores per
+  * query. Round 11 replaces it with HNSW's upper layers:
   *
-  * PROBE: iterative frontier expansion — the distributed formulation of
-  * the greedy beam: the (≤ beamWidth)-row frontier broadcast-joins the
-  * src-keyed adjacency, new candidates rescore against the broadcast
-  * query, the best beamWidth continue. Deterministic (ties → lower id).
+  *  - each entry gets a geometric level from the trailing zero bits of
+  *    xxhash64(entry_id) (P(level ≥ l) = 2^{1-l}, capped) — deterministic,
+  *    no RNG state;
+  *  - inserts run top-level-first; a node at level λ links to its `kUp`
+  *    nearest AT EACH layer 1..λ, found by the standard HNSW descent over
+  *    the already-built upper structure; reverse edges are degree-pruned
+  *    to 2·kUp — total hierarchy edges O(kUp · entries), vs entries²;
+  *  - the hierarchy is built in a DRIVER fold over the ENTRY SET ONLY
+  *    (one vector per cell — sqrt(corpus)-bounded by construction), behind
+  *    a fail-fast byte-budget probe, the same discipline as the BPE /
+  *    unigram-LM vocabulary folds: the CORPUS never enters the loop, only
+  *    the dimension-scale index metadata does.
+  *
+  * PROBE: descend the entry hierarchy top-down (per layer: expand the best
+  * `entryBeam` nodes' layer-l edges, rescore only the new candidates —
+  * O(levels · entryBeam · kUp) entry scores, FLAT in the cell count), then
+  * seed the layer-0 iterative frontier expansion — the distributed
+  * formulation of the greedy beam. Deterministic (ties → lower id).
   *
   * Approximate by design ⇒ rows-only query (the q_sim3 contract): recall
   * is EMITTED AS DATA via [[Similarity.withRecallAgainst]] and floors are
   * spec-asserted against the brute-force truth. */
 object NswAnn {
 
+  /** Budget for the driver-side hierarchy fold: entry count × per-entry
+    * bytes must fit (fail fast, never OOM). 256 MB ≈ 10^6 entries at
+    * dim 64 — a 10^12-vector corpus at sqrt(n) cells. Past it, shard the
+    * entry set by IVF super-cell and build one hierarchy per shard. */
+  val HierBudgetBytes: Long = 256L << 20
+
+  private[operators] def levelOf(id: Long, maxLevel: Int): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(id, 42L)
+    if (h == 0L) maxLevel
+    else math.min(maxLevel, 1 + java.lang.Long.numberOfTrailingZeros(h))
+  }
+
+  private def cosine(a: Array[Float], na: Double, b: Array[Float], nb: Double): Double = {
+    var dot = 0.0
+    var i = 0
+    while (i < a.length) { dot += a(i).toDouble * b(i).toDouble; i += 1 }
+    if (na == 0.0 || nb == 0.0) -1.0 else dot / (na * nb)
+  }
+
+  private def norm(v: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+    math.sqrt(s)
+  }
+
+  /** Build the HNSW upper layers over the entry set: returns bidirectional
+    * (src, dst, sim, layer) edges for layers 1..maxLevel plus each entry's
+    * level. Pure driver fold — deterministic insert order (level desc,
+    * id asc), deterministic tie-breaks (sim desc, id asc). */
+  private[graft] def buildHierarchy(
+      entryVecs: Seq[(Long, Array[Float])], kUp: Int, efBuild: Int):
+      (Seq[(Long, Long, Double, Int)], Map[Long, Int]) = {
+    require(kUp >= 1 && efBuild >= kUp)
+    val n = entryVecs.length
+    if (n == 0) return (Seq.empty, Map.empty)
+    val maxLevel = math.max(1, 63 - java.lang.Long.numberOfLeadingZeros(n.toLong).toInt)
+    val levels = entryVecs.map { case (id, _) => id -> levelOf(id, maxLevel) }.toMap
+    val vecs = entryVecs.toMap
+    val norms = entryVecs.map { case (id, v) => id -> norm(v) }.toMap
+    implicit val ord: Ordering[(Double, Long)] =
+      Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse, Ordering.Long)
+    // (layer, src) -> links sorted best-first (sim desc, id asc)
+    val adj = mutable.Map.empty[(Int, Long), mutable.ArrayBuffer[(Long, Double)]]
+    def addEdge(layer: Int, src: Long, dst: Long, sim: Double): Unit = {
+      val buf = adj.getOrElseUpdate((layer, src), mutable.ArrayBuffer.empty)
+      if (!buf.exists(_._1 == dst)) {
+        buf += ((dst, sim))
+        if (buf.length > 2 * kUp) {
+          val pruned = buf.sortBy { case (d, s) => (-s, d) }.take(2 * kUp)
+          buf.clear(); buf ++= pruned
+        }
+      }
+    }
+    def searchLayer(q: Array[Float], nq: Double, eps: Seq[Long], layer: Int,
+                    ef: Int): Seq[(Long, Double)] = {
+      val visited = mutable.Set.empty[Long]
+      // both ordered best-first: (sim desc, id asc); results is TRIMMED to
+      // the ef best so far (standard HNSW bounded result set), so `last`
+      // is the current worst and every operation is O(log ef)
+      val candidates = mutable.TreeSet.empty[(Double, Long)]
+      val results = mutable.TreeSet.empty[(Double, Long)]
+      def push(id: Long, s: Double): Unit = {
+        candidates += ((s, id)); results += ((s, id))
+        if (results.size > ef) results -= results.last
+      }
+      eps.distinct.foreach { id =>
+        if (visited.add(id)) push(id, cosine(q, nq, vecs(id), norms(id)))
+      }
+      while (candidates.nonEmpty) {
+        val c @ (cSim, cId) = candidates.head
+        candidates -= c
+        if (results.size >= ef && cSim < results.last._1) candidates.clear()
+        else adj.getOrElse((layer, cId), Nil).foreach { case (nb, _) =>
+          if (visited.add(nb)) {
+            val s = cosine(q, nq, vecs(nb), norms(nb))
+            if (results.size < ef || s > results.last._1) push(nb, s)
+          }
+        }
+      }
+      results.toSeq.map { case (s, id) => (id, s) }
+    }
+
+    val order = entryVecs.map(_._1).sortBy(id => (-levels(id), id))
+    var entryPoint = order.head
+    order.tail.foreach { id =>
+      val q = vecs(id); val nq = norms(id); val lv = levels(id)
+      var eps: Seq[Long] = Seq(entryPoint)
+      var l = levels(entryPoint)
+      while (l > lv) { eps = searchLayer(q, nq, eps, l, 1).map(_._1); l -= 1 }
+      var layer = math.min(levels(entryPoint), lv)
+      while (layer >= 1) {
+        val cand = searchLayer(q, nq, eps, layer, efBuild)
+        cand.take(kUp).foreach { case (nid, sim) =>
+          addEdge(layer, id, nid, sim); addEdge(layer, nid, id, sim)
+        }
+        eps = cand.map(_._1)
+        layer -= 1
+      }
+      if (lv > levels(entryPoint)) entryPoint = id
+    }
+    val edges = adj.toSeq.flatMap { case ((layer, src), links) =>
+      links.map { case (dst, sim) => (src, dst, sim, layer) }
+    }.sortBy(e => (e._4, e._1, e._2))
+    (edges, levels)
+  }
+
   /** Build the navigable graph over an IVF-assigned corpus
     * (`indexed` = corpus + `__cluster`, `centers` = (__cluster, __center)).
-    * Returns (neighbors(src, dst, sim), entries(__cluster, entry_id)):
-    * per-vector top-`m` within-cell neighbors plus the inter-cell
-    * entry-point mesh, edges directed (both directions present). */
+    * Returns (neighbors(src, dst, sim),
+    *          entries(__cluster, entry_id, level),
+    *          hier(src, dst, sim, layer)):
+    * per-vector top-`m` within-cell layer-0 lists, each cell's entry point
+    * with its hierarchy level, and the HNSW upper-layer edges. */
   def buildGraph(indexed: DataFrame, centers: DataFrame, idCol: String,
-                 vecCol: String, m: Int): (DataFrame, DataFrame) = {
+                 vecCol: String, m: Int, kUp: Int = 4, efBuild: Int = 16):
+      (DataFrame, DataFrame, DataFrame) = {
     require(m >= 1, s"m must be >= 1, got $m")
+    val spark = indexed.sparkSession
+    import spark.implicits._
     val base = indexed.select(col("__cluster"), col(idCol).as("__id"),
       col(vecCol).as("__v"))
     val a = base.select(col("__cluster"), col("__id").as("src"), col("__v").as("__va"))
@@ -54,33 +180,77 @@ object NswAnn {
       Seq("src"), Seq(col("sim").desc, col("dst").asc), m)
       .drop("rn")
     // entry point per cell: the vector nearest its own centroid
-    val entries = Similarity.topKPerGroup(
+    val entryPts = Similarity.topKPerGroup(
       base.join(broadcast(centers), Seq("__cluster"))
         .select(col("__cluster"), col("__id"),
           VectorOps.cosine(col("__v"), col("__center")).as("__cs")),
       Seq("__cluster"), Seq(col("__cs").desc, col("__id").asc), 1)
       .select(col("__cluster"), col("__id").as("entry_id"))
-    // long-range mesh: every entry links to every other entry (<= cells²
-    // edges — the cross-region routing HNSW's upper layers provide)
-    val ev = entries.join(base, entries("entry_id") === base("__id"))
+    // ---- driver hierarchy fold over the ENTRY SET ONLY ----
+    // Budget probe BEFORE the collect (the UnigramLm discipline): entries
+    // are one-per-cell, so the count is the (already known dimension-scale)
+    // cell count — fail fast if someone raises it past the budget.
+    val dim = base.select(size(col("__v"))).limit(1).as[Int].head()
+    val nEntries = entryPts.count()
+    val bytes = nEntries * (4L * dim + 32L)
+    require(bytes <= HierBudgetBytes,
+      s"NswAnn.buildGraph: $nEntries entries x dim $dim = $bytes bytes exceeds " +
+        s"the $HierBudgetBytes driver budget for the hierarchy fold — shard " +
+        "the entry set by IVF super-cell and build one hierarchy per shard")
+    val entryVecs = entryPts.join(base, entryPts("entry_id") === base("__id"))
       .select(col("entry_id"), col("__v"))
-    val mesh = ev.select(col("entry_id").as("src"), col("__v").as("__va"))
-      .crossJoin(ev.select(col("entry_id").as("dst"), col("__v").as("__vb")))
-      .where(col("src") =!= col("dst"))
-      .select(col("src"), col("dst"),
-        VectorOps.cosine(col("__va"), col("__vb")).as("sim"))
-    (withinCell.unionByName(mesh)
-       .groupBy("src", "dst").agg(max(col("sim")).as("sim")),
-      entries)
+      .as[(Long, Array[Float])].collect().toSeq.sortBy(_._1)
+    val (edges, levels) = buildHierarchy(entryVecs, kUp, efBuild)
+    val hier = edges.toDF("src", "dst", "sim", "layer")
+    val levelDf = levels.toSeq.toDF("entry_id", "level")
+    val entries = entryPts.join(broadcast(levelDf), Seq("entry_id"))
+      .select(col("__cluster"), col("entry_id"), col("level"))
+    (withinCell, entries, hier)
   }
 
-  /** Greedy beam probe: start from every cell entry, expand `rounds`
-    * hops, return the top `k` visited by query similarity. `query` must
+  /** Top-down descent of the entry hierarchy for ONE query: returns every
+    * entry node scored on the way down (id `__id`, `sim`), best-first the
+    * caller takes seeds from. Exposed so ScaleBench can measure the
+    * scored-candidate count (the quantity that must stay FLAT as cells
+    * grow). O(levels · entryBeam · kUp) scores by construction. */
+  def descendEntries(entries: DataFrame, hier: DataFrame, emb: DataFrame,
+                     idCol: String, vecCol: String, query: DataFrame,
+                     queryVecCol: String, entryBeam: Int = 8): DataFrame = {
+    require(entryBeam >= 1)
+    val spark = entries.sparkSession
+    val q = Similarity.requireSingleRow(query, "NswAnn.descendEntries")
+      .select(col(queryVecCol).as("__qv"))
+    val vecs = emb.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    def score(ids: DataFrame): DataFrame = ids
+      .join(vecs, Seq("__id"))
+      .crossJoin(broadcast(q))
+      .select(col("__id"), VectorOps.cosine(col("__v"), col("__qv")).as("sim"))
+    val topLevel = entries.agg(max("level")).head().getInt(0)
+    var visited = score(
+        entries.where(col("level") === topLevel).select(col("entry_id").as("__id")))
+      .localCheckpoint()
+    var l = topLevel
+    while (l >= 1) {
+      val frontier = visited.orderBy(col("sim").desc, col("__id").asc)
+        .limit(entryBeam)
+      val fresh = broadcast(frontier.select(col("__id").as("src")))
+        .join(hier.where(col("layer") === l), Seq("src"))
+        .select(col("dst").as("__id")).distinct()
+        .join(visited.select("__id"), Seq("__id"), "left_anti")
+      visited = visited.unionByName(score(fresh)).localCheckpoint()
+      l -= 1
+    }
+    visited
+  }
+
+  /** Greedy beam probe: descend the entry hierarchy to pick the seed
+    * entries, then expand `rounds` hops over the layer-0 within-cell
+    * lists; return the top `k` visited by query similarity. `query` must
     * be a single row (asserted). */
-  def probe(neighbors: DataFrame, entries: DataFrame, emb: DataFrame,
-            idCol: String, vecCol: String, query: DataFrame,
+  def probe(neighbors: DataFrame, entries: DataFrame, hier: DataFrame,
+            emb: DataFrame, idCol: String, vecCol: String, query: DataFrame,
             queryVecCol: String, k: Int, beamWidth: Int = 16,
-            rounds: Int = 3): DataFrame = {
+            rounds: Int = 3, entryBeam: Int = 8): DataFrame = {
     require(k >= 1 && beamWidth >= 1 && rounds >= 1)
     val q = Similarity.requireSingleRow(query, "NswAnn.probe")
       .select(col(queryVecCol).as("__qv"))
@@ -89,12 +259,13 @@ object NswAnn {
       .join(vecs, Seq("__id"))
       .crossJoin(broadcast(q))
       .select(col("__id"), VectorOps.cosine(col("__v"), col("__qv")).as("sim"))
-    var visited = score(entries.select(col("entry_id").as("__id")).distinct())
+    var visited = descendEntries(entries, hier, emb, idCol, vecCol, query,
+        queryVecCol, entryBeam)
       .localCheckpoint()
-    // Classic best-first beam: each hop expands the best `beamWidth` of
-    // EVERYTHING visited that has not been expanded yet (not just the
-    // nodes scored last hop) — a hop that surfaces few/poor fresh
-    // candidates cannot shrink or degrade the beam.
+    // Classic best-first beam over layer 0: each hop expands the best
+    // `beamWidth` of EVERYTHING visited that has not been expanded yet
+    // (not just the nodes scored last hop) — a hop that surfaces few/poor
+    // fresh candidates cannot shrink or degrade the beam.
     var expanded = visited.select("__id").limit(0).localCheckpoint()
     var r = 0
     while (r < rounds) {

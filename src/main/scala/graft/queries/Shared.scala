@@ -220,17 +220,18 @@ private[graft] object Shared {
     IndexStore.readIvf(s, root)
   }
 
-  /** NSW proximity graph (neighbors, entries) served from the store —
-    * built once per (session, corpus) over the shared IVF cells (the
-    * partitioned kNN-graph build), persisted, and ALWAYS probed from the
-    * parquet reload (the q_sim7/q_dedup8 store contract). */
-  def storedNsw(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  /** NSW proximity graph (neighbors, entries, hierarchy) served from the
+    * store — built once per (session, corpus) over the shared IVF cells
+    * (the partitioned kNN-graph build + the driver hierarchy fold over the
+    * entry set), persisted, and ALWAYS probed from the parquet reload (the
+    * q_sim7/q_dedup8 store contract). */
+  def storedNsw(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
     val root = Memo.cached(s, s"nswstore|$d") {
       val (indexed, centers) = IvfAnn.cachedIndex(s, d, "embedding",
         numClusters = 16)(Tables.load(s, d, "embeddings"))
-      val (neighbors, entries) = graft.operators.NswAnn.buildGraph(
+      val (neighbors, entries, hier) = graft.operators.NswAnn.buildGraph(
         indexed, centers, "vec_id", "embedding", m = 8)
-      IndexStore.writeNsw(neighbors, entries, indexRoot(s, d))
+      IndexStore.writeNsw(neighbors, entries, hier, indexRoot(s, d))
       indexRoot(s, d)
     }
     IndexStore.readNsw(s, root)

@@ -77,19 +77,21 @@ object SimMmQueries extends QueryModule {
         .orderBy(col("sim").desc, col("vec_id"))
     }),
 
-    // Q-SIM16 (round 10): graph-based ANN (NSW-class, the HNSW base
-    // layer) — the recall/probe-count frontier next to IVF (memory) and
-    // PQ (bandwidth): greedy beam over a stored proximity graph, probe
-    // cost O(rounds·beam·M) independent of corpus size. Graph built
-    // within the shared IVF cells (partitioned kNN build), stitched by
-    // the inter-cell entry mesh, served from the IndexStore reload.
-    // Rows-only (approximate by design — the q_sim3 contract): recall vs
-    // brute force emitted as data, floors spec-asserted.
+    // Q-SIM16 (round 10; hierarchical entries round 11): graph-based ANN
+    // (HNSW-class) — the recall/probe-count frontier next to IVF (memory)
+    // and PQ (bandwidth): the probe descends the entry HIERARCHY top-down
+    // (O(levels·entryBeam·kUp) entry scores — flat in the cell count),
+    // then runs the greedy beam over the stored layer-0 proximity graph,
+    // probe cost O(rounds·beam·M) independent of corpus size. Graph built
+    // within the shared IVF cells (partitioned kNN build), served from
+    // the IndexStore reload. Rows-only (approximate by design — the
+    // q_sim3 contract): recall vs brute force emitted as data, floors
+    // spec-asserted.
     "q_sim16" -> ((s, d) => {
       val emb = Tables.load(s, d, "embeddings")
-      val (neighbors, entries) = Shared.storedNsw(s, d)
+      val (neighbors, entries, hier) = Shared.storedNsw(s, d)
       Similarity.withRecallAgainst(
-          graft.operators.NswAnn.probe(neighbors, entries, emb,
+          graft.operators.NswAnn.probe(neighbors, entries, hier, emb,
             "vec_id", "embedding", emb.where(col("vec_id") === 0),
             "embedding", k = 11, beamWidth = 32, rounds = 5),
           Shared.bruteCosineTruth(s, d),

@@ -17,25 +17,36 @@ class NswAnnSpec extends SparkSpec {
         emb.where(col("vec_id") === 0), "embedding", k)
       .select("vec_id").as[Long].collect().toSet
 
-  test("graph shape: every vector has <= m within-cell edges plus the entry mesh") {
-    val (nb, en) = built
+  test("graph shape: bounded layer-0 out-degree, O(kUp·entries) hierarchy") {
+    val (nb, en, hr) = built
     val nEntries = en.count()
     assert(nEntries === 16L, "one entry per cell")
-    // out-degree bound: m within-cell + at most (cells-1) mesh edges
+    // layer-0 out-degree bound: m within-cell edges
     val maxDeg = nb.groupBy("src").agg(count(lit(1)).as("d"))
       .agg(max("d")).as[Long].head()
-    assert(maxDeg <= 8 + 15, s"out-degree $maxDeg exceeds m + mesh bound")
-    // mesh connectivity: every entry reaches every other entry directly
-    val entryIds = en.select("entry_id").as[Long].collect().toSet
-    val meshEdges = nb.join(en.select(col("entry_id").as("src")), Seq("src"))
-      .join(en.select(col("entry_id").as("dst")), Seq("dst"))
-      .count()
-    assert(meshEdges === nEntries * (nEntries - 1), "entry mesh must be complete")
+    assert(maxDeg <= 8, s"layer-0 out-degree $maxDeg exceeds m")
+    // the hierarchy replaces the r10 cells² mesh: per (layer, src) degree
+    // is pruned to 2·kUp, so total edges are O(kUp · entries · levels),
+    // NOT entries² — the fix for the 3×10^4-cell operating point
+    val kUp = 4
+    val maxHierDeg = hr.groupBy("layer", "src").agg(count(lit(1)).as("d"))
+      .agg(max("d")).as[Long].head()
+    assert(maxHierDeg <= 2 * kUp, s"hierarchy degree $maxHierDeg exceeds 2·kUp")
+    assert(hr.count() < nEntries * (nEntries - 1),
+      "hierarchy must be sparser than the full mesh")
+    // every entry is reachable: each appears in the hierarchy (level >= 1
+    // nodes insert at layer 1 minimum) unless it is the single top seed
+    val inHier = hr.select(col("src").as("entry_id")).distinct()
+    assert(en.join(inHier, Seq("entry_id"), "left_anti").count() <= 1,
+      "every entry (except possibly the first insert) must carry hierarchy edges")
+    // levels are geometric: level >= 1 everywhere, max level > 1 at 16 entries
+    val lvls = en.select("level").as[Int].collect()
+    assert(lvls.forall(_ >= 1))
   }
 
   test("probe: the query's own vector surfaces with sim 1, recall floor holds") {
-    val (nb, en) = built
-    val res = NswAnn.probe(nb, en, emb, "vec_id", "embedding",
+    val (nb, en, hr) = built
+    val res = NswAnn.probe(nb, en, hr, emb, "vec_id", "embedding",
       emb.where(col("vec_id") === 0), "embedding", k = 11,
       beamWidth = 32, rounds = 5)
       .select("vec_id", "sim").as[(Long, Double)].collect()
@@ -47,26 +58,37 @@ class NswAnnSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall under the 0.9 floor")
     // the cheap operating point still clears half — the knob trades
     // probe cost for recall as designed
-    val cheap = NswAnn.probe(nb, en, emb, "vec_id", "embedding",
+    val cheap = NswAnn.probe(nb, en, hr, emb, "vec_id", "embedding",
       emb.where(col("vec_id") === 0), "embedding", k = 11,
       beamWidth = 16, rounds = 3)
       .select("vec_id").as[Long].collect().toSet
     assert((cheap & truth(11)).size / 11.0 >= 0.5)
   }
 
+  test("descent scores a bounded slice of the entry set, not all of it") {
+    val (_, en, hr) = built
+    // entryBeam 2 with kUp 4 over 16 entries: the descent must touch
+    // fewer entries than the full set (the r10 mesh scored ALL of them)
+    val scored = NswAnn.descendEntries(en, hr, emb, "vec_id", "embedding",
+      emb.where(col("vec_id") === 0), "embedding", entryBeam = 2).count()
+    assert(scored < 16, s"descent scored $scored of 16 entries — not sub-linear")
+    assert(scored >= 1)
+  }
+
   test("probe is deterministic and the store round-trips it bit-for-bit") {
-    val (nb, en) = built
-    def run(n: org.apache.spark.sql.DataFrame, e: org.apache.spark.sql.DataFrame) =
-      NswAnn.probe(n, e, emb, "vec_id", "embedding",
+    val (nb, en, hr) = built
+    def run(n: org.apache.spark.sql.DataFrame, e: org.apache.spark.sql.DataFrame,
+            h: org.apache.spark.sql.DataFrame) =
+      NswAnn.probe(n, e, h, emb, "vec_id", "embedding",
         emb.where(col("vec_id") === 0), "embedding", k = 11,
         beamWidth = 32, rounds = 5)
         .select("vec_id", "sim").as[(Long, Double)].collect().toSeq
-    val a = run(nb, en)
-    assert(a === run(nb, en), "probe must be deterministic")
+    val a = run(nb, en, hr)
+    assert(a === run(nb, en, hr), "probe must be deterministic")
     val root = java.nio.file.Files.createTempDirectory("nsw_store").toString
-    IndexStore.writeNsw(nb, en, root)
-    val (nb2, en2) = IndexStore.readNsw(spark, root)
-    assert(a === run(nb2, en2), "reloaded store must probe identically")
+    IndexStore.writeNsw(nb, en, hr, root)
+    val (nb2, en2, hr2) = IndexStore.readNsw(spark, root)
+    assert(a === run(nb2, en2, hr2), "reloaded store must probe identically")
   }
 
   test("planted near-duplicate: a perturbed copy of the query is found") {
@@ -77,11 +99,27 @@ class NswAnnSpec extends SparkSpec {
     val nearDup = q.map(x => x + 0.02f * rnd.nextGaussian().toFloat)
     val corpus = (bases :+ (999L, nearDup)).toDF("vec_id", "embedding")
     val (indexed, centers) = IvfAnn.buildIndex(corpus, "embedding", 4)
-    val (nb, en) = NswAnn.buildGraph(indexed, centers, "vec_id", "embedding", m = 8)
-    val got = NswAnn.probe(nb, en, corpus, "vec_id", "embedding",
+    val (nb, en, hr) = NswAnn.buildGraph(indexed, centers, "vec_id", "embedding", m = 8)
+    val got = NswAnn.probe(nb, en, hr, corpus, "vec_id", "embedding",
       corpus.where(col("vec_id") === 0), "embedding", k = 2,
       beamWidth = 16, rounds = 4)
       .select("vec_id").as[Long].collect().toSet
     assert(got === Set(0L, 999L), s"planted near-dup missed: $got")
+  }
+
+  test("hierarchy fold: deterministic edges, geometric levels, budget guard") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (1L to 200L).map(i => i -> Array.fill(16)(rnd.nextGaussian().toFloat))
+    val (e1, l1) = NswAnn.buildHierarchy(vecs, kUp = 4, efBuild = 16)
+    val (e2, l2) = NswAnn.buildHierarchy(vecs, kUp = 4, efBuild = 16)
+    assert(e1 === e2 && l1 === l2, "hierarchy fold must be deterministic")
+    // geometric levels: roughly half the nodes at level 1, counts shrink
+    val byLevel = l1.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byLevel.getOrElse(1, 0) > byLevel.getOrElse(2, 0))
+    // degree pruning: no (layer, src) exceeds 2·kUp
+    val deg = e1.groupBy(e => (e._4, e._1)).view.mapValues(_.size)
+    assert(deg.values.forall(_ <= 8))
+    // edges live only on layers the BOTH endpoints reach
+    assert(e1.forall { case (s, d, _, layer) => l1(s) >= layer && l1(d) >= layer })
   }
 }
