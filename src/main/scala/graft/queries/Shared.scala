@@ -237,6 +237,30 @@ private[graft] object Shared {
     IndexStore.readNsw(s, root)
   }
 
+  /** Day-1 NSW graph + IVF stores for the q_sim17 arrival query: the
+    * quantizer is FIT on day 1 only (vec_id % 5 != 0), the graph built
+    * over day-1 cells, everything persisted and served from the reload —
+    * day 2 is assigned with the STORED centroids and linked incrementally
+    * (never refit, never rebuilt). Returns (neighbors, entries, hier,
+    * stored assignment, centers). */
+  def storedNswDay1(s: SparkSession, d: String):
+      (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val root = Memo.cached(s, s"nswday1|$d") {
+      val day1 = Tables.load(s, d, "embeddings")
+        .where(col("vec_id") % 5 =!= 0).select("vec_id", "embedding")
+      val (indexed, centers) = IvfAnn.buildIndex(day1, "embedding", 16)
+      val r = indexRoot(s, d) + "/nsw_day1"
+      IndexStore.writeIvf(indexed, centers, r)
+      val (nb, en, hr) = graft.operators.NswAnn.buildGraph(
+        indexed, centers, "vec_id", "embedding", m = 8)
+      IndexStore.writeNsw(nb, en, hr, r)
+      r
+    }
+    val (assign, centers) = IndexStore.readIvf(s, root)
+    val (nb, en, hr) = IndexStore.readNsw(s, root)
+    (nb, en, hr, assign, centers)
+  }
+
   /** PQ (codebooks, codes) served from the store. */
   def storedPq(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val root = Memo.cached(s, s"pqstore|$d") {

@@ -99,6 +99,37 @@ object SimMmQueries extends QueryModule {
         .orderBy(col("sim").desc, col("vec_id"))
     }),
 
+    // Q-SIM17 (round 11): day-2 graph-index maintenance — new vectors
+    // (vec_id % 5 == 0) are assigned with the STORED day-1 centroids
+    // (never refit), linked into the stored adjacency (NswAnn.linkBatch:
+    // new-src lists = the restricted rebuild, forward edges mirrored for
+    // navigability), and the probe runs over stored ∪ new edges: the
+    // query (vec 0, itself a day-2 arrival) must surface through the
+    // incremental links alone. Rows-only (approximate by design — the
+    // q_sim3 contract); recall vs the full-corpus brute truth emitted as
+    // data; incremental==restricted-recompute + two-batch replay are
+    // spec-asserted (NswAnnSpec, StreamingDedupSpec).
+    "q_sim17" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      val (nb, en, hr, stored, centers) = Shared.storedNswDay1(s, d)
+      val assigned2 = graft.operators.IvfAnn.assignToIndex(
+          emb.where(col("vec_id") % 5 === 0).select("vec_id", "embedding"),
+          "vec_id", "embedding", centers)
+        .select(col("__cluster"), col("vec_id").as("__id"),
+          col("embedding").as("__vec"))
+      val storedCells = stored.select(col("__cluster"),
+        col("vec_id").as("__id"), col("embedding").as("__vec"))
+      val augmented = nb.unionByName(
+        graft.operators.NswAnn.linkBatch(assigned2, storedCells, m = 8))
+      Similarity.withRecallAgainst(
+          graft.operators.NswAnn.probe(augmented, en, hr, emb,
+            "vec_id", "embedding", emb.where(col("vec_id") === 0),
+            "embedding", k = 11, beamWidth = 32, rounds = 5),
+          Shared.bruteCosineTruth(s, d),
+          "vec_id")
+        .orderBy(col("sim").desc, col("vec_id"))
+    }),
+
     // Multi-probe LSH ANN top-k: query bucket + all Hamming-1 buckets
     // (rows-only: approximate; recall >= single-probe's spec-asserted on
     // the emitted column). AutoPlanes, as q_sim3.

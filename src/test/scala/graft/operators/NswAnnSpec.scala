@@ -107,6 +107,55 @@ class NswAnnSpec extends SparkSpec {
     assert(got === Set(0L, 999L), s"planted near-dup missed: $got")
   }
 
+  test("linkBatch == forward(restricted full rebuild) plus its mirror") {
+    val assigned = emb.select(pmod(col("vec_id"), lit(4L)).as("__cluster"),
+      col("vec_id").as("__id"), col("embedding").as("__vec"))
+    val stored = assigned.where(col("__id") % 5 =!= 0)
+    val batch = assigned.where(col("__id") % 5 === 0)
+    val linked = NswAnn.linkBatch(batch, stored, m = 8)
+      .select("src", "dst").as[(Long, Long)].collect().toSet
+    // full rebuild over stored ∪ batch with the same cells: the top-8
+    // within-cell lists, restricted to NEW srcs
+    val a = assigned.select(col("__cluster"), col("__id").as("src"),
+      col("__vec").as("__va"))
+    val b = assigned.select(col("__cluster"), col("__id").as("dst"),
+      col("__vec").as("__vb"))
+    val expectedFwd = Similarity.topKPerGroup(
+        a.join(b, Seq("__cluster")).where(col("src") =!= col("dst"))
+          .select(col("src"), col("dst"),
+            graft.functions.VectorOps.cosine(col("__va"), col("__vb")).as("sim")),
+        Seq("src"), Seq(col("sim").desc, col("dst").asc), 8)
+      .where(col("src") % 5 === 0)
+      .select("src", "dst").as[(Long, Long)].collect().toSet
+    assert(expectedFwd.nonEmpty && expectedFwd.exists { case (_, d) => d % 5 != 0 },
+      "fixture must exercise new->stored links")
+    assert(linked === expectedFwd ++ expectedFwd.map(_.swap),
+      "linkBatch must be exactly the restricted rebuild plus its mirror")
+  }
+
+  test("day-2 arrival: probe over stored ∪ incremental edges reaches new content") {
+    val day1 = emb.where(col("vec_id") % 5 =!= 0).select("vec_id", "embedding")
+    val (indexed, centers) = IvfAnn.buildIndex(day1, "embedding", 16)
+    val (nb, en, hr) = NswAnn.buildGraph(indexed, centers, "vec_id", "embedding", m = 8)
+    val assigned2 = IvfAnn.assignToIndex(
+        emb.where(col("vec_id") % 5 === 0).select("vec_id", "embedding"),
+        "vec_id", "embedding", centers)
+      .select(col("__cluster"), col("vec_id").as("__id"), col("embedding").as("__vec"))
+    val storedCells = indexed.select(col("__cluster"),
+      col("vec_id").as("__id"), col("embedding").as("__vec"))
+    val augmented = nb.unionByName(NswAnn.linkBatch(assigned2, storedCells, m = 8))
+    // vec 0 is itself a day-2 arrival: reachable ONLY through the
+    // incremental links (the stored graph has no day-2 node)
+    val res = NswAnn.probe(augmented, en, hr, emb, "vec_id", "embedding",
+        emb.where(col("vec_id") === 0), "embedding", k = 11,
+        beamWidth = 32, rounds = 5)
+      .select("vec_id", "sim").as[(Long, Double)].collect()
+    assert(res.head._1 === 0L && res.head._2 > 0.999999,
+      "day-2 query must find itself through the incremental links")
+    val recall = (res.map(_._1).toSet & truth(11)).size / 11.0
+    assert(recall >= 0.7, s"day-2 recall $recall under the 0.7 floor")
+  }
+
   test("hierarchy fold: deterministic edges, geometric levels, budget guard") {
     val rnd = new scala.util.Random(7)
     val vecs = (1L to 200L).map(i => i -> Array.fill(16)(rnd.nextGaussian().toFloat))

