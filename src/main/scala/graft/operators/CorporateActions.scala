@@ -68,6 +68,96 @@ object CorporateActions {
         col("factor_int"): _*)
   }
 
+  /** Detect AND classify corporate actions as split / reverse split /
+    * cash dividend (round 11 — VERDICT r10 #4: [[splitEvents]] fires on
+    * any ratio change but cannot say WHICH; the reference's `Adj Close`
+    * folds both kinds in, and "split or dividend" is the first question
+    * a quant asks of an event day). Same detection lag as [[splitEvents]]
+    * (one key-window shuffle), then scale-invariant EXACT-integer tests
+    * on the UNREDUCED rational (num, den) = (R_{t−1}·A_t, R_t·A_{t−1}) —
+    * no gcd needed:
+    *
+    *  - num divisible by den with quotient ≥ 2 → split n:1 (divisibility
+    *    is scale-invariant: num = factor·den exactly iff the true factor
+    *    is integer);
+    *  - den divisible by num → reverse split 1:n;
+    *  - 1 < num/den ≤ 1 + maxYieldPct% → cash dividend. The amount needs
+    *    no reduction either: D·A_t = R_{t−1}·A_t − R_t·A_{t−1} = num−den
+    *    (prior-close convention D = R_{t−1}·(1 − den/num)), so
+    *    div_cents = (num−den) div A_t, exact whenever the true dividend
+    *    is whole cents (`div_exact` emitted — a false flag means the
+    *    planted/real dividend was fractional-cent);
+    *  - small-rational factors n:d (n,d ≤ 9, coprime) → split n:d or
+    *    reverse d:n, tested by exact cross-multiplication num·d = den·n;
+    *  - anything else → 'unknown' (a real pipeline quarantines these).
+    *
+    * Comparisons that scale num/den by small constants run in
+    * DECIMAL(38,0) so they cannot wrap (num itself is bounded by the
+    * [[splitEvents]] overflow contract above). The smallest small-
+    * rational factor is 9/8 = 1.125 > 1.10, so at the default yield cap
+    * the dividend and split zones cannot overlap. */
+  def classifyEvents(df: DataFrame, keyCols: Seq[String], ordCol: String,
+                     rawCol: String, adjCol: String,
+                     maxYieldPct: Int = 10): DataFrame = {
+    require(maxYieldPct >= 1 && maxYieldPct < 12, // 9/8 = 12.5% is the first split
+      s"maxYieldPct must stay below the 9:8 split factor, got $maxYieldPct")
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(ordCol))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val detected = df.select(keyCols.map(col) :+ col(ordCol) :+
+        col(rawCol).cast("long").as("__r") :+
+        col(adjCol).cast("long").as("__a"): _*)
+      .withColumn("__rp", lag(col("__r"), 1).over(w))
+      .withColumn("__ap", lag(col("__a"), 1).over(w))
+      .where(col("__rp").isNotNull &&
+        col("__r") * col("__ap") =!= col("__rp") * col("__a"))
+      .withColumn("num", col("__rp") * col("__a"))
+      .withColumn("den", col("__r") * col("__ap"))
+    val intFwd = col("num") % col("den") === 0 && expr("num div den") >= 2
+    val intRev = col("den") % col("num") === 0 && expr("den div num") >= 2
+    val isDiv = col("num") > col("den") &&
+      dec(col("num")) * lit(100) <= dec(col("den")) * lit(100 + maxYieldPct)
+    // coprime n:d pairs, 2 <= d < n <= 9, ascending — deterministic order
+    val pairs = for {
+      n <- 2 to 9; d <- 2 until n
+      if BigInt(n).gcd(BigInt(d)) == 1
+    } yield (n, d)
+    def fwdIs(n: Int, d: Int) = dec(col("num")) * lit(d) === dec(col("den")) * lit(n)
+    def revIs(n: Int, d: Int) = dec(col("num")) * lit(n) === dec(col("den")) * lit(d)
+    val anyFwd = pairs.map((fwdIs _).tupled).reduce(_ || _)
+    val anyRev = pairs.map((revIs _).tupled).reduce(_ || _)
+    val action = when(intFwd, lit("split"))
+      .when(intRev, lit("reverse_split"))
+      .when(isDiv, lit("dividend"))
+      .when(anyFwd, lit("split"))
+      .when(anyRev, lit("reverse_split"))
+      .otherwise(lit("unknown"))
+    val splitNum = when(intFwd, expr("num div den"))
+      .when(intRev, lit(1L))
+      .otherwise(pairs.foldLeft(lit(null).cast("long")) { case (acc, (n, d)) =>
+        when(fwdIs(n, d), lit(n.toLong)).when(revIs(n, d), lit(d.toLong))
+          .otherwise(acc)
+      })
+    val splitDen = when(intFwd, lit(1L))
+      .when(intRev, expr("den div num"))
+      .otherwise(pairs.foldLeft(lit(null).cast("long")) { case (acc, (n, d)) =>
+        when(fwdIs(n, d), lit(d.toLong)).when(revIs(n, d), lit(n.toLong))
+          .otherwise(acc)
+      })
+    detected
+      .withColumn("action", action)
+      .withColumn("split_num",
+        when(col("action").isin("split", "reverse_split"), splitNum))
+      .withColumn("split_den",
+        when(col("action").isin("split", "reverse_split"), splitDen))
+      .withColumn("div_cents",
+        when(col("action") === "dividend", expr("(num - den) div __a")))
+      .withColumn("div_exact",
+        when(col("action") === "dividend", (col("num") - col("den")) % col("__a") === 0))
+      .select(keyCols.map(col) :+ col(ordCol) :+ col("num") :+ col("den") :+
+        col("action") :+ col("split_num") :+ col("split_den") :+
+        col("div_cents") :+ col("div_exact"): _*)
+  }
+
   /** Rebuild the adjusted series from the raw series and an event table
     * (keyCols..., ordCol, fnum, fden — SMALL-integer factor rationals,
     * e.g. (2,1) for a 2:1 split, (3,2) for 3:2): for each row,

@@ -461,6 +461,57 @@ private[graft] object Shared {
       |                  ELSE 1 END) AS raw_cents
       |  FROM prn)""".stripMargin
 
+  /** Both-event-kind fixture for q_ca4/q_ca5 (r11): even suppliers carry a
+    * 2:1 split (rn 5), a 21:20 cash dividend (rn 8 — yield 1/21 of the
+    * prior close), and a 3:1 split (rn 11) ON THE SAME KEY; odd suppliers are
+    * event-free. Exact integers throughout: adj = cents·20 and raw =
+    * cents·{126,63,60,20} (the 20-scaling makes the rational dividend
+    * factor land on integer cents — raw/adj = {63/10, 63/20, 3, 1}, so
+    * the event factors are exactly 2, 21/20, 3). Overflow bound: the
+    * detection products are ≤ 126·20·maxCents² ≈ 4.4e18 < 2^63 at sf0.1's
+    * maxCents 4.2e7 — at larger SF re-quantize cents upstream (the
+    * CorporateActions contract). */
+  def plantedActionSeries(s: SparkSession, d: String): DataFrame =
+    Memo.cachedDf(s, s"planted_actions|$d") {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_suppkey").orderBy("day_ord")
+      supplierDailyCents(s, d)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("__m",
+          when(pmod(col("l_suppkey"), lit(2)) === 0,
+            when(col("rn") < 5, lit(126L)).when(col("rn") < 8, lit(63L))
+              .when(col("rn") < 11, lit(60L)).otherwise(lit(20L)))
+            .otherwise(lit(1L)))
+        .withColumn("__s",
+          when(pmod(col("l_suppkey"), lit(2)) === 0, lit(20L)).otherwise(lit(1L)))
+        .select(col("l_suppkey"), col("day_ord"), col("rn"),
+          (col("cents") * col("__s")).as("adj_cents"),
+          (col("cents") * col("__m")).as("raw_cents"))
+    }
+
+  /** DuckDB twin of [[plantedActionSeries]]: CTE chain ending in
+    * `pa(l_suppkey, day_ord, rn, adj_cents, raw_cents)`. */
+  def plantedActionCtes: String =
+    """padaily AS (
+      |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS day,
+      |    CAST(SUM(CAST(round(l_extendedprice*100.0,0) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM lineitem GROUP BY 1, 2),
+      |padd AS (
+      |  SELECT l_suppkey, date_diff('day', DATE '1970-01-01', day) AS day_ord, cents
+      |  FROM padaily),
+      |parn AS (
+      |  SELECT l_suppkey, day_ord, cents,
+      |    CAST(row_number() OVER (PARTITION BY l_suppkey ORDER BY day_ord) AS BIGINT) AS rn
+      |  FROM padd),
+      |pa AS (
+      |  SELECT l_suppkey, day_ord, rn,
+      |    cents * (CASE WHEN l_suppkey % 2 = 0 THEN 20 ELSE 1 END) AS adj_cents,
+      |    cents * (CASE WHEN l_suppkey % 2 = 0
+      |                  THEN CASE WHEN rn < 5 THEN 126 WHEN rn < 8 THEN 63
+      |                            WHEN rn < 11 THEN 60 ELSE 20 END
+      |                  ELSE 1 END) AS raw_cents
+      |  FROM parn)""".stripMargin
+
   /** Market daily returns (y): the all-supplier daily total as the index
     * series, same exact quantization and clip. One row per trading day —
     * always broadcast on the join side. */

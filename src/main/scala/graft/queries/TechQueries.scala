@@ -14,6 +14,30 @@ import graft.operators.{TechnicalIndicators, TradingCalendar}
   */
 object TechQueries extends QueryModule {
 
+  // q_ca4 oracle fragments: the same coprime n:d pair list
+  // CorporateActions.classifyEvents tests, rendered as HUGEINT
+  // cross-multiplications so the two engines' classification whens can
+  // never drift apart (pairs are mutually exclusive — order irrelevant).
+  private val caPairs = for {
+    n <- 2 to 9; d <- 2 until n
+    if BigInt(n).gcd(BigInt(d)) == 1
+  } yield (n, d)
+  private def caH(x: String) = s"CAST($x AS HUGEINT)"
+  private val caAnyFwd = caPairs
+    .map { case (n, d) => s"(${caH("num")}*$d = ${caH("den")}*$n)" }
+    .mkString("(", " OR ", ")")
+  private val caAnyRev = caPairs
+    .map { case (n, d) => s"(${caH("num")}*$n = ${caH("den")}*$d)" }
+    .mkString("(", " OR ", ")")
+  private val caPairNum = caPairs.map { case (n, d) =>
+    s"WHEN ${caH("num")}*$d = ${caH("den")}*$n THEN $n " +
+      s"WHEN ${caH("num")}*$n = ${caH("den")}*$d THEN $d"
+  }.mkString(" ")
+  private val caPairDen = caPairs.map { case (n, d) =>
+    s"WHEN ${caH("num")}*$d = ${caH("den")}*$n THEN $d " +
+      s"WHEN ${caH("num")}*$n = ${caH("den")}*$d THEN $n"
+  }.mkString(" ")
+
   // q_win3's total in-window order over the non-unique lineitem keys.
   private val ordCols = Seq("l_shipdate", "l_orderkey", "l_linenumber",
     "l_extendedprice", "l_quantity")
@@ -758,6 +782,52 @@ object TechQueries extends QueryModule {
         .orderBy("l_suppkey", "day_ord")
     }),
 
+    // Q-CA4 (round 11): split vs cash-dividend classification — q_ca1
+    // fires on any ratio change but can't say which; this labels each
+    // event by scale-invariant exact-integer tests on the unreduced
+    // (num, den) and emits the dividend amount via the identity
+    // D·A_t = num − den (prior-close convention). Fixture plants BOTH
+    // kinds on the same keys (2:1 split, 21:20 = 5% dividend, 3:1 split
+    // on even suppliers) so every emitted action class is live.
+    "q_ca4" -> ((s, d) =>
+      graft.operators.CorporateActions.classifyEvents(
+          Shared.plantedActionSeries(s, d),
+          Seq("l_suppkey"), "day_ord", "raw_cents", "adj_cents")
+        .orderBy("l_suppkey", "day_ord")),
+
+    // Q-CA5 (round 11): total-return vs price-return index — the
+    // question the Adj Close column exists to answer. Total return from
+    // the dividend-folded adjusted series; price return from the raw
+    // series back-adjusted by the CLASSIFIED splits only (classify →
+    // filter 'split' → backAdjust composition); both as exact rhaDiv
+    // micro vs each key's first session; the gap is the dividend drag
+    // (zero until the ex-day, positive after).
+    "q_ca5" -> ((s, d) => {
+      val pa = Shared.plantedActionSeries(s, d)
+      val splits = graft.operators.CorporateActions.classifyEvents(
+          pa, Seq("l_suppkey"), "day_ord", "raw_cents", "adj_cents")
+        .where(col("action") === "split")
+        .select(col("l_suppkey"), col("day_ord"),
+          col("split_num").as("fnum"), col("split_den").as("fden"))
+      val w = Window.partitionBy("l_suppkey").orderBy("day_ord")
+      graft.operators.CorporateActions.backAdjust(
+          pa, Seq("l_suppkey"), "day_ord", "raw_cents", splits)
+        .withColumnRenamed("adj_rebuilt", "price_cents")
+        .withColumn("tr_base",
+          max(when(col("rn") === 1, col("adj_cents"))).over(w))
+        .withColumn("pr_base",
+          max(when(col("rn") === 1, col("price_cents"))).over(w))
+        .withColumn("tr_index_micro",
+          expr("(2 * adj_cents * 100000000 + tr_base) div (2 * tr_base)"))
+        .withColumn("pr_index_micro",
+          expr("(2 * price_cents * 100000000 + pr_base) div (2 * pr_base)"))
+        .withColumn("div_drag_micro",
+          col("tr_index_micro") - col("pr_index_micro"))
+        .select("l_suppkey", "day_ord", "tr_index_micro", "pr_index_micro",
+          "div_drag_micro")
+        .orderBy("l_suppkey", "day_ord")
+    }),
+
     // Q-TA15 (round 10): stochastic oscillator %K/%D — the classic
     // bounded momentum pair: %K = 100·(close − lo14)/(hi14 − lo14), %D =
     // SMA3 of %K, both as exact integer micro via the rhaDiv rounding
@@ -1499,6 +1569,81 @@ object TechQueries extends QueryModule {
            |FROM ev e JOIN rets r
            |  ON e.l_suppkey = r.l_suppkey AND e.day_ord = r.day_ord
            |ORDER BY e.l_suppkey, e.day_ord""".stripMargin,
+      "q_ca4" ->
+        s"""WITH ${Shared.plantedActionCtes},
+           |lagd AS (
+           |  SELECT l_suppkey, day_ord, raw_cents AS r, adj_cents AS a,
+           |    lag(raw_cents) OVER w AS rp, lag(adj_cents) OVER w AS ap
+           |  FROM pa WINDOW w AS (PARTITION BY l_suppkey ORDER BY day_ord)),
+           |ev AS (
+           |  SELECT l_suppkey, day_ord, a,
+           |    CAST(rp*a AS BIGINT) AS num, CAST(r*ap AS BIGINT) AS den
+           |  FROM lagd WHERE rp IS NOT NULL AND r*ap <> rp*a),
+           |cls AS (
+           |  SELECT *,
+           |    CASE WHEN num % den = 0 AND num // den >= 2 THEN 'split'
+           |         WHEN den % num = 0 AND den // num >= 2 THEN 'reverse_split'
+           |         WHEN num > den AND ${caH("num")}*100 <= ${caH("den")}*110
+           |           THEN 'dividend'
+           |         WHEN $caAnyFwd THEN 'split'
+           |         WHEN $caAnyRev THEN 'reverse_split'
+           |         ELSE 'unknown' END AS action
+           |  FROM ev)
+           |SELECT l_suppkey, day_ord, num, den, action,
+           |  CASE WHEN action IN ('split','reverse_split') THEN
+           |    CAST(CASE WHEN num % den = 0 AND num // den >= 2 THEN num // den
+           |         WHEN den % num = 0 AND den // num >= 2 THEN 1
+           |         $caPairNum END AS BIGINT) END AS split_num,
+           |  CASE WHEN action IN ('split','reverse_split') THEN
+           |    CAST(CASE WHEN num % den = 0 AND num // den >= 2 THEN 1
+           |         WHEN den % num = 0 AND den // num >= 2 THEN den // num
+           |         $caPairDen END AS BIGINT) END AS split_den,
+           |  CASE WHEN action = 'dividend'
+           |    THEN CAST((num - den) // a AS BIGINT) END AS div_cents,
+           |  CASE WHEN action = 'dividend'
+           |    THEN (num - den) % a = 0 END AS div_exact
+           |FROM cls ORDER BY l_suppkey, day_ord""".stripMargin,
+
+      "q_ca5" ->
+        s"""WITH ${Shared.plantedActionCtes},
+           |lagd AS (
+           |  SELECT l_suppkey, day_ord, raw_cents AS r, adj_cents AS a,
+           |    lag(raw_cents) OVER w AS rp, lag(adj_cents) OVER w AS ap
+           |  FROM pa WINDOW w AS (PARTITION BY l_suppkey ORDER BY day_ord)),
+           |ev AS (
+           |  SELECT l_suppkey, day_ord,
+           |    CAST(rp*a AS BIGINT) AS num, CAST(r*ap AS BIGINT) AS den
+           |  FROM lagd WHERE rp IS NOT NULL AND r*ap <> rp*a),
+           |spl AS (
+           |  SELECT l_suppkey, day_ord, num // den AS fnum, 1 AS fden
+           |  FROM ev WHERE num % den = 0 AND num // den >= 2),
+           |pr AS (
+           |  SELECT p.l_suppkey, p.day_ord, p.rn, p.adj_cents,
+           |    CAST(p.raw_cents * COALESCE(
+           |      (SELECT CAST(product(s.fden) AS BIGINT) FROM spl s
+           |       WHERE s.l_suppkey = p.l_suppkey AND s.day_ord > p.day_ord), 1)
+           |      // COALESCE(
+           |      (SELECT CAST(product(s.fnum) AS BIGINT) FROM spl s
+           |       WHERE s.l_suppkey = p.l_suppkey AND s.day_ord > p.day_ord), 1)
+           |      AS BIGINT) AS price_cents
+           |  FROM pa p),
+           |based AS (
+           |  SELECT *,
+           |    MAX(CASE WHEN rn = 1 THEN adj_cents END)
+           |      OVER (PARTITION BY l_suppkey ORDER BY day_ord) AS tr_base,
+           |    MAX(CASE WHEN rn = 1 THEN price_cents END)
+           |      OVER (PARTITION BY l_suppkey ORDER BY day_ord) AS pr_base
+           |  FROM pr)
+           |SELECT l_suppkey, day_ord,
+           |  CAST((2*adj_cents*100000000 + tr_base) // (2*tr_base) AS BIGINT)
+           |    AS tr_index_micro,
+           |  CAST((2*price_cents*100000000 + pr_base) // (2*pr_base) AS BIGINT)
+           |    AS pr_index_micro,
+           |  CAST((2*adj_cents*100000000 + tr_base) // (2*tr_base)
+           |    - (2*price_cents*100000000 + pr_base) // (2*pr_base) AS BIGINT)
+           |    AS div_drag_micro
+           |FROM based ORDER BY l_suppkey, day_ord""".stripMargin,
+
       // ADX: the weekly bar build + FOUR positive-branch integer Wilder
       // recurrences replayed as recursive CTEs (the q_ta4 playbook), the
       // DI/DX ratios as the same rhaDiv integer divisions

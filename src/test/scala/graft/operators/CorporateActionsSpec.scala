@@ -71,6 +71,51 @@ class CorporateActionsSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("not an event table")), msgs(e).mkString(" | "))
   }
 
+  test("classifyEvents labels every action kind with exact ratios and amounts") {
+    // One key per kind. adj constant; raw multiplier changes at ord 1 by
+    // the planted factor (raw = adj·c, factor = c_prev/c_curr).
+    val rows = Seq(
+      // 2:1 split: c 6 -> 3
+      (1L, 0L, 600L, 100L), (1L, 1L, 300L, 100L),
+      // reverse 1:5: c 1 -> 5
+      (2L, 0L, 700L, 700L), (2L, 1L, 3500L, 700L),
+      // 3:2 split (small rational): c 3 -> 2
+      (3L, 0L, 3000L, 1000L), (3L, 1L, 2000L, 1000L),
+      // dividend (factor 21/20): c 21 -> 20; the ex-day price drop IS the
+      // dividend: R_prev 2100 -> R_t 2000 => D = 100 (= R_prev·(1−den/num))
+      (4L, 0L, 2100L, 100L), (4L, 1L, 2000L, 100L),
+      // unknown: factor 1000:999 (0.1% — under no classification)
+      (5L, 0L, 1000000L, 999L), (5L, 1L, 999000L, 999L))
+      .toDF("k", "ord", "raw", "adj")
+    val got = CorporateActions.classifyEvents(rows, Seq("k"), "ord", "raw", "adj")
+      .select("k", "action", "split_num", "split_den", "div_cents", "div_exact")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), Option(r.get(2)), Option(r.get(3)),
+          Option(r.get(4)), Option(r.get(5)))).toMap
+    assert(got(1L) === ("split", Some(2L), Some(1L), None, None))
+    assert(got(2L) === ("reverse_split", Some(1L), Some(5L), None, None))
+    assert(got(3L) === ("split", Some(3L), Some(2L), None, None))
+    assert(got(4L) === ("dividend", None, None, Some(100L), Some(true)))
+    // 1000/999 ≈ 1.001: within the 10% dividend zone by magnitude BUT the
+    // zone starts above 1 — wait, 1000/999 > 1 and ≤ 1.1, so it IS a
+    // dividend by the documented rule; assert that, not 'unknown'
+    assert(got(5L)._1 === "dividend")
+    // a genuinely unclassifiable factor: 997:800 (1.24625, not small-rational)
+    val odd = Seq((6L, 0L, 99700L, 100L), (6L, 1L, 80000L, 100L))
+      .toDF("k", "ord", "raw", "adj")
+    val u = CorporateActions.classifyEvents(odd, Seq("k"), "ord", "raw", "adj")
+      .select("action").as[String].head()
+    assert(u === "unknown")
+  }
+
+  test("classifyEvents agrees with splitEvents on WHERE events fire") {
+    val ev = CorporateActions.splitEvents(series, Seq("k"), "ord", "raw", "adj")
+      .select("k", "ord").as[(Long, Long)].collect().toSet
+    val cl = CorporateActions.classifyEvents(series, Seq("k"), "ord", "raw", "adj")
+      .select("k", "ord").as[(Long, Long)].collect().toSet
+    assert(ev === cl)
+  }
+
   test("detection plans ONE key exchange; back-adjust broadcasts the event arrays") {
     val p1 = CorporateActions.splitEvents(series, Seq("k"), "ord", "raw", "adj")
       .queryExecution.executedPlan.toString
