@@ -93,6 +93,67 @@ object TradingCalendar {
       .withColumnRenamed("day_ord_target", "day_ord")
   }
 
+  /** Cross-listing / multi-calendar alignment (round 11 — VERDICT r10 #5):
+    * a dual-listed instrument trades the SAME economic series on two
+    * venues with DIFFERENT session sets (disjoint holidays, the ADR
+    * case); comparing the listings requires a COMMON grid. Per pair key:
+    *
+    *  - the UNION calendar of the two sides' observed sessions, with a
+    *    dense per-pair session index (keyed window — never global);
+    *  - each side LOCF-filled onto that grid within its own listing
+    *    window (the [[gapFillLocf]] policy applied against the union
+    *    calendar instead of the side's own);
+    *  - one output row per union session where BOTH sides are listed
+    *    (inner join on the session index = the window overlap), with
+    *    per-side staleness flags: `a_stale` means the union session is
+    *    not an A session, so A's value is carried from its last close —
+    *    exactly the rows where a naive cross-venue comparison would
+    *    read a stale quote as a price gap.
+    *
+    * Input contract: one row per (pairKeys, side, day); `sideCol` holds
+    * exactly 'a' or 'b' (other values silently vanish in the pivot —
+    * spec-pinned contract, validate upstream). Output: (pairKeys...,
+    * session_idx, day_ord, a_<value>, a_stale, b_<value>, b_stale).
+    *
+    * Scale shape: one shuffle on (pair, side) for the LOCF windows +
+    * grid joins keyed on the pair — the per-pair calendar is days-sized
+    * and the grid is the output's inherent size; no global window, no
+    * range join. */
+  def alignCrossListed(df: DataFrame, pairKeyCols: Seq[String], sideCol: String,
+                       dayOrdCol: String, valueCol: String): DataFrame = {
+    val keys = pairKeyCols.map(col)
+    val facts = df.select(keys :+ col(sideCol).as("__side") :+
+      col(dayOrdCol).cast("long").as("day_ord") :+ col(valueCol).as("__v"): _*)
+    val cal = facts.select(keys :+ col("day_ord"): _*).distinct()
+      .withColumn("session_idx", row_number().over(
+        Window.partitionBy(keys: _*).orderBy("day_ord")).cast("long"))
+    val bounds = facts.groupBy(keys :+ col("__side"): _*)
+      .agg(min(col("day_ord")).as("first_day"), max(col("day_ord")).as("last_day"))
+    val cf = cal.select(keys :+ col("day_ord").as("first_day") :+
+      col("session_idx").as("__fi"): _*)
+    val cl = cal.select(keys :+ col("day_ord").as("last_day") :+
+      col("session_idx").as("__li"): _*)
+    val grid = bounds
+      .join(cf, pairKeyCols :+ "first_day")
+      .join(cl, pairKeyCols :+ "last_day")
+      .select(keys :+ col("__side") :+
+        explode(sequence(col("__fi"), col("__li"))).as("session_idx"): _*)
+      .join(cal, pairKeyCols :+ "session_idx")
+    val w = Window.partitionBy(keys :+ col("__side"): _*).orderBy("session_idx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = grid
+      .join(facts, pairKeyCols ++ Seq("__side", "day_ord"), "left_outer")
+      .withColumn("__stale", col("__v").isNull)
+      .withColumn("__f", last(col("__v"), ignoreNulls = true).over(w))
+    val aSide = filled.where(col("__side") === "a")
+      .select(keys :+ col("session_idx") :+ col("day_ord") :+
+        col("__f").as(s"a_$valueCol") :+ col("__stale").as("a_stale"): _*)
+    val bSide = filled.where(col("__side") === "b")
+      .select(keys :+ col("session_idx") :+
+        col("__f").as(s"b_$valueCol") :+ col("__stale").as("b_stale"): _*)
+    aSide.join(bSide, pairKeyCols :+ "session_idx")
+  }
+
   /** Gap-fill to the full per-key session grid: one output row per
     * (key, session in [key's first, key's last]), with
     * `<valueCol>_filled` = last present value at-or-before (LOCF — never

@@ -926,6 +926,26 @@ object TechQueries extends QueryModule {
           "cents_filled")
         .orderBy("l_suppkey", "session_idx")
     }),
+
+    // Q-CAL4 (round 11): cross-listing alignment — each supplier "dual-
+    // lists" on two venues with planted DISJOINT holiday calendars (venue
+    // A closed on day_ord%7==3, venue B on %7==5; B quotes at 2x so the
+    // sides are distinguishable), aligned onto the per-pair UNION
+    // calendar with per-side LOCF and staleness flags. Both stale
+    // branches live by construction; one (pair, side) shuffle + keyed
+    // grid joins, no global window.
+    "q_cal4" -> ((s, d) => {
+      val daily = Shared.supplierDailyCents(s, d)
+      val a = daily.where(pmod(col("day_ord"), lit(7L)) =!= 3)
+        .select(col("l_suppkey"), lit("a").as("side"), col("day_ord"),
+          col("cents"))
+      val b = daily.where(pmod(col("day_ord"), lit(7L)) =!= 5)
+        .select(col("l_suppkey"), lit("b").as("side"), col("day_ord"),
+          (col("cents") * 2).as("cents"))
+      TradingCalendar.alignCrossListed(a.unionByName(b), Seq("l_suppkey"),
+          "side", "day_ord", "cents")
+        .orderBy("l_suppkey", "session_idx")
+    }),
   )
 
   def oracleSql: Map[String, String] = {
@@ -1866,6 +1886,55 @@ object TechQueries extends QueryModule {
            |    AS cents_filled
            |FROM g2
            |ORDER BY l_suppkey, session_idx""".stripMargin,
+
+      "q_cal4" ->
+        s"""WITH ${Shared.plantedSplitCtes},
+           |sides AS (
+           |  SELECT l_suppkey, 'a' AS side, day_ord, cents
+           |  FROM pdd WHERE day_ord % 7 <> 3
+           |  UNION ALL
+           |  SELECT l_suppkey, 'b', day_ord, cents*2
+           |  FROM pdd WHERE day_ord % 7 <> 5),
+           |cal AS (
+           |  SELECT l_suppkey, day_ord,
+           |    CAST(row_number() OVER (PARTITION BY l_suppkey ORDER BY day_ord)
+           |      AS BIGINT) AS session_idx
+           |  FROM (SELECT DISTINCT l_suppkey, day_ord FROM sides)),
+           |bounds AS (
+           |  SELECT l_suppkey, side, MIN(day_ord) AS fd, MAX(day_ord) AS ld
+           |  FROM sides GROUP BY 1, 2),
+           |b2 AS (
+           |  SELECT b.l_suppkey, b.side, cf.session_idx AS fi, cl.session_idx AS li
+           |  FROM bounds b
+           |  JOIN cal cf ON b.l_suppkey = cf.l_suppkey AND b.fd = cf.day_ord
+           |  JOIN cal cl ON b.l_suppkey = cl.l_suppkey AND b.ld = cl.day_ord),
+           |grid AS (
+           |  SELECT b2.l_suppkey, b2.side, CAST(g.i AS BIGINT) AS session_idx
+           |  FROM b2, unnest(generate_series(b2.fi, b2.li)) AS g(i)),
+           |j AS (
+           |  SELECT grid.l_suppkey, grid.side, grid.session_idx, cal.day_ord, s.cents
+           |  FROM grid
+           |  JOIN cal ON grid.l_suppkey = cal.l_suppkey
+           |          AND grid.session_idx = cal.session_idx
+           |  LEFT JOIN sides s ON s.l_suppkey = grid.l_suppkey
+           |          AND s.side = grid.side AND s.day_ord = cal.day_ord),
+           |g2 AS (
+           |  SELECT *, COUNT(cents) OVER (PARTITION BY l_suppkey, side
+           |    ORDER BY session_idx ROWS UNBOUNDED PRECEDING) AS grp
+           |  FROM j),
+           |f AS (
+           |  SELECT l_suppkey, side, session_idx, day_ord,
+           |    cents IS NULL AS stale,
+           |    CAST(MAX(cents) OVER (PARTITION BY l_suppkey, side, grp) AS BIGINT)
+           |      AS filled
+           |  FROM g2)
+           |SELECT fa.l_suppkey, fa.session_idx, fa.day_ord,
+           |  fa.filled AS a_cents, fa.stale AS a_stale,
+           |  fb.filled AS b_cents, fb.stale AS b_stale
+           |FROM f fa JOIN f fb
+           |  ON fa.l_suppkey = fb.l_suppkey AND fa.session_idx = fb.session_idx
+           |WHERE fa.side = 'a' AND fb.side = 'b'
+           |ORDER BY fa.l_suppkey, fa.session_idx""".stripMargin,
     )
   }
 }

@@ -64,6 +64,29 @@ class TradingCalendarSpec extends SparkSpec {
     assert(m.map(_._1).distinct.size === m.size)
   }
 
+  test("alignCrossListed: union grid, per-side LOCF, staleness, overlap window") {
+    // pair 1: A trades days 10,12,14 (holiday 11,13); B trades 11,12,13
+    // (holiday 10 pre-listing, 14 post-window). Union sessions 10..14.
+    val sides = Seq(
+      (1L, "a", 10L, 100L), (1L, "a", 12L, 120L), (1L, "a", 14L, 140L),
+      (1L, "b", 11L, 211L), (1L, "b", 12L, 212L), (1L, "b", 13L, 213L))
+      .toDF("k", "side", "day_ord", "px")
+    val got = TradingCalendar.alignCrossListed(sides, Seq("k"), "side",
+        "day_ord", "px")
+      .select("k", "session_idx", "day_ord", "a_px", "a_stale", "b_px", "b_stale")
+      .as[(Long, Long, Long, Long, Boolean, Long, Boolean)]
+      .collect().sortBy(_._2)
+    // overlap = union sessions where BOTH are inside their listing window:
+    // days 11 (B's first, A stale-carrying 100), 12 (both fresh), 13
+    // (A stale 120, B fresh); day 10 (B unlisted) and 14 (B delisted) drop
+    assert(got.map(r => (r._3, r._4, r._5, r._6, r._7)).toSeq === Seq(
+      (11L, 100L, true, 211L, false),
+      (12L, 120L, false, 212L, false),
+      (13L, 120L, true, 213L, false)))
+    // the per-pair session index is dense over the union calendar
+    assert(got.map(_._2).toSeq === Seq(2L, 3L, 4L))
+  }
+
   test("plan shape: calendar joins broadcast; LOCF shares the grid's key shuffle") {
     val cal = TradingCalendar.sessionCalendar(daily, "day_ord")
     val p = TradingCalendar.gapFillLocf(daily, Seq("k"), "day_ord", "cents", cal)
