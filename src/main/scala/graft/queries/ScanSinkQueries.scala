@@ -39,7 +39,54 @@ object ScanSinkQueries extends QueryModule {
       root
     }
 
+  // Q-DQ8 fixture: three parquet GENERATIONS written once per (session,
+  // corpus) with planted drift — price_cents widens int→bigint→double,
+  // region is renamed to region_name at gen 2 (same type, adjacent
+  // generations), status type-CONFLICTS at gen 3 (string→bigint), k and
+  // note are stable. The oracle replays the drift logic from the same
+  // planted inventory as a VALUES literal (the dirs are session-local, so
+  // the inventory — not the path — is the cross-engine contract; reading
+  // the footers back IS the Spark-side check: a schema-read bug breaks
+  // the hash).
+  private def schemaGenDirs(s: SparkSession, d: String): Seq[(Long, String)] =
+    Memo.cached(s, s"schemagens|$d") {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_schema_gens/" +
+        s"${s.sparkContext.applicationId}/${new java.io.File(d).getName}"
+      val o = Tables.load(s, d, "orders")
+      val cents = round(col("o_totalprice") * lit(100.0))
+      o.where(pmod(col("o_orderkey"), lit(3L)) === 0).select(
+          col("o_orderkey").as("k"), cents.cast("int").as("price_cents"),
+          col("o_orderstatus").as("status"),
+          col("o_orderpriority").as("region"),
+          col("o_orderstatus").as("note"))
+        .write.mode("overwrite").parquet(s"$root/g1")
+      o.where(pmod(col("o_orderkey"), lit(3L)) === 1).select(
+          col("o_orderkey").as("k"), cents.cast("long").as("price_cents"),
+          col("o_orderstatus").as("status"),
+          col("o_orderpriority").as("region_name"),
+          col("o_orderstatus").as("note"))
+        .write.mode("overwrite").parquet(s"$root/g2")
+      o.where(pmod(col("o_orderkey"), lit(3L)) === 2).select(
+          col("o_orderkey").as("k"), cents.cast("double").as("price_cents"),
+          pmod(col("o_orderkey"), lit(7L)).as("status"),
+          col("o_orderpriority").as("region_name"),
+          col("o_orderstatus").as("note"))
+        .write.mode("overwrite").parquet(s"$root/g3")
+      Seq((1L, s"$root/g1"), (2L, s"$root/g2"), (3L, s"$root/g3"))
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q-DQ8 (round 11): schema-evolution audit — the drift report over
+    // three planted parquet generations: per column, presence window,
+    // type change-point history, widened/narrowed/conflict flags, the
+    // reconciled reader type (null when conflicted — quarantine, don't
+    // fail the scan), and the renamed-candidate link. Inventory comes
+    // from parquet FOOTERS only; all report logic is relational.
+    "q_dq8" -> ((s, d) =>
+      graft.operators.SchemaEvolution.driftReport(
+          graft.operators.SchemaEvolution.generationSchemas(s, schemaGenDirs(s, d)))
+        .orderBy("col_name")),
+
     // Q-ACID1 (round 11): TIME TRAVEL — after an overwrite and an append,
     // every historical version is still readable from its manifest:
     // per-version status rollups of v1 (pre-overwrite state — the proof
@@ -273,6 +320,60 @@ object ScanSinkQueries extends QueryModule {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_dq8" ->
+      """WITH inv(gen, col_name, data_type) AS (VALUES
+        |  (1, 'k', 'bigint'), (1, 'price_cents', 'int'), (1, 'status', 'string'),
+        |  (1, 'region', 'string'), (1, 'note', 'string'),
+        |  (2, 'k', 'bigint'), (2, 'price_cents', 'bigint'), (2, 'status', 'string'),
+        |  (2, 'region_name', 'string'), (2, 'note', 'string'),
+        |  (3, 'k', 'bigint'), (3, 'price_cents', 'double'), (3, 'status', 'bigint'),
+        |  (3, 'region_name', 'string'), (3, 'note', 'string')),
+        |cp AS (
+        |  SELECT gen, col_name, data_type,
+        |    lag(data_type) OVER w AS prev,
+        |    CASE data_type WHEN 'int' THEN 1 WHEN 'bigint' THEN 2
+        |      WHEN 'double' THEN 3 END AS r,
+        |    CASE lag(data_type) OVER w WHEN 'int' THEN 1 WHEN 'bigint' THEN 2
+        |      WHEN 'double' THEN 3 END AS rp
+        |  FROM inv WINDOW w AS (PARTITION BY col_name ORDER BY gen)),
+        |cp2 AS (SELECT * FROM cp WHERE prev IS NULL OR prev <> data_type),
+        |percol AS (
+        |  SELECT col_name,
+        |    string_agg(data_type, '->' ORDER BY gen) AS type_history,
+        |    bool_or(prev IS NOT NULL AND r IS NOT NULL AND rp IS NOT NULL
+        |      AND r > rp) AS widened,
+        |    bool_or(prev IS NOT NULL AND r IS NOT NULL AND rp IS NOT NULL
+        |      AND r < rp) AS narrowed,
+        |    bool_or(prev IS NOT NULL AND (r IS NULL OR rp IS NULL)) AS conflict,
+        |    CASE WHEN max(r) IS NULL THEN max(data_type)
+        |         WHEN max(r) = 3 THEN 'double'
+        |         WHEN max(r) = 2 THEN 'bigint'
+        |         ELSE 'int' END AS widest
+        |  FROM cp2 GROUP BY 1),
+        |presence AS (
+        |  SELECT col_name, CAST(MIN(gen) AS BIGINT) AS first_gen,
+        |    CAST(MAX(gen) AS BIGINT) AS last_gen,
+        |    CAST(COUNT(*) AS BIGINT) AS n_gens
+        |  FROM inv GROUP BY 1),
+        |mg AS (SELECT MAX(gen) AS m FROM inv),
+        |lastt AS (SELECT col_name, arg_max(data_type, gen) AS lt,
+        |    MAX(gen) AS lg FROM inv GROUP BY 1),
+        |firstt AS (SELECT col_name AS cand, arg_min(data_type, gen) AS ft,
+        |    MIN(gen) AS fg FROM inv GROUP BY 1),
+        |ren AS (
+        |  SELECT l.col_name, MIN(f.cand) AS renamed_to
+        |  FROM lastt l, mg, firstt f
+        |  WHERE l.lg < mg.m AND f.fg > 1 AND f.fg = l.lg + 1 AND l.lt = f.ft
+        |  GROUP BY 1)
+        |SELECT p.col_name, p.first_gen, p.last_gen, p.n_gens, pc.type_history,
+        |  pc.widened, pc.narrowed, pc.conflict,
+        |  CASE WHEN NOT pc.conflict THEN pc.widest END AS reader_type,
+        |  ren.renamed_to
+        |FROM presence p
+        |JOIN percol pc USING (col_name)
+        |LEFT JOIN ren USING (col_name)
+        |ORDER BY col_name""".stripMargin,
+
     "q_acid1" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_orderstatus,
