@@ -324,20 +324,23 @@ object TextDedupQueries extends QueryModule {
     // Embedding-cosine near-dup dedup end-to-end: threshold pairs within
     // label blocks -> connected components -> survivors. Oracle-checked:
     // the edge list is deterministic (q_sim2 oracles it) and the min-label
-    // components are a DuckDB recursive CTE.
+    // components are a DuckDB recursive CTE. The component labels are the
+    // MEMOIZED Shared.cosineComponents (r11) — q_dedup7 reads the same
+    // table, so the star contraction runs once per session, not per query.
     "q_dedup6" -> ((s, d) => {
-      val emb = Tables.load(s, d, "embeddings")
-      NearDup.dedupByComponents(emb.select("vec_id", "label"), "vec_id",
-        Shared.cosinePairs(s, d).select("id_a", "id_b"))
+      val comp = Shared.cosineComponents(s, d)
+      Tables.load(s, d, "embeddings").select("vec_id", "label")
+        .join(comp.where(col("v") =!= col("component")).select("v"),
+          col("vec_id") === col("v"), "left_anti")
         .orderBy("vec_id")
     }),
 
     // Connected-component labels themselves over the same deterministic
     // edge list — the oracle-checked twin of q_dedup5's shape: every
-    // clustered vertex with the min vertex id reachable from it.
+    // clustered vertex with the min vertex id reachable from it (served
+    // from the same memoized component table as q_dedup6).
     "q_dedup7" -> ((s, d) =>
-      NearDup.connectedComponents(Shared.cosinePairs(s, d).select("id_a", "id_b"))
-        .orderBy("v")),
+      Shared.cosineComponents(s, d).orderBy("v")),
 
     // Incremental dedup arrival path: candidate pairs touching a NEW doc
     // batch, found by joining its band table against the persisted corpus
