@@ -172,6 +172,22 @@ object AcidTable {
       (v, action, files.length)
     }
 
+  /** Compact the current version into `numFiles` files, published as a
+    * new version with action 'compact' — the OPTIMIZE step every
+    * lakehouse needs once streaming appends have shredded a table into
+    * thousands of small files (each append here adds a file set; reads
+    * then pay per-file open cost). The data is byte-identical by
+    * construction (one repartition of the current snapshot); old
+    * versions stay readable until [[vacuum]], and readers holding any
+    * version's file list are untouched — compaction is just another
+    * commit racing through the same create-exclusive gate. */
+  def compact(spark: SparkSession, root: String, numFiles: Int): Long = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    val cur = currentVersion(spark, root)
+    val df = readAsOf(spark, root, cur).repartition(numFiles)
+    publish(spark, root, cur + 1, "compact", writeDataFiles(df, root))
+  }
+
   /** Added / removed / changed rows between two versions —
     * [[SnapshotDiff.diff]] over the two resolved snapshots (one full-outer
     * join on the key; the delta ships, never the snapshots). */

@@ -102,6 +102,27 @@ object ScanSinkQueries extends QueryModule {
       }.reduce(_.unionByName(_)).orderBy("version", "o_orderstatus")
     }),
 
+    // Q-ACID3 (round 11): compaction — the OPTIMIZE step: v4 rewrites the
+    // v3 state as exactly 2 files under the 'compact' action (one more
+    // commit through the same create-exclusive gate; data byte-identical
+    // by construction). Emits per-version (action, row count, exact sum)
+    // across the whole history — the compacted version must serve the
+    // SAME aggregates as the state it rewrote, and the pre-compaction
+    // versions must be undisturbed (the snapshot-isolation proof again,
+    // now with a rewriter racing the readers).
+    "q_acid3" -> ((s, d) => {
+      val root = acidRoot(s, d)
+      Memo.cached(s, s"acidcompact|$d") {
+        java.lang.Long.valueOf(AcidTable.compact(s, root, numFiles = 2))
+      }
+      AcidTable.history(s, root).map { case (v, action, _) =>
+        AcidTable.readAsOf(s, root, v)
+          .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+          .select(lit(v).as("version"), lit(action).as("action"),
+            col("n"), col("sum_cents"))
+      }.reduce(_.unionByName(_)).orderBy("version")
+    }),
+
     // Q-ACID2 (round 11): version diff — SnapshotDiff over two resolved
     // snapshots (one full-outer join on the key). All three change kinds
     // are live on the fixture: added (%10 in 5..7), removed (%10 in 0..1),
@@ -397,6 +418,31 @@ object ScanSinkQueries extends QueryModule {
         |  CAST(count(*) AS BIGINT), CAST(SUM(cents) AS BIGINT)
         |FROM v3 GROUP BY o_orderstatus
         |ORDER BY version, o_orderstatus""".stripMargin,
+
+    "q_acid3" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(round(o_totalprice*100,0) AS BIGINT) AS cents
+        |  FROM orders),
+        |v1 AS (SELECT * FROM base WHERE o_orderkey % 10 < 5),
+        |v2 AS (SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN cents*2 ELSE cents END AS cents
+        |  FROM base WHERE o_orderkey % 10 BETWEEN 2 AND 7),
+        |v3 AS (SELECT * FROM v2
+        |  UNION ALL SELECT * FROM base WHERE o_orderkey % 10 = 8)
+        |SELECT CAST(1 AS BIGINT) AS version, 'overwrite' AS action,
+        |  CAST(count(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM v1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'overwrite',
+        |  CAST(count(*) AS BIGINT), CAST(SUM(cents) AS BIGINT) FROM v2
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), 'append',
+        |  CAST(count(*) AS BIGINT), CAST(SUM(cents) AS BIGINT) FROM v3
+        |UNION ALL
+        |SELECT CAST(4 AS BIGINT), 'compact',
+        |  CAST(count(*) AS BIGINT), CAST(SUM(cents) AS BIGINT) FROM v3
+        |ORDER BY version""".stripMargin,
 
     "q_acid2" ->
       """WITH base AS (

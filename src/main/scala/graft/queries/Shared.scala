@@ -404,6 +404,35 @@ private[graft] object Shared {
         .select("l_suppkey", "day_ord", "cents")
     }
 
+  /** Per-(supplier, day) close cents + integer volume (sum of quantities)
+    * — the OHLCV-ish frame the volume indicators (q_ta19/q_ta21) need.
+    * Quantities are 0dp in the fixtures (Det's verified contract), so the
+    * volume is exact. */
+  def supplierDailyCentsVolume(s: SparkSession, d: String): DataFrame =
+    Memo.cachedDf(s, s"sup_daily_cv|$d") {
+      Tables.load(s, d, "lineitem")
+        .groupBy(col("l_suppkey"), col("l_shipdate").cast("date").as("day"))
+        .agg(sum(round(col("l_extendedprice") * lit(100.0)).cast("long"))
+            .as("cents"),
+          sum(round(col("l_quantity")).cast("long")).as("vol"))
+        .withColumn("day_ord",
+          datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+        .select("l_suppkey", "day_ord", "cents", "vol")
+    }
+
+  /** DuckDB twin of [[supplierDailyCentsVolume]]: CTE `cv(l_suppkey,
+    * day_ord, cents, vol)`. */
+  def supplierDailyCentsVolumeSql: String =
+    """cvd AS (
+      |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS day,
+      |    CAST(SUM(CAST(round(l_extendedprice*100.0,0) AS BIGINT)) AS BIGINT) AS cents,
+      |    CAST(SUM(CAST(round(l_quantity,0) AS BIGINT)) AS BIGINT) AS vol
+      |  FROM lineitem GROUP BY 1, 2),
+      |cv AS (
+      |  SELECT l_suppkey, date_diff('day', DATE '1970-01-01', day) AS day_ord,
+      |    cents, vol
+      |  FROM cvd)""".stripMargin
+
   /** Clip bound for the cross-series return features: ±1e7 micro
     * (±1000%) — generous for any real daily move, and the overflow proof
     * for the downstream sums of products (n·C² ≤ 2500·1e14 = 2.5e17 <

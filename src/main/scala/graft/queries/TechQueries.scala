@@ -927,6 +927,72 @@ object TechQueries extends QueryModule {
         .orderBy("l_suppkey", "session_idx")
     }),
 
+    // Q-TA19 (round 11): on-balance volume — the classic volume-confirms-
+    // price indicator: a running signed-volume sum (+vol on an up close,
+    // −vol on a down close, 0 flat/first). PURE integers end-to-end (no
+    // division anywhere); one key shuffle, lag + running sum share the
+    // partitioning.
+    "q_ta19" -> ((s, d) => {
+      val wd = Window.partitionBy("l_suppkey").orderBy("day_ord")
+      val run = wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Shared.supplierDailyCentsVolume(s, d)
+        .withColumn("__prev", lag(col("cents"), 1).over(wd))
+        .withColumn("__step",
+          when(col("__prev").isNull, lit(0L))
+            .when(col("cents") > col("__prev"), col("vol"))
+            .when(col("cents") < col("__prev"), -col("vol"))
+            .otherwise(lit(0L)))
+        .withColumn("obv", sum(col("__step")).over(run))
+        .select("l_suppkey", "day_ord", "cents", "vol", "obv")
+        .orderBy("l_suppkey", "day_ord")
+    }),
+
+    // Q-TA20 (round 11): Williams %R (14 sessions) — the stochastic's
+    // mirror: −(hi14 − close)/(hi14 − lo14) in FRACTION micro ([−1e6, 0],
+    // the q_ta15 %K convention) via the positive-numerator rhaDiv branch,
+    // negated after; flat windows null. One key shuffle, two frames on it.
+    "q_ta20" -> ((s, d) => {
+      val wd = Window.partitionBy("l_suppkey").orderBy("day_ord")
+      val w14 = wd.rowsBetween(-13, Window.currentRow)
+      Shared.supplierDailyCents(s, d)
+        .withColumn("lo14", min(col("cents")).over(w14))
+        .withColumn("hi14", max(col("cents")).over(w14))
+        .withColumn("__n", (col("hi14") - col("cents")) * lit(1000000L))
+        .withColumn("__w", col("hi14") - col("lo14"))
+        .withColumn("wr_micro",
+          when(col("__w") > 0, -expr("(2 * __n + __w) div (2 * __w)")))
+        .select("l_suppkey", "day_ord", "cents", "wr_micro")
+        .orderBy("l_suppkey", "day_ord")
+    }),
+
+    // Q-TA21 (round 11): money flow index (14 sessions) — volume-weighted
+    // RSI: MFI = posflow/(posflow+negflow) over signed cents·vol flows as
+    // one exact positive-branch rhaDiv, in FRACTION micro ([0, 1e6], the
+    // q_ta15 %K convention). Overflow bound (documented like q_ca4's):
+    // 2·windowSum(cents·vol)·1e6 ≤ 2·14·5.4e9·1e6 ≈ 1.5e17 < 2^63 at
+    // sf0.1's measured max flow — at larger SF re-quantize the flow
+    // units upstream. All-flat windows (no up, no down flow) null out.
+    "q_ta21" -> ((s, d) => {
+      val wd = Window.partitionBy("l_suppkey").orderBy("day_ord")
+      val w14 = wd.rowsBetween(-13, Window.currentRow)
+      Shared.supplierDailyCentsVolume(s, d)
+        .withColumn("__prev", lag(col("cents"), 1).over(wd))
+        .withColumn("__pf",
+          when(col("__prev").isNotNull && col("cents") > col("__prev"),
+            col("cents") * col("vol")).otherwise(lit(0L)))
+        .withColumn("__nf",
+          when(col("__prev").isNotNull && col("cents") < col("__prev"),
+            col("cents") * col("vol")).otherwise(lit(0L)))
+        .withColumn("__ps", sum(col("__pf")).over(w14))
+        .withColumn("__ns", sum(col("__nf")).over(w14))
+        .withColumn("__den", col("__ps") + col("__ns"))
+        .withColumn("mfi_micro",
+          when(col("__den") > 0,
+            expr("(2 * __ps * 1000000 + __den) div (2 * __den)")))
+        .select("l_suppkey", "day_ord", "cents", "vol", "mfi_micro")
+        .orderBy("l_suppkey", "day_ord")
+    }),
+
     // Q-CAL4 (round 11): cross-listing alignment — each supplier "dual-
     // lists" on two venues with planted DISJOINT holiday calendars (venue
     // A closed on day_ord%7==3, venue B on %7==5; B quotes at 2x so the
@@ -1886,6 +1952,64 @@ object TechQueries extends QueryModule {
            |    AS cents_filled
            |FROM g2
            |ORDER BY l_suppkey, session_idx""".stripMargin,
+
+      "q_ta19" ->
+        s"""WITH ${Shared.supplierDailyCentsVolumeSql},
+           |lagd AS (
+           |  SELECT l_suppkey, day_ord, cents, vol,
+           |    lag(cents) OVER (PARTITION BY l_suppkey ORDER BY day_ord) AS prev
+           |  FROM cv),
+           |st AS (
+           |  SELECT l_suppkey, day_ord, cents, vol,
+           |    CASE WHEN prev IS NULL THEN 0
+           |         WHEN cents > prev THEN vol
+           |         WHEN cents < prev THEN -vol
+           |         ELSE 0 END AS step
+           |  FROM lagd)
+           |SELECT l_suppkey, day_ord, cents, vol,
+           |  CAST(SUM(step) OVER (PARTITION BY l_suppkey ORDER BY day_ord
+           |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS obv
+           |FROM st ORDER BY l_suppkey, day_ord""".stripMargin,
+
+      "q_ta20" ->
+        s"""WITH ${Shared.plantedSplitCtes},
+           |ex AS (
+           |  SELECT l_suppkey, day_ord, cents,
+           |    MIN(cents) OVER w14 AS lo14, MAX(cents) OVER w14 AS hi14
+           |  FROM pdd
+           |  WINDOW w14 AS (PARTITION BY l_suppkey ORDER BY day_ord
+           |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+           |SELECT l_suppkey, day_ord, cents,
+           |  CASE WHEN hi14 - lo14 > 0 THEN
+           |    CAST(-((2*((hi14 - cents)*1000000) + (hi14 - lo14))
+           |      // (2*(hi14 - lo14))) AS BIGINT) END AS wr_micro
+           |FROM ex ORDER BY l_suppkey, day_ord""".stripMargin,
+
+      "q_ta21" ->
+        s"""WITH ${Shared.supplierDailyCentsVolumeSql},
+           |lagd AS (
+           |  SELECT l_suppkey, day_ord, cents, vol,
+           |    lag(cents) OVER (PARTITION BY l_suppkey ORDER BY day_ord) AS prev
+           |  FROM cv),
+           |fl AS (
+           |  SELECT l_suppkey, day_ord, cents, vol,
+           |    CASE WHEN prev IS NOT NULL AND cents > prev THEN cents*vol
+           |         ELSE 0 END AS pf,
+           |    CASE WHEN prev IS NOT NULL AND cents < prev THEN cents*vol
+           |         ELSE 0 END AS nf
+           |  FROM lagd),
+           |sm AS (
+           |  SELECT l_suppkey, day_ord, cents, vol,
+           |    CAST(SUM(pf) OVER w14 AS BIGINT) AS ps,
+           |    CAST(SUM(nf) OVER w14 AS BIGINT) AS ns
+           |  FROM fl
+           |  WINDOW w14 AS (PARTITION BY l_suppkey ORDER BY day_ord
+           |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+           |SELECT l_suppkey, day_ord, cents, vol,
+           |  CASE WHEN ps + ns > 0 THEN
+           |    CAST((2*ps*1000000 + (ps + ns)) // (2*(ps + ns)) AS BIGINT)
+           |  END AS mfi_micro
+           |FROM sm ORDER BY l_suppkey, day_ord""".stripMargin,
 
       "q_cal4" ->
         s"""WITH ${Shared.plantedSplitCtes},

@@ -86,6 +86,23 @@ class AcidTableSpec extends SparkSpec {
     assert(asSet(AcidTable.read(spark, root)) === Set(9L -> 90L))
   }
 
+  test("compact rewrites the current state into numFiles, data identical") {
+    val root = freshRoot("cp")
+    AcidTable.commitOverwrite(kv((1L to 50L).map(i => i -> i * 2): _*), root)
+    AcidTable.commitAppend(kv((51L to 99L).map(i => i -> i * 2): _*), root)
+    val v3 = AcidTable.compact(spark, root, numFiles = 2)
+    assert(v3 === 3L)
+    val h = AcidTable.history(spark, root)
+    assert(h.map(_._2) === Seq("overwrite", "append", "compact"))
+    assert(h(2)._3 === 2, "compacted version lists exactly numFiles files")
+    assert(h(2)._3 < h(1)._3, "compaction must shrink the file count")
+    // identical data, and the pre-compaction version is untouched
+    assert(asSet(AcidTable.read(spark, root)) ===
+      (1L to 99L).map(i => i -> i * 2).toSet)
+    assert(asSet(AcidTable.readAsOf(spark, root, 2)) ===
+      asSet(AcidTable.readAsOf(spark, root, 3)))
+  }
+
   test("an empty table fails with a clear message, not an empty scan") {
     val root = freshRoot("em")
     val e = intercept[IllegalArgumentException] { AcidTable.read(spark, root) }
