@@ -96,8 +96,23 @@ object AcidTable {
       case _ => throw new IllegalStateException(
         s"manifest v$v at $root is malformed (missing #action header)")
     }
-    (action, lines.tail.filter(_.nonEmpty))
+    // header lines beyond #action (e.g. #token:) are metadata, not files
+    (action, lines.tail.filter(l => l.nonEmpty && !l.startsWith("#")))
   }
+
+  private def manifestToken(spark: SparkSession, root: String,
+                            v: Long): Option[String] = {
+    val f = fs(spark, root)
+    val text = Using.resource(f.open(manifestPath(root, v))) { in =>
+      new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    }
+    text.linesIterator.find(_.startsWith("#token:")).map(_.stripPrefix("#token:"))
+  }
+
+  /** The version a given idempotency token already published, if any. */
+  def tokenVersion(spark: SparkSession, root: String,
+                   token: String): Option[Long] =
+    versions(spark, root).find(v => manifestToken(spark, root, v).contains(token))
 
   /** Write `df` as new immutable parquet files under `root/data/<uuid>/`
     * and return their root-relative paths. The files are unreferenced
@@ -119,7 +134,8 @@ object AcidTable {
     * (package-visible so the spec can drive the exact two-writers-one-
     * version race the version-list read normally hides). */
   private[operators] def publish(spark: SparkSession, root: String, v: Long,
-                                 action: String, files: Seq[String]): Long = {
+                                 action: String, files: Seq[String],
+                                 token: Option[String] = None): Long = {
     val f = fs(spark, root)
     f.mkdirs(new Path(s"$root/$ManifestDir"))
     val p = manifestPath(root, v)
@@ -128,7 +144,8 @@ object AcidTable {
       try f.create(p, /*overwrite=*/ false)
       catch { case _: java.io.IOException => throw Conflict(v, root) }
     Using.resource(out) { o =>
-      o.write((s"#action:$action\n" + files.mkString("", "\n", "\n"))
+      val tokenLine = token.map(t => s"#token:$t\n").getOrElse("")
+      o.write((s"#action:$action\n" + tokenLine + files.mkString("", "\n", "\n"))
         .getBytes(StandardCharsets.UTF_8))
     }
     v
@@ -171,6 +188,32 @@ object AcidTable {
       val (action, files) = readManifest(spark, root, v)
       (v, action, files.length)
     }
+
+  /** Replay-idempotent [[commitAppend]] for streaming ingestion
+    * (foreachBatch at-least-once delivery): the manifest records the
+    * commit's idempotency `token` (e.g. "stream-batch-<id>"); if ANY
+    * published manifest already carries it, the commit is a NO-OP
+    * returning that version — a replayed micro-batch can never
+    * double-append, so at-least-once delivery converges to exactly-once
+    * table state. A Conflict loss against a concurrent writer re-checks
+    * the token (the winner may have been our own replay) before
+    * surfacing. The loser's data files stay unreferenced-invisible, as
+    * with every failed commit. */
+  def commitAppendOnce(df: DataFrame, root: String, token: String): Long = {
+    val spark = df.sparkSession
+    tokenVersion(spark, root, token) match {
+      case Some(v) => v
+      case None =>
+        val prev = versions(spark, root).lastOption
+        val base = prev.map(readManifest(spark, root, _)._2).getOrElse(Seq.empty)
+        try publish(spark, root, prev.getOrElse(0L) + 1, "append",
+          base ++ writeDataFiles(df, root), Some(token))
+        catch {
+          case c: Conflict =>
+            tokenVersion(spark, root, token).getOrElse(throw c)
+        }
+    }
+  }
 
   /** Compact the current version into `numFiles` files, published as a
     * new version with action 'compact' — the OPTIMIZE step every

@@ -103,6 +103,22 @@ class AcidTableSpec extends SparkSpec {
       asSet(AcidTable.readAsOf(spark, root, 3)))
   }
 
+  test("commitAppendOnce: a seen token no-ops; a stranger's token is honored") {
+    val root = freshRoot("tok")
+    AcidTable.commitOverwrite(kv(1L -> 1L), root)
+    assert(AcidTable.commitAppendOnce(kv(2L -> 2L), root, "t-1") === 2L)
+    // replay: same token, different (even bogus) data — must be a no-op
+    assert(AcidTable.commitAppendOnce(kv(99L -> 99L), root, "t-1") === 2L)
+    assert(AcidTable.versions(spark, root) === Seq(1L, 2L))
+    assert(asSet(AcidTable.read(spark, root)) === Set(1L -> 1L, 2L -> 2L))
+    // a version published elsewhere with the token short-circuits the
+    // commit entirely (the crashed-own-attempt recovery shape)
+    AcidTable.publish(spark, root, 3L, "append",
+      Seq("data/none/x.parquet"), Some("t-2"))
+    assert(AcidTable.commitAppendOnce(kv(5L -> 5L), root, "t-2") === 3L)
+    assert(AcidTable.versions(spark, root) === Seq(1L, 2L, 3L))
+  }
+
   test("an empty table fails with a clear message, not an empty scan") {
     val root = freshRoot("em")
     val e = intercept[IllegalArgumentException] { AcidTable.read(spark, root) }
