@@ -198,7 +198,11 @@ object AcidTable {
     * table state. A Conflict loss against a concurrent writer re-checks
     * the token (the winner may have been our own replay) before
     * surfacing. The loser's data files stay unreferenced-invisible, as
-    * with every failed commit. */
+    * with every failed commit. Token lookup opens every manifest
+    * (O(versions) small reads per commit) — honest at the
+    * thousands-of-versions scale this models; past that a production
+    * table keeps a token→version side index rebuilt from the manifests
+    * it denormalizes. */
   def commitAppendOnce(df: DataFrame, root: String, token: String): Long = {
     val spark = df.sparkSession
     tokenVersion(spark, root, token) match {

@@ -111,9 +111,10 @@ object TradingCalendar {
     *    read a stale quote as a price gap.
     *
     * Input contract: one row per (pairKeys, side, day); `sideCol` holds
-    * exactly 'a' or 'b' (other values silently vanish in the pivot —
-    * spec-pinned contract, validate upstream). Output: (pairKeys...,
-    * session_idx, day_ord, a_<value>, a_stale, b_<value>, b_stale).
+    * exactly 'a' or 'b' — ENFORCED in-plan (a stray side value raises at
+    * scan speed instead of silently vanishing in the pivot). Output:
+    * (pairKeys..., session_idx, day_ord, a_<value>, a_stale, b_<value>,
+    * b_stale).
     *
     * Scale shape: one shuffle on (pair, side) for the LOCF windows +
     * grid joins keyed on the pair — the per-pair calendar is days-sized
@@ -122,7 +123,11 @@ object TradingCalendar {
   def alignCrossListed(df: DataFrame, pairKeyCols: Seq[String], sideCol: String,
                        dayOrdCol: String, valueCol: String): DataFrame = {
     val keys = pairKeyCols.map(col)
-    val facts = df.select(keys :+ col(sideCol).as("__side") :+
+    val sideChecked = when(col(sideCol).isin("a", "b"), col(sideCol))
+      .otherwise(raise_error(concat(
+        lit("alignCrossListed: side must be 'a' or 'b', got '"),
+        col(sideCol), lit("'"))))
+    val facts = df.select(keys :+ sideChecked.as("__side") :+
       col(dayOrdCol).cast("long").as("day_ord") :+ col(valueCol).as("__v"): _*)
     val cal = facts.select(keys :+ col("day_ord"): _*).distinct()
       .withColumn("session_idx", row_number().over(

@@ -85,6 +85,16 @@ class TradingCalendarSpec extends SparkSpec {
       (13L, 120L, true, 213L, false)))
     // the per-pair session index is dense over the union calendar
     assert(got.map(_._2).toSeq === Seq(2L, 3L, 4L))
+    // a stray side value fails fast instead of vanishing in the pivot
+    val bad = Seq((1L, "c", 10L, 1L)).toDF("k", "side", "day_ord", "px")
+    val e = intercept[Exception] {
+      TradingCalendar.alignCrossListed(sides.unionByName(bad), Seq("k"),
+        "side", "day_ord", "px").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("side must be 'a' or 'b'")),
+      msgs(e).mkString(" | "))
   }
 
   test("plan shape: calendar joins broadcast; LOCF shares the grid's key shuffle") {
