@@ -116,10 +116,14 @@ object TradingCalendar {
     * (pairKeys..., session_idx, day_ord, a_<value>, a_stale, b_<value>,
     * b_stale).
     *
-    * Scale shape: one shuffle on (pair, side) for the LOCF windows +
-    * grid joins keyed on the pair — the per-pair calendar is days-sized
-    * and the grid is the output's inherent size; no global window, no
-    * range join. */
+    * Scale shape: ONE pass — union grid (per-pair calendar × the two-side
+    * literal array, no join), one left join of the facts, the LOCF +
+    * listing-window flags as three frames on ONE (pair, side) window
+    * node, and the two sides folded back by a (pair, session) pivot
+    * AGGREGATION (never a self-join: a self-join of the filled frame
+    * would recompute the whole upstream lineage twice — the r11 first
+    * cut did exactly that and paid 6.8× the single-pass cost). No global
+    * window, no range join; grid rows are the output's inherent size. */
   def alignCrossListed(df: DataFrame, pairKeyCols: Seq[String], sideCol: String,
                        dayOrdCol: String, valueCol: String): DataFrame = {
     val keys = pairKeyCols.map(col)
@@ -132,31 +136,30 @@ object TradingCalendar {
     val cal = facts.select(keys :+ col("day_ord"): _*).distinct()
       .withColumn("session_idx", row_number().over(
         Window.partitionBy(keys: _*).orderBy("day_ord")).cast("long"))
-    val bounds = facts.groupBy(keys :+ col("__side"): _*)
-      .agg(min(col("day_ord")).as("first_day"), max(col("day_ord")).as("last_day"))
-    val cf = cal.select(keys :+ col("day_ord").as("first_day") :+
-      col("session_idx").as("__fi"): _*)
-    val cl = cal.select(keys :+ col("day_ord").as("last_day") :+
-      col("session_idx").as("__li"): _*)
-    val grid = bounds
-      .join(cf, pairKeyCols :+ "first_day")
-      .join(cl, pairKeyCols :+ "last_day")
-      .select(keys :+ col("__side") :+
-        explode(sequence(col("__fi"), col("__li"))).as("session_idx"): _*)
-      .join(cal, pairKeyCols :+ "session_idx")
+    // every union session × both sides — a 2-element literal explode
+    val grid = cal.select(keys :+ col("day_ord") :+ col("session_idx") :+
+      explode(array(lit("a"), lit("b"))).as("__side"): _*)
     val w = Window.partitionBy(keys :+ col("__side"): _*).orderBy("session_idx")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wBack = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val filled = grid
       .join(facts, pairKeyCols ++ Seq("__side", "day_ord"), "left_outer")
       .withColumn("__stale", col("__v").isNull)
-      .withColumn("__f", last(col("__v"), ignoreNulls = true).over(w))
-    val aSide = filled.where(col("__side") === "a")
-      .select(keys :+ col("session_idx") :+ col("day_ord") :+
-        col("__f").as(s"a_$valueCol") :+ col("__stale").as("a_stale"): _*)
-    val bSide = filled.where(col("__side") === "b")
-      .select(keys :+ col("session_idx") :+
-        col("__f").as(s"b_$valueCol") :+ col("__stale").as("b_stale"): _*)
-    aSide.join(bSide, pairKeyCols :+ "session_idx")
+      .withColumn("__f", last(col("__v"), ignoreNulls = true).over(wBack))
+      // inside the side's listing window iff a PRESENT row exists both
+      // at-or-before and at-or-after — same frames, one Window node
+      .withColumn("__in",
+        count(col("__v")).over(wBack) > 0 && count(col("__v")).over(wFwd) > 0)
+    filled.where(col("__in"))
+      .groupBy(keys :+ col("session_idx") :+ col("day_ord"): _*)
+      .agg(
+        max(when(col("__side") === "a", col("__f"))).as(s"a_$valueCol"),
+        max(when(col("__side") === "a", col("__stale"))).as("a_stale"),
+        max(when(col("__side") === "b", col("__f"))).as(s"b_$valueCol"),
+        max(when(col("__side") === "b", col("__stale"))).as("b_stale"),
+        count(lit(1)).as("__n"))
+      .where(col("__n") === 2) // overlap: BOTH sides inside their windows
+      .drop("__n")
   }
 
   /** Gap-fill to the full per-key session grid: one output row per

@@ -272,6 +272,24 @@ private[graft] object Shared {
     (nb, en, hr, assign, centers)
   }
 
+  /** Day-2 incremental NSW edges (q_sim17): the batch assigned with the
+    * STORED centroids, linked against the stored cells, materialized once
+    * per session — the in-process twin of the edge-store append
+    * `StreamingDedup.processGraphBatch` performs. */
+  def nswDay2Edges(s: SparkSession, d: String): DataFrame =
+    Memo.cachedDf(s, s"nswday2edges|$d") {
+      val (_, _, _, stored, centers) = storedNswDay1(s, d)
+      val assigned2 = IvfAnn.assignToIndex(
+          Tables.load(s, d, "embeddings")
+            .where(col("vec_id") % 5 === 0).select("vec_id", "embedding"),
+          "vec_id", "embedding", centers)
+        .select(col("__cluster"), col("vec_id").as("__id"),
+          col("embedding").as("__vec"))
+      val storedCells = stored.select(col("__cluster"),
+        col("vec_id").as("__id"), col("embedding").as("__vec"))
+      graft.operators.NswAnn.linkBatch(assigned2, storedCells, m = 8)
+    }
+
   /** PQ (codebooks, codes) served from the store. */
   def storedPq(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val root = Memo.cached(s, s"pqstore|$d") {

@@ -111,16 +111,12 @@ object SimMmQueries extends QueryModule {
     // spec-asserted (NswAnnSpec, StreamingDedupSpec).
     "q_sim17" -> ((s, d) => {
       val emb = Tables.load(s, d, "embeddings")
-      val (nb, en, hr, stored, centers) = Shared.storedNswDay1(s, d)
-      val assigned2 = graft.operators.IvfAnn.assignToIndex(
-          emb.where(col("vec_id") % 5 === 0).select("vec_id", "embedding"),
-          "vec_id", "embedding", centers)
-        .select(col("__cluster"), col("vec_id").as("__id"),
-          col("embedding").as("__vec"))
-      val storedCells = stored.select(col("__cluster"),
-        col("vec_id").as("__id"), col("embedding").as("__vec"))
-      val augmented = nb.unionByName(
-        graft.operators.NswAnn.linkBatch(assigned2, storedCells, m = 8))
+      val (nb, en, hr, _, _) = Shared.storedNswDay1(s, d)
+      // stored ∪ incremental edges, MATERIALIZED once per session — the
+      // in-process stand-in for the edge-store append processGraphBatch
+      // performs (probing a lazy link plan would re-run the top-k kNN
+      // pipeline on every beam hop)
+      val augmented = nb.unionByName(Shared.nswDay2Edges(s, d))
       Similarity.withRecallAgainst(
           graft.operators.NswAnn.probe(augmented, en, hr, emb,
             "vec_id", "embedding", emb.where(col("vec_id") === 0),
