@@ -252,84 +252,118 @@ object NswAnn {
     fwd.unionByName(rev).groupBy("src", "dst").agg(max(col("sim")).as("sim"))
   }
 
+  /** Fetch-and-score: pull the vectors for `ids` (a PRUNED distributed
+    * scan — isin pushes to the parquet reader; at cluster scale the
+    * id-bucketed corpus serves these as point lookups) and score them
+    * against the query driver-side. The beam state is O(beamWidth·M)
+    * BY CONSTRUCTION, so holding it on the driver is the honest serving
+    * shape — the r11 first cut kept it in checkpointed DataFrames and
+    * paid ~25 materialization jobs per probe for data that never
+    * exceeds a few thousand rows. Same in-order double fold as the
+    * codegen'd CosineSimilarity ⇒ bitwise-identical sims. */
+  private def fetchScore(vecs: DataFrame, ids: Seq[Long], qv: Array[Float],
+                         nq: Double,
+                         scored: mutable.Map[Long, Double]): Unit = {
+    val fresh = ids.distinct.filterNot(scored.contains)
+    if (fresh.nonEmpty) {
+      val spark = vecs.sparkSession
+      import spark.implicits._
+      vecs.where(col("__id").isin(fresh: _*))
+        .as[(Long, Array[Float])].collect()
+        .foreach { case (id, v) => scored(id) = cosine(qv, nq, v, norm(v)) }
+    }
+  }
+
+  private def bestIds(scored: mutable.Map[Long, Double], n: Int,
+                      skip: Long => Boolean = _ => false): Seq[Long] =
+    scored.toSeq.filterNot { case (id, _) => skip(id) }
+      .sortBy { case (id, s) => (-s, id) }.take(n).map(_._1)
+
   /** Top-down descent of the entry hierarchy for ONE query: returns every
-    * entry node scored on the way down (id `__id`, `sim`), best-first the
+    * entry node scored on the way down as (`__id`, `sim`), best-first the
     * caller takes seeds from. Exposed so ScaleBench can measure the
     * scored-candidate count (the quantity that must stay FLAT as cells
-    * grow). O(levels · entryBeam · kUp) scores by construction. */
+    * grow). O(levels · entryBeam · kUp) scores by construction; per
+    * level, one pruned adjacency lookup + one pruned vector fetch. */
   def descendEntries(entries: DataFrame, hier: DataFrame, emb: DataFrame,
                      idCol: String, vecCol: String, query: DataFrame,
                      queryVecCol: String, entryBeam: Int = 8): DataFrame = {
-    require(entryBeam >= 1)
     val spark = entries.sparkSession
-    val q = Similarity.requireSingleRow(query, "NswAnn.descendEntries")
-      .select(col(queryVecCol).as("__qv"))
-    val vecs = emb.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-    def score(ids: DataFrame): DataFrame = ids
-      .join(vecs, Seq("__id"))
-      .crossJoin(broadcast(q))
-      .select(col("__id"), VectorOps.cosine(col("__v"), col("__qv")).as("sim"))
+    import spark.implicits._
+    val (qv, nq, vecs) = probeInputs(emb, idCol, vecCol, query, queryVecCol,
+      entryBeam, "NswAnn.descendEntries")
+    val scored = descend(entries, hier, vecs, qv, nq, entryBeam)
+    scored.toSeq.sortBy { case (id, s) => (-s, id) }.toDF("__id", "sim")
+  }
+
+  private def probeInputs(emb: DataFrame, idCol: String, vecCol: String,
+                          query: DataFrame, queryVecCol: String, beam: Int,
+                          op: String): (Array[Float], Double, DataFrame) = {
+    require(beam >= 1)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val qv = Similarity.requireSingleRow(query, op)
+      .select(col(queryVecCol)).as[Array[Float]].head()
+    val vecs = emb.select(col(idCol).cast("long").as("__id"),
+      col(vecCol).as("__v"))
+    (qv, norm(qv), vecs)
+  }
+
+  private def descend(entries: DataFrame, hier: DataFrame, vecs: DataFrame,
+                      qv: Array[Float], nq: Double,
+                      entryBeam: Int): mutable.Map[Long, Double] = {
+    val spark = entries.sparkSession
+    import spark.implicits._
     val topLevel = entries.agg(max("level")).head().getInt(0)
-    var visited = score(
-        entries.where(col("level") === topLevel).select(col("entry_id").as("__id")))
-      .localCheckpoint()
+    val scored = mutable.Map.empty[Long, Double]
+    fetchScore(vecs,
+      entries.where(col("level") === topLevel)
+        .select(col("entry_id").cast("long")).as[Long].collect().toSeq,
+      qv, nq, scored)
     var l = topLevel
     while (l >= 1) {
-      val frontier = visited.orderBy(col("sim").desc, col("__id").asc)
-        .limit(entryBeam)
-      val fresh = broadcast(frontier.select(col("__id").as("src")))
-        .join(hier.where(col("layer") === l), Seq("src"))
-        .select(col("dst").as("__id")).distinct()
-        .join(visited.select("__id"), Seq("__id"), "left_anti")
-      visited = visited.unionByName(score(fresh)).localCheckpoint()
+      val frontier = bestIds(scored, entryBeam)
+      val dsts = hier
+        .where(col("layer") === l && col("src").isin(frontier: _*))
+        .select(col("dst").cast("long")).distinct().as[Long].collect()
+      fetchScore(vecs, dsts.toSeq, qv, nq, scored)
       l -= 1
     }
-    visited
+    scored
   }
 
   /** Greedy beam probe: descend the entry hierarchy to pick the seed
-    * entries, then expand `rounds` hops over the layer-0 within-cell
-    * lists; return the top `k` visited by query similarity. `query` must
-    * be a single row (asserted). */
+    * entries, then expand `rounds` best-first hops over the layer-0
+    * within-cell lists (each hop expands the best `beamWidth` of
+    * everything visited-but-unexpanded — a poor hop cannot shrink the
+    * beam); return the top `k` visited by query similarity. `query` must
+    * be a single row (asserted); ids must be integral. Per hop: one
+    * pruned adjacency lookup + one pruned vector fetch — the graph and
+    * corpus stay distributed, only the bounded beam state lives on the
+    * driver. */
   def probe(neighbors: DataFrame, entries: DataFrame, hier: DataFrame,
             emb: DataFrame, idCol: String, vecCol: String, query: DataFrame,
             queryVecCol: String, k: Int, beamWidth: Int = 16,
             rounds: Int = 3, entryBeam: Int = 8): DataFrame = {
     require(k >= 1 && beamWidth >= 1 && rounds >= 1)
-    val q = Similarity.requireSingleRow(query, "NswAnn.probe")
-      .select(col(queryVecCol).as("__qv"))
-    val vecs = emb.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-    def score(ids: DataFrame): DataFrame = ids
-      .join(vecs, Seq("__id"))
-      .crossJoin(broadcast(q))
-      .select(col("__id"), VectorOps.cosine(col("__v"), col("__qv")).as("sim"))
-    var visited = descendEntries(entries, hier, emb, idCol, vecCol, query,
-        queryVecCol, entryBeam)
-      .localCheckpoint()
-    // Classic best-first beam over layer 0: each hop expands the best
-    // `beamWidth` of EVERYTHING visited that has not been expanded yet
-    // (not just the nodes scored last hop) — a hop that surfaces few/poor
-    // fresh candidates cannot shrink or degrade the beam.
-    var expanded = visited.select("__id").limit(0).localCheckpoint()
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (qv, nq, vecs) = probeInputs(emb, idCol, vecCol, query, queryVecCol,
+      entryBeam, "NswAnn.probe")
+    val scored = descend(entries, hier, vecs, qv, nq, entryBeam)
+    val expanded = mutable.Set.empty[Long]
     var r = 0
     while (r < rounds) {
-      val frontier = visited
-        .join(expanded, Seq("__id"), "left_anti")
-        .orderBy(col("sim").desc, col("__id").asc)
-        .limit(beamWidth)
-        .localCheckpoint()
-      val fresh = broadcast(frontier.select(col("__id").as("src")))
-        .join(neighbors, Seq("src"))
-        .select(col("dst").as("__id")).distinct()
-        .join(visited.select("__id"), Seq("__id"), "left_anti")
-      val scored = score(fresh).localCheckpoint()
-      visited = visited.unionByName(scored).localCheckpoint()
-      expanded = expanded.unionByName(frontier.select("__id")).localCheckpoint()
+      val frontier = bestIds(scored, beamWidth, expanded.contains)
+      if (frontier.nonEmpty) {
+        val dsts = neighbors.where(col("src").isin(frontier: _*))
+          .select(col("dst").cast("long")).distinct().as[Long].collect()
+        fetchScore(vecs, dsts.toSeq, qv, nq, scored)
+        expanded ++= frontier
+      }
       r += 1
     }
-    visited
-      .select(col("__id").as(idCol), col("sim"))
-      .orderBy(col("sim").desc, col(idCol).asc)
-      .limit(k)
+    scored.toSeq.sortBy { case (id, s) => (-s, id) }.take(k)
+      .toDF(idCol, "sim")
   }
 }
