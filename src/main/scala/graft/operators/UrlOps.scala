@@ -97,4 +97,26 @@ object UrlOps {
        |    CASE WHEN q = '' THEN '' ELSE '?' || q END AS url,
        |  regexp_replace(host, '^www\\.', '') AS domain FROM u_q)""".stripMargin
   }
+
+  /** Politeness-scheduled crawl frontier (round 11): a crawler may issue
+    * at most `perWave` fetches per politeness window against one host.
+    * Given a prioritized frontier, assign each URL its within-host rank
+    * and its WAVE — the politeness window in which it becomes fetchable:
+    * wave = (rank − 1) div perWave + 1. The schedule is a pure FUNCTION
+    * of the frontier (no scheduler state), so any number of fetch workers
+    * can claim disjoint wave slices independently, and a re-plan after a
+    * partial crawl is just this operator over the remaining frontier.
+    * ONE window over the host shuffle; skew is bounded by the hottest
+    * host's frontier (exactly the thing the wave number then spreads over
+    * time). `priority` must be total (end it with a unique id) or the
+    * schedule is nondeterministic. */
+  def frontierSchedule(df: DataFrame, hostCol: Column, perWave: Int,
+                       priority: Seq[Column]): DataFrame = {
+    require(perWave >= 1, s"perWave must be >= 1, got $perWave")
+    require(priority.nonEmpty, "need a priority order; end it with the id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(hostCol).orderBy(priority: _*)
+    df.withColumn("host_rank", row_number().over(w).cast("long"))
+      .withColumn("wave", expr(s"(host_rank - 1) div $perWave") + 1L)
+  }
 }

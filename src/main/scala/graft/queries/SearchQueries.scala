@@ -100,6 +100,48 @@ object SearchQueries extends QueryModule {
     // list itself is memoized and re-sliced by q_srch6.
     "q_srch1" -> ((s, d) => bmTop10(s, d).orderBy("query_id", "rank")),
 
+    // Q-SRCH10 (round 11): ranking-quality evaluation of the BM25 top-10
+    // against a DETERMINISTIC relevance standard (conjunctive match: a
+    // doc is relevant iff it contains EVERY query term) — the eval table
+    // a retrieval stack publishes per query set: first relevant rank,
+    // reciprocal rank, hits/precision at 5 and 10, recall at 10. All
+    // exact integers: rr/recall via the positive-branch rhaDiv,
+    // precision@k = hits·(1e6/k) (k divides 1e6 — a pure multiply).
+    // Relevance from the memoized postings (one join + one aggregate),
+    // never a text rescan.
+    "q_srch10" -> ((s, d) => {
+      import s.implicits._
+      val nTerms = bmQueries
+        .map { case (id, t) => (id, t.split(' ').distinct.length.toLong) }
+        .toDF("query_id", "n_terms")
+      val rel = Shared.bm25Postings(s, d)
+        .join(broadcast(bmQueryDf(s)), Seq("term"))
+        .groupBy("query_id", "doc_id")
+        .agg(countDistinct("term").as("__m"))
+        .join(broadcast(nTerms), Seq("query_id"))
+        .where(col("__m") === col("n_terms"))
+        .select("query_id", "doc_id")
+      val nRel = rel.groupBy("query_id").agg(count(lit(1)).as("n_relevant"))
+      val marked = bmTop10(s, d)
+        .join(rel.withColumn("__rel", lit(1L)), Seq("query_id", "doc_id"),
+          "left_outer")
+        .withColumn("__rel", coalesce(col("__rel"), lit(0L)))
+      marked.groupBy("query_id").agg(
+          min(when(col("__rel") === 1, col("rank"))).as("first_rel_rank"),
+          sum(when(col("rank") <= 5, col("__rel")).otherwise(lit(0L)))
+            .as("hits_at_5"),
+          sum(col("__rel")).as("hits_at_10"))
+        .join(nRel, Seq("query_id"), "left_outer")
+        .withColumn("n_relevant", coalesce(col("n_relevant"), lit(0L)))
+        .withColumn("rr_micro", when(col("first_rel_rank").isNotNull,
+          expr("(2 * 1000000 + first_rel_rank) div (2 * first_rel_rank)")))
+        .withColumn("p5_micro", col("hits_at_5") * 200000L)
+        .withColumn("p10_micro", col("hits_at_10") * 100000L)
+        .withColumn("recall10_micro", when(col("n_relevant") > 0,
+          expr("(2 * hits_at_10 * 1000000 + n_relevant) div (2 * n_relevant)")))
+        .orderBy("query_id")
+    }),
+
     // Q-SRCH2: positional proximity — docs where a term pair co-occurs
     // within 5 positions, with closest distance and hit count.
     "q_srch2" -> ((s, d) =>
@@ -311,6 +353,49 @@ object SearchQueries extends QueryModule {
          |  FROM v JOIN p ON substring(v.tok, 1, 2) = p.prefix)
          |SELECT prefix, rank, tok, n FROM r WHERE rank <= 3
          |ORDER BY prefix, rank""".stripMargin,
+    "q_srch10" -> {
+      val vals = bmQueries.flatMap { case (id, t) =>
+        t.split(' ').toSeq.map(w => s"(CAST($id AS BIGINT), '$w')")
+      }.mkString(", ")
+      s"""WITH $postCtes,
+         |qry AS (SELECT * FROM (VALUES $vals) AS v(query_id, term)),
+         |${contribCte("qry", "")},
+         |top10 AS (SELECT query_id, doc_id, rank FROM (
+         |  ${rankedSql("scored", "score_micro", 10)}) WHERE rank <= 10),
+         |nt AS (SELECT query_id, CAST(COUNT(DISTINCT term) AS BIGINT) AS n_terms
+         |  FROM qry GROUP BY 1),
+         |relm AS (SELECT q.query_id, p.doc_id,
+         |    CAST(COUNT(DISTINCT p.term) AS BIGINT) AS m
+         |  FROM qry q JOIN post p ON p.term = q.term GROUP BY 1, 2),
+         |rel AS (SELECT r.query_id, r.doc_id
+         |  FROM relm r JOIN nt ON r.query_id = nt.query_id AND r.m = nt.n_terms),
+         |nrel AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_relevant
+         |  FROM rel GROUP BY 1),
+         |mk AS (SELECT t.query_id, t.rank,
+         |    CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END AS isrel
+         |  FROM top10 t LEFT JOIN rel r
+         |    ON t.query_id = r.query_id AND t.doc_id = r.doc_id),
+         |ag AS (SELECT query_id,
+         |    MIN(CASE WHEN isrel = 1 THEN rank END) AS first_rel_rank,
+         |    CAST(SUM(CASE WHEN rank <= 5 THEN isrel ELSE 0 END) AS BIGINT)
+         |      AS hits_at_5,
+         |    CAST(SUM(isrel) AS BIGINT) AS hits_at_10
+         |  FROM mk GROUP BY 1)
+         |SELECT a.query_id, CAST(a.first_rel_rank AS BIGINT) AS first_rel_rank,
+         |  a.hits_at_5, a.hits_at_10,
+         |  CAST(coalesce(n.n_relevant, 0) AS BIGINT) AS n_relevant,
+         |  CASE WHEN a.first_rel_rank IS NOT NULL THEN
+         |    CAST((2*1000000 + a.first_rel_rank) // (2*a.first_rel_rank) AS BIGINT)
+         |  END AS rr_micro,
+         |  CAST(a.hits_at_5 * 200000 AS BIGINT) AS p5_micro,
+         |  CAST(a.hits_at_10 * 100000 AS BIGINT) AS p10_micro,
+         |  CASE WHEN coalesce(n.n_relevant, 0) > 0 THEN
+         |    CAST((2*a.hits_at_10*1000000 + n.n_relevant) // (2*n.n_relevant)
+         |      AS BIGINT)
+         |  END AS recall10_micro
+         |FROM ag a LEFT JOIN nrel n ON a.query_id = n.query_id
+         |ORDER BY a.query_id""".stripMargin
+    },
     "q_srch1" -> {
       val vals = bmQueries.flatMap { case (id, t) =>
         t.split(' ').toSeq.map(w => s"(CAST($id AS BIGINT), '$w')")

@@ -68,6 +68,19 @@ object UrlQueries extends QueryModule {
         .select("doc_id", "domain", "n_chars")
         .orderBy("doc_id")),
 
+    // Q-CURL3 (round 11): politeness-scheduled crawl frontier — after URL
+    // dedup, each host's URLs get a priority rank (longest doc first, id
+    // tiebreak) and a WAVE number at 2 fetches per host per politeness
+    // window: the stateless schedule any number of fetch workers can
+    // slice independently. One window over the host shuffle.
+    "q_curl3" -> ((s, d) =>
+      UrlOps.frontierSchedule(
+          graft.operators.Dedup.exactByKeys(canonical(s, d), Seq("url"), Seq("doc_id")),
+          col("domain"), perWave = 2,
+          priority = Seq(col("n_chars").desc, col("doc_id").asc))
+        .select("doc_id", "domain", "n_chars", "host_rank", "wave")
+        .orderBy("doc_id")),
+
     // Q-PIPE1: the FULL curation pipeline as ONE declarative plan — what
     // a user of this engine actually ships: URL canonicalize + dedup ->
     // quality gate -> exact content dedup -> per-domain cap -> global
@@ -121,6 +134,17 @@ object UrlQueries extends QueryModule {
            |      ORDER BY n_chars DESC, doc_id) AS rn
            |  FROM deduped)
            |WHERE rn <= 3 ORDER BY doc_id""".stripMargin,
+      "q_curl3" ->
+        s"""$base
+           |SELECT doc_id, domain, n_chars,
+           |  CAST(host_rank AS BIGINT) AS host_rank,
+           |  CAST((host_rank - 1) // 2 + 1 AS BIGINT) AS wave
+           |FROM (
+           |  SELECT doc_id, domain, n_chars,
+           |    row_number() OVER (PARTITION BY domain
+           |      ORDER BY n_chars DESC, doc_id) AS host_rank
+           |  FROM deduped)
+           |ORDER BY doc_id""".stripMargin,
       "q_pipe1" -> {
         val tokSql = TextDedupQueries.tokSql
         s"""WITH raw AS (SELECT doc_id, text, n_chars, $rawUrlSql AS url FROM documents),
