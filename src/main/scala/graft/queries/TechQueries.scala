@@ -993,6 +993,27 @@ object TechQueries extends QueryModule {
         .orderBy("l_suppkey", "day_ord")
     }),
 
+    // Q-TA22 (round 11): VWAP — the execution-quality benchmark: rolling
+    // 14-session and cumulative session-to-date volume-weighted average
+    // price. Both are ONE raw IEEE division of exact BIGINT sums
+    // (Σcents·vol ≤ ~3e12 « 2^53 ⇒ double casts exact, quotient bitwise
+    // cross-engine — the Det discipline); volume ≥ 1 per bar so no
+    // zero-division branch exists. Three frames on one key shuffle.
+    "q_ta22" -> ((s, d) => {
+      val wd = Window.partitionBy("l_suppkey").orderBy("day_ord")
+      val w14 = wd.rowsBetween(-13, Window.currentRow)
+      val run = wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      def dd(c: Column) = c.cast("double")
+      Shared.supplierDailyCentsVolume(s, d)
+        .withColumn("__pv", col("cents") * col("vol"))
+        .withColumn("vwap14",
+          dd(sum(col("__pv")).over(w14)) / dd(sum(col("vol")).over(w14)))
+        .withColumn("vwap_sess",
+          dd(sum(col("__pv")).over(run)) / dd(sum(col("vol")).over(run)))
+        .select("l_suppkey", "day_ord", "cents", "vol", "vwap14", "vwap_sess")
+        .orderBy("l_suppkey", "day_ord")
+    }),
+
     // Q-CAL4 (round 11): cross-listing alignment — each supplier "dual-
     // lists" on two venues with planted DISJOINT holiday calendars (venue
     // A closed on day_ord%7==3, venue B on %7==5; B quotes at 2x so the
@@ -2010,6 +2031,20 @@ object TechQueries extends QueryModule {
            |    CAST((2*ps*1000000 + (ps + ns)) // (2*(ps + ns)) AS BIGINT)
            |  END AS mfi_micro
            |FROM sm ORDER BY l_suppkey, day_ord""".stripMargin,
+
+      "q_ta22" ->
+        s"""WITH ${Shared.supplierDailyCentsVolumeSql}
+           |SELECT l_suppkey, day_ord, cents, vol,
+           |  CAST(CAST(SUM(cents*vol) OVER w14 AS BIGINT) AS DOUBLE)
+           |    / CAST(CAST(SUM(vol) OVER w14 AS BIGINT) AS DOUBLE) AS vwap14,
+           |  CAST(CAST(SUM(cents*vol) OVER run AS BIGINT) AS DOUBLE)
+           |    / CAST(CAST(SUM(vol) OVER run AS BIGINT) AS DOUBLE) AS vwap_sess
+           |FROM cv
+           |WINDOW w14 AS (PARTITION BY l_suppkey ORDER BY day_ord
+           |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+           |  run AS (PARTITION BY l_suppkey ORDER BY day_ord
+           |    ROWS UNBOUNDED PRECEDING)
+           |ORDER BY l_suppkey, day_ord""".stripMargin,
 
       "q_cal4" ->
         s"""WITH ${Shared.plantedSplitCtes},
