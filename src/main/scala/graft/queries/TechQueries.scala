@@ -1014,6 +1014,32 @@ object TechQueries extends QueryModule {
         .orderBy("l_suppkey", "day_ord")
     }),
 
+    // Q-TA23 (round 11): Aroon up/down (14 sessions) — time-since-extreme
+    // momentum: position of the window's high/low recovered ENGINE-
+    // PORTABLY by integer packing (cents·1e5 + rn picks the max with the
+    // most-recent tie; (−cents)·1e5 + rn the min likewise — the struct-
+    // free q_ta18 discipline; rn < 1e5 bounds the pack, cents·1e5 ≤
+    // 4.2e12 « 2^63). aroon = (L−1−days_since)/(L−1) in fraction micro
+    // via rhaDiv; single-row windows null. One key shuffle.
+    "q_ta23" -> ((s, d) => {
+      val wd = Window.partitionBy("l_suppkey").orderBy("day_ord")
+      val w14 = wd.rowsBetween(-13, Window.currentRow)
+      Shared.supplierDailyCents(s, d)
+        .withColumn("rn", row_number().over(wd).cast("long"))
+        .withColumn("__hi", max(col("cents") * 100000L + col("rn")).over(w14))
+        .withColumn("__lo", max(-col("cents") * 100000L + col("rn")).over(w14))
+        .withColumn("__L", count(lit(1)).over(w14))
+        .withColumn("ds_hi", col("rn") - pmod(col("__hi"), lit(100000L)))
+        .withColumn("ds_lo", col("rn") - pmod(col("__lo"), lit(100000L)))
+        .withColumn("aroon_up_micro", when(col("__L") > 1,
+          expr("(2 * (__L - 1 - ds_hi) * 1000000 + (__L - 1)) div (2 * (__L - 1))")))
+        .withColumn("aroon_down_micro", when(col("__L") > 1,
+          expr("(2 * (__L - 1 - ds_lo) * 1000000 + (__L - 1)) div (2 * (__L - 1))")))
+        .select("l_suppkey", "day_ord", "cents", "ds_hi", "ds_lo",
+          "aroon_up_micro", "aroon_down_micro")
+        .orderBy("l_suppkey", "day_ord")
+    }),
+
     // Q-CAL4 (round 11): cross-listing alignment — each supplier "dual-
     // lists" on two venues with planted DISJOINT holiday calendars (venue
     // A closed on day_ord%7==3, venue B on %7==5; B quotes at 2x so the
@@ -2045,6 +2071,36 @@ object TechQueries extends QueryModule {
            |  run AS (PARTITION BY l_suppkey ORDER BY day_ord
            |    ROWS UNBOUNDED PRECEDING)
            |ORDER BY l_suppkey, day_ord""".stripMargin,
+
+      "q_ta23" ->
+        s"""WITH ${Shared.plantedSplitCtes},
+           |rnd AS (
+           |  SELECT l_suppkey, day_ord, cents,
+           |    CAST(row_number() OVER (PARTITION BY l_suppkey ORDER BY day_ord)
+           |      AS BIGINT) AS rn
+           |  FROM pdd),
+           |ex AS (
+           |  SELECT l_suppkey, day_ord, cents, rn,
+           |    MAX(cents*100000 + rn) OVER w14 AS hi,
+           |    MAX(-cents*100000 + rn) OVER w14 AS lo,
+           |    COUNT(*) OVER w14 AS L
+           |  FROM rnd
+           |  WINDOW w14 AS (PARTITION BY l_suppkey ORDER BY day_ord
+           |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+           |ds AS (
+           |  SELECT l_suppkey, day_ord, cents, rn, L,
+           |    rn - ((hi % 100000) + 100000) % 100000 AS ds_hi,
+           |    rn - ((lo % 100000) + 100000) % 100000 AS ds_lo
+           |  FROM ex)
+           |SELECT l_suppkey, day_ord, cents,
+           |  CAST(ds_hi AS BIGINT) AS ds_hi, CAST(ds_lo AS BIGINT) AS ds_lo,
+           |  CASE WHEN L > 1 THEN
+           |    CAST((2*(L - 1 - ds_hi)*1000000 + (L - 1)) // (2*(L - 1)) AS BIGINT)
+           |  END AS aroon_up_micro,
+           |  CASE WHEN L > 1 THEN
+           |    CAST((2*(L - 1 - ds_lo)*1000000 + (L - 1)) // (2*(L - 1)) AS BIGINT)
+           |  END AS aroon_down_micro
+           |FROM ds ORDER BY l_suppkey, day_ord""".stripMargin,
 
       "q_cal4" ->
         s"""WITH ${Shared.plantedSplitCtes},
