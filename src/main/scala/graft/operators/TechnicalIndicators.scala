@@ -22,6 +22,9 @@ case class HoltMicroRow(key: Long, ord: Long, valueUnits: Long,
 case class CusumRow(key: Long, ord: Long, x: Long,
                     spMicro: Long, snMicro: Long, alarm: Option[String])
 
+case class SarMicroRow(key: Long, ord: Long, valueUnits: Long,
+                       sarMicro: Long, dir: Long)
+
 /** Technical indicators over per-key price series — the feature
   * engineering the reference's partitioned OHLCV layout exists to feed
   * (SURVEY.md §2.B [ANA]; `README.md:46`).
@@ -412,5 +415,73 @@ object TechnicalIndicators {
     val up = math.pow(10.0, 6 - unitsScale).toLong
     units.tail.scanLeft(units.head * up)((prev, c) =>
       rhaDiv(alphaNum * c * up + (alphaDen - alphaNum) * prev, alphaDen))
+  }
+
+  /** ENGINE-VERSION-EXACT parabolic SAR (round 11) — Wilder's stop-and-
+    * reverse trail, the classic trend-following stop: the SAR accelerates
+    * toward the extreme point (EP) of the current trend and REVERSES when
+    * price crosses it. Close-only adaptation (the daily frame carries no
+    * intraday high/low; close stands in for both — documented, not
+    * hidden). Four-field integer state per key, the [[emaMicro]]
+    * discipline (no IEEE result ever enters state):
+    *
+    *   init (first bar):    dir = +1, sar = ep = c₀·10^(6−uS), af = afStart
+    *   each later bar:      sar += rhaDiv(af·(ep − sar), afDen)
+    *     long  (dir = +1):  c < sar ⇒ reverse (dir = −1, sar = ep,
+    *                        ep = c, af = afStart); else a new high bumps
+    *                        ep and af (af = min(af + afStep, afMax))
+    *     short (dir = −1):  mirror image.
+    *
+    * Same distributed shape as every serial recurrence here:
+    * repartition(key) + sortWithinPartitions + one constant-memory
+    * streaming pass. Overflow: af·|ep − sar| ≤ afMax·2·maxMicro — at
+    * cents scale and afMax 20 that is ~1.6e13 « 2^63.
+    * Output: (key, ord, value_units, sar_micro, dir ∈ {−1, +1}). */
+  def sarMicro(df: DataFrame, keyCol: String, ordCol: String,
+               unitsCol: String, unitsScale: Int,
+               afStart: Long = 2L, afStep: Long = 2L, afMax: Long = 20L,
+               afDen: Long = 100L): DataFrame = {
+    require(afDen > 0 && afStart > 0 && afStep > 0 && afMax >= afStart &&
+      afMax <= afDen, s"af ladder out of range: $afStart/$afStep/$afMax/$afDen")
+    require(unitsScale >= 0 && unitsScale <= 6,
+      s"unitsScale must be in [0,6], got $unitsScale")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val up = math.pow(10.0, 6 - unitsScale).toLong
+    val prepared = df.select(
+      col(keyCol).cast("long").as("key"),
+      col(ordCol).cast("long").as("ord"),
+      col(unitsCol).cast("long").as("units"))
+      .repartition(col("key"))
+      .sortWithinPartitions(col("key"), col("ord"))
+    prepared.as[(Long, Long, Long)].mapPartitions { it =>
+      // started flag, not a key sentinel (a key may be Long.MinValue)
+      var started = false
+      var curKey = 0L
+      var dir = 1L
+      var sar = 0L
+      var ep = 0L
+      var af = afStart
+      it.map { case (k, o, c) =>
+        val cm = c * up
+        if (!started || k != curKey) {
+          started = true; dir = 1L; sar = cm; ep = cm; af = afStart
+        } else {
+          sar += rhaDiv(af * (ep - sar), afDen)
+          if (dir == 1L) {
+            if (cm < sar) { dir = -1L; sar = ep; ep = cm; af = afStart }
+            else if (cm > ep) { ep = cm; af = math.min(af + afStep, afMax) }
+          } else {
+            if (cm > sar) { dir = 1L; sar = ep; ep = cm; af = afStart }
+            else if (cm < ep) { ep = cm; af = math.min(af + afStep, afMax) }
+          }
+        }
+        curKey = k
+        SarMicroRow(k, o, c, sar, dir)
+      }
+    }(Encoders.product[SarMicroRow])
+      .toDF("key", "ord", "value_units", "sar_micro", "dir")
+      .withColumnRenamed("key", keyCol)
+      .withColumnRenamed("ord", ordCol)
   }
 }

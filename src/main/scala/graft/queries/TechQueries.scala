@@ -1040,6 +1040,17 @@ object TechQueries extends QueryModule {
         .orderBy("l_suppkey", "day_ord")
     }),
 
+    // Q-TA24 (round 11): parabolic SAR — Wilder's stop-and-reverse trail
+    // (close-only adaptation: the daily frame has no intraday hi/lo).
+    // Four-field exact-integer state (dir, sar, ep, af) advanced by one
+    // constant-memory pass per key (the emaMicro serial-recurrence
+    // shape); the oracle replays the identical state machine as a
+    // recursive CTE with materialized prefixes (the q_ta17 lesson).
+    "q_ta24" -> ((s, d) =>
+      TechnicalIndicators.sarMicro(Shared.supplierDailyCents(s, d),
+          "l_suppkey", "day_ord", "cents", unitsScale = 2)
+        .orderBy("l_suppkey", "day_ord")),
+
     // Q-CAL4 (round 11): cross-listing alignment — each supplier "dual-
     // lists" on two venues with planted DISJOINT holiday calendars (venue
     // A closed on day_ord%7==3, venue B on %7==5; B quotes at 2x so the
@@ -2071,6 +2082,48 @@ object TechQueries extends QueryModule {
            |  run AS (PARTITION BY l_suppkey ORDER BY day_ord
            |    ROWS UNBOUNDED PRECEDING)
            |ORDER BY l_suppkey, day_ord""".stripMargin,
+
+      "q_ta24" ->
+        s"""WITH RECURSIVE ${Shared.plantedSplitCtes},
+           |srn AS MATERIALIZED (
+           |  SELECT l_suppkey, day_ord, cents,
+           |    CAST(row_number() OVER (PARTITION BY l_suppkey ORDER BY day_ord)
+           |      AS BIGINT) AS rn
+           |  FROM pdd),
+           |walk AS (
+           |  SELECT l_suppkey, day_ord, cents, rn,
+           |    CAST(1 AS BIGINT) AS dir, cents*10000 AS sar,
+           |    cents*10000 AS ep, CAST(2 AS BIGINT) AS af
+           |  FROM srn WHERE rn = 1
+           |  UNION ALL
+           |  SELECT l_suppkey, day_ord, cents, rn,
+           |    CASE WHEN pdir = 1 AND cm < s0 THEN -1
+           |         WHEN pdir = -1 AND cm > s0 THEN 1
+           |         ELSE pdir END AS dir,
+           |    CASE WHEN (pdir = 1 AND cm < s0) OR (pdir = -1 AND cm > s0)
+           |         THEN pep ELSE s0 END AS sar,
+           |    CASE WHEN (pdir = 1 AND cm < s0) OR (pdir = -1 AND cm > s0)
+           |           THEN cm
+           |         WHEN (pdir = 1 AND cm > pep) OR (pdir = -1 AND cm < pep)
+           |           THEN cm
+           |         ELSE pep END AS ep,
+           |    CASE WHEN (pdir = 1 AND cm < s0) OR (pdir = -1 AND cm > s0)
+           |           THEN 2
+           |         WHEN (pdir = 1 AND cm > pep) OR (pdir = -1 AND cm < pep)
+           |           THEN least(paf + 2, 20)
+           |         ELSE paf END AS af
+           |  FROM (
+           |    SELECT s.l_suppkey, s.day_ord, s.cents, s.rn,
+           |      w.dir AS pdir, w.ep AS pep, w.af AS paf,
+           |      s.cents*10000 AS cm,
+           |      w.sar + (CASE WHEN w.af*(w.ep - w.sar) >= 0
+           |        THEN (2*w.af*(w.ep - w.sar) + 100) // 200
+           |        ELSE -((-2*w.af*(w.ep - w.sar) + 100) // 200) END) AS s0
+           |    FROM walk w JOIN srn s
+           |      ON s.l_suppkey = w.l_suppkey AND s.rn = w.rn + 1))
+           |SELECT l_suppkey, day_ord, CAST(cents AS BIGINT) AS value_units,
+           |  CAST(sar AS BIGINT) AS sar_micro, CAST(dir AS BIGINT) AS dir
+           |FROM walk ORDER BY l_suppkey, day_ord""".stripMargin,
 
       "q_ta23" ->
         s"""WITH ${Shared.plantedSplitCtes},

@@ -373,4 +373,35 @@ class TechnicalIndicatorsSpec extends SparkSpec {
     assert(math.abs(last.getDouble(0) - 12.0) < 1e-12)
     assert(math.abs(last.getDouble(1) - 2.0) < 1e-12) // sd of 10,12,14
   }
+
+  test("sarMicro: hand-traced state machine — acceleration, both reversals") {
+    import spark.implicits._
+    // units = cents, unitsScale 2 ⇒ micro = cents·1e4. Series engineered
+    // to rise (af accelerates), crash through the SAR (long→short
+    // reversal), then rip back (short→long reversal).
+    val series = Seq(100L, 110L, 125L, 90L, 140L)
+    val df = series.zipWithIndex.map { case (c, i) => (1L, i.toLong, c) }
+      .toDF("k", "o", "c")
+    val got = TechnicalIndicators.sarMicro(df, "k", "o", "c", unitsScale = 2)
+      .orderBy("o").select("sar_micro", "dir")
+      .as[(Long, Long)].collect().toSeq
+    // t0: init sar=ep=1_000_000, dir +1, af 2
+    // t1: sar += rha(2·(1_000_000−1_000_000)/100)=0 → sar 1_000_000;
+    //     c=110 > ep → ep 1_100_000, af 4
+    // t2: sar += rha(4·100_000/100)=4_000 → 1_004_000; c=125 > ep →
+    //     ep 1_250_000, af 6
+    // t3: sar += rha(6·246_000/100)=14_760 → 1_018_760; c=90 (900_000)
+    //     < sar → REVERSE: dir −1, sar = 1_250_000, ep 900_000, af 2
+    // t4: sar += rha(2·(900_000−1_250_000)/100)=−7_000 → 1_243_000;
+    //     c=140 (1_400_000) > sar → REVERSE: dir +1, sar = 900_000
+    assert(got === Seq(
+      (1000000L, 1L), (1000000L, 1L), (1004000L, 1L),
+      (1250000L, -1L), (900000L, 1L)))
+    // keys never share state: two keys give the same per-key trace
+    val two = TechnicalIndicators.sarMicro(
+        df.unionByName(df.withColumn("k", lit(2L))), "k", "o", "c", 2)
+      .where(col("k") === 2).orderBy("o")
+      .select("sar_micro", "dir").as[(Long, Long)].collect().toSeq
+    assert(two === got)
+  }
 }
