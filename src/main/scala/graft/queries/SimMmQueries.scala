@@ -278,6 +278,26 @@ object SimMmQueries extends QueryModule {
           "embedding", "label", pmod(col("vec_id"), lit(2)))
         .orderBy("label")),
 
+    // Q-DQ9 (round 11): embedding-distribution drift — PSI between the
+    // stored corpus's norm distribution and a new batch whose norms carry
+    // a planted 20% inflation (the classic silent failure when an
+    // encoder VERSION changes under a pipeline: vectors remain valid
+    // floats, similarities silently shift). Same sampled-boundary PSI
+    // machinery as q_diff2, driven by the exact in-order norm fold (the
+    // cosSql discipline ⇒ bitwise-identical doubles feed the buckets).
+    "q_dq9" -> ((s, d) => {
+      import graft.functions.VectorOps
+      val emb = Tables.load(s, d, "embeddings")
+      val nrm = VectorOps.norm2(col("embedding"))
+      val prev = emb.where(col("vec_id") % 5 =!= 0)
+        .select(col("vec_id"), nrm.as("nrm"))
+      val next = emb.where(col("vec_id") % 5 === 0)
+        .select(col("vec_id"), (nrm * lit(1.2)).as("nrm"))
+      graft.operators.Binning.psiReport(prev, next, "nrm", "vec_id",
+          fraction = 0.5, n = 8)
+        .orderBy("bucket")
+    }),
+
     // Multimodal: opaque binary payload + typed metadata (oracle-checked).
     "q_mm1" -> ((s, d) =>
       Multimodal.withBinaryMeta(Tables.load(s, d, "documents"), "text")
@@ -1359,6 +1379,41 @@ object SimMmQueries extends QueryModule {
         |    AS cos_centroid
         |FROM d JOIN cn ON d.label = cn.label
         |ORDER BY d.vec_id""".stripMargin,
+    "q_dq9" -> {
+      val normSql =
+        "sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+      s"""WITH pn AS (
+         |  SELECT vec_id, $normSql AS nrm
+         |  FROM embeddings WHERE vec_id % 5 <> 0),
+         |nx AS (
+         |  SELECT vec_id, $normSql * 1.2 AS nrm
+         |  FROM embeddings WHERE vec_id % 5 = 0),
+         |s AS (SELECT nrm, vec_id FROM pn
+         |  WHERE ((vec_id % 1000000) * 2654435761) % 1000000 < 500000),
+         |t AS (SELECT nrm, ntile(8) OVER (ORDER BY nrm, vec_id) AS b FROM s),
+         |bounds AS (SELECT b, max(nrm) AS hi FROM t WHERE b < 8 GROUP BY b),
+         |pa AS (SELECT 1 + (SELECT COUNT(*) FROM bounds WHERE hi < p.nrm) AS bucket,
+         |    COUNT(*) AS n_prev FROM pn p GROUP BY 1),
+         |pb AS (SELECT 1 + (SELECT COUNT(*) FROM bounds WHERE hi < q.nrm) AS bucket,
+         |    COUNT(*) AS n_next FROM nx q GROUP BY 1),
+         |na AS (SELECT COUNT(*) AS na FROM pn),
+         |nb AS (SELECT COUNT(*) AS nb FROM nx),
+         |bk AS (SELECT unnest(range(1, 9)) AS bucket),
+         |w AS (SELECT bk.bucket,
+         |    COALESCE(n_prev, 0) AS n_prev, COALESCE(n_next, 0) AS n_next,
+         |    CAST(round((CAST(COALESCE(n_next, 0) + 1 AS DOUBLE) / CAST(nb + 8 AS DOUBLE)
+         |        - CAST(COALESCE(n_prev, 0) + 1 AS DOUBLE) / CAST(na + 8 AS DOUBLE))
+         |      * ln((CAST(COALESCE(n_next, 0) + 1 AS DOUBLE) / CAST(nb + 8 AS DOUBLE))
+         |          / (CAST(COALESCE(n_prev, 0) + 1 AS DOUBLE) / CAST(na + 8 AS DOUBLE)))
+         |      * 1e6, 0) AS BIGINT) AS term_micro
+         |  FROM bk LEFT JOIN pa USING (bucket) LEFT JOIN pb USING (bucket)
+         |    CROSS JOIN na CROSS JOIN nb)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(n_prev AS BIGINT) AS n_prev,
+         |  CAST(n_next AS BIGINT) AS n_next, term_micro,
+         |  CAST((SELECT SUM(term_micro) FROM w) AS DOUBLE) / 1e6 AS psi
+         |FROM w ORDER BY bucket""".stripMargin
+    },
+
     "q_sim15" ->
       """WITH e AS (
         |  SELECT vec_id % 2 AS h, label, pos,
