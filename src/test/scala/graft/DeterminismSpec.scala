@@ -161,4 +161,49 @@ class DeterminismSpec extends SparkSpec {
         .as[(Long, Long)].collect().sortBy(_._1).toSeq
     assert(ids(3) === ids(7), "rank (hence batch id) must not depend on parallelism")
   }
+
+  test("round-11 operators are partition-invariant (seeded random inputs)") {
+    val r = new scala.util.Random(7)
+    // cross-listing alignment: random sparse two-sided series — ONE row
+    // per (k, side, day), the operator's documented input contract (a
+    // per-key daily frame, not raw facts)
+    val sides = Seq.tabulate(400) { i =>
+      (i % 5L, if (r.nextBoolean()) "a" else "b",
+        (r.nextInt(60) + 10).toLong, (r.nextInt(1000) + 1).toLong)
+    }.groupBy(t => (t._1, t._2, t._3)).map(_._2.head).toSeq
+      .toDF("k", "side", "day_ord", "px")
+    def align(parts: Int) = graft.operators.TradingCalendar
+      .alignCrossListed(sides.repartition(parts), Seq("k"), "side", "day_ord", "px")
+      .collect().map(_.toString).sorted.toSeq
+    assert(align(1) === align(7), "alignCrossListed diverged under repartitioning")
+    // frontier schedule: random per-host priorities
+    val urls = Seq.tabulate(500)(i =>
+      (i.toLong, s"h${i % 13}", (r.nextInt(5000) + 1).toLong))
+      .toDF("doc_id", "host", "pri")
+    def sched(parts: Int) = graft.operators.UrlOps
+      .frontierSchedule(urls.repartition(parts), col("host"), 3,
+        Seq(col("pri").desc, col("doc_id").asc))
+      .collect().map(_.toString).sorted.toSeq
+    assert(sched(1) === sched(7), "frontierSchedule diverged under repartitioning")
+    // corporate-action classification: random walk with planted jumps
+    val px = Seq.tabulate(300) { i =>
+      val c = 1000L + (i % 97)
+      val mult = if (i % 50 < 10) 6L else if (i % 50 < 30) 3L else 1L
+      (i % 3L, i.toLong, c * mult, c)
+    }.toDF("k", "ord", "raw", "adj")
+    def cls(parts: Int) = graft.operators.CorporateActions
+      .classifyEvents(px.repartition(parts), Seq("k"), "ord", "raw", "adj")
+      .collect().map(_.toString).sorted.toSeq
+    assert(cls(1) === cls(7), "classifyEvents diverged under repartitioning")
+    // day-2 graph link: random cells/vectors
+    val vecs = Seq.tabulate(200)(i =>
+      (i % 4L, i.toLong, Array.fill(8)(r.nextGaussian().toFloat)))
+      .toDF("__cluster", "__id", "__vec")
+    def link(parts: Int) = graft.operators.NswAnn
+      .linkBatch(vecs.where(col("__id") % 3 === 0).repartition(parts),
+        vecs.where(col("__id") % 3 =!= 0).repartition(parts), m = 4)
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq
+    assert(link(1) === link(7), "linkBatch diverged under repartitioning")
+  }
 }
