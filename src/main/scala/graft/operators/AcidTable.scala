@@ -145,10 +145,39 @@ object AcidTable {
       catch { case _: java.io.IOException => throw Conflict(v, root) }
     Using.resource(out) { o =>
       val tokenLine = token.map(t => s"#token:$t\n").getOrElse("")
-      o.write((s"#action:$action\n" + tokenLine + files.mkString("", "\n", "\n"))
+      val tsLine = s"#ts:${System.currentTimeMillis()}\n"
+      o.write((s"#action:$action\n" + tsLine + tokenLine +
+          files.mkString("", "\n", "\n"))
         .getBytes(StandardCharsets.UTF_8))
     }
     v
+  }
+
+  /** Commit wall-clock time of version `v` (epoch millis). */
+  def commitTimestamp(spark: SparkSession, root: String, v: Long): Long = {
+    val f = fs(spark, root)
+    val text = Using.resource(f.open(manifestPath(root, v))) { in =>
+      new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    }
+    text.linesIterator.find(_.startsWith("#ts:")).map(_.stripPrefix("#ts:").toLong)
+      .getOrElse(throw new IllegalStateException(
+        s"manifest v$v at $root carries no #ts header"))
+  }
+
+  /** Time travel by WALL CLOCK: the table as of `tsMillis` — the latest
+    * version whose commit time is at-or-before it (the form users
+    * actually ask for; version numbers are the implementation detail).
+    * Commit times are strictly usable because versions are published
+    * serially through the create-exclusive gate — version order and
+    * commit-time order agree on one table. */
+  def readAsOfTimestamp(spark: SparkSession, root: String,
+                        tsMillis: Long): DataFrame = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"AcidTable at $root has no committed version")
+    val at = vs.filter(v => commitTimestamp(spark, root, v) <= tsMillis)
+    require(at.nonEmpty,
+      s"AcidTable at $root has no version committed at or before $tsMillis")
+    readAsOf(spark, root, at.last)
   }
 
   /** Commit `df` as the table's complete new state. Returns the published

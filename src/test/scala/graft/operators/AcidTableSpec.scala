@@ -119,6 +119,24 @@ class AcidTableSpec extends SparkSpec {
     assert(AcidTable.versions(spark, root) === Seq(1L, 2L, 3L))
   }
 
+  test("time travel by wall clock picks the latest commit at-or-before") {
+    val root = freshRoot("ts")
+    AcidTable.commitOverwrite(kv(1L -> 10L), root)
+    Thread.sleep(5)
+    val mid = System.currentTimeMillis()
+    Thread.sleep(5)
+    AcidTable.commitOverwrite(kv(2L -> 20L), root)
+    assert(asSet(AcidTable.readAsOfTimestamp(spark, root, mid)) ===
+      Set(1L -> 10L), "mid-window timestamp must resolve to v1")
+    assert(asSet(AcidTable.readAsOfTimestamp(spark, root,
+      System.currentTimeMillis())) === Set(2L -> 20L))
+    val e = intercept[IllegalArgumentException] {
+      AcidTable.readAsOfTimestamp(spark, root,
+        AcidTable.commitTimestamp(spark, root, 1) - 1)
+    }
+    assert(e.getMessage.contains("at or before"))
+  }
+
   test("an empty table fails with a clear message, not an empty scan") {
     val root = freshRoot("em")
     val e = intercept[IllegalArgumentException] { AcidTable.read(spark, root) }
