@@ -1,9 +1,11 @@
 package graft.operators
 
 import java.nio.charset.StandardCharsets
+import scala.jdk.CollectionConverters._
 import scala.util.Using
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Manifest-versioned parquet table: snapshot isolation + time travel
   * (round 11 — the lakehouse seam the reference's overwrite-in-place S3
@@ -20,13 +22,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - a COMMIT is: (1) write new parquet files under `root/data/<uuid>/`
   *    — unreferenced, so concurrent readers cannot see them — then
   *    (2) publish `root/_manifests/v<N+1>.manifest`, a text file listing
-  *    every live data file (relative paths). The manifest is created
-  *    create-EXCLUSIVE: two writers racing to the same version → exactly
-  *    one wins, the loser fails fast with a conflict error and must
-  *    re-read + retry (optimistic concurrency — documented limit: on a
-  *    filesystem without atomic create-exclusive, e.g. bare S3 without a
-  *    conditional-put layer, the exclusion window narrows to the PUT race;
-  *    run against HDFS/S3+strong-consistency-layer for the hard guarantee);
+  *    every live data file (relative paths). The manifest body is written
+  *    to a `.tmp` name first and RENAMED into place without overwrite
+  *    (round 12): the manifest is never visible half-written, and two
+  *    writers racing to the same version → exactly one rename wins, the
+  *    loser fails fast with [[Conflict]] and must re-read + retry
+  *    (optimistic concurrency — documented limit: on a filesystem without
+  *    atomic no-overwrite rename, e.g. bare S3 without a conditional-put
+  *    layer, the exclusion window narrows to the PUT race; run against
+  *    HDFS/S3+strong-consistency-layer for the hard guarantee);
   *  - a READ resolves ONE manifest (latest, or `asOf(version)`) and plans
   *    from its file list — O(manifest) planning, NO directory listing (at
   *    100 TB an object-store LIST over millions of files is the slowest
@@ -36,6 +40,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    mutates or deletes a referenced file;
   *  - TIME TRAVEL is free: old manifests keep referencing old files until
   *    [[vacuum]] explicitly retires them.
+  *
+  * Round 12 adds the three file-granularity pieces a 100 TB table needs:
+  *
+  *  - FILE STATS + DATA SKIPPING: each manifest line may carry per-file
+  *    column min/max (`path|col:min:max,...`, read from the committed
+  *    parquet FOOTERS — kilobytes per commit, never a data scan);
+  *    [[readWhere]] drops files whose ranges exclude the predicate BEFORE
+  *    planning and reports (files scanned, files total) as facts. Combined
+  *    with [[Layout.zorderBy]] the skipping bites on several clustered
+  *    columns at once. A file without stats for a predicate column is
+  *    never pruned (safety over savings).
+  *  - COPY-ON-WRITE [[mergeCow]] / [[deleteCow]]: locate the files whose
+  *    key range can contain a touched key (via the same stats), rewrite
+  *    ONLY those, and publish untouched-by-reference ∪ rewritten as the
+  *    next version — a 1k-row upsert into a 100 TB table rewrites the few
+  *    files that hold those keys, not the table. Untouched manifest lines
+  *    are carried verbatim (byte-identical paths AND stats).
+  *  - SCHEMA-RECONCILED READS: [[readReconciled]] groups a version's files
+  *    by originating commit, reads their schemas (footers only), and
+  *    applies [[SchemaEvolution]]'s widening/quarantine policy instead of
+  *    letting whichever footer wins silently resolve drifted appends.
   *
   * Append vs overwrite: `append` publishes prev-live ∪ new files;
   * `overwrite` publishes new files only (the old ones stay on disk for
@@ -47,12 +72,41 @@ object AcidTable {
 
   private val ManifestDir = "_manifests"
   private val DataDir = "data"
-  private val Width = 8 // v%08d
+  private val Width = 8 // v%08d (parse accepts any digit count — see parseVersion)
 
   final case class Conflict(version: Long, root: String)
     extends RuntimeException(
       s"AcidTable commit conflict: version $version at $root was published " +
         "by a concurrent writer — re-read the table and retry the commit")
+
+  /** One manifest data-file line: a root-relative path plus optional
+    * per-column long min/max stats (both inclusive, nulls excluded — a
+    * column that is all-null in the file simply carries no stat). */
+  final case class FileStat(col: String, min: Long, max: Long)
+  final case class Entry(path: String, stats: Seq[FileStat]) {
+    def render: String =
+      if (stats.isEmpty) path
+      else path + "|" + stats.map(s => s"${s.col}:${s.min}:${s.max}").mkString(",")
+    def statFor(c: String): Option[FileStat] = stats.find(_.col == c)
+  }
+  private object Entry {
+    def parse(line: String): Entry = line.split('|') match {
+      case Array(p) => Entry(p, Nil)
+      case Array(p, st) => Entry(p, st.split(',').toSeq.map { s =>
+        val Array(c, mn, mx) = s.split(':')
+        FileStat(c, mn.toLong, mx.toLong)
+      })
+      case _ => throw new IllegalStateException(s"malformed manifest line: $line")
+    }
+  }
+
+  /** Inclusive-range predicate for [[readWhere]]: keep rows with
+    * `lower <= col <= upper`. Pruning drops a file only when its stats
+    * PROVE no row can match — the returned scan is a superset; apply the
+    * row filter on top. */
+  final case class ColRange(col: String, lower: Long, upper: Long)
+
+  final case class PrunedRead(df: DataFrame, filesScanned: Int, filesTotal: Int)
 
   private def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -60,14 +114,18 @@ object AcidTable {
   private def manifestPath(root: String, v: Long): Path =
     new Path(s"$root/$ManifestDir/v${("%0" + Width + "d").format(v)}.manifest")
 
-  private def parseVersion(name: String): Option[Long] = {
-    val m = raw"v(\d{%d})\.manifest".format(Width).r
-    name match { case m(d) => Some(d.toLong); case _ => None }
-  }
+  // any digit count: a table past 10^8 versions publishes a 9-digit name
+  // that must stay VISIBLE (zero-padding keeps lexical order only below
+  // the width; numeric sort below doesn't care)
+  private val VersionRe = raw"v(\d+)\.manifest".r
+  private def parseVersion(name: String): Option[Long] =
+    name match { case VersionRe(d) => Some(d.toLong); case _ => None }
 
   /** All published versions, ascending (empty for a table that has never
     * committed). One manifest-directory listing — the only LIST a reader
-    * ever issues, over the (small) manifest set, never over data files. */
+    * ever issues, over the (small) manifest set, never over data files.
+    * In-flight `.tmp` bodies don't match the manifest name and are
+    * invisible by construction. */
   def versions(spark: SparkSession, root: String): Seq[Long] = {
     val dir = new Path(s"$root/$ManifestDir")
     val f = fs(spark, root)
@@ -82,32 +140,32 @@ object AcidTable {
     vs.last
   }
 
-  private def readManifest(spark: SparkSession, root: String,
-                           v: Long): (String, Seq[String]) = {
+  private def manifestText(spark: SparkSession, root: String, v: Long): String = {
     val f = fs(spark, root)
     val p = manifestPath(root, v)
     require(f.exists(p), s"AcidTable at $root has no version $v")
-    val text = Using.resource(f.open(p)) { in =>
+    Using.resource(f.open(p)) { in =>
       new String(in.readAllBytes(), StandardCharsets.UTF_8)
     }
-    val lines = text.linesIterator.toSeq
+  }
+
+  private def readManifest(spark: SparkSession, root: String,
+                           v: Long): (String, Seq[Entry]) = {
+    val lines = manifestText(spark, root, v).linesIterator.toSeq
     val action = lines.headOption match {
       case Some(h) if h.startsWith("#action:") => h.stripPrefix("#action:")
       case _ => throw new IllegalStateException(
         s"manifest v$v at $root is malformed (missing #action header)")
     }
     // header lines beyond #action (e.g. #token:) are metadata, not files
-    (action, lines.tail.filter(l => l.nonEmpty && !l.startsWith("#")))
+    (action, lines.tail.filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map(Entry.parse))
   }
 
   private def manifestToken(spark: SparkSession, root: String,
-                            v: Long): Option[String] = {
-    val f = fs(spark, root)
-    val text = Using.resource(f.open(manifestPath(root, v))) { in =>
-      new String(in.readAllBytes(), StandardCharsets.UTF_8)
-    }
-    text.linesIterator.find(_.startsWith("#token:")).map(_.stripPrefix("#token:"))
-  }
+                            v: Long): Option[String] =
+    manifestText(spark, root, v).linesIterator
+      .find(_.startsWith("#token:")).map(_.stripPrefix("#token:"))
 
   /** The version a given idempotency token already published, if any. */
   def tokenVersion(spark: SparkSession, root: String,
@@ -130,9 +188,68 @@ object AcidTable {
       .map(n => s"$dir/$n")
   }
 
-  /** Publish `files` as version `v` with create-exclusive semantics
-    * (package-visible so the spec can drive the exact two-writers-one-
-    * version race the version-list read normally hides). */
+  /** Per-file long min/max for `statsCols`, read from the parquet FOOTERS
+    * of the just-committed files (row-group stats merged to file level;
+    * int32 widened to long). A column that is absent, non-integer, or
+    * all-null in any row group yields no stat — the file then never
+    * prunes on it. Footer reads are kilobytes per file; at cluster scale
+    * the same numbers come back from the write tasks' commit messages —
+    * the driver-side loop here is the local[*] equivalent. */
+  private def footerStats(spark: SparkSession, root: String,
+                          relPaths: Seq[String],
+                          statsCols: Seq[String]): Seq[Entry] = {
+    statsCols.foreach { c =>
+      require(!c.exists("|,:".contains(_)),
+        s"stats column name '$c' may not contain '|', ',' or ':'")
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    relPaths.map { rel =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new Path(s"$root/$rel"), conf)
+      val stats = Using.resource(org.apache.parquet.hadoop.ParquetFileReader.open(in)) { rd =>
+        val blocks = rd.getFooter.getBlocks.asScala.toSeq
+        statsCols.flatMap { c =>
+          val chunks = blocks.map(_.getColumns.asScala.find(_.getPath.toDotString == c))
+          if (blocks.isEmpty || chunks.exists(_.isEmpty)) None
+          else {
+            val ss = chunks.map(_.get.getStatistics)
+            if (ss.exists(s => s == null || !s.hasNonNullValue)) None
+            else {
+              val mins = ss.map(s => longValue(s.genericGetMin.asInstanceOf[AnyRef]))
+              val maxs = ss.map(s => longValue(s.genericGetMax.asInstanceOf[AnyRef]))
+              if (mins.exists(_.isEmpty) || maxs.exists(_.isEmpty)) None
+              else Some(FileStat(c, mins.map(_.get).min, maxs.map(_.get).max))
+            }
+          }
+        }
+      }
+      Entry(rel, stats)
+    }
+  }
+
+  private def longValue(v: AnyRef): Option[Long] = v match {
+    case l: java.lang.Long => Some(l.longValue())
+    case i: java.lang.Integer => Some(i.longValue())
+    case _ => None
+  }
+
+  private def newEntries(df: DataFrame, root: String,
+                         statsCols: Seq[String]): Seq[Entry] = {
+    val paths = writeDataFiles(df, root)
+    if (statsCols.isEmpty) paths.map(Entry(_, Nil))
+    else footerStats(df.sparkSession, root, paths, statsCols)
+  }
+
+  /** Publish `files` (pre-rendered manifest lines) as version `v`.
+    * Atomicity (round 12, torn-manifest fix): the body is fully written
+    * to a same-directory `.tmp` name, then RENAMED to the manifest name
+    * with no-overwrite semantics — a reader never observes a half-written
+    * manifest, and of two writers racing to the same version exactly one
+    * rename succeeds; the loser gets [[Conflict]]. Only the
+    * already-exists outcome maps to Conflict — genuine IO failures
+    * (permissions, disk full) propagate as themselves.
+    * (Package-visible so the spec can drive the exact
+    * two-writers-one-version race the version-list read normally hides.) */
   private[operators] def publish(spark: SparkSession, root: String, v: Long,
                                  action: String, files: Seq[String],
                                  token: Option[String] = None): Long = {
@@ -140,36 +257,44 @@ object AcidTable {
     f.mkdirs(new Path(s"$root/$ManifestDir"))
     val p = manifestPath(root, v)
     if (f.exists(p)) throw Conflict(v, root)
-    val out =
-      try f.create(p, /*overwrite=*/ false)
-      catch { case _: java.io.IOException => throw Conflict(v, root) }
-    Using.resource(out) { o =>
+    val tmp = new Path(s"$root/$ManifestDir/" +
+      s".v$v-${java.util.UUID.randomUUID()}.tmp")
+    Using.resource(f.create(tmp, /*overwrite=*/ true)) { o =>
       val tokenLine = token.map(t => s"#token:$t\n").getOrElse("")
       val tsLine = s"#ts:${System.currentTimeMillis()}\n"
       o.write((s"#action:$action\n" + tsLine + tokenLine +
           files.mkString("", "\n", "\n"))
         .getBytes(StandardCharsets.UTF_8))
     }
+    val fc = FileContext.getFileContext(f.makeQualified(p).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    try fc.rename(tmp, p, Options.Rename.NONE) // fails if p exists
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        f.delete(tmp, false); throw Conflict(v, root)
+      case e: Throwable => f.delete(tmp, false); throw e
+    }
     v
   }
 
+  private def publishEntries(spark: SparkSession, root: String, v: Long,
+                             action: String, entries: Seq[Entry],
+                             token: Option[String] = None): Long =
+    publish(spark, root, v, action, entries.map(_.render), token)
+
   /** Commit wall-clock time of version `v` (epoch millis). */
-  def commitTimestamp(spark: SparkSession, root: String, v: Long): Long = {
-    val f = fs(spark, root)
-    val text = Using.resource(f.open(manifestPath(root, v))) { in =>
-      new String(in.readAllBytes(), StandardCharsets.UTF_8)
-    }
-    text.linesIterator.find(_.startsWith("#ts:")).map(_.stripPrefix("#ts:").toLong)
+  def commitTimestamp(spark: SparkSession, root: String, v: Long): Long =
+    manifestText(spark, root, v).linesIterator
+      .find(_.startsWith("#ts:")).map(_.stripPrefix("#ts:").toLong)
       .getOrElse(throw new IllegalStateException(
         s"manifest v$v at $root carries no #ts header"))
-  }
 
   /** Time travel by WALL CLOCK: the table as of `tsMillis` — the latest
     * version whose commit time is at-or-before it (the form users
     * actually ask for; version numbers are the implementation detail).
     * Commit times are strictly usable because versions are published
-    * serially through the create-exclusive gate — version order and
-    * commit-time order agree on one table. */
+    * serially through the rename gate — version order and commit-time
+    * order agree on one table. */
   def readAsOfTimestamp(spark: SparkSession, root: String,
                         tsMillis: Long): DataFrame = {
     val vs = versions(spark, root)
@@ -181,41 +306,69 @@ object AcidTable {
   }
 
   /** Commit `df` as the table's complete new state. Returns the published
-    * version. Prior versions stay readable via [[readAsOf]]. */
-  def commitOverwrite(df: DataFrame, root: String): Long = {
+    * version. Prior versions stay readable via [[readAsOf]]. Pass
+    * `statsCols` to record per-file min/max for those (long) columns in
+    * the manifest — the fuel for [[readWhere]]'s data skipping. */
+  def commitOverwrite(df: DataFrame, root: String,
+                      statsCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val next = versions(spark, root).lastOption.getOrElse(0L) + 1
-    publish(spark, root, next, "overwrite", writeDataFiles(df, root))
+    publishEntries(spark, root, next, "overwrite",
+      newEntries(df, root, statsCols))
   }
 
   /** Commit `df` as rows ADDED to the current state (file-level append —
-    * no key semantics; keyed upsert is `IncrementalUpdate.merge` over a
-    * read + commitOverwrite). Returns the published version. */
-  def commitAppend(df: DataFrame, root: String): Long = {
+    * keyed upsert is [[mergeCow]]). Returns the published version. Base
+    * manifest lines are carried verbatim (paths AND stats). */
+  def commitAppend(df: DataFrame, root: String,
+                   statsCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     val prev = versions(spark, root).lastOption
     val base = prev.map(readManifest(spark, root, _)._2).getOrElse(Seq.empty)
-    publish(spark, root, prev.getOrElse(0L) + 1, "append",
-      base ++ writeDataFiles(df, root))
+    publishEntries(spark, root, prev.getOrElse(0L) + 1, "append",
+      base ++ newEntries(df, root, statsCols))
   }
 
   /** The table as of `version` — planned from that manifest's file list
     * alone; later commits never disturb it. */
   def readAsOf(spark: SparkSession, root: String, version: Long): DataFrame = {
-    val (_, files) = readManifest(spark, root, version)
-    require(files.nonEmpty, s"version $version of $root lists no data files")
-    spark.read.parquet(files.map(f => s"$root/$f"): _*)
+    val (_, entries) = readManifest(spark, root, version)
+    require(entries.nonEmpty, s"version $version of $root lists no data files")
+    spark.read.parquet(entries.map(e => s"$root/${e.path}"): _*)
   }
 
   /** The latest committed state. */
   def read(spark: SparkSession, root: String): DataFrame =
     readAsOf(spark, root, currentVersion(spark, root))
 
+  /** Data-skipping read (round 12): plan ONLY the files whose manifest
+    * min/max ranges can contain a row matching every `range` — the rest
+    * are dropped before Spark ever sees their paths. The scan is a
+    * SUPERSET of the matching rows (apply the row filter on top);
+    * `filesScanned`/`filesTotal` make the saving a reportable FACT. A
+    * file with no stats for a predicate column is never pruned. */
+  def readWhere(spark: SparkSession, root: String, version: Long,
+                ranges: Seq[ColRange]): PrunedRead = {
+    val (_, entries) = readManifest(spark, root, version)
+    require(entries.nonEmpty, s"version $version of $root lists no data files")
+    val kept = entries.filter { e =>
+      ranges.forall { r =>
+        e.statFor(r.col).forall(s => s.max >= r.lower && s.min <= r.upper)
+      }
+    }
+    val df =
+      if (kept.nonEmpty) spark.read.parquet(kept.map(e => s"$root/${e.path}"): _*)
+      // proven-empty: keep the schema by planning the full version with a
+      // false predicate (zero rows; row groups are stats-skipped anyway)
+      else readAsOf(spark, root, version).where(lit(false))
+    PrunedRead(df, kept.length, entries.length)
+  }
+
   /** (version, action, n_files) for every published version. */
   def history(spark: SparkSession, root: String): Seq[(Long, String, Int)] =
     versions(spark, root).map { v =>
-      val (action, files) = readManifest(spark, root, v)
-      (v, action, files.length)
+      val (action, entries) = readManifest(spark, root, v)
+      (v, action, entries.length)
     }
 
   /** Replay-idempotent [[commitAppend]] for streaming ingestion
@@ -232,20 +385,99 @@ object AcidTable {
     * thousands-of-versions scale this models; past that a production
     * table keeps a token→version side index rebuilt from the manifests
     * it denormalizes. */
-  def commitAppendOnce(df: DataFrame, root: String, token: String): Long = {
+  def commitAppendOnce(df: DataFrame, root: String, token: String,
+                       statsCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
     tokenVersion(spark, root, token) match {
       case Some(v) => v
       case None =>
         val prev = versions(spark, root).lastOption
         val base = prev.map(readManifest(spark, root, _)._2).getOrElse(Seq.empty)
-        try publish(spark, root, prev.getOrElse(0L) + 1, "append",
-          base ++ writeDataFiles(df, root), Some(token))
+        try publishEntries(spark, root, prev.getOrElse(0L) + 1, "append",
+          base ++ newEntries(df, root, statsCols), Some(token))
         catch {
           case c: Conflict =>
             tokenVersion(spark, root, token).getOrElse(throw c)
         }
     }
+  }
+
+  /** Copy-on-write UPSERT (round 12): apply `updates` keyed by the long
+    * column `keyCol` — rows whose key exists are replaced, new keys are
+    * inserted — rewriting ONLY the files whose `keyCol` min/max range can
+    * contain a touched key. Untouched files are carried into the next
+    * manifest BY REFERENCE (verbatim lines), so a 1k-row upsert into a
+    * 100 TB table rewrites kilofiles, not the table. Correctness does not
+    * depend on stats: a file without `keyCol` stats is conservatively
+    * rewritten. `updates` must carry the table's schema. Returns
+    * (published version, files rewritten, files kept). */
+  def mergeCow(updates: DataFrame, root: String, keyCol: String,
+               statsCols: Seq[String] = Nil): (Long, Int, Int) =
+    cowCommit(updates.sparkSession, root, "merge", statsCols) { entries =>
+      val spark = updates.sparkSession
+      // touched = files whose range can contain an update key, decided
+      // DISTRIBUTED: broadcast the (small, manifest-sized) stats table
+      // against the update keys, so a billion-row update set never lands
+      // on the driver. Files lacking stats are always touched.
+      val (statless, withStats) = entries.partition(_.statFor(keyCol).isEmpty)
+      val touchedStatted: Set[String] = if (withStats.isEmpty) Set.empty else {
+        import spark.implicits._
+        val statsDf = withStats
+          .map(e => (e.path, e.statFor(keyCol).get.min, e.statFor(keyCol).get.max))
+          .toDF("__path", "__min", "__max")
+        updates.select(col(keyCol).cast("long").as("__k")).distinct()
+          .join(broadcast(statsDf),
+            col("__k") >= col("__min") && col("__k") <= col("__max"))
+          .select("__path").distinct().collect().map(_.getString(0)).toSet
+      }
+      val touched = entries.filter(e =>
+        statless.contains(e) || touchedStatted.contains(e.path))
+      val untouched = entries.filterNot(e =>
+        statless.contains(e) || touchedStatted.contains(e.path))
+      val rewritten =
+        if (touched.isEmpty) updates
+        else {
+          val spark2 = updates.sparkSession
+          val old = spark2.read.parquet(touched.map(e => s"$root/${e.path}"): _*)
+          old.join(updates.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+            .unionByName(updates)
+        }
+      (untouched, rewritten)
+    }
+
+  /** Copy-on-write DELETE (round 12): remove rows with
+    * `lower <= keyCol <= upper`, rewriting only the files whose stats
+    * overlap the range (a file wholly inside the range still gets an
+    * explicit — possibly empty — rewrite; one that can't contain the
+    * range is carried by reference). Returns (version, rewritten, kept). */
+  def deleteCow(spark: SparkSession, root: String, keyCol: String,
+                lower: Long, upper: Long,
+                statsCols: Seq[String] = Nil): (Long, Int, Int) =
+    cowCommit(spark, root, "delete", statsCols) { entries =>
+      val (touched, untouched) = entries.partition { e =>
+        e.statFor(keyCol).forall(s => s.max >= lower && s.min <= upper)
+      }
+      val survivors =
+        if (touched.isEmpty) None
+        else Some(spark.read.parquet(touched.map(e => s"$root/${e.path}"): _*)
+          .where(!(col(keyCol) >= lower && col(keyCol) <= upper)))
+      (untouched, survivors.orNull)
+    }
+
+  /** Shared COW commit shape: split the current entries into
+    * (kept-by-reference, rewrite frame), write the rewrite, publish
+    * kept ∪ new through the same rename gate. */
+  private def cowCommit(spark: SparkSession, root: String, action: String,
+                        statsCols: Seq[String])(
+      split: Seq[Entry] => (Seq[Entry], DataFrame)): (Long, Int, Int) = {
+    val cur = currentVersion(spark, root)
+    val (_, entries) = readManifest(spark, root, cur)
+    val (untouched, rewrite) = split(entries)
+    val fresh =
+      if (rewrite == null) Seq.empty
+      else newEntries(rewrite, root, statsCols)
+    val v = publishEntries(spark, root, cur + 1, action, untouched ++ fresh)
+    (v, entries.length - untouched.length, untouched.length)
   }
 
   /** Compact the current version into `numFiles` files, published as a
@@ -256,12 +488,38 @@ object AcidTable {
     * construction (one repartition of the current snapshot); old
     * versions stay readable until [[vacuum]], and readers holding any
     * version's file list are untouched — compaction is just another
-    * commit racing through the same create-exclusive gate. */
-  def compact(spark: SparkSession, root: String, numFiles: Int): Long = {
+    * commit racing through the same rename gate. */
+  def compact(spark: SparkSession, root: String, numFiles: Int,
+              statsCols: Seq[String] = Nil): Long = {
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
     val cur = currentVersion(spark, root)
     val df = readAsOf(spark, root, cur).repartition(numFiles)
-    publish(spark, root, cur + 1, "compact", writeDataFiles(df, root))
+    publishEntries(spark, root, cur + 1, "compact",
+      newEntries(df, root, statsCols))
+  }
+
+  /** Read `version` with SCHEMA RECONCILIATION (round 12): group the
+    * referenced files by originating commit directory (appends keep
+    * manifest order, so first-seen order IS commit order), read each
+    * group's schema from footers only, and apply [[SchemaEvolution]]'s
+    * policy — present columns cast to the widest safe type, missing
+    * columns null, cross-kind CONFLICTED columns quarantined by name
+    * instead of footer-roulette. Adds `__gen` (1-based commit group).
+    * Returns (data, quarantined column names, reader schema). */
+  def readReconciled(spark: SparkSession, root: String, version: Long):
+      (DataFrame, Seq[String], Seq[(String, String)]) = {
+    val (_, entries) = readManifest(spark, root, version)
+    require(entries.nonEmpty, s"version $version of $root lists no data files")
+    val byDir = scala.collection.mutable.LinkedHashMap.empty[String, Vector[String]]
+    entries.foreach { e =>
+      val dir = e.path.substring(0, e.path.lastIndexOf('/') max 0)
+      byDir.updateWith(dir)(v => Some(v.getOrElse(Vector.empty) :+ s"$root/${e.path}"))
+    }
+    val gens = byDir.values.zipWithIndex
+      .map { case (files, i) => ((i + 1).toLong, files: Seq[String]) }.toSeq
+    val inventory = SchemaEvolution.generationSchemasFromFiles(spark, gens)
+    val report = SchemaEvolution.driftReport(inventory)
+    SchemaEvolution.readReconciledFiles(spark, gens, report)
   }
 
   /** Added / removed / changed rows between two versions —
@@ -275,16 +533,32 @@ object AcidTable {
   /** Retire time travel older than the last `retainLast` versions: delete
     * the expired manifests, then every data file no RETAINED manifest
     * references. Readers of retained versions are untouched (their files
-    * survive by construction). Returns (manifests deleted, files deleted). */
-  def vacuum(spark: SparkSession, root: String, retainLast: Int): (Int, Int) = {
+    * survive by construction). `minAgeMillis` (round 12) is the READER
+    * RETENTION CONTRACT: a manifest younger than that horizon is never
+    * expired even when `retainLast` would drop it — set it to the longest
+    * scan a reader may hold a resolved file list (Delta's
+    * deletedFileRetentionDuration plays the same role), so vacuum can
+    * never delete files under a reader mid-scan on a recently-current
+    * version. Abandoned commit `.tmp` bodies older than the horizon are
+    * swept too. Returns (manifests deleted, files deleted). */
+  def vacuum(spark: SparkSession, root: String, retainLast: Int,
+             minAgeMillis: Long = 0L): (Int, Int) = {
     require(retainLast >= 1, "must retain at least the current version")
     val vs = versions(spark, root)
-    val (expired, retained) = vs.splitAt(math.max(0, vs.length - retainLast))
-    val keep = retained.flatMap(readManifest(spark, root, _)._2).toSet
-    val drop = expired.flatMap(readManifest(spark, root, _)._2).toSet -- keep
+    val now = System.currentTimeMillis()
+    val expired = vs.dropRight(retainLast)
+      .takeWhile(v => commitTimestamp(spark, root, v) <= now - minAgeMillis)
+    val retained = vs.drop(expired.length)
+    val keep = retained.flatMap(readManifest(spark, root, _)._2).map(_.path).toSet
+    val drop = expired.flatMap(readManifest(spark, root, _)._2).map(_.path).toSet -- keep
     val f = fs(spark, root)
     drop.foreach(rel => f.delete(new Path(s"$root/$rel"), false))
     expired.foreach(v => f.delete(manifestPath(root, v), false))
+    val mdir = new Path(s"$root/$ManifestDir")
+    if (f.exists(mdir)) f.listStatus(mdir).toSeq
+      .filter(s => s.getPath.getName.endsWith(".tmp") &&
+        s.getModificationTime <= now - minAgeMillis)
+      .foreach(s => f.delete(s.getPath, false))
     (expired.length, drop.size)
   }
 }

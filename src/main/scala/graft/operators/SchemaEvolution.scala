@@ -43,11 +43,18 @@ object SchemaEvolution {
     * Returns (gen, col_name, data_type) with Spark simpleString names
     * (int/bigint/double/string/...). */
   def generationSchemas(spark: SparkSession,
-                        gens: Seq[(Long, String)]): DataFrame = {
+                        gens: Seq[(Long, String)]): DataFrame =
+    generationSchemasFromFiles(spark, gens.map { case (g, d) => (g, Seq(d)) })
+
+  /** [[generationSchemas]] over explicit per-generation FILE lists — the
+    * form an [[AcidTable]] manifest yields, where one commit's files share
+    * a schema but live under a uuid directory, not a numbered one. */
+  def generationSchemasFromFiles(spark: SparkSession,
+                                 gens: Seq[(Long, Seq[String])]): DataFrame = {
     import spark.implicits._
-    require(gens.nonEmpty, "at least one generation directory")
-    gens.flatMap { case (g, dir) =>
-      spark.read.parquet(dir).schema.fields
+    require(gens.nonEmpty, "at least one generation")
+    gens.flatMap { case (g, paths) =>
+      spark.read.parquet(paths: _*).schema.fields
         .map(f => (g, f.name, f.dataType.simpleString))
     }.toDF("gen", "col_name", "data_type")
   }
@@ -122,13 +129,20 @@ object SchemaEvolution {
     * names, reader schema as (col_name, reader_type) pairs). */
   def readReconciled(spark: SparkSession, gens: Seq[(Long, String)],
                      report: DataFrame):
+      (DataFrame, Seq[String], Seq[(String, String)]) =
+    readReconciledFiles(spark, gens.map { case (g, d) => (g, Seq(d)) }, report)
+
+  /** [[readReconciled]] over explicit per-generation file lists (the
+    * [[AcidTable]] manifest form). */
+  def readReconciledFiles(spark: SparkSession, gens: Seq[(Long, Seq[String])],
+                          report: DataFrame):
       (DataFrame, Seq[String], Seq[(String, String)]) = {
     val rows = report.select("col_name", "conflict", "reader_type").collect()
     val quarantined = rows.filter(_.getBoolean(1)).map(_.getString(0)).toSeq.sorted
     val reader = rows.filterNot(_.getBoolean(1))
       .map(r => r.getString(0) -> r.getString(2)).sortBy(_._1).toSeq
-    val unioned = gens.map { case (g, dir) =>
-      val df = spark.read.parquet(dir)
+    val unioned = gens.map { case (g, paths) =>
+      val df = spark.read.parquet(paths: _*)
       val present = df.schema.fieldNames.toSet
       df.select(lit(g).as("__gen") +: reader.map { case (n, t) =>
         (if (present(n)) col(n) else lit(null)).cast(t).as(n)

@@ -158,7 +158,14 @@ object TradingCalendar {
         max(when(col("__side") === "b", col("__f"))).as(s"b_$valueCol"),
         max(when(col("__side") === "b", col("__stale"))).as("b_stale"),
         count(lit(1)).as("__n"))
-      .where(col("__n") === 2) // overlap: BOTH sides inside their windows
+      // overlap: BOTH sides inside their windows. A count past 2 means a
+      // duplicate (pair, side, day) FACT row fanned the grid join out —
+      // raise at scan speed (the module's stated policy) rather than
+      // silently dropping the whole session.
+      .where(when(col("__n") > 2, raise_error(concat(
+          lit("alignCrossListed: duplicate (pair, side, day) fact rows "),
+          lit("(group count "), col("__n").cast("string"), lit(")"))))
+        .otherwise(col("__n") === 2))
       .drop("__n")
   }
 

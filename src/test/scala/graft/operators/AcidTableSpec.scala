@@ -142,4 +142,160 @@ class AcidTableSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] { AcidTable.read(spark, root) }
     assert(e.getMessage.contains("no committed version"))
   }
+
+  // ---- round 12: file stats + data skipping -------------------------------
+
+  /** Three single-file commits with disjoint key ranges [1,10], [11,20],
+    * [21,30] — the pruning fixture. */
+  private def statsTable(tag: String): String = {
+    val root = freshRoot(tag)
+    Seq(1L to 10L, 11L to 20L, 21L to 30L).foreach { r =>
+      AcidTable.commitAppend(kv(r.map(i => i -> i * 100): _*).coalesce(1),
+        root, statsCols = Seq("k", "v"))
+    }
+    root
+  }
+
+  test("readWhere prunes by manifest stats and never drops a matching row") {
+    val root = statsTable("pr")
+    val v = AcidTable.currentVersion(spark, root)
+    // strictly inside file 2's range: one file scanned
+    val mid = AcidTable.readWhere(spark, root, v,
+      Seq(AcidTable.ColRange("k", 12, 15)))
+    assert(mid.filesTotal === 3 && mid.filesScanned === 1)
+    assert(asSet(mid.df.where(col("k").between(12, 15))) ===
+      (12L to 15L).map(i => i -> i * 100).toSet)
+    // ADVERSARIAL BOUNDARIES: predicate endpoints exactly on file min/max
+    // must keep those files (inclusive on both sides)
+    val edge = AcidTable.readWhere(spark, root, v,
+      Seq(AcidTable.ColRange("k", 10, 11)))
+    assert(edge.filesScanned === 2, "k=10 is file1's max, k=11 is file2's min")
+    assert(asSet(edge.df.where(col("k").between(10, 11))) ===
+      Set(10L -> 1000L, 11L -> 1100L))
+    // a range matching nothing: zero files planned, empty-but-schema'd scan
+    val none = AcidTable.readWhere(spark, root, v,
+      Seq(AcidTable.ColRange("k", 1000, 2000)))
+    assert(none.filesScanned === 0 && none.df.count() === 0)
+    assert(none.df.columns.toSeq === Seq("k", "v"))
+    // two-column conjunction: k says files 1-2, v says files 2-3 => file 2
+    val both = AcidTable.readWhere(spark, root, v, Seq(
+      AcidTable.ColRange("k", 5, 15), AcidTable.ColRange("v", 1100, 2500)))
+    assert(both.filesScanned === 1)
+    // the exhaustive prune-never-drops check over sliding ranges
+    val full = AcidTable.read(spark, root)
+    (0L to 31L by 3L).foreach { lo =>
+      val pr = AcidTable.readWhere(spark, root, v,
+        Seq(AcidTable.ColRange("k", lo, lo + 4)))
+      assert(asSet(pr.df.where(col("k").between(lo, lo + 4))) ===
+        asSet(full.where(col("k").between(lo, lo + 4))), s"range [$lo,${lo + 4}]")
+    }
+  }
+
+  test("a file without stats for the predicate column is never pruned") {
+    val root = freshRoot("ns")
+    AcidTable.commitAppend(kv(1L -> 10L), root, statsCols = Seq("k"))
+    AcidTable.commitAppend(kv(50L -> 500L), root) // no stats recorded
+    val pr = AcidTable.readWhere(spark, root, 2L,
+      Seq(AcidTable.ColRange("k", 40, 60)))
+    assert(pr.filesTotal === 2 && pr.filesScanned === 1,
+      "stats file pruned, stat-less file conservatively kept")
+    assert(asSet(pr.df.where(col("k").between(40, 60))) === Set(50L -> 500L))
+  }
+
+  // ---- round 12: copy-on-write merge / delete -----------------------------
+
+  private def manifestLines(root: String, v: Long): Seq[String] = {
+    val p = new File(root,
+      f"_manifests/v$v%08d.manifest").getAbsolutePath
+    scala.io.Source.fromFile(p).getLines().toSeq
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+  }
+
+  test("mergeCow rewrites only key-overlapping files; untouched lines are byte-identical") {
+    val root = statsTable("mg")
+    val updates = kv(12L -> 9999L, 31L -> 3100L) // touch file 2; insert key 31
+    val (v, rewritten, kept) =
+      AcidTable.mergeCow(updates, root, "k", statsCols = Seq("k", "v"))
+    assert(v === 4L && rewritten === 1 && kept === 2)
+    // the files-by-reference proof: the two untouched lines appear VERBATIM
+    val before = manifestLines(root, 3L)
+    val after = manifestLines(root, 4L)
+    assert(before.toSet.intersect(after.toSet).size === 2,
+      "both untouched manifest lines (path AND stats) carried byte-identical")
+    // upsert semantics
+    val got = asSet(AcidTable.read(spark, root))
+    val want = (1L to 30L).map(i => i -> i * 100).toMap ++
+      Map(12L -> 9999L, 31L -> 3100L)
+    assert(got === want.toSet)
+    // snapshot isolation: v3 still serves the pre-merge state
+    assert(asSet(AcidTable.readAsOf(spark, root, 3L)) ===
+      (1L to 30L).map(i => i -> i * 100).toSet)
+  }
+
+  test("deleteCow removes a key range rewriting only overlapping files") {
+    val root = statsTable("dl")
+    val (v, rewritten, kept) =
+      AcidTable.deleteCow(spark, root, "k", 18, 23, statsCols = Seq("k", "v"))
+    assert(v === 4L && rewritten === 2 && kept === 1, "range spans files 2 and 3")
+    assert(manifestLines(root, 3L).toSet.intersect(
+      manifestLines(root, 4L).toSet).size === 1)
+    assert(asSet(AcidTable.read(spark, root)) ===
+      ((1L to 17L) ++ (24L to 30L)).map(i => i -> i * 100).toSet)
+    assert(asSet(AcidTable.readAsOf(spark, root, 3L)) ===
+      (1L to 30L).map(i => i -> i * 100).toSet)
+  }
+
+  test("mergeCow on a never-committed table fails fast (seed with a commit first)") {
+    val root = freshRoot("m0")
+    intercept[IllegalArgumentException] {
+      AcidTable.mergeCow(kv(1L -> 1L), root, "k")
+    }
+  }
+
+  // ---- round 12: schema-reconciled reads ----------------------------------
+
+  test("readReconciled widens drifted appends and quarantines conflicts") {
+    import spark.implicits._
+    val root = freshRoot("sr")
+    AcidTable.commitAppend(
+      Seq((1, 10, "x")).toDF("k", "v", "tag")
+        .select(col("k").cast("int").as("k"), col("v").cast("int").as("v"), col("tag")),
+      root)
+    AcidTable.commitAppend(
+      Seq((2L, 20L, "y")).toDF("k", "v", "tag")
+        .select(col("k").cast("bigint").as("k"), col("v").cast("bigint").as("v"), col("tag")),
+      root)
+    AcidTable.commitAppend(
+      Seq((3L, 30.0, 7L)).toDF("k", "v", "tag")
+        .select(col("k").cast("bigint").as("k"), col("v").cast("double").as("v"),
+          col("tag").cast("bigint").as("tag")),
+      root)
+    val (df, quarantined, reader) = AcidTable.readReconciled(spark, root, 3L)
+    assert(quarantined === Seq("tag"), "string->bigint is a cross-kind conflict")
+    assert(reader.toMap === Map("k" -> "bigint", "v" -> "double"))
+    val rows = df.select("__gen", "k", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows === Set((1L, 1L, 10.0), (2L, 2L, 20.0), (3L, 3L, 30.0)))
+    assert(!df.columns.contains("tag"))
+  }
+
+  // ---- round 12: vacuum retention guard -----------------------------------
+
+  test("vacuum never expires a manifest younger than minAgeMillis") {
+    val root = freshRoot("vg")
+    AcidTable.commitOverwrite(kv(1L -> 1L), root)
+    AcidTable.commitOverwrite(kv(2L -> 2L), root)
+    AcidTable.commitOverwrite(kv(3L -> 3L), root)
+    // all three commits are milliseconds old: a 1-hour horizon refuses all
+    val (m0, f0) = AcidTable.vacuum(spark, root, retainLast = 1,
+      minAgeMillis = 3600 * 1000L)
+    assert(m0 === 0 && f0 === 0)
+    assert(asSet(AcidTable.readAsOf(spark, root, 1L)) === Set(1L -> 1L),
+      "a reader mid-scan on v1 is safe inside the horizon")
+    // horizon elapsed (0ms): the guard releases, retainLast applies
+    val (m1, _) = AcidTable.vacuum(spark, root, retainLast = 1, minAgeMillis = 0L)
+    assert(m1 === 2)
+    intercept[IllegalArgumentException] { AcidTable.readAsOf(spark, root, 1L) }
+    assert(asSet(AcidTable.read(spark, root)) === Set(3L -> 3L))
+  }
 }

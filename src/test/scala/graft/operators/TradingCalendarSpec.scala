@@ -95,6 +95,15 @@ class TradingCalendarSpec extends SparkSpec {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(_.contains("side must be 'a' or 'b'")),
       msgs(e).mkString(" | "))
+    // a duplicate (pair, side, day) FACT row raises instead of silently
+    // dropping the whole union session (round-12 advisory fix)
+    val dup = Seq((1L, "a", 12L, 999L)).toDF("k", "side", "day_ord", "px")
+    val e2 = intercept[Exception] {
+      TradingCalendar.alignCrossListed(sides.unionByName(dup), Seq("k"),
+        "side", "day_ord", "px").collect()
+    }
+    assert(msgs(e2).exists(_.contains("duplicate (pair, side, day)")),
+      msgs(e2).mkString(" | "))
   }
 
   test("plan shape: calendar joins broadcast; LOCF shares the grid's key shuffle") {

@@ -35,12 +35,15 @@ def main():
             if new[q] > ratio * old[q] and new[q] - old[q] > abs_sec]
     so, sn = sum(old[q] for q in common), sum(new[q] for q in common)
     print(f"common: {len(common)}  added: {len(added)}  removed: {len(removed)}")
-    print(f"common-query sum: {so:.1f}s -> {sn:.1f}s  (x{sn / so:.2f} "
-          "— uniform inflation = host drift, not regression)")
-    worst = sorted(common, key=lambda q: -(new[q] / max(old[q], 1e-9)))[:5]
-    print("worst ratios:",
-          [(q, round(old[q], 2), round(new[q], 2),
-            round(new[q] / max(old[q], 1e-9), 2)) for q in worst])
+    if common:
+        print(f"common-query sum: {so:.1f}s -> {sn:.1f}s  (x{sn / max(so, 1e-9):.2f} "
+              "— uniform inflation = host drift, not regression)")
+        worst = sorted(common, key=lambda q: -(new[q] / max(old[q], 1e-9)))[:5]
+        print("worst ratios:",
+              [(q, round(old[q], 2), round(new[q], 2),
+                round(new[q] / max(old[q], 1e-9), 2)) for q in worst])
+    else:
+        print("no common queries — disjoint surfaces; added/removed below")
     if added:
         cost = sum(new[q] for q in added)
         print(f"new queries cost {cost:.2f}s:",
