@@ -39,6 +39,98 @@ object ScanSinkQueries extends QueryModule {
       root
     }
 
+  // Q-ACID4–6 fixture: a Z-ORDER-BUCKETED manifest table with per-file
+  // (k, cents) min/max stats — built once per (session, corpus). Rows are
+  // bucketed by the top 4 bits of the Morton z-value of (k, cents) scaled
+  // into [0,1024), and each NONEMPTY bucket is one single-file commit, so
+  // every data file covers a contiguous z-range => narrow min/max
+  // RECTANGLES on both columns at once (the Layout.zorderBy write shape,
+  // made commit-granular so the oracle can replay the per-file stats as
+  // per-bucket aggregates). Returns (root, baseVersion=#files, maxk, maxc).
+  private def acidZ(s: SparkSession, d: String): (String, Long, Long, Long) =
+    Memo.cached(s, s"acidz|$d") {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_acidz/" +
+        s"${s.sparkContext.applicationId}/${new java.io.File(d).getName}"
+      val base = Tables.load(s, d, "orders").select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * lit(100.0)).cast("long").as("cents"))
+      val m = base.agg(max("k"), max("cents")).head()
+      val (maxk, maxc) = (m.getLong(0), m.getLong(1))
+      val z = graft.operators.Layout.zValue(Seq(
+        expr(s"(k * 1024) div ${maxk + 1}"),
+        expr(s"(cents * 1024) div ${maxc + 1}")), 10)
+      val withB = base.withColumn("__b", shiftright(z, 16))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val buckets = withB.select("__b").distinct()
+        .collect().map(_.getLong(0)).sorted // <= 16 buckets by construction
+      buckets.foreach { b =>
+        AcidTable.commitAppend(
+          withB.where(col("__b") === b).drop("__b").coalesce(1),
+          root, statsCols = Seq("k", "cents"))
+      }
+      withB.unpersist()
+      (root, buckets.length.toLong, maxk, maxc)
+    }
+
+  // Q-ACID5 step: one copy-on-write UPSERT on the z-bucketed table —
+  // updates hit only keys <= maxk/8 (low-k buckets), inserts land past
+  // maxk (no existing file can contain them). Returns (root, version).
+  private def acidZMerged(s: SparkSession, d: String): (String, Long) =
+    Memo.cached(s, s"acidzmerge|$d") {
+      val (root, _, maxk, _) = acidZ(s, d)
+      val base = Tables.load(s, d, "orders").select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * lit(100.0)).cast("long").as("cents"))
+      val updates = base
+        .where(pmod(col("k"), lit(5L)) === 0 && col("k") <= maxk / 8)
+        .withColumn("status", lit("U"))
+        .withColumn("cents", col("cents") + 11)
+      val inserts = base
+        .where(pmod(col("k"), lit(7L)) === 3 && col("k") <= maxk / 8)
+        .select((col("k") + (maxk + 1)).as("k"), lit("N").as("status"),
+          (col("cents") + 1).as("cents"))
+      val (v, _, _) = AcidTable.mergeCow(updates.unionByName(inserts), root,
+        "k", statsCols = Seq("k", "cents"))
+      (root, v)
+    }
+
+  // Q-ACID6 step: a copy-on-write range DELETE on top of the merge.
+  // Returns (root, mergedVersion, deletedVersion).
+  private def acidZDeleted(s: SparkSession, d: String): (String, Long, Long) =
+    Memo.cached(s, s"acidzdel|$d") {
+      val (_, _, maxk, _) = acidZ(s, d)
+      val (root, vm) = acidZMerged(s, d)
+      val (vd, _, _) = AcidTable.deleteCow(s, root, "k",
+        maxk / 3, maxk / 2, statsCols = Seq("k", "cents"))
+      (root, vm, vd)
+    }
+
+  // Q-ACID7 fixture: three drifting APPENDS into one manifest table —
+  // v widens int -> bigint -> double, tag type-conflicts (string ->
+  // bigint) at gen 3, extra appears only at gen 3. The reconciled read
+  // must widen v, null-fill extra, and quarantine tag.
+  private def acidDriftRoot(s: SparkSession, d: String): String =
+    Memo.cached(s, s"aciddrift|$d") {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_aciddrift/" +
+        s"${s.sparkContext.applicationId}/${new java.io.File(d).getName}"
+      val o = Tables.load(s, d, "orders")
+      val cents = round(col("o_totalprice") * lit(100.0))
+      AcidTable.commitAppend(
+        o.where(pmod(col("o_orderkey"), lit(3L)) === 0).select(
+          col("o_orderkey").as("k"), cents.cast("int").as("v"),
+          col("o_orderstatus").as("tag")), root)
+      AcidTable.commitAppend(
+        o.where(pmod(col("o_orderkey"), lit(3L)) === 1).select(
+          col("o_orderkey").as("k"), (cents.cast("long") * 3).as("v"),
+          col("o_orderstatus").as("tag")), root)
+      AcidTable.commitAppend(
+        o.where(pmod(col("o_orderkey"), lit(3L)) === 2).select(
+          col("o_orderkey").as("k"), (cents.cast("long") * 2).cast("double").as("v"),
+          pmod(col("o_orderkey"), lit(5L)).as("tag"),
+          pmod(col("o_orderkey"), lit(2L)).as("extra")), root)
+      root
+    }
+
   // Q-DQ8 fixture: three parquet GENERATIONS written once per (session,
   // corpus) with planted drift — price_cents widens int→bigint→double,
   // region is renamed to region_name at gen 2 (same type, adjacent
@@ -131,6 +223,69 @@ object ScanSinkQueries extends QueryModule {
       AcidTable.diffVersions(s, acidRoot(s, d), from = 1, to = 2,
           keys = Seq("o_orderkey"), tracked = Seq("o_orderstatus", "cents"))
         .orderBy("o_orderkey")),
+
+    // Q-ACID4 (round 12): DATA SKIPPING off the manifest's per-file
+    // min/max — a two-column range predicate over the z-bucketed table
+    // plans only the files whose (k, cents) rectangles overlap it;
+    // files_scanned < files_total is emitted AS DATA and the oracle
+    // replays the prune decision from per-bucket aggregates (per-file
+    // footer stats == per-bucket stats by construction). The row answer
+    // comes from the PRUNED scan, so a prune that dropped a matching
+    // file would break n/sum_cents, not just the file counts.
+    "q_acid4" -> ((s, d) => {
+      val (root, baseV, maxk, _) = acidZ(s, d)
+      val (kl, kh) = (maxk / 4, maxk / 2)
+      val (cl, ch) = (10000000L, 30000000L)
+      val pr = AcidTable.readWhere(s, root, baseV, Seq(
+        AcidTable.ColRange("k", kl, kh), AcidTable.ColRange("cents", cl, ch)))
+      pr.df.where(col("k").between(kl, kh) && col("cents").between(cl, ch))
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .select(lit(pr.filesTotal.toLong).as("files_total"),
+          lit(pr.filesScanned.toLong).as("files_scanned"),
+          col("n"), col("sum_cents"))
+    }),
+
+    // Q-ACID5 (round 12): copy-on-write UPSERT — only files whose key
+    // range can contain a touched key are rewritten (the untouched-lines-
+    // byte-identical proof is AcidTableSpec's); the oracle replays the
+    // upsert relationally over the same fixture.
+    "q_acid5" -> ((s, d) => {
+      val (root, v) = acidZMerged(s, d)
+      AcidTable.readAsOf(s, root, v)
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .orderBy("status")
+    }),
+
+    // Q-ACID6 (round 12): copy-on-write range DELETE on top of the merge,
+    // plus the snapshot-isolation proof across COW commits: the merged
+    // version still serves its pre-delete state.
+    "q_acid6" -> ((s, d) => {
+      val (root, vm, vd) = acidZDeleted(s, d)
+      Seq(("deleted", vd), ("merged", vm)).map { case (stage, v) =>
+        AcidTable.readAsOf(s, root, v)
+          .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+          .select(lit(stage).as("stage"), col("n"), col("sum_cents"))
+      }.reduce(_.unionByName(_)).orderBy("stage")
+    }),
+
+    // Q-ACID7 (round 12): SCHEMA-RECONCILED time travel — three appends
+    // whose schemas drift (v int->bigint->double, tag string->bigint
+    // conflict, extra appears at gen 3) read back under the widened
+    // reader schema with the conflicted column QUARANTINED, not
+    // footer-roulette. sum_v is exact: v is integer-valued at every
+    // generation, so the widened double sums exactly below 2^53.
+    "q_acid7" -> ((s, d) => {
+      val root = acidDriftRoot(s, d)
+      val (df, quarantined, _) = AcidTable.readReconciled(s, root, 3L)
+      df.groupBy(col("__gen").as("gen"))
+        .agg(count(lit(1)).as("n"),
+          sum("v").cast("long").as("sum_v"),
+          coalesce(sum("extra"), lit(0L)).as("sum_extra"))
+        .select(col("gen"), col("n"), col("sum_v"), col("sum_extra"),
+          lit(quarantined.mkString(",")).as("quarantined"))
+        .orderBy("gen")
+    }),
 
     // Q-SCAN1: parquet scan + projection + total sort.
     "q_scan1" -> ((s, d) =>
@@ -443,6 +598,102 @@ object ScanSinkQueries extends QueryModule {
         |SELECT CAST(4 AS BIGINT), 'compact',
         |  CAST(count(*) AS BIGINT), CAST(SUM(cents) AS BIGINT) FROM v3
         |ORDER BY version""".stripMargin,
+
+    // The z-bucketed fixture's per-FILE footer stats equal per-BUCKET
+    // aggregates by construction (one nonempty bucket = one single-file
+    // commit), so the prune decision replays as relational algebra: a
+    // file is scanned iff its (k, cents) rectangle overlaps the ranges.
+    "q_acid4" -> {
+      val zsql = graft.operators.Layout.zValueSql(Seq("ks", "cs"), 10)
+      s"""WITH base AS (
+         |  SELECT o_orderkey AS k,
+         |    CAST(round(o_totalprice*100,0) AS BIGINT) AS cents
+         |  FROM orders),
+         |m AS (SELECT max(k) AS maxk, max(cents) AS maxc FROM base),
+         |sc AS (SELECT b.k, b.cents,
+         |    (b.k * 1024) // (m.maxk + 1) AS ks,
+         |    (b.cents * 1024) // (m.maxc + 1) AS cs
+         |  FROM base b, m),
+         |zb AS (SELECT k, cents, $zsql AS z FROM sc),
+         |f AS (SELECT z // 65536 AS b, min(k) AS mink, max(k) AS maxk2,
+         |    min(cents) AS minc, max(cents) AS maxc2
+         |  FROM zb GROUP BY 1),
+         |scan AS (SELECT
+         |    (SELECT CAST(count(*) AS BIGINT) FROM f) AS files_total,
+         |    CAST(count(*) AS BIGINT) AS files_scanned
+         |  FROM f, m
+         |  WHERE f.maxk2 >= m.maxk // 4 AND f.mink <= m.maxk // 2
+         |    AND f.maxc2 >= 10000000 AND f.minc <= 30000000),
+         |dat AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(cents) AS BIGINT) AS sum_cents
+         |  FROM base, m
+         |  WHERE k BETWEEN m.maxk // 4 AND m.maxk // 2
+         |    AND cents BETWEEN 10000000 AND 30000000)
+         |SELECT files_total, files_scanned, n, sum_cents
+         |FROM scan, dat""".stripMargin
+    },
+
+    "q_acid5" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |    CAST(round(o_totalprice*100,0) AS BIGINT) AS cents
+        |  FROM orders),
+        |m AS (SELECT max(k) AS maxk FROM base),
+        |upd AS (SELECT k, 'U' AS status, cents + 11 AS cents
+        |  FROM base, m WHERE k % 5 = 0 AND k <= m.maxk // 8),
+        |ins AS (SELECT k + m.maxk + 1 AS k, 'N' AS status, cents + 1 AS cents
+        |  FROM base, m WHERE k % 7 = 3 AND k <= m.maxk // 8),
+        |fin AS (
+        |  SELECT b.k, b.status, b.cents FROM base b, m
+        |  WHERE NOT (b.k % 5 = 0 AND b.k <= m.maxk // 8)
+        |  UNION ALL SELECT * FROM upd
+        |  UNION ALL SELECT * FROM ins)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM fin GROUP BY status ORDER BY status""".stripMargin,
+
+    "q_acid6" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |    CAST(round(o_totalprice*100,0) AS BIGINT) AS cents
+        |  FROM orders),
+        |m AS (SELECT max(k) AS maxk FROM base),
+        |upd AS (SELECT k, 'U' AS status, cents + 11 AS cents
+        |  FROM base, m WHERE k % 5 = 0 AND k <= m.maxk // 8),
+        |ins AS (SELECT k + m.maxk + 1 AS k, 'N' AS status, cents + 1 AS cents
+        |  FROM base, m WHERE k % 7 = 3 AND k <= m.maxk // 8),
+        |fin AS (
+        |  SELECT b.k, b.status, b.cents FROM base b, m
+        |  WHERE NOT (b.k % 5 = 0 AND b.k <= m.maxk // 8)
+        |  UNION ALL SELECT * FROM upd
+        |  UNION ALL SELECT * FROM ins),
+        |del AS (SELECT f.* FROM fin f, m
+        |  WHERE NOT (f.k BETWEEN m.maxk // 3 AND m.maxk // 2))
+        |SELECT 'deleted' AS stage, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents FROM del
+        |UNION ALL
+        |SELECT 'merged', CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+        |FROM fin
+        |ORDER BY stage""".stripMargin,
+
+    "q_acid7" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice*100,0) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT CAST(1 AS BIGINT) AS gen, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_v,
+        |  CAST(0 AS BIGINT) AS sum_extra, 'tag' AS quarantined
+        |FROM base WHERE k % 3 = 0
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+        |  CAST(sum(cents*3) AS BIGINT), CAST(0 AS BIGINT), 'tag'
+        |FROM base WHERE k % 3 = 1
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
+        |  CAST(sum(cents*2) AS BIGINT), CAST(sum(k % 2) AS BIGINT), 'tag'
+        |FROM base WHERE k % 3 = 2
+        |ORDER BY gen""".stripMargin,
 
     "q_acid2" ->
       """WITH base AS (
