@@ -126,6 +126,35 @@ object SimMmQueries extends QueryModule {
         .orderBy(col("sim").desc, col("vec_id"))
     }),
 
+    // Q-SIM18 (round 12): BATCHED NSW serving — a 16-query batch probes
+    // the same stored graph with ONE distributed pass per hop (per-query
+    // beam state in columns, frontier = rank-per-query window, one corpus
+    // join scores every query's fresh candidates), instead of 16 driver
+    // descent+beam loops. Emits per-query recall vs the batched brute
+    // truth (one corpus scan for all 16 queries). Rows-only (approximate
+    // by design — the q_sim3 contract); singleton-batch agreement with
+    // the serial probe and recall floors are spec-asserted (NswAnnSpec).
+    "q_sim18" -> ((s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      val qb = emb.where(col("vec_id") < 16)
+      val (neighbors, entries, hier) = Shared.storedNsw(s, d)
+      val approx = graft.operators.NswAnn.probeBatch(neighbors, entries,
+        hier, emb, "vec_id", "embedding", qb, "vec_id", "embedding",
+        k = 11, beamWidth = 32, rounds = 5)
+      val truth = Similarity.topKForQueries(emb, "vec_id", "embedding",
+        qb, "vec_id", "embedding", k = 11)
+      val tsets = truth.groupBy("query_id").agg(
+        collect_set(col("vec_id")).as("__tids"), count(lit(1)).as("__tn"))
+      approx.join(broadcast(tsets), Seq("query_id"))
+        .withColumn("__hit",
+          when(array_contains(col("__tids"), col("vec_id")), 1L).otherwise(0L))
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_results"),
+          round(sum(col("__hit")).cast("double") /
+            max(col("__tn")).cast("double"), 6).as("recall"))
+        .orderBy("query_id")
+    }),
+
     // Multi-probe LSH ANN top-k: query bucket + all Hamming-1 buckets
     // (rows-only: approximate; recall >= single-probe's spec-asserted on
     // the emitted column). AutoPlanes, as q_sim3.

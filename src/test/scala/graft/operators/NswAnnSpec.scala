@@ -91,6 +91,45 @@ class NswAnnSpec extends SparkSpec {
     assert(a === run(nb2, en2, hr2), "reloaded store must probe identically")
   }
 
+  test("probeBatch on a singleton batch agrees with the serial probe") {
+    val (nb, en, hr) = built
+    val serial = NswAnn.probe(nb, en, hr, emb, "vec_id", "embedding",
+        emb.where(col("vec_id") === 0), "embedding", k = 11,
+        beamWidth = 32, rounds = 5)
+      .select(col("vec_id"), round(col("sim"), 6).as("sim"))
+      .as[(Long, Double)].collect().toSeq
+      .sortBy { case (id, s) => (-s, id) }
+    val batch = NswAnn.probeBatch(nb, en, hr, emb, "vec_id", "embedding",
+        emb.where(col("vec_id") === 0), "vec_id", "embedding", k = 11,
+        beamWidth = 32, rounds = 5)
+      .select("vec_id", "sim").as[(Long, Double)].collect().toSeq
+      .sortBy { case (id, s) => (-s, id) }
+    assert(batch === serial,
+      "a batch of one must visit and rank exactly what the serial probe does")
+  }
+
+  test("probeBatch: 16 queries in one pass — self-surfacing and recall floors") {
+    val (nb, en, hr) = built
+    val qb = emb.where(col("vec_id") < 16)
+    val res = NswAnn.probeBatch(nb, en, hr, emb, "vec_id", "embedding",
+        qb, "vec_id", "embedding", k = 11, beamWidth = 32, rounds = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val tru = Similarity.topKForQueries(emb, "vec_id", "embedding",
+        qb, "vec_id", "embedding", k = 11)
+      .select("query_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(res.keySet === (0L until 16L).toSet, "every query answered")
+    // every query is its own nearest neighbor
+    (0L until 16L).foreach(q => assert(res(q).contains(q), s"query $q lost itself"))
+    val recalls = (0L until 16L).map(q => (res(q) & tru(q)).size / 11.0)
+    assert(recalls.forall(_ >= 0.5),
+      s"per-query recall floor broken: ${recalls.zipWithIndex.filter(_._1 < 0.5)}")
+    assert(recalls.sum / 16.0 >= 0.8, s"mean recall ${recalls.sum / 16.0} under 0.8")
+    // query 0 matches the serial probe's pinned operating point
+    assert(recalls.head >= 0.9)
+  }
+
   test("planted near-duplicate: a perturbed copy of the query is found") {
     val rnd = new scala.util.Random(11)
     def vec() = Array.fill(64)(rnd.nextGaussian().toFloat)
