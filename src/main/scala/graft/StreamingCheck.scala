@@ -105,6 +105,61 @@ object StreamingCheck {
         runComplete("strm8", StreamOps.driftMonitor(_, "event_type", reference)),
         StreamOps.driftMonitor(batch, "event_type", reference))
 
+      // S-DRIFT: schema-drift audit on ARRIVAL — three real generation
+      // dirs with planted drift (v int -> bigint -> double, tag string ->
+      // bigint conflict) are FOOTER-read as they land; the inventory
+      // slices replay as one file per micro-batch (mtime-ordered, the
+      // in-order file-source discipline) and the streamed change points
+      // must equal the batch audit over the full inventory.
+      {
+        import spark.implicits._
+        val genRoot = s"$scratch/gens"
+        val ev = batch.select(col("event_id").as("k"), col("value"),
+          col("event_type").as("tag")).limit(100)
+        ev.select(col("k"), col("value").cast("int").as("v"), col("tag"))
+          .write.mode("overwrite").parquet(s"$genRoot/g1")
+        ev.select(col("k"), col("value").cast("bigint").as("v"), col("tag"))
+          .write.mode("overwrite").parquet(s"$genRoot/g2")
+        ev.select(col("k"), col("value").cast("double").as("v"),
+            length(col("tag")).as("tag"))
+          .write.mode("overwrite").parquet(s"$genRoot/g3")
+        val gens = (1L to 3L).map(g => (g, s"$genRoot/g$g"))
+        val invDir = new java.io.File(s"$scratch/inv_in")
+        invDir.mkdirs()
+        gens.foreach { case (g, dir) =>
+          val slice = s"$scratch/inv_slice_g$g"
+          graft.operators.SchemaEvolution.generationSchemas(spark, Seq((g, dir)))
+            .coalesce(1).write.mode("overwrite").parquet(slice)
+          val part = new java.io.File(slice).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          val target = new java.io.File(invDir, s"inv_g$g.parquet")
+          java.nio.file.Files.copy(part.toPath, target.toPath)
+          target.setLastModified(1700000000000L + g * 60000L)
+        }
+        val invSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("gen",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("col_name",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("data_type",
+            org.apache.spark.sql.types.StringType)))
+        def asTuples(df: DataFrame) =
+          df.select(col("gen").as("_1"), col("col_name").as("_2"),
+            col("data_type").as("_3")).as[(Long, String, String)]
+        val q = StreamOps.schemaDriftOnArrival(asTuples(
+            spark.readStream.schema(invSchema)
+              .option("maxFilesPerTrigger", "1").parquet(invDir.getPath)))
+          .writeStream.format("memory").queryName("sdrift")
+          .outputMode("append")
+          .option("checkpointLocation", s"$scratch/ckpt_sdrift")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val batchInv = graft.operators.SchemaEvolution
+          .generationSchemas(spark, gens)
+        mustMatch("S-DRIFT(schemaDriftOnArrival)", spark.table("sdrift"),
+          StreamOps.schemaDriftOnArrival(asTuples(batchInv)).toDF())
+      }
+
       // Native-file-sink drain: every staged row lands exactly once behind
       // the _spark_metadata commit log.
       val sunk = s"$scratch/sunk"

@@ -39,6 +39,16 @@ object SchemaEvolution {
     when(t === "int", lit(1)).when(t === "bigint", lit(2))
       .when(t === "double", lit(3))
 
+  /** The same lattice for driver/state-side code (the streaming drift
+    * twin classifies change points with it — one definition, two
+    * execution shapes). */
+  private[graft] def typeRank(t: String): Option[Int] = t match {
+    case "int" => Some(1)
+    case "bigint" => Some(2)
+    case "double" => Some(3)
+    case _ => None
+  }
+
   /** Read each generation directory's parquet schema (footers only).
     * Returns (gen, col_name, data_type) with Spark simpleString names
     * (int/bigint/double/string/...). */

@@ -113,6 +113,57 @@ object StreamOps {
       .select(col("l.event_id").as("left_id"), col("r.event_id").as("right_id"),
         col("l.user_id").as("user_id"), col("l.ts").as("left_ts"), col("r.ts").as("right_ts"))
 
+  /** One schema change point surfaced by [[schemaDriftOnArrival]]. */
+  case class SchemaDriftChange(col_name: String, gen: Long, prev_type: String,
+                               data_type: String, change: String)
+
+  /** S-DRIFT (round 12): streaming twin of the q_dq8 schema-drift audit —
+    * generations ARRIVE in a real lake, so the (gen, col_name, data_type)
+    * inventory is maintained incrementally and every NEW change point is
+    * flagged in the micro-batch where it lands, instead of re-auditing
+    * the whole lake per run. Input rows are the same footers-only
+    * inventory `SchemaEvolution.generationSchemas` reads (at arrival time
+    * the ingest trigger reads ONE new generation's footer — kilobytes);
+    * classification uses the same int<bigint<double lattice as
+    * `driftReport`, so a change is `widened`/`narrowed` on the chain,
+    * `conflict` across kinds, `appeared` on first sight. State per column
+    * is one (gen, type) pair — bounded by schema WIDTH, never by history.
+    * Generations must arrive in order (the file-source mtime discipline);
+    * within a batch rows are sorted by gen. Works identically on batch
+    * Datasets (state sees one group) — the parity StreamingCheck proves. */
+  def schemaDriftOnArrival(inventory: Dataset[(Long, String, String)]):
+      Dataset[SchemaDriftChange] = {
+    val spark = inventory.sparkSession
+    import spark.implicits._
+    inventory.groupByKey(_._2)
+      .flatMapGroupsWithState[(Long, String), SchemaDriftChange](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (colName, rows, state: GroupState[(Long, String)]) =>
+          val sorted = rows.toSeq.sortBy(_._1)
+          var cur = state.getOption
+          val out = Seq.newBuilder[SchemaDriftChange]
+          sorted.foreach { case (gen, _, t) =>
+            cur match {
+              case None =>
+                out += SchemaDriftChange(colName, gen, null, t, "appeared")
+              case Some((_, p)) if p == t => ()
+              case Some((_, p)) =>
+                val kind =
+                  (graft.operators.SchemaEvolution.typeRank(p),
+                    graft.operators.SchemaEvolution.typeRank(t)) match {
+                    case (Some(a), Some(b)) if b > a => "widened"
+                    case (Some(a), Some(b)) if b < a => "narrowed"
+                    case _ => "conflict"
+                  }
+                out += SchemaDriftChange(colName, gen, p, t, kind)
+            }
+            cur = Some((gen, t))
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Running per-user position after each micro-batch. */
   case class UserRunningTotal(user_id: Long, n_events: Long, total_value: Double)
 

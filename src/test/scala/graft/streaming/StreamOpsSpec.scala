@@ -90,6 +90,49 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("S-DRIFT: schema change points flagged in the micro-batch where they land") {
+    // the q_dq8 planted drift, arriving as generations: batch 1 = gens 1+2,
+    // batch 2 = gen 3 (the widening-to-double and the status conflict)
+    val g1 = Seq((1L, "k", "bigint"), (1L, "price_cents", "int"),
+      (1L, "status", "string"), (1L, "region", "string"), (1L, "note", "string"))
+    val g2 = Seq((2L, "k", "bigint"), (2L, "price_cents", "bigint"),
+      (2L, "status", "string"), (2L, "region_name", "string"), (2L, "note", "string"))
+    val g3 = Seq((3L, "k", "bigint"), (3L, "price_cents", "double"),
+      (3L, "status", "bigint"), (3L, "region_name", "string"), (3L, "note", "string"))
+    val mem = MemoryStream[(Long, String, String)](spark)
+    val name = s"drift${System.nanoTime()}"
+    val q = StreamOps.schemaDriftOnArrival(mem.toDS())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    def snap(): Set[(String, Long, String, String, String)] =
+      spark.table(name).as[StreamOps.SchemaDriftChange].collect()
+        .map(c => (c.col_name, c.gen, c.prev_type, c.data_type, c.change)).toSet
+    try {
+      mem.addData(g1 ++ g2); q.processAllAvailable()
+      val b1 = snap()
+      assert(b1 === Set(
+        ("k", 1L, null, "bigint", "appeared"),
+        ("price_cents", 1L, null, "int", "appeared"),
+        ("status", 1L, null, "string", "appeared"),
+        ("region", 1L, null, "string", "appeared"),
+        ("note", 1L, null, "string", "appeared"),
+        ("region_name", 2L, null, "string", "appeared"),
+        ("price_cents", 2L, "int", "bigint", "widened")))
+      mem.addData(g3); q.processAllAvailable()
+      // only the NEW change points of batch 2 — state carried the rest
+      assert(snap() -- b1 === Set(
+        ("price_cents", 3L, "bigint", "double", "widened"),
+        ("status", 3L, "string", "bigint", "conflict")))
+      // the stable columns never re-fire
+      assert((snap() -- b1).forall(c => c._1 == "price_cents" || c._1 == "status"))
+    } finally q.stop()
+    // batch/stream parity: the same function over the whole inventory as a
+    // BATCH Dataset emits the same change-point set
+    val batch = StreamOps.schemaDriftOnArrival((g1 ++ g2 ++ g3).toDS())
+      .collect().map(c => (c.col_name, c.gen, c.prev_type, c.data_type, c.change)).toSet
+    assert(batch === snap())
+  }
+
   test("S-STRM8: drift monitor flags a window whose mix leaves the reference") {
     val ref = Seq("click" -> 0.5, "view" -> 0.5)
     def e(id: Long, t: String, typ: String) = Ev(id, ts(t), 1L, typ, 1.0, "{}")
