@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.multimodal.Multimodal
-import graft.operators.{Binning, Bm25, BpeOps, GraphOps, IntervalJoin, MarkupOps, NearDup, NswAnn, Sessionize, Similarity, SpanDedup, TechnicalIndicators, TextOps}
+import graft.operators.{Binning, Bm25, BpeOps, GraphOps, IntervalJoin, IvfAnn, MarkupOps, NearDup, NswAnn, Sessionize, Similarity, SpanDedup, TechnicalIndicators, TextOps}
 
 /** Scale-evidence bench for the dedup/ANN candidate families: runs each
   * operator at 1x (~sf0.1 corpus size), 10x, and — for the linear families
@@ -788,6 +788,35 @@ object ScaleBench {
       println(f"""{"op":"nsw_hier","cells":$cells,"edges":${edges.length},""" +
         f""""edges_per_cell":${edges.length.toDouble / cells}%.2f,""" +
         f""""probe_scored":$scored,"scored_frac":${scored.toDouble / cells}%.4f}""")
+    }
+
+    // ---- NSW batched probe: per-QUERY cost flat in the batch size -------
+    // (r12, VERDICT r11 #4) probeBatch serves the whole batch with one
+    // distributed pass per hop, so the wall must grow far slower than the
+    // batch (per-hop jobs amortize across queries); the wall_ratio rows
+    // below print 4x-batch ratios that must stay well under 4.
+    locally {
+      val rnd = new scala.util.Random(7L)
+      val corpus = (0 until 20000).map(i =>
+          (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+        .toDF("vec_id", "embedding").localCheckpoint()
+      val (indexed, centers) = IvfAnn.buildIndex(corpus, "embedding", 64)
+      val (nb0, en0, hr0) = NswAnn.buildGraph(indexed, centers,
+        "vec_id", "embedding", m = 8)
+      val (nb, en, hr) =
+        (nb0.localCheckpoint(), en0.localCheckpoint(), hr0.localCheckpoint())
+      // warm-up pays the plan/codegen once
+      NswAnn.probeBatch(nb, en, hr, corpus, "vec_id", "embedding",
+        corpus.where(col("vec_id") === 0), "vec_id", "embedding",
+        k = 10, beamWidth = 16, rounds = 3).count()
+      for (batch <- Seq(4, 16, 64)) {
+        val qb = corpus.where(col("vec_id") < batch)
+        timed("nsw_probe_batch", batch.toLong) {
+          NswAnn.probeBatch(nb, en, hr, corpus, "vec_id", "embedding",
+            qb, "vec_id", "embedding", k = 10, beamWidth = 16,
+            rounds = 3).count()
+        }
+      }
     }
 
     // ---- consecutive-scale wall ratios ----------------------------------
