@@ -498,6 +498,25 @@ object AcidTable {
       newEntries(df, root, statsCols))
   }
 
+  /** [[compact]] that also RE-CLUSTERS (round 12): Delta's OPTIMIZE
+    * ZORDER BY — after enough appends/COW rewrites have shredded the
+    * write-time clustering, file min/max ranges widen and [[readWhere]]
+    * stops skipping; this rewrite lays the current snapshot back along
+    * the z-curve of `zCols` ([[Layout.zorderBy]]: one range repartition +
+    * local sort — the cost of any global sort) and records fresh stats,
+    * so skipping bites again on every clustered column at once. Pass
+    * PRE-SCALED z columns (e.g. `(k*1024) div (maxk+1)`) — the Morton
+    * interleave clamps at 2^bits. */
+  def compactZOrder(spark: SparkSession, root: String, numFiles: Int,
+                    bits: Int, zCols: Seq[org.apache.spark.sql.Column],
+                    statsCols: Seq[String] = Nil): Long = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    val cur = currentVersion(spark, root)
+    val df = Layout.zorderBy(readAsOf(spark, root, cur), numFiles, bits, zCols: _*)
+    publishEntries(spark, root, cur + 1, "compact",
+      newEntries(df, root, statsCols))
+  }
+
   /** Read `version` with SCHEMA RECONCILIATION (round 12): group the
     * referenced files by originating commit directory (appends keep
     * manifest order, so first-seen order IS commit order), read each

@@ -105,6 +105,20 @@ object ScanSinkQueries extends QueryModule {
       (root, vm, vd)
     }
 
+  // Q-ACID8 step: OPTIMIZE ZORDER on top of the merge+delete chain —
+  // rewrite the v(delete) snapshot as 8 z-clustered files with fresh
+  // stats. Returns (root, compactedVersion).
+  private def acidZCompacted(s: SparkSession, d: String): (String, Long) =
+    Memo.cached(s, s"acidzcompact|$d") {
+      val (_, _, maxk, maxc) = acidZ(s, d)
+      val (root, _, _) = acidZDeleted(s, d)
+      val v = AcidTable.compactZOrder(s, root, numFiles = 8, bits = 10,
+        Seq(expr(s"(k * 1024) div ${maxk + 1}"),
+          expr(s"(cents * 1024) div ${maxc + 1}")),
+        statsCols = Seq("k", "cents"))
+      (root, v)
+    }
+
   // Q-ACID7 fixture: three drifting APPENDS into one manifest table —
   // v widens int -> bigint -> double, tag type-conflicts (string ->
   // bigint) at gen 3, extra appears only at gen 3. The reconciled read
@@ -285,6 +299,26 @@ object ScanSinkQueries extends QueryModule {
         .select(col("gen"), col("n"), col("sum_v"), col("sum_extra"),
           lit(quarantined.mkString(",")).as("quarantined"))
         .orderBy("gen")
+    }),
+
+    // Q-ACID8 (round 12): OPTIMIZE ZORDER — the full lakehouse lifecycle
+    // ends with a re-clustering compaction of the merged+deleted state
+    // (append-shredded ranges widen until readWhere stops skipping;
+    // the z-order rewrite restores them). The oracle checks the rewrite
+    // served byte-identical DATA through a pruned read (the rollup comes
+    // from readWhere + the row filter, so an over-eager prune breaks it);
+    // the skipping-restored property itself is AcidTableSpec's
+    // (deterministic geometry there — file boundaries of a range
+    // repartition are not oracle-replayable).
+    "q_acid8" -> ((s, d) => {
+      val (_, _, maxk, _) = acidZ(s, d)
+      val (root, v) = acidZCompacted(s, d)
+      val (kl, kh) = (maxk / 4, maxk / 2)
+      val (cl, ch) = (10000000L, 30000000L)
+      val pr = AcidTable.readWhere(s, root, v, Seq(
+        AcidTable.ColRange("k", kl, kh), AcidTable.ColRange("cents", cl, ch)))
+      pr.df.where(col("k").between(kl, kh) && col("cents").between(cl, ch))
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
     }),
 
     // Q-SCAN1: parquet scan + projection + total sort.
@@ -675,6 +709,29 @@ object ScanSinkQueries extends QueryModule {
         |SELECT 'merged', CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
         |FROM fin
         |ORDER BY stage""".stripMargin,
+
+    "q_acid8" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |    CAST(round(o_totalprice*100,0) AS BIGINT) AS cents
+        |  FROM orders),
+        |m AS (SELECT max(k) AS maxk FROM base),
+        |upd AS (SELECT k, 'U' AS status, cents + 11 AS cents
+        |  FROM base, m WHERE k % 5 = 0 AND k <= m.maxk // 8),
+        |ins AS (SELECT k + m.maxk + 1 AS k, 'N' AS status, cents + 1 AS cents
+        |  FROM base, m WHERE k % 7 = 3 AND k <= m.maxk // 8),
+        |fin AS (
+        |  SELECT b.k, b.status, b.cents FROM base b, m
+        |  WHERE NOT (b.k % 5 = 0 AND b.k <= m.maxk // 8)
+        |  UNION ALL SELECT * FROM upd
+        |  UNION ALL SELECT * FROM ins),
+        |del AS (SELECT f.* FROM fin f, m
+        |  WHERE NOT (f.k BETWEEN m.maxk // 3 AND m.maxk // 2))
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM del, m
+        |WHERE k BETWEEN m.maxk // 4 AND m.maxk // 2
+        |  AND cents BETWEEN 10000000 AND 30000000""".stripMargin,
 
     "q_acid7" ->
       """WITH base AS (

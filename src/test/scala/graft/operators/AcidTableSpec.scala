@@ -202,6 +202,33 @@ class AcidTableSpec extends SparkSpec {
     assert(asSet(pr.df.where(col("k").between(40, 60))) === Set(50L -> 500L))
   }
 
+  test("compactZOrder restores data skipping after clustering is lost") {
+    val root = freshRoot("zc")
+    // one commit partitioned by k % 4 (residue classes): every file holds
+    // keys {r, r+4, ...} spanning the whole range, so the 4-wide predicate
+    // DETERMINISTICALLY prunes nothing
+    AcidTable.commitOverwrite(
+      kv((1L to 64L).map(i => i -> i * 100): _*)
+        .repartition(4, pmod(col("k"), lit(4L))),
+      root, statsCols = Seq("k", "v"))
+    val before = AcidTable.readWhere(spark, root, 1L,
+      Seq(AcidTable.ColRange("k", 5, 8)))
+    assert(before.filesScanned === before.filesTotal,
+      "interleaved layout: every file's range covers the predicate")
+    // OPTIMIZE ZORDER: same data, re-clustered — skipping bites again
+    val v2 = AcidTable.compactZOrder(spark, root, numFiles = 4, bits = 6,
+      Seq(col("k")), statsCols = Seq("k", "v"))
+    val after = AcidTable.readWhere(spark, root, v2,
+      Seq(AcidTable.ColRange("k", 5, 8)))
+    assert(after.filesScanned < after.filesTotal,
+      s"z-ordered layout must skip: ${after.filesScanned}/${after.filesTotal}")
+    assert(asSet(after.df.where(col("k").between(5, 8))) ===
+      (5L to 8L).map(i => i -> i * 100).toSet)
+    assert(asSet(AcidTable.readAsOf(spark, root, v2)) ===
+      (1L to 64L).map(i => i -> i * 100).toSet, "rewrite is data-identical")
+    assert(AcidTable.history(spark, root).last._2 === "compact")
+  }
+
   // ---- round 12: copy-on-write merge / delete -----------------------------
 
   private def manifestLines(root: String, v: Long): Seq[String] = {
