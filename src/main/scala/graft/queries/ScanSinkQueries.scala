@@ -119,6 +119,32 @@ object ScanSinkQueries extends QueryModule {
       (root, v)
     }
 
+  // Q-ACID9 fixture: the reference's own physical design (partition by
+  // year, README.md:63) as manifest commits — one single-file commit per
+  // lineitem ship-YEAR with epoch-day stats, so a date-range read plans
+  // only the overlapping years' files. Returns (root, version).
+  private def acidYearRoot(s: SparkSession, d: String): (String, Long) =
+    Memo.cached(s, s"acidyear|$d") {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_acidyear/" +
+        s"${s.sparkContext.applicationId}/${new java.io.File(d).getName}"
+      val base = Tables.load(s, d, "lineitem").select(
+        col("l_orderkey").as("k"),
+        datediff(col("l_shipdate").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("ship_day"),
+        round(col("l_extendedprice") * lit(100.0)).cast("long").as("cents"),
+        year(col("l_shipdate")).as("__y"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val years = base.select("__y").distinct()
+        .collect().map(_.getInt(0)).sorted
+      years.foreach { y =>
+        AcidTable.commitAppend(
+          base.where(col("__y") === y).drop("__y").coalesce(1),
+          root, statsCols = Seq("ship_day", "cents"))
+      }
+      base.unpersist()
+      (root, years.length.toLong)
+    }
+
   // Q-ACID7 fixture: three drifting APPENDS into one manifest table —
   // v widens int -> bigint -> double, tag type-conflicts (string ->
   // bigint) at gen 3, extra appears only at gen 3. The reconciled read
@@ -319,6 +345,30 @@ object ScanSinkQueries extends QueryModule {
         AcidTable.ColRange("k", kl, kh), AcidTable.ColRange("cents", cl, ch)))
       pr.df.where(col("k").between(kl, kh) && col("cents").between(cl, ch))
         .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+    }),
+
+    // Q-ACID9 (round 12): DATE-RANGE pruning over year-partitioned
+    // commits — the reference's stated physical design (partition by
+    // year, README.md:63) expressed as manifest stats: a
+    // 1996-03-01..1997-06-30 predicate plans only the two overlapping
+    // years' files of seven, and both the prune decision (per-year
+    // min/max epoch days) and the rollup replay in the oracle. Both
+    // engines COMPUTE the day literals from the same dates — no
+    // hardcoded epoch arithmetic on either side.
+    "q_acid9" -> ((s, d) => {
+      val (root, v) = acidYearRoot(s, d)
+      val Seq(d1, d2) = Seq("1996-03-01", "1997-06-30").map { dt =>
+        java.time.temporal.ChronoUnit.DAYS.between(
+          java.time.LocalDate.parse("1970-01-01"), java.time.LocalDate.parse(dt))
+      }
+      val pr = AcidTable.readWhere(s, root, v,
+        Seq(AcidTable.ColRange("ship_day", d1, d2)))
+      pr.df.where(col("ship_day").between(d1, d2))
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+          min("ship_day").as("min_day"), max("ship_day").as("max_day"))
+        .select(lit(pr.filesTotal.toLong).as("files_total"),
+          lit(pr.filesScanned.toLong).as("files_scanned"),
+          col("n"), col("sum_cents"), col("min_day"), col("max_day"))
     }),
 
     // Q-SCAN1: parquet scan + projection + total sort.
@@ -709,6 +759,30 @@ object ScanSinkQueries extends QueryModule {
         |SELECT 'merged', CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
         |FROM fin
         |ORDER BY stage""".stripMargin,
+
+    "q_acid9" ->
+      """WITH base AS (
+        |  SELECT l_orderkey AS k,
+        |    date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS ship_day,
+        |    CAST(round(l_extendedprice*100,0) AS BIGINT) AS cents,
+        |    year(l_shipdate) AS y
+        |  FROM lineitem),
+        |lits AS (SELECT
+        |    date_diff('day', DATE '1970-01-01', DATE '1996-03-01') AS d1,
+        |    date_diff('day', DATE '1970-01-01', DATE '1997-06-30') AS d2),
+        |f AS (SELECT y, min(ship_day) AS mn, max(ship_day) AS mx
+        |  FROM base GROUP BY 1),
+        |scan AS (SELECT
+        |    (SELECT CAST(count(*) AS BIGINT) FROM f) AS files_total,
+        |    CAST(count(*) AS BIGINT) AS files_scanned
+        |  FROM f, lits WHERE f.mx >= lits.d1 AND f.mn <= lits.d2)
+        |SELECT files_total, files_scanned,
+        |  CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(min(ship_day) AS BIGINT) AS min_day,
+        |  CAST(max(ship_day) AS BIGINT) AS max_day
+        |FROM base, lits, scan
+        |WHERE ship_day BETWEEN lits.d1 AND lits.d2
+        |GROUP BY files_total, files_scanned""".stripMargin,
 
     "q_acid8" ->
       """WITH base AS (
