@@ -133,7 +133,8 @@ object StreamingCheck {
           val part = new java.io.File(slice).listFiles()
             .filter(_.getName.endsWith(".parquet")).head
           val target = new java.io.File(invDir, s"inv_g$g.parquet")
-          java.nio.file.Files.copy(part.toPath, target.toPath)
+          java.nio.file.Files.copy(part.toPath, target.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
           target.setLastModified(1700000000000L + g * 60000L)
         }
         val invSchema = org.apache.spark.sql.types.StructType(Seq(

@@ -358,9 +358,9 @@ object AcidTable {
     }
     val df =
       if (kept.nonEmpty) spark.read.parquet(kept.map(e => s"$root/${e.path}"): _*)
-      // proven-empty: keep the schema by planning the full version with a
-      // false predicate (zero rows; row groups are stats-skipped anyway)
-      else readAsOf(spark, root, version).where(lit(false))
+      // proven-empty: keep the schema by planning ONE file (any carries
+      // it) under a false predicate — never the full O(files) list
+      else spark.read.parquet(s"$root/${entries.head.path}").where(lit(false))
     PrunedRead(df, kept.length, entries.length)
   }
 
@@ -430,10 +430,9 @@ object AcidTable {
             col("__k") >= col("__min") && col("__k") <= col("__max"))
           .select("__path").distinct().collect().map(_.getString(0)).toSet
       }
-      val touched = entries.filter(e =>
-        statless.contains(e) || touchedStatted.contains(e.path))
-      val untouched = entries.filterNot(e =>
-        statless.contains(e) || touchedStatted.contains(e.path))
+      val statlessPaths = statless.map(_.path).toSet
+      val (touched, untouched) = entries.partition(e =>
+        statlessPaths.contains(e.path) || touchedStatted.contains(e.path))
       val rewritten =
         if (touched.isEmpty) updates
         else {
@@ -473,9 +472,16 @@ object AcidTable {
     val cur = currentVersion(spark, root)
     val (_, entries) = readManifest(spark, root, cur)
     val (untouched, rewrite) = split(entries)
-    val fresh =
+    val fresh0 =
       if (rewrite == null) Seq.empty
       else newEntries(rewrite, root, statsCols)
+    // a rewrite that deleted EVERY row can come back file-less; a manifest
+    // listing zero files would make the current version unreadable (no
+    // schema source), so force one schema-bearing empty file
+    val fresh =
+      if (fresh0.isEmpty && untouched.isEmpty && rewrite != null)
+        newEntries(rewrite.coalesce(1), root, statsCols)
+      else fresh0
     val v = publishEntries(spark, root, cur + 1, action, untouched ++ fresh)
     (v, entries.length - untouched.length, untouched.length)
   }
@@ -553,20 +559,26 @@ object AcidTable {
     * the expired manifests, then every data file no RETAINED manifest
     * references. Readers of retained versions are untouched (their files
     * survive by construction). `minAgeMillis` (round 12) is the READER
-    * RETENTION CONTRACT: a manifest younger than that horizon is never
-    * expired even when `retainLast` would drop it — set it to the longest
-    * scan a reader may hold a resolved file list (Delta's
-    * deletedFileRetentionDuration plays the same role), so vacuum can
-    * never delete files under a reader mid-scan on a recently-current
-    * version. Abandoned commit `.tmp` bodies older than the horizon are
-    * swept too. Returns (manifests deleted, files deleted). */
+    * RETENTION CONTRACT: a version is expirable only when it stopped
+    * being CURRENT — i.e. its SUCCESSOR committed — at least the horizon
+    * ago (anchoring to the version's own commit time would let a
+    * long-current version expire the instant a new commit lands, under a
+    * reader that resolved it a second earlier). Set the horizon to the
+    * longest scan a reader may hold a resolved file list (Delta's
+    * deletedFileRetentionDuration plays the same role). Abandoned commit
+    * `.tmp` bodies are swept too, behind a 10-minute floor so a racing
+    * writer's in-flight body is never deleted between its create and
+    * rename. Returns (manifests deleted, files deleted). */
   def vacuum(spark: SparkSession, root: String, retainLast: Int,
              minAgeMillis: Long = 0L): (Int, Int) = {
     require(retainLast >= 1, "must retain at least the current version")
     val vs = versions(spark, root)
     val now = System.currentTimeMillis()
-    val expired = vs.dropRight(retainLast)
-      .takeWhile(v => commitTimestamp(spark, root, v) <= now - minAgeMillis)
+    val expired = vs.dropRight(retainLast).zipWithIndex
+      .takeWhile { case (_, i) =>
+        // vs(i + 1) exists: retainLast >= 1 keeps at least one successor
+        commitTimestamp(spark, root, vs(i + 1)) <= now - minAgeMillis
+      }.map(_._1)
     val retained = vs.drop(expired.length)
     val keep = retained.flatMap(readManifest(spark, root, _)._2).map(_.path).toSet
     val drop = expired.flatMap(readManifest(spark, root, _)._2).map(_.path).toSet -- keep
@@ -574,9 +586,10 @@ object AcidTable {
     drop.foreach(rel => f.delete(new Path(s"$root/$rel"), false))
     expired.foreach(v => f.delete(manifestPath(root, v), false))
     val mdir = new Path(s"$root/$ManifestDir")
+    val tmpHorizon = math.max(minAgeMillis, 10L * 60 * 1000)
     if (f.exists(mdir)) f.listStatus(mdir).toSeq
       .filter(s => s.getPath.getName.endsWith(".tmp") &&
-        s.getModificationTime <= now - minAgeMillis)
+        s.getModificationTime <= now - tmpHorizon)
       .foreach(s => f.delete(s.getPath, false))
     (expired.length, drop.size)
   }

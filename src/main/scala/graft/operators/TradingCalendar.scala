@@ -157,16 +157,20 @@ object TradingCalendar {
         max(when(col("__side") === "a", col("__stale"))).as("a_stale"),
         max(when(col("__side") === "b", col("__f"))).as(s"b_$valueCol"),
         max(when(col("__side") === "b", col("__stale"))).as("b_stale"),
-        count(lit(1)).as("__n"))
-      // overlap: BOTH sides inside their windows. A count past 2 means a
-      // duplicate (pair, side, day) FACT row fanned the grid join out —
-      // raise at scan speed (the module's stated policy) rather than
-      // silently dropping the whole session.
-      .where(when(col("__n") > 2, raise_error(concat(
+        sum(when(col("__side") === "a", 1L).otherwise(0L)).as("__na"),
+        sum(when(col("__side") === "b", 1L).otherwise(0L)).as("__nb"))
+      // overlap: BOTH sides inside their windows (count 1 each). A
+      // per-SIDE count past 1 means a duplicate (pair, side, day) FACT
+      // row fanned the grid join out — raise at scan speed (the module's
+      // stated policy) rather than silently dropping or emitting a
+      // phantom session (a total-count check would miss a same-side
+      // duplicate on a day the other side sits outside its window).
+      .where(when(col("__na") > 1 || col("__nb") > 1, raise_error(concat(
           lit("alignCrossListed: duplicate (pair, side, day) fact rows "),
-          lit("(group count "), col("__n").cast("string"), lit(")"))))
-        .otherwise(col("__n") === 2))
-      .drop("__n")
+          lit("(side counts "), col("__na").cast("string"), lit("/"),
+          col("__nb").cast("string"), lit(")"))))
+        .otherwise(col("__na") === 1 && col("__nb") === 1))
+      .drop("__na", "__nb")
   }
 
   /** Gap-fill to the full per-key session grid: one output row per

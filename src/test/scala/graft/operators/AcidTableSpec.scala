@@ -308,6 +308,42 @@ class AcidTableSpec extends SparkSpec {
 
   // ---- round 12: vacuum retention guard -----------------------------------
 
+  test("deleteCow that removes every row leaves a readable empty version") {
+    val root = statsTable("de")
+    val (v, rewritten, kept) =
+      AcidTable.deleteCow(spark, root, "k", 1, 30, statsCols = Seq("k", "v"))
+    assert(rewritten === 3 && kept === 0)
+    // the current version must stay readable (schema preserved), not brick
+    val cur = AcidTable.readAsOf(spark, root, v)
+    assert(cur.count() === 0)
+    assert(cur.columns.toSeq === Seq("k", "v"))
+    assert(asSet(AcidTable.readAsOf(spark, root, 3L)) ===
+      (1L to 30L).map(i => i -> i * 100).toSet, "pre-delete snapshot intact")
+  }
+
+  test("vacuum horizon anchors to SUPERSESSION time, not the version's own age") {
+    val root = freshRoot("vs")
+    AcidTable.commitOverwrite(kv(1L -> 1L), root)
+    // age v1's own commit timestamp two hours into the past (manifests are
+    // text; the spec edits what a long-idle table would have written)
+    val p = new File(root, f"_manifests/v${1L}%08d.manifest")
+    val text = scala.io.Source.fromFile(p).getLines().mkString("\n")
+    val aged = text.replaceAll("#ts:\\d+",
+      s"#ts:${System.currentTimeMillis() - 2 * 3600 * 1000L}")
+    java.nio.file.Files.write(p.toPath, (aged + "\n").getBytes)
+    // drop the Hadoop LocalFileSystem checksum sidecar the raw edit broke
+    new File(p.getParentFile, s".${p.getName}.crc").delete()
+    // v2 lands NOW: v1 only stopped being current this instant — a reader
+    // that resolved v1 a second ago is inside any sane horizon
+    AcidTable.commitOverwrite(kv(2L -> 2L), root)
+    val (m, fdel) = AcidTable.vacuum(spark, root, retainLast = 1,
+      minAgeMillis = 3600 * 1000L)
+    assert(m === 0 && fdel === 0,
+      "a version superseded a moment ago must survive the horizon even if " +
+        "its own commit is ancient")
+    assert(asSet(AcidTable.readAsOf(spark, root, 1L)) === Set(1L -> 1L))
+  }
+
   test("vacuum never expires a manifest younger than minAgeMillis") {
     val root = freshRoot("vg")
     AcidTable.commitOverwrite(kv(1L -> 1L), root)

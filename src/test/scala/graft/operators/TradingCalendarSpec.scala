@@ -104,6 +104,16 @@ class TradingCalendarSpec extends SparkSpec {
     }
     assert(msgs(e2).exists(_.contains("duplicate (pair, side, day)")),
       msgs(e2).mkString(" | "))
+    // the harder case: a same-side duplicate on a day the OTHER side is
+    // outside its window (total group count stays 2 — a total-count guard
+    // would emit a phantom overlap session instead of raising)
+    val dupEdge = Seq((1L, "a", 14L, 999L)).toDF("k", "side", "day_ord", "px")
+    val e3 = intercept[Exception] {
+      TradingCalendar.alignCrossListed(sides.unionByName(dupEdge), Seq("k"),
+        "side", "day_ord", "px").collect()
+    }
+    assert(msgs(e3).exists(_.contains("duplicate (pair, side, day)")),
+      msgs(e3).mkString(" | "))
   }
 
   test("plan shape: calendar joins broadcast; LOCF shares the grid's key shuffle") {
