@@ -430,28 +430,36 @@ object NswAnn {
       l -= 1
     }
     // layer-0 beam: expand the best beamWidth visited-but-unexpanded per
-    // query; a poor hop cannot shrink the beam (same rule as probe())
-    var expanded = spark.emptyDataset[(Long, Long)]
-      .toDF("query_id", "__id")
+    // query; a poor hop cannot shrink the beam (same rule as probe()).
+    // The expansion flag rides IN the state frame, so each round
+    // materializes exactly one (bounded) table — the hop cost at this
+    // state size is job overhead, not data
+    var beamState = materialize(state.withColumn("__exp", lit(false)))
     var r = 0
     while (r < rounds) {
+      // frontier is re-derived lazily from the checkpointed state by both
+      // consumers below — a cheap window over a materialized table
       val frontier = Similarity.topKPerGroup(
-        state.join(expanded, Seq("query_id", "__id"), "left_anti"),
+        beamState.where(!col("__exp")),
         Seq("query_id"), Seq(col("sim").desc, col("__id").asc), beamWidth)
         .select(col("query_id"), col("__id"))
-      val frMat = materialize(frontier)
       // the adjacency is corpus-scale: broadcast the (bounded) frontier
       // onto it, never the reverse
       val dsts = neighbors.select(col("src").cast("long").as("__id"),
           col("dst").cast("long").as("__dst"))
-        .join(broadcast(frMat), Seq("__id"))
+        .join(broadcast(frontier), Seq("__id"))
         .select(col("query_id"), col("__dst").as("__id")).distinct()
-      val fresh = dsts.join(state, Seq("query_id", "__id"), "left_anti")
-      state = materialize(state.unionByName(score(fresh)))
-      expanded = materialize(expanded.unionByName(frMat))
+      val fresh = dsts.join(beamState, Seq("query_id", "__id"), "left_anti")
+      val marked = beamState
+        .join(broadcast(frontier.withColumn("__fr", lit(true))),
+          Seq("query_id", "__id"), "left_outer")
+        .withColumn("__exp", col("__exp") || coalesce(col("__fr"), lit(false)))
+        .drop("__fr")
+      beamState = materialize(
+        marked.unionByName(score(fresh).withColumn("__exp", lit(false))))
       r += 1
     }
-    Similarity.topKPerGroup(state, Seq("query_id"),
+    Similarity.topKPerGroup(beamState, Seq("query_id"),
         Seq(col("sim").desc, col("__id").asc), k)
       .select(col("query_id"), col("__id").as(idCol), round(col("sim"), 6).as("sim"))
   }
