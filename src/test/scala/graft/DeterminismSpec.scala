@@ -206,4 +206,69 @@ class DeterminismSpec extends SparkSpec {
       .sorted.toSeq
     assert(link(1) === link(7), "linkBatch diverged under repartitioning")
   }
+
+  test("round-12 operators: COW model equivalence + pruning over random inputs") {
+    import graft.operators.AcidTable
+    val r = new scala.util.Random(12)
+    // random table with NEGATIVE keys too (the z fixtures are nonneg, the
+    // core stats/prune/COW logic must not assume it)
+    val rows = Seq.fill(600)((r.nextLong() % 5000L, r.nextInt(100000).toLong))
+      .groupBy(_._1).map(_._2.head).toSeq // unique keys (upsert semantics)
+    val updates = rows.take(80).map { case (k, _) => (k, -7L) } ++
+      Seq.fill(20)((6000L + r.nextInt(1000), 99L)).groupBy(_._1).map(_._2.head)
+    def buildAndMerge(parts: Int): Set[(Long, Long)] = {
+      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_det_cow_${parts}_${System.nanoTime()}").getAbsolutePath
+      // several commits so the table has real file structure + stats
+      rows.grouped(150).foreach { g =>
+        AcidTable.commitAppend(g.toDF("k", "v").coalesce(1), root,
+          statsCols = Seq("k"))
+      }
+      AcidTable.mergeCow(updates.toDF("k", "v").repartition(parts), root, "k",
+        statsCols = Seq("k"))
+      AcidTable.read(spark, root).as[(Long, Long)].collect().toSet
+    }
+    val model = (rows.toMap ++ updates.toMap).toSet
+    val got1 = buildAndMerge(1)
+    assert(got1 === model, "mergeCow diverged from the anti-join ∪ updates model")
+    assert(buildAndMerge(7) === model,
+      "mergeCow diverged under update repartitioning")
+    // deleteCow == filter model on a random range
+    locally {
+      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_det_del_${System.nanoTime()}").getAbsolutePath
+      rows.grouped(150).foreach { g =>
+        AcidTable.commitAppend(g.toDF("k", "v").coalesce(1), root,
+          statsCols = Seq("k"))
+      }
+      val (lo, hi) = (-2000L, 1500L)
+      AcidTable.deleteCow(spark, root, "k", lo, hi, statsCols = Seq("k"))
+      assert(AcidTable.read(spark, root).as[(Long, Long)].collect().toSet ===
+        rows.filterNot { case (k, _) => k >= lo && k <= hi }.toSet,
+        "deleteCow diverged from the filter model")
+      // pruning never drops: 40 random ranges vs the full-scan filter
+      val v = AcidTable.currentVersion(spark, root)
+      (1 to 40).foreach { _ =>
+        val a = r.nextLong() % 6000L
+        val b = a + r.nextInt(3000)
+        val pr = AcidTable.readWhere(spark, root, v,
+          Seq(AcidTable.ColRange("k", a, b)))
+        val got = pr.df.where(col("k").between(a, b))
+          .as[(Long, Long)].collect().toSet
+        val want = AcidTable.read(spark, root).where(col("k").between(a, b))
+          .as[(Long, Long)].collect().toSet
+        assert(got === want, s"pruned read dropped rows on [$a,$b]")
+      }
+    }
+    // streaming drift audit in batch mode is partition-invariant
+    val inv = Seq.tabulate(120) { i =>
+      ((i % 6).toLong + 1, s"c${i % 10}",
+        Seq("int", "bigint", "double", "string")(r.nextInt(4)))
+    }.groupBy(t => (t._1, t._2)).map(_._2.head).toSeq
+    def drift(parts: Int) = graft.streaming.StreamOps
+      .schemaDriftOnArrival(inv.toDS().repartition(parts))
+      .collect().map(_.toString).sorted.toSeq
+    assert(drift(1) === drift(7),
+      "schemaDriftOnArrival diverged under repartitioning")
+  }
 }
