@@ -66,9 +66,16 @@ object StoreLifecycleCheck {
       // manifests + data files on disk.
       import graft.operators.AcidTable
       AcidTable.commitOverwrite(
-        s1.range(NOld).toDF("k").withColumn("v", col("k") * 2), s"$root/acid")
+        s1.range(NOld).toDF("k").withColumn("v", col("k") * 2), s"$root/acid",
+        statsCols = Seq("k"))
       AcidTable.commitAppend(
-        s1.range(NOld, NAll).toDF("k").withColumn("v", col("k") * 2), s"$root/acid")
+        s1.range(NOld, NAll).toDF("k").withColumn("v", col("k") * 2),
+        s"$root/acid", statsCols = Seq("k"))
+      // r12: a copy-on-write upsert whose stats + kept-by-reference lines
+      // the day-2 session must prune on with nothing but the manifests
+      AcidTable.mergeCow(
+        s1.range(10).toDF("k").withColumn("v", lit(-5L)), s"$root/acid",
+        "k", statsCols = Seq("k"))
       s1.stop()
     }
     SparkSession.clearActiveSession()
@@ -144,15 +151,30 @@ object StoreLifecycleCheck {
 
       // ---- ACID table: a brand-new session time-travels both versions ----
       import graft.operators.AcidTable
-      require(AcidTable.versions(s2, s"$root/acid") == Seq(1L, 2L),
+      require(AcidTable.versions(s2, s"$root/acid") == Seq(1L, 2L, 3L),
         "acid store lost a version across the process boundary")
       val asOf1 = AcidTable.readAsOf(s2, s"$root/acid", 1)
       val latest = AcidTable.read(s2, s"$root/acid")
       require(asOf1.count() == NOld && latest.count() == NAll,
         s"acid snapshot counts wrong: v1=${asOf1.count()} latest=${latest.count()}")
+      // v2 (pre-merge) is untouched; v3 carries the upsert
+      val sumV2 = AcidTable.readAsOf(s2, s"$root/acid", 2)
+        .agg(sum(col("v"))).head().getLong(0)
+      require(sumV2 == NAll * (NAll - 1), s"acid v2 content wrong: sum(v)=$sumV2")
       val sumV = latest.agg(sum(col("v"))).head().getLong(0)
-      require(sumV == NAll * (NAll - 1), s"acid latest content wrong: sum(v)=$sumV")
-      println(s"acid-lifecycle OK: v1=${NOld} rows, v2=${NAll} rows from reloaded manifests")
+      val expectedMerged = NAll * (NAll - 1) - (0L until 10L).map(_ * 2).sum - 50L
+      require(sumV == expectedMerged,
+        s"acid merged content wrong: sum(v)=$sumV expected $expectedMerged")
+      // r12: data skipping off the RELOADED manifest stats — the pruned
+      // read must plan fewer files and still answer exactly
+      val pr = AcidTable.readWhere(s2, s"$root/acid", 3L,
+        Seq(AcidTable.ColRange("k", NAll - 50, NAll - 1)))
+      require(pr.filesScanned < pr.filesTotal,
+        s"reloaded stats pruned nothing: ${pr.filesScanned}/${pr.filesTotal}")
+      val tail = pr.df.where(col("k") >= NAll - 50).count()
+      require(tail == 50, s"pruned read answered $tail rows, want 50")
+      println(s"acid-lifecycle OK: v1=${NOld} rows, merged v3 sum=$sumV, " +
+        s"pruned read ${pr.filesScanned}/${pr.filesTotal} files from reloaded manifests")
     } finally s2.stop()
   }
 }
