@@ -145,6 +145,31 @@ object ScanSinkQueries extends QueryModule {
       (root, years.length.toLong)
     }
 
+  // Q-ACID12 fixture: a string-clustered manifest table — 8 single-file
+  // commits of customer banded by c_custkey (zero-padded c_name makes
+  // lexicographic order == numeric order), with STRING min/max stats on
+  // name and long stats on k. Returns (root, version, maxk).
+  private def acidStrRoot(s: SparkSession, d: String): (String, Long, Long) =
+    Memo.cached(s, s"acidstr|$d") {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_acidstr/" +
+        s"${s.sparkContext.applicationId}/${new java.io.File(d).getName}"
+      val base = Tables.load(s, d, "customer").select(
+        col("c_name").as("name"), col("c_custkey").as("k"),
+        round(col("c_acctbal") * lit(100.0)).cast("long").as("cents"))
+      val maxk = base.agg(max("k")).head().getLong(0)
+      val withB = base.withColumn("__b", expr(s"(k * 8) div ${maxk + 1}"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bands = withB.select("__b").distinct()
+        .collect().map(_.getLong(0)).sorted // <= 8 bands by construction
+      bands.foreach { b =>
+        AcidTable.commitAppend(
+          withB.where(col("__b") === b).drop("__b").coalesce(1),
+          root, statsCols = Seq("name", "k"))
+      }
+      withB.unpersist()
+      (root, bands.length.toLong, maxk)
+    }
+
   // Q-ACID7 fixture: three drifting APPENDS into one manifest table —
   // v widens int -> bigint -> double, tag type-conflicts (string ->
   // bigint) at gen 3, extra appears only at gen 3. The reconciled read
@@ -369,6 +394,73 @@ object ScanSinkQueries extends QueryModule {
         .select(lit(pr.filesTotal.toLong).as("files_total"),
           lit(pr.filesScanned.toLong).as("files_scanned"),
           col("n"), col("sum_cents"), col("min_day"), col("max_day"))
+    }),
+
+    // Q-ACID10 (round 12 cont.): CHANGE DATA FEED at file granularity —
+    // the logical delta across the whole merge+delete chain (base z
+    // version -> deleted version), computed from the manifest diff: files
+    // both manifests reference are never opened, and rows a COW rewrite
+    // carried value-identical cancel in the join. All three change kinds
+    // are live (updates 'changed', inserts 'added', the delete range
+    // 'removed'); the file-skipping fact (filesRead < filesTotal) is
+    // AcidTableSpec's — rewrite file counts aren't oracle-replayable.
+    "q_acid10" -> ((s, d) => {
+      val (root, baseV, _, _) = acidZ(s, d)
+      val (_, _, vd) = acidZDeleted(s, d)
+      val (chg, _, _) = AcidTable.changesBetween(s, root, baseV, vd,
+        keys = Seq("k"), tracked = Seq("status", "cents"))
+      chg.select(col("change_type"), col("k"),
+          col("old_status"), col("old_cents"),
+          col("new_status"), col("new_cents"))
+        .orderBy("k", "change_type")
+    }),
+
+    // Q-ACID11 (round 12 cont.): INCREMENTAL CONSUMPTION — each version's
+    // increment (files the manifest gained over its predecessor) read
+    // WITHOUT touching any carried file, over the append-only
+    // year-partitioned table. The increments must tile the table exactly:
+    // per-version rollups + the snapshot rollup + the rollup of the
+    // unioned increments, which must agree (the exactly-once tiling
+    // proof; the checkpointed tail/replay contract is AcidTailSpec's).
+    "q_acid11" -> ((s, d) => {
+      val (root, v) = acidYearRoot(s, d)
+      val incs = (1L to v).map { ver =>
+        graft.streaming.AcidTail.readAdded(s, root, ver).get
+          .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+          .select(lit(ver).as("version"), lit("increment").as("source"),
+            col("n"), col("sum_cents"))
+      }.reduce(_.unionByName(_))
+      val snap = AcidTable.read(s, root)
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .select(lit(v).as("version"), lit("snapshot").as("source"),
+          col("n"), col("sum_cents"))
+      val incUnion = (1L to v).map(ver =>
+          graft.streaming.AcidTail.readAdded(s, root, ver).get)
+        .reduce(_.unionByName(_))
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .select(lit(v).as("version"), lit("increments_sum").as("source"),
+          col("n"), col("sum_cents"))
+      incs.unionByName(snap).unionByName(incUnion)
+        .orderBy("source", "version")
+    }),
+
+    // Q-ACID12 (round 12 cont.): STRING-stats data skipping — a c_name
+    // range over the name-clustered table plans only the bands whose
+    // lexicographic [min,max] overlap it (zero-padded names make the
+    // oracle's replay pure k arithmetic); the row answer comes from the
+    // pruned scan, so an over-eager prune breaks n/sum, not just counts.
+    "q_acid12" -> ((s, d) => {
+      val (root, v, maxk) = acidStrRoot(s, d)
+      val lo = f"Customer#${maxk / 4}%09d"
+      val hi = f"Customer#${maxk / 2}%09d"
+      val pr = AcidTable.readWhere(s, root, v,
+        Seq(AcidTable.StrRange("name", lo, hi)))
+      pr.df.where(col("name").between(lo, hi))
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+          min("name").as("min_name"), max("name").as("max_name"))
+        .select(lit(pr.filesTotal.toLong).as("files_total"),
+          lit(pr.filesScanned.toLong).as("files_scanned"),
+          col("n"), col("sum_cents"), col("min_name"), col("max_name"))
     }),
 
     // Q-SCAN1: parquet scan + projection + total sort.
@@ -825,6 +917,75 @@ object ScanSinkQueries extends QueryModule {
         |  CAST(sum(cents*2) AS BIGINT), CAST(sum(k % 2) AS BIGINT), 'tag'
         |FROM base WHERE k % 3 = 2
         |ORDER BY gen""".stripMargin,
+
+    // CDF replay: updates (k%5=0, low band) are 'changed' (status always
+    // flips to 'U'; statuses are O/F/P), inserts (> maxk) are 'added',
+    // the delete range is 'removed' — the three key sets are disjoint by
+    // construction, and COW-carried unchanged rows never appear.
+    "q_acid10" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |    CAST(round(o_totalprice*100,0) AS BIGINT) AS cents
+        |  FROM orders),
+        |m AS (SELECT max(k) AS maxk FROM base)
+        |SELECT 'changed' AS change_type, b.k,
+        |  b.status AS old_status, b.cents AS old_cents,
+        |  'U' AS new_status, b.cents + 11 AS new_cents
+        |FROM base b, m WHERE b.k % 5 = 0 AND b.k <= m.maxk // 8
+        |UNION ALL
+        |SELECT 'added', b.k + m.maxk + 1,
+        |  CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+        |  'N', b.cents + 1
+        |FROM base b, m WHERE b.k % 7 = 3 AND b.k <= m.maxk // 8
+        |UNION ALL
+        |SELECT 'removed', b.k, b.status, b.cents,
+        |  CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+        |FROM base b, m WHERE b.k BETWEEN m.maxk // 3 AND m.maxk // 2
+        |ORDER BY k, change_type""".stripMargin,
+
+    "q_acid11" ->
+      """WITH base AS (
+        |  SELECT year(l_shipdate) AS y,
+        |    CAST(round(l_extendedprice*100,0) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |per AS (SELECT y, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents
+        |  FROM base GROUP BY y),
+        |ranked AS (SELECT CAST(row_number() OVER (ORDER BY y) AS BIGINT)
+        |    AS version, n, sum_cents FROM per),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS s,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM per) AS nv
+        |  FROM base)
+        |SELECT version, 'increment' AS source, n, sum_cents FROM ranked
+        |UNION ALL SELECT nv, 'snapshot', n, s FROM tot
+        |UNION ALL SELECT nv, 'increments_sum', n, s FROM tot
+        |ORDER BY source, version""".stripMargin,
+
+    // String-stats prune replay: a band is scanned iff its lexicographic
+    // [min(name), max(name)] overlaps the predicate — zero-padded names
+    // make that pure custkey arithmetic.
+    "q_acid12" ->
+      """WITH base AS (
+        |  SELECT c_name AS name, c_custkey AS k,
+        |    CAST(round(c_acctbal*100,0) AS BIGINT) AS cents
+        |  FROM customer),
+        |m AS (SELECT max(k) AS maxk FROM base),
+        |lits AS (SELECT printf('Customer#%09d', maxk // 4) AS lo,
+        |    printf('Customer#%09d', maxk // 2) AS hi FROM m),
+        |f AS (SELECT (b.k * 8) // (m.maxk + 1) AS band,
+        |    min(b.name) AS mn, max(b.name) AS mx
+        |  FROM base b, m GROUP BY 1),
+        |scan AS (SELECT
+        |    (SELECT CAST(count(*) AS BIGINT) FROM f) AS files_total,
+        |    CAST(count(*) AS BIGINT) AS files_scanned
+        |  FROM f, lits WHERE f.mx >= lits.lo AND f.mn <= lits.hi)
+        |SELECT files_total, files_scanned,
+        |  CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  min(name) AS min_name, max(name) AS max_name
+        |FROM base, lits, scan
+        |WHERE name BETWEEN lits.lo AND lits.hi
+        |GROUP BY files_total, files_scanned""".stripMargin,
 
     "q_acid2" ->
       """WITH base AS (

@@ -279,6 +279,125 @@ class AcidTableSpec extends SparkSpec {
     }
   }
 
+  // ---- round 12 cont.: change data feed at file granularity ---------------
+
+  test("changesBetween reads only the files the versions disagree on") {
+    val root = statsTable("cdf")
+    // COW upsert touching file 2 only, plus an insert past every range
+    AcidTable.mergeCow(kv(12L -> 9999L, 31L -> 3100L), root, "k",
+      statsCols = Seq("k", "v"))
+    // COW delete inside file 3's range
+    AcidTable.deleteCow(spark, root, "k", 25, 27, statsCols = Seq("k", "v"))
+    val (chg, filesRead, filesTotal) =
+      AcidTable.changesBetween(spark, root, 3L, 5L, Seq("k"), Seq("v"))
+    val got = chg.select("k", "change_type").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(12L -> "changed", 31L -> "added",
+      25L -> "removed", 26L -> "removed", 27L -> "removed"),
+      "COW-carried unchanged rows must cancel; only the logical delta appears")
+    // the file-skipping fact: file 1 ([1,10]) is referenced by both
+    // manifests and must never be opened
+    assert(filesRead < filesTotal,
+      s"feed must skip carried files: read $filesRead of $filesTotal")
+    // a pure append's feed is exactly the appended rows, prev side empty
+    AcidTable.commitAppend(kv(100L -> 1L).coalesce(1), root,
+      statsCols = Seq("k", "v"))
+    val (chg2, read2, _) =
+      AcidTable.changesBetween(spark, root, 5L, 6L, Seq("k"), Seq("v"))
+    assert(chg2.select("k", "change_type").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSet === Set(100L -> "added"))
+    assert(read2 === 1, "append feed reads the one new file only")
+    // identical versions: empty feed, zero files read
+    val (chg3, read3, _) =
+      AcidTable.changesBetween(spark, root, 6L, 6L, Seq("k"), Seq("v"))
+    assert(chg3.count() === 0 && read3 === 0)
+    assert(chg3.columns.contains("change_type"), "empty feed keeps the shape")
+  }
+
+  test("changesBetween agrees with the full-snapshot diffVersions") {
+    val root = statsTable("cda")
+    AcidTable.mergeCow(kv(5L -> 55L, 21L -> 2222L, 40L -> 4000L), root, "k",
+      statsCols = Seq("k", "v"))
+    val fromFeed = AcidTable.changesBetween(spark, root, 3L, 4L,
+      Seq("k"), Seq("v"))._1
+      .select("k", "change_type", "old_v", "new_v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val fromFull = AcidTable.diffVersions(spark, root, 3L, 4L,
+      Seq("k"), Seq("v"))
+      .select("k", "change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(fromFeed === fromFull)
+  }
+
+  // ---- round 12 cont.: string file stats + string-range skipping ----------
+
+  /** Three single-file commits clustered by a zero-padded string id. */
+  private def strTable(tag: String): String = {
+    import spark.implicits._
+    val root = freshRoot(tag)
+    Seq(1L to 10L, 11L to 20L, 21L to 30L).foreach { r =>
+      AcidTable.commitAppend(
+        r.map(i => (f"id#$i%04d", i)).toDF("name", "k").coalesce(1),
+        root, statsCols = Seq("name", "k"))
+    }
+    root
+  }
+
+  test("StrRange prunes by lexicographic string stats, boundaries inclusive") {
+    import spark.implicits._
+    val root = strTable("sp")
+    val v = AcidTable.currentVersion(spark, root)
+    val mid = AcidTable.readWhere(spark, root, v,
+      Seq(AcidTable.StrRange("name", "id#0012", "id#0015")))
+    assert(mid.filesTotal === 3 && mid.filesScanned === 1)
+    assert(mid.df.where(col("name").between("id#0012", "id#0015")).count() === 4)
+    // endpoints exactly on file min/max must keep both files
+    val edge = AcidTable.readWhere(spark, root, v,
+      Seq(AcidTable.StrRange("name", "id#0010", "id#0011")))
+    assert(edge.filesScanned === 2)
+    // no match: zero files, schema preserved
+    val none = AcidTable.readWhere(spark, root, v,
+      Seq(AcidTable.StrRange("name", "zz", "zzz")))
+    assert(none.filesScanned === 0 && none.df.count() === 0)
+    // string + long conjunction: name says files 1-2, k says files 2-3
+    val both = AcidTable.readWhere(spark, root, v, Seq(
+      AcidTable.StrRange("name", "id#0001", "id#0015"),
+      AcidTable.ColRange("k", 11, 25)))
+    assert(both.filesScanned === 1)
+    // prune-never-drops sweep across every band boundary
+    val full = AcidTable.read(spark, root)
+    (0L to 31L by 3L).foreach { lo =>
+      val (slo, shi) = (f"id#$lo%04d", f"id#${lo + 4}%04d")
+      val pr = AcidTable.readWhere(spark, root, v,
+        Seq(AcidTable.StrRange("name", slo, shi)))
+      assert(pr.df.where(col("name").between(slo, shi)).count() ===
+        full.where(col("name").between(slo, shi)).count(), s"[$slo,$shi]")
+    }
+  }
+
+  test("a string bound longer than the cap drops the stat (file never pruned)") {
+    import spark.implicits._
+    val root = freshRoot("sl")
+    val long = "x" * 100 // past MaxStrStatBytes: stat dropped, never pruned
+    AcidTable.commitAppend(Seq((long, 1L)).toDF("name", "k").coalesce(1),
+      root, statsCols = Seq("name", "k"))
+    AcidTable.commitAppend(Seq(("abc", 2L)).toDF("name", "k").coalesce(1),
+      root, statsCols = Seq("name", "k"))
+    val pr = AcidTable.readWhere(spark, root, 2L,
+      Seq(AcidTable.StrRange("name", "aaa", "abz")))
+    assert(pr.filesTotal === 2 && pr.filesScanned === 2,
+      "the capped file has no stat and must be conservatively kept")
+    // and the stats survive a manifest round-trip byte-exactly, separators
+    // included (hex encoding)
+    val root2 = freshRoot("sx")
+    AcidTable.commitAppend(
+      Seq(("a|b:c,d", 1L)).toDF("name", "k").coalesce(1),
+      root2, statsCols = Seq("name", "k"))
+    val e = AcidTable.entriesOf(spark, root2, 1L).head
+    assert(e.strStatFor("name").contains(
+      AcidTable.StrStat("name", "a|b:c,d", "a|b:c,d")))
+  }
+
   // ---- round 12: schema-reconciled reads ----------------------------------
 
   test("readReconciled widens drifted appends and quarantines conflicts") {

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import java.io.File
+import graft.SparkSpec
+import graft.operators.AcidTable
+
+class AcidTailSpec extends SparkSpec {
+
+  private def fresh(tag: String): String =
+    new File(System.getProperty("java.io.tmpdir"),
+      s"graft_acidtail_${tag}_${System.nanoTime()}").getAbsolutePath
+
+  private def kv(pairs: (Long, Long)*) = {
+    import spark.implicits._
+    pairs.toDF("k", "v").coalesce(1)
+  }
+
+  test("tail delivers each append's increment exactly once across restarts") {
+    val root = fresh("t")
+    val ck = fresh("ck")
+    AcidTable.commitAppend(kv(1L -> 10L), root)
+    AcidTable.commitAppend(kv(2L -> 20L), root)
+    val seen = scala.collection.mutable.Map.empty[Long, Set[Long]]
+    def collect(df: org.apache.spark.sql.DataFrame, v: Long): Unit =
+      seen(v) = df.select("k").collect().map(_.getLong(0)).toSet
+    val p1 = AcidTail.tail(spark, root, ck)(collect)
+    assert(p1 === Seq(1L, 2L))
+    assert(seen === Map(1L -> Set(1L), 2L -> Set(2L)),
+      "each increment is ONLY the appended rows, carried files untouched")
+    // replay ("process restart"): nothing redelivered, nothing read
+    assert(AcidTail.tail(spark, root, ck)(collect) === Seq.empty)
+    // a third append lands; only IT is delivered on the next tail
+    AcidTable.commitAppend(kv(3L -> 30L), root)
+    assert(AcidTail.tail(spark, root, ck)(collect) === Seq(3L))
+    assert(seen(3L) === Set(3L))
+    // a brand-new checkpoint replays the full history (new consumer)
+    val ck2 = fresh("ck2")
+    assert(AcidTail.tail(spark, root, ck2)((_, _) => ()) === Seq(1L, 2L, 3L))
+  }
+
+  test("crash between process and marker replays that version only") {
+    val root = fresh("c")
+    val ck = fresh("ck")
+    AcidTable.commitAppend(kv(1L -> 10L), root)
+    AcidTable.commitAppend(kv(2L -> 20L), root)
+    var calls = Vector.empty[Long]
+    // the consumer dies mid-v2: v1's marker is down, v2's is not
+    intercept[RuntimeException] {
+      AcidTail.tail(spark, root, ck) { (_, v) =>
+        calls :+= v
+        if (v == 2L) throw new RuntimeException("boom")
+      }
+    }
+    assert(calls === Vector(1L, 2L))
+    assert(AcidTail.processedVersions(spark, root, ck) === Set(1L))
+    // restart: v2 replays (at-least-once at the callback), v1 does not
+    calls = Vector.empty
+    assert(AcidTail.tail(spark, root, ck) { (_, v) => calls :+= v } === Seq(2L))
+    assert(calls === Vector(2L))
+  }
+
+  test("a non-append commit fails fast unless the consumer opts in") {
+    val root = fresh("na")
+    val ck = fresh("ck")
+    AcidTable.commitAppend(kv(1L -> 10L), root)
+    AcidTable.commitOverwrite(kv(9L -> 90L), root)
+    val e = intercept[IllegalStateException] {
+      AcidTail.tail(spark, root, ck)((_, _) => ())
+    }
+    assert(e.getMessage.contains("'overwrite'"))
+    assert(e.getMessage.contains("changesBetween"), "the message names the fix")
+    assert(AcidTail.processedVersions(spark, root, ck) === Set(1L),
+      "the append BEFORE the rewrite was delivered and checkpointed")
+    // opted in: the rewrite's files are delivered verbatim
+    var got = Set.empty[Long]
+    val p = AcidTail.tail(spark, root, ck, allowNonAppend = true) { (df, _) =>
+      got = df.select("k").collect().map(_.getLong(0)).toSet
+    }
+    assert(p === Seq(2L) && got === Set(9L))
+  }
+
+  test("increments tile the table: union of increments == latest snapshot") {
+    val root = fresh("ti")
+    AcidTable.commitAppend(kv(1L -> 1L, 2L -> 2L), root)
+    AcidTable.commitAppend(kv(3L -> 3L), root)
+    AcidTable.commitAppend(kv(4L -> 4L, 5L -> 5L), root)
+    val v = AcidTable.currentVersion(spark, root)
+    val union = (1L to v).flatMap(AcidTail.readAdded(spark, root, _))
+      .reduce(_.unionByName(_))
+    assert(union.select("k").collect().map(_.getLong(0)).toSet ===
+      AcidTable.read(spark, root).select("k").collect().map(_.getLong(0)).toSet)
+    assert(union.count() === AcidTable.read(spark, root).count())
+  }
+}
