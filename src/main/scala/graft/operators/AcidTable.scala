@@ -98,6 +98,19 @@ object AcidTable {
   private def unhex(h: String): String =
     new String(h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray,
       StandardCharsets.UTF_8)
+  /** Unsigned UTF-8 byte comparison — the parquet-footer and UTF8String
+    * string order (== code-point order; UTF-16 code-unit order is not). */
+  private def utf8Cmp(a: String, b: String): Int = {
+    val (x, y) = (a.getBytes(StandardCharsets.UTF_8),
+      b.getBytes(StandardCharsets.UTF_8))
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
 
   final case class Entry(path: String, stats: Seq[FileStat],
                          strStats: Seq[StrStat] = Nil) {
@@ -130,8 +143,11 @@ object AcidTable {
     * `lower <= col <= upper`. Pruning drops a file only when its stats
     * PROVE no row can match — the returned scan is a superset; apply the
     * row filter on top. [[ColRange]] compares long stats; [[StrRange]]
-    * compares string stats LEXICOGRAPHICALLY (the file-stat order —
-    * meaningful for key-like strings such as zero-padded ids/symbols). */
+    * compares string stats in UTF-8 BYTE order — the order the parquet
+    * footer min/max were computed in AND the order Spark's UTF8String
+    * row filter compares in, so the prune decision and the row predicate
+    * can never disagree (Scala's String compare is UTF-16 code-unit
+    * order, which diverges off the ASCII plane — never use it here). */
   sealed trait ScanRange { def col: String }
   final case class ColRange(col: String, lower: Long, upper: Long)
     extends ScanRange
@@ -420,7 +436,7 @@ object AcidTable {
         case ColRange(c, lo, hi) =>
           e.statFor(c).forall(s => s.max >= lo && s.min <= hi)
         case StrRange(c, lo, hi) =>
-          e.strStatFor(c).forall(s => s.max >= lo && s.min <= hi)
+          e.strStatFor(c).forall(s => utf8Cmp(s.max, lo) >= 0 && utf8Cmp(s.min, hi) <= 0)
       }
     }
     val df =
@@ -480,19 +496,44 @@ object AcidTable {
     * (published version, files rewritten, files kept). */
   def mergeCow(updates: DataFrame, root: String, keyCol: String,
                statsCols: Seq[String] = Nil): (Long, Int, Int) =
+    mergeCowImpl(updates, root, keyCol, statsCols, strKey = false)
+
+  /** [[mergeCow]] for a STRING key (round 12 cont.) — the reference's
+    * actual daily workload is per-SYMBOL re-fetch + upsert
+    * (`...py:38-44` loops symbols), and symbols are strings. Touched
+    * files are located through the manifest's string stats; comparisons
+    * are UTF-8 byte order end-to-end (the parquet footer order, and
+    * Spark's own UTF8String order inside the locate join). */
+  def mergeCowStr(updates: DataFrame, root: String, keyCol: String,
+                  statsCols: Seq[String] = Nil): (Long, Int, Int) =
+    mergeCowImpl(updates, root, keyCol, statsCols, strKey = true)
+
+  private def mergeCowImpl(updates: DataFrame, root: String, keyCol: String,
+                           statsCols: Seq[String],
+                           strKey: Boolean): (Long, Int, Int) =
     cowCommit(updates.sparkSession, root, "merge", statsCols) { entries =>
       val spark = updates.sparkSession
       // touched = files whose range can contain an update key, decided
       // DISTRIBUTED: broadcast the (small, manifest-sized) stats table
       // against the update keys, so a billion-row update set never lands
       // on the driver. Files lacking stats are always touched.
-      val (statless, withStats) = entries.partition(_.statFor(keyCol).isEmpty)
+      val (statless, withStats) =
+        if (strKey) entries.partition(_.strStatFor(keyCol).isEmpty)
+        else entries.partition(_.statFor(keyCol).isEmpty)
       val touchedStatted: Set[String] = if (withStats.isEmpty) Set.empty else {
         import spark.implicits._
-        val statsDf = withStats
-          .map(e => (e.path, e.statFor(keyCol).get.min, e.statFor(keyCol).get.max))
-          .toDF("__path", "__min", "__max")
-        updates.select(col(keyCol).cast("long").as("__k")).distinct()
+        val (statsDf, keyExpr) =
+          if (strKey)
+            (withStats.map { e =>
+              val s = e.strStatFor(keyCol).get; (e.path, s.min, s.max)
+            }.toDF("__path", "__min", "__max"),
+              col(keyCol).cast("string").as("__k"))
+          else
+            (withStats.map { e =>
+              val s = e.statFor(keyCol).get; (e.path, s.min, s.max)
+            }.toDF("__path", "__min", "__max"),
+              col(keyCol).cast("long").as("__k"))
+        updates.select(keyExpr).distinct()
           .join(broadcast(statsDf),
             col("__k") >= col("__min") && col("__k") <= col("__max"))
           .select("__path").distinct().collect().map(_.getString(0)).toSet
@@ -503,8 +544,7 @@ object AcidTable {
       val rewritten =
         if (touched.isEmpty) updates
         else {
-          val spark2 = updates.sparkSession
-          val old = spark2.read.parquet(touched.map(e => s"$root/${e.path}"): _*)
+          val old = spark.read.parquet(touched.map(e => s"$root/${e.path}"): _*)
           old.join(updates.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
             .unionByName(updates)
         }

@@ -170,6 +170,32 @@ object ScanSinkQueries extends QueryModule {
       (root, bands.length.toLong, maxk)
     }
 
+  // Q-ACID13 step: one STRING-keyed copy-on-write upsert on the
+  // name-clustered table — the reference's daily workload (re-fetch one
+  // symbol, upsert its rows) with c_name standing in for the symbol.
+  // Updates hit band-0 names only; inserted names sort past every band's
+  // max, so exactly ONE of the 8 files is rewritten. Returns
+  // (root, mergedVersion, maxk, filesRewritten, filesKept).
+  private def acidStrMerged(s: SparkSession, d: String):
+      (String, Long, Long, Int, Int) =
+    Memo.cached(s, s"acidstrmerge|$d") {
+      val (root, _, maxk) = acidStrRoot(s, d)
+      val base = Tables.load(s, d, "customer").select(
+        col("c_name").as("name"), col("c_custkey").as("k"),
+        round(col("c_acctbal") * lit(100.0)).cast("long").as("cents"))
+      val updates = base
+        .where(pmod(col("k"), lit(9L)) === 0 && col("k") <= maxk / 8)
+        .withColumn("cents", col("cents") + 7)
+      val inserts = base
+        .where(pmod(col("k"), lit(11L)) === 5 && col("k") <= maxk / 8)
+        .select(format_string("Customer#%09d", col("k") + maxk + 1).as("name"),
+          (col("k") + maxk + 1).as("k"), (col("cents") + 3).as("cents"))
+      val (v, rewritten, kept) = AcidTable.mergeCowStr(
+        updates.unionByName(inserts), root, "name",
+        statsCols = Seq("name", "k"))
+      (root, v, maxk, rewritten, kept)
+    }
+
   // Q-ACID7 fixture: three drifting APPENDS into one manifest table —
   // v widens int -> bigint -> double, tag type-conflicts (string ->
   // bigint) at gen 3, extra appears only at gen 3. The reconciled read
@@ -461,6 +487,24 @@ object ScanSinkQueries extends QueryModule {
         .select(lit(pr.filesTotal.toLong).as("files_total"),
           lit(pr.filesScanned.toLong).as("files_scanned"),
           col("n"), col("sum_cents"), col("min_name"), col("max_name"))
+    }),
+
+    // Q-ACID13 (round 12 cont.): STRING-keyed COW upsert — per-symbol
+    // re-fetch + upsert, the reference's daily workload, located through
+    // the manifest's string stats: updates touch band-0 names only and
+    // inserted names sort past every band, so exactly 1 of 8 files is
+    // rewritten — and that file-granularity fact IS oracle-checked here
+    // (band commits make the touched-file count deterministic, unlike
+    // the z-bucket chain's rewrite outputs).
+    "q_acid13" -> ((s, d) => {
+      val (root, vm, maxk, rewritten, kept) = acidStrMerged(s, d)
+      AcidTable.readAsOf(s, root, vm)
+        .groupBy(expr(s"(k * 8) div ${maxk + 1}").as("band"))
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .select(col("band"), col("n"), col("sum_cents"),
+          lit(rewritten.toLong).as("files_rewritten"),
+          lit(kept.toLong).as("files_kept"))
+        .orderBy("band")
     }),
 
     // Q-SCAN1: parquet scan + projection + total sort.
@@ -986,6 +1030,34 @@ object ScanSinkQueries extends QueryModule {
         |FROM base, lits, scan
         |WHERE name BETWEEN lits.lo AND lits.hi
         |GROUP BY files_total, files_scanned""".stripMargin,
+
+    // Upsert-by-name replay: name is bijective with custkey, so replaced
+    // rows are exactly the update keys; inserted names land past maxk.
+    // The file facts replay as literals because one band = one file and
+    // every update name sits in band 0 (rewritten 1, kept 7).
+    "q_acid13" ->
+      """WITH base AS (
+        |  SELECT c_name AS name, c_custkey AS k,
+        |    CAST(round(c_acctbal*100,0) AS BIGINT) AS cents
+        |  FROM customer),
+        |m AS (SELECT max(k) AS maxk FROM base),
+        |upd AS (SELECT name, k, cents + 7 AS cents
+        |  FROM base, m WHERE k % 9 = 0 AND k <= maxk // 8),
+        |ins AS (SELECT printf('Customer#%09d', b.k + m.maxk + 1) AS name,
+        |    b.k + m.maxk + 1 AS k, b.cents + 3 AS cents
+        |  FROM base b, m WHERE b.k % 11 = 5 AND b.k <= m.maxk // 8),
+        |fin AS (
+        |  SELECT b.name, b.k, b.cents FROM base b, m
+        |  WHERE NOT (b.k % 9 = 0 AND b.k <= m.maxk // 8)
+        |  UNION ALL SELECT * FROM upd
+        |  UNION ALL SELECT * FROM ins)
+        |SELECT CAST((f.k * 8) // (m.maxk + 1) AS BIGINT) AS band,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(1 AS BIGINT) AS files_rewritten,
+        |  CAST(7 AS BIGINT) AS files_kept
+        |FROM fin f, m
+        |GROUP BY 1 ORDER BY band""".stripMargin,
 
     "q_acid2" ->
       """WITH base AS (

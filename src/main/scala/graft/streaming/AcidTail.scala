@@ -95,18 +95,64 @@ object AcidTail {
             "consumers only)")
       readAdded(spark, root, v).foreach(df => process(df, v))
       // marker AFTER the callback: crash in between replays the version
-      val tmp = new Path(s"$checkpointDir/.v$v-${java.util.UUID.randomUUID()}.tmp")
-      scala.util.Using.resource(f.create(tmp, true)) { o =>
-        o.write(s"$v\n".getBytes(StandardCharsets.UTF_8))
+      advanceMarker(spark, checkpointDir, v)
+    }
+  }
+
+  /** Create version `v`'s marker exclusively (the manifest-publish rename
+    * gate). Some(v) if THIS caller won it; None if a concurrent tailer
+    * already had. */
+  private def advanceMarker(spark: SparkSession, checkpointDir: String,
+                            v: Long): Option[Long] = {
+    val f = new Path(checkpointDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(s"$checkpointDir/.v$v-${java.util.UUID.randomUUID()}.tmp")
+    scala.util.Using.resource(f.create(tmp, true)) { o =>
+      o.write(s"$v\n".getBytes(StandardCharsets.UTF_8))
+    }
+    val fc = FileContext.getFileContext(
+      f.makeQualified(markerPath(checkpointDir, v)).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    try { fc.rename(tmp, markerPath(checkpointDir, v), Options.Rename.NONE); Some(v) }
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        f.delete(tmp, false); None // concurrent tailer won the marker
+    }
+  }
+
+  /** CDC tail (round 12 cont.): deliver each unprocessed version's
+    * LOGICAL ROW DELTA — [[AcidTable.changesBetween]] against the
+    * version's predecessor, correct for EVERY commit action because a
+    * rewrite's carried-identical rows cancel in the feed (where [[tail]]
+    * must fail fast on non-append commits, this is the consumer that
+    * handles them). The first version feeds its whole snapshot as
+    * 'added' rows (old_ columns null — the same shape a prior empty
+    * version would produce). Same marker checkpoint and replay contract
+    * as [[tail]]; `keys` must be unique per snapshot. */
+  def tailChanges(spark: SparkSession, root: String, checkpointDir: String,
+                  keys: Seq[String], tracked: Seq[String])(
+      process: (DataFrame, Long) => Unit): Seq[Long] = {
+    import org.apache.spark.sql.functions._
+    val f = new Path(checkpointDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(new Path(checkpointDir))
+    val done = processedVersions(spark, root, checkpointDir)
+    val all = AcidTable.versions(spark, root)
+    all.filterNot(done).flatMap { v =>
+      val feed = all.filter(_ < v).lastOption match {
+        case Some(prev) =>
+          AcidTable.changesBetween(spark, root, prev, v, keys, tracked)._1
+        case None =>
+          val snap = AcidTable.readAsOf(spark, root, v)
+          snap.select(
+            keys.map(col) ++
+              tracked.map(c => lit(null).cast(snap.schema(c).dataType)
+                .as(s"old_$c")) ++
+              tracked.map(c => col(c).as(s"new_$c")) :+
+              lit("added").as("change_type"): _*)
       }
-      val fc = FileContext.getFileContext(
-        f.makeQualified(markerPath(checkpointDir, v)).toUri,
-        spark.sparkContext.hadoopConfiguration)
-      try { fc.rename(tmp, markerPath(checkpointDir, v), Options.Rename.NONE); Some(v) }
-      catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-          f.delete(tmp, false); None // concurrent tailer won the marker
-      }
+      process(feed, v)
+      advanceMarker(spark, checkpointDir, v)
     }
   }
 }

@@ -375,6 +375,26 @@ class AcidTableSpec extends SparkSpec {
     }
   }
 
+  test("mergeCowStr rewrites only string-range-overlapping files") {
+    import spark.implicits._
+    val root = strTable("sm")
+    // update one band-2 name; insert a name past every band's max
+    val updates = Seq(("id#0012", 999L), ("id#9999", 31L)).toDF("name", "k")
+    val (v, rewritten, kept) =
+      AcidTable.mergeCowStr(updates, root, "name", statsCols = Seq("name", "k"))
+    assert(v === 4L && rewritten === 1 && kept === 2,
+      "only file 2 ([id#0011,id#0020]) can contain the touched names")
+    val got = AcidTable.read(spark, root)
+      .select("name", "k").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("id#0012") === 999L && got("id#9999") === 31L)
+    assert(got.size === 31 && got("id#0011") === 11L, "neighbours carried")
+    // untouched manifest lines byte-identical (paths AND stats)
+    assert(manifestLines(root, 3L).toSet
+      .intersect(manifestLines(root, 4L).toSet).size === 2)
+    // snapshot isolation across the string-keyed COW commit
+    assert(AcidTable.readAsOf(spark, root, 3L).count() === 30)
+  }
+
   test("a string bound longer than the cap drops the stat (file never pruned)") {
     import spark.implicits._
     val root = freshRoot("sl")

@@ -79,6 +79,41 @@ class AcidTailSpec extends SparkSpec {
     assert(p === Seq(2L) && got === Set(9L))
   }
 
+  test("tailChanges delivers the logical delta for every action, checkpointed") {
+    val root = fresh("cdc")
+    val ck = fresh("ck")
+    AcidTable.commitAppend(kv(1L -> 10L, 2L -> 20L), root,
+      statsCols = Seq("k", "v"))
+    // a non-append commit the plain tail would refuse: overwrite that
+    // changes one row, drops one, adds one
+    AcidTable.commitOverwrite(kv(1L -> 11L, 3L -> 30L), root,
+      statsCols = Seq("k", "v"))
+    val feeds = scala.collection.mutable.Map.empty[Long, Map[Long, String]]
+    val p = AcidTail.tailChanges(spark, root, ck, Seq("k"), Seq("v")) {
+      (df, v) =>
+        feeds(v) = df.select("k", "change_type").collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
+    assert(p === Seq(1L, 2L))
+    assert(feeds(1L) === Map(1L -> "added", 2L -> "added"),
+      "the first version feeds its whole snapshot as inserts")
+    assert(feeds(2L) === Map(1L -> "changed", 2L -> "removed", 3L -> "added"))
+    // replay: nothing redelivered
+    assert(AcidTail.tailChanges(spark, root, ck, Seq("k"), Seq("v")) {
+      (_, _) => fail("must not be called on replay")
+    } === Seq.empty)
+    // a COW merge lands; only its delta is delivered, carried rows cancel
+    AcidTable.mergeCow(kv(2L -> 99L), root, "k", statsCols = Seq("k", "v"))
+    val p3 = AcidTail.tailChanges(spark, root, ck, Seq("k"), Seq("v")) {
+      (df, v) => feeds(v) = df.select("k", "change_type").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
+    assert(p3 === Seq(3L))
+    assert(feeds(3L) === Map(2L -> "added"),
+      "k=2 was absent at v2 (overwrite dropped it); the merge re-adds it — " +
+        "and k=1/k=3, carried by reference or value, never appear")
+  }
+
   test("increments tile the table: union of increments == latest snapshot") {
     val root = fresh("ti")
     AcidTable.commitAppend(kv(1L -> 1L, 2L -> 2L), root)
