@@ -819,6 +819,41 @@ object ScaleBench {
       }
     }
 
+    // ---- ACID change feed: wall ~ DELTA, never table --------------------
+    // (r12 cont.) changesBetween must read only the files the two
+    // manifests disagree on: a FIXED-size COW upsert against tables of
+    // 16x growing file counts must cost ~flat wall and a ~constant
+    // files-read count while files_total grows 16x. The wall_ratio rows
+    // below must stay near 1 as n (table files) grows.
+    locally {
+      import graft.operators.AcidTable
+      for (files <- Seq(8, 32, 128)) {
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_scale_cdf/" +
+          s"${spark.sparkContext.applicationId}/f$files"
+        val perFile = 2000L
+        // one commit per contiguous key block => one stats-bearing file each
+        (0 until files).foreach { i =>
+          AcidTable.commitAppend(
+            spark.range(i * perFile, (i + 1) * perFile).toDF("k")
+              .withColumn("v", col("k") * 3).coalesce(1),
+            root, statsCols = Seq("k", "v"))
+        }
+        val baseV = files.toLong
+        // fixed-size upsert touching ONE block regardless of table size
+        AcidTable.mergeCow(
+          spark.range(0L, 100L).toDF("k").withColumn("v", lit(-1L)),
+          root, "k", statsCols = Seq("k", "v"))
+        val t0 = System.nanoTime()
+        val (chg, read, total) = AcidTable.changesBetween(spark, root,
+          baseV, baseV + 1, Seq("k"), Seq("v"))
+        val n = chg.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"op":"acid_cdf_fixed_delta","n":$files,"rows":$n,""" +
+          f""""files_read":$read,"files_total":$total,"sec":$sec%.2f}""")
+        rows += (("acid_cdf_fixed_delta", files.toLong, sec))
+      }
+    }
+
     // ---- consecutive-scale wall ratios ----------------------------------
     val byOp = rows.groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq)
     for ((op, rs) <- byOp.toSeq.sortBy(_._1); Seq((_, n1, t1), (_, n2, t2)) <- rs.sliding(2)

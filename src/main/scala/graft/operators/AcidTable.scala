@@ -541,12 +541,20 @@ object AcidTable {
       val statlessPaths = statless.map(_.path).toSet
       val (touched, untouched) = entries.partition(e =>
         statlessPaths.contains(e.path) || touchedStatted.contains(e.path))
+      // size the rewrite like its input: N touched files come back as ~N
+      // files, not one per shuffle partition — otherwise every COW commit
+      // multiplies the file count by the cluster's parallelism and the
+      // table shreds itself (the r12 ScaleBench CDF panel caught a
+      // 1-block rewrite landing as 33 files). Insert-only merges
+      // (touched empty) keep their natural partitioning — that's an
+      // append, and compactSmall is the shred fix if batches are tiny.
       val rewritten =
         if (touched.isEmpty) updates
         else {
           val old = spark.read.parquet(touched.map(e => s"$root/${e.path}"): _*)
           old.join(updates.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
             .unionByName(updates)
+            .repartition(touched.length)
         }
       (untouched, rewritten)
     }
@@ -563,10 +571,13 @@ object AcidTable {
       val (touched, untouched) = entries.partition { e =>
         e.statFor(keyCol).forall(s => s.max >= lower && s.min <= upper)
       }
+      // same rewrite-sizing rule as mergeCowImpl: N touched files come
+      // back as ~N files, never one per shuffle partition
       val survivors =
         if (touched.isEmpty) None
         else Some(spark.read.parquet(touched.map(e => s"$root/${e.path}"): _*)
-          .where(!(col(keyCol) >= lower && col(keyCol) <= upper)))
+          .where(!(col(keyCol) >= lower && col(keyCol) <= upper))
+          .repartition(touched.length))
       (untouched, survivors.orNull)
     }
 
@@ -609,6 +620,39 @@ object AcidTable {
     val df = readAsOf(spark, root, cur).repartition(numFiles)
     publishEntries(spark, root, cur + 1, "compact",
       newEntries(df, root, statsCols))
+  }
+
+  /** Bin-packing OPTIMIZE (round 12 cont.): rewrite ONLY the files
+    * smaller than `smallBytes`, packed into `targetFiles` outputs; files
+    * already at size are carried BY REFERENCE (verbatim manifest lines).
+    * This is the maintenance a streaming-ingested table actually needs —
+    * after K micro-batch appends it holds K small files, and a full
+    * [[compact]] would rewrite 100 TB to fix kilobytes of shred; Delta's
+    * OPTIMIZE draws the same line (only files under a threshold are
+    * rewritten). Stats are recomputed for the packed files only.
+    * File sizes come from one getFileStatus per file here (local[*]);
+    * at cluster scale they ride the write tasks' commit messages into
+    * the manifest, like the footer stats. Fewer than 2 small files ⇒
+    * nothing to pack ⇒ NO new version (returns the current one, 0
+    * packed). Returns (version, filesPacked, filesKept). */
+  def compactSmall(spark: SparkSession, root: String, smallBytes: Long,
+                   targetFiles: Int,
+                   statsCols: Seq[String] = Nil): (Long, Int, Int) = {
+    require(targetFiles >= 1, s"targetFiles must be >= 1, got $targetFiles")
+    val cur = currentVersion(spark, root)
+    val (_, entries) = readManifest(spark, root, cur)
+    val f = fs(spark, root)
+    val (small, big) = entries.partition(e =>
+      f.getFileStatus(new Path(s"$root/${e.path}")).getLen < smallBytes)
+    if (small.length < 2) (cur, 0, entries.length)
+    else {
+      val packed = spark.read
+        .parquet(small.map(e => s"$root/${e.path}"): _*)
+        .repartition(targetFiles)
+      val v = publishEntries(spark, root, cur + 1, "compact",
+        big ++ newEntries(packed, root, statsCols))
+      (v, small.length, big.length)
+    }
   }
 
   /** [[compact]] that also RE-CLUSTERS (round 12): Delta's OPTIMIZE

@@ -196,6 +196,34 @@ object ScanSinkQueries extends QueryModule {
       (root, v, maxk, rewritten, kept)
     }
 
+  // Q-ACID14 fixture: a shredded table — one big commit (90% of orders)
+  // + three small appends (thirds of the rest) — then bin-packing
+  // OPTIMIZE at threshold = the big file's own size: the three smalls
+  // pack into one file, the big file is carried by reference. Returns
+  // (root, compactedVersion, packed, kept, filesAfter).
+  private def acidPackRoot(s: SparkSession, d: String):
+      (String, Long, Int, Int, Int) =
+    Memo.cached(s, s"acidpack|$d") {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_acidpack/" +
+        s"${s.sparkContext.applicationId}/${new java.io.File(d).getName}"
+      val base = Tables.load(s, d, "orders").select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * lit(100.0)).cast("long").as("cents"))
+      AcidTable.commitOverwrite(
+        base.where(pmod(col("k"), lit(10L)) =!= 0).coalesce(1),
+        root, statsCols = Seq("k"))
+      Seq(0L, 10L, 20L).foreach { r =>
+        AcidTable.commitAppend(
+          base.where(pmod(col("k"), lit(30L)) === r).coalesce(1),
+          root, statsCols = Seq("k"))
+      }
+      val bigLen = new java.io.File(root,
+        AcidTable.entriesOf(s, root, 1L).head.path).length()
+      val (v, packed, kept) = AcidTable.compactSmall(s, root, bigLen,
+        targetFiles = 1, statsCols = Seq("k"))
+      (root, v, packed, kept, AcidTable.entriesOf(s, root, v).length)
+    }
+
   // Q-ACID7 fixture: three drifting APPENDS into one manifest table —
   // v widens int -> bigint -> double, tag type-conflicts (string ->
   // bigint) at gen 3, extra appears only at gen 3. The reconciled read
@@ -505,6 +533,25 @@ object ScanSinkQueries extends QueryModule {
           lit(rewritten.toLong).as("files_rewritten"),
           lit(kept.toLong).as("files_kept"))
         .orderBy("band")
+    }),
+
+    // Q-ACID14 (round 12 cont.): bin-packing OPTIMIZE — only the three
+    // sub-threshold files are rewritten (packed into one), the big file
+    // is carried by reference; a full compact would rewrite everything
+    // to fix kilobytes of shred. The rollup reads THROUGH the packed
+    // version (a packing that lost/duplicated rows breaks n/sum); the
+    // file facts are deterministic (commit-per-slice fixture) and
+    // oracle-pinned.
+    "q_acid14" -> ((s, d) => {
+      val (root, v, packed, kept, after) = acidPackRoot(s, d)
+      AcidTable.readAsOf(s, root, v)
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .select(col("status"), col("n"), col("sum_cents"),
+          lit(packed.toLong).as("files_packed"),
+          lit(kept.toLong).as("files_kept"),
+          lit(after.toLong).as("files_after"))
+        .orderBy("status")
     }),
 
     // Q-SCAN1: parquet scan + projection + total sort.
@@ -1058,6 +1105,20 @@ object ScanSinkQueries extends QueryModule {
         |  CAST(7 AS BIGINT) AS files_kept
         |FROM fin f, m
         |GROUP BY 1 ORDER BY band""".stripMargin,
+
+    // The packed slices union back to ALL of orders (k%10!=0 plus the
+    // three k%30 residues of the rest), so the rollup replays from the
+    // source table; the file facts replay as literals.
+    "q_acid14" ->
+      """SELECT o_orderstatus AS status,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  CAST(3 AS BIGINT) AS files_packed,
+        |  CAST(1 AS BIGINT) AS files_kept,
+        |  CAST(2 AS BIGINT) AS files_after
+        |FROM orders
+        |GROUP BY o_orderstatus ORDER BY status""".stripMargin,
 
     "q_acid2" ->
       """WITH base AS (

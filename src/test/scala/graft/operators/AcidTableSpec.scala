@@ -229,6 +229,42 @@ class AcidTableSpec extends SparkSpec {
     assert(AcidTable.history(spark, root).last._2 === "compact")
   }
 
+  test("compactSmall packs only sub-threshold files; big files carried verbatim") {
+    val root = freshRoot("cs")
+    // one big file (5000 rows) + three small appends (1 row each)
+    AcidTable.commitOverwrite(
+      kv((1L to 5000L).map(i => i -> i): _*).coalesce(1), root,
+      statsCols = Seq("k"))
+    Seq(9001L, 9002L, 9003L).foreach { i =>
+      AcidTable.commitAppend(kv(i -> i).coalesce(1), root, statsCols = Seq("k"))
+    }
+    val bigLen = {
+      val e = AcidTable.entriesOf(spark, root, 1L).head
+      new File(root, e.path).length()
+    }
+    val (v, packed, kept) =
+      AcidTable.compactSmall(spark, root, bigLen, targetFiles = 1,
+        statsCols = Seq("k"))
+    assert(v === 5L && packed === 3 && kept === 1)
+    // the big file's manifest line (path AND stats) carried byte-identical
+    assert(manifestLines(root, 4L).toSet.intersect(
+      manifestLines(root, 5L).toSet).size === 1)
+    assert(AcidTable.entriesOf(spark, root, 5L).length === 2,
+      "three small files packed into one + the big file")
+    // data identical, pre-compaction version untouched
+    assert(AcidTable.read(spark, root).count() === 5003)
+    assert(AcidTable.readAsOf(spark, root, 4L).count() === 5003)
+    // packed files got fresh stats: a probe past the packed range prunes
+    val pr = AcidTable.readWhere(spark, root, 5L,
+      Seq(AcidTable.ColRange("k", 9001, 9003)))
+    assert(pr.filesScanned === 1 && pr.filesTotal === 2)
+    // nothing left to pack: NO new version published
+    val (v2, packed2, kept2) =
+      AcidTable.compactSmall(spark, root, bigLen / 100, targetFiles = 1)
+    assert(v2 === 5L && packed2 === 0 && kept2 === 2)
+    assert(AcidTable.currentVersion(spark, root) === 5L)
+  }
+
   // ---- round 12: copy-on-write merge / delete -----------------------------
 
   private def manifestLines(root: String, v: Long): Seq[String] = {
