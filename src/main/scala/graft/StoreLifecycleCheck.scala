@@ -71,6 +71,12 @@ object StoreLifecycleCheck {
       AcidTable.commitAppend(
         s1.range(NOld, NAll).toDF("k").withColumn("v", col("k") * 2),
         s"$root/acid", statsCols = Seq("k"))
+      // r12 cont.: day-1 TAILS the two appends (marker checkpoint on
+      // disk) BEFORE the merge lands — day 2 must resume from the
+      // markers alone and see only what came after
+      val t1 = graft.streaming.AcidTail.tailChanges(s1, s"$root/acid",
+        s"$root/acid_ck", Seq("k"), Seq("v")) { (_, _) => () }
+      require(t1 == Seq(1L, 2L), s"day-1 tail processed $t1, want [1,2]")
       // r12: a copy-on-write upsert whose stats + kept-by-reference lines
       // the day-2 session must prune on with nothing but the manifests
       AcidTable.mergeCow(
@@ -175,6 +181,21 @@ object StoreLifecycleCheck {
       require(tail == 50, s"pruned read answered $tail rows, want 50")
       println(s"acid-lifecycle OK: v1=${NOld} rows, merged v3 sum=$sumV, " +
         s"pruned read ${pr.filesScanned}/${pr.filesTotal} files from reloaded manifests")
+
+      // r12 cont.: the CDC tail RESUMES across the process boundary — the
+      // day-1 markers survive, so the new session delivers ONLY the merge
+      // committed after the checkpoint, as its logical row delta
+      var feed = Map.empty[String, Long]
+      val t2 = graft.streaming.AcidTail.tailChanges(s2, s"$root/acid",
+        s"$root/acid_ck", Seq("k"), Seq("v")) { (df, _) =>
+        feed = df.groupBy("change_type").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
+      require(t2 == Seq(3L),
+        s"resumed tail processed $t2, want only the post-checkpoint [3]")
+      require(feed == Map("changed" -> 10L),
+        s"v3's delta must be exactly the 10 upserted keys, got $feed")
+      println(s"acid-tail-lifecycle OK: resumed at v3, delta=$feed")
     } finally s2.stop()
   }
 }
