@@ -271,4 +271,86 @@ class DeterminismSpec extends SparkSpec {
     assert(drift(1) === drift(7),
       "schemaDriftOnArrival diverged under repartitioning")
   }
+
+  test("change feed model equivalence + CDC fold over a random commit chain") {
+    import graft.operators.AcidTable
+    val r = new scala.util.Random(13)
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_det_cdf_${System.nanoTime()}").getAbsolutePath
+    val rows = Seq.fill(500)((r.nextLong() % 4000L, r.nextInt(100000).toLong))
+      .groupBy(_._1).map(_._2.head).toSeq
+    rows.grouped(120).foreach { g =>
+      AcidTable.commitAppend(g.toDF("k", "v").coalesce(1), root,
+        statsCols = Seq("k"))
+    }
+    // a random chain exercising every commit kind after the appends
+    AcidTable.mergeCow(
+      rows.take(60).map { case (k, _) => (k, -7L) }.toDF("k", "v"),
+      root, "k", statsCols = Seq("k"))
+    AcidTable.deleteCow(spark, root, "k", -500L, 700L, statsCols = Seq("k"))
+    AcidTable.commitAppend(
+      Seq((9001L, 1L), (9002L, 2L)).toDF("k", "v").coalesce(1),
+      root, statsCols = Seq("k"))
+    val vs = AcidTable.versions(spark, root)
+    // law 1: the file-granularity feed equals the full-snapshot diff for
+    // EVERY consecutive version pair (including plain appends)
+    vs.sliding(2).foreach { case Seq(a, b) =>
+      val feed = AcidTable.changesBetween(spark, root, a, b,
+          Seq("k"), Seq("v"))._1
+        .select("k", "change_type", "old_v", "new_v").collect()
+        .map(x => (x.getLong(0), x.getString(1),
+          Option(x.get(2)), Option(x.get(3)))).toSet
+      val full = AcidTable.diffVersions(spark, root, a, b,
+          Seq("k"), Seq("v"))
+        .select("k", "change_type", "old_v", "new_v").collect()
+        .map(x => (x.getLong(0), x.getString(1),
+          Option(x.get(2)), Option(x.get(3)))).toSet
+      assert(feed === full, s"feed != snapshot diff for v$a -> v$b")
+    }
+    // law 2: folding the CDC feeds from nothing reconstructs the snapshot
+    val state = scala.collection.mutable.Map.empty[Long, Long]
+    graft.streaming.AcidTail.tailChanges(spark, root,
+      new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_det_cdf_ck_${System.nanoTime()}").getAbsolutePath,
+      Seq("k"), Seq("v")) { (df, _) =>
+      df.select("k", "change_type", "new_v").collect().foreach { x =>
+        x.getString(1) match {
+          case "removed" => state.remove(x.getLong(0))
+          case _ => state(x.getLong(0)) = x.getLong(2)
+        }
+      }
+    }
+    assert(state.toSet ===
+      AcidTable.read(spark, root).as[(Long, Long)].collect().toSet,
+      "CDC feeds folded from empty diverged from the final snapshot")
+  }
+
+  test("mergeCowStr equals the map-update model on multi-byte string keys") {
+    import graft.operators.AcidTable
+    val r = new scala.util.Random(14)
+    // keys mixing ASCII with 2- and 3-byte UTF-8 so footer stats, the
+    // locate join, and the prune comparator all exercise byte order
+    // beyond the ASCII plane
+    val alphabet = "abzé日"
+    def key() = (0 until 4).map(_ =>
+      alphabet(r.nextInt(alphabet.length))).mkString
+    val rows = Seq.fill(300)((key(), r.nextInt(10000).toLong))
+      .groupBy(_._1).map(_._2.head).toSeq
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_det_cowstr_${System.nanoTime()}").getAbsolutePath
+    rows.sortBy(_._1).grouped(80).foreach { g =>
+      AcidTable.commitAppend(g.toDF("name", "v").coalesce(1), root,
+        statsCols = Seq("name"))
+    }
+    val updates = rows.take(40).map { case (n, _) => (n, -3L) } ++
+      Seq(("zzzz" + key(), 77L))
+    val (_, rewritten, kept) = AcidTable.mergeCowStr(
+      updates.toDF("name", "v"), root, "name", statsCols = Seq("name"))
+    assert(rewritten + kept ==
+      AcidTable.entriesOf(spark, root,
+        AcidTable.currentVersion(spark, root) - 1).length)
+    val model = (rows.toMap ++ updates.toMap).toSet
+    assert(AcidTable.read(spark, root).as[(String, Long)].collect().toSet
+      === model, "mergeCowStr diverged from the map-update model")
+  }
 }
