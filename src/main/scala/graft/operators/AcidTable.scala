@@ -282,14 +282,34 @@ object AcidTable {
               if (mins.exists(_.isEmpty) || maxs.exists(_.isEmpty)) None
               else (mins.map(_.get), maxs.map(_.get)) match {
                 case (mn, mx) if mn.forall(_.isLeft) && mx.forall(_.isLeft) =>
-                  Some(Left(FileStat(c,
-                    mn.map(_.swap.toOption.get).min, mx.map(_.swap.toOption.get).max)))
+                  // long stats only where the physical int IS the logical
+                  // order: plain/signed ints, DATE (epoch days), TIMESTAMP
+                  // (epoch micros). An int32-backed DECIMAL's footer
+                  // carries UNSCALED values and unsigned ints reorder —
+                  // pruning on either would silently compare wrong numbers
+                  import org.apache.parquet.schema.LogicalTypeAnnotation._
+                  val ann = chunks.head.get.getPrimitiveType.getLogicalTypeAnnotation
+                  val longSafe = ann match {
+                    case null => true
+                    case i: IntLogicalTypeAnnotation => i.isSigned
+                    case _: DateLogicalTypeAnnotation => true
+                    case _: TimestampLogicalTypeAnnotation => true
+                    case _ => false
+                  }
+                  if (longSafe)
+                    Some(Left(FileStat(c,
+                      mn.map(_.swap.toOption.get).min, mx.map(_.swap.toOption.get).max)))
+                  else None
                 case (mn, mx) if mn.forall(_.isRight) && mx.forall(_.isRight) =>
                   val isStr = chunks.head.get.getPrimitiveType
                     .getLogicalTypeAnnotation.isInstanceOf[
                       org.apache.parquet.schema.LogicalTypeAnnotation.StringLogicalTypeAnnotation]
-                  val (lo, hi) =
-                    (mn.map(_.toOption.get).min, mx.map(_.toOption.get).max)
+                  // merge row-group bounds in UTF-8 BYTE order — the order
+                  // the footer wrote them in; Scala's default String min/max
+                  // is UTF-16 order and diverges off the ASCII plane
+                  val byUtf8 = Ordering.fromLessThan[String](utf8Cmp(_, _) < 0)
+                  val (lo, hi) = (mn.map(_.toOption.get).min(byUtf8),
+                    mx.map(_.toOption.get).max(byUtf8))
                   if (isStr &&
                       lo.getBytes(StandardCharsets.UTF_8).length <= MaxStrStatBytes &&
                       hi.getBytes(StandardCharsets.UTF_8).length <= MaxStrStatBytes)
