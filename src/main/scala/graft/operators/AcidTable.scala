@@ -79,6 +79,24 @@ object AcidTable {
       s"AcidTable commit conflict: version $version at $root was published " +
         "by a concurrent writer — re-read the table and retry the commit")
 
+  /** A commit lost its optimistic race in a way a REBASE cannot repair
+    * (round 13): a concurrent commit rewrote, masked, or deleted a file
+    * this commit's plan was based on. Losing the version-number race
+    * alone is retried internally ([[Conflict]] never escapes a commit
+    * that can rebase); this surfaces only the genuinely overlapping
+    * write-write case — re-plan from the new head and re-run the
+    * operation (Delta's ConcurrentDeleteDelete/ConcurrentAppend matrix,
+    * collapsed to the one question that decides it: is every entry we
+    * based on still live, byte-identical, at the head we'd publish
+    * over?). */
+  final case class ConcurrentModification(root: String, action: String,
+                                          gone: Seq[String])
+    extends RuntimeException(
+      s"AcidTable $action at $root conflicts with a concurrent commit: " +
+        s"${gone.size} file(s) this commit was based on were rewritten, " +
+        s"masked, or deleted (e.g. ${gone.headOption.getOrElse("")}) — " +
+        "re-plan from the new head and retry the operation")
+
   /** One manifest data-file line: a root-relative path plus optional
     * per-column min/max stats (both inclusive, nulls excluded — a
     * column that is all-null in the file simply carries no stat).
@@ -112,30 +130,64 @@ object AcidTable {
     x.length - y.length
   }
 
+  /** Deletion-vector reference (round 13, merge-on-read): the rows of
+    * this data file whose `col` value appears in any of the referenced
+    * key-mask parquet files (single column `__dvk`, the key's native
+    * type) are DELETED from the table without rewriting the data file —
+    * the reader anti-joins the mask in. A 1-row update to a 1-GB file
+    * costs a kilobyte DV commit instead of the gigabyte COW rewrite;
+    * [[AcidTable.compactDvs]] folds masks back into clean files. (Delta's
+    * DVs are row-index bitmaps; a key mask is the same read contract —
+    * exact under the table's unique-key invariant — without a positional
+    * row-id scheme.) */
+  final case class Dv(col: String, paths: Seq[String])
+
   final case class Entry(path: String, stats: Seq[FileStat],
-                         strStats: Seq[StrStat] = Nil) {
+                         strStats: Seq[StrStat] = Nil,
+                         dv: Option[Dv] = None) {
     def render: String = {
       val parts = stats.map(s => s"${s.col}:${s.min}:${s.max}") ++
         strStats.map(s => s"${s.col}:s:${hex(s.min)}:${hex(s.max)}")
-      if (parts.isEmpty) path else path + "|" + parts.mkString(",")
+      val statSeg = parts.mkString(",")
+      dv match {
+        case None => if (parts.isEmpty) path else path + "|" + statSeg
+        case Some(d) =>
+          path + "|" + statSeg + "|dv:" + d.col + ":" + d.paths.mkString(";")
+      }
     }
     def statFor(c: String): Option[FileStat] = stats.find(_.col == c)
     def strStatFor(c: String): Option[StrStat] = strStats.find(_.col == c)
   }
-  private object Entry {
-    def parse(line: String): Entry = line.split('|') match {
+  private[operators] object Entry {
+    // every split uses limit = -1: String.split drops TRAILING empty
+    // strings by default, so a string stat whose bounds are both the
+    // empty string ("c:s::" — a file where every value of the column is
+    // "") would parse as Array(c, "s") and brick every subsequent read
+    // of an otherwise-successful commit (ADVICE r12, high)
+    def parse(line: String): Entry = line.split("\\|", -1) match {
       case Array(p) => Entry(p, Nil)
       case Array(p, st) =>
-        val parsed = st.split(',').toSeq.map { s =>
-          s.split(':') match {
-            case Array(c, mn, mx) => Left(FileStat(c, mn.toLong, mx.toLong))
-            case Array(c, "s", mn, mx) => Right(StrStat(c, unhex(mn), unhex(mx)))
-            case _ => throw new IllegalStateException(s"malformed stat: $s")
-          }
+        val (l, s) = parseStats(st); Entry(p, l, s)
+      case Array(p, st, d) if d.startsWith("dv:") =>
+        val (l, s) = parseStats(st)
+        d.split(":", -1) match {
+          case Array("dv", c, ps) if ps.nonEmpty =>
+            Entry(p, l, s, Some(Dv(c, ps.split(";", -1).toSeq)))
+          case _ => throw new IllegalStateException(s"malformed dv segment: $d")
         }
-        Entry(p, parsed.collect { case Left(f) => f },
-          parsed.collect { case Right(f) => f })
       case _ => throw new IllegalStateException(s"malformed manifest line: $line")
+    }
+    private def parseStats(st: String): (Seq[FileStat], Seq[StrStat]) = {
+      if (st.isEmpty) return (Nil, Nil)
+      val parsed = st.split(",", -1).toSeq.map { s =>
+        s.split(":", -1) match {
+          case Array(c, "s", mn, mx) => Right(StrStat(c, unhex(mn), unhex(mx)))
+          case Array(c, mn, mx) => Left(FileStat(c, mn.toLong, mx.toLong))
+          case _ => throw new IllegalStateException(s"malformed stat: $s")
+        }
+      }
+      (parsed.collect { case Left(f) => f },
+        parsed.collect { case Right(f) => f })
     }
   }
 
@@ -188,7 +240,14 @@ object AcidTable {
     vs.last
   }
 
+  /** Manifest-layer file opens (manifests + checkpoints), counted so the
+    * O(checkpoint + suffix) bound on token lookup is a TESTABLE fact
+    * rather than a doc claim (AcidTableSpec pins it). */
+  private[operators] val manifestOpens =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def manifestText(spark: SparkSession, root: String, v: Long): String = {
+    manifestOpens.incrementAndGet()
     val f = fs(spark, root)
     val p = manifestPath(root, v)
     require(f.exists(p), s"AcidTable at $root has no version $v")
@@ -226,18 +285,106 @@ object AcidTable {
     manifestText(spark, root, v).linesIterator
       .find(_.startsWith("#token:")).map(_.stripPrefix("#token:"))
 
-  /** The version a given idempotency token already published, if any. */
+  /** Every [[CheckpointEvery]]-th published version also writes
+    * `v<N>.checkpoint` — the accumulated token→version map of all
+    * versions ≤ N — so [[tokenVersion]] (consulted by every idempotent
+    * commit) opens ONE checkpoint plus the ≤ K-manifest suffix published
+    * since, instead of every manifest ever (round 13; the r12 code
+    * documented the O(versions) scan honestly — a streaming-ingested
+    * table at a commit a minute crosses 500k manifests a year, so the
+    * bound has to be structural, not documented). Checkpoints are pure
+    * caches of manifest headers: losing one costs a slow scan, never an
+    * answer — which is why writing them is best-effort and reading them
+    * needs no lock. */
+  private[operators] val CheckpointEvery = 16L
+
+  private def checkpointPath(root: String, v: Long): Path =
+    new Path(s"$root/$ManifestDir/v${("%0" + Width + "d").format(v)}.checkpoint")
+
+  private val CheckpointRe = raw"v(\d+)\.checkpoint".r
+  private[operators] def checkpointVersions(spark: SparkSession,
+                                            root: String): Seq[Long] = {
+    val dir = new Path(s"$root/$ManifestDir")
+    val f = fs(spark, root)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq.flatMap(s => s.getPath.getName match {
+      case CheckpointRe(d) => Some(d.toLong)
+      case _ => None
+    }).sorted
+  }
+
+  private def readCheckpointTokens(spark: SparkSession, root: String,
+                                   v: Long): Map[String, Long] = {
+    manifestOpens.incrementAndGet()
+    val f = fs(spark, root)
+    val text = Using.resource(f.open(checkpointPath(root, v))) { in =>
+      new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    }
+    text.linesIterator.collect {
+      case l if l.startsWith("t:") =>
+        val Array(_, ver, tok) = l.split(":", 3)
+        tok -> ver.toLong
+    }.toMap
+  }
+
+  /** Best-effort checkpoint write after version `v` published: previous
+    * checkpoint's tokens + the (≤ K manifests) suffix scan, through the
+    * same tmp+rename-no-overwrite gate (a racing checkpointer's identical
+    * body winning is fine). Failure is swallowed — the checkpoint is a
+    * CACHE; the manifests stay the source of truth. */
+  private def maybeCheckpoint(spark: SparkSession, root: String,
+                              v: Long): Unit = {
+    if (v % CheckpointEvery != 0L) return
+    try {
+      val prior = checkpointVersions(spark, root).filter(_ < v).lastOption
+      val base = prior.map(readCheckpointTokens(spark, root, _))
+        .getOrElse(Map.empty[String, Long])
+      val lo = prior.getOrElse(0L)
+      val suffix = versions(spark, root).filter(x => x > lo && x <= v)
+        .flatMap(x => manifestToken(spark, root, x).map(_ -> x)).toMap
+      val body = s"#checkpoint:$v\n" + (base ++ suffix).toSeq.sortBy(_._2)
+        .map { case (t, ver) => s"t:$ver:$t" }
+        .mkString("", "\n", "\n")
+      val f = fs(spark, root)
+      val tmp = new Path(s"$root/$ManifestDir/" +
+        s".cp$v-${java.util.UUID.randomUUID()}.tmp")
+      Using.resource(f.create(tmp, true)) { o =>
+        o.write(body.getBytes(StandardCharsets.UTF_8))
+      }
+      val p = checkpointPath(root, v)
+      val fc = FileContext.getFileContext(f.makeQualified(p).toUri,
+        spark.sparkContext.hadoopConfiguration)
+      try fc.rename(tmp, p, Options.Rename.NONE)
+      catch { case _: Throwable => f.delete(tmp, false) }
+    } catch { case scala.util.control.NonFatal(_) => () }
+  }
+
+  /** The version a given idempotency token already published, if any —
+    * O(1 checkpoint + ≤K-manifest suffix) once the table has
+    * checkpointed; the full scan only on a young table. */
   def tokenVersion(spark: SparkSession, root: String,
-                   token: String): Option[Long] =
-    versions(spark, root).find(v => manifestToken(spark, root, v).contains(token))
+                   token: String): Option[Long] = {
+    val vs = versions(spark, root)
+    if (vs.isEmpty) return None
+    checkpointVersions(spark, root).filter(_ <= vs.last).lastOption match {
+      case Some(c) =>
+        readCheckpointTokens(spark, root, c).get(token).orElse(
+          vs.filter(_ > c)
+            .find(v => manifestToken(spark, root, v).contains(token)))
+      case None =>
+        vs.find(v => manifestToken(spark, root, v).contains(token))
+    }
+  }
 
   /** Write `df` as new immutable parquet files under `root/data/<uuid>/`
     * and return their root-relative paths. The files are unreferenced
     * (invisible to every reader) until a manifest publishes them. */
-  private def writeDataFiles(df: DataFrame, root: String): Seq[String] = {
+  private def writeDataFiles(df: DataFrame, root: String,
+                             options: Map[String, String] = Map.empty)
+      : Seq[String] = {
     val commitId = java.util.UUID.randomUUID().toString
     val dir = s"$DataDir/$commitId"
-    df.write.parquet(s"$root/$dir")
+    df.write.options(options).parquet(s"$root/$dir")
     val f = fs(df.sparkSession, root)
     f.listStatus(new Path(s"$root/$dir")).toSeq
       .map(_.getPath.getName)
@@ -282,28 +429,12 @@ object AcidTable {
               if (mins.exists(_.isEmpty) || maxs.exists(_.isEmpty)) None
               else (mins.map(_.get), maxs.map(_.get)) match {
                 case (mn, mx) if mn.forall(_.isLeft) && mx.forall(_.isLeft) =>
-                  // long stats only where the physical int IS the logical
-                  // order: plain/signed ints, DATE (epoch days), TIMESTAMP
-                  // (epoch micros). An int32-backed DECIMAL's footer
-                  // carries UNSCALED values and unsigned ints reorder —
-                  // pruning on either would silently compare wrong numbers
-                  import org.apache.parquet.schema.LogicalTypeAnnotation._
-                  val ann = chunks.head.get.getPrimitiveType.getLogicalTypeAnnotation
-                  val longSafe = ann match {
-                    case null => true
-                    case i: IntLogicalTypeAnnotation => i.isSigned
-                    case _: DateLogicalTypeAnnotation => true
-                    case _: TimestampLogicalTypeAnnotation => true
-                    case _ => false
-                  }
-                  if (longSafe)
+                  if (longSafeType(chunks.head.get.getPrimitiveType))
                     Some(Left(FileStat(c,
                       mn.map(_.swap.toOption.get).min, mx.map(_.swap.toOption.get).max)))
                   else None
                 case (mn, mx) if mn.forall(_.isRight) && mx.forall(_.isRight) =>
-                  val isStr = chunks.head.get.getPrimitiveType
-                    .getLogicalTypeAnnotation.isInstanceOf[
-                      org.apache.parquet.schema.LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+                  val isStr = strType(chunks.head.get.getPrimitiveType)
                   // merge row-group bounds in UTF-8 BYTE order — the order
                   // the footer wrote them in; Scala's default String min/max
                   // is UTF-16 order and diverges off the ASCII plane
@@ -333,9 +464,32 @@ object AcidTable {
     case _ => None
   }
 
+  /** Long stats only where the physical int IS the logical order:
+    * plain/signed ints, DATE (epoch days), TIMESTAMP (epoch micros). An
+    * int32-backed DECIMAL's footer carries UNSCALED values and unsigned
+    * ints reorder — pruning on either would silently compare wrong
+    * numbers. */
+  private def longSafeType(
+      t: org.apache.parquet.schema.PrimitiveType): Boolean = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation._
+    t.getLogicalTypeAnnotation match {
+      case null => true
+      case i: IntLogicalTypeAnnotation => i.isSigned
+      case _: DateLogicalTypeAnnotation => true
+      case _: TimestampLogicalTypeAnnotation => true
+      case _ => false
+    }
+  }
+
+  private def strType(t: org.apache.parquet.schema.PrimitiveType): Boolean =
+    t.getLogicalTypeAnnotation.isInstanceOf[
+      org.apache.parquet.schema.LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+
   private def newEntries(df: DataFrame, root: String,
-                         statsCols: Seq[String]): Seq[Entry] = {
-    val paths = writeDataFiles(df, root)
+                         statsCols: Seq[String],
+                         writeOptions: Map[String, String] = Map.empty)
+      : Seq[Entry] = {
+    val paths = writeDataFiles(df, root, writeOptions)
     if (statsCols.isEmpty) paths.map(Entry(_, Nil))
     else footerStats(df.sparkSession, root, paths, statsCols)
   }
@@ -379,8 +533,11 @@ object AcidTable {
 
   private def publishEntries(spark: SparkSession, root: String, v: Long,
                              action: String, entries: Seq[Entry],
-                             token: Option[String] = None): Long =
-    publish(spark, root, v, action, entries.map(_.render), token)
+                             token: Option[String] = None): Long = {
+    val out = publish(spark, root, v, action, entries.map(_.render), token)
+    maybeCheckpoint(spark, root, out)
+    out
+  }
 
   /** Commit wall-clock time of version `v` (epoch millis). */
   def commitTimestamp(spark: SparkSession, root: String, v: Long): Long =
@@ -405,36 +562,124 @@ object AcidTable {
     readAsOf(spark, root, at.last)
   }
 
+  private val MaxCommitRetries = 10
+
+  /** Optimistic-rebase publish (round 13): commit the LOGICAL change
+    * "replace the `removed` entries with the `added` ones" computed
+    * against some snapshot, rebasing onto whatever head has landed since.
+    * Each attempt re-reads the head, verifies every `removed` entry is
+    * still live there BYTE-IDENTICAL (render equality — a path whose
+    * stats or deletion vector changed is a file someone else modified),
+    * and publishes head−removed∪added at head+1 through the rename gate.
+    * Losing the rename race just loops (bounded by [[MaxCommitRetries]]);
+    * a removed entry gone from the head surfaces
+    * [[ConcurrentModification]] — the caller must re-plan. Two racing
+    * APPENDS (removed empty) therefore BOTH land, as do COW/MOR commits
+    * touching disjoint files; only overlapping writes conflict. The
+    * isolation level this buys is Delta's WriteSerializable: a blind
+    * append racing a COW merge commits even if its rows would have
+    * matched the merge's keys — the merge is serialized BEFORE the
+    * append. `replaceAll` (overwrite semantics) ignores the head's
+    * entries entirely: the table's complete new state is `added`,
+    * last-writer-wins. When `token` is set, every attempt re-checks the
+    * idempotency token first — a concurrent replay of the SAME commit
+    * that already landed returns its version instead of double-applying.
+    * Returns (published version, entries carried from the head). */
+  private[operators] def commitRebase(spark: SparkSession, root: String,
+                           action: String,
+                           removed: Seq[Entry], added: Seq[Entry],
+                           replaceAll: Boolean = false,
+                           token: Option[String] = None): (Long, Int) = {
+    val removedIds = removed.map(_.render).toSet
+    var attempt = 0
+    while (true) {
+      token.flatMap(tokenVersion(spark, root, _)) match {
+        case Some(v) => return (v, -1) // our own replay already landed
+        case None =>
+      }
+      val head = versions(spark, root).lastOption.getOrElse(0L)
+      val headEntries =
+        if (head == 0L) Seq.empty[Entry]
+        else readManifest(spark, root, head)._2
+      val kept =
+        if (replaceAll) Seq.empty[Entry]
+        else {
+          val liveIds = headEntries.map(_.render).toSet
+          val gone = removedIds.filterNot(liveIds).toSeq.sorted
+          if (gone.nonEmpty) throw ConcurrentModification(root, action, gone)
+          headEntries.filterNot(e => removedIds(e.render))
+        }
+      try return (publishEntries(spark, root, head + 1, action,
+        kept ++ added, token), kept.length)
+      catch {
+        case c: Conflict =>
+          attempt += 1
+          if (attempt > MaxCommitRetries)
+            // last chance: the winner of the final race may have been our
+            // own replay — honor the token before surfacing the conflict
+            return (token.flatMap(tokenVersion(spark, root, _))
+              .getOrElse(throw c), -1)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Commit `df` as the table's complete new state. Returns the published
     * version. Prior versions stay readable via [[readAsOf]]. Pass
     * `statsCols` to record per-file min/max for those (long) columns in
-    * the manifest — the fuel for [[readWhere]]'s data skipping. */
+    * the manifest — the fuel for [[readWhere]]'s data skipping. Racing
+    * writers: an overwrite never fails on a concurrent commit — it
+    * replaces WHATEVER head it lands over (last-writer-wins, the
+    * replace-the-table contract). */
   def commitOverwrite(df: DataFrame, root: String,
-                      statsCols: Seq[String] = Nil): Long = {
-    val spark = df.sparkSession
-    val next = versions(spark, root).lastOption.getOrElse(0L) + 1
-    publishEntries(spark, root, next, "overwrite",
-      newEntries(df, root, statsCols))
-  }
+                      statsCols: Seq[String] = Nil,
+                      writeOptions: Map[String, String] = Map.empty): Long =
+    commitRebase(df.sparkSession, root, "overwrite", Nil,
+      newEntries(df, root, statsCols, writeOptions), replaceAll = true)._1
 
   /** Commit `df` as rows ADDED to the current state (file-level append —
     * keyed upsert is [[mergeCow]]). Returns the published version. Base
-    * manifest lines are carried verbatim (paths AND stats). */
+    * manifest lines are carried verbatim (paths AND stats). Racing
+    * writers: two concurrent appends BOTH land, as consecutive versions
+    * ([[commitRebase]] — an append removes nothing, so it rebases onto
+    * any head). */
   def commitAppend(df: DataFrame, root: String,
-                   statsCols: Seq[String] = Nil): Long = {
-    val spark = df.sparkSession
-    val prev = versions(spark, root).lastOption
-    val base = prev.map(readManifest(spark, root, _)._2).getOrElse(Seq.empty)
-    publishEntries(spark, root, prev.getOrElse(0L) + 1, "append",
-      base ++ newEntries(df, root, statsCols))
+                   statsCols: Seq[String] = Nil): Long =
+    commitRebase(df.sparkSession, root, "append", Nil,
+      newEntries(df, root, statsCols))._1
+
+  /** Plan `entries` as one DataFrame, applying DELETION VECTORS (round
+    * 13): clean files plan directly; files carrying a [[Dv]] anti-join
+    * the (broadcast — masks are key lists, kilobytes) union of their key
+    * masks on the DV column. Union-masking across files is exact, not
+    * just safe: a masked key's only possible live copy sits in a file
+    * whose stats contain the key, and the commit that deleted the key
+    * touched (and masked) every such file — so the union never removes a
+    * row the per-file masks would have kept. */
+  private def readEntries(spark: SparkSession, root: String,
+                          entries: Seq[Entry]): DataFrame = {
+    require(entries.nonEmpty, "cannot plan zero manifest entries")
+    val (dved, clean) = entries.partition(_.dv.isDefined)
+    val cleanDf =
+      if (clean.isEmpty) Nil
+      else Seq(spark.read.parquet(clean.map(e => s"$root/${e.path}"): _*))
+    val maskedDfs = dved.groupBy(_.dv.get.col).toSeq.sortBy(_._1).map {
+      case (keyCol, es) =>
+        val df = spark.read.parquet(es.map(e => s"$root/${e.path}"): _*)
+        val dvPaths = es.flatMap(_.dv.get.paths).distinct
+        val keys = spark.read.parquet(dvPaths.map(p => s"$root/$p"): _*)
+        df.join(broadcast(keys), df(keyCol) === keys("__dvk"), "left_anti")
+    }
+    (cleanDf ++ maskedDfs).reduce(_.unionByName(_))
   }
 
   /** The table as of `version` — planned from that manifest's file list
-    * alone; later commits never disturb it. */
+    * alone; later commits never disturb it. Deletion vectors ([[Dv]])
+    * are applied. */
   def readAsOf(spark: SparkSession, root: String, version: Long): DataFrame = {
     val (_, entries) = readManifest(spark, root, version)
     require(entries.nonEmpty, s"version $version of $root lists no data files")
-    spark.read.parquet(entries.map(e => s"$root/${e.path}"): _*)
+    readEntries(spark, root, entries)
   }
 
   /** The latest committed state. */
@@ -451,20 +696,94 @@ object AcidTable {
                 ranges: Seq[ScanRange]): PrunedRead = {
     val (_, entries) = readManifest(spark, root, version)
     require(entries.nonEmpty, s"version $version of $root lists no data files")
-    val kept = entries.filter { e =>
-      ranges.forall {
-        case ColRange(c, lo, hi) =>
-          e.statFor(c).forall(s => s.max >= lo && s.min <= hi)
-        case StrRange(c, lo, hi) =>
-          e.strStatFor(c).forall(s => utf8Cmp(s.max, lo) >= 0 && utf8Cmp(s.min, hi) <= 0)
-      }
-    }
+    val kept = entries.filter(entryCanMatch(_, ranges))
     val df =
-      if (kept.nonEmpty) spark.read.parquet(kept.map(e => s"$root/${e.path}"): _*)
+      if (kept.nonEmpty) readEntries(spark, root, kept)
       // proven-empty: keep the schema by planning ONE file (any carries
       // it) under a false predicate — never the full O(files) list
       else spark.read.parquet(s"$root/${entries.head.path}").where(lit(false))
     PrunedRead(df, kept.length, entries.length)
+  }
+
+  private def entryCanMatch(e: Entry, ranges: Seq[ScanRange]): Boolean =
+    ranges.forall {
+      case ColRange(c, lo, hi) =>
+        e.statFor(c).forall(s => s.max >= lo && s.min <= hi)
+      case StrRange(c, lo, hi) =>
+        e.strStatFor(c).forall(s =>
+          utf8Cmp(s.max, lo) >= 0 && utf8Cmp(s.min, hi) <= 0)
+    }
+
+  final case class PrunedReadRg(df: DataFrame, filesScanned: Int,
+                                filesTotal: Int, rowGroupsScanned: Int,
+                                rowGroupsTotal: Int)
+
+  /** ROW-GROUP-granularity data skipping (round 13): file-level prune
+    * from the manifest stats as [[readWhere]], then — for the kept files
+    * only — count from the parquet FOOTERS how many ROW GROUPS can
+    * contain a matching row. The returned DataFrame carries the row
+    * predicate, so Spark's parquet reader, fed the same footer min/max
+    * through its pushed filters, physically skips exactly the row groups
+    * this count excludes; the counts make the sub-file saving a
+    * reportable FACT. This is the fix for per-file stats coarsening
+    * after bin-packing OPTIMIZE ([[compactSmall]]): one hot row group no
+    * longer drags the whole packed file's bytes through the scan —
+    * the manifest prunes files, the footer prunes blocks inside them. A
+    * row group with no usable stats for a predicate column counts as
+    * scanned (safety over savings), and the same type gates apply as at
+    * stat-collection time ([[longSafeType]]/[[strType]]). Footer reads
+    * are kilobytes per kept file — and only for files the MANIFEST
+    * already admitted, so at 100 TB this reads footers of the pruned
+    * survivor set, never of the table. */
+  def readWhereRowGroups(spark: SparkSession, root: String, version: Long,
+                         ranges: Seq[ScanRange]): PrunedReadRg = {
+    require(ranges.nonEmpty, "readWhereRowGroups needs at least one range")
+    val (_, entries) = readManifest(spark, root, version)
+    require(entries.nonEmpty, s"version $version of $root lists no data files")
+    val kept = entries.filter(entryCanMatch(_, ranges))
+    val conf = spark.sparkContext.hadoopConfiguration
+    var rgTotal = 0
+    var rgScanned = 0
+    kept.foreach { e =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new Path(s"$root/${e.path}"), conf)
+      Using.resource(org.apache.parquet.hadoop.ParquetFileReader.open(in)) { rd =>
+        rd.getFooter.getBlocks.asScala.foreach { b =>
+          rgTotal += 1
+          val canMatch = ranges.forall { r =>
+            b.getColumns.asScala.find(_.getPath.toDotString == r.col) match {
+              case None => true // column absent in this file: never prune
+              case Some(ch) =>
+                val st = ch.getStatistics
+                if (st == null || !st.hasNonNullValue) true
+                else {
+                  val bounds = (
+                    statValue(st.genericGetMin.asInstanceOf[AnyRef]),
+                    statValue(st.genericGetMax.asInstanceOf[AnyRef]))
+                  (r, bounds) match {
+                    case (ColRange(_, lo, hi), (Some(Left(mn)), Some(Left(mx))))
+                        if longSafeType(ch.getPrimitiveType) =>
+                      mx >= lo && mn <= hi
+                    case (StrRange(_, lo, hi), (Some(Right(mn)), Some(Right(mx))))
+                        if strType(ch.getPrimitiveType) =>
+                      utf8Cmp(mx, lo) >= 0 && utf8Cmp(mn, hi) <= 0
+                    case _ => true // unusable stat kind: never prune
+                  }
+                }
+            }
+          }
+          if (canMatch) rgScanned += 1
+        }
+      }
+    }
+    val pred = ranges.map {
+      case ColRange(c, lo, hi) => col(c).between(lo, hi)
+      case StrRange(c, lo, hi) => col(c).between(lo, hi)
+    }.reduce(_ && _)
+    val df =
+      if (kept.nonEmpty) readEntries(spark, root, kept).where(pred)
+      else spark.read.parquet(s"$root/${entries.head.path}").where(lit(false))
+    PrunedReadRg(df, kept.length, entries.length, rgScanned, rgTotal)
   }
 
   /** (version, action, n_files) for every published version. */
@@ -491,17 +810,10 @@ object AcidTable {
   def commitAppendOnce(df: DataFrame, root: String, token: String,
                        statsCols: Seq[String] = Nil): Long = {
     val spark = df.sparkSession
-    tokenVersion(spark, root, token) match {
+    tokenVersion(spark, root, token) match { // before writing any data file
       case Some(v) => v
-      case None =>
-        val prev = versions(spark, root).lastOption
-        val base = prev.map(readManifest(spark, root, _)._2).getOrElse(Seq.empty)
-        try publishEntries(spark, root, prev.getOrElse(0L) + 1, "append",
-          base ++ newEntries(df, root, statsCols), Some(token))
-        catch {
-          case c: Conflict =>
-            tokenVersion(spark, root, token).getOrElse(throw c)
-        }
+      case None => commitRebase(spark, root, "append", Nil,
+        newEntries(df, root, statsCols), token = Some(token))._1
     }
   }
 
@@ -528,39 +840,47 @@ object AcidTable {
                   statsCols: Seq[String] = Nil): (Long, Int, Int) =
     mergeCowImpl(updates, root, keyCol, statsCols, strKey = true)
 
+  /** Files whose `keyCol` stats range can contain a key of `updates`,
+    * decided DISTRIBUTED: broadcast the (small, manifest-sized) stats
+    * table against the update keys, so a billion-row update set never
+    * lands on the driver. Files lacking stats on `keyCol` are always
+    * touched (safety over savings). Returns (touched, untouched). */
+  private def locateTouched(updates: DataFrame, keyCol: String,
+                            entries: Seq[Entry],
+                            strKey: Boolean): (Seq[Entry], Seq[Entry]) = {
+    val spark = updates.sparkSession
+    val (statless, withStats) =
+      if (strKey) entries.partition(_.strStatFor(keyCol).isEmpty)
+      else entries.partition(_.statFor(keyCol).isEmpty)
+    val touchedStatted: Set[String] = if (withStats.isEmpty) Set.empty else {
+      import spark.implicits._
+      val (statsDf, keyExpr) =
+        if (strKey)
+          (withStats.map { e =>
+            val s = e.strStatFor(keyCol).get; (e.path, s.min, s.max)
+          }.toDF("__path", "__min", "__max"),
+            col(keyCol).cast("string").as("__k"))
+        else
+          (withStats.map { e =>
+            val s = e.statFor(keyCol).get; (e.path, s.min, s.max)
+          }.toDF("__path", "__min", "__max"),
+            col(keyCol).cast("long").as("__k"))
+      updates.select(keyExpr).distinct()
+        .join(broadcast(statsDf),
+          col("__k") >= col("__min") && col("__k") <= col("__max"))
+        .select("__path").distinct().collect().map(_.getString(0)).toSet
+    }
+    val statlessPaths = statless.map(_.path).toSet
+    entries.partition(e =>
+      statlessPaths.contains(e.path) || touchedStatted.contains(e.path))
+  }
+
   private def mergeCowImpl(updates: DataFrame, root: String, keyCol: String,
                            statsCols: Seq[String],
                            strKey: Boolean): (Long, Int, Int) =
     cowCommit(updates.sparkSession, root, "merge", statsCols) { entries =>
       val spark = updates.sparkSession
-      // touched = files whose range can contain an update key, decided
-      // DISTRIBUTED: broadcast the (small, manifest-sized) stats table
-      // against the update keys, so a billion-row update set never lands
-      // on the driver. Files lacking stats are always touched.
-      val (statless, withStats) =
-        if (strKey) entries.partition(_.strStatFor(keyCol).isEmpty)
-        else entries.partition(_.statFor(keyCol).isEmpty)
-      val touchedStatted: Set[String] = if (withStats.isEmpty) Set.empty else {
-        import spark.implicits._
-        val (statsDf, keyExpr) =
-          if (strKey)
-            (withStats.map { e =>
-              val s = e.strStatFor(keyCol).get; (e.path, s.min, s.max)
-            }.toDF("__path", "__min", "__max"),
-              col(keyCol).cast("string").as("__k"))
-          else
-            (withStats.map { e =>
-              val s = e.statFor(keyCol).get; (e.path, s.min, s.max)
-            }.toDF("__path", "__min", "__max"),
-              col(keyCol).cast("long").as("__k"))
-        updates.select(keyExpr).distinct()
-          .join(broadcast(statsDf),
-            col("__k") >= col("__min") && col("__k") <= col("__max"))
-          .select("__path").distinct().collect().map(_.getString(0)).toSet
-      }
-      val statlessPaths = statless.map(_.path).toSet
-      val (touched, untouched) = entries.partition(e =>
-        statlessPaths.contains(e.path) || touchedStatted.contains(e.path))
+      val (touched, untouched) = locateTouched(updates, keyCol, entries, strKey)
       // size the rewrite like its input: N touched files come back as ~N
       // files, not one per shuffle partition — otherwise every COW commit
       // multiplies the file count by the cluster's parallelism and the
@@ -571,7 +891,10 @@ object AcidTable {
       val rewritten =
         if (touched.isEmpty) updates
         else {
-          val old = spark.read.parquet(touched.map(e => s"$root/${e.path}"): _*)
+          // DV-aware read: a touched file may carry a deletion vector
+          // from an earlier merge-on-read commit — reading it raw would
+          // resurrect the masked rows into the rewrite
+          val old = readEntries(spark, root, touched)
           old.join(updates.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
             .unionByName(updates)
             .repartition(touched.length)
@@ -595,21 +918,135 @@ object AcidTable {
       // back as ~N files, never one per shuffle partition
       val survivors =
         if (touched.isEmpty) None
-        else Some(spark.read.parquet(touched.map(e => s"$root/${e.path}"): _*)
+        else Some(readEntries(spark, root, touched) // DV-aware, as in mergeCow
           .where(!(col(keyCol) >= lower && col(keyCol) <= upper))
           .repartition(touched.length))
       (untouched, survivors.orNull)
     }
 
+  /** MERGE-ON-READ range DELETE (round 13): remove rows with
+    * `lower <= keyCol <= upper` WITHOUT rewriting any data file — the
+    * files whose stats overlap the range get a deletion-vector key mask
+    * ([[Dv]]) appended to their manifest entry (one small parquet of the
+    * keys actually present in the range — a column-pruned scan of
+    * `keyCol` only, never a data rewrite), and readers anti-join it in
+    * ([[readEntries]]). The COW twin is [[deleteCow]]: MOR wins when the
+    * delete is small relative to the files it hits (a 1-row delete in a
+    * 1-GB file costs a kilobyte DV commit, not a gigabyte rewrite); COW
+    * wins for scan-heavy tables (no read-time anti-join).
+    * [[compactDvs]] / [[compact]] / [[compactSmall]] fold masks back
+    * into clean files. Requires the table's unique-key invariant on
+    * `keyCol`. Returns (version, filesMasked, filesRewritten) —
+    * filesRewritten is ALWAYS 0, which is the point. */
+  def deleteMor(spark: SparkSession, root: String, keyCol: String,
+                lower: Long, upper: Long): (Long, Int, Int) = {
+    val cur = currentVersion(spark, root)
+    val (_, entries) = readManifest(spark, root, cur)
+    val touched = entries.filter { e =>
+      e.statFor(keyCol).forall(s => s.max >= lower && s.min <= upper)
+    }
+    if (touched.isEmpty) (cur, 0, 0)
+    else {
+      val mask = readEntries(spark, root, touched)
+        .where(col(keyCol).between(lower, upper))
+        .select(col(keyCol).as("__dvk")).distinct().coalesce(1)
+      morCommit(spark, root, "delete", keyCol, touched, mask, Nil)
+    }
+  }
+
+  /** MERGE-ON-READ UPSERT (round 13): apply `updates` keyed by the long
+    * column `keyCol` without rewriting any data file — the update rows
+    * land as NEW files, and every old file whose stats range can contain
+    * an update key gets a deletion-vector mask of the update keys
+    * (replaced rows are masked where they sit; keys that turn out to be
+    * pure inserts simply match nothing). Readers see exactly the
+    * [[mergeCow]] answer; OPTIMIZE folds the masks away. Returns
+    * (version, filesMasked, filesRewritten=0). */
+  def mergeMor(updates: DataFrame, root: String, keyCol: String,
+               statsCols: Seq[String] = Nil): (Long, Int, Int) =
+    mergeMorImpl(updates, root, keyCol, statsCols, strKey = false)
+
+  /** [[mergeMor]] for a STRING key — touched files are located through
+    * the manifest's string stats in UTF-8 byte order, as [[mergeCowStr]]. */
+  def mergeMorStr(updates: DataFrame, root: String, keyCol: String,
+                  statsCols: Seq[String] = Nil): (Long, Int, Int) =
+    mergeMorImpl(updates, root, keyCol, statsCols, strKey = true)
+
+  private def mergeMorImpl(updates: DataFrame, root: String, keyCol: String,
+                           statsCols: Seq[String],
+                           strKey: Boolean): (Long, Int, Int) = {
+    val spark = updates.sparkSession
+    val cur = currentVersion(spark, root)
+    val (_, entries) = readManifest(spark, root, cur)
+    val (touched, _) = locateTouched(updates, keyCol, entries, strKey)
+    val newData = newEntries(updates, root, statsCols)
+    if (touched.isEmpty) // pure insert: no mask needed — a plain append
+      (commitRebase(spark, root, "merge", Nil, newData)._1, 0, 0)
+    else {
+      val mask = updates.select(col(keyCol).as("__dvk")).distinct().coalesce(1)
+      morCommit(spark, root, "merge", keyCol, touched, mask, newData)
+    }
+  }
+
+  /** Shared MOR commit shape: write ONE key-mask parquet for the commit,
+    * attach it to every touched entry's [[Dv]] (stats stay — masks only
+    * remove rows, so file min/max remain prune-safe bounds), and publish
+    * masked ∪ new through the rebase gate. A touched file already
+    * carrying a DV on the SAME column gets the new mask path appended;
+    * one on a DIFFERENT column fails fast (fold first). */
+  private def morCommit(spark: SparkSession, root: String, action: String,
+                        keyCol: String, touched: Seq[Entry],
+                        maskKeys: DataFrame,
+                        newData: Seq[Entry]): (Long, Int, Int) = {
+    val dvPaths = writeDataFiles(maskKeys, root)
+    require(dvPaths.nonEmpty, "deletion-vector mask wrote no file")
+    val masked = touched.map { e =>
+      e.dv match {
+        case Some(d) =>
+          require(d.col == keyCol,
+            s"file ${e.path} already carries a deletion vector on " +
+              s"'${d.col}' — cannot layer one on '$keyCol'; fold the " +
+              "existing masks first (compactDvs)")
+          e.copy(dv = Some(Dv(keyCol, d.paths ++ dvPaths)))
+        case None => e.copy(dv = Some(Dv(keyCol, dvPaths)))
+      }
+    }
+    val (v, _) = commitRebase(spark, root, action, touched, masked ++ newData)
+    (v, touched.length, 0)
+  }
+
+  /** Fold deletion vectors away (round 13): rewrite ONLY the entries
+    * carrying a [[Dv]] — each masked file's live rows land as clean
+    * files; clean entries are carried by reference. After this commit no
+    * entry of the current version references a mask, and [[vacuum]] can
+    * later retire the mask files with the old manifests. No DVs ⇒ no new
+    * version. Returns (version, filesFolded, filesKept). */
+  def compactDvs(spark: SparkSession, root: String,
+                 statsCols: Seq[String] = Nil): (Long, Int, Int) = {
+    val cur = currentVersion(spark, root)
+    val (_, entries) = readManifest(spark, root, cur)
+    if (!entries.exists(_.dv.isDefined)) (cur, 0, entries.length)
+    else cowCommit(spark, root, "compact", statsCols) { es =>
+      val (dved, clean) = es.partition(_.dv.isDefined)
+      // same rewrite-sizing rule as COW: N masked files fold to ~N files
+      (clean, readEntries(spark, root, dved).repartition(dved.length))
+    }
+  }
+
   /** Shared COW commit shape: split the current entries into
     * (kept-by-reference, rewrite frame), write the rewrite, publish
-    * kept ∪ new through the same rename gate. */
+    * kept ∪ new through the rebase gate — racing DISJOINT commits (an
+    * append, a COW on other files) both land; a race that modified one
+    * of THIS commit's touched files surfaces [[ConcurrentModification]].
+    * Returns (version, files rewritten, files carried at publish). */
   private def cowCommit(spark: SparkSession, root: String, action: String,
                         statsCols: Seq[String])(
       split: Seq[Entry] => (Seq[Entry], DataFrame)): (Long, Int, Int) = {
     val cur = currentVersion(spark, root)
     val (_, entries) = readManifest(spark, root, cur)
     val (untouched, rewrite) = split(entries)
+    val untouchedIds = untouched.map(_.render).toSet
+    val touched = entries.filterNot(e => untouchedIds(e.render))
     val fresh0 =
       if (rewrite == null) Seq.empty
       else newEntries(rewrite, root, statsCols)
@@ -620,8 +1057,8 @@ object AcidTable {
       if (fresh0.isEmpty && untouched.isEmpty && rewrite != null)
         newEntries(rewrite.coalesce(1), root, statsCols)
       else fresh0
-    val v = publishEntries(spark, root, cur + 1, action, untouched ++ fresh)
-    (v, entries.length - untouched.length, untouched.length)
+    val (v, kept) = commitRebase(spark, root, action, touched, fresh)
+    (v, touched.length, kept)
   }
 
   /** Compact the current version into `numFiles` files, published as a
@@ -637,9 +1074,13 @@ object AcidTable {
               statsCols: Seq[String] = Nil): Long = {
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
     val cur = currentVersion(spark, root)
-    val df = readAsOf(spark, root, cur).repartition(numFiles)
-    publishEntries(spark, root, cur + 1, "compact",
-      newEntries(df, root, statsCols))
+    val (_, entries) = readManifest(spark, root, cur)
+    val df = readEntries(spark, root, entries).repartition(numFiles)
+    // rebase with removed = the snapshot we rewrote: a racing APPEND's
+    // files survive the compaction (they just stay uncompacted); a race
+    // that modified one of our input files surfaces ConcurrentModification
+    commitRebase(spark, root, "compact", entries,
+      newEntries(df, root, statsCols))._1
   }
 
   /** Bin-packing OPTIMIZE (round 12 cont.): rewrite ONLY the files
@@ -666,12 +1107,11 @@ object AcidTable {
       f.getFileStatus(new Path(s"$root/${e.path}")).getLen < smallBytes)
     if (small.length < 2) (cur, 0, entries.length)
     else {
-      val packed = spark.read
-        .parquet(small.map(e => s"$root/${e.path}"): _*)
+      val packed = readEntries(spark, root, small) // DV-aware: folds masks
         .repartition(targetFiles)
-      val v = publishEntries(spark, root, cur + 1, "compact",
-        big ++ newEntries(packed, root, statsCols))
-      (v, small.length, big.length)
+      val (v, kept) = commitRebase(spark, root, "compact", small,
+        newEntries(packed, root, statsCols))
+      (v, small.length, kept)
     }
   }
 
@@ -689,9 +1129,11 @@ object AcidTable {
                     statsCols: Seq[String] = Nil): Long = {
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
     val cur = currentVersion(spark, root)
-    val df = Layout.zorderBy(readAsOf(spark, root, cur), numFiles, bits, zCols: _*)
-    publishEntries(spark, root, cur + 1, "compact",
-      newEntries(df, root, statsCols))
+    val (_, entries) = readManifest(spark, root, cur)
+    val df = Layout.zorderBy(readEntries(spark, root, entries),
+      numFiles, bits, zCols: _*)
+    commitRebase(spark, root, "compact", entries,
+      newEntries(df, root, statsCols))._1
   }
 
   /** Read `version` with SCHEMA RECONCILIATION (round 12): group the
@@ -753,19 +1195,25 @@ object AcidTable {
       (DataFrame, Int, Int) = {
     val fromE = readManifest(spark, root, from)._2
     val toE = readManifest(spark, root, to)._2
-    val fromPaths = fromE.map(_.path).toSet
-    val toPaths = toE.map(_.path).toSet
-    val removed = fromE.filterNot(e => toPaths.contains(e.path)).map(_.path)
-    val added = toE.filterNot(e => fromPaths.contains(e.path)).map(_.path)
-    val filesTotal = (fromPaths ++ toPaths).size
+    require(fromE.nonEmpty || toE.nonEmpty,
+      s"changesBetween: versions $from and $to of $root both list zero " +
+        "data files — there is no schema to shape the (empty) feed")
+    // entry identity is the RENDERED line, not the path: a merge-on-read
+    // commit re-publishes the same path with a new deletion vector, and
+    // that file's live rows changed even though its bytes did not
+    val fromIds = fromE.map(_.render).toSet
+    val toIds = toE.map(_.render).toSet
+    val removed = fromE.filterNot(e => toIds.contains(e.render))
+    val added = toE.filterNot(e => fromIds.contains(e.render))
+    val filesTotal = (fromE.map(_.path) ++ toE.map(_.path)).toSet.size
     // an empty side still needs the table schema: plan any ONE referenced
     // file under a false predicate (same trick as readWhere's proven-empty)
-    def side(paths: Seq[String]): DataFrame =
-      if (paths.nonEmpty) spark.read.parquet(paths.map(p => s"$root/$p"): _*)
+    def side(es: Seq[Entry]): DataFrame =
+      if (es.nonEmpty) readEntries(spark, root, es)
       else spark.read.parquet(s"$root/${(toE ++ fromE).head.path}")
         .where(lit(false))
     (SnapshotDiff.diff(side(removed), side(added), keys, tracked),
-      removed.length + added.length, filesTotal)
+      (removed.map(_.path) ++ added.map(_.path)).toSet.size, filesTotal)
   }
 
   /** Retire time travel older than the last `retainLast` versions: delete
@@ -793,8 +1241,11 @@ object AcidTable {
         commitTimestamp(spark, root, vs(i + 1)) <= now - minAgeMillis
       }.map(_._1)
     val retained = vs.drop(expired.length)
-    val keep = retained.flatMap(readManifest(spark, root, _)._2).map(_.path).toSet
-    val drop = expired.flatMap(readManifest(spark, root, _)._2).map(_.path).toSet -- keep
+    // a referenced file is the data file AND its deletion-vector masks
+    def refs(es: Seq[Entry]): Seq[String] =
+      es.flatMap(e => e.path +: e.dv.map(_.paths).getOrElse(Nil))
+    val keep = retained.flatMap(v => refs(readManifest(spark, root, v)._2)).toSet
+    val drop = expired.flatMap(v => refs(readManifest(spark, root, v)._2)).toSet -- keep
     val f = fs(spark, root)
     drop.foreach(rel => f.delete(new Path(s"$root/$rel"), false))
     expired.foreach(v => f.delete(manifestPath(root, v), false))
@@ -804,6 +1255,10 @@ object AcidTable {
       .filter(s => s.getPath.getName.endsWith(".tmp") &&
         s.getModificationTime <= now - tmpHorizon)
       .foreach(s => f.delete(s.getPath, false))
+    // the latest checkpoint subsumes every older one (its token map is
+    // cumulative); retire the rest with the manifests
+    checkpointVersions(spark, root).dropRight(1)
+      .foreach(c => f.delete(checkpointPath(root, c), false))
     (expired.length, drop.size)
   }
 }

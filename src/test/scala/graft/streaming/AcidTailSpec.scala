@@ -114,6 +114,58 @@ class AcidTailSpec extends SparkSpec {
         "and k=1/k=3, carried by reference or value, never appear")
   }
 
+  test("a vacuum-retired predecessor fails the tail instead of redelivering") {
+    val root = fresh("vac")
+    val ck = fresh("ck")
+    AcidTable.commitAppend(kv(1L -> 10L), root)
+    AcidTable.commitAppend(kv(2L -> 20L), root)
+    AcidTable.commitAppend(kv(3L -> 30L), root)
+    // a consumer processed v1-2, then fell behind while vacuum retired them
+    assert(AcidTail.tail(spark, root, ck)((_, _) => ()) === Seq(1L, 2L, 3L))
+    AcidTable.commitAppend(kv(4L -> 40L), root)
+    AcidTable.commitAppend(kv(5L -> 50L), root)
+    assert(AcidTail.tail(spark, root, ck)((_, _) => ()) === Seq(4L, 5L))
+    AcidTable.vacuum(spark, root, retainLast = 1) // only v5 survives
+    // a FRESH checkpoint must not silently treat v5's snapshot as an
+    // increment (pre-fix: every already-live row would be redelivered)
+    val ck2 = fresh("ck2")
+    val e = intercept[IllegalStateException] {
+      AcidTail.tail(spark, root, ck2)((_, _) => ())
+    }
+    assert(e.getMessage.contains("vacuum"))
+    assert(e.getMessage.contains("fresh checkpoint"), "the message names the fix")
+    // same guard on the CDC tail
+    val e2 = intercept[IllegalStateException] {
+      AcidTail.tailChanges(spark, root, fresh("ck3"), Seq("k"), Seq("v")) {
+        (_, _) => fail("must not deliver")
+      }
+    }
+    assert(e2.getMessage.contains("vacuum"))
+    // while the caught-up consumer keeps tailing new appends fine
+    AcidTable.commitAppend(kv(6L -> 60L), root)
+    assert(AcidTail.tail(spark, root, ck)((_, _) => ()) === Seq(6L))
+  }
+
+  test("tail and tailChanges checkpoint in separate marker namespaces") {
+    val root = fresh("ns")
+    val ck = fresh("ck")
+    AcidTable.commitAppend(kv(1L -> 10L), root, statsCols = Seq("k", "v"))
+    AcidTable.commitAppend(kv(2L -> 20L), root, statsCols = Seq("k", "v"))
+    // the file tail processes everything under THIS checkpoint dir…
+    assert(AcidTail.tail(spark, root, ck)((_, _) => ()) === Seq(1L, 2L))
+    // …which must NOT satisfy the CDC tail: same dir, different payloads
+    assert(AcidTail.tailChanges(spark, root, ck, Seq("k"), Seq("v")) {
+      (_, _) => ()
+    } === Seq(1L, 2L))
+    assert(AcidTail.processedVersions(spark, root, ck) === Set(1L, 2L))
+    assert(AcidTail.processedChangeVersions(spark, root, ck) === Set(1L, 2L))
+    // and each mode's replay is independently empty
+    assert(AcidTail.tail(spark, root, ck)((_, _) => ()) === Seq.empty)
+    assert(AcidTail.tailChanges(spark, root, ck, Seq("k"), Seq("v")) {
+      (_, _) => ()
+    } === Seq.empty)
+  }
+
   test("increments tile the table: union of increments == latest snapshot") {
     val root = fresh("ti")
     AcidTable.commitAppend(kv(1L -> 1L, 2L -> 2L), root)
