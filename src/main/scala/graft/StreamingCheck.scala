@@ -247,6 +247,55 @@ object StreamingCheck {
           col("trendMicro").as("trend_micro")),
         graft.operators.TechnicalIndicators.holtMicro(cents, "k", "ord", "c",
           unitsScale = 2, alphaNum = 1, alphaDen = 5, betaNum = 1, betaDen = 10))
+
+      // Round 13 (VERDICT r12 #5): the ACID table as a REAL readStream
+      // source. A 3-commit chain drains through
+      // spark.readStream.format("graft-acid") and must equal the
+      // driver-loop AcidTail's unioned increments; then a restart on the
+      // same checkpoint delivers ONLY a fourth commit's rows
+      // (exactly-once across the restart, carried by Spark's offset log
+      // over table-version offsets).
+      {
+        import graft.operators.AcidTable
+        val root = s"$scratch/acid_src_tbl"
+        val ck = s"$scratch/acid_src_ckpt"
+        val ev = Tables.load(spark, sfDir, "events")
+          .select(col("user_id").cast("long").as("k"),
+            round(col("value") * lit(100.0)).cast("long").as("v"))
+        (0 to 2).foreach { i =>
+          AcidTable.commitAppend(
+            ev.where(pmod(col("k"), lit(3L)) === i).coalesce(1), root)
+        }
+        // foreachBatch: the only sink that supports RESTARTING from an
+        // existing checkpoint, which is exactly what the second drain pins
+        def drain(name: String): DataFrame = {
+          val dir = s"$scratch/acid_src_out_$name"
+          val q = spark.readStream.format("graft-acid").option("root", root)
+            .load()
+            .writeStream
+            .foreachBatch { (df: DataFrame, _: Long) =>
+              df.write.mode("append").parquet(dir); ()
+            }
+            .option("checkpointLocation", ck)
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          try spark.read.parquet(dir)
+          catch { case _: Throwable => // zero batches drained: empty frame
+            spark.range(0).select(lit(0L).as("k"), lit(0L).as("v")) }
+        }
+        val viaTail = (1L to 3L)
+          .flatMap(graft.streaming.AcidTail.readAdded(spark, root, _))
+          .reduce(_.unionByName(_))
+        mustMatch("S-ACIDSRC(readStream==tail increments)",
+          drain("acidsrc_full"), viaTail)
+        // restart: only the NEW commit's rows arrive
+        AcidTable.commitAppend(
+          ev.limit(0).unionByName(spark.range(1)
+            .select(lit(-1L).as("k"), lit(-1L).as("v"))).coalesce(1), root)
+        mustMatch("S-ACIDSRC(restart delivers only v4)",
+          drain("acidsrc_inc"),
+          spark.range(1).select(lit(-1L).as("k"), lit(-1L).as("v")))
+      }
     } finally spark.stop()
   }
 }

@@ -3,7 +3,7 @@ package graft.operators
 import java.nio.charset.StandardCharsets
 import scala.jdk.CollectionConverters._
 import scala.util.Using
-import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -351,11 +351,9 @@ object AcidTable {
       Using.resource(f.create(tmp, true)) { o =>
         o.write(body.getBytes(StandardCharsets.UTF_8))
       }
-      val p = checkpointPath(root, v)
-      val fc = FileContext.getFileContext(f.makeQualified(p).toUri,
-        spark.sparkContext.hadoopConfiguration)
-      try fc.rename(tmp, p, Options.Rename.NONE)
-      catch { case _: Throwable => f.delete(tmp, false) }
+      graft.util.AtomicPublish(f, spark.sparkContext.hadoopConfiguration,
+        tmp, checkpointPath(root, v)) // loser's identical body discarded
+      ()
     } catch { case scala.util.control.NonFatal(_) => () }
   }
 
@@ -495,13 +493,18 @@ object AcidTable {
   }
 
   /** Publish `files` (pre-rendered manifest lines) as version `v`.
-    * Atomicity (round 12, torn-manifest fix): the body is fully written
-    * to a same-directory `.tmp` name, then RENAMED to the manifest name
-    * with no-overwrite semantics — a reader never observes a half-written
-    * manifest, and of two writers racing to the same version exactly one
-    * rename succeeds; the loser gets [[Conflict]]. Only the
-    * already-exists outcome maps to Conflict — genuine IO failures
-    * (permissions, disk full) propagate as themselves.
+    * Atomicity (round 12, torn-manifest fix; round 13, thread-race fix):
+    * the body is fully written to a same-directory `.tmp` name, then
+    * moved to the manifest name through [[graft.util.AtomicPublish]] —
+    * hard-link creation on POSIX local filesystems (link(2) is the
+    * primitive that is genuinely atomic-exclusive there; Hadoop's local
+    * Rename.NONE is check-then-act and can silently overwrite under a
+    * race), server-side rename-no-overwrite on HDFS-like filesystems. A
+    * reader never observes a half-written manifest, and of two writers
+    * racing to the same version exactly one wins; the loser gets
+    * [[Conflict]]. Only the already-exists outcome maps to Conflict —
+    * genuine IO failures (permissions, disk full) propagate as
+    * themselves.
     * (Package-visible so the spec can drive the exact
     * two-writers-one-version race the version-list read normally hides.) */
   private[operators] def publish(spark: SparkSession, root: String, v: Long,
@@ -520,14 +523,9 @@ object AcidTable {
           files.mkString("", "\n", "\n"))
         .getBytes(StandardCharsets.UTF_8))
     }
-    val fc = FileContext.getFileContext(f.makeQualified(p).toUri,
-      spark.sparkContext.hadoopConfiguration)
-    try fc.rename(tmp, p, Options.Rename.NONE) // fails if p exists
-    catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-        f.delete(tmp, false); throw Conflict(v, root)
-      case e: Throwable => f.delete(tmp, false); throw e
-    }
+    if (!graft.util.AtomicPublish(f,
+        spark.sparkContext.hadoopConfiguration, tmp, p))
+      throw Conflict(v, root)
     v
   }
 
@@ -593,11 +591,19 @@ object AcidTable {
     val removedIds = removed.map(_.render).toSet
     var attempt = 0
     while (true) {
+      val head = versions(spark, root).lastOption.getOrElse(0L)
+      // token check AFTER the head read, never before: versions are DENSE
+      // (every publish goes through the head+1 rename gate), so a
+      // concurrent same-token commit either already sits at a version
+      // this scan covers, or it lands exactly at head+1 — where our own
+      // publish attempt hits Conflict and loops back here. Checking
+      // before the head read leaves a window where its version arrives
+      // between the scan and the publish, above the scanned range —
+      // a silent double-append.
       token.flatMap(tokenVersion(spark, root, _)) match {
         case Some(v) => return (v, -1) // our own replay already landed
         case None =>
       }
-      val head = versions(spark, root).lastOption.getOrElse(0L)
       val headEntries =
         if (head == 0L) Seq.empty[Entry]
         else readManifest(spark, root, head)._2

@@ -47,51 +47,104 @@ object ScanSinkQueries extends QueryModule {
   // RECTANGLES on both columns at once (the Layout.zorderBy write shape,
   // made commit-granular so the oracle can replay the per-file stats as
   // per-bucket aggregates). Returns (root, baseVersion=#files, maxk, maxc).
+  private def buildZRoot(s: SparkSession, d: String,
+                         root: String): (Long, Long, Long) = {
+    val base = Tables.load(s, d, "orders").select(
+      col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+      round(col("o_totalprice") * lit(100.0)).cast("long").as("cents"))
+    val m = base.agg(max("k"), max("cents")).head()
+    val (maxk, maxc) = (m.getLong(0), m.getLong(1))
+    val z = graft.operators.Layout.zValue(Seq(
+      expr(s"(k * 1024) div ${maxk + 1}"),
+      expr(s"(cents * 1024) div ${maxc + 1}")), 10)
+    val withB = base.withColumn("__b", shiftright(z, 16))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets = withB.select("__b").distinct()
+      .collect().map(_.getLong(0)).sorted // <= 16 buckets by construction
+    buckets.foreach { b =>
+      AcidTable.commitAppend(
+        withB.where(col("__b") === b).drop("__b").coalesce(1),
+        root, statsCols = Seq("k", "cents"))
+    }
+    withB.unpersist()
+    (buckets.length.toLong, maxk, maxc)
+  }
+
   private def acidZ(s: SparkSession, d: String): (String, Long, Long, Long) =
     Memo.cached(s, s"acidz|$d") {
       val root = s"${System.getProperty("java.io.tmpdir")}/graft_acidz/" +
         s"${s.sparkContext.applicationId}/${new java.io.File(d).getName}"
-      val base = Tables.load(s, d, "orders").select(
-        col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
-        round(col("o_totalprice") * lit(100.0)).cast("long").as("cents"))
-      val m = base.agg(max("k"), max("cents")).head()
-      val (maxk, maxc) = (m.getLong(0), m.getLong(1))
-      val z = graft.operators.Layout.zValue(Seq(
-        expr(s"(k * 1024) div ${maxk + 1}"),
-        expr(s"(cents * 1024) div ${maxc + 1}")), 10)
-      val withB = base.withColumn("__b", shiftright(z, 16))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val buckets = withB.select("__b").distinct()
-        .collect().map(_.getLong(0)).sorted // <= 16 buckets by construction
-      buckets.foreach { b =>
-        AcidTable.commitAppend(
-          withB.where(col("__b") === b).drop("__b").coalesce(1),
-          root, statsCols = Seq("k", "cents"))
-      }
-      withB.unpersist()
-      (root, buckets.length.toLong, maxk, maxc)
+      val (n, maxk, maxc) = buildZRoot(s, d, root)
+      (root, n, maxk, maxc)
     }
 
   // Q-ACID5 step: one copy-on-write UPSERT on the z-bucketed table —
   // updates hit only keys <= maxk/8 (low-k buckets), inserts land past
   // maxk (no existing file can contain them). Returns (root, version).
+  /** The q_acid5 upsert frame: updates hit only keys <= maxk/8 (low-k
+    * buckets), inserts land past maxk (no existing file can contain
+    * them). Shared by the COW (q_acid5/6/8) and MOR (q_acid15) chains so
+    * the two strategies answer for the SAME logical workload. */
+  private def zUpsertFrame(s: SparkSession, d: String, maxk: Long): DataFrame = {
+    val base = Tables.load(s, d, "orders").select(
+      col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+      round(col("o_totalprice") * lit(100.0)).cast("long").as("cents"))
+    val updates = base
+      .where(pmod(col("k"), lit(5L)) === 0 && col("k") <= maxk / 8)
+      .withColumn("status", lit("U"))
+      .withColumn("cents", col("cents") + 11)
+    val inserts = base
+      .where(pmod(col("k"), lit(7L)) === 3 && col("k") <= maxk / 8)
+      .select((col("k") + (maxk + 1)).as("k"), lit("N").as("status"),
+        (col("cents") + 1).as("cents"))
+    updates.unionByName(inserts)
+  }
+
   private def acidZMerged(s: SparkSession, d: String): (String, Long) =
     Memo.cached(s, s"acidzmerge|$d") {
       val (root, _, maxk, _) = acidZ(s, d)
-      val base = Tables.load(s, d, "orders").select(
-        col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
-        round(col("o_totalprice") * lit(100.0)).cast("long").as("cents"))
-      val updates = base
-        .where(pmod(col("k"), lit(5L)) === 0 && col("k") <= maxk / 8)
-        .withColumn("status", lit("U"))
-        .withColumn("cents", col("cents") + 11)
-      val inserts = base
-        .where(pmod(col("k"), lit(7L)) === 3 && col("k") <= maxk / 8)
-        .select((col("k") + (maxk + 1)).as("k"), lit("N").as("status"),
-          (col("cents") + 1).as("cents"))
-      val (v, _, _) = AcidTable.mergeCow(updates.unionByName(inserts), root,
+      val (v, _, _) = AcidTable.mergeCow(zUpsertFrame(s, d, maxk), root,
         "k", statsCols = Seq("k", "cents"))
       (root, v)
+    }
+
+  // Q-ACID15 fixture: the SAME merge+delete workload as q_acid5/6 applied
+  // MERGE-ON-READ on a fresh copy of the z-bucketed table — mergeMor masks
+  // replaced keys where they sit (deletion-vector sidecars) and appends
+  // the update rows; deleteMor masks the range without touching a byte of
+  // table data. files_rewritten stays 0 across BOTH commits — that zero
+  // is the whole point of the strategy, and it is oracle-pinned. Returns
+  // (root, mergedVersion, deletedVersion, filesRewrittenTotal).
+  private def acidMor(s: SparkSession, d: String): (String, Long, Long, Long) =
+    Memo.cached(s, s"acidmor|$d") {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_acidmor/" +
+        s"${s.sparkContext.applicationId}/${new java.io.File(d).getName}"
+      val (_, maxk, _) = buildZRoot(s, d, root)
+      val (vm, _, rw1) = AcidTable.mergeMor(zUpsertFrame(s, d, maxk), root,
+        "k", statsCols = Seq("k", "cents"))
+      val (vd, _, rw2) = AcidTable.deleteMor(s, root, "k",
+        maxk / 3, maxk / 2)
+      (root, vm, vd, (rw1 + rw2).toLong)
+    }
+
+  // Q-ACID16 fixture: ONE globally ship_day-sorted data file forced into
+  // many small row groups (parquet.block.size write option), so SUB-FILE
+  // skipping is observable: per-file stats admit the file, the footer's
+  // per-row-group ranges exclude most of its blocks.
+  private def acidRgRoot(s: SparkSession, d: String): String =
+    Memo.cached(s, s"acidrg|$d") {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_acidrg/" +
+        s"${s.sparkContext.applicationId}/${new java.io.File(d).getName}"
+      val base = Tables.load(s, d, "lineitem").select(
+        col("l_orderkey").as("k"),
+        datediff(col("l_shipdate").cast("date"), lit("1970-01-01").cast("date"))
+          .cast("long").as("ship_day"),
+        round(col("l_extendedprice") * lit(100.0)).cast("long").as("cents"))
+        .repartition(1).sortWithinPartitions("ship_day")
+      AcidTable.commitOverwrite(base, root, statsCols = Seq("ship_day"),
+        writeOptions = Map("parquet.block.size" -> "16384",
+          "parquet.page.size" -> "4096"))
+      root
     }
 
   // Q-ACID6 step: a copy-on-write range DELETE on top of the merge.
@@ -552,6 +605,51 @@ object ScanSinkQueries extends QueryModule {
           lit(kept.toLong).as("files_kept"),
           lit(after.toLong).as("files_after"))
         .orderBy("status")
+    }),
+
+    // Q-ACID15 (round 13): MERGE-ON-READ — the q_acid5/6 merge+delete
+    // workload replayed as deletion-vector commits on a fresh copy of the
+    // z-bucketed table. The MOR read must serve EXACTLY the COW answer
+    // (same oracle replay as q_acid6) while files_rewritten stays the
+    // oracle-pinned literal 0: replaced keys are masked where they sit,
+    // the delete is a key mask, and not one table byte is rewritten.
+    // Snapshot isolation across MOR commits rides along: the merged
+    // version still serves its pre-delete state THROUGH its masks.
+    "q_acid15" -> ((s, d) => {
+      val (root, vm, vd, rw) = acidMor(s, d)
+      Seq(("deleted", vd), ("merged", vm)).map { case (stage, v) =>
+        AcidTable.readAsOf(s, root, v)
+          .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+          .select(lit(stage).as("stage"), col("n"), col("sum_cents"),
+            lit(rw).as("files_rewritten"))
+      }.reduce(_.unionByName(_)).orderBy("stage")
+    }),
+
+    // Q-ACID16 (round 13): ROW-GROUP-granularity skipping — a 16-month
+    // predicate over ONE ship_day-sorted file written as many small row
+    // groups: the manifest admits the file (files_scanned=1, pinned), the
+    // footer's per-block ranges exclude most of its row groups
+    // (rg_pruned=1, pinned), and the row answer comes THROUGH the pruned
+    // plan (predicate pushed to the parquet reader), so an over-eager
+    // block count would break n/sum, not just flags. The exact block
+    // geometry is writer-dependent — the pinned facts are the
+    // scanned<total and scanned>0 properties, the exact counts are
+    // AcidMorSpec's.
+    "q_acid16" -> ((s, d) => {
+      val root = acidRgRoot(s, d)
+      val Seq(d1, d2) = Seq("1996-03-01", "1997-06-30").map { dt =>
+        java.time.temporal.ChronoUnit.DAYS.between(
+          java.time.LocalDate.parse("1970-01-01"), java.time.LocalDate.parse(dt))
+      }
+      val pr = AcidTable.readWhereRowGroups(s, root, 1L,
+        Seq(AcidTable.ColRange("ship_day", d1, d2)))
+      pr.df.agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+          min("ship_day").as("min_day"), max("ship_day").as("max_day"))
+        .select(lit(pr.filesScanned.toLong).as("files_scanned"),
+          lit(if (pr.rowGroupsScanned > 0) 1L else 0L).as("rg_scanned_nonzero"),
+          lit(if (pr.rowGroupsScanned < pr.rowGroupsTotal) 1L else 0L)
+            .as("rg_pruned"),
+          col("n"), col("sum_cents"), col("min_day"), col("max_day"))
     }),
 
     // Q-SCAN1: parquet scan + projection + total sort.
@@ -1119,6 +1217,55 @@ object ScanSinkQueries extends QueryModule {
         |  CAST(2 AS BIGINT) AS files_after
         |FROM orders
         |GROUP BY o_orderstatus ORDER BY status""".stripMargin,
+
+    // The q_acid6 replay (same logical workload), with the MOR strategy's
+    // defining fact pinned: zero files rewritten across merge AND delete.
+    "q_acid15" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |    CAST(round(o_totalprice*100,0) AS BIGINT) AS cents
+        |  FROM orders),
+        |m AS (SELECT max(k) AS maxk FROM base),
+        |upd AS (SELECT k, 'U' AS status, cents + 11 AS cents
+        |  FROM base, m WHERE k % 5 = 0 AND k <= m.maxk // 8),
+        |ins AS (SELECT k + m.maxk + 1 AS k, 'N' AS status, cents + 1 AS cents
+        |  FROM base, m WHERE k % 7 = 3 AND k <= m.maxk // 8),
+        |fin AS (
+        |  SELECT b.k, b.status, b.cents FROM base b, m
+        |  WHERE NOT (b.k % 5 = 0 AND b.k <= m.maxk // 8)
+        |  UNION ALL SELECT * FROM upd
+        |  UNION ALL SELECT * FROM ins),
+        |del AS (SELECT f.* FROM fin f, m
+        |  WHERE NOT (f.k BETWEEN m.maxk // 3 AND m.maxk // 2))
+        |SELECT 'deleted' AS stage, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(0 AS BIGINT) AS files_rewritten FROM del
+        |UNION ALL
+        |SELECT 'merged', CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT),
+        |  CAST(0 AS BIGINT)
+        |FROM fin
+        |ORDER BY stage""".stripMargin,
+
+    // Row-group skipping: the rollup replays from lineitem; the pinned
+    // facts are the one admitted file and the scanned<total / scanned>0
+    // block properties (exact block geometry is writer-dependent).
+    "q_acid16" ->
+      """WITH base AS (
+        |  SELECT l_orderkey AS k,
+        |    date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS ship_day,
+        |    CAST(round(l_extendedprice*100,0) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |lits AS (SELECT
+        |    date_diff('day', DATE '1970-01-01', DATE '1996-03-01') AS d1,
+        |    date_diff('day', DATE '1970-01-01', DATE '1997-06-30') AS d2)
+        |SELECT CAST(1 AS BIGINT) AS files_scanned,
+        |  CAST(1 AS BIGINT) AS rg_scanned_nonzero,
+        |  CAST(1 AS BIGINT) AS rg_pruned,
+        |  CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(min(ship_day) AS BIGINT) AS min_day,
+        |  CAST(max(ship_day) AS BIGINT) AS max_day
+        |FROM base, lits
+        |WHERE ship_day BETWEEN lits.d1 AND lits.d2""".stripMargin,
 
     "q_acid2" ->
       """WITH base AS (

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import java.nio.charset.StandardCharsets
-import org.apache.hadoop.fs.{FileContext, Options, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.AcidTable
 
@@ -150,14 +150,9 @@ object AcidTail {
     scala.util.Using.resource(f.create(tmp, true)) { o =>
       o.write(s"$v\n".getBytes(StandardCharsets.UTF_8))
     }
-    val p = markerPath(checkpointDir, v, kind)
-    val fc = FileContext.getFileContext(f.makeQualified(p).toUri,
-      spark.sparkContext.hadoopConfiguration)
-    try { fc.rename(tmp, p, Options.Rename.NONE); Some(v) }
-    catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-        f.delete(tmp, false); None // concurrent tailer won the marker
-    }
+    if (graft.util.AtomicPublish(f, spark.sparkContext.hadoopConfiguration,
+        tmp, markerPath(checkpointDir, v, kind))) Some(v)
+    else None // concurrent tailer won the marker
   }
 
   /** CDC tail (round 12 cont.): deliver each unprocessed version's

@@ -1,0 +1,119 @@
+package graft.sources
+
+import java.nio.file.Files
+import scala.jdk.CollectionConverters._
+import graft.SparkSpec
+import graft.operators.AcidTable
+import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+
+/** Round 13: the ACID table as a real Structured Streaming source —
+  * offsets are table versions, batches are manifest-diff file sets,
+  * exactly-once across restarts rides Spark's own offset checkpoint. */
+class AcidSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def kv(pairs: (Long, Long)*) =
+    pairs.toDF("k", "v").coalesce(1)
+
+  private def fresh(tag: String): String =
+    Files.createTempDirectory(s"graft_acidsrc_$tag").toString
+
+  // foreachBatch, not the memory sink: only foreachBatch supports
+  // RESTARTING from an existing checkpoint (the memory sink refuses
+  // recovery), and restart-exactly-once is precisely what these tests pin.
+  // Returns the rows drained by THIS run, tagged with their batch ids.
+  private def drain(root: String, ckpt: String,
+                    extra: Map[String, String] = Map.empty)
+      : Seq[(Long, Set[(Long, Long)])] = {
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, Set[(Long, Long)])]()
+    val reader = spark.readStream.format("graft-acid").option("root", root)
+    val q = extra.foldLeft(reader) { case (r, (k, v)) => r.option(k, v) }
+      .load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        got.add(id -> df.select("k", "v").as[(Long, Long)].collect().toSet)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    got.asScala.toSeq.sortBy(_._1)
+  }
+
+  private def rowsOf(batches: Seq[(Long, Set[(Long, Long)])]): Set[(Long, Long)] =
+    batches.flatMap(_._2).toSet
+
+  test("readStream drains a 3-commit chain == AcidTail's increments; " +
+      "restart delivers only new versions") {
+    val root = fresh("t") + "/tbl"
+    val ckpt = fresh("ck")
+    AcidTable.commitAppend(kv(1L -> 10L), root)
+    AcidTable.commitAppend(kv(2L -> 20L), root)
+    AcidTable.commitAppend(kv(3L -> 30L), root)
+    val first = drain(root, ckpt)
+    // the drained rows equal the driver-loop tail's union of increments
+    val viaTail = (1L to 3L)
+      .flatMap(graft.streaming.AcidTail.readAdded(spark, root, _))
+      .map(_.select("k", "v").as[(Long, Long)].collect().toSet)
+      .reduce(_ ++ _)
+    assert(rowsOf(first) === viaTail)
+    assert(rowsOf(first) === Set(1L -> 10L, 2L -> 20L, 3L -> 30L))
+
+    // restart on the SAME checkpoint: nothing redelivered without a commit
+    assert(rowsOf(drain(root, ckpt)) === Set.empty,
+      "a fully-drained checkpoint restarts to an empty run")
+    // a new commit lands; only ITS rows arrive (exactly-once across restart)
+    AcidTable.commitAppend(kv(4L -> 40L), root)
+    assert(rowsOf(drain(root, ckpt)) === Set(4L -> 40L))
+  }
+
+  test("maxVersionsPerBatch paces the drain; startingVersion skips history") {
+    val root = fresh("p") + "/tbl"
+    val ckpt = fresh("ck")
+    (1L to 5L).foreach(i => AcidTable.commitAppend(kv(i -> i * 10), root))
+    // batch cap 2: AvailableNow still drains everything, in >= 3 batches
+    val paced = drain(root, ckpt, Map("maxVersionsPerBatch" -> "2"))
+    assert(rowsOf(paced) === (1L to 5L).map(i => i -> i * 10).toSet)
+    assert(paced.count(_._2.nonEmpty) >= 3,
+      s"5 versions at cap 2 need >= 3 batches, got ${paced.map(_._2.size)}")
+    assert(spark.streams.active.isEmpty) // AvailableNow stopped the query
+    // startingVersion: a consumer that only wants versions >= 4
+    assert(rowsOf(drain(root, fresh("ck2"), Map("startingVersion" -> "4"))) ===
+      Set(4L -> 40L, 5L -> 50L))
+  }
+
+  test("a non-append commit fails the stream unless the consumer opts in") {
+    val root = fresh("na") + "/tbl"
+    AcidTable.commitAppend(kv(1L -> 10L), root)
+    AcidTable.commitOverwrite(kv(9L -> 90L), root)
+    val e = intercept[StreamingQueryException] {
+      drain(root, fresh("ck"))
+    }
+    assert(e.getCause.getMessage.contains("'overwrite'"))
+    assert(e.getCause.getMessage.contains("changesBetween"))
+    // opted in: rewritten files delivered verbatim
+    assert(rowsOf(drain(root, fresh("ck2"), Map("allowNonAppend" -> "true"))) ===
+      Set(1L -> 10L, 9L -> 90L))
+  }
+
+  test("schema inference covers the primitive surface; strings round-trip") {
+    val root = fresh("sc") + "/tbl"
+    val df = Seq((1L, 7, 1.5, 2.5f, true, "héllo"))
+      .toDF("l", "i", "d", "f", "b", "s").coalesce(1)
+    AcidTable.commitAppend(df, root)
+    val q = spark.readStream.format("graft-acid").option("root", root).load()
+      .writeStream.format("memory").queryName("acidschema")
+      .option("checkpointLocation", fresh("ck"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table("acidschema")
+    assert(out.schema.map(f => f.name -> f.dataType.typeName).toMap ===
+      Map("l" -> "long", "i" -> "integer", "d" -> "double",
+        "f" -> "float", "b" -> "boolean", "s" -> "string"))
+    val r = out.head()
+    assert(r.getAs[Long]("l") === 1L && r.getAs[Int]("i") === 7 &&
+      r.getAs[Double]("d") === 1.5 && r.getAs[Float]("f") === 2.5f &&
+      r.getAs[Boolean]("b") === true && r.getAs[String]("s") === "héllo")
+  }
+}
