@@ -854,6 +854,42 @@ object ScaleBench {
       }
     }
 
+    // ---- ACID merge-on-read: WRITE ~ DELTA, never table ------------------
+    // (r13) a FIXED 100-key MOR upsert against tables of 16x growing file
+    // counts must cost ~flat wall, mask exactly ONE file, rewrite ZERO,
+    // and write only the kilobyte key mask plus the new rows — the
+    // write-amplification contract deletion vectors buy (a COW upsert's
+    // cost grows with the touched FILE's size; MOR's grows with the
+    // DELTA's). The read answer through the mask stays exact.
+    locally {
+      import graft.operators.AcidTable
+      for (files <- Seq(8, 32, 128)) {
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_scale_mor/" +
+          s"${spark.sparkContext.applicationId}/f$files"
+        val perFile = 2000L
+        (0 until files).foreach { i =>
+          AcidTable.commitAppend(
+            spark.range(i * perFile, (i + 1) * perFile).toDF("k")
+              .withColumn("v", col("k") * 3).coalesce(1),
+            root, statsCols = Seq("k", "v"))
+        }
+        val t0 = System.nanoTime()
+        val (v, masked, rewritten) = AcidTable.mergeMor(
+          spark.range(0L, 100L).toDF("k").withColumn("v", lit(-1L)),
+          root, "k", statsCols = Seq("k", "v"))
+        val sec = (System.nanoTime() - t0) / 1e9
+        val dvBytes = AcidTable.entriesOf(spark, root, v)
+          .flatMap(_.dv.map(_.paths).getOrElse(Nil)).distinct
+          .map(p => new java.io.File(root, p).length()).sum
+        val hit = AcidTable.read(spark, root)
+          .where(col("v") === -1L).count()
+        println(f"""{"op":"acid_mor_fixed_delta","n":$files,""" +
+          f""""masked":$masked,"rewritten":$rewritten,"dv_bytes":$dvBytes,""" +
+          f""""rows_hit":$hit,"sec":$sec%.2f}""")
+        rows += (("acid_mor_fixed_delta", files.toLong, sec))
+      }
+    }
+
     // ---- consecutive-scale wall ratios ----------------------------------
     val byOp = rows.groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq)
     for ((op, rs) <- byOp.toSeq.sortBy(_._1); Seq((_, n1, t1), (_, n2, t2)) <- rs.sliding(2)

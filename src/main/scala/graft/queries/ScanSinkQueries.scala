@@ -202,25 +202,66 @@ object ScanSinkQueries extends QueryModule {
   // commits of customer banded by c_custkey (zero-padded c_name makes
   // lexicographic order == numeric order), with STRING min/max stats on
   // name and long stats on k. Returns (root, version, maxk).
+  private def buildStrRoot(s: SparkSession, d: String,
+                           root: String): (Long, Long) = {
+    val base = Tables.load(s, d, "customer").select(
+      col("c_name").as("name"), col("c_custkey").as("k"),
+      round(col("c_acctbal") * lit(100.0)).cast("long").as("cents"))
+    val maxk = base.agg(max("k")).head().getLong(0)
+    val withB = base.withColumn("__b", expr(s"(k * 8) div ${maxk + 1}"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = withB.select("__b").distinct()
+      .collect().map(_.getLong(0)).sorted // <= 8 bands by construction
+    bands.foreach { b =>
+      AcidTable.commitAppend(
+        withB.where(col("__b") === b).drop("__b").coalesce(1),
+        root, statsCols = Seq("name", "k"))
+    }
+    withB.unpersist()
+    (bands.length.toLong, maxk)
+  }
+
   private def acidStrRoot(s: SparkSession, d: String): (String, Long, Long) =
     Memo.cached(s, s"acidstr|$d") {
       val root = s"${System.getProperty("java.io.tmpdir")}/graft_acidstr/" +
         s"${s.sparkContext.applicationId}/${new java.io.File(d).getName}"
-      val base = Tables.load(s, d, "customer").select(
-        col("c_name").as("name"), col("c_custkey").as("k"),
-        round(col("c_acctbal") * lit(100.0)).cast("long").as("cents"))
-      val maxk = base.agg(max("k")).head().getLong(0)
-      val withB = base.withColumn("__b", expr(s"(k * 8) div ${maxk + 1}"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val bands = withB.select("__b").distinct()
-        .collect().map(_.getLong(0)).sorted // <= 8 bands by construction
-      bands.foreach { b =>
-        AcidTable.commitAppend(
-          withB.where(col("__b") === b).drop("__b").coalesce(1),
-          root, statsCols = Seq("name", "k"))
-      }
-      withB.unpersist()
-      (root, bands.length.toLong, maxk)
+      val (n, maxk) = buildStrRoot(s, d, root)
+      (root, n, maxk)
+    }
+
+  /** The q_acid13 per-symbol upsert frame (updates hit band-0 names only,
+    * inserted names sort past every band) — shared by the COW (q_acid13)
+    * and MOR (q_acid17) string chains. */
+  private def strUpsertFrame(s: SparkSession, d: String,
+                             maxk: Long): DataFrame = {
+    val base = Tables.load(s, d, "customer").select(
+      col("c_name").as("name"), col("c_custkey").as("k"),
+      round(col("c_acctbal") * lit(100.0)).cast("long").as("cents"))
+    val updates = base
+      .where(pmod(col("k"), lit(9L)) === 0 && col("k") <= maxk / 8)
+      .withColumn("cents", col("cents") + 7)
+    val inserts = base
+      .where(pmod(col("k"), lit(11L)) === 5 && col("k") <= maxk / 8)
+      .select(format_string("Customer#%09d", col("k") + maxk + 1).as("name"),
+        (col("k") + maxk + 1).as("k"), (col("cents") + 3).as("cents"))
+    updates.unionByName(inserts)
+  }
+
+  // Q-ACID17 fixture: the q_acid13 per-symbol upsert applied MERGE-ON-READ
+  // on a fresh copy of the name-banded table — the replaced band-0 rows
+  // are masked where they sit through the STRING-stat locate (UTF-8 byte
+  // order end-to-end), the updates land as new files, and not one table
+  // byte is rewritten. Returns (root, version, maxk, masked, rewritten).
+  private def acidStrMor(s: SparkSession, d: String):
+      (String, Long, Long, Int, Int) =
+    Memo.cached(s, s"acidstrmor|$d") {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_acidstrmor/" +
+        s"${s.sparkContext.applicationId}/${new java.io.File(d).getName}"
+      val (_, maxk) = buildStrRoot(s, d, root)
+      val (v, masked, rewritten) = AcidTable.mergeMorStr(
+        strUpsertFrame(s, d, maxk), root, "name",
+        statsCols = Seq("name", "k"))
+      (root, v, maxk, masked, rewritten)
     }
 
   // Q-ACID13 step: one STRING-keyed copy-on-write upsert on the
@@ -233,18 +274,8 @@ object ScanSinkQueries extends QueryModule {
       (String, Long, Long, Int, Int) =
     Memo.cached(s, s"acidstrmerge|$d") {
       val (root, _, maxk) = acidStrRoot(s, d)
-      val base = Tables.load(s, d, "customer").select(
-        col("c_name").as("name"), col("c_custkey").as("k"),
-        round(col("c_acctbal") * lit(100.0)).cast("long").as("cents"))
-      val updates = base
-        .where(pmod(col("k"), lit(9L)) === 0 && col("k") <= maxk / 8)
-        .withColumn("cents", col("cents") + 7)
-      val inserts = base
-        .where(pmod(col("k"), lit(11L)) === 5 && col("k") <= maxk / 8)
-        .select(format_string("Customer#%09d", col("k") + maxk + 1).as("name"),
-          (col("k") + maxk + 1).as("k"), (col("cents") + 3).as("cents"))
       val (v, rewritten, kept) = AcidTable.mergeCowStr(
-        updates.unionByName(inserts), root, "name",
+        strUpsertFrame(s, d, maxk), root, "name",
         statsCols = Seq("name", "k"))
       (root, v, maxk, rewritten, kept)
     }
@@ -650,6 +681,25 @@ object ScanSinkQueries extends QueryModule {
           lit(if (pr.rowGroupsScanned < pr.rowGroupsTotal) 1L else 0L)
             .as("rg_pruned"),
           col("n"), col("sum_cents"), col("min_day"), col("max_day"))
+    }),
+
+    // Q-ACID17 (round 13): STRING-keyed MERGE-ON-READ — the reference's
+    // per-symbol daily upsert (q_acid13's workload) as deletion-vector
+    // commits: the band-0 replaced names are masked through the STRING
+    // stats locate, the update rows land as new files, and the
+    // file-granularity facts are oracle-pinned the other way around from
+    // q_acid13 — files_masked=1 (only band 0 can hold an update name),
+    // files_rewritten=0 (the point of MOR). Same band rollup as q_acid13,
+    // read THROUGH the masks.
+    "q_acid17" -> ((s, d) => {
+      val (root, v, maxk, masked, rewritten) = acidStrMor(s, d)
+      AcidTable.readAsOf(s, root, v)
+        .groupBy(expr(s"(k * 8) div ${maxk + 1}").as("band"))
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .select(col("band"), col("n"), col("sum_cents"),
+          lit(masked.toLong).as("files_masked"),
+          lit(rewritten.toLong).as("files_rewritten"))
+        .orderBy("band")
     }),
 
     // Q-SCAN1: parquet scan + projection + total sort.
@@ -1201,6 +1251,32 @@ object ScanSinkQueries extends QueryModule {
         |  CAST(sum(cents) AS BIGINT) AS sum_cents,
         |  CAST(1 AS BIGINT) AS files_rewritten,
         |  CAST(7 AS BIGINT) AS files_kept
+        |FROM fin f, m
+        |GROUP BY 1 ORDER BY band""".stripMargin,
+
+    // The q_acid13 replay with the MOR strategy's file facts pinned the
+    // other way around: one band masked, zero files rewritten.
+    "q_acid17" ->
+      """WITH base AS (
+        |  SELECT c_name AS name, c_custkey AS k,
+        |    CAST(round(c_acctbal*100,0) AS BIGINT) AS cents
+        |  FROM customer),
+        |m AS (SELECT max(k) AS maxk FROM base),
+        |upd AS (SELECT name, k, cents + 7 AS cents
+        |  FROM base, m WHERE k % 9 = 0 AND k <= maxk // 8),
+        |ins AS (SELECT printf('Customer#%09d', b.k + m.maxk + 1) AS name,
+        |    b.k + m.maxk + 1 AS k, b.cents + 3 AS cents
+        |  FROM base b, m WHERE b.k % 11 = 5 AND b.k <= m.maxk // 8),
+        |fin AS (
+        |  SELECT b.name, b.k, b.cents FROM base b, m
+        |  WHERE NOT (b.k % 9 = 0 AND b.k <= m.maxk // 8)
+        |  UNION ALL SELECT * FROM upd
+        |  UNION ALL SELECT * FROM ins)
+        |SELECT CAST((f.k * 8) // (m.maxk + 1) AS BIGINT) AS band,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(1 AS BIGINT) AS files_masked,
+        |  CAST(0 AS BIGINT) AS files_rewritten
         |FROM fin f, m
         |GROUP BY 1 ORDER BY band""".stripMargin,
 

@@ -72,6 +72,40 @@ class AcidMorSpec extends SparkSpec {
       .select("v").head().getLong(0) === 99L)
   }
 
+  test("mergeMorStr locates by string stats in UTF-8 order, rewrites nothing") {
+    import spark.implicits._
+    val root = freshRoot("str")
+    // two bands; the second holds multi-byte keys that sort ABOVE every
+    // ASCII key in UTF-8 byte order (Scala's UTF-16 compare would agree
+    // here, but the stats and locate join must be byte-order end-to-end)
+    AcidTable.commitAppend(
+      Seq(("alpha", 1L), ("beta", 2L)).toDF("name", "v").coalesce(1),
+      root, statsCols = Seq("name"))
+    AcidTable.commitAppend(
+      Seq(("é-key", 3L), ("😀-key", 4L)).toDF("name", "v").coalesce(1),
+      root, statsCols = Seq("name"))
+    val (v, masked, rewritten) = AcidTable.mergeMorStr(
+      Seq(("beta", 22L), ("zeta", 5L)).toDF("name", "v").coalesce(1),
+      root, "name", statsCols = Seq("name"))
+    assert(rewritten === 0)
+    // "beta" can only live in band 1 ([alpha, beta]); "zeta" falls inside
+    // band 2's UTF-8 range [é-key … 😀-key] (0x7a < 0xc3 is FALSE — 'z'
+    // sorts BELOW 'é' in byte order), so only band 1 is provably touched…
+    // unless band 2's range admits "zeta": 'z' (0x7a) < 'é' (0xc3a9), so
+    // zeta < é-key in byte order and band 2 is NOT touched. masked == 1.
+    assert(masked === 1)
+    assert(AcidTable.read(spark, root).select("name", "v")
+      .as[(String, Long)].collect().toSet ===
+      Set("alpha" -> 1L, "beta" -> 22L, "é-key" -> 3L, "😀-key" -> 4L,
+        "zeta" -> 5L))
+    assert(AcidTable.actionOf(spark, root, v) === "merge")
+    // and folding restores a mask-free manifest with the same answer
+    AcidTable.compactDvs(spark, root, statsCols = Seq("name"))
+    assert(AcidTable.entriesOf(spark, root,
+      AcidTable.currentVersion(spark, root)).forall(_.dv.isEmpty))
+    assert(AcidTable.read(spark, root).count() === 5L)
+  }
+
   test("compactDvs folds masks into clean files; vacuum then retires them") {
     val root = freshRoot("fold")
     AcidTable.commitAppend(kv((1L to 10L).map(i => i -> i): _*), root,
