@@ -702,6 +702,22 @@ object ScanSinkQueries extends QueryModule {
         .orderBy("band")
     }),
 
+    // Q-ACID18 (round 13): the ACID table through the DataSourceV2 BATCH
+    // surface — spark.read.format("graft-acid") with time travel
+    // (asOfVersion) over the MOR chain's deleted version: the rollup must
+    // equal q_acid15's 'deleted' stage, which oracle-checks BOTH the
+    // custom per-file parquet Group decode AND the reader-side
+    // deletion-vector masking (masked rows skipped at decode time, no
+    // join) against DuckDB.
+    "q_acid18" -> ((s, d) => {
+      val (root, _, vd, _) = acidMor(s, d)
+      s.read.format("graft-acid").option("root", root)
+        .option("asOfVersion", vd.toString).load()
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .orderBy("status")
+    }),
+
     // Q-SCAN1: parquet scan + projection + total sort.
     "q_scan1" -> ((s, d) =>
       Tables.load(s, d, "lineitem")
@@ -1253,6 +1269,29 @@ object ScanSinkQueries extends QueryModule {
         |  CAST(7 AS BIGINT) AS files_kept
         |FROM fin f, m
         |GROUP BY 1 ORDER BY band""".stripMargin,
+
+    // The q_acid15 'deleted' stage replay, per status — served through the
+    // DSv2 reader + decode-time masks instead of AcidTable.readAsOf.
+    "q_acid18" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |    CAST(round(o_totalprice*100,0) AS BIGINT) AS cents
+        |  FROM orders),
+        |m AS (SELECT max(k) AS maxk FROM base),
+        |upd AS (SELECT k, 'U' AS status, cents + 11 AS cents
+        |  FROM base, m WHERE k % 5 = 0 AND k <= m.maxk // 8),
+        |ins AS (SELECT k + m.maxk + 1 AS k, 'N' AS status, cents + 1 AS cents
+        |  FROM base, m WHERE k % 7 = 3 AND k <= m.maxk // 8),
+        |fin AS (
+        |  SELECT b.k, b.status, b.cents FROM base b, m
+        |  WHERE NOT (b.k % 5 = 0 AND b.k <= m.maxk // 8)
+        |  UNION ALL SELECT * FROM upd
+        |  UNION ALL SELECT * FROM ins),
+        |del AS (SELECT f.* FROM fin f, m
+        |  WHERE NOT (f.k BETWEEN m.maxk // 3 AND m.maxk // 2))
+        |SELECT status, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM del GROUP BY status ORDER BY status""".stripMargin,
 
     // The q_acid13 replay with the MOR strategy's file facts pinned the
     // other way around: one band masked, zero files rewritten.

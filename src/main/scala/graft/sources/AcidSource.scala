@@ -91,6 +91,37 @@ object AcidSource {
       s"$root/${entries.head.path}")
   }
 
+  /** Driver-side load of one deletion-vector mask parquet (single
+    * `__dvk` column): Longs for int32/int64 keys (widened), Strings for
+    * UTF-8 binary keys. Masks are kilobytes by the MOR contract — the
+    * batch planner ships them inside the partitions. */
+  private[sources] def readMaskKeys(conf: Configuration,
+                                    path: String): Seq[AnyRef] = {
+    val reader = ParquetReader.builder(new GroupReadSupport(), new Path(path))
+      .withConf(conf).build()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
+    try {
+      var g = reader.read()
+      while (g != null) {
+        if (g.getType.containsField("__dvk") &&
+            g.getFieldRepetitionCount("__dvk") > 0) {
+          import PrimitiveType.PrimitiveTypeName._
+          g.getType.getType("__dvk").asPrimitiveType()
+            .getPrimitiveTypeName match {
+            case INT64 => buf += java.lang.Long.valueOf(g.getLong("__dvk", 0))
+            case INT32 =>
+              buf += java.lang.Long.valueOf(g.getInteger("__dvk", 0).toLong)
+            case BINARY => buf += g.getBinary("__dvk", 0).toStringUsingUTF8
+            case other => throw new IllegalArgumentException(
+              s"graft-acid: unsupported deletion-vector key type $other")
+          }
+        }
+        g = reader.read()
+      }
+    } finally reader.close()
+    buf.toSeq
+  }
+
   /** Parquet footer MessageType → Spark StructType, primitive columns
     * (the ACID table surface: int/long/float/double/boolean/string/
     * binary, plus DATE and micros TIMESTAMP annotations). */
@@ -137,7 +168,8 @@ class AcidSourceTable(tableSchema: StructType,
   override def name(): String = s"graft-acid ${AcidSource.rootOf(options)}"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_READ)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = new util.HashMap[String, String](options.asCaseSensitiveMap())
     merged.putAll(o.asCaseSensitiveMap())
@@ -149,15 +181,50 @@ class AcidSourceTable(tableSchema: StructType,
 }
 
 class AcidScan(tableSchema: StructType, options: CaseInsensitiveStringMap)
-  extends Scan {
+  extends Scan with Batch {
+  private val root = AcidSource.rootOf(options)
   override def readSchema(): StructType = tableSchema
-  override def description(): String =
-    s"graft-acid root=${AcidSource.rootOf(options)}"
+  override def description(): String = s"graft-acid root=$root"
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new AcidMicroBatchStream(AcidSource.rootOf(options), tableSchema,
+    new AcidMicroBatchStream(root, tableSchema,
       startingVersion = options.getLong("startingVersion", 1L),
       maxVersionsPerBatch = options.getLong("maxVersionsPerBatch", Long.MaxValue),
       allowNonAppend = options.getBoolean("allowNonAppend", false))
+
+  /** BATCH read (round 13): one snapshot — the current version, or
+    * `asOfVersion` (time travel through the DSv2 surface). One input
+    * partition per manifest entry; deletion vectors are applied IN the
+    * reader: each masked entry's key masks (kilobytes by the MOR
+    * contract) are loaded on the DRIVER at planning time and shipped
+    * with the partition, so the executor-side decode filters masked rows
+    * without a join. */
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val v = Option(options.get("asOfVersion")).map(_.toLong)
+      .getOrElse(AcidTable.currentVersion(spark, root))
+    val conf = spark.sparkContext.hadoopConfiguration
+    AcidTable.entriesOf(spark, root, v).map { e =>
+      e.dv match {
+        case None => AcidFilePartition(s"$root/${e.path}")
+        case Some(d) =>
+          val keys = d.paths.flatMap(p =>
+            AcidSource.readMaskKeys(conf, s"$root/$p"))
+          require(keys.length <= 4000000,
+            s"deletion-vector mask of ${e.path} holds ${keys.length} keys" +
+              " — fold it first (AcidTable.compactDvs) or read through" +
+              " AcidTable.readAsOf")
+          val longs = keys.collect { case l: java.lang.Long => l.longValue() }
+          val strs = keys.collect { case s: String => s }
+          AcidFilePartition(s"$root/${e.path}", d.col,
+            longs.toArray, strs.toArray)
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new AcidReaderFactory(tableSchema)
 }
 
 /** Offset = the highest table version already delivered. */
@@ -237,26 +304,64 @@ class AcidMicroBatchStream(root: String, tableSchema: StructType,
   override def stop(): Unit = ()
 }
 
-case class AcidFilePartition(path: String) extends InputPartition
+/** One manifest entry's scan unit: the data file plus (batch reads only)
+  * its deletion-vector key mask, pre-loaded driver-side. */
+case class AcidFilePartition(path: String, dvCol: String = null,
+                             dvLongKeys: Array[Long] = Array.empty,
+                             dvStrKeys: Array[String] = Array.empty)
+  extends InputPartition
 
 class AcidReaderFactory(schema: StructType) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new AcidFileReader(p.asInstanceOf[AcidFilePartition].path, schema)
+    new AcidFileReader(p.asInstanceOf[AcidFilePartition], schema)
 }
 
 /** One parquet data file → InternalRows for the table schema, via
   * parquet-hadoop's Group materializer. Fields are fetched BY NAME, so a
   * file whose column order drifted still reads correctly; a field absent
-  * from the file (or null in a row) lands as null. */
-class AcidFileReader(path: String, schema: StructType)
+  * from the file (or null in a row) lands as null. Rows whose DV-column
+  * value sits in the partition's key mask are skipped (merge-on-read
+  * applied at decode time — no join needed, the mask is kilobytes). */
+class AcidFileReader(p: AcidFilePartition, schema: StructType)
   extends PartitionReader[InternalRow] {
+
+  private val path = p.path
+  private val longMask: java.util.HashSet[Long] =
+    if (p.dvLongKeys.isEmpty) null
+    else { val s = new java.util.HashSet[Long](p.dvLongKeys.length * 2)
+      p.dvLongKeys.foreach(s.add); s }
+  private val strMask: java.util.HashSet[String] =
+    if (p.dvStrKeys.isEmpty) null
+    else { val s = new java.util.HashSet[String](p.dvStrKeys.length * 2)
+      p.dvStrKeys.foreach(s.add); s }
 
   private val reader: ParquetReader[Group] =
     ParquetReader.builder(new GroupReadSupport(), new Path(path))
       .withConf(new Configuration()).build()
   private var cur: Group = _
 
-  override def next(): Boolean = { cur = reader.read(); cur != null }
+  override def next(): Boolean = {
+    cur = reader.read()
+    while (cur != null && masked(cur)) cur = reader.read()
+    cur != null
+  }
+
+  private def masked(g: Group): Boolean = {
+    if (p.dvCol == null) return false
+    if (!g.getType.containsField(p.dvCol) ||
+        g.getFieldRepetitionCount(p.dvCol) == 0) return false
+    import PrimitiveType.PrimitiveTypeName._
+    g.getType.getType(p.dvCol).asPrimitiveType().getPrimitiveTypeName match {
+      case INT64 =>
+        longMask != null && longMask.contains(g.getLong(p.dvCol, 0))
+      case INT32 =>
+        longMask != null && longMask.contains(g.getInteger(p.dvCol, 0).toLong)
+      case BINARY =>
+        strMask != null &&
+          strMask.contains(g.getBinary(p.dvCol, 0).toStringUsingUTF8)
+      case _ => false
+    }
+  }
 
   override def get(): InternalRow = {
     val g = cur

@@ -97,6 +97,38 @@ class AcidSourceSpec extends SparkSpec {
       Set(1L -> 10L, 9L -> 90L))
   }
 
+  test("batch read: current snapshot, time travel, and decode-time DV masks") {
+    val root = fresh("b") + "/tbl"
+    AcidTable.commitAppend(kv((1L to 10L).map(i => i -> i * 10): _*), root,
+      statsCols = Seq("k"))
+    AcidTable.commitAppend(kv((11L to 20L).map(i => i -> i * 10): _*), root,
+      statsCols = Seq("k"))
+    def batch(opts: (String, String)*): Set[(Long, Long)] =
+      opts.foldLeft(spark.read.format("graft-acid").option("root", root)) {
+        case (r, (k, v)) => r.option(k, v)
+      }.load().select("k", "v").as[(Long, Long)].collect().toSet
+    assert(batch() === (1L to 20L).map(i => i -> i * 10).toSet)
+    assert(batch("asOfVersion" -> "1") ===
+      (1L to 10L).map(i => i -> i * 10).toSet, "time travel through DSv2")
+    // a MOR delete: the batch reader must apply the mask at decode time
+    AcidTable.deleteMor(spark, root, "k", 3L, 5L)
+    assert(batch() === ((1L to 20L).toSet -- (3L to 5L)).map(i => i -> i * 10))
+    // and the pre-delete version still reads unmasked
+    assert(batch("asOfVersion" -> "2") ===
+      (1L to 20L).map(i => i -> i * 10).toSet)
+    // string-keyed masks decode-filter too
+    import spark.implicits._
+    val root2 = fresh("bs") + "/tbl"
+    AcidTable.commitAppend(
+      Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("name", "v").coalesce(1),
+      root2, statsCols = Seq("name"))
+    AcidTable.mergeMorStr(Seq(("b", 22L)).toDF("name", "v").coalesce(1),
+      root2, "name", statsCols = Seq("name"))
+    assert(spark.read.format("graft-acid").option("root", root2).load()
+      .select("name", "v").as[(String, Long)].collect().toSet ===
+      Set("a" -> 1L, "b" -> 22L, "c" -> 3L))
+  }
+
   test("schema inference covers the primitive surface; strings round-trip") {
     val root = fresh("sc") + "/tbl"
     val df = Seq((1L, 7, 1.5, 2.5f, true, "héllo"))
