@@ -823,6 +823,70 @@ object AcidTable {
     }
   }
 
+  final case class ExpectationViolation(root: String,
+                                        counts: Map[String, Long])
+    extends RuntimeException(
+      s"AcidTable expectations failed at $root — nothing was published: " +
+        counts.toSeq.sortBy(_._1)
+          .map { case (n, c) => s"$n: $c row(s)" }.mkString(", "))
+
+  /** Write-time EXPECTATIONS (round 13 — Delta CHECK constraints / DLT
+    * expectations, enforced AT the commit gate instead of hoping
+    * downstream DQ catches it): validate `df` against named boolean
+    * predicates and commit accordingly. SQL CHECK semantics: a row
+    * violates an expectation only when the predicate is literally FALSE
+    * (NULL passes). `onViolation`:
+    *
+    *  - `"fail"`: ANY violating row aborts the commit — ONE aggregation
+    *    computes per-expectation violation counts for the error, and
+    *    nothing is published (no data files either: validation runs
+    *    before the write);
+    *  - `"quarantine"`: passing rows commit to the table; violating rows
+    *    commit to the `root/_quarantine` AcidTable with a `__violations`
+    *    column naming the failed expectations (comma-joined, declaration
+    *    order) — nothing is silently dropped, the DQ triage contract.
+    *
+    * Returns (published version, rejected row count, quarantine version —
+    * None when nothing violated). One persisted pass feeds both splits. */
+  def commitAppendExpect(df: DataFrame, root: String,
+                         expectations: Seq[(String, org.apache.spark.sql.Column)],
+                         onViolation: String = "fail",
+                         statsCols: Seq[String] = Nil)
+      : (Long, Long, Option[Long]) = {
+    require(expectations.nonEmpty, "commitAppendExpect needs >= 1 expectation")
+    require(onViolation == "fail" || onViolation == "quarantine",
+      s"onViolation must be 'fail' or 'quarantine', got '$onViolation'")
+    expectations.foreach { case (n, _) =>
+      require(n.nonEmpty && !n.contains(","),
+        s"expectation name '$n' must be nonempty and comma-free")
+    }
+    val violArr = array(expectations.map { case (n, c) =>
+      when(coalesce(c, lit(true)) === lit(false), lit(n))
+    }: _*)
+    val marked = df.withColumn("__violations",
+      filter(violArr, x => x.isNotNull))
+    if (onViolation == "fail") {
+      val counts = marked.select(explode(col("__violations")).as("__e"))
+        .groupBy("__e").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      if (counts.nonEmpty) throw ExpectationViolation(root, counts)
+      (commitAppend(df, root, statsCols), 0L, None)
+    } else {
+      marked.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val bad = marked.where(size(col("__violations")) > 0)
+          .withColumn("__violations", concat_ws(",", col("__violations")))
+        val rejected = bad.count()
+        val good = marked.where(size(col("__violations")) === 0)
+          .drop("__violations")
+        val v = commitAppend(good, root, statsCols)
+        val qv = if (rejected == 0L) None
+          else Some(commitAppend(bad, s"$root/_quarantine"))
+        (v, rejected, qv)
+      } finally { marked.unpersist(); () }
+    }
+  }
+
   /** Copy-on-write UPSERT (round 12): apply `updates` keyed by the long
     * column `keyCol` — rows whose key exists are replaced, new keys are
     * inserted — rewriting ONLY the files whose `keyCol` min/max range can

@@ -334,6 +334,31 @@ object ScanSinkQueries extends QueryModule {
       root
     }
 
+  // Q-ACID19 fixture: write-time EXPECTATIONS — orders with PLANTED
+  // violations (k%7==0 → negative cents, k%11==0 → unknown status '?';
+  // k%77==0 rows violate BOTH, exercising the joined-name path),
+  // committed under the quarantine policy: passing rows land in the
+  // table, violating rows in root/_quarantine with __violations naming
+  // what failed. Returns (root, version, quarantineVersion, rejected).
+  private def acidExpectRoot(s: SparkSession, d: String):
+      (String, Long, Long, Long) =
+    Memo.cached(s, s"acidexpect|$d") {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_acidexpect/" +
+        s"${s.sparkContext.applicationId}/${new java.io.File(d).getName}"
+      val cents0 = round(col("o_totalprice") * lit(100.0)).cast("long")
+      val base = Tables.load(s, d, "orders").select(
+        col("o_orderkey").as("k"),
+        when(pmod(col("o_orderkey"), lit(11L)) === 0, lit("?"))
+          .otherwise(col("o_orderstatus")).as("status"),
+        when(pmod(col("o_orderkey"), lit(7L)) === 0, -cents0)
+          .otherwise(cents0).as("cents"))
+      val (v, rejected, qv) = AcidTable.commitAppendExpect(base, root,
+        Seq("nonneg_cents" -> (col("cents") >= 0),
+          "known_status" -> col("status").isin("O", "F", "P")),
+        onViolation = "quarantine", statsCols = Seq("k"))
+      (root, v, qv.get, rejected)
+    }
+
   // Q-DQ8 fixture: three parquet GENERATIONS written once per (session,
   // corpus) with planted drift — price_cents widens int→bigint→double,
   // region is renamed to region_name at gen 2 (same type, adjacent
@@ -716,6 +741,28 @@ object ScanSinkQueries extends QueryModule {
         .groupBy("status")
         .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
         .orderBy("status")
+    }),
+
+    // Q-ACID19 (round 13): write-time EXPECTATIONS (Delta CHECK / DLT
+    // expectations at the commit gate): planted violations split at
+    // commit — passing rows per status from the table, violating rows per
+    // __violations tag from the quarantine table (nothing silently
+    // dropped: accepted ∪ quarantined == the input, and the oracle
+    // replays BOTH splits from orders, including the rows that violate
+    // two expectations at once).
+    "q_acid19" -> ((s, d) => {
+      val (root, v, qv, _) = acidExpectRoot(s, d)
+      val good = AcidTable.readAsOf(s, root, v)
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .select(lit("accepted").as("side"), col("status").as("grp"),
+          col("n"), col("sum_cents"))
+      val bad = AcidTable.readAsOf(s, s"$root/_quarantine", qv)
+        .groupBy("__violations")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .select(lit("quarantined").as("side"), col("__violations").as("grp"),
+          col("n"), col("sum_cents"))
+      good.unionByName(bad).orderBy("side", "grp")
     }),
 
     // Q-SCAN1: parquet scan + projection + total sort.
@@ -1269,6 +1316,34 @@ object ScanSinkQueries extends QueryModule {
         |  CAST(7 AS BIGINT) AS files_kept
         |FROM fin f, m
         |GROUP BY 1 ORDER BY band""".stripMargin,
+
+    // Both commit splits replayed from orders: viol = '' rows are the
+    // accepted side, the rest group by their (declaration-ordered,
+    // comma-joined) violation names — concat_ws skips NULLs identically
+    // on both engines, and an all-pass row concatenates to ''.
+    "q_acid19" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN '?' ELSE o_orderstatus END
+        |      AS status,
+        |    CASE WHEN o_orderkey % 7 = 0
+        |      THEN -CAST(round(o_totalprice*100,0) AS BIGINT)
+        |      ELSE CAST(round(o_totalprice*100,0) AS BIGINT) END AS cents
+        |  FROM orders),
+        |marked AS (SELECT *, concat_ws(',',
+        |    CASE WHEN cents >= 0 THEN NULL ELSE 'nonneg_cents' END,
+        |    CASE WHEN status IN ('O','F','P') THEN NULL
+        |      ELSE 'known_status' END) AS viol
+        |  FROM base)
+        |SELECT 'accepted' AS side, status AS grp,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM marked WHERE viol = '' GROUP BY 2
+        |UNION ALL
+        |SELECT 'quarantined', viol, CAST(count(*) AS BIGINT),
+        |  CAST(sum(cents) AS BIGINT)
+        |FROM marked WHERE viol <> '' GROUP BY 2
+        |ORDER BY side, grp""".stripMargin,
 
     // The q_acid15 'deleted' stage replay, per status — served through the
     // DSv2 reader + decode-time masks instead of AcidTable.readAsOf.

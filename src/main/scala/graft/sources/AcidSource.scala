@@ -9,7 +9,7 @@ import org.apache.parquet.example.data.Group
 import org.apache.parquet.hadoop.example.GroupReadSupport
 import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
 import org.apache.parquet.hadoop.util.HadoopInputFile
-import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType, Type}
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, PrimitiveType, Type}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -174,8 +174,13 @@ class AcidSourceTable(tableSchema: StructType,
     val merged = new util.HashMap[String, String](options.asCaseSensitiveMap())
     merged.putAll(o.asCaseSensitiveMap())
     val opts = new CaseInsensitiveStringMap(merged)
-    new ScanBuilder {
-      override def build(): Scan = new AcidScan(tableSchema, opts)
+    // column pruning reaches the parquet decode: the reader projects the
+    // file schema down to the required fields (parquet.read.schema), so a
+    // 2-column select over a 50-column table never materializes the rest
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required = tableSchema
+      override def pruneColumns(r: StructType): Unit = required = r
+      override def build(): Scan = new AcidScan(required, opts)
     }
   }
 }
@@ -335,9 +340,25 @@ class AcidFileReader(p: AcidFilePartition, schema: StructType)
     else { val s = new java.util.HashSet[String](p.dvStrKeys.length * 2)
       p.dvStrKeys.foreach(s.add); s }
 
-  private val reader: ParquetReader[Group] =
+  private val reader: ParquetReader[Group] = {
+    val conf = new Configuration()
+    // project the decode down to the pruned columns (plus the DV column —
+    // the mask check must still see the key even when the query did not
+    // select it); an empty requirement (count(*)) skips projection
+    val wanted: Set[String] = schema.fieldNames.toSet ++ Option(p.dvCol)
+    if (wanted.nonEmpty) {
+      val fileSchema = Using.resource(ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(path), conf)))(
+        _.getFooter.getFileMetaData.getSchema)
+      val kept = fileSchema.getFields.asScala
+        .filter(f => wanted.contains(f.getName))
+      if (kept.nonEmpty && kept.length < fileSchema.getFieldCount)
+        conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+          new MessageType(fileSchema.getName, kept.asJava).toString)
+    }
     ParquetReader.builder(new GroupReadSupport(), new Path(path))
-      .withConf(new Configuration()).build()
+      .withConf(conf).build()
+  }
   private var cur: Group = _
 
   override def next(): Boolean = {

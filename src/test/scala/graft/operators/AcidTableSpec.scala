@@ -536,4 +536,46 @@ class AcidTableSpec extends SparkSpec {
     intercept[IllegalArgumentException] { AcidTable.readAsOf(spark, root, 1L) }
     assert(asSet(AcidTable.read(spark, root)) === Set(3L -> 3L))
   }
+
+  test("expectations: fail mode aborts with per-name counts, publishes nothing") {
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot("exf")
+    AcidTable.commitOverwrite(kv(1L -> 10L), root)
+    val e = intercept[AcidTable.ExpectationViolation] {
+      AcidTable.commitAppendExpect(
+        kv(2L -> 20L, 3L -> -1L, 4L -> -2L, 5L -> 500L), root,
+        Seq("positive_v" -> (col("v") > 0), "small_k" -> (col("k") < 5)))
+    }
+    assert(e.counts === Map("positive_v" -> 2L, "small_k" -> 1L))
+    assert(AcidTable.versions(spark, root) === Seq(1L),
+      "a failed expectation publishes NOTHING")
+    // all-pass commits normally; NULL predicates pass (SQL CHECK semantics)
+    import spark.implicits._
+    val withNull = Seq((2L, Some(20L)), (3L, None))
+      .toDF("k", "v").coalesce(1)
+    val (v, rejected, qv) = AcidTable.commitAppendExpect(withNull, root,
+      Seq("positive_v" -> (col("v") > 0)))
+    assert(v === 2L && rejected === 0L && qv.isEmpty)
+    assert(AcidTable.read(spark, root).count() === 3L)
+  }
+
+  test("expectations: quarantine mode tiles the input, names what failed") {
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot("exq")
+    val (v, rejected, qv) = AcidTable.commitAppendExpect(
+      kv(1L -> 10L, 2L -> -1L, 9L -> 90L, 10L -> -5L), root,
+      Seq("positive_v" -> (col("v") > 0), "small_k" -> (col("k") < 10)),
+      onViolation = "quarantine")
+    assert(rejected === 2L && qv === Some(1L))
+    assert(asSet(AcidTable.readAsOf(spark, root, v)) ===
+      Set(1L -> 10L, 9L -> 90L))
+    val q = AcidTable.readAsOf(spark, s"$root/_quarantine", qv.get)
+      .select("k", "__violations").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(q === Map(2L -> "positive_v", 10L -> "positive_v,small_k"),
+      "a doubly-violating row joins both names in declaration order")
+    // accepted ∪ quarantined == input, nothing silently dropped
+    assert(AcidTable.read(spark, root).count() +
+      AcidTable.read(spark, s"$root/_quarantine").count() === 4L)
+  }
 }

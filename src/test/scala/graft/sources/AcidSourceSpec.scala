@@ -129,6 +129,24 @@ class AcidSourceSpec extends SparkSpec {
       Set("a" -> 1L, "b" -> 22L, "c" -> 3L))
   }
 
+  test("column pruning reaches the decode; DV masks survive pruning") {
+    val root = fresh("pr") + "/tbl"
+    AcidTable.commitAppend(kv((1L to 8L).map(i => i -> i * 10): _*), root,
+      statsCols = Seq("k"))
+    AcidTable.deleteMor(spark, root, "k", 2L, 3L)
+    // select ONLY v: the mask is keyed on k, which the projection must
+    // retain internally even though the query never asked for it
+    val df = spark.read.format("graft-acid").option("root", root).load()
+      .select("v")
+    assert(df.queryExecution.executedPlan.toString.contains("v#") &&
+      df.schema.fieldNames.toSeq === Seq("v"))
+    assert(df.as[Long].collect().toSet ===
+      ((1L to 8L).toSet -- (2L to 3L)).map(_ * 10))
+    // count(*) (zero required columns) still counts masked-out rows right
+    assert(spark.read.format("graft-acid").option("root", root).load()
+      .count() === 6L)
+  }
+
   test("schema inference covers the primitive surface; strings round-trip") {
     val root = fresh("sc") + "/tbl"
     val df = Seq((1L, 7, 1.5, 2.5f, true, "héllo"))
