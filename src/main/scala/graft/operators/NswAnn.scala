@@ -408,14 +408,19 @@ object NswAnn {
         .join(broadcast(q), Seq("query_id"))
         .select(col("query_id"), col("__id"),
           VectorOps.cosine(col("__qv"), col("__v")).as("sim"))
-    // per-hop state is batch x visited — tiny; one partition keeps every
-    // window/anti-join downstream single-task instead of 32 empty ones
-    // (repartition, not coalesce: the scoring corpus join upstream keeps
-    // its parallelism). The corpus and adjacency are re-scanned once per
-    // HOP — pin them in memory for the loop (r13; they were parquet
-    // re-reads per hop before).
+    // per-hop state is batch x visited — tiny; hash it into a few
+    // query-keyed partitions SIZED TO THE BATCH (set once the batch size
+    // is known, below) so downstream windows/anti-joins run a handful of
+    // real tasks instead of 32 mostly-empty ones, while a big batch's
+    // per-hop work still spreads (one partition serialized the 64-query
+    // panel; 8 partitions taxed the 16-query one). repartition, not
+    // coalesce: the scoring corpus join upstream keeps its parallelism.
+    // The corpus and adjacency are re-scanned once per HOP — pin them in
+    // memory for the loop (r13; they were parquet re-reads per hop
+    // before).
+    var stateParts = 1
     def materialize(df: DataFrame): DataFrame =
-      df.repartition(1).localCheckpoint()
+      df.repartition(stateParts, col("query_id")).localCheckpoint()
     vecs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // DESCENT IN ONE JOB (r13 — the per-level loop cost was levels x
@@ -449,6 +454,9 @@ object NswAnn {
         .map { case (qid, rows) =>
           qid -> rows.map(r => r.getLong(1) -> r.getDouble(2)).toMap
         }
+    // ~16 queries per state partition: batch 16 stays single-task (the
+    // hop cost is job overhead there), batch 64+ spreads
+    stateParts = math.max(1, math.min(8, hierScores.size / 16))
     val adj: Map[Int, Map[Long, Seq[Long]]] = hierLocal.groupBy(_._1)
       .map { case (l, es) =>
         l -> es.groupBy(_._2).map { case (s, e) => s -> e.map(_._3).toSeq }

@@ -166,6 +166,38 @@ class AcidTailSpec extends SparkSpec {
     } === Seq.empty)
   }
 
+  test("two racing tailers: callbacks at-least-once, markers exactly-once") {
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val root = fresh("race")
+    val ck = fresh("ck")
+    (1L to 3L).foreach(i => AcidTable.commitAppend(kv(i -> i * 10), root))
+    val calls = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val gate = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    val fs = (1 to 2).map { _ =>
+      pool.submit(new java.util.concurrent.Callable[Seq[Long]] {
+        def call(): Seq[Long] = {
+          gate.await()
+          AcidTail.tail(spark, root, ck) { (_, v) => calls.add(v); () }
+        }
+      })
+    }
+    gate.countDown()
+    val returned = fs.map(_.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    // the CHECKPOINTED lists partition the versions exactly: no version
+    // claimed by both tailers, none missed
+    assert(returned(0).toSet.intersect(returned(1).toSet) === Set.empty)
+    assert(returned(0).toSet ++ returned(1).toSet === Set(1L, 2L, 3L))
+    // the CALLBACK is at-least-once: every version processed >= 1 time
+    // (both tailers may have processed the same version before one lost
+    // the marker — that is the documented contract, not a bug)
+    import scala.jdk.CollectionConverters._
+    assert(calls.asScala.toSet === Set(1L, 2L, 3L))
+    assert(calls.size >= 3)
+    assert(AcidTail.processedVersions(spark, root, ck) === Set(1L, 2L, 3L))
+  }
+
   test("increments tile the table: union of increments == latest snapshot") {
     val root = fresh("ti")
     AcidTable.commitAppend(kv(1L -> 1L, 2L -> 2L), root)
