@@ -657,11 +657,15 @@ object AcidTable {
   /** Plan `entries` as one DataFrame, applying DELETION VECTORS (round
     * 13): clean files plan directly; files carrying a [[Dv]] anti-join
     * the (broadcast — masks are key lists, kilobytes) union of their key
-    * masks on the DV column. Union-masking across files is exact, not
-    * just safe: a masked key's only possible live copy sits in a file
-    * whose stats contain the key, and the commit that deleted the key
-    * touched (and masked) every such file — so the union never removes a
-    * row the per-file masks would have kept. */
+    * masks on the DV column. Masks are grouped by EXACT mask-path set,
+    * never unioned across entries with different sets: a mergeMor commit
+    * masks a key in the OLD files and writes its replacement row into a
+    * NEW file in the same commit — union-masking across entries would
+    * let a LATER commit's shared mask list drag the earlier mask onto
+    * the replacement file and kill the live row (caught by the
+    * randomized MOR==COW law, AcidMorSpec). Entries sharing one mask
+    * list read as one pruned scan; distinct lists are distinct
+    * (cheap, manifest-bounded) branches of the union. */
   private def readEntries(spark: SparkSession, root: String,
                           entries: Seq[Entry]): DataFrame = {
     require(entries.nonEmpty, "cannot plan zero manifest entries")
@@ -669,13 +673,14 @@ object AcidTable {
     val cleanDf =
       if (clean.isEmpty) Nil
       else Seq(spark.read.parquet(clean.map(e => s"$root/${e.path}"): _*))
-    val maskedDfs = dved.groupBy(_.dv.get.col).toSeq.sortBy(_._1).map {
-      case (keyCol, es) =>
+    val maskedDfs = dved
+      .groupBy(e => (e.dv.get.col, e.dv.get.paths)).toSeq
+      .sortBy { case ((c, ps), _) => (c, ps.mkString(";")) }
+      .map { case ((keyCol, dvPaths), es) =>
         val df = spark.read.parquet(es.map(e => s"$root/${e.path}"): _*)
-        val dvPaths = es.flatMap(_.dv.get.paths).distinct
         val keys = spark.read.parquet(dvPaths.map(p => s"$root/$p"): _*)
         df.join(broadcast(keys), df(keyCol) === keys("__dvk"), "left_anti")
-    }
+      }
     (cleanDf ++ maskedDfs).reduce(_.unionByName(_))
   }
 

@@ -163,6 +163,57 @@ class AcidMorSpec extends SparkSpec {
     assert(e.getMessage.contains("compactDvs"))
   }
 
+  test("law: a random MOR chain answers exactly like the COW chain") {
+    // seeded randomized workloads: the same logical upsert/delete chain
+    // applied merge-on-read on one root and copy-on-write on another must
+    // agree after EVERY op, after folding the masks away, and after
+    // vacuum — the whole-space backing behind the fixture-pinned
+    // q_acid15/17 (union-mask safety, stat-conservative touching, and
+    // DV-aware rewrites all get exercised on shapes no fixture pins)
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val rootM = freshRoot(s"lawm$seed")
+      val rootC = freshRoot(s"lawc$seed")
+      def randKv(keys: Seq[Long]) =
+        kv(keys.map(k => k -> (rnd.nextInt(1000).toLong + 1L)): _*)
+      // base: 2 chunked appends over a random key subset
+      val baseKeys = rnd.shuffle((0L until 40L).toVector)
+        .take(20 + rnd.nextInt(15)).sorted
+      val (k1, k2) = baseKeys.splitAt(baseKeys.length / 2)
+      // draw each chunk ONCE and commit the same frame to both roots
+      val chunk1 = randKv(k1)
+      val chunk2 = randKv(k2)
+      Seq(rootM, rootC).foreach { r =>
+        AcidTable.commitAppend(chunk1, r, statsCols = Seq("k"))
+        AcidTable.commitAppend(chunk2, r, statsCols = Seq("k"))
+      }
+      (1 to 3).foreach { _ =>
+        if (rnd.nextBoolean()) {
+          // upsert: mix of existing and brand-new keys
+          val ks = rnd.shuffle((0L until 50L).toVector)
+            .take(1 + rnd.nextInt(6))
+          val ups = randKv(ks)
+          AcidTable.mergeMor(ups, rootM, "k", statsCols = Seq("k"))
+          AcidTable.mergeCow(ups, rootC, "k", statsCols = Seq("k"))
+        } else {
+          val lo = rnd.nextInt(50).toLong
+          val hi = lo + rnd.nextInt(12)
+          AcidTable.deleteMor(spark, rootM, "k", lo, hi)
+          AcidTable.deleteCow(spark, rootC, "k", lo, hi, statsCols = Seq("k"))
+        }
+        assert(asSet(AcidTable.read(spark, rootM)) ===
+          asSet(AcidTable.read(spark, rootC)), s"seed=$seed mid-chain")
+      }
+      val expect = asSet(AcidTable.read(spark, rootC))
+      AcidTable.compactDvs(spark, rootM, statsCols = Seq("k"))
+      assert(asSet(AcidTable.read(spark, rootM)) === expect,
+        s"seed=$seed after fold")
+      AcidTable.vacuum(spark, rootM, retainLast = 1)
+      assert(asSet(AcidTable.read(spark, rootM)) === expect,
+        s"seed=$seed after vacuum")
+    }
+  }
+
   test("readWhereRowGroups prunes blocks inside a packed file") {
     val root = freshRoot("rg")
     import spark.implicits._
