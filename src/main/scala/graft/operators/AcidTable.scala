@@ -797,6 +797,31 @@ object AcidTable {
     PrunedReadRg(df, kept.length, entries.length, rgScanned, rgTotal)
   }
 
+  /** DESCRIBE DETAIL (round 13): one-row physical summary of the CURRENT
+    * version — the observability an operator reads before choosing
+    * maintenance ([[compactSmall]] when n_files balloons, [[compactDvs]]
+    * when mask debt grows, [[vacuum]] when n_versions does; Delta's
+    * DESCRIBE DETAIL plays the same role). O(manifest) + one file-status
+    * per referenced file — never a data scan; at cluster scale the sizes
+    * ride the manifest like the stats do. */
+  def detail(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"AcidTable at $root has no committed version")
+    val v = vs.last
+    val (action, entries) = readManifest(spark, root, v)
+    val f = fs(spark, root)
+    def len(p: String): Long = f.getFileStatus(new Path(s"$root/$p")).getLen
+    val dvPaths = entries.flatMap(_.dv.map(_.paths).getOrElse(Nil)).distinct
+    Seq((v, action, vs.length.toLong, entries.length.toLong,
+      entries.count(_.dv.isDefined).toLong, dvPaths.length.toLong,
+      entries.map(e => len(e.path)).sum, dvPaths.map(len).sum,
+      checkpointVersions(spark, root).lastOption.getOrElse(0L)))
+      .toDF("version", "last_action", "n_versions", "n_files",
+        "n_masked_files", "n_masks", "data_bytes", "mask_bytes",
+        "last_checkpoint")
+  }
+
   /** (version, action, n_files) for every published version. */
   def history(spark: SparkSession, root: String): Seq[(Long, String, Int)] =
     versions(spark, root).map { v =>

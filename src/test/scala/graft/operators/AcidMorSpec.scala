@@ -163,6 +163,27 @@ class AcidMorSpec extends SparkSpec {
     assert(e.getMessage.contains("compactDvs"))
   }
 
+  test("detail reports mask debt; folding clears it") {
+    val root = freshRoot("det")
+    AcidTable.commitAppend(kv((1L to 10L).map(i => i -> i): _*), root,
+      statsCols = Seq("k"))
+    AcidTable.deleteMor(spark, root, "k", 2L, 4L)
+    val d = AcidTable.detail(spark, root).head()
+    assert(d.getAs[Long]("version") === 2L &&
+      d.getAs[String]("last_action") === "delete")
+    assert(d.getAs[Long]("n_versions") === 2L &&
+      d.getAs[Long]("n_files") === 1L)
+    assert(d.getAs[Long]("n_masked_files") === 1L &&
+      d.getAs[Long]("n_masks") === 1L)
+    assert(d.getAs[Long]("data_bytes") > 0L &&
+      d.getAs[Long]("mask_bytes") > 0L)
+    AcidTable.compactDvs(spark, root, statsCols = Seq("k"))
+    val d2 = AcidTable.detail(spark, root).head()
+    assert(d2.getAs[Long]("n_masked_files") === 0L &&
+      d2.getAs[Long]("mask_bytes") === 0L,
+      "OPTIMIZE cleared the mask debt the detail row surfaced")
+  }
+
   test("law: a random MOR chain answers exactly like the COW chain") {
     // seeded randomized workloads: the same logical upsert/delete chain
     // applied merge-on-read on one root and copy-on-write on another must
