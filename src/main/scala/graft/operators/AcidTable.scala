@@ -275,8 +275,8 @@ object AcidTable {
   def entriesOf(spark: SparkSession, root: String, v: Long): Seq[Entry] =
     readManifest(spark, root, v)._2
 
-  /** The action ('overwrite' | 'append' | 'compact' | 'merge' | 'delete')
-    * that published version `v`. */
+  /** The action ('overwrite' | 'append' | 'compact' | 'merge' | 'delete'
+    * | 'restore') that published version `v`. */
   def actionOf(spark: SparkSession, root: String, v: Long): String =
     readManifest(spark, root, v)._1
 
@@ -797,6 +797,19 @@ object AcidTable {
     PrunedReadRg(df, kept.length, entries.length, rgScanned, rgTotal)
   }
 
+  /** RESTORE (round 13 — Delta RESTORE): make version `v`'s state the
+    * CURRENT state by re-publishing its entry list as a NEW commit
+    * (action 'restore') — the audited undo: nothing is deleted, history
+    * keeps both the bad versions and the rollback, time travel still
+    * sees everything, and the restored files are referenced by the head
+    * again so [[vacuum]]'s retention keeps them. Incremental consumers
+    * see a non-append action and fail fast / opt in, exactly as for any
+    * rewrite. Returns the published version. */
+  def restore(spark: SparkSession, root: String, v: Long): Long = {
+    val entries = readManifest(spark, root, v)._2
+    commitRebase(spark, root, "restore", Nil, entries, replaceAll = true)._1
+  }
+
   /** DESCRIBE DETAIL (round 13): one-row physical summary of the CURRENT
     * version — the observability an operator reads before choosing
     * maintenance ([[compactSmall]] when n_files balloons, [[compactDvs]]
@@ -877,11 +890,19 @@ object AcidTable {
     *    order) — nothing is silently dropped, the DQ triage contract.
     *
     * Returns (published version, rejected row count, quarantine version —
-    * None when nothing violated). One persisted pass feeds both splits. */
+    * None when nothing violated). One persisted pass feeds both splits.
+    *
+    * `token` makes BOTH splits replay-idempotent for streaming ingestion
+    * (the [[commitAppendOnce]] contract): the table and its quarantine
+    * are separate roots, so the same token guards each independently — a
+    * crash after either commit replays the batch, the landed split
+    * no-ops on its token, the other completes, and at-least-once
+    * delivery converges to exactly-once state in BOTH tables. */
   def commitAppendExpect(df: DataFrame, root: String,
                          expectations: Seq[(String, org.apache.spark.sql.Column)],
                          onViolation: String = "fail",
-                         statsCols: Seq[String] = Nil)
+                         statsCols: Seq[String] = Nil,
+                         token: Option[String] = None)
       : (Long, Long, Option[Long]) = {
     require(expectations.nonEmpty, "commitAppendExpect needs >= 1 expectation")
     require(onViolation == "fail" || onViolation == "quarantine",
@@ -890,6 +911,11 @@ object AcidTable {
       require(n.nonEmpty && !n.contains(","),
         s"expectation name '$n' must be nonempty and comma-free")
     }
+    def commit(frame: DataFrame, r: String, cols: Seq[String]): Long =
+      token match {
+        case Some(t) => commitAppendOnce(frame, r, t, cols)
+        case None => commitAppend(frame, r, cols)
+      }
     val violArr = array(expectations.map { case (n, c) =>
       when(coalesce(c, lit(true)) === lit(false), lit(n))
     }: _*)
@@ -900,7 +926,7 @@ object AcidTable {
         .groupBy("__e").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       if (counts.nonEmpty) throw ExpectationViolation(root, counts)
-      (commitAppend(df, root, statsCols), 0L, None)
+      (commit(df, root, statsCols), 0L, None)
     } else {
       marked.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
@@ -909,9 +935,9 @@ object AcidTable {
         val rejected = bad.count()
         val good = marked.where(size(col("__violations")) === 0)
           .drop("__violations")
-        val v = commitAppend(good, root, statsCols)
+        val v = commit(good, root, statsCols)
         val qv = if (rejected == 0L) None
-          else Some(commitAppend(bad, s"$root/_quarantine"))
+          else Some(commit(bad, s"$root/_quarantine", Nil))
         (v, rejected, qv)
       } finally { marked.unpersist(); () }
     }

@@ -359,6 +359,25 @@ object ScanSinkQueries extends QueryModule {
       (root, v, qv.get, rejected)
     }
 
+  // Q-ACID20 fixture: RESTORE — a good state (v1), a bad overwrite (v2),
+  // and the audited rollback (v3 = restore(1), a NEW commit referencing
+  // v1's files; nothing deleted, the bad version stays time-travelable).
+  private def acidRestoreRoot(s: SparkSession, d: String): String =
+    Memo.cached(s, s"acidrestore|$d") {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_acidrestore/" +
+        s"${s.sparkContext.applicationId}/${new java.io.File(d).getName}"
+      val base = Tables.load(s, d, "orders").select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * lit(100.0)).cast("long").as("cents"))
+      AcidTable.commitOverwrite(
+        base.where(pmod(col("k"), lit(10L)) < 5), root)
+      AcidTable.commitOverwrite( // the "bad" state: cents corrupted
+        base.where(pmod(col("k"), lit(10L)) >= 7)
+          .withColumn("cents", col("cents") * 1000), root)
+      AcidTable.restore(s, root, 1L)
+      root
+    }
+
   // Q-DQ8 fixture: three parquet GENERATIONS written once per (session,
   // corpus) with planted drift — price_cents widens int→bigint→double,
   // region is renamed to region_name at gen 2 (same type, adjacent
@@ -763,6 +782,22 @@ object ScanSinkQueries extends QueryModule {
         .select(lit("quarantined").as("side"), col("__violations").as("grp"),
           col("n"), col("sum_cents"))
       good.unionByName(bad).orderBy("side", "grp")
+    }),
+
+    // Q-ACID20 (round 13): RESTORE — the audited rollback: v3 re-publishes
+    // v1's file list under the 'restore' action, so the current state
+    // equals the pre-corruption state EXACTLY while the bad v2 stays
+    // readable for forensics (all three versions' rollups + actions in
+    // one oracle-checked frame; v3's numbers must equal v1's with only
+    // (version, action) differing).
+    "q_acid20" -> ((s, d) => {
+      val root = acidRestoreRoot(s, d)
+      AcidTable.history(s, root).map { case (v, action, _) =>
+        AcidTable.readAsOf(s, root, v)
+          .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+          .select(lit(v).as("version"), lit(action).as("action"),
+            col("n"), col("sum_cents"))
+      }.reduce(_.unionByName(_)).orderBy("version")
     }),
 
     // Q-SCAN1: parquet scan + projection + total sort.
@@ -1316,6 +1351,27 @@ object ScanSinkQueries extends QueryModule {
         |  CAST(7 AS BIGINT) AS files_kept
         |FROM fin f, m
         |GROUP BY 1 ORDER BY band""".stripMargin,
+
+    // Three snapshots replayed from orders; the restored version's rollup
+    // is v1's by construction.
+    "q_acid20" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice*100,0) AS BIGINT) AS cents
+        |  FROM orders),
+        |v1 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents
+        |  FROM base WHERE k % 10 < 5),
+        |v2 AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents * 1000) AS BIGINT) AS sum_cents
+        |  FROM base WHERE k % 10 >= 7)
+        |SELECT CAST(1 AS BIGINT) AS version, 'overwrite' AS action,
+        |  n, sum_cents FROM v1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'overwrite', n, sum_cents FROM v2
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), 'restore', n, sum_cents FROM v1
+        |ORDER BY version""".stripMargin,
 
     // Both commit splits replayed from orders: viol = '' rows are the
     // accepted side, the rest group by their (declaration-ordered,

@@ -42,4 +42,30 @@ object StreamingAcid {
       .start()
     q.awaitTermination()
   }
+
+  /** [[run]] with write-time EXPECTATIONS (round 13 — the Delta Live
+    * Tables composition: streaming ingestion + CHECK expectations +
+    * ACID): each micro-batch splits at the commit gate — passing rows
+    * become one atomic table version, violating rows one atomic
+    * `tableRoot/_quarantine` version tagged `__violations` — and BOTH
+    * splits are replay-idempotent under the batch-id token (separate
+    * roots ⇒ independent token spaces; a crash between the two commits
+    * replays the batch, the landed split no-ops, the other completes). */
+  def runExpect(spark: SparkSession, incomingDir: String, schema: StructType,
+                tableRoot: String, checkpoint: String,
+                expectations: Seq[(String, org.apache.spark.sql.Column)])
+      : Unit = {
+    val q = spark.readStream.schema(schema).parquet(incomingDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        AcidTable.commitAppendExpect(batch, tableRoot, expectations,
+          onViolation = "quarantine",
+          token = Some(s"stream-batch-$batchId"))
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }
