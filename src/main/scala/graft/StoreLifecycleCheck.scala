@@ -82,6 +82,11 @@ object StoreLifecycleCheck {
       AcidTable.mergeCow(
         s1.range(10).toDF("k").withColumn("v", lit(-5L)), s"$root/acid",
         "k", statsCols = Seq("k"))
+      // r13: a merge-on-read DELETE — the DV mask parquet + dv-annotated
+      // manifest lines must serve the masked read in a fresh process
+      val (_, masked13, rw13) = AcidTable.deleteMor(s1, s"$root/acid",
+        "k", 20L, 24L)
+      require(rw13 == 0 && masked13 >= 1, "MOR delete should mask, not rewrite")
       s1.stop()
     }
     SparkSession.clearActiveSession()
@@ -157,20 +162,28 @@ object StoreLifecycleCheck {
 
       // ---- ACID table: a brand-new session time-travels both versions ----
       import graft.operators.AcidTable
-      require(AcidTable.versions(s2, s"$root/acid") == Seq(1L, 2L, 3L),
+      require(AcidTable.versions(s2, s"$root/acid") == Seq(1L, 2L, 3L, 4L),
         "acid store lost a version across the process boundary")
       val asOf1 = AcidTable.readAsOf(s2, s"$root/acid", 1)
       val latest = AcidTable.read(s2, s"$root/acid")
-      require(asOf1.count() == NOld && latest.count() == NAll,
+      require(asOf1.count() == NOld && latest.count() == NAll - 5,
         s"acid snapshot counts wrong: v1=${asOf1.count()} latest=${latest.count()}")
       // v2 (pre-merge) is untouched; v3 carries the upsert
       val sumV2 = AcidTable.readAsOf(s2, s"$root/acid", 2)
         .agg(sum(col("v"))).head().getLong(0)
       require(sumV2 == NAll * (NAll - 1), s"acid v2 content wrong: sum(v)=$sumV2")
-      val sumV = latest.agg(sum(col("v"))).head().getLong(0)
       val expectedMerged = NAll * (NAll - 1) - (0L until 10L).map(_ * 2).sum - 50L
-      require(sumV == expectedMerged,
-        s"acid merged content wrong: sum(v)=$sumV expected $expectedMerged")
+      val sumV3 = AcidTable.readAsOf(s2, s"$root/acid", 3)
+        .agg(sum(col("v"))).head().getLong(0)
+      require(sumV3 == expectedMerged,
+        s"acid merged content wrong: sum(v)=$sumV3 expected $expectedMerged")
+      // r13: v4 is the MOR delete of k=20..24 — the RELOADED session must
+      // apply the DV mask it has never seen built (keys 20..24 carry
+      // v = 2k, summing 220)
+      val sumV = latest.agg(sum(col("v"))).head().getLong(0)
+      require(sumV == expectedMerged - 220L,
+        s"reloaded DV mask not applied: sum(v)=$sumV " +
+          s"expected ${expectedMerged - 220L}")
       // r12: data skipping off the RELOADED manifest stats — the pruned
       // read must plan fewer files and still answer exactly
       val pr = AcidTable.readWhere(s2, s"$root/acid", 3L,
@@ -183,19 +196,22 @@ object StoreLifecycleCheck {
         s"pruned read ${pr.filesScanned}/${pr.filesTotal} files from reloaded manifests")
 
       // r12 cont.: the CDC tail RESUMES across the process boundary — the
-      // day-1 markers survive, so the new session delivers ONLY the merge
-      // committed after the checkpoint, as its logical row delta
-      var feed = Map.empty[String, Long]
+      // day-1 markers survive, so the new session delivers ONLY the
+      // commits after the checkpoint, each as its logical row delta
+      // (incl. the MOR delete: same-path-new-mask entries feed 'removed')
+      var feeds = Map.empty[Long, Map[String, Long]]
       val t2 = graft.streaming.AcidTail.tailChanges(s2, s"$root/acid",
-        s"$root/acid_ck", Seq("k"), Seq("v")) { (df, _) =>
-        feed = df.groupBy("change_type").count().collect()
+        s"$root/acid_ck", Seq("k"), Seq("v")) { (df, v) =>
+        feeds += v -> df.groupBy("change_type").count().collect()
           .map(r => r.getString(0) -> r.getLong(1)).toMap
       }
-      require(t2 == Seq(3L),
-        s"resumed tail processed $t2, want only the post-checkpoint [3]")
-      require(feed == Map("changed" -> 10L),
-        s"v3's delta must be exactly the 10 upserted keys, got $feed")
-      println(s"acid-tail-lifecycle OK: resumed at v3, delta=$feed")
+      require(t2 == Seq(3L, 4L),
+        s"resumed tail processed $t2, want the post-checkpoint [3, 4]")
+      require(feeds(3L) == Map("changed" -> 10L),
+        s"v3's delta must be exactly the 10 upserted keys, got ${feeds(3L)}")
+      require(feeds(4L) == Map("removed" -> 5L),
+        s"v4's delta must be the 5 MOR-masked keys, got ${feeds(4L)}")
+      println(s"acid-tail-lifecycle OK: resumed at v3+v4, deltas=$feeds")
     } finally s2.stop()
   }
 }
