@@ -117,8 +117,10 @@ object AcidTable {
     new String(h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray,
       StandardCharsets.UTF_8)
   /** Unsigned UTF-8 byte comparison — the parquet-footer and UTF8String
-    * string order (== code-point order; UTF-16 code-unit order is not). */
-  private def utf8Cmp(a: String, b: String): Int = {
+    * string order (== code-point order; UTF-16 code-unit order is not).
+    * (package-visible: the DSv2 source's filter translation needs the
+    * SAME order when folding IN-list string bounds). */
+  private[graft] def utf8Cmp(a: String, b: String): Int = {
     val (x, y) = (a.getBytes(StandardCharsets.UTF_8),
       b.getBytes(StandardCharsets.UTF_8))
     var i = 0
@@ -467,7 +469,7 @@ object AcidTable {
     * int32-backed DECIMAL's footer carries UNSCALED values and unsigned
     * ints reorder — pruning on either would silently compare wrong
     * numbers. */
-  private def longSafeType(
+  private[graft] def longSafeType(
       t: org.apache.parquet.schema.PrimitiveType): Boolean = {
     import org.apache.parquet.schema.LogicalTypeAnnotation._
     t.getLogicalTypeAnnotation match {
@@ -479,7 +481,7 @@ object AcidTable {
     }
   }
 
-  private def strType(t: org.apache.parquet.schema.PrimitiveType): Boolean =
+  private[graft] def strType(t: org.apache.parquet.schema.PrimitiveType): Boolean =
     t.getLogicalTypeAnnotation.isInstanceOf[
       org.apache.parquet.schema.LogicalTypeAnnotation.StringLogicalTypeAnnotation]
 
@@ -716,6 +718,12 @@ object AcidTable {
     PrunedRead(df, kept.length, entries.length)
   }
 
+  /** The file-level prune [[readWhere]] applies, exposed for the DSv2
+    * scan ([[graft.sources.AcidSource]] — round 14 filter pushdown): the
+    * entries whose stats can contain a row matching every `range`. */
+  def pruneEntries(entries: Seq[Entry], ranges: Seq[ScanRange]): Seq[Entry] =
+    entries.filter(entryCanMatch(_, ranges))
+
   private def entryCanMatch(e: Entry, ranges: Seq[ScanRange]): Boolean =
     ranges.forall {
       case ColRange(c, lo, hi) =>
@@ -919,17 +927,23 @@ object AcidTable {
     val violArr = array(expectations.map { case (n, c) =>
       when(coalesce(c, lit(true)) === lit(false), lit(n))
     }: _*)
+    // BOTH modes persist the marked frame before acting on it (ADVICE
+    // r13): the fail branch counts violations and then commits — without
+    // pinning, a non-deterministic or re-read-unstable input could pass
+    // the count and still publish violating rows on the second
+    // evaluation. What was VALIDATED must be what is PUBLISHED, so the
+    // commit reads the persisted frame, never the raw `df` lineage.
     val marked = df.withColumn("__violations",
       filter(violArr, x => x.isNotNull))
-    if (onViolation == "fail") {
-      val counts = marked.select(explode(col("__violations")).as("__e"))
-        .groupBy("__e").count().collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
-      if (counts.nonEmpty) throw ExpectationViolation(root, counts)
-      (commit(df, root, statsCols), 0L, None)
-    } else {
-      marked.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
+    marked.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (onViolation == "fail") {
+        val counts = marked.select(explode(col("__violations")).as("__e"))
+          .groupBy("__e").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        if (counts.nonEmpty) throw ExpectationViolation(root, counts)
+        (commit(marked.drop("__violations"), root, statsCols), 0L, None)
+      } else {
         val bad = marked.where(size(col("__violations")) > 0)
           .withColumn("__violations", concat_ws(",", col("__violations")))
         val rejected = bad.count()
@@ -939,8 +953,8 @@ object AcidTable {
         val qv = if (rejected == 0L) None
           else Some(commit(bad, s"$root/_quarantine", Nil))
         (v, rejected, qv)
-      } finally { marked.unpersist(); () }
-    }
+      }
+    } finally { marked.unpersist(); () }
   }
 
   /** Copy-on-write UPSERT (round 12): apply `updates` keyed by the long

@@ -446,6 +446,18 @@ object NswAnn {
         "design contract; rebuild the graph before batched serving")
     val tops = entriesLocal.filter(_._1 == topLevel).map(_._2).distinct
     val hierNodes = (tops ++ hierLocal.map(_._3)).distinct
+    // the edge budget above bounds the HIERARCHY; the collect below is
+    // |queries| x |hierNodes| scored rows — bound the cross product too
+    // (ADVICE r13: a large batch over a big entry hierarchy could OOM the
+    // driver where the old distributed per-level loop could not). 8M rows
+    // of (long, long, double) is ~200 MB of driver heap — the ceiling.
+    val batchSize = q.count()
+    require(batchSize * hierNodes.length <= 8000000L,
+      s"batched NSW descent would collect $batchSize queries x " +
+        s"${hierNodes.length} hierarchy nodes = " +
+        s"${batchSize * hierNodes.length} scored rows to the driver — " +
+        "split the query batch, or rebuild the graph with a smaller " +
+        "entry hierarchy")
     val hierNodesDf = hierNodes.toDF("__id")
     val hierScores: Map[Long, Map[Long, Double]] =
       score(q.select("query_id").crossJoin(broadcast(hierNodesDf)))

@@ -33,6 +33,31 @@ object AtomicPublish {
       catch {
         case _: java.nio.file.FileAlreadyExistsException =>
           fs.delete(tmp, false); false
+        // mount without hard-link support (FUSE, CIFS/FAT, some overlay
+        // edges) — ADVICE r13: without a fallback every publish bricks.
+        // Next-best primitive: open(O_CREAT|O_EXCL), still exclusive —
+        // of two racers exactly one creates dst — but the body lands
+        // through a write after the create, so a crash mid-write can
+        // leave a short dst (the hard-link path can't). Manifest readers
+        // fail loudly on a torn body (missing #action header), never
+        // silently; the narrowing matches the documented S3 caveat.
+        case linkless @ (_: UnsupportedOperationException |
+                         _: java.nio.file.FileSystemException) =>
+          val won =
+            try {
+              val body = Files.readAllBytes(src)
+              val ch = Files.newByteChannel(d,
+                java.nio.file.StandardOpenOption.CREATE_NEW,
+                java.nio.file.StandardOpenOption.WRITE)
+              try { ch.write(java.nio.ByteBuffer.wrap(body)) }
+              finally ch.close()
+              true
+            } catch {
+              case _: java.nio.file.FileAlreadyExistsException => false
+              case scala.util.control.NonFatal(_) =>
+                fs.delete(tmp, false); throw linkless
+            }
+          fs.delete(tmp, false); won
         case e: Throwable => fs.delete(tmp, false); throw e
       }
     } else {
