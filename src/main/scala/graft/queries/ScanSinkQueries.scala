@@ -800,6 +800,26 @@ object ScanSinkQueries extends QueryModule {
       }.reduce(_.unionByName(_)).orderBy("version")
     }),
 
+    // Q-ACID21 (round 14): FILTER PUSHDOWN through the DSv2 surface —
+    // the q_acid4 skipping workload issued as a plain
+    // spark.read.format("graft-acid").load().where(...): Spark's pushed
+    // filters become ScanRanges, the manifest stats prune entries at
+    // planInputPartitions (files_scanned IS the partition count — the
+    // prune is structural, not advisory), and the surviving files'
+    // readers push the same ranges into parquet row-group filters. The
+    // oracle replays the per-bucket stats prune AND the data rollup, so
+    // both the file-level decision and the row answer are hash-pinned.
+    "q_acid21" -> ((s, d) => {
+      val (root, nFiles, maxk, _) = acidZ(s, d)
+      val df = s.read.format("graft-acid").option("root", root).load()
+        .where(col("k").between(maxk / 4, maxk / 2) &&
+               col("cents").between(10000000L, 30000000L))
+      val filesScanned = df.rdd.getNumPartitions.toLong
+      df.agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .select(lit(nFiles).as("files_total"),
+          lit(filesScanned).as("files_scanned"), col("n"), col("sum_cents"))
+    }),
+
     // Q-SCAN1: parquet scan + projection + total sort.
     "q_scan1" -> ((s, d) =>
       Tables.load(s, d, "lineitem")
@@ -1117,6 +1137,40 @@ object ScanSinkQueries extends QueryModule {
     // commit), so the prune decision replays as relational algebra: a
     // file is scanned iff its (k, cents) rectangle overlaps the ranges.
     "q_acid4" -> {
+      val zsql = graft.operators.Layout.zValueSql(Seq("ks", "cs"), 10)
+      s"""WITH base AS (
+         |  SELECT o_orderkey AS k,
+         |    CAST(round(o_totalprice*100,0) AS BIGINT) AS cents
+         |  FROM orders),
+         |m AS (SELECT max(k) AS maxk, max(cents) AS maxc FROM base),
+         |sc AS (SELECT b.k, b.cents,
+         |    (b.k * 1024) // (m.maxk + 1) AS ks,
+         |    (b.cents * 1024) // (m.maxc + 1) AS cs
+         |  FROM base b, m),
+         |zb AS (SELECT k, cents, $zsql AS z FROM sc),
+         |f AS (SELECT z // 65536 AS b, min(k) AS mink, max(k) AS maxk2,
+         |    min(cents) AS minc, max(cents) AS maxc2
+         |  FROM zb GROUP BY 1),
+         |scan AS (SELECT
+         |    (SELECT CAST(count(*) AS BIGINT) FROM f) AS files_total,
+         |    CAST(count(*) AS BIGINT) AS files_scanned
+         |  FROM f, m
+         |  WHERE f.maxk2 >= m.maxk // 4 AND f.mink <= m.maxk // 2
+         |    AND f.maxc2 >= 10000000 AND f.minc <= 30000000),
+         |dat AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(cents) AS BIGINT) AS sum_cents
+         |  FROM base, m
+         |  WHERE k BETWEEN m.maxk // 4 AND m.maxk // 2
+         |    AND cents BETWEEN 10000000 AND 30000000)
+         |SELECT files_total, files_scanned, n, sum_cents
+         |FROM scan, dat""".stripMargin
+    },
+
+    // The q_acid4 replay, served through the DSv2 batch surface with the
+    // predicate PUSHED: files_scanned is the plan's partition count, so
+    // the oracle pins that Spark's own filter pushdown reached the
+    // manifest stats (not just that the rows came back right).
+    "q_acid21" -> {
       val zsql = graft.operators.Layout.zValueSql(Seq("ks", "cs"), 10)
       s"""WITH base AS (
          |  SELECT o_orderkey AS k,

@@ -122,6 +122,145 @@ object AcidSource {
     buf.toSeq
   }
 
+  /** Translate Spark's pushed filters into the manifest's inclusive
+    * [[AcidTable.ScanRange]]s (round 14). Per column, every usable
+    * conjunct INTERSECTS into one range: long columns take the full
+    * eq/gt/gte/lt/lte/in algebra with saturating bounds; string columns
+    * take eq and in (folded to UTF-8-byte-order min/max — the manifest's
+    * stat order). `And` recurses; anything else (Or, IsNull, nested
+    * columns, other value types) is ignored — the prune is a SUPERSET by
+    * contract, so ignoring a filter is always safe. Returns (ranges,
+    * the filters that contributed). */
+  private[sources] def toScanRanges(
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : (Seq[AcidTable.ScanRange],
+         Array[org.apache.spark.sql.sources.Filter]) = {
+    import org.apache.spark.sql.sources._
+    val longLo = scala.collection.mutable.Map.empty[String, Long]
+    val longHi = scala.collection.mutable.Map.empty[String, Long]
+    val strLo = scala.collection.mutable.Map.empty[String, String]
+    val strHi = scala.collection.mutable.Map.empty[String, String]
+    def longVal(v: Any): Option[Long] = v match {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case s: Short => Some(s.toLong)
+      case b: Byte => Some(b.toLong)
+      case _ => None
+    }
+    def tightenLong(c: String, lo: Option[Long], hi: Option[Long]): Unit = {
+      lo.foreach(l => longLo.updateWith(c)(p => Some(p.fold(l)(math.max(_, l)))))
+      hi.foreach(h => longHi.updateWith(c)(p => Some(p.fold(h)(math.min(_, h)))))
+    }
+    def tightenStr(c: String, lo: String, hi: String): Unit = {
+      strLo.updateWith(c)(p =>
+        Some(p.fold(lo)(x => if (AcidTable.utf8Cmp(x, lo) >= 0) x else lo)))
+      strHi.updateWith(c)(p =>
+        Some(p.fold(hi)(x => if (AcidTable.utf8Cmp(x, hi) <= 0) x else hi)))
+    }
+    // top-level column name only — a dotted name would be a nested field,
+    // which the primitive-column table surface never has
+    def flat(c: String): Boolean = !c.contains(".")
+    def walk(f: Filter): Boolean = f match {
+      case And(l, r) =>
+        val (a, b) = (walk(l), walk(r)); a || b
+      case EqualTo(c, v: String) if flat(c) => tightenStr(c, v, v); true
+      case EqualTo(c, v) if flat(c) && longVal(v).isDefined =>
+        val l = longVal(v).get; tightenLong(c, Some(l), Some(l)); true
+      case GreaterThan(c, v) if flat(c) && longVal(v).isDefined =>
+        val l = longVal(v).get
+        tightenLong(c, Some(if (l == Long.MaxValue) l else l + 1), None); true
+      case GreaterThanOrEqual(c, v) if flat(c) && longVal(v).isDefined =>
+        tightenLong(c, longVal(v), None); true
+      case LessThan(c, v) if flat(c) && longVal(v).isDefined =>
+        val l = longVal(v).get
+        tightenLong(c, None, Some(if (l == Long.MinValue) l else l - 1)); true
+      case LessThanOrEqual(c, v) if flat(c) && longVal(v).isDefined =>
+        tightenLong(c, None, longVal(v)); true
+      case In(c, vs) if flat(c) && vs.nonEmpty &&
+          vs.forall(longVal(_).isDefined) =>
+        val ls = vs.map(longVal(_).get)
+        tightenLong(c, Some(ls.min), Some(ls.max)); true
+      case In(c, vs) if flat(c) && vs.nonEmpty &&
+          vs.forall(_.isInstanceOf[String]) =>
+        val ss = vs.map(_.asInstanceOf[String])
+        val ord = Ordering.fromLessThan[String](AcidTable.utf8Cmp(_, _) < 0)
+        tightenStr(c, ss.min(ord), ss.max(ord)); true
+      case _ => false
+    }
+    val accepted = filters.filter(walk)
+    // a column bounded on ONE side still prunes: saturate the other
+    val longCols = (longLo.keySet ++ longHi.keySet).toSeq.sorted
+    val strCols = (strLo.keySet ++ strHi.keySet)
+      .filterNot(longCols.contains).toSeq.sorted
+    val ranges: Seq[AcidTable.ScanRange] =
+      longCols.map(c => AcidTable.ColRange(c,
+        longLo.getOrElse(c, Long.MinValue),
+        longHi.getOrElse(c, Long.MaxValue))) ++
+      strCols.flatMap(c => (strLo.get(c), strHi.get(c)) match {
+        // one-sided string bounds can't saturate (no max string) — only
+        // two-sided string constraints (eq / in) become ranges
+        case (Some(lo), Some(hi)) => Some(AcidTable.StrRange(c, lo, hi))
+        case _ => None
+      })
+    (ranges, accepted)
+  }
+
+  /** [[AcidTable.ScanRange]]s → a parquet [[FilterPredicate]] for ONE
+    * file's schema (round 14): each range whose column exists in the file
+    * with an order-safe type becomes gtEq AND ltEq on the native column
+    * kind (int32 bounds clamped; string bounds as UTF-8 binary — parquet's
+    * UTF8 comparator IS unsigned byte order, the same order the range was
+    * stated in). Columns absent from the file or of unusable type
+    * contribute nothing — the predicate is a conjunction of what CAN be
+    * checked, superset-safe by construction. */
+  private[sources] def rangesToParquetFilter(
+      ranges: Seq[AcidTable.ScanRange], fileSchema: MessageType)
+      : Option[org.apache.parquet.filter2.predicate.FilterPredicate] = {
+    import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
+    import org.apache.parquet.io.api.Binary
+    import PrimitiveType.PrimitiveTypeName._
+    val parts: Seq[FilterPredicate] = ranges.flatMap { r =>
+      if (!fileSchema.containsField(r.col)) None
+      else {
+        val f = (fileSchema: org.apache.parquet.schema.GroupType).getType(r.col)
+        if (!f.isPrimitive) None
+        else {
+          val pt = f.asPrimitiveType()
+          (r, pt.getPrimitiveTypeName) match {
+            case (AcidTable.ColRange(c, lo, hi), INT64)
+                if graft.operators.AcidTable.longSafeType(pt) =>
+              Some(FilterApi.and(
+                FilterApi.gtEq(FilterApi.longColumn(c), java.lang.Long.valueOf(lo)),
+                FilterApi.ltEq(FilterApi.longColumn(c), java.lang.Long.valueOf(hi))))
+            case (AcidTable.ColRange(c, lo, hi), INT32)
+                if graft.operators.AcidTable.longSafeType(pt) =>
+              // clamp into int32; an empty clamped range can't be
+              // expressed better than (lo > hi) — gtEq(max) && ltEq(min)
+              // keeps the conjunction false for every row, still exact
+              val l = math.max(lo, Int.MinValue.toLong).toInt
+              val h = math.min(hi, Int.MaxValue.toLong).toInt
+              if (lo > Int.MaxValue.toLong || hi < Int.MinValue.toLong)
+                Some(FilterApi.and(
+                  FilterApi.gtEq(FilterApi.intColumn(c),
+                    java.lang.Integer.valueOf(Int.MaxValue)),
+                  FilterApi.ltEq(FilterApi.intColumn(c),
+                    java.lang.Integer.valueOf(Int.MinValue))))
+              else Some(FilterApi.and(
+                FilterApi.gtEq(FilterApi.intColumn(c), java.lang.Integer.valueOf(l)),
+                FilterApi.ltEq(FilterApi.intColumn(c), java.lang.Integer.valueOf(h))))
+            case (AcidTable.StrRange(c, lo, hi), BINARY)
+                if graft.operators.AcidTable.strType(pt) =>
+              Some(FilterApi.and(
+                FilterApi.gtEq(FilterApi.binaryColumn(c), Binary.fromString(lo)),
+                FilterApi.ltEq(FilterApi.binaryColumn(c), Binary.fromString(hi))))
+            case _ => None
+          }
+        }
+      }
+    }
+    parts.reduceOption(FilterApi.and)
+  }
+
   /** Parquet footer MessageType → Spark StructType, primitive columns
     * (the ACID table surface: int/long/float/double/boolean/string/
     * binary, plus DATE and micros TIMESTAMP annotations). */
@@ -170,66 +309,120 @@ class AcidSourceTable(tableSchema: StructType,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_READ)
+
+  // SNAPSHOT PINNING (ADVICE r13): the batch version is resolved ONCE per
+  // loaded table — the first batch action resolves it, every later action
+  // on the same DataFrame reads the SAME version even if commits land in
+  // between (Delta pins its snapshot the same way; a fresh `load()` sees
+  // the new head). Lazy so a pure readStream never resolves it — the
+  // streaming source tracks versions through its own offsets.
+  private lazy val pinnedVersion: Long = {
+    val root = AcidSource.rootOf(options)
+    Option(options.get("asOfVersion")).map(_.toLong)
+      .getOrElse(AcidTable.currentVersion(SparkSession.active, root))
+  }
+
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = new util.HashMap[String, String](options.asCaseSensitiveMap())
     merged.putAll(o.asCaseSensitiveMap())
     val opts = new CaseInsensitiveStringMap(merged)
     // column pruning reaches the parquet decode: the reader projects the
     // file schema down to the required fields (parquet.read.schema), so a
-    // 2-column select over a 50-column table never materializes the rest
-    new ScanBuilder with SupportsPushDownRequiredColumns {
+    // 2-column select over a 50-column table never materializes the rest.
+    // FILTER pushdown (round 14 — VERDICT r13 #1) reaches BOTH skipping
+    // layers: eq/range/in predicates on stats columns become ScanRanges
+    // that prune manifest ENTRIES at planning ([[AcidTable.pruneEntries]],
+    // the readWhere prune through the standard API), and each surviving
+    // file's reader turns them into a parquet FilterPredicate so the
+    // footer's per-block stats skip ROW GROUPS inside the kept files.
+    // Every filter stays residual (Spark re-applies it) — the prune is a
+    // superset by contract, so the decision can never change an answer.
+    new ScanBuilder with SupportsPushDownRequiredColumns
+        with SupportsPushDownFilters {
       private var required = tableSchema
+      private var pushed = Array.empty[org.apache.spark.sql.sources.Filter]
+      private var ranges = Seq.empty[AcidTable.ScanRange]
       override def pruneColumns(r: StructType): Unit = required = r
-      override def build(): Scan = new AcidScan(required, opts)
+      override def pushFilters(
+          filters: Array[org.apache.spark.sql.sources.Filter])
+          : Array[org.apache.spark.sql.sources.Filter] = {
+        val (rs, accepted) = AcidSource.toScanRanges(filters)
+        ranges = rs
+        pushed = accepted
+        filters // all residual: pruning is a superset, never exact
+      }
+      override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+        pushed
+      override def build(): Scan =
+        new AcidScan(required, opts, pinnedVersion, ranges)
     }
   }
 }
 
-class AcidScan(tableSchema: StructType, options: CaseInsensitiveStringMap)
+class AcidScan(tableSchema: StructType, options: CaseInsensitiveStringMap,
+               pinnedVersion: => Long,
+               ranges: Seq[AcidTable.ScanRange] = Nil)
   extends Scan with Batch {
   private val root = AcidSource.rootOf(options)
   override def readSchema(): StructType = tableSchema
-  override def description(): String = s"graft-acid root=$root"
+  override def description(): String =
+    s"graft-acid root=$root" +
+      (if (ranges.isEmpty) "" else s" ranges=${ranges.mkString(",")}")
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new AcidMicroBatchStream(root, tableSchema,
       startingVersion = options.getLong("startingVersion", 1L),
       maxVersionsPerBatch = options.getLong("maxVersionsPerBatch", Long.MaxValue),
       allowNonAppend = options.getBoolean("allowNonAppend", false))
 
-  /** BATCH read (round 13): one snapshot — the current version, or
+  /** BATCH read (round 13): one snapshot — the table-pinned version, or
     * `asOfVersion` (time travel through the DSv2 surface). One input
     * partition per manifest entry; deletion vectors are applied IN the
-    * reader: each masked entry's key masks (kilobytes by the MOR
-    * contract) are loaded on the DRIVER at planning time and shipped
-    * with the partition, so the executor-side decode filters masked rows
-    * without a join. */
+    * reader: each DISTINCT mask-path set's keys (kilobytes by the MOR
+    * contract) are loaded ONCE on the driver and shipped ONCE PER
+    * EXECUTOR via broadcast (ADVICE r13 — planning was O(entries x
+    * maskKeys) and every partition carried its own key-array copy; the
+    * common mergeMor shape masks MANY entries with ONE shared list), so
+    * the executor-side decode filters masked rows without a join. */
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  private case class PlannedBatch(
+      parts: Array[InputPartition],
+      masks: org.apache.spark.broadcast.Broadcast[
+        Map[String, (Array[Long], Array[String])]])
+
+  private lazy val planned: PlannedBatch = {
     val spark = SparkSession.active
-    val v = Option(options.get("asOfVersion")).map(_.toLong)
-      .getOrElse(AcidTable.currentVersion(spark, root))
     val conf = spark.sparkContext.hadoopConfiguration
-    AcidTable.entriesOf(spark, root, v).map { e =>
+    // file-level skipping through the DSv2 surface: entries whose stats
+    // exclude every pushed range never become partitions
+    val entries = AcidTable.pruneEntries(
+      AcidTable.entriesOf(spark, root, pinnedVersion), ranges)
+    def maskKey(d: AcidTable.Dv): String = d.col + "|" + d.paths.mkString(";")
+    val distinctSets = entries.flatMap(_.dv).map(d => maskKey(d) -> d).toMap
+    val loaded = distinctSets.map { case (k, d) =>
+      val keys = d.paths.flatMap(p => AcidSource.readMaskKeys(conf, s"$root/$p"))
+      require(keys.length <= 4000000,
+        s"deletion-vector mask set '${d.paths.mkString(";")}' holds " +
+          s"${keys.length} keys — fold it first (AcidTable.compactDvs) " +
+          "or read through AcidTable.readAsOf")
+      val longs = keys.collect { case l: java.lang.Long => l.longValue() }
+      val strs = keys.collect { case s: String => s }
+      k -> (longs.toArray, strs.toArray)
+    }
+    val parts: Array[InputPartition] = entries.map { e =>
       e.dv match {
-        case None => AcidFilePartition(s"$root/${e.path}")
+        case None => AcidFilePartition(s"$root/${e.path}", ranges = ranges)
         case Some(d) =>
-          val keys = d.paths.flatMap(p =>
-            AcidSource.readMaskKeys(conf, s"$root/$p"))
-          require(keys.length <= 4000000,
-            s"deletion-vector mask of ${e.path} holds ${keys.length} keys" +
-              " — fold it first (AcidTable.compactDvs) or read through" +
-              " AcidTable.readAsOf")
-          val longs = keys.collect { case l: java.lang.Long => l.longValue() }
-          val strs = keys.collect { case s: String => s }
-          AcidFilePartition(s"$root/${e.path}", d.col,
-            longs.toArray, strs.toArray)
+          AcidFilePartition(s"$root/${e.path}", d.col, maskKey(d), ranges)
       }
     }.toArray
+    PlannedBatch(parts, spark.sparkContext.broadcast(loaded))
   }
 
+  override def planInputPartitions(): Array[InputPartition] = planned.parts
+
   override def createReaderFactory(): PartitionReaderFactory =
-    new AcidReaderFactory(tableSchema)
+    new AcidReaderFactory(tableSchema, planned.masks)
 }
 
 /** Offset = the highest table version already delivered. */
@@ -310,15 +503,24 @@ class AcidMicroBatchStream(root: String, tableSchema: StructType,
 }
 
 /** One manifest entry's scan unit: the data file plus (batch reads only)
-  * its deletion-vector key mask, pre-loaded driver-side. */
+  * the KEY of its deletion-vector mask set in the factory's broadcast —
+  * the partition ships a constant-size reference, never the key arrays. */
 case class AcidFilePartition(path: String, dvCol: String = null,
-                             dvLongKeys: Array[Long] = Array.empty,
-                             dvStrKeys: Array[String] = Array.empty)
+                             dvMaskKey: String = null,
+                             ranges: Seq[AcidTable.ScanRange] = Nil)
   extends InputPartition
 
-class AcidReaderFactory(schema: StructType) extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new AcidFileReader(p.asInstanceOf[AcidFilePartition], schema)
+class AcidReaderFactory(schema: StructType,
+                        masks: org.apache.spark.broadcast.Broadcast[
+                          Map[String, (Array[Long], Array[String])]] = null)
+  extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val fp = p.asInstanceOf[AcidFilePartition]
+    val (longs, strs) =
+      if (fp.dvMaskKey == null) (Array.empty[Long], Array.empty[String])
+      else masks.value(fp.dvMaskKey)
+    new AcidFileReader(fp, schema, longs, strs)
+  }
 }
 
 /** One parquet data file → InternalRows for the table schema, via
@@ -327,26 +529,33 @@ class AcidReaderFactory(schema: StructType) extends PartitionReaderFactory {
   * from the file (or null in a row) lands as null. Rows whose DV-column
   * value sits in the partition's key mask are skipped (merge-on-read
   * applied at decode time — no join needed, the mask is kilobytes). */
-class AcidFileReader(p: AcidFilePartition, schema: StructType)
+class AcidFileReader(p: AcidFilePartition, schema: StructType,
+                     dvLongKeys: Array[Long] = Array.empty,
+                     dvStrKeys: Array[String] = Array.empty)
   extends PartitionReader[InternalRow] {
 
   private val path = p.path
   private val longMask: java.util.HashSet[Long] =
-    if (p.dvLongKeys.isEmpty) null
-    else { val s = new java.util.HashSet[Long](p.dvLongKeys.length * 2)
-      p.dvLongKeys.foreach(s.add); s }
+    if (dvLongKeys.isEmpty) null
+    else { val s = new java.util.HashSet[Long](dvLongKeys.length * 2)
+      dvLongKeys.foreach(s.add); s }
   private val strMask: java.util.HashSet[String] =
-    if (p.dvStrKeys.isEmpty) null
-    else { val s = new java.util.HashSet[String](p.dvStrKeys.length * 2)
-      p.dvStrKeys.foreach(s.add); s }
+    if (dvStrKeys.isEmpty) null
+    else { val s = new java.util.HashSet[String](dvStrKeys.length * 2)
+      dvStrKeys.foreach(s.add); s }
 
   private val reader: ParquetReader[Group] = {
     val conf = new Configuration()
     // project the decode down to the pruned columns (plus the DV column —
     // the mask check must still see the key even when the query did not
-    // select it); an empty requirement (count(*)) skips projection
-    val wanted: Set[String] = schema.fieldNames.toSet ++ Option(p.dvCol)
-    if (wanted.nonEmpty) {
+    // select it — and the pushed-range columns, which the parquet filter
+    // below must be able to evaluate); an empty requirement (count(*))
+    // with no ranges skips projection
+    val wanted: Set[String] = schema.fieldNames.toSet ++ Option(p.dvCol) ++
+      p.ranges.map(_.col)
+    var filter: Option[org.apache.parquet.filter2.compat.FilterCompat.Filter] =
+      None
+    if (wanted.nonEmpty || p.ranges.nonEmpty) {
       val fileSchema = Using.resource(ParquetFileReader.open(
         HadoopInputFile.fromPath(new Path(path), conf)))(
         _.getFooter.getFileMetaData.getSchema)
@@ -355,9 +564,19 @@ class AcidFileReader(p: AcidFilePartition, schema: StructType)
       if (kept.nonEmpty && kept.length < fileSchema.getFieldCount)
         conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
           new MessageType(fileSchema.getName, kept.asJava).toString)
+      // pushed ranges become a parquet FilterPredicate: the footer's
+      // per-block min/max skip ROW GROUPS, and parquet's record filter
+      // drops non-matching rows at decode — both superset-safe (Spark
+      // still applies the residual filter). Only columns present in THIS
+      // file with order-safe types participate (the same gates the
+      // manifest stats were collected under).
+      val pred = AcidSource.rangesToParquetFilter(p.ranges, fileSchema)
+      filter = pred.map(
+        org.apache.parquet.filter2.compat.FilterCompat.get)
     }
-    ParquetReader.builder(new GroupReadSupport(), new Path(path))
-      .withConf(conf).build()
+    val b = ParquetReader.builder(new GroupReadSupport(), new Path(path))
+      .withConf(conf)
+    filter.fold(b)(b.withFilter).build()
   }
   private var cur: Group = _
 

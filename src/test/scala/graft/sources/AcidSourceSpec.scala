@@ -147,6 +147,71 @@ class AcidSourceSpec extends SparkSpec {
       .count() === 6L)
   }
 
+  test("filter pushdown prunes input partitions via manifest stats " +
+      "(round 14) and answers stay equal to the unpruned read") {
+    val root = fresh("fp") + "/tbl"
+    // three single-file commits with DISJOINT k ranges and stats
+    Seq(1L to 10L, 11L to 20L, 21L to 30L).foreach { r =>
+      AcidTable.commitAppend(kv(r.map(i => i -> i * 10): _*), root,
+        statsCols = Seq("k"))
+    }
+    def loaded = spark.read.format("graft-acid").option("root", root).load()
+    // range hitting only the middle file: exactly 1 partition planned
+    val mid = loaded.where($"k" >= 13L && $"k" <= 17L)
+    assert(mid.rdd.getNumPartitions === 1,
+      "stats should prune 2 of 3 files at planInputPartitions")
+    assert(mid.select("k", "v").as[(Long, Long)].collect().toSet ===
+      (13L to 17L).map(i => i -> i * 10).toSet)
+    // equality and IN prune to one file too
+    assert(loaded.where($"k" === 25L).rdd.getNumPartitions === 1)
+    assert(loaded.where($"k".isin(3L, 7L)).rdd.getNumPartitions === 1)
+    assert(loaded.where($"k".isin(3L, 7L)).select("v").as[Long]
+      .collect().toSet === Set(30L, 70L))
+    // a provably-empty range plans ZERO partitions and returns no rows
+    val none = loaded.where($"k" > 1000L)
+    assert(none.rdd.getNumPartitions === 0 && none.count() === 0L)
+    // a filter on a stat-less column prunes nothing (safety over savings)
+    assert(loaded.where($"v" === 150L).rdd.getNumPartitions === 3)
+    assert(loaded.where($"v" === 150L).select("k").as[Long]
+      .collect().toSeq === Seq(15L))
+    // pushdown composes with DV masks: delete 14..15 merge-on-read, the
+    // pruned single-partition read still applies the mask at decode
+    AcidTable.deleteMor(spark, root, "k", 14L, 15L)
+    val masked = loaded.where($"k" >= 13L && $"k" <= 17L)
+    assert(masked.rdd.getNumPartitions === 1)
+    assert(masked.select("k").as[Long].collect().toSet ===
+      Set(13L, 16L, 17L))
+  }
+
+  test("string-stat pushdown prunes files on equality and IN") {
+    val root = fresh("sp") + "/tbl"
+    Seq(Seq("alpha", "beta"), Seq("mike", "nina"), Seq("yara", "zulu"))
+      .foreach { names =>
+        AcidTable.commitAppend(
+          names.zipWithIndex.map { case (n, i) => (n, i.toLong) }
+            .toDF("name", "v").coalesce(1),
+          root, statsCols = Seq("name"))
+      }
+    val loaded = spark.read.format("graft-acid").option("root", root).load()
+    assert(loaded.where($"name" === "mike").rdd.getNumPartitions === 1)
+    assert(loaded.where($"name" === "mike").select("v").as[Long]
+      .collect().toSeq === Seq(0L))
+    assert(loaded.where($"name".isin("beta", "alpha")).rdd
+      .getNumPartitions === 1)
+  }
+
+  test("batch snapshot is pinned per load(): a commit landing between " +
+      "two actions does not split the DataFrame's view (ADVICE r13)") {
+    val root = fresh("pin") + "/tbl"
+    AcidTable.commitAppend(kv(1L -> 10L, 2L -> 20L), root)
+    val df = spark.read.format("graft-acid").option("root", root).load()
+    assert(df.count() === 2L) // resolves + pins the version
+    AcidTable.commitAppend(kv(3L -> 30L), root)
+    assert(df.count() === 2L, "same DataFrame, same pinned snapshot")
+    assert(spark.read.format("graft-acid").option("root", root).load()
+      .count() === 3L, "a fresh load() sees the new head")
+  }
+
   test("schema inference covers the primitive surface; strings round-trip") {
     val root = fresh("sc") + "/tbl"
     val df = Seq((1L, 7, 1.5, 2.5f, true, "héllo"))
