@@ -485,6 +485,17 @@ object AcidTable {
     t.getLogicalTypeAnnotation.isInstanceOf[
       org.apache.parquet.schema.LogicalTypeAnnotation.StringLogicalTypeAnnotation]
 
+  /** Manifest entries (with footer stats for `statsCols`) for data files
+    * ALREADY WRITTEN under `root` — the DSv2 write path's commit step:
+    * its executors wrote the parquet themselves, so only the stats
+    * collection and entry rendering remain ([[graft.sources.AcidWrite]],
+    * round 14). */
+  private[graft] def entriesForFiles(spark: SparkSession, root: String,
+                                     relPaths: Seq[String],
+                                     statsCols: Seq[String]): Seq[Entry] =
+    if (statsCols.isEmpty) relPaths.map(Entry(_, Nil))
+    else footerStats(spark, root, relPaths, statsCols)
+
   private def newEntries(df: DataFrame, root: String,
                          statsCols: Seq[String],
                          writeOptions: Map[String, String] = Map.empty)
@@ -585,7 +596,7 @@ object AcidTable {
     * idempotency token first — a concurrent replay of the SAME commit
     * that already landed returns its version instead of double-applying.
     * Returns (published version, entries carried from the head). */
-  private[operators] def commitRebase(spark: SparkSession, root: String,
+  private[graft] def commitRebase(spark: SparkSession, root: String,
                            action: String,
                            removed: Seq[Entry], added: Seq[Entry],
                            replaceAll: Boolean = false,

@@ -127,6 +127,34 @@ object ScanSinkQueries extends QueryModule {
       (root, vm, vd, (rw1 + rw2).toLong)
     }
 
+  // Q-ACID22 fixture (round 14): the table written THROUGH the DSv2
+  // write surface — v1 bootstraps via the engine API (the schema
+  // source), v2 lands as `df.write.format("graft-acid").mode("append")`
+  // (task-side Group-encoded parquet + driver-side rebase commit), v3 as
+  // `.mode("overwrite")` (truncate → replace-the-table). Every version
+  // derives deterministically from orders, so the oracle replays all
+  // three states AND the action literals.
+  private def acidDsv2Root(s: SparkSession, d: String): String =
+    Memo.cached(s, s"aciddsv2|$d") {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_aciddsv2/" +
+        s"${s.sparkContext.applicationId}/${new java.io.File(d).getName}"
+      val base = Tables.load(s, d, "orders").select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * lit(100.0)).cast("long").as("cents"))
+      AcidTable.commitAppend(
+        base.where(pmod(col("k"), lit(10L)) < 3), root,
+        statsCols = Seq("k"))
+      base.where(pmod(col("k"), lit(10L)).between(3, 6))
+        .withColumn("cents", col("cents") + 7)
+        .write.format("graft-acid").option("root", root)
+        .option("statsCols", "k").mode("append").save()
+      base.where(pmod(col("k"), lit(2L)) === 0)
+        .withColumn("cents", col("cents") * 3)
+        .write.format("graft-acid").option("root", root)
+        .mode("overwrite").save()
+      root
+    }
+
   // Q-ACID16 fixture: ONE globally ship_day-sorted data file forced into
   // many small row groups (parquet.block.size write option), so SUB-FILE
   // skipping is observable: per-file stats admit the file, the footer's
@@ -820,6 +848,23 @@ object ScanSinkQueries extends QueryModule {
           lit(filesScanned).as("files_scanned"), col("n"), col("sum_cents"))
     }),
 
+    // Q-ACID22 (round 14): the DSv2 WRITE path — a standard
+    // df.write append and a truncate-overwrite land as manifest
+    // versions (task-written parquet, driver rebase commit), and all
+    // three versions' rollups + action literals are oracle-replayed.
+    // The append's rows went through the task-side Group ENCODER and
+    // come back through DuckDB's own parquet reader, so the encode is
+    // checked by a THIRD engine, not just our decoder.
+    "q_acid22" -> ((s, d) => {
+      val root = acidDsv2Root(s, d)
+      AcidTable.history(s, root).map { case (v, action, _) =>
+        AcidTable.readAsOf(s, root, v)
+          .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+          .select(lit(v).as("version"), lit(action).as("action"),
+            col("n"), col("sum_cents"))
+      }.reduce(_.unionByName(_)).orderBy("version")
+    }),
+
     // Q-SCAN1: parquet scan + projection + total sort.
     "q_scan1" -> ((s, d) =>
       Tables.load(s, d, "lineitem")
@@ -1199,6 +1244,30 @@ object ScanSinkQueries extends QueryModule {
          |SELECT files_total, files_scanned, n, sum_cents
          |FROM scan, dat""".stripMargin
     },
+
+    // The DSv2 write-path replay: v1 bootstrap, v2 the pushed-through
+    // append (+7 cents), v3 the truncate-overwrite (x3 cents on even
+    // keys) — rollups and action literals per version.
+    "q_acid22" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice*100,0) AS BIGINT) AS cents
+        |  FROM orders),
+        |v1 AS (SELECT k, cents FROM base WHERE k % 10 < 3),
+        |v2 AS (SELECT k, cents FROM v1
+        |  UNION ALL
+        |  SELECT k, cents + 7 FROM base WHERE k % 10 BETWEEN 3 AND 6),
+        |v3 AS (SELECT k, cents * 3 AS cents FROM base WHERE k % 2 = 0)
+        |SELECT CAST(1 AS BIGINT) AS version, 'append' AS action,
+        |  CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM v1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'append',
+        |  CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT) FROM v2
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), 'overwrite',
+        |  CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT) FROM v3
+        |ORDER BY version""".stripMargin,
 
     "q_acid5" ->
       """WITH base AS (

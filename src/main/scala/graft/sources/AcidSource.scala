@@ -295,20 +295,31 @@ object AcidSource {
         case other => throw new IllegalArgumentException(
           s"graft-acid: unsupported parquet type $other for '${f.getName}'")
       }
-      StructField(f.getName, dt,
-        nullable = f.getRepetition != Type.Repetition.REQUIRED)
+      // always nullable: the footer's REQUIRED flag is an accident of
+      // whichever frame happened to commit first, and a non-nullable
+      // table column would reject perfectly valid nullable appends at
+      // write resolution (round 14 — the write path shares this schema)
+      StructField(f.getName, dt, nullable = true)
     })
   }
 }
 
 class AcidSourceTable(tableSchema: StructType,
                       options: CaseInsensitiveStringMap)
-  extends Table with SupportsRead {
+  extends Table with SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-acid ${AcidSource.rootOf(options)}"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_READ)
+      TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new AcidWriteBuilder(info)
 
   // SNAPSHOT PINNING (ADVICE r13): the batch version is resolved ONCE per
   // loaded table — the first batch action resolves it, every later action
