@@ -155,6 +155,66 @@ object ScanSinkQueries extends QueryModule {
       root
     }
 
+  // Q-ACID23 fixture (round 14): EXPECTATIONS AT THE MERGE GATE — the
+  // q_acid5 upsert with planted violations (rows whose frame key is a
+  // multiple of 11 carry negated cents): mergeExpect validates BEFORE
+  // the locate, merges the clean split copy-on-write, and quarantines
+  // the violators with a replay-idempotent token. Returns
+  // (root, mergedVersion, quarantineVersion).
+  private def acidMergeExpectRoot(s: SparkSession, d: String)
+      : (String, Long, Long) =
+    Memo.cached(s, s"acidmex|$d") {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_acidmex/" +
+        s"${s.sparkContext.applicationId}/${new java.io.File(d).getName}"
+      val (_, maxk, _) = buildZRoot(s, d, root)
+      val planted = zUpsertFrame(s, d, maxk)
+        .withColumn("cents",
+          when(pmod(col("k"), lit(11L)) === 0, -col("cents"))
+            .otherwise(col("cents")))
+      val (v, _, _, _, qv) = AcidTable.mergeExpect(planted, root, "k",
+        Seq("nonneg_cents" -> (col("cents") >= 0)),
+        onViolation = "quarantine", strategy = "cow",
+        statsCols = Seq("k", "cents"),
+        quarantineToken = Some("mex-batch-1"))
+      // replaying the same batch's quarantine must no-op on the token
+      val replay = AcidTable.commitAppendOnce(
+        planted.where(col("cents") < 0)
+          .withColumn("__violations", lit("nonneg_cents")),
+        s"$root/_quarantine", "mex-batch-1")
+      require(qv.contains(replay),
+        s"quarantine replay must return the landed version $qv, got $replay")
+      (root, v, qv.getOrElse(0L))
+    }
+
+  // Q-ACID24 fixture (round 14): AUTO-MAINTENANCE — a churned table
+  // (8 single-file appends + one merge-on-read upsert) crosses the
+  // policy thresholds; maintain() folds the mask debt and bin-packs the
+  // shred in debt-first order, each action an ordinary rebased commit.
+  // Returns (root, actions-ran).
+  private def acidMaintainRoot(s: SparkSession, d: String)
+      : (String, Seq[String]) =
+    Memo.cached(s, s"acidmaint|$d") {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_acidmaint/" +
+        s"${s.sparkContext.applicationId}/${new java.io.File(d).getName}"
+      val base = Tables.load(s, d, "orders").select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * lit(100.0)).cast("long").as("cents"))
+      (0L to 7L).foreach { i =>
+        AcidTable.commitAppend(
+          base.where(pmod(col("k"), lit(8L)) === i).coalesce(1), root,
+          statsCols = Seq("k"))
+      }
+      AcidTable.mergeMor(
+        base.where(pmod(col("k"), lit(97L)) === 0)
+          .withColumn("cents", col("cents") + 5),
+        root, "k", statsCols = Seq("k"))
+      val actions = AcidTable.maintain(s, root,
+        AcidTable.MaintenancePolicy(maxFiles = 4, targetFiles = 2,
+          smallBytes = 1L << 40, maxMaskRatio = 0.0),
+        statsCols = Seq("k"))
+      (root, actions.map(_._1))
+    }
+
   // Q-ACID16 fixture: ONE globally ship_day-sorted data file forced into
   // many small row groups (parquet.block.size write option), so SUB-FILE
   // skipping is observable: per-file stats admit the file, the footer's
@@ -865,6 +925,47 @@ object ScanSinkQueries extends QueryModule {
       }.reduce(_.unionByName(_)).orderBy("version")
     }),
 
+    // Q-ACID23 (round 14): expectations at the MERGE gate — the clean
+    // split of a planted-violation upsert merges COW (accepted rollup
+    // per status), the violating split lands in _quarantine tagged with
+    // the failed expectation (token-idempotent, replay require()d in the
+    // fixture); accepted ∪ quarantined == the input upsert, and the
+    // oracle replays BOTH splits from orders.
+    "q_acid23" -> ((s, d) => {
+      val (root, v, qv) = acidMergeExpectRoot(s, d)
+      val good = AcidTable.readAsOf(s, root, v)
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .select(lit("accepted").as("side"), col("status").as("grp"),
+          col("n"), col("sum_cents"))
+      val bad = AcidTable.readAsOf(s, s"$root/_quarantine", qv)
+        .groupBy("__violations")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .select(lit("quarantined").as("side"),
+          col("__violations").as("grp"), col("n"), col("sum_cents"))
+      good.unionByName(bad).orderBy("side", "grp")
+    }),
+
+    // Q-ACID24 (round 14): auto-maintenance from the physical gauges —
+    // the churned fixture crosses both thresholds, maintain() runs
+    // compactDvs then compactSmall (the action list is oracle-pinned),
+    // the table lands at exactly targetFiles clean files (pinned), and
+    // the rollup THROUGH the maintained state equals the logical answer
+    // (maintenance changes layout, never answers).
+    "q_acid24" -> ((s, d) => {
+      val (root, actions) = acidMaintainRoot(s, d)
+      val entries = AcidTable.entriesOf(s, root,
+        AcidTable.currentVersion(s, root))
+      AcidTable.read(s, root)
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .select(lit(actions.mkString(",")).as("actions"),
+          lit(entries.length.toLong).as("files_after"),
+          lit(entries.count(_.dv.isDefined).toLong).as("masks_after"),
+          col("status"), col("n"), col("sum_cents"))
+        .orderBy("status")
+    }),
+
     // Q-SCAN1: parquet scan + projection + total sort.
     "q_scan1" -> ((s, d) =>
       Tables.load(s, d, "lineitem")
@@ -1268,6 +1369,64 @@ object ScanSinkQueries extends QueryModule {
         |SELECT CAST(3 AS BIGINT), 'overwrite',
         |  CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT) FROM v3
         |ORDER BY version""".stripMargin,
+
+    // Expectations at the merge gate: the q_acid5 upsert with planted
+    // violations (frame key % 11 == 0 -> negated cents) — accepted =
+    // base upserted by the CLEAN split only; quarantined = the planted
+    // rows, tagged. Both splits replayed from orders.
+    "q_acid23" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |    CAST(round(o_totalprice*100,0) AS BIGINT) AS cents
+        |  FROM orders),
+        |m AS (SELECT max(k) AS maxk FROM base),
+        |upd AS (SELECT k, 'U' AS status,
+        |    CASE WHEN k % 11 = 0 THEN -(cents + 11) ELSE cents + 11 END
+        |      AS cents,
+        |    (k % 11 = 0) AS bad
+        |  FROM base, m WHERE k % 5 = 0 AND k <= m.maxk // 8),
+        |ins AS (SELECT k + m.maxk + 1 AS k, 'N' AS status,
+        |    CASE WHEN (k + m.maxk + 1) % 11 = 0 THEN -(cents + 1)
+        |      ELSE cents + 1 END AS cents,
+        |    ((k + m.maxk + 1) % 11 = 0) AS bad
+        |  FROM base, m WHERE k % 7 = 3 AND k <= m.maxk // 8),
+        |allu AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+        |good AS (SELECT k, status, cents FROM allu WHERE NOT bad),
+        |fin AS (
+        |  SELECT b.k, b.status, b.cents FROM base b, m
+        |  WHERE NOT (b.k % 5 = 0 AND b.k <= m.maxk // 8
+        |    AND NOT (b.k % 11 = 0))
+        |  UNION ALL SELECT * FROM good),
+        |acc AS (SELECT 'accepted' AS side, status AS grp,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents
+        |  FROM fin GROUP BY status),
+        |qr AS (SELECT 'quarantined' AS side, 'nonneg_cents' AS grp,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents
+        |  FROM allu WHERE bad)
+        |SELECT side, grp, n, sum_cents FROM acc
+        |UNION ALL SELECT side, grp, n, sum_cents FROM qr
+        |ORDER BY side, grp""".stripMargin,
+
+    // Auto-maintenance replay: the action list and the post-maintenance
+    // physical facts are pinned literals; the rollup is the churned
+    // table's logical answer (k % 97 == 0 rows upserted at +5 cents) —
+    // maintenance must not move a single number.
+    "q_acid24" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |    CAST(round(o_totalprice*100,0) AS BIGINT) AS cents
+        |  FROM orders),
+        |fin AS (SELECT k, status,
+        |    CASE WHEN k % 97 = 0 THEN cents + 5 ELSE cents END AS cents
+        |  FROM base)
+        |SELECT 'compactDvs,compactSmall' AS actions,
+        |  CAST(2 AS BIGINT) AS files_after,
+        |  CAST(0 AS BIGINT) AS masks_after,
+        |  status, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM fin GROUP BY status ORDER BY status""".stripMargin,
 
     "q_acid5" ->
       """WITH base AS (

@@ -150,17 +150,45 @@ class AcidMorSpec extends SparkSpec {
     assert(read === 1 && total === 1)
   }
 
-  test("layering a DV on a different key column fails fast") {
+  test("a cross-column MOR folds the conflicting masks on demand " +
+      "(round 14 — was a fail-fast requiring a manual compactDvs)") {
     val root = freshRoot("col")
     import spark.implicits._
     AcidTable.commitAppend(
-      Seq((1L, 10L), (2L, 20L)).toDF("k", "v").coalesce(1), root,
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v").coalesce(1), root,
       statsCols = Seq("k", "v"))
     AcidTable.deleteMor(spark, root, "k", 1L, 1L)
-    val e = intercept[IllegalArgumentException] {
-      AcidTable.deleteMor(spark, root, "v", 20L, 20L)
+    // the v-keyed delete finds a k-masked file: fold first, then mask
+    val (v, masked, rewritten) = AcidTable.deleteMor(spark, root, "v", 20L, 20L)
+    assert(rewritten === 0 && masked >= 1)
+    // the fold landed as its own 'compact' commit between the deletes
+    assert(AcidTable.history(spark, root).map(_._2) ===
+      Seq("append", "delete", "compact", "delete"))
+    assert(asSet(AcidTable.read(spark, root)) === Set(3L -> 30L))
+    // stats survive the fold (re-collected for the folded files)
+    val folded = AcidTable.entriesOf(spark, root, v)
+    assert(folded.exists(e => e.statFor("k").isDefined &&
+      e.statFor("v").isDefined))
+
+    // an alternating-column MOR chain completes without manual folds,
+    // and answers equal the COW twin applied to a parallel table
+    val morRoot = freshRoot("alt_mor")
+    val cowRoot = freshRoot("alt_cow")
+    val basePairs = (1L to 30L).map(i => i -> i * 100)
+    Seq(morRoot, cowRoot).foreach { r =>
+      AcidTable.commitAppend(kv(basePairs: _*), r, statsCols = Seq("k", "v"))
     }
-    assert(e.getMessage.contains("compactDvs"))
+    val steps: Seq[(String, Long, Long)] = Seq(
+      ("k", 3L, 5L), ("v", 900L, 1100L), ("k", 20L, 22L), ("v", 2500L, 2700L))
+    steps.foreach { case (c, lo, hi) =>
+      val (_, _, rw) = AcidTable.deleteMor(spark, morRoot, c, lo, hi)
+      assert(rw === 0, "MOR steps never rewrite data files")
+      AcidTable.deleteCow(spark, cowRoot, c, lo, hi,
+        statsCols = Seq("k", "v"))
+      assert(asSet(AcidTable.read(spark, morRoot)) ===
+        asSet(AcidTable.read(spark, cowRoot)),
+        s"MOR == COW after alternating delete on $c [$lo,$hi]")
+    }
   }
 
   test("detail reports mask debt; folding clears it") {
