@@ -966,6 +966,32 @@ object ScanSinkQueries extends QueryModule {
         .orderBy("status")
     }),
 
+    // Q-ACID25 (round 14): the SQL surface — the q_acid1 fixture read
+    // through a registered TableCatalog with Spark's OWN `VERSION AS OF`
+    // time-travel syntax (the first thing an analyst types at a
+    // lakehouse). The three versions' per-status rollups must equal the
+    // API-path q_acid1 numbers, which the oracle replays from orders —
+    // so catalog resolution, the DSv2 scan under SQL, and the version
+    // pinning are all hash-checked at once.
+    "q_acid25" -> ((s, d) => {
+      val root = acidRoot(s, d)
+      val f = new java.io.File(root)
+      s.conf.set("spark.sql.catalog.acid", "graft.sources.AcidCatalog")
+      s.conf.set("spark.sql.catalog.acid.root", f.getParent)
+      val t = s"acid.`${f.getName}`"
+      s.sql(
+        s"""SELECT CAST(1 AS BIGINT) AS version, o_orderstatus,
+           |  count(*) AS n, sum(cents) AS sum_cents
+           |FROM $t VERSION AS OF 1 GROUP BY o_orderstatus
+           |UNION ALL
+           |SELECT CAST(2 AS BIGINT), o_orderstatus, count(*), sum(cents)
+           |FROM $t VERSION AS OF 2 GROUP BY o_orderstatus
+           |UNION ALL
+           |SELECT CAST(3 AS BIGINT), o_orderstatus, count(*), sum(cents)
+           |FROM $t VERSION AS OF 3 GROUP BY o_orderstatus
+           |ORDER BY version, o_orderstatus""".stripMargin)
+    }),
+
     // Q-SCAN1: parquet scan + projection + total sort.
     "q_scan1" -> ((s, d) =>
       Tables.load(s, d, "lineitem")
@@ -1369,6 +1395,31 @@ object ScanSinkQueries extends QueryModule {
         |SELECT CAST(3 AS BIGINT), 'overwrite',
         |  CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT) FROM v3
         |ORDER BY version""".stripMargin,
+
+    // The q_acid1 replay, served through the SQL catalog's VERSION AS OF.
+    "q_acid25" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(round(o_totalprice*100,0) AS BIGINT) AS cents
+        |  FROM orders),
+        |v1 AS (SELECT * FROM base WHERE o_orderkey % 10 < 5),
+        |v2 AS (SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN cents*2 ELSE cents END AS cents
+        |  FROM base WHERE o_orderkey % 10 BETWEEN 2 AND 7),
+        |v3 AS (SELECT * FROM v2
+        |  UNION ALL SELECT * FROM base WHERE o_orderkey % 10 = 8)
+        |SELECT CAST(1 AS BIGINT) AS version, o_orderstatus,
+        |  CAST(count(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM v1 GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), o_orderstatus,
+        |  CAST(count(*) AS BIGINT), CAST(SUM(cents) AS BIGINT)
+        |FROM v2 GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), o_orderstatus,
+        |  CAST(count(*) AS BIGINT), CAST(SUM(cents) AS BIGINT)
+        |FROM v3 GROUP BY o_orderstatus
+        |ORDER BY version, o_orderstatus""".stripMargin,
 
     // Expectations at the merge gate: the q_acid5 upsert with planted
     // violations (frame key % 11 == 0 -> negated cents) — accepted =

@@ -319,7 +319,7 @@ class AcidSourceTable(tableSchema: StructType,
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
-    new AcidWriteBuilder(info)
+    new AcidWriteBuilder(info, options)
 
   // SNAPSHOT PINNING (ADVICE r13): the batch version is resolved ONCE per
   // loaded table — the first batch action resolves it, every later action

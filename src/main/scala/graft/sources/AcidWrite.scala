@@ -122,10 +122,19 @@ object AcidWrite {
 case class AcidWriteMessage(relPath: String, rows: Long)
   extends WriterCommitMessage
 
-class AcidWriteBuilder(info: LogicalWriteInfo)
+class AcidWriteBuilder(info: LogicalWriteInfo,
+                       tableOptions: org.apache.spark.sql.util.CaseInsensitiveStringMap)
   extends WriteBuilder with SupportsTruncate {
-  private val root = AcidSource.rootOf(info.options())
-  private val statsCols = AcidWrite.statsColsOf(info.options())
+  // the save() path carries root/statsCols in the WRITE options; a
+  // catalog-resolved INSERT INTO carries only the TABLE's options
+  private def merged = {
+    val m = new java.util.HashMap[String, String](
+      tableOptions.asCaseSensitiveMap())
+    m.putAll(info.options().asCaseSensitiveMap())
+    new org.apache.spark.sql.util.CaseInsensitiveStringMap(m)
+  }
+  private val root = AcidSource.rootOf(merged)
+  private val statsCols = AcidWrite.statsColsOf(merged)
   private var replaceAll = false
   override def truncate(): WriteBuilder = { replaceAll = true; this }
   override def build(): Write = {
