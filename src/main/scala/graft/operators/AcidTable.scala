@@ -522,7 +522,8 @@ object AcidTable {
     * two-writers-one-version race the version-list read normally hides.) */
   private[operators] def publish(spark: SparkSession, root: String, v: Long,
                                  action: String, files: Seq[String],
-                                 token: Option[String] = None): Long = {
+                                 token: Option[String] = None,
+                                 cdc: Seq[String] = Nil): Long = {
     val f = fs(spark, root)
     f.mkdirs(new Path(s"$root/$ManifestDir"))
     val p = manifestPath(root, v)
@@ -532,7 +533,8 @@ object AcidTable {
     Using.resource(f.create(tmp, /*overwrite=*/ true)) { o =>
       val tokenLine = token.map(t => s"#token:$t\n").getOrElse("")
       val tsLine = s"#ts:${System.currentTimeMillis()}\n"
-      o.write((s"#action:$action\n" + tsLine + tokenLine +
+      val cdcLine = if (cdc.isEmpty) "" else s"#cdc:${cdc.mkString(";")}\n"
+      o.write((s"#action:$action\n" + tsLine + tokenLine + cdcLine +
           files.mkString("", "\n", "\n"))
         .getBytes(StandardCharsets.UTF_8))
     }
@@ -544,11 +546,88 @@ object AcidTable {
 
   private def publishEntries(spark: SparkSession, root: String, v: Long,
                              action: String, entries: Seq[Entry],
-                             token: Option[String] = None): Long = {
-    val out = publish(spark, root, v, action, entries.map(_.render), token)
+                             token: Option[String] = None,
+                             cdc: Seq[String] = Nil): Long = {
+    val out = publish(spark, root, v, action, entries.map(_.render), token,
+      cdc)
     maybeCheckpoint(spark, root, out)
     out
   }
+
+  /** CHANGE DATA FEED at commit time (round 14 — VERDICT r13 #3, the
+    * Delta `_change_data` design): once [[enableCdc]] stamps the table,
+    * every MERGE/DELETE commit (COW and MOR alike) also writes its
+    * LOGICAL row delta — full rows tagged `_change_type` ∈ {insert,
+    * update_preimage, update_postimage, delete} — as ordinary immutable
+    * parquet referenced from a `#cdc:` manifest header. Incremental
+    * consumers then read each version's delta as FILES (O(change), no
+    * join at read time), which is what makes a streaming CDC source
+    * plannable: computing the delta from snapshots at read time
+    * ([[changesBetween]]) needs a distributed join no DSv2
+    * planInputPartitions can run — so the write pays it once, exactly
+    * like Delta. Appends need no CDC file (their added files ARE the
+    * insert delta); compactions/DV folds are logical no-ops (empty
+    * feed). CDC files ride [[vacuum]]'s retention with their manifests. */
+  def enableCdc(spark: SparkSession, root: String): Unit = {
+    val f = fs(spark, root)
+    f.mkdirs(new Path(s"$root/$ManifestDir"))
+    val p = new Path(s"$root/$ManifestDir/cdc.enabled")
+    if (!f.exists(p)) { Using.resource(f.create(p, false))(_ => ()); () }
+  }
+
+  def cdcEnabled(spark: SparkSession, root: String): Boolean =
+    fs(spark, root).exists(new Path(s"$root/$ManifestDir/cdc.enabled"))
+
+  /** The `#cdc:` change-data files version `v` published (root-relative),
+    * empty when the commit wrote none. */
+  def cdcPathsOf(spark: SparkSession, root: String, v: Long): Seq[String] =
+    manifestText(spark, root, v).linesIterator
+      .find(_.startsWith("#cdc:")).map(_.stripPrefix("#cdc:"))
+      .map(_.split(";", -1).toSeq).getOrElse(Nil)
+
+  /** Version `v`'s logical row delta as (full row, `_change_type`) —
+    * appends synthesize `insert` from their added files, compactions
+    * and restores of CDC-stamped history feed their `#cdc` files (a
+    * plain compact writes none ⇒ empty), everything else requires the
+    * commit to have been made with CDC enabled. `None` = no delta
+    * available for this version (not CDC-stamped and not an append). */
+  def changeFeedOf(spark: SparkSession, root: String,
+                   v: Long): Option[DataFrame] = {
+    val cdcFiles = cdcPathsOf(spark, root, v)
+    if (cdcFiles.nonEmpty)
+      Some(spark.read.parquet(cdcFiles.map(p => s"$root/$p"): _*))
+    else actionOf(spark, root, v) match {
+      case "append" | "merge" =>
+        // merge-without-cdc reaches here only for pure-insert merges
+        // committed BEFORE enableCdc — treat like append only when the
+        // commit really is additive (no removed entries vs predecessor)
+        val prev = versions(spark, root).filter(_ < v).lastOption
+        val prevIds = prev.map(entriesOf(spark, root, _).map(_.render).toSet)
+          .getOrElse(Set.empty)
+        val cur = entriesOf(spark, root, v)
+        if (prevIds.subsetOf(cur.map(_.render).toSet)) {
+          val added = cur.filterNot(e => prevIds.contains(e.render))
+          if (added.isEmpty) Some(emptyFeed(spark, root, v))
+          else Some(readEntries(spark, root, added)
+            .withColumn("_change_type", lit("insert")))
+        } else None
+      case "compact" => Some(emptyFeed(spark, root, v)) // logical no-op
+      case _ => None
+    }
+  }
+
+  private def emptyFeed(spark: SparkSession, root: String,
+                        v: Long): DataFrame = {
+    val es = entriesOf(spark, root, v)
+    spark.read.parquet(s"$root/${es.head.path}").where(lit(false))
+      .withColumn("_change_type", lit("insert"))
+  }
+
+  /** Write `changeRows` (table columns + `_change_type`) as CDC files
+    * for the commit being built; the caller passes the returned paths
+    * into the publish. */
+  private def writeCdc(changeRows: DataFrame, root: String): Seq[String] =
+    writeDataFiles(changeRows, root)
 
   /** Commit wall-clock time of version `v` (epoch millis). */
   def commitTimestamp(spark: SparkSession, root: String, v: Long): Long =
@@ -600,7 +679,8 @@ object AcidTable {
                            action: String,
                            removed: Seq[Entry], added: Seq[Entry],
                            replaceAll: Boolean = false,
-                           token: Option[String] = None): (Long, Int) = {
+                           token: Option[String] = None,
+                           cdc: Seq[String] = Nil): (Long, Int) = {
     val removedIds = removed.map(_.render).toSet
     var attempt = 0
     while (true) {
@@ -629,7 +709,7 @@ object AcidTable {
           headEntries.filterNot(e => removedIds(e.render))
         }
       try return (publishEntries(spark, root, head + 1, action,
-        kept ++ added, token), kept.length)
+        kept ++ added, token, cdc), kept.length)
       catch {
         case c: Conflict =>
           attempt += 1
@@ -1168,6 +1248,9 @@ object AcidTable {
     cowCommit(updates.sparkSession, root, "merge", statsCols) { entries =>
       val spark = updates.sparkSession
       val (touched, untouched) = locateTouched(updates, keyCol, entries, strKey)
+      val cdcRows =
+        if (!cdcEnabled(spark, root)) None
+        else Some(mergeChangeRows(spark, root, touched, updates, keyCol))
       // size the rewrite like its input: N touched files come back as ~N
       // files, not one per shuffle partition — otherwise every COW commit
       // multiplies the file count by the cluster's parallelism and the
@@ -1186,7 +1269,7 @@ object AcidTable {
             .unionByName(updates)
             .repartition(touched.length)
         }
-      (untouched, rewritten)
+      (untouched, rewritten, cdcRows)
     }
 
   /** Copy-on-write DELETE (round 12): remove rows with
@@ -1208,7 +1291,12 @@ object AcidTable {
         else Some(readEntries(spark, root, touched) // DV-aware, as in mergeCow
           .where(!(col(keyCol) >= lower && col(keyCol) <= upper))
           .repartition(touched.length))
-      (untouched, survivors.orNull)
+      val cdcRows =
+        if (touched.isEmpty || !cdcEnabled(spark, root)) None
+        else Some(readEntries(spark, root, touched)
+          .where(col(keyCol).between(lower, upper))
+          .withColumn("_change_type", lit("delete")))
+      (untouched, survivors.orNull, cdcRows)
     }
 
   /** MERGE-ON-READ range DELETE (round 13): remove rows with
@@ -1235,10 +1323,13 @@ object AcidTable {
     }
     if (touched.isEmpty) (cur, 0, 0)
     else {
-      val mask = readEntries(spark, root, touched)
+      val hit = readEntries(spark, root, touched)
         .where(col(keyCol).between(lower, upper))
-        .select(col(keyCol).as("__dvk")).distinct().coalesce(1)
-      morCommit(spark, root, "delete", keyCol, touched, mask, Nil)
+      val mask = hit.select(col(keyCol).as("__dvk")).distinct().coalesce(1)
+      val cdc =
+        if (!cdcEnabled(spark, root)) Nil
+        else writeCdc(hit.withColumn("_change_type", lit("delete")), root)
+      morCommit(spark, root, "delete", keyCol, touched, mask, Nil, cdc)
     }
   }
 
@@ -1298,12 +1389,37 @@ object AcidTable {
     val (_, entries) = readManifest(spark, root, cur)
     val (touched, _) = locateTouched(updates, keyCol, entries, strKey)
     val newData = newEntries(updates, root, statsCols)
+    val cdc =
+      if (!cdcEnabled(spark, root)) Nil
+      else writeCdc(mergeChangeRows(spark, root, touched, updates, keyCol),
+        root)
     if (touched.isEmpty) // pure insert: no mask needed — a plain append
-      (commitRebase(spark, root, "merge", Nil, newData)._1, 0, 0)
+      (commitRebase(spark, root, "merge", Nil, newData, cdc = cdc)._1, 0, 0)
     else {
       val mask = updates.select(col(keyCol).as("__dvk")).distinct().coalesce(1)
-      morCommit(spark, root, "merge", keyCol, touched, mask, newData)
+      morCommit(spark, root, "merge", keyCol, touched, mask, newData, cdc)
     }
+  }
+
+  /** The logical delta of an upsert, Delta CDF shape: replaced old rows
+    * as `update_preimage`, their replacements as `update_postimage`,
+    * new-key rows as `insert`. One read of the touched files; key
+    * membership decides the split. */
+  private def mergeChangeRows(spark: SparkSession, root: String,
+                              touched: Seq[Entry], updates: DataFrame,
+                              keyCol: String): DataFrame = {
+    if (touched.isEmpty)
+      return updates.withColumn("_change_type", lit("insert"))
+    val old = readEntries(spark, root, touched)
+    val updKeys = updates.select(keyCol).distinct()
+    val pre = old.join(updKeys, Seq(keyCol), "left_semi")
+    val oldKeys = pre.select(keyCol).distinct()
+    val post = updates.join(oldKeys, Seq(keyCol), "left_semi")
+      .withColumn("_change_type", lit("update_postimage"))
+    val ins = updates.join(oldKeys, Seq(keyCol), "left_anti")
+      .withColumn("_change_type", lit("insert"))
+    pre.withColumn("_change_type", lit("update_preimage"))
+      .unionByName(post).unionByName(ins)
   }
 
   /** Shared MOR commit shape: write ONE key-mask parquet for the commit,
@@ -1314,8 +1430,8 @@ object AcidTable {
     * one on a DIFFERENT column fails fast (fold first). */
   private def morCommit(spark: SparkSession, root: String, action: String,
                         keyCol: String, touched: Seq[Entry],
-                        maskKeys: DataFrame,
-                        newData: Seq[Entry]): (Long, Int, Int) = {
+                        maskKeys: DataFrame, newData: Seq[Entry],
+                        cdc: Seq[String] = Nil): (Long, Int, Int) = {
     val dvPaths = writeDataFiles(maskKeys, root)
     require(dvPaths.nonEmpty, "deletion-vector mask wrote no file")
     val masked = touched.map { e =>
@@ -1329,7 +1445,8 @@ object AcidTable {
         case None => e.copy(dv = Some(Dv(keyCol, dvPaths)))
       }
     }
-    val (v, _) = commitRebase(spark, root, action, touched, masked ++ newData)
+    val (v, _) = commitRebase(spark, root, action, touched, masked ++ newData,
+      cdc = cdc)
     (v, touched.length, 0)
   }
 
@@ -1347,7 +1464,8 @@ object AcidTable {
     else cowCommit(spark, root, "compact", statsCols) { es =>
       val (dved, clean) = es.partition(_.dv.isDefined)
       // same rewrite-sizing rule as COW: N masked files fold to ~N files
-      (clean, readEntries(spark, root, dved).repartition(dved.length))
+      (clean, readEntries(spark, root, dved).repartition(dved.length),
+        None) // a DV fold is a logical no-op: no change rows
     }
   }
 
@@ -1359,10 +1477,11 @@ object AcidTable {
     * Returns (version, files rewritten, files carried at publish). */
   private def cowCommit(spark: SparkSession, root: String, action: String,
                         statsCols: Seq[String])(
-      split: Seq[Entry] => (Seq[Entry], DataFrame)): (Long, Int, Int) = {
+      split: Seq[Entry] => (Seq[Entry], DataFrame, Option[DataFrame]))
+      : (Long, Int, Int) = {
     val cur = currentVersion(spark, root)
     val (_, entries) = readManifest(spark, root, cur)
-    val (untouched, rewrite) = split(entries)
+    val (untouched, rewrite, cdcRows) = split(entries)
     val untouchedIds = untouched.map(_.render).toSet
     val touched = entries.filterNot(e => untouchedIds(e.render))
     val fresh0 =
@@ -1375,7 +1494,12 @@ object AcidTable {
       if (fresh0.isEmpty && untouched.isEmpty && rewrite != null)
         newEntries(rewrite.coalesce(1), root, statsCols)
       else fresh0
-    val (v, kept) = commitRebase(spark, root, action, touched, fresh)
+    val cdc = cdcRows match {
+      case Some(rows) if cdcEnabled(spark, root) => writeCdc(rows, root)
+      case _ => Nil
+    }
+    val (v, kept) = commitRebase(spark, root, action, touched, fresh,
+      cdc = cdc)
     (v, touched.length, kept)
   }
 
@@ -1559,11 +1683,14 @@ object AcidTable {
         commitTimestamp(spark, root, vs(i + 1)) <= now - minAgeMillis
       }.map(_._1)
     val retained = vs.drop(expired.length)
-    // a referenced file is the data file AND its deletion-vector masks
-    def refs(es: Seq[Entry]): Seq[String] =
-      es.flatMap(e => e.path +: e.dv.map(_.paths).getOrElse(Nil))
-    val keep = retained.flatMap(v => refs(readManifest(spark, root, v)._2)).toSet
-    val drop = expired.flatMap(v => refs(readManifest(spark, root, v)._2)).toSet -- keep
+    // a referenced file is the data file, its deletion-vector masks, AND
+    // the version's change-data files (round 14: CDC rides retention)
+    def refs(v: Long): Seq[String] =
+      readManifest(spark, root, v)._2
+        .flatMap(e => e.path +: e.dv.map(_.paths).getOrElse(Nil)) ++
+        cdcPathsOf(spark, root, v)
+    val keep = retained.flatMap(refs).toSet
+    val drop = expired.flatMap(refs).toSet -- keep
     val f = fs(spark, root)
     drop.foreach(rel => f.delete(new Path(s"$root/$rel"), false))
     expired.foreach(v => f.delete(manifestPath(root, v), false))

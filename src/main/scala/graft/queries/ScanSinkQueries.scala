@@ -215,6 +215,32 @@ object ScanSinkQueries extends QueryModule {
       (root, actions.map(_._1))
     }
 
+  // Q-ACID26 fixture (round 14): a CDC-ENABLED chain — v1 append (all
+  // of orders), v2 merge-on-read upsert (k%13 updates at +3, shifted
+  // k%17=5 inserts at +9), v3 MOR range delete. The merge and delete
+  // commits write their logical deltas as change files at COMMIT time
+  // (the Delta _change_data design) — the oracle replays every
+  // version's feed from orders.
+  private def acidCdcRoot(s: SparkSession, d: String): String =
+    Memo.cached(s, s"acidcdcq|$d") {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_acidcdcq/" +
+        s"${s.sparkContext.applicationId}/${new java.io.File(d).getName}"
+      AcidTable.enableCdc(s, root)
+      val base = Tables.load(s, d, "orders").select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * lit(100.0)).cast("long").as("cents"))
+      AcidTable.commitAppend(base, root, statsCols = Seq("k"))
+      val maxk = base.agg(max("k")).head().getLong(0)
+      val ups = base.where(pmod(col("k"), lit(13L)) === 0)
+        .withColumn("cents", col("cents") + 3)
+        .unionByName(base.where(pmod(col("k"), lit(17L)) === 5)
+          .select((col("k") + (maxk + 1)).as("k"), col("status"),
+            (col("cents") + 9).as("cents")))
+      AcidTable.mergeMor(ups, root, "k", statsCols = Seq("k"))
+      AcidTable.deleteMor(s, root, "k", maxk / 4, maxk / 3)
+      root
+    }
+
   // Q-ACID16 fixture: ONE globally ship_day-sorted data file forced into
   // many small row groups (parquet.block.size write option), so SUB-FILE
   // skipping is observable: per-file stats admit the file, the footer's
@@ -992,6 +1018,25 @@ object ScanSinkQueries extends QueryModule {
            |ORDER BY version, o_orderstatus""".stripMargin)
     }),
 
+    // Q-ACID26 (round 14): the CHANGE DATA FEED — per-version,
+    // per-change-kind rollups of the commit-time change files (insert /
+    // update_preimage / update_postimage / delete, full rows): v1's
+    // insert feed synthesizes from the appended files, v2/v3 read the
+    // #cdc parquet the merge/delete wrote. The oracle replays every
+    // version's logical delta from orders — preimages at ORIGINAL
+    // cents, the delete feed through the post-merge state.
+    "q_acid26" -> ((s, d) => {
+      val root = acidCdcRoot(s, d)
+      (1L to 3L).map { v =>
+        AcidTable.changeFeedOf(s, root, v).get
+          .groupBy("_change_type")
+          .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+          .select(lit(v).as("version"),
+            col("_change_type").as("change_type"), col("n"),
+            col("sum_cents"))
+      }.reduce(_.unionByName(_)).orderBy("version", "change_type")
+    }),
+
     // Q-SCAN1: parquet scan + projection + total sort.
     "q_scan1" -> ((s, d) =>
       Tables.load(s, d, "lineitem")
@@ -1395,6 +1440,35 @@ object ScanSinkQueries extends QueryModule {
         |SELECT CAST(3 AS BIGINT), 'overwrite',
         |  CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT) FROM v3
         |ORDER BY version""".stripMargin,
+
+    // The change-data-feed replay: every version's logical delta from
+    // orders — v1 all-insert, v2 pre/post/insert split of the upsert,
+    // v3 the range delete through the post-merge state.
+    "q_acid26" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |    CAST(round(o_totalprice*100,0) AS BIGINT) AS cents
+        |  FROM orders),
+        |m AS (SELECT max(k) AS maxk FROM base),
+        |pre AS (SELECT k, cents FROM base WHERE k % 13 = 0),
+        |post AS (SELECT k, cents + 3 AS cents FROM pre),
+        |ins AS (SELECT k + m.maxk + 1 AS k, cents + 9 AS cents
+        |  FROM base, m WHERE k % 17 = 5),
+        |del AS (SELECT k,
+        |    CASE WHEN k % 13 = 0 THEN cents + 3 ELSE cents END AS cents
+        |  FROM base, m WHERE k BETWEEN m.maxk // 4 AND m.maxk // 3)
+        |SELECT CAST(1 AS BIGINT) AS version, 'insert' AS change_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents FROM base
+        |UNION ALL SELECT CAST(2 AS BIGINT), 'insert',
+        |  CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT) FROM ins
+        |UNION ALL SELECT CAST(2 AS BIGINT), 'update_preimage',
+        |  CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT) FROM pre
+        |UNION ALL SELECT CAST(2 AS BIGINT), 'update_postimage',
+        |  CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT) FROM post
+        |UNION ALL SELECT CAST(3 AS BIGINT), 'delete',
+        |  CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT) FROM del
+        |ORDER BY version, change_type""".stripMargin,
 
     // The q_acid1 replay, served through the SQL catalog's VERSION AS OF.
     "q_acid25" ->

@@ -64,7 +64,12 @@ class AcidDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-acid"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val root = AcidSource.rootOf(options)
-    AcidSource.tableSchema(SparkSession.active, root)
+    val base = AcidSource.tableSchema(SparkSession.active, root)
+    // CDC mode (round 14): the feed is full rows + the change kind
+    if (options.getBoolean("readChangeFeed", false))
+      StructType(base.fields :+
+        StructField("_change_type", StringType, nullable = false))
+    else base
   }
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
@@ -383,7 +388,8 @@ class AcidScan(tableSchema: StructType, options: CaseInsensitiveStringMap,
     new AcidMicroBatchStream(root, tableSchema,
       startingVersion = options.getLong("startingVersion", 1L),
       maxVersionsPerBatch = options.getLong("maxVersionsPerBatch", Long.MaxValue),
-      allowNonAppend = options.getBoolean("allowNonAppend", false))
+      allowNonAppend = options.getBoolean("allowNonAppend", false),
+      cdcMode = options.getBoolean("readChangeFeed", false))
 
   /** BATCH read (round 13): one snapshot — the table-pinned version, or
     * `asOfVersion` (time travel through the DSv2 surface). One input
@@ -402,6 +408,10 @@ class AcidScan(tableSchema: StructType, options: CaseInsensitiveStringMap,
         Map[String, (Array[Long], Array[String])]])
 
   private lazy val planned: PlannedBatch = {
+    require(!options.getBoolean("readChangeFeed", false),
+      "graft-acid: readChangeFeed is a STREAMING option — batch change " +
+        "feeds are AcidTable.changeFeedOf / changesBetween / " +
+        "AcidTail.tailChanges")
     val spark = SparkSession.active
     val conf = spark.sparkContext.hadoopConfiguration
     // file-level skipping through the DSv2 surface: entries whose stats
@@ -443,7 +453,8 @@ case class AcidOffset(version: Long) extends Offset {
 
 class AcidMicroBatchStream(root: String, tableSchema: StructType,
                            startingVersion: Long, maxVersionsPerBatch: Long,
-                           allowNonAppend: Boolean)
+                           allowNonAppend: Boolean,
+                           cdcMode: Boolean = false)
   extends MicroBatchStream with SupportsAdmissionControl
   with SupportsTriggerAvailableNow {
 
@@ -492,18 +503,47 @@ class AcidMicroBatchStream(root: String, tableSchema: StructType,
     val s = start.asInstanceOf[AcidOffset].version
     val e = end.asInstanceOf[AcidOffset].version
     AcidTable.versions(spark, root).filter(v => v > s && v <= e).flatMap { v =>
-      val action = AcidTable.actionOf(spark, root, v)
-      if (action != "append" && !allowNonAppend)
-        throw new IllegalStateException(
-          s"graft-acid: version $v of $root is a '$action' commit — its " +
-            "added files are a REWRITE, not a row delta. Consume rewrites " +
-            "via AcidTable.changesBetween, or set allowNonAppend=true to " +
-            "receive rewritten files verbatim (idempotent-by-key " +
-            "consumers only)")
-      // shared guard: fails fast when vacuum retired the predecessor
-      graft.streaming.AcidTail.addedFiles(spark, root, v)
-        .map(p => AcidFilePartition(s"$root/$p"))
+      if (cdcMode) planCdcVersion(v) else planIncrementVersion(v)
     }.toArray
+  }
+
+  private def planIncrementVersion(v: Long): Seq[InputPartition] = {
+    val action = AcidTable.actionOf(spark, root, v)
+    if (action != "append" && !allowNonAppend)
+      throw new IllegalStateException(
+        s"graft-acid: version $v of $root is a '$action' commit — its " +
+          "added files are a REWRITE, not a row delta. Consume rewrites " +
+          "via AcidTable.changesBetween, or set allowNonAppend=true to " +
+          "receive rewritten files verbatim (idempotent-by-key " +
+          "consumers only)")
+    // shared guard: fails fast when vacuum retired the predecessor
+    graft.streaming.AcidTail.addedFiles(spark, root, v)
+      .map(p => AcidFilePartition(s"$root/$p"))
+  }
+
+  /** CDC mode (round 14): each version's LOGICAL row delta as FILES —
+    * `#cdc` change-data files where the commit wrote them (merge/delete
+    * with CDC enabled; rows carry their own `_change_type`), the added
+    * files with a synthesized constant `insert` for appends, nothing
+    * for compactions (logical no-ops). A rewrite committed WITHOUT CDC
+    * cannot be planned as a delta — fail fast with the pointer, exactly
+    * like the increment mode does for rewrites. */
+  private def planCdcVersion(v: Long): Seq[InputPartition] = {
+    val cdcFiles = AcidTable.cdcPathsOf(spark, root, v)
+    if (cdcFiles.nonEmpty)
+      cdcFiles.map(p => AcidFilePartition(s"$root/$p"))
+    else AcidTable.actionOf(spark, root, v) match {
+      case "append" =>
+        graft.streaming.AcidTail.addedFiles(spark, root, v)
+          .map(p => AcidFilePartition(s"$root/$p",
+            fillChangeType = "insert"))
+      case "compact" => Seq.empty // byte moves, no row changes
+      case action => throw new IllegalStateException(
+        s"graft-acid: version $v of $root is a '$action' commit with no " +
+          "change-data files — enable CDC before rewriting " +
+          "(AcidTable.enableCdc) or consume it via " +
+          "AcidTable.changesBetween")
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -518,7 +558,8 @@ class AcidMicroBatchStream(root: String, tableSchema: StructType,
   * the partition ships a constant-size reference, never the key arrays. */
 case class AcidFilePartition(path: String, dvCol: String = null,
                              dvMaskKey: String = null,
-                             ranges: Seq[AcidTable.ScanRange] = Nil)
+                             ranges: Seq[AcidTable.ScanRange] = Nil,
+                             fillChangeType: String = null)
   extends InputPartition
 
 class AcidReaderFactory(schema: StructType,
@@ -622,7 +663,13 @@ class AcidFileReader(p: AcidFilePartition, schema: StructType,
       val f = schema(i)
       values(i) =
         if (!g.getType.containsField(f.name) ||
-            g.getFieldRepetitionCount(f.name) == 0) null
+            g.getFieldRepetitionCount(f.name) == 0) {
+          // CDC insert synthesis: an append's files carry no
+          // _change_type column — the partition supplies the constant
+          if (f.name == "_change_type" && p.fillChangeType != null)
+            UTF8String.fromString(p.fillChangeType)
+          else null
+        }
         else f.dataType match {
           case LongType | TimestampType => g.getLong(f.name, 0)
           case IntegerType | DateType => g.getInteger(f.name, 0)
