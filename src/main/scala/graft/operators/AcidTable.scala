@@ -144,18 +144,26 @@ object AcidTable {
     * row-id scheme.) */
   final case class Dv(col: String, paths: Seq[String])
 
+  /** `rows` (round 14) is the file's PHYSICAL row count (footer block
+    * counts, recorded whenever footer stats are read) — the fuel for
+    * metadata-only COUNT(*) through the DSv2 aggregate pushdown. A file
+    * carrying a deletion vector has FEWER logical rows than `rows`
+    * says, which is exactly why the pushdown declines masked tables. */
   final case class Entry(path: String, stats: Seq[FileStat],
                          strStats: Seq[StrStat] = Nil,
-                         dv: Option[Dv] = None) {
+                         dv: Option[Dv] = None,
+                         rows: Option[Long] = None) {
     def render: String = {
       val parts = stats.map(s => s"${s.col}:${s.min}:${s.max}") ++
         strStats.map(s => s"${s.col}:s:${hex(s.min)}:${hex(s.max)}")
       val statSeg = parts.mkString(",")
-      dv match {
-        case None => if (parts.isEmpty) path else path + "|" + statSeg
-        case Some(d) =>
-          path + "|" + statSeg + "|dv:" + d.col + ":" + d.paths.mkString(";")
-      }
+      // position 1 is ALWAYS the stats segment (possibly empty);
+      // positions 2+ are prefix-tagged (rc: row count, dv: mask) — the
+      // order old manifests parse under, extended compatibly
+      val tail = rows.map(r => s"rc:$r").toSeq ++
+        dv.map(d => "dv:" + d.col + ":" + d.paths.mkString(";")).toSeq
+      if (tail.isEmpty) { if (parts.isEmpty) path else path + "|" + statSeg }
+      else (Seq(path, statSeg) ++ tail).mkString("|")
     }
     def statFor(c: String): Option[FileStat] = stats.find(_.col == c)
     def strStatFor(c: String): Option[StrStat] = strStats.find(_.col == c)
@@ -166,18 +174,29 @@ object AcidTable {
     // empty string ("c:s::" — a file where every value of the column is
     // "") would parse as Array(c, "s") and brick every subsequent read
     // of an otherwise-successful commit (ADVICE r12, high)
-    def parse(line: String): Entry = line.split("\\|", -1) match {
-      case Array(p) => Entry(p, Nil)
-      case Array(p, st) =>
-        val (l, s) = parseStats(st); Entry(p, l, s)
-      case Array(p, st, d) if d.startsWith("dv:") =>
-        val (l, s) = parseStats(st)
-        d.split(":", -1) match {
-          case Array("dv", c, ps) if ps.nonEmpty =>
-            Entry(p, l, s, Some(Dv(c, ps.split(";", -1).toSeq)))
-          case _ => throw new IllegalStateException(s"malformed dv segment: $d")
-        }
-      case _ => throw new IllegalStateException(s"malformed manifest line: $line")
+    def parse(line: String): Entry = {
+      val segs = line.split("\\|", -1)
+      if (segs.isEmpty || segs(0).isEmpty)
+        throw new IllegalStateException(s"malformed manifest line: $line")
+      if (segs.length == 1) return Entry(segs(0), Nil)
+      val (l, s) = parseStats(segs(1))
+      var rows: Option[Long] = None
+      var dv: Option[Dv] = None
+      segs.drop(2).foreach {
+        case r if r.startsWith("rc:") =>
+          rows = Some(r.stripPrefix("rc:").toLong)
+        case d if d.startsWith("dv:") =>
+          d.split(":", -1) match {
+            case Array("dv", c, ps) if ps.nonEmpty =>
+              dv = Some(Dv(c, ps.split(";", -1).toSeq))
+            case _ =>
+              throw new IllegalStateException(s"malformed dv segment: $d")
+          }
+        case other =>
+          throw new IllegalStateException(
+            s"malformed manifest segment '$other' in: $line")
+      }
+      Entry(segs(0), l, s, dv, rows)
     }
     private def parseStats(st: String): (Seq[FileStat], Seq[StrStat]) = {
       if (st.isEmpty) return (Nil, Nil)
@@ -415,9 +434,10 @@ object AcidTable {
     relPaths.map { rel =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
         .fromPath(new Path(s"$root/$rel"), conf)
-      val stats = Using.resource(org.apache.parquet.hadoop.ParquetFileReader.open(in)) { rd =>
+      val (stats, rowCount) = Using.resource(org.apache.parquet.hadoop.ParquetFileReader.open(in)) { rd =>
         val blocks = rd.getFooter.getBlocks.asScala.toSeq
-        statsCols.flatMap { c =>
+        val rc = blocks.map(_.getRowCount).sum
+        val st = statsCols.flatMap { c =>
           val chunks = blocks.map(_.getColumns.asScala.find(_.getPath.toDotString == c))
           if (blocks.isEmpty || chunks.exists(_.isEmpty)) None
           else {
@@ -451,9 +471,10 @@ object AcidTable {
             }
           }
         }
+        (st, rc)
       }
       Entry(rel, stats.collect { case Left(f) => f },
-        stats.collect { case Right(f) => f })
+        stats.collect { case Right(f) => f }, None, Some(rowCount))
     }
   }
 

@@ -1037,6 +1037,27 @@ object ScanSinkQueries extends QueryModule {
       }.reduce(_.unionByName(_)).orderBy("version", "change_type")
     }),
 
+    // Q-ACID27 (round 14): METADATA-ONLY aggregates — count(*)/min/max
+    // over the z-bucketed base version answered from the MANIFEST (file
+    // row counts + min/max stats fold on the driver; the scan is one
+    // constant row). metadata_only=1 is derived from the EXECUTED plan
+    // (the AcidAggScan marker) and oracle-pinned, so the gate fails if
+    // the pushdown ever silently stops serving; the values replay from
+    // orders. At 100 TB this is O(manifest) vs a full table read for
+    // the first question anyone asks a table.
+    "q_acid27" -> ((s, d) => {
+      val (root, nf, _, _) = acidZ(s, d)
+      val agg = s.read.format("graft-acid").option("root", root)
+        .option("asOfVersion", nf.toString).load()
+        .selectExpr("count(*) AS n", "min(k) AS min_k", "max(k) AS max_k",
+          "min(cents) AS min_cents", "max(cents) AS max_cents")
+      val servedMeta = agg.queryExecution.executedPlan.toString
+        .contains("metadata-only aggregate")
+      agg.select(lit(if (servedMeta) 1L else 0L).as("metadata_only"),
+        col("n"), col("min_k"), col("max_k"), col("min_cents"),
+        col("max_cents"))
+    }),
+
     // Q-SCAN1: parquet scan + projection + total sort.
     "q_scan1" -> ((s, d) =>
       Tables.load(s, d, "lineitem")
@@ -1469,6 +1490,21 @@ object ScanSinkQueries extends QueryModule {
         |UNION ALL SELECT CAST(3 AS BIGINT), 'delete',
         |  CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT) FROM del
         |ORDER BY version, change_type""".stripMargin,
+
+    // Metadata-only aggregates: the values replay from orders; the
+    // metadata_only flag pins that the executed plan was the manifest
+    // fold, not a data scan.
+    "q_acid27" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice*100,0) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT CAST(1 AS BIGINT) AS metadata_only,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(k) AS BIGINT) AS min_k, CAST(max(k) AS BIGINT) AS max_k,
+        |  CAST(min(cents) AS BIGINT) AS min_cents,
+        |  CAST(max(cents) AS BIGINT) AS max_cents
+        |FROM base""".stripMargin,
 
     // The q_acid1 replay, served through the SQL catalog's VERSION AS OF.
     "q_acid25" ->

@@ -77,6 +77,61 @@ class AcidDataSource extends TableProvider with DataSourceRegister {
 }
 
 object AcidSource {
+  /** Count of aggregates served METADATA-ONLY (no data scan) — a
+    * testable fact for the pushdown spec. */
+  val metadataAggs = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Count of scans re-planned under a RUNTIME filter — a testable fact
+    * for the dynamic-pruning spec. */
+  val runtimeFilteredScans = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Runtime (DPP-style) V2 predicates → ScanRanges: IN folds its value
+    * set to [min,max] (a superset — always safe), `=` is an exact point.
+    * Anything else contributes nothing. */
+  private[sources] def v2PredicatesToRanges(
+      preds: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Seq[AcidTable.ScanRange] = {
+    import org.apache.spark.sql.connector.expressions.{Literal => V2Lit, NamedReference}
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case n: NamedReference if n.fieldNames().length == 1 =>
+        Some(n.fieldNames()(0))
+      case _ => None
+    }
+    def litVal(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[Any] = e match {
+      case l: V2Lit[_] => Option(l.value())
+      case _ => None
+    }
+    preds.toSeq.flatMap { p =>
+      val kids = p.children()
+      val col = kids.headOption.flatMap(colOf)
+      val vals = kids.drop(1).map(litVal)
+      (p.name(), col) match {
+        case (("IN" | "="), Some(c)) if vals.nonEmpty && vals.forall(_.isDefined) =>
+          val vs = vals.map(_.get)
+          val longs = vs.collect {
+            case l: java.lang.Long => l.longValue()
+            case i: java.lang.Integer => i.longValue()
+            case s: java.lang.Short => s.longValue()
+            case b: java.lang.Byte => b.longValue()
+          }
+          val strs = vs.collect {
+            case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+            case s: String => s
+          }
+          if (longs.length == vs.length)
+            Some(AcidTable.ColRange(c, longs.min, longs.max))
+          else if (strs.length == vs.length) {
+            val ord = Ordering.fromLessThan[String](
+              graft.operators.AcidTable.utf8Cmp(_, _) < 0)
+            Some(AcidTable.StrRange(c, strs.min(ord), strs.max(ord)))
+          } else None
+        case _ => None
+      }
+    }
+  }
+
   private[sources] def rootOf(options: CaseInsensitiveStringMap): String = {
     val root = options.get("root")
     require(root != null && root.nonEmpty,
@@ -354,10 +409,12 @@ class AcidSourceTable(tableSchema: StructType,
     // Every filter stays residual (Spark re-applies it) — the prune is a
     // superset by contract, so the decision can never change an answer.
     new ScanBuilder with SupportsPushDownRequiredColumns
-        with SupportsPushDownFilters {
+        with SupportsPushDownFilters
+        with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
       private var required = tableSchema
       private var pushed = Array.empty[org.apache.spark.sql.sources.Filter]
       private var ranges = Seq.empty[AcidTable.ScanRange]
+      private var aggScan: Option[AcidAggScan] = None
       override def pruneColumns(r: StructType): Unit = required = r
       override def pushFilters(
           filters: Array[org.apache.spark.sql.sources.Filter])
@@ -369,8 +426,87 @@ class AcidSourceTable(tableSchema: StructType,
       }
       override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
         pushed
-      override def build(): Scan =
-        new AcidScan(required, opts, pinnedVersion, ranges)
+      // METADATA-ONLY AGGREGATES (round 14): an un-filtered, un-grouped
+      // COUNT(*)/MIN/MAX over a mask-free snapshot is answered from the
+      // MANIFEST — file row counts and min/max stats fold on the driver,
+      // and the "scan" is one constant row. At 100 TB this is the
+      // difference between O(manifest) and a full table read for the
+      // first question anyone asks a table (Delta/Iceberg serve
+      // SELECT count(*) the same way). Declined (→ ordinary scan)
+      // whenever exactness would be at risk: pushed filters, GROUP BY,
+      // any deletion vector (physical counts over-count masked rows),
+      // a file without a recorded row count, a MIN/MAX column without
+      // stats on every file, or a string/float column (string footer
+      // bounds may be truncated; floats carry NaN-ordering hazards).
+      override def supportCompletePushDown(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+          : Boolean = translateAgg(agg).isDefined
+      override def pushAggregation(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+          : Boolean = translateAgg(agg) match {
+        case Some(scan) =>
+          aggScan = Some(scan); AcidSource.metadataAggs.incrementAndGet()
+          true
+        case None => false
+      }
+      private def translateAgg(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+          : Option[AcidAggScan] = {
+        import org.apache.spark.sql.connector.expressions.aggregate._
+        val root = AcidSource.rootOf(opts)
+        if (agg.groupByExpressions().nonEmpty || ranges.nonEmpty) return None
+        val spark = SparkSession.active
+        val entries = AcidTable.entriesOf(spark, root, pinnedVersion)
+        if (entries.exists(_.dv.isDefined)) return None
+        def longStatCol(e: org.apache.spark.sql.connector.expressions.Expression)
+            : Option[String] = e match {
+          case f: org.apache.spark.sql.connector.expressions.NamedReference
+              if f.fieldNames().length == 1 =>
+            val c = f.fieldNames()(0)
+            val ok = tableSchema.fields.find(_.name == c).exists(f =>
+              f.dataType == LongType || f.dataType == IntegerType ||
+                f.dataType == DateType || f.dataType == TimestampType)
+            if (ok && entries.forall(_.statFor(c).isDefined)) Some(c) else None
+          case _ => None
+        }
+        val fields = scala.collection.mutable.ArrayBuffer.empty[StructField]
+        val values = scala.collection.mutable.ArrayBuffer.empty[Any]
+        def dtOf(c: String) = tableSchema.fields.find(_.name == c).get.dataType
+        def fit(dt: org.apache.spark.sql.types.DataType, v: Long): Any =
+          dt match {
+            case IntegerType | DateType => v.toInt
+            case _ => v
+          }
+        agg.aggregateExpressions().foreach {
+          case _: CountStar =>
+            if (entries.exists(_.rows.isEmpty)) return None
+            fields += StructField("count_star", LongType, nullable = false)
+            values += entries.flatMap(_.rows).sum
+          case c: Count if !c.isDistinct && c.column().isInstanceOf[
+              org.apache.spark.sql.connector.expressions.Literal[_]] =>
+            // COUNT(literal) counts every row, exactly like COUNT(*)
+            if (entries.exists(_.rows.isEmpty)) return None
+            fields += StructField("count_lit", LongType, nullable = false)
+            values += entries.flatMap(_.rows).sum
+          case m: Min => longStatCol(m.column()) match {
+            case Some(c) =>
+              fields += StructField(s"min_$c", dtOf(c))
+              values += fit(dtOf(c), entries.flatMap(_.statFor(c)).map(_.min).min)
+            case None => return None
+          }
+          case m: Max => longStatCol(m.column()) match {
+            case Some(c) =>
+              fields += StructField(s"max_$c", dtOf(c))
+              values += fit(dtOf(c), entries.flatMap(_.statFor(c)).map(_.max).max)
+            case None => return None
+          }
+          case _ => return None
+        }
+        Some(new AcidAggScan(root, StructType(fields.toSeq),
+          values.toSeq))
+      }
+      override def build(): Scan = aggScan.getOrElse(
+        new AcidScan(required, opts, pinnedVersion, ranges))
     }
   }
 }
@@ -378,12 +514,46 @@ class AcidSourceTable(tableSchema: StructType,
 class AcidScan(tableSchema: StructType, options: CaseInsensitiveStringMap,
                pinnedVersion: => Long,
                ranges: Seq[AcidTable.ScanRange] = Nil)
-  extends Scan with Batch {
+  extends Scan with Batch
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   private val root = AcidSource.rootOf(options)
   override def readSchema(): StructType = tableSchema
   override def description(): String =
     s"graft-acid root=$root" +
       (if (ranges.isEmpty) "" else s" ranges=${ranges.mkString(",")}")
+
+  // RUNTIME FILTERING (round 14): dynamic "partition" pruning for the
+  // manifest — Spark treats the stats columns as prunable attributes,
+  // and when a join's build side completes, hands the observed key set
+  // here as IN/EQ predicates. They fold into the same ScanRange algebra
+  // (IN → [min,max] — a superset, always safe) and the scan RE-PLANS:
+  // entries whose stats exclude every surviving key never become
+  // partitions. At 100 TB this is the dim-filter → fact-prune path that
+  // static pushdown cannot see (the keys exist only at run time).
+  @volatile private var runtimeRanges: Seq[AcidTable.ScanRange] = Nil
+  @volatile private var plannedCache: PlannedBatch = _
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val spark = SparkSession.active
+    val entries = AcidTable.entriesOf(spark, root, pinnedVersion)
+    (entries.flatMap(_.stats.map(_.col)) ++
+      entries.flatMap(_.strStats.map(_.col))).distinct.sorted
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
+  }
+
+  override def filter(
+      predicates: Array[
+        org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = {
+    val rs = AcidSource.v2PredicatesToRanges(predicates)
+    if (rs.nonEmpty) {
+      runtimeRanges = rs
+      AcidSource.runtimeFilteredScans.incrementAndGet()
+      plannedCache = null // re-plan under the tightened ranges
+    }
+  }
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new AcidMicroBatchStream(root, tableSchema,
       startingVersion = options.getLong("startingVersion", 1L),
@@ -407,7 +577,9 @@ class AcidScan(tableSchema: StructType, options: CaseInsensitiveStringMap,
       masks: org.apache.spark.broadcast.Broadcast[
         Map[String, (Array[Long], Array[String])]])
 
-  private lazy val planned: PlannedBatch = {
+  private def planned: PlannedBatch = {
+    val cached = plannedCache
+    if (cached != null) return cached
     require(!options.getBoolean("readChangeFeed", false),
       "graft-acid: readChangeFeed is a STREAMING option — batch change " +
         "feeds are AcidTable.changeFeedOf / changesBetween / " +
@@ -415,9 +587,10 @@ class AcidScan(tableSchema: StructType, options: CaseInsensitiveStringMap,
     val spark = SparkSession.active
     val conf = spark.sparkContext.hadoopConfiguration
     // file-level skipping through the DSv2 surface: entries whose stats
-    // exclude every pushed range never become partitions
+    // exclude every pushed OR runtime range never become partitions
     val entries = AcidTable.pruneEntries(
-      AcidTable.entriesOf(spark, root, pinnedVersion), ranges)
+      AcidTable.entriesOf(spark, root, pinnedVersion),
+      ranges ++ runtimeRanges)
     def maskKey(d: AcidTable.Dv): String = d.col + "|" + d.paths.mkString(";")
     val distinctSets = entries.flatMap(_.dv).map(d => maskKey(d) -> d).toMap
     val loaded = distinctSets.map { case (k, d) =>
@@ -430,14 +603,19 @@ class AcidScan(tableSchema: StructType, options: CaseInsensitiveStringMap,
       val strs = keys.collect { case s: String => s }
       k -> (longs.toArray, strs.toArray)
     }
+    // runtime ranges ride into the per-file parquet filter too — the IN
+    // set became a [min,max] superset, so record filtering stays safe
+    val allRanges = ranges ++ runtimeRanges
     val parts: Array[InputPartition] = entries.map { e =>
       e.dv match {
-        case None => AcidFilePartition(s"$root/${e.path}", ranges = ranges)
+        case None => AcidFilePartition(s"$root/${e.path}", ranges = allRanges)
         case Some(d) =>
-          AcidFilePartition(s"$root/${e.path}", d.col, maskKey(d), ranges)
+          AcidFilePartition(s"$root/${e.path}", d.col, maskKey(d), allRanges)
       }
     }.toArray
-    PlannedBatch(parts, spark.sparkContext.broadcast(loaded))
+    val out = PlannedBatch(parts, spark.sparkContext.broadcast(loaded))
+    plannedCache = out
+    out
   }
 
   override def planInputPartitions(): Array[InputPartition] = planned.parts
@@ -445,6 +623,34 @@ class AcidScan(tableSchema: StructType, options: CaseInsensitiveStringMap,
   override def createReaderFactory(): PartitionReaderFactory =
     new AcidReaderFactory(tableSchema, planned.masks)
 }
+
+/** The metadata-only aggregate "scan": ONE constant row, folded from
+  * the manifest on the driver — no data file is opened, which IS the
+  * feature. */
+class AcidAggScan(root: String, aggSchema: StructType, values: Seq[Any])
+  extends Scan with Batch {
+  override def readSchema(): StructType = aggSchema
+  override def description(): String =
+    s"graft-acid root=$root metadata-only aggregate " +
+      aggSchema.fieldNames.mkString(",")
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(AcidAggPartition(values))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(
+          p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var served = false
+          override def next(): Boolean = { val n = !served; served = true; n }
+          override def get(): InternalRow = new GenericInternalRow(
+            p.asInstanceOf[AcidAggPartition].values.toArray)
+          override def close(): Unit = ()
+        }
+    }
+}
+
+case class AcidAggPartition(values: Seq[Any]) extends InputPartition
 
 /** Offset = the highest table version already delivered. */
 case class AcidOffset(version: Long) extends Offset {
