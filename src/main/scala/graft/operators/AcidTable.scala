@@ -148,19 +148,27 @@ object AcidTable {
     * counts, recorded whenever footer stats are read) — the fuel for
     * metadata-only COUNT(*) through the DSv2 aggregate pushdown. A file
     * carrying a deletion vector has FEWER logical rows than `rows`
-    * says, which is exactly why the pushdown declines masked tables. */
+    * says, which is exactly why the pushdown declines masked tables.
+    * `bytes` is the file's on-disk length, recorded in the same pass —
+    * the fuel for O(manifest) planner statistics ([[AcidScan]] reports
+    * size/rows to Spark so an acid dim table auto-broadcasts) and for
+    * [[detail]]/[[maintain]]/[[compactSmall]] without per-file
+    * getFileStatus calls. */
   final case class Entry(path: String, stats: Seq[FileStat],
                          strStats: Seq[StrStat] = Nil,
                          dv: Option[Dv] = None,
-                         rows: Option[Long] = None) {
+                         rows: Option[Long] = None,
+                         bytes: Option[Long] = None) {
     def render: String = {
       val parts = stats.map(s => s"${s.col}:${s.min}:${s.max}") ++
         strStats.map(s => s"${s.col}:s:${hex(s.min)}:${hex(s.max)}")
       val statSeg = parts.mkString(",")
       // position 1 is ALWAYS the stats segment (possibly empty);
-      // positions 2+ are prefix-tagged (rc: row count, dv: mask) — the
-      // order old manifests parse under, extended compatibly
+      // positions 2+ are prefix-tagged (rc: row count, sz: byte length,
+      // dv: mask) — the order old manifests parse under, extended
+      // compatibly
       val tail = rows.map(r => s"rc:$r").toSeq ++
+        bytes.map(b => s"sz:$b").toSeq ++
         dv.map(d => "dv:" + d.col + ":" + d.paths.mkString(";")).toSeq
       if (tail.isEmpty) { if (parts.isEmpty) path else path + "|" + statSeg }
       else (Seq(path, statSeg) ++ tail).mkString("|")
@@ -181,10 +189,13 @@ object AcidTable {
       if (segs.length == 1) return Entry(segs(0), Nil)
       val (l, s) = parseStats(segs(1))
       var rows: Option[Long] = None
+      var bytes: Option[Long] = None
       var dv: Option[Dv] = None
       segs.drop(2).foreach {
         case r if r.startsWith("rc:") =>
           rows = Some(r.stripPrefix("rc:").toLong)
+        case b if b.startsWith("sz:") =>
+          bytes = Some(b.stripPrefix("sz:").toLong)
         case d if d.startsWith("dv:") =>
           d.split(":", -1) match {
             case Array("dv", c, ps) if ps.nonEmpty =>
@@ -196,7 +207,7 @@ object AcidTable {
           throw new IllegalStateException(
             s"malformed manifest segment '$other' in: $line")
       }
-      Entry(segs(0), l, s, dv, rows)
+      Entry(segs(0), l, s, dv, rows, bytes)
     }
     private def parseStats(st: String): (Seq[FileStat], Seq[StrStat]) = {
       if (st.isEmpty) return (Nil, Nil)
@@ -231,6 +242,12 @@ object AcidTable {
 
   private def fs(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Data-file length: from the manifest (`sz:` — O(manifest), the
+    * cluster-scale path) when recorded, one getFileStatus otherwise. */
+  private def entryBytes(f: FileSystem, root: String, e: Entry): Long =
+    e.bytes.getOrElse(
+      f.getFileStatus(new Path(s"$root/${e.path}")).getLen)
 
   private def manifestPath(root: String, v: Long): Path =
     new Path(s"$root/$ManifestDir/v${("%0" + Width + "d").format(v)}.manifest")
@@ -434,6 +451,7 @@ object AcidTable {
     relPaths.map { rel =>
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
         .fromPath(new Path(s"$root/$rel"), conf)
+      val fileBytes = in.getLength
       val (stats, rowCount) = Using.resource(org.apache.parquet.hadoop.ParquetFileReader.open(in)) { rd =>
         val blocks = rd.getFooter.getBlocks.asScala.toSeq
         val rc = blocks.map(_.getRowCount).sum
@@ -474,7 +492,8 @@ object AcidTable {
         (st, rc)
       }
       Entry(rel, stats.collect { case Left(f) => f },
-        stats.collect { case Right(f) => f }, None, Some(rowCount))
+        stats.collect { case Right(f) => f }, None, Some(rowCount),
+        Some(fileBytes))
     }
   }
 
@@ -948,7 +967,7 @@ object AcidTable {
     val dvPaths = entries.flatMap(_.dv.map(_.paths).getOrElse(Nil)).distinct
     Seq((v, action, vs.length.toLong, entries.length.toLong,
       entries.count(_.dv.isDefined).toLong, dvPaths.length.toLong,
-      entries.map(e => len(e.path)).sum, dvPaths.map(len).sum,
+      entries.map(entryBytes(f, root, _)).sum, dvPaths.map(len).sum,
       checkpointVersions(spark, root).lastOption.getOrElse(0L)))
       .toDF("version", "last_action", "n_versions", "n_files",
         "n_masked_files", "n_masks", "data_bytes", "mask_bytes",
@@ -992,7 +1011,7 @@ object AcidTable {
       val entries = readManifest(spark, root, currentVersion(spark, root))._2
       def len(p: String): Long = f.getFileStatus(new Path(s"$root/$p")).getLen
       val dvPaths = entries.flatMap(_.dv.map(_.paths).getOrElse(Nil)).distinct
-      (entries, entries.map(e => len(e.path)).sum, dvPaths.map(len).sum)
+      (entries, entries.map(entryBytes(f, root, _)).sum, dvPaths.map(len).sum)
     }
     // 1. mask debt first: folding can only help the packing step after it
     val (entries0, dataBytes0, maskBytes0) = gauges()
@@ -1567,7 +1586,7 @@ object AcidTable {
     val (_, entries) = readManifest(spark, root, cur)
     val f = fs(spark, root)
     val (small, big) = entries.partition(e =>
-      f.getFileStatus(new Path(s"$root/${e.path}")).getLen < smallBytes)
+      entryBytes(f, root, e) < smallBytes)
     if (small.length < 2) (cur, 0, entries.length)
     else {
       val packed = readEntries(spark, root, small) // DV-aware: folds masks

@@ -515,7 +515,8 @@ class AcidScan(tableSchema: StructType, options: CaseInsensitiveStringMap,
                pinnedVersion: => Long,
                ranges: Seq[AcidTable.ScanRange] = Nil)
   extends Scan with Batch
-  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   private val root = AcidSource.rootOf(options)
   override def readSchema(): StructType = tableSchema
   override def description(): String =
@@ -552,6 +553,38 @@ class AcidScan(tableSchema: StructType, options: CaseInsensitiveStringMap,
       runtimeRanges = rs
       AcidSource.runtimeFilteredScans.incrementAndGet()
       plannedCache = null // re-plan under the tightened ranges
+    }
+  }
+
+  /** PLANNER STATISTICS from the manifest (round 14): size and row
+    * count of the (pushdown-pruned) snapshot, O(manifest) — without
+    * this Spark assumes defaultSizeInBytes (effectively infinite) for a
+    * DSv2 source and a small acid dim table would NEVER auto-broadcast;
+    * with it, join strategy and AQE see real numbers, and the estimate
+    * SHRINKS under pushed filters because it is computed over the
+    * pruned entry set. Files predating the `sz:` segment fall back to
+    * one getFileStatus each. */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val spark = SparkSession.active
+    val entries = AcidTable.pruneEntries(
+      AcidTable.entriesOf(spark, root, pinnedVersion),
+      ranges ++ runtimeRanges)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val size = entries.map { e =>
+      e.bytes.getOrElse(new Path(s"$root/${e.path}")
+        .getFileSystem(conf).getFileStatus(
+          new Path(s"$root/${e.path}")).getLen)
+    }.sum
+    val rows: java.util.OptionalLong =
+      if (entries.forall(_.rows.isDefined) &&
+          !entries.exists(_.dv.isDefined))
+        java.util.OptionalLong.of(entries.flatMap(_.rows).sum)
+      else java.util.OptionalLong.empty()
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(size)
+      override def numRows(): java.util.OptionalLong = rows
     }
   }
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
