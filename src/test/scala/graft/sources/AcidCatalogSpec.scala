@@ -86,6 +86,14 @@ class AcidCatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("engine API"))
   }
 
+  test("count(*) through the catalog serves metadata-only too") {
+    mk("t6")
+    val before = AcidSource.metadataAggs.get()
+    assert(spark.sql("SELECT count(*) FROM cat.t6").as[Long].head() === 3L)
+    assert(AcidSource.metadataAggs.get() > before,
+      "the SQL path shares the ScanBuilder, so the manifest fold serves")
+  }
+
   test("nested namespaces map to subdirectories") {
     val root = s"$base/ns/deep"
     AcidTable.commitAppend(kv(7L -> 70L), root)
