@@ -890,6 +890,44 @@ object ScaleBench {
       }
     }
 
+    // ---- DSv2 surface: planning ~ MANIFEST, aggregates ~ METADATA -------
+    // (r14) through spark.read.format("graft-acid") against 16x growing
+    // file counts: (a) count(*) is served from manifest row counts — the
+    // wall must stay ~flat milliseconds while the table grows (a scan
+    // would grow 16x); (b) a FIXED one-block predicate plans exactly ONE
+    // input partition regardless of table size (files_scanned is the
+    // partition count — the structural prune through the standard API).
+    locally {
+      import graft.operators.AcidTable
+      for (files <- Seq(8, 32, 128)) {
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_scale_dsv2/" +
+          s"${spark.sparkContext.applicationId}/f$files"
+        val perFile = 2000L
+        (0 until files).foreach { i =>
+          AcidTable.commitAppend(
+            spark.range(i * perFile, (i + 1) * perFile).toDF("k")
+              .withColumn("v", col("k") * 3).coalesce(1),
+            root, statsCols = Seq("k"))
+        }
+        def loaded = spark.read.format("graft-acid")
+          .option("root", root).load()
+        val t0 = System.nanoTime()
+        val n = loaded.count() // Count(lit) -> metadata fold, no scan
+        val metaSec = (System.nanoTime() - t0) / 1e9
+        val pruned = loaded.where(col("k") >= perFile && col("k") < 2 * perFile)
+        val t1 = System.nanoTime()
+        val parts = pruned.rdd.getNumPartitions
+        val hit = pruned.count()
+        val pruneSec = (System.nanoTime() - t1) / 1e9
+        println(f"""{"op":"acid_dsv2_meta","n":$files,"rows":$n,""" +
+          f""""sec":$metaSec%.2f}""")
+        println(f"""{"op":"acid_dsv2_prune","n":$files,"parts":$parts,""" +
+          f""""rows_hit":$hit,"sec":$pruneSec%.2f}""")
+        rows += (("acid_dsv2_meta", files.toLong, metaSec))
+        rows += (("acid_dsv2_prune", files.toLong, pruneSec))
+      }
+    }
+
     // ---- consecutive-scale wall ratios ----------------------------------
     val byOp = rows.groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq)
     for ((op, rs) <- byOp.toSeq.sortBy(_._1); Seq((_, n1, t1), (_, n2, t2)) <- rs.sliding(2)

@@ -200,11 +200,20 @@ object AcidSource {
     val longHi = scala.collection.mutable.Map.empty[String, Long]
     val strLo = scala.collection.mutable.Map.empty[String, String]
     val strHi = scala.collection.mutable.Map.empty[String, String]
+    // DATE compares as epoch days (the manifest's int32-DATE stat unit),
+    // TIMESTAMP as epoch micros (the int64-TIMESTAMP unit) — ship_date
+    // range predicates are the single most common scan filter
     def longVal(v: Any): Option[Long] = v match {
       case l: Long => Some(l)
       case i: Int => Some(i.toLong)
       case s: Short => Some(s.toLong)
       case b: Byte => Some(b.toLong)
+      case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+      case d: java.time.LocalDate => Some(d.toEpochDay)
+      case t: java.sql.Timestamp =>
+        Some(t.getTime * 1000L + (t.getNanos % 1000000L) / 1000L)
+      case i: java.time.Instant =>
+        Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
       case _ => None
     }
     def tightenLong(c: String, lo: Option[Long], hi: Option[Long]): Unit = {

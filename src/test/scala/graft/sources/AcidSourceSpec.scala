@@ -183,6 +183,25 @@ class AcidSourceSpec extends SparkSpec {
       Set(13L, 16L, 17L))
   }
 
+  test("DATE-typed pushdown prunes files via epoch-day stats — the " +
+      "ship_date-style predicate every scan carries") {
+    val root = fresh("dt") + "/tbl"
+    Seq("2024-01", "2024-02", "2024-03").foreach { m =>
+      AcidTable.commitAppend(
+        (1 to 10).map(d => (java.sql.Date.valueOf(f"$m-$d%02d"), d.toLong))
+          .toDF("dt", "v").coalesce(1),
+        root, statsCols = Seq("dt"))
+    }
+    val loaded = spark.read.format("graft-acid").option("root", root).load()
+    val feb = loaded.where($"dt" >= java.sql.Date.valueOf("2024-02-01") &&
+      $"dt" <= java.sql.Date.valueOf("2024-02-28"))
+    assert(feb.rdd.getNumPartitions === 1,
+      "date range must prune to the February file")
+    assert(feb.count() === 10L)
+    assert(loaded.where($"dt" === java.sql.Date.valueOf("2024-03-05"))
+      .select("v").as[Long].collect().toSeq === Seq(5L))
+  }
+
   test("string-stat pushdown prunes files on equality and IN") {
     val root = fresh("sp") + "/tbl"
     Seq(Seq("alpha", "beta"), Seq("mike", "nina"), Seq("yara", "zulu"))
