@@ -396,10 +396,26 @@ class AcidSourceTable(tableSchema: StructType,
   // between (Delta pins its snapshot the same way; a fresh `load()` sees
   // the new head). Lazy so a pure readStream never resolves it — the
   // streaming source tracks versions through its own offsets.
+  // `asOfTimestamp` (epoch millis or 'yyyy-MM-dd[ HH:mm:ss]', round 14)
+  // resolves to the latest version committed at-or-before — the
+  // readAsOfTimestamp contract through the option surface.
   private lazy val pinnedVersion: Long = {
     val root = AcidSource.rootOf(options)
+    val spark = SparkSession.active
     Option(options.get("asOfVersion")).map(_.toLong)
-      .getOrElse(AcidTable.currentVersion(SparkSession.active, root))
+      .orElse(Option(options.get("asOfTimestamp")).map { raw =>
+        val millis = scala.util.Try(raw.toLong).getOrElse {
+          val norm = if (raw.contains(" ") || raw.contains("T")) raw
+            else raw + " 00:00:00"
+          java.sql.Timestamp.valueOf(norm.replace("T", " ")).getTime
+        }
+        val vs = AcidTable.versions(spark, root)
+          .filter(v => AcidTable.commitTimestamp(spark, root, v) <= millis)
+        require(vs.nonEmpty,
+          s"$root has no version committed at or before $raw")
+        vs.last
+      })
+      .getOrElse(AcidTable.currentVersion(spark, root))
   }
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {

@@ -219,6 +219,21 @@ class AcidSourceSpec extends SparkSpec {
       .getNumPartitions === 1)
   }
 
+  test("asOfTimestamp option time-travels by wall clock (millis and " +
+      "date-string forms); too-early fails fast") {
+    val root = fresh("ts") + "/tbl"
+    AcidTable.commitAppend(kv(1L -> 10L), root)
+    val t1 = AcidTable.commitTimestamp(spark, root, 1L)
+    Thread.sleep(5)
+    AcidTable.commitAppend(kv(2L -> 20L), root)
+    def at(ts: String) = spark.read.format("graft-acid")
+      .option("root", root).option("asOfTimestamp", ts).load().count()
+    assert(at(t1.toString) === 1L, "millis form pins v1")
+    assert(at("2200-01-01") === 2L, "future date sees the head")
+    val e = intercept[Exception] { at("2000-01-01 12:00:00") }
+    assert(e.getMessage.contains("no version committed"))
+  }
+
   test("batch snapshot is pinned per load(): a commit landing between " +
       "two actions does not split the DataFrame's view (ADVICE r13)") {
     val root = fresh("pin") + "/tbl"
