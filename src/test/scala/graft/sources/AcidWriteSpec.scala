@@ -189,6 +189,32 @@ class AcidWriteSpec extends SparkSpec {
     assert(nr.isNullAt(nr.fieldIndex("l")) && nr.isNullAt(nr.fieldIndex("s")))
   }
 
+  test("a task-level abort deletes its file; an uncommitted attempt " +
+      "file stays invisible either way") {
+    val root = fresh("ab")
+    AcidTable.commitAppend(kv(1L -> 10L), root)
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("v", LongType)))
+    val factory = new AcidDataWriterFactory(root, "data/dsv2-abort", schema)
+    // attempt 1 writes then ABORTS: its file must be deleted
+    val w1 = factory.createWriter(0, 1L)
+    w1.write(InternalRow(7L, 70L))
+    w1.abort()
+    val p1 = new org.apache.hadoop.fs.Path(
+      s"$root/data/dsv2-abort/part-00000-1.parquet")
+    val fs = p1.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(p1), "abort must delete the attempt's file")
+    // attempt 2 commits its message but the JOB never publishes: the
+    // file exists on disk yet no reader can see it (manifest-invisible)
+    val w2 = factory.createWriter(0, 2L)
+    w2.write(InternalRow(8L, 80L))
+    w2.commit()
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$root/data/dsv2-abort/part-00000-2.parquet")))
+    assert(readAll(root) === Set(1L -> 10L),
+      "an unpublished task file is invisible to every reader")
+  }
+
   test("concurrent DSv2 appends both land (the rebase gate holds for " +
       "the write path)") {
     val root = fresh("c")
