@@ -986,7 +986,8 @@ object AcidTable {
                                      smallBytes: Long = 32L * 1024 * 1024,
                                      maxMaskRatio: Double = 0.10,
                                      retainVersions: Int = 0,
-                                     minAgeMillis: Long = 0L)
+                                     minAgeMillis: Long = 0L,
+                                     orphanAgeMillis: Long = 0L)
 
   /** One maintenance pass: read the physical gauges ([[detail]]'s
     * inputs), apply `policy`, and run — in debt-first order — the
@@ -1034,6 +1035,11 @@ object AcidTable {
         policy.minAgeMillis)
       if (manifestsDeleted > 0)
         out += (("vacuum", manifestsDeleted.toLong))
+    }
+    // 4. failed-job debris (opt-in: the sweep LISTS the data directory)
+    if (policy.orphanAgeMillis > 0L) {
+      val swept = vacuumOrphans(spark, root, policy.orphanAgeMillis)
+      if (swept > 0) out += (("vacuumOrphans", swept.toLong))
     }
     out.toSeq
   }
@@ -1745,5 +1751,59 @@ object AcidTable {
     checkpointVersions(spark, root).dropRight(1)
       .foreach(c => f.delete(checkpointPath(root, c), false))
     (expired.length, drop.size)
+  }
+
+  /** Sweep ORPHANED data files (round 14): a job that failed AFTER its
+    * tasks wrote but BEFORE the manifest published leaves files under
+    * `root/data/` that no manifest — live or expired — ever referenced;
+    * [[vacuum]] can never see them (it walks manifests), so without
+    * this they leak forever. The sweep is the ONE maintenance operation
+    * that lists the data directory (Delta's VACUUM does exactly the
+    * same walk for the same reason — reads never list, cleanup may):
+    * every file not referenced by ANY surviving manifest and older than
+    * `minAgeMillis` is deleted. The age floor is the in-flight-write
+    * protection: a running commit's files are unreferenced by design
+    * until its manifest publishes, so sweep with an age comfortably
+    * above the longest commit (default 24 h — Delta's default
+    * retention plays the same role; the hard floor here is 10 min, the
+    * same as the tmp-manifest sweep). Empty commit directories left
+    * behind are removed too. Returns files deleted. */
+  def vacuumOrphans(spark: SparkSession, root: String,
+                    minAgeMillis: Long = 24L * 3600 * 1000): Int = {
+    val age = math.max(minAgeMillis, 10L * 60 * 1000)
+    val f = fs(spark, root)
+    val dataDir = new Path(s"$root/$DataDir")
+    if (!f.exists(dataDir)) return 0
+    val referenced: Set[String] = versions(spark, root).flatMap { v =>
+      readManifest(spark, root, v)._2
+        .flatMap(e => e.path +: e.dv.map(_.paths).getOrElse(Nil)) ++
+        cdcPathsOf(spark, root, v)
+    }.toSet
+    val now = System.currentTimeMillis()
+    var deleted = 0
+    val it = f.listStatusIterator(dataDir)
+    while (it.hasNext) {
+      val commitDir = it.next()
+      if (commitDir.isDirectory) {
+        val dirName = commitDir.getPath.getName
+        val entries = f.listStatus(commitDir.getPath)
+        var live = 0
+        entries.foreach { st =>
+          val rel = s"$DataDir/$dirName/${st.getPath.getName}"
+          if (referenced.contains(rel) ||
+              st.getModificationTime > now - age) live += 1
+          else { f.delete(st.getPath, false); deleted += 1 }
+        }
+        // a dir THIS sweep fully emptied held only aged orphans — safe
+        // to remove now (deleting its files refreshed the dir mtime, so
+        // the mtime test is only for dirs that were already empty)
+        if ((entries.nonEmpty && live == 0) ||
+            (entries.isEmpty &&
+              commitDir.getModificationTime <= now - age))
+          f.delete(commitDir.getPath, true)
+        ()
+      }
+    }
+    deleted
   }
 }

@@ -59,6 +59,49 @@ class AcidMaintainSpec extends SparkSpec {
     assert(AcidTable.read(spark, root).count() === 5L)
   }
 
+  test("vacuumOrphans sweeps failed-job debris, never referenced or " +
+      "fresh files") {
+    val root = freshRoot("o")
+    AcidTable.commitAppend(kv(1L -> 10L, 2L -> 20L), root,
+      statsCols = Seq("k"))
+    AcidTable.deleteMor(spark, root, "k", 1L, 1L) // DV mask = referenced
+    // plant a failed job's debris: an unreferenced commit dir with one
+    // OLD file and one FRESH file
+    val debris = new File(root, "data/dead-job-uuid")
+    assert(debris.mkdirs())
+    val old = new File(debris, "part-00000-9.parquet")
+    val young = new File(debris, "part-00001-9.parquet")
+    Seq(old, young).foreach { fl =>
+      java.nio.file.Files.write(fl.toPath, Array[Byte](1, 2, 3)); ()
+    }
+    assert(old.setLastModified(System.currentTimeMillis() - 3600_000L))
+    assert(debris.setLastModified(System.currentTimeMillis() - 3600_000L))
+    val before = asSet(AcidTable.read(spark, root))
+    val swept = AcidTable.vacuumOrphans(spark, root,
+      minAgeMillis = 11L * 60 * 1000)
+    assert(swept === 1, "only the OLD orphan goes; the fresh one is " +
+      "in-flight-write protected")
+    assert(!old.exists() && young.exists())
+    assert(asSet(AcidTable.read(spark, root)) === before,
+      "referenced data and masks untouched")
+    // age out the survivor: second sweep takes it AND the empty dir
+    assert(young.setLastModified(System.currentTimeMillis() - 3600_000L))
+    assert(AcidTable.vacuumOrphans(spark, root,
+      minAgeMillis = 11L * 60 * 1000) === 1)
+    assert(!debris.exists(), "emptied orphan commit dir is removed")
+    // and through the maintenance policy
+    val debris2 = new File(root, "data/dead-job-2")
+    assert(debris2.mkdirs())
+    val f2 = new File(debris2, "x.parquet")
+    java.nio.file.Files.write(f2.toPath, Array[Byte](1))
+    assert(f2.setLastModified(System.currentTimeMillis() - 3600_000L))
+    assert(debris2.setLastModified(System.currentTimeMillis() - 3600_000L))
+    val actions = AcidTable.maintain(spark, root,
+      AcidTable.MaintenancePolicy(maxFiles = 1000, maxMaskRatio = 1e9,
+        orphanAgeMillis = 11L * 60 * 1000))
+    assert(actions === Seq(("vacuumOrphans", 1L)))
+  }
+
   test("mergeExpect 'fail' aborts before any write on a violation; a " +
       "clean batch merges") {
     val root = freshRoot("f")
