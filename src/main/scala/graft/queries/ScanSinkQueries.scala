@@ -241,6 +241,39 @@ object ScanSinkQueries extends QueryModule {
       root
     }
 
+  // Q-ACID28 fixture (round 14): SQL DML — a catalog-registered table
+  // from orders takes a SQL DELETE then a SQL MERGE INTO (matched
+  // update +5 cents, shifted not-matched inserts +9) through the
+  // group-based row-level operation: Spark's own rewrite machinery
+  // feeding the engine's copy-on-write rebase commit. Returns the root.
+  private def acidSqlDmlRoot(s: SparkSession, d: String): String =
+    Memo.cached(s, s"acidsqldml|$d") {
+      val tag = new java.io.File(d).getName.replace('.', '_')
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_acidsqldml/" +
+        s"${s.sparkContext.applicationId}/$tag"
+      val root = s"$base/t"
+      val orders = Tables.load(s, d, "orders").select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * lit(100.0)).cast("long").as("cents"))
+      AcidTable.commitAppend(orders, root, statsCols = Seq("k"))
+      val maxk = orders.agg(max("k")).head().getLong(0)
+      s.conf.set("spark.sql.catalog.dml", "graft.sources.AcidCatalog")
+      s.conf.set("spark.sql.catalog.dml.root", base)
+      s.sql("DELETE FROM dml.t WHERE k % 10 = 3")
+      orders.where(pmod(col("k"), lit(7L)) === 0)
+        .withColumn("cents", col("cents") + 5)
+        .unionByName(orders.where(pmod(col("k"), lit(11L)) === 4)
+          .select((col("k") + (maxk + 1)).as("k"), col("status"),
+            (col("cents") + 9).as("cents")))
+        .createOrReplaceTempView(s"graft_dml_src_$tag")
+      s.sql(
+        s"""MERGE INTO dml.t t USING graft_dml_src_$tag s ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET cents = s.cents
+           |WHEN NOT MATCHED THEN INSERT (k, status, cents)
+           |VALUES (s.k, s.status, s.cents)""".stripMargin)
+      root
+    }
+
   // Q-ACID16 fixture: ONE globally ship_day-sorted data file forced into
   // many small row groups (parquet.block.size write option), so SUB-FILE
   // skipping is observable: per-file stats admit the file, the footer's
@@ -1058,6 +1091,23 @@ object ScanSinkQueries extends QueryModule {
         col("max_cents"))
     }),
 
+    // Q-ACID28 (round 14): SQL DELETE + MERGE INTO through the
+    // group-based row-level operation — the final state rollup and the
+    // commit-action trail are oracle-replayed from orders: Spark's
+    // rewrite computed the surviving/merged rows, the engine's rebase
+    // commit replaced exactly the scanned groups, and every number must
+    // land as if the upsert had been applied relationally.
+    "q_acid28" -> ((s, d) => {
+      val root = acidSqlDmlRoot(s, d)
+      val actions = AcidTable.history(s, root).map(_._2).mkString(",")
+      AcidTable.read(s, root)
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .select(lit(actions).as("actions"), col("status"), col("n"),
+          col("sum_cents"))
+        .orderBy("status")
+    }),
+
     // Q-SCAN1: parquet scan + projection + total sort.
     "q_scan1" -> ((s, d) =>
       Tables.load(s, d, "lineitem")
@@ -1505,6 +1555,29 @@ object ScanSinkQueries extends QueryModule {
         |  CAST(min(cents) AS BIGINT) AS min_cents,
         |  CAST(max(cents) AS BIGINT) AS max_cents
         |FROM base""".stripMargin,
+
+    // SQL DELETE + MERGE INTO replay: survivors of the delete, minus
+    // source keys, union the source (matched rows keep the table's
+    // status, which equals the source's — same base row).
+    "q_acid28" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |    CAST(round(o_totalprice*100,0) AS BIGINT) AS cents
+        |  FROM orders),
+        |m AS (SELECT max(k) AS maxk FROM base),
+        |del AS (SELECT * FROM base WHERE k % 10 <> 3),
+        |src AS (SELECT k, status, cents + 5 AS cents FROM base
+        |    WHERE k % 7 = 0
+        |  UNION ALL
+        |  SELECT k + m.maxk + 1, status, cents + 9 FROM base, m
+        |    WHERE k % 11 = 4),
+        |fin AS (SELECT d.k, d.status, d.cents FROM del d
+        |    WHERE d.k NOT IN (SELECT k FROM src)
+        |  UNION ALL SELECT * FROM src)
+        |SELECT 'append,merge,merge' AS actions, status,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM fin GROUP BY status ORDER BY status""".stripMargin,
 
     // The q_acid1 replay, served through the SQL catalog's VERSION AS OF.
     "q_acid25" ->

@@ -376,7 +376,13 @@ object AcidSource {
 class AcidSourceTable(tableSchema: StructType,
                       options: CaseInsensitiveStringMap)
   extends Table with SupportsRead
-  with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  with org.apache.spark.sql.connector.catalog.SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    new AcidRowLevelOperationBuilder(options, info)
   override def name(): String = s"graft-acid ${AcidSource.rootOf(options)}"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
@@ -536,9 +542,16 @@ class AcidSourceTable(tableSchema: StructType,
   }
 }
 
+/** `rowLevel = true` (round 14): the scan serves a DELETE/UPDATE/MERGE
+  * rewrite — pushed and runtime ranges prune FILES ONLY, never records
+  * or row groups, because the pushed predicate selects which GROUPS are
+  * affected while the rewrite must see EVERY row of those groups (the
+  * non-matching rows are what survives the rewrite; record-filtering
+  * them away would delete them from the table). */
 class AcidScan(tableSchema: StructType, options: CaseInsensitiveStringMap,
                pinnedVersion: => Long,
-               ranges: Seq[AcidTable.ScanRange] = Nil)
+               ranges: Seq[AcidTable.ScanRange] = Nil,
+               rowLevel: Boolean = false)
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
   with org.apache.spark.sql.connector.read.SupportsReportStatistics {
@@ -662,8 +675,9 @@ class AcidScan(tableSchema: StructType, options: CaseInsensitiveStringMap,
       k -> (longs.toArray, strs.toArray)
     }
     // runtime ranges ride into the per-file parquet filter too — the IN
-    // set became a [min,max] superset, so record filtering stays safe
-    val allRanges = ranges ++ runtimeRanges
+    // set became a [min,max] superset, so record filtering stays safe.
+    // Row-level rewrites must NOT record-filter (see class doc).
+    val allRanges = if (rowLevel) Nil else ranges ++ runtimeRanges
     val parts: Array[InputPartition] = entries.map { e =>
       e.dv match {
         case None => AcidFilePartition(s"$root/${e.path}", ranges = allRanges)
@@ -677,6 +691,12 @@ class AcidScan(tableSchema: StructType, options: CaseInsensitiveStringMap,
   }
 
   override def planInputPartitions(): Array[InputPartition] = planned.parts
+
+  /** The file set the scan FINALLY planned (post static pushdown, post
+    * runtime group filtering) — the groups a row-level operation's
+    * commit replaces ([[AcidRowLevelOperation]]). */
+  private[sources] def finalScannedPaths: Seq[String] =
+    planned.parts.map(_.asInstanceOf[AcidFilePartition].path).toSeq
 
   override def createReaderFactory(): PartitionReaderFactory =
     new AcidReaderFactory(tableSchema, planned.masks)

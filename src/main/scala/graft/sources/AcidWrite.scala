@@ -215,12 +215,13 @@ class AcidStreamingWrite(root: String, schema: StructType,
       messages.collect { case m: AcidWriteMessage => m.relPath }.toSeq)
 }
 
-class AcidDataWriterFactory(root: String, dir: String, schema: StructType)
+class AcidDataWriterFactory(root: String, dir: String, schema: StructType,
+                            alignTrailing: Boolean = false)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int,
                             taskId: Long): DataWriter[InternalRow] =
     new AcidDataWriter(root, f"$dir/part-$partitionId%05d-$taskId.parquet",
-      schema)
+      schema, alignTrailing)
 }
 
 class AcidStreamingDataWriterFactory(root: String, dir: String,
@@ -235,8 +236,18 @@ class AcidStreamingDataWriterFactory(root: String, dir: String,
 /** One task → one parquet file, encoded through the Group API. The
   * (partitionId, taskId) file name is attempt-unique, so speculative or
   * retried attempts write DIFFERENT files and only the committed
-  * message's path ever reaches a manifest. */
-class AcidDataWriter(root: String, relPath: String, schema: StructType)
+  * message's path ever reaches a manifest.
+  *
+  * `alignTrailing` (round 14, row-level rewrites only): Spark's
+  * group-based DELETE/UPDATE/MERGE plans prepend a `__row_operation`
+  * metadata column to the replacement rows and — when the operation
+  * declares no metadata attributes — hands them to the writer
+  * UNPROJECTED (ReplaceDataExec only applies its row projection on the
+  * metadata-writing task). The table columns are the TRAILING fields,
+  * so the writer reads each row at `numFields - schema.length` offset;
+  * the strict append/overwrite paths keep the exact-arity contract. */
+class AcidDataWriter(root: String, relPath: String, schema: StructType,
+                     alignTrailing: Boolean = false)
   extends DataWriter[InternalRow] {
 
   private val msg = AcidWrite.parquetSchemaOf(schema)
@@ -251,20 +262,29 @@ class AcidDataWriter(root: String, relPath: String, schema: StructType)
   private var open = true
 
   override def write(r: InternalRow): Unit = {
+    val off =
+      if (!alignTrailing) 0
+      else {
+        val o = r.numFields - schema.length
+        require(o >= 0, s"row has ${r.numFields} fields for a " +
+          s"${schema.length}-column table")
+        o
+      }
     val g = groups.newGroup()
     var i = 0
     while (i < schema.length) {
       val f = schema(i)
-      if (!r.isNullAt(i)) f.dataType match {
-        case LongType | TimestampType => g.add(f.name, r.getLong(i))
-        case IntegerType | DateType => g.add(f.name, r.getInt(i))
-        case DoubleType => g.add(f.name, r.getDouble(i))
-        case FloatType => g.add(f.name, r.getFloat(i))
-        case BooleanType => g.add(f.name, r.getBoolean(i))
+      val j = i + off
+      if (!r.isNullAt(j)) f.dataType match {
+        case LongType | TimestampType => g.add(f.name, r.getLong(j))
+        case IntegerType | DateType => g.add(f.name, r.getInt(j))
+        case DoubleType => g.add(f.name, r.getDouble(j))
+        case FloatType => g.add(f.name, r.getFloat(j))
+        case BooleanType => g.add(f.name, r.getBoolean(j))
         case StringType => g.add(f.name,
-          Binary.fromReusedByteArray(r.getUTF8String(i).getBytes))
+          Binary.fromReusedByteArray(r.getUTF8String(j).getBytes))
         case BinaryType => g.add(f.name,
-          Binary.fromConstantByteArray(r.getBinary(i)))
+          Binary.fromConstantByteArray(r.getBinary(j)))
         case other => throw new IllegalArgumentException(
           s"graft-acid: unsupported write type $other for '${f.name}'")
       }
