@@ -87,10 +87,14 @@ class AcidCatalog extends TableCatalog {
     val segs = ident.namespace().toSeq :+ ident.name()
     val root = rootOf(segs)
     if (isTable(root)) tableFor(root, Map.empty)
-    // `acid.t.history`: the commit log of table `t` as a metadata table
+    // `acid.t.history` / `acid.t.detail`: the commit log and the
+    // physical summary of table `t` as metadata tables
     else if (ident.name() == "history" && segs.length >= 2 &&
         isTable(rootOf(segs.dropRight(1))))
       new AcidHistoryTable(rootOf(segs.dropRight(1)))
+    else if (ident.name() == "detail" && segs.length >= 2 &&
+        isTable(rootOf(segs.dropRight(1))))
+      new AcidDetailTable(rootOf(segs.dropRight(1)))
     else throw new org.apache.spark.sql.catalyst.analysis
       .NoSuchTableException(ident)
   }
@@ -192,4 +196,61 @@ class AcidHistoryTable(root: String) extends Table with SupportsRead {
 }
 
 case class AcidHistoryPartition(rows: Seq[(Long, String, Int, Long)])
+  extends InputPartition
+
+/** `acid.t.detail` — DESCRIBE DETAIL as a one-row metadata table (the
+  * [[graft.operators.AcidTable.detail]] gauges through SQL). The row is
+  * folded on the DRIVER at plan time — O(manifest), sizes from the
+  * manifest's `sz:` segments where recorded. */
+class AcidDetailTable(root: String) extends Table with SupportsRead {
+  private val tableSchema = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("last_action", StringType, nullable = false),
+    StructField("n_versions", LongType, nullable = false),
+    StructField("n_files", LongType, nullable = false),
+    StructField("n_masked_files", LongType, nullable = false),
+    StructField("n_masks", LongType, nullable = false),
+    StructField("data_bytes", LongType, nullable = false),
+    StructField("mask_bytes", LongType, nullable = false),
+    StructField("last_checkpoint", LongType, nullable = false)))
+
+  override def name(): String = s"graft-acid detail $root"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan with Batch {
+        override def readSchema(): StructType = tableSchema
+        override def toBatch: Batch = this
+        override def planInputPartitions(): Array[InputPartition] = {
+          val r = AcidTable.detail(SparkSession.active, root).head()
+          Array(AcidDetailPartition((r.getLong(0), r.getString(1),
+            r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+            r.getLong(6), r.getLong(7), r.getLong(8))))
+        }
+        override def createReaderFactory(): PartitionReaderFactory =
+          new PartitionReaderFactory {
+            override def createReader(
+                p: InputPartition): PartitionReader[InternalRow] = {
+              val t = p.asInstanceOf[AcidDetailPartition].row
+              new PartitionReader[InternalRow] {
+                private var served = false
+                override def next(): Boolean = {
+                  val n = !served; served = true; n
+                }
+                override def get(): InternalRow = new GenericInternalRow(
+                  Array[Any](t._1, UTF8String.fromString(t._2), t._3,
+                    t._4, t._5, t._6, t._7, t._8, t._9))
+                override def close(): Unit = ()
+              }
+            }
+          }
+      }
+    }
+}
+
+case class AcidDetailPartition(
+    row: (Long, String, Long, Long, Long, Long, Long, Long, Long))
   extends InputPartition

@@ -625,12 +625,30 @@ class AcidScan(tableSchema: StructType, options: CaseInsensitiveStringMap,
       override def numRows(): java.util.OptionalLong = rows
     }
   }
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    // startingTimestamp (round 14, Delta parity): first version COMMITTED
+    // AT OR AFTER the wall clock — resolved once, at stream start
+    val fromTs = Option(options.get("startingTimestamp")).map { raw =>
+      val spark = SparkSession.active
+      val millis = scala.util.Try(raw.toLong).getOrElse {
+        val norm = if (raw.contains(" ") || raw.contains("T")) raw
+          else raw + " 00:00:00"
+        java.sql.Timestamp.valueOf(norm.replace("T", " ")).getTime
+      }
+      AcidTable.versions(spark, root)
+        .find(v => AcidTable.commitTimestamp(spark, root, v) >= millis)
+        .getOrElse(AcidTable.versions(spark, root).lastOption
+          .getOrElse(0L) + 1) // future timestamp: deliver only new commits
+    }
+    require(fromTs.isEmpty || !options.containsKey("startingVersion"),
+      "graft-acid: startingVersion and startingTimestamp are exclusive")
     new AcidMicroBatchStream(root, tableSchema,
-      startingVersion = options.getLong("startingVersion", 1L),
+      startingVersion = fromTs.getOrElse(
+        options.getLong("startingVersion", 1L)),
       maxVersionsPerBatch = options.getLong("maxVersionsPerBatch", Long.MaxValue),
       allowNonAppend = options.getBoolean("allowNonAppend", false),
       cdcMode = options.getBoolean("readChangeFeed", false))
+  }
 
   /** BATCH read (round 13): one snapshot — the table-pinned version, or
     * `asOfVersion` (time travel through the DSv2 surface). One input

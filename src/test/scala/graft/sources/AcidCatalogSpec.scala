@@ -94,6 +94,18 @@ class AcidCatalogSpec extends SparkSpec {
       "the SQL path shares the ScanBuilder, so the manifest fold serves")
   }
 
+  test("the .detail metadata table serves the physical summary") {
+    val root = mk("t7")
+    val r = spark.sql(
+      "SELECT version, last_action, n_files, data_bytes FROM cat.t7.detail")
+      .head()
+    assert(r.getLong(0) === 2L && r.getString(1) === "append")
+    assert(r.getLong(2) === 2L && r.getLong(3) > 0L)
+    // matches the engine-level DESCRIBE DETAIL row
+    val api = graft.operators.AcidTable.detail(spark, root).head()
+    assert(r.getLong(3) === api.getAs[Long]("data_bytes"))
+  }
+
   test("nested namespaces map to subdirectories") {
     val root = s"$base/ns/deep"
     AcidTable.commitAppend(kv(7L -> 70L), root)

@@ -83,6 +83,26 @@ class AcidSourceSpec extends SparkSpec {
       Set(4L -> 40L, 5L -> 50L))
   }
 
+  test("startingTimestamp skips history by wall clock; exclusive with " +
+      "startingVersion") {
+    val root = fresh("stts") + "/tbl"
+    AcidTable.commitAppend(kv(1L -> 10L), root)
+    Thread.sleep(5)
+    val cut = AcidTable.commitTimestamp(spark, root, 1L) + 1
+    Thread.sleep(5)
+    AcidTable.commitAppend(kv(2L -> 20L), root)
+    val got = drain(root, fresh("sttsck"),
+      Map("startingTimestamp" -> cut.toString))
+    assert(rowsOf(got) === Set(2L -> 20L),
+      "only the commit at-or-after the cut is delivered")
+    val e = intercept[Exception] {
+      drain(root, fresh("sttsck2"),
+        Map("startingTimestamp" -> cut.toString, "startingVersion" -> "1"))
+    }
+    assert(e.getMessage.contains("exclusive") ||
+      e.getCause.getMessage.contains("exclusive"))
+  }
+
   test("a non-append commit fails the stream unless the consumer opts in") {
     val root = fresh("na") + "/tbl"
     AcidTable.commitAppend(kv(1L -> 10L), root)
