@@ -289,9 +289,21 @@ object AcidTable {
     val f = fs(spark, root)
     val p = manifestPath(root, v)
     require(f.exists(p), s"AcidTable at $root has no version $v")
-    Using.resource(f.open(p)) { in =>
+    val text = Using.resource(f.open(p)) { in =>
       new String(in.readAllBytes(), StandardCharsets.UTF_8)
     }
+    // ADVICE r14: every publish ends the body with an `#eof` trailer —
+    // a manifest truncated mid-write (possible only on the linkless
+    // AtomicPublish fallback, where the body lands through writes after
+    // an O_CREAT|O_EXCL create) would otherwise keep its `#action`
+    // header and parse cleanly with entries silently MISSING. Torn
+    // bodies must fail loudly, never read as a smaller file set.
+    if (!text.endsWith("#eof\n"))
+      throw new IllegalStateException(
+        s"manifest v$v at $root is truncated (missing #eof trailer) — " +
+          "the publish that wrote it died mid-body; restore from a " +
+          "neighbouring version or re-run the commit")
+    text
   }
 
   private def readManifest(spark: SparkSession, root: String,
@@ -351,18 +363,23 @@ object AcidTable {
     }).sorted
   }
 
+  /** None = the checkpoint body is torn (missing its `#eof` trailer —
+    * ADVICE r14: a truncated token map would silently authorize a
+    * double-append); callers fall back to scanning the manifests, which
+    * stay the source of truth. */
   private def readCheckpointTokens(spark: SparkSession, root: String,
-                                   v: Long): Map[String, Long] = {
+                                   v: Long): Option[Map[String, Long]] = {
     manifestOpens.incrementAndGet()
     val f = fs(spark, root)
     val text = Using.resource(f.open(checkpointPath(root, v))) { in =>
       new String(in.readAllBytes(), StandardCharsets.UTF_8)
     }
-    text.linesIterator.collect {
+    if (!text.endsWith("#eof\n")) None
+    else Some(text.linesIterator.collect {
       case l if l.startsWith("t:") =>
         val Array(_, ver, tok) = l.split(":", 3)
         tok -> ver.toLong
-    }.toMap
+    }.toMap)
   }
 
   /** Best-effort checkpoint write after version `v` published: previous
@@ -375,14 +392,16 @@ object AcidTable {
     if (v % CheckpointEvery != 0L) return
     try {
       val prior = checkpointVersions(spark, root).filter(_ < v).lastOption
-      val base = prior.map(readCheckpointTokens(spark, root, _))
+      val base = prior.flatMap(readCheckpointTokens(spark, root, _))
         .getOrElse(Map.empty[String, Long])
-      val lo = prior.getOrElse(0L)
+      // a torn prior checkpoint contributes nothing — rebuild from v1
+      val lo = if (prior.flatMap(readCheckpointTokens(spark, root, _)).isEmpty)
+        0L else prior.getOrElse(0L)
       val suffix = versions(spark, root).filter(x => x > lo && x <= v)
         .flatMap(x => manifestToken(spark, root, x).map(_ -> x)).toMap
       val body = s"#checkpoint:$v\n" + (base ++ suffix).toSeq.sortBy(_._2)
         .map { case (t, ver) => s"t:$ver:$t" }
-        .mkString("", "\n", "\n")
+        .mkString("", "\n", "\n") + "#eof\n"
       val f = fs(spark, root)
       val tmp = new Path(s"$root/$ManifestDir/" +
         s".cp$v-${java.util.UUID.randomUUID()}.tmp")
@@ -402,12 +421,13 @@ object AcidTable {
                    token: String): Option[Long] = {
     val vs = versions(spark, root)
     if (vs.isEmpty) return None
-    checkpointVersions(spark, root).filter(_ <= vs.last).lastOption match {
-      case Some(c) =>
-        readCheckpointTokens(spark, root, c).get(token).orElse(
+    checkpointVersions(spark, root).filter(_ <= vs.last).lastOption
+        .flatMap(c => readCheckpointTokens(spark, root, c).map(c -> _)) match {
+      case Some((c, tokens)) =>
+        tokens.get(token).orElse(
           vs.filter(_ > c)
             .find(v => manifestToken(spark, root, v).contains(token)))
-      case None =>
+      case None => // no checkpoint, or a torn one: the manifests decide
         vs.find(v => manifestToken(spark, root, v).contains(token))
     }
   }
@@ -574,8 +594,9 @@ object AcidTable {
       val tokenLine = token.map(t => s"#token:$t\n").getOrElse("")
       val tsLine = s"#ts:${System.currentTimeMillis()}\n"
       val cdcLine = if (cdc.isEmpty) "" else s"#cdc:${cdc.mkString(";")}\n"
+      // `#eof` last: readers reject a body that lost its tail (ADVICE r14)
       o.write((s"#action:$action\n" + tsLine + tokenLine + cdcLine +
-          files.mkString("", "\n", "\n"))
+          files.mkString("", "\n", "\n") + "#eof\n")
         .getBytes(StandardCharsets.UTF_8))
     }
     if (!graft.util.AtomicPublish(f,
@@ -1794,13 +1815,19 @@ object AcidTable {
               st.getModificationTime > now - age) live += 1
           else { f.delete(st.getPath, false); deleted += 1 }
         }
-        // a dir THIS sweep fully emptied held only aged orphans — safe
-        // to remove now (deleting its files refreshed the dir mtime, so
-        // the mtime test is only for dirs that were already empty)
+        // a dir THIS sweep fully emptied held only aged orphans — remove
+        // it NON-recursively (ADVICE r14): streaming-sink dirs
+        // (data/dsv2-<queryId>) are reused across restarts, so a task
+        // file created between the listing above and this delete must
+        // survive — the non-recursive delete fails harmlessly on a
+        // non-empty dir instead of killing the in-flight write.
+        // (the mtime test is only for dirs that were already empty —
+        // deleting files above refreshed the dir mtime)
         if ((entries.nonEmpty && live == 0) ||
             (entries.isEmpty &&
               commitDir.getModificationTime <= now - age))
-          f.delete(commitDir.getPath, true)
+          try { f.delete(commitDir.getPath, false); () }
+          catch { case _: java.io.IOException => () } // new file appeared
         ()
       }
     }

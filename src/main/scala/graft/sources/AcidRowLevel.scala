@@ -103,8 +103,15 @@ class AcidRowLevelOperation(tableOptions: CaseInsensitiveStringMap,
           override def toBatch: BatchWrite = new AcidReplaceDataWrite(
             root, pinnedVersion, info.schema(),
             AcidWrite.statsColsOf(tableOptions), info.queryId(),
+            // a missing configured scan is a BROKEN contract, never a
+            // valid empty scan (ADVICE r14): defaulting to removed=∅
+            // would let a DELETE/UPDATE/MERGE silently commit its
+            // rewritten groups as DUPLICATE rows
             () => Option(operationScan).map(_.finalScannedPaths)
-              .getOrElse(Seq.empty))
+              .getOrElse(throw new IllegalStateException(
+                "graft-acid row-level write committed without its " +
+                  "operation scan — the rewrite plan never configured " +
+                  "the scan this operation instance captured")))
         }
       }
     }
@@ -131,7 +138,13 @@ class AcidReplaceDataWrite(root: String, scanVersion: Long,
     val removed = all.filter(e => scanned.contains(s"$root/${e.path}"))
     // replacing EVERY entry with nothing would publish an unreadable
     // zero-file manifest — keep one schema-bearing empty file then
-    val added = AcidWrite.entriesOfMessages(spark, root, messages,
+    // (driver-written when a 0-partition rewrite ran no tasks at all)
+    val withSchema: Array[WriterCommitMessage] =
+      if (removed.size == all.size && removed.nonEmpty &&
+          !messages.exists(_.isInstanceOf[AcidWriteMessage]))
+        Array(AcidWrite.driverEmptyFile(root, s"data/rlo-$writeId", schema))
+      else messages
+    val added = AcidWrite.entriesOfMessages(spark, root, withSchema,
       statsCols, keepOneIfAllEmpty = removed.size == all.size)
     if (removed.nonEmpty || added.nonEmpty)
       AcidTable.commitRebase(spark, root, actionName, removed, added)

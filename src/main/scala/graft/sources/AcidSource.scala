@@ -513,9 +513,16 @@ class AcidSourceTable(tableSchema: StructType,
             if (entries.exists(_.rows.isEmpty)) return None
             fields += StructField("count_star", LongType, nullable = false)
             values += entries.flatMap(_.rows).sum
-          case c: Count if !c.isDistinct && c.column().isInstanceOf[
-              org.apache.spark.sql.connector.expressions.Literal[_]] =>
-            // COUNT(literal) counts every row, exactly like COUNT(*)
+          case c: Count if !c.isDistinct &&
+              (c.column() match {
+                // COUNT(literal) counts every row exactly like COUNT(*)
+                // — but ONLY for a NON-NULL literal: SQL requires
+                // COUNT(NULL) = 0, which the physical row count is not
+                // (ADVICE r14)
+                case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+                  l.value() != null
+                case _ => false
+              }) =>
             if (entries.exists(_.rows.isEmpty)) return None
             fields += StructField("count_lit", LongType, nullable = false)
             values += entries.flatMap(_.rows).sum

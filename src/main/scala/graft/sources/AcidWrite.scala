@@ -99,6 +99,18 @@ object AcidWrite {
     }
   }
 
+  /** One schema-bearing EMPTY parquet file, written by the DRIVER
+    * (ADVICE r14): an overwrite of an empty 0-partition DataFrame runs
+    * NO tasks, so `keepOneIfAllEmpty` has no empty task file to keep —
+    * without this, the published zero-file 'overwrite' manifest would
+    * have no schema source and every read of the head would fail until
+    * the next commit. */
+  private[sources] def driverEmptyFile(root: String, dir: String,
+                                       schema: StructType): AcidWriteMessage = {
+    val w = new AcidDataWriter(root, s"$dir/part-driver-empty.parquet", schema)
+    w.commit().asInstanceOf[AcidWriteMessage]
+  }
+
   /** Shared job-commit step: drop zero-row files (deleting them), keep
     * one schema-bearing empty file when `keepOneIfAllEmpty`, and return
     * the manifest entries for what survives. */
@@ -163,7 +175,13 @@ class AcidBatchWrite(root: String, schema: StructType,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
-    val entries = AcidWrite.entriesOfMessages(spark, root, messages,
+    // a 0-partition overwrite ran no tasks at all — the driver writes
+    // the one schema-bearing empty file keepOneIfAllEmpty would keep
+    val withSchema: Array[WriterCommitMessage] =
+      if (replaceAll && !messages.exists(_.isInstanceOf[AcidWriteMessage]))
+        Array(AcidWrite.driverEmptyFile(root, s"data/dsv2-$writeId", schema))
+      else messages
+    val entries = AcidWrite.entriesOfMessages(spark, root, withSchema,
       statsCols, keepOneIfAllEmpty = replaceAll)
     if (replaceAll)
       AcidTable.commitRebase(spark, root, "overwrite", Nil, entries,

@@ -38,9 +38,13 @@ object AtomicPublish {
         // Next-best primitive: open(O_CREAT|O_EXCL), still exclusive —
         // of two racers exactly one creates dst — but the body lands
         // through a write after the create, so a crash mid-write can
-        // leave a short dst (the hard-link path can't). Manifest readers
-        // fail loudly on a torn body (missing #action header), never
-        // silently; the narrowing matches the documented S3 caveat.
+        // leave a short dst (the hard-link path can't). ADVICE r14: the
+        // write LOOPS until the buffer drains (WritableByteChannel may
+        // short-write without error, likeliest on exactly the mounts
+        // this branch serves), and manifest bodies end with an `#eof`
+        // trailer the readers validate — a dst truncated by a crash
+        // between create and the final write fails loudly at read time
+        // instead of parsing as a smaller file set.
         case linkless @ (_: UnsupportedOperationException |
                          _: java.nio.file.FileSystemException) =>
           val won =
@@ -49,7 +53,10 @@ object AtomicPublish {
               val ch = Files.newByteChannel(d,
                 java.nio.file.StandardOpenOption.CREATE_NEW,
                 java.nio.file.StandardOpenOption.WRITE)
-              try { ch.write(java.nio.ByteBuffer.wrap(body)) }
+              try {
+                val buf = java.nio.ByteBuffer.wrap(body)
+                while (buf.hasRemaining) ch.write(buf)
+              }
               finally ch.close()
               true
             } catch {
