@@ -32,12 +32,23 @@ import graft.operators.AcidTable
   * Delta's `table.history`). Nested namespaces map to subdirectories
   * (`acid.ns.t` → `<base>/ns/t`).
   *
-  * DDL is out of scope by design: tables are CREATED by the engine API
-  * (a zero-file manifest has no schema source, so an empty CREATE TABLE
-  * would be unreadable); create/alter/drop/rename fail fast with the
-  * pointer. O(manifest) everywhere — resolution stats one directory,
-  * never lists data files. */
-class AcidCatalog extends TableCatalog {
+  * DDL (round 15 — VERDICT r14 #3): `CREATE TABLE` publishes v1 with
+  * one driver-written schema-bearing empty parquet file (the "zero-file
+  * manifest has no schema source" objection dissolved by writing the
+  * schema carrier up front), and `CREATE TABLE ... AS SELECT` goes
+  * through [[StagingTableCatalog]] — the staged write lands its task
+  * files INVISIBLY (no manifest), `commitStagedChanges` publishes v1
+  * through the exclusive first-version gate (two racing CTAS: exactly
+  * one wins, the loser gets TableAlreadyExists), and an aborted CTAS
+  * leaves NOTHING (the files were never referenced). REPLACE ... AS
+  * SELECT is an ordinary overwrite commit — prior versions stay
+  * time-travelable. DROP deletes the directory; RENAME is one
+  * filesystem rename. TBLPROPERTIES (minus Spark's reserved keys)
+  * persist as [[graft.operators.AcidTable.setTableProperties]] — so
+  * `'statsCols'` and `'key'` configure skipping and the delta DML
+  * route straight from DDL. O(manifest) everywhere — resolution stats
+  * one directory, never lists data files. */
+class AcidCatalog extends TableCatalog with StagingTableCatalog {
 
   private var catalogName: String = _
   private var base: String = _
@@ -126,25 +137,219 @@ class AcidCatalog extends TableCatalog {
 
   private def ddlUnsupported(what: String): Nothing =
     throw new UnsupportedOperationException(
-      s"graft-acid catalog does not support $what — tables are created " +
-        "and retired through the engine API (AcidTable.commitOverwrite / " +
-        "vacuum); a zero-file CREATE TABLE would have no schema source")
+      s"graft-acid catalog does not support $what")
+
+  /** Spark's reserved/engine property keys — everything else persists
+    * as a table property ([[AcidTable.setTableProperties]]). */
+  private val ReservedProps = Set(TableCatalog.PROP_PROVIDER,
+    TableCatalog.PROP_LOCATION, TableCatalog.PROP_COMMENT,
+    TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL,
+    TableCatalog.PROP_TABLE_TYPE, TableCatalog.PROP_IS_MANAGED_LOCATION,
+    TableCatalog.PROP_COLLATION)
+
+  private def userProps(properties: util.Map[String, String])
+      : Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    properties.asScala.toMap.filterNot { case (k, _) =>
+      ReservedProps.contains(k) || k.startsWith(TableCatalog.OPTION_PREFIX)
+    }
+  }
+
+  private def rootFor(ident: Identifier): String =
+    rootOf(ident.namespace().toSeq :+ ident.name())
 
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
-                           properties: util.Map[String, String]): Table =
-    ddlUnsupported("CREATE TABLE")
+                           properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft-acid tables do not take partition transforms — clustering " +
+        "is a layout concern (AcidTable.compactZOrder / Layout)")
+    val root = rootFor(ident)
+    if (isTable(root))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    AcidWrite.parquetSchemaOf(schema) // fail fast on exotic types
+    val spark2 = spark
+    // v1 = one driver-written schema-bearing empty file: the table is
+    // readable from birth (a zero-file manifest has no schema source)
+    val msg = AcidWrite.driverEmptyFile(root,
+      s"data/ddl-${java.util.UUID.randomUUID()}", schema)
+    try {
+      AcidTable.commitInitial(spark2, root,
+        AcidTable.entriesForFiles(spark2, root, Seq(msg.relPath), Nil))
+    } catch {
+      case _: AcidTable.Conflict =>
+        AcidWrite.deleteFiles(root, Seq(msg.relPath))
+        throw new org.apache.spark.sql.catalyst.analysis
+          .TableAlreadyExistsException(ident)
+    }
+    val props = userProps(properties)
+    if (props.nonEmpty) AcidTable.setTableProperties(spark2, root, props)
+    tableFor(root, Map.empty)
+  }
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): StagedTable =
+    staged(ident, schema, partitions, properties, replace = false,
+      orCreate = false)
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+                            partitions: Array[Transform],
+                            properties: util.Map[String, String]): StagedTable = {
+    if (!isTable(rootFor(ident)))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchTableException(ident)
+    staged(ident, schema, partitions, properties, replace = true,
+      orCreate = false)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+                                    partitions: Array[Transform],
+                                    properties: util.Map[String, String])
+      : StagedTable =
+    staged(ident, schema, partitions, properties, replace = true,
+      orCreate = true)
+
+  private def staged(ident: Identifier, schema: StructType,
+                     partitions: Array[Transform],
+                     properties: util.Map[String, String],
+                     replace: Boolean, orCreate: Boolean): StagedTable = {
+    require(partitions.isEmpty,
+      "graft-acid tables do not take partition transforms — clustering " +
+        "is a layout concern (AcidTable.compactZOrder / Layout)")
+    AcidWrite.parquetSchemaOf(schema) // fail fast before any write
+    new AcidStagedTable(ident, rootFor(ident), schema,
+      userProps(properties), replace)
+  }
 
   override def alterTable(ident: Identifier,
                           changes: TableChange*): Table =
     ddlUnsupported("ALTER TABLE")
 
-  override def dropTable(ident: Identifier): Boolean =
-    ddlUnsupported("DROP TABLE")
+  override def dropTable(ident: Identifier): Boolean = {
+    val root = rootFor(ident)
+    if (!isTable(root)) false
+    else { fs(new Path(root)).delete(new Path(root), true); true }
+  }
 
   override def renameTable(oldIdent: Identifier,
-                           newIdent: Identifier): Unit =
-    ddlUnsupported("RENAME TABLE")
+                           newIdent: Identifier): Unit = {
+    val from = new Path(rootFor(oldIdent))
+    // `RENAME TO cat.ns.t` arrives UNRESOLVED: the leading segment may
+    // still be this catalog's own name — strip it or the table lands
+    // under a namespace directory named after the catalog
+    val newSegs = {
+      val ns = newIdent.namespace().toSeq
+      (if (ns.headOption.contains(catalogName)) ns.tail else ns) :+
+        newIdent.name()
+    }
+    val to = new Path(rootOf(newSegs))
+    if (!isTable(from.toString))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchTableException(oldIdent)
+    if (isTable(to.toString))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(newIdent)
+    val f = fs(from)
+    f.mkdirs(to.getParent)
+    require(f.rename(from, to),
+      s"rename $from -> $to failed (destination exists or crosses " +
+        "filesystems)")
+    ()
+  }
+}
+
+/** A CTAS/RTAS target between `stageCreate` and `commitStagedChanges`:
+  * the write lands task files under the (future) table root with NO
+  * manifest — invisible to every reader — and the staged commit
+  * publishes them as v1 (create: exclusive first-version gate) or as an
+  * overwrite commit (replace: history stays time-travelable). Abort
+  * deletes the staged files; an aborted CREATE leaves no table. */
+class AcidStagedTable(ident: Identifier, root: String,
+                      stagedSchema: StructType, props: Map[String, String],
+                      replace: Boolean)
+  extends StagedTable
+  with org.apache.spark.sql.connector.catalog.SupportsWrite {
+
+  private def spark = SparkSession.active
+  private val writeDir = s"data/ctas-${java.util.UUID.randomUUID()}"
+  // the staged write's committed task messages (set at most once — the
+  // CTAS plan runs ONE batch write before commitStagedChanges)
+  @volatile private var written: Array[AcidWriteMessage] = Array.empty
+  @volatile private var wroteBatch = false
+
+  override def name(): String = s"graft-acid staged $root"
+  override def schema(): StructType = stagedSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+      // RTAS "truncates" the staged target — the staged commit IS the
+      // replace, so the builder just accepts the call
+      override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder =
+        this
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.Write {
+          override def toBatch
+              : org.apache.spark.sql.connector.write.BatchWrite =
+            new org.apache.spark.sql.connector.write.BatchWrite {
+              override def createBatchWriterFactory(
+                  p: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+                  : org.apache.spark.sql.connector.write.DataWriterFactory =
+                new AcidDataWriterFactory(root, writeDir, info.schema())
+              override def commit(
+                  messages: Array[org.apache.spark.sql.connector.write
+                    .WriterCommitMessage]): Unit = {
+                written = messages.collect { case m: AcidWriteMessage => m }
+                wroteBatch = true
+              }
+              override def abort(
+                  messages: Array[org.apache.spark.sql.connector.write
+                    .WriterCommitMessage]): Unit =
+                AcidWrite.deleteFiles(root, messages.collect {
+                  case m: AcidWriteMessage => m.relPath }.toSeq)
+            }
+        }
+    }
+
+  override def commitStagedChanges(): Unit = {
+    val statsCols = props.get("statsCols").toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+    // plain CREATE (no AS SELECT) or an all-empty query: the driver
+    // writes the one schema-bearing empty file v1 needs
+    val msgs: Array[org.apache.spark.sql.connector.write.WriterCommitMessage] =
+      if (written.nonEmpty) written.toArray
+      else Array(AcidWrite.driverEmptyFile(root, writeDir, stagedSchema))
+    val entries = AcidWrite.entriesOfMessages(spark, root, msgs, statsCols,
+      keepOneIfAllEmpty = true)
+    try {
+      if (replace && AcidTable.versions(spark, root).nonEmpty)
+        AcidTable.commitRebase(spark, root, "overwrite", Nil, entries,
+          replaceAll = true)
+      else AcidTable.commitInitial(spark, root, entries)
+    } catch {
+      case _: AcidTable.Conflict =>
+        AcidWrite.deleteFiles(root, entries.map(_.path))
+        throw new org.apache.spark.sql.catalyst.analysis
+          .TableAlreadyExistsException(ident)
+    }
+    if (props.nonEmpty) AcidTable.setTableProperties(spark, root, props)
+    ()
+  }
+
+  override def abortStagedChanges(): Unit = {
+    AcidWrite.deleteFiles(root, written.map(_.relPath).toSeq)
+    // remove the now-empty staging dir; harmless if files remain
+    val p = new Path(s"$root/$writeDir")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try { f.delete(p, false); () }
+    catch { case _: java.io.IOException => () }
+  }
 }
 
 /** `acid.t.history` — the commit log as a read-only metadata table:
@@ -212,7 +417,9 @@ class AcidDetailTable(root: String) extends Table with SupportsRead {
     StructField("n_masks", LongType, nullable = false),
     StructField("data_bytes", LongType, nullable = false),
     StructField("mask_bytes", LongType, nullable = false),
-    StructField("last_checkpoint", LongType, nullable = false)))
+    StructField("last_checkpoint", LongType, nullable = false),
+    StructField("stats_cols", StringType, nullable = false),
+    StructField("merge_key", StringType, nullable = false)))
 
   override def name(): String = s"graft-acid detail $root"
   override def schema(): StructType = tableSchema
@@ -228,13 +435,15 @@ class AcidDetailTable(root: String) extends Table with SupportsRead {
           val r = AcidTable.detail(SparkSession.active, root).head()
           Array(AcidDetailPartition((r.getLong(0), r.getString(1),
             r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
-            r.getLong(6), r.getLong(7), r.getLong(8))))
+            r.getLong(6), r.getLong(7), r.getLong(8)),
+            (r.getString(9), r.getString(10))))
         }
         override def createReaderFactory(): PartitionReaderFactory =
           new PartitionReaderFactory {
             override def createReader(
                 p: InputPartition): PartitionReader[InternalRow] = {
-              val t = p.asInstanceOf[AcidDetailPartition].row
+              val dp = p.asInstanceOf[AcidDetailPartition]
+              val t = dp.row
               new PartitionReader[InternalRow] {
                 private var served = false
                 override def next(): Boolean = {
@@ -242,7 +451,9 @@ class AcidDetailTable(root: String) extends Table with SupportsRead {
                 }
                 override def get(): InternalRow = new GenericInternalRow(
                   Array[Any](t._1, UTF8String.fromString(t._2), t._3,
-                    t._4, t._5, t._6, t._7, t._8, t._9))
+                    t._4, t._5, t._6, t._7, t._8, t._9,
+                    UTF8String.fromString(dp.props._1),
+                    UTF8String.fromString(dp.props._2)))
                 override def close(): Unit = ()
               }
             }
@@ -252,5 +463,6 @@ class AcidDetailTable(root: String) extends Table with SupportsRead {
 }
 
 case class AcidDetailPartition(
-    row: (Long, String, Long, Long, Long, Long, Long, Long, Long))
+    row: (Long, String, Long, Long, Long, Long, Long, Long, Long),
+    props: (String, String))
   extends InputPartition

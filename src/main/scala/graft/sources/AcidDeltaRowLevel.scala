@@ -1,0 +1,274 @@
+package graft.sources
+
+import java.util
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import graft.operators.AcidTable
+
+/** DELTA-based SQL `DELETE` / `UPDATE` / `MERGE INTO` (round 15 —
+  * VERDICT r14 #2): when the table declares its merge key
+  * ([[AcidTable.setMergeKey]] — the unique-key column the engine's
+  * merge-on-read deletion-vector contract is already stated over), SQL
+  * row-level commands land as DELETION-VECTOR commits instead of the
+  * group-based copy-on-write rewrite:
+  *
+  *  - Spark hands the operation a per-row DELTA (delete/update/insert
+  *    calls on [[DeltaWriter]]s, row identity = the declared key via
+  *    [[SupportsDelta.rowId]]) instead of whole replacement groups;
+  *  - each task writes its deleted/updated KEYS as a small `__dvk`
+  *    mask parquet and its new row versions as ordinary data files —
+  *    a 1-row SQL DELETE on an n-file table therefore costs one
+  *    kilobyte mask commit, files_rewritten = 0, where the group path
+  *    rewrites whole files ([[AcidTable.deleteMor]]'s economics,
+  *    reachable from the SQL surface users actually drive);
+  *  - the job commit attaches the masks to every file the operation
+  *    scan finally planned (keys absent from a file match nothing —
+  *    the [[AcidTable.mergeMor]] shape) and appends the new files,
+  *    all through the optimistic-rebase gate: concurrent appends land,
+  *    a concurrent write to a masked file surfaces
+  *    ConcurrentModification.
+  *
+  * Unlike the group path the scan may keep RECORD-level filtering (the
+  * pushed ranges drop rows at parquet decode): a delta operation never
+  * rewrites the non-matching rows of a group, so dropping them from
+  * the scan cannot lose data — the group path must see every row of an
+  * affected group, this path only the affected rows.
+  *
+  * Null keys cannot be masked (the DV anti-join is an equality — NULL
+  * never matches): a delete/update targeting a NULL key fails fast,
+  * which is the unique-key invariant speaking. CDC-stamped tables get
+  * the keyed logical delta published with the commit
+  * ([[AcidTable.cdcForDeltaCommit]]). */
+class AcidDeltaOperationBuilder(tableOptions: CaseInsensitiveStringMap,
+                                info: RowLevelOperationInfo, keyCol: String)
+  extends RowLevelOperationBuilder {
+  override def build(): RowLevelOperation =
+    new AcidDeltaOperation(tableOptions, info.command(), keyCol)
+}
+
+class AcidDeltaOperation(tableOptions: CaseInsensitiveStringMap,
+                         cmd: RowLevelOperation.Command, keyCol: String)
+  extends RowLevelOperation with SupportsDelta {
+
+  private val root = AcidSource.rootOf(tableOptions)
+
+  // a foreign-column DV cannot compose with a mask on the merge key —
+  // fold it clean BEFORE pinning the snapshot (the mergeMor contract)
+  private lazy val pinnedVersion: Long = {
+    val spark = SparkSession.active
+    AcidTable.foldConflictingDvs(spark, root, keyCol)
+    AcidTable.currentVersion(spark, root)
+  }
+
+  @volatile private var operationScan: AcidScan = _
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def rowId(): Array[NamedReference] =
+    Array(Expressions.column(keyCol))
+
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
+    val merged = new util.HashMap[String, String](
+      tableOptions.asCaseSensitiveMap())
+    merged.putAll(o.asCaseSensitiveMap())
+    val opts = new CaseInsensitiveStringMap(merged)
+    val tableSchema = AcidSource.tableSchema(SparkSession.active, root)
+    new ScanBuilder with SupportsPushDownRequiredColumns
+        with SupportsPushDownFilters {
+      private var required = tableSchema
+      private var pushed = Array.empty[org.apache.spark.sql.sources.Filter]
+      private var ranges = Seq.empty[AcidTable.ScanRange]
+      override def pruneColumns(r: StructType): Unit = required = r
+      override def pushFilters(
+          filters: Array[org.apache.spark.sql.sources.Filter])
+          : Array[org.apache.spark.sql.sources.Filter] = {
+        val (rs, accepted) = AcidSource.toScanRanges(filters)
+        ranges = rs; pushed = accepted
+        filters
+      }
+      override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+        pushed
+      override def build(): Scan = {
+        // record-level filtering stays ON (rowLevel = false): a delta
+        // plan touches only matching rows, never whole groups
+        val s = new AcidScan(required, opts, pinnedVersion, ranges)
+        operationScan = s
+        s
+      }
+    }
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = {
+        AcidWrite.parquetSchemaOf(info.schema()) // fail fast on exotics
+        new DeltaWrite {
+          override def toBatch: DeltaBatchWrite = new AcidDeltaBatchWrite(
+            root, pinnedVersion, info.schema(), keyCol,
+            cmd == RowLevelOperation.Command.DELETE,
+            AcidWrite.statsColsOf(tableOptions), info.queryId(),
+            () => Option(operationScan).map(_.finalScannedPaths)
+              .getOrElse(throw new IllegalStateException(
+                "graft-acid delta write committed without its " +
+                  "operation scan — the rewrite plan never configured " +
+                  "the scan this operation instance captured")))
+        }
+      }
+    }
+}
+
+/** One task's delta: an optional data file (new row versions + inserts)
+  * and an optional `__dvk` key-mask file (deleted/updated keys). */
+case class AcidDeltaMessage(dataPath: Option[String], dataRows: Long,
+                            maskPath: Option[String], maskKeys: Long)
+  extends WriterCommitMessage
+
+class AcidDeltaBatchWrite(root: String, scanVersion: Long,
+                          rowSchema: StructType, keyCol: String,
+                          isDelete: Boolean, statsCols: Seq[String],
+                          writeId: String,
+                          scannedPaths: () => Seq[String])
+  extends DeltaBatchWrite {
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DeltaWriterFactory = {
+    // the key's type comes from the TABLE, not the row schema — a pure
+    // DELETE writes no rows and its row schema is empty
+    val keyField = AcidSource.tableSchema(SparkSession.active, root)
+      .fields.find(_.name == keyCol).getOrElse(
+        throw new IllegalStateException(
+          s"table at $root carries no merge key column '$keyCol'"))
+    new AcidDeltaWriterFactory(root, s"data/dlw-$writeId", rowSchema,
+      StructType(Seq(StructField("__dvk", keyField.dataType))))
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val msgs = messages.collect { case m: AcidDeltaMessage => m }.toSeq
+      .sortBy(m => (m.dataPath, m.maskPath))
+    val maskRel = msgs.flatMap(_.maskPath)
+    val dataRel = msgs.flatMap(m =>
+      if (m.dataRows > 0L) m.dataPath else None)
+    // zero-row data files (possible when every routed row was a delete)
+    // are dropped like the batch write drops them
+    AcidWrite.deleteFiles(root,
+      msgs.flatMap(m => if (m.dataRows == 0L) m.dataPath else None))
+    if (maskRel.isEmpty && dataRel.isEmpty) return // true no-op
+    val scanned = scannedPaths().toSet
+    val all = AcidTable.entriesOf(spark, root, scanVersion)
+    val touched =
+      if (maskRel.isEmpty) Seq.empty
+      else all.filter(e => scanned.contains(s"$root/${e.path}"))
+    val dataEntries = AcidTable.entriesForFiles(spark, root, dataRel,
+      statsCols)
+    val action = if (isDelete) "delete" else "merge"
+    val cdc = AcidTable.cdcForDeltaCommit(spark, root, touched, maskRel,
+      dataRel, keyCol)
+    if (touched.isEmpty) {
+      // pure insert (or nothing matched): a plain rebased append
+      AcidTable.commitRebase(spark, root, action, Nil, dataEntries,
+        cdc = cdc)
+    } else {
+      val masked = touched.map { e =>
+        e.dv match {
+          case Some(d) =>
+            require(d.col == keyCol,
+              s"file ${e.path} carries a deletion vector on '${d.col}' " +
+                s"— cannot layer one on '$keyCol' (fold first)")
+            e.copy(dv = Some(AcidTable.Dv(keyCol, d.paths ++ maskRel)))
+          case None => e.copy(dv = Some(AcidTable.Dv(keyCol, maskRel)))
+        }
+      }
+      AcidTable.commitRebase(spark, root, action, touched,
+        masked ++ dataEntries, cdc = cdc)
+    }
+    ()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    AcidWrite.deleteFiles(root,
+      messages.collect { case m: AcidDeltaMessage => m }.toSeq
+        .flatMap(m => m.dataPath.toSeq ++ m.maskPath.toSeq))
+}
+
+class AcidDeltaWriterFactory(root: String, dir: String,
+                             rowSchema: StructType, maskSchema: StructType)
+  extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int,
+                            taskId: Long): DeltaWriter[InternalRow] =
+    new AcidDeltaWriter(root, dir, f"part-$partitionId%05d-$taskId",
+      rowSchema, maskSchema)
+}
+
+/** Routes the delta calls onto two lazy file writers: new row versions
+  * and inserts into a data parquet, deleted/updated keys into a `__dvk`
+  * mask parquet — both through the same Group encoder the batch write
+  * uses, both attempt-unique, both invisible until the job commit
+  * publishes them. */
+class AcidDeltaWriter(root: String, dir: String, stem: String,
+                      rowSchema: StructType, maskSchema: StructType)
+  extends DeltaWriter[InternalRow] {
+
+  private var dataW: AcidDataWriter = _
+  private var maskW: AcidDataWriter = _
+  private val dataRel = s"$dir/$stem-rows.parquet"
+  private val maskRel = s"$dir/$stem-mask.parquet"
+  private var dataRows = 0L
+  private var maskKeys = 0L
+
+  private def data(): AcidDataWriter = {
+    if (dataW == null) dataW = new AcidDataWriter(root, dataRel, rowSchema)
+    dataW
+  }
+  private def mask(): AcidDataWriter = {
+    if (maskW == null) maskW = new AcidDataWriter(root, maskRel, maskSchema)
+    maskW
+  }
+
+  private def maskId(id: InternalRow): Unit = {
+    if (id.isNullAt(0))
+      throw new IllegalStateException(
+        "graft-acid delta write: cannot delete/update a row whose merge " +
+          "key is NULL — a key mask matches by equality, and the " +
+          "unique-key contract excludes null keys")
+    mask().write(id)
+    maskKeys += 1
+  }
+
+  override def delete(metadata: InternalRow, id: InternalRow): Unit =
+    maskId(id)
+
+  override def update(metadata: InternalRow, id: InternalRow,
+                      row: InternalRow): Unit = {
+    maskId(id)
+    data().write(row)
+    dataRows += 1
+  }
+
+  override def insert(row: InternalRow): Unit = {
+    data().write(row)
+    dataRows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (dataW != null) dataW.commit()
+    if (maskW != null) maskW.commit()
+    AcidDeltaMessage(Option(dataW).map(_ => dataRel), dataRows,
+      Option(maskW).map(_ => maskRel), maskKeys)
+  }
+
+  override def abort(): Unit = {
+    if (dataW != null) dataW.abort()
+    if (maskW != null) maskW.abort()
+  }
+
+  override def close(): Unit = {
+    if (dataW != null) dataW.close()
+    if (maskW != null) maskW.close()
+  }
+}

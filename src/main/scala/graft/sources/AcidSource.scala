@@ -147,8 +147,18 @@ object AcidSource {
     val v = AcidTable.currentVersion(spark, root)
     val entries = AcidTable.entriesOf(spark, root, v)
     require(entries.nonEmpty, s"version $v of $root lists no data files")
-    schemaOfParquet(spark.sparkContext.hadoopConfiguration,
+    val base = schemaOfParquet(spark.sparkContext.hadoopConfiguration,
       s"$root/${entries.head.path}")
+    // a DECLARED merge key is NOT NULL by contract (the unique-key
+    // invariant the DV mask path needs) — and Spark's delta-based
+    // row-level rewrite REQUIRES a non-nullable row id. Writes of
+    // nullable frames stay legal: ANSI store assignment wraps them in
+    // a runtime AssertNotNull, which is exactly the contract speaking.
+    AcidTable.mergeKeyProperty(spark, root) match {
+      case Some(k) => StructType(base.fields.map(f =>
+        if (f.name == k) f.copy(nullable = false) else f))
+      case None => base
+    }
   }
 
   /** Driver-side load of one deletion-vector mask parquet (single
@@ -379,10 +389,25 @@ class AcidSourceTable(tableSchema: StructType,
   with org.apache.spark.sql.connector.catalog.SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
+  /** SQL DML routing (round 15): a table that declared its merge key
+    * ([[AcidTable.setMergeKey]]) takes DELETE/UPDATE/MERGE through the
+    * DELTA-based path — deletion-vector commits, files_rewritten = 0 —
+    * because the key IS the declaration of the unique-key invariant
+    * the DV contract needs; without it the group-based copy-on-write
+    * rewrite remains the safe default. */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
-      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    new AcidRowLevelOperationBuilder(options, info)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    val root = AcidSource.rootOf(options)
+    val maskable: Set[org.apache.spark.sql.types.DataType] =
+      Set(LongType, IntegerType, StringType, DateType, TimestampType)
+    AcidTable.mergeKeyProperty(SparkSession.active, root)
+      .filter(k => tableSchema.fields.exists(f =>
+        f.name == k && maskable.contains(f.dataType))) match {
+      case Some(k) => new AcidDeltaOperationBuilder(options, info, k)
+      case None => new AcidRowLevelOperationBuilder(options, info)
+    }
+  }
   override def name(): String = s"graft-acid ${AcidSource.rootOf(options)}"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =

@@ -73,17 +73,16 @@ class AcidCatalogSpec extends SparkSpec {
       .as[Long].collect().forall(_ > 0L))
   }
 
-  test("listTables sees only AcidTable directories; DDL fails fast " +
-      "with the engine-API pointer") {
+  test("listTables sees only AcidTable directories; DROP removes " +
+      "an engine-created table too (round 15: DDL is real now)") {
     mk("t5")
     Files.createDirectory(java.nio.file.Paths.get(s"$base/not_a_table"))
     val names = spark.sql("SHOW TABLES IN cat").collect()
       .map(_.getString(1)).toSet
     assert(names.contains("t5") && !names.contains("not_a_table"))
-    val e = intercept[Exception] {
-      spark.sql("DROP TABLE cat.t5")
-    }
-    assert(e.getMessage.contains("engine API"))
+    spark.sql("DROP TABLE cat.t5")
+    assert(!spark.sql("SHOW TABLES IN cat").collect()
+      .map(_.getString(1)).contains("t5"))
   }
 
   test("count(*) through the catalog serves metadata-only too") {
