@@ -306,8 +306,11 @@ object AcidTable {
     text
   }
 
-  private def readManifest(spark: SparkSession, root: String,
-                           v: Long): (String, Seq[Entry]) = {
+  /** One manifest open → (action, entries, schema header): the header
+    * rides the same read so a snapshot read stays ONE manifest-layer
+    * open (the AcidRebaseSpec O(1)-opens budget pins this). */
+  private def readManifestFull(spark: SparkSession, root: String, v: Long)
+      : (String, Seq[Entry], Option[org.apache.spark.sql.types.StructType]) = {
     val lines = manifestText(spark, root, v).linesIterator.toSeq
     val action = lines.headOption match {
       case Some(h) if h.startsWith("#action:") => h.stripPrefix("#action:")
@@ -316,7 +319,15 @@ object AcidTable {
     }
     // header lines beyond #action (e.g. #token:) are metadata, not files
     (action, lines.tail.filter(l => l.nonEmpty && !l.startsWith("#"))
-      .map(Entry.parse))
+      .map(Entry.parse),
+      lines.find(_.startsWith("#schema:")).map(l =>
+        parseSchemaHeader(l.stripPrefix("#schema:"))))
+  }
+
+  private def readManifest(spark: SparkSession, root: String,
+                           v: Long): (String, Seq[Entry]) = {
+    val (action, entries, _) = readManifestFull(spark, root, v)
+    (action, entries)
   }
 
   /** The manifest entries (paths + stats) version `v` references — the
@@ -586,7 +597,8 @@ object AcidTable {
   private[operators] def publish(spark: SparkSession, root: String, v: Long,
                                  action: String, files: Seq[String],
                                  token: Option[String] = None,
-                                 cdc: Seq[String] = Nil): Long = {
+                                 cdc: Seq[String] = Nil,
+                                 schemaLine: Option[String] = None): Long = {
     val f = fs(spark, root)
     f.mkdirs(new Path(s"$root/$ManifestDir"))
     val p = manifestPath(root, v)
@@ -597,9 +609,10 @@ object AcidTable {
       val tokenLine = token.map(t => s"#token:$t\n").getOrElse("")
       val tsLine = s"#ts:${System.currentTimeMillis()}\n"
       val cdcLine = if (cdc.isEmpty) "" else s"#cdc:${cdc.mkString(";")}\n"
+      val schLine = schemaLine.map(s => s"#schema:$s\n").getOrElse("")
       // `#eof` last: readers reject a body that lost its tail (ADVICE r14)
       o.write((s"#action:$action\n" + tsLine + tokenLine + cdcLine +
-          files.mkString("", "\n", "\n") + "#eof\n")
+          schLine + files.mkString("", "\n", "\n") + "#eof\n")
         .getBytes(StandardCharsets.UTF_8))
     }
     if (!graft.util.AtomicPublish(f,
@@ -611,9 +624,10 @@ object AcidTable {
   private def publishEntries(spark: SparkSession, root: String, v: Long,
                              action: String, entries: Seq[Entry],
                              token: Option[String] = None,
-                             cdc: Seq[String] = Nil): Long = {
+                             cdc: Seq[String] = Nil,
+                             schemaLine: Option[String] = None): Long = {
     val out = publish(spark, root, v, action, entries.map(_.render), token,
-      cdc)
+      cdc, schemaLine)
     maybeCheckpoint(spark, root, out)
     out
   }
@@ -626,6 +640,164 @@ object AcidTable {
   private[graft] def commitInitial(spark: SparkSession, root: String,
                                    entries: Seq[Entry]): Long =
     publishEntries(spark, root, 1L, "overwrite", entries)
+
+  // ---- WRITE-SIDE SCHEMA EVOLUTION (round 15 — VERDICT r14 #4) ----
+  //
+  // Until a table EVOLVES, its schema source is the first data file's
+  // footer (all files agree). The first widening append / ADD COLUMN
+  // publishes a `#schema:` manifest header — from then on the HEADER is
+  // the schema source of truth, carried forward by every non-overwrite
+  // commit, and reads plan with an EXPLICIT schema: files missing a
+  // column null-fill, files with a narrower physical type widen at
+  // decode (Spark 4's parquet readers upcast int32→int64/double,
+  // float→double natively — verified, not assumed). Old versions stay
+  // time-travelable: a version without the header still reads by its
+  // own footers. The widening lattice is q_dq8's (int < bigint <
+  // double, float < double); a cross-kind change is a CONFLICT and
+  // rejects with the quarantine pointer — drifted-beyond-widening
+  // histories are readReconciled/SchemaEvolution territory, never a
+  // silent footer-roulette.
+
+  private val TypeTokens: Seq[(org.apache.spark.sql.types.DataType, String)] =
+    Seq(org.apache.spark.sql.types.IntegerType -> "int",
+      org.apache.spark.sql.types.LongType -> "long",
+      org.apache.spark.sql.types.FloatType -> "float",
+      org.apache.spark.sql.types.DoubleType -> "double",
+      org.apache.spark.sql.types.BooleanType -> "boolean",
+      org.apache.spark.sql.types.StringType -> "string",
+      org.apache.spark.sql.types.BinaryType -> "binary",
+      org.apache.spark.sql.types.DateType -> "date",
+      org.apache.spark.sql.types.TimestampType -> "timestamp")
+
+  private[graft] def renderSchemaHeader(
+      s: org.apache.spark.sql.types.StructType): String = {
+    s.fields.map { f =>
+      require(!f.name.exists("=,|\n".contains(_)),
+        s"column name '${f.name}' cannot be schema-evolved (reserved chars)")
+      val tok = TypeTokens.collectFirst {
+        case (dt, t) if dt == f.dataType => t
+      }.getOrElse(throw new IllegalArgumentException(
+        s"graft-acid schema evolution supports primitive columns; " +
+          s"'${f.name}' is ${f.dataType}"))
+      s"${f.name}=$tok"
+    }.mkString(",")
+  }
+
+  private[graft] def parseSchemaHeader(h: String)
+      : org.apache.spark.sql.types.StructType = {
+    val byTok = TypeTokens.map(_.swap).toMap
+    org.apache.spark.sql.types.StructType(h.split(",", -1).toSeq.map { part =>
+      val i = part.indexOf('=')
+      require(i > 0, s"malformed #schema segment: $part")
+      org.apache.spark.sql.types.StructField(part.take(i),
+        byTok.getOrElse(part.drop(i + 1), throw new IllegalStateException(
+          s"unknown #schema type token: ${part.drop(i + 1)}")))
+    })
+  }
+
+  /** The `#schema:` header version `v` published, if any — present from
+    * the first evolving commit on. */
+  def schemaHeaderOf(spark: SparkSession, root: String,
+                     v: Long): Option[org.apache.spark.sql.types.StructType] =
+    manifestText(spark, root, v).linesIterator
+      .find(_.startsWith("#schema:")).map(_.stripPrefix("#schema:"))
+      .map(parseSchemaHeader)
+
+  /** Widen `a` to `b` (or b to a) along the q_dq8 lattice; None = the
+    * kinds conflict. */
+  private def widenType(a: org.apache.spark.sql.types.DataType,
+                        b: org.apache.spark.sql.types.DataType)
+      : Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    if (a == b) Some(a)
+    else (a, b) match {
+      case (IntegerType, LongType) | (LongType, IntegerType) => Some(LongType)
+      case (IntegerType, DoubleType) | (DoubleType, IntegerType) |
+           (LongType, DoubleType) | (DoubleType, LongType) |
+           (FloatType, DoubleType) | (DoubleType, FloatType) =>
+        Some(DoubleType)
+      case _ => None
+    }
+  }
+
+  final case class SchemaConflict(root: String, col: String,
+                                  a: String, b: String)
+    extends RuntimeException(
+      s"schema evolution conflict at $root: column '$col' is $a in the " +
+        s"table and $b in the incoming frame — no widening exists on the " +
+        "int<bigint<double lattice. Route the drifted frame through " +
+        "SchemaEvolution/readReconciled (quarantine the conflicted " +
+        "column) instead of appending it")
+
+  /** The widened UNION of the table's schema and an incoming frame's:
+    * shared columns widen along the lattice (conflict → [[SchemaConflict]],
+    * nothing published), table-only columns stay (readers null-fill the
+    * new files), incoming-only columns append. */
+  def widenUnion(root: String,
+                 table: org.apache.spark.sql.types.StructType,
+                 incoming: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    val inMap = incoming.fields.map(f => f.name -> f.dataType).toMap
+    val widened = table.fields.map { f =>
+      inMap.get(f.name) match {
+        case Some(t) => StructField(f.name,
+          widenType(f.dataType, t).getOrElse(throw SchemaConflict(root,
+            f.name, f.dataType.simpleString, t.simpleString)))
+        case None => StructField(f.name, f.dataType)
+      }
+    }
+    val known = table.fieldNames.toSet
+    StructType(widened ++ incoming.fields.collect {
+      case f if !known.contains(f.name) => StructField(f.name, f.dataType)
+    })
+  }
+
+  /** The table's CURRENT logical schema: the `#schema:` header once one
+    * exists, else the first data file's footer. */
+  def currentSchema(spark: SparkSession,
+                    root: String): org.apache.spark.sql.types.StructType = {
+    val v = currentVersion(spark, root)
+    schemaHeaderOf(spark, root, v).getOrElse {
+      val entries = entriesOf(spark, root, v)
+      require(entries.nonEmpty, s"version $v of $root lists no data files")
+      spark.read.parquet(s"$root/${entries.head.path}").schema
+    }
+  }
+
+  /** ALTER TABLE-style schema evolution: publish `newSchema` as the
+    * table's schema in a data-free 'evolve' commit (entries carry
+    * verbatim — a logical no-op row-wise; streams and the change feed
+    * treat it like a compaction). Every existing column must survive
+    * identical-or-widened; new columns are nullable by construction. */
+  def evolveSchema(spark: SparkSession, root: String,
+                   newSchema: org.apache.spark.sql.types.StructType): Long = {
+    val cur = currentSchema(spark, root)
+    val newMap = newSchema.fields.map(f => f.name -> f.dataType).toMap
+    cur.fields.foreach { f =>
+      val t = newMap.getOrElse(f.name, throw new IllegalArgumentException(
+        s"evolveSchema cannot DROP column '${f.name}' — readers of old " +
+          "files have no way to un-write it; project at read time instead"))
+      if (widenType(f.dataType, t) != Some(t))
+        throw SchemaConflict(root, f.name, f.dataType.simpleString,
+          t.simpleString)
+    }
+    commitRebase(spark, root, "evolve", Nil, Nil,
+      schemaHeader = Some(newSchema))._1
+  }
+
+  /** `mergeSchema` append at the ENGINE level: widen-union the frame's
+    * schema into the table's, append the frame's files, publish the
+    * widened `#schema:` header — one commit, atomic. Readers of the new
+    * head null-fill old files' missing columns and upcast narrower
+    * physical types at decode. */
+  def commitAppendEvolve(df: DataFrame, root: String,
+                         statsCols: Seq[String] = Nil): Long = {
+    val spark = df.sparkSession
+    val target = widenUnion(root, currentSchema(spark, root), df.schema)
+    commitRebase(spark, root, "append", Nil,
+      newEntries(df, root, statsCols), schemaHeader = Some(target))._1
+  }
 
   /** TABLE-LEVEL CONFIGURATION (round 15 — VERDICT r14 #5): a small
     * `_manifests/table.properties` text file (`k=v` lines + the `#eof`
@@ -778,10 +950,11 @@ object AcidTable {
         if (prevIds.subsetOf(cur.map(_.render).toSet)) {
           val added = cur.filterNot(e => prevIds.contains(e.render))
           if (added.isEmpty) Some(emptyFeed(spark, root, v))
-          else Some(readEntries(spark, root, added)
+          else Some(readEntriesV(spark, root, v, added)
             .withColumn("_change_type", lit("insert")))
         } else None
-      case "compact" => Some(emptyFeed(spark, root, v)) // logical no-op
+      case "compact" | "evolve" =>
+        Some(emptyFeed(spark, root, v)) // byte/schema moves, no row change
       case _ => None
     }
   }
@@ -817,12 +990,13 @@ object AcidTable {
     * written `#cdc` paths; empty when CDC is off or nothing changed
     * logically. */
   private[graft] def cdcForReplaceData(spark: SparkSession, root: String,
+                                       scanVersion: Long,
                                        removed: Seq[Entry],
                                        addedRel: Seq[String]): Seq[String] = {
     if (!cdcEnabled(spark, root)) return Nil
     if (removed.isEmpty && addedRel.isEmpty) return Nil
     val oldDf =
-      if (removed.nonEmpty) readEntries(spark, root, removed)
+      if (removed.nonEmpty) readEntriesV(spark, root, scanVersion, removed)
       else spark.read.parquet(s"$root/${addedRel.head}").where(lit(false))
     val newDf =
       if (addedRel.nonEmpty)
@@ -906,7 +1080,10 @@ object AcidTable {
                            removed: Seq[Entry], added: Seq[Entry],
                            replaceAll: Boolean = false,
                            token: Option[String] = None,
-                           cdc: Seq[String] = Nil): (Long, Int) = {
+                           cdc: Seq[String] = Nil,
+                           schemaHeader: Option[
+                             org.apache.spark.sql.types.StructType] = None)
+      : (Long, Int) = {
     val removedIds = removed.map(_.render).toSet
     var attempt = 0
     while (true) {
@@ -923,9 +1100,14 @@ object AcidTable {
         case Some(v) => return (v, -1) // our own replay already landed
         case None =>
       }
-      val headEntries =
-        if (head == 0L) Seq.empty[Entry]
-        else readManifest(spark, root, head)._2
+      val (headEntries, headSchema) =
+        if (head == 0L)
+          (Seq.empty[Entry],
+            None: Option[org.apache.spark.sql.types.StructType])
+        else {
+          val (_, e, sch) = readManifestFull(spark, root, head)
+          (e, sch)
+        }
       val kept =
         if (replaceAll) Seq.empty[Entry]
         else {
@@ -934,8 +1116,14 @@ object AcidTable {
           if (gone.nonEmpty) throw ConcurrentModification(root, action, gone)
           headEntries.filterNot(e => removedIds(e.render))
         }
+      // the `#schema:` header: an explicit evolution sets it; every
+      // other non-overwrite commit CARRIES the head's forward (an
+      // evolved table must never silently fall back to footer-roulette);
+      // an overwrite RESETS it — the new content defines the schema
+      val schemaLine = schemaHeader.orElse(
+        if (replaceAll) None else headSchema).map(renderSchemaHeader)
       try return (publishEntries(spark, root, head + 1, action,
-        kept ++ added, token, cdc), kept.length)
+        kept ++ added, token, cdc, schemaLine), kept.length)
       catch {
         case c: Conflict =>
           attempt += 1
@@ -986,30 +1174,51 @@ object AcidTable {
     * list read as one pruned scan; distinct lists are distinct
     * (cheap, manifest-bounded) branches of the union. */
   private def readEntries(spark: SparkSession, root: String,
-                          entries: Seq[Entry]): DataFrame = {
+                          entries: Seq[Entry],
+                          schema: Option[
+                            org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
     require(entries.nonEmpty, "cannot plan zero manifest entries")
+    // an EVOLVED version's header is the read schema: files missing a
+    // column null-fill, narrower physical types upcast at decode
+    def rd = schema.fold(spark.read)(s => spark.read.schema(s))
     val (dved, clean) = entries.partition(_.dv.isDefined)
     val cleanDf =
       if (clean.isEmpty) Nil
-      else Seq(spark.read.parquet(clean.map(e => s"$root/${e.path}"): _*))
+      else Seq(rd.parquet(clean.map(e => s"$root/${e.path}"): _*))
     val maskedDfs = dved
       .groupBy(e => (e.dv.get.col, e.dv.get.paths)).toSeq
       .sortBy { case ((c, ps), _) => (c, ps.mkString(";")) }
       .map { case ((keyCol, dvPaths), es) =>
-        val df = spark.read.parquet(es.map(e => s"$root/${e.path}"): _*)
+        val df = rd.parquet(es.map(e => s"$root/${e.path}"): _*)
         val keys = spark.read.parquet(dvPaths.map(p => s"$root/$p"): _*)
         df.join(broadcast(keys), df(keyCol) === keys("__dvk"), "left_anti")
       }
     (cleanDf ++ maskedDfs).reduce(_.unionByName(_))
   }
 
+  /** [[readEntries]] under version `v`'s schema header (when present). */
+  private def readEntriesV(spark: SparkSession, root: String, v: Long,
+                           entries: Seq[Entry]): DataFrame =
+    readEntries(spark, root, entries, schemaHeaderOf(spark, root, v))
+
+  /** A zero-row frame carrying version `v`'s schema: ONE referenced
+    * file under a false predicate (never the O(files) list), widened
+    * by the header when the version is evolved. */
+  private def emptyFrame(spark: SparkSession, root: String, v: Long,
+                         entries: Seq[Entry]): DataFrame = {
+    val rd = schemaHeaderOf(spark, root, v)
+      .fold(spark.read)(s => spark.read.schema(s))
+    rd.parquet(s"$root/${entries.head.path}").where(lit(false))
+  }
+
   /** The table as of `version` — planned from that manifest's file list
     * alone; later commits never disturb it. Deletion vectors ([[Dv]])
     * are applied. */
   def readAsOf(spark: SparkSession, root: String, version: Long): DataFrame = {
-    val (_, entries) = readManifest(spark, root, version)
+    val (_, entries, schema) = readManifestFull(spark, root, version)
     require(entries.nonEmpty, s"version $version of $root lists no data files")
-    readEntries(spark, root, entries)
+    readEntries(spark, root, entries, schema)
   }
 
   /** The latest committed state. */
@@ -1024,14 +1233,15 @@ object AcidTable {
     * file with no stats for a predicate column is never pruned. */
   def readWhere(spark: SparkSession, root: String, version: Long,
                 ranges: Seq[ScanRange]): PrunedRead = {
-    val (_, entries) = readManifest(spark, root, version)
+    val (_, entries, schema) = readManifestFull(spark, root, version)
     require(entries.nonEmpty, s"version $version of $root lists no data files")
     val kept = entries.filter(entryCanMatch(_, ranges))
     val df =
-      if (kept.nonEmpty) readEntries(spark, root, kept)
+      if (kept.nonEmpty) readEntries(spark, root, kept, schema)
       // proven-empty: keep the schema by planning ONE file (any carries
       // it) under a false predicate — never the full O(files) list
-      else spark.read.parquet(s"$root/${entries.head.path}").where(lit(false))
+      else schema.fold(spark.read)(t => spark.read.schema(t))
+        .parquet(s"$root/${entries.head.path}").where(lit(false))
     PrunedRead(df, kept.length, entries.length)
   }
 
@@ -1074,7 +1284,7 @@ object AcidTable {
   def readWhereRowGroups(spark: SparkSession, root: String, version: Long,
                          ranges: Seq[ScanRange]): PrunedReadRg = {
     require(ranges.nonEmpty, "readWhereRowGroups needs at least one range")
-    val (_, entries) = readManifest(spark, root, version)
+    val (_, entries, hdrSchema) = readManifestFull(spark, root, version)
     require(entries.nonEmpty, s"version $version of $root lists no data files")
     val kept = entries.filter(entryCanMatch(_, ranges))
     val conf = spark.sparkContext.hadoopConfiguration
@@ -1117,8 +1327,9 @@ object AcidTable {
       case StrRange(c, lo, hi) => col(c).between(lo, hi)
     }.reduce(_ && _)
     val df =
-      if (kept.nonEmpty) readEntries(spark, root, kept).where(pred)
-      else spark.read.parquet(s"$root/${entries.head.path}").where(lit(false))
+      if (kept.nonEmpty) readEntries(spark, root, kept, hdrSchema).where(pred)
+      else hdrSchema.fold(spark.read)(t => spark.read.schema(t))
+        .parquet(s"$root/${entries.head.path}").where(lit(false))
     PrunedReadRg(df, kept.length, entries.length, rgScanned, rgTotal)
   }
 
@@ -1479,12 +1690,12 @@ object AcidTable {
   private def mergeCowImpl(updates: DataFrame, root: String, keyCol: String,
                            statsCols: Seq[String],
                            strKey: Boolean): (Long, Int, Int) =
-    cowCommit(updates.sparkSession, root, "merge", statsCols) { entries =>
+    cowCommit(updates.sparkSession, root, "merge", statsCols) { (cur, entries) =>
       val spark = updates.sparkSession
       val (touched, untouched) = locateTouched(updates, keyCol, entries, strKey)
       val cdcRows =
         if (!cdcEnabled(spark, root)) None
-        else Some(mergeChangeRows(spark, root, touched, updates, keyCol))
+        else Some(mergeChangeRows(spark, root, cur, touched, updates, keyCol))
       // size the rewrite like its input: N touched files come back as ~N
       // files, not one per shuffle partition — otherwise every COW commit
       // multiplies the file count by the cluster's parallelism and the
@@ -1498,7 +1709,7 @@ object AcidTable {
           // DV-aware read: a touched file may carry a deletion vector
           // from an earlier merge-on-read commit — reading it raw would
           // resurrect the masked rows into the rewrite
-          val old = readEntries(spark, root, touched)
+          val old = readEntriesV(spark, root, cur, touched)
           old.join(updates.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
             .unionByName(updates)
             .repartition(touched.length)
@@ -1514,7 +1725,7 @@ object AcidTable {
   def deleteCow(spark: SparkSession, root: String, keyCol: String,
                 lower: Long, upper: Long,
                 statsCols: Seq[String] = Nil): (Long, Int, Int) =
-    cowCommit(spark, root, "delete", statsCols) { entries =>
+    cowCommit(spark, root, "delete", statsCols) { (cur, entries) =>
       val (touched, untouched) = entries.partition { e =>
         e.statFor(keyCol).forall(s => s.max >= lower && s.min <= upper)
       }
@@ -1522,12 +1733,12 @@ object AcidTable {
       // back as ~N files, never one per shuffle partition
       val survivors =
         if (touched.isEmpty) None
-        else Some(readEntries(spark, root, touched) // DV-aware, as in mergeCow
+        else Some(readEntriesV(spark, root, cur, touched) // DV-aware, as in mergeCow
           .where(!(col(keyCol) >= lower && col(keyCol) <= upper))
           .repartition(touched.length))
       val cdcRows =
         if (touched.isEmpty || !cdcEnabled(spark, root)) None
-        else Some(readEntries(spark, root, touched)
+        else Some(readEntriesV(spark, root, cur, touched)
           .where(col(keyCol).between(lower, upper))
           .withColumn("_change_type", lit("delete")))
       (untouched, survivors.orNull, cdcRows)
@@ -1557,7 +1768,7 @@ object AcidTable {
     }
     if (touched.isEmpty) (cur, 0, 0)
     else {
-      val hit = readEntries(spark, root, touched)
+      val hit = readEntriesV(spark, root, cur, touched)
         .where(col(keyCol).between(lower, upper))
       val mask = hit.select(col(keyCol).as("__dvk")).distinct().coalesce(1)
       val cdc =
@@ -1598,7 +1809,8 @@ object AcidTable {
   private[graft] def foldConflictingDvs(spark: SparkSession, root: String,
                                         keyCol: String,
                                         statsCols: Seq[String] = Nil): Boolean = {
-    val (_, entries) = readManifest(spark, root, currentVersion(spark, root))
+    val cur = currentVersion(spark, root)
+    val (_, entries) = readManifest(spark, root, cur)
     val conflicted = entries.filter(_.dv.exists(_.col != keyCol))
     if (conflicted.isEmpty) false
     else {
@@ -1606,7 +1818,7 @@ object AcidTable {
       // folded entries carried stats on (plus any caller-requested ones)
       val cols = (statsCols ++ conflicted.flatMap(_.stats.map(_.col)) ++
         conflicted.flatMap(_.strStats.map(_.col))).distinct
-      val folded = readEntries(spark, root, conflicted)
+      val folded = readEntriesV(spark, root, cur, conflicted)
         .repartition(conflicted.length)
       commitRebase(spark, root, "compact", conflicted,
         newEntries(folded, root, cols))
@@ -1625,8 +1837,8 @@ object AcidTable {
     val newData = newEntries(updates, root, statsCols)
     val cdc =
       if (!cdcEnabled(spark, root)) Nil
-      else writeCdc(mergeChangeRows(spark, root, touched, updates, keyCol),
-        root)
+      else writeCdc(
+        mergeChangeRows(spark, root, cur, touched, updates, keyCol), root)
     if (touched.isEmpty) // pure insert: no mask needed — a plain append
       (commitRebase(spark, root, "merge", Nil, newData, cdc = cdc)._1, 0, 0)
     else {
@@ -1639,12 +1851,12 @@ object AcidTable {
     * as `update_preimage`, their replacements as `update_postimage`,
     * new-key rows as `insert`. One read of the touched files; key
     * membership decides the split. */
-  private def mergeChangeRows(spark: SparkSession, root: String,
+  private def mergeChangeRows(spark: SparkSession, root: String, v: Long,
                               touched: Seq[Entry], updates: DataFrame,
                               keyCol: String): DataFrame = {
     if (touched.isEmpty)
       return updates.withColumn("_change_type", lit("insert"))
-    val old = readEntries(spark, root, touched)
+    val old = readEntriesV(spark, root, v, touched)
     val updKeys = updates.select(keyCol).distinct()
     val pre = old.join(updKeys, Seq(keyCol), "left_semi")
     val oldKeys = pre.select(keyCol).distinct()
@@ -1663,6 +1875,7 @@ object AcidTable {
     * and inserts. Keyed into the Delta CDF vocabulary exactly like
     * [[mergeChangeRows]]. */
   private[graft] def cdcForDeltaCommit(spark: SparkSession, root: String,
+                                       scanVersion: Long,
                                        touched: Seq[Entry],
                                        maskRel: Seq[String],
                                        addedRel: Seq[String],
@@ -1676,7 +1889,7 @@ object AcidTable {
       else {
         val masks = spark.read.parquet(maskRel.map(p => s"$root/$p"): _*)
           .select(col("__dvk")).distinct()
-        val old = readEntries(spark, root, touched)
+        val old = readEntriesV(spark, root, scanVersion, touched)
         old.join(broadcast(masks), old(keyCol) === masks("__dvk"),
           "left_semi")
       }
@@ -1736,10 +1949,10 @@ object AcidTable {
     val cur = currentVersion(spark, root)
     val (_, entries) = readManifest(spark, root, cur)
     if (!entries.exists(_.dv.isDefined)) (cur, 0, entries.length)
-    else cowCommit(spark, root, "compact", statsCols) { es =>
+    else cowCommit(spark, root, "compact", statsCols) { (v, es) =>
       val (dved, clean) = es.partition(_.dv.isDefined)
       // same rewrite-sizing rule as COW: N masked files fold to ~N files
-      (clean, readEntries(spark, root, dved).repartition(dved.length),
+      (clean, readEntriesV(spark, root, v, dved).repartition(dved.length),
         None) // a DV fold is a logical no-op: no change rows
     }
   }
@@ -1752,11 +1965,11 @@ object AcidTable {
     * Returns (version, files rewritten, files carried at publish). */
   private def cowCommit(spark: SparkSession, root: String, action: String,
                         statsCols: Seq[String])(
-      split: Seq[Entry] => (Seq[Entry], DataFrame, Option[DataFrame]))
+      split: (Long, Seq[Entry]) => (Seq[Entry], DataFrame, Option[DataFrame]))
       : (Long, Int, Int) = {
     val cur = currentVersion(spark, root)
     val (_, entries) = readManifest(spark, root, cur)
-    val (untouched, rewrite, cdcRows) = split(entries)
+    val (untouched, rewrite, cdcRows) = split(cur, entries)
     val untouchedIds = untouched.map(_.render).toSet
     val touched = entries.filterNot(e => untouchedIds(e.render))
     val fresh0 =
@@ -1792,7 +2005,7 @@ object AcidTable {
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
     val cur = currentVersion(spark, root)
     val (_, entries) = readManifest(spark, root, cur)
-    val df = readEntries(spark, root, entries).repartition(numFiles)
+    val df = readEntriesV(spark, root, cur, entries).repartition(numFiles)
     // rebase with removed = the snapshot we rewrote: a racing APPEND's
     // files survive the compaction (they just stay uncompacted); a race
     // that modified one of our input files surfaces ConcurrentModification
@@ -1824,7 +2037,7 @@ object AcidTable {
       entryBytes(f, root, e) < smallBytes)
     if (small.length < 2) (cur, 0, entries.length)
     else {
-      val packed = readEntries(spark, root, small) // DV-aware: folds masks
+      val packed = readEntriesV(spark, root, cur, small) // DV-aware: folds masks
         .repartition(targetFiles)
       val (v, kept) = commitRebase(spark, root, "compact", small,
         newEntries(packed, root, statsCols))
@@ -1847,7 +2060,7 @@ object AcidTable {
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
     val cur = currentVersion(spark, root)
     val (_, entries) = readManifest(spark, root, cur)
-    val df = Layout.zorderBy(readEntries(spark, root, entries),
+    val df = Layout.zorderBy(readEntriesV(spark, root, cur, entries),
       numFiles, bits, zCols: _*)
     commitRebase(spark, root, "compact", entries,
       newEntries(df, root, statsCols))._1
@@ -1925,11 +2138,10 @@ object AcidTable {
     val filesTotal = (fromE.map(_.path) ++ toE.map(_.path)).toSet.size
     // an empty side still needs the table schema: plan any ONE referenced
     // file under a false predicate (same trick as readWhere's proven-empty)
-    def side(es: Seq[Entry]): DataFrame =
-      if (es.nonEmpty) readEntries(spark, root, es)
-      else spark.read.parquet(s"$root/${(toE ++ fromE).head.path}")
-        .where(lit(false))
-    (SnapshotDiff.diff(side(removed), side(added), keys, tracked),
+    def side(es: Seq[Entry], v: Long): DataFrame =
+      if (es.nonEmpty) readEntriesV(spark, root, v, es)
+      else emptyFrame(spark, root, v, toE ++ fromE)
+    (SnapshotDiff.diff(side(removed, from), side(added, to), keys, tracked),
       (removed.map(_.path) ++ added.map(_.path)).toSet.size, filesTotal)
   }
 

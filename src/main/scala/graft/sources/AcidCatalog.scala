@@ -223,9 +223,45 @@ class AcidCatalog extends TableCatalog with StagingTableCatalog {
       userProps(properties), replace)
   }
 
+  /** ALTER TABLE (round 15 — VERDICT r14 #4): ADD COLUMN(S) and
+    * lattice-widening ALTER COLUMN TYPE publish a data-free 'evolve'
+    * commit carrying the new `#schema:` header (readers null-fill /
+    * upcast, history stays time-travelable); SET TBLPROPERTIES
+    * persists table properties (so `'key'`/`'statsCols'` can be
+    * declared after creation). Everything else (drop/rename column —
+    * operations old files cannot honor) fails fast. */
   override def alterTable(ident: Identifier,
-                          changes: TableChange*): Table =
-    ddlUnsupported("ALTER TABLE")
+                          changes: TableChange*): Table = {
+    val root = rootFor(ident)
+    if (!isTable(root))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchTableException(ident)
+    var schema = AcidTable.currentSchema(spark, root)
+    var schemaChanged = false
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          "graft-acid tables have flat schemas — nested ADD COLUMN " +
+            "is not supported")
+        schema = StructType(schema.fields :+
+          StructField(a.fieldNames()(0), a.dataType(), nullable = true))
+        schemaChanged = true
+      case u: TableChange.UpdateColumnType =>
+        require(u.fieldNames().length == 1,
+          "graft-acid tables have flat schemas")
+        schema = StructType(schema.fields.map(f =>
+          if (f.name == u.fieldNames()(0)) f.copy(dataType = u.newDataType())
+          else f))
+        schemaChanged = true
+      case p: TableChange.SetProperty =>
+        AcidTable.setTableProperties(spark, root,
+          Map(p.property() -> p.value()))
+      case other => ddlUnsupported(
+        s"ALTER TABLE change ${other.getClass.getSimpleName}")
+    }
+    if (schemaChanged) AcidTable.evolveSchema(spark, root, schema)
+    tableFor(root, Map.empty)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val root = rootFor(ident)

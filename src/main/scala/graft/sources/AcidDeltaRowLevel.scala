@@ -167,8 +167,8 @@ class AcidDeltaBatchWrite(root: String, scanVersion: Long,
     val dataEntries = AcidTable.entriesForFiles(spark, root, dataRel,
       statsCols)
     val action = if (isDelete) "delete" else "merge"
-    val cdc = AcidTable.cdcForDeltaCommit(spark, root, touched, maskRel,
-      dataRel, keyCol)
+    val cdc = AcidTable.cdcForDeltaCommit(spark, root, scanVersion,
+      touched, maskRel, dataRel, keyCol)
     if (touched.isEmpty) {
       // pure insert (or nothing matched): a plain rebased append
       AcidTable.commitRebase(spark, root, action, Nil, dataEntries,

@@ -153,8 +153,8 @@ class AcidReplaceDataWrite(root: String, scanVersion: Long,
       // CDC-stamped tables get their logical delta derived and
       // published with the commit (round 15 — the group write sees
       // only the AFTER state; AcidTable diffs replaced vs added rows)
-      val cdc = AcidTable.cdcForReplaceData(spark, root, removed,
-        added.map(_.path))
+      val cdc = AcidTable.cdcForReplaceData(spark, root, scanVersion,
+        removed, added.map(_.path))
       AcidTable.commitRebase(spark, root, actionName, removed, added,
         cdc = cdc)
       ()

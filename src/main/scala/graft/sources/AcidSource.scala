@@ -64,7 +64,9 @@ class AcidDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-acid"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val root = AcidSource.rootOf(options)
-    val base = AcidSource.tableSchema(SparkSession.active, root)
+    // a time-traveled load reads under THAT version's schema
+    val base = AcidSource.tableSchema(SparkSession.active, root,
+      Option(options.get("asOfVersion")).map(_.toLong))
     // CDC mode (round 14): the feed is full rows + the change kind
     if (options.getBoolean("readChangeFeed", false))
       StructType(base.fields :+
@@ -143,12 +145,16 @@ object AcidSource {
     * footer (kilobytes — never a data scan). Append-only consumption
     * assumes one schema across versions; reconcile drifted histories
     * batch-side first. */
-  def tableSchema(spark: SparkSession, root: String): StructType = {
-    val v = AcidTable.currentVersion(spark, root)
+  def tableSchema(spark: SparkSession, root: String,
+                  version: Option[Long] = None): StructType = {
+    val v = version.getOrElse(AcidTable.currentVersion(spark, root))
     val entries = AcidTable.entriesOf(spark, root, v)
     require(entries.nonEmpty, s"version $v of $root lists no data files")
-    val base = schemaOfParquet(spark.sparkContext.hadoopConfiguration,
-      s"$root/${entries.head.path}")
+    // an EVOLVED version's `#schema:` header is the schema source of
+    // truth (round 15); a pre-evolution version reads by its footers
+    val base = AcidTable.schemaHeaderOf(spark, root, v).getOrElse(
+      schemaOfParquet(spark.sparkContext.hadoopConfiguration,
+        s"$root/${entries.head.path}"))
     // a DECLARED merge key is NOT NULL by contract (the unique-key
     // invariant the DV mask path needs) — and Spark's delta-based
     // row-level rewrite REQUIRES a non-nullable row id. Writes of
@@ -410,11 +416,21 @@ class AcidSourceTable(tableSchema: StructType,
   }
   override def name(): String = s"graft-acid ${AcidSource.rootOf(options)}"
   override def schema(): StructType = tableSchema
-  override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
+  override def capabilities(): util.Set[TableCapability] = {
+    val caps = util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.STREAMING_WRITE)
+    // `option("mergeSchema", "true")` (round 15 — VERDICT r14 #4):
+    // byName resolution would reject the drifted frame before the
+    // write ever saw it — ACCEPT_ANY_SCHEMA hands the frame through,
+    // and the write builder reconciles (widen on the int<bigint<double
+    // lattice, null-fill missing, REJECT cross-kind conflicts with the
+    // quarantine pointer) before a byte lands
+    if (options.getBoolean("mergeSchema", false))
+      caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
+    caps
+  }
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -843,6 +859,7 @@ class AcidMicroBatchStream(root: String, tableSchema: StructType,
 
   private def planIncrementVersion(v: Long): Seq[InputPartition] = {
     val action = AcidTable.actionOf(spark, root, v)
+    if (action == "evolve") return Seq.empty // schema-only: no row delta
     if (action != "append" && !allowNonAppend)
       throw new IllegalStateException(
         s"graft-acid: version $v of $root is a '$action' commit — its " +
@@ -871,7 +888,7 @@ class AcidMicroBatchStream(root: String, tableSchema: StructType,
         graft.streaming.AcidTail.addedFiles(spark, root, v)
           .map(p => AcidFilePartition(s"$root/$p",
             fillChangeType = "insert"))
-      case "compact" => Seq.empty // byte moves, no row changes
+      case "compact" | "evolve" => Seq.empty // byte/schema moves only
       case action => throw new IllegalStateException(
         s"graft-acid: version $v of $root is a '$action' commit with no " +
           "change-data files — enable CDC before rewriting " +
@@ -1004,17 +1021,34 @@ class AcidFileReader(p: AcidFilePartition, schema: StructType,
             UTF8String.fromString(p.fillChangeType)
           else null
         }
-        else f.dataType match {
-          case LongType | TimestampType => g.getLong(f.name, 0)
-          case IntegerType | DateType => g.getInteger(f.name, 0)
-          case DoubleType => g.getDouble(f.name, 0)
-          case FloatType => g.getFloat(f.name, 0)
-          case BooleanType => g.getBoolean(f.name, 0)
-          case StringType =>
-            UTF8String.fromBytes(g.getBinary(f.name, 0).getBytes)
-          case BinaryType => g.getBinary(f.name, 0).getBytes
-          case other => throw new IllegalArgumentException(
-            s"graft-acid: unsupported read type $other for '${f.name}'")
+        else {
+          import PrimitiveType.PrimitiveTypeName._
+          // physical type per FILE: an evolved table's older files may
+          // carry the narrower physical kind — widen at decode (the
+          // int<bigint<double lattice, float<double), exactly what
+          // Spark's own parquet reader does for the batch path
+          def phys = g.getType.getType(f.name).asPrimitiveType()
+            .getPrimitiveTypeName
+          f.dataType match {
+            case LongType =>
+              if (phys == INT32) g.getInteger(f.name, 0).toLong
+              else g.getLong(f.name, 0)
+            case TimestampType => g.getLong(f.name, 0)
+            case IntegerType | DateType => g.getInteger(f.name, 0)
+            case DoubleType => phys match {
+              case FLOAT => g.getFloat(f.name, 0).toDouble
+              case INT32 => g.getInteger(f.name, 0).toDouble
+              case INT64 => g.getLong(f.name, 0).toDouble
+              case _ => g.getDouble(f.name, 0)
+            }
+            case FloatType => g.getFloat(f.name, 0)
+            case BooleanType => g.getBoolean(f.name, 0)
+            case StringType =>
+              UTF8String.fromBytes(g.getBinary(f.name, 0).getBytes)
+            case BinaryType => g.getBinary(f.name, 0).getBytes
+            case other => throw new IllegalArgumentException(
+              s"graft-acid: unsupported read type $other for '${f.name}'")
+          }
         }
       i += 1
     }

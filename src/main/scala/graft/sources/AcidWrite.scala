@@ -151,10 +151,19 @@ class AcidWriteBuilder(info: LogicalWriteInfo,
   override def truncate(): WriteBuilder = { replaceAll = true; this }
   override def build(): Write = {
     AcidWrite.parquetSchemaOf(info.schema()) // fail fast on exotic types
+    // mergeSchema append (round 15): reconcile the drifted frame's
+    // schema into the table's NOW — a conflict aborts before any task
+    // writes; the widened union publishes as the commit's `#schema:`
+    // header. Overwrites replace the schema wholesale (no union).
+    val evolveTo: Option[StructType] =
+      if (!merged.getBoolean("mergeSchema", false) || replaceAll) None
+      else Some(AcidTable.widenUnion(root,
+        AcidTable.currentSchema(org.apache.spark.sql.SparkSession.active,
+          root), info.schema()))
     new Write {
       override def toBatch: BatchWrite =
         new AcidBatchWrite(root, info.schema(), statsCols, replaceAll,
-          info.queryId())
+          info.queryId(), evolveTo)
       override def toStreaming: StreamingWrite = {
         require(!replaceAll,
           "graft-acid streaming writes are append-only (complete/update " +
@@ -168,7 +177,8 @@ class AcidWriteBuilder(info: LogicalWriteInfo,
 
 class AcidBatchWrite(root: String, schema: StructType,
                      statsCols: Seq[String], replaceAll: Boolean,
-                     writeId: String) extends BatchWrite {
+                     writeId: String,
+                     evolveTo: Option[StructType] = None) extends BatchWrite {
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
     new AcidDataWriterFactory(root, s"data/dsv2-$writeId", schema)
@@ -187,8 +197,14 @@ class AcidBatchWrite(root: String, schema: StructType,
       AcidTable.commitRebase(spark, root, "overwrite", Nil, entries,
         replaceAll = true)
     else if (entries.nonEmpty)
-      AcidTable.commitRebase(spark, root, "append", Nil, entries)
-    () // an all-empty append publishes nothing — no version for no rows
+      AcidTable.commitRebase(spark, root, "append", Nil, entries,
+        schemaHeader = evolveTo)
+    else if (evolveTo.isDefined)
+      // an all-empty mergeSchema append still evolves the schema —
+      // the caller declared the new shape, publish it data-free
+      AcidTable.commitRebase(spark, root, "evolve", Nil, Nil,
+        schemaHeader = evolveTo)
+    () // an all-empty plain append publishes nothing
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
