@@ -158,23 +158,28 @@ object AcidTable {
                          strStats: Seq[StrStat] = Nil,
                          dv: Option[Dv] = None,
                          rows: Option[Long] = None,
-                         bytes: Option[Long] = None) {
+                         bytes: Option[Long] = None,
+                         sums: Seq[(String, Long)] = Nil) {
     def render: String = {
       val parts = stats.map(s => s"${s.col}:${s.min}:${s.max}") ++
         strStats.map(s => s"${s.col}:s:${hex(s.min)}:${hex(s.max)}")
       val statSeg = parts.mkString(",")
       // position 1 is ALWAYS the stats segment (possibly empty);
       // positions 2+ are prefix-tagged (rc: row count, sz: byte length,
-      // dv: mask) — the order old manifests parse under, extended
-      // compatibly
+      // sum: per-column sums, dv: mask) — the order old manifests parse
+      // under, extended compatibly
       val tail = rows.map(r => s"rc:$r").toSeq ++
         bytes.map(b => s"sz:$b").toSeq ++
+        (if (sums.isEmpty) Nil
+         else Seq("sum:" + sums.map { case (c, v) => s"$c=$v" }
+           .mkString(";"))) ++
         dv.map(d => "dv:" + d.col + ":" + d.paths.mkString(";")).toSeq
       if (tail.isEmpty) { if (parts.isEmpty) path else path + "|" + statSeg }
       else (Seq(path, statSeg) ++ tail).mkString("|")
     }
     def statFor(c: String): Option[FileStat] = stats.find(_.col == c)
     def strStatFor(c: String): Option[StrStat] = strStats.find(_.col == c)
+    def sumFor(c: String): Option[Long] = sums.find(_._1 == c).map(_._2)
   }
   private[operators] object Entry {
     // every split uses limit = -1: String.split drops TRAILING empty
@@ -191,11 +196,19 @@ object AcidTable {
       var rows: Option[Long] = None
       var bytes: Option[Long] = None
       var dv: Option[Dv] = None
+      var sums: Seq[(String, Long)] = Nil
       segs.drop(2).foreach {
         case r if r.startsWith("rc:") =>
           rows = Some(r.stripPrefix("rc:").toLong)
         case b if b.startsWith("sz:") =>
           bytes = Some(b.stripPrefix("sz:").toLong)
+        case m if m.startsWith("sum:") =>
+          sums = m.stripPrefix("sum:").split(";", -1).toSeq.map { kv =>
+            val i = kv.indexOf('=')
+            if (i <= 0) throw new IllegalStateException(
+              s"malformed sum segment: $m")
+            kv.take(i) -> kv.drop(i + 1).toLong
+          }
         case d if d.startsWith("dv:") =>
           d.split(":", -1) match {
             case Array("dv", c, ps) if ps.nonEmpty =>
@@ -207,7 +220,7 @@ object AcidTable {
           throw new IllegalStateException(
             s"malformed manifest segment '$other' in: $line")
       }
-      Entry(segs(0), l, s, dv, rows, bytes)
+      Entry(segs(0), l, s, dv, rows, bytes, sums)
     }
     private def parseStats(st: String): (Seq[FileStat], Seq[StrStat]) = {
       if (st.isEmpty) return (Nil, Nil)
@@ -565,8 +578,9 @@ object AcidTable {
                                      relPaths: Seq[String],
                                      statsCols: Seq[String]): Seq[Entry] = {
     val cols = effectiveStatsCols(spark, root, statsCols)
-    if (cols.isEmpty) relPaths.map(Entry(_, Nil))
-    else footerStats(spark, root, relPaths, cols)
+    withFileSums(spark, root,
+      if (cols.isEmpty) relPaths.map(Entry(_, Nil))
+      else footerStats(spark, root, relPaths, cols))
   }
 
   private def newEntries(df: DataFrame, root: String,
@@ -575,8 +589,9 @@ object AcidTable {
       : Seq[Entry] = {
     val paths = writeDataFiles(df, root, writeOptions)
     val cols = effectiveStatsCols(df.sparkSession, root, statsCols)
-    if (cols.isEmpty) paths.map(Entry(_, Nil))
-    else footerStats(df.sparkSession, root, paths, cols)
+    withFileSums(df.sparkSession, root,
+      if (cols.isEmpty) paths.map(Entry(_, Nil))
+      else footerStats(df.sparkSession, root, paths, cols))
   }
 
   /** Publish `files` (pre-rendered manifest lines) as version `v`.
@@ -895,6 +910,58 @@ object AcidTable {
   private def effectiveStatsCols(spark: SparkSession, root: String,
                                  requested: Seq[String]): Seq[String] =
     if (requested.nonEmpty) requested else statsColsProperty(spark, root)
+
+  /** Declare per-file column SUMS (round 15 — VERDICT r14 #6): every
+    * commit then records `sum:` segments for these int/long columns
+    * (one column-pruned pass over the JUST-WRITTEN files — never the
+    * table), and an unfiltered SELECT SUM(col) over a mask-free
+    * snapshot folds from the manifest on the driver, no file opened —
+    * the second-most-common dashboard aggregate joining COUNT/MIN/MAX
+    * in the metadata-only matrix. */
+  def setSumCols(spark: SparkSession, root: String,
+                 cols: Seq[String]): Unit =
+    setTableProperties(spark, root, Map("sumCols" -> cols.mkString(",")))
+
+  private def sumColsProperty(spark: SparkSession,
+                              root: String): Seq[String] =
+    tableProperties(spark, root).get("sumCols").toSeq
+      .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+
+  /** Attach per-file sums for the table's `sumCols` property to freshly
+    * committed entries: ONE grouped aggregation over exactly the new
+    * files (DECIMAL(38,0) accumulation — a per-file sum that overflows
+    * long, or a column outside int/long, simply records nothing and
+    * the pushdown declines). Zero-row files record explicit zeros so
+    * an empty task file never kills the whole table's SUM service. */
+  private def withFileSums(spark: SparkSession, root: String,
+                           entries: Seq[Entry]): Seq[Entry] = {
+    val sumCols = sumColsProperty(spark, root)
+    if (sumCols.isEmpty || entries.isEmpty) return entries
+    val df = spark.read.parquet(entries.map(e => s"$root/${e.path}"): _*)
+    val present = sumCols.filter(c => df.schema.fields.exists(f =>
+      f.name == c &&
+        (f.dataType == org.apache.spark.sql.types.LongType ||
+         f.dataType == org.apache.spark.sql.types.IntegerType)))
+    if (present.isEmpty) return entries
+    val aggCols = present.map(c =>
+      sum(col(c).cast("decimal(38,0)")).as(c))
+    val rows = df.groupBy(input_file_name().as("__f"))
+      .agg(aggCols.head, aggCols.tail: _*).collect()
+    entries.map { e =>
+      rows.find(_.getString(0).endsWith("/" + e.path)) match {
+        case Some(r) =>
+          e.copy(sums = present.flatMap { c =>
+            Option(r.getAs[java.math.BigDecimal](c)).flatMap { d =>
+              scala.util.Try(d.toBigInteger.longValueExact()).toOption
+                .map(c -> _)
+            }
+          })
+        case None => // zero-row file: no group — its sums are zero
+          if (e.rows.contains(0L)) e.copy(sums = present.map(_ -> 0L))
+          else e
+      }
+    }
+  }
 
   /** CHANGE DATA FEED at commit time (round 14 — VERDICT r13 #3, the
     * Delta `_change_data` design): once [[enableCdc]] stamps the table,

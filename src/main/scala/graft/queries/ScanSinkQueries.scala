@@ -74,6 +74,9 @@ object ScanSinkQueries extends QueryModule {
     Memo.cached(s, s"acidz|$d") {
       val root = s"${System.getProperty("java.io.tmpdir")}/graft_acidz/" +
         s"${s.sparkContext.applicationId}/${new java.io.File(d).getName}"
+      // declared SUM columns (round 15): every commit records per-file
+      // `sum:` segments, so q_acid27's metadata-only matrix serves SUM
+      AcidTable.setSumCols(s, root, Seq("k", "cents"))
       val (n, maxk, maxc) = buildZRoot(s, d, root)
       (root, n, maxk, maxc)
     }
@@ -271,6 +274,133 @@ object ScanSinkQueries extends QueryModule {
            |WHEN MATCHED THEN UPDATE SET cents = s.cents
            |WHEN NOT MATCHED THEN INSERT (k, status, cents)
            |VALUES (s.k, s.status, s.cents)""".stripMargin)
+      root
+    }
+
+  // Q-ACID29 fixture (round 15): CDC FROM SQL DML — a CDC-stamped,
+  // merge-keyed table takes a SQL MERGE INTO through the DELTA-based
+  // row-level path (deletion-vector commit, no file rewritten); the
+  // commit derives and publishes its keyed logical delta as `#cdc`
+  // files. Returns (root, allCarried, nMasked): v1's paths all still
+  // present at v2 (the files_rewritten=0 fact) and >0 masked entries.
+  private def acidSqlCdcRoot(s: SparkSession, d: String)
+      : (String, Long, Long) =
+    Memo.cached(s, s"acidsqlcdc|$d") {
+      val tag = new java.io.File(d).getName.replace('.', '_')
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_acidsqlcdc/" +
+        s"${s.sparkContext.applicationId}/$tag"
+      val root = s"$base/t"
+      val orders = Tables.load(s, d, "orders").select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * lit(100.0)).cast("long").as("cents"))
+      AcidTable.commitAppend(orders, root, statsCols = Seq("k"))
+      AcidTable.setMergeKey(s, root, "k")
+      AcidTable.enableCdc(s, root)
+      val maxk = orders.agg(max("k")).head().getLong(0)
+      s.conf.set("spark.sql.catalog.cdc29", "graft.sources.AcidCatalog")
+      s.conf.set("spark.sql.catalog.cdc29.root", base)
+      orders.where(pmod(col("k"), lit(7L)) === 0)
+        .withColumn("cents", col("cents") + 5)
+        .unionByName(orders.where(pmod(col("k"), lit(11L)) === 4)
+          .select((col("k") + (maxk + 1)).as("k"), col("status"),
+            (col("cents") + 9).as("cents")))
+        .createOrReplaceTempView(s"graft_cdc29_src_$tag")
+      s.sql(
+        s"""MERGE INTO cdc29.t t USING graft_cdc29_src_$tag s ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET cents = s.cents
+           |WHEN NOT MATCHED THEN INSERT (k, status, cents)
+           |VALUES (s.k, s.status, s.cents)""".stripMargin)
+      val v1 = AcidTable.entriesOf(s, root, 1L).map(_.path).toSet
+      val v2 = AcidTable.entriesOf(s, root, 2L)
+      (root, if (v1.subsetOf(v2.map(_.path).toSet)) 1L else 0L,
+        v2.count(_.dv.isDefined).toLong)
+    }
+
+  // Q-ACID30 fixture (round 15): DELTA SQL DELETE file facts — orders
+  // committed as one file per contiguous k-range bucket (per-file
+  // stats == per-bucket aggregates, so the oracle replays the FILE
+  // facts), merge key declared, then a SQL range DELETE: only the
+  // overlapping buckets are masked, nothing is rewritten. Returns
+  // (root, filesTotal, filesMasked, allCarried, lo, hi).
+  private def acidDeltaDmlRoot(s: SparkSession, d: String)
+      : (String, Long, Long, Long, Long, Long) =
+    Memo.cached(s, s"aciddeltadml|$d") {
+      val tag = new java.io.File(d).getName.replace('.', '_')
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_aciddldml/" +
+        s"${s.sparkContext.applicationId}/$tag"
+      val root = s"$base/t"
+      val orders = Tables.load(s, d, "orders").select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * lit(100.0)).cast("long").as("cents"))
+      val maxk = orders.agg(max("k")).head().getLong(0)
+      (0L to 7L).foreach { b =>
+        val part = orders.where(
+          expr(s"(k * 8) div ${maxk + 1}") === b).coalesce(1)
+        if (!part.isEmpty) {
+          AcidTable.commitAppend(part, root, statsCols = Seq("k"))
+          ()
+        }
+      }
+      AcidTable.setMergeKey(s, root, "k")
+      val nFiles = AcidTable.entriesOf(s, root,
+        AcidTable.currentVersion(s, root)).length.toLong
+      s.conf.set("spark.sql.catalog.dl30", "graft.sources.AcidCatalog")
+      s.conf.set("spark.sql.catalog.dl30.root", base)
+      val (lo, hi) = (maxk / 4, maxk / 3)
+      s.sql(s"DELETE FROM dl30.t WHERE k BETWEEN $lo AND $hi")
+      val before = AcidTable.entriesOf(s, root, nFiles).map(_.path).toSet
+      val after = AcidTable.entriesOf(s, root,
+        AcidTable.currentVersion(s, root))
+      (root, nFiles, after.count(_.dv.isDefined).toLong,
+        if (after.map(_.path).toSet == before) 1L else 0L, lo, hi)
+    }
+
+  // Q-ACID31 fixture (round 15): DDL end-to-end — CTAS with
+  // TBLPROPERTIES (statsCols + merge key straight from DDL), then an
+  // INSERT INTO append. Returns the root.
+  private def acidCtasRoot(s: SparkSession, d: String): String =
+    Memo.cached(s, s"acidctasq|$d") {
+      val tag = new java.io.File(d).getName.replace('.', '_')
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_acidctasq/" +
+        s"${s.sparkContext.applicationId}/$tag"
+      Tables.load(s, d, "orders").select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * lit(100.0)).cast("long").as("cents"))
+        .createOrReplaceTempView(s"graft_ctas31_src_$tag")
+      s.conf.set("spark.sql.catalog.ct31", "graft.sources.AcidCatalog")
+      s.conf.set("spark.sql.catalog.ct31.root", base)
+      s.sql(
+        s"""CREATE TABLE ct31.t TBLPROPERTIES ('statsCols'='k','key'='k')
+           |AS SELECT k, status, cents FROM graft_ctas31_src_$tag
+           |WHERE k % 3 = 0""".stripMargin)
+      s.sql(
+        s"""INSERT INTO ct31.t
+           |SELECT k, status, cents FROM graft_ctas31_src_$tag
+           |WHERE k % 3 = 1""".stripMargin)
+      s"$base/t"
+    }
+
+  // Q-ACID32 fixture (round 15): WRITE-SIDE SCHEMA EVOLUTION — v1
+  // commits (k, status, cents_int) with cents as INT; the drifted
+  // mergeSchema append lands a DISJOINT key slice with cents as BIGINT
+  // (widening) plus a NEW region column; the #schema header widens the
+  // table, old rows null-fill. Returns the root.
+  private def acidEvolveRoot(s: SparkSession, d: String): String =
+    Memo.cached(s, s"acidevoq|$d") {
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_acidevoq/" +
+        s"${s.sparkContext.applicationId}/${new java.io.File(d).getName}"
+      val orders = Tables.load(s, d, "orders").select(
+        col("o_orderkey").as("k"), col("o_orderstatus").as("status"),
+        round(col("o_totalprice") * lit(100.0)).cast("long").as("cents"))
+      AcidTable.commitAppend(
+        orders.where(pmod(col("k"), lit(2L)) === 0)
+          .withColumn("cents", col("cents").cast("int")), root,
+        statsCols = Seq("k"))
+      orders.where(pmod(col("k"), lit(2L)) === 1)
+        .withColumn("region",
+          concat(lit("R"), pmod(col("k"), lit(3L)).cast("string")))
+        .write.format("graft-acid").option("root", root)
+        .option("mergeSchema", "true").mode("append").save()
       root
     }
 
@@ -1080,15 +1210,86 @@ object ScanSinkQueries extends QueryModule {
     // the first question anyone asks a table.
     "q_acid27" -> ((s, d) => {
       val (root, nf, _, _) = acidZ(s, d)
+      // round 15: the matrix grows SUM — served from the `sum:`
+      // segments the table's sumCols property had every commit record
       val agg = s.read.format("graft-acid").option("root", root)
         .option("asOfVersion", nf.toString).load()
         .selectExpr("count(*) AS n", "min(k) AS min_k", "max(k) AS max_k",
-          "min(cents) AS min_cents", "max(cents) AS max_cents")
+          "min(cents) AS min_cents", "max(cents) AS max_cents",
+          "sum(k) AS sum_k", "sum(cents) AS sum_cents")
       val servedMeta = agg.queryExecution.executedPlan.toString
         .contains("metadata-only aggregate")
       agg.select(lit(if (servedMeta) 1L else 0L).as("metadata_only"),
         col("n"), col("min_k"), col("max_k"), col("min_cents"),
-        col("max_cents"))
+        col("max_cents"), col("sum_k"), col("sum_cents"))
+    }),
+
+    // Q-ACID29 (round 15): CDC FROM SQL DML — enableCdc + MERGE INTO
+    // on a merge-keyed table: the delta-based commit masks replaced
+    // rows where they sit (all_carried=1, n_masked>0 pin the
+    // files_rewritten=0 economics) AND publishes its keyed logical
+    // delta, which the change feed / CDC stream serve as files. The
+    // oracle replays the pre/post/insert split from orders.
+    "q_acid29" -> ((s, d) => {
+      val (root, allCarried, nMasked) = acidSqlCdcRoot(s, d)
+      AcidTable.changeFeedOf(s, root, 2L).get
+        .groupBy("_change_type")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .select(col("_change_type").as("change_type"), col("n"),
+          col("sum_cents"), lit(allCarried).as("all_carried"),
+          lit(if (nMasked > 0) 1L else 0L).as("has_masks"))
+        .orderBy("change_type")
+    }),
+
+    // Q-ACID30 (round 15): DELTA SQL DELETE — the range-bucketed
+    // fixture makes the FILE facts oracle-replayable: files_masked is
+    // exactly the buckets whose k-range overlaps the deleted range,
+    // all_carried=1 says no data file was rewritten, and the survivor
+    // rollup must equal the relational answer.
+    "q_acid30" -> ((s, d) => {
+      val (root, filesTotal, filesMasked, allCarried, lo, hi) =
+        acidDeltaDmlRoot(s, d)
+      AcidTable.read(s, root)
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .select(lit(filesTotal).as("files_total"),
+          lit(filesMasked).as("files_masked"),
+          lit(allCarried).as("all_carried"),
+          lit(lo).as("lo"), lit(hi).as("hi"), col("n"), col("sum_cents"))
+    }),
+
+    // Q-ACID31 (round 15): DDL end-to-end — a CTAS-created table (v1,
+    // atomic, TBLPROPERTIES wired statsCols+key) plus an INSERT INTO
+    // append (v2): per-status rollups of both versions and the action
+    // trail, all replayed from orders by the oracle.
+    "q_acid31" -> ((s, d) => {
+      val root = acidCtasRoot(s, d)
+      val actions = AcidTable.history(s, root).map(_._2).mkString(",")
+      (1L to 2L).map { v =>
+        AcidTable.readAsOf(s, root, v)
+          .groupBy("status")
+          .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+          .select(lit(v).as("version"), lit(actions).as("actions"),
+            col("status"), col("n"), col("sum_cents"))
+      }.reduce(_.unionByName(_)).orderBy("version", "status")
+    }),
+
+    // Q-ACID32 (round 15): WRITE-SIDE SCHEMA EVOLUTION — after the
+    // drifted mergeSchema append, the table's schema is the widened
+    // union (pinned as a literal), old rows read with region NULL and
+    // cents upcast int->bigint, and v1 still time-travels under its
+    // own narrow schema (its column list pinned too).
+    "q_acid32" -> ((s, d) => {
+      val root = acidEvolveRoot(s, d)
+      val schemaNow = AcidTable.currentSchema(s, root).fields
+        .map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")
+      val v1Cols = AcidTable.readAsOf(s, root, 1L)
+        .schema.fieldNames.mkString(",")
+      AcidTable.read(s, root)
+        .groupBy(coalesce(col("region"), lit("none")).as("region"))
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .select(lit(schemaNow).as("schema_now"), lit(v1Cols).as("v1_cols"),
+          col("region"), col("n"), col("sum_cents"))
+        .orderBy("region")
     }),
 
     // Q-ACID28 (round 14): SQL DELETE + MERGE INTO through the
@@ -1553,8 +1754,102 @@ object ScanSinkQueries extends QueryModule {
         |  CAST(count(*) AS BIGINT) AS n,
         |  CAST(min(k) AS BIGINT) AS min_k, CAST(max(k) AS BIGINT) AS max_k,
         |  CAST(min(cents) AS BIGINT) AS min_cents,
-        |  CAST(max(cents) AS BIGINT) AS max_cents
+        |  CAST(max(cents) AS BIGINT) AS max_cents,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM base""".stripMargin,
+
+    // CDC from SQL MERGE: the keyed delta replayed from orders —
+    // matched keys (k%7=0) as pre/postimage at original/+5 cents, the
+    // shifted not-matched keys (k%11=4) as inserts at +9; the file
+    // facts (nothing rewritten, masks present) are constants 1.
+    "q_acid29" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice*100,0) AS BIGINT) AS cents
+        |  FROM orders),
+        |pre AS (SELECT k, cents FROM base WHERE k % 7 = 0),
+        |ins AS (SELECT cents + 9 AS cents FROM base WHERE k % 11 = 4)
+        |SELECT * FROM (
+        |  SELECT 'insert' AS change_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |    CAST(1 AS BIGINT) AS all_carried, CAST(1 AS BIGINT) AS has_masks
+        |  FROM ins
+        |  UNION ALL
+        |  SELECT 'update_preimage', CAST(count(*) AS BIGINT),
+        |    CAST(sum(cents) AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+        |  FROM pre
+        |  UNION ALL
+        |  SELECT 'update_postimage', CAST(count(*) AS BIGINT),
+        |    CAST(sum(cents + 5) AS BIGINT), CAST(1 AS BIGINT),
+        |    CAST(1 AS BIGINT)
+        |  FROM pre)
+        |ORDER BY change_type""".stripMargin,
+
+    // Delta SQL DELETE file facts: the range-bucketed layout makes
+    // files_masked == buckets whose k-range overlaps [lo, hi]; nothing
+    // rewritten; survivors' rollup relational.
+    "q_acid30" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice*100,0) AS BIGINT) AS cents
+        |  FROM orders),
+        |m AS (SELECT max(k) AS maxk FROM base),
+        |f AS (SELECT (k * 8) // (m.maxk + 1) AS b, min(k) AS mink,
+        |    max(k) AS maxk2
+        |  FROM base, m GROUP BY 1),
+        |facts AS (SELECT
+        |    (SELECT CAST(count(*) AS BIGINT) FROM f) AS files_total,
+        |    CAST(count(*) AS BIGINT) AS files_masked
+        |  FROM f, m
+        |  WHERE f.maxk2 >= m.maxk // 4 AND f.mink <= m.maxk // 3),
+        |surv AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents
+        |  FROM base, m WHERE k NOT BETWEEN m.maxk // 4 AND m.maxk // 3)
+        |SELECT files_total, files_masked, CAST(1 AS BIGINT) AS all_carried,
+        |  CAST(m.maxk // 4 AS BIGINT) AS lo, CAST(m.maxk // 3 AS BIGINT) AS hi,
+        |  n, sum_cents
+        |FROM facts, surv, m""".stripMargin,
+
+    // CTAS + INSERT INTO replay: v1 = the k%3=0 slice (atomic CTAS,
+    // action 'overwrite'), v2 adds the k%3=1 slice ('append').
+    "q_acid31" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |    CAST(round(o_totalprice*100,0) AS BIGINT) AS cents
+        |  FROM orders),
+        |v1 AS (SELECT * FROM base WHERE k % 3 = 0),
+        |v2 AS (SELECT * FROM base WHERE k % 3 IN (0, 1))
+        |SELECT CAST(1 AS BIGINT) AS version,
+        |  'overwrite,append' AS actions, status,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM v1 GROUP BY status
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'overwrite,append', status,
+        |  CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+        |FROM v2 GROUP BY status
+        |ORDER BY version, status""".stripMargin,
+
+    // Schema-evolution replay: even keys committed narrow (cents INT,
+    // no region -> 'none'), odd keys drifted in wide (+region); the
+    // widened schema and v1's narrow column list are pinned literals.
+    "q_acid32" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS status,
+        |    CAST(round(o_totalprice*100,0) AS BIGINT) AS cents
+        |  FROM orders),
+        |rows_ AS (
+        |  SELECT 'none' AS region, cents FROM base WHERE k % 2 = 0
+        |  UNION ALL
+        |  SELECT 'R' || CAST(k % 3 AS VARCHAR), cents FROM base
+        |  WHERE k % 2 = 1)
+        |SELECT 'k:bigint,status:string,cents:bigint,region:string'
+        |    AS schema_now,
+        |  'k,status,cents' AS v1_cols, region,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM rows_ GROUP BY region ORDER BY region""".stripMargin,
 
     // SQL DELETE + MERGE INTO replay: survivors of the delete, minus
     // source keys, union the source (matched rows keep the table's

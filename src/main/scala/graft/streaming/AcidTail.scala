@@ -126,6 +126,9 @@ object AcidTail {
     val pending = AcidTable.versions(spark, root).filterNot(done)
     pending.flatMap { v =>
       val action = AcidTable.actionOf(spark, root, v)
+      if (action == "evolve") { // schema-only commit: no row delta —
+        advanceMarker(spark, checkpointDir, v, IncMarker) // just advance
+      } else {
       if (action != "append" && !allowNonAppend)
         throw new IllegalStateException(
           s"AcidTail: version $v of $root is a '$action' commit — its " +
@@ -136,6 +139,7 @@ object AcidTail {
       readAdded(spark, root, v).foreach(df => process(df, v))
       // marker AFTER the callback: crash in between replays the version
       advanceMarker(spark, checkpointDir, v, IncMarker)
+      }
     }
   }
 

@@ -97,6 +97,57 @@ class AcidAggSpec extends SparkSpec {
     assert(h5 === 0L && n3 === 2L)
   }
 
+  test("SUM folds from the sum: segments when the table declares " +
+      "sumCols; declined without them, under DVs, and on doubles") {
+    val root = fresh("s")
+    AcidTable.setSumCols(spark, root, Seq("k", "v"))
+    AcidTable.commitAppend(kv((1L to 10L).map(i => i -> i * 10): _*), root,
+      statsCols = Seq("k"))
+    AcidTable.commitAppend(kv((11L to 25L).map(i => i -> i * 10): _*), root,
+      statsCols = Seq("k"))
+    assert(AcidTable.entriesOf(spark, root, 2L)
+      .forall(e => e.sumFor("k").isDefined && e.sumFor("v").isDefined))
+    val (row, hits) = served {
+      spark.read.format("graft-acid").option("root", root).load()
+        .selectExpr("sum(k) AS sk", "sum(v) AS sv", "count(*) AS n").head()
+    }
+    assert(hits >= 1L, "declared sumCols must serve SUM metadata-only")
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) ===
+      ((325L, 3250L, 25L)))
+
+    // a DV makes the recorded sums stale — decline, real scan exact
+    AcidTable.deleteMor(spark, root, "k", 1L, 5L)
+    val (s1, h1) = served {
+      spark.read.format("graft-acid").option("root", root).load()
+        .selectExpr("sum(k)").as[Long].head()
+    }
+    assert(h1 === 0L && s1 === 325L - 15L)
+
+    // a table WITHOUT the property records no sums: decline
+    val plain = fresh("sp")
+    AcidTable.commitAppend(kv(1L -> 1L, 2L -> 2L), plain,
+      statsCols = Seq("k"))
+    val (s2, h2) = served {
+      spark.read.format("graft-acid").option("root", plain).load()
+        .selectExpr("sum(k)").as[Long].head()
+    }
+    assert(h2 === 0L && s2 === 3L)
+
+    // a double column never records sums (fp addition is order-
+    // dependent): decline, answer from the scan
+    val dbl = fresh("sd")
+    AcidTable.setSumCols(spark, dbl, Seq("x"))
+    AcidTable.commitAppend(
+      Seq((1L, 1.5), (2L, 2.5)).toDF("k", "x").coalesce(1), dbl,
+      statsCols = Seq("k"))
+    assert(AcidTable.entriesOf(spark, dbl, 1L).forall(_.sums.isEmpty))
+    val (s3, h3) = served {
+      spark.read.format("graft-acid").option("root", dbl).load()
+        .selectExpr("sum(x)").as[Double].head()
+    }
+    assert(h3 === 0L && s3 === 4.0)
+  }
+
   test("old-format manifest lines (no rc: segment) still parse and a " +
       "mixed table declines count pushdown") {
     val root = fresh("mix")

@@ -135,6 +135,80 @@ class AcidCdcSpec extends SparkSpec {
     assert(second === Set((6L, 60L, "delete")))
   }
 
+  test("round 15: a SQL MERGE on a keyed table feeds the CDC stream == " +
+      "tailChanges, exactly-once across restart") {
+    val root = fresh("sq")
+    val ck = Files.createTempDirectory("graft_acidcdc_sqck").toString
+    spark.conf.set("spark.sql.catalog.cdcsq", "graft.sources.AcidCatalog")
+    spark.conf.set("spark.sql.catalog.cdcsq.root",
+      new java.io.File(root).getParent)
+    val t = s"cdcsq.`${new java.io.File(root).getName}`"
+    AcidTable.enableCdc(spark, root)
+    AcidTable.commitAppend(kv((1L to 6L).map(i => i -> i * 10): _*), root,
+      statsCols = Seq("k"))
+    AcidTable.setMergeKey(spark, root, "k")
+    Seq((2L, 222L), (9L, 90L)).toDF("k", "v")
+      .createOrReplaceTempView("cdcsq_src")
+    spark.sql(
+      s"""MERGE INTO $t x USING cdcsq_src s ON x.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+    // the delta-based commit rewrote nothing — and still fed the stream
+    assert(AcidTable.entriesOf(spark, root, 2L).map(_.path).toSet
+      .intersect(AcidTable.entriesOf(spark, root, 1L).map(_.path).toSet)
+      .size === AcidTable.entriesOf(spark, root, 1L).length)
+    val drained = drainCdc(root, ck).flatMap(_._2).toSet
+    val expected = (1L to 6L).map(i => (i, i * 10, "insert")).toSet ++
+      Set((2L, 20L, "update_preimage"), (2L, 222L, "update_postimage"),
+        (9L, 90L, "insert"))
+    assert(drained === expected)
+    // tailChanges law over the SQL-MERGE version
+    val viaTail = scala.collection.mutable.Set.empty[(Long, Long, String)]
+    graft.streaming.AcidTail.tailChanges(spark, root,
+      Files.createTempDirectory("graft_acidcdc_sqtl").toString,
+      keys = Seq("k"), tracked = Seq("v")) { (df, _) =>
+      df.collect().foreach { r =>
+        val k = r.getLong(r.fieldIndex("k"))
+        r.getString(r.fieldIndex("change_type")) match {
+          case "added" =>
+            viaTail += ((k, r.getLong(r.fieldIndex("new_v")), "insert"))
+          case "removed" =>
+            viaTail += ((k, r.getLong(r.fieldIndex("old_v")), "delete"))
+          case "changed" =>
+            viaTail += ((k, r.getLong(r.fieldIndex("old_v")),
+              "update_preimage"))
+            viaTail += ((k, r.getLong(r.fieldIndex("new_v")),
+              "update_postimage"))
+        }
+      }
+      ()
+    }
+    assert(drained === viaTail.toSet)
+    // restart: a second SQL DELETE arrives alone (exactly-once)
+    spark.sql(s"DELETE FROM $t WHERE k = 4")
+    assert(drainCdc(root, ck).flatMap(_._2).toSet ===
+      Set((4L, 40L, "delete")))
+  }
+
+  test("round 15: a group-path SQL MERGE (no key) states its delta as " +
+      "delete+insert — same logical rows, unpairable without identity") {
+    val root = fresh("gq")
+    spark.conf.set("spark.sql.catalog.cdcgq", "graft.sources.AcidCatalog")
+    spark.conf.set("spark.sql.catalog.cdcgq.root",
+      new java.io.File(root).getParent)
+    val t = s"cdcgq.`${new java.io.File(root).getName}`"
+    AcidTable.enableCdc(spark, root)
+    AcidTable.commitAppend(kv((1L to 4L).map(i => i -> i * 10): _*), root,
+      statsCols = Seq("k"))
+    Seq((3L, 333L)).toDF("k", "v").createOrReplaceTempView("cdcgq_src")
+    spark.sql(
+      s"""MERGE INTO $t x USING cdcgq_src s ON x.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+    val f = feed(root, 2L)
+    assert(f === Set((3L, 30L, "delete"), (3L, 333L, "insert")),
+      s"unkeyed group rewrite states the delta bag-style, got $f")
+  }
+
   test("a rewrite without change files fails the CDC stream fast with " +
       "the enableCdc pointer") {
     val root = fresh("ff")

@@ -119,6 +119,26 @@ class AcidEvolveSpec extends SparkSpec {
       Seq("k", "v", "tag"))
   }
 
+  test("tail and readStream treat an 'evolve' commit as a no-op and " +
+      "keep delivering appends") {
+    val root = mk("e8")
+    val ck = Files.createTempDirectory("graft_acidevo_tl").toString
+    AcidTable.evolveSchema(spark, root, StructType(Seq(
+      StructField("k", IntegerType), StructField("v", IntegerType),
+      StructField("w", LongType))))
+    AcidTable.commitAppend(
+      Seq((9, 90, 900L)).toDF("k", "v", "w").coalesce(1), root)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val done = graft.streaming.AcidTail.tail(spark, root, ck) { (df, v) =>
+      seen += v
+      assert(df.count() > 0)
+      ()
+    }
+    // v2 (evolve) checkpointed but not delivered; v1 and v3 delivered
+    assert(done.toSet === Set(1L, 2L, 3L))
+    assert(seen.toSet === Set(1L, 3L))
+  }
+
   test("commitAppendEvolve is the engine-level mergeSchema twin") {
     val root = mk("e7")
     AcidTable.commitAppendEvolve(
