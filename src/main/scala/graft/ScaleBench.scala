@@ -928,6 +928,54 @@ object ScaleBench {
       }
     }
 
+    // ---- SQL DML economics: a fixed delta is O(delta), not O(table) ----
+    // (r15) SQL DELETE via SupportsDelta on a merge-keyed table at 16x
+    // growing file counts: the pushed range prunes the operation scan to
+    // the ONE overlapping file, only it gets a deletion-vector mask
+    // (kilobytes), no data file is rewritten, and the wall must stay
+    // ~flat while the table grows — the delete pays for its delta, never
+    // for the table. files_masked / rewritten / mask bytes printed as
+    // facts, not assumptions.
+    locally {
+      import graft.operators.AcidTable
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_scale_sdml/" +
+        spark.sparkContext.applicationId
+      spark.conf.set("spark.sql.catalog.sdml", "graft.sources.AcidCatalog")
+      spark.conf.set("spark.sql.catalog.sdml.root", base)
+      for (files <- Seq(8, 32, 128)) {
+        val root = s"$base/f$files"
+        val perFile = 2000L
+        (0 until files).foreach { i =>
+          AcidTable.commitAppend(
+            spark.range(i * perFile, (i + 1) * perFile).toDF("k")
+              .withColumn("v", col("k") * 3).coalesce(1),
+            root, statsCols = Seq("k"))
+        }
+        AcidTable.setMergeKey(spark, root, "k")
+        val before = AcidTable.entriesOf(spark, root,
+          AcidTable.currentVersion(spark, root)).map(_.path).toSet
+        val t0 = System.nanoTime()
+        spark.sql(s"DELETE FROM sdml.f$files " +
+          s"WHERE k >= $perFile AND k < $perFile + 50")
+        val sec = (System.nanoTime() - t0) / 1e9
+        val after = AcidTable.entriesOf(spark, root,
+          AcidTable.currentVersion(spark, root))
+        val masked = after.count(_.dv.isDefined)
+        val rewritten = after.count(e => !before.contains(e.path))
+        val fsys = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val dvBytes = after.flatMap(_.dv.map(_.paths).getOrElse(Nil))
+          .distinct.map(p => fsys.getFileStatus(
+            new org.apache.hadoop.fs.Path(s"$root/$p")).getLen).sum
+        val hit = spark.sql(s"SELECT count(*) FROM sdml.f$files")
+          .head().getLong(0)
+        println(f"""{"op":"acid_sql_delete_fixed","n":$files,""" +
+          f""""masked":$masked,"rewritten":$rewritten,""" +
+          f""""dv_bytes":$dvBytes,"rows_after":$hit,"sec":$sec%.2f}""")
+        rows += (("acid_sql_delete_fixed", files.toLong, sec))
+      }
+    }
+
     // ---- consecutive-scale wall ratios ----------------------------------
     val byOp = rows.groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq)
     for ((op, rs) <- byOp.toSeq.sortBy(_._1); Seq((_, n1, t1), (_, n2, t2)) <- rs.sliding(2)
