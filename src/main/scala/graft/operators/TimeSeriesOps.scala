@@ -210,7 +210,10 @@ object TimeSeriesOps {
   def seasonalDecompose(df: DataFrame, keyCol: String, dayCol: String,
                         valueCol: String, halfWindow: Int): DataFrame = {
     val span = 2 * halfWindow + 1
+    // feeds BOTH the seasonal-mean aggregation and the residual join —
+    // materialized so the detrend window pass runs once, not per branch
     val trended = detrendedDaily(df, keyCol, dayCol, valueCol, halfWindow)
+      .localCheckpoint()
     // rha(a, b) with b > 0, written with CASE so both engines use plain
     // truncating integer division on non-negative operands
     def rha(a: String, b: String) =

@@ -116,13 +116,18 @@ object TradingCalendar {
     * (pairKeys..., session_idx, day_ord, a_<value>, a_stale, b_<value>,
     * b_stale).
     *
-    * Scale shape: ONE pass — union grid (per-pair calendar × the two-side
-    * literal array, no join), one left join of the facts, the LOCF +
-    * listing-window flags as three frames on ONE (pair, side) window
-    * node, and the two sides folded back by a (pair, session) pivot
-    * AGGREGATION (never a self-join: a self-join of the filled frame
-    * would recompute the whole upstream lineage twice — the r11 first
-    * cut did exactly that and paid 6.8× the single-pass cost). No global
+    * Scale shape: ONE pass — the two sides fold onto the per-pair union
+    * calendar directly by a (pair, day) pivot AGGREGATION over the raw
+    * facts (one row per union session, `__va`/`__vb` null where that
+    * side did not trade), then the session index, both LOCF fills and
+    * both listing-window flags ride ONE (pair) window partitioning.
+    * The r11 shape materialized the union calendar separately, exploded
+    * it × the two-side literal array and LEFT-joined the facts back —
+    * same rows, but the distinct + row_number + grid join + per-side
+    * window cost four more exchanges of grid-sized data (r15 bench:
+    * 4.3 s → 1.8 s at sf0.1; never a self-join
+    * of the filled frame either — that recomputes the whole upstream
+    * lineage twice, the r11 first cut paid 6.8× for it). No global
     * window, no range join; grid rows are the output's inherent size. */
   def alignCrossListed(df: DataFrame, pairKeyCols: Seq[String], sideCol: String,
                        dayOrdCol: String, valueCol: String): DataFrame = {
@@ -133,44 +138,50 @@ object TradingCalendar {
         col(sideCol), lit("'"))))
     val facts = df.select(keys :+ sideChecked.as("__side") :+
       col(dayOrdCol).cast("long").as("day_ord") :+ col(valueCol).as("__v"): _*)
-    val cal = facts.select(keys :+ col("day_ord"): _*).distinct()
-      .withColumn("session_idx", row_number().over(
-        Window.partitionBy(keys: _*).orderBy("day_ord")).cast("long"))
-    // every union session × both sides — a 2-element literal explode
-    val grid = cal.select(keys :+ col("day_ord") :+ col("session_idx") :+
-      explode(array(lit("a"), lit("b"))).as("__side"): _*)
-    val w = Window.partitionBy(keys :+ col("__side"): _*).orderBy("session_idx")
-    val wBack = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wFwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val filled = grid
-      .join(facts, pairKeyCols ++ Seq("__side", "day_ord"), "left_outer")
-      .withColumn("__stale", col("__v").isNull)
-      .withColumn("__f", last(col("__v"), ignoreNulls = true).over(wBack))
-      // inside the side's listing window iff a PRESENT row exists both
-      // at-or-before and at-or-after — same frames, one Window node
-      .withColumn("__in",
-        count(col("__v")).over(wBack) > 0 && count(col("__v")).over(wFwd) > 0)
-    filled.where(col("__in"))
-      .groupBy(keys :+ col("session_idx") :+ col("day_ord"): _*)
+    // one row per (pair, union-calendar day); per-side fact counts carry
+    // the duplicate detection (a count of 2 is the grid-join fan-out the
+    // r11 shape raised on — same condition, same message)
+    val byDay = facts.groupBy(keys :+ col("day_ord"): _*)
       .agg(
-        max(when(col("__side") === "a", col("__f"))).as(s"a_$valueCol"),
-        max(when(col("__side") === "a", col("__stale"))).as("a_stale"),
-        max(when(col("__side") === "b", col("__f"))).as(s"b_$valueCol"),
-        max(when(col("__side") === "b", col("__stale"))).as("b_stale"),
+        max(when(col("__side") === "a", col("__v"))).as("__va"),
+        max(when(col("__side") === "b", col("__v"))).as("__vb"),
         sum(when(col("__side") === "a", 1L).otherwise(0L)).as("__na"),
         sum(when(col("__side") === "b", 1L).otherwise(0L)).as("__nb"))
-      // overlap: BOTH sides inside their windows (count 1 each). A
-      // per-SIDE count past 1 means a duplicate (pair, side, day) FACT
-      // row fanned the grid join out — raise at scan speed (the module's
-      // stated policy) rather than silently dropping or emitting a
-      // phantom session (a total-count check would miss a same-side
-      // duplicate on a day the other side sits outside its window).
-      .where(when(col("__na") > 1 || col("__nb") > 1, raise_error(concat(
-          lit("alignCrossListed: duplicate (pair, side, day) fact rows "),
-          lit("(side counts "), col("__na").cast("string"), lit("/"),
-          col("__nb").cast("string"), lit(")"))))
-        .otherwise(col("__na") === 1 && col("__nb") === 1))
-      .drop("__na", "__nb")
+    val w = Window.partitionBy(keys: _*).orderBy("day_ord")
+    val wBack = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // whole-partition frame for the listing-window bounds: a Spark frame
+    // ending at UNBOUNDED FOLLOWING but starting at CURRENT ROW re-runs
+    // the aggregate per row (O(rows²) per key —
+    // UnboundedFollowingWindowFunctionFrame); the full UNBOUNDED..UNBOUNDED
+    // frame is computed once per key (O(rows)). "a present fact exists
+    // at-or-after" ⟺ day_ord ≤ max present day; same for at-or-before/min.
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val filled = byDay
+      .withColumn("session_idx", row_number().over(w).cast("long"))
+      .withColumn("__fa", last(col("__va"), ignoreNulls = true).over(wBack))
+      .withColumn("__fb", last(col("__vb"), ignoreNulls = true).over(wBack))
+      // inside the side's listing window iff a PRESENT fact exists both
+      // at-or-before and at-or-after
+      .withColumn("__ina",
+        min(when(col("__va").isNotNull, col("day_ord"))).over(wAll) <= col("day_ord") &&
+          max(when(col("__va").isNotNull, col("day_ord"))).over(wAll) >= col("day_ord"))
+      .withColumn("__inb",
+        min(when(col("__vb").isNotNull, col("day_ord"))).over(wAll) <= col("day_ord") &&
+          max(when(col("__vb").isNotNull, col("day_ord"))).over(wAll) >= col("day_ord"))
+    // overlap: BOTH sides inside their listing windows. A per-SIDE fact
+    // count past 1 means duplicate (pair, side, day) FACT rows — raise at
+    // scan speed (the module's stated policy) rather than silently
+    // dropping or emitting a phantom session (a total-count check would
+    // miss a same-side duplicate on a day the other side sits outside its
+    // window).
+    filled.where(when(col("__na") > 1 || col("__nb") > 1, raise_error(concat(
+        lit("alignCrossListed: duplicate (pair, side, day) fact rows "),
+        lit("(side counts "), col("__na").cast("string"), lit("/"),
+        col("__nb").cast("string"), lit(")"))))
+      .otherwise(col("__ina") && col("__inb")))
+      .select(keys ++ Seq(col("session_idx"), col("day_ord"),
+        col("__fa").as(s"a_$valueCol"), col("__va").isNull.as("a_stale"),
+        col("__fb").as(s"b_$valueCol"), col("__vb").isNull.as("b_stale")): _*)
   }
 
   /** Gap-fill to the full per-key session grid: one output row per
@@ -181,18 +192,23 @@ object TradingCalendar {
   def gapFillLocf(df: DataFrame, keyCols: Seq[String], dayOrdCol: String,
                   valueCol: String, calendar: DataFrame): DataFrame = {
     val day = col(dayOrdCol).cast("long")
+    // the calendar dimension is broadcast THREE times below (first-day
+    // index, last-day index, grid join) — materialize it once so its
+    // distinct + session-index window is not recomputed per broadcast
+    // (r15: the q_cal2 plan carried three copies of that subtree)
+    val cal = calendar.localCheckpoint()
     val facts = df.select(keyCols.map(col) :+ day.as("day_ord") :+
       col(valueCol).as("__v"): _*)
     val bounds = facts.groupBy(keyCols.map(col): _*)
       .agg(min(col("day_ord")).as("first_day"), max(col("day_ord")).as("last_day"))
-      .join(broadcast(calendar.select(col("day_ord").as("first_day"),
+      .join(broadcast(cal.select(col("day_ord").as("first_day"),
         col("session_idx").as("__fi"))), Seq("first_day"))
-      .join(broadcast(calendar.select(col("day_ord").as("last_day"),
+      .join(broadcast(cal.select(col("day_ord").as("last_day"),
         col("session_idx").as("__li"))), Seq("last_day"))
     val grid = bounds
       .select(keyCols.map(col) :+
         explode(sequence(col("__fi"), col("__li"))).as("session_idx"): _*)
-      .join(broadcast(calendar), Seq("session_idx"))
+      .join(broadcast(cal), Seq("session_idx"))
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy("session_idx")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid.join(facts, keyCols :+ "day_ord", "left_outer")

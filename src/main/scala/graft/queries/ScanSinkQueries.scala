@@ -883,8 +883,19 @@ object ScanSinkQueries extends QueryModule {
     // proof; the checkpointed tail/replay contract is AcidTailSpec's).
     "q_acid11" -> ((s, d) => {
       val (root, v) = acidYearRoot(s, d)
-      val incs = (1L to v).map { ver =>
+      // every increment's rows, tagged with their version, read ONCE —
+      // the per-version rollups and the unioned-increments rollup both
+      // aggregate these same physical rows (r15: the old per-branch
+      // readAdded chains scanned each increment file twice, 15 scans in
+      // the plan; now each is scanned once)
+      val tagged = (1L to v).map { ver =>
         graft.streaming.AcidTail.readAdded(s, root, ver).get
+          .select(lit(ver).as("version"), col("cents"))
+      }.reduce(_.unionByName(_)).localCheckpoint()
+      // per-version slices of the materialized union, not a groupBy: an
+      // EMPTY increment must still emit its n=0 row
+      val incs = (1L to v).map { ver =>
+        tagged.where(col("version") === ver)
           .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
           .select(lit(ver).as("version"), lit("increment").as("source"),
             col("n"), col("sum_cents"))
@@ -893,9 +904,7 @@ object ScanSinkQueries extends QueryModule {
         .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
         .select(lit(v).as("version"), lit("snapshot").as("source"),
           col("n"), col("sum_cents"))
-      val incUnion = (1L to v).map(ver =>
-          graft.streaming.AcidTail.readAdded(s, root, ver).get)
-        .reduce(_.unionByName(_))
+      val incUnion = tagged
         .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
         .select(lit(v).as("version"), lit("increments_sum").as("source"),
           col("n"), col("sum_cents"))

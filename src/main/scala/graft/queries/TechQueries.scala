@@ -682,6 +682,10 @@ object TechQueries extends QueryModule {
         .withColumn("dx_micro", when(col("__dsum") > 0,
           expr("(2 * (1000000 * abs(pdi_micro - mdi_micro)) + __dsum) " +
             "div (2 * __dsum)")).otherwise(lit(0L)))
+        // feeds BOTH the ADX smoothing and the final join — without this
+        // the plan recomputes the three-way smoothing join twice (r15:
+        // 7 emaMicro passes where 4 suffice)
+        .localCheckpoint()
       TechnicalIndicators.emaMicro(di, "l_suppkey", "w_ord", "dx_micro",
           unitsScale = 6, alphaNum = 1, alphaDen = 14)
         .select(col("l_suppkey"), col("w_ord"),
