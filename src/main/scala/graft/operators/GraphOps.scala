@@ -55,6 +55,10 @@ object GraphOps {
     val verts = e0.select(col("__src").as("vertex"))
       .union(e0.select(col("__dst").as("vertex")))
       .distinct().localCheckpoint()
+    // the vertex-table size decides the per-iteration join strategy —
+    // see [[maybeBroadcast]] (a checkpointed RDD reports no stats, so
+    // the planner can never pick the broadcast itself)
+    val nV = verts.count()
     // outdeg is static across iterations — join it into the edge table
     // ONCE (window count on the materialized edges: no second join per
     // iteration, the per-iteration plan is edge⋈pr + one aggregation)
@@ -66,18 +70,51 @@ object GraphOps {
     for (_ <- 1 to iterations) {
       // contributions: pr(u) div outdeg(u) routed along each edge, then
       // partially aggregated map-side by groupBy(dst) — one shuffle/iter
+      // (broadcast rank side when it fits: the edge table is then never
+      // sorted or shuffled inside the loop)
       val contrib = e
-        .join(pr.select(col("vertex").as("__src"), col("pr_micro")), Seq("__src"))
+        .join(maybeBroadcast(
+          pr.select(col("vertex").as("__src"), col("pr_micro")), nV), Seq("__src"))
         .select(col("__dst"), expr("pr_micro div __outdeg").as("__c"))
         .groupBy("__dst").agg(sum(col("__c")).as("__s"))
       pr = verts
-        .join(contrib.withColumnRenamed("__dst", "vertex"), Seq("vertex"), "left_outer")
+        .join(maybeBroadcast(contrib.withColumnRenamed("__dst", "vertex"), nV),
+          Seq("vertex"), "left_outer")
         .select(col("vertex"),
           (basePr + expr(s"($dampingPct * coalesce(__s, 0L)) div 100"))
             .cast("long").as("pr_micro"))
-        .localCheckpoint() // truncate lineage: O(1) plan per iteration
+      // shuffle path: truncate lineage so the per-iteration plan stays
+      // O(1). Broadcast path: skip it — each pr_i appears exactly once
+      // (inside iteration i+1's broadcast build), so the unrolled plan is
+      // linear with no recomputation, and the materialization barrier per
+      // iteration costs more than it saves.
+      if (nV > broadcastRowCap(pr)) pr = pr.localCheckpoint()
     }
     pr
+  }
+
+  /** Broadcast `df` when a conservative estimate of its built hash
+    * relation (~100 B/row) fits under the session's
+    * autoBroadcastJoinThreshold; otherwise return it unchanged (the
+    * shuffle path). The iterative operators' per-round frames are
+    * localCheckpointed RDDs with NO size statistics, so Spark's own
+    * broadcast pick can never fire on them — this re-derives the same
+    * decision from a row count the caller already has, and scales the
+    * same way (a billion-vertex graph falls back to the shuffle path
+    * exactly as the planner would). */
+  private def maybeBroadcast(df: DataFrame, rows: Long): DataFrame =
+    if (rows <= broadcastRowCap(df)) broadcast(df) else df
+
+  /** Max row count [[maybeBroadcast]] will broadcast for this session:
+    * autoBroadcastJoinThreshold over the ~100 B/row a built hash relation
+    * costs; 0 when broadcasting is disabled. */
+  private def broadcastRowCap(df: DataFrame): Long = {
+    val conf = df.sparkSession.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val thr =
+      if (conf.trim.startsWith("-")) -1L
+      else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(conf)
+    if (thr > 0) thr / 100L else 0L
   }
 
   /** Canonical undirected simple-graph edge list: each edge once as
@@ -205,9 +242,13 @@ object GraphOps {
     while (!done && rounds < maxRounds) {
       val keep = undirectedDegrees(cur).where(col("__deg") >= k)
         .select(col("vertex")).localCheckpoint()
+      // keep has at most 2n rows (one per edge endpoint) — size-adaptive
+      // broadcast keeps the edge table unshuffled inside the peel loop
       val next = cur
-        .join(keep.withColumnRenamed("vertex", "__lo"), Seq("__lo"), "left_semi")
-        .join(keep.withColumnRenamed("vertex", "__hi"), Seq("__hi"), "left_semi")
+        .join(maybeBroadcast(keep.withColumnRenamed("vertex", "__lo"), 2 * n),
+          Seq("__lo"), "left_semi")
+        .join(maybeBroadcast(keep.withColumnRenamed("vertex", "__hi"), 2 * n),
+          Seq("__hi"), "left_semi")
         .localCheckpoint()
       val m = next.count()
       done = m == n // no edge removed => every remaining degree >= k
@@ -325,13 +366,15 @@ object GraphOps {
       .localCheckpoint()
     var labels = nbrs.select(col("vertex")).distinct()
       .select(col("vertex"), col("vertex").as("label")).localCheckpoint()
+    val nV = labels.count() // size-adaptive join pick, see maybeBroadcast
     for (_ <- 1 to rounds) {
       // arg-max as a second AGGREGATION, not a window: max of the struct
       // (count, -label) is exactly (count desc, label asc) — two partial-
       // aggregated shuffles per round instead of a shuffle + per-vertex
       // sort. (Labels are vertex ids >= 0, so negation cannot overflow.)
       labels = nbrs
-        .join(labels.select(col("vertex").as("__nbr"), col("label")), Seq("__nbr"))
+        .join(maybeBroadcast(
+          labels.select(col("vertex").as("__nbr"), col("label")), nV), Seq("__nbr"))
         .groupBy("vertex", "label").agg(count(lit(1)).as("__cnt"))
         .groupBy("vertex")
         .agg(max(struct(col("__cnt"), (-col("label")).as("__nl"))).as("__m"))
@@ -384,16 +427,20 @@ object GraphOps {
       .localCheckpoint()
     var pr = teleport.select(col("vertex"), col("__base").as("pr_micro"))
     for (_ <- 1 to iterations) {
+      // same size-adaptive join strategy as [[pageRank]]
       val contrib = e
-        .join(pr.select(col("vertex").as("__src"), col("pr_micro")), Seq("__src"))
+        .join(maybeBroadcast(
+          pr.select(col("vertex").as("__src"), col("pr_micro")), nV), Seq("__src"))
         .select(col("__dst"), expr("pr_micro div __outdeg").as("__c"))
         .groupBy("__dst").agg(sum(col("__c")).as("__s"))
       pr = teleport
-        .join(contrib.withColumnRenamed("__dst", "vertex"), Seq("vertex"), "left_outer")
+        .join(maybeBroadcast(contrib.withColumnRenamed("__dst", "vertex"), nV),
+          Seq("vertex"), "left_outer")
         .select(col("vertex"),
           (col("__base") + expr(s"($dampingPct * coalesce(__s, 0L)) div 100"))
             .cast("long").as("pr_micro"))
-        .localCheckpoint()
+      // see [[pageRank]]: checkpoint only on the shuffle path
+      if (nV > broadcastRowCap(pr)) pr = pr.localCheckpoint()
     }
     pr
   }
