@@ -459,38 +459,82 @@ object NearDup {
       maxBlockSize: Int = DefaultMaxBucketSize): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // TRIANGULAR TILING (r15): one task per block serialized the whole
+    // quadratic loop on the dominant block (one language owns most of a
+    // real corpus — 1 of 32 cores busy). Chunk each block's items by
+    // id mod G and run one task per unordered chunk pair (gi <= gj): the
+    // n²/2 comparisons split into G(G+1)/2 tiles of ~(n/G)² each. Each
+    // item is shuffled G times (its chunk meets every other chunk once)
+    // — G is capped so the duplication factor stays bounded on big
+    // clusters; past the cap extra parallelism buys less than the G×
+    // shuffle volume costs (per-tile work is already bounded by the
+    // maxBlockSize guard).
+    val g = math.min(16, math.max(1, math.ceil(
+      math.sqrt(2.0 * spark.sparkContext.defaultParallelism)).toInt))
     val sh = withShingles(
         docs.select(block.cast("string").as("__blk"), col(idCol).cast("long").as("__id"),
           text.as("__text")),
         col("__text"), shingleN)
       .select(col("__blk"), col("__id"),
         sort_array(array_distinct(transform(col("__sh"), s => xxhash64(s)))).as("__shh"))
-      .as[(String, Long, Array[Long])]
-    sh.groupByKey(_._1).flatMapGroups { (blk, it) =>
-      val items = it.map(t => (t._2, t._3)).toArray.sortBy(_._1)
-      // same quadratic guard as the join form — here the group is already
-      // local, so the check is free
-      require(items.length <= maxBlockSize,
-        s"exactJaccardPairsBlocked: block '$blk' holds ${items.length} rows " +
-        s"(> maxBlockSize=$maxBlockSize); route through lshCandidatePairs + exactJaccardVerify")
+      // block size rides along so the quadratic guard (a BLOCK-level
+      // contract) stays exact inside tile-level tasks
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("__blk")))
+      .withColumn("__c", pmod(col("__id"), lit(g.toLong)).cast("int"))
+      .withColumn("__t", explode(sequence(lit(0), lit(g - 1))))
+      .select(col("__blk"), col("__n"),
+        least(col("__c"), col("__t")).as("__ti"),
+        greatest(col("__c"), col("__t")).as("__tj"),
+        col("__c"), col("__id"), col("__shh"))
+      // each copy lands in a distinct tile (t varies, c fixed): chunk-ti
+      // items reach tile (ti, tj) via t = tj and chunk-tj items via
+      // t = ti — exactly once each, no double-counting
+      .as[(String, Long, Int, Int, Int, Long, Array[Long])]
+    sh.groupByKey(t => (t._1, t._3, t._4)).flatMapGroups { (key, it) =>
+      val (blk, ti, tj) = key
+      val all = it.toArray
+      all.headOption.foreach { h =>
+        require(h._2 <= maxBlockSize,
+          s"exactJaccardPairsBlocked: block '$blk' holds ${h._2} rows " +
+          s"(> maxBlockSize=$maxBlockSize); route through lshCandidatePairs + exactJaccardVerify")
+      }
+      def side(c: Int) =
+        all.iterator.filter(_._5 == c).map(t => (t._6, t._7)).toArray.sortBy(_._1)
       val out = Seq.newBuilder[(Long, Long, Double)]
-      var i = 0
-      while (i < items.length) {
-        val (ia, aa) = items(i)
-        var j = i + 1
-        while (j < items.length) {
-          val (ib, ab) = items(j)
-          var x = 0; var y = 0; var c = 0
-          while (x < aa.length && y < ab.length) {
-            val u = aa(x); val v = ab(y)
-            if (u == v) { c += 1; x += 1; y += 1 }
-            else if (u < v) x += 1 else y += 1
-          }
-          val jac = c.toDouble / (aa.length + ab.length - c).toDouble
-          if (jac >= minSim) out += ((ia, ib, jac))
-          j += 1
+      def pair(ia: Long, aa: Array[Long], ib: Long, ab: Array[Long]): Unit = {
+        var x = 0; var y = 0; var c = 0
+        while (x < aa.length && y < ab.length) {
+          val u = aa(x); val v = ab(y)
+          if (u == v) { c += 1; x += 1; y += 1 }
+          else if (u < v) x += 1 else y += 1
         }
-        i += 1
+        val jac = c.toDouble / (aa.length + ab.length - c).toDouble
+        if (jac >= minSim)
+          out += (if (ia < ib) (ia, ib, jac) else (ib, ia, jac))
+      }
+      if (ti == tj) {
+        val items = side(ti)
+        var i = 0
+        while (i < items.length) {
+          var j = i + 1
+          while (j < items.length) {
+            pair(items(i)._1, items(i)._2, items(j)._1, items(j)._2)
+            j += 1
+          }
+          i += 1
+        }
+      } else {
+        val a = side(ti); val b = side(tj)
+        var i = 0
+        while (i < a.length) {
+          var j = 0
+          while (j < b.length) {
+            pair(a(i)._1, a(i)._2, b(j)._1, b(j)._2)
+            j += 1
+          }
+          i += 1
+        }
       }
       out.result().iterator
     }.toDF("id_a", "id_b", "jaccard")
@@ -521,16 +565,32 @@ object NearDup {
         least(col("u"), col("v")).as("v"))
       .distinct().localCheckpoint()
 
+    // size-adaptive broadcast of the per-round mins table (r15): the
+    // rounds run over localCheckpointed frames with no statistics, so the
+    // planner can never pick the broadcast itself; `bound` is a proven
+    // upper bound on the mins row count (see call sites). Threshold =
+    // autoBroadcastJoinThreshold / ~100 B per built hash-relation row —
+    // the planner's own decision re-derived; big graphs keep the shuffle.
+    def maybeBroadcast(df: DataFrame, bound: Long): DataFrame = {
+      val conf = df.sparkSession.conf
+        .get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      val thr =
+        if (conf.trim.startsWith("-")) -1L
+        else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(conf)
+      if (thr > 0 && bound <= thr / 100L) broadcast(df) else df
+    }
+
     // LARGE-STAR: per vertex u over the SYMMETRIZED adjacency, m =
     // min(N(u) ∪ {u}); every strictly-larger neighbor v > u re-points to m.
     // Min is algebraic, so the hot component-root key collapses map-side;
     // the join back duplicates one mins row per adjacency row (AQE splits
     // the skewed partition).
-    def largeStar(e: DataFrame): DataFrame = {
+    def largeStar(e: DataFrame, eCount: Long): DataFrame = {
       val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
       val mins = sym.groupBy("u").agg(min("v").as("__mn"))
         .select(col("u").as("__u"), least(col("__mn"), col("u")).as("__m"))
-      sym.join(mins, col("u") === col("__u"))
+      // mins has one row per distinct u of sym: <= 2·|e|
+      sym.join(maybeBroadcast(mins, 2 * eCount), col("u") === col("__u"))
         .where(col("v") > col("u"))
         .select(col("v").as("u"), col("__m").as("v")) // m <= u < v: stays hi→lo
         .distinct()
@@ -539,10 +599,10 @@ object NearDup {
     // SMALL-STAR: per vertex u over its SMALLER neighbors (input is
     // oriented hi→lo, so they are exactly the v column), m = min; every
     // smaller neighbor and u itself re-point to m.
-    def smallStar(e: DataFrame): DataFrame = {
+    def smallStar(e: DataFrame, eBound: Long): DataFrame = {
       val mins = e.groupBy("u").agg(min("v").as("__m"))
         .select(col("u").as("__u"), col("__m"))
-      e.join(mins, col("u") === col("__u"))
+      e.join(maybeBroadcast(mins, eBound), col("u") === col("__u"))
         .select(col("v").as("a"), col("__m").as("b"))
         .where(col("a") =!= col("b"))
         .select(greatest(col("a"), col("b")).as("u"),
@@ -556,7 +616,10 @@ object NearDup {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val next = smallStar(largeStar(cur)).localCheckpoint()
+      // large-star emits <= |sym| = 2·|cur| rows pre-distinct, so the
+      // small-star mins bound is 2·prevCount
+      val next = smallStar(largeStar(cur, prevCount), 2 * prevCount)
+        .localCheckpoint()
       val nextCount = next.count()
       // Exact set-equality convergence (both sides are distinct): equal
       // cardinality + empty next∖cur ⇒ identical edge sets. At the
@@ -604,9 +667,19 @@ object NearDup {
     * survive untouched. One window over the component key on top of the
     * component labels; skew bounded by the largest dup cluster. */
   def dedupByComponentsBest(docs: DataFrame, idCol: String, pairs: DataFrame,
-                            order: Seq[Column]): DataFrame = {
+                            order: Seq[Column]): DataFrame =
+    dedupByComponentsBestFrom(docs, idCol, connectedComponents(pairs), order)
+
+  /** [[dedupByComponentsBest]] over an ALREADY-COMPUTED (v, component)
+    * label table — the entry point when the component table is
+    * persisted/memoized and shared by several consumers (the
+    * cluster-scale shape: contraction runs once, every downstream pass
+    * reads the labels). */
+  def dedupByComponentsBestFrom(docs: DataFrame, idCol: String,
+                                components: DataFrame,
+                                order: Seq[Column]): DataFrame = {
     require(order.nonEmpty, "need a within-cluster ranking; end it with the id")
-    val comp = connectedComponents(pairs).withColumnRenamed("v", "__v")
+    val comp = components.withColumnRenamed("v", "__v")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__comp")).orderBy(order: _*)
     docs.join(comp, docs(idCol) === comp("__v"), "left_outer")

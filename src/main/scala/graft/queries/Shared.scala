@@ -89,6 +89,18 @@ private[graft] object Shared {
         shingleN = 4, minSpanTokens = 12)
     }
 
+  /** Connected components over the verbatim-span pair list — the
+    * [[cosineComponents]] pattern applied to the span-dedup branch
+    * (r15): q_dedup11 (cluster histogram) and q_dedup13 (best-doc
+    * survival) each ran the full large/small-star contraction on the
+    * SAME distinct edge list; at cluster scale the component table is
+    * persisted next to the pair table and every consumer reads it. */
+  def spanComponents(s: SparkSession, d: String): DataFrame =
+    Memo.cachedDf(s, s"span_components|$d") {
+      graft.operators.NearDup.connectedComponents(
+        spanPairs(s, d).select("id_a", "id_b").distinct())
+    }
+
   /** Per-session rollup over `events` (30-min gap) — q_sess2's surface,
     * reused as q_ijoin1's interval side. At cluster scale the session
     * table is a persisted intermediate every downstream join reads. */

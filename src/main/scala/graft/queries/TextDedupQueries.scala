@@ -403,8 +403,7 @@ object TextDedupQueries extends QueryModule {
     // of the corpus sits in verbatim-duplicate clusters, and how big they
     // are). Oracle-checked via the recursive-CTE components twin.
     "q_dedup11" -> ((s, d) =>
-      NearDup.connectedComponents(
-          Shared.spanPairs(s, d).select("id_a", "id_b").distinct())
+      Shared.spanComponents(s, d)
         .groupBy("component").agg(count(lit(1)).as("cluster_size"))
         .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
         .orderBy("cluster_size")),
@@ -414,10 +413,10 @@ object TextDedupQueries extends QueryModule {
     // the arbitrary min-id; unclustered docs pass through. The production
     // form of the q_dedup11 components.
     "q_dedup13" -> ((s, d) =>
-      NearDup.dedupByComponentsBest(
+      NearDup.dedupByComponentsBestFrom(
           Tables.load(s, d, "documents").select("doc_id", "n_chars"),
           "doc_id",
-          Shared.spanPairs(s, d).select("id_a", "id_b").distinct(),
+          Shared.spanComponents(s, d),
           Seq(col("n_chars").desc, col("doc_id").asc))
         .orderBy("doc_id")),
 
