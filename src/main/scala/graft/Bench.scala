@@ -13,6 +13,14 @@ object Bench {
       // derived arrays (text tokenize/shingle pipelines).
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      // NOT set (r15, measured): spark.sql.join.preferSortMergeJoin=false
+      // + adaptive.maxShuffledHashJoinLocalMapThreshold — the guide-§3.1
+      // blanket SHJ experiment regressed the simhash/minhash band
+      // self-joins 2-9x (duplicate-heavy build keys blow up the
+      // per-partition hash maps: q_dedup15 1.3 s -> 11.3 s) while the
+      // scattered wins elsewhere were within run noise. Join strategy
+      // stays a per-site decision (explicit broadcast/size-adaptive
+      // picks in the operators).
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -181,6 +181,56 @@ object TechnicalIndicators {
       .withColumnRenamed("ord", ordCol)
   }
 
+  /** Multi-column [[emaMicro]]: the IDENTICAL per-column recurrence run
+    * over several unit columns in ONE repartition + sort + streaming
+    * pass (r15 — q_ta17's Wilder system smoothed +DM, −DM and TR as
+    * three separate emaMicro passes and paid two extra exchanges plus
+    * two joins to put the results back side-by-side; the recurrences
+    * are per-column independent, so one fold carries all the state).
+    * Output: (key, ord, <c> = input units, <c>_s = ema micro) per
+    * column. */
+  def emaMicroMulti(df: DataFrame, keyCol: String, ordCol: String,
+                    unitsCols: Seq[String], unitsScale: Int,
+                    alphaNum: Long, alphaDen: Long): DataFrame = {
+    require(unitsCols.nonEmpty, "need at least one units column")
+    require(alphaDen > 0 && alphaNum > 0 && alphaNum <= alphaDen,
+      s"alpha must be in (0,1]: $alphaNum/$alphaDen")
+    require(unitsScale >= 0 && unitsScale <= 6,
+      s"unitsScale must be in [0,6], got $unitsScale")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val up = math.pow(10.0, 6 - unitsScale).toLong
+    val n = unitsCols.length
+    val prepared = df.select(
+      col(keyCol).cast("long").as("key"),
+      col(ordCol).cast("long").as("ord"),
+      array(unitsCols.map(c => col(c).cast("long")): _*).as("units"))
+      .repartition(col("key"))
+      .sortWithinPartitions(col("key"), col("ord"))
+    prepared.as[(Long, Long, Array[Long])].mapPartitions { it =>
+      var started = false
+      var curKey = 0L
+      val curEmas = new Array[Long](n)
+      it.map { case (k, o, cs) =>
+        val fresh = !started || k != curKey
+        var i = 0
+        while (i < n) {
+          curEmas(i) =
+            if (fresh) cs(i) * up
+            else rhaDiv(alphaNum * cs(i) * up +
+              (alphaDen - alphaNum) * curEmas(i), alphaDen)
+          i += 1
+        }
+        started = true
+        curKey = k
+        (k, o, cs.clone(), curEmas.clone())
+      }
+    }.toDF("key", "ord", "__units", "__emas")
+      .select(Seq(col("key").as(keyCol), col("ord").as(ordCol)) ++
+        unitsCols.zipWithIndex.map { case (c, i) => col("__units")(i).as(c) } ++
+        unitsCols.zipWithIndex.map { case (c, i) => col("__emas")(i).as(s"${c}_s") }: _*)
+  }
+
   /** ENGINE-VERSION-EXACT Holt double-exponential smoothing (level +
     * trend) — the forecasting primitive the reference domain's
     * prediction purpose actually calls for: a forecast h steps out is

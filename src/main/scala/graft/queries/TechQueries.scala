@@ -667,11 +667,12 @@ object TechQueries extends QueryModule {
           abs(col("hi") - col("__cp")), abs(col("lo") - col("__cp"))))
         .select("l_suppkey", "w_ord", "pdm", "mdm", "tr")
         .localCheckpoint() // feeds three smoothing passes
-      def sm(c: String) = TechnicalIndicators.emaMicro(dm, "l_suppkey",
-          "w_ord", c, unitsScale = 2, alphaNum = 1, alphaDen = 14)
-        .select(col("l_suppkey"), col("w_ord"), col("ema_micro").as(s"${c}_s"))
-      val di = sm("pdm").join(sm("mdm"), Seq("l_suppkey", "w_ord"))
-        .join(sm("tr"), Seq("l_suppkey", "w_ord"))
+      // one repartition+sort+fold smooths all three Wilder series (r15:
+      // was three emaMicro passes + two joins to re-align them)
+      val di = TechnicalIndicators.emaMicroMulti(dm, "l_suppkey", "w_ord",
+          Seq("pdm", "mdm", "tr"), unitsScale = 2, alphaNum = 1, alphaDen = 14)
+        .select(col("l_suppkey"), col("w_ord"),
+          col("pdm_s"), col("mdm_s"), col("tr_s"))
         .withColumn("pdi_micro", when(col("tr_s") > 0,
           expr("(2 * (1000000 * pdm_s) + tr_s) div (2 * tr_s)"))
           .otherwise(lit(0L)))

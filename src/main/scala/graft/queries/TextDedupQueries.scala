@@ -921,7 +921,9 @@ object TextDedupQueries extends QueryModule {
             .as(Seq("chunk_idx", "chunk")))
         .select((col("doc_id") * 1000 + col("chunk_idx")).as("chunk_id"),
           col("chunk"))
-      val cvec = vecs(chunks, "chunk_id", "chunk", "cnt")
+      // feeds BOTH the norms and the dot products — one chunk+tokenize
+      // pass over the corpus, not one per consumer
+      val cvec = vecs(chunks, "chunk_id", "chunk", "cnt").localCheckpoint()
       val qdf = Seq((1L, "fast hash join"), (2L, "table scan slow"),
         (3L, "merge sort window")).toDF("query_id", "qtext")
       val qvec = vecs(qdf, "query_id", "qtext", "qcnt")

@@ -50,6 +50,33 @@ class TechnicalIndicatorsSpec extends SparkSpec {
     }
   }
 
+  test("emaMicroMulti == one emaMicro per column, on every column, " +
+    "partition-invariant (the q_ta17 Wilder-smoothing fold)") {
+    val rows = for {
+      k <- Seq(1L, 2L, 3L); i <- 0L until 7L
+    } yield (k, i, 100L * k + i * 13L % 47L, (i * 29L + k) % 53L, 7L + i * k)
+    val df = rows.toDF("k", "ord", "a", "b", "c")
+    for (parts <- Seq(1, 4)) {
+      val multi = TechnicalIndicators.emaMicroMulti(df.repartition(parts),
+          "k", "ord", Seq("a", "b", "c"), unitsScale = 2,
+          alphaNum = 1, alphaDen = 14)
+        .orderBy("k", "ord")
+        .select("k", "ord", "a", "b", "c", "a_s", "b_s", "c_s")
+        .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+      for (c <- Seq("a", "b", "c")) {
+        val single = TechnicalIndicators.emaMicro(df, "k", "ord", c,
+            unitsScale = 2, alphaNum = 1, alphaDen = 14)
+          .orderBy("k", "ord").select("ema_micro").as[Long].collect().toSeq
+        val idx = Seq("a", "b", "c").indexOf(c)
+        val got = multi.map(t => Seq(t._6, t._7, t._8)(idx))
+        assert(got == single, s"column $c diverged from the single-column pass")
+        val units = multi.map(t => Seq(t._3, t._4, t._5)(idx))
+        val in = rows.sortBy(r => (r._1, r._2)).map(r => Seq(r._3, r._4, r._5)(idx))
+        assert(units == in, s"column $c units not carried through")
+      }
+    }
+  }
+
   test("emaMicro round-half-away step is exact on negative series (MACD signal path)") {
     // alpha = 2/10 over an alternating-sign micro series: reference fold
     // must reproduce rhaDiv semantics on both signs
