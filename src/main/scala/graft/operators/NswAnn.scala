@@ -348,21 +348,30 @@ object NswAnn {
     require(k >= 1 && beamWidth >= 1 && rounds >= 1)
     val spark = emb.sparkSession
     import spark.implicits._
-    val (qv, nq, vecs) = probeInputs(emb, idCol, vecCol, query, queryVecCol,
+    val (qv, nq, vecs0) = probeInputs(emb, idCol, vecCol, query, queryVecCol,
       entryBeam, "NswAnn.probe")
+    // pin the corpus and adjacency for the loop (the probeBatch r13
+    // lesson applied to the serial path too): descent + every beam hop
+    // re-scanned them from parquet — one cache build, ~2·rounds cached
+    // pruned lookups after
+    val vecs = vecs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nbr = neighbors
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val scored = descend(entries, hier, vecs, qv, nq, entryBeam)
     val expanded = mutable.Set.empty[Long]
     var r = 0
     while (r < rounds) {
       val frontier = bestIds(scored, beamWidth, expanded.contains)
       if (frontier.nonEmpty) {
-        val dsts = neighbors.where(col("src").isin(frontier: _*))
+        val dsts = nbr.where(col("src").isin(frontier: _*))
           .select(col("dst").cast("long")).distinct().as[Long].collect()
         fetchScore(vecs, dsts.toSeq, qv, nq, scored)
         expanded ++= frontier
       }
       r += 1
     }
+    vecs.unpersist(false)
+    nbr.unpersist(false)
     scored.toSeq.sortBy { case (id, s) => (-s, id) }.take(k)
       .toDF(idCol, "sim")
   }

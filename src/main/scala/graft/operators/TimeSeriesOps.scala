@@ -148,10 +148,14 @@ object TimeSeriesOps {
         count(lit(1)).over(all).as("__n"))
       .where(col("__rn") > w && col("__rn") + w <= col("__n"))
       .select(col(keyCol), col(idxCol), col("shift"))
-    val pick = Window.partitionBy(col(keyCol))
-      .orderBy(abs(col("shift")).desc, col(idxCol).asc)
-    shifted.withColumn("__rn", row_number().over(pick))
-      .where(col("__rn") === 1).drop("__rn")
+    // arg-max as an AGGREGATION, not a rank window (r15): min of the
+    // struct (−|shift|, idx, shift) is exactly (|shift| desc, idx asc) —
+    // partial-aggregated map-side, no second full sort of the shift
+    // table. (|shift| is bounded far below 2^63, so negation is safe.)
+    shifted.groupBy(col(keyCol))
+      .agg(min(struct((-abs(col("shift"))).as("__na"),
+        col(idxCol).as("__idx"), col("shift").as("__s"))).as("__b"))
+      .select(col(keyCol), col("__b.__idx").as(idxCol), col("__b.__s").as("shift"))
   }
 
   /** Interior rows of a regular daily integer series with the centered
