@@ -22,6 +22,25 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** [[exactByKeys]] when the caller keeps only columns from
+    * `keys ++ tieBreak`: the survivor's kept values are then determined
+    * by the minimum tie-break tuple alone, so the pick folds into ONE
+    * partial-aggregated min-of-struct — no full-width sort, no rank
+    * window, and the shuffle carries one pre-reduced row per (partition,
+    * key) instead of every input row (r15; the q_set4 shape). Output:
+    * keys ++ keep, identical rows to
+    * `exactByKeys(df, keys, tieBreak).select(keys ++ keep)`. */
+  def exactByKeysProjected(df: DataFrame, keys: Seq[String],
+                           tieBreak: Seq[String], keep: Seq[String]): DataFrame = {
+    require(keep.forall(c => keys.contains(c) || tieBreak.contains(c)),
+      "keep must be a subset of keys ++ tieBreak — any other column is " +
+        "not determined by the min tie-break tuple; use exactByKeys")
+    val m = min(struct(tieBreak.map(col): _*)).as("__m")
+    df.groupBy(keys.map(col): _*).agg(m)
+      .select(keys.map(col) ++
+        keep.filterNot(keys.contains).map(c => col(s"__m.$c").as(c)): _*)
+  }
+
   /** Content dedup by a derived key expression (e.g. a normalization hash). */
   def exactByExpr(df: DataFrame, keyExpr: Column, keyName: String, tieBreak: Seq[String]): DataFrame =
     exactByKeys(df.withColumn(keyName, keyExpr), Seq(keyName), tieBreak)

@@ -167,8 +167,12 @@ object SearchQueries extends QueryModule {
     "q_srch4" -> ((s, d) => {
       import s.implicits._
       val day2 = Tables.load(s, d, "documents").where(col("doc_id") % 5 === 0)
+      // materialized: scoreMicro consumes its postings THREE times (df
+      // rollup, corpus stats, the scoring join) — lazy would tokenize the
+      // day-2 batch once per consumer (r15: 6 parquet scans -> 2)
       val merged = Bm25.incrementalPostings(
         Shared.storedPostings(s, d), day2, "doc_id", col("text"))
+        .localCheckpoint()
       Bm25.topK(Bm25.scoreMicro(merged, bmQueryDf(s)), 10)
         .orderBy("query_id", "rank")
     }),

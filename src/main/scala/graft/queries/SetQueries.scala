@@ -42,10 +42,13 @@ object SetQueries extends QueryModule {
     // (l_orderkey, l_linenumber) alone is non-unique in the fixture;
     // qty + shipdate complete the total tie-break.
     "q_set4" -> ((s, d) =>
-      Dedup.exactByKeys(Tables.load(s, d, "lineitem"),
+      // kept columns ⊆ tie-break ⇒ the projected form is row-identical
+      // (see exactByKeysProjected) and folds the rank window into one
+      // partial-aggregated min-of-struct
+      Dedup.exactByKeysProjected(Tables.load(s, d, "lineitem"),
         Seq("l_partkey", "l_suppkey"),
-        Seq("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"))
-        .select("l_partkey", "l_suppkey", "l_orderkey", "l_linenumber", "l_quantity")
+        Seq("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"),
+        Seq("l_orderkey", "l_linenumber", "l_quantity"))
         .orderBy("l_partkey", "l_suppkey")),
   )
 

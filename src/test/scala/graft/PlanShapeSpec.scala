@@ -230,6 +230,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Exchange rangepartitioning"), p.take(800))
   }
 
+  test("exactByKeysProjected == exactByKeys + select (incl. duplicate keys and " +
+    "tie-break ties), with no rank window in the plan") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val df = Seq(
+      (1L, 10L, 5L, "x"), (1L, 9L, 7L, "y"), (1L, 9L, 7L, "z"), // tie on (t1,t2)
+      (2L, 3L, 3L, "a"),
+      (3L, 8L, 1L, "b"), (3L, 7L, 2L, "c")
+    ).toDF("k", "t1", "t2", "other")
+    val viaWindow = Dedup.exactByKeys(df, Seq("k"), Seq("t1", "t2"))
+      .select("k", "t1", "t2").orderBy("k")
+      .as[(Long, Long, Long)].collect().toSeq
+    val projected = Dedup.exactByKeysProjected(df, Seq("k"),
+        Seq("t1", "t2"), Seq("t1", "t2"))
+      .orderBy("k").as[(Long, Long, Long)].collect().toSeq
+    assert(projected === viaWindow)
+    val p = Dedup.exactByKeysProjected(df, Seq("k"), Seq("t1", "t2"), Seq("t1"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p.take(800))
+    // a kept column outside keys ++ tieBreak is refused, not silently wrong
+    intercept[IllegalArgumentException] {
+      Dedup.exactByKeysProjected(df, Seq("k"), Seq("t1"), Seq("other"))
+    }
+  }
+
   test("curation pipeline prefix: one scan, exactly 3 hash shuffles, WindowGroupLimit cap") {
     // the q_pipe1 stages BEFORE the budget cut (whose RDD prefix-sum pass
     // hides the upstream plan behind an ExistingRDD boundary in PLANS.md):
