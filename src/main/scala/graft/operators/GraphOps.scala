@@ -103,19 +103,12 @@ object GraphOps {
     * same way (a billion-vertex graph falls back to the shuffle path
     * exactly as the planner would). */
   private def maybeBroadcast(df: DataFrame, rows: Long): DataFrame =
-    if (rows <= broadcastRowCap(df)) broadcast(df) else df
+    SizeAdaptive.maybeBroadcast(df, rows)
 
-  /** Max row count [[maybeBroadcast]] will broadcast for this session:
-    * autoBroadcastJoinThreshold over the ~100 B/row a built hash relation
-    * costs; 0 when broadcasting is disabled. */
-  private def broadcastRowCap(df: DataFrame): Long = {
-    val conf = df.sparkSession.conf
-      .get("spark.sql.autoBroadcastJoinThreshold", "10485760")
-    val thr =
-      if (conf.trim.startsWith("-")) -1L
-      else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(conf)
-    if (thr > 0) thr / 100L else 0L
-  }
+  /** Max row count [[maybeBroadcast]] will broadcast for this session
+    * (r16: one shared derivation — see [[SizeAdaptive.broadcastRowCap]]). */
+  private def broadcastRowCap(df: DataFrame): Long =
+    SizeAdaptive.broadcastRowCap(df)
 
   /** Canonical undirected simple-graph edge list: each edge once as
     * (lo, hi) with lo < hi, self-loops dropped, parallel edges collapsed.

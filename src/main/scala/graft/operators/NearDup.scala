@@ -556,6 +556,8 @@ object NearDup {
     * component = min vertex id reachable. */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
     // Orient every edge hi→lo; self-loops drop out of the iteration (their
     // vertices are restored by the final vertex join).
     val init = pairs
@@ -565,20 +567,15 @@ object NearDup {
         least(col("u"), col("v")).as("v"))
       .distinct().localCheckpoint()
 
-    // size-adaptive broadcast of the per-round mins table (r15): the
-    // rounds run over localCheckpointed frames with no statistics, so the
-    // planner can never pick the broadcast itself; `bound` is a proven
-    // upper bound on the mins row count (see call sites). Threshold =
-    // autoBroadcastJoinThreshold / ~100 B per built hash-relation row —
-    // the planner's own decision re-derived; big graphs keep the shuffle.
-    def maybeBroadcast(df: DataFrame, bound: Long): DataFrame = {
-      val conf = df.sparkSession.conf
-        .get("spark.sql.autoBroadcastJoinThreshold", "10485760")
-      val thr =
-        if (conf.trim.startsWith("-")) -1L
-        else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(conf)
-      if (thr > 0 && bound <= thr / 100L) broadcast(df) else df
-    }
+    // size-adaptive broadcast of the per-round mins table (r15; shared
+    // helper r16): the rounds run over localCheckpointed frames with no
+    // statistics, so the planner can never pick the broadcast itself;
+    // `bound` is a proven upper bound on the mins row count (see call
+    // sites). Threshold = autoBroadcastJoinThreshold / ~100 B per built
+    // hash-relation row — the planner's own decision re-derived; big
+    // graphs keep the shuffle.
+    def maybeBroadcast(df: DataFrame, bound: Long): DataFrame =
+      SizeAdaptive.maybeBroadcast(df, bound)
 
     // LARGE-STAR: per vertex u over the SYMMETRIZED adjacency, m =
     // min(N(u) ∪ {u}); every strictly-larger neighbor v > u re-points to m.
@@ -613,6 +610,71 @@ object NearDup {
 
     var cur = init
     var prevCount = cur.count()
+
+    // Fixpoint edges are (member, root). Every endpoint of the ORIGINAL
+    // pair list gets a label; vertices no fixpoint edge mentions (isolated
+    // self-loops) are their own component.
+    val verts = pairs.select(col(idA).as("v"))
+      .unionAll(pairs.select(col(idB).as("v"))).distinct()
+    def labelled(members: DataFrame): DataFrame =
+      verts.join(members, col("v") === col("__mv"), "left_outer")
+        .select(col("v"), coalesce(col("__comp"), col("v")).as("component"))
+
+    // SIZE-ADAPTIVE LOCAL CONTRACTION (r16): when the deduplicated edge
+    // list fits the session's broadcast budget (the same ~100 B/row
+    // derivation the loop's own maybeBroadcast uses), the star-contraction
+    // rounds are pure scheduling overhead — each round ALREADY pulls a
+    // mins table of comparable size to the driver to broadcast it, plus
+    // 4+ exchanges and 2 actions, for O(log n) rounds. Collecting the
+    // edges ONCE and running the min-label union-find locally moves
+    // strictly less data to the driver than one round's broadcast builds,
+    // and the resulting label table (≤ 2·|E| rows) re-enters the plan as
+    // a broadcast — the decision the planner itself would make for a
+    // relation this size. A graph over the threshold keeps the
+    // distributed loop exactly as before (spec-pinned equal on random
+    // graphs; the threshold follows autoBroadcastJoinThreshold, so
+    // cluster configs scale it, and -1 disables it entirely).
+    val integralIds = init.schema("u").dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false // non-integral ids: the long round-trip would be lossy
+    }
+    if (integralIds && prevCount <= SizeAdaptive.broadcastRowCap(init)) {
+      val edges = init.select(col("u").cast("long"), col("v").cast("long"))
+        .as[(Long, Long)].collect()
+      // union-to-min: the larger root is always re-pointed at the smaller,
+      // so each tree's final root IS the component's minimum id (the same
+      // min-reachable-vertex fixpoint the star contraction converges to).
+      val parent = new java.util.HashMap[Long, Long](edges.length * 2)
+      def add(x: Long): Unit =
+        if (!parent.containsKey(x)) parent.put(x, x)
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x
+        while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        add(a); add(b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+      }
+      val vType = init.schema("u").dataType
+      val labels = {
+        val it = parent.keySet().iterator()
+        val buf = Seq.newBuilder[(Long, Long)]
+        while (it.hasNext) { val v = it.next(); buf += ((v, find(v))) }
+        buf.result()
+      }
+      val members = labels.toDF("__mv", "__comp")
+        .select(col("__mv").cast(vType).as("__mv"),
+          col("__comp").cast(vType).as("__comp"))
+      return labelled(maybeBroadcast(members, 2 * prevCount))
+    }
+
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -641,14 +703,7 @@ object NearDup {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter large-star/" +
         "small-star rounds; raise maxIter (the edge set was still moving)")
-    // Fixpoint edges are (member, root). Every endpoint of the ORIGINAL
-    // pair list gets a label; vertices no fixpoint edge mentions (isolated
-    // self-loops) are their own component.
-    val verts = pairs.select(col(idA).as("v"))
-      .unionAll(pairs.select(col(idB).as("v"))).distinct()
-    val members = cur.select(col("u").as("__mv"), col("v").as("__comp"))
-    verts.join(members, col("v") === col("__mv"), "left_outer")
-      .select(col("v"), coalesce(col("__comp"), col("v")).as("component"))
+    labelled(cur.select(col("u").as("__mv"), col("v").as("__comp")))
   }
 
   /** Keep one representative (min id) per near-dup cluster; documents in

@@ -357,21 +357,28 @@ object NswAnn {
     val vecs = vecs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nbr = neighbors
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val scored = descend(entries, hier, vecs, qv, nq, entryBeam)
-    val expanded = mutable.Set.empty[Long]
-    var r = 0
-    while (r < rounds) {
-      val frontier = bestIds(scored, beamWidth, expanded.contains)
-      if (frontier.nonEmpty) {
-        val dsts = nbr.where(col("src").isin(frontier: _*))
-          .select(col("dst").cast("long")).distinct().as[Long].collect()
-        fetchScore(vecs, dsts.toSeq, qv, nq, scored)
-        expanded ++= frontier
+    // try/finally (r16 — ADVICE r15): a throw mid-descent/beam must not
+    // leave the corpus/adjacency cached for the rest of the session
+    val scored =
+      try {
+        val sc = descend(entries, hier, vecs, qv, nq, entryBeam)
+        val expanded = mutable.Set.empty[Long]
+        var r = 0
+        while (r < rounds) {
+          val frontier = bestIds(sc, beamWidth, expanded.contains)
+          if (frontier.nonEmpty) {
+            val dsts = nbr.where(col("src").isin(frontier: _*))
+              .select(col("dst").cast("long")).distinct().as[Long].collect()
+            fetchScore(vecs, dsts.toSeq, qv, nq, sc)
+            expanded ++= frontier
+          }
+          r += 1
+        }
+        sc
+      } finally {
+        vecs.unpersist(false)
+        nbr.unpersist(false)
       }
-      r += 1
-    }
-    vecs.unpersist(false)
-    nbr.unpersist(false)
     scored.toSeq.sortBy { case (id, s) => (-s, id) }.take(k)
       .toDF(idCol, "sim")
   }
@@ -405,8 +412,11 @@ object NswAnn {
     require(k >= 1 && beamWidth >= 1 && rounds >= 1 && entryBeam >= 1)
     val spark = emb.sparkSession
     import spark.implicits._
+    // the query batch is broadcast once per hop (score) — materialize the
+    // tiny table so each broadcast rebuild reads the cached rows, not the
+    // batch's parquet scan + filter again (r16)
     val q = queries.select(col(queryIdCol).cast("long").as("query_id"),
-      col(queryVecCol).as("__qv"))
+      col(queryVecCol).as("__qv")).localCheckpoint()
     val vecs = emb.select(col(idCol).cast("long").as("__id"),
       col(vecCol).as("__v"))
     // one corpus join scores every query's fresh candidates: candidate
@@ -431,111 +441,128 @@ object NswAnn {
     def materialize(df: DataFrame): DataFrame =
       df.repartition(stateParts, col("query_id")).localCheckpoint()
     vecs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    // DESCENT IN ONE JOB (r13 — the per-level loop cost was levels x
-    // fixed job overhead, not data): the entry hierarchy is O(cells ·
-    // constant) edges BY CONSTRUCTION (buildGraph), so every node the
-    // descent could ever visit — the top-level entries plus each layer's
-    // edge destinations — is a small, driver-safe set. Score ALL of them
-    // for ALL queries in one corpus join, then replay the level-by-level
-    // frontier walk (identical entryBeam + (-sim, id) tie-breaks as
-    // probe()'s descend) on the driver from the collected scores. The
-    // spec's singleton-batch == serial-probe visit-set law pins the
-    // equivalence.
-    val entriesLocal = entries
-      .select(col("level").cast("int"), col("entry_id").cast("long"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
-    val topLevel = entriesLocal.map(_._1).max
-    val hierLocal = hier
-      .select(col("layer").cast("int"), col("src").cast("long"),
-        col("dst").cast("long"))
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
-    require(hierLocal.length <= 2000000,
-      s"NSW hierarchy has ${hierLocal.length} edges — not the O(cells) " +
-        "design contract; rebuild the graph before batched serving")
-    val tops = entriesLocal.filter(_._1 == topLevel).map(_._2).distinct
-    val hierNodes = (tops ++ hierLocal.map(_._3)).distinct
-    // the edge budget above bounds the HIERARCHY; the collect below is
-    // |queries| x |hierNodes| scored rows — bound the cross product too
-    // (ADVICE r13: a large batch over a big entry hierarchy could OOM the
-    // driver where the old distributed per-level loop could not). 8M rows
-    // of (long, long, double) is ~200 MB of driver heap — the ceiling.
-    val batchSize = q.count()
-    require(batchSize * hierNodes.length <= 8000000L,
-      s"batched NSW descent would collect $batchSize queries x " +
-        s"${hierNodes.length} hierarchy nodes = " +
-        s"${batchSize * hierNodes.length} scored rows to the driver — " +
-        "split the query batch, or rebuild the graph with a smaller " +
-        "entry hierarchy")
-    val hierNodesDf = hierNodes.toDF("__id")
-    val hierScores: Map[Long, Map[Long, Double]] =
-      score(q.select("query_id").crossJoin(broadcast(hierNodesDf)))
-        .collect()
-        .groupBy(_.getLong(0))
-        .map { case (qid, rows) =>
-          qid -> rows.map(r => r.getLong(1) -> r.getDouble(2)).toMap
-        }
-    // ~16 queries per state partition: batch 16 stays single-task (the
-    // hop cost is job overhead there), batch 64+ spreads
-    stateParts = math.max(1, math.min(8, hierScores.size / 16))
-    val adj: Map[Int, Map[Long, Seq[Long]]] = hierLocal.groupBy(_._1)
-      .map { case (l, es) =>
-        l -> es.groupBy(_._2).map { case (s, e) => s -> e.map(_._3).toSeq }
-      }
-    val seedRows = hierScores.toSeq.flatMap { case (qid, byId) =>
-      val scored = mutable.Map.empty[Long, Double]
-      tops.foreach(t => byId.get(t).foreach(scored(t) = _))
-      var l = topLevel
-      while (l >= 1) {
-        val frontier = scored.toSeq
-          .sortBy { case (id, s) => (-s, id) }.take(entryBeam).map(_._1)
-        val layerAdj = adj.getOrElse(l, Map.empty)
-        frontier.flatMap(layerAdj.getOrElse(_, Seq.empty)).distinct
-          .foreach(d => if (!scored.contains(d))
-            byId.get(d).foreach(scored(d) = _))
-        l -= 1
-      }
-      scored.toSeq.map { case (id, s) => (qid, id, s) }
-    }
-    var state = materialize(
-      seedRows.toDF("query_id", "__id", "sim"))
-    // layer-0 beam: expand the best beamWidth visited-but-unexpanded per
-    // query; a poor hop cannot shrink the beam (same rule as probe()).
-    // The expansion flag rides IN the state frame, so each round
-    // materializes exactly one (bounded) table — the hop cost at this
-    // state size is job overhead, not data
     val nbr = neighbors.select(col("src").cast("long").as("__id"),
         col("dst").cast("long").as("__dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var beamState = materialize(state.withColumn("__exp", lit(false)))
-    var r = 0
-    while (r < rounds) {
-      // frontier is re-derived lazily from the checkpointed state by both
-      // consumers below — a cheap window over a materialized table
-      val frontier = Similarity.topKPerGroup(
-        beamState.where(!col("__exp")),
-        Seq("query_id"), Seq(col("sim").desc, col("__id").asc), beamWidth)
-        .select(col("query_id"), col("__id"))
-      // the adjacency is corpus-scale: broadcast the (bounded) frontier
-      // onto it, never the reverse
-      val dsts = nbr
-        .join(broadcast(frontier), Seq("__id"))
-        .select(col("query_id"), col("__dst").as("__id")).distinct()
-      val fresh = dsts.join(beamState, Seq("query_id", "__id"), "left_anti")
-      val marked = beamState
-        .join(broadcast(frontier.withColumn("__fr", lit(true))),
-          Seq("query_id", "__id"), "left_outer")
-        .withColumn("__exp", col("__exp") || coalesce(col("__fr"), lit(false)))
-        .drop("__fr")
-      beamState = materialize(
-        marked.unionByName(score(fresh).withColumn("__exp", lit(false))))
-      r += 1
+    // try/finally (r16 — ADVICE r15): a throw mid-descent/beam must not
+    // leave the corpus/adjacency cached for the rest of the session. The
+    // result depends only on the CHECKPOINTED beam state, so unpersisting
+    // in the finally is safe on the success path too.
+    val beamFinal = try {
+
+      // DESCENT IN ONE JOB (r13 — the per-level loop cost was levels x
+      // fixed job overhead, not data): the entry hierarchy is O(cells ·
+      // constant) edges BY CONSTRUCTION (buildGraph), so every node the
+      // descent could ever visit — the top-level entries plus each layer's
+      // edge destinations — is a small, driver-safe set. Score ALL of them
+      // for ALL queries in one corpus join, then replay the level-by-level
+      // frontier walk (identical entryBeam + (-sim, id) tie-breaks as
+      // probe()'s descend) on the driver from the collected scores. The
+      // spec's singleton-batch == serial-probe visit-set law pins the
+      // equivalence.
+      val entriesLocal = entries
+        .select(col("level").cast("int"), col("entry_id").cast("long"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+      val topLevel = entriesLocal.map(_._1).max
+      val hierLocal = hier
+        .select(col("layer").cast("int"), col("src").cast("long"),
+          col("dst").cast("long"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+      require(hierLocal.length <= 2000000,
+        s"NSW hierarchy has ${hierLocal.length} edges — not the O(cells) " +
+          "design contract; rebuild the graph before batched serving")
+      val tops = entriesLocal.filter(_._1 == topLevel).map(_._2).distinct
+      val hierNodes = (tops ++ hierLocal.map(_._3)).distinct
+      // the edge budget above bounds the HIERARCHY; the collect below is
+      // |queries| x |hierNodes| scored rows — bound the cross product too
+      // (ADVICE r13: a large batch over a big entry hierarchy could OOM the
+      // driver where the old distributed per-level loop could not). 8M rows
+      // of (long, long, double) is ~200 MB of driver heap — the ceiling.
+      val batchSize = q.count()
+      require(batchSize * hierNodes.length <= 8000000L,
+        s"batched NSW descent would collect $batchSize queries x " +
+          s"${hierNodes.length} hierarchy nodes = " +
+          s"${batchSize * hierNodes.length} scored rows to the driver — " +
+          "split the query batch, or rebuild the graph with a smaller " +
+          "entry hierarchy")
+      val hierNodesDf = hierNodes.toDF("__id")
+      val hierScores: Map[Long, Map[Long, Double]] =
+        score(q.select("query_id").crossJoin(broadcast(hierNodesDf)))
+          .collect()
+          .groupBy(_.getLong(0))
+          .map { case (qid, rows) =>
+            qid -> rows.map(r => r.getLong(1) -> r.getDouble(2)).toMap
+          }
+      // ~16 queries per state partition: batch 16 stays single-task (the
+      // hop cost is job overhead there), batch 64+ spreads
+      stateParts = math.max(1, math.min(8, hierScores.size / 16))
+      val adj: Map[Int, Map[Long, Seq[Long]]] = hierLocal.groupBy(_._1)
+        .map { case (l, es) =>
+          l -> es.groupBy(_._2).map { case (s, e) => s -> e.map(_._3).toSeq }
+        }
+      val seedRows = hierScores.toSeq.flatMap { case (qid, byId) =>
+        val scored = mutable.Map.empty[Long, Double]
+        tops.foreach(t => byId.get(t).foreach(scored(t) = _))
+        var l = topLevel
+        while (l >= 1) {
+          val frontier = scored.toSeq
+            .sortBy { case (id, s) => (-s, id) }.take(entryBeam).map(_._1)
+          val layerAdj = adj.getOrElse(l, Map.empty)
+          frontier.flatMap(layerAdj.getOrElse(_, Seq.empty)).distinct
+            .foreach(d => if (!scored.contains(d))
+              byId.get(d).foreach(scored(d) = _))
+          l -= 1
+        }
+        scored.toSeq.map { case (id, s) => (qid, id, s) }
+      }
+      // layer-0 beam: expand the best beamWidth visited-but-unexpanded per
+      // query; a poor hop cannot shrink the beam (same rule as probe()).
+      // The expansion flag rides IN the state frame.
+      var beamState = materialize(
+        seedRows.toDF("query_id", "__id", "sim")
+          .withColumn("__exp", lit(false)))
+      // ONE window pass per hop derives the frontier AND the updated
+      // expansion flags (r16): rank each query's rows with unexpanded rows
+      // first, best (sim desc, id asc) within them — the unexpanded rows
+      // ranked <= beamWidth ARE the frontier (identical rule: ids are
+      // unique per query, so the order is total and matches the previous
+      // topKPerGroup-over-unexpanded), and __exp' = __exp OR rank <=
+      // beamWidth replaces the former broadcast left_outer "marked" join.
+      def hop(bs: DataFrame): DataFrame = {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("__exp").asc, col("sim").desc, col("__id").asc)
+        val ranked = bs.withColumn("__rn", row_number().over(w))
+        val frontier = ranked
+          .where(!col("__exp") && col("__rn") <= beamWidth)
+          .select(col("query_id"), col("__id"))
+        // the adjacency is corpus-scale: broadcast the (bounded) frontier
+        // onto it, never the reverse
+        val dsts = nbr.join(broadcast(frontier), Seq("__id"))
+          .select(col("query_id"), col("__dst").as("__id")).distinct()
+        val fresh = dsts.join(bs, Seq("query_id", "__id"), "left_anti")
+        ranked.withColumn("__exp", col("__exp") || col("__rn") <= beamWidth)
+          .drop("__rn")
+          .unionByName(score(fresh).withColumn("__exp", lit(false)))
+      }
+      // NOT fused two-hops-per-barrier (r16, measured): VERDICT r15 #2
+      // proposed halving the materialization barriers by running two lazy
+      // hops per localCheckpoint. Probed flat-to-worse (4.14 -> 4.68 s
+      // min-of-3): the second hop's frontier/fresh references re-execute
+      // the first hop's plan in SEPARATE broadcast-build jobs, and
+      // broadcast exchanges are only reused within one executed plan —
+      // the recomputed joins cost more than the saved barrier. One hop
+      // per barrier stays.
+      var r = 0
+      while (r < rounds) {
+        beamState = materialize(hop(beamState))
+        r += 1
+      }
+      beamState
+    } finally {
+      vecs.unpersist(false)
+      nbr.unpersist(false)
     }
-    // the result below depends only on the CHECKPOINTED beam state — the
-    // pinned corpus/adjacency have served their hops
-    vecs.unpersist(false)
-    nbr.unpersist(false)
-    Similarity.topKPerGroup(beamState, Seq("query_id"),
+    Similarity.topKPerGroup(beamFinal, Seq("query_id"),
         Seq(col("sim").desc, col("__id").asc), k)
       .select(col("query_id"), col("__id").as(idCol), round(col("sim"), 6).as("sim"))
   }

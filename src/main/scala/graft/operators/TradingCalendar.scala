@@ -55,9 +55,14 @@ object TradingCalendar {
       .agg(min(col(dayOrdCol).cast("long")).as("first_day"),
         max(col(dayOrdCol).cast("long")).as("last_day"),
         count(lit(1)).as("present_sessions"))
-    val cf = calendar.select(col("day_ord").as("first_day"),
+    // the calendar dimension is broadcast twice below — materialize it
+    // once so its distinct + session-index window is not recomputed per
+    // broadcast (r16: the exact gapFillLocf fix from r15, one method over
+    // — the q_cal1 plan carried two copies of that subtree)
+    val cal = calendar.localCheckpoint()
+    val cf = cal.select(col("day_ord").as("first_day"),
       col("session_idx").as("__fi"))
-    val cl = calendar.select(col("day_ord").as("last_day"),
+    val cl = cal.select(col("day_ord").as("last_day"),
       col("session_idx").as("__li"))
     agg.join(broadcast(cf), Seq("first_day"))
       .join(broadcast(cl), Seq("last_day"))

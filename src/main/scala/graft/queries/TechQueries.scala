@@ -771,21 +771,15 @@ object TechQueries extends QueryModule {
     // matters: across a split the raw return carries the factor while
     // the adjusted return shows the true move. Both series through the
     // one exact returnsMicro quantization (rhaDiv + clamp).
-    "q_ca3" -> ((s, d) => {
-      val ps = Shared.plantedSplitSeries(s, d)
-      def rets(c: String, out: String) =
-        TechnicalIndicators.returnsMicro(ps, Seq("l_suppkey"), "day_ord", c,
-            clampMicro = Shared.ReturnClampMicro)
-          .select(col("l_suppkey"), col("day_ord"), col("r_micro").as(out))
-      val ev = graft.operators.CorporateActions.splitEvents(
-          ps, Seq("l_suppkey"), "day_ord", "raw_cents", "adj_cents")
-        .select("l_suppkey", "day_ord")
-      ev.join(rets("raw_cents", "raw_ret_micro"), Seq("l_suppkey", "day_ord"))
-        .join(rets("adj_cents", "adj_ret_micro"), Seq("l_suppkey", "day_ord"))
-        .withColumn("distortion_micro",
-          col("adj_ret_micro") - col("raw_ret_micro"))
-        .orderBy("l_suppkey", "day_ord")
-    }),
+    // r16: composed splitEvents + 2× returnsMicro + 2 joins folded into
+    // the single-window-pass CorporateActions.splitEventReturns (identical
+    // output — law-spec'd and oracle hash-exact; 3 window shuffles + 2
+    // sort-merge joins -> 1 window pass).
+    "q_ca3" -> ((s, d) =>
+      graft.operators.CorporateActions.splitEventReturns(
+          Shared.plantedSplitSeries(s, d), Seq("l_suppkey"), "day_ord",
+          "raw_cents", "adj_cents", clampMicro = Shared.ReturnClampMicro)
+        .orderBy("l_suppkey", "day_ord")),
 
     // Q-CA4 (round 11): split vs cash-dividend classification — q_ca1
     // fires on any ratio change but can't say which; this labels each

@@ -125,4 +125,38 @@ class CorporateActionsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(p2.contains("BroadcastHashJoin"), p2.take(1200))
   }
+
+  test("splitEventReturns == splitEvents + returnsMicro + joins (fusion law, r16)") {
+    // Random per-key integer series with planted ratio changes — both
+    // return signs, clamp live (tiny clamp bound), multi-event keys, and
+    // a no-event key. The fused single-window-pass form must equal the
+    // composed three-pass form row for row.
+    val rnd = new scala.util.Random(16L)
+    val rows = (0L until 8L).flatMap { k =>
+      var adj = 100L + rnd.nextInt(100)
+      (0L until 20L).map { ord =>
+        adj = math.max(1L, adj + rnd.nextInt(21) - 10)
+        val mult = if (k % 2 == 0 && ord >= 10) 1L else if (k % 2 == 0) 3L else 1L
+        (k, ord, adj * mult, adj)
+      }
+    }
+    val df = rows.toDF("k", "ord", "raw", "adj")
+    Seq(0L, 50000L).foreach { clamp =>
+      def rets(c: String, out: String) =
+        TechnicalIndicators.returnsMicro(df, Seq("k"), "ord", c, clampMicro = clamp)
+          .select(col("k"), col("ord"), col("r_micro").as(out))
+      val composed = CorporateActions.splitEvents(df, Seq("k"), "ord", "raw", "adj")
+        .select("k", "ord")
+        .join(rets("raw", "raw_ret_micro"), Seq("k", "ord"))
+        .join(rets("adj", "adj_ret_micro"), Seq("k", "ord"))
+        .withColumn("distortion_micro",
+          col("adj_ret_micro") - col("raw_ret_micro"))
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val fused = CorporateActions.splitEventReturns(
+          df, Seq("k"), "ord", "raw", "adj", clampMicro = clamp)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(fused === composed, s"clamp=$clamp")
+      assert(fused.nonEmpty, s"clamp=$clamp vacuous")
+    }
+  }
 }

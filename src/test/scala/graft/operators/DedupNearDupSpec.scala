@@ -151,6 +151,17 @@ class DedupNearDupSpec extends SparkSpec {
     assert(kept === Seq(1L, 5L, 9L)) // reps of both clusters + untouched 9
   }
 
+  /** Force the distributed star-contraction loop (r16: small edge lists
+    * take the size-adaptive local union-find path, which follows
+    * autoBroadcastJoinThreshold — these tests pin the LOOP's contract). */
+  private def withLoopForced[A](body: => A): A = {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      body
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("connected components: a 10k-vertex path converges under the default cap (O(log n) rounds)") {
     // The worst case for label propagation: one path-shaped component of
     // 10 001 vertices (diameter 10 000). The old O(diameter) min-label
@@ -158,7 +169,9 @@ class DedupNearDupSpec extends SparkSpec {
     // roughly halves component height per round, so the default cap
     // converges it with room to spare.
     val chain = (1L to 10000L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val cc = NearDup.connectedComponents(chain).as[(Long, Long)].collect()
+    val cc = withLoopForced {
+      NearDup.connectedComponents(chain).as[(Long, Long)].collect()
+    }
     assert(cc.length === 10001)
     assert(cc.forall(_._2 == 1L), "every path vertex must reach the min label")
   }
@@ -167,12 +180,35 @@ class DedupNearDupSpec extends SparkSpec {
     // maxIter=1 cannot finish a 64-vertex path; silently returning the
     // half-merged labels would mean extra dedup survivors downstream.
     val chain = (1L to 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    assertThrows[IllegalStateException] {
-      NearDup.connectedComponents(chain, maxIter = 1).collect()
+    withLoopForced {
+      assertThrows[IllegalStateException] {
+        NearDup.connectedComponents(chain, maxIter = 1).collect()
+      }
+      val cc = NearDup.connectedComponents(chain).as[(Long, Long)]
+        .collect().toMap
+      assert(cc === (1L to 64L).map(_ -> 1L).toMap)
     }
-    val cc = NearDup.connectedComponents(chain).as[(Long, Long)]
-      .collect().toMap
-    assert(cc === (1L to 64L).map(_ -> 1L).toMap)
+  }
+
+  test("connected components: local union-find path equals the distributed loop (random graphs)") {
+    // r16 LAW: the size-adaptive local contraction must be output-
+    // identical to the star-contraction loop on arbitrary graphs —
+    // chains, forests, dup edges, reversed orientation, self-loops,
+    // isolated self-loop-only vertices.
+    val rnd = new scala.util.Random(20260819L)
+    (1 to 4).foreach { trial =>
+      val n = 40 + trial * 30
+      val edges = (1 to n).map { _ =>
+        (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong)
+      } ++ Seq((7L, 7L)) // a self-loop-only vertex stays its own component
+      val df = edges.toDF("id_a", "id_b")
+      val local = NearDup.connectedComponents(df)
+        .as[(Long, Long)].collect().toMap
+      val loop = withLoopForced {
+        NearDup.connectedComponents(df).as[(Long, Long)].collect().toMap
+      }
+      assert(local === loop, s"trial $trial: local path diverged from loop")
+    }
   }
 
   test("dedupByComponentsBest keeps the highest-quality member, not the min id") {

@@ -39,6 +39,29 @@ class SemDedupSpec extends SparkSpec {
     }
   }
 
+  test("pairsWithinCellsBlocked == pairsWithinCells (tile kernel law, r16)") {
+    // Exercise every kernel branch: planted exact dups (cosine 1), a
+    // zero vector (null cosine -> dropped), and thresholds low enough
+    // that near-boundary rounding is live. Compare as SETS of pairs —
+    // both forms emit each unordered qualifying pair exactly once.
+    val zero = Seq((777777L, Array.fill(64)(0.0f), 0L))
+      .toDF("vec_id", "embedding", "label")
+    val copies = emb.where(col("vec_id") < 20)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"),
+        col("label"))
+    val corpus = emb.unionByName(copies).unionByName(zero)
+    val (indexed0, _) = IvfAnn.buildIndex(corpus, "embedding", numClusters = 8)
+    val indexed = indexed0.localCheckpoint()
+    Seq(0.3, 0.5, 0.99).foreach { thr =>
+      val joinForm = SemDedup.pairsWithinCells(indexed, "vec_id", "embedding", thr)
+        .as[(Long, Long)].collect().toSet
+      val blocked = SemDedup.pairsWithinCellsBlocked(indexed, "vec_id", "embedding", thr)
+        .as[(Long, Long)].collect().toSet
+      assert(blocked === joinForm, s"thr=$thr: tile kernel diverged from join form")
+      if (thr <= 0.5) assert(blocked.nonEmpty, s"thr=$thr vacuous")
+    }
+  }
+
   test("survivors: losers removed, exactly one survivor per component") {
     val (indexed0, _) = IvfAnn.buildIndex(emb, "embedding", numClusters = 8)
     val indexed = indexed0.localCheckpoint()
