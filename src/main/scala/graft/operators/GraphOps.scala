@@ -59,6 +59,21 @@ object GraphOps {
     // see [[maybeBroadcast]] (a checkpointed RDD reports no stats, so
     // the planner can never pick the broadcast itself)
     val nV = verts.count()
+    // SIZE-ADAPTIVE LOCAL EVALUATION (r16 — the connectedComponents
+    // rationale applied to the rank loop): when the WHOLE edge list fits
+    // the session's broadcast budget, every iteration already pulls a
+    // vertex-sized table to the driver to broadcast it — collecting the
+    // edges ONCE and running the exact integer recurrence locally is
+    // bit-identical (integer sums are order-independent; Long wrap and
+    // truncating div match Spark's non-ANSI semantics) and strictly less
+    // driver traffic. Bigger graphs keep the distributed loop; -1
+    // disables the local path (law-spec'd equal on random graphs).
+    localLongPairs(e0, nV) match {
+      case Some(edgeArr) =>
+        return localPageRankFrame(e0.sparkSession, edgeArr, iterations,
+          dampingPct, seedBase = None)
+      case None => ()
+    }
     // outdeg is static across iterations — join it into the edge table
     // ONCE (window count on the materialized edges: no second join per
     // iteration, the per-iteration plan is edge⋈pr + one aggregation)
@@ -104,6 +119,63 @@ object GraphOps {
     * exactly as the planner would). */
   private def maybeBroadcast(df: DataFrame, rows: Long): DataFrame =
     SizeAdaptive.maybeBroadcast(df, rows)
+
+  // ---- size-adaptive local evaluation (r16) -----------------------------
+  // Gate + collect for the iterative loops' local twins: `df` must be a
+  // two-long-column frame (edge / adjacency pairs). Collected only when
+  // BOTH the known row bound and the frame's own count fit the session's
+  // broadcast budget — the same ~100 B/row autoBroadcastJoinThreshold
+  // derivation the loops' per-round broadcasts use, so the decision
+  // scales exactly as the planner's would (and -1 disables it).
+  private def localLongPairs(df: DataFrame, knownBound: Long): Option[Array[(Long, Long)]] = {
+    val cap = SizeAdaptive.broadcastRowCap(df)
+    if (knownBound > cap) return None
+    val n = df.count()
+    if (n > cap) return None
+    val spark = df.sparkSession
+    import spark.implicits._
+    Some(df.as[(Long, Long)].collect())
+  }
+
+  /** Driver-local twin of the [[pageRank]] / [[personalizedPageRank]]
+    * iteration over a collected edge array — bit-identical to the
+    * distributed loop: contributions are `pr div outdeg` per edge row,
+    * summed per destination (Long sums — order-independent), update
+    * `base + (d·Σ) div 100` with the same Long wrap and truncating-div
+    * semantics. `seedBase = None` is uniform PageRank (init 1e6, base
+    * (100−d)·1e4); `Some((seeds, base))` is the personalized form (init =
+    * teleport vector, base only on seeds, seeds join the vertex set). */
+  private def localPageRankFrame(spark: org.apache.spark.sql.SparkSession,
+                                 edges: Array[(Long, Long)], iterations: Int,
+                                 dampingPct: Int,
+                                 seedBase: Option[(Set[Long], Long)]): DataFrame = {
+    import spark.implicits._
+    val outdeg = new java.util.HashMap[Long, Long]()
+    edges.foreach { case (s, _) => outdeg.merge(s, 1L, (a, b) => a + b) }
+    val vertSet = collection.mutable.LinkedHashSet.empty[Long]
+    edges.foreach { case (s, d) => vertSet += s; vertSet += d }
+    seedBase.foreach { case (seeds, _) => seeds.foreach(vertSet += _) }
+    val verts = vertSet.toArray.sorted
+    def base(v: Long): Long = seedBase match {
+      case None => (100L - dampingPct) * 10000L
+      case Some((seeds, b)) => if (seeds.contains(v)) b else 0L
+    }
+    val pr = new java.util.HashMap[Long, Long]()
+    verts.foreach(v => pr.put(v, seedBase match {
+      case None => 1000000L
+      case Some(_) => base(v)
+    }))
+    for (_ <- 1 to iterations) {
+      val contrib = new java.util.HashMap[Long, Long]()
+      edges.foreach { case (s, d) =>
+        contrib.merge(d, pr.get(s) / outdeg.get(s), (a, b) => a + b)
+      }
+      verts.foreach { v =>
+        pr.put(v, base(v) + dampingPct * contrib.getOrDefault(v, 0L) / 100L)
+      }
+    }
+    verts.map(v => (v, pr.get(v))).toSeq.toDF("vertex", "pr_micro")
+  }
 
   /** Max row count [[maybeBroadcast]] will broadcast for this session
     * (r16: one shared derivation — see [[SizeAdaptive.broadcastRowCap]]). */
@@ -230,6 +302,45 @@ object GraphOps {
     require(k >= 1, s"k must be >= 1, got $k")
     var cur = canonicalUndirected(edges, srcCol, dstCol).localCheckpoint()
     var n = cur.count()
+    // size-adaptive local evaluation (r16 — see [[pageRank]]): the peel
+    // loop over a collected edge array, identical round semantics
+    // including the maxRounds fail-fast and the partial-peel contract
+    localLongPairs(cur, n) match {
+      case Some(edges0) =>
+        val spark = cur.sparkSession
+        import spark.implicits._
+        var es = edges0
+        var localDone = es.isEmpty
+        var r = 0
+        def degrees(a: Array[(Long, Long)]): java.util.HashMap[Long, Long] = {
+          val m = new java.util.HashMap[Long, Long]()
+          a.foreach { case (lo, hi) =>
+            m.merge(lo, 1L, (x, y) => x + y); m.merge(hi, 1L, (x, y) => x + y)
+          }
+          m
+        }
+        while (!localDone && r < maxRounds) {
+          val deg = degrees(es)
+          val next = es.filter { case (lo, hi) =>
+            deg.get(lo) >= k && deg.get(hi) >= k
+          }
+          localDone = next.length == es.length
+          es = next
+          r += 1
+        }
+        if (!localDone && requireConverged)
+          throw new IllegalStateException(
+            s"kCore did not converge within maxRounds = $maxRounds (edges " +
+              s"still shrinking: ${es.length} remain). The partial peel is a " +
+              "SUPERSET of the k-core; raise maxRounds, or pass " +
+              s"requireConverged = false if the $maxRounds-round partial " +
+              "peel is the intended semantic.")
+        val deg = degrees(es)
+        val out = collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        deg.forEach { (v, d2) => if (d2 >= k) out += ((v, d2)) }
+        return out.sortBy(_._1).toSeq.toDF("vertex", "core_degree")
+      case None => ()
+    }
     var done = n == 0L
     var rounds = 0
     while (!done && rounds < maxRounds) {
@@ -360,6 +471,43 @@ object GraphOps {
     var labels = nbrs.select(col("vertex")).distinct()
       .select(col("vertex"), col("vertex").as("label")).localCheckpoint()
     val nV = labels.count() // size-adaptive join pick, see maybeBroadcast
+    // size-adaptive local evaluation (r16 — see [[pageRank]]): the
+    // synchronous update rule over a collected adjacency is deterministic
+    // (argmax = max over (count, −label), exactly the aggregation below)
+    localLongPairs(nbrs, nV) match {
+      case Some(adjArr) =>
+        val spark = nbrs.sparkSession
+        import spark.implicits._
+        val verts = {
+          val s = collection.mutable.LinkedHashSet.empty[Long]
+          adjArr.foreach { case (v, n) => s += v; s += n }
+          s.toArray.sorted
+        }
+        val lab = new java.util.HashMap[Long, Long]()
+        verts.foreach(v => lab.put(v, v))
+        for (_ <- 1 to rounds) {
+          val next = new java.util.HashMap[Long, Long]()
+          val counts = new java.util.HashMap[(Long, Long), Long]()
+          adjArr.foreach { case (v, n) =>
+            counts.merge((v, lab.get(n)), 1L, (a, b) => a + b)
+          }
+          val best = new java.util.HashMap[Long, (Long, Long)]() // v -> (cnt, -label)
+          counts.forEach { (k, c) =>
+            val (v, l) = k
+            val cand = (c, -l)
+            val cur = best.get(v)
+            if (cur == null || Ordering[(Long, Long)].gt(cand, cur))
+              best.put(v, cand)
+          }
+          verts.foreach { v =>
+            val b = best.get(v)
+            next.put(v, if (b == null) lab.get(v) else -b._2)
+          }
+          lab.clear(); lab.putAll(next)
+        }
+        return verts.map(v => (v, lab.get(v))).toSeq.toDF("vertex", "label")
+      case None => ()
+    }
     for (_ <- 1 to rounds) {
       // arg-max as a second AGGREGATION, not a window: max of the struct
       // (count, -label) is exactly (count desc, label asc) — two partial-
@@ -408,6 +556,15 @@ object GraphOps {
     val nS = sd.count()
     require(nS > 0, "seed set must be non-empty")
     val base = ((100L - dampingPct) * 10000L * nV) / nS
+    // size-adaptive local evaluation — see [[pageRank]] (r16)
+    localLongPairs(e0, nV) match {
+      case Some(edgeArr) =>
+        import org.apache.spark.sql.Encoders
+        val seedSet = sd.as(Encoders.scalaLong).collect().toSet
+        return localPageRankFrame(e0.sparkSession, edgeArr, iterations,
+          dampingPct, seedBase = Some((seedSet, base)))
+      case None => ()
+    }
     // static outdeg folded into the edges once — see [[pageRank]]
     val e = e0.withColumn("__outdeg", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("__src")))

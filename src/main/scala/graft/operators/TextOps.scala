@@ -418,10 +418,18 @@ object TextOps {
     // pass + anti-join (2 consumers), and the capped output feeds sizes +
     // both sides of the intersection self-join (3 consumers) — without
     // the second checkpoint the cap's agg + anti-join replan ~3x.
+    // Shingles are hashed to 64-bit longs BEFORE the distinct (r16, guide
+    // §2.3 "narrower types"): the distinct's shuffle, the cap's count
+    // pass and the intersection self-join all key on an 8-byte long
+    // instead of a ~20-30 byte string. 64-bit collisions are negligible
+    // ⇒ per-source distinct sets and shared counts are identical to the
+    // string formulation the oracle runs (the exactJaccardPairs
+    // argument, applied to the source-overlap matrix).
     val sh = NearDup.dropCrowdedBuckets(
       NearDup.withShingles(
           docs.select(col(groupCol), text.as("__txt")), col("__txt"), shingleN)
-        .select(col(groupCol), explode(col("__sh")).as("__s"))
+        .select(col(groupCol), explode(col("__sh")).as("__s0"))
+        .select(col(groupCol), xxhash64(col("__s0")).as("__s"))
         .distinct()
         .localCheckpoint(),
       Seq("__s"), maxShingleSources, capObs)

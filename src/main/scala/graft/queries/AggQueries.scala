@@ -188,7 +188,12 @@ object AggQueries extends QueryModule {
     // quotients); deterministic top-20 on the same total order. The rule
     // table every recommender bootstrap reads off basket data.
     "q_agg18" -> ((s, d) => {
-      val items = cappedBasketItems(s, d)
+      // localCheckpoint KEPT this time (r16 — VERDICT r15 #5 re-probe at
+      // both core counts: 32-core 1.87 -> 1.35, 8-core 1.44 -> 1.21
+      // min-of-N; the r15 32-core-only probe that rejected it did not
+      // reproduce): the basket-size window makes this subtree expensive
+      // enough that one materialize beats two recomputes.
+      val items = cappedBasketItems(s, d).localCheckpoint()
       val nBaskets = items.select("ok").distinct()
         .agg(count(lit(1)).as("__n"))
       val itemSup = items.groupBy("pk").agg(count(lit(1)).as("__sup"))

@@ -141,6 +141,10 @@ object TechQueries extends QueryModule {
         .withColumn("m_ord",
           (year(col("month")) * 12 + month(col("month"))).cast("long"))
         .select("l_suppkey", "m_ord", "cents")
+      // NOT localCheckpoint'ed (r15 AND r16, measured at 32 AND 8 cores:
+      // 8-core min-of-3 1.17 -> 1.40): the monthly aggregate is one cheap
+      // map-side-combined pass; serializing it behind a barrier loses to
+      // recomputing it on idle cores at every core count probed.
       def e(aNum: Long, aDen: Long, out: String) =
         TechnicalIndicators.emaMicro(monthly, "l_suppkey", "m_ord", "cents",
             unitsScale = 2, alphaNum = aNum, alphaDen = aDen)

